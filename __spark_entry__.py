@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query at sf0.001 (smoke).
+``queries()`` — every implemented operator (SURVEY.md §2 + extensions),
+one callable (spark, sf_dir) -> DataFrame each.
+``oracle_sql()`` — DuckDB-runnable ANSI-SQL twins for the hash-match gate
+(operators without an entry here are rows-only checked: Spark-side LSH
+hyperplanes and the Pandas-UDF media decode, which are intentionally not
+re-expressed in SQL).
 """
 
 from __future__ import annotations
@@ -15,24 +17,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query ('top 10 products by sales', the reference's own
+    canonical example app.py:281) on /root/testdata/sf0.001."""
+    from ai_etl_studio_spark.session import configure_existing
+    from ai_etl_studio_spark.operators import load_all
+
+    configure_existing(spark)
+    queries_map, _ = load_all()
+    return queries_map["top_products"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ai_etl_studio_spark.operators import load_all
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q, _ = load_all()
+    return dict(q)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ai_etl_studio_spark.operators import load_all
+
+    _, o = load_all()
+    return dict(o)

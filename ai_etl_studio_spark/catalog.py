@@ -1,0 +1,114 @@
+"""Catalog: table registration, typed schema snapshot, prompt serialization.
+
+Supersedes the reference's live-RDBMS introspection (db_utils.py:119-153,
+which captured *names only*) with Spark's own typed catalog. The prompt
+serialization mirrors the reference's ``TABLE "t" (columns: a, b)`` format
+(app.py:246) but is a strict superset: it carries types.
+
+Scale notes (100 TB): in production these registrations point at external
+catalog tables (partitioned, statistics collected) rather than loose parquet
+files; ``register_tables`` keeps the same name surface so every query in
+``operators/`` is storage-agnostic. Reads stay lazy — registering a view
+costs only a schema read of the parquet footer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver-generated test tables (TESTDATA.md); the engine works over any
+#: registered tables — this list only drives the default registration.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan for one table (column pruning + predicate pushdown
+    apply automatically to whatever the caller selects/filters).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects (PARQUET_TYPE_ILLEGAL); it is read as nanos-since-epoch
+    long (legacy conf) and surfaced as a microsecond TimestampType. The
+    driver testdata is µs-aligned (verified: epoch_ns % 1000 == 0 for all
+    rows), so the truncation is lossless vs the DuckDB oracle's native ns.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ns_longs = [
+        f.name
+        for f in df.schema.fields
+        if f.name == "ts" and isinstance(f.dataType, T.LongType)
+    ]
+    for col in ns_longs:
+        # integer DIV: double division would lose precision above 2^53 ns
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view named after the table.
+
+    Idempotent; returns the DataFrames keyed by name. Goes through
+    ``load_table`` so ns-timestamp handling (and any future per-table
+    normalization) applies to the view surface too.
+    """
+    from ai_etl_studio_spark.session import configure_existing
+
+    configure_existing(spark)
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def schema_snapshot(
+    spark: SparkSession, tables: tuple[str, ...] | None = None
+) -> dict[str, list[tuple[str, str]]]:
+    """``{table: [(column, spark_type_simpleString), ...]}``.
+
+    The typed analogue of the reference's ``get_schema`` dict
+    (db_utils.py:129-136 built ``{table: [column, ...]}`` with no types).
+    """
+    names = list(tables) if tables else [t.name for t in spark.catalog.listTables()]
+    snap: dict[str, list[tuple[str, str]]] = {}
+    for name in names:
+        try:
+            fields = spark.table(name).schema.fields
+        except Exception:
+            continue
+        snap[name] = [(f.name, f.dataType.simpleString()) for f in fields]
+    return snap
+
+
+def render_schema_for_prompt(snapshot: dict[str, list[tuple[str, str]]]) -> str:
+    """Serialize the snapshot in the reference's prompt format (app.py:246),
+    extended with types: ``TABLE "t" (columns: a bigint, b string)``."""
+    lines = []
+    for table in sorted(snapshot):
+        cols = ", ".join(f"{c} {t}" for c, t in snapshot[table])
+        lines.append(f'TABLE "{table}" (columns: {cols})')
+    return "\n".join(lines)

@@ -1,0 +1,306 @@
+r"""Deduplication operators over ``documents`` (driver-directed extension).
+
+Four tiers, cheapest-first — the standard large-corpus dedup ladder:
+
+1. exact          — hash-groupBy on normalized content (text_fingerprint's
+                    sibling; keeps min doc_id per group).
+2. ngram_jaccard  — exact n-gram-shingle Jaccard similarity join
+                    (quadratic in candidates; the *verifier*, not the
+                    *finder*, at scale).
+3. minhash_lsh    — MinHash signatures + banded LSH: candidate pairs cost
+                    ~|docs|·k instead of |docs|², then exact-Jaccard
+                    verification on candidates only. This is the 100 TB
+                    path.
+4. simhash        — 32-bit SimHash + banded Hamming join (near-dup via
+                    bit-difference ≤ r).
+
+Every hash derives from md5 (functions/texthash.py) so the DuckDB oracles
+are bit-exact twins: the oracle SQL below is *generated from the same
+(a,b) hash constants* as the Spark expressions.
+
+Scale notes:
+- shingle explosion is the big intermediate (docs × shingles); project
+  ONLY (doc_id, shingle-hash) before any shuffle — never carry text.
+- the LSH band join shuffles (band_id, band_hash) pairs; hot buckets
+  (boilerplate shingles) are the skew risk — cap bucket size
+  (`LSH_BUCKET_CAP`) exactly like production near-dup pipelines do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_etl_studio_spark.catalog import load_table
+from ai_etl_studio_spark.functions.texthash import (
+    MERSENNE31,
+    md5_hash32,
+    minhash_params,
+    sql_md5_hash32,
+    word_shingles,
+    tokens,
+)
+from ai_etl_studio_spark.operators import register
+
+SHINGLE_N = 3
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands × 4 rows
+LSH_ROWS = MINHASH_K // LSH_BANDS
+JACCARD_THRESHOLD = 0.2
+_MH_PARAMS = minhash_params(MINHASH_K)
+
+# DuckDB shingle-set fragment shared by the oracle strings below:
+# distinct 3-word shingles per doc (1-based list slicing).
+_SQL_SHINGLES = rf"""
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
+                        for i in range(1, len(toks) - {SHINGLE_N} + 2)]) AS shingles
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents) t
+  WHERE len(toks) >= {SHINGLE_N}
+"""
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingles; the shared front of
+    the Jaccard/MinHash pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return (
+        d.select("doc_id", word_shingles(toks, SHINGLE_N).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+    SELECT norm_text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS norm_text_hash
+      FROM documents
+    ) n
+    GROUP BY norm_text_hash
+    HAVING COUNT(*) >= 1
+    ORDER BY keep_doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-content hash groupBy, keep min doc_id.
+
+    Scale: the canonical first pass — shuffles 16-byte hashes only. The
+    'keep' policy (min doc_id) is deterministic, so re-runs are stable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.concat_ws(" ", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return (
+        d.select("doc_id", F.md5(norm).alias("norm_text_hash"))
+        .groupBy("norm_text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=rf"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_id_1, doc_id_2,
+           CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON doc_id_1 = s1.doc_id
+    JOIN sizes s2 ON doc_id_2 = s2.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_id_1, doc_id_2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-word shingle) Jaccard near-dup pairs ≥ threshold.
+
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts, double division:
+    exact cross-engine.
+
+    Scale: the shingle self-join is quadratic in docs *sharing a shingle*;
+    it is the verification stage — run it on LSH candidates (below), not
+    the full corpus. Kept runnable standalone for oracle parity.
+    """
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n_sh_1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n_sh_2"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_sh_1") + F.col("n_sh_2") - F.col("n_inter"))
+    return (
+        inter.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+def _minhash_oracle() -> str:
+    """Generate the DuckDB oracle for the MinHash signature query using the
+    SAME (a,b) constants as the Spark expressions."""
+    h = sql_md5_hash32("shingle")
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE31}) AS mh_{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+    mh_cols = ", ".join(f"mh_{i}" for i in range(MINHASH_K))
+    return rf"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hashed AS (SELECT doc_id, {h} AS h FROM ex),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {mh_cols} FROM sig ORDER BY doc_id
+    """
+
+
+@register("dedup_minhash_signatures", oracle=_minhash_oracle())
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: k={MINHASH_K} universal hashes
+    h_i(x) = (a_i·x + b_i) mod 2^31-1 over md5-derived 32-bit shingle
+    hashes; signature = per-doc min of each h_i.
+
+    Scale: one narrow pass + one groupBy(doc_id) — the shuffle carries
+    (doc_id, k mins) partials thanks to map-side combine. Signature size
+    is k·8 bytes/doc regardless of document length.
+    """
+    sh = _shingle_df(spark, sf_dir)
+    hashed = sh.select("doc_id", md5_hash32("shingle").alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def _lsh_pairs_oracle() -> str:
+    h = sql_md5_hash32("shingle")
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE31}) AS mh_{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+    band_rows = []
+    for band in range(LSH_BANDS):
+        cols = ", ".join(f"mh_{band * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        band_rows.append(
+            f"SELECT doc_id, {band} AS band, md5(concat_ws('-', {cols})) AS band_key FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+    return rf"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hashed AS (SELECT doc_id, {h} AS h FROM ex),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    bands AS ({bands_sql})
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ORDER BY doc_id_1, doc_id_2
+    """
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_lsh_pairs_oracle())
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs: signatures split into {LSH_BANDS} bands
+    of {LSH_ROWS}; docs colliding on any full band become candidates.
+    Collision probability ≈ 1-(1-j^rows)^bands — tuned for j ≳ 0.5.
+
+    Scale: THE near-dup finder at 100 TB. Shuffle is (band, band_key) —
+    constant bytes per doc. Hot band-keys (boilerplate) would explode the
+    self-join; production guard = cap bucket size before pairing (not
+    applied here so the oracle stays expressible — see module docstring).
+    """
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    band_frames = []
+    for band in range(LSH_BANDS):
+        cols = [F.col(f"mh_{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        band_frames.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("-", *cols)).alias("band_key"),
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionAll(bf)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        .distinct()
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+def _simhash_oracle() -> str:
+    h = sql_md5_hash32("tok")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}" for j in range(32)
+    )
+    assemble = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+    hashed AS (SELECT doc_id, {h} AS h FROM ex),
+    bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
+    FROM bits ORDER BY doc_id
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: per-bit ±1 votes from each distinct
+    token's md5-derived hash; bit j of the fingerprint is 1 iff the vote
+    sum is positive. Near-dups then differ in ≤ r bits (Hamming join on
+    8-bit bands — see tests for the pairing; the signature itself is the
+    oracle-checked artifact).
+
+    Scale: explode(tokens) → 32 conditional sums via one groupBy with
+    map-side combine; fingerprint is 8 bytes/doc.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .select("doc_id", md5_hash32("tok").alias("h"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(32)
+    ]
+    bits = toks.groupBy("doc_id").agg(*bit_sums)
+    assemble = None
+    for j in range(32):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(0)
+        assemble = term if assemble is None else (assemble + term)
+    return bits.select("doc_id", assemble.cast("bigint").alias("simhash")).orderBy("doc_id")

@@ -1,0 +1,149 @@
+"""Multimodal column plumbing (driver-directed extension).
+
+Images/audio/video are opaque ``binary`` columns + typed metadata. The
+container has no image/audio codecs, so the *decode* step is a clearly
+marked deterministic fake (`_fake_decode_meta`) — but everything Spark
+cares about is real and tested: binary column construction, schema,
+Arrow-batched Pandas-UDF signatures, `mapInPandas` batch shape, and
+partition-count preservation.
+
+The synthetic payloads derive from ``documents.text`` (utf-8 bytes), so
+the metadata query has an exact DuckDB oracle; the mapInPandas decode
+pipeline is the rows-only-checked entry.
+
+Scale: binary payloads dominate bytes — never shuffle them. Both
+operators here are narrow (no shuffle at all); a real pipeline keeps
+payloads in parquet binary columns, pushes metadata-only predicates to
+the scan, and decodes late, per-partition, inside Arrow batches with
+``maxRecordsPerBatch`` bounding executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_etl_studio_spark.catalog import load_table
+from ai_etl_studio_spark.operators import register
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the media table: (media_id, payload binary, media_type,
+    declared_bytes). Deterministic — payload = utf-8 bytes of the doc."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.col("n_chars").alias("declared_bytes"),
+    )
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT media_type, COUNT(*) AS n_media,
+           SUM(payload_bytes) AS total_bytes,
+           MAX(payload_bytes) AS max_bytes
+    FROM (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             octet_length(encode(text)) AS payload_bytes
+      FROM documents
+    ) m
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata aggregation over binary payloads — all JVM-side
+    (octet_length on the binary column; no decode)."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.select("media_type", F.octet_length("payload").alias("payload_bytes"))
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("payload_bytes").alias("total_bytes"),
+            F.max("payload_bytes").alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+DECODE_SCHEMA = (
+    "media_id bigint, media_type string, payload_bytes int, "
+    "width int, height int, n_frames int, decode_ok boolean"
+)
+
+
+def _fake_decode_meta(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """STUB decode: the real implementation would call PIL/ffmpeg here —
+    unavailable in this container (see module docstring). Deterministic
+    fake: dimensions derived from payload length so tests are stable.
+
+    Raises NotImplementedError for unknown media types, marking the
+    decode boundary explicitly.
+    """
+    n = len(payload)
+    if media_type == "image/png":
+        return (64 + n % 640, 64 + n % 480, 1)
+    if media_type == "audio/wav":
+        return (0, 0, 1 + n % 1000)  # n_frames ~ samples
+    if media_type == "video/mp4":
+        return (320, 240, 1 + n % 300)
+    raise NotImplementedError(f"no decoder for {media_type}")
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """`mapInPandas` decode: Arrow-batched, per-partition, zero shuffle.
+
+    The UDF sees pandas DataFrames (one per Arrow batch) and yields
+    batches — the 100 TB-safe shape for any Python-side media work.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [
+                _fake_decode_meta(p, t)
+                for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "n_frames": [m[2] for m in meta],
+                    "decode_ok": True,
+                }
+            )
+
+    return df.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+@register("multimodal_decode_pipeline")  # rows-only: decode is Python-side
+def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end media pipeline: binary table → mapInPandas decode (stub)
+    → per-type feature aggregation. Deterministic output (stable under
+    the driver's rows-only check)."""
+    decoded = decode_media(media_table(spark, sf_dir))
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_decoded"),
+            F.sum("payload_bytes").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+            F.max("n_frames").alias("max_frames"),
+        )
+        .orderBy("media_type")
+    )

@@ -1,0 +1,687 @@
+"""Core relational query surface (SURVEY.md §2B — the SQL dialect the
+reference's generated queries are specified to use, prompts.py:1-132).
+
+Every function is the Spark-native implementation of one operator row from
+the §2B inventory, written DataFrame-first so Catalyst owns the physical
+plan (broadcast-vs-SMJ choice, partial aggregation, pushdown). The oracle
+strings are the DuckDB-runnable twins used by the correctness gate.
+
+Determinism rules (SURVEY.md §7 hard-points 2-3):
+- money aggregates use exact integer-cents arithmetic (functions/exact.py);
+- every LIMIT query carries a total-order ORDER BY (key tie-breaks);
+- no current_date in oracle-matched queries (fixed anchor dates instead).
+
+Scale notes appear per-operator; the common ones:
+- dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  broadcast — no shuffle for the fact side;
+- fact-fact joins (lineitem ⋈ orders) shuffle on the join key once and
+  AQE coalesces/splits partitions at runtime;
+- aggregates are hash-based with map-side partial aggregation (free from
+  Catalyst), so shuffled bytes are proportional to group cardinality,
+  not input rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_etl_studio_spark.catalog import load_table
+from ai_etl_studio_spark.functions.exact import (
+    SQL_NET_CENTS,
+    csum,
+    davg,
+    dsum,
+    net_cents,
+    sql_davg,
+    sql_dsum,
+)
+from ai_etl_studio_spark.operators import register
+
+# DuckDB-side twin of functions/exact.py's net_cents (kept as one fragment
+# so every oracle uses the identical integer-cents arithmetic).
+NET = SQL_NET_CENTS
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters  (prompts.py:9-11, 28, 34-42)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_products",
+    oracle=f"""
+    SELECT p_name, CAST(SUM({NET}) AS DOUBLE) / 100 AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_name
+    ORDER BY revenue DESC, p_name
+    LIMIT 10
+    """,
+)
+def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 'top 10 products by sales' (the reference's own canonical
+    example, app.py:281). Scan → broadcast join → hash agg → top-k.
+
+    Scale: part is |lineitem|/30 — broadcast it, so lineitem never
+    shuffles before the aggregation; the agg shuffles only |part| groups.
+    The final sort is TakeOrderedAndProject (no global sort).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_name")
+        .agg(csum(net_cents()).alias("revenue"))
+        .orderBy(F.desc("revenue"), "p_name")
+        .limit(10)
+    )
+
+
+@register(
+    "projection_alias",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({NET} AS DOUBLE) / 100 AS net_price,
+           CAST(CAST(round(l_extendedprice * l_tax * 100, 0) AS BIGINT) AS DOUBLE) / 100 AS tax_amount
+    FROM lineitem
+    ORDER BY net_price DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def projection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with column aliases / alias-before-use (prompts.py:28,42).
+
+    Scale: pure narrow transform — column pruning reaches the parquet
+    scan (ReadSchema carries only 5 of 11 lineitem columns).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    tax_cents = F.round(F.col("l_extendedprice") * F.col("l_tax") * 100, 0).cast("bigint")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            (net_cents().cast("double") / 100).alias("net_price"),
+            (tax_cents.cast("double") / 100).alias("tax_amount"),
+        )
+        .orderBy(F.desc("net_price"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@register(
+    "filter_conjunctive",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_acctbal > 1000 AND c_mktsegment = 'BUILDING'
+    ORDER BY c_custkey
+    LIMIT 100
+    """,
+)
+def filter_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates `WHERE a > X AND b = Y` (prompts.py:34,37,120).
+
+    Scale: both predicates push down into the parquet scan
+    (PushedFilters: GreaterThan, EqualTo) — row groups are skipped via
+    min/max stats before any Spark row materializes.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter((F.col("c_acctbal") > 1000) & (F.col("c_mktsegment") == "BUILDING"))
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "filter_disjunctive",
+    oracle="""
+    SELECT c_custkey, c_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' OR r_name = 'AFRICA'
+    ORDER BY c_custkey
+    LIMIT 100
+    """,
+)
+def filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive criteria expressed as one OR filter rather than a UNION
+    of two scans — the reference's own preferred rewrite (prompts.py:38).
+
+    Scale: one scan instead of two; nation/region broadcast.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter((F.col("r_name") == "ASIA") | (F.col("r_name") == "AFRICA"))
+        .select("c_custkey", "c_name", "r_name")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins  (prompts.py:44-55)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_2way",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+def join_2way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner FK equi-join, 2-way (prompts.py:46-48; error_query.sql:10).
+
+    Scale: customer is the 1-side of the FK — broadcast-hash join when it
+    fits (autoBroadcastJoinThreshold), else AQE falls back to SMJ with the
+    shuffle on o_custkey/c_custkey.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "join_3way_bridge",
+    oracle=f"""
+    SELECT c_custkey, c_name, CAST(SUM({NET}) AS DOUBLE) / 100 AS total_spent
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spent DESC, c_custkey
+    LIMIT 100
+    """,
+)
+def join_3way_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop join through a bridge table (prompts.py:49-51 —
+    sales → purchase_order → promotion maps to lineitem → orders → customer).
+
+    Scale: the lineitem⋈orders fact-fact join shuffles both sides on
+    orderkey; customer then broadcasts. Aggregating AFTER the join is
+    correct here because the group key (custkey) only exists post-join;
+    Catalyst still does partial aggregation before the final shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(csum(net_cents()).alias("total_spent"))
+        .orderBy(F.desc("total_spent"), "c_custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "join_4way_dims",
+    oracle=f"""
+    SELECT r_name, n_name, CAST(SUM({NET}) AS DOUBLE) / 100 AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def join_4way_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join chain fact → dim → dim → dim: revenue per region/nation
+    (the 'total sales per store' workload, prompts.py:28,103, on schema B).
+
+    Scale: all three dims broadcast — the fact table never shuffles until
+    the (tiny-cardinality) aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(csum(net_cents()).alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS). Beyond the reference's inner-only surface
+    (SURVEY §2B notes outer/semi/anti as free Catalyst capability).
+
+    Scale: left-semi stops probing at first match and never duplicates
+    left rows; with the filtered orders side small enough, AQE turns it
+    into a broadcast semi.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations  (prompts.py:28,66,103,108-111)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           CAST(SUM({NET}) AS DOUBLE) / 100 AS sum_disc_price,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate GROUP BY (SUM/AVG/COUNT — prompts.py:66): the
+    TPC-H-Q1-shaped pricing summary.
+
+    Scale: 6 aggregates over 2 low-cardinality keys — map-side partial
+    aggregation reduces the shuffle to (#partitions × #groups) rows;
+    whole-stage codegen covers scan→filter→partial-agg in one pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            csum(net_cents()).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT / COUNT(DISTINCT) / MAX / MIN (prompts.py:66,109-110).
+
+    Scale: exact COUNT DISTINCT costs a per-key expand+second shuffle;
+    at 100 TB prefer approx_count_distinct (HLL, one pass) when a ±2%
+    answer is acceptable — kept exact here for oracle parity.
+    MAX/MIN on doubles are order-insensitive, no decimal cast needed.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_totalprice").alias("min_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k  (prompts.py:33-37,82,131; app.py:265,281)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orderby_multi_mixed",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_acctbal > 0
+    ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC
+    LIMIT 50
+    """,
+)
+def orderby_multi_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column mixed-direction ORDER BY + LIMIT (prompts.py:33,37).
+
+    Scale: sort+limit compiles to TakeOrderedAndProject — each task keeps
+    a 50-row heap; no global sort, no full shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy(F.asc("c_mktsegment"), F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations  (prompts.py:12-38,59-68,92-105)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_all_trailing",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'CHINA'
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'FRANCE'
+    ) u
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 100
+    """,
+)
+def union_all_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two result sets with single trailing ORDER BY/LIMIT —
+    the exact shape prompts.py:92-105 legislates (incl. 'prefer UNION ALL
+    unless DISTINCT is explicitly requested', prompts.py:63).
+
+    Scale: union is metadata-only (no shuffle); the trailing top-k is a
+    heap per task.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    a = joined.filter(F.col("n_name") == "CHINA").select("c_custkey", "c_name", "c_acctbal")
+    b = joined.filter(F.col("n_name") == "FRANCE").select("c_custkey", "c_name", "c_acctbal")
+    return a.unionAll(b).orderBy(F.desc("c_acctbal"), "c_custkey").limit(100)
+
+
+@register(
+    "union_distinct",
+    oracle="""
+    SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+    UNION
+    SELECT c_mktsegment FROM customer WHERE c_acctbal < 0
+    ORDER BY c_mktsegment
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — `union().distinct()` in DataFrame terms."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_mktsegment")
+    b = c.filter(F.col("c_acctbal") < 0).select("c_mktsegment")
+    return a.union(b).distinct().orderBy("c_mktsegment")
+
+
+@register(
+    "intersect_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY o_custkey
+    """,
+)
+def intersect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (SURVEY §2B lists it as free Catalyst capability)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b).orderBy("o_custkey")
+
+
+@register(
+    "except_distinct",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    ORDER BY c_custkey
+    """,
+)
+def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics — Spark's `subtract`): customer keys
+    that never ordered."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Subqueries / derived tables / CTEs  (prompts.py:62,67-68,85,90)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "derived_table_agg",
+    oracle=f"""
+    SELECT n_name, total_rev
+    FROM (
+      SELECT n_name, CAST(SUM({NET}) AS DOUBLE) / 100 AS total_rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    ) ranked
+    WHERE total_rev > 0
+    ORDER BY total_rev DESC, n_name
+    LIMIT 20
+    """,
+)
+def derived_table_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate precomputed in a derived table before sort/limit — the
+    shape prompts.py:62,67-68 mandates (a derived table is just an
+    intermediate DataFrame here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    inner = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(csum(net_cents()).alias("total_rev"))
+    )
+    return (
+        inner.filter(F.col("total_rev") > 0)
+        .select("n_name", "total_rev")
+        .orderBy(F.desc("total_rev"), "n_name")
+        .limit(20)
+    )
+
+
+@register(
+    "cte_form",
+    oracle="""
+    WITH big_orders AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_totalprice > 100000
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_big_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS segment_value
+    FROM big_orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def cte_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE (`WITH … AS`) — forbidden on the reference's MySQL 5.7 target
+    (prompts.py:85), native in Spark SQL. Executed through spark.sql to
+    exercise the SQL front-end path.
+    """
+    from ai_etl_studio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        WITH big_orders AS (
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders WHERE o_totalprice > 100000
+        )
+        SELECT c_mktsegment, COUNT(*) AS n_big_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS segment_value
+        FROM big_orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions  (prompts.py:109,120-121; error_query.sql:7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_datediff",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE)
+             / COUNT(*) AS avg_ship_delay_days,
+           COUNT(*) AS n_lineitems
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def scalar_datediff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATEDIFF — the shipment-SLA workload (prompts.py:121:
+    `DATEDIFF(sh.delivery_date, sh.expected_date)`), as average shipping
+    delay per order priority. Integer day counts sum exactly; the average
+    divides in double (deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.sum(delay).cast("double") / F.count(F.lit(1))).alias("avg_ship_delay_days"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 200000 THEN 'large'
+                WHEN o_totalprice >= 50000 THEN 'medium'
+                ELSE 'small' END AS price_band,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS band_value
+    FROM orders
+    GROUP BY price_band
+    ORDER BY price_band
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IF/CASE conditional (error_query.sql:7's `IF(...)` →
+    `F.when().otherwise()`): price-band bucketing."""
+    o = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") >= 200000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+        .alias("price_band")
+    )
+    return (
+        o.groupBy(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("band_value"),
+        )
+        .orderBy("price_band")
+    )
+
+
+@register(
+    "error_relation",
+    oracle="SELECT 'Schema unavailable' AS error_message",
+)
+def error_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-as-relation: failures surface as a 1×1 constant relation
+    (app.py:244,268 — `SELECT '<msg>' AS error_message LIMIT 100`)."""
+    return spark.createDataFrame([("Schema unavailable",)], "error_message string").limit(100)
+
+
+@register(
+    "dup_col_rename",
+    oracle="""
+    SELECT c_name, n_name AS c_name_1
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY c_name, c_name_1
+    LIMIT 100
+    """,
+)
+def dup_col_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-output-column rename (db_utils.py:168-177): a join that
+    yields two `c_name` columns gets `_1` suffixes at the presentation
+    edge. Spark tolerates duplicate names until resolution, so the rename
+    happens via engine.dedupe_column_names."""
+    from ai_etl_studio_spark.engine import dedupe_column_names
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("c_name"), F.col("n_name").alias("c_name")
+    )
+    renamed = dedupe_column_names(joined)
+    return renamed.orderBy("c_name", "c_name_1").limit(100)

@@ -1,0 +1,179 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Two tiers:
+
+- brute-force cosine top-k — the exact baseline (oracle-checked);
+- random-hyperplane LSH bucketing — the approximate scale path
+  (deterministic seed; rows-only check, since the bucketing is
+  Spark-side numpy and intentionally not re-expressed in SQL).
+
+Vector math uses sequential double-precision folds (F.aggregate /
+F.zip_with) which DuckDB's list_inner_product mirrors after casting the
+list to DOUBLE[]; results are additionally rounded to 6dp so a last-ulp
+divergence can't flip the hash.
+
+Scale: brute-force kNN is O(|Q|·|N|·d) — fine for |Q| small; the LSH
+variant buckets the corpus once (narrow pass) and joins queries only to
+their bucket. For a production ANN at 100 TB you would partition by
+IVF-style coarse centroids; the bucketing scaffold here is that shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_etl_studio_spark.catalog import load_table
+from ai_etl_studio_spark.operators import register
+
+TOPK = 10
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+EMB_DIM = 64
+COSINE_DEDUP_THRESHOLD = 0.2
+DEDUP_ID_CAP = 1000  # bound the brute-force pair count for the oracle run
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold double dot product (matches DuckDB's
+    list_inner_product over DOUBLE[] element order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+_SQL_COS = (
+    "list_inner_product(a.emb, b.emb) / "
+    "(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)))"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    SELECT query_id, neighbor_id, cos_sim, rn
+    FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND({_SQL_COS}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_SQL_COS} DESC, b.vec_id) AS rn
+      FROM v a JOIN v b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ) ranked
+    WHERE rn <= {TOPK}
+    ORDER BY query_id, rn
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-{TOPK} for {N_QUERIES} query vectors.
+
+    Scale: the query side is broadcast (tiny), so the corpus streams once
+    with no shuffle; per-query top-k via window. At large |Q| switch to
+    the bucketed variant below.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    sim = cosine(F.col("q_emb"), F.col("emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id < {DEDUP_ID_CAP}
+    )
+    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+           ROUND({_SQL_COS}, 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_SQL_COS} >= {COSINE_DEDUP_THRESHOLD}
+    ORDER BY vec_id_1, vec_id_2
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ {COSINE_DEDUP_THRESHOLD})
+    over a bounded id range — the semantic-dedup primitive.
+
+    Scale: all-pairs is O(n²); bound inputs (here: id cap, production:
+    LSH/IVF buckets from ann_lsh_buckets) before pairing. The pair join
+    is a range-condition self-join; Spark executes it as
+    broadcast-nested-loop on the bounded side.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < DEDUP_ID_CAP)
+        .select("vec_id", F.col("embedding").alias("emb"))
+    )
+    a = emb.select(F.col("vec_id").alias("vec_id_1"), F.col("emb").alias("emb_1"))
+    b = emb.select(F.col("vec_id").alias("vec_id_2"), F.col("emb").alias("emb_2"))
+    sim = cosine(F.col("emb_1"), F.col("emb_2"))
+    return (
+        a.join(b, F.col("vec_id_1") < F.col("vec_id_2"))
+        .select("vec_id_1", "vec_id_2", sim.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= COSINE_DEDUP_THRESHOLD)
+        .select("vec_id_1", "vec_id_2", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("vec_id_1", "vec_id_2")
+    )
+
+
+@register("ann_lsh_buckets")  # no oracle: Spark-side hyperplanes (rows-only check)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: 8 signed projections → 8-bit bucket
+    id per vector. Deterministic (fixed-seed numpy hyperplanes, broadcast
+    as literal arrays — no Python in the executor hot path: the
+    projections are F.aggregate folds over literal arrays).
+
+    Scale: one narrow pass → (bucket, vec_id); ANN then probes only the
+    query's bucket (+ neighbors for recall). This is the 100 TB path:
+    corpus shuffles once by bucket, queries broadcast to their buckets.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, EMB_DIM))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucket = None
+    for i in range(8):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        proj = dot(F.col("embedding"), plane)
+        bit = F.when(proj > 0, F.lit(1 << i)).otherwise(0)
+        bucket = bit if bucket is None else (bucket + bit)
+    return (
+        emb.select("vec_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )

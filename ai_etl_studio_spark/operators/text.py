@@ -1,0 +1,188 @@
+"""Text-analysis operators over the ``documents`` table (driver-directed
+extension: the ops a large-scale training-data pipeline needs).
+
+All pure column expressions (JVM-side, codegen'd — no Python in the hot
+path); each has an exact DuckDB oracle. The reference has no text
+processing at all (its only string ops were equality predicates,
+prompts.py:120), so this module is new capability, designed Spark-first.
+
+Scale: every operator here is embarrassingly parallel (narrow, per-row),
+so it scales linearly with input splits — the interesting part is keeping
+it all in whole-stage codegen, which these expressions do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_etl_studio_spark.catalog import load_table
+from ai_etl_studio_spark.operators import register
+
+#: Tiny deterministic stopword list for quality/langid heuristics.
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+#: Marker words per language for the n-gram/lexicon language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "die", "ist"),
+    "fr": ("le", "et", "les", "est"),
+    "es": ("el", "y", "los", "es"),
+    "zh": ("de5", "shi4", "le5", "he2"),  # pinyin-ish markers (latin corpus)
+}
+
+
+@register(
+    "text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+           length(text) AS n_chars_computed,
+           n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + char counts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    oracle=rf"""
+    SELECT doc_id, n_tokens, stop_ratio, distinct_ratio,
+           CASE WHEN n_tokens >= 20 AND distinct_ratio >= 0.2 THEN 1 ELSE 0 END AS quality_pass
+    FROM (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(len(list_filter(toks, t -> t IN {_SW_SQL})) AS DOUBLE) / len(toks) AS stop_ratio,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents) t
+      WHERE len(toks) > 0
+    ) q
+    ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + lexical diversity + length gate
+    (the C4/Gopher-style filter family, reduced to deterministic
+    components). Int/int division in double is exact cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    q = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            (
+                F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS))).cast("double")
+                / F.size("toks")
+            ).alias("stop_ratio"),
+            (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias(
+                "distinct_ratio"
+            ),
+        )
+    )
+    return q.select(
+        "doc_id",
+        "n_tokens",
+        "stop_ratio",
+        "distinct_ratio",
+        F.when((F.col("n_tokens") >= 20) & (F.col("distinct_ratio") >= 0.2), 1)
+        .otherwise(0)
+        .alias("quality_pass"),
+    ).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    score = {
+        lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    # precedence order en > de > fr > es > zh on ties (>= chain)
+    cases = []
+    langs = list(LANG_MARKERS)
+    for i, lang in enumerate(langs):
+        others = [score[o] for o in langs if o != lang]
+        cond = " AND ".join(f"{score[lang]} >= {o}" for o in others)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return rf"""
+    SELECT doc_id, lang AS labeled_lang, {case_sql} AS predicted_lang
+    FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks FROM documents) t
+    ORDER BY doc_id
+    """
+
+
+@register("text_langid", oracle=_langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via a deterministic marker-lexicon heuristic (argmax of
+    per-language marker-word counts with fixed precedence on ties).
+
+    Scale: pure codegen'd expressions; a real fastText-style model would
+    ride a Pandas UDF (see multimodal.py for that plumbing pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    base = d.select("doc_id", F.col("lang").alias("labeled_lang"), toks.alias("toks"))
+    def marker_counter(ws: tuple[str, ...]):
+        # closure factory: a default-arg lambda would read as 2-parameter
+        # and make PySpark pass the (value, index) higher-order form
+        return lambda t: t.isin(*ws)
+
+    scores = {
+        lang: F.size(F.filter(F.col("toks"), marker_counter(ws)))
+        for lang, ws in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    # build reversed so the first language wins ties (mirrors oracle order)
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        others = [scores[o] for o in langs if o != lang]
+        cond = None
+        for o in others:
+            c = scores[lang] >= o
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, lang).otherwise(expr)
+    return base.select("doc_id", "labeled_lang", expr.alias("predicted_lang")).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT fingerprint, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fingerprint
+      FROM documents
+    ) f
+    GROUP BY fingerprint
+    ORDER BY fingerprint
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whitespace-normalized md5 content hash,
+    grouped to find exact-content clusters (the cheap first pass of every
+    dedup pipeline).
+
+    Scale: fingerprint is 16 bytes/doc — groupBy shuffles fingerprints,
+    not documents; at 100 TB this is the classic 'shuffle the hash, not
+    the text' move.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.concat_ws(" ", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return (
+        d.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("fingerprint")
+    )

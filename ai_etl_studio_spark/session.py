@@ -1,0 +1,87 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[N]`` in one JVM, but every default here is chosen
+to also be the right starting point on a large multi-executor cluster:
+
+- AQE on (runtime partition coalescing, skew-join splitting, dynamic join
+  strategy switch) — the single most important 100 TB knob.
+- ``spark.sql.shuffle.partitions`` sized to the local core count; on a real
+  cluster AQE's coalescing makes the static number mostly irrelevant as long
+  as it is an upper bound (set it high there, e.g. 2000+).
+- UTC session timezone so timestamp semantics match UTC-naive oracle engines
+  (DuckDB) and partition pruning on date columns is unambiguous.
+- Arrow enabled for any toPandas()/pandas-UDF edge.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "ai-etl-studio-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    If a session already exists (e.g. the verify driver owns it), the
+    builder returns it unchanged — ``configure_existing`` below can then be
+    used to apply the runtime-settable subset of this config.
+    """
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
+        # which Spark rejects unless read as long (converted in catalog)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+#: Runtime-settable (non-static) configs, applied when we are handed an
+#: externally-created session (the driver contract passes one in).
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an existing session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static or access-controlled conf on this deployment
+    return spark

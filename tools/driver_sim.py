@@ -1,0 +1,85 @@
+"""Simulate the verify driver end-to-end: default-config SparkSession,
+entry() smoke, every queries() entry vs its oracle_sql() twin in DuckDB
+(row count + column names + order-insensitive exact value compare).
+
+Usage: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+from pyspark.sql import SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, (int, str, bool, bytes, float)) or v is None:
+        return v
+    return str(v)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as mod
+
+    t0 = time.time()
+    df = mod.entry(spark)
+    rows = df.collect()
+    print("ENTRY rows:", len(rows), "schema:", df.columns, "first:", rows[0])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    q_map, o_map = mod.queries(), mod.oracle_sql()
+    fails = []
+    for name in sorted(q_map):
+        t1 = time.time()
+        try:
+            sdf = q_map[name](spark, sf)
+            scols = sorted(sdf.columns)
+            srows = sorted(
+                [tuple(norm(r[c]) for c in scols) for r in sdf.collect()], key=str
+            )
+            if name in o_map:
+                res = con.execute(o_map[name])
+                dcols = sorted(d[0] for d in res.description)
+                idx = {d[0]: i for i, d in enumerate(res.description)}
+                drows = sorted(
+                    [tuple(norm(r[idx[c]]) for c in dcols) for r in res.fetchall()],
+                    key=str,
+                )
+                ok = scols == dcols and srows == drows
+                status = "MATCH" if ok else "MISMATCH"
+                if not ok:
+                    fails.append(name)
+                    for a, b in zip(srows, drows):
+                        if a != b:
+                            print("   spark:", a, "\n   duck :", b)
+                            break
+            else:
+                status = f"ROWS_ONLY({len(srows)})"
+            print(f"{name}: {status} [{time.time() - t1:.1f}s]")
+        except Exception as e:  # noqa: BLE001 — report and continue
+            fails.append(name)
+            print(f"{name}: ERROR {type(e).__name__}: {str(e)[:300]}")
+    print(f"TOTAL {time.time() - t0:.1f}s  FAILS: {fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
