@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is forced to full materialization through the noop sink
+(df.write.format("noop")) — no driver collect, no skipped operators
+(count() would let Catalyst prune unused window/agg columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    # reference-parity core
+    "top_products",
+    "agg_pricing_summary",
+    "join_3way_bridge",
+    "join_4way_dims",
+    "union_all_trailing",
+    "scalar_datediff",
+    # unlocked analytics
+    "topn_per_group",
+    "ntile_rfm",
+    "percentile_exact",
+    "window_running",
+    "sessionize",
+    "window_tumbling",
+    # LLM-data-pipeline extensions
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "text_quality",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ai_etl_studio_spark.session import get_spark
+    from ai_etl_studio_spark.operators import load_all
+
+    spark = get_spark(app_name="ai-etl-studio-spark-bench")
+    queries, _ = load_all()
+
+    # warm the JVM + parquet footers outside the timed region
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
