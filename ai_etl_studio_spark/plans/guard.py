@@ -24,21 +24,36 @@ def parsed_plan_class(spark: SparkSession, sql: str) -> str:
     return plan.getClass().getName()
 
 
-_COMMAND_MARKERS = ("Command", "InsertInto", "Delete", "Update", "Merge")
+#: statement wrappers that are writes but do NOT extend the Command trait
+#: (verified by parsing: InsertIntoStatement has Command=False)
+_COMMAND_MARKERS = ("Command", "InsertInto", "Delete", "Update", "Merge", "Write")
+
+_COMMAND_TRAIT = "org.apache.spark.sql.catalyst.plans.logical.Command"
 
 
 def is_read_only_plan(spark: SparkSession, sql: str) -> bool:
-    """True iff the parsed plan is a pure query (not a Command node).
+    """True iff the parsed plan is a pure query.
 
+    Checks the Catalyst ``Command`` trait (covers CTAS/DDL/DML v2 nodes
+    whose class names don't contain 'Command') plus name markers for the
+    statement wrappers that don't extend it (InsertIntoStatement).
     Falls back to True on JVM-access failure — the textual gate has
     already run by the time this is called.
     """
     try:
-        cls = parsed_plan_class(spark, sql)
+        parser = spark._jsparkSession.sessionState().sqlParser()
+        plan = parser.parsePlan(sql)
     except Exception as exc:  # ParseException bubbles to the caller
-        if type(exc).__name__ == "ParseException" or "ParseException" in str(type(exc)):
+        if "ParseException" in type(exc).__name__:
             raise
         return True
+    try:
+        trait = spark.sparkContext._jvm.java.lang.Class.forName(_COMMAND_TRAIT)
+        if trait.isInstance(plan):
+            return False
+    except Exception:
+        pass
+    cls = plan.getClass().getName()
     return not any(marker in cls for marker in _COMMAND_MARKERS)
 
 

@@ -1,0 +1,42 @@
+"""Sinks: CSV download (reference A15), parquet, partitioned parquet.
+
+The reference's only sink was ``df.to_csv`` into a Streamlit download
+button (app.py:301-302) — a driver-side materialization bounded by the
+injected LIMIT. Both forms exist here:
+
+- ``to_csv_bytes``: the interactive path — bounded, driver-side,
+  byte-for-byte what the reference's download produced.
+- ``write_csv`` / ``write_parquet``: the engine path — distributed
+  writes, no driver bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: Interactive-path bound (mirrors prompts.py:131 / app.py:265).
+DOWNLOAD_LIMIT = 100
+
+
+def to_csv_bytes(df: DataFrame, limit: int = DOWNLOAD_LIMIT) -> bytes:
+    """Driver-side CSV export, LIMIT-bounded (A15: app.py:301-302)."""
+    return df.limit(limit).toPandas().to_csv(index=False).encode("utf-8")
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Distributed CSV write with header (engine path for A15)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet write; ``partition_by`` enables partition pruning for
+    downstream readers (date/tenant columns at 100 TB)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,128 @@
+"""Pluggable NL->SQL generator (reference generate_sql, app.py:242-268).
+
+The reference made one blocking OpenAI chat call per question
+(app.py:250) and piped the raw response through the sanitizers. Here the
+generation backend is an interface:
+
+- ``TemplateGenerator`` — deterministic rule-based mapping for the
+  canonical workloads; no network, used by all tests (SURVEY §7 phase 4:
+  'correctness tests never call a network').
+- ``LLMGenerator`` — the adapter seam for a real model; requires a
+  user-supplied ``complete`` callable (prompt -> response text). No
+  vendor SDK is imported here.
+
+Either way the output is RAW text that must pass through
+sqlgen.sanitize + the engine's read-only plan gate — generation is never
+trusted (the reference's own failure artifact, error_query.sql:26-47,
+is exactly what happens when it is).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from ai_etl_studio_spark.sqlgen.prompts import get_system_prompt
+
+
+class GenerationError(Exception):
+    pass
+
+
+@dataclass
+class TemplateGenerator:
+    """Deterministic NL->SQL for the canonical reference workloads
+    (FIXTURES.md mapping table). Pattern match on the question; raise
+    GenerationError when no template applies (caller surfaces the error
+    relation, mirroring app.py:267-268)."""
+
+    limit: int = 100
+
+    _RULES = [
+        (
+            r"top\s+(\d+)\s+products",
+            lambda m, lim: (
+                "SELECT p_name, CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)"
+                " * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS revenue"
+                " FROM lineitem JOIN part ON l_partkey = p_partkey"
+                " GROUP BY p_name ORDER BY revenue DESC, p_name"
+                f" LIMIT {int(m.group(1))}"
+            ),
+        ),
+        (
+            r"revenue\s+(?:per|by)\s+nation",
+            lambda m, lim: (
+                "SELECT n_name, CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)"
+                " * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS revenue"
+                " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+                " JOIN nation ON s_nationkey = n_nationkey"
+                f" GROUP BY n_name ORDER BY revenue DESC, n_name LIMIT {lim}"
+            ),
+        ),
+        (
+            r"top\s+(\d+)\s+customers?\s+per\s+nation",
+            lambda m, lim: (
+                "WITH spend AS ("
+                " SELECT n_name, c_custkey, c_name,"
+                " CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)"
+                " AS BIGINT)) AS DOUBLE) / 100 AS total_spent"
+                " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+                " JOIN customer ON o_custkey = c_custkey"
+                " JOIN nation ON c_nationkey = n_nationkey"
+                " GROUP BY n_name, c_custkey, c_name)"
+                " SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name"
+                " ORDER BY total_spent DESC, c_custkey) AS rn FROM spend) r"
+                f" WHERE rn <= {int(m.group(1))} ORDER BY n_name, rn LIMIT {lim}"
+            ),
+        ),
+        (
+            r"orders?\s+count\s+(?:per|by)\s+(?:priority|orderpriority)",
+            lambda m, lim: (
+                "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders"
+                f" GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT {lim}"
+            ),
+        ),
+        (
+            r"customers?\s+in\s+segment\s+'?(\w+)'?",
+            lambda m, lim: (
+                "SELECT c_custkey, c_name, c_acctbal FROM customer"
+                f" WHERE c_mktsegment = '{m.group(1).upper()}'"
+                f" ORDER BY c_custkey LIMIT {lim}"
+            ),
+        ),
+    ]
+
+    def generate(self, question: str) -> str:
+        q = question.lower()
+        for pattern, build in self._RULES:
+            m = re.search(pattern, q)
+            if m:
+                return build(m, self.limit)
+        raise GenerationError(f"no template matches: {question!r}")
+
+
+@dataclass
+class LLMGenerator:
+    """Adapter for a real LLM backend. ``complete`` is any callable
+    (system_prompt, user_question) -> raw response text; prompt built by
+    sqlgen.prompts from a typed catalog snapshot."""
+
+    complete: Callable[[str, str], str]
+    schema_desc: str
+    limit: int = 100
+
+    def generate(self, question: str) -> str:
+        return self.complete(get_system_prompt(self.schema_desc, self.limit), question)
+
+
+def generate_and_run(spark, generator, question: str, default_limit: int = 100):
+    """Full reference pipeline: generate -> sanitize -> validate -> run
+    (app.py:288-302), errors surfacing as the error relation."""
+    from ai_etl_studio_spark.engine import QueryResult, run_query
+
+    try:
+        raw = generator.generate(question)
+    except Exception as exc:  # GenerationError or backend failure
+        return QueryResult(None, "", False, f"generation failed: {exc}")
+    return run_query(spark, raw, default_limit=default_limit)

@@ -21,9 +21,12 @@ from dataclasses import dataclass
 
 _FENCED_SQL = re.compile(r"```sql\s*(.*?)\s*```", re.DOTALL | re.IGNORECASE)
 _FENCED_ANY = re.compile(r"```\s*(.*?)\s*```", re.DOTALL)
-_SELECT_SLICE = re.compile(r"((?:SELECT|WITH)\s+.*)", re.DOTALL | re.IGNORECASE)
+#: WITH must look like a real CTE (`WITH name AS (`) — a bare "with" in
+#: prose must not satisfy the slice/read-only gates.
+_CTE_HEAD = r"WITH\s+\w+\s+AS\s*\("
+_SELECT_SLICE = re.compile(rf"((?:SELECT\s+|{_CTE_HEAD}).*)", re.DOTALL | re.IGNORECASE)
 _HAS_LIMIT = re.compile(r"\blimit\b", re.IGNORECASE)
-_READONLY_START = re.compile(r"^\s*(SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE)
+_READONLY_START = re.compile(rf"^\s*(SELECT\s|{_CTE_HEAD}|VALUES\s)", re.IGNORECASE)
 _FORBIDDEN = re.compile(
     r"\b(INSERT|UPDATE|DELETE|MERGE|DROP|CREATE|ALTER|TRUNCATE|GRANT|REVOKE|"
     r"SET|RESET|CALL|COPY|ANALYZE|VACUUM|REFRESH|CACHE|UNCACHE|MSCK|LOAD)\b\s",

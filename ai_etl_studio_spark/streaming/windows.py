@@ -136,7 +136,9 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
-        .load(f"{sf_dir}/events.parquet")
+        # FileStreamSource needs a directory; the glob selects just events
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
