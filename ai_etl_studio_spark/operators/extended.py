@@ -1,0 +1,472 @@
+"""Extended relational surface — the operators SURVEY §2B marks as 'free
+Catalyst capability' beyond the reference's inner-equi-join/SUM world,
+plus the as-of/range joins the OLAP guide calls out as custom patterns.
+
+Everything oracle-checked except where noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_etl_studio_spark.catalog import load_table
+from ai_etl_studio_spark.functions.exact import sql_dsum, dsum
+from ai_etl_studio_spark.operators import register
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    ORDER BY c_custkey, o_orderkey NULLS FIRST
+    LIMIT 200
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join — keeps customers with no orders (NULL right side).
+
+    Scale: outer joins can't broadcast the preserved side; Catalyst
+    broadcasts the non-preserved (orders-side would be wrong here, so
+    customer-preserving left join broadcasts orders only if small —
+    else SMJ)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey", F.asc_nulls_first("o_orderkey"))
+        .limit(200)
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT n_nationkey, n_name, s_suppkey
+    FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+    ORDER BY n_nationkey NULLS FIRST, s_suppkey NULLS FIRST
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — nations without suppliers and vice versa."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        n.join(s, n.n_nationkey == s.s_nationkey, "full_outer")
+        .select("n_nationkey", "n_name", "s_suppkey")
+        .orderBy(F.asc_nulls_first("n_nationkey"), F.asc_nulls_first("s_suppkey"))
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN (SELECT n_name FROM nation WHERE n_regionkey = 0) n
+    ORDER BY r_name, n_name
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join (bounded sides only — it's a cartesian product)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0).select("n_name")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@register(
+    "in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND o_orderstatus = 'F'
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery — planned as a left-semi join by Catalyst. Executed via
+    spark.sql to exercise the subquery front-end."""
+    from ai_etl_studio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND o_orderstatus = 'F'
+        ORDER BY o_orderkey
+        LIMIT 100
+        """
+    )
+
+
+@register(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) FROM orders)
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price."""
+    from ai_etl_studio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) FROM orders)
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 50
+        """
+    )
+
+
+@register(
+    "having_filter",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+    ORDER BY o_custkey
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING — post-aggregation filter."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total"))
+        .filter(F.col("n_orders") >= 3)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "distinct_projection",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT over a projection."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct().orderBy(
+        "c_mktsegment", "c_nationkey"
+    )
+
+
+@register(
+    "pivot_wide",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: linestatus values to columns (guide §Common OLAP patterns).
+
+    Implemented as conditional aggregation (identical plan to .pivot()
+    with explicit values, and exactly mirrorable in the oracle).
+    SUM skips NULLs in both engines, so the CASE without ELSE is exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_cents = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+
+    def cond_sum(status: str):
+        return (
+            F.sum(F.when(F.col("l_linestatus") == status, qty_cents)).cast("double") / 100
+        )
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(cond_sum("O").alias("qty_O"), cond_sum("F").alias("qty_F"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "unpivot_long",
+    oracle="""
+    SELECT c_custkey, metric, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+    ) u
+    ORDER BY c_custkey, metric
+    LIMIT 200
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack() — wide columns to (metric, value) rows."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.expr(
+                "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))"
+            ).alias("metric", "value"),
+        )
+        .orderBy("c_custkey", "metric")
+        .limit(200)
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id — all 4 grouping sets + set identifier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+        .orderBy(
+            "gid", F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 5) AS name_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_snake,
+           CASE WHEN p_name LIKE '%gear%' THEN 1 ELSE 0 END AS has_gear,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+    FROM part
+    WHERE p_type LIKE '%a%'
+    ORDER BY p_partkey
+    LIMIT 150
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: LIKE / CONCAT / SUBSTR / UPPER / LENGTH /
+    REPLACE / LPAD — none appear in the reference spec (SURVEY §2B scalar
+    row: 'no occurrence'), all standard Spark built-ins."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("%a%"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_name", 1, 5).alias("name_prefix"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.length("p_name").alias("name_len"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+            F.when(F.col("p_name").like("%gear%"), 1).otherwise(0).alias("has_gear"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        )
+        .orderBy("p_partkey")
+        .limit(150)
+    )
+
+
+@register(
+    "math_functions",
+    oracle="""
+    SELECT o_orderkey,
+           abs(o_totalprice - 100000) AS dist_from_100k,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_kilo_ceil,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kilo_floor,
+           round(sqrt(o_totalprice), 6) AS price_sqrt,
+           round(ln(o_totalprice), 6) AS price_ln,
+           o_orderkey % 7 AS key_mod7
+    FROM orders
+    WHERE o_totalprice > 0
+    ORDER BY o_orderkey
+    LIMIT 200
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function surface: ABS/CEIL/FLOOR/SQRT/LN/MOD. sqrt and ln are
+    correctly-rounded IEEE on identical inputs; rounded to 6dp anyway."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(
+            "o_orderkey",
+            F.abs(F.col("o_totalprice") - 100000).alias("dist_from_100k"),
+            F.ceil(F.col("o_totalprice") / 1000).alias("price_kilo_ceil"),
+            F.floor(F.col("o_totalprice") / 1000).alias("price_kilo_floor"),
+            F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+            F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+            (F.col("o_orderkey") % 7).alias("key_mod7"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+@register(
+    "argmax_minby",
+    oracle="""
+    SELECT o_custkey, biggest_order, smallest_order, max_price
+    FROM (
+      SELECT o_custkey,
+             FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS biggest_order,
+             FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice ASC, o_orderkey) AS smallest_order,
+             MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS max_price,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders
+    ) x
+    WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def argmax_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY / MIN_BY (argmax aggregates). Determinism on value ties is
+    engine-defined, so ties are broken by composing the compared value
+    with the returned key: maximize (price, -orderkey) == smallest
+    orderkey among max-price rows in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    # struct comparison: (totalprice, -orderkey) orders lexicographically,
+    # making the argmax total and engine-independent
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "max_by(o_orderkey, struct(o_totalprice, -o_orderkey))"
+            ).alias("biggest_order"),
+            F.expr(
+                "min_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+            ).alias("smallest_order"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "asof_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           last_click_ts
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_click_ts
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ) p
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (guide §Common OLAP patterns: Spark lacks a native one):
+    for each purchase, the most recent PRIOR click of the same user —
+    implemented as the union-window pattern: tag both streams, one window
+    per user ordered by time, running MAX over the click-only timestamp.
+
+    Scale: ONE shuffle on user_id + one sort — beats the naive
+    inequality self-join (quadratic per user). This is the same plan
+    pd.merge_asof would need, kept fully in the JVM.
+    """
+    e = load_table(spark, sf_dir, "events")
+    both = e.filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        both.withColumn("last_click_ts", F.max(click_ts).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@register(
+    "range_join",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_pairs_within_1h
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id <> a.event_id
+     AND b.ts >= a.ts
+     AND b.ts < a.ts + INTERVAL 1 HOUR
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+    """,
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: ordered event pairs of the same user within 1 hour.
+    Equi-key (user_id) + range predicate: Catalyst executes the equi part
+    as a hash/SMJ join and applies the range as a post-filter.
+
+    Scale: the equi-key bounds the blowup to per-user windows; for
+    key-free range joins, bucketize time (join on coarse bucket +
+    neighbor) to avoid the cartesian fallback.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.event_id") != F.col("a.event_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") < F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs_within_1h"))
+        .orderBy("user_id")
+    )
+
+
+@register("approx_distinct")  # rows-only: HLL estimates are engine-specific
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB substitute for
+    exact COUNT DISTINCT (one pass, constant memory, order-insensitive
+    merge). Estimates are engine-specific, so no cross-engine oracle;
+    deterministic for fixed data, and the test bounds relative error vs
+    the exact count."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -177,3 +177,53 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, dim,
+           CAST(SUM(CAST(round(val * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000
+             / COUNT(*) AS centroid_val,
+           COUNT(*) AS n_vectors
+    FROM (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ) u
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (k-means 'update' step / class
+    prototypes), dimension-wise exact mean.
+
+    Determinism: element values are quantized to integer micro-units
+    before summing (SUM(double) is accumulation-order-dependent); the
+    mean divides the exact integer sum in double.
+
+    Scale: posexplode multiplies rows by dim (64×) but each row is
+    (label, dim, micro) — 20 bytes; the groupBy combines map-side. For
+    very high dim, aggregate arrays per-partition with
+    applyInPandas instead.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("val").cast("double") * 1_000_000, 0).cast("bigint").alias("micro"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            (F.sum("micro").cast("double") / 1_000_000 / F.count(F.lit(1))).alias(
+                "centroid_val"
+            ),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )

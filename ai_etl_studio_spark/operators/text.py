@@ -186,3 +186,99 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_docs"))
         .orderBy("fingerprint")
     )
+
+
+@register(
+    "token_topk",
+    oracle=r"""
+    SELECT tok, COUNT(*) AS n
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ) t
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 token frequencies (the vocabulary histogram every
+    corpus pipeline starts with).
+
+    Scale: explode -> groupBy(token) with map-side combine; shuffle
+    carries (token, partial count), not token occurrences. Vocabulary
+    skew ('the') is absorbed by the partial aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tok,
+             tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000000, 0) AS BIGINT)
+               AS score_micro
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, CAST(score_micro AS DOUBLE) / 1000000 AS tfidf, rn
+    FROM (
+      SELECT doc_id, tok, score_micro,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score_micro DESC, tok) AS rn
+      FROM scored
+    ) r
+    WHERE rn <= 3
+    ORDER BY doc_id, rn
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Determinism: idf is quantized to integer micro-units
+    (round(ln(N/df)*1e6)) so the tf*idf ranking is pure int64 arithmetic —
+    a raw double tf*ln() score can differ by an ulp across engines and
+    flip the top-k selection.
+
+    Scale: two shuffles ((doc,tok) tf and (tok) df) + a broadcast-size
+    df table joined back; the window runs over per-doc groups.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # driver-side scalar: one job, reused as a literal
+    idf_micro = F.round(
+        F.log(F.lit(float(n_docs)) / F.col("df")) * 1_000_000, 0
+    ).cast("bigint")
+    scored = tf.join(df, "tok").select(
+        "doc_id", "tok", (F.col("tf") * idf_micro).alias("score_micro")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("score_micro").cast("double") / 1_000_000).alias("tfidf"),
+            "rn",
+        )
+        .orderBy("doc_id", "rn")
+    )
