@@ -1,0 +1,98 @@
+"""Physical-plan regression tests: the plans that make this engine scale
+must not silently regress. Checks run on the plan TREE section only
+(the formatted detail section repeats node names)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_etl_studio_spark.operators import load_all
+from ai_etl_studio_spark.plans.guard import explain_str
+from tests.conftest import SF_DIR
+
+QUERIES, _ = load_all()
+
+
+def tree(spark, name: str) -> str:
+    plan = explain_str(QUERIES[name](spark, SF_DIR), "formatted")
+    return plan.split("\n\n")[0]
+
+
+def full(spark, name: str) -> str:
+    return explain_str(QUERIES[name](spark, SF_DIR), "formatted")
+
+
+class TestPushdown:
+    def test_filters_reach_parquet_scan(self, spark):
+        plan = full(spark, "filter_conjunctive")
+        assert "PushedFilters:" in plan
+        assert "GreaterThan(c_acctbal,1000" in plan
+        assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+    def test_column_pruning(self, spark):
+        plan = full(spark, "projection_alias")
+        # 5 of 11 lineitem columns read
+        assert "l_tax" in plan
+        assert "l_returnflag" not in plan
+
+    def test_date_filter_pushdown(self, spark):
+        plan = full(spark, "agg_pricing_summary")
+        assert "LessThanOrEqual(l_shipdate" in plan
+
+
+class TestJoinStrategy:
+    def test_dims_broadcast_no_fact_shuffle(self, spark):
+        t = tree(spark, "join_4way_dims")
+        assert t.count("BroadcastHashJoin") == 3
+        assert "SortMergeJoin" not in t
+        # only the aggregation + final sort repartition; the fact table
+        # itself never hash-shuffles before the agg
+        assert t.count("Exchange hashpartitioning") <= 1
+
+    def test_bridge_join_broadcasts(self, spark):
+        t = tree(spark, "join_3way_bridge")
+        assert t.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in t
+
+
+class TestTopK:
+    def test_limit_is_take_ordered(self, spark):
+        for name in ("top_products", "orderby_multi_mixed", "filter_conjunctive"):
+            assert "TakeOrderedAndProject" in tree(spark, name), name
+
+    def test_agg_is_partial_then_final(self, spark):
+        t = tree(spark, "agg_pricing_summary")
+        assert t.count("HashAggregate") == 2  # partial + final
+
+
+class TestReadOnlyGuardPlans:
+    @pytest.mark.parametrize(
+        "sql",
+        [
+            "DROP TABLE t",
+            "CREATE TABLE t (a INT)",
+            "CREATE TABLE t AS SELECT 1",
+            "INSERT INTO t VALUES (1)",
+            "DELETE FROM t WHERE 1=1",
+            "UPDATE t SET a=1",
+            "SET spark.x=1",
+            "CACHE TABLE t",
+        ],
+    )
+    def test_commands_rejected(self, spark, sql):
+        from ai_etl_studio_spark.plans.guard import is_read_only_plan
+
+        assert not is_read_only_plan(spark, sql)
+
+    @pytest.mark.parametrize(
+        "sql",
+        [
+            "SELECT 1",
+            "WITH x AS (SELECT 1) SELECT * FROM x",
+            "SELECT * FROM VALUES (1, 2) AS t(a, b)",
+        ],
+    )
+    def test_queries_allowed(self, spark, sql):
+        from ai_etl_studio_spark.plans.guard import is_read_only_plan
+
+        assert is_read_only_plan(spark, sql)
