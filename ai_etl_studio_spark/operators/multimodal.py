@@ -147,3 +147,54 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+FRAME_SCHEMA = "media_id bigint, frame_idx int, byte_offset int, frame_hash string"
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame sampling for video payloads: emit every ``every_n_bytes``-th
+    position as a 'frame' (stub for ffmpeg keyframe extraction — no
+    codecs in this container), up to ``max_frames`` per media item.
+    One input row fans out to N output rows inside the same Arrow batch —
+    the standard decode-fan-out shape.
+    """
+    import hashlib
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "byte_offset": [], "frame_hash": []
+            }
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "video/mp4":
+                    continue
+                for idx in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    off = idx * every_n_bytes
+                    chunk = bytes(payload[off : off + every_n_bytes])
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["byte_offset"].append(off)
+                    out["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(frames, FRAME_SCHEMA)
+
+
+@register("multimodal_frame_sample")  # rows-only: Python-side sampling stub
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling pipeline: media table -> mapInPandas frame
+    fan-out -> per-media frame counts. Deterministic (md5 of payload
+    chunks), stable under the rows-only check."""
+    frames = sample_frames(media_table(spark, sf_dir))
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.max("byte_offset").alias("last_offset"),
+            F.min("frame_hash").alias("min_frame_hash"),
+        )
+        .orderBy("media_id")
+    )

@@ -282,3 +282,56 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rn")
     )
+
+
+@register(
+    "dataset_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM (
+      SELECT doc_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS bucket
+        FROM documents
+      ) b
+    ) s
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/validation/test split via salted
+    content-key hashing — the reproducible alternative to randomSplit()
+    (whose output depends on partitioning). Same doc always lands in the
+    same split, on any cluster, at any scale.
+
+    Scale: narrow, no shuffle until the tiny summary agg; the split
+    column is usually written as a partition column for downstream
+    pruning.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+    )
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )

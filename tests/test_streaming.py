@@ -46,3 +46,44 @@ def test_streaming_plan_is_incremental(spark):
     assert stream.isStreaming
     agg = tumbling_agg(stream)
     assert agg.isStreaming
+
+
+def test_stateful_counter_matches_batch(spark):
+    from ai_etl_studio_spark.streaming.windows import run_stream_stateful_counter
+
+    out = run_stream_stateful_counter(spark, SF_DIR, "t_stateful")
+    # single microbatch -> final state = batch per-user aggregates
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    s = {(r.user_id, r.n_events) for r in out.collect()}
+    b = {(r.user_id, r.n_events) for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+
+def test_session_window_streaming_runs(spark):
+    """session_window works under a real streaming query (append mode
+    with watermark)."""
+    from ai_etl_studio_spark.streaming.windows import read_event_stream
+
+    stream = read_event_stream(spark, SF_DIR).withWatermark("ts", "1 hour")
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_session_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # append mode only emits windows closed by the watermark; with one
+    # microbatch the watermark advances to max(ts)-1h — most sessions close
+    n = spark.table("t_session_stream").count()
+    assert n > 0
