@@ -47,9 +47,11 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every operator module (side effect: registration)."""
     from ai_etl_studio_spark.operators import (  # noqa: F401
         analytics,
+        arrays,
         dedup,
         extended,
         multimodal,
+        quality,
         relational,
         similarity,
         text,

@@ -1,0 +1,304 @@
+"""Training-data pipeline quality / scale operators.
+
+The north-star directive (BASELINE.json) asks for the operations a
+large-scale LLM training-data pipeline needs beyond the reference's
+query surface. This module adds:
+
+- PII redaction (regexp_replace, the e-mail/phone scrub every corpus
+  pass runs) — synthesized PII so the check is non-vacuous;
+- repetition / quality scoring (distinct-token ratio — the classic
+  boilerplate detector);
+- skew-safe two-phase salted aggregation and a salt-replicated join —
+  the 100 TB answer to hot keys, oracle-checked against their
+  unsalted equivalents (same result, skew-proof plan);
+- near-duplicate CLUSTER formation (connected components by iterative
+  min-label propagation over the MinHash-LSH pair graph) — turning
+  pairs into keep/drop decisions, which is what a dedup pass actually
+  ships. Iterative => rows-only check (SURVEY §7 'what's hard' #4).
+
+Reference tie-in: the reference has no data-cleaning surface at all
+(SURVEY §2A — its pipeline ops are catalog/sanitize/execute only), so
+these are extensions, cited as such.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_etl_studio_spark.catalog import load_table
+from ai_etl_studio_spark.functions.exact import cents
+from ai_etl_studio_spark.operators import register
+
+N_SALTS = 8
+PII_ID_CAP = 500
+
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents WHERE doc_id < {PII_ID_CAP}
+    )
+    SELECT doc_id,
+           length(text) - length(
+             regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g')) AS chars_removed,
+           CAST(length(regexp_replace(text, '{_EMAIL_RE}', '', 'g')) < length(text)
+                AS BOOLEAN) AS had_email,
+           CAST(length(regexp_replace(text, '{_PHONE_RE}', '', 'g')) < length(text)
+                AS BOOLEAN) AS had_phone
+    FROM synth
+    ORDER BY doc_id
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: regexp_replace e-mail + phone patterns with typed
+    placeholders. The corpus is synthetic (no real PII), so the PII is
+    injected deterministically per doc first — the redaction math
+    (chars removed, per-pattern hit flags) is then non-vacuous.
+
+    Scale: narrow, codegen'd, no shuffle; in production this is a
+    mapInPandas stage only when the patterns need an NER model.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < PII_ID_CAP)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(synth, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        d.select("doc_id", synth.alias("text"))
+        .select(
+            "doc_id",
+            (F.length("text") - F.length(
+                F.regexp_replace(
+                    F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+                    _PHONE_RE,
+                    "<PHONE>",
+                )
+            )).alias("chars_removed"),
+            (
+                F.length(F.regexp_replace("text", _EMAIL_RE, "")) < F.length("text")
+            ).alias("had_email"),
+            (
+                F.length(F.regexp_replace("text", _PHONE_RE, "")) < F.length("text")
+            ).alias("had_phone"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "repetition_quality",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS distinct_ratio,
+           CAST(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')) < 0.3 AS BOOLEAN) AS is_repetitive
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter: distinct-token ratio per document — low ratio
+    flags boilerplate/spam (the standard corpus-quality gate next to
+    text_quality's length/punct heuristics).
+
+    Scale: narrow per-row array ops; the flag usually becomes a
+    partition-pruning column for the keep-set write.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.round(ratio, 4).alias("distinct_ratio"),
+            (ratio < 0.3).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "salted_agg",
+    oracle="""
+    SELECT l_suppkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS revenue
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: groupBy(key, salt) partial →
+    groupBy(key) final. The oracle is the PLAIN single-phase GROUP BY —
+    proving the salted plan computes the identical result.
+
+    Scale: when one key owns 20% of 100 TB, single-phase hash agg puts
+    20 TB through one reducer. Salting bounds any reducer's share to
+    1/N_SALTS of the hot key. (Spark's partial aggregation already
+    map-side-combines; explicit salting additionally splits the FINAL
+    aggregation of the hot key, which partial-agg alone cannot.)
+    The cents discipline makes the two accumulation orders bit-identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    salt = (F.col("l_orderkey") % N_SALTS).alias("salt")
+    partial = (
+        li.select("l_suppkey", salt, "l_extendedprice")
+        .groupBy("l_suppkey", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(cents("l_extendedprice")).alias("pcents"),
+        )
+    )
+    return (
+        partial.groupBy("l_suppkey")
+        .agg(
+            F.sum("pn").alias("n_items"),
+            (F.sum("pcents").cast("double") / 100).alias("revenue"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+@register(
+    "skew_join_salted",
+    oracle="""
+    SELECT s_name,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY s_name
+    """,
+)
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicated join: the small side is exploded ×N_SALTS, the
+    big side picks a deterministic salt, and the join key becomes
+    (key, salt) — so a hot key's rows spread over N_SALTS reducers.
+    Oracle = the plain unsalted join, proving result equivalence.
+
+    Scale: this is the manual form of AQE's skew-join split, needed when
+    the skew is known ahead of time (fact-to-dim joins on hot entities)
+    or the engine's threshold heuristics miss it. The replicated side
+    grows ×N_SALTS — only ever salt the SMALL side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    s_rep = s.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    )
+    li_s = li.withColumn("salt", (F.col("l_orderkey") % N_SALTS).cast("int"))
+    return (
+        li_s.join(
+            F.broadcast(s_rep),
+            (li_s.l_suppkey == s_rep.s_suppkey) & (li_s.salt == s_rep.salt),
+        )
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(cents("l_extendedprice")).cast("double") / 100).alias("revenue"),
+        )
+        .orderBy("s_name")
+    )
+
+
+@register("dedup_clusters")  # rows-only: iterative (SURVEY §7 hard-point 4)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster formation: connected components over the
+    MinHash-LSH candidate-pair graph via iterative min-label
+    propagation, then a per-cluster summary (canonical doc = min id —
+    the keep/drop decision a dedup pass actually emits).
+
+    Algorithm: labels start as each node's own id; each round every
+    node takes min(own, neighbors' labels); converged when no label
+    changes. Rounds ≤ graph diameter ≤ log₂(n) for LSH graphs in
+    practice; each round is one shuffle (join + groupBy-min).
+
+    Scale: this is the standard Spark connected-components shape
+    (large-star/small-star simplification); per-round checkpointing
+    breaks lineage growth on big graphs.
+    """
+    from ai_etl_studio_spark.operators import QUERIES
+
+    pairs = (
+        QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir)
+        .select(
+            F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+        )
+    )
+    # Undirected edges both ways; localCheckpoint materializes and
+    # TRUNCATES LINEAGE — without it round k replays rounds 1..k-1
+    # (O(k²) work) and the convergence check replays the whole chain.
+    edges = (
+        pairs.union(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(16, "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(12):  # diameter bound for sf<=0.1 LSH graphs
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, "node")
+            .filter(F.col("new") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("node").alias("canonical_doc"),
+            F.max("node").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("cluster_id")
+    )

@@ -227,3 +227,123 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+N_CENTROIDS = 16
+NPROBE = 4
+
+_COS_VC = (
+    "list_inner_product(emb, cemb) / "
+    "(sqrt(list_inner_product(emb, emb)) * sqrt(list_inner_product(cemb, cemb)))"
+)
+_COS_QN = (
+    "list_inner_product(q_emb, n_emb) / "
+    "(sqrt(list_inner_product(q_emb, q_emb)) * sqrt(list_inner_product(n_emb, n_emb)))"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS cemb FROM v
+          WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT v.vec_id, c.centroid_id, {_COS_VC} AS cos_c
+      FROM v CROSS JOIN c
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_c DESC, centroid_id) AS crn
+        FROM scored) s
+      WHERE crn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_c DESC, centroid_id) AS crn
+        FROM scored WHERE vec_id < {N_QUERIES}) s
+      WHERE crn <= {NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, q.emb AS q_emb, n.emb AS n_emb
+      FROM probes p
+      JOIN assign a ON a.centroid_id = p.centroid_id
+      JOIN v q ON q.vec_id = p.query_id
+      JOIN v n ON n.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+      SELECT query_id, neighbor_id, ROUND({_COS_QN}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {_COS_QN} DESC, neighbor_id) AS rn
+      FROM cand) ranked
+    WHERE rn <= {TOPK}
+    ORDER BY query_id, rn
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into {N_CENTROIDS}
+    inverted lists (nearest centroid by cosine), then answer each query
+    by scanning only its {NPROBE} nearest lists — the scale path next to
+    ann_cosine_topk's exact brute force.
+
+    Centroid seeds are the first {N_CENTROIDS} vectors (deterministic —
+    production swaps in k-means means; the plan shape is identical).
+
+    Scale: assignment is ONE narrow pass (corpus × broadcast centroids,
+    argmax via window over {N_CENTROIDS} candidates per vector). At
+    100 TB the assigned corpus is WRITTEN bucketed/partitioned by
+    centroid_id, so each query's probe join prunes to nprobe/K of the
+    data (~{NPROBE}/{N_CENTROIDS} here) instead of a full scan; the
+    probe side is tiny and broadcasts.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "cos_c", cosine(F.col("emb"), F.col("cemb"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id")
+    )
+    assign = (
+        scored.withColumn("crn", F.row_number().over(w_assign))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "centroid_id", "emb")
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("crn", F.row_number().over(w_assign))
+        .filter(F.col("crn") <= NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            F.col("emb").alias("q_emb"),
+        )
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_qn", cosine(F.col("q_emb"), F.col("emb")))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_qn"), F.asc("vec_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_qn", 6).alias("cos_sim"),
+            "rn",
+        )
+        .orderBy("query_id", "rn")
+    )
