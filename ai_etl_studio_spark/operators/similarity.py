@@ -294,12 +294,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroid seeds are the first {N_CENTROIDS} vectors (deterministic —
     production swaps in k-means means; the plan shape is identical).
 
-    Scale: assignment is ONE narrow pass (corpus × broadcast centroids,
-    argmax via window over {N_CENTROIDS} candidates per vector). At
-    100 TB the assigned corpus is WRITTEN bucketed/partitioned by
-    centroid_id, so each query's probe join prunes to nprobe/K of the
-    data (~{NPROBE}/{N_CENTROIDS} here) instead of a full scan; the
-    probe side is tiny and broadcasts.
+    Scale: assignment is corpus × broadcast-centroids scoring followed
+    by a groupBy(vec_id) max_by argmax — the K candidate rows for a
+    vector are born in the same partition, so partial aggregation
+    combines them 16→1 MAP-SIDE and the shuffle carries exactly one row
+    per vector (no window sort). For extreme scale, centroids being
+    model parameters can instead be inlined as literal arrays for a
+    fully shuffle-free per-row argmax (trade: very large codegen
+    expressions — slower to plan, so not the default here). At 100 TB
+    the assigned corpus is WRITTEN bucketed/partitioned by centroid_id,
+    so each query's probe join prunes to nprobe/K of the data
+    (~{NPROBE}/{N_CENTROIDS} here) instead of a full scan; the probe
+    side is tiny and broadcasts.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("emb")
@@ -310,17 +316,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.crossJoin(F.broadcast(cent)).withColumn(
         "cos_c", cosine(F.col("emb"), F.col("cemb"))
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_c"), F.asc("centroid_id")
-    )
+    # argmax by (cos desc, centroid_id asc): map-side combine -> 1 row/vector
+    order_key = F.struct(F.col("cos_c"), (-F.col("centroid_id")).alias("negid"))
     assign = (
-        scored.withColumn("crn", F.row_number().over(w_assign))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "centroid_id", "emb")
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("centroid_id"), F.col("emb")), order_key
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.centroid_id").alias("centroid_id"),
+                F.col("best.emb").alias("emb"))
+    )
+    # probe ranking runs only on the |Q| query vectors (tiny window)
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id")
     )
     probes = (
         scored.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("crn", F.row_number().over(w_assign))
+        .withColumn("crn", F.row_number().over(w_probe))
         .filter(F.col("crn") <= NPROBE)
         .select(
             F.col("vec_id").alias("query_id"),

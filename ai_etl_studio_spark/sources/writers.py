@@ -40,3 +40,26 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (hash-bucketed by ``bucket_cols`` into
+    ``buckets`` files per partition, optionally sorted within buckets).
+
+    The 100 TB co-location primitive: two tables bucketed on their join
+    key with the same bucket count join WITHOUT a shuffle (no Exchange
+    in the plan — see tests/test_plans.py), and bucket+sort enables
+    merge-join without a sort step. Pay the shuffle once at write time,
+    never again per query.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -332,3 +332,77 @@ def run_stream_stateful_counter(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + tumbling rollup per segment.
+
+    Works identically on batch and streaming ``events``: Spark re-plans
+    the static side per microbatch and BROADCASTS it under the join —
+    the standard streaming-dimension pattern (no state, unlike
+    stream-stream joins)."""
+    return (
+        events.join(
+            F.broadcast(customers.select("c_custkey", "c_mktsegment")),
+            events.user_id == F.col("c_custkey"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_static_join_batch_twin",
+    oracle="""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + to_seconds(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600)
+             AS window_start,
+           c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY window_start, c_mktsegment
+    ORDER BY window_start, c_mktsegment
+    """,
+)
+def stream_static_join_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join (events ⋈
+    customer dim → hourly per-segment rollup).
+
+    Scale: the dim side broadcasts (no shuffle of the 100 TB fact/event
+    stream); in streaming mode the broadcast refreshes per microbatch so
+    dim updates are picked up without restarts."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return enrich_with_customers(e, c).orderBy("window_start", "c_mktsegment")
+
+
+def run_stream_static_join(
+    spark: SparkSession, sf_dir: str, query_name: str = "enrich_out"
+) -> DataFrame:
+    """Run the enrichment join as a real streaming query (memory sink,
+    drained synchronously) and return the sink table."""
+    stream = read_event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    c = load_table(spark, sf_dir, "customer")
+    out = enrich_with_customers(stream, c)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -39,6 +39,14 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "text_quality",
     "ann_cosine_topk",
+    # scale-path operators
+    "ann_ivf_topk",
+    "salted_agg",
+    "skew_join_salted",
+    "repetition_quality",
+    "pii_redact",
+    "grouping_sets_agg",
+    "stream_static_join_batch_twin",
 ]
 
 

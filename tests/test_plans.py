@@ -96,3 +96,40 @@ class TestReadOnlyGuardPlans:
         from ai_etl_studio_spark.plans.guard import is_read_only_plan
 
         assert is_read_only_plan(spark, sql)
+
+
+class TestBucketing:
+    def test_bucketed_join_has_no_shuffle(self, spark, tmp_path):
+        """Two tables bucketed on the join key with equal bucket counts
+        must sort-merge-join with ZERO Exchange before the join — the
+        pay-the-shuffle-once-at-write-time contract of write_bucketed."""
+        from pyspark.sql import functions as F
+
+        from ai_etl_studio_spark.catalog import load_table
+        from ai_etl_studio_spark.sources.writers import write_bucketed
+
+        for t in ("tb_lineitem", "tb_orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        write_bucketed(
+            load_table(spark, SF_DIR, "lineitem"), "tb_lineitem", 8, ["l_orderkey"]
+        )
+        write_bucketed(
+            load_table(spark, SF_DIR, "orders"), "tb_orders", 8, ["o_orderkey"]
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("tb_lineitem").join(
+                spark.table("tb_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert plan.count("Bucketed: true") == 2
+            # and the join result is right
+            assert j.count() == load_table(spark, SF_DIR, "lineitem").count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            for t in ("tb_lineitem", "tb_orders"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")

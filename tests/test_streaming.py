@@ -87,3 +87,17 @@ def test_session_window_streaming_runs(spark):
     # microbatch the watermark advances to max(ts)-1h — most sessions close
     n = spark.table("t_session_stream").count()
     assert n > 0
+
+
+def test_stream_static_join_matches_batch_twin(spark):
+    from ai_etl_studio_spark.streaming.windows import (
+        run_stream_static_join,
+        stream_static_join_batch_twin,
+    )
+
+    out = run_stream_static_join(spark, SF_DIR, "t_enrich")
+    batch = stream_static_join_batch_twin(spark, SF_DIR)
+    s = sorted(map(str, out.collect()))
+    b = sorted(map(str, batch.collect()))
+    assert s == b
+    assert len(s) > 0
