@@ -112,3 +112,23 @@ def render_schema_for_prompt(snapshot: dict[str, list[tuple[str, str]]]) -> str:
         cols = ", ".join(f"{c} {t}" for c, t in snapshot[table])
         lines.append(f'TABLE "{table}" (columns: {cols})')
     return "\n".join(lines)
+
+
+def render_schema_browser(
+    snapshot: dict[str, list[tuple[str, str]]], selected_table: str | None = None
+) -> str:
+    """Headless twin of the reference's schema browser (A18,
+    ui_components.py:143-199): a table list with the selected table's
+    columns expanded as chips. Presentation-only — backed by the same
+    snapshot as the prompt render; no dataflow semantics."""
+    tables = sorted(snapshot)
+    if selected_table is None and tables:
+        selected_table = tables[0]
+    lines = [f"Tables ({len(tables)}):"]
+    for t in tables:
+        marker = "▸" if t == selected_table else " "
+        lines.append(f" {marker} {t} ({len(snapshot[t])} columns)")
+    if selected_table in snapshot:
+        chips = "  ".join(f"[{c}: {ty}]" for c, ty in snapshot[selected_table])
+        lines.append(f"Columns of {selected_table}: {chips}")
+    return "\n".join(lines)
