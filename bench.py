@@ -62,8 +62,22 @@ def main() -> None:
     spark = get_spark(app_name="ai-etl-studio-spark-bench")
     queries, _ = load_all()
 
-    # warm the JVM + parquet footers outside the timed region
+    # Warm outside the timed region: parquet footers, then one pass of
+    # every headline query at the smallest SF so codegen/JIT compilation
+    # (2-3x the steady-state cost on first run) isn't attributed to the
+    # engine. The timed region below measures throughput, not warmup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(
+        sf_dir
+    ):
+        for name in HEADLINE:
+            try:
+                queries[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # warmup must never fail the bench
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
