@@ -348,3 +348,102 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "window_offsets",
+    oracle="""
+    SELECT user_id, event_id,
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+           NTH_VALUE(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_type
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window functions — LAG/LEAD/FIRST/LAST/NTH_VALUE over the
+    per-user event timeline (funnel/attribution building blocks).
+
+    Frames: LAG/LEAD/FIRST_VALUE use the default running frame (both
+    engines: RANGE UNBOUNDED PRECEDING..CURRENT ROW); LAST/NTH need the
+    explicit full frame or they degenerate to 'current row'.
+
+    Scale: one shuffle on user_id serves all seven functions (same
+    window spec) — Catalyst computes them in a single Window exec.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(wf).alias("last_type"),
+            F.nth_value("event_type", 2).over(wf).alias("second_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "stats_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(stddev_samp(value), 6) AS sd_value,
+           ROUND(var_samp(value), 6) AS var_value,
+           ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user,
+           ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_value_user,
+           ROUND(skewness(value), 6) AS skew_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — stddev/variance/correlation/covariance/
+    skewness per event type (profiling pass of any feature pipeline).
+
+    Both engines use numerically-stable one-pass (Welford-style) merge
+    formulas, so 6dp rounding absorbs the accumulation-order noise.
+    Definitional drift: Spark's ``skewness`` is the population form
+    (g1 = m3/m2^1.5) while DuckDB returns the bias-corrected sample
+    form (G1 = g1·sqrt(n(n-1))/(n-2)); the Spark side applies the
+    correction explicitly so both report G1.
+
+    Scale: all are algebraic aggregates (constant-size partial state:
+    n, mean, M2, M3, co-moments) — partial→final merge, shuffle carries
+    5 groups × ~6 doubles.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+            F.round(F.var_samp("value"), 6).alias("var_value"),
+            F.round(F.corr(F.col("value"), u), 6).alias("corr_value_user"),
+            F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_value_user"),
+            F.round(
+                F.skewness("value")
+                * F.sqrt(
+                    F.count(F.lit(1)).cast("double")
+                    * (F.count(F.lit(1)) - 1).cast("double")
+                )
+                / (F.count(F.lit(1)) - 2).cast("double"),
+                6,
+            ).alias("skew_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -406,3 +406,95 @@ def run_stream_static_join(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """All (click, purchase) pairs per user with the purchase at most
+    30 min after the click — the stream-stream interval-join shape
+    (equi-key on user_id + event-time range predicate). Works on batch
+    or streaming inputs; streaming requires watermarks on BOTH sides so
+    Spark can bound join state (clicks older than watermark+30min are
+    evicted)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        # µs diff then floor-div: sub-second ts components make
+        # per-timestamp second-truncation (unix_timestamp) off by one
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+
+
+@register(
+    "interval_join_events",
+    oracle="""
+    SELECT c.user_id AS user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) // 1000000 AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ORDER BY c.user_id, click_id, purchase_id
+    """,
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: every purchase
+    within 30 min of a same-user click (attribution primitive).
+
+    Scale: equi-key (user_id) + time-range condition → SMJ keyed on
+    user_id with the range as a post-join predicate; in streaming mode
+    the same plan becomes a symmetric-hash join whose state the two
+    watermarks bound. Never run a stream-stream join without watermarks
+    on both sides — state grows with the full history otherwise."""
+    e = load_table(spark, sf_dir, "events")
+    return click_purchase_pairs(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    ).orderBy("user_id", "click_id", "purchase_id")
+
+
+def run_stream_stream_join(
+    spark: SparkSession, sf_dir: str, query_name: str = "ssjoin_out"
+) -> DataFrame:
+    """Run the interval join as a real stream-stream join: both sides
+    watermarked, append mode (the only mode stream-stream inner joins
+    support), memory sink, drained synchronously."""
+    s1 = read_event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).withWatermark("ts", "1 hour")
+    s2 = read_event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).withWatermark("ts", "1 hour")
+    out = click_purchase_pairs(s1, s2)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

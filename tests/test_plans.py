@@ -133,3 +133,25 @@ class TestBucketing:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             for t in ("tb_lineitem", "tb_orders"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_partitioned_write_prunes_on_read(self, spark, tmp_path):
+        """write_parquet(partition_by=...) must enable partition pruning:
+        a filter on the partition column shows up as PartitionFilters on
+        the scan, not a post-scan Filter over all partitions."""
+        from pyspark.sql import functions as F
+
+        from ai_etl_studio_spark.catalog import load_table
+        from ai_etl_studio_spark.sources.writers import write_parquet
+
+        path = str(tmp_path / "events_by_type")
+        write_parquet(
+            load_table(spark, SF_DIR, "events"), path, partition_by=["event_type"]
+        )
+        df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+        n_click = df.count()
+        assert n_click == load_table(spark, SF_DIR, "events").filter(
+            F.col("event_type") == "click"
+        ).count()

@@ -101,3 +101,17 @@ def test_stream_static_join_matches_batch_twin(spark):
     b = sorted(map(str, batch.collect()))
     assert s == b
     assert len(s) > 0
+
+
+def test_stream_stream_join_matches_batch_twin(spark):
+    from ai_etl_studio_spark.streaming.windows import (
+        interval_join_events,
+        run_stream_stream_join,
+    )
+
+    out = run_stream_stream_join(spark, SF_DIR, "t_ssjoin")
+    batch = interval_join_events(spark, SF_DIR)
+    s = sorted(map(str, out.select("user_id", "click_id", "purchase_id", "gap_s").collect()))
+    b = sorted(map(str, batch.collect()))
+    assert s == b
+    assert len(s) > 0
