@@ -447,3 +447,161 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "gap_fill_daily",
+    oracle="""
+    WITH b AS (SELECT CAST(min(ts) AS DATE) AS dmin, CAST(max(ts) AS DATE) AS dmax
+               FROM events),
+    days AS (SELECT CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE)
+                    AS day FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt,
+             SUM(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d.day, t.event_type,
+           COALESCE(daily.cnt, 0) AS n_events,
+           CAST(COALESCE(daily.cents, 0) AS DOUBLE) / 100 AS sum_value
+    FROM days d CROSS JOIN types t
+    LEFT JOIN daily ON daily.day = d.day AND daily.event_type = t.event_type
+    ORDER BY d.day, t.event_type
+    """,
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filled daily rollup: a dense (day ×
+    event_type) grid with zero-filled missing cells — timeseries
+    dashboards and training-data stats need the dense form
+    (time_bucket_gapfill in timeseries DBs).
+
+    Scale: the grid is generated (sequence+explode: #days × #types
+    rows — tiny) and the LEFT side of the join, so the fact table
+    aggregates FIRST (shuffle carries #groups) and the dense grid joins
+    against the small aggregate, never the raw events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("dmin"), F.max(F.to_date("ts")).alias("dmax")
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("dmin", "dmax", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(cents("value")).alias("cents_sum"),
+        )
+    )
+    return (
+        days.crossJoin(types)
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("cnt", F.lit(0)).alias("n_events"),
+            (F.coalesce("cents_sum", F.lit(0)).cast("double") / 100).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "histogram_bins",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 10) AS BIGINT) * 10 AS bin,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width-10 value bins) per event type —
+    the profiling/data-quality staple.
+
+    Scale: binning is a narrow projection; the agg shuffles only
+    (#types × #bins) groups. COUNT(DISTINCT) expands to a two-phase
+    partial-distinct plan automatically.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bin_col = (F.floor(F.col("value") / 10) * 10).cast("bigint")
+    return (
+        e.groupBy("event_type", bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+@register(
+    "median_mode",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type, CAST(floor(value / 10) AS BIGINT) * 10 AS bin, value
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2
+    ),
+    modal AS (
+      SELECT event_type, bin AS modal_bin FROM (
+        SELECT event_type, bin,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, bin) AS rn
+        FROM counts) r
+      WHERE rn = 1
+    )
+    SELECT b.event_type,
+           ROUND(median(b.value), 6) AS median_value,
+           any_value(m.modal_bin) AS modal_bin
+    FROM binned b JOIN modal m ON b.event_type = m.event_type
+    GROUP BY b.event_type
+    ORDER BY b.event_type
+    """,
+)
+def median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + deterministic mode (modal width-10 bin,
+    ties -> smallest bin) per event type.
+
+    Mode is computed explicitly (count + argmax) rather than with the
+    engines' mode() — whose tie-breaking is implementation-defined and
+    would flake the cross-engine hash.
+
+    Scale: exact median requires a per-group sort of values (Spark
+    plans percentile(0.5) as a sort-based aggregate); at 100 TB prefer
+    percentile_approx (see percentile_exact's docstring for the
+    trade).
+    """
+    e = load_table(spark, sf_dir, "events")
+    bin_col = (F.floor(F.col("value") / 10) * 10).cast("bigint")
+    binned = e.select("event_type", bin_col.alias("bin"), "value")
+    counts = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    modal = (
+        counts.groupBy("event_type")
+        .agg(
+            F.max(
+                F.struct(F.col("cnt"), (-F.col("bin")).alias("negbin"))
+            ).alias("best")
+        )
+        .select("event_type", (-F.col("best.negbin")).alias("modal_bin"))
+    )
+    med = binned.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("median_value")
+    )
+    return (
+        med.join(F.broadcast(modal), "event_type")
+        .select("event_type", "median_value", "modal_bin")
+        .orderBy("event_type")
+    )
