@@ -302,3 +302,75 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("cluster_id")
     )
+
+
+DECON_N = 8  # contamination n-gram width (industry range 8-13)
+
+
+@register(
+    "decontaminate_ngrams",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(
+               [md5(array_to_string(toks[i:i+{DECON_N - 1}], ' '))
+                for i in range(1, len(toks) - {DECON_N} + 2)])) AS h
+      FROM (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks
+            FROM documents) t
+      WHERE len(toks) >= {DECON_N}
+    ),
+    bench AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+    cand AS (SELECT DISTINCT doc_id, source FROM sh WHERE source <> 'src0'),
+    cont AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (h)
+      WHERE s.source <> 'src0'
+    )
+    SELECT c.source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS n_contaminated
+    FROM cand c LEFT JOIN cont ON c.doc_id = cont.doc_id
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: flag training docs sharing any
+    {DECON_N}-gram with the benchmark set (here: source='src0' plays
+    the held-out benchmark). The standard pre-training hygiene pass —
+    a doc that contains an eval question verbatim inflates scores.
+
+    Scale: shingles are md5-hashed BEFORE the join (16-byte keys, never
+    text); the benchmark side is tiny after distinct → broadcast
+    LEFT SEMI join, so the corpus-side shingle stream never shuffles.
+    The per-source rollup shuffles #docs rows of (source, flag).
+    """
+    from ai_etl_studio_spark.functions.texthash import tokens, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", "source", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= DECON_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles(F.col("toks"), DECON_N)).alias("shingle"),
+        )
+        .select("doc_id", "source", F.md5("shingle").alias("h"))
+    )
+    bench = sh.filter(F.col("source") == "src0").select("h").distinct()
+    cand = sh.filter(F.col("source") != "src0")
+    contaminated = (
+        cand.join(F.broadcast(bench), "h", "left_semi").select("doc_id").distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    docs = cand.select("doc_id", "source").distinct()
+    return (
+        docs.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_cont", F.lit(0))).alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )

@@ -47,6 +47,9 @@ HEADLINE = [
     "pii_redact",
     "grouping_sets_agg",
     "stream_static_join_batch_twin",
+    "decontaminate_ngrams",
+    "interval_join_events",
+    "gap_fill_daily",
 ]
 
 

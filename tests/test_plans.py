@@ -155,3 +155,21 @@ class TestBucketing:
         assert n_click == load_table(spark, SF_DIR, "events").filter(
             F.col("event_type") == "click"
         ).count()
+
+    def test_compact_parquet_reduces_files(self, spark, tmp_path):
+        """Compaction must cut the file count to ceil(bytes/target) and
+        preserve every row."""
+        from ai_etl_studio_spark.catalog import load_table
+        from ai_etl_studio_spark.sources.writers import compact_parquet
+
+        src = str(tmp_path / "fragmented")
+        dst = str(tmp_path / "compacted")
+        events = load_table(spark, SF_DIR, "events")
+        events.repartition(40).write.parquet(src)
+        n_in = len(spark.read.parquet(src).inputFiles())
+        assert n_in >= 40
+        compact_parquet(spark, src, dst, target_file_mb=128)
+        n_out = len(spark.read.parquet(dst).inputFiles())
+        assert n_out < n_in
+        assert n_out <= 2  # sf0.001 events ≪ 128 MB -> 1 file (+_SUCCESS aside)
+        assert spark.read.parquet(dst).count() == events.count()
