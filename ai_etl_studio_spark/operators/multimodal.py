@@ -198,3 +198,70 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+SEGMENT_SCHEMA = (
+    "media_id bigint, seg_idx int, seg_start int, seg_len int, seg_hash string"
+)
+
+
+def chunk_audio(
+    df: DataFrame, seg_bytes: int = 48, hop_bytes: int = 32, max_segs: int = 16
+) -> DataFrame:
+    """Overlapping audio segmentation: fixed-size windows every
+    ``hop_bytes`` (hop < window ⇒ overlap, the ASR/feature-extraction
+    framing). Stub for a real sample-accurate segmenter (no audio codecs
+    in this container) — the fan-out shape, batch iteration, and
+    deterministic hashing are the real plumbing.
+    """
+    import hashlib
+
+    def segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "seg_idx": [], "seg_start": [],
+                "seg_len": [], "seg_hash": [],
+            }
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "audio/wav":
+                    continue
+                n = len(payload)
+                idx = 0
+                for start in range(0, max(1, n - seg_bytes + 1), hop_bytes):
+                    if idx >= max_segs:
+                        break
+                    chunk = bytes(payload[start : start + seg_bytes])
+                    out["media_id"].append(mid)
+                    out["seg_idx"].append(idx)
+                    out["seg_start"].append(start)
+                    out["seg_len"].append(len(chunk))
+                    out["seg_hash"].append(hashlib.md5(chunk).hexdigest())
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(segs, SEGMENT_SCHEMA)
+
+
+@register("multimodal_audio_segments")  # rows-only: Python-side framing stub
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation pipeline: media table -> overlapping-window
+    fan-out (mapInPandas) -> per-media segment stats. Deterministic.
+
+    Scale: like frame sampling, the binary payload is read once per
+    partition inside an Arrow batch and never shuffled — only the
+    (media_id, seg meta) rows move; segments that feed a model go
+    straight into the inference UDF in the same stage.
+    """
+    segs = chunk_audio(media_table(spark, sf_dir))
+    return (
+        segs.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.max("seg_start").alias("last_start"),
+            F.sum("seg_len").alias("bytes_covered"),
+            F.min("seg_hash").alias("min_seg_hash"),
+        )
+        .orderBy("media_id")
+    )

@@ -173,3 +173,24 @@ class TestBucketing:
         assert n_out < n_in
         assert n_out <= 2  # sf0.001 events ≪ 128 MB -> 1 file (+_SUCCESS aside)
         assert spark.read.parquet(dst).count() == events.count()
+
+    def test_csv_json_round_trip(self, spark, tmp_path):
+        """CSV and JSON sinks/readers preserve rows and schema (explicit
+        schema supplied — inferSchema is an extra full pass at scale)."""
+        from ai_etl_studio_spark.catalog import load_table
+        from ai_etl_studio_spark.sources.readers import read_csv, read_json
+        from ai_etl_studio_spark.sources.writers import write_csv
+
+        nation = load_table(spark, SF_DIR, "nation")
+        schema = "n_nationkey bigint, n_name string, n_regionkey bigint"
+        sel = nation.select("n_nationkey", "n_name", "n_regionkey")
+
+        csv_path = str(tmp_path / "nation_csv")
+        write_csv(sel, csv_path)
+        back = read_csv(spark, csv_path, schema)
+        assert sorted(map(str, back.collect())) == sorted(map(str, sel.collect()))
+
+        json_path = str(tmp_path / "nation_json")
+        sel.write.mode("overwrite").json(json_path)
+        back_j = read_json(spark, json_path, schema)
+        assert sorted(map(str, back_j.collect())) == sorted(map(str, sel.collect()))
