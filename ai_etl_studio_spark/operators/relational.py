@@ -685,3 +685,33 @@ def dup_col_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     renamed = dedupe_column_names(joined)
     return renamed.orderBy("c_name", "c_name_1").limit(100)
+
+
+@register(
+    "nl2sql_end_to_end",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({NET}) AS DOUBLE) / 100 AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY revenue DESC, n_name LIMIT 100
+    """,
+)
+def nl2sql_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE reference pipeline as one driver-visible query:
+    natural-language question -> deterministic generator (A5's template
+    backend) -> sanitize (A6-A9) -> read-only gate -> spark.sql ->
+    presentation (A11-A14). The oracle is the SQL the template emits —
+    proving the whole lifecycle, not just the final plan.
+
+    Scale: generation/sanitation are O(1) driver work; everything that
+    touches data is the same Catalyst plan as revenue-by-nation run
+    directly.
+    """
+    from ai_etl_studio_spark.catalog import register_tables
+    from ai_etl_studio_spark.sqlgen.generator import TemplateGenerator, generate_and_run
+
+    register_tables(spark, sf_dir)
+    result = generate_and_run(
+        spark, TemplateGenerator(), "What is the revenue by nation?"
+    )
+    return result.presentation(spark)

@@ -498,3 +498,36 @@ def run_stream_stream_join(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_to_parquet(
+    spark: SparkSession, sf_dir: str, out_path: str, checkpoint_path: str
+) -> int:
+    """Production sink shape: stream -> foreachBatch -> idempotent
+    parquet append, exactly-once via the checkpoint (microbatch id is
+    recorded; a replayed batch overwrites its own output).
+
+    foreachBatch is the extension seam for sinks Spark lacks (JDBC
+    upsert, Delta merge, search-index push): each microbatch arrives as
+    a regular DataFrame with full batch-API access. Returns the number
+    of microbatches processed.
+    """
+    stream = read_event_stream(spark, sf_dir)
+    seen: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return len(seen)

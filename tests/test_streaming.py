@@ -115,3 +115,19 @@ def test_stream_stream_join_matches_batch_twin(spark):
     b = sorted(map(str, batch.collect()))
     assert s == b
     assert len(s) > 0
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    from ai_etl_studio_spark.streaming.windows import run_stream_to_parquet
+
+    out = str(tmp_path / "events_out")
+    ckpt = str(tmp_path / "ckpt")
+    n_batches = run_stream_to_parquet(spark, SF_DIR, out, ckpt)
+    assert n_batches >= 1
+    got = spark.read.parquet(out)
+    want = load_table(spark, SF_DIR, "events")
+    assert got.count() == want.count()
+    assert set(got.columns) == set(want.columns) | {"batch_id"}
+    # restart with the same checkpoint: no new data -> no duplicate rows
+    n2 = run_stream_to_parquet(spark, SF_DIR, out, ckpt)
+    assert spark.read.parquet(out).count() == want.count()
