@@ -605,3 +605,280 @@ def median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "median_value", "modal_bin")
         .orderBy("event_type")
     )
+
+
+@register(
+    "incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a BASE aggregate
+    (events with event_id % 10 != 0, standing in for yesterday's
+    materialized rollup) merged with a DELTA aggregate (the remaining
+    events — today's increment) by summing partial states. The oracle
+    is the FULL recompute — proving increment+merge ≡ recompute.
+
+    Works because count/sum are commutative monoids over the integer-
+    cents representation; avg/percentiles need their decomposed states
+    (sum+count / sketches) maintained instead.
+
+    Scale: THE pattern for 100 TB rollups — the daily job aggregates
+    only the new partition and merges states, never rescanning history.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("pn"), F.sum(cents("value")).alias("pcents")
+        )
+
+    base = agg(e.filter(F.col("event_id") % 10 != 0))
+    delta = agg(e.filter(F.col("event_id") % 10 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            (F.sum("pcents").cast("double") / 100).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "scd2_dim_build",
+    oracle="""
+    SELECT user_id, event_type AS attr_value, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL AS BOOLEAN) AS is_current
+    FROM events
+    WHERE user_id < 20 AND event_type IN ('signup', 'purchase')
+    ORDER BY user_id, valid_from, attr_value
+    """,
+)
+def scd2_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build: each attribute change
+    event becomes a validity interval [valid_from, valid_to) via LEAD,
+    open-ended (is_current) for the latest — the standard
+    change-log → point-in-time-joinable dimension transform.
+
+    Scale: one shuffle on the entity key serves the LEAD window; the
+    result is written partitioned by is_current so point-in-time joins
+    prune to current rows. The as-of join (asof_join) is this table's
+    query-side twin.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 20)
+        & F.col("event_type").isin("signup", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("attr_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "valid_from", "attr_value")
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    c2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    p3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN c2 ON e.user_id = c2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c2.t2 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM c2) AS n_click_after,
+           (SELECT COUNT(*) FROM p3) AS n_purchase_after
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-step funnel (signup -> click -> purchase): each
+    step's entry time is the MIN event time AFTER the previous step's
+    entry — the product-analytics conversion query the reference's NL
+    users would ask ('how many signups converted?').
+
+    Scale: three aggregation passes, all shuffling on user_id — with the
+    events table pre-bucketed by user_id every pass is shuffle-free. The
+    step joins are user-cardinality (small) vs event-cardinality joins;
+    the per-step min-after formulation avoids the combinatorial self-join
+    a naive sequence match would do.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(c2, "user_id", "left")
+        .join(p3, "user_id", "left")
+        .agg(
+            F.count("t1").alias("n_signup"),
+            F.count("t2").alias("n_click_after"),
+            F.count("t3").alias("n_purchase_after"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id)
+    SELECT f.cohort_week,
+           CAST(floor(datediff('day', f.cohort_week, CAST(e.ts AS DATE)) / 7.0)
+                AS INT) AS week_n,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY f.cohort_week, week_n
+    ORDER BY f.cohort_week, week_n
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, then
+    COUNT(DISTINCT user) per (cohort, weeks-since-cohort) cell — the
+    classic retention triangle.
+
+    Week offsets are floor(day-diff/7) from the Monday-truncated cohort
+    week; both engines truncate weeks to Monday (ISO), and floor==trunc
+    here because offsets are non-negative by construction (cohort_week
+    <= every event of that user).
+
+    Scale: first_seen is a user-key agg (small output) that broadcasts
+    into the event scan; the final agg shuffles on (cohort, week) —
+    dozens of cells regardless of event count. COUNT DISTINCT expands
+    to a two-phase partial-distinct, so the wide shuffle carries
+    (cohort, week, user) triples — still bounded by |users| x weeks.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        e.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_week")) / 7.0
+            )
+            .cast("int")
+            .alias("week_n"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+@register(
+    "cdc_latest_compaction",
+    oracle="""
+    SELECT user_id, event_type AS last_type, ts AS last_ts, value AS last_value
+    FROM (SELECT user_id, event_type, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def cdc_latest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (CDC apply): keep only the LATEST record per
+    key from an append-only change stream, dropping keys whose final
+    record is a tombstone ('error' stands in for the delete marker) —
+    the upsert-materialization step of every CDC ingest pipeline.
+
+    Total-order tie-break (ts, event_id) makes 'latest' deterministic
+    even when timestamps collide.
+
+    Scale: one shuffle on the key; AQE handles key skew. At 100 TB this
+    runs incrementally — compact only new partitions, then merge with
+    the previous compaction (see incremental_rollup for the same
+    monoid argument; max-by is associative).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.select("user_id", "event_type", "ts", "value",
+                 F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "percent_rank_cume",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value), 6)
+             AS pr,
+           ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY value), 6)
+             AS cd
+    FROM events
+    WHERE user_id < 30
+    ORDER BY event_type, event_id
+    """,
+)
+def percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST — relative-standing window functions
+    (the distribution-scoring half of the RFM family; ntile_rfm covers
+    the bucketed form). Deterministic under ties because both are
+    functions of the ORDER BY *value*, not of arbitrary row order.
+
+    Scale: same single window spec -> one shuffle on event_type; skewed
+    partition-by keys (5 types) mean few huge partitions — at real
+    scale, partition by a composite (type, day) or use approximate
+    quantiles instead of a global sort per key.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("event_type").orderBy("value")
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("event_type", "event_id")
+    )

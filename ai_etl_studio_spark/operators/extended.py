@@ -470,3 +470,102 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "not_in_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    ORDER BY c_custkey
+    LIMIT 200
+    """,
+)
+def not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery — semantically DISTINCT from an anti join
+    (join_anti): one NULL in the subquery result makes NOT IN return
+    zero rows (three-valued logic), so engines plan it as a null-aware
+    anti join. Kept on the SQL surface so Catalyst's NAAJ handling is
+    exercised; o_custkey is non-null here, making the oracle stable.
+
+    Scale: null-aware anti joins cannot broadcast-stream like plain
+    anti joins (the null check needs the whole build side) — prefer
+    NOT EXISTS/anti join when the column is known non-null.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("_nis_customer")
+    o.createOrReplaceTempView("_nis_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM _nis_customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM _nis_orders WHERE o_totalprice > 100000)
+        ORDER BY c_custkey
+        LIMIT 200
+        """
+    )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+      FROM orders WHERE o_orderkey % 2 = 0),
+    upd AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) + 500 AS pc
+      FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT CASE WHEN b.k IS NULL THEN 'insert'
+                WHEN u.k IS NULL THEN 'keep'
+                ELSE 'update' END AS action,
+           COUNT(*) AS n_rows,
+           CAST(SUM(COALESCE(u.pc, b.pc)) AS DOUBLE) / 100 AS total_price
+    FROM base b FULL OUTER JOIN upd u ON b.k = u.k
+    GROUP BY 1
+    ORDER BY action
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (upsert) composed from a FULL OUTER join +
+    COALESCE: matched rows take the update's values, unmatched updates
+    insert, unmatched base rows pass through. Base = even order keys;
+    changeset = keys divisible by 3 with price bumped 500 cents. Output
+    is the per-action audit summary every MERGE job emits.
+
+    Spark has no MERGE INTO on plain parquet (it's a Delta/Iceberg
+    feature); this full-outer-coalesce plan IS what those table formats
+    execute underneath.
+
+    Scale: the join shuffles both sides on the key unless the changeset
+    is small — then broadcast it and rewrite only the touched
+    partitions (see parquet_compaction for the write side). Integer
+    cents keep the audit sums exact across engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pc = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("bk"), pc.alias("bpc")
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("uk"), (pc + 500).alias("upc")
+    )
+    merged = base.join(upd, base.bk == upd.uk, "full_outer").select(
+        F.when(F.col("bk").isNull(), "insert")
+        .when(F.col("uk").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+        F.coalesce("upc", "bpc").alias("pc"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("pc").cast("double") / 100).alias("total_price"),
+        )
+        .orderBy("action")
+    )

@@ -335,3 +335,58 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS n_sampled
+    FROM (
+      SELECT lang,
+             CAST(concat('0x', substr(md5(concat('strat:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS bucket,
+             CASE WHEN lang = 'en' THEN 80 ELSE 30 END AS pct
+      FROM documents
+    ) b
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates (80%
+    for 'en', 30% otherwise) via salted md5 bucketing on the document
+    key — how a training mix downsamples over-represented languages.
+    Unlike df.sampleBy(), the same doc keeps/drops identically on any
+    cluster, any partitioning, any rerun (seeded-RNG samples are only
+    reproducible under identical partitioning).
+
+    Scale: narrow (no shuffle until the per-language summary); the keep
+    predicate pushes into the scan, so the dropped 70% of non-en docs
+    never leave the parquet reader when the sample is materialized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    pct = F.when(F.col("lang") == "en", 80).otherwise(30)
+    return (
+        d.select("lang", bucket.alias("bucket"), pct.alias("pct"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("bucket") < F.col("pct"), 1).otherwise(0)).alias(
+                "n_sampled"
+            ),
+        )
+        .orderBy("lang")
+    )
