@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ai_etl_studio_spark.catalog import load_table
 from ai_etl_studio_spark.functions.exact import cents
-from ai_etl_studio_spark.operators import register
+from ai_etl_studio_spark.operators import ORACLES, register
 
 N_SALTS = 8
 PII_ID_CAP = 500
@@ -225,7 +225,31 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_clusters")  # rows-only: iterative (SURVEY §7 hard-point 4)
+# Oracle: DuckDB recursive-CTE transitive closure over the SAME LSH pair
+# graph (pair SQL reused verbatim from dedup_minhash_lsh_pairs, trailing
+# ORDER BY stripped) — each node's cluster id is the MIN reachable node,
+# exactly what min-label propagation converges to. The closure is
+# O(nodes x component-size): fine for an oracle at sf0.01, which is why
+# the distributed side uses propagation instead.
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({ORACLES["dedup_minhash_lsh_pairs"].rsplit(" ORDER BY ", 1)[0]}),
+edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+          UNION SELECT doc_id_2, doc_id_1 FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+),
+labels AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+SELECT label AS cluster_id, COUNT(*) AS n_docs,
+       MIN(node) AS canonical_doc, MAX(node) AS max_doc
+FROM labels GROUP BY label HAVING COUNT(*) > 1
+ORDER BY cluster_id
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate cluster formation: connected components over the
     MinHash-LSH candidate-pair graph via iterative min-label
@@ -236,6 +260,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     node takes min(own, neighbors' labels); converged when no label
     changes. Rounds ≤ graph diameter ≤ log₂(n) for LSH graphs in
     practice; each round is one shuffle (join + groupBy-min).
+
+    Oracle-checked (upgraded from rows-only): the DuckDB twin computes
+    the transitive closure with a recursive CTE and takes MIN over the
+    reachable set — a different algorithm arriving at the same fixpoint,
+    so the check proves the propagation loop's convergence, not just
+    its shape.
 
     Scale: this is the standard Spark connected-components shape
     (large-star/small-star simplification); per-round checkpointing

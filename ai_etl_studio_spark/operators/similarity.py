@@ -361,3 +361,152 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rn")
     )
+
+
+KNN_K = 10
+KNN_QUERIES = 50
+
+
+@register(
+    "knn_classify",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    nn AS (
+      SELECT query_id, true_label, n_label, rn FROM (
+        SELECT a.vec_id AS query_id, a.label AS true_label, b.label AS n_label,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQL_COS} DESC, b.vec_id) AS rn
+        FROM v a JOIN v b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {KNN_QUERIES}) r
+      WHERE rn <= {KNN_K}),
+    votes AS (SELECT query_id, true_label, n_label, COUNT(*) AS n_votes
+              FROM nn GROUP BY query_id, true_label, n_label),
+    best AS (SELECT query_id, true_label, n_label AS pred_label, n_votes,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY n_votes DESC, n_label) AS vr
+             FROM votes)
+    SELECT query_id, true_label, pred_label, n_votes,
+           CAST(pred_label = true_label AS BOOLEAN) AS correct
+    FROM best WHERE vr = 1
+    ORDER BY query_id
+    """,
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction: majority vote over the {KNN_K} cosine-
+    nearest neighbors for each of {KNN_QUERIES} query vectors — the
+    label-propagation / auto-labeling primitive of a training-data
+    pipeline (and the standard embedding-quality probe).
+
+    Deterministic end-to-end: neighbor rank ties break on vec_id, vote
+    ties break on the smaller label.
+
+    Scale: same broadcast-queries shape as ann_cosine_topk — the corpus
+    streams once, no shuffle for the similarity pass; the vote agg
+    shuffles |Q|x{KNN_K} rows (tiny). For corpus-scale labeling (|Q| =
+    |N|) switch the pair source to the IVF/LSH bucketed variants.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("emb")
+    )
+    q = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("q_emb"),
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    nn = (
+        pairs.select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("n_label"),
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+    )
+    votes = nn.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("n_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            "n_votes",
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "vector_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (
+      SELECT vec_id, label,
+             list_max(list_transform(emb, x -> abs(x))) AS maxabs,
+             emb
+      FROM v),
+    err AS (
+      SELECT vec_id, label,
+             CAST(round(list_sum(list_transform(emb,
+               x -> pow(x - round(x * 127.0 / maxabs, 0) * maxabs / 127.0, 2)))
+               / len(emb) * 1e12, 0) AS BIGINT) AS mse_pico
+      FROM q)
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(mse_pico) AS DOUBLE) / 1e12 AS total_mse
+    FROM err GROUP BY label ORDER BY label
+    """,
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (q = round(x*127/
+    maxabs)) with reconstruction-MSE audit per label — the compression
+    step before shipping embeddings to an ANN index (4x smaller, ~1e-5
+    MSE). Per-vector MSE is quantized to integer picounits before the
+    cross-vector sum so the audit total is exact across engines
+    (double accumulation order differs between Spark and DuckDB).
+
+    Scale: fully narrow (no shuffle until the per-label audit agg);
+    runs as a single codegen'd projection over the corpus. The same
+    expression shape writes the quantized array<tinyint> column for
+    the production sink.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("emb")
+    )
+    maxabs = F.array_max(F.transform(F.col("emb"), lambda c: F.abs(c.cast("double"))))
+    with_max = emb.withColumn("maxabs", maxabs)
+    recon_err = F.aggregate(
+        F.transform(
+            F.col("emb"),
+            lambda c: F.pow(
+                c.cast("double")
+                - F.round(c.cast("double") * 127.0 / F.col("maxabs"), 0)
+                * F.col("maxabs")
+                / 127.0,
+                F.lit(2.0),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    mse_pico = F.round(
+        recon_err / F.size(F.col("emb")) * 1e12, 0
+    ).cast("bigint")
+    return (
+        with_max.select("label", mse_pico.alias("mse_pico"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum("mse_pico").cast("double") / 1e12).alias("total_mse"),
+        )
+        .orderBy("label")
+    )
