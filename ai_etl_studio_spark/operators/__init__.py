@@ -55,6 +55,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         relational,
         similarity,
         text,
+        training,
     )
     from ai_etl_studio_spark.streaming import windows  # noqa: F401
 

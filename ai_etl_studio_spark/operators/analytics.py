@@ -160,6 +160,78 @@ def ntile_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rfm_quantile_scores",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '{RFM_ANCHOR}') AS recency_days,
+             COUNT(DISTINCT o_orderkey) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS monetary
+      FROM orders GROUP BY o_custkey),
+    b AS (
+      SELECT list_transform(quantile_cont(CAST(recency_days AS DOUBLE), [0.2,0.4,0.6,0.8]), x -> round(x, 6)) AS rb,
+             list_transform(quantile_cont(CAST(frequency AS DOUBLE), [0.2,0.4,0.6,0.8]), x -> round(x, 6)) AS fb,
+             list_transform(quantile_cont(monetary, [0.2,0.4,0.6,0.8]), x -> round(x, 6)) AS mb
+      FROM rfm)
+    SELECT o_custkey, recency_days, frequency, monetary,
+           1 + len(list_filter(rb, x -> recency_days > x)) AS r_bucket,
+           1 + len(list_filter(fb, x -> frequency > x))    AS f_bucket,
+           1 + len(list_filter(mb, x -> monetary > x))     AS m_bucket
+    FROM rfm, b
+    ORDER BY o_custkey
+    """,
+)
+def rfm_quantile_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile scoring WITHOUT the global sort: the scalable twin
+    of ntile_rfm. Quintile boundaries come from one interpolated-
+    percentile aggregate (4 doubles per metric), broadcast to every row;
+    each row's bucket is 1 + #boundaries strictly below its value.
+
+    Semantics vs ntile_rfm: NTILE guarantees equal bucket *sizes*
+    (splitting ties across buckets by row order); boundary bucketing
+    gives equal *value ranges* (ties land together). For scoring, the
+    latter is what you actually want — identical values get identical
+    scores.
+
+    Scale: this removes the WindowExec all-to-one-partition pattern —
+    the only global object is the 12-double boundary row. The exact
+    percentile agg materializes per-group values; swap in
+    approx_percentile at extreme |customers| (same shape).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(RFM_ANCHOR).cast("date"), F.max(F.col("o_orderdate").cast("date"))).alias(
+            "recency_days"
+        ),
+        F.countDistinct("o_orderkey").alias("frequency"),
+        (F.sum(cents("o_totalprice")).cast("double") / 100).alias("monetary"),
+    )
+    probs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    bounds = rfm.agg(
+        F.expr(f"transform(percentile(cast(recency_days as double), {probs}), x -> round(x, 6))").alias("rb"),
+        F.expr(f"transform(percentile(cast(frequency as double), {probs}), x -> round(x, 6))").alias("fb"),
+        F.expr(f"transform(percentile(monetary, {probs}), x -> round(x, 6))").alias("mb"),
+    )
+
+    def bucket(bnds: str, value: str):
+        return 1 + F.size(F.filter(F.col(bnds), lambda b: F.col(value) > b))
+
+    return (
+        rfm.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            bucket("rb", "recency_days").alias("r_bucket"),
+            bucket("fb", "frequency").alias("f_bucket"),
+            bucket("mb", "monetary").alias("m_bucket"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
     "percentile_exact",
     oracle="""
     SELECT o_orderpriority,

@@ -1,0 +1,180 @@
+"""Training-data pipeline operators: sequence packing and data mixing.
+
+The two batch-shaping steps every large-scale LM data pipeline runs after
+cleaning/dedup (driver-directed extension surface, alongside dedup.py /
+quality.py / text.py):
+
+- **sequence packing** (concat-and-chunk): stream documents in a
+  deterministic order and cut the stream into fixed token-budget bins —
+  the step that turns a document corpus into fixed-length training
+  sequences.
+- **data-mix allocation**: given per-(lang, source) token inventories,
+  compute temperature-scaled sampling rates that hit a global token
+  budget — the "how much of each source goes into the run" step.
+
+The reference (balyuv/ai-etl-studio) has no notion of these; they exist
+because the rebuild targets a 100 TB training-data engine
+(BASELINE.json north star). Both are pure DataFrame ops — no UDFs — so
+they stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_etl_studio_spark.catalog import load_table
+from ai_etl_studio_spark.operators import register
+
+#: Token budget per packed bin (a small "context window" for the corpus
+#: at hand; production would use 4096/8192).
+PACK_BUDGET = 256
+
+#: Packing shards per language — packing is order-dependent, so the unit
+#: of parallelism must be explicit: each (lang, shard) packs
+#: independently. More shards = more parallelism, zero cross-shard
+#: coordination.
+PACK_SHARDS = 8
+
+#: Global token budget the mix allocation must hit.
+MIX_TARGET_TOKENS = 30_000
+
+
+@register(
+    "sequence_packing",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lang, doc_id % {PACK_SHARDS} AS shard,
+             len(string_split_regex(lower(text), '\s+')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT lang, shard, doc_id, n_tokens,
+             CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+      FROM toks)
+    SELECT lang, shard, bin_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY lang, shard, bin_id
+    ORDER BY lang, shard, bin_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents stream in doc_id
+    order within (lang, shard) and are cut into bins of ~{PACK_BUDGET}
+    whitespace tokens (a doc lands in the bin its *prior* cumulative
+    count falls in, so bins overflow by at most one document — the
+    standard concat-then-chunk packing LM pipelines use, as opposed to
+    first-fit bin packing which is order-sensitive and non-parallel).
+
+    Determinism: packing depends on stream order, so the order is total
+    (doc_id within (lang, shard)) and the shard key is content-derived
+    (doc_id % {PACK_SHARDS}), never partition-derived.
+
+    Scale: the window partitions on (lang, shard) — parallelism is
+    langs x shards regardless of corpus size, and raising PACK_SHARDS
+    raises it with zero semantic coupling across shards. One shuffle
+    (the window), one partial-agg'd groupBy on the same key prefix.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double")
+            / PACK_BUDGET
+        ),
+    )
+    return (
+        packed.groupBy("lang", "shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "shard", "bin_id")
+    )
+
+
+@register(
+    "data_mix_allocation",
+    oracle=rf"""
+    WITH inv AS (
+      SELECT lang, source, COUNT(*) AS n_docs,
+             SUM(len(string_split_regex(lower(text), '\s+'))) AS group_tokens
+      FROM documents GROUP BY lang, source),
+    wts AS (
+      SELECT *, CAST(round(sqrt(CAST(group_tokens AS DOUBLE)) * 1000, 0) AS BIGINT) AS w
+      FROM inv),
+    tot AS (SELECT SUM(w) AS total_w FROM wts)
+    SELECT lang, source, n_docs, group_tokens,
+           round(LEAST(1.0, ({MIX_TARGET_TOKENS} * CAST(w AS DOUBLE) / total_w)
+                             / group_tokens), 9) AS sample_rate,
+           CAST(round(LEAST(1.0, ({MIX_TARGET_TOKENS} * CAST(w AS DOUBLE) / total_w)
+                             / group_tokens) * group_tokens, 0) AS BIGINT)
+             AS expected_tokens
+    FROM wts, tot
+    ORDER BY lang, source
+    """,
+)
+def data_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mix allocation: weight each (lang,
+    source) inventory by sqrt(tokens) (temperature 0.5 — upweights
+    small sources relative to proportional sampling), normalize to a
+    global {MIX_TARGET_TOKENS}-token budget, and cap rates at 1.0
+    (can't sample more than exists). `expected_tokens` is the audit
+    column: what the mix actually yields.
+
+    Exactness: weights are quantized to integer milliunits before the
+    cross-group sum, so `total_w` is a BIGINT and every downstream
+    double op has bit-identical operands in both engines (cross-group
+    double accumulation order is engine-dependent; integer sums are
+    not). Rate rounded to 9dp for the same reason as percentile ops.
+
+    Scale: the inventory agg is the only data-sized pass (partial agg,
+    shuffle width = |groups|); the weight normalization is a broadcast
+    of one total row. At 100 TB the groups table is thousands of rows —
+    driver-trivial.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    inv = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.lower(F.col("text")), r"\s+"))).alias("group_tokens"),
+    )
+    wts = inv.withColumn(
+        "w",
+        F.round(F.sqrt(F.col("group_tokens").cast("double")) * 1000, 0).cast("bigint"),
+    )
+    tot = wts.agg(F.sum("w").alias("total_w"))
+    quota = F.lit(float(MIX_TARGET_TOKENS)) * F.col("w").cast("double") / F.col(
+        "total_w"
+    )
+    rate = F.least(F.lit(1.0), quota / F.col("group_tokens"))
+    return (
+        wts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "group_tokens",
+            F.round(rate, 9).alias("sample_rate"),
+            F.round(rate * F.col("group_tokens"), 0).cast("bigint").alias(
+                "expected_tokens"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
