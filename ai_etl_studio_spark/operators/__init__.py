@@ -53,6 +53,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         multimodal,
         quality,
         relational,
+        search,
         similarity,
         text,
         training,

@@ -39,6 +39,17 @@ PACK_SHARDS = 8
 #: Global token budget the mix allocation must hit.
 MIX_TARGET_TOKENS = 30_000
 
+#: Knuth multiplicative hash parameters for deterministic sampling: the
+#: "random" uniform for a doc is (doc_id * KNUTH_A) % HASH_MOD, scaled
+#: by 1/HASH_MOD. Both engines evaluate it with exact BIGINT arithmetic
+#: (overflows int64 only past ~3.4e9 doc_ids; switch to a 128-bit or
+#: split-multiply form beyond that).
+KNUTH_A = 2_654_435_761
+HASH_MOD = 1_000_003
+
+#: Reservoir size per (lang, source) group.
+RESERVOIR_K = 5
+
 
 @register(
     "sequence_packing",
@@ -110,6 +121,28 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mix_rates(d: DataFrame) -> DataFrame:
+    """Shared mix-rate pipeline: per-(lang, source) token inventory →
+    temperature-0.5 weights → budget-normalized sampling rate (un-
+    rounded, as a ``rate`` column alongside the inventory columns).
+    """
+    inv = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.lower(F.col("text")), r"\s+"))).alias("group_tokens"),
+    )
+    wts = inv.withColumn(
+        "w",
+        F.round(F.sqrt(F.col("group_tokens").cast("double")) * 1000, 0).cast("bigint"),
+    )
+    tot = wts.agg(F.sum("w").alias("total_w"))
+    quota = F.lit(float(MIX_TARGET_TOKENS)) * F.col("w").cast("double") / F.col(
+        "total_w"
+    )
+    return wts.crossJoin(F.broadcast(tot)).withColumn(
+        "rate", F.least(F.lit(1.0), quota / F.col("group_tokens"))
+    )
+
+
 @register(
     "data_mix_allocation",
     oracle=rf"""
@@ -151,21 +184,9 @@ def data_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-trivial.
     """
     d = load_table(spark, sf_dir, "documents")
-    inv = d.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.lower(F.col("text")), r"\s+"))).alias("group_tokens"),
-    )
-    wts = inv.withColumn(
-        "w",
-        F.round(F.sqrt(F.col("group_tokens").cast("double")) * 1000, 0).cast("bigint"),
-    )
-    tot = wts.agg(F.sum("w").alias("total_w"))
-    quota = F.lit(float(MIX_TARGET_TOKENS)) * F.col("w").cast("double") / F.col(
-        "total_w"
-    )
-    rate = F.least(F.lit(1.0), quota / F.col("group_tokens"))
+    rate = F.col("rate")
     return (
-        wts.crossJoin(F.broadcast(tot))
+        _mix_rates(d)
         .select(
             "lang",
             "source",
@@ -177,4 +198,116 @@ def data_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("lang", "source")
+    )
+
+
+@register(
+    "mix_sampled_corpus",
+    oracle=rf"""
+    WITH inv AS (
+      SELECT lang, source, COUNT(*) AS n_docs,
+             SUM(len(string_split_regex(lower(text), '\s+'))) AS group_tokens
+      FROM documents GROUP BY lang, source),
+    wts AS (
+      SELECT *, CAST(round(sqrt(CAST(group_tokens AS DOUBLE)) * 1000, 0) AS BIGINT) AS w
+      FROM inv),
+    tot AS (SELECT SUM(w) AS total_w FROM wts),
+    rates AS (
+      SELECT lang, source, group_tokens,
+             CAST(FLOOR(LEAST(1.0, ({MIX_TARGET_TOKENS} * CAST(w AS DOUBLE) / total_w)
+                               / group_tokens) * {HASH_MOD}) AS BIGINT) AS rate_ticks
+      FROM wts, tot),
+    docs AS (
+      SELECT doc_id, lang, source,
+             len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+             (doc_id * {KNUTH_A}) % {HASH_MOD} AS u_ticks
+      FROM documents)
+    SELECT d.lang, d.source,
+           COUNT(*) AS kept_docs, SUM(d.n_tokens) AS kept_tokens,
+           r.rate_ticks
+    FROM docs d JOIN rates r ON d.lang = r.lang AND d.source = r.source
+    WHERE d.u_ticks < r.rate_ticks
+    GROUP BY d.lang, d.source, r.rate_ticks
+    ORDER BY d.lang, d.source
+    """,
+)
+def mix_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the data-mix allocation: Bernoulli-sample each (lang,
+    source) group at its budget-normalized rate, deterministically —
+    a doc is kept iff hash(doc_id) falls below the group's rate. The
+    output is the per-group audit (docs/tokens actually kept).
+
+    Determinism without RNG: the uniform is the Knuth multiplicative
+    hash (doc_id * {KNUTH_A}) % {HASH_MOD}, and the rate is quantized
+    to integer ticks of 1/{HASH_MOD} — the keep predicate compares two
+    BIGINTs, so resampling with the same corpus reproduces the exact
+    corpus (the property training-data lineage requires; rand(seed) is
+    partition-order-dependent and does NOT have it).
+
+    Scale: rates come from the broadcast allocation table (thousands of
+    rows); the sample itself is a broadcast-join + narrow filter over
+    the corpus — one data-sized pass, no shuffle of document rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rates = _mix_rates(d).select(
+        "lang",
+        "source",
+        F.floor(F.col("rate") * HASH_MOD).cast("bigint").alias("rate_ticks"),
+    )
+    docs = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_tokens"),
+        ((F.col("doc_id") * F.lit(KNUTH_A)) % HASH_MOD).alias("u_ticks"),
+    )
+    return (
+        docs.join(F.broadcast(rates), ["lang", "source"])
+        .filter(F.col("u_ticks") < F.col("rate_ticks"))
+        .groupBy("lang", "source", "rate_ticks")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+        .select("lang", "source", "kept_docs", "kept_tokens", "rate_ticks")
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "reservoir_sample_per_group",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY (doc_id * {KNUTH_A}) % {HASH_MOD}, doc_id
+             ) AS rn
+      FROM documents)
+    SELECT lang, source, doc_id, rn
+    FROM ranked WHERE rn <= {RESERVOIR_K}
+    ORDER BY lang, source, rn
+    """,
+)
+def reservoir_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-without-replacement sample per (lang, source):
+    rank docs by their Knuth hash within the group and keep the first
+    {RESERVOIR_K} — the deterministic equivalent of per-group reservoir
+    sampling (order by a uniform random key ≡ reservoir, but
+    reproducible and oracle-checkable).
+
+    Scale: one shuffle on the group key; the window sort is per-group.
+    For groups far larger than memory, the same semantics run as
+    groupBy(key).agg(min_by-style top-k) — but hash-rank + row_number
+    keeps it whole-stage-codegen'd and AQE handles moderate skew.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        (F.col("doc_id") * F.lit(KNUTH_A)) % HASH_MOD, "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .select("lang", "source", "doc_id", "rn")
+        .orderBy("lang", "source", "rn")
     )

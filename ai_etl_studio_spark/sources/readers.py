@@ -31,6 +31,12 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataF
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source: like parquet, columnar with pushdown + pruning +
+    vectorized reads — supported for lake interop (Hive-era lakes)."""
+    return spark.read.orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

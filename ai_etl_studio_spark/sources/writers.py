@@ -42,6 +42,19 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC write (lake interop twin of ``write_parquet``)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

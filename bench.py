@@ -50,6 +50,12 @@ HEADLINE = [
     "decontaminate_ngrams",
     "interval_join_events",
     "gap_fill_daily",
+    # training-data pipeline (round-1 additions)
+    "rfm_quantile_scores",
+    "sequence_packing",
+    "data_mix_allocation",
+    "mix_sampled_corpus",
+    "bm25_search",
 ]
 
 

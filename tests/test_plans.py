@@ -194,3 +194,31 @@ class TestBucketing:
         sel.write.mode("overwrite").json(json_path)
         back_j = read_json(spark, json_path, schema)
         assert sorted(map(str, back_j.collect())) == sorted(map(str, sel.collect()))
+
+    def test_orc_round_trip_partitioned(self, spark, tmp_path):
+        """ORC sink/reader preserves rows; partitioned ORC write yields
+        a partition-pruned scan (PartitionFilters in the plan), same as
+        the parquet path."""
+        from pyspark.sql import functions as F
+
+        from ai_etl_studio_spark.catalog import load_table
+        from ai_etl_studio_spark.sources.readers import read_orc
+        from ai_etl_studio_spark.sources.writers import write_orc
+
+        events = load_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        path = str(tmp_path / "events_orc")
+        write_orc(events, path, partition_by=["event_type"])
+        back = read_orc(spark, path)
+        assert back.count() == events.count()
+        assert set(back.columns) == set(events.columns)
+
+        pruned = read_orc(spark, path).filter(F.col("event_type") == "click")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+        assert (
+            pruned.count()
+            == events.filter(F.col("event_type") == "click").count()
+        )
