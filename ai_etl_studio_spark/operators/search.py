@@ -2,9 +2,17 @@
 
 The retrieval half of a training-data pipeline (targeted corpus pulls,
 contamination hunting, eval-set curation) — a full-corpus BM25 ranker
-expressed as pure DataFrame ops: explode → two aggregations → broadcast
-joins → scalar scoring expression. No UDFs; everything stays in
+expressed as pure DataFrame ops. No UDFs; everything stays in
 whole-stage codegen.
+
+Design note (the plan that earned this shape): the naive explode →
+tf/df/dl/stats formulation scans-and-explodes the corpus FOUR times
+(Spark does not reuse identical subplans) and shuffles exploded tokens.
+Because the query-term set is small and fixed, tf/dl are instead
+per-row higher-order-function expressions — ``size(filter(split(...)))``
+— so the per-doc profile is a narrow projection with ZERO shuffles, and
+the only exchanged rows are one corpus-stats row broadcast back for
+scoring. See PLANS.md.
 
 The reference (balyuv/ai-etl-studio) has no text search of any kind (its
 only string predicate is equality, prompts.py:120); this module is
@@ -13,7 +21,7 @@ driver-directed extension surface, designed Spark-first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_etl_studio_spark.catalog import load_table
@@ -25,119 +33,146 @@ BM25_B = 0.75
 
 #: The fixed query (terms present in the synthetic corpus lexicon).
 QUERY_TERMS = ("spark", "hash", "join", "stream")
-_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in QUERY_TERMS) + ")"
 
 #: Result-set size.
 TOPK = 20
 
+#: Contributions are quantized to integer ticks of 1e-9 before the
+#: cross-term sum so both engines add exactly (IEEE doubles added in a
+#: fixed written order would also match, but integers are self-evident).
+TICKS = 1_000_000_000
 
-@register(
-    "bm25_search",
-    oracle=rf"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+
+def _oracle() -> str:
+    """Build the DuckDB twin with the SAME expression structure (term
+    by term, identical parenthesization) as the Spark side."""
+    split = r"string_split_regex(lower(text), '\s+')"
+    tf_cols = ",\n             ".join(
+        f"len(list_filter({split}, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(QUERY_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"count_if(tf_{i} > 0) AS df_{i}" for i in range(len(QUERY_TERMS))
+    )
+    matched = " + ".join(
+        f"CAST(tf_{i} > 0 AS INT)" for i in range(len(QUERY_TERMS))
+    )
+
+    def tick(i: int) -> str:
+        idf = (
+            f"ln(1.0 + (CAST(n_docs - df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        )
+        denom = (
+            f"CAST(tf_{i} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+            f" * CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / n_docs))"
+        )
+        return (
+            f"CAST(round(({idf} * (CAST(tf_{i} AS DOUBLE) * {BM25_K1 + 1.0}))"
+            f" / ({denom}) * {TICKS}, 0) AS BIGINT)"
+        )
+
+    ticks = " + ".join(tick(i) for i in range(len(QUERY_TERMS)))
+    return f"""
+    WITH profile AS (
+      SELECT doc_id, len({split}) AS dl,
+             {tf_cols}
       FROM documents),
-    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl),
-    tf AS (
-      SELECT doc_id, term, COUNT(*) AS tf
-      FROM toks WHERE term IN {_TERMS_SQL}
-      GROUP BY doc_id, term),
-    idf AS (
-      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
-    contrib AS (
-      SELECT t.doc_id,
-             CAST(round(
-               (ln(1.0 + (CAST(s.n_docs - i.df AS DOUBLE) + 0.5) / (CAST(i.df AS DOUBLE) + 0.5))
-                * (CAST(t.tf AS DOUBLE) * {BM25_K1 + 1.0}))
-               / (CAST(t.tf AS DOUBLE)
-                  + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * CAST(d.dl AS DOUBLE)
-                                 / (CAST(s.total_tokens AS DOUBLE) / s.n_docs)))
-               * 1000000000, 0) AS BIGINT) AS score_ticks
-      FROM tf t JOIN dl d ON t.doc_id = d.doc_id
-      JOIN idf i ON t.term = i.term
-      CROSS JOIN stats s),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens,
+             {df_cols}
+      FROM profile),
     scored AS (
-      SELECT doc_id, COUNT(*) AS n_terms_matched,
-             SUM(score_ticks) AS score_ticks
-      FROM contrib GROUP BY doc_id)
+      SELECT doc_id, {matched} AS n_terms_matched,
+             {ticks} AS score_ticks
+      FROM profile, stats)
     SELECT doc_id, n_terms_matched,
-           round(CAST(score_ticks AS DOUBLE) / 1000000000, 6) AS bm25
-    FROM scored
+           round(CAST(score_ticks AS DOUBLE) / {TICKS}, 6) AS bm25
+    FROM scored WHERE n_terms_matched > 0
     ORDER BY score_ticks DESC, doc_id
     LIMIT {TOPK}
-    """,
-)
+    """
+
+
+@register("bm25_search", oracle=_oracle())
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-{TOPK} over the corpus for a fixed multi-term query.
 
-    Shape: one explode pass feeds BOTH corpus stats (doc lengths,
-    N, avgdl) and the query-term tf table (the term filter prunes the
-    explode output to |query| terms before any shuffle). idf and the
-    one-row corpus stats are broadcast back onto the tf table, so the
-    only data-sized shuffles are the two groupBys on doc_id.
+    Shape: a narrow per-doc profile (doc length + one tf column per
+    query term, all ``size(filter(tokens))`` expressions — no explode,
+    no shuffle), one tiny corpus-stats aggregate (N, total tokens, per-
+    term df) broadcast back, then a scalar scoring expression and a
+    TakeOrderedAndProject top-k. The corpus is scanned twice (stats +
+    scoring) but never exploded and never shuffled; the only exchanged
+    rows are the 1-row stats and the per-task top-{TOPK} heaps. At
+    100 TB you'd persist the profile as a sidecar table and keep stats
+    incrementally — the query shape is unchanged.
 
     Exactness: each (doc, term) contribution is quantized to integer
-    nano-ticks BEFORE the per-doc sum (float addition order across
-    terms is engine-dependent; integer sums are not — the repo's
-    integer-cents discipline, functions/exact.py). The scalar
-    expression itself is written with identical parenthesization in
-    both engines, so IEEE-correctly-rounded ops produce bit-identical
-    ticks. Top-k is made total by the (score, doc_id) tie-break.
-
-    Scale: df/idf is |query|-rows, corpus stats is 1 row — both
-    broadcast. The explode is the dominant cost and is narrow;
-    at 100 TB you'd persist the (doc_id, dl) sidecar and the posting
-    stats incrementally rather than recompute, but the query shape is
-    unchanged.
+    {TICKS}-ticks and summed in written term order; the scalar
+    expression is built with identical parenthesization in both engines
+    (IEEE ops are correctly rounded, so ticks match bit-for-bit).
+    Top-k is total-ordered by the (score, doc_id) tie-break.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
-    )
-    tf = (
-        toks.filter(F.col("term").isin(*QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    idf = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    toks = F.split(F.lower(F.col("text")), r"\s+")
 
-    tfd = F.col("tf").cast("double")
-    dld = F.col("dl").cast("double")
-    dfd = F.col("df").cast("double")
-    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
-    idf_expr = F.log(
-        F.lit(1.0) + ((F.col("n_docs") - F.col("df")).cast("double") + 0.5) / (dfd + 0.5)
+    def eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    profile = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(QUERY_TERMS)
+        ],
     )
-    contrib = (idf_expr * (tfd * (BM25_K1 + 1.0))) / (
-        tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * dld / avgdl)
+    stats = profile.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
     )
-    ticks = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(stats))
+
+    def tick(i: int) -> Column:
+        tfd = F.col(f"tf_{i}").cast("double")
+        dfd = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + ((F.col("n_docs") - F.col(f"df_{i}")).cast("double") + 0.5)
+            / (dfd + 0.5)
+        )
+        denom = tfd + BM25_K1 * (
+            1.0
+            - BM25_B
+            + BM25_B
+            * F.col("dl").cast("double")
+            / (F.col("total_tokens").cast("double") / F.col("n_docs"))
+        )
+        return F.round((idf * (tfd * (BM25_K1 + 1.0))) / denom * TICKS, 0).cast(
+            "bigint"
+        )
+
+    matched = sum(
+        (F.col(f"tf_{i}") > 0).cast("int") for i in range(len(QUERY_TERMS))
+    )
+    score_ticks = sum(tick(i) for i in range(len(QUERY_TERMS)))
+    return (
+        profile.crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
-            F.round(contrib * 1_000_000_000, 0).cast("bigint").alias("score_ticks"),
+            matched.alias("n_terms_matched"),
+            score_ticks.alias("score_ticks"),
         )
-    )
-    return (
-        ticks.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_terms_matched"),
-            F.sum("score_ticks").alias("score_ticks"),
-        )
+        .filter(F.col("n_terms_matched") > 0)
         .orderBy(F.desc("score_ticks"), "doc_id")
         .limit(TOPK)
         .select(
             "doc_id",
             "n_terms_matched",
-            F.round(F.col("score_ticks").cast("double") / 1_000_000_000, 6).alias(
-                "bm25"
-            ),
+            F.round(F.col("score_ticks").cast("double") / TICKS, 6).alias("bm25"),
         )
     )
