@@ -229,3 +229,35 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
         """
     )
+
+
+@register(
+    "posexplode_ordinal",
+    oracle=r"""
+    SELECT d.doc_id, CAST(i.i - 1 AS INT) AS pos, d.toks[i.i] AS term
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          FROM documents WHERE doc_id < 20) d,
+         unnest(generate_series(1, len(d.toks))) AS i(i)
+    ORDER BY d.doc_id, pos
+    """,
+)
+def posexplode_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating function with ordinal: posexplode ≡ SQL
+    ``LATERAL ... WITH ORDINALITY`` — token stream with positions,
+    the primitive under positional n-grams and sequence labeling.
+
+    Scale: Generate is narrow (no shuffle); the blow-up factor is
+    tokens-per-doc, so downstream ops should aggregate or filter
+    before any exchange (cf. bm25_search, which avoids the explode
+    entirely because its term set is fixed)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+                "pos", "term"
+            ),
+        )
+        .orderBy("doc_id", "pos")
+    )

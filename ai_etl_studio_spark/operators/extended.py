@@ -569,3 +569,44 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+@register(
+    "exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_totalprice > 300000)
+    ORDER BY c_custkey
+    """,
+)
+def exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries — customers with a
+    finished order but no order above 300k. Executed via spark.sql to
+    exercise the correlated-subquery front-end; Catalyst decorrelates
+    to a left-semi join (EXISTS) plus a left-anti join (NOT EXISTS),
+    so execution is two hash joins, not a per-row probe.
+
+    Scale: both joins shuffle on o_custkey/c_custkey (or broadcast the
+    dim side); there is no nested-loop re-execution of the subquery —
+    the decorrelation IS the scale story. (Same surface as the
+    join_semi/join_anti DataFrame twins, reached from SQL.)"""
+    from ai_etl_studio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_totalprice > 300000)
+        ORDER BY c_custkey
+        """
+    )

@@ -390,3 +390,70 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "unigram_surprisal",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents),
+    vocab AS (SELECT term, COUNT(*) AS tc FROM toks GROUP BY term),
+    tot AS (SELECT SUM(tc) AS total_tokens FROM vocab),
+    vticks AS (
+      SELECT term,
+             CAST(round(ln(CAST(total_tokens AS DOUBLE) / tc) * 1000000000, 0)
+                  AS BIGINT) AS tick
+      FROM vocab, tot)
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           round(CAST(SUM(v.tick) AS DOUBLE) / 1000000000 / COUNT(*), 6)
+             AS avg_surprisal
+    FROM toks t JOIN vticks v ON t.term = v.term
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: train token probabilities
+    on the corpus itself (p = count/total), then score each doc by its
+    mean token surprisal −ln p — low = repetitive/templated text, high
+    = rare-token soup; the classic cheap LM filter between heuristics
+    and a real perplexity model.
+
+    Shape: train pass (explode → vocab agg) + score pass (explode →
+    vocab join → per-doc agg) — two corpus passes are inherent to
+    train-then-score. The vocab join broadcasts here; at 100 TB a
+    whitespace vocab has a heavy tail, so the scale path shuffle-joins
+    on term (both sides partial-agg'd first) or prunes the vocab to
+    top-K + an OOV bucket — shape unchanged.
+
+    Exactness: per-term surprisal is quantized to integer nano-ticks
+    once (in the vocab table), so the per-doc sum is an integer sum in
+    both engines; one double division at the end, rounded to 6dp.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    tot = vocab.agg(F.sum("tc").alias("total_tokens"))
+    vticks = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log(F.col("total_tokens").cast("double") / F.col("tc")) * 1_000_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("tick"),
+    )
+    return (
+        toks.join(F.broadcast(vticks), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("tick").cast("double") / 1_000_000_000 / F.count(F.lit(1)), 6
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
