@@ -510,3 +510,151 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: k-means configuration: K clusters, fixed Lloyd iterations.
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+@register("kmeans_embeddings")
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding table, K={KMEANS_K}, exactly
+    {KMEANS_ITERS} iterations — the iterative-algorithm pattern done
+    Spark-first: the DATA never leaves the executors; only the K×dim
+    centroid matrix rides the driver loop, re-broadcast each round as
+    a literal array. Assignment is an argmin over K broadcast rows
+    (`aggregate(zip_with(...))` squared-L2, all codegen); the update
+    step is the quantized dimension-wise mean (same integer-micro
+    discipline as embedding_centroids, so re-runs are bit-identical;
+    centroids are additionally rounded to 6dp each round on the
+    driver).
+
+    No SQL oracle (iterative fixpoint is not SQL-expressible; the
+    driver records the rows-only check). Determinism instead:
+    init = the K lowest-vec_id embeddings, ties impossible; argmin
+    tie-breaks on cluster id.
+
+    Scale: per iteration one narrow pass (assign) + one |K·dim|-wide
+    agg (update). 100 TB note: that's the exact shape of MLlib's
+    KMeans — cost is iters × (scan + tiny shuffle); nothing grows with
+    data but the scan.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # init: K lowest-id vectors (deterministic, no RNG)
+    init_rows = e.orderBy("vec_id").limit(KMEANS_K).collect()
+    centroids: list[list[float]] = [
+        [round(float(x), 6) for x in r["embedding"]] for r in init_rows
+    ]
+
+    def dist2(cvec: list[float]):
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                carr,
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        dists = F.array(*[dist2(c) for c in centroids])
+        assigned = e.withColumn(
+            "cluster",
+            F.array_position(dists, F.array_min(dists)).cast("int") - 1,
+        )
+        # update: exact integer-micro mean per (cluster, dim)
+        upd = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("embedding")).alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.round(F.col("v").cast("double") * 1_000_000, 0).cast("bigint"))
+                    .cast("double")
+                    / 1_000_000
+                    / F.count(F.lit(1))
+                ).alias("mean_v")
+            )
+            .groupBy("cluster")
+            .agg(F.map_from_arrays(F.collect_list("dim"), F.collect_list("mean_v")).alias("m"))
+            .collect()
+        )
+        new_c = {r["cluster"]: r["m"] for r in upd}
+        centroids = [
+            [round(new_c[k][d], 6) for d in sorted(new_c[k])] if k in new_c else centroids[k]
+            for k in range(KMEANS_K)
+        ]
+
+    inertia_ticks = F.round(
+        F.array_min(F.array(*[dist2(c) for c in centroids])) * 1_000_000, 0
+    ).cast("bigint")
+    return (
+        assigned.select("cluster", inertia_ticks.alias("d2_ticks"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("d2_ticks").cast("double") / 1_000_000, 3).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register("embedding_pca_power")
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label top principal component via power iteration — the
+    grouped-`applyInPandas` pattern: each label's embedding block lands
+    in ONE Arrow batch as a pandas DataFrame, numpy does 30 power-
+    iteration steps on the d×d covariance, and one row per group comes
+    back (label, n, top eigenvalue, PC1 leading-coefficient index).
+
+    No SQL oracle (eigen-iteration is not SQL-expressible; rows-only
+    check). Determinism: fixed all-ones init, float64, fixed iteration
+    count, sign-canonicalized eigenvector.
+
+    Scale: applyInPandas shuffles by group key and each group must fit
+    one worker's memory — right here (groups = labels, block = n×64
+    floats), and the d×d covariance keeps memory O(d²) regardless of n
+    via the streaming X^T X accumulation. For billion-row groups you'd
+    switch to a distributed Gram matrix (treeAggregate of outer
+    products), same math.
+    """
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+
+    def pca_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        x = x - x.mean(axis=0)
+        cov = (x.T @ x) / max(len(x) - 1, 1)
+        v = np.ones(cov.shape[0]) / np.sqrt(cov.shape[0])
+        for _ in range(30):
+            v = cov @ v
+            v = v / np.linalg.norm(v)
+        eig = float(v @ cov @ v)
+        if v[int(np.argmax(np.abs(v)))] < 0:  # canonical sign
+            v = -v
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [len(pdf)],
+                "top_eigenvalue": [round(eig, 6)],
+                "pc1_argmax_dim": [int(np.argmax(np.abs(v)))],
+            }
+        )
+
+    return (
+        e.groupBy("label")
+        .applyInPandas(
+            pca_block,
+            "label int, n_vecs long, top_eigenvalue double, pc1_argmax_dim int",
+        )
+        .orderBy("label")
+    )

@@ -311,3 +311,75 @@ def reservoir_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "source", "doc_id", "rn")
         .orderBy("lang", "source", "rn")
     )
+
+
+#: Overlapping-chunk parameters (RAG/embedding-window chunking).
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "chunk_overlapping",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      FROM documents WHERE doc_id < 100),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i.i AS INT) AS chunk_id,
+             CAST(i.i * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+             LEAST({CHUNK_SIZE}, len(t) - i.i * {CHUNK_STRIDE}) AS chunk_tokens,
+             array_to_string(
+               list_slice(t, i.i * {CHUNK_STRIDE} + 1,
+                          i.i * {CHUNK_STRIDE} + LEAST({CHUNK_SIZE}, len(t) - i.i * {CHUNK_STRIDE})),
+               ' ') AS chunk_text
+      FROM toks,
+           unnest(generate_series(0,
+             CAST(CEIL(CAST(GREATEST(len(t) - {CHUNK_SIZE}, 0) AS DOUBLE)
+                       / {CHUNK_STRIDE}) AS BIGINT))) AS i(i))
+    SELECT doc_id, chunk_id, start_tok, chunk_tokens,
+           md5(chunk_text) AS chunk_md5
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def chunk_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking ({CHUNK_SIZE}-token chunks,
+    stride {CHUNK_STRIDE} → {CHUNK_SIZE - CHUNK_STRIDE}-token overlap) —
+    the retrieval/embedding-prep step that turns documents into
+    fixed-size passages. Chunk count per doc is
+    1 + ceil(max(len-{CHUNK_SIZE},0)/{CHUNK_STRIDE}), so every token is
+    covered and the final chunk is the only short one. Chunk text is
+    reported as md5 (the driver compare stays width-bounded; the text
+    itself would be the real output in production).
+
+    Scale: sequence+explode is narrow (no shuffle) — the blow-up is
+    len/stride per doc. Each chunk row re-slices the token array
+    JVM-side; nothing leaves codegen until the presentation sort.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("t"))
+    n_chunks_minus1 = F.ceil(
+        F.greatest(F.size("t") - CHUNK_SIZE, F.lit(0)).cast("double") / CHUNK_STRIDE
+    ).cast("bigint")
+    chunks = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks_minus1)).alias("i"),
+        "t",
+    )
+    start = F.col("i") * CHUNK_STRIDE
+    chunk_len = F.least(F.lit(CHUNK_SIZE), F.size("t") - start.cast("int"))
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_id"),
+            start.alias("start_tok"),
+            chunk_len.cast("bigint").alias("chunk_tokens"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("t"), (start + 1).cast("int"), chunk_len), " "
+                )
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

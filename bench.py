@@ -56,6 +56,9 @@ HEADLINE = [
     "data_mix_allocation",
     "mix_sampled_corpus",
     "bm25_search",
+    "unigram_surprisal",
+    "chunk_overlapping",
+    "kmeans_embeddings",
 ]
 
 
