@@ -954,3 +954,86 @@ def percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+@register(
+    "window_range_rolling",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_no,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+      FROM orders WHERE o_custkey < 300)
+    SELECT o_custkey, o_orderkey, day_no,
+           CAST(SUM(price_cents) OVER (
+             PARTITION BY o_custkey ORDER BY day_no
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100 AS spend_30d
+    FROM o
+    ORDER BY o_custkey, day_no, o_orderkey
+    """,
+)
+def window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregate: per-customer trailing-30-day spend
+    — the *value*-range frame (all orders whose day_no falls in
+    [current-30, current]), as opposed to window_running's row frame.
+    The reference's spec has no frame clauses at all (SURVEY §2B
+    'Frame specs: absent'); this is the free Catalyst capability row.
+
+    Exactness: RANGE frames bound by a physical day-number column are
+    identical across engines (timestamp RANGE frames differ in type
+    coercion); money stays integer cents inside the frame sum.
+
+    Scale: one shuffle on o_custkey; the frame is evaluated with a
+    sliding two-pointer over the sorted partition — O(n) per key, no
+    re-scan per row. Frame width bounds state, not partition size.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    day_no = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        day_no.alias("day_no"),
+        cents("o_totalprice").alias("price_cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        base.select(
+            "o_custkey",
+            "o_orderkey",
+            "day_no",
+            (F.sum("price_cents").over(w).cast("double") / 100).alias("spend_30d"),
+        )
+        .orderBy("o_custkey", "day_no", "o_orderkey")
+    )
+
+
+@register("percentile_approx_sketch")
+def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path for percentiles: ``percentile_approx`` (Greenwald-
+    Khanna with accuracy 10000) per l_returnflag — the one-pass,
+    bounded-memory plan percentile_exact's docstring points to for
+    100 TB (exact percentile materializes each group; GK state is
+    O(accuracy) per group regardless of rows).
+
+    No SQL oracle: DuckDB's approx_quantile is a different sketch
+    (t-digest) with different outputs, and cross-checking two
+    approximations exactly is meaningless — the driver records the
+    rows-only check, and percentile_exact (same columns, exact math)
+    is the oracle-checked twin pinning the semantics.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
+                "price_quartiles"
+            ),
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_median"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -658,3 +658,87 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: Quantization scale for the pandas-UDF cosine path: embedding
+#: components become integer micro-units, so dot products and norms are
+#: exact int64 arithmetic in BOTH engines (numpy and DuckDB) and the
+#: only doubles are two sqrt's and one division at the end.
+_QUANT = 1_000_000
+
+
+@register(
+    "cosine_pandas_udf_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_QUANT}, 0) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id = 0),
+    quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_QUANT}, 0) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id > 0),
+    scored AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]))
+               AS dot_i,
+             list_sum(list_transform(v, x -> x * x)) AS n1_i,
+             list_sum(list_transform(qv, x -> x * x)) AS n2_i
+      FROM quant, q)
+    SELECT vec_id,
+           round(CAST(dot_i AS DOUBLE) / (sqrt(CAST(n1_i AS DOUBLE)) * sqrt(CAST(n2_i AS DOUBLE))), 6)
+             AS cos_sim
+    FROM scored
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def cosine_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 against a fixed query vector via a **vectorized
+    scalar pandas_udf** — the Arrow-batched UDF flavor (mapInPandas,
+    grouped applyInPandas, and applyInPandasWithState are exercised
+    elsewhere; this is the per-column one). The whole Arrow batch of
+    embeddings becomes one (batch × dim) int64 numpy matrix and one
+    matrix-vector product scores it — no per-row Python.
+
+    Exactness across engines despite numpy: components are quantized to
+    integer micro-units first, so dot and norms are exact int64 sums in
+    any summation order (numpy BLAS reduction order ≠ DuckDB's
+    sequential list_sum, which would diverge in the last ulp with
+    float accumulation — integers make order irrelevant).
+
+    Scale: narrow pass, no shuffle but the top-k heap; the UDF costs
+    one Arrow serialization of the embedding column each way — the
+    built-in `aggregate(zip_with(...))` twin (ann_cosine_topk) stays
+    JVM-side and is the default; this one exists for when the kernel
+    genuinely needs numpy (learned metrics, int8 SIMD, GPU hand-off).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q_i = np.rint(np.array(qvec, dtype=np.float64) * _QUANT).astype(np.int64)
+    qn_i = int(q_i @ q_i)
+
+    # no type hints: PEP-563 stringized annotations break pandas_udf's
+    # hint inspection; the eval type defaults to SCALAR.
+    @pandas_udf("double")
+    def cos_q(col):
+        m = np.rint(np.array(col.tolist(), dtype=np.float64) * _QUANT).astype(
+            np.int64
+        )
+        dot = m @ q_i
+        n1 = (m * m).sum(axis=1)
+        return pd.Series(
+            np.round(dot.astype(np.float64) / (np.sqrt(n1.astype(np.float64)) * np.sqrt(float(qn_i))), 6)
+        )
+
+    return (
+        e.filter(F.col("vec_id") > 0)
+        .select("vec_id", cos_q(F.col("embedding")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
