@@ -54,6 +54,26 @@ class TestJoinStrategy:
         assert t.count("BroadcastHashJoin") == 2
         assert "SortMergeJoin" not in t
 
+    def test_join_hints_respected(self, spark):
+        """SQL join hints steer the physical strategy: BROADCAST forces
+        a broadcast-hash join even where size stats wouldn't pick it;
+        MERGE forces sort-merge even for a broadcastable dim — the
+        escape hatches when stats mislead at 100 TB."""
+        from ai_etl_studio_spark.catalog import register_tables
+        from ai_etl_studio_spark.plans.guard import explain_str
+
+        register_tables(spark, SF_DIR, ("orders", "customer"))
+        bcast = spark.sql(
+            """SELECT /*+ BROADCAST(o) */ c_custkey, o_orderkey
+               FROM customer c JOIN orders o ON c_custkey = o_custkey"""
+        )
+        assert "BroadcastHashJoin" in explain_str(bcast, "formatted")
+        merged = spark.sql(
+            """SELECT /*+ MERGE(c) */ c_custkey, o_orderkey
+               FROM customer c JOIN orders o ON c_custkey = o_custkey"""
+        )
+        assert "SortMergeJoin" in explain_str(merged, "formatted")
+
 
 class TestTopK:
     def test_limit_is_take_ordered(self, spark):
