@@ -1037,3 +1037,53 @@ def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             ROUND(AVG(value), 6) AS mean_v,
+             ROUND(stddev_samp(value), 6) AS sd_v
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.mean_v) / s.sd_v, 6) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS((e.value - s.mean_v) / s.sd_v) > 3.0
+    ORDER BY e.event_id
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier gate: flag events more than 3σ from their
+    event-type mean — the cheap distributional anomaly filter every
+    ingest pipeline runs before training on telemetry.
+
+    Exactness: group mean/σ are rounded to 6dp FIRST (one-pass moment
+    accumulation differs across engines in the last ulp); the z-score
+    is then a deterministic scalar on rounded stats. avg(value) in
+    DuckDB matches Spark's avg at 6dp for these magnitudes (both
+    Welford-merge); contrast with money sums where we use exact cents.
+
+    Scale: stats agg is algebraic (tiny state) and its output is
+    |event_types| rows — broadcast back onto the stream; the filter is
+    narrow. Same shape works as a streaming foreachBatch gate with
+    stats from the previous batch window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("sd_v")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )

@@ -13,7 +13,7 @@ it all in whole-stage codegen, which these expressions do.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_etl_studio_spark.catalog import load_table
@@ -454,6 +454,86 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("tick").cast("double") / 1_000_000_000 / F.count(F.lit(1)), 6
             ).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "bigram_surprisal",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, CAST(i.i - 1 AS INT) AS pos, t[i.i] AS term
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+            FROM documents) d,
+           unnest(generate_series(1, len(d.t))) AS i(i)),
+    bigrams AS (
+      SELECT doc_id, term,
+             LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS next_term
+      FROM toks),
+    bg AS (SELECT doc_id, term, next_term FROM bigrams WHERE next_term IS NOT NULL),
+    uni AS (SELECT term, COUNT(*) AS cu FROM toks GROUP BY term),
+    bic AS (SELECT term, next_term, COUNT(*) AS cb FROM bg GROUP BY term, next_term),
+    vticks AS (
+      SELECT b.term, b.next_term,
+             CAST(round(ln(CAST(u.cu AS DOUBLE) / b.cb) * 1000000000, 0) AS BIGINT)
+               AS tick
+      FROM bic b JOIN uni u ON b.term = u.term)
+    SELECT g.doc_id, COUNT(*) AS n_bigrams,
+           round(CAST(SUM(v.tick) AS DOUBLE) / 1000000000 / COUNT(*), 6)
+             AS avg_bigram_surprisal
+    FROM bg g JOIN vticks v ON g.term = v.term AND g.next_term = v.next_term
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-surprisal scoring: −ln p(next|term) with MLE
+    probabilities trained on the corpus (cb/cu), averaged per doc —
+    one LM order above unigram_surprisal; low scores expose templated/
+    machine-generated text that unigram stats miss (common words in
+    common orders).
+
+    Shape: posexplode → per-doc lead() window forms the bigram stream;
+    unigram + bigram count tables train the model; a join scores the
+    stream. The bigram table is the big one — the scoring join
+    broadcasts here but shuffle-joins on (term, next_term) at corpus
+    scale (both sides pre-aggregated). Window partitions on doc_id —
+    parallelism = |docs|.
+
+    Exactness: per-bigram surprisal quantized once to integer
+    nano-ticks in the model table; per-doc sums are integer.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("next_term", F.lead("term").over(w))
+        .filter(F.col("next_term").isNotNull())
+        .select("doc_id", "term", "next_term")
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cu"))
+    bic = bg.groupBy("term", "next_term").agg(F.count(F.lit(1)).alias("cb"))
+    vticks = bic.join(uni, "term").select(
+        "term",
+        "next_term",
+        F.round(
+            F.log(F.col("cu").cast("double") / F.col("cb")) * 1_000_000_000, 0
+        )
+        .cast("bigint")
+        .alias("tick"),
+    )
+    return (
+        bg.join(F.broadcast(vticks), ["term", "next_term"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("tick").cast("double") / 1_000_000_000 / F.count(F.lit(1)), 6
+            ).alias("avg_bigram_surprisal"),
         )
         .orderBy("doc_id")
     )

@@ -59,6 +59,8 @@ HEADLINE = [
     "unigram_surprisal",
     "chunk_overlapping",
     "kmeans_embeddings",
+    "bigram_surprisal",
+    "anomaly_zscore",
 ]
 
 
