@@ -249,28 +249,11 @@ ORDER BY cluster_id
 """
 
 
-@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate cluster formation: connected components over the
-    MinHash-LSH candidate-pair graph via iterative min-label
-    propagation, then a per-cluster summary (canonical doc = min id —
-    the keep/drop decision a dedup pass actually emits).
-
-    Algorithm: labels start as each node's own id; each round every
-    node takes min(own, neighbors' labels); converged when no label
-    changes. Rounds ≤ graph diameter ≤ log₂(n) for LSH graphs in
-    practice; each round is one shuffle (join + groupBy-min).
-
-    Oracle-checked (upgraded from rows-only): the DuckDB twin computes
-    the transitive closure with a recursive CTE and takes MIN over the
-    reachable set — a different algorithm arriving at the same fixpoint,
-    so the check proves the propagation loop's convergence, not just
-    its shape.
-
-    Scale: this is the standard Spark connected-components shape
-    (large-star/small-star simplification); per-round checkpointing
-    breaks lineage growth on big graphs.
-    """
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels (node, label) over the MinHash-LSH
+    candidate-pair graph via iterative min-label propagation — shared by
+    dedup_clusters (cluster summary) and dedup_kept_corpus (the actual
+    keep/drop set)."""
     from ai_etl_studio_spark.operators import QUERIES
 
     pairs = (
@@ -322,6 +305,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster formation: connected components over the
+    MinHash-LSH candidate-pair graph via iterative min-label
+    propagation, then a per-cluster summary (canonical doc = min id —
+    the keep/drop decision a dedup pass actually emits).
+
+    Algorithm: labels start as each node's own id; each round every
+    node takes min(own, neighbors' labels); converged when no label
+    changes. Rounds ≤ graph diameter ≤ log₂(n) for LSH graphs in
+    practice; each round is one shuffle (join + groupBy-min).
+
+    Oracle-checked (upgraded from rows-only): the DuckDB twin computes
+    the transitive closure with a recursive CTE and takes MIN over the
+    reachable set — a different algorithm arriving at the same fixpoint,
+    so the check proves the propagation loop's convergence, not just
+    its shape.
+
+    Scale: this is the standard Spark connected-components shape
+    (large-star/small-star simplification); per-round checkpointing
+    breaks lineage growth on big graphs.
+    """
+    labels = _cc_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(
@@ -332,6 +341,74 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("cluster_id")
     )
+
+
+_KEPT_ORACLE = f"""
+WITH RECURSIVE pairs AS ({{pairs}}),
+edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+          UNION SELECT doc_id_2, doc_id_1 FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+),
+drops AS (SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node)
+SELECT d.lang, d.source,
+       COUNT(*) AS kept_docs,
+       SUM(len(string_split_regex(lower(d.text), '\\s+'))) AS kept_tokens
+FROM documents d ANTI JOIN drops ON d.doc_id = drops.node
+GROUP BY d.lang, d.source
+ORDER BY d.lang, d.source
+"""
+
+
+@register("dedup_kept_corpus")
+def dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup pipeline END TO END: shingle → MinHash → LSH
+    candidate pairs → connected components → drop every non-canonical
+    cluster member → per-(lang, source) inventory of the KEPT corpus —
+    i.e. the dataset a training run would actually consume, not just
+    the intermediate pair/cluster artifacts (which dedup_minhash_*/
+    dedup_clusters pin individually).
+
+    Oracle: registered at import time below (the oracle composes the
+    pair-generation SQL, which registers after this module loads).
+    The DuckDB twin recomputes the drop set via a recursive-CTE
+    transitive closure — a different CC algorithm reaching the same
+    fixpoint.
+
+    Scale: the anti join broadcasts the drop set (|near-dups| ≪
+    |corpus|); everything upstream is the documented LSH/CC pipeline.
+    The final inventory is one partial-agg'd groupBy.
+    """
+    labels = _cc_labels(spark, sf_dir)
+    drops = labels.filter(F.col("label") != F.col("node")).select("node")
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.join(F.broadcast(drops), d.doc_id == drops.node, "left_anti")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(F.size(F.split(F.lower(F.col("text")), r"\s+"))).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _register_kept_oracle() -> None:
+    from ai_etl_studio_spark.operators import ORACLES
+
+    ORACLES["dedup_kept_corpus"] = " ".join(
+        _KEPT_ORACLE.format(
+            pairs=ORACLES["dedup_minhash_lsh_pairs"].rsplit(" ORDER BY ", 1)[0]
+        ).split()
+    )
+
+
+_register_kept_oracle()
 
 
 DECON_N = 8  # contamination n-gram width (industry range 8-13)

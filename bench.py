@@ -61,6 +61,7 @@ HEADLINE = [
     "kmeans_embeddings",
     "bigram_surprisal",
     "anomaly_zscore",
+    "dedup_kept_corpus",
 ]
 
 
