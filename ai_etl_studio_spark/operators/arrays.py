@@ -261,3 +261,76 @@ def posexplode_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "pos")
     )
+
+
+@register(
+    "map_struct_functions",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(k_val) AS BIGINT) AS sum_k,
+           CAST(SUM(n_keys) AS BIGINT) AS sum_nkeys,
+           MAX(first_key) AS max_first_key,
+           CAST(SUM(2 * k_val) AS BIGINT) AS sum_2k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               1 AS n_keys,
+               'k' AS first_key
+        FROM events
+    ) t
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def map_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType / StructType surface: from_json to map<string,bigint>,
+    element_at, size, map_keys, map_from_arrays, and struct field
+    access — the semi-structured column toolkit (SURVEY §2B scalar row
+    names json access as the extension; the reference never parses
+    props, db_utils.py:165 ships rows opaque).
+
+    The oracle computes the same final scalars via DuckDB json
+    functions, so the hash verifies Spark's map path end to end.
+
+    Scale: all narrow codegen'd expressions before one hash-agg
+    shuffle on event_type — from_json runs once per row (Jackson,
+    JVM-side), never a Python UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "map<string,bigint>").alias("m"),
+    ).select(
+        "event_type",
+        F.element_at("m", F.lit("k")).alias("k_val"),
+        F.size("m").alias("n_keys"),
+        F.element_at(F.map_keys("m"), 1).alias("first_key"),
+        F.struct(F.col("m").alias("inner")).alias("s"),
+    )
+    doubled = parsed.select(
+        "event_type",
+        "k_val",
+        "n_keys",
+        "first_key",
+        F.map_from_arrays(
+            F.array(F.lit("double_k")),
+            F.array(F.element_at(F.col("s.inner"), F.lit("k")) * 2),
+        ).alias("m2"),
+    ).select(
+        "event_type",
+        "k_val",
+        "n_keys",
+        "first_key",
+        F.element_at("m2", F.lit("double_k")).alias("k2"),
+    )
+    return (
+        doubled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k_val").alias("sum_k"),
+            F.sum("n_keys").cast("bigint").alias("sum_nkeys"),
+            F.max("first_key").alias("max_first_key"),
+            F.sum("k2").alias("sum_2k"),
+        )
+        .orderBy("event_type")
+    )

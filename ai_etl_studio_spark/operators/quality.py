@@ -481,3 +481,54 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "length_band_filter",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(n_chars, 0.05) AS lo,
+               quantile_cont(n_chars, 0.95) AS hi
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars >= lo AND n_chars <= hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(AVG(CASE WHEN n_chars >= lo AND n_chars <= hi
+                          THEN 1.0 ELSE 0.0 END), 6) AS kept_share
+    FROM documents, b
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band length filter: drop the shortest 5% and longest
+    5% of documents (exact interpolated percentiles), report kept
+    share per source — the standard outlier-length gate in a corpus
+    cleaning pass.
+
+    Exactness: Spark ``percentile`` and DuckDB ``quantile_cont`` both
+    linearly interpolate at rank (n-1)*q over integer n_chars, so the
+    band edges agree bit-for-bit (cf. percentile_exact).
+
+    Scale: one global agg reduced to a 1-row bounds relation,
+    broadcast back over the corpus (no sort of the full data, no
+    second shuffle); the per-source rollup is the only exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.percentile("n_chars", 0.05).alias("lo"),
+        F.percentile("n_chars", 0.95).alias("hi"),
+    )
+    in_band = (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))
+    return (
+        d.join(F.broadcast(bounds))
+        .withColumn("keep", in_band.cast("int"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+            F.round(F.avg(F.col("keep").cast("double")), 6).alias("kept_share"),
+        )
+        .orderBy("source")
+    )

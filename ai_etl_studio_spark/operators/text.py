@@ -537,3 +537,48 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "levenshtein_nearest",
+    oracle="""
+    SELECT name_a, name_b AS nearest, dist
+    FROM (
+        SELECT a.n_name AS name_a,
+               b.n_name AS name_b,
+               levenshtein(a.n_name, b.n_name) AS dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.n_name
+                   ORDER BY levenshtein(a.n_name, b.n_name), b.n_name
+               ) AS rn
+        FROM nation a
+        JOIN nation b ON a.n_name <> b.n_name
+    ) t
+    WHERE rn = 1
+    ORDER BY name_a
+    """,
+)
+def levenshtein_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: for every nation name, the nearest other
+    name by edit distance (tie-broken by name). The primitive under
+    entity resolution / typo-tolerant joins — absent from the
+    reference (string equality only, prompts.py:120), present in both
+    engines as a built-in (F.levenshtein), so oracle-exact.
+
+    Scale: self-join on a dimension table — broadcast the right side;
+    for large entity tables you'd pre-block (first-letter / length
+    band / phonetic bucket) before any pairwise distance, exactly as
+    dedup_minhash_lsh_pairs blocks before Jaccard."""
+    names = load_table(spark, sf_dir, "nation").select("n_name")
+    a = names.select(F.col("n_name").alias("name_a"))
+    b = names.select(F.col("n_name").alias("name_b"))
+    pairs = a.join(
+        F.broadcast(b), F.col("name_a") != F.col("name_b"), "inner"
+    ).withColumn("dist", F.levenshtein("name_a", "name_b"))
+    w = Window.partitionBy("name_a").orderBy("dist", "name_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("name_a", F.col("name_b").alias("nearest"), "dist")
+        .orderBy("name_a")
+    )
