@@ -212,19 +212,27 @@ def join_3way_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-hop join through a bridge table (prompts.py:49-51 —
     sales → purchase_order → promotion maps to lineitem → orders → customer).
 
-    Scale: the lineitem⋈orders fact-fact join shuffles both sides on
-    orderkey; customer then broadcasts. Aggregating AFTER the join is
-    correct here because the group key (custkey) only exists post-join;
-    Catalyst still does partial aggregation before the final shuffle.
+    Scale: partial-aggregation pushdown below the join — lineitem is
+    reduced to one exact-cents row per orderkey BEFORE meeting orders
+    (integer cent sums are associative, so regrouping is lossless;
+    cf. functions/exact.py). Catalyst does NOT do this rewrite itself:
+    without it the fact-fact join shuffles every lineitem row; with it
+    the orderkey shuffle carries ~|orders| pre-combined rows, and the
+    groupBy's output partitioning is reused by the join (one exchange
+    feeds both). Customer then broadcasts, and the custkey rollup
+    re-aggregates the per-order cents.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(net_cents()).alias("order_cents")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(csum(net_cents()).alias("total_spent"))
+        .agg((F.sum("order_cents").cast("double") / 100).alias("total_spent"))
         .orderBy(F.desc("total_spent"), "c_custkey")
         .limit(100)
     )

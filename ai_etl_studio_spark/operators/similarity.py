@@ -540,7 +540,14 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     KMeans — cost is iters × (scan + tiny shuffle); nothing grows with
     data but the scan.
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # localCheckpoint: the driver loop triggers KMEANS_ITERS+1 actions
+    # over this relation — materialize the (small) projected scan once
+    # instead of re-reading parquet every round.
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
 
     # init: K lowest-id vectors (deterministic, no RNG)
     init_rows = e.orderBy("vec_id").limit(KMEANS_K).collect()

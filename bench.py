@@ -62,6 +62,7 @@ HEADLINE = [
     "bigram_surprisal",
     "anomaly_zscore",
     "dedup_kept_corpus",
+    "length_band_filter",
 ]
 
 
