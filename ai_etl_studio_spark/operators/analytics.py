@@ -1087,3 +1087,54 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM d) AS INT) AS yr,
+           CAST(EXTRACT(month FROM d) AS INT) AS mon,
+           CAST(EXTRACT(quarter FROM d) AS INT) AS qtr,
+           CAST(isodow(d) AS INT) AS iso_dow,
+           CAST(d + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           last_day(d) AS month_end,
+           CAST(date_trunc('week', d) AS DATE) AS week_start,
+           CAST(d - DATE '1995-01-01' AS INT) AS days_since_1995
+    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders) t
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function breadth over o_orderdate: extract fields,
+    ISO weekday, month arithmetic with end-of-month clamping
+    (add_months ≡ DuckDB date + INTERVAL), last_day, week truncation,
+    day difference. Extends the reference's two date functions
+    (DATEDIFF/CURDATE, prompts.py:109,121 → scalar_datediff) to the
+    surface a time-partitioned pipeline actually uses.
+
+    Cross-engine notes: Spark weekday() is Monday=0 → +1 = isodow;
+    both engines clamp month addition to month end; week truncation is
+    ISO-Monday in both.
+
+    Scale: pure narrow codegen'd projection — the shape of a derive-
+    partition-columns pass before a partitioned write."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.to_date("o_orderdate")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year(d).alias("yr"),
+            F.month(d).alias("mon"),
+            F.quarter(d).alias("qtr"),
+            (F.weekday(d) + 1).alias("iso_dow"),
+            F.add_months(d, 3).alias("plus_3m"),
+            F.last_day(d).alias("month_end"),
+            F.date_trunc("week", d).cast("date").alias("week_start"),
+            F.datediff(d, F.lit("1995-01-01").cast("date")).alias(
+                "days_since_1995"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )

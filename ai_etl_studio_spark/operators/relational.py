@@ -723,3 +723,50 @@ def nl2sql_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, TemplateGenerator(), "What is the revenue by nation?"
     )
     return result.presentation(spark)
+
+
+@register(
+    "except_intersect_all",
+    oracle="""
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+         ex AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b),
+         ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+    SELECT op, o_custkey, n FROM (
+        SELECT 'except_all' AS op, o_custkey, COUNT(*) AS n
+        FROM ex GROUP BY o_custkey
+        UNION ALL
+        SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS n
+        FROM ia GROUP BY o_custkey
+    ) t
+    ORDER BY op, o_custkey
+    LIMIT 200
+    """,
+)
+def except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations: EXCEPT ALL / INTERSECT ALL between two
+    filtered projections of orders, with per-key multiplicity counts.
+    Completes the §2B set-operation row (UNION/UNION ALL/INTERSECT/
+    EXCEPT already pinned) with the bag-semantics variants the
+    reference's MySQL 5.7 target could not express at all.
+
+    Scale: Catalyst plans both as a single shuffle on the full row
+    (hash-partition + per-partition counting join) — no driver-side
+    materialization; the trailing total-order LIMIT is
+    TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_custkey", "n")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_custkey", "n")
+    )
+    return ex.union(ia).orderBy("op", "o_custkey").limit(200)
