@@ -84,6 +84,25 @@ class TestTopK:
         t = tree(spark, "agg_pricing_summary")
         assert t.count("HashAggregate") == 2  # partial + final
 
+    def test_bridge_join_aggregates_below_join(self, spark):
+        """join_3way_bridge's hand rewrite: lineitem reduces to per-order
+        cents BEFORE the join (Catalyst never does this itself), so the
+        plan carries exactly two hash-partition exchanges — the orderkey
+        agg and the custkey agg — and four HashAggregate nodes
+        (partial+final × 2)."""
+        t = tree(spark, "join_3way_bridge")
+        assert t.count("HashAggregate") == 4
+        assert t.count("Exchange") - t.count("BroadcastExchange") == 2
+
+    def test_length_band_bounds_broadcast(self, spark):
+        """length_band_filter computes the 1-row percentile bounds and
+        broadcasts them back over the corpus (BroadcastNestedLoopJoin on
+        a single-row build side) — no sort or second scan-wide shuffle;
+        the per-source rollup is the only hash exchange of corpus rows."""
+        t = tree(spark, "length_band_filter")
+        assert "BroadcastNestedLoopJoin" in t
+        assert t.count("Scan parquet") == 2  # corpus + bounds, no third scan
+
 
 class TestReadOnlyGuardPlans:
     @pytest.mark.parametrize(
