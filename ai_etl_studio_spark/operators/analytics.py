@@ -53,21 +53,27 @@ def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference for ('Top 3 customers per store', prompts.py:113-118) that
     it emulated with MySQL user variables (error_query.sql:4-16).
 
-    Scale: agg shuffles on (n_name, custkey); the window then re-shuffles
-    on n_name only. 25 nations → skew risk at huge SF; AQE skew-join
-    handles it, or pre-aggregate (as done here) so the window input is
-    |customers|, not |lineitem|.
+    Scale: lineitem first reduces to exact cents per orderkey (aggregate
+    pushdown below the join — integer sums regroup losslessly, cf.
+    join_3way_bridge/SCALE.md), so the orderkey shuffle carries
+    ~|orders| rows, never raw lineitem. The (n_name, custkey) rollup and
+    the n_name window follow on that reduced relation; 25 nations →
+    window-partition skew risk at huge SF, but its input is already only
+    |customers| rows.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(net_cents()).alias("order_cents")
+    )
     spend = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", "c_custkey", "c_name")
-        .agg(csum(net_cents()).alias("total_spent"))
+        .agg((F.sum("order_cents").cast("double") / 100).alias("total_spent"))
     )
     w = Window.partitionBy("n_name").orderBy(F.desc("total_spent"), F.asc("c_custkey"))
     return (
@@ -1137,4 +1143,85 @@ def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "string_agg_ordered",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_suppliers,
+           string_agg(s_name, ',' ORDER BY s_name) AS supplier_list
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL LISTAGG / string_agg WITHIN
+    GROUP): comma-joined sorted supplier names per nation. Spark has no
+    ordered listagg aggregate, so the deterministic form is
+    collect_list → array_sort → array_join — same result as the
+    oracle's ORDER BY clause, independent of row arrival order.
+
+    Scale: collect_list state grows with group size — fine for
+    dimension rollups, a deliberate anti-pattern on fact tables (use
+    top-k truncation or a sample before materializing per-group
+    lists)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "supplier_list"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "boolean_linreg_agg",
+    oracle="""
+    SELECT event_type,
+           count_if(value > 10) AS n_big,
+           bool_and(value > 0) AS all_pos,
+           bool_or(value > 100) AS any_huge,
+           ROUND(regr_slope(value, CAST(user_id AS DOUBLE)), 6) AS slope,
+           ROUND(regr_intercept(value, CAST(user_id AS DOUBLE)), 6) AS intercept,
+           ROUND(regr_r2(value, CAST(user_id AS DOUBLE)), 6) AS r2
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def boolean_linreg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (count_if / bool_and / bool_or) and linear-
+    regression aggregates (regr_slope / intercept / r2) per event type
+    — the drift-detection profile of a feature pipeline, all algebraic
+    single-pass aggregates in both engines.
+
+    Exactness: regr_* use the same stable co-moment merges as
+    corr/covar (cf. stats_agg); 6dp rounding absorbs accumulation-order
+    noise.
+
+    Scale: constant-size partial state per group — shuffle carries
+    5 groups × a handful of doubles."""
+    e = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 10).alias("n_big"),
+            F.bool_and(F.col("value") > 0).alias("all_pos"),
+            F.bool_or(F.col("value") > 100).alias("any_huge"),
+            F.round(F.regr_slope(F.col("value"), u), 6).alias("slope"),
+            F.round(F.regr_intercept(F.col("value"), u), 6).alias("intercept"),
+            F.round(F.regr_r2(F.col("value"), u), 6).alias("r2"),
+        )
+        .orderBy("event_type")
     )
