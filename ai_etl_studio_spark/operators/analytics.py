@@ -276,7 +276,7 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) OVER (
              PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) / 100 AS running_qty
     FROM lineitem
@@ -287,11 +287,19 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-total frame spec (Window.rowsBetween — 'available free',
     SURVEY §2B frame-specs row): cumulative quantity per supplier in
     ship-date order. Exact decimal accumulation, total tie-broken order.
+
+    Tie-break note: (l_orderkey, l_linenumber) is NOT unique in the
+    synthetic testdata (~118k duplicate pairs at sf0.1, including one
+    duplicated (suppkey, shipdate, orderkey, linenumber) group), so
+    l_quantity joins the ORDER BY — within a residual tie group the
+    summand is then constant, making the prefix-sum MULTISET order-free
+    even when engines permute the tied rows. Caught by the sf0.1 oracle
+    sweep; sf0.01 never collides.
     """
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(

@@ -84,7 +84,7 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST({NET} AS DOUBLE) / 100 AS net_price,
            CAST(CAST(round(l_extendedprice * l_tax * 100, 0) AS BIGINT) AS DOUBLE) / 100 AS tax_amount
     FROM lineitem
-    ORDER BY net_price DESC, l_orderkey, l_linenumber
+    ORDER BY net_price DESC, l_orderkey, l_linenumber, tax_amount
     LIMIT 100
     """,
 )
@@ -103,7 +103,10 @@ def projection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
             (net_cents().cast("double") / 100).alias("net_price"),
             (tax_cents.cast("double") / 100).alias("tax_amount"),
         )
-        .orderBy(F.desc("net_price"), "l_orderkey", "l_linenumber")
+        # (l_orderkey, l_linenumber) is not unique in the synthetic data;
+        # tax_amount completes the total order so the LIMIT boundary is
+        # engine-independent (all four output columns are then ordered).
+        .orderBy(F.desc("net_price"), "l_orderkey", "l_linenumber", "tax_amount")
         .limit(100)
     )
 
