@@ -1233,3 +1233,116 @@ def boolean_linreg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "window_fill_forward",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(purchase_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_purchase_value,
+           lag(purchase_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_purchase_value
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+      FROM events WHERE user_id < 50
+    ) e
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation — last_value as forward-fill
+    (carry each user's most recent purchase value onto every later
+    event; THE sparse-to-dense gap-fill primitive) and lag as
+    previous-non-null lookback. Spark SQL spells it
+    `last_value(x) IGNORE NULLS`, DuckDB `last_value(x IGNORE NULLS)`
+    — same semantics, oracle-exact since values are compared raw
+    (no arithmetic).
+
+    Scale: one shuffle on user_id, one sort per partition serves both
+    frames; running-frame last_value streams (no window buffering).
+    """
+    from ai_etl_studio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               last_value(purchase_value) IGNORE NULLS OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_purchase_value,
+               lag(purchase_value) IGNORE NULLS OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_purchase_value
+        FROM (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+          FROM events WHERE user_id < 50
+        ) e
+        ORDER BY user_id, ts, event_id
+        """
+    )
+
+
+@register(
+    "pct_of_total",
+    oracle="""
+    WITH per AS (
+      SELECT n_name,
+             SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS cents
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    ),
+    tot AS (
+      SELECT SUM(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS tcents
+      FROM supplier
+    )
+    SELECT n_name,
+           CAST(cents AS DOUBLE) / 100 AS nation_balance,
+           CAST(cents AS DOUBLE) / CAST(tcents AS DOUBLE) AS share
+    FROM per, tot
+    WHERE cents * 25 > tcents
+    ORDER BY share DESC, n_name
+    """,
+)
+def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total with a share threshold (the TPC-H Q11 shape:
+    group value vs a fraction of the global total). Exactness: the
+    threshold compares INTEGERS (cents·25 > total-cents — no float
+    epsilon at the cut), and the reported share is one IEEE division
+    of exact int64 sums.
+
+    Scale: the global total is NOT derived from the per-group relation
+    (Spark would replan that whole subtree — subplan reuse is your
+    job, SCALE.md): the FK join preserves every supplier row, so the
+    total falls out of a second NARROW scan of supplier alone, which
+    collapses to one row and broadcasts over the per-nation rollup.
+    The dim join broadcasts nation; the only hash exchange carries
+    |nations| pre-combined rows.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("s_acctbal") * 100, 0).cast("bigint")
+    per = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    tot = s.agg(F.sum(cents).alias("tcents"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("cents") * 25 > F.col("tcents"))
+        .select(
+            "n_name",
+            (F.col("cents").cast("double") / 100).alias("nation_balance"),
+            (F.col("cents").cast("double") / F.col("tcents").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("share"), "n_name")
+    )

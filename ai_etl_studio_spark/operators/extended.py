@@ -610,3 +610,69 @@ def exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@register(
+    "bitwise_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           bit_and(o_orderkey) AS key_and,
+           bit_or(o_orderkey) AS key_or,
+           bit_xor(o_orderkey) AS key_xor
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (BIT_AND/BIT_OR/BIT_XOR) — commutative,
+    associative, fixed-width state, so they partial-aggregate
+    perfectly (shuffle carries one int64 per group per partition).
+    The classic uses at scale: set-membership fingerprints, permission
+    masks, and XOR-checksumming a column across reshards. Absent from
+    the reference's surface (aggregate list at prompts.py:66)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_and("o_orderkey").alias("key_and"),
+            F.bit_or("o_orderkey").alias("key_or"),
+            F.bit_xor("o_orderkey").alias("key_xor"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "hash_functions",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           md5(concat_ws('|', c_name, c_mktsegment)) AS row_fingerprint
+    FROM customer
+    ORDER BY c_custkey
+    LIMIT 100
+    """,
+)
+def hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash surface (MD5 / SHA-256) — row fingerprinting,
+    change detection, PII pseudonymization. Standardized outputs, so
+    byte-identical across engines; concat_ws with an unambiguous
+    separator is the multi-column fingerprint idiom (cf. the dedup
+    family, which builds all its keys on md5)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.md5("c_name").alias("name_md5"),
+            F.sha2("c_name", 256).alias("name_sha256"),
+            F.md5(F.concat_ws("|", "c_name", "c_mktsegment")).alias(
+                "row_fingerprint"
+            ),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )

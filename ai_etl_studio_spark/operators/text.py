@@ -582,3 +582,174 @@ def levenshtein_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", F.col("name_b").alias("nearest"), "dist")
         .orderBy("name_a")
     )
+
+
+@register(
+    "stopword_pruned_corpus",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ),
+    freq AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(toks) AS tok FROM toks) u
+      GROUP BY tok
+      ORDER BY c DESC, tok
+      LIMIT 10
+    ),
+    topk AS (SELECT list(tok ORDER BY tok) AS topk FROM freq)
+    SELECT doc_id,
+           array_to_string(list_filter(toks, t -> NOT list_contains(topk, t)), ' ') AS pruned_text,
+           len(toks) - len(list_filter(toks, t -> NOT list_contains(topk, t))) AS n_removed
+    FROM toks, topk
+    ORDER BY doc_id
+    """,
+)
+def stopword_pruned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword pruning: find the global top-10 most
+    frequent tokens, remove them from every document, and reassemble
+    the text in original token order (the data-driven variant of
+    fixed-list stopword removal a training pipeline applies before
+    n-gram dedup/fingerprinting). New capability vs the reference
+    (string equality only, prompts.py:120).
+
+    Scale: the corpus is NEVER shuffled and NEVER exploded into a
+    (doc, pos, token) relation for reassembly. One aggregation reduces
+    the corpus to a 10-token vocabulary (partial+final hash agg over
+    exploded tokens — shuffle width = |vocab|), which collapses to a
+    ONE-ROW array and broadcasts back over the scan (the
+    broadcast-bounds pattern, cf. length_band_filter). Pruning +
+    reassembly are then per-row codegen'd higher-order functions
+    (filter + array_join) — embarrassingly parallel, order preserved
+    for free because tokens never leave their row. The explode feeding
+    the vocabulary agg carries only tokens, not documents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks")
+    )
+    topk = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(10)
+        .agg(F.array_sort(F.collect_list("tok")).alias("topk"))
+    )
+    kept = F.filter("toks", lambda t: ~F.array_contains(F.col("topk"), t))
+    return (
+        toks.crossJoin(F.broadcast(topk))
+        .select("doc_id", kept.alias("kept"), F.size("toks").alias("n_toks"))
+        .select(
+            "doc_id",
+            F.array_join("kept", " ").alias("pruned_text"),
+            (F.col("n_toks") - F.size("kept")).cast("long").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "collocation_pmi",
+    oracle=r"""
+    WITH toks AS (
+      SELECT string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+      WHERE len(string_split_regex(lower(text), '\s+')) >= 2
+    ),
+    pos AS (
+      SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM toks
+    ),
+    bc AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2, COUNT(*) AS n_xy
+      FROM pos GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(toks) AS tok FROM toks) u GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM bc)
+    SELECT w1 || ' ' || w2 AS bigram, n_xy, u1.c AS n_x, u2.c AS n_y,
+           CAST(n_xy * n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+    FROM bc, tot
+    JOIN uni u1 ON bc.w1 = u1.tok
+    JOIN uni u2 ON bc.w2 = u2.tok
+    WHERE n_xy >= 3
+    ORDER BY lift DESC, bigram
+    LIMIT 50
+    """,
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by association lift
+    n(xy)·N / (n(x)·n(y)) — exp(PMI) — with a minimum-support gate.
+    The phrase-discovery primitive (tokenizer vocab induction, quality
+    signals for keyboard-mash detection). New vs the reference.
+
+    Determinism: the score is ONE IEEE division of two exactly-known
+    int64 products — no cross-row float accumulation, no log — so it is
+    bit-identical across engines and partitionings (the SCALE.md
+    integer-ticks discipline; log-PMI would hit libm rounding drift).
+    At web scale n_xy·N can overflow int64 (~1e12 × 1e13): divide in
+    double or rank by (log n_xy + log N − log n_x − log n_y) with a
+    tolerance band there; at bench scale integers are exact and the
+    oracle verifies them.
+
+    Scale: bigrams are born per-row with a codegen'd index transform
+    (no explode-and-self-join on position — that would shuffle the
+    corpus on doc_id). Two token-width aggregations (bigram + unigram
+    counts, both partial+final), then the unigram vocabulary —
+    orders of magnitude smaller than the corpus — broadcasts onto the
+    bigram counts twice; the 1-row total N broadcasts likewise. The
+    final top-50 is TakeOrderedAndProject (per-task heaps).
+    Skew note: hyper-frequent unigrams are fine (broadcast side), but a
+    pathological single repeated bigram concentrates in one reducer —
+    partial aggregation already combines it map-side.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.lower(F.col("text")), r"\s+").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    # uni feeds BOTH join sides (w1 and w2); without materialization
+    # Spark replans the whole explode+shuffle subtree twice (SCALE.md:
+    # subplan reuse is your job) — localCheckpoint computes the
+    # vocabulary once and both broadcasts build from it.
+    uni = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    # N = Σ n_xy, but summing bc would likewise replan the bigram
+    # subtree; each doc contributes exactly size(toks)-1 bigrams, so N
+    # falls out of one narrow scan-level aggregation instead.
+    tot = toks.agg(F.sum(F.size("toks") - 1).alias("n"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("n_x"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("n_y"))
+    return (
+        bc.filter(F.col("n_xy") >= 3)
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "n_xy",
+            "n_x",
+            "n_y",
+            (
+                (F.col("n_xy") * F.col("n")).cast("double")
+                / (F.col("n_x") * F.col("n_y")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "bigram")
+        .limit(50)
+    )

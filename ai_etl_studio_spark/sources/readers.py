@@ -1,4 +1,4 @@
-"""Readers: parquet (default), csv, json, jdbc.
+"""Readers: parquet (default), csv, json, orc, jdbc, binaryFile.
 
 The reference's only sources were live PostgreSQL/MySQL connections
 (db_utils.py:119-165). Here parquet over a data lake is the primary
@@ -67,3 +67,22 @@ def read_jdbc(
             .option("numPartitions", str(num_partitions))
         )
     return reader.load()
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """binaryFile source — the multimodal ingestion path: each file
+    becomes one row (path, modificationTime, length, content BINARY),
+    ready for the Arrow-batched decode pipeline (operators/multimodal.py).
+
+    Scale: files are distributed across tasks by size
+    (maxPartitionBytes); pair with ``pathGlobFilter`` so selection
+    happens at listing time, never by reading content. Payload bytes
+    stay columnar in the scan — project metadata columns only and the
+    content column is never materialized (column pruning applies to
+    binary like any other column)."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -63,6 +63,8 @@ HEADLINE = [
     "anomaly_zscore",
     "dedup_kept_corpus",
     "length_band_filter",
+    "stopword_pruned_corpus",
+    "collocation_pmi",
 ]
 
 

@@ -104,6 +104,31 @@ class TestTopK:
         assert t.count("Scan parquet") == 2  # corpus + bounds, no third scan
 
 
+
+    def test_stopword_prune_broadcast_vocab(self, spark):
+        """stopword_pruned_corpus reduces the corpus to a 1-row top-K
+        vocabulary array and broadcasts it back over the scan; pruning +
+        reassembly are per-row higher-order functions. Exactly two
+        corpus scans (vocabulary pass + prune pass), never a corpus
+        shuffle for reassembly."""
+        t = tree(spark, "stopword_pruned_corpus")
+        assert "BroadcastNestedLoopJoin" in t
+        assert t.count("Scan parquet") == 2
+
+    def test_collocation_joins_broadcast(self, spark):
+        """collocation_pmi joins the bigram counts against the unigram
+        vocabulary (twice) and the 1-row total via broadcast only — the
+        corpus-width data never sort-merge-joins — and the top-50 is a
+        per-task heap, not a global sort."""
+        t = tree(spark, "collocation_pmi")
+        assert "SortMergeJoin" not in t
+        assert t.count("BroadcastHashJoin") == 2
+        assert "TakeOrderedAndProject" in t
+        # bigram pipeline + narrow total: the unigram vocabulary is
+        # localCheckpoint'ed, so it does NOT re-scan the corpus per side
+        assert t.count("Scan parquet") == 2
+
+
 class TestReadOnlyGuardPlans:
     @pytest.mark.parametrize(
         "sql",
@@ -233,6 +258,24 @@ class TestBucketing:
         sel.write.mode("overwrite").json(json_path)
         back_j = read_json(spark, json_path, schema)
         assert sorted(map(str, back_j.collect())) == sorted(map(str, sel.collect()))
+
+    def test_binary_file_source(self, spark, tmp_path):
+        """binaryFile source: one row per file with (path, length,
+        content) — the multimodal ingestion path. Glob filtering happens
+        at listing time; metadata-only projection never touches bytes."""
+        from ai_etl_studio_spark.sources.readers import read_binary_files
+
+        payloads = {f"img_{i}.bin": bytes([i]) * (10 + i) for i in range(5)}
+        (tmp_path / "skip.txt").write_text("not matched by glob")
+        for name, blob in payloads.items():
+            (tmp_path / name).write_bytes(blob)
+
+        df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+        rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+        assert set(rows) == set(payloads)
+        for name, blob in payloads.items():
+            assert rows[name].length == len(blob)
+            assert bytes(rows[name].content) == blob
 
     def test_orc_round_trip_partitioned(self, spark, tmp_path):
         """ORC sink/reader preserves rows; partitioned ORC write yields

@@ -2,7 +2,8 @@
 entry() smoke, every queries() entry vs its oracle_sql() twin in DuckDB
 (row count + column names + order-insensitive exact value compare).
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [sf_dir] [query_name ...]
+(query names, if given, restrict the sweep — entry() still runs)
 """
 
 from __future__ import annotations
@@ -46,6 +47,13 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     q_map, o_map = mod.queries(), mod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(q_map)
+        if unknown:
+            print("UNKNOWN:", sorted(unknown))
+            return 1
+        q_map = {k: v for k, v in q_map.items() if k in only}
     fails = []
     for name in sorted(q_map):
         t1 = time.time()
