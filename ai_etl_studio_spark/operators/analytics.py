@@ -1346,3 +1346,49 @@ def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("share"), "n_name")
     )
+
+
+@register(
+    "window_distinct_count",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           count(DISTINCT user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 49 PRECEDING AND CURRENT ROW
+           ) AS uniq_users_50
+    FROM events
+    WHERE user_id < 200
+    ORDER BY event_type, ts, event_id
+    """,
+)
+def window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregate over a window — rolling unique-user count per
+    event type over the trailing 50 rows (the live audience-breadth /
+    bot-burst signal). Spark rejects count(DISTINCT) OVER outright;
+    the Spark-native spelling is size(collect_set() OVER) — identical
+    semantics, verified against DuckDB's native distinct-window form.
+
+    Exactness: set cardinality of exact int64 keys — no floats.
+
+    Scale: one shuffle on event_type, one sort serves the frame. The
+    frame is row-bounded (50), so per-row set state is small and the
+    window streams; an UNBOUNDED variant would instead want the
+    dense_rank-max trick (running distinct = max over running ranks)
+    to keep state O(1). Tie-break (ts, event_id) makes the frame
+    boundary — hence the count — deterministic under any partitioning.
+    """
+    from ai_etl_studio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("events",))
+    e = spark.table("events").filter(F.col("user_id") < 200)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.size(F.collect_set("user_id").over(w)).cast("long").alias("uniq_users_50"),
+    ).orderBy("event_type", "ts", "event_id")

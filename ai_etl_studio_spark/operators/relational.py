@@ -874,3 +874,245 @@ def correlated_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "min_cost_per_part",
+    oracle="""
+    SELECT DISTINCT p_partkey, p_name, s_name, l_extendedprice AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE l_extendedprice = (
+      SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey
+    )
+    ORDER BY p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def min_cost_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-supplier-per-part (the TPC-H Q2 shape: rows equal to a
+    correlated MIN over their key, keeping ALL tied suppliers). The
+    oracle spells it as the classic correlated scalar-MIN subquery.
+
+    Exactness: the min is compared with raw-double EQUALITY — no
+    arithmetic on either side, so both engines pick identical rows.
+
+    Scale: NOT agg-then-self-join (two shuffles of lineitem on
+    partkey). A window MIN over partkey gets the per-part floor in the
+    SAME shuffle that the filter consumes — lineitem moves once, then
+    the survivors (|parts|-ish rows) broadcast-join the part and
+    supplier dims. DISTINCT collapses tied lines of one supplier; its
+    shuffle carries only the filtered rows.
+    """
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey")
+    cheapest = (
+        l.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .select("l_partkey", "l_suppkey", "min_price")
+        .distinct()
+    )
+    return (
+        cheapest.join(F.broadcast(p), cheapest.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), cheapest.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "min_price")
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "pending_returns_q21",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def pending_returns_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-blame supplier analysis (the TPC-H Q21 shape): returned
+    lines on finalized multi-supplier orders where this supplier is the
+    ONLY one with returns — EXISTS and NOT EXISTS correlated on the
+    SAME fact table with inequality correlation (l2.suppkey <> l1's).
+    Executed through spark.sql; identical SQL runs on DuckDB.
+
+    Scale: Catalyst de-correlates the pair into a left-semi and a
+    left-anti join, both keyed on l_orderkey — the same key the
+    l1⋈orders join shuffles on, so at scale all three hash exchanges
+    align (one lineitem repartitioning reused; orders' F-filter pushes
+    to its scan). Count-only aggregate partial-combines to |suppliers|
+    rows; supplier dim broadcasts.
+    """
+    from ai_etl_studio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+        """
+    )
+
+
+@register(
+    "lapsed_customers_q22",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100 / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100 AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def lapsed_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lapsed-but-wealthy customer rollup (the TPC-H Q22 shape):
+    above-average balance AND no recent orders — a global scalar
+    aggregate subquery plus a date-filtered NOT EXISTS, grouped at the
+    end. Executed through spark.sql; identical SQL runs on DuckDB.
+
+    Exactness: the average is exact-int64-cents / 100 / count — two
+    IEEE divisions, left-associative in both grammars — and the
+    comparison is against raw c_acctbal, so the threshold boundary is
+    engine-identical. The reported total re-uses the cents sum.
+
+    Scale: the 1-row average cross-joins (broadcast) onto customer;
+    the anti join ships only the date-surviving slice of orders
+    (predicate pushed below the join), hashed on custkey. Output is
+    |segments| rows via partial+final agg.
+    """
+    from ai_etl_studio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        WITH avg_bal AS (
+          SELECT CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / 100 / COUNT(*) AS a
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment, COUNT(*) AS numcust,
+               CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100 AS totacctbal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > a
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-08-01'
+    ),
+    rev AS (
+      SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100 AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT months.m AS month_start,
+           COALESCE(n, 0) AS n_orders,
+           COALESCE(revenue, 0.0) AS revenue
+    FROM months LEFT JOIN rev ON rev.m = months.m
+    ORDER BY month_start
+    """,
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4.0) generating a
+    month spine over the data's date range, LEFT-joined to monthly
+    order revenue so empty months surface as explicit 0-rows — the
+    recursion-based spelling of gap filling (cf. gap_fill_daily, which
+    uses sequence()+explode; both are valid at scale, this one
+    exercises the SQL-standard iterative form, planned as
+    UnionLoop/UnionLoopRef). Identical SQL runs on DuckDB.
+
+    Scale: agg-first, join-second — the fact side collapses to
+    |months| rows (partial+final hash agg; shuffle width = 80 keys,
+    AQE coalesces) BEFORE touching the spine, so the join is
+    80 × 80 rows regardless of fact size. Join-first would instead
+    drag every order row through the outer join. The recursion itself
+    is 80 single-row driver-side steps — trivial by construction.
+    """
+    from ai_etl_studio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '2001-08-01'
+        ),
+        rev AS (
+          SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n,
+                 CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / 100 AS revenue
+          FROM orders GROUP BY 1
+        )
+        SELECT months.m AS month_start,
+               COALESCE(n, 0) AS n_orders,
+               COALESCE(revenue, 0.0) AS revenue
+        FROM months LEFT JOIN rev ON rev.m = months.m
+        ORDER BY month_start
+        """
+    )

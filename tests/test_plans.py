@@ -115,6 +115,38 @@ class TestTopK:
         assert "BroadcastNestedLoopJoin" in t
         assert t.count("Scan parquet") == 2
 
+    def test_min_cost_per_part_single_shuffle(self, spark):
+        """min_cost_per_part computes the per-part floor with a window
+        MIN, filters in place, and dedups WITHOUT re-shuffling (the
+        distinct keys contain the window's partition key); both dims
+        broadcast and the top-100 is a per-task heap. Exactly ONE wide
+        exchange for the whole query."""
+        t = tree(spark, "min_cost_per_part")
+        assert t.count("Exchange") - t.count("BroadcastExchange") == 1
+        assert t.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in t
+        assert "TakeOrderedAndProject" in t
+
+    def test_q21_decorrelates_to_semi_anti(self, spark):
+        """pending_returns_q21's EXISTS / NOT EXISTS pair decorrelates
+        into left-semi + left-anti joins — never a per-outer-row
+        re-execution, never a cartesian."""
+        t = tree(spark, "pending_returns_q21")
+        assert "LeftSemi" in t
+        assert "LeftAnti" in t
+        assert "CartesianProduct" not in t
+        assert "TakeOrderedAndProject" in t
+
+    def test_recursive_spine_aggs_before_join(self, spark):
+        """recursive_month_spine plans the recursion as
+        UnionLoop/UnionLoopRef and joins the spine to a PRE-aggregated
+        fact side — the HashAggregate sits below the outer join, so the
+        join is |months| x |months| regardless of fact size."""
+        t = tree(spark, "recursive_month_spine")
+        assert "UnionLoop" in t
+        join_at = t.index("Join")
+        assert "HashAggregate" in t[join_at:]
+
     def test_collocation_joins_broadcast(self, spark):
         """collocation_pmi joins the bigram counts against the unigram
         vocabulary (twice) and the 1-row total via broadcast only — the
