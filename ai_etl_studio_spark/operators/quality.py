@@ -270,7 +270,6 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .repartition(16, "dst")
         .localCheckpoint()
     )
     labels = (
@@ -279,33 +278,47 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(12):  # diameter bound for sf<=0.1 LSH graphs
+    # Each round = RELAX (take min over neighbors' labels) + POINTER
+    # JUMP (label := label's own label — every label value is a node id,
+    # so the hop is a self-lookup). Relax alone needs diameter rounds;
+    # the jump makes label chains collapse geometrically, so rounds ~
+    # log2(diameter). Convergence is detected from the `old` column
+    # carried INSIDE the checkpointed frame — a narrow scan of the
+    # cached partition, not a join job.
+    for _ in range(8):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        relaxed = (
             labels.join(neigh, labels.node == neigh.src, "left")
             .select(
                 "node",
+                F.col("label").alias("old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("mid"),
+            )
+            .localCheckpoint()  # feeds BOTH jump sides: compute once
+        )
+        rep = relaxed.select(
+            F.col("node").alias("rnode"), F.col("mid").alias("rlabel")
+        )
+        labels = (
+            relaxed.join(rep, relaxed.mid == rep.rnode, "left")
+            .select(
+                "node",
+                "old",
+                F.least(
+                    F.col("mid"), F.coalesce(F.col("rlabel"), F.col("mid"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new")
-            .join(labels, "node")
-            .filter(F.col("new") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if labels.filter(F.col("label") != F.col("old")).limit(1).count() == 0:
             break
-    return labels
+    return labels.select("node", "label")
 
 
 @register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
