@@ -1392,3 +1392,54 @@ def window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.size(F.collect_set("user_id").over(w)).cast("long").alias("uniq_users_50"),
     ).orderBy("event_type", "ts", "event_id")
+
+
+@register(
+    "variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(json_extract_string(props, '$.missing')) AS n_missing_vals
+    FROM events
+    WHERE user_id < 100
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured access (Spark 4.0): parse_json once into
+    a binary-encoded VARIANT, then typed variant_get path extraction —
+    the successor to string-re-parsing get_json_object (cf.
+    json_extract, which pins that older path). try_variant_get on an
+    absent path yields NULL instead of erroring — counted here to pin
+    the missing-path contract.
+
+    Exactness: extracted int64s aggregated as integers — no floats.
+
+    Scale: VARIANT parses each props string ONCE per row into a
+    compact binary form; repeated path extraction is then sub-parse
+    cost (vs get_json_object's full re-parse per call). All JVM-side,
+    inside WholeStageCodegen; the agg partial-combines as usual.
+    """
+    from ai_etl_studio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("events",))
+    e = spark.table("events").filter(F.col("user_id") < 100)
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.try_variant_get(v, "$.missing", "string")).alias(
+                "n_missing_vals"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -676,3 +676,47 @@ def hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(100)
     )
+
+
+@register(
+    "python_datasource_scan",
+    oracle="""
+    SELECT g % 8 AS bucket,
+           COUNT(*) AS n,
+           SUM((g * 2654435761) % 4294967296) AS sum_val,
+           MIN((g * 2654435761) % 4294967296) AS min_val
+    FROM generate_series(0, 49999) s(g)
+    GROUP BY g % 8
+    ORDER BY bucket
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4.0 `pyspark.sql.datasource`) —
+    a pure-Python source that declares schema + input partitions and is
+    scanned by parallel tasks, here a deterministic Knuth-hash sequence
+    so the ENTIRE source is oracle-checkable against generate_series
+    (sources/pydatasource.py has the scale notes). The reference's
+    extensibility was two hard-coded RDBMS drivers (db_utils.py:119-165);
+    this is the Spark-native "bring any system" seam.
+
+    Scale: 16 input partitions → 16 parallel readers; the aggregate
+    partial-combines per task, so the shuffle carries 8 groups × tasks.
+    """
+    from ai_etl_studio_spark.sources.pydatasource import register_synthetic_seq
+
+    register_synthetic_seq(spark)
+    src = (
+        spark.read.format("synthetic_seq")
+        .option("n", "50000")
+        .option("partitions", "16")
+        .load()
+    )
+    return (
+        src.groupBy((F.col("id") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").alias("sum_val"),
+            F.min("val").alias("min_val"),
+        )
+        .orderBy("bucket")
+    )

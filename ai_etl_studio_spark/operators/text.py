@@ -753,3 +753,58 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "bigram")
         .limit(50)
     )
+
+
+@register(
+    "udtf_trigrams",
+    oracle=r"""
+    SELECT doc_id, i - 1 AS idx, array_to_string(toks[i:i+2], ' ') AS ngram
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          FROM documents WHERE doc_id < 20) t,
+         unnest(generate_series(1, len(toks) - 2)) AS u(i)
+    ORDER BY doc_id, idx
+    """,
+)
+def udtf_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function, Spark 3.5+/4.x) in a
+    LATERAL correlated position: one doc row in, (idx, trigram) rows
+    out. Pins the UDTF extension seam — arbitrary Python fan-out logic
+    as a first-class FROM-clause relation (the reference has no
+    extension surface at all; its whole pipeline is fixed SQL text).
+
+    The built-in fast path for THIS payload is
+    posexplode(transform(sequence(...)))
+    (cf. posexplode_ordinal / collocation_pmi — token transforms stay
+    JVM-side); a UDTF is for fan-outs whose per-row logic built-ins
+    can't express (real tokenizers, parsers, decoders). Python
+    evaluation is the slow path — row-batched through the Python
+    worker — so keep it OFF corpus-wide hot paths at 100 TB; the
+    lateral join itself is narrow (no shuffle) and the doc_id filter
+    is pushed below it to the scan.
+
+    Exactness: pure token-string manipulation on regex-identical
+    splits (re.split == Spark split == string_split_regex for \s+).
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx bigint, ngram string")
+    class Trigrams:
+        def eval(self, text: str):
+            toks = re.split(r"\s+", text)
+            for i in range(len(toks) - 2):
+                yield i, " ".join(toks[i : i + 3])
+
+    from ai_etl_studio_spark.catalog import register_tables
+
+    spark.udtf.register("trigrams_udtf", Trigrams)
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.idx, t.ngram
+        FROM documents d, LATERAL trigrams_udtf(lower(d.text)) t
+        WHERE d.doc_id < 20
+        ORDER BY doc_id, idx
+        """
+    )

@@ -1,0 +1,76 @@
+"""Python DataSource API (Spark 4.0) — a custom source implemented in
+pure Python that still participates in Spark's planning: it declares a
+schema, splits itself into input partitions, and each partition is read
+by a separate task.
+
+The reference's only extensibility point was "connect to another RDBMS"
+(db_utils.py:119-165, a dict of two hard-coded drivers). The Python
+DataSource API is the Spark-native generalization: any Python-reachable
+system (internal REST service, proprietary file format, synthetic
+generator) becomes a first-class `spark.read.format(...)` with partition
+parallelism, without touching the JVM.
+
+This module ships a deterministic synthetic-sequence source used by the
+`python_datasource_scan` operator: row i = (i, knuth_hash(i)) — exactly
+reproducible in ANSI SQL, so the whole source is oracle-checkable.
+
+Scale notes:
+- `partitions()` is the contract that makes a Python source scale: N
+  input partitions → N parallel tasks, each streaming its own slice.
+  A source that returns one partition serializes the whole read.
+- Rows stream from Python via Arrow batches; still, a Python source is
+  the slow path vs a JVM scan — use it for systems Spark can't reach
+  natively, not for formats parquet/orc/csv already cover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+KNUTH = 2654435761  # Knuth multiplicative hash constant
+MOD = 4294967296  # 2^32
+
+
+class RangeSlice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticSeqReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 1000))
+        self.num_partitions = int(options.get("partitions", 8))
+
+    def partitions(self):
+        step = max(1, -(-self.n // self.num_partitions))  # ceil div
+        return [
+            RangeSlice(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: RangeSlice):
+        for i in range(partition.start, partition.end):
+            yield (i, (i * KNUTH) % MOD)
+
+
+class SyntheticSeqDataSource(DataSource):
+    """`spark.read.format("synthetic_seq").option("n", ...).load()`"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_seq"
+
+    def schema(self) -> str:
+        return "id bigint, val bigint"
+
+    def reader(self, schema) -> SyntheticSeqReader:
+        return SyntheticSeqReader(self.options)
+
+
+def register_synthetic_seq(spark) -> None:
+    """Idempotent registration of the custom source on a session."""
+    try:
+        spark.dataSource.register(SyntheticSeqDataSource)
+    except Exception:
+        pass  # already registered on this session
