@@ -94,3 +94,32 @@ def run_query(
         return QueryResult(None, sql, False, f"{type(exc).__name__}: {exc}")
 
     return QueryResult(dedupe_column_names(df), sql, True, None)
+
+
+def observed_result(
+    df: DataFrame, name: str = "qa", max_columns: int = 12
+):
+    """Attach single-pass data-quality metrics to a result DataFrame.
+
+    Returns ``(instrumented_df, observation)``: after ANY action on the
+    returned frame, ``observation.get`` yields ``row_count`` plus a
+    non-null count per (first ``max_columns``) output column — the
+    pipeline QA counters (rows emitted, null-rate per column) that the
+    reference surfaces as a driver-side badge AFTER materializing to
+    pandas (app.py:296-299, `len(df)`).
+
+    Scale: `observe` compiles to an accumulator-backed CollectMetrics
+    node — metrics ride the SAME job that produces the result, adding
+    zero extra passes and zero shuffles, where a naive
+    `df.count()` + per-column `filter(isNull).count()` QA sweep would
+    re-execute the whole plan once per metric at 100 TB.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    ob = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("row_count")] + [
+        F.count(F.col(f"`{c}`")).alias(f"nonnull_{c}")
+        for c in df.columns[:max_columns]
+    ]
+    return df.observe(ob, *metrics), ob

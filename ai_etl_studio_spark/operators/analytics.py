@@ -1443,3 +1443,49 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "rolling_median",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS med7
+    FROM events
+    WHERE user_id < 100
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over a trailing 7-row frame per user — the
+    robust-smoothing primitive (spike-resistant rolling baseline) that
+    the mean-based window_range_rolling can't give. Spark spells it
+    percentile(v, 0.5) OVER, DuckDB median() OVER.
+
+    Exactness: both engines sort the ≤7 frame values and linearly
+    interpolate the middle pair — one (a+b)/2 IEEE op on raw doubles,
+    no accumulation, so results are bit-identical.
+
+    Scale: one shuffle on user_id, one sort serves the frame; per-row
+    cost is O(frame log frame) on a 7-element buffer. An exact median
+    over an UNBOUNDED frame would buffer whole partitions — for that,
+    use percentile_approx (sketch, mergeable) instead; row-bounded
+    frames keep exact medians cheap at any scale.
+    """
+    from ai_etl_studio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               percentile(value, 0.5) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS med7
+        FROM events
+        WHERE user_id < 100
+        ORDER BY user_id, ts, event_id
+        """
+    )

@@ -164,3 +164,26 @@ class TestSinks:
         assert one.count() > 0
         # partition pruning: only one partition dir read
         assert "PartitionFilters: [isnotnull(c_mktsegment" in plan
+
+
+class TestObservedResult:
+    def test_metrics_ride_the_result_action(self, spark):
+        """observed_result returns single-pass QA counters: row_count +
+        per-column non-null counts land in the Observation after the
+        SAME action that materializes the result (CollectMetrics node,
+        no second job over the plan)."""
+        from ai_etl_studio_spark.engine import observed_result, run_query
+
+        res = run_query(
+            spark,
+            "SELECT n_name, CASE WHEN n_nationkey < 5 THEN n_regionkey END AS r "
+            "FROM nation",
+        )
+        assert res.ok
+        df, ob = observed_result(res.df, "qa")
+        rows = df.collect()
+        m = ob.get
+        assert m["row_count"] == len(rows) == 25
+        assert m["nonnull_n_name"] == 25
+        assert m["nonnull_r"] == 5
+        assert "CollectMetrics" in df._jdf.queryExecution().executedPlan().toString()
