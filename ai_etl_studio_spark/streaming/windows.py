@@ -531,3 +531,86 @@ def run_stream_to_parquet(
     )
     q.awaitTermination()
     return len(seen)
+
+
+def run_stream_transform_with_state(
+    spark: SparkSession, sf_dir: str, query_name: str = "tws_out"
+) -> DataFrame:
+    """Custom stateful streaming operator via transformWithStateInPandas
+    (Spark 4.0's arbitrary-state API, successor to
+    applyInPandasWithState above): a per-user StatefulProcessor keeping
+    a (count, cents-total, distinct-event-type-set-size) ValueState,
+    emitting the running totals each microbatch.
+
+    Why the new API at scale: typed state handles (ValueState /
+    ListState / MapState) are individually addressable in the state
+    store — a processor updates ONE key's state without rewriting an
+    opaque per-key blob — plus first-class TTL, initial-state seeding,
+    and state schema evolution across restarts. Semantics here are
+    deliberately identical to run_stream_stateful_counter so the two
+    APIs are directly comparable (and test-checked against the same
+    batch twin).
+
+    Dependency gate: the API's Python state server speaks protobuf —
+    absent/broken `google.protobuf` crashes the TWS driver worker at
+    query start (this container lacks it; the matching test
+    importorskips, arming itself when the dependency appears).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, cents bigint, ntypes bigint"
+            )
+            self._types = handle.getListState("types", "t string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents_total = 0, 0
+            if self._state.exists():
+                n, cents_total, _ = self._state.get()
+            seen = {r[0] for r in self._types.get()}
+            for pdf in rows:
+                n += len(pdf)
+                cents_total += int(round(float(pdf["value"].sum()) * 100))
+                new = set(pdf["event_type"].unique()) - seen
+                if new:
+                    self._types.appendList(
+                        pd.DataFrame({"t": sorted(new)})
+                    )
+                    seen |= new
+            self._state.update((n, cents_total, len(seen)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents_total / 100.0],
+                    "n_event_types": [len(seen)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = read_event_stream(spark, sf_dir)
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        UserTotals(),
+        "user_id bigint, n_events bigint, total_value double, n_event_types bigint",
+        "Update",
+        "processingTime",
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -4,6 +4,7 @@ twins — the batch-first contract of streaming/windows.py."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ai_etl_studio_spark.streaming.windows import (
@@ -131,3 +132,28 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     # restart with the same checkpoint: no new data -> no duplicate rows
     n2 = run_stream_to_parquet(spark, SF_DIR, out, ckpt)
     assert spark.read.parquet(out).count() == want.count()
+
+
+def test_transform_with_state_matches_batch(spark):
+    """transformWithStateInPandas (Spark 4 typed-state API) reaches the
+    same per-user totals as the batch twin — count, exact cents total,
+    AND the ListState-backed distinct event-type count.
+
+    The API's Python state-server protocol rides protobuf, which this
+    container lacks — skipped (not xfailed) when the import is broken,
+    so the test arms itself the moment the dependency exists."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from ai_etl_studio_spark.streaming.windows import run_stream_transform_with_state
+
+    out = run_stream_transform_with_state(spark, SF_DIR, "t_tws")
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+        )
+    )
+    s = {(r.user_id, r.n_events, r.n_event_types) for r in out.collect()}
+    b = {(r.user_id, r.n_events, r.n_event_types) for r in batch.collect()}
+    assert s == b and len(s) > 0
