@@ -720,3 +720,41 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register("hll_sketch_rollup")
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL,
+    Spark 3.5+): per-event-type user sketches, PLUS a grand-total row
+    computed by hll_union_agg over the per-group sketches — NOT by
+    re-scanning the data, and NOT by summing the estimates (distinct
+    counts don't add; sketch union is the only correct rollup).
+
+    THE sketch property that matters at 100 TB: sketches are bounded
+    state (~KBs) that merge associatively, so partial aggregation,
+    AQE re-planning, and multi-level rollups (hour→day→month) all
+    compose without touching raw data again. approx_distinct pins the
+    one-shot HLL++ estimate; this pins the persistable/mergeable form.
+
+    No SQL oracle: the estimate is implementation-defined (DuckDB's HLL
+    differs); the driver records the rows-only check and the pytest
+    twin bounds the estimate against the exact distinct count (±5%).
+    """
+    from ai_etl_studio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        WITH per AS (
+          SELECT event_type, hll_sketch_agg(user_id) AS sk
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, hll_sketch_estimate(sk) AS approx_users
+        FROM per
+        UNION ALL
+        SELECT 'ALL' AS event_type,
+               hll_sketch_estimate(hll_union_agg(sk)) AS approx_users
+        FROM per
+        ORDER BY event_type
+        """
+    )

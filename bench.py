@@ -65,6 +65,14 @@ HEADLINE = [
     "length_band_filter",
     "stopword_pruned_corpus",
     "collocation_pmi",
+    "min_cost_per_part",
+    "pending_returns_q21",
+    "lapsed_customers_q22",
+    "recursive_month_spine",
+    "rolling_median",
+    "window_distinct_count",
+    "variant_extract",
+    "hll_sketch_rollup",
 ]
 
 

@@ -336,3 +336,28 @@ class TestBucketing:
             pruned.count()
             == events.filter(F.col("event_type") == "click").count()
         )
+
+
+class TestSketches:
+    def test_hll_union_matches_exact_within_tolerance(self, spark):
+        """The per-type HLL estimates and their sketch-union grand total
+        each land within 5% of the exact distinct counts (lgK=12 keeps
+        relative error ~1.6% at these cardinalities)."""
+        from ai_etl_studio_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        got = {
+            r.event_type: r.approx_users
+            for r in QUERIES["hll_sketch_rollup"](spark, SF_DIR).collect()
+        }
+        e = load_table(spark, SF_DIR, "events")
+        exact = {
+            r.event_type: r.n
+            for r in e.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        exact["ALL"] = e.select("user_id").distinct().count()
+        assert set(got) == set(exact)
+        for k, est in got.items():
+            assert abs(est - exact[k]) <= 0.05 * exact[k] + 2
