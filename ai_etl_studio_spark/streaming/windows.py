@@ -435,9 +435,10 @@ def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
         "click_id",
         "purchase_id",
         # µs diff then floor-div: sub-second ts components make
-        # per-timestamp second-truncation (unix_timestamp) off by one
+        # per-timestamp second-truncation (unix_timestamp) off by one;
+        # timestampdiff works on TIMESTAMP and TIMESTAMP_NTZ alike
         (
-            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+            F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)")
             / F.lit(1_000_000)
         )
         .cast("bigint")
