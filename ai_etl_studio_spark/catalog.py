@@ -36,6 +36,32 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: Epoch magnitudes: a micros-since-epoch value stays below 1e17 until the
+#: year ~5138, while nanos-since-epoch passed 1e17 in 1973. One threshold
+#: cleanly separates the two encodings for any realistic event time.
+_NANOS_THRESHOLD = 100_000_000_000_000_000
+
+
+def epoch_long_to_ts(col: str):
+    """Magnitude-aware epoch-long → µs TimestampType column.
+
+    The same physical parquet column surfaces at two magnitudes depending
+    on the reader: the batch path (legacy INT96-rebase conf) yields
+    nanos-since-epoch, while the streaming file source with an explicit
+    ``bigint`` schema yields micros. Branch on magnitude so one helper
+    serves both (integer DIV — double division loses precision above
+    2^53). Whole-stage-codegen'd CASE; no Python per-row work.
+    """
+    from pyspark.sql import functions as F
+
+    return F.timestamp_micros(
+        F.expr(
+            f"CASE WHEN abs({col}) >= {_NANOS_THRESHOLD}L "
+            f"THEN {col} DIV 1000 ELSE {col} END"
+        )
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one table (column pruning + predicate pushdown
     apply automatically to whatever the caller selects/filters).
@@ -48,7 +74,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     ns_longs = [
@@ -57,8 +82,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if f.name == "ts" and isinstance(f.dataType, T.LongType)
     ]
     for col in ns_longs:
-        # integer DIV: double division would lose precision above 2^53 ns
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+        df = df.withColumn(col, epoch_long_to_ts(col))
     return df
 
 

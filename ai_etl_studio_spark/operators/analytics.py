@@ -352,7 +352,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
@@ -385,7 +385,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(DISTINCT session_id) AS n_sessions,
            COUNT(*) AS n_events,
-           MAX(session_id) AS max_session_id
+           CAST(MAX(session_id) AS BIGINT) AS max_session_id
     FROM (
       SELECT user_id,
              SUM(is_new) OVER (PARTITION BY user_id
@@ -1201,7 +1201,7 @@ def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boolean_linreg_agg",
     oracle="""
     SELECT event_type,
-           count_if(value > 10) AS n_big,
+           CAST(count_if(value > 10) AS BIGINT) AS n_big,
            bool_and(value > 0) AS all_pos,
            bool_or(value > 100) AS any_huge,
            ROUND(regr_slope(value, CAST(user_id AS DOUBLE)), 6) AS slope,
@@ -1404,7 +1404,7 @@ def window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            COUNT(json_extract_string(props, '$.missing')) AS n_missing_vals

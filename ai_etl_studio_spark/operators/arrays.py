@@ -118,8 +118,8 @@ def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS BIGINT)
              AS source_num,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN regexp_matches(text, '\\bspark\\b') THEN 1 ELSE 0 END)
-             AS n_mention_spark,
+           CAST(SUM(CASE WHEN regexp_matches(text, '\\bspark\\b') THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_mention_spark,
            MIN(regexp_extract(text, '^([a-z]+)', 1)) AS min_first_word
     FROM documents
     GROUP BY source
@@ -165,7 +165,7 @@ def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
            CAST(SUM(CAST(round(COALESCE(NULLIF(l_discount, 0.0), 0.05) * 100, 0)
                          AS BIGINT)) AS DOUBLE) / 100 AS eff_discount_sum,
-           SUM(CASE WHEN NULLIF(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_zero_tax
+           CAST(SUM(CASE WHEN NULLIF(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_tax
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag

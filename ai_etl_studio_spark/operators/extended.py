@@ -683,7 +683,7 @@ def hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT g % 8 AS bucket,
            COUNT(*) AS n,
-           SUM((g * 2654435761) % 4294967296) AS sum_val,
+           CAST(SUM((g * 2654435761) % 4294967296) AS BIGINT) AS sum_val,
            MIN((g * 2654435761) % 4294967296) AS min_val
     FROM generate_series(0, 49999) s(g)
     GROUP BY g % 8

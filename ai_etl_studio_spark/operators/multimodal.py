@@ -49,7 +49,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_metadata",
     oracle="""
     SELECT media_type, COUNT(*) AS n_media,
-           SUM(payload_bytes) AS total_bytes,
+           CAST(SUM(payload_bytes) AS BIGINT) AS total_bytes,
            MAX(payload_bytes) AS max_bytes
     FROM (
       SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -369,7 +369,7 @@ reach(node, r) AS (
 drops AS (SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node)
 SELECT d.lang, d.source,
        COUNT(*) AS kept_docs,
-       SUM(len(string_split_regex(lower(d.text), '\\s+'))) AS kept_tokens
+       CAST(SUM(len(string_split_regex(lower(d.text), '\\s+'))) AS BIGINT) AS kept_tokens
 FROM documents d ANTI JOIN drops ON d.doc_id = drops.node
 GROUP BY d.lang, d.source
 ORDER BY d.lang, d.source
@@ -447,8 +447,8 @@ DECON_N = 8  # contamination n-gram width (industry range 8-13)
     )
     SELECT c.source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS n_contaminated
+           CAST(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_contaminated
     FROM cand c LEFT JOIN cont ON c.doc_id = cont.doc_id
     GROUP BY c.source
     ORDER BY c.source

@@ -342,7 +342,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS n_sampled
+           CAST(SUM(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
     FROM (
       SELECT lang,
              CAST(concat('0x', substr(md5(concat('strat:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS bucket,
@@ -766,7 +766,7 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def udtf_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python UDTF (user-defined TABLE function, Spark 3.5+/4.x) in a
+    r"""Python UDTF (user-defined TABLE function, Spark 3.5+/4.x) in a
     LATERAL correlated position: one doc row in, (idx, trigram) rows
     out. Pins the UDTF extension seam — arbitrary Python fan-out logic
     as a first-class FROM-clause relation (the reference has no

@@ -66,7 +66,7 @@ RESERVOIR_K = 5
              ) - n_tokens AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS bin_id
       FROM toks)
     SELECT lang, shard, bin_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM packed
     GROUP BY lang, shard, bin_id
@@ -148,7 +148,7 @@ def _mix_rates(d: DataFrame) -> DataFrame:
     oracle=rf"""
     WITH inv AS (
       SELECT lang, source, COUNT(*) AS n_docs,
-             SUM(len(string_split_regex(lower(text), '\s+'))) AS group_tokens
+             CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS group_tokens
       FROM documents GROUP BY lang, source),
     wts AS (
       SELECT *, CAST(round(sqrt(CAST(group_tokens AS DOUBLE)) * 1000, 0) AS BIGINT) AS w
@@ -206,7 +206,7 @@ def data_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH inv AS (
       SELECT lang, source, COUNT(*) AS n_docs,
-             SUM(len(string_split_regex(lower(text), '\s+'))) AS group_tokens
+             CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS group_tokens
       FROM documents GROUP BY lang, source),
     wts AS (
       SELECT *, CAST(round(sqrt(CAST(group_tokens AS DOUBLE)) * 1000, 0) AS BIGINT) AS w
@@ -223,7 +223,7 @@ def data_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
              (doc_id * {KNUTH_A}) % {HASH_MOD} AS u_ticks
       FROM documents)
     SELECT d.lang, d.source,
-           COUNT(*) AS kept_docs, SUM(d.n_tokens) AS kept_tokens,
+           COUNT(*) AS kept_docs, CAST(SUM(d.n_tokens) AS BIGINT) AS kept_tokens,
            r.rate_ticks
     FROM docs d JOIN rates r ON d.lang = r.lang AND d.source = r.source
     WHERE d.u_ticks < r.rate_ticks

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ai_etl_studio_spark.catalog import load_table
+from ai_etl_studio_spark.catalog import epoch_long_to_ts, load_table
 from ai_etl_studio_spark.functions.exact import cents
 from ai_etl_studio_spark.operators import register
 
@@ -140,7 +140,10 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # The file-stream source with an explicit bigint schema surfaces ts in
+    # MICROseconds (the batch legacy-conf path surfaces nanos) — the shared
+    # magnitude-aware helper normalizes both (fixes the r1 double-DIV bug).
+    return raw.withColumn("ts", epoch_long_to_ts("ts"))
 
 
 def run_stream_tumbling(
