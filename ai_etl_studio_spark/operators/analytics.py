@@ -417,14 +417,19 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # cast NTZ→TIMESTAMP before unix_micros (parquet ts may load as
-    # TIMESTAMP_NTZ, which unix_micros rejects); session tz is UTC so
-    # the cast is a no-op on the wall-clock value
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
-    gap_us = ts_us - prev_us
-    is_new = F.when(gap_us > 1_800_000_000, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
-    sessions = e.select(
+    # timestampdiff is timezone-independent and accepts TIMESTAMP and
+    # TIMESTAMP_NTZ alike (cf. streaming/windows.py interval join) — no
+    # reliance on the session tz being UTC for the gap measurement.
+    gaps = e.select("user_id", "ts", "event_id").withColumn(
+        "prev_ts", F.lag("ts").over(w)
+    )
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    is_new = (
+        F.when(gap_us > 1_800_000_000, 1)
+        .when(F.col("prev_ts").isNull(), 1)
+        .otherwise(0)
+    )
+    sessions = gaps.select(
         "user_id",
         F.sum(is_new)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -47,6 +47,13 @@ MINHASH_K = 16
 LSH_BANDS = 4  # 4 bands × 4 rows
 LSH_ROWS = MINHASH_K // LSH_BANDS
 JACCARD_THRESHOLD = 0.2
+#: Hot-bucket guard: at most this many docs participate per (band,
+#: band_key) bucket. Boilerplate-heavy corpora put thousands of docs in
+#: one bucket, turning the band self-join quadratic; the cap bounds any
+#: bucket's pair fan-out at CAP² while keeping recall for normal buckets
+#: (dups still collide in their other bands). row_number over doc_id
+#: keeps the kept subset deterministic across runs/engines.
+LSH_BUCKET_CAP = 32
 _MH_PARAMS = minhash_params(MINHASH_K)
 
 # DuckDB shingle-set fragment shared by the oracle strings below:
@@ -195,7 +202,9 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
-def _lsh_pairs_oracle() -> str:
+def _bands_cte() -> str:
+    """Shared oracle CTE chain: shingles → 32-bit hashes → MinHash
+    signature → banded keys (same (a,b) constants as the Spark side)."""
     h = sql_md5_hash32("shingle")
     mins = ", ".join(
         f"MIN(({a} * h + {b}) % {MERSENNE31}) AS mh_{i}"
@@ -208,12 +217,25 @@ def _lsh_pairs_oracle() -> str:
             f"SELECT doc_id, {band} AS band, md5(concat_ws('-', {cols})) AS band_key FROM sig"
         )
     bands_sql = " UNION ALL ".join(band_rows)
-    return rf"""
-    WITH sh AS ({_SQL_SHINGLES}),
+    return rf"""sh AS ({_SQL_SHINGLES}),
     ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
     hashed AS (SELECT doc_id, {h} AS h FROM ex),
     sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
-    bands AS ({bands_sql})
+    bands AS ({bands_sql})"""
+
+
+_SQL_CAPPED_BUCKETS = f"""capped AS (
+      SELECT doc_id, band, band_key FROM (
+        SELECT doc_id, band, band_key,
+               ROW_NUMBER() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+        FROM bands) r
+      WHERE rn <= {LSH_BUCKET_CAP}
+    )"""
+
+
+def _lsh_pairs_oracle() -> str:
+    return rf"""
+    WITH {_bands_cte()}
     SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -221,17 +243,8 @@ def _lsh_pairs_oracle() -> str:
     """
 
 
-@register("dedup_minhash_lsh_pairs", oracle=_lsh_pairs_oracle())
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH candidate pairs: signatures split into {LSH_BANDS} bands
-    of {LSH_ROWS}; docs colliding on any full band become candidates.
-    Collision probability ≈ 1-(1-j^rows)^bands — tuned for j ≳ 0.5.
-
-    Scale: THE near-dup finder at 100 TB. Shuffle is (band, band_key) —
-    constant bytes per doc. Hot band-keys (boilerplate) would explode the
-    self-join; production guard = cap bucket size before pairing (not
-    applied here so the oracle stays expressible — see module docstring).
-    """
+def _band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_key) — one row per doc per band."""
     sig = dedup_minhash_signatures(spark, sf_dir)
     # One band-key array + posexplode — NOT a union of per-band frames,
     # which would recompute the whole shingle->signature pipeline once per
@@ -246,7 +259,24 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(LSH_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+
+
+def _lsh_candidate_pairs(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    """Distinct candidate (doc_id_1 < doc_id_2) pairs from the band
+    self-join; ``cap`` bounds per-bucket participation (hot-bucket guard)."""
+    from pyspark.sql import Window
+
+    bands = _band_df(spark, sf_dir)
+    if cap is not None:
+        w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+        bands = (
+            bands.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= cap)
+            .drop("rn")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -258,6 +288,107 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
         .distinct()
+    )
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_lsh_pairs_oracle())
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs: signatures split into {LSH_BANDS} bands
+    of {LSH_ROWS}; docs colliding on any full band become candidates.
+    Collision probability ≈ 1-(1-j^rows)^bands — tuned for j ≳ 0.5.
+
+    Scale: THE near-dup finder at 100 TB. Shuffle is (band, band_key) —
+    constant bytes per doc. This uncapped form is the oracle-parity
+    baseline; production runs the capped twin below
+    (dedup_minhash_lsh_pairs_capped), which bounds hot-bucket fan-out.
+    """
+    return _lsh_candidate_pairs(spark, sf_dir).orderBy("doc_id_1", "doc_id_2")
+
+
+def _lsh_capped_oracle() -> str:
+    return rf"""
+    WITH {_bands_cte()},
+    {_SQL_CAPPED_BUCKETS}
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ORDER BY doc_id_1, doc_id_2
+    """
+
+
+@register("dedup_minhash_lsh_pairs_capped", oracle=_lsh_capped_oracle())
+def dedup_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-capped LSH candidate pairs: at most {LSH_BUCKET_CAP}
+    docs per (band, band_key) bucket enter the self-join (deterministic
+    row_number over doc_id), bounding any bucket's pair fan-out at CAP².
+
+    Scale: THE production near-dup finder shape. A boilerplate shingle
+    set shared by 10^6 docs otherwise yields 10^12 pairs from a single
+    bucket; with the cap, the worst bucket yields CAP·(CAP-1)/2 pairs and
+    true dups still collide in their other bands. The window shuffles the
+    same (band, band_key) partitioning the join needs, so the guard adds
+    no extra exchange.
+    """
+    return _lsh_candidate_pairs(spark, sf_dir, cap=LSH_BUCKET_CAP).orderBy(
+        "doc_id_1", "doc_id_2"
+    )
+
+
+def _lsh_verified_oracle() -> str:
+    jac = (
+        "CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) / "
+        "(len(s1.shingles) + len(s2.shingles) - len(list_intersect(s1.shingles, s2.shingles)))"
+    )
+    return rf"""
+    WITH {_bands_cte()},
+    {_SQL_CAPPED_BUCKETS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_id_1, c.doc_id_2, {jac} AS jaccard
+    FROM cand c
+    JOIN sh s1 ON c.doc_id_1 = s1.doc_id
+    JOIN sh s2 ON c.doc_id_2 = s2.doc_id
+    WHERE {jac} >= {JACCARD_THRESHOLD}
+    ORDER BY doc_id_1, doc_id_2
+    """
+
+
+@register("dedup_lsh_verified_pairs", oracle=_lsh_verified_oracle())
+def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-stage near-dup pipeline: capped-LSH candidate pairs →
+    exact shingle-Jaccard verification ≥ {JACCARD_THRESHOLD}. This is the
+    scale-safe registered form of exact Jaccard — the all-pairs
+    dedup_ngram_jaccard is kept only as the oracle-parity baseline.
+
+    Scale: Jaccard runs on |candidates| pairs (linear-ish in corpus for
+    banded LSH), not |docs|². The shingle arrays join to the pair list by
+    doc_id — two shuffles of (doc_id, shingle-array), each array bounded
+    by doc length; intersection is a JVM-side array_intersect, no
+    explode, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh_arr = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= SHINGLE_N)
+        .select("doc_id", word_shingles(F.col("toks"), SHINGLE_N).alias("shingles"))
+    )
+    cand = _lsh_candidate_pairs(spark, sf_dir, cap=LSH_BUCKET_CAP)
+    s1 = sh_arr.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh_1"))
+    s2 = sh_arr.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh_2"))
+    n_inter = F.size(F.array_intersect("sh_1", "sh_2"))
+    paired = (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select("doc_id_1", "doc_id_2", n_inter.alias("n_inter"),
+                F.size("sh_1").alias("n_1"), F.size("sh_2").alias("n_2"))
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("n_1") + F.col("n_2") - F.col("n_inter"))
+    return (
+        paired.select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_id_1", "doc_id_2")
     )
 

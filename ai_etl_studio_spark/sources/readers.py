@@ -47,11 +47,14 @@ def read_jdbc(
     lower_bound: int | None = None,
     upper_bound: int | None = None,
     num_partitions: int = 8,
+    driver: str | None = None,
 ) -> DataFrame:
     """JDBC source (parity with the reference's remote-RDBMS reads,
-    db_utils.py:160-165). Requires the JDBC driver jar on the classpath —
-    not present in this container, so calls fail at connect time, not
-    import time; the plan construction below is real."""
+    db_utils.py:160-165). Requires the JDBC driver jar on the classpath;
+    exercised in-container against embedded Derby (the jar ships with
+    Spark's distribution — tests/test_jdbc.py round-trips a table).
+    ``driver`` pins the JDBC driver class when the URL scheme alone
+    can't resolve it through DriverManager."""
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
@@ -59,6 +62,8 @@ def read_jdbc(
         .option("user", user)
         .option("password", password)
     )
+    if driver is not None:
+        reader = reader.option("driver", driver)
     if partition_column is not None:
         reader = (
             reader.option("partitionColumn", partition_column)

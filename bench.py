@@ -27,16 +27,20 @@ HEADLINE = [
     "join_4way_dims",
     "union_all_trailing",
     "scalar_datediff",
-    # unlocked analytics
+    # unlocked analytics (ntile_rfm intentionally absent: its
+    # reference-pinned global NTILE sort is a single-partition plan;
+    # rfm_quantile_scores below is the scalable twin)
     "topn_per_group",
-    "ntile_rfm",
     "percentile_exact",
     "window_running",
     "sessionize",
     "window_tumbling",
-    # LLM-data-pipeline extensions
+    # LLM-data-pipeline extensions (capped LSH + verified pairs are the
+    # production near-dup shapes; the all-pairs dedup_ngram_jaccard stays
+    # un-benched as an oracle-parity baseline)
     "dedup_exact",
-    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_lsh_pairs_capped",
+    "dedup_lsh_verified_pairs",
     "text_quality",
     "ann_cosine_topk",
     # scale-path operators
