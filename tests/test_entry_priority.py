@@ -1,0 +1,30 @@
+"""Driver-contract ordering invariants: the correctness-sweep prefix
+(__spark_entry__.PRIORITY) must stay exactly the first 50 registry keys
+and fully oracle-twinned, so a prefix-sampling driver always lands on
+hash-checkable extension operators."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("__spark_entry__", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_priority_prefix_invariants():
+    m = _entry()
+    q, o = m.queries(), m.oracle_sql()
+    assert len(m.PRIORITY) == 50
+    assert list(q)[: len(m.PRIORITY)] == list(m.PRIORITY)
+    # every priority entry is oracle-twinned (full hash-check row)
+    assert [k for k in m.PRIORITY if k not in o] == []
+    # oracles never reference unregistered queries
+    assert set(o) <= set(q)
