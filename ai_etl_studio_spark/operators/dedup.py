@@ -448,24 +448,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-bit bands — see tests for the pairing; the signature itself is the
     oracle-checked artifact).
 
-    Scale: explode(tokens) → 32 conditional sums via one groupBy with
-    map-side combine; fingerprint is 8 bytes/doc.
+    Scale: shuffle-free like the MinHash path — per-doc array ops
+    (hash each distinct token once; bit j set iff >half the token hashes
+    have bit j, i.e. the ±1 vote sum is positive). No explode, no
+    groupBy; fingerprint is 8 bytes/doc. The oracle replays the exploded
+    ±1-sum form, which is value-identical (2·n_set > n ⟺ Σ±1 > 0,
+    ties included).
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = (
+    hs = (
         d.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
-        .select("doc_id", F.explode("toks").alias("tok"))
-        .select("doc_id", md5_hash32("tok").alias("h"))
+        .select("doc_id", F.transform("toks", lambda t: md5_hash32(t)).alias("hs"))
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s_{j}")
-        for j in range(32)
-    ]
-    bits = toks.groupBy("doc_id").agg(*bit_sums)
+    n = F.size("hs")
     assemble = None
     for j in range(32):
-        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(0)
+        n_set = F.size(
+            F.filter("hs", lambda h: F.shiftright(h, j).bitwiseAND(1) == 1)
+        )
+        term = F.when(n_set * 2 > n, F.lit(1 << j)).otherwise(0)
         assemble = term if assemble is None else (assemble + term)
-    return bits.select("doc_id", assemble.cast("bigint").alias("simhash")).orderBy("doc_id")
+    return hs.select("doc_id", assemble.cast("bigint").alias("simhash")).orderBy("doc_id")
