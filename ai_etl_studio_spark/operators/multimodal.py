@@ -7,9 +7,12 @@ cares about is real and tested: binary column construction, schema,
 Arrow-batched Pandas-UDF signatures, `mapInPandas` batch shape, and
 partition-count preservation.
 
-The synthetic payloads derive from ``documents.text`` (utf-8 bytes), so
-the metadata query has an exact DuckDB oracle; the mapInPandas decode
-pipeline is the rows-only-checked entry.
+The synthetic payloads derive from ``documents.text`` (utf-8 bytes, and
+the corpus is pure ASCII at every SF — byte offsets == char offsets),
+so ALL four pipelines have exact DuckDB oracles: the stubs are
+deterministic arithmetic/md5 over payload bytes that SQL replays
+exactly, leaving the Arrow/mapInPandas plumbing as the thing under
+test.
 
 Scale: binary payloads dominate bytes — never shuffle them. Both
 operators here are narrow (no shuffle at all); a real pipeline keeps
@@ -130,11 +133,43 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode_batches, DECODE_SCHEMA)
 
 
-@register("multimodal_decode_pipeline")  # rows-only: decode is Python-side
+@register(
+    "multimodal_decode_pipeline",
+    # The decode stub is pure arithmetic on payload length (and the
+    # corpus is ASCII at every SF: octet_length == length, verified),
+    # so even the Python-side pipeline has an exact SQL twin.
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             CAST(octet_length(encode(text)) AS INTEGER) AS pb
+      FROM documents
+    ),
+    d AS (
+      SELECT media_type, pb,
+             CASE WHEN media_type = 'image/png' THEN 64 + pb % 640
+                  WHEN media_type = 'audio/wav' THEN 0 ELSE 320 END AS w,
+             CASE WHEN media_type = 'image/png' THEN 64 + pb % 480
+                  WHEN media_type = 'audio/wav' THEN 0 ELSE 240 END AS h,
+             CASE WHEN media_type = 'image/png' THEN 1
+                  WHEN media_type = 'audio/wav' THEN 1 + pb % 1000
+                  ELSE 1 + pb % 300 END AS fr
+      FROM m
+    )
+    SELECT media_type, COUNT(*) AS n_decoded,
+           CAST(SUM(pb) AS BIGINT) AS total_bytes,
+           CAST(MAX(w) AS INTEGER) AS max_width,
+           CAST(MAX(h) AS INTEGER) AS max_height,
+           CAST(MAX(fr) AS INTEGER) AS max_frames
+    FROM d GROUP BY media_type ORDER BY media_type
+    """,
+)
 def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end media pipeline: binary table → mapInPandas decode (stub)
-    → per-type feature aggregation. Deterministic output (stable under
-    the driver's rows-only check)."""
+    → per-type feature aggregation. The stub is deterministic arithmetic
+    on payload length, so the oracle replays it exactly in SQL — the
+    Arrow/mapInPandas plumbing is what's actually under test."""
     decoded = decode_media(media_table(spark, sf_dir))
     return (
         decoded.groupBy("media_type")
@@ -183,11 +218,31 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -
     return df.mapInPandas(frames, FRAME_SCHEMA)
 
 
-@register("multimodal_frame_sample")  # rows-only: Python-side sampling stub
+@register(
+    "multimodal_frame_sample",
+    # ASCII corpus ⇒ byte offsets == character offsets, so the md5 of
+    # each 64-byte chunk is md5(substring(text, off+1, 64)).
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             CAST(octet_length(encode(text)) AS INTEGER) AS pb
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT media_id, CAST(i * 64 AS INTEGER) AS byte_offset,
+             md5(substring(text, i * 64 + 1, 64)) AS frame_hash
+      FROM m, unnest(generate_series(0, least(8, greatest(1, pb // 64)) - 1)) AS u(i)
+    )
+    SELECT media_id, COUNT(*) AS n_frames_sampled,
+           CAST(MAX(byte_offset) AS INTEGER) AS last_offset,
+           MIN(frame_hash) AS min_frame_hash
+    FROM f GROUP BY media_id ORDER BY media_id
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling pipeline: media table -> mapInPandas frame
     fan-out -> per-media frame counts. Deterministic (md5 of payload
-    chunks), stable under the rows-only check."""
+    chunks), exactly replayed by the SQL oracle."""
     frames = sample_frames(media_table(spark, sf_dir))
     return (
         frames.groupBy("media_id")
@@ -244,10 +299,34 @@ def chunk_audio(
     return df.mapInPandas(segs, SEGMENT_SCHEMA)
 
 
-@register("multimodal_audio_segments")  # rows-only: Python-side framing stub
+@register(
+    "multimodal_audio_segments",
+    # starts = 0, 32, 64, … < max(1, pb-47), capped at 16 segments;
+    # ceil(U/32) = (U+31)//32 with U = greatest(1, pb-47).
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             CAST(octet_length(encode(text)) AS INTEGER) AS pb
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    s AS (
+      SELECT media_id, CAST(i * 32 AS INTEGER) AS seg_start,
+             CAST(least(48, pb - i * 32) AS INTEGER) AS seg_len,
+             md5(substring(text, i * 32 + 1, 48)) AS seg_hash
+      FROM m, unnest(generate_series(
+               0, least(15, (greatest(1, pb - 47) + 31) // 32 - 1))) AS u(i)
+    )
+    SELECT media_id, COUNT(*) AS n_segments,
+           CAST(MAX(seg_start) AS INTEGER) AS last_start,
+           CAST(SUM(seg_len) AS BIGINT) AS bytes_covered,
+           MIN(seg_hash) AS min_seg_hash
+    FROM s GROUP BY media_id ORDER BY media_id
+    """,
+)
 def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio segmentation pipeline: media table -> overlapping-window
-    fan-out (mapInPandas) -> per-media segment stats. Deterministic.
+    fan-out (mapInPandas) -> per-media segment stats. Deterministic and
+    exactly replayed by the SQL oracle.
 
     Scale: like frame sampling, the binary payload is read once per
     partition inside an Arrow batch and never shuffled — only the
