@@ -149,7 +149,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_buckets")  # no oracle: Spark-side hyperplanes (rows-only check)
+def _lsh_planes():
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((8, EMB_DIM))
+
+
+def _ann_lsh_oracle() -> str:
+    """Oracle generated from the SAME fixed-seed hyperplane constants;
+    DuckDB's list_inner_product accumulates in element order like the
+    Spark-side sequential fold (verified bit-exact at sf0.01)."""
+    terms = []
+    for i, plane in enumerate(_lsh_planes()):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(
+            f"CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), [{lits}]) > 0"
+            f" THEN {1 << i} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM (SELECT vec_id, {bucket} AS bucket FROM embeddings) b
+    GROUP BY bucket ORDER BY bucket
+    """
+
+
+@register("ann_lsh_buckets", oracle=_ann_lsh_oracle())
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing: 8 signed projections → 8-bit bucket
     id per vector. Deterministic (fixed-seed numpy hyperplanes, broadcast
@@ -160,10 +186,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's bucket (+ neighbors for recall). This is the 100 TB path:
     corpus shuffles once by bucket, queries broadcast to their buckets.
     """
-    import numpy as np
-
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((8, EMB_DIM))
+    planes = _lsh_planes()
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     bucket = None
     for i in range(8):
