@@ -361,3 +361,36 @@ class TestSketches:
         assert set(got) == set(exact)
         for k, est in got.items():
             assert abs(est - exact[k]) <= 0.05 * exact[k] + 2
+
+
+class TestShuffleFreeSignatures:
+    """The dedup fingerprint stages are computed with per-doc array ops —
+    zero shuffles except the final presentation sort (r2 rewrite; the
+    sort exists only for the deterministic oracle compare and would be
+    dropped in a pipeline composition)."""
+
+    def test_minhash_signatures_no_shuffle(self, spark):
+        t = tree(spark, "dedup_minhash_signatures")
+        # exactly one Exchange: the orderBy's range partitioning
+        assert t.count("Exchange") == 1
+        assert "HashAggregate" not in t  # no groupBy in the array path
+        assert "Generate" not in t  # no explode
+
+    def test_simhash_no_shuffle(self, spark):
+        t = tree(spark, "dedup_simhash")
+        assert t.count("Exchange") == 1
+        assert "HashAggregate" not in t
+        assert "Generate" not in t
+
+    def test_capped_pairs_no_per_doc_aggregation_shuffle(self, spark):
+        """The capped LSH pipeline hash-shuffles only on the band keys
+        (window + self-join) and the pair distinct — the signature stage
+        contributes no hashpartitioning(doc_id) exchange (the old
+        explode+groupBy path did)."""
+        import re
+
+        plan = full(spark, "dedup_minhash_lsh_pairs_capped")
+        assert not re.search(r"hashpartitioning\(doc_id#", plan)
+        for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+            keys = m.group(1)
+            assert ("band" in keys) or ("doc_id_1" in keys), keys
