@@ -77,6 +77,21 @@ HEADLINE = [
     "window_distinct_count",
     "variant_extract",
     "hll_sketch_rollup",
+    # round-2 additions: shuffle-free fingerprints, oracle-checked
+    # multimodal pipelines, ANN bucketing, streaming twins
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "multimodal_decode_pipeline",
+    "multimodal_frame_sample",
+    "multimodal_audio_segments",
+    "ann_lsh_buckets",
+    "knn_classify",
+    "vector_quantize_int8",
+    "token_topk",
+    "tfidf_top_terms",
+    "text_langid",
+    "session_window_native",
+    "time_rollup_multigrain",
 ]
 
 
