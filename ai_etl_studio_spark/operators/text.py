@@ -808,3 +808,62 @@ def udtf_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, idx
         """
     )
+
+
+#: GPT-2-style pre-tokenizer, simplified to the lookahead-free subset
+#: that Java regex (Spark) and RE2 (DuckDB) evaluate identically:
+#: contractions, space-prefixed letter runs, digit runs, punctuation
+#: runs, whitespace runs. Verified token-for-token identical across
+#: engines on the full corpus.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+@register(
+    "token_count_bpe",
+    oracle=rf"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe) AS chars_per_bpe_token
+    FROM (
+      SELECT source,
+             len(string_split_regex(lower(text), '\s+')) AS n_ws,
+             len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS n_bpe,
+             length(text) AS n_chars
+      FROM documents
+    ) t
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (SURVEY §2C text-analysis row): whitespace
+    tokens and a BPE-ish pre-tokenizer regex (the GPT-2 pattern minus
+    RE2-unsupported lookahead), aggregated per source with the
+    chars-per-BPE-token compression proxy.
+
+    Scale: pure narrow regexp work in JVM codegen; one small groupBy on
+    source. The regex is the budget estimator for training-token counts —
+    at 100 TB you run exactly this shape before any real tokenizer pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_ws"),
+            F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias("n_bpe"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("ws_tokens"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.sum("n_bpe")).alias(
+                "chars_per_bpe_token"
+            ),
+        )
+        .orderBy("source")
+    )
