@@ -1,0 +1,96 @@
+"""Scale-behavior evidence: AQE skew-join splitting actually triggers on
+a skewed key, and the sketch operators' estimates stay within their
+documented error bounds vs exact answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_studio_spark.operators import load_all
+from tests.conftest import SF_DIR
+
+QUERIES, _ = load_all()
+
+
+@pytest.fixture()
+def aqe_skew_confs(spark):
+    """Force sort-merge + hair-trigger skew thresholds, restore after."""
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in old.items():
+        spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(aqe_skew_confs):
+    """One key owning ~90% of a fact table: AQE's skew-join rule must
+    split that partition (the executed plan's sort-merge join is marked
+    skew=true) and the join result must stay correct."""
+    spark = aqe_skew_confs
+    n = 200_000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 97).alias("v"),
+        # pad so the hot partition crosses the byte threshold
+        F.repeat(F.lit("x"), 64).alias("pad"),
+    )
+    dim = spark.range(100).select(F.col("id").alias("k"), F.lit("d").alias("tag"))
+    joined = fact.join(dim, "k").groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v")
+    )
+    [row] = joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan[:2000]
+    # correctness unaffected: every fact row with k < 100 joins once
+    expected = fact.filter(F.col("k") < 100).count()
+    assert row["n_rows"] == expected
+
+
+def test_approx_distinct_within_documented_error(spark):
+    """approx_count_distinct(rsd=0.02): each group's estimate lands
+    within 3·rsd of the exact count it carries alongside."""
+    rows = QUERIES["approx_distinct"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_customers - r.exact_customers) <= max(
+            0.06 * r.exact_customers, 2
+        )
+
+
+def test_percentile_sketch_tracks_exact(spark):
+    """Greenwald-Khanna quartiles stay within 1% relative error of the
+    exact percentiles on the same groups."""
+    sketch = {
+        r.l_returnflag: (list(r.price_quartiles), r.qty_median)
+        for r in QUERIES["percentile_approx_sketch"](spark, SF_DIR).collect()
+    }
+    from ai_etl_studio_spark.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r.l_returnflag: (list(r.q), r.m)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))"
+            ).alias("q"),
+            F.expr("percentile(l_quantity, 0.5)").alias("m"),
+        )
+        .collect()
+    }
+    assert set(sketch) == set(exact)
+    for flag, (qs, med) in sketch.items():
+        eqs, emed = exact[flag]
+        for got, want in zip(qs, eqs):
+            assert abs(got - want) <= 0.01 * abs(want) + 1e-9
+        assert abs(med - emed) <= 0.01 * abs(emed) + 1e-9
