@@ -469,3 +469,58 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(n_set * 2 > n, F.lit(1 << j)).otherwise(0)
         assemble = term if assemble is None else (assemble + term)
     return hs.select("doc_id", assemble.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+def _source_matrix_oracle() -> str:
+    return rf"""
+    WITH {_bands_cte()},
+    {_SQL_CAPPED_BUCKETS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT least(d1.source, d2.source) AS source_a,
+           greatest(d1.source, d2.source) AS source_b,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN d1.source <> d2.source THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_source
+    FROM cand c
+    JOIN documents d1 ON c.doc_id_1 = d1.doc_id
+    JOIN documents d2 ON c.doc_id_2 = d2.doc_id
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """
+
+
+@register("dedup_source_matrix", oracle=_source_matrix_oracle())
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup contamination matrix: for every unordered
+    source pair, how many capped-LSH candidate pairs span it — the
+    report that tells a training-data curator which feeds duplicate
+    each other (and how much of a source is internal duplication).
+
+    Scale: the pair list is small relative to the corpus (banded LSH,
+    capped buckets), so the two doc_id joins hash on a compact build
+    side; documents contributes only (doc_id, source) after pruning —
+    the payload text never moves.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    cand = _lsh_candidate_pairs(spark, sf_dir, cap=LSH_BUCKET_CAP)
+    d1 = d.select(F.col("doc_id").alias("doc_id_1"), F.col("source").alias("src_1"))
+    d2 = d.select(F.col("doc_id").alias("doc_id_2"), F.col("source").alias("src_2"))
+    return (
+        cand.join(d1, "doc_id_1")
+        .join(d2, "doc_id_2")
+        .select(
+            F.least("src_1", "src_2").alias("source_a"),
+            F.greatest("src_1", "src_2").alias("source_b"),
+            (F.col("src_1") != F.col("src_2")).cast("int").alias("is_cross"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("is_cross").cast("bigint").alias("n_cross_source"),
+        )
+        .orderBy("source_a", "source_b")
+    )
