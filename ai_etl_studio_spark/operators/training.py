@@ -383,3 +383,100 @@ def chunk_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@register(
+    "curriculum_stages",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents),
+    vocab AS (SELECT term, COUNT(*) AS tc FROM toks GROUP BY term),
+    tot AS (SELECT SUM(tc) AS total_tokens FROM vocab),
+    vticks AS (
+      SELECT term,
+             CAST(round(ln(CAST(total_tokens AS DOUBLE) / tc) * 1000000000, 0)
+                  AS BIGINT) AS tick
+      FROM vocab, tot),
+    scored AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             round(CAST(SUM(v.tick) AS DOUBLE) / 1000000000 / COUNT(*), 6)
+               AS avg_surprisal
+      FROM toks t JOIN vticks v ON t.term = v.term
+      GROUP BY t.doc_id),
+    b AS (
+      SELECT list_transform(quantile_cont(avg_surprisal, [1.0/3, 2.0/3]),
+                            x -> round(x, 6)) AS sb
+      FROM scored)
+    SELECT 1 + len(list_filter(sb, x -> avg_surprisal > x)) AS stage,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens,
+           round(CAST(SUM(CAST(round(avg_surprisal * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                 / 1000000 / COUNT(*), 6) AS mean_surprisal
+    FROM scored, b
+    GROUP BY stage
+    ORDER BY stage
+    """,
+)
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: score every doc by mean unigram surprisal
+    (easy = low-surprisal/templated, hard = rare-token-dense), split the
+    corpus into 3 difficulty terciles via broadcast quantile boundaries,
+    and report each stage's doc/token budget — the schedule a
+    curriculum-ordered training run consumes.
+
+    Scale: reuses the rfm_quantile_scores pattern — NO global NTILE
+    sort; the only global object is the broadcast 2-double boundary row.
+    Surprisal quantized to integer nano-ticks (cross-engine exact);
+    boundaries rounded to 6dp before comparison so both engines bucket
+    identically.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    tot = vocab.agg(F.sum("tc").alias("total_tokens"))
+    vticks = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log(F.col("total_tokens").cast("double") / F.col("tc")) * 1_000_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("tick"),
+    )
+    scored = (
+        toks.join(F.broadcast(vticks), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("tick").cast("double") / 1_000_000_000 / F.count(F.lit(1)), 6
+            ).alias("avg_surprisal"),
+        )
+    )
+    bounds = scored.agg(
+        F.expr(
+            "transform(percentile(avg_surprisal, array(1.0D/3, 2.0D/3)), x -> round(x, 6))"
+        ).alias("sb")
+    )
+    stage = 1 + F.size(F.filter(F.col("sb"), lambda b: F.col("avg_surprisal") > b))
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(stage.alias("stage"), "n_tokens", "avg_surprisal")
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("stage_tokens"),
+            F.round(
+                F.sum(F.round(F.col("avg_surprisal") * 1_000_000, 0).cast("bigint")).cast(
+                    "double"
+                )
+                / 1_000_000
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_surprisal"),
+        )
+        .orderBy("stage")
+    )
