@@ -545,3 +545,108 @@ def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SQL_CONT_CTE = rf"""sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(
+               [md5(array_to_string(toks[i:i+{DECON_N - 1}], ' '))
+                for i in range(1, len(toks) - {DECON_N} + 2)])) AS h
+      FROM (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks
+            FROM documents) t
+      WHERE len(toks) >= {DECON_N}
+    ),
+    bench AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+    cont AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (h)
+      WHERE s.source <> 'src0'
+    )"""
+
+
+def _contaminated_docs(spark: SparkSession, sf_dir: str):
+    """(doc_id) of non-benchmark docs sharing any DECON_N-gram with the
+    src0 benchmark — the drop set shared by decontaminate_ngrams and
+    clean_dataset_split."""
+    from ai_etl_studio_spark.functions.texthash import tokens, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", "source", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= DECON_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles(F.col("toks"), DECON_N)).alias("shingle"),
+        )
+        .select("doc_id", "source", F.md5("shingle").alias("h"))
+    )
+    bench = sh.filter(F.col("source") == "src0").select("h").distinct()
+    return (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+@register(
+    "clean_dataset_split",
+    oracle=rf"""
+    WITH {_SQL_CONT_CTE}
+    SELECT split, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS clean_tokens
+    FROM (
+      SELECT d.doc_id, d.source,
+             len(string_split_regex(lower(d.text), '\s+')) AS n_tok,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('split:',
+                       CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 80
+                    THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(concat('split:',
+                       CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90
+                    THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM documents d
+      WHERE d.source <> 'src0'
+    ) s ANTI JOIN cont ON s.doc_id = cont.doc_id
+    GROUP BY split, source
+    ORDER BY split, source
+    """,
+)
+def clean_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-training data-prep endgame composed end to end:
+    benchmark decontamination (drop every training doc sharing an
+    8-gram with the src0 benchmark) THEN the deterministic 80/10/10
+    hash split, reported as per-(split, source) doc and token budgets —
+    the inventory a run actually trains on.
+
+    Scale: contaminated-doc set is tiny → broadcast anti join; the
+    split key is a narrow md5 on doc_id; one final small groupBy.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("source") != "src0")
+    kept = d.join(F.broadcast(_contaminated_docs(spark, sf_dir)), "doc_id", "left_anti")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+    )
+    return (
+        kept.select(
+            split.alias("split"),
+            "source",
+            F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_tok"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("clean_tokens"),
+        )
+        .orderBy("split", "source")
+    )
