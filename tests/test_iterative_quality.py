@@ -17,9 +17,6 @@ QUERIES, _ = load_all()
 
 @pytest.fixture(scope="module")
 def emb_matrix(spark):
-    rows = (
-        QUERIES.__class__  # placate linters; real load below
-    )
     df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", "label", "embedding"
     )
