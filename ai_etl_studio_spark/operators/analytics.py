@@ -1499,3 +1499,107 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id, ts, event_id
         """
     )
+
+
+def _global_ntile(df: DataFrame, sort_cols: list, k: int, out_name: str) -> DataFrame:
+    """EXACT NTILE(k) over a global order WITHOUT the single-partition
+    sort: range-repartition on the (unique-tie-broken) sort key, number
+    rows within each partition, then add broadcast per-partition offsets
+    — the classic distributed zipWithIndex. Only the per-partition
+    counts (one row per partition, like K centroids) ride the driver.
+
+    Returns (o_custkey, <out_name>).
+    """
+    n_parts = max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), 1)
+    ranked = (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*sort_cols)
+    tmp = ranked.withColumn("_lrn", F.row_number().over(w_local))
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in tmp.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    total = sum(c for _, c in counts)
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off bigint")
+    grn = (F.col("_off") + F.col("_lrn")).alias("_grn")
+    q, rem = divmod(total, k)
+    boundary = rem * (q + 1)
+    if q == 0:  # fewer rows than buckets: bucket = global row number
+        bucket = F.col("_grn")
+    else:
+        bucket = (
+            F.when(
+                F.col("_grn") <= boundary,
+                (F.col("_grn") - 1) / (q + 1) + 1,
+            )
+            .otherwise(rem + (F.col("_grn") - 1 - boundary) / q + 1)
+            .cast("int")
+        )
+    return (
+        tmp.join(F.broadcast(off_df), "_pid")
+        .select("o_custkey", grn)
+        .select("o_custkey", bucket.alias(out_name))
+    )
+
+
+@register(
+    "ntile_rfm_scalable",
+    oracle=f"""
+    SELECT o_custkey,
+           recency_days, frequency, monetary,
+           NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey)  AS r_score,
+           NTILE(5) OVER (ORDER BY frequency DESC, o_custkey)    AS f_score,
+           NTILE(5) OVER (ORDER BY monetary DESC, o_custkey)     AS m_score
+    FROM (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '{RFM_ANCHOR}') AS recency_days,
+             COUNT(DISTINCT o_orderkey) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS monetary
+      FROM orders
+      GROUP BY o_custkey
+    ) rfm
+    ORDER BY o_custkey
+    """,
+)
+def ntile_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT NTILE(5) RFM scoring at scale: same oracle (and therefore
+    bit-identical semantics) as ntile_rfm, but the global order comes
+    from range repartitioning + per-partition row numbers + broadcast
+    offsets instead of WindowExec's move-everything-to-one-partition
+    sort. Each of the three scores costs one range shuffle sorted in
+    parallel; the only driver-side data is one count per partition.
+
+    This retires the last single-partition window from the operator
+    surface: ntile_rfm stays registered as the reference-semantics twin,
+    and rfm_quantile_scores remains the value-range (non-NTILE)
+    alternative.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit(RFM_ANCHOR).cast("date"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("recency_days"),
+            F.countDistinct("o_orderkey").alias("frequency"),
+            (F.sum(cents("o_totalprice")).cast("double") / 100).alias("monetary"),
+        )
+        .localCheckpoint()  # three rank passes + final join read this once
+    )
+    r = _global_ntile(rfm, [F.asc("recency_days"), F.asc("o_custkey")], 5, "r_score")
+    f = _global_ntile(rfm, [F.desc("frequency"), F.asc("o_custkey")], 5, "f_score")
+    m = _global_ntile(rfm, [F.desc("monetary"), F.asc("o_custkey")], 5, "m_score")
+    return (
+        rfm.join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
+        .select(
+            "o_custkey", "recency_days", "frequency", "monetary",
+            "r_score", "f_score", "m_score",
+        )
+        .orderBy("o_custkey")
+    )
