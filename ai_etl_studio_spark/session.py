@@ -66,7 +66,12 @@ def get_spark(
 
 
 #: Runtime-settable (non-static) configs, applied when we are handed an
-#: externally-created session (the driver contract passes one in).
+#: externally-created session (the verify driver passes one in).
+#: shuffle.partitions: the stock 200 default costs ~6× task-scheduling
+#: overhead at local scale; AQE coalescing hides it for implicit
+#: exchanges but NOT for explicit repartition/repartitionByRange calls.
+#: Sized to local cores here; on a real cluster set it high (2000+) and
+#: let AQE coalesce down.
 RUNTIME_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
@@ -77,9 +82,22 @@ RUNTIME_CONF: dict[str, str] = {
 }
 
 
+def _runtime_conf(spark: SparkSession) -> dict[str, str]:
+    conf = dict(RUNTIME_CONF)
+    # only lower the static 200 default; never clobber an explicit
+    # operator-tuned value (tests set 8; bench sets core count)
+    try:
+        current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        current = None
+    if current == 200:
+        conf["spark.sql.shuffle.partitions"] = str(default_parallelism())
+    return conf
+
+
 def configure_existing(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an existing session."""
-    for k, v in RUNTIME_CONF.items():
+    for k, v in _runtime_conf(spark).items():
         try:
             spark.conf.set(k, v)
         except Exception:
