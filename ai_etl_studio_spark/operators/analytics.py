@@ -1603,3 +1603,108 @@ def ntile_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+PR_SCALE = 1_000_000_000_000  # rank picoticks: integer PageRank arithmetic
+PR_ITERS = 3
+PR_TOP = 20
+
+
+def _pagerank_oracle() -> str:
+    base = f"CAST({PR_SCALE} * 15 / 100 AS BIGINT) // n_nodes"
+    it = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        it.append(f"""
+    inflow{i} AS (
+      SELECT e.dst AS node, SUM(r.tick // d.d) AS inf
+      FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.node
+      GROUP BY e.dst),
+    r{i} AS (
+      SELECT nd.node, {base} + (COALESCE(f.inf, 0) * 85) // 100 AS tick
+      FROM nodes nd CROSS JOIN n LEFT JOIN inflow{i} f ON nd.node = f.node)""")
+        prev = f"r{i}"
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT 'c' || c AS src, 's' || s AS dst FROM e0
+              UNION ALL SELECT 's' || s, 'c' || c FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) // n_nodes AS tick
+           FROM nodes CROSS JOIN n),
+    {",".join(it)}
+    SELECT node, tick AS rank_tick,
+           round(CAST(tick AS DOUBLE) / {PR_SCALE}, 9) AS rank
+    FROM {prev}
+    ORDER BY rank_tick DESC, node
+    LIMIT {PR_TOP}
+    """
+
+
+@register("pagerank_bipartite", oracle=_pagerank_oracle())
+def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier purchase graph (damping 0.85,
+    {PR_ITERS} synchronous iterations, uniform init) — the second graph
+    operator next to dedup_clusters' connected components.
+
+    Exactness: ranks are integer picoticks; per-edge contribution is
+    integer-DIV by degree and damping is (x·85) DIV 100, so both engines
+    do identical integer arithmetic — the oracle unrolls the same
+    iterations as chained CTEs.
+
+    Scale: each iteration = one join of (edges ⋈ ranks) + a groupBy(dst)
+    — the standard Pregel-style shape. Edges are distinct (customer,
+    supplier) pairs: |edges| ≪ |lineitem|. Degrees are precomputed once
+    and broadcast-sized; ranks are 16 bytes/node. At 100 TB the edge
+    list is partitioned by src and reused across iterations
+    (localCheckpoint breaks lineage like the CC loop).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    c_node = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    s_node = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = (
+        e0.select(c_node.alias("src"), s_node.alias("dst"))
+        .union(e0.select(s_node.alias("src"), c_node.alias("dst")))
+        .localCheckpoint()
+    )
+    nodes = edges.select("src").distinct().withColumnRenamed("src", "node")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes = nodes.count()  # one scalar on the driver, like K centroids
+    base_tick = (PR_SCALE * 15 // 100) // n_nodes
+    ranks = nodes.withColumn("tick", F.lit(PR_SCALE // n_nodes).cast("bigint"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, edges.src == deg.src)
+            .select("dst", F.expr("tick DIV d").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inf"))
+        ranks = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_tick)
+                    + F.expr("coalesce(inf, 0L) * 85 DIV 100")
+                ).alias("tick"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select(
+            "node",
+            F.col("tick").alias("rank_tick"),
+            F.round(F.col("tick").cast("double") / PR_SCALE, 9).alias("rank"),
+        )
+        .orderBy(F.desc("rank_tick"), "node")
+        .limit(PR_TOP)
+    )
