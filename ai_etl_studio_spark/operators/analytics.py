@@ -1708,3 +1708,60 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_tick"), "node")
         .limit(PR_TOP)
     )
+
+
+EWMA_ALPHA_NUM = 3  # alpha = 0.3 — kept as a ratio so both engines
+EWMA_ALPHA_DEN = 10  # compute literally identical double expressions
+
+
+@register(
+    "ewma_user_value",
+    oracle=f"""
+    SELECT user_id,
+           len(vals) AS n_events,
+           round(list_reduce(CAST(vals AS DOUBLE[]),
+                 (acc, x) -> round(acc * 0.7 + x * 0.3, 9)), 6) AS ewma_value
+    FROM (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    ) g
+    ORDER BY user_id
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (alpha=0.3) — the deterministic smoothing primitive behind anomaly
+    baselines and rate estimators; the recursive fold Spark SQL has no
+    built-in for, expressed as an array left-fold.
+
+    Exactness: both engines fold the SAME ordered list left-to-right
+    with per-step 9dp rounding, so the doubles are bit-identical; the
+    order comes from sort_array over (ts, event_id, value) structs (an
+    unordered collect_list would be nondeterministic).
+
+    Scale: one shuffle (groupBy user_id); per-user history rides an
+    array — for unbounded histories the streaming twin is
+    applyInPandasWithState/transformWithState keeping just the running
+    EWMA (O(1) state), cf. streaming/windows.py.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arr = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda x: x["value"],
+    )
+    alpha = EWMA_ALPHA_NUM / EWMA_ALPHA_DEN
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size(F.col("vals")) - 1),
+        F.element_at(F.col("vals"), 1).cast("double"),
+        lambda acc, x: F.round(acc * (1 - alpha) + x * alpha, 9),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(arr.alias("vals"))
+        .select(
+            "user_id",
+            F.size("vals").alias("n_events"),
+            F.round(fold, 6).alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )
