@@ -772,3 +772,124 @@ def cosine_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+MMR_N_CAND = 20
+MMR_K = 5
+MMR_LAMBDA_NUM = 7  # lambda = 0.7, kept as integers for exact scoring
+MMR_TICK = 1_000_000_000
+
+
+def _mmr_oracle() -> str:
+    cos_ab = (
+        "list_inner_product(a.emb, b.emb) / "
+        "(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)))"
+    )
+    steps = []
+    prev_sel = "sel1"
+    steps.append(
+        f"""sel1 AS (
+      SELECT vec_id, 1 AS rank FROM cand
+      ORDER BY {MMR_LAMBDA_NUM} * qt DESC, vec_id LIMIT 1)"""
+    )
+    for k in range(2, MMR_K + 1):
+        sel_union = " UNION ALL ".join(f"SELECT vec_id FROM sel{j}" for j in range(1, k))
+        steps.append(
+            f"""sel{k} AS (
+      SELECT c.vec_id, {k} AS rank FROM cand c
+      WHERE c.vec_id NOT IN ({sel_union})
+      ORDER BY {MMR_LAMBDA_NUM} * c.qt
+               - {10 - MMR_LAMBDA_NUM} * COALESCE((
+                   SELECT MAX(p.pt) FROM pair p
+                   WHERE p.i = c.vec_id AND p.j IN ({sel_union})), 0) DESC,
+               c.vec_id
+      LIMIT 1)"""
+        )
+        prev_sel = f"sel{k}"
+    all_sel = " UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, MMR_K + 1))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT emb FROM v WHERE vec_id = 0),
+    cand AS (
+      SELECT a.vec_id, a.emb,
+             CAST(round(({cos_ab}) * {MMR_TICK}, 0) AS BIGINT) AS qt
+      FROM v a, q b
+      WHERE a.vec_id <> 0
+      ORDER BY qt DESC, vec_id LIMIT {MMR_N_CAND}),
+    pair AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             CAST(round(({cos_ab}) * {MMR_TICK}, 0) AS BIGINT) AS pt
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+    {",".join(steps)}
+    SELECT rank, vec_id FROM ({all_sel}) s ORDER BY rank
+    """
+
+
+@register("mmr_diverse_topk", oracle=_mmr_oracle())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval: top-{MMR_N_CAND}
+    cosine candidates for query vector 0, then {MMR_K} greedy picks
+    maximizing λ·sim(q,d) − (1−λ)·max_{{s∈S}} sim(d,s) (λ=0.7) — the
+    standard diversity re-rank between ANN retrieval and a consumer.
+
+    Exactness: similarities are quantized to integer nano-ticks before
+    any comparison, λ is the integer pair (7, 3), ties break on vec_id —
+    the oracle unrolls the same greedy steps as chained CTEs.
+
+    Scale: stage 1 (distributed) streams the corpus once against the
+    broadcast query; the greedy re-rank is O(N²) on N={MMR_N_CAND}
+    candidates — driver-looped like kmeans (each pick collects ONE row;
+    the pair matrix stays a Spark frame). Production N is hundreds —
+    re-rank cost is independent of corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    q_emb = emb.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
+    qt = (F.round(cosine(F.col("emb"), F.col("qe")) * MMR_TICK, 0)).cast("bigint")
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q_emb))
+        .select("vec_id", "emb", qt.alias("qt"))
+        .orderBy(F.desc("qt"), "vec_id")
+        .limit(MMR_N_CAND)
+        .localCheckpoint()  # reused by the pair matrix + K greedy picks
+    )
+    a = cand.select(F.col("vec_id").alias("i"), F.col("emb").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("j"), F.col("emb").alias("eb"))
+    pair = (
+        a.join(b, F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(cosine(F.col("ea"), F.col("eb")) * MMR_TICK, 0)
+            .cast("bigint")
+            .alias("pt"),
+        )
+        .localCheckpoint()
+    )
+    selected: list[int] = []
+    picks: list[tuple[int, int]] = []
+    for rank in range(1, MMR_K + 1):
+        rem = cand.filter(~F.col("vec_id").isin(selected)) if selected else cand
+        if selected:
+            penalty = (
+                pair.filter(F.col("j").isin(selected))
+                .groupBy("i")
+                .agg(F.max("pt").alias("mp"))
+            )
+            scored = rem.join(penalty, rem.vec_id == penalty.i, "left").select(
+                "vec_id",
+                (
+                    MMR_LAMBDA_NUM * F.col("qt")
+                    - (10 - MMR_LAMBDA_NUM) * F.coalesce("mp", F.lit(0))
+                ).alias("score"),
+            )
+        else:
+            scored = rem.select(
+                "vec_id", (MMR_LAMBDA_NUM * F.col("qt")).alias("score")
+            )
+        [best] = scored.orderBy(F.desc("score"), "vec_id").limit(1).collect()
+        selected.append(best.vec_id)
+        picks.append((rank, best.vec_id))
+    return spark.createDataFrame(picks, "rank int, vec_id bigint").orderBy("rank")
