@@ -92,6 +92,12 @@ HEADLINE = [
     "text_langid",
     "session_window_native",
     "time_rollup_multigrain",
+    "token_count_bpe",
+    "curriculum_stages",
+    "clean_dataset_split",
+    "dedup_source_matrix",
+    "pagerank_bipartite",
+    "ewma_user_value",
 ]
 
 
