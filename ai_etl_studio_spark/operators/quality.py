@@ -650,3 +650,83 @@ def clean_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE pairs AS ({{pairs}}),
+edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+          UNION SELECT doc_id_2, doc_id_1 FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+),
+labels AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+scored AS (
+  SELECT l.node, l.label,
+         len(list_distinct(string_split_regex(lower(d.text), '\\s+'))) AS q
+  FROM labels l JOIN documents d ON l.node = d.doc_id),
+best AS (
+  SELECT label, CAST(MAX(q) AS BIGINT) AS keep_quality,
+         COUNT(*) AS n_docs
+  FROM scored GROUP BY label)
+SELECT s.label AS cluster_id, b.n_docs, b.keep_quality,
+       MIN(CASE WHEN s.q = b.keep_quality THEN s.node END) AS keep_doc_id
+FROM scored s JOIN best b USING (label)
+GROUP BY s.label, b.n_docs, b.keep_quality
+HAVING b.n_docs > 1
+ORDER BY cluster_id
+"""
+
+
+@register("dedup_keep_best")
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production keep-policy for near-dup clusters: instead of the
+    arbitrary min-doc_id canonical, keep the member with the HIGHEST
+    quality (distinct-token count — an integer, so the argmax is exact),
+    ties broken by lowest doc_id. This is what a curation pass actually
+    ships: the best copy survives, the rest drop.
+
+    Oracle (registered below at import end, composing the LSH-pairs SQL
+    like dedup_kept_corpus): recursive-CTE transitive closure + the same
+    max-quality-then-min-id selection.
+
+    Scale: quality is a narrow per-doc expression; the per-cluster argmax
+    is two small groupBys over (node, label, q) triples — document text
+    never rides the cluster join.
+    """
+    from ai_etl_studio_spark.functions.texthash import tokens
+
+    labels = _cc_labels(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    q = F.size(F.array_distinct(tokens("text")))
+    scored = labels.join(
+        d.select(F.col("doc_id").alias("node"), q.alias("q")), "node"
+    )
+    best = scored.groupBy("label").agg(
+        F.max("q").cast("bigint").alias("keep_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        scored.join(best, "label")
+        .groupBy(
+            F.col("label").alias("cluster_id"), "n_docs", "keep_quality"
+        )
+        .agg(
+            F.min(F.when(F.col("q") == F.col("keep_quality"), F.col("node"))).alias(
+                "keep_doc_id"
+            )
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("cluster_id", "n_docs", "keep_quality", "keep_doc_id")
+        .orderBy("cluster_id")
+    )
+
+
+# oracle composes the LSH pair SQL (registered when dedup.py loaded)
+ORACLES["dedup_keep_best"] = " ".join(
+    _KEEP_BEST_ORACLE.format(
+        pairs=ORACLES["dedup_minhash_lsh_pairs"].rsplit(" ORDER BY ", 1)[0]
+    ).split()
+)
