@@ -1501,49 +1501,66 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _global_ntile(df: DataFrame, sort_cols: list, k: int, out_name: str) -> DataFrame:
-    """EXACT NTILE(k) over a global order WITHOUT the single-partition
-    sort: range-repartition on the (unique-tie-broken) sort key, number
-    rows within each partition, then add broadcast per-partition offsets
-    — the classic distributed zipWithIndex. Only the per-partition
-    counts (one row per partition, like K centroids) ride the driver.
+def _global_ntile(df: DataFrame, metric: str, ascending: bool, k: int, out_name: str) -> DataFrame:
+    """EXACT NTILE(k) over a global (metric, o_custkey) order WITHOUT a
+    single-partition sort: rows are bucketed by VALUE against broadcast
+    approx-percentile boundaries (any boundary set yields correct ranks
+    — correctness needs only that buckets partition the value range in
+    order), counted per bucket for offsets (≤ NB+1 driver rows), and
+    row_number'd within buckets in parallel. Global rank = bucket
+    offset + local row number.
+
+    Value-derived buckets are immune to AQE splitting/coalescing
+    physical partitions, which broke the earlier spark_partition_id()
+    scheme at sf0.1 (fragments of one range interleave key ranges).
 
     Returns (o_custkey, <out_name>).
     """
-    n_parts = max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), 1)
-    ranked = (
-        df.repartitionByRange(n_parts, *sort_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    w_local = Window.partitionBy("_pid").orderBy(*sort_cols)
-    tmp = ranked.withColumn("_lrn", F.row_number().over(w_local))
-    counts = sorted(
-        (r["_pid"], r["cnt"])
-        for r in tmp.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    total = sum(c for _, c in counts)
+    nb = 32
+    probs = ", ".join(f"{(i + 1) / (nb + 1):.6f}" for i in range(nb))
+    [bounds_row] = df.agg(
+        F.expr(
+            f"approx_percentile(cast({metric} as double), array({probs}), 10000)"
+        ).alias("bs")
+    ).collect()
+    bounds = sorted(set(bounds_row.bs or []))
+    if ascending:
+        bucket_expr = sum(
+            (F.col(metric).cast("double") > F.lit(b)).cast("int") for b in bounds
+        ) if bounds else F.lit(0)
+        order = [F.asc(metric), F.asc("o_custkey")]
+    else:
+        bucket_expr = sum(
+            (F.col(metric).cast("double") < F.lit(b)).cast("int")
+            for b in reversed(bounds)
+        ) if bounds else F.lit(0)
+        order = [F.desc(metric), F.asc("o_custkey")]
+    tmp = df.select("o_custkey", metric).withColumn("_b", bucket_expr)
+    counts = {
+        r["_b"]: r["cnt"]
+        for r in tmp.groupBy("_b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(counts.values())
     offsets, acc = [], 0
-    for pid, c in counts:
-        offsets.append((pid, acc))
-        acc += c
-    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off bigint")
-    grn = (F.col("_off") + F.col("_lrn")).alias("_grn")
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
+    off_df = df.sparkSession.createDataFrame(offsets, "_b int, _off bigint")
+    w_local = Window.partitionBy("_b").orderBy(*order)
+    tmp = tmp.withColumn("_lrn", F.row_number().over(w_local))
+    grn = F.col("_off") + F.col("_lrn")
     q, rem = divmod(total, k)
     boundary = rem * (q + 1)
     if q == 0:  # fewer rows than buckets: bucket = global row number
-        bucket = F.col("_grn")
+        bucket = grn
     else:
         bucket = (
-            F.when(
-                F.col("_grn") <= boundary,
-                (F.col("_grn") - 1) / (q + 1) + 1,
-            )
-            .otherwise(rem + (F.col("_grn") - 1 - boundary) / q + 1)
+            F.when(grn <= boundary, (grn - 1) / (q + 1) + 1)
+            .otherwise(rem + (grn - 1 - boundary) / q + 1)
             .cast("int")
         )
     return (
-        tmp.join(F.broadcast(off_df), "_pid")
-        .select("o_custkey", grn)
+        tmp.join(F.broadcast(off_df), "_b")
         .select("o_custkey", bucket.alias(out_name))
     )
 
@@ -1592,9 +1609,9 @@ def ntile_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # three rank passes + final join read this once
     )
-    r = _global_ntile(rfm, [F.asc("recency_days"), F.asc("o_custkey")], 5, "r_score")
-    f = _global_ntile(rfm, [F.desc("frequency"), F.asc("o_custkey")], 5, "f_score")
-    m = _global_ntile(rfm, [F.desc("monetary"), F.asc("o_custkey")], 5, "m_score")
+    r = _global_ntile(rfm, "recency_days", True, 5, "r_score")
+    f = _global_ntile(rfm, "frequency", False, 5, "f_score")
+    m = _global_ntile(rfm, "monetary", False, 5, "m_score")
     return (
         rfm.join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
         .select(
@@ -1628,15 +1645,17 @@ def _pagerank_oracle() -> str:
     WITH e0 AS (
       SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-    edges AS (SELECT 'c' || c AS src, 's' || s AS dst FROM e0
-              UNION ALL SELECT 's' || s, 'c' || c FROM e0),
+    edges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM e0
+              UNION ALL SELECT s * 2 + 1, c * 2 FROM e0),
     nodes AS (SELECT DISTINCT src AS node FROM edges),
     deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
     n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
     r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) // n_nodes AS tick
            FROM nodes CROSS JOIN n),
     {",".join(it)}
-    SELECT node, tick AS rank_tick,
+    SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+                ELSE 's' || (node // 2) END AS node,
+           tick AS rank_tick,
            round(CAST(tick AS DOUBLE) / {PR_SCALE}, 9) AS rank
     FROM {prev}
     ORDER BY rank_tick DESC, node
@@ -1669,8 +1688,11 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    c_node = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    s_node = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    # integer node ids (customer: 2k, supplier: 2k+1) — joins and
+    # shuffles on bigints, the human-readable label is rendered only in
+    # the final projection
+    c_node = (F.col("o_custkey") * 2).cast("bigint")
+    s_node = (F.col("l_suppkey") * 2 + 1).cast("bigint")
     edges = (
         e0.select(c_node.alias("src"), s_node.alias("dst"))
         .union(e0.select(s_node.alias("src"), c_node.alias("dst")))
@@ -1699,9 +1721,13 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.expr("node DIV 2").cast("string")),
+    ).otherwise(F.concat(F.lit("s"), F.expr("node DIV 2").cast("string")))
     return (
         ranks.select(
-            "node",
+            label.alias("node"),
             F.col("tick").alias("rank_tick"),
             F.round(F.col("tick").cast("double") / PR_SCALE, 9).alias("rank"),
         )

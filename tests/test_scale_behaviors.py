@@ -94,3 +94,18 @@ def test_percentile_sketch_tracks_exact(spark):
         for got, want in zip(qs, eqs):
             assert abs(got - want) <= 0.01 * abs(want) + 1e-9
         assert abs(med - emed) <= 0.01 * abs(emed) + 1e-9
+
+
+def test_scalable_ntile_matches_window_ntile(spark):
+    """The distributed NTILE (value-bucket ranks) must agree with
+    WindowExec's single-partition NTILE row for row — the regression
+    that caught the AQE-vs-spark_partition_id bug at sf0.1."""
+    a = {
+        r.o_custkey: (r.r_score, r.f_score, r.m_score)
+        for r in QUERIES["ntile_rfm"](spark, SF_DIR).collect()
+    }
+    b = {
+        r.o_custkey: (r.r_score, r.f_score, r.m_score)
+        for r in QUERIES["ntile_rfm_scalable"](spark, SF_DIR).collect()
+    }
+    assert a == b
