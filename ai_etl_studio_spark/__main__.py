@@ -12,6 +12,7 @@ Commands inside the REPL::
 
     \\schema            typed schema browser (A18)
     \\sql SELECT ...    run raw SQL through sanitize + read-only gate
+    \\explain           formatted physical plan of the last result
     \\csv PATH          write the last result as CSV
     \\q                 quit
     anything else      NL question -> generator -> sanitize -> run
@@ -87,6 +88,14 @@ def main(argv: list[str] | None = None) -> int:
             break
         if line == "\\schema":
             print(render_schema_browser(snapshot))
+            continue
+        if line == "\\explain":
+            if last is None or not last.ok:
+                print("no result to explain")
+            else:
+                from ai_etl_studio_spark.plans.guard import explain_str
+
+                print(explain_str(last.df, "formatted"))
             continue
         if line.startswith("\\csv"):
             path = line[4:].strip()

@@ -16,6 +16,7 @@ def test_cli_session(tmp_path):
             "\\schema",
             "top 3 products",
             "\\sql SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment",
+            "\\explain",
             f"\\csv {csv_dir}",
             "\\sql DROP TABLE customer",
             "\\q",
@@ -35,6 +36,7 @@ def test_cli_session(tmp_path):
     assert "Columns of customer" in out  # schema browser
     assert "new gear" in out  # flagship NL query result
     assert "BUILDING" in out  # raw SQL result
+    assert "Physical Plan" in out  # \explain of the last result
     assert "error_message" in out  # DDL rejected as error relation
     # CSV really written (distributed write -> part files)
     parts = [f for f in os.listdir(csv_dir) if f.endswith(".csv")]
