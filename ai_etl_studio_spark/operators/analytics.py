@@ -1693,21 +1693,20 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final projection
     c_node = (F.col("o_custkey") * 2).cast("bigint")
     s_node = (F.col("l_suppkey") * 2 + 1).cast("bigint")
-    edges = (
-        e0.select(c_node.alias("src"), s_node.alias("dst"))
-        .union(e0.select(s_node.alias("src"), c_node.alias("dst")))
-        .localCheckpoint()
+    raw_edges = e0.select(c_node.alias("src"), s_node.alias("dst")).union(
+        e0.select(s_node.alias("src"), c_node.alias("dst"))
     )
+    deg = raw_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # degree rides the edge list (checkpointed once) so each iteration
+    # is ONE join + one agg instead of two joins
+    edges = raw_edges.join(deg, "src").localCheckpoint()
     nodes = edges.select("src").distinct().withColumnRenamed("src", "node")
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     n_nodes = nodes.count()  # one scalar on the driver, like K centroids
     base_tick = (PR_SCALE * 15 // 100) // n_nodes
     ranks = nodes.withColumn("tick", F.lit(PR_SCALE // n_nodes).cast("bigint"))
     for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, edges.src == deg.src)
-            .select("dst", F.expr("tick DIV d").alias("c"))
+        contrib = edges.join(ranks, edges.src == ranks.node).select(
+            "dst", F.expr("tick DIV d").alias("c")
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inf"))
         ranks = (
