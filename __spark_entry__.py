@@ -73,12 +73,12 @@ PRIORITY: tuple[str, ...] = (
     "unigram_surprisal",
     "bigram_surprisal",
     "collocation_pmi",
-    "stopword_pruned_corpus",
+    "token_count_bpe",
     # quality / skew
     "pii_redact",
-    "repetition_quality",
+    "clean_dataset_split",
     "length_band_filter",
-    "salted_agg",
+    "pagerank_bipartite",
     "skew_join_salted",
     # training-data pipeline
     "sequence_packing",
