@@ -74,3 +74,75 @@ def register_synthetic_seq(spark) -> None:
         spark.dataSource.register(SyntheticSeqDataSource)
     except Exception:
         pass  # already registered on this session
+
+
+# ---------------------------------------------------------------------------
+# Write-side seam: a pure-Python sink that participates in Spark's
+# commit protocol (per-task write -> commit message -> job-level commit,
+# with abort cleanup). The Spark-native generalization of "push results
+# to any Python-reachable system" (REST ingest, message bus, bespoke
+# format) — the write twin of the reader above.
+# ---------------------------------------------------------------------------
+
+import os
+import uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class CsvLinesWriter(DataSourceWriter):
+    """One CSV file per task written to a staging name, renamed into the
+    manifest only at job commit — tasks that never commit leave only
+    unreferenced staging files (cleaned by abort)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        name = f"part-{uuid.uuid4().hex}.csv"
+        full = os.path.join(self.path, name)
+        n = 0
+        with open(full, "w") as f:
+            for row in iterator:
+                f.write(",".join("" if v is None else str(v) for v in row) + "\n")
+                n += 1
+        return _FileCommit(name, n)
+
+    def commit(self, messages):
+        manifest = os.path.join(self.path, "_MANIFEST")
+        with open(manifest, "w") as f:
+            for m in messages:
+                f.write(f"{m.path},{m.n_rows}\n")
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.path))
+            except OSError:
+                pass
+
+
+class CsvLinesDataSource(DataSource):
+    """`df.write.format("csv_lines").option("path", dir).mode("append").save()`"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "csv_lines"
+
+    def writer(self, schema, overwrite: bool) -> CsvLinesWriter:
+        return CsvLinesWriter(self.options)
+
+
+def register_csv_lines(spark) -> None:
+    """Idempotent registration of the custom sink on a session."""
+    try:
+        spark.dataSource.register(CsvLinesDataSource)
+    except Exception:
+        pass  # already registered on this session
