@@ -91,6 +91,34 @@ class TemplateGenerator:
                 f" ORDER BY c_custkey LIMIT {lim}"
             ),
         ),
+        # extension-surface reach: the NL front-end can answer over the
+        # training-data tables too, not just the retail schema
+        (
+            r"duplicate\s+documents?",
+            lambda m, lim: (
+                "SELECT norm_text_hash, MIN(doc_id) AS keep_doc_id,"
+                " COUNT(*) AS n_copies FROM (SELECT doc_id,"
+                " md5(concat_ws(' ', split(lower(trim(text)), '\\\\s+')))"
+                " AS norm_text_hash FROM documents) n GROUP BY norm_text_hash"
+                f" HAVING COUNT(*) > 1 ORDER BY n_copies DESC, keep_doc_id LIMIT {lim}"
+            ),
+        ),
+        (
+            r"top\s+(\d+)\s+(?:tokens|terms|words)",
+            lambda m, lim: (
+                "SELECT tok, COUNT(*) AS n FROM (SELECT"
+                " explode(split(lower(text), '\\\\s+')) AS tok FROM documents) t"
+                f" GROUP BY tok ORDER BY n DESC, tok LIMIT {int(m.group(1))}"
+            ),
+        ),
+        (
+            r"documents?\s+(?:per|by)\s+(?:language|lang)",
+            lambda m, lim: (
+                "SELECT lang, COUNT(*) AS n_docs,"
+                " SUM(n_chars) AS total_chars FROM documents"
+                f" GROUP BY lang ORDER BY n_docs DESC, lang LIMIT {lim}"
+            ),
+        ),
     ]
 
     def generate(self, question: str) -> str:

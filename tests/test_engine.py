@@ -187,3 +187,25 @@ class TestObservedResult:
         assert m["nonnull_n_name"] == 25
         assert m["nonnull_r"] == 5
         assert "CollectMetrics" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_templates_reach_extension_surface(spark):
+    """The NL front-end answers over the training-data tables too: the
+    extension templates run end-to-end through sanitize + the read-only
+    gate and return the expected shapes."""
+    from ai_etl_studio_spark.catalog import register_tables
+    from ai_etl_studio_spark.sqlgen.generator import (
+        TemplateGenerator,
+        generate_and_run,
+    )
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    g = TemplateGenerator()
+    dup = generate_and_run(spark, g, "find duplicate documents")
+    assert dup.ok and dup.df.columns == ["norm_text_hash", "keep_doc_id", "n_copies"]
+    top = generate_and_run(spark, g, "top 7 tokens")
+    assert top.ok and top.df.count() == 7
+    lang = generate_and_run(spark, g, "documents per language")
+    assert lang.ok
+    rows = lang.df.collect()
+    assert len(rows) == 5 and all(r.n_docs > 0 for r in rows)
