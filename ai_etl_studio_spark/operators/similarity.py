@@ -893,3 +893,70 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected.append(best.vec_id)
         picks.append((rank, best.vec_id))
     return spark.createDataFrame(picks, "rank int, vec_id bigint").orderBy("rank")
+
+
+def _emb_lsh_dedup_oracle() -> str:
+    terms = []
+    for i, plane in enumerate(_lsh_planes()):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(
+            f"CASE WHEN list_inner_product(emb, [{lits}]) > 0"
+            f" THEN {1 << i} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    b AS (SELECT vec_id, emb, {bucket} AS bucket FROM v)
+    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+           ROUND({_SQL_COS}, 6) AS cos_sim
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_SQL_COS} >= {COSINE_DEDUP_THRESHOLD}
+    ORDER BY vec_id_1, vec_id_2
+    """
+
+
+@register("dedup_embedding_lsh_pairs", oracle=_emb_lsh_dedup_oracle())
+def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup at scale: hyperplane-bucket the corpus (8 signed
+    projections → 256 buckets), pair ONLY within buckets, verify
+    cosine ≥ {COSINE_DEDUP_THRESHOLD} — the bucketed scale path of
+    dedup_embedding_cosine's capped all-pairs baseline (same verify
+    math, candidate generation linear instead of quadratic).
+
+    Recall note: same-bucket pairing misses near-dups split by a
+    hyperplane (recall < 1 by design); production probes neighboring
+    buckets or unions several hyperplane seeds — the plan shape is
+    unchanged.
+
+    Scale: one narrow bucketing pass; the self-join shuffles on bucket
+    (256 groups, ~n/256 vectors each) so the pair fan-out is
+    Σ nᵢ·(nᵢ-1)/2, not n²/2.
+    """
+    planes = _lsh_planes()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    bucket = None
+    for i in range(8):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(dot(F.col("emb"), plane) > 0, F.lit(1 << i)).otherwise(0)
+        bucket = bit if bucket is None else (bucket + bit)
+    bucketed = emb.select("vec_id", "emb", bucket.alias("bucket"))
+    a = bucketed.select(
+        F.col("bucket").alias("bk"),
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("emb").alias("emb_1"),
+    )
+    b = bucketed.select(
+        F.col("bucket").alias("bk2"),
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("emb").alias("emb_2"),
+    )
+    sim = cosine(F.col("emb_1"), F.col("emb_2"))
+    return (
+        a.join(b, (F.col("bk") == F.col("bk2")) & (F.col("vec_id_1") < F.col("vec_id_2")))
+        .select("vec_id_1", "vec_id_2", sim.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= COSINE_DEDUP_THRESHOLD)
+        .select("vec_id_1", "vec_id_2", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("vec_id_1", "vec_id_2")
+    )
