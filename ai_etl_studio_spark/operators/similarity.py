@@ -4,8 +4,9 @@ Two tiers:
 
 - brute-force cosine top-k — the exact baseline (oracle-checked);
 - random-hyperplane LSH bucketing — the approximate scale path
-  (deterministic seed; rows-only check, since the bucketing is
-  Spark-side numpy and intentionally not re-expressed in SQL).
+  (deterministic seed; oracle-checked too, via SQL generated from the
+  same hyperplane constants — list_inner_product accumulates in
+  element order like the Spark-side fold).
 
 Vector math uses sequential double-precision folds (F.aggregate /
 F.zip_with) which DuckDB's list_inner_product mirrors after casting the
