@@ -618,3 +618,52 @@ def run_stream_transform_with_state(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_ewma(
+    spark: SparkSession, sf_dir: str, query_name: str = "ewma_out"
+) -> DataFrame:
+    """Streaming twin of operators/analytics.ewma_user_value: per-user
+    running EWMA (alpha 0.3) in managed state — O(1) state per key
+    instead of the batch op's per-user value array.
+
+    Each microbatch's rows for a key are sorted by (ts, event_id) and
+    folded into the carried (ewma, count) state with the SAME per-step
+    9dp rounding as the batch fold, so over an in-order stream the final
+    state equals the batch result exactly (test-checked).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_event_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        ewma, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            for v in pdf.sort_values(["ts", "event_id"])["value"]:
+                v = float(v)
+                ewma = v if ewma is None else round(ewma * 0.7 + v * 0.3, 9)
+                n += 1
+        state.update((ewma, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma_value": [round(ewma, 6)]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id bigint, n_events bigint, ewma_value double",
+        "ewma double, n bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

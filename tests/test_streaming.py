@@ -157,3 +157,21 @@ def test_transform_with_state_matches_batch(spark):
     s = {(r.user_id, r.n_events, r.n_event_types) for r in out.collect()}
     b = {(r.user_id, r.n_events, r.n_event_types) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_stream_ewma_matches_batch_fold(spark):
+    """The O(1)-state streaming EWMA equals the batch array-fold
+    operator exactly (same order, same per-step rounding)."""
+    from ai_etl_studio_spark.operators import load_all
+    from ai_etl_studio_spark.streaming.windows import run_stream_ewma
+
+    queries, _ = load_all()
+    streamed = {
+        r.user_id: (r.n_events, r.ewma_value)
+        for r in run_stream_ewma(spark, SF_DIR, "t_ewma").collect()
+    }
+    batch = {
+        r.user_id: (r.n_events, r.ewma_value)
+        for r in queries["ewma_user_value"](spark, SF_DIR).collect()
+    }
+    assert streamed == batch
