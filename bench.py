@@ -98,6 +98,9 @@ HEADLINE = [
     "dedup_source_matrix",
     "pagerank_bipartite",
     "ewma_user_value",
+    "ntile_rfm_scalable",
+    "dedup_embedding_lsh_pairs",
+    "mmr_diverse_topk",
 ]
 
 
