@@ -1790,3 +1790,56 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "histogram_equidepth",
+    oracle="""
+    WITH b AS (
+      SELECT list_transform(
+               quantile_cont(value, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+               x -> round(x, 6)) AS bs
+      FROM lineitem_sample
+    )
+    SELECT bucket, COUNT(*) AS n_rows,
+           round(MIN(value), 2) AS lo, round(MAX(value), 2) AS hi
+    FROM (
+      SELECT value, len(list_filter(bs, x -> value > x)) AS bucket
+      FROM lineitem_sample, b
+    ) t
+    GROUP BY bucket ORDER BY bucket
+    """.replace(
+        "lineitem_sample",
+        "(SELECT l_extendedprice AS value FROM lineitem)",
+    ),
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (8 quantile buckets of l_extendedprice) —
+    the profiling complement of histogram_bins' equi-width bins, and the
+    summary an optimizer's column statistics actually store.
+
+    Scale: the same broadcast-boundary pattern as rfm_quantile_scores /
+    the distributed NTILE — one percentile aggregate (7 doubles)
+    broadcast to every row, then a small groupBy. No global sort, no
+    single-partition window; boundaries rounded to 6dp before comparison
+    so both engines bucket identically.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("value")
+    )
+    probs = "array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D)"
+    bounds = li.agg(
+        F.expr(f"transform(percentile(value, {probs}), x -> round(x, 6))").alias("bs")
+    )
+    bucket = F.size(F.filter(F.col("bs"), lambda b: F.col("value") > b))
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
