@@ -730,3 +730,84 @@ ORACLES["dedup_keep_best"] = " ".join(
         pairs=ORACLES["dedup_minhash_lsh_pairs"].rsplit(" ORDER BY ", 1)[0]
     ).split()
 )
+
+
+@register(
+    "curation_funnel",
+    oracle=rf"""
+    WITH {_SQL_CONT_CTE},
+    b AS (
+      SELECT quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents),
+    gated AS (
+      SELECT d.source,
+             CASE WHEN d.n_chars >= b.lo AND d.n_chars <= b.hi THEN 1 ELSE 0 END AS len_ok,
+             CASE WHEN len(toks) >= 20
+                   AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.2
+                  THEN 1 ELSE 0 END AS quality_ok,
+             CASE WHEN cont.doc_id IS NULL THEN 1 ELSE 0 END AS clean_ok
+      FROM (SELECT *, string_split_regex(lower(text), '\s+') AS toks
+            FROM documents WHERE source <> 'src0') d
+      CROSS JOIN b
+      LEFT JOIN cont ON d.doc_id = cont.doc_id)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len_ok) AS BIGINT) AS pass_length,
+           CAST(SUM(len_ok * quality_ok) AS BIGINT) AS pass_quality,
+           CAST(SUM(len_ok * quality_ok * clean_ok) AS BIGINT) AS pass_decontam
+    FROM gated
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation funnel as ONE declarative query: per source,
+    how many docs survive each successive gate — length band (5th-95th
+    percentile), quality (>=20 tokens, distinct ratio >= 0.2), benchmark
+    decontamination. The report a data-curation review actually reads.
+
+    Scale: composes three proven fragments — broadcast 1-row percentile
+    bounds, narrow quality expressions, broadcast anti-join-able
+    contaminated set — into a single pass plus one small per-source
+    rollup. Every gate flag is computed in the same projection, so the
+    corpus is read once.
+    """
+    from ai_etl_studio_spark.functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("source") != "src0")
+    all_docs = load_table(spark, sf_dir, "documents")
+    bounds = all_docs.agg(
+        F.expr("percentile(n_chars, 0.05D)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95D)").alias("hi"),
+    )
+    cont = _contaminated_docs(spark, sf_dir).withColumn("is_cont", F.lit(1))
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    gated = (
+        d.crossJoin(F.broadcast(bounds))
+        .join(F.broadcast(cont), "doc_id", "left")
+        .select(
+            "source",
+            ((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+            .cast("int")
+            .alias("len_ok"),
+            ((n_tok >= 20) & (distinct_ratio >= 0.2)).cast("int").alias("quality_ok"),
+            F.when(F.col("is_cont").isNull(), 1).otherwise(0).alias("clean_ok"),
+        )
+    )
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len_ok").cast("bigint").alias("pass_length"),
+            F.sum(F.col("len_ok") * F.col("quality_ok"))
+            .cast("bigint")
+            .alias("pass_quality"),
+            F.sum(F.col("len_ok") * F.col("quality_ok") * F.col("clean_ok"))
+            .cast("bigint")
+            .alias("pass_decontam"),
+        )
+        .orderBy("source")
+    )
