@@ -84,12 +84,16 @@ def main(argv: list[str] | None = None) -> int:
         line = line.strip()
         if not line:
             continue
-        if line in ("\\q", "exit", "quit"):
+        # command dispatch is token-exact: '\sqlx ...' or '\csvfoo' are
+        # unknown commands, not mis-sliced '\sql'/'\csv' invocations
+        cmd, _, rest = line.partition(" ")
+        rest = rest.strip()
+        if cmd in ("\\q", "exit", "quit"):
             break
-        if line == "\\schema":
+        if cmd == "\\schema":
             print(render_schema_browser(snapshot))
             continue
-        if line == "\\explain":
+        if cmd == "\\explain":
             if last is None or not last.ok:
                 print("no result to explain")
             else:
@@ -97,18 +101,20 @@ def main(argv: list[str] | None = None) -> int:
 
                 print(explain_str(last.df, "formatted"))
             continue
-        if line.startswith("\\csv"):
-            path = line[4:].strip()
-            if not path:
+        if cmd == "\\csv":
+            if not rest:
                 print("usage: \\csv PATH")
             elif last is None or not last.ok:
                 print("no result to export")
             else:
-                write_csv(last.df, path)
-                print(f"wrote {path}")
+                write_csv(last.df, rest)
+                print(f"wrote {rest}")
             continue
-        if line.startswith("\\sql"):
-            res = run_query(spark, line[4:].strip(), default_limit=args.limit)
+        if cmd == "\\sql":
+            res = run_query(spark, rest, default_limit=args.limit)
+        elif cmd.startswith("\\"):
+            print(f"unknown command {cmd}; known: \\schema \\sql \\explain \\csv \\q")
+            continue
         else:
             res = generate_and_run(spark, generator, line, default_limit=args.limit)
         if res.sql:

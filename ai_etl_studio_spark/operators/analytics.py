@@ -1634,11 +1634,12 @@ def _pagerank_oracle() -> str:
     for i in range(1, PR_ITERS + 1):
         it.append(f"""
     inflow{i} AS (
-      SELECT e.dst AS node, SUM(r.tick // d.d) AS inf
+      SELECT e.dst AS node, CAST(SUM(r.tick // d.d) AS BIGINT) AS inf
       FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.node
       GROUP BY e.dst),
     r{i} AS (
-      SELECT nd.node, {base} + (COALESCE(f.inf, 0) * 85) // 100 AS tick
+      SELECT nd.node,
+             CAST({base} + (COALESCE(f.inf, 0) * 85) // 100 AS BIGINT) AS tick
       FROM nodes nd CROSS JOIN n LEFT JOIN inflow{i} f ON nd.node = f.node)""")
         prev = f"r{i}"
     return f"""
@@ -1655,7 +1656,7 @@ def _pagerank_oracle() -> str:
     {",".join(it)}
     SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
                 ELSE 's' || (node // 2) END AS node,
-           tick AS rank_tick,
+           CAST(tick AS BIGINT) AS rank_tick,
            round(CAST(tick AS DOUBLE) / {PR_SCALE}, 9) AS rank
     FROM {prev}
     ORDER BY rank_tick DESC, node

@@ -457,7 +457,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     hs = (
-        d.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+        # NULL-text docs must be dropped like the oracle's exploded form
+        # (size(null)=-1 would otherwise emit a spurious simhash-0 row)
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
         .select("doc_id", F.transform("toks", lambda t: md5_hash32(t)).alias("hs"))
     )
     n = F.size("hs")

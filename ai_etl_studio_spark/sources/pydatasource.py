@@ -101,8 +101,9 @@ class CsvLinesWriter(DataSourceWriter):
     manifest only at job commit — tasks that never commit leave only
     unreferenced staging files (cleaned by abort)."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = False):
         self.path = options["path"]
+        self.overwrite = overwrite
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, iterator):
@@ -116,6 +117,21 @@ class CsvLinesWriter(DataSourceWriter):
         return _FileCommit(name, n)
 
     def commit(self, messages):
+        if self.overwrite:
+            # honor mode("overwrite"): drop every part file from prior
+            # jobs so only this job's output remains (new names are
+            # uuid-unique, so the committed set is exactly `messages`)
+            keep = {m.path for m in messages}
+            for name in os.listdir(self.path):
+                if (
+                    name.startswith("part-")
+                    and name.endswith(".csv")
+                    and name not in keep
+                ):
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
         manifest = os.path.join(self.path, "_MANIFEST")
         with open(manifest, "w") as f:
             for m in messages:
@@ -137,7 +153,7 @@ class CsvLinesDataSource(DataSource):
         return "csv_lines"
 
     def writer(self, schema, overwrite: bool) -> CsvLinesWriter:
-        return CsvLinesWriter(self.options)
+        return CsvLinesWriter(self.options, overwrite=overwrite)
 
 
 def register_csv_lines(spark) -> None:

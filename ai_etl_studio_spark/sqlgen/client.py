@@ -96,21 +96,24 @@ class HttpChatClient:
             headers["Authorization"] = f"Bearer {self.api_key}"
 
         last_failure = "no attempt made"
+        retry_after: float | None = None
         for attempt in range(self.max_retries + 1):
             if attempt:
-                self.sleep(self._backoff(attempt, retry_after=None))
+                # ONE sleep per retry: the server's Retry-After hint (when
+                # given) and the exponential backoff are reconciled here,
+                # not stacked
+                self.sleep(self._backoff(attempt, retry_after))
             try:
                 status, resp_body, resp_headers = self.transport(
                     self.url, body, headers, self.timeout_s
                 )
             except (TimeoutError, OSError) as exc:
                 last_failure = f"connection failure: {exc}"
+                retry_after = None
                 continue
             if status in RETRYABLE_STATUSES:
                 last_failure = f"HTTP {status}"
                 retry_after = _parse_retry_after(resp_headers)
-                if retry_after is not None and attempt < self.max_retries:
-                    self.sleep(min(retry_after, self.backoff_cap_s))
                 continue
             if status != 200:
                 raise LLMClientError(
@@ -122,7 +125,10 @@ class HttpChatClient:
         )
 
     def _backoff(self, attempt: int, retry_after: float | None) -> float:
-        return min(self.backoff_base_s * (2 ** (attempt - 1)), self.backoff_cap_s)
+        wait = self.backoff_base_s * (2 ** (attempt - 1))
+        if retry_after is not None:
+            wait = max(wait, retry_after)
+        return min(wait, self.backoff_cap_s)
 
     @staticmethod
     def _extract(body: bytes) -> str:

@@ -18,6 +18,7 @@ def test_cli_session(tmp_path):
             "\\sql SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment",
             "\\explain",
             f"\\csv {csv_dir}",
+            "\\sqlx SELECT 1",  # unknown command, NOT a mis-sliced \sql
             "\\sql DROP TABLE customer",
             "\\q",
         ]
@@ -38,6 +39,7 @@ def test_cli_session(tmp_path):
     assert "BUILDING" in out  # raw SQL result
     assert "Physical Plan" in out  # \explain of the last result
     assert "error_message" in out  # DDL rejected as error relation
+    assert "unknown command \\sqlx" in out  # token-exact dispatch
     # CSV really written (distributed write -> part files)
     parts = [f for f in os.listdir(csv_dir) if f.endswith(".csv")]
     assert parts

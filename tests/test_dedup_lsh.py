@@ -69,3 +69,20 @@ def test_verified_pairs_are_true_near_dups(spark):
         assert j >= JACCARD_THRESHOLD
         assert pair in exact
         assert abs(exact[pair] - j) < 1e-12
+
+
+def test_simhash_drops_null_text_docs(spark, tmp_path):
+    """NULL-text documents are dropped (matching the oracle's exploded
+    form) rather than emitted as a spurious simhash-0 row."""
+    from ai_etl_studio_spark.operators.dedup import dedup_simhash
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "web", 16),
+         (2, None, "en", "web", 0),
+         (3, "alpha beta gamma", "en", "web", 16)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r.simhash for r in dedup_simhash(spark, sf).collect()}
+    assert set(out) == {1, 3}
+    assert out[1] == out[3]

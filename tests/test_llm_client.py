@@ -95,6 +95,46 @@ def test_retry_after_honored():
     assert 2.5 in sleeps
 
 
+def test_retry_after_not_stacked_with_backoff():
+    """A retryable response with Retry-After causes exactly ONE sleep
+    before the next attempt — max(retry_after, backoff), not their sum."""
+    sleeps = []
+    calls = []
+
+    def transport(url, body, headers, timeout):
+        calls.append(1)
+        if len(calls) == 1:
+            return 429, b"slow down", {"Retry-After": "2.5"}
+        return 200, _ok_body(), {}
+
+    c = HttpChatClient(
+        url="http://test.invalid", model="m", transport=transport,
+        sleep=sleeps.append, backoff_base_s=0.5,
+    )
+    c.complete("s", "q")
+    assert sleeps == [2.5]  # one sleep, server hint dominates backoff 0.5
+
+
+def test_retry_after_below_backoff_keeps_backoff():
+    """When the server hint is shorter than the exponential backoff, the
+    backoff floor still applies (sleep = max of the two)."""
+    sleeps = []
+    calls = []
+
+    def transport(url, body, headers, timeout):
+        calls.append(1)
+        if len(calls) == 1:
+            return 429, b"", {"Retry-After": "0.1"}
+        return 200, _ok_body(), {}
+
+    c = HttpChatClient(
+        url="http://test.invalid", model="m", transport=transport,
+        sleep=sleeps.append, backoff_base_s=0.5,
+    )
+    c.complete("s", "q")
+    assert sleeps == [0.5]
+
+
 def test_non_retryable_4xx_raises_immediately():
     calls = []
 

@@ -423,3 +423,26 @@ class TestPythonDataSourceWriter:
                 rows.add((int(k), name))
         expected = {(r.n_nationkey, r.n_name) for r in src.collect()}
         assert rows == expected
+
+    def test_overwrite_clears_stale_parts(self, spark, tmp_path):
+        """mode('overwrite') removes prior jobs' part files at commit —
+        only the new job's files (exactly the _MANIFEST set) remain."""
+        import os
+
+        from ai_etl_studio_spark.catalog import load_table
+        from ai_etl_studio_spark.sources.pydatasource import register_csv_lines
+
+        register_csv_lines(spark)
+        out = str(tmp_path / "sink")
+        src = load_table(spark, SF_DIR, "region").select("r_regionkey", "r_name")
+        src.write.format("csv_lines").option("path", out).mode("append").save()
+        first_parts = {f for f in os.listdir(out) if f.startswith("part-")}
+        assert first_parts
+        src.write.format("csv_lines").option("path", out).mode("overwrite").save()
+        remaining = {f for f in os.listdir(out) if f.startswith("part-")}
+        assert not (remaining & first_parts), "stale part files survived overwrite"
+        manifest_files = {
+            line.split(",")[0]
+            for line in open(f"{out}/_MANIFEST").read().strip().splitlines()
+        }
+        assert remaining == manifest_files
