@@ -27,76 +27,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return queries_map["top_products"](spark, "/root/testdata/sf0.001")
 
 
-#: Deliberate dict ordering: a correctness-sweep prefix. Round-1's
-#: CORRECTNESS record covered exactly the first 50 registry keys, which
-#: left the LLM-data-pipeline extension operators (dedup / similarity /
-#: text / training / quality / multimodal / streaming twins) without a
-#: driver-verified row. These lead now — every entry below is
-#: oracle-twinned, so a prefix sweep of any length yields full
-#: hash-checked rows for the operators that matter most; the remaining
-#: queries follow in registration order (all locally oracle-parity
-#: tested at sf0.001, tests/test_oracle_parity.py).
+#: Deliberate dict ordering: a correctness-sweep prefix. The driver
+#: hash-checks exactly the first 50 registry keys per round, so the
+#: prefix ROTATES each round toward queries that have never had a
+#: driver row. Round 1 covered the reference-parity core; round 2 the
+#: LLM-data-pipeline extensions (49/50 green). Round 3 leads with
+#: pagerank_bipartite (proving the oracle int128 fix), then the
+#: round-2/3 additions and everything whose only check so far is local
+#: (extended.py scalar/join/set surfaces, arrays, windows). Still
+#: unrotated after this round (all local-green, queued for r4):
+#: multimodal decode/frame/audio stubs, text_tokens,
+#: stopword_pruned_corpus, repetition_quality, salted_agg,
+#: distinct_projection, join_cross, window_sliding, datetime_functions.
 PRIORITY: tuple[str, ...] = (
-    # anchors (flagship + NL->SQL end-to-end)
-    "top_products",
-    "nl2sql_end_to_end",
-    # round-1 hash-fix verification
-    "json_extract",
-    "sessionize",
-    # dedup ladder (exact -> minhash -> LSH -> capped -> verified ->
-    # simhash -> clusters -> kept corpus -> embedding near-dup)
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_lsh_pairs_capped",
-    "dedup_lsh_verified_pairs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_kept_corpus",
-    "dedup_embedding_cosine",
-    "decontaminate_ngrams",
-    # similarity / ANN
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "knn_classify",
-    "embedding_centroids",
-    "vector_quantize_int8",
-    "cosine_pandas_udf_topk",
-    # search / text analysis
-    "bm25_search",
-    "tfidf_top_terms",
-    "token_topk",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "unigram_surprisal",
-    "bigram_surprisal",
-    "collocation_pmi",
-    "token_count_bpe",
-    # quality / skew
-    "pii_redact",
-    "clean_dataset_split",
-    "length_band_filter",
+    # prove the r2 fix first
     "pagerank_bipartite",
-    "skew_join_salted",
-    # training-data pipeline
-    "sequence_packing",
-    "data_mix_allocation",
-    "mix_sampled_corpus",
-    "dataset_split",
-    "stratified_sample",
-    "reservoir_sample_per_group",
-    "chunk_overlapping",
-    # multimodal + extension seams
-    "multimodal_metadata",
-    "udtf_trigrams",
-    "python_datasource_scan",
-    # streaming batch twins + hypertable rollup
-    "window_tumbling",
-    "session_window_native",
-    "stream_dedup_batch_twin",
-    "time_rollup_multigrain",
+    # round-2/3 additions never driver-checked
+    "ntile_rfm_scalable",
+    "ewma_user_value",
+    "histogram_equidepth",
+    "curriculum_stages",
+    "curation_funnel",
+    "dedup_keep_best",
+    "dedup_source_matrix",
+    "dedup_embedding_lsh_pairs",
+    "dedup_embedding_lsh_pairs_capped",
+    "dedup_embedding_lsh_multiprobe",
+    "ann_lsh_buckets",
+    "mmr_diverse_topk",
+    "levenshtein_nearest",
+    # extended.py: joins / set ops / subqueries
+    "join_left_outer",
+    "join_full_outer",
+    "asof_join",
+    "range_join",
+    "in_subquery",
+    "not_in_subquery",
+    "exists_correlated",
+    "scalar_subquery",
+    "merge_upsert",
+    # extended.py + arrays.py: reshaping and function surfaces
+    "pivot_wide",
+    "unpivot_long",
+    "cube_agg",
+    "grouping_sets_agg",
+    "array_functions",
+    "higher_order_functions",
+    "map_struct_functions",
+    "posexplode_ordinal",
+    "variant_extract",
+    "string_functions",
+    "regex_functions",
+    "math_functions",
+    "hash_functions",
+    "bitwise_agg",
+    "null_handling",
+    "string_agg_ordered",
+    "argmax_minby",
+    "having_filter",
+    # analytics windows / stats never driver-checked
+    "window_fill_forward",
+    "window_distinct_count",
+    "window_range_rolling",
+    "rolling_median",
+    "pct_of_total",
+    "anomaly_zscore",
+    "boolean_linreg_agg",
+    "interval_join_events",
+    "stream_static_join_batch_twin",
 )
 
 

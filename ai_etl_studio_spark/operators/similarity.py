@@ -150,10 +150,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_planes():
+def _lsh_planes(seed: int = 42):
     import numpy as np
 
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(seed)
     return rng.standard_normal((8, EMB_DIM))
 
 
@@ -961,3 +961,171 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id_1", "vec_id_2", F.round("cos_raw", 6).alias("cos_sim"))
         .orderBy("vec_id_1", "vec_id_2")
     )
+
+
+#: per-(seed, bucket) participation bound for the embedding-LSH paths —
+#: same role as dedup.LSH_BUCKET_CAP: the worst bucket contributes at
+#: most CAP·(CAP-1)/2 candidate pairs no matter how skewed the corpus.
+EMB_LSH_BUCKET_CAP = 64
+EMB_LSH_PROBE_SEEDS = (42, 43)  # seed 42 == the single-seed variant's planes
+
+
+def _sql_bucket_expr(planes) -> str:
+    """DuckDB expression for the signed-projection bucket id of `emb`."""
+    terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(
+            f"CASE WHEN list_inner_product(emb, [{lits}]) > 0"
+            f" THEN {1 << i} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _bucket_col(planes) -> Column:
+    """Spark column for the same signed-projection bucket id."""
+    bucket = None
+    for i in range(len(planes)):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(dot(F.col("emb"), plane) > 0, F.lit(1 << i)).otherwise(0)
+        bucket = bit if bucket is None else (bucket + bit)
+    return bucket
+
+
+def _capped_bucket_ids(emb: DataFrame, planes, cap: int) -> DataFrame:
+    """(bucket, vec_id) rows with at most `cap` members per bucket,
+    deterministically chosen (lowest vec_id first) — embeddings do NOT
+    ride this frame, only 2 narrow columns shuffle."""
+    w = Window.partitionBy("bucket").orderBy("vec_id")
+    return (
+        emb.select("vec_id", _bucket_col(planes).alias("bucket"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("bucket", "vec_id")
+    )
+
+
+def _bucket_pairs(capped: DataFrame) -> DataFrame:
+    """Within-bucket unordered id pairs (vec_id_1 < vec_id_2)."""
+    a = capped.select("bucket", F.col("vec_id").alias("vec_id_1"))
+    b = capped.select(
+        F.col("bucket").alias("bucket2"), F.col("vec_id").alias("vec_id_2")
+    )
+    return a.join(
+        b,
+        (F.col("bucket") == F.col("bucket2"))
+        & (F.col("vec_id_1") < F.col("vec_id_2")),
+    ).select("vec_id_1", "vec_id_2")
+
+
+def _sql_capped_cte(name: str, planes, cap: int) -> str:
+    return f"""{name}_b AS (
+      SELECT vec_id, {_sql_bucket_expr(planes)} AS bucket FROM v),
+    {name} AS (
+      SELECT bucket, vec_id FROM (
+        SELECT bucket, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+        FROM {name}_b) r
+      WHERE rn <= {cap})"""
+
+
+def _verify_pairs(emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """Fetch both vectors for each candidate id pair and keep those with
+    cosine ≥ the dedup threshold — the shared verify stage."""
+    e1 = emb.select(F.col("vec_id").alias("vec_id_1"), F.col("emb").alias("emb_1"))
+    e2 = emb.select(F.col("vec_id").alias("vec_id_2"), F.col("emb").alias("emb_2"))
+    sim = cosine(F.col("emb_1"), F.col("emb_2"))
+    return (
+        cand.join(e1, "vec_id_1")
+        .join(e2, "vec_id_2")
+        .select("vec_id_1", "vec_id_2", sim.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= COSINE_DEDUP_THRESHOLD)
+        .select("vec_id_1", "vec_id_2", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("vec_id_1", "vec_id_2")
+    )
+
+
+def _emb_lsh_capped_oracle() -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    {_sql_capped_cte("capped", _lsh_planes(), EMB_LSH_BUCKET_CAP)},
+    cand AS (
+      SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+      FROM capped a JOIN capped b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT c.vec_id_1, c.vec_id_2, ROUND({_SQL_COS}, 6) AS cos_sim
+    FROM cand c JOIN v a ON a.vec_id = c.vec_id_1 JOIN v b ON b.vec_id = c.vec_id_2
+    WHERE {_SQL_COS} >= {COSINE_DEDUP_THRESHOLD}
+    ORDER BY vec_id_1, vec_id_2
+    """
+
+
+@register("dedup_embedding_lsh_pairs_capped", oracle=_emb_lsh_capped_oracle())
+def dedup_embedding_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-capped semantic near-dup pairs: hyperplane-bucket the
+    corpus, keep at most {EMB_LSH_BUCKET_CAP} deterministic members per
+    bucket (lowest vec_id), pair within buckets, verify cosine — the
+    guarded production form of dedup_embedding_lsh_pairs, mirroring the
+    minhash path's LSH_BUCKET_CAP (dedup.py).
+
+    Scale: the uncapped variant's within-bucket fan-out is Σ nᵢ²/2
+    (≈ n²/512 for 256 uniform buckets — quadratic at 100×). The cap
+    bounds the worst bucket at CAP·(CAP-1)/2 pairs, making candidate
+    volume O(buckets·CAP²) regardless of skew. Candidate generation
+    shuffles only (bucket, vec_id); the 64-float vectors are fetched in
+    the verify join afterwards, so payloads never ride the LSH shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    capped = _capped_bucket_ids(emb, _lsh_planes(), EMB_LSH_BUCKET_CAP)
+    return _verify_pairs(emb, _bucket_pairs(capped))
+
+
+def _emb_lsh_multiprobe_oracle() -> str:
+    s1, s2 = EMB_LSH_PROBE_SEEDS
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    {_sql_capped_cte("cap1", _lsh_planes(s1), EMB_LSH_BUCKET_CAP)},
+    {_sql_capped_cte("cap2", _lsh_planes(s2), EMB_LSH_BUCKET_CAP)},
+    cand AS (
+      SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+      FROM cap1 a JOIN cap1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      UNION
+      SELECT a.vec_id, b.vec_id
+      FROM cap2 a JOIN cap2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT c.vec_id_1, c.vec_id_2, ROUND({_SQL_COS}, 6) AS cos_sim
+    FROM cand c JOIN v a ON a.vec_id = c.vec_id_1 JOIN v b ON b.vec_id = c.vec_id_2
+    WHERE {_SQL_COS} >= {COSINE_DEDUP_THRESHOLD}
+    ORDER BY vec_id_1, vec_id_2
+    """
+
+
+@register("dedup_embedding_lsh_multiprobe", oracle=_emb_lsh_multiprobe_oracle())
+def dedup_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe semantic near-dup: union the capped within-bucket
+    candidate pairs of TWO independent hyperplane seeds, then verify
+    cosine once — the recall-recovery scheme the single-seed docstring
+    sketches. A near-dup pair is missed only if BOTH seeds split it, so
+    per-pair miss probability is squared vs one seed (recall quantified
+    in tests/test_embedding_lsh.py against the brute-force truth).
+
+    Scale: each seed's candidate stage is the capped-LSH shape
+    (bounded fan-out, ids-only shuffle); the union is a distinct over
+    2-bigint rows; verification fetches vectors once per surviving
+    candidate. Cost is ~2× the single-seed path for squared miss rate.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    s1, s2 = EMB_LSH_PROBE_SEEDS
+    cand = (
+        _bucket_pairs(_capped_bucket_ids(emb, _lsh_planes(s1), EMB_LSH_BUCKET_CAP))
+        .union(
+            _bucket_pairs(
+                _capped_bucket_ids(emb, _lsh_planes(s2), EMB_LSH_BUCKET_CAP)
+            )
+        )
+        .distinct()
+    )
+    return _verify_pairs(emb, cand)

@@ -620,17 +620,17 @@ def run_stream_transform_with_state(
     return spark.table(query_name)
 
 
-def run_stream_ewma(
-    spark: SparkSession, sf_dir: str, query_name: str = "ewma_out"
+def run_stream_user_totals(
+    spark: SparkSession, sf_dir: str, query_name: str = "totals_out"
 ) -> DataFrame:
-    """Streaming twin of operators/analytics.ewma_user_value: per-user
-    running EWMA (alpha 0.3) in managed state — O(1) state per key
-    instead of the batch op's per-user value array.
+    """Per-user running totals — count, exact cents sum, distinct
+    event-type count — via ``applyInPandasWithState``. Same semantics as
+    ``run_stream_transform_with_state`` (the Spark-4 typed-state form,
+    whose Python state server needs protobuf); this twin runs in any
+    environment, so the totals contract is always test-covered.
 
-    Each microbatch's rows for a key are sorted by (ts, event_id) and
-    folded into the carried (ewma, count) state with the SAME per-step
-    9dp rounding as the batch fold, so over an in-order stream the final
-    state equals the batch result exactly (test-checked).
+    Scale: state per key is two bigints plus the distinct event-type
+    list (bounded by type cardinality, not event count).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -638,21 +638,128 @@ def run_stream_ewma(
     stream = read_event_stream(spark, sf_dir)
 
     def update(key, pdfs, state: GroupState):
-        ewma, n = state.get if state.exists else (None, 0)
+        n, cents, types = state.get if state.exists else (0, 0, [])
+        seen = set(types)
         for pdf in pdfs:
-            for v in pdf.sort_values(["ts", "event_id"])["value"]:
-                v = float(v)
-                ewma = v if ewma is None else round(ewma * 0.7 + v * 0.3, 9)
-                n += 1
-        state.update((ewma, n))
+            n += len(pdf)
+            cents += int(
+                pdf["value"].map(lambda v: int(round(float(v) * 100))).sum()
+            )
+            seen |= set(pdf["event_type"].unique())
+        state.update((n, cents, sorted(seen)))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "ewma_value": [round(ewma, 6)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "n_event_types": [len(seen)],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id bigint, n_events bigint, total_value double, n_event_types bigint",
+        "n bigint, cents bigint, types array<string>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def run_stream_ewma(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "ewma_out",
+    watermark_delay: str = "1 hour",
+    stream: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/analytics.ewma_user_value: per-user
+    running EWMA (alpha 0.3) over EVENT-TIME order, tolerant of
+    out-of-order arrival up to ``watermark_delay``.
+
+    Late-data semantics (watermark buffer-and-sort):
+
+    - rows still inside the watermark are BUFFERED in state; once the
+      watermark passes a row's event time it is folded into the
+      committed (ewma, n) in (ts, event_id) order — so cross-microbatch
+      reordering within the delay cannot corrupt the fold;
+    - each emission is the committed fold speculatively extended over
+      the sorted buffer, so after the last microbatch the output equals
+      the batch operator exactly whenever no row exceeded the delay
+      (parity test) — same per-step 9dp rounding as the batch fold;
+    - rows arriving AFTER the watermark has passed them are dropped,
+      mirroring Spark's windowed-aggregation late-data rule
+      (tests/test_streaming.py pins both behaviors).
+
+    State per key is (ewma, n) plus only the not-yet-ripe buffer — at
+    100 TB the buffer is bounded by each key's event rate within the
+    watermark delay, not by history.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if stream is None:
+        stream = read_event_stream(spark, sf_dir)
+    stream = stream.withWatermark("ts", watermark_delay)
+
+    def _fold(ewma, n, rows):
+        for _, _, v in rows:
+            ewma = v if ewma is None else round(ewma * 0.7 + v * 0.3, 9)
+            n += 1
+        return ewma, n
+
+    def update(key, pdfs, state: GroupState):
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.exists:
+            ewma, n, b_ts, b_eid, b_val = state.get
+            buf = [
+                (int(t), int(e), float(v)) for t, e, v in zip(b_ts, b_eid, b_val)
+            ]
+        else:
+            ewma, n, buf = None, 0, []
+        for pdf in pdfs:
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for t, e, v in zip(ts_us, pdf["event_id"], pdf["value"]):
+                if int(t) // 1000 < wm_ms:
+                    continue  # beyond the watermark: dropped, like F.window aggs
+                buf.append((int(t), int(e), float(v)))
+        buf.sort()
+        ripe = [r for r in buf if r[0] // 1000 < wm_ms]
+        buf = [r for r in buf if r[0] // 1000 >= wm_ms]
+        ewma, n = _fold(ewma, n, ripe)
+        state.update(
+            (
+                ewma,
+                n,
+                [r[0] for r in buf],
+                [r[1] for r in buf],
+                [r[2] for r in buf],
+            )
+        )
+        s_ewma, s_n = _fold(ewma, n, buf)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [s_n],
+                "ewma_value": [None if s_ewma is None else round(s_ewma, 6)],
+            }
         )
 
     out = stream.groupBy("user_id").applyInPandasWithState(
         update,
         "user_id bigint, n_events bigint, ewma_value double",
-        "ewma double, n bigint",
+        "ewma double, n bigint, buf_ts array<bigint>, "
+        "buf_eid array<bigint>, buf_val array<double>",
         "update",
         GroupStateTimeout.NoTimeout,
     )

