@@ -1664,24 +1664,10 @@ def _pagerank_oracle() -> str:
     """
 
 
-@register("pagerank_bipartite", oracle=_pagerank_oracle())
-def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the customer↔supplier purchase graph (damping 0.85,
-    {PR_ITERS} synchronous iterations, uniform init) — the second graph
-    operator next to dedup_clusters' connected components.
-
-    Exactness: ranks are integer picoticks; per-edge contribution is
-    integer-DIV by degree and damping is (x·85) DIV 100, so both engines
-    do identical integer arithmetic — the oracle unrolls the same
-    iterations as chained CTEs.
-
-    Scale: each iteration = one join of (edges ⋈ ranks) + a groupBy(dst)
-    — the standard Pregel-style shape. Edges are distinct (customer,
-    supplier) pairs: |edges| ≪ |lineitem|. Degrees are precomputed once
-    and broadcast-sized; ranks are 16 bytes/node. At 100 TB the edge
-    list is partitioned by src and reused across iterations
-    (localCheckpoint breaks lineage like the CC loop).
-    """
+def _pagerank_raw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract the degree-folded bipartite edge list ``(src, dst, d)``
+    from orders ⋈ lineitem — the expensive, iteration-independent part
+    of PageRank (distinct pairs + both directions + degree join)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     e0 = (
@@ -1698,9 +1684,35 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(s_node.alias("src"), c_node.alias("dst"))
     )
     deg = raw_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # degree rides the edge list (checkpointed once) so each iteration
+    # degree rides the edge list (materialized once) so each iteration
     # is ONE join + one agg instead of two joins
-    edges = raw_edges.join(deg, "src").localCheckpoint()
+    return raw_edges.join(deg, "src")
+
+
+@register("pagerank_bipartite", oracle=_pagerank_oracle())
+def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier purchase graph (damping 0.85,
+    {PR_ITERS} synchronous iterations, uniform init) — the second graph
+    operator next to dedup_clusters' connected components.
+
+    Exactness: ranks are integer picoticks; per-edge contribution is
+    integer-DIV by degree and damping is (x·85) DIV 100, so both engines
+    do identical integer arithmetic — the oracle unrolls the same
+    iterations as chained CTEs.
+
+    Scale: each iteration = one join of (edges ⋈ ranks) + a groupBy(dst)
+    — the standard Pregel-style shape. Edges are distinct (customer,
+    supplier) pairs: |edges| ≪ |lineitem|. Degrees are precomputed once
+    and broadcast-sized; ranks are 16 bytes/node. At 100 TB the edge
+    list is persisted bucketed by src and reused across iterations AND
+    sessions — see ``pagerank_from_index`` / ``ensure_pagerank_edge_index``.
+    """
+    return _pagerank_iterate(_pagerank_raw_edges(spark, sf_dir).localCheckpoint())
+
+
+def _pagerank_iterate(edges: DataFrame) -> DataFrame:
+    """Run {PR_ITERS} synchronous integer-PageRank iterations over a
+    materialized ``(src, dst, d)`` edge frame; top-{PR_TOP} projection."""
     nodes = edges.select("src").distinct().withColumnRenamed("src", "node")
     n_nodes = nodes.count()  # one scalar on the driver, like K centroids
     base_tick = (PR_SCALE * 15 // 100) // n_nodes
@@ -1734,6 +1746,76 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_tick"), "node")
         .limit(PR_TOP)
     )
+
+
+PR_BUCKETS = 32
+
+
+def _pagerank_index_ident(sf_dir: str, base_dir: str | None = None) -> tuple[str, str]:
+    """(table_name, path) for the persisted edge index of ``sf_dir``.
+
+    The name is fingerprinted on the source data (lineitem size+mtime),
+    so a refreshed dataset gets a fresh index instead of a stale one."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    fp = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{int(st.st_mtime)}|{PR_BUCKETS}".encode()
+    ).hexdigest()[:12]
+    tbl = f"pr_edges_{fp}"
+    if base_dir is None:
+        import pathlib
+
+        base_dir = str(pathlib.Path(__file__).resolve().parents[2] / ".cache" / "pr_edges")
+    return tbl, os.path.join(base_dir, tbl)
+
+
+def ensure_pagerank_edge_index(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> str:
+    """Build-once the PageRank edge list as a parquet table BUCKETED BY
+    src (the per-iteration join key) and return its table name.
+
+    Mirrors the persisted IVF index (tests/test_ivf_index.py): the
+    orders ⋈ lineitem extraction — the dominant cost of every fresh
+    pagerank run — happens once per dataset; later sessions re-register
+    the existing files with a matching CLUSTERED BY spec, so iterations
+    read pre-bucketed edges (no extraction, no edge-side shuffle when
+    ranks are too big to broadcast)."""
+    import os
+
+    tbl, path = _pagerank_index_ident(sf_dir, base_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            _pagerank_raw_edges(spark, sf_dir)
+            .repartition(PR_BUCKETS, "src")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(PR_BUCKETS, "src")
+            .sortBy("src")
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+    elif not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"""
+            CREATE TABLE {tbl} (src BIGINT, dst BIGINT, d BIGINT)
+            USING PARQUET
+            CLUSTERED BY (src) SORTED BY (src) INTO {PR_BUCKETS} BUCKETS
+            LOCATION '{path}'
+            """
+        )
+    return tbl
+
+
+@register("pagerank_from_index", oracle=_pagerank_oracle())
+def pagerank_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pagerank_bipartite served from the persisted bucketed edge index:
+    identical results (same oracle), but the orders ⋈ lineitem edge
+    extraction is skipped on every run after the first — the iterations
+    scan pre-bucketed (src, dst, d) parquet directly."""
+    return _pagerank_iterate(spark.table(ensure_pagerank_edge_index(spark, sf_dir)))
 
 
 EWMA_ALPHA_NUM = 3  # alpha = 0.3 — kept as a ratio so both engines
