@@ -426,10 +426,10 @@ _register_kept_oracle()
 
 DECON_N = 8  # contamination n-gram width (industry range 8-13)
 
-
-@register(
-    "decontaminate_ngrams",
-    oracle=rf"""
+#: shared by decontaminate_ngrams and decontaminate_bloom — the Bloom
+#: variant is an execution strategy, not a semantics change, so both
+#: must match the same exact oracle.
+DECON_ORACLE = rf"""
     WITH sh AS (
       SELECT doc_id, source,
              unnest(list_distinct(
@@ -452,8 +452,10 @@ DECON_N = 8  # contamination n-gram width (industry range 8-13)
     FROM cand c LEFT JOIN cont ON c.doc_id = cont.doc_id
     GROUP BY c.source
     ORDER BY c.source
-    """,
-)
+    """
+
+
+@register("decontaminate_ngrams", oracle=DECON_ORACLE)
 def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: flag training docs sharing any
     {DECON_N}-gram with the benchmark set (here: source='src0' plays
@@ -465,10 +467,19 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT SEMI join, so the corpus-side shingle stream never shuffles.
     The per-source rollup shuffles #docs rows of (source, flag).
     """
+    sh = _decon_shingles(spark, sf_dir)
+    bench = sh.filter(F.col("source") == "src0").select("h").distinct()
+    cand = sh.filter(F.col("source") != "src0")
+    contaminated = cand.join(F.broadcast(bench), "h", "left_semi")
+    return _decon_rollup(cand, contaminated)
+
+
+def _decon_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, h): md5-hashed {DECON_N}-gram shingle stream."""
     from ai_etl_studio_spark.functions.texthash import tokens, word_shingles
 
     d = load_table(spark, sf_dir, "documents")
-    sh = (
+    return (
         d.select("doc_id", "source", tokens("text").alias("toks"))
         .filter(F.size("toks") >= DECON_N)
         .select(
@@ -478,11 +489,13 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.md5("shingle").alias("h"))
     )
-    bench = sh.filter(F.col("source") == "src0").select("h").distinct()
-    cand = sh.filter(F.col("source") != "src0")
+
+
+def _decon_rollup(cand: DataFrame, contaminated_shingles: DataFrame) -> DataFrame:
+    """Per-source (n_docs, n_contaminated) from the candidate shingle
+    stream and the subset of it that hit the benchmark set."""
     contaminated = (
-        cand.join(F.broadcast(bench), "h", "left_semi").select("doc_id").distinct()
-        .withColumn("is_cont", F.lit(1))
+        contaminated_shingles.select("doc_id").distinct().withColumn("is_cont", F.lit(1))
     )
     docs = cand.select("doc_id", "source").distinct()
     return (
@@ -494,6 +507,86 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Bloom sizing: a CONSTANT bit budget — the whole point is that the
+#: broadcast stays this size no matter how big the benchmark set gets.
+#: 2^21 bits / 64 = at most 32,768 (word_idx, mask) rows ≈ 0.5 MB.
+DECON_BLOOM_BITS = 1 << 21
+DECON_BLOOM_SEEDS = ("b0", "b1", "b2")  # k=3 hash functions
+
+
+def _bloom_pos(h, seed: str) -> "F.Column":
+    """Bit position of shingle-hash ``h`` under hash function ``seed``."""
+    return F.pmod(F.xxhash64(F.concat(h, F.lit(seed))), F.lit(DECON_BLOOM_BITS))
+
+
+def decon_bloom_bitmap(bench: DataFrame) -> DataFrame:
+    """Fold the benchmark shingle set into a Bloom bitmap DataFrame
+    (word_idx, mask): k bit positions per shingle, OR-combined into
+    64-bit words. ≤ {DECON_BLOOM_BITS}/64 rows regardless of input size
+    — map-side bit_or makes the shuffle constant-bounded too."""
+    pos = bench.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("h"), s) for s in DECON_BLOOM_SEEDS])
+        ).alias("pos")
+    )
+    return pos.groupBy((F.col("pos") / 64).cast("long").alias("word_idx")).agg(
+        F.bit_or(F.expr("shiftleft(1L, cast(pos % 64 AS int))")).alias("mask")
+    )
+
+
+def bloom_prune(cand: DataFrame, bitmap: DataFrame, h_col: str = "h") -> DataFrame:
+    """Keep only rows whose ``h_col`` MIGHT be in the Bloom bitmap: k
+    chained broadcast joins, each testing one hash's bit. No shuffle of
+    ``cand``, no Python — every probe is a JVM-side broadcast hash join
+    + bit test, and each one shrinks the stream for the next.
+    Bloom guarantee: zero false negatives (a member's bits are all set);
+    false positives are whoever the caller's exact confirm removes."""
+    out = cand
+    for i, s in enumerate(DECON_BLOOM_SEEDS):
+        pos = _bloom_pos(F.col(h_col), s)
+        bm = bitmap.select(
+            F.col("word_idx").alias(f"_w{i}"), F.col("mask").alias(f"_m{i}")
+        )
+        out = (
+            out.withColumn(f"_p{i}", pos)
+            .join(
+                F.broadcast(bm),
+                (F.col(f"_p{i}") / 64).cast("long") == F.col(f"_w{i}"),
+            )
+            .filter(
+                F.expr(f"shiftright(_m{i}, cast(_p{i} % 64 AS int)) & 1L") == 1
+            )
+            .drop(f"_p{i}", f"_w{i}", f"_m{i}")
+        )
+    return out
+
+
+@register("decontaminate_bloom", oracle=DECON_ORACLE)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontaminate_ngrams with a Bloom-filter pre-prune — the 100 TB
+    execution strategy, bit-identical results (same oracle).
+
+    Why: at full scale the benchmark shingle set may be 10⁸ rows —
+    broadcastable only as a *sketch*. The Bloom bitmap is a
+    constant-size frame (≤32 K (word_idx, mask) rows ≈ 0.5 MB however
+    large the benchmark grows); `bloom_prune` drops non-matching corpus
+    shingles JVM-side via chained broadcast bit-test joins BEFORE the
+    expensive exact join. No false negatives, so every truly
+    contaminated shingle survives the prune; the exact semi-join on the
+    ~1%-FP survivors — now a tiny fraction of the corpus stream —
+    restores exactness. (Spark's `bloom_filter_agg` is not exposed to
+    the SQL/DataFrame surface, so the bitmap is built declaratively:
+    explode k positions → map-side-combined bit_or per 64-bit word.)
+    """
+    sh = _decon_shingles(spark, sf_dir)
+    bench = sh.filter(F.col("source") == "src0").select("h").distinct()
+    bitmap = decon_bloom_bitmap(bench)
+    cand = sh.filter(F.col("source") != "src0")
+    pruned = bloom_prune(cand, bitmap)
+    contaminated = pruned.join(F.broadcast(bench), "h", "left_semi")
+    return _decon_rollup(cand, contaminated)
 
 
 @register(

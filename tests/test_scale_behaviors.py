@@ -109,3 +109,28 @@ def test_scalable_ntile_matches_window_ntile(spark):
         for r in QUERIES["ntile_rfm_scalable"](spark, SF_DIR).collect()
     }
     assert a == b
+
+
+def test_bloom_prune_is_real_and_lossless(spark):
+    """decontaminate_bloom's pre-filter must (a) actually shrink the
+    corpus shingle stream and (b) never drop a true benchmark hit
+    (Bloom guarantee: zero false negatives)."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_studio_spark.operators.quality import (
+        _decon_shingles,
+        bloom_prune,
+        decon_bloom_bitmap,
+    )
+
+    sh = _decon_shingles(spark, SF_DIR)
+    bench = sh.filter(F.col("source") == "src0").select("h").distinct()
+    cand = sh.filter(F.col("source") != "src0")
+    pruned = bloom_prune(cand, decon_bloom_bitmap(bench))
+
+    n_cand, n_pruned = cand.count(), pruned.count()
+    assert n_pruned < n_cand * 0.2  # the prune does real work
+
+    true_hits = cand.join(bench, "h", "left_semi")
+    missed = true_hits.join(pruned, ["doc_id", "h"], "left_anti").count()
+    assert missed == 0  # no false negatives
