@@ -867,3 +867,89 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+HH_K = 40  # heavy hitter: token with count*HH_K > total token count
+HH_COUNTERS = 128  # per-partition Misra-Gries counters (must be >= HH_K)
+
+
+@register(
+    "heavy_hitters_twopass",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    cnt AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+    SELECT tok, cnt FROM cnt CROSS JOIN tot
+    WHERE cnt * {HH_K} > n
+    ORDER BY cnt DESC, tok
+    """,
+)
+def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent tokens (count > 1/{HH_K} of the stream) without a
+    full-vocabulary shuffle — the two-pass Misra-Gries shape used for
+    heavy-hitter profiling on streams too wide to count exactly.
+
+    Pass 1 (mapInPandas, Arrow-batched): each partition keeps at most
+    {HH_COUNTERS} Misra-Gries counters — bounded memory no matter how
+    large the vocabulary — and emits its surviving candidate tokens plus
+    its token count. The mergeable-summaries guarantee (Agarwal et al.,
+    PODS'12): any token with global share > 1/({HH_COUNTERS}+1) survives
+    in at least one partition, so with {HH_COUNTERS} >= {HH_K} the
+    candidate union is a SUPERSET of the true heavy hitters.
+
+    Pass 2: exact counts restricted to the (tiny, broadcast) candidate
+    set — a semi-join prunes the stream before the groupBy, so the only
+    wide shuffle carries candidate tokens, not the whole vocabulary.
+    False candidates fall to the final threshold filter; the result is
+    exact (same oracle as a full count would have).
+
+    A plain groupBy would also be exact but shuffles every distinct
+    token; at 100 TB with a 10^9-token vocabulary that is the
+    difference between a bounded and an unbounded aggregation state.
+    """
+    from ai_etl_studio_spark.functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            for tok, c in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > HH_COUNTERS:
+                # batched MG reduction: subtract the (len-C)th smallest
+                # value from all counters, drop non-positives (== that
+                # many decrement-all rounds at once)
+                m = sorted(counters.values())[len(counters) - HH_COUNTERS - 1]
+                counters = {t: c - m for t, c in counters.items() if c > m}
+        yield pd.DataFrame(
+            {"tok": list(counters) + [None], "n": [0] * len(counters) + [n]}
+        )
+
+    # tiny output (<= HH_COUNTERS+1 rows/partition); materialized once so
+    # candidates + total don't rescan the corpus
+    p1 = toks.mapInPandas(mg, "tok string, n long").localCheckpoint()
+    cands = p1.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    total = p1.agg(F.sum("n").alias("n_total"))
+    counts = (
+        toks.join(F.broadcast(cands), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") * HH_K > F.col("n_total"))
+        .select("tok", "cnt")
+        .orderBy(F.desc("cnt"), "tok")
+    )

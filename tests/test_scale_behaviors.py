@@ -134,3 +134,49 @@ def test_bloom_prune_is_real_and_lossless(spark):
     true_hits = cand.join(bench, "h", "left_semi")
     missed = true_hits.join(pruned, ["doc_id", "h"], "left_anti").count()
     assert missed == 0  # no false negatives
+
+
+def test_misra_gries_candidates_are_superset(spark):
+    """Pass-1 MG candidates must contain every true heavy hitter and
+    stay bounded per partition, on an adversarially skewed stream."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_studio_spark.operators.text import HH_COUNTERS, HH_K
+
+    # 100k rows: token 'hot0'..'hot2' own ~60%, a 50k-wide tail owns the rest
+    df = (
+        spark.range(100_000)
+        .select(
+            F.when(F.col("id") % 10 < 6, F.concat(F.lit("hot"), (F.col("id") % 3)))
+            .otherwise(F.concat(F.lit("t"), (F.col("id") % 50_000)))
+            .alias("tok")
+        )
+        .repartition(8)
+    )
+    from ai_etl_studio_spark.operators import text as T
+
+    # reuse the registered operator's inner MG by re-deriving it here:
+    # run the same two-pass shape on this frame
+    def mg(batches):
+        import pandas as pd
+
+        counters, n = {}, 0
+        for pdf in batches:
+            n += len(pdf)
+            for tok, c in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > HH_COUNTERS:
+                m = sorted(counters.values())[len(counters) - HH_COUNTERS - 1]
+                counters = {t: c - m for t, c in counters.items() if c > m}
+        yield pd.DataFrame({"tok": list(counters), "n": [n] * len(counters)})
+
+    p1 = df.mapInPandas(mg, "tok string, n long")
+    per_part = p1.groupBy().count().collect()[0][0]
+    assert per_part <= 8 * HH_COUNTERS  # bounded summary size
+    cands = {r.tok for r in p1.select("tok").distinct().collect()}
+    true_hh = {
+        r.tok
+        for r in df.groupBy("tok").count().filter(F.col("count") * HH_K > 100_000).collect()
+    }
+    assert true_hh  # non-vacuous: the hot tokens really are heavy
+    assert true_hh <= cands
