@@ -1926,3 +1926,70 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey),
+    om AS (
+      SELECT DISTINCT o.o_custkey, f.cohort,
+             date_trunc('month', o.o_orderdate) AS m
+      FROM orders o JOIN fo f USING (o_custkey)),
+    sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM fo GROUP BY cohort)
+    SELECT strftime(om.cohort, '%Y-%m') AS cohort_month,
+           (EXTRACT(year FROM om.m) - EXTRACT(year FROM om.cohort)) * 12
+             + (EXTRACT(month FROM om.m) - EXTRACT(month FROM om.cohort))
+             AS month_offset,
+           COUNT(DISTINCT om.o_custkey) AS n_active,
+           s.cohort_size,
+           CAST(COUNT(DISTINCT om.o_custkey) AS DOUBLE) / s.cohort_size
+             AS retention_rate
+    FROM om JOIN sizes s ON om.cohort = s.cohort
+    GROUP BY om.cohort, month_offset, s.cohort_size
+    ORDER BY cohort_month, month_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: customers grouped by
+    first-order month; for each (cohort, month-offset) cell, how many
+    of them ordered again. The standard product-analytics rollup the
+    reference's NL surface gets asked for constantly ('retention by
+    signup month').
+
+    Scale: two aggregations keyed on o_custkey (first-order + active
+    months) share a partitioning; the final rollup's cardinality is
+    #months² / 2 — trivially small — and cohort sizes broadcast to the
+    join. Month arithmetic is integer (year*12+month deltas), identical
+    across engines; no months_between floats.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    fo = o.groupBy("o_custkey").agg(F.trunc(F.min("od"), "month").alias("cohort"))
+    om = (
+        o.select("o_custkey", F.trunc("od", "month").alias("m"))
+        .distinct()
+        .join(fo, "o_custkey")
+    )
+    sizes = fo.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    offset = (
+        (F.year("m") - F.year("cohort")) * 12 + (F.month("m") - F.month("cohort"))
+    ).alias("month_offset")
+    return (
+        om.groupBy("cohort", offset)
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            "month_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )

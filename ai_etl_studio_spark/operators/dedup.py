@@ -28,7 +28,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_etl_studio_spark.catalog import load_table
@@ -526,4 +526,81 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_cross").cast("bigint").alias("n_cross_source"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+ER_CAP = 50  # per-block candidate cap (bounds pairs at CAP^2/2 per block)
+ER_DIST = 2  # max edit distance to call two part names the same entity
+
+
+@register(
+    "er_blocked_pairs",
+    oracle=f"""
+    WITH m AS (
+      SELECT p_partkey, p_name, blk FROM (
+        SELECT p_partkey, p_name,
+               unnest(['1:' || list_extract(string_split(p_name, ' '), 1),
+                       '2:' || list_extract(string_split(p_name, ' '), -1)])
+                 AS blk
+        FROM part) u),
+    capped AS (
+      SELECT p_partkey, p_name, blk,
+             ROW_NUMBER() OVER (PARTITION BY blk ORDER BY p_partkey) AS rn
+      FROM m),
+    pairs AS (
+      SELECT DISTINCT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM capped a JOIN capped b
+        ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      WHERE a.rn <= {ER_CAP} AND b.rn <= {ER_CAP}
+        AND levenshtein(a.p_name, b.p_name) <= {ER_DIST})
+    SELECT key_a, key_b, dist FROM pairs
+    ORDER BY key_a, key_b
+    """,
+)
+def er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by multi-key blocking: candidate part pairs
+    whose names are within edit distance {ER_DIST}, found WITHOUT the
+    all-pairs cross join. Each record enters two blocks (first word,
+    last word of the name — multi-pass blocking squares the per-pair
+    miss probability exactly like multi-probe LSH); pairs are generated
+    only within a block, deduplicated across blocks.
+
+    Scale: the self-join shuffles on the block key; a deterministic
+    ROW_NUMBER cap of {ER_CAP} per block bounds the worst block at
+    CAP²/2 candidate pairs (the same guard as the minhash LSH path at
+    dedup.py:352), so a mega-block — every name sharing 'green' — can
+    never go quadratic. Levenshtein runs JVM-side on the capped
+    candidates only.
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    words = F.split(F.col("p_name"), " ")
+    m = p.select(
+        "p_partkey",
+        "p_name",
+        F.explode(
+            F.array(
+                F.concat(F.lit("1:"), F.element_at(words, 1)),
+                F.concat(F.lit("2:"), F.element_at(words, -1)),
+            )
+        ).alias("blk"),
+    )
+    capped = m.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("blk").orderBy("p_partkey")),
+    ).filter(F.col("rn") <= ER_CAP)
+    a = capped.select(
+        F.col("blk"), F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    )
+    b = capped.select(
+        F.col("blk"), F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= ER_DIST)
+        .select("key_a", "key_b", "dist")
+        .distinct()
+        .orderBy("key_a", "key_b")
     )

@@ -758,3 +758,78 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type
         """
     )
+
+
+@register(
+    "scd2_dim_build",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+             o_orderkey, o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderpriority
+                                ORDER BY o_orderdate, o_orderkey) AS rnv
+      FROM orders),
+    isl AS (
+      SELECT o_custkey, o_orderpriority,
+             MIN(o_orderdate) AS valid_from,
+             MIN(rn) AS island_rn
+      FROM seq GROUP BY o_custkey, o_orderpriority, rn - rnv),
+    v AS (
+      SELECT o_custkey, o_orderpriority, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                    ORDER BY island_rn) AS valid_to
+      FROM isl)
+    SELECT o_custkey, o_orderpriority AS attr_value, valid_from, valid_to,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM v
+    ORDER BY o_custkey, valid_from, attr_value
+    """,
+)
+def scd2_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history build: collapse each
+    customer's order-priority timeline into versioned rows with
+    [valid_from, valid_to) ranges and an is_current flag — the standard
+    warehouse dimension-maintenance pattern (gaps-and-islands via the
+    rn - rn_per_value trick), which the reference's MySQL target would
+    express with the identical window functions.
+
+    Scale: both ROW_NUMBERs and the LEAD partition by o_custkey, so the
+    whole build is ONE shuffle on the dimension key; islands collapse
+    map-side after the windows. Ordering is total (date + orderkey
+    tie-break) — versioning is deterministic under any partition order.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderkey",
+        "o_orderpriority",
+    )
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wval = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.row_number().over(wseq).alias("rn"),
+        F.row_number().over(wval).alias("rnv"),
+    )
+    isl = seq.groupBy(
+        "o_custkey", "o_orderpriority", (F.col("rn") - F.col("rnv")).alias("grp")
+    ).agg(F.min("o_orderdate").alias("valid_from"), F.min("rn").alias("island_rn"))
+    wlead = Window.partitionBy("o_custkey").orderBy("island_rn")
+    return (
+        isl.select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("attr_value"),
+            "valid_from",
+            F.lead("valid_from").over(wlead).alias("valid_to"),
+        )
+        .withColumn(
+            "is_current", F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+        )
+        .orderBy("o_custkey", "valid_from", "attr_value")
+    )

@@ -480,3 +480,70 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+N_SHARDS = 16
+#: Knuth multiplicative hash constant (2654435761 = 2^32 / phi) — plain
+#: bigint arithmetic so both engines derive identical shard ids, unlike
+#: engine-specific hash() builtins.
+SHARD_MULT = 2_654_435_761
+
+
+def shard_of(key) -> "F.Column":
+    return F.pmod((key * F.lit(SHARD_MULT)) % F.lit(1 << 32), F.lit(N_SHARDS))
+
+
+@register(
+    "export_shards",
+    oracle=f"""
+    SELECT ((doc_id * {SHARD_MULT}) % 4294967296) % {N_SHARDS} AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export sharding manifest: every document
+    is assigned to one of {N_SHARDS} shards by a multiplicative hash of
+    doc_id (stable across engines, runs, and cluster sizes — unlike
+    spark_partition_id or round-robin), and the manifest reports
+    per-shard document/char counts. This is the rollup a dataloader
+    checks before streaming shards; the write side
+    (``write_training_shards``) lays the corpus out partitionBy(shard).
+
+    Scale: one hash-partitioned aggregation; the multiplicative hash
+    decorrelates shard id from doc_id locality so shards stay balanced
+    even when doc_ids arrive clustered (sequential ingest).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(shard_of(F.col("doc_id")).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("shard")
+    )
+
+
+def write_training_shards(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """Write the corpus as {N_SHARDS} hash-sharded parquet directories
+    (shard=NN/...) plus the manifest the dataloader reads. Returns the
+    manifest DataFrame. One shuffle: repartition by shard so each shard
+    directory is written by the executors owning it, not appended
+    driver-side."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", shard_of(F.col("doc_id"))
+    )
+    d.repartition(N_SHARDS, "shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(out_dir)
+    manifest = export_shards(spark, sf_dir)
+    manifest.coalesce(1).write.mode("overwrite").json(out_dir.rstrip("/") + "_manifest")
+    return manifest
