@@ -183,14 +183,38 @@ def _minhash_oracle() -> str:
     """
 
 
+def shingle_array_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles ARRAY) from any (doc_id, text, ...) frame —
+    pure column expressions, so it applies to batch AND streaming
+    DataFrames identically (used by the incremental dedup stream)."""
+    return (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= SHINGLE_N)
+        .select("doc_id", word_shingles(F.col("toks"), SHINGLE_N).alias("shingles"))
+    )
+
+
 def _shingle_array_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles ARRAY) — the un-exploded twin of _shingle_df;
     front of the zero-shuffle signature path and the Jaccard verifier."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", tokens("text").alias("toks"))
-        .filter(F.size("toks") >= SHINGLE_N)
-        .select("doc_id", word_shingles(F.col("toks"), SHINGLE_N).alias("shingles"))
+    return shingle_array_from(load_table(spark, sf_dir, "documents"))
+
+
+def signature_from(docs: DataFrame) -> DataFrame:
+    """MinHash signatures from any (doc_id, text, ...) frame — the
+    zero-shuffle array-transform form (see _signature_df)."""
+    sh = shingle_array_from(docs)
+    hashed = sh.select(
+        "doc_id", F.transform("shingles", lambda s: md5_hash32(s)).alias("hs")
+    )
+    return hashed.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31)
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_MH_PARAMS)
+        ],
     )
 
 
@@ -204,19 +228,7 @@ def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     a stage barrier. Measured at sf0.1: 1.78 s vs 1.97 s local, but the
     structural win is the removed shuffle, not the local delta.
     """
-    sh = _shingle_array_df(spark, sf_dir)
-    hashed = sh.select(
-        "doc_id", F.transform("shingles", lambda s: md5_hash32(s)).alias("hs")
-    )
-    return hashed.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31)
-            ).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(_MH_PARAMS)
-        ],
-    )
+    return signature_from(load_table(spark, sf_dir, "documents"))
 
 
 @register("dedup_minhash_signatures", oracle=_minhash_oracle())
@@ -274,11 +286,10 @@ def _lsh_pairs_oracle() -> str:
     """
 
 
-def _band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, band_key) — one row per doc per band. Narrow all
-    the way from the scan (signatures are shuffle-free), so the LSH band
-    self-join is the ONLY exchange in the candidate-pair pipeline."""
-    sig = _signature_df(spark, sf_dir)
+def bands_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from any (doc_id, text, ...) frame —
+    batch or streaming (pure column expressions end-to-end)."""
+    sig = signature_from(docs)
     # One band-key array + posexplode — NOT a union of per-band frames,
     # which would recompute the whole shingle->signature pipeline once per
     # band per join side (measured 25s vs ~4s at sf0.1).
@@ -293,6 +304,13 @@ def _band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return sig.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+
+
+def _band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_key) — one row per doc per band. Narrow all
+    the way from the scan (signatures are shuffle-free), so the LSH band
+    self-join is the ONLY exchange in the candidate-pair pipeline."""
+    return bands_from(load_table(spark, sf_dir, "documents"))
 
 
 def _lsh_candidate_pairs(
@@ -603,4 +621,74 @@ def er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", "dist")
         .distinct()
         .orderBy("key_a", "key_b")
+    )
+
+
+def _stream_dedup_corpus_oracle() -> str:
+    return rf"""
+    WITH {_bands_cte()},
+    src AS (SELECT doc_id, source FROM documents),
+    idx AS (
+      SELECT DISTINCT band, band_key
+      FROM bands JOIN src USING (doc_id) WHERE source = 'src0'),
+    inc AS (SELECT doc_id, source FROM src WHERE source <> 'src0'),
+    dup AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands b JOIN src s USING (doc_id)
+      JOIN idx i ON b.band = i.band AND b.band_key = i.band_key
+      WHERE s.source <> 'src0')
+    SELECT inc.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dupes
+    FROM inc LEFT JOIN dup d ON inc.doc_id = d.doc_id
+    GROUP BY inc.source
+    ORDER BY inc.source
+    """
+
+
+@register("stream_dedup_vs_corpus", oracle=_stream_dedup_corpus_oracle())
+def stream_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup gate: INCOMING documents (source != 'src0')
+    checked against a STATIC LSH index of the existing corpus
+    (source = 'src0') — the corpus-growth shape: the index is built
+    once, new batches only probe it; nothing quadratic in corpus size
+    ever runs. A doc is a duplicate if ANY of its minhash bands
+    collides with an existing corpus bucket.
+
+    The per-source rollup (docs / novel / dupes) is what the ingest
+    monitor graphs. The REAL streaming form — the same band expressions
+    over readStream + a stream-static join — runs in
+    ``streaming.windows.run_stream_dedup_vs_corpus`` and is
+    parity-tested against this twin (tests/test_streaming.py).
+
+    Scale: index = distinct (band, band_key) of the corpus — constant
+    bytes per corpus doc, prunable to a broadcast or a bucketed table;
+    the probe is a semi-join of the incoming batch's bands. 100 TB
+    corpus, 1 GB/day ingest → probe cost scales with the DAY, not the
+    corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") == "src0")
+    incoming = d.filter(F.col("source") != "src0")
+    idx = bands_from(corpus).select("band", "band_key").distinct()
+    hit = (
+        bands_from(incoming)
+        .join(idx, ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        incoming.select("doc_id", "source")
+        .join(hit, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0)).alias("n_novel"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).alias("n_dupes"),
+        )
+        .orderBy("source")
     )

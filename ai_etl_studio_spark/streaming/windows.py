@@ -774,3 +774,62 @@ def run_stream_ewma(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (the 'new batch
+    arriving' side of incremental dedup)."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def run_stream_dedup_vs_corpus(
+    spark: SparkSession, sf_dir: str, query_name: str = "dedup_corpus_out"
+) -> DataFrame:
+    """REAL streaming twin of operators.dedup.stream_dedup_vs_corpus:
+    incoming documents stream in, their minhash bands (the same pure
+    column expressions as the batch twin — bands_from works unchanged on
+    a streaming frame) stream-static join the PRE-BUILT corpus LSH
+    index, and a streaming aggregation rolls up per-doc verdicts.
+
+    Shape notes for 100 TB: the static index is the only state that
+    scales with corpus size and it lives in a (broadcastable/bucketed)
+    batch table, NOT in streaming state; the streaming agg keys on
+    doc_id of the CURRENT batch only, so state is bounded by batch
+    size. Complete output mode because the sink is the monitor table.
+    Returns (doc_id, source, is_dup)."""
+    from ai_etl_studio_spark.operators.dedup import bands_from
+
+    corpus = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    idx = (
+        bands_from(corpus)
+        .select("band", "band_key")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+
+    incoming = read_docs_stream(spark, sf_dir).filter(F.col("source") != "src0")
+    verdicts = (
+        bands_from(incoming.select("doc_id", "text"))
+        .join(F.broadcast(idx), ["band", "band_key"], "left")
+        .groupBy("doc_id")
+        .agg(F.max(F.coalesce("hit", F.lit(0))).alias("is_dup"))
+    )
+    q = (
+        verdicts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

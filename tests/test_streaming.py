@@ -304,3 +304,43 @@ def test_stream_ewma_drops_data_beyond_watermark(spark, tmp_path):
     )
     want = {1: _python_ewma([(r[1], r[0], r[4]) for r in fresh])}
     assert got == want
+
+
+def test_stream_dedup_vs_corpus_matches_batch_twin(spark):
+    """The real streaming incremental-dedup gate (stream-static join of
+    band keys against the prebuilt corpus LSH index) must produce the
+    same per-doc verdicts as the registered batch twin."""
+    from ai_etl_studio_spark.operators.dedup import bands_from, stream_dedup_vs_corpus
+    from ai_etl_studio_spark.streaming.windows import run_stream_dedup_vs_corpus
+
+    got = {
+        (r.doc_id, r.is_dup)
+        for r in run_stream_dedup_vs_corpus(spark, SF_DIR, "sdc_out").collect()
+    }
+
+    d = load_table(spark, SF_DIR, "documents")
+    corpus_idx = (
+        bands_from(d.filter(F.col("source") == "src0"))
+        .select("band", "band_key")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    want = {
+        (r.doc_id, r.is_dup)
+        for r in (
+            bands_from(d.filter(F.col("source") != "src0"))
+            .join(corpus_idx, ["band", "band_key"], "left")
+            .groupBy("doc_id")
+            .agg(F.max(F.coalesce("hit", F.lit(0))).alias("is_dup"))
+        ).collect()
+    }
+    assert got == want
+    assert any(dup for _, dup in got)  # non-vacuous: real collisions exist
+
+    # and the registered rollup agrees with the verdict counts
+    roll = {
+        r.source: (r.n_docs, r.n_novel, r.n_dupes)
+        for r in stream_dedup_vs_corpus(spark, SF_DIR).collect()
+    }
+    n_dupes_roll = sum(v[2] for v in roll.values())
+    assert n_dupes_roll == sum(dup for _, dup in got)
