@@ -1993,3 +1993,266 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+      SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+      UNION ALL SELECT '2_click', COUNT(*) FROM c
+      UNION ALL SELECT '3_purchase', COUNT(*) FROM p)
+    ORDER BY stage
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at a stage only if the event happened AT OR AFTER their entry into
+    the previous stage (min-timestamp chaining) — the product-analytics
+    staple the reference's NL surface would be asked for as 'how many
+    users viewed, then clicked, then bought'.
+
+    Scale: three aggregations and two joins, every one keyed on
+    user_id — a single hash partitioning serves the whole chain (no
+    re-shuffle between stages); stage frames shrink monotonically so
+    the later joins get cheaper, and each is broadcastable once the
+    funnel narrows.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("1_view").alias("stage"), "n_users"
+        )
+        .unionAll(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("2_click").alias("stage"), "n_users"
+            )
+        )
+        .unionAll(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("3_purchase").alias("stage"), "n_users"
+            )
+        )
+    )
+    return stages.orderBy("stage")
+
+
+IVM_CUTOFF = "1997-01-01"  # delta batch = orders on/after this date
+
+
+@register(
+    "ivm_agg_delta",
+    oracle=f"""
+    WITH delta_keys AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= DATE '{IVM_CUTOFF}'),
+    full_agg AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100 AS total_price,
+             CAST(MIN(o_orderdate) AS DATE) AS first_order,
+             CAST(MAX(o_orderdate) AS DATE) AS last_order
+      FROM orders GROUP BY o_custkey),
+    pre AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate < DATE '{IVM_CUTOFF}')
+    SELECT f.o_custkey,
+           CASE WHEN p.o_custkey IS NULL THEN 'insert' ELSE 'update' END
+             AS action,
+           f.n_orders, f.total_price, f.first_order, f.last_order
+    FROM full_agg f
+    JOIN delta_keys d ON f.o_custkey = d.o_custkey
+    LEFT JOIN pre p ON f.o_custkey = p.o_custkey
+    ORDER BY f.o_custkey
+    """,
+)
+def ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-customer order
+    rollup kept up to date by MERGING the delta batch's partial
+    aggregates into the existing state — never re-scanning history.
+    COUNT/SUM add, MIN/MAX take least/greatest; AVG-style metrics
+    derive from the merged sums. Emits the upsert rows a MV refresh
+    would write (action = insert for first-seen keys). The oracle is
+    the full recompute restricted to delta keys — proving merged
+    incremental state is value-identical to recomputation.
+
+    Scale: THE pattern that keeps 100 TB rollups affordable — the
+    daily delta is GB-sized, so its aggregation and the state join are
+    keyed and colocated on the MV key; history is touched only via its
+    (small) aggregate state, exactly like a Structured Streaming
+    stateful agg's state store, but expressed in batch.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        cents("o_totalprice").alias("pc"),
+    )
+    cutoff = F.lit(IVM_CUTOFF).cast("date")
+
+    def agg(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias(f"{prefix}_n"),
+            F.sum("pc").alias(f"{prefix}_pc"),
+            F.min("od").alias(f"{prefix}_min"),
+            F.max("od").alias(f"{prefix}_max"),
+        )
+
+    base = agg(o.filter(F.col("od") < cutoff), "b")  # existing MV state
+    delta = agg(o.filter(F.col("od") >= cutoff), "d")  # new batch
+    return (
+        delta.join(base, "o_custkey", "left")
+        .select(
+            "o_custkey",
+            F.when(F.col("b_n").isNull(), "insert").otherwise("update").alias("action"),
+            (F.col("d_n") + F.coalesce("b_n", F.lit(0))).alias("n_orders"),
+            (
+                (F.col("d_pc") + F.coalesce("b_pc", F.lit(0))).cast("double") / 100
+            ).alias("total_price"),
+            F.least(F.col("d_min"), F.coalesce("b_min", F.col("d_min"))).alias(
+                "first_order"
+            ),
+            F.greatest(F.col("d_max"), F.coalesce("b_max", F.col("d_max"))).alias(
+                "last_order"
+            ),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "window_rank_suite",
+    oracle="""
+    SELECT n_name, s_suppkey, s_acctbal,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume,
+           FIRST_VALUE(s_suppkey) OVER w AS poorest_supp,
+           NTH_VALUE(s_suppkey, 2) OVER
+             (PARTITION BY n_name ORDER BY s_acctbal, s_suppkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_poorest,
+           LAG(s_acctbal, 1, -1.0) OVER w AS prev_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal, s_suppkey)
+    ORDER BY n_name, s_acctbal, s_suppkey
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking/navigation window functions in one query:
+    PERCENT_RANK, CUME_DIST, FIRST_VALUE, NTH_VALUE (full-frame), and
+    LAG with an explicit default — rounding out §2B's window surface
+    beyond row_number/rank/ntile/lead.
+
+    Scale: one shuffle on the partition key; all five functions share
+    the same (partition, order) so WindowExec evaluates them in a
+    single pass. Total ordering via the suppkey tie-break keeps
+    NTH_VALUE/LAG deterministic.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy("s_acctbal", "s_suppkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        j.select(
+            "n_name",
+            "s_suppkey",
+            "s_acctbal",
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 9).alias("cume"),
+            F.first("s_suppkey").over(w).alias("poorest_supp"),
+            F.nth_value("s_suppkey", 2).over(wfull).alias("second_poorest"),
+            F.lag("s_acctbal", 1, -1.0).over(w).alias("prev_bal"),
+        )
+        .orderBy("n_name", "s_acctbal", "s_suppkey")
+    )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@register(
+    "winsorized_mean",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, {WINSOR_LO}) AS lo,
+             quantile_cont(l_extendedprice, {WINSOR_HI}) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(AVG(l.l_extendedprice), 4) AS raw_mean,
+           ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi)), 4)
+             AS winsor_mean,
+           ROUND(b.lo, 4) AS p05, ROUND(b.hi, 4) AS p95
+    FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag, b.lo, b.hi
+    ORDER BY l.l_returnflag
+    """,
+)
+def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (winsorized) per-group mean: values clamped to the group's
+    [p05, p95] before averaging — the outlier-resistant statistic a
+    quality pipeline uses where a single corrupt record would drag a
+    plain mean (same family as anomaly_zscore, but resistant rather
+    than detective).
+
+    Scale: exact group quantiles once per group (tiny bounds frame,
+    broadcast back), then one streaming pass clamps and averages —
+    clamping is a codegen'd LEAST/GREATEST, no second sort. At 100 TB
+    swap the exact quantile for percentile_approx and keep the shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    b = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(l_extendedprice, {WINSOR_HI})").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("l_extendedprice"), 4).alias("raw_mean"),
+            F.round(F.avg(clamped), 4).alias("winsor_mean"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "raw_mean",
+            "winsor_mean",
+            F.round("lo", 4).alias("p05"),
+            F.round("hi", 4).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
