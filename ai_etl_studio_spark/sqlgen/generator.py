@@ -119,6 +119,47 @@ class TemplateGenerator:
                 f" GROUP BY lang ORDER BY n_docs DESC, lang LIMIT {lim}"
             ),
         ),
+        (
+            r"(?:cohort\s+)?retention\s+(?:per|by)\s+(?:signup|first[- ]?order|cohort)\s+month",
+            lambda m, lim: (
+                "WITH fo AS (SELECT o_custkey, trunc(MIN(CAST(o_orderdate AS DATE)),"
+                " 'month') AS cohort FROM orders GROUP BY o_custkey),"
+                " om AS (SELECT DISTINCT o.o_custkey, f.cohort,"
+                " trunc(CAST(o.o_orderdate AS DATE), 'month') AS m"
+                " FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey)"
+                " SELECT date_format(cohort, 'yyyy-MM') AS cohort_month,"
+                " (year(m) - year(cohort)) * 12 + (month(m) - month(cohort))"
+                " AS month_offset, COUNT(DISTINCT o_custkey) AS n_active"
+                " FROM om GROUP BY cohort, month_offset"
+                f" ORDER BY cohort_month, month_offset LIMIT {lim}"
+            ),
+        ),
+        (
+            r"(?:conversion\s+)?funnel|viewed.*clicked.*(?:bought|purchased)",
+            lambda m, lim: (
+                "WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events"
+                " WHERE event_type = 'view' GROUP BY user_id),"
+                " c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e"
+                " JOIN v ON e.user_id = v.user_id AND e.ts >= v.t1"
+                " WHERE e.event_type = 'click' GROUP BY e.user_id),"
+                " p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e"
+                " JOIN c ON e.user_id = c.user_id AND e.ts >= c.t2"
+                " WHERE e.event_type = 'purchase' GROUP BY e.user_id)"
+                " SELECT stage, n_users FROM ("
+                " SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v"
+                " UNION ALL SELECT '2_click', COUNT(*) FROM c"
+                " UNION ALL SELECT '3_purchase', COUNT(*) FROM p)"
+                f" ORDER BY stage LIMIT {lim}"
+            ),
+        ),
+        (
+            r"(?:export\s+)?shard\s+manifest|documents?\s+(?:per|by)\s+shard",
+            lambda m, lim: (
+                "SELECT pmod((doc_id * 2654435761) % 4294967296, 16) AS shard,"
+                " COUNT(*) AS n_docs, SUM(n_chars) AS n_chars FROM documents"
+                f" GROUP BY shard ORDER BY shard LIMIT {lim}"
+            ),
+        ),
     ]
 
     def generate(self, question: str) -> str:

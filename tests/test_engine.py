@@ -209,3 +209,29 @@ def test_templates_reach_extension_surface(spark):
     assert lang.ok
     rows = lang.df.collect()
     assert len(rows) == 5 and all(r.n_docs > 0 for r in rows)
+
+
+def test_templates_reach_analytics_surface(spark):
+    """Round-3 templates: cohort retention, conversion funnel, and the
+    shard manifest all run end-to-end through sanitize + the read-only
+    gate, and the funnel is monotonically narrowing."""
+    from ai_etl_studio_spark.catalog import register_tables
+    from ai_etl_studio_spark.sqlgen.generator import (
+        TemplateGenerator,
+        generate_and_run,
+    )
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    g = TemplateGenerator()
+
+    ret = generate_and_run(spark, g, "show retention by first-order month")
+    assert ret.ok and ret.df.columns == ["cohort_month", "month_offset", "n_active"]
+    assert ret.df.count() > 0
+
+    fun = generate_and_run(spark, g, "show me the conversion funnel")
+    rows = {r.stage: r.n_users for r in fun.df.collect()}
+    assert fun.ok and list(rows) == ["1_view", "2_click", "3_purchase"]
+    assert rows["1_view"] >= rows["2_click"] >= rows["3_purchase"]
+
+    sh = generate_and_run(spark, g, "documents per shard")
+    assert sh.ok and sh.df.columns == ["shard", "n_docs", "n_chars"]
