@@ -833,3 +833,47 @@ def scd2_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "valid_from", "attr_value")
     )
+
+
+@register(
+    "cdc_latest_snapshot",
+    oracle="""
+    SELECT user_id, event_type AS last_event_type, ts AS last_ts,
+           value AS last_value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) r
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: collapse a change stream to the latest row
+    per key — the snapshot read every downstream consumer of a change
+    feed starts from. Latest = max (ts, event_id); the event_id
+    tie-break makes compaction deterministic when two changes share a
+    timestamp.
+
+    Scale: implemented as max_by over a struct — a HASH aggregation
+    with map-side combine (each partition keeps one candidate per key
+    before the shuffle), NOT the row_number window the oracle uses,
+    which would sort every group. Same rows, cheaper plan; this is the
+    compaction strategy log-structured tables (Delta/Hudi CoW) run.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pick = F.max_by(
+        F.struct("event_type", "ts", "value"), F.struct("ts", "event_id")
+    ).alias("b")
+    return (
+        e.groupBy("user_id")
+        .agg(pick)
+        .select(
+            "user_id",
+            F.col("b.event_type").alias("last_event_type"),
+            F.col("b.ts").alias("last_ts"),
+            F.col("b.value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )

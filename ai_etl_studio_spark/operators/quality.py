@@ -904,3 +904,55 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "skew_profile",
+    oracle="""
+    WITH k AS (SELECT l_suppkey AS key, COUNT(*) AS cnt
+               FROM lineitem GROUP BY l_suppkey),
+    s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 MAX(cnt) AS max_cnt FROM k)
+    SELECT k.key, k.cnt,
+           ROUND(CAST(k.cnt AS DOUBLE) * s.n_keys / s.n_rows, 6)
+             AS skew_ratio,
+           s.n_keys, s.n_rows
+    FROM k CROSS JOIN s
+    ORDER BY k.cnt DESC, k.key
+    LIMIT 20
+    """,
+)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: top-20 heaviest keys of a fact-table
+    join column with their skew ratio (count ÷ mean count). This is the
+    profiling query run BEFORE choosing a join strategy — ratio ≫ 1
+    says 'salt this key or let AQE split it' (the operators at
+    quality.py salted_agg / skew_join_salted are the remedies).
+
+    Scale: one groupBy on the key (the aggregation you were going to
+    pay anyway), a 1-row global stats frame broadcast via cross join,
+    and a top-k — no sort of the full key set (TakeOrderedAndProject).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    s = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    ).select("n_keys", "n_rows")
+    return (
+        k.crossJoin(F.broadcast(s))
+        .select(
+            "key",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("skew_ratio"),
+            "n_keys",
+            "n_rows",
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(20)
+    )
