@@ -543,7 +543,8 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the join shuffles both sides on the key unless the changeset
     is small — then broadcast it and rewrite only the touched
-    partitions (see parquet_compaction for the write side). Integer
+    partitions (see sources.maintenance.compact_parquet for the write
+    side). Integer
     cents keep the audit sums exact across engines.
     """
     o = load_table(spark, sf_dir, "orders")
