@@ -32,17 +32,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #: prefix ROTATES each round toward queries that have never had a
 #: driver row. Round 1 covered the reference-parity core; round 2 the
 #: LLM-data-pipeline extensions (49/50 green). Round 3 leads with
-#: pagerank_bipartite (proving the oracle int128 fix), then the
-#: round-2/3 additions and everything whose only check so far is local
-#: (extended.py scalar/join/set surfaces, arrays, windows). Still
-#: unrotated after this round (all local-green, queued for r4):
-#: multimodal decode/frame/audio stubs, text_tokens,
-#: stopword_pruned_corpus, repetition_quality, salted_agg,
-#: distinct_projection, join_cross, window_sliding, datetime_functions.
+#: pagerank_bipartite (proving the oracle int128 fix), keeps the
+#: verdict-named round-2 additions + the extended/array/function
+#: surfaces, and ends with the 14 operators ADDED in round 3 so new
+#: code never waits a round for its driver row. Queued for the r4
+#: rotation (all local-green at three SFs, several also benched):
+#: math/null/argmax/string_agg/having function rows, the window-stat
+#: family (fill_forward, distinct_count, range_rolling, rolling_median,
+#: pct_of_total, anomaly_zscore, boolean_linreg, interval_join,
+#: stream_static twin), multimodal decode/frame/audio stubs,
+#: text_tokens, stopword_pruned_corpus, repetition_quality, salted_agg,
+#: distinct_projection, join_cross, window_sliding, datetime_functions,
+#: approx_distinct, hll_sketch_rollup, percentile_approx_sketch,
+#: kmeans_embeddings, embedding_pca_power.
 PRIORITY: tuple[str, ...] = (
     # prove the r2 fix first
     "pagerank_bipartite",
-    # round-2/3 additions never driver-checked
+    # round-2 additions never driver-checked (verdict-named)
     "ntile_rfm_scalable",
     "ewma_user_value",
     "histogram_equidepth",
@@ -78,23 +84,23 @@ PRIORITY: tuple[str, ...] = (
     "variant_extract",
     "string_functions",
     "regex_functions",
-    "math_functions",
     "hash_functions",
     "bitwise_agg",
-    "null_handling",
-    "string_agg_ordered",
-    "argmax_minby",
-    "having_filter",
-    # analytics windows / stats never driver-checked
-    "window_fill_forward",
-    "window_distinct_count",
-    "window_range_rolling",
-    "rolling_median",
-    "pct_of_total",
-    "anomaly_zscore",
-    "boolean_linreg_agg",
-    "interval_join_events",
-    "stream_static_join_batch_twin",
+    # round-3 additions (new this round; driver-checked immediately)
+    "pagerank_from_index",
+    "decontaminate_bloom",
+    "heavy_hitters_twopass",
+    "cohort_retention",
+    "scd2_dim_build",
+    "er_blocked_pairs",
+    "export_shards",
+    "stream_dedup_vs_corpus",
+    "conversion_funnel",
+    "ivm_agg_delta",
+    "window_rank_suite",
+    "winsorized_mean",
+    "cdc_latest_snapshot",
+    "skew_profile",
 )
 
 

@@ -50,8 +50,30 @@ def rows_normalized(cols, rows):
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+#: Queries allowed a CartesianProduct: every one joins two broadcast-
+#: bounded sides (region×nation, 1-row bounds frames are
+#: BroadcastNestedLoop and don't trip this).
+CARTESIAN_OK = {"join_cross"}
+
+
+def assert_plan_contract(name: str, sdf) -> None:
+    """Engine-wide plan invariants, enforced on every registered query:
+    no row-at-a-time Python UDF in any plan (Python touches data only
+    via Arrow seams: ArrowEvalPython / MapInPandas / FlatMapGroupsIn-
+    Pandas / UDTF), and no unbounded CartesianProduct."""
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan or "UDTF" in plan, (
+        f"{name}: row-at-a-time Python UDF (BatchEvalPython) in plan"
+    )
+    if name not in CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, (
+            f"{name}: unbounded CartesianProduct in plan"
+        )
+
+
 def assert_matches_oracle(spark, ddb, name, query_fn, oracle):
     sdf = query_fn(spark, SF_DIR)
+    assert_plan_contract(name, sdf)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = list(sdf.columns)
     res = ddb.execute(oracle)

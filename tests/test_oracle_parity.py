@@ -21,7 +21,10 @@ def test_oracle_parity(spark, ddb, name):
 def test_rows_only_queries_run(spark, name):
     """Operators without an oracle must still run and be deterministic
     across two invocations (the driver's weaker rows-only check)."""
+    from tests.conftest import assert_plan_contract
+
     df1 = QUERIES[name](spark, "/root/testdata/sf0.001")
+    assert_plan_contract(name, df1)
     rows1 = sorted(map(str, df1.collect()))
     df2 = QUERIES[name](spark, "/root/testdata/sf0.001")
     rows2 = sorted(map(str, df2.collect()))
