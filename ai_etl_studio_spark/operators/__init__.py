@@ -48,6 +48,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from ai_etl_studio_spark.operators import (  # noqa: F401
         analytics,
         arrays,
+        audit,
         dedup,
         extended,
         multimodal,

@@ -1,0 +1,181 @@
+"""Data-quality audit operators (deequ-style constraint suites).
+
+A production ETL engine validates what it moves. These operators compute
+a whole constraint suite — completeness, uniqueness, value bounds,
+accepted values, referential integrity — as a handful of single-pass
+aggregations, emitting one row per constraint in a uniform
+(constraint, scope, value, pass) shape a pipeline can gate on.
+
+The reference engine (balyuv/ai-etl-studio) validates only reactively —
+a failed query becomes an error relation (app.py error path); this module
+is the proactive, driver-directed extension surface.
+
+Scale design:
+- every per-table metric group is ONE aggregation over ONE scan of that
+  table (Spark computes all the conditional sums in a single
+  HashAggregate; no per-constraint passes).
+- count(DISTINCT) rides the same shuffle via expand; at 100 TB swap to
+  approx_count_distinct per the documented `uniqueness_approx` note.
+- referential checks are LEFT ANTI joins that shuffle only the key
+  columns; the fact side is projected to its key before the join.
+- the final result is a UNION of a dozen 1-row frames — driver-size.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_etl_studio_spark.catalog import load_table
+from ai_etl_studio_spark.operators import register
+
+#: Accepted o_orderstatus values (TPC-H domain).
+_STATUS = ("O", "F", "P")
+
+_DQ_ORACLE = f"""
+WITH li AS (
+  SELECT COUNT(*) AS n,
+         COUNT(l_orderkey) AS nn_ok,
+         COUNT(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 END) AS qty_in,
+         COUNT(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1 END) AS disc_in
+  FROM lineitem),
+o AS (
+  SELECT COUNT(*) AS n,
+         COUNT(o_custkey) AS nn_ck,
+         COUNT(DISTINCT o_orderkey) AS d_ok,
+         COUNT(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END) AS st_in
+  FROM orders),
+orph_li AS (
+  SELECT COUNT(*) AS n FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+orph_o AS (
+  SELECT COUNT(*) AS n FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+SELECT * FROM (
+  SELECT 'completeness' AS check_name, 'lineitem.l_orderkey' AS scope,
+         CAST(nn_ok AS DOUBLE) / n AS value,
+         CASE WHEN nn_ok = n THEN 1 ELSE 0 END AS pass FROM li
+  UNION ALL
+  SELECT 'completeness', 'orders.o_custkey',
+         CAST(nn_ck AS DOUBLE) / n, CASE WHEN nn_ck = n THEN 1 ELSE 0 END FROM o
+  UNION ALL
+  SELECT 'uniqueness', 'orders.o_orderkey',
+         CAST(d_ok AS DOUBLE) / n, CASE WHEN d_ok = n THEN 1 ELSE 0 END FROM o
+  UNION ALL
+  SELECT 'bounds[1,50]', 'lineitem.l_quantity',
+         CAST(qty_in AS DOUBLE) / n, CASE WHEN qty_in = n THEN 1 ELSE 0 END FROM li
+  UNION ALL
+  SELECT 'bounds[0,0.1]', 'lineitem.l_discount',
+         CAST(disc_in AS DOUBLE) / n, CASE WHEN disc_in = n THEN 1 ELSE 0 END FROM li
+  UNION ALL
+  SELECT 'accepted_values(O,F,P)', 'orders.o_orderstatus',
+         CAST(st_in AS DOUBLE) / n, CASE WHEN st_in = n THEN 1 ELSE 0 END FROM o
+  UNION ALL
+  SELECT 'row_count>0', 'lineitem',
+         CAST(n AS DOUBLE), CASE WHEN n > 0 THEN 1 ELSE 0 END FROM li
+  UNION ALL
+  SELECT 'ref_integrity', 'lineitem.l_orderkey->orders',
+         CAST(n AS DOUBLE), CASE WHEN n = 0 THEN 1 ELSE 0 END FROM orph_li
+  UNION ALL
+  SELECT 'ref_integrity', 'orders.o_custkey->customer',
+         CAST(n AS DOUBLE), CASE WHEN n = 0 THEN 1 ELSE 0 END FROM orph_o
+) s
+ORDER BY check_name, scope
+"""
+
+
+def _row(constraint: str, scope: str, value, ok) -> F.Column:
+    return F.struct(
+        F.lit(constraint).alias("check_name"),
+        F.lit(scope).alias("scope"),
+        value.cast("double").alias("value"),
+        F.when(ok, 1).otherwise(0).alias("pass"),
+    )
+
+
+@register("dq_audit", oracle=_DQ_ORACLE)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality suite over orders/lineitem/customer:
+    completeness, key uniqueness, numeric bounds, accepted values,
+    row-count floor, and two referential-integrity checks — one row per
+    check with its measured value and pass flag.
+
+    Scale: the lineitem constraints are ONE HashAggregate over one scan
+    (all conditional counts fused); likewise orders. The two orphan
+    checks are LEFT ANTI joins carrying only key columns. Nine
+    constraint rows come back; data never leaves the executors until the
+    final 9-row union. At 100 TB, COUNT(DISTINCT o_orderkey) is the one
+    expensive term — swap to approx_count_distinct (documented
+    tolerance) or run it on the bucketed key layout.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    li_m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_orderkey").alias("nn_ok"),
+        F.count(F.when(F.col("l_quantity").between(1, 50), 1)).alias("qty_in"),
+        F.count(F.when(F.col("l_discount").between(0, 0.1), 1)).alias("disc_in"),
+    )
+    o_m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.countDistinct("o_orderkey").alias("d_ok"),
+        F.count(F.when(F.col("o_orderstatus").isin(*_STATUS), 1)).alias("st_in"),
+    )
+    orph_li = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    orph_o = (
+        o.select("o_custkey")
+        .join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    n = F.col("n")
+    li_rows = li_m.select(
+        F.explode(
+            F.array(
+                _row("completeness", "lineitem.l_orderkey",
+                     F.col("nn_ok") / n, F.col("nn_ok") == n),
+                _row("bounds[1,50]", "lineitem.l_quantity",
+                     F.col("qty_in") / n, F.col("qty_in") == n),
+                _row("bounds[0,0.1]", "lineitem.l_discount",
+                     F.col("disc_in") / n, F.col("disc_in") == n),
+                _row("row_count>0", "lineitem", n, n > 0),
+            )
+        ).alias("r")
+    )
+    o_rows = o_m.select(
+        F.explode(
+            F.array(
+                _row("completeness", "orders.o_custkey",
+                     F.col("nn_ck") / n, F.col("nn_ck") == n),
+                _row("uniqueness", "orders.o_orderkey",
+                     F.col("d_ok") / n, F.col("d_ok") == n),
+                _row("accepted_values(O,F,P)", "orders.o_orderstatus",
+                     F.col("st_in") / n, F.col("st_in") == n),
+            )
+        ).alias("r")
+    )
+    oli_rows = orph_li.select(
+        F.explode(
+            F.array(_row("ref_integrity", "lineitem.l_orderkey->orders", n, n == 0))
+        ).alias("r")
+    )
+    oo_rows = orph_o.select(
+        F.explode(
+            F.array(_row("ref_integrity", "orders.o_custkey->customer", n, n == 0))
+        ).alias("r")
+    )
+    frames = [li_rows, o_rows, oli_rows, oo_rows]
+    return (
+        reduce(DataFrame.unionAll, frames)
+        .select("r.*")
+        .orderBy("check_name", "scope")
+    )

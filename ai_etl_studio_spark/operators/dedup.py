@@ -692,3 +692,105 @@ def stream_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level cross-document dedup (C4 / RefinedWeb-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+#: Tokens per "line" (the corpus has no newlines, so lines are fixed
+#: 8-token windows — the unit of boilerplate removal).
+LINE_W = 8
+
+#: A line occurring in >= this many DISTINCT documents is boilerplate
+#: (nav bars, cookie banners, licence headers) and is removed everywhere.
+LINE_DROP_DF = 2
+
+
+@register(
+    "line_dedup_corpus",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      FROM documents),
+    lines AS (
+      SELECT doc_id, i AS line_no,
+             array_to_string(ts[(i*{LINE_W}+1):(i*{LINE_W}+{LINE_W})], ' ') AS line
+      FROM toks, UNNEST(range(CAST(ceil(len(ts)/{LINE_W}.0) AS BIGINT))) AS u(i)),
+    freq AS (
+      SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS df
+      FROM lines GROUP BY md5(line)),
+    tagged AS (
+      SELECT l.doc_id, l.line_no, l.line, f.df
+      FROM lines l JOIN freq f ON md5(l.line) = f.h)
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN df < {LINE_DROP_DF} THEN line END,
+                               ' ' ORDER BY line_no), '') AS cleaned_text,
+           COUNT(CASE WHEN df < {LINE_DROP_DF} THEN 1 END) AS n_lines_kept,
+           COUNT(CASE WHEN df >= {LINE_DROP_DF} THEN 1 END) AS n_lines_dropped
+    FROM tagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document LINE deduplication — the C4/RefinedWeb boilerplate
+    pass: any line occurring in >= LINE_DROP_DF distinct documents is
+    removed from EVERY document, and documents are reassembled in
+    original line order. (The reference engine, balyuv/ai-etl-studio, has
+    no text pipeline at all; this is driver-directed extension surface.)
+
+    The corpus has no newlines, so a "line" is a fixed LINE_W-token
+    window — the mechanics (hash lines, count distinct docs per line
+    hash, filter, reassemble ordered) are exactly the newline-delimited
+    production shape.
+
+    Scale design:
+    - line construction is a NARROW per-row expression —
+      transform(sequence(...), i -> array_join(slice(ts, ...)))
+      builds all line strings without an explode, then ONE posexplode
+      emits (doc_id, line_no, line).
+    - the frequency aggregation groups on the 16-byte md5 of the line,
+      not the line text (shuffle hashes, not strings).
+    - reassembly is a single groupBy(doc_id) with collect_list of
+      (line_no, line) structs + array_sort — no window, no second sort
+      shuffle; per-doc state is bounded by document length.
+    - at 100 TB the df-filter join is a shuffle join on the line hash;
+      boilerplate hashes are exactly the hot keys, but they only fan
+      INTO the (tiny) freq side — the lines side stays uniformly
+      distributed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    docs = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 1)
+    n_lines = F.ceil(F.size("ts") / F.lit(float(LINE_W))).cast("int")
+    line_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        lambda i: F.array_join(F.slice("ts", i * LINE_W + 1, LINE_W), " "),
+    )
+    lines = docs.select(
+        "doc_id", F.posexplode(line_arr).alias("line_no", "line")
+    ).withColumn("h", F.md5("line"))
+    freq = lines.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    tagged = lines.join(freq, "h")
+    keep = F.col("df") < LINE_DROP_DF
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("line_no", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+            F.count(F.when(keep, 1)).alias("n_lines_kept"),
+            F.count(F.when(~keep, 1)).alias("n_lines_dropped"),
+        )
+        .orderBy("doc_id")
+    )

@@ -956,3 +956,103 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule bundle (Rae et al. 2021, arXiv:2112.11446 §A1.1)
+# ---------------------------------------------------------------------------
+
+#: Gopher's canonical "must contain >= 2 of these" stop words.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: Rule bounds (word-count floor lowered from Gopher's 50 to 20 to suit
+#: the synthetic corpus's 30-60-token documents; all other bounds are
+#: the published ones).
+_G_MIN_WORDS, _G_MAX_WORDS = 20, 100_000
+_G_MIN_MWL, _G_MAX_MWL = 3.0, 10.0
+_G_MAX_SYMBOL_RATIO = 0.1
+_G_MIN_ALPHA_FRAC = 0.8
+
+_GS_SQL = "(" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + ")"
+
+
+@register(
+    "gopher_rules",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             lower(text) AS lt,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ts
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(ts) AS n_words,
+             CAST(len(array_to_string(ts, '')) AS DOUBLE) / len(ts) AS mean_word_len,
+             CAST(len(regexp_replace(lt, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / len(lt) AS symbol_ratio,
+             CAST(len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+               / len(ts) AS alpha_frac,
+             len(list_distinct(list_filter(ts, w -> w IN {_GS_SQL}))) AS n_stop_distinct
+      FROM t WHERE len(ts) > 0)
+    SELECT *,
+           CASE WHEN n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
+                 AND mean_word_len BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}
+                 AND symbol_ratio <= {_G_MAX_SYMBOL_RATIO}
+                 AND alpha_frac >= {_G_MIN_ALPHA_FRAC}
+                 AND n_stop_distinct >= 2
+                THEN 1 ELSE 0 END AS pass_gopher
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule bundle (Rae et al. 2021): word-count
+    bounds, mean-word-length bounds, symbol-to-char ratio, alphabetic
+    word fraction, and distinct-stopword floor — the standard pretraining
+    heuristic gate, complementing ``text_quality``'s stopword/distinct
+    ratios. (No counterpart in the reference engine; extension surface.)
+
+    Scale: ONE narrow projection per document — every rule is a
+    higher-order-function / regexp expression inside whole-stage codegen;
+    zero shuffles before the presentation sort, zero Python. The ratios
+    are exact int/int IEEE divisions, bit-identical in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lt = F.lower("text")
+    ts = F.filter(F.split(lt, r"\s+"), lambda w: w != "")
+    base = d.select(
+        "doc_id", lt.alias("lt"), ts.alias("ts")
+    ).filter(F.size("ts") > 0)
+    n_words = F.size("ts")
+    mean_word_len = F.length(F.array_join("ts", "")).cast("double") / n_words
+    symbol_ratio = (
+        F.length(F.regexp_replace("lt", "[a-z0-9 ]", "")).cast("double")
+        / F.length("lt")
+    )
+    alpha_frac = (
+        F.size(F.filter("ts", lambda w: w.rlike("[a-z]"))).cast("double")
+        / n_words
+    )
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter("ts", lambda w: w.isin(*_GOPHER_STOPS))
+        )
+    )
+    m = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stop_distinct"),
+    )
+    passes = (
+        F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS)
+        & F.col("mean_word_len").between(_G_MIN_MWL, _G_MAX_MWL)
+        & (F.col("symbol_ratio") <= _G_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_frac") >= _G_MIN_ALPHA_FRAC)
+        & (F.col("n_stop_distinct") >= 2)
+    )
+    return m.withColumn(
+        "pass_gopher", F.when(passes, 1).otherwise(0)
+    ).orderBy("doc_id")
