@@ -51,6 +51,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         audit,
         dedup,
         extended,
+        insights,
         multimodal,
         quality,
         relational,

@@ -1,0 +1,332 @@
+"""Behavioral / statistical insight operators over ``events`` and the
+TPC-H tables: Markov path transitions, A/B experiment analysis,
+seasonal-naive forecast backtesting, and degree-oriented triangle
+counting.
+
+The reference engine (balyuv/ai-etl-studio) answers only what its LLM
+can phrase as one SELECT; these are the canned product-analytics shapes
+a warehouse team actually runs daily — driver-directed extension
+surface, designed Spark-first.
+
+Float-determinism discipline (shared with bm25/exact.py): every
+distributed SUM is over integer ticks (cents), so partial-aggregation
+order cannot perturb the result; doubles appear only in per-row or
+final single-row expressions whose structure is mirrored token-for-token
+in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_etl_studio_spark.catalog import load_table
+from ai_etl_studio_spark.operators import register
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event paths
+# ---------------------------------------------------------------------------
+
+@register(
+    "path_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    p AS (
+      SELECT src, dst, COUNT(*) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst)
+    SELECT src, dst, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS prob
+    FROM p
+    ORDER BY src, dst
+    """,
+)
+def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for each
+    (event_type -> next event_type) pair, the transition count and the
+    row-normalized probability — the clickstream path-analysis primitive
+    behind funnels and next-action models.
+
+    Scale: ONE shuffle partitions events by user_id for the lead()
+    window (per-user state is a single row of lookahead); the pair
+    aggregation then reduces to |event_types|² rows with map-side
+    combine, and the probability normalization is a window over that
+    tiny matrix. The probability is an int/int IEEE division —
+    bit-identical across engines, no tick quantization needed.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    p = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    norm = Window.partitionBy("src")
+    return (
+        p.withColumn(
+            "prob", F.col("n").cast("double") / F.sum("n").over(norm)
+        )
+        .orderBy("src", "dst")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis (Welch z-test on purchase value)
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH m AS (
+  SELECT user_id % 2 AS variant,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+s AS (
+  SELECT variant, COUNT(*) AS n, SUM(cents) AS s1, SUM(cents * cents) AS s2
+  FROM m GROUP BY variant),
+w AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+         MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+         MAX(CASE WHEN variant = 0 THEN s1 END) AS s1_a,
+         MAX(CASE WHEN variant = 1 THEN s1 END) AS s1_b,
+         MAX(CASE WHEN variant = 0 THEN s2 END) AS s2_a,
+         MAX(CASE WHEN variant = 1 THEN s2 END) AS s2_b
+  FROM s)
+SELECT n_a, n_b,
+       CAST(s1_a AS DOUBLE) / n_a AS mean_a_cents,
+       CAST(s1_b AS DOUBLE) / n_b AS mean_b_cents,
+       (CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b)
+         / sqrt(
+             ((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a) / (n_a - 1)) / n_a
+           + ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b) / (n_b - 1)) / n_b
+           ) AS z,
+       CASE WHEN abs(
+         (CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b)
+         / sqrt(
+             ((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a) / (n_a - 1)) / n_a
+           + ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b) / (n_b - 1)) / n_b
+           )) > 1.96 THEN 1 ELSE 0 END AS significant
+FROM w
+"""
+
+
+@register("ab_test_ztest", oracle=_AB_ORACLE)
+def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test on mean purchase value between two
+    deterministically assigned variants (user_id parity stands in for
+    the experiment's hash assignment) — the experiment-readout query.
+
+    Scale: the whole test is ONE aggregation over the filtered event
+    stream — per-variant n, Σx, Σx² in integer cents (exact, order-free)
+    — pivoted to a single row; mean/variance/z are then computed
+    driver-free from those six integers with an expression tree mirrored
+    exactly in the oracle, so the IEEE doubles agree bit-for-bit.
+    Variance uses the Σx²-(Σx)²/n form, valid because cents are exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    m = e.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    s = m.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("s1"))).alias("s1_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("s1"))).alias("s1_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("s2"))).alias("s2_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("s2"))).alias("s2_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    mean_a = F.col("s1_a").cast("double") / n_a
+    mean_b = F.col("s1_b").cast("double") / n_b
+    var_a = (
+        F.col("s2_a").cast("double") - F.col("s1_a").cast("double") * F.col("s1_a") / n_a
+    ) / (n_a - F.lit(1))
+    var_b = (
+        F.col("s2_b").cast("double") - F.col("s1_b").cast("double") * F.col("s1_b") / n_b
+    ) / (n_b - F.lit(1))
+    z = (mean_a - mean_b) / F.sqrt(var_a / n_a + var_b / n_b)
+    return w.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a_cents"),
+        mean_b.alias("mean_b_cents"),
+        z.alias("z"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (weekly seasonality, MAPE by weekday)
+# ---------------------------------------------------------------------------
+
+#: Absolute-percentage-error quantization (1e-9 of a percent point).
+_MAPE_TICKS = 1_000_000_000
+
+
+@register(
+    "seasonal_naive_mape",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+    bt AS (
+      SELECT a.d, a.rev AS actual, f.rev AS forecast,
+             CAST(ROUND({_MAPE_TICKS} * abs(CAST(a.rev AS DOUBLE) - f.rev)
+                        / a.rev) AS BIGINT) AS ape_ticks
+      FROM daily a JOIN daily f ON a.d = f.d + INTERVAL 7 DAY)
+    SELECT isodow(d) AS weekday, COUNT(*) AS n_days,
+           AVG(ape_ticks) AS mape_ticks
+    FROM bt GROUP BY isodow(d)
+    ORDER BY weekday
+    """,
+)
+def seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict today's revenue
+    with the value 7 days earlier) — mean absolute percentage error per
+    ISO weekday. The forecasting-sanity baseline every demand/capacity
+    model is judged against.
+
+    Scale: daily revenue is one aggregation (integer cents — exact);
+    the forecast join is a self-join of the DAILY series (|dates| rows,
+    trivially broadcastable at any corpus size); per-row APE is
+    quantized to integer ticks so the final per-weekday AVG is an exact
+    int sum / count in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rev"
+            )
+        )
+    )
+    f = daily.select(
+        F.date_add("d", 7).alias("d"), F.col("rev").alias("forecast")
+    )
+    bt = daily.withColumnRenamed("rev", "actual").join(F.broadcast(f), "d")
+    ape_ticks = F.round(
+        _MAPE_TICKS
+        * F.abs(F.col("actual").cast("double") - F.col("forecast"))
+        / F.col("actual")
+    ).cast("bigint")
+    return (
+        bt.select((F.weekday("d") + 1).alias("weekday"), ape_ticks.alias("ape_ticks"))
+        .groupBy("weekday")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.avg("ape_ticks").alias("mape_ticks"),
+        )
+        .orderBy("weekday")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree-oriented triangle counting (part co-purchase graph)
+# ---------------------------------------------------------------------------
+
+#: Node filter bounding the demo graph (every ~5th part) so the oracle's
+#: unoptimized self-joins stay cheap at sf0.1; the Spark plan itself is
+#: the full degree-oriented algorithm and needs no such bound.
+_TRI_MOD = 5
+
+_TRI_ORACLE = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey % {_TRI_MOD} = 0),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node),
+o AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+tri AS (
+  SELECT o1.s AS a, o1.t AS b, o2.t AS c
+  FROM o o1
+  JOIN o o2 ON o1.t = o2.s
+  JOIN o o3 ON o3.s = o1.s AND o3.t = o2.t)
+SELECT (SELECT COUNT(*) FROM tri) AS n_triangles,
+       (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges
+"""
+
+
+@register("triangle_count", oracle=_TRI_ORACLE)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (parts appearing in
+    the same order are connected) — the graph-cohesion primitive behind
+    community detection and recommendation diagnostics.
+
+    Scale design — the degree-oriented wedge join: every undirected edge
+    is oriented from its lower-degree endpoint to the higher (ties by
+    id), which bounds every out-degree by O(sqrt(m)); the wedge
+    self-join on oriented edges then does O(m^1.5) work — the provable
+    optimum for exact triangle listing (Schank & Wagner 2005) — instead
+    of the naive join's Σd² blow-up on hub nodes. The degree table is
+    |nodes| rows and broadcasts; the wedge join shuffles oriented edges
+    by wedge midpoint, then the closing-edge check is a semi-join on
+    (s, t) pairs.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % _TRI_MOD == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    o1 = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    o2 = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    wedges = o1.join(o2, "b")
+    closing = o.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tri = wedges.join(closing, ["a", "c"], "left_semi")
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_tri.crossJoin(n_nodes).crossJoin(n_edges)

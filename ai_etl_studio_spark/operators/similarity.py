@@ -1129,3 +1129,146 @@ def dedup_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
         .distinct()
     )
     return _verify_pairs(emb, cand)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") with deterministic anchor codebooks
+# ---------------------------------------------------------------------------
+
+#: Subspace layout: 64-dim embeddings split into PQ_M blocks of PQ_SUBDIM.
+PQ_M = 4
+PQ_SUBDIM = 16
+#: Codebook size per subspace; codewords are the subvectors of the first
+#: PQ_K corpus vectors (a deterministic stand-in for per-subspace k-means
+#: training — the *search* machinery is identical either way).
+PQ_K = 16
+PQ_QUERIES = 5
+PQ_TOPK = 10
+
+#: Component quantization: micro-units, so every distance is an exact
+#: int64 sum (summation order irrelevant -> bit-identical across engines).
+_PQ_SCALE = 1_000_000
+
+_PQ_D2 = (
+    "CAST(list_sum(list_transform(range(1,{n}), "
+    "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))) AS BIGINT)"
+).format
+
+
+def _pq_oracle() -> str:
+    d2_ca = _PQ_D2(n=PQ_SUBDIM + 1, a="c.s", b="a.a")
+    d2_qa = _PQ_D2(n=PQ_SUBDIM + 1, a="q.s", b="a.a")
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(ROUND(x*{_PQ_SCALE}) AS BIGINT)) AS qe
+      FROM embeddings),
+    sub AS (
+      SELECT vec_id, m, qe[(m*{PQ_SUBDIM}+1):(m*{PQ_SUBDIM}+{PQ_SUBDIM})] AS s
+      FROM v, UNNEST(range({PQ_M})) AS u(m)),
+    anch AS (SELECT vec_id AS k, m, s AS a FROM sub WHERE vec_id < {PQ_K}),
+    codes AS (
+      SELECT vec_id, m, (MIN({{'d': d2, 'k': k}})).k AS k
+      FROM (
+        SELECT c.vec_id, c.m, a.k, {d2_ca} AS d2
+        FROM sub c JOIN anch a ON a.m = c.m) t
+      GROUP BY vec_id, m),
+    qd AS (
+      SELECT q.vec_id AS query_id, q.m, a.k, {d2_qa} AS d2
+      FROM sub q JOIN anch a ON a.m = q.m
+      WHERE q.vec_id < {PQ_QUERIES}),
+    adc AS (
+      SELECT qd.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(qd.d2) AS BIGINT) AS adc_d2
+      FROM codes c JOIN qd ON qd.m = c.m AND qd.k = c.k
+      WHERE c.vec_id <> qd.query_id
+      GROUP BY qd.query_id, c.vec_id)
+    SELECT query_id, neighbor_id, adc_d2, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2, neighbor_id) AS rn
+      FROM adc) r
+    WHERE rn <= {PQ_TOPK}
+    ORDER BY query_id, rn
+    """
+
+
+def _pq_d2(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 between two quantized subvectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+@register("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: corpus vectors are encoded as PQ_M
+    one-byte codes (nearest codeword per subspace), and queries rank
+    candidates by Asymmetric Distance Computation — exact query subvector
+    vs the neighbor's CODEWORD, never the raw neighbor vector.
+
+    Codebooks are the subvectors of the first PQ_K corpus vectors
+    (deterministic training stand-in; argmin ties break to the lower
+    codeword id via a struct-min, mirrored in the oracle).
+
+    Scale design — why PQ is the 100 TB memory play:
+    - encode once: corpus → (vec_id, m, code) is PQ_M small ints per
+      vector (64 bytes of floats → 4 bytes of codes, a 16× compression);
+      persist like the IVF index and raw vectors never load again.
+    - the anchor table is PQ_M×PQ_K subvectors — broadcast; encoding is
+      one map-side pass with a map-side-combinable struct-min groupBy.
+    - serving: the query's PQ_M×PQ_K distance table (320 ints) is
+      broadcast; ADC is a broadcast join + groupBy-sum over CODES, so
+      the per-candidate cost is PQ_M integer adds, independent of the
+      raw dimension. All arithmetic is exact int64 (micro-unit
+      quantization) — bit-identical across engines in any order.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _PQ_SCALE).cast("bigint"),
+        ).alias("qe"),
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    sub = emb.select("vec_id", "qe", ms).select(
+        "vec_id",
+        "m",
+        F.slice("qe", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("s"),
+    )
+    anch = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), "m", F.col("s").alias("a")
+    )
+    scored = sub.join(F.broadcast(anch), "m").select(
+        "vec_id", "m", "k", _pq_d2(F.col("s"), F.col("a")).alias("d2")
+    )
+    codes = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d2").alias("d"), F.col("k").alias("k"))).alias("mk"))
+        .select("vec_id", "m", F.col("mk.k").alias("k"))
+    )
+    qd = (
+        sub.filter(F.col("vec_id") < PQ_QUERIES)
+        .join(F.broadcast(anch), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "k",
+            _pq_d2(F.col("s"), F.col("a")).alias("d2"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["m", "k"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").cast("bigint").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .orderBy("query_id", "rn")
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_etl_studio_spark.catalog import load_table
+from ai_etl_studio_spark.functions.texthash import sql_md5_hash32
 from ai_etl_studio_spark.operators import register
 
 #: Tiny deterministic stopword list for quality/langid heuristics.
@@ -952,4 +953,101 @@ def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * HH_K > F.col("n_total"))
         .select("tok", "cnt")
         .orderBy(F.desc("cnt"), "tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+#: Sketch geometry: depth (independent hash rows) × width (buckets/row).
+CMS_D = 4
+CMS_W = 64
+CMS_TOPK = 20
+
+
+def _cms_bucket_sql(j: str, tok: str) -> str:
+    return (
+        sql_md5_hash32(f"concat(CAST({j} AS VARCHAR), ':', {tok})")
+        + f" % {CMS_W}"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH occ AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents),
+cells AS (
+  SELECT j, {_cms_bucket_sql('j', 'tok')} AS bucket, COUNT(*) AS cnt
+  FROM occ, UNNEST(range({CMS_D})) AS u(j)
+  GROUP BY 1, 2),
+cand AS (SELECT tok, COUNT(*) AS true_cnt FROM occ GROUP BY tok),
+probes AS (
+  SELECT tok, true_cnt, j, {_cms_bucket_sql('j', 'tok')} AS bucket
+  FROM cand, UNNEST(range({CMS_D})) AS u(j)),
+est AS (
+  SELECT p.tok, MAX(p.true_cnt) AS true_cnt, MIN(c.cnt) AS est_cnt
+  FROM probes p JOIN cells c USING (j, bucket)
+  GROUP BY p.tok)
+SELECT tok, est_cnt, true_cnt FROM est
+ORDER BY est_cnt DESC, tok
+LIMIT {CMS_TOPK}
+"""
+
+
+@register("countmin_heavy_hitters", oracle=_CMS_ORACLE)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters via a count-min sketch: CMS_D×CMS_W
+    counters absorb the whole token stream, then candidate tokens are
+    ranked by their sketch estimate (min over the CMS_D rows). The
+    one-sided guarantee — estimate >= true count, over-counting bounded
+    by 2N/CMS_W with prob 1-2^-CMS_D — is visible in the output, which
+    carries the true count beside the estimate (the exact-counting twin
+    is `heavy_hitters_twopass`; this is the mergeable-sketch flavor a
+    streaming/partial-aggregation pipeline keeps instead).
+
+    Scale: the sketch build is a groupBy over (j, bucket) — at most
+    CMS_D×CMS_W cells no matter the corpus, so the shuffle
+    collapses to a constant after map-side combine. The probe side joins
+    the (broadcast) sketch; here the candidate set is the full
+    vocabulary for oracle completeness — production probes only the
+    tokens a Misra-Gries pass (or a sample) nominates.
+
+    Hash rows use the shared md5 family (functions/texthash.py) so the
+    DuckDB twin is bit-exact.
+    """
+    from ai_etl_studio_spark.functions.texthash import md5_hash32, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(F.explode(tokens("text")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    jarr = F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j")
+
+    def bucket(j: Column, tok: Column) -> Column:
+        return (
+            md5_hash32(F.concat(j.cast("string"), F.lit(":"), tok)) % CMS_W
+        )
+
+    cells = (
+        occ.select("tok", jarr)
+        .select("j", bucket(F.col("j"), F.col("tok")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cand = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probes = cand.select("tok", "true_cnt", jarr).select(
+        "tok", "true_cnt", "j", bucket(F.col("j"), F.col("tok")).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.max("true_cnt").alias("true_cnt"),
+            F.min("cnt").alias("est_cnt"),
+        )
+        .select("tok", "est_cnt", "true_cnt")
+        .orderBy(F.desc("est_cnt"), "tok")
+        .limit(CMS_TOPK)
     )

@@ -1,0 +1,125 @@
+"""Behavior tests for the insight/sketch/PQ operators — semantic
+properties beyond oracle parity: Markov rows sum to 1, the Welch z
+matches a NumPy replay, triangle counts match brute force, CMS
+estimates are one-sided, PQ recall beats chance by a wide margin."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from ai_etl_studio_spark.operators import load_all
+
+QUERIES, _ = load_all()
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_path_transitions_rows_are_distributions(spark):
+    rows = QUERIES["path_transitions"](spark, SF_DIR).collect()
+    assert rows
+    by_src: dict[str, float] = {}
+    for r in rows:
+        assert r.n > 0 and 0.0 < r.prob <= 1.0
+        by_src[r.src] = by_src.get(r.src, 0.0) + r.prob
+    for src, total in by_src.items():
+        assert total == pytest.approx(1.0, abs=1e-12), src
+
+
+def test_ab_test_ztest_matches_numpy_replay(spark):
+    import numpy as np
+
+    [r] = QUERIES["ab_test_ztest"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    cents = {0: [], 1: []}
+    for e in ev:
+        if e.event_type == "purchase":
+            cents[e.user_id % 2].append(round(e.value * 100))
+    a = np.array(cents[0], dtype=np.float64)
+    b = np.array(cents[1], dtype=np.float64)
+    assert r.n_a == len(a) and r.n_b == len(b)
+    assert r.mean_a_cents == pytest.approx(a.mean(), rel=1e-12)
+    z = (a.mean() - b.mean()) / np.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    assert r.z == pytest.approx(float(z), rel=1e-9)
+    assert r.significant == int(abs(z) > 1.96)
+
+
+def test_seasonal_naive_mape_shape(spark):
+    rows = QUERIES["seasonal_naive_mape"](spark, SF_DIR).collect()
+    assert {r.weekday for r in rows} <= set(range(1, 8))
+    assert all(r.mape_ticks >= 0 and r.n_days > 0 for r in rows)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from ai_etl_studio_spark.operators.insights import _TRI_MOD
+
+    [r] = QUERIES["triangle_count"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    by_order: dict[int, set[int]] = {}
+    for row in li:
+        if row.l_partkey % _TRI_MOD == 0:
+            by_order.setdefault(row.l_orderkey, set()).add(row.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        for u, v in itertools.combinations(sorted(parts), 2):
+            edges.add((u, v))
+    nodes = {n for e in edges for n in e}
+    tri = sum(
+        1
+        for (u, v), w in itertools.product(edges, nodes)
+        if w > v and (v, w) in edges and (u, w) in edges
+    )
+    assert (r.n_triangles, r.n_nodes, r.n_edges) == (tri, len(nodes), len(edges))
+
+
+def test_countmin_estimates_are_one_sided(spark):
+    rows = QUERIES["countmin_heavy_hitters"](spark, SF_DIR).collect()
+    assert rows
+    # CMS guarantee: never under-counts
+    assert all(r.est_cnt >= r.true_cnt for r in rows)
+    # the true heaviest token must rank first on estimates too (its
+    # estimate >= its true count >= every other true count)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    from collections import Counter
+
+    c = Counter(t for row in d for t in row.text.lower().split() if t)
+    top_true, _ = c.most_common(1)[0]
+    assert rows[0].true_cnt == c[rows[0].tok]
+    assert max(r.true_cnt for r in rows) == c[top_true]
+
+
+def test_pq_recall_beats_chance(spark):
+    import numpy as np
+
+    from ai_etl_studio_spark.operators.similarity import (
+        PQ_QUERIES,
+        PQ_TOPK,
+    )
+
+    out = QUERIES["ann_pq_topk"](spark, SF_DIR).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    n = len(emb)
+    hits = total = 0
+    for q in range(PQ_QUERIES):
+        qv = emb[q]
+        d2 = sorted(
+            (float(np.sum((qv - v) ** 2)), vid)
+            for vid, v in emb.items()
+            if vid != q
+        )
+        exact = {vid for _, vid in d2[:PQ_TOPK]}
+        got = {r.neighbor_id for r in out if r.query_id == q}
+        assert len(got) == PQ_TOPK
+        hits += len(exact & got)
+        total += PQ_TOPK
+    recall = hits / total
+    # chance recall would be PQ_TOPK/(n-1) ≈ 0.02; the untrained-codebook
+    # PQ reaches ~0.34 here — assert an order of magnitude over chance
+    # plus an absolute floor with headroom under the observed value
+    assert recall >= 0.25, recall
+    assert recall > 10 * PQ_TOPK / n
