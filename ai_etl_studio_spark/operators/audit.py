@@ -179,3 +179,153 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("check_name", "scope")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table snapshot diff (the ETL regression primitive)
+# ---------------------------------------------------------------------------
+
+#: Deterministic synthetic "new snapshot" of orders: every 50th order is
+#: deleted, every 37th surviving order has its total bumped by 1.00.
+_DIFF_DEL_MOD = 50
+_DIFF_CHG_MOD = 37
+
+_DIFF_ORACLE = f"""
+WITH b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {_DIFF_CHG_MOD} = 0
+              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100
+              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % {_DIFF_DEL_MOD} <> 0),
+a AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderstatus
+  FROM orders),
+j AS (
+  SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key,
+         CASE
+           WHEN a.o_orderkey IS NULL THEN 'added'
+           WHEN b.o_orderkey IS NULL THEN 'removed'
+           WHEN a.cents <> b.cents OR a.o_orderstatus <> b.o_orderstatus
+             THEN 'changed'
+           ELSE 'unchanged'
+         END AS change
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+SELECT change, COUNT(*) AS n FROM j GROUP BY change ORDER BY change
+"""
+
+
+@register("snapshot_diff", oracle=_DIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two snapshots of a table (added / removed /
+    changed / unchanged counts) — the regression gate run after every
+    pipeline backfill. The "new" snapshot is derived deterministically
+    from orders (every 50th key deleted, every 37th total bumped) so the
+    diff exercises all four classes.
+
+    Scale: a FULL OUTER join keyed on the primary key, carrying only the
+    key + a compact comparison payload (integer cents + status, not the
+    whole row — at 100 TB compare md5 row-hashes instead, same plan).
+    The classification is a row-local CASE; the rollup is a 4-group
+    aggregation. One shuffle each side, both already key-partitioned if
+    the snapshots are bucketed by key (then zero shuffles).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    a = o.select(
+        F.col("o_orderkey").alias("a_key"),
+        cents.alias("a_cents"),
+        F.col("o_orderstatus").alias("a_status"),
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % _DIFF_DEL_MOD != 0)
+        .select(
+            F.col("o_orderkey").alias("b_key"),
+            F.when(
+                F.col("o_orderkey") % _DIFF_CHG_MOD == 0, cents + 100
+            ).otherwise(cents).alias("b_cents"),
+            F.col("o_orderstatus").alias("b_status"),
+        )
+    )
+    j = a.join(b, a.a_key == b.b_key, "full_outer")
+    change = (
+        F.when(F.col("a_key").isNull(), "added")
+        .when(F.col("b_key").isNull(), "removed")
+        .when(
+            (F.col("a_cents") != F.col("b_cents"))
+            | (F.col("a_status") != F.col("b_status")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten blast-radius audit
+# ---------------------------------------------------------------------------
+
+#: Deterministic erasure cohort: every 97th customer key.
+_ERASE_MOD = 97
+
+_ERASE_ORACLE = f"""
+WITH victims AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {_ERASE_MOD} = 0),
+co AS (SELECT COUNT(*) AS n FROM victims),
+oo AS (
+  SELECT COUNT(*) AS n FROM orders o
+  WHERE EXISTS (SELECT 1 FROM victims v WHERE v.c_custkey = o.o_custkey)),
+ll AS (
+  SELECT COUNT(*) AS n FROM lineitem l
+  WHERE EXISTS (
+    SELECT 1 FROM orders o JOIN victims v ON v.c_custkey = o.o_custkey
+    WHERE o.o_orderkey = l.l_orderkey))
+SELECT 'customer' AS table_name, n AS n_rows FROM co
+UNION ALL SELECT 'orders', n FROM oo
+UNION ALL SELECT 'lineitem', n FROM ll
+ORDER BY table_name
+"""
+
+
+@register("user_erasure_audit", oracle=_ERASE_ORACLE)
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius audit for a user-erasure (GDPR / right-to-be-
+    forgotten) request: for a cohort of customer keys, how many rows in
+    each downstream table would be deleted — the dry-run every
+    compliance pipeline executes before the destructive pass.
+
+    Scale: the victim cohort is small → BROADCAST semi-joins down the
+    foreign-key chain (customer → orders → lineitem); the lineitem count
+    reuses the orders-side semi-join result's keys, so the fact table is
+    touched once, with only its FK column in flight. Counts only — no
+    row payload ever moves.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    victims = c.filter(F.col("c_custkey") % _ERASE_MOD == 0).select("c_custkey")
+    hit_orders = o.join(
+        F.broadcast(victims), o.o_custkey == victims.c_custkey, "left_semi"
+    )
+    n_c = victims.agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("customer").alias("table_name"), "n_rows"
+    )
+    n_o = hit_orders.agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("orders").alias("table_name"), "n_rows"
+    )
+    n_l = (
+        li.join(
+            F.broadcast(hit_orders.select("o_orderkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit("lineitem").alias("table_name"), "n_rows")
+    )
+    return n_c.unionAll(n_o).unionAll(n_l).orderBy("table_name")

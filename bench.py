@@ -102,6 +102,16 @@ HEADLINE = [
     "ntile_rfm_scalable",
     "dedup_embedding_lsh_pairs",
     "mmr_diverse_topk",
+    # round-3 additions: curation/audit/insight/sketch surface
+    "line_dedup_corpus",
+    "gopher_rules",
+    "dq_audit",
+    "path_transitions",
+    "ab_test_ztest",
+    "seasonal_naive_mape",
+    "triangle_count",
+    "countmin_heavy_hitters",
+    "ann_pq_topk",
 ]
 
 

@@ -136,3 +136,44 @@ def test_dq_audit_detects_broken_data(spark, tmp_path):
     # untouched constraints stay green
     assert rows[("uniqueness", "orders.o_orderkey")] == 1
     assert rows[("completeness", "lineitem.l_orderkey")] == 1
+
+
+def test_snapshot_diff_counts_reconcile(spark):
+    from ai_etl_studio_spark.operators.audit import _DIFF_CHG_MOD, _DIFF_DEL_MOD
+
+    rows = {r.change: r.n for r in QUERIES["snapshot_diff"](spark, SF_DIR).collect()}
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n = orders.count()
+    keys = [r.o_orderkey for r in orders.select("o_orderkey").collect()]
+    removed = sum(1 for k in keys if k % _DIFF_DEL_MOD == 0)
+    changed = sum(
+        1 for k in keys if k % _DIFF_DEL_MOD != 0 and k % _DIFF_CHG_MOD == 0
+    )
+    assert rows.get("removed", 0) == removed
+    assert rows.get("changed", 0) == changed
+    assert rows.get("added", 0) == 0  # derived snapshot adds nothing
+    assert rows.get("unchanged", 0) == n - removed - changed
+
+
+def test_user_erasure_audit_counts(spark):
+    from ai_etl_studio_spark.operators.audit import _ERASE_MOD
+
+    rows = {
+        r.table_name: r.n_rows
+        for r in QUERIES["user_erasure_audit"](spark, SF_DIR).collect()
+    }
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    victims = {
+        r.c_custkey
+        for r in c.collect()
+        if r.c_custkey % _ERASE_MOD == 0
+    }
+    hit_orders = {r.o_orderkey for r in o.collect() if r.o_custkey in victims}
+    n_li = sum(1 for r in li.collect() if r.l_orderkey in hit_orders)
+    assert rows == {
+        "customer": len(victims),
+        "orders": len(hit_orders),
+        "lineitem": n_li,
+    }

@@ -446,3 +446,57 @@ class TestPythonDataSourceWriter:
             for line in open(f"{out}/_MANIFEST").read().strip().splitlines()
         }
         assert remaining == manifest_files
+
+
+class TestRound3Plans:
+    """Plan contracts for the round-3 curation/insight operators."""
+
+    def test_gopher_rules_is_one_codegen_projection(self, spark):
+        t = tree(spark, "gopher_rules")
+        # no aggregation, no join: rules are row-local expressions; the
+        # only exchange is the presentation sort
+        assert "HashAggregate" not in t
+        assert "Join" not in t
+        assert t.count("Exchange") <= 1
+
+    def test_dq_audit_fuses_constraints_per_table(self, spark):
+        t = tree(spark, "dq_audit")
+        # all lineitem bound/completeness constraints ride ONE agg pass
+        # (plus orders' and the two anti-join counts); no constraint gets
+        # a scan of its own beyond the 4 logical inputs
+        assert t.count("Scan parquet") <= 6
+        assert t.count("BroadcastHashJoin LeftAnti") + t.count(
+            "SortMergeJoin LeftAnti"
+        ) == 2
+
+    def test_seasonal_naive_join_is_broadcast(self, spark):
+        t = tree(spark, "seasonal_naive_mape")
+        # the lag-7 self-join of the tiny daily series must broadcast
+        assert "BroadcastHashJoin" in t
+        assert "SortMergeJoin" not in t
+
+    def test_pq_adc_joins_broadcast(self, spark):
+        t = tree(spark, "ann_pq_topk")
+        # anchor table + query distance table are broadcast; candidate
+        # scoring must not sort-merge
+        assert t.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in t
+
+    def test_countmin_sketch_is_broadcast(self, spark):
+        t = tree(spark, "countmin_heavy_hitters")
+        assert "BroadcastHashJoin" in t
+        # top-k is a heap, not a global sort
+        assert "TakeOrderedAndProject" in t
+
+    def test_triangle_degree_tables_broadcast(self, spark):
+        t = tree(spark, "triangle_count")
+        # degree annotation joins must broadcast (|nodes| rows)
+        assert t.count("BroadcastHashJoin") >= 2
+
+    def test_line_dedup_groups_on_digest(self, spark):
+        full_plan = full(spark, "line_dedup_corpus")
+        # the df-aggregation keys on the md5 digest, never the line text
+        assert "md5" in full_plan
+        t = tree(spark, "line_dedup_corpus")
+        # one lines explode feeding both freq and reassembly
+        assert t.count("Generate") <= 2
