@@ -762,6 +762,60 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       distributed.
     """
     d = load_table(spark, sf_dir, "documents")
+    lines = _doc_lines(d)
+    freq = lines.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    tagged = lines.join(freq, "h")
+    keep = F.col("df") < LINE_DROP_DF
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("line_no", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+            F.count(F.when(keep, 1)).alias("n_lines_kept"),
+            F.count(F.when(~keep, 1)).alias("n_lines_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Build-once boilerplate-line index + incremental serve path
+# ---------------------------------------------------------------------------
+
+def _line_index_ident(sf_dir: str, base_dir: str | None = None) -> tuple[str, str]:
+    """(table_name, path) for the persisted boilerplate-digest index of
+    ``sf_dir`` — fingerprinted on the corpus file like the PageRank edge
+    index (analytics.py), so a refreshed corpus rebuilds."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{int(st.st_mtime)}"
+        f"|{LINE_W}|{LINE_DROP_DF}".encode()
+    ).hexdigest()[:12]
+    tbl = f"bp_lines_{fp}"
+    if base_dir is None:
+        import pathlib
+
+        base_dir = str(
+            pathlib.Path(__file__).resolve().parents[2] / ".cache" / "bp_lines"
+        )
+    return tbl, os.path.join(base_dir, tbl)
+
+
+def _doc_lines(d: DataFrame) -> DataFrame:
+    """(doc_id, line_no, line, h): fixed LINE_W-token windows + digest,
+    built with a narrow transform + ONE posexplode (no token explode)."""
     ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
     docs = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 1)
     n_lines = F.ceil(F.size("ts") / F.lit(float(LINE_W))).cast("int")
@@ -769,12 +823,92 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_lines - F.lit(1)),
         lambda i: F.array_join(F.slice("ts", i * LINE_W + 1, LINE_W), " "),
     )
-    lines = docs.select(
+    return docs.select(
         "doc_id", F.posexplode(line_arr).alias("line_no", "line")
     ).withColumn("h", F.md5("line"))
-    freq = lines.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
-    tagged = lines.join(freq, "h")
-    keep = F.col("df") < LINE_DROP_DF
+
+
+def ensure_boilerplate_index(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> str:
+    """Build-once the corpus's boilerplate-line digest set (md5 of every
+    line occurring in >= LINE_DROP_DF distinct documents) as a parquet
+    table; later sessions re-register the files.
+
+    This is the production split of line-dedup: the expensive global
+    line-frequency pass runs once per corpus snapshot; every incremental
+    ingest batch then cleans itself with a BROADCAST anti-join against
+    this (tiny: |boilerplate lines| × 16 bytes) table — cost scales with
+    the batch, not the corpus."""
+    import os
+
+    tbl, path = _line_index_ident(sf_dir, base_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents")
+        (
+            _doc_lines(d)
+            .groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df") >= LINE_DROP_DF)
+            .select("h")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+    elif not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE {tbl} (h STRING) USING PARQUET LOCATION '{path}'"
+        )
+    return tbl
+
+
+@register(
+    "line_dedup_from_index",
+    # identical contract to line_dedup_corpus -> same oracle, regenerated
+    # here so each registry entry stays self-contained
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      FROM documents),
+    lines AS (
+      SELECT doc_id, i AS line_no,
+             array_to_string(ts[(i*{LINE_W}+1):(i*{LINE_W}+{LINE_W})], ' ') AS line
+      FROM toks, UNNEST(range(CAST(ceil(len(ts)/{LINE_W}.0) AS BIGINT))) AS u(i)),
+    freq AS (
+      SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS df
+      FROM lines GROUP BY md5(line)),
+    tagged AS (
+      SELECT l.doc_id, l.line_no, l.line, f.df
+      FROM lines l JOIN freq f ON md5(l.line) = f.h)
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN df < {LINE_DROP_DF} THEN line END,
+                               ' ' ORDER BY line_no), '') AS cleaned_text,
+           COUNT(CASE WHEN df < {LINE_DROP_DF} THEN 1 END) AS n_lines_kept,
+           COUNT(CASE WHEN df >= {LINE_DROP_DF} THEN 1 END) AS n_lines_dropped
+    FROM tagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def line_dedup_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``line_dedup_corpus`` served from the persisted boilerplate index:
+    the corpus-wide frequency aggregation is REPLACED by a broadcast
+    membership join against the build-once digest table — the shape every
+    incremental ingest batch runs at 100 TB (clean the new day's docs
+    against yesterday's boilerplate list without touching the corpus).
+
+    Same output contract (and oracle) as line_dedup_corpus; the plan is
+    the difference: one narrow pass over the input + one broadcast hash
+    join, no countDistinct shuffle, no line-frequency exchange.
+    """
+    tbl = ensure_boilerplate_index(spark, sf_dir)
+    bp = spark.table(tbl).withColumn("is_bp", F.lit(1))
+    d = load_table(spark, sf_dir, "documents")
+    tagged = _doc_lines(d).join(F.broadcast(bp), "h", "left")
+    keep = F.col("is_bp").isNull()
     return (
         tagged.groupBy("doc_id")
         .agg(

@@ -104,6 +104,7 @@ HEADLINE = [
     "mmr_diverse_topk",
     # round-3 additions: curation/audit/insight/sketch surface
     "line_dedup_corpus",
+    "line_dedup_from_index",
     "gopher_rules",
     "dq_audit",
     "path_transitions",
@@ -135,8 +136,10 @@ def main() -> None:
     # build-once artifacts are warmed here so the timed region measures
     # serving from the persisted index, not the one-time build
     from ai_etl_studio_spark.operators.analytics import ensure_pagerank_edge_index
+    from ai_etl_studio_spark.operators.dedup import ensure_boilerplate_index
 
     ensure_pagerank_edge_index(spark, sf_dir)
+    ensure_boilerplate_index(spark, sf_dir)
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(
         sf_dir
