@@ -160,6 +160,51 @@ class TemplateGenerator:
                 f" GROUP BY shard ORDER BY shard LIMIT {lim}"
             ),
         ),
+        (
+            r"boilerplate\s+lines?|shared\s+lines?|repeated\s+lines?",
+            lambda m, lim: (
+                "SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM ("
+                " SELECT doc_id, explode(transform("
+                " sequence(0, CAST(ceil(size(ts)/8.0) AS INT) - 1),"
+                " i -> array_join(slice(ts, i*8+1, 8), ' '))) AS line"
+                " FROM (SELECT doc_id, filter(split(lower(text), '\\\\s+'),"
+                " t -> t != '') AS ts FROM documents) d WHERE size(ts) >= 1) l"
+                " GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2"
+                f" ORDER BY n_docs DESC, line LIMIT {lim}"
+            ),
+        ),
+        (
+            r"(?:a/?b\s+test|experiment)\s*(?:result|significant|readout)?",
+            lambda m, lim: (
+                "SELECT variant, COUNT(*) AS n, ROUND(AVG(value), 4)"
+                " AS mean_value FROM (SELECT user_id % 2 AS variant, value"
+                " FROM events WHERE event_type = 'purchase') m"
+                f" GROUP BY variant ORDER BY variant LIMIT {lim}"
+            ),
+        ),
+        (
+            r"orphan(?:ed)?\s+(?:rows?|records?)|referential\s+integrity",
+            lambda m, lim: (
+                "SELECT fk, n_orphans FROM ("
+                " SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans"
+                " FROM (SELECT l_orderkey FROM lineitem) l"
+                " LEFT ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey"
+                " UNION ALL SELECT 'orders->customer', COUNT(*)"
+                " FROM orders o2 LEFT ANTI JOIN customer c"
+                " ON o2.o_custkey = c.c_custkey) u"
+                f" ORDER BY fk LIMIT {lim}"
+            ),
+        ),
+        (
+            r"next\s+(?:event|action)|(?:event\s+)?transitions?(?:\s+(?:matrix|counts?))?",
+            lambda m, lim: (
+                "SELECT src, dst, COUNT(*) AS n FROM ("
+                " SELECT event_type AS src, lead(event_type) OVER ("
+                " PARTITION BY user_id ORDER BY ts, event_id) AS dst"
+                " FROM events) s WHERE dst IS NOT NULL GROUP BY src, dst"
+                f" ORDER BY n DESC, src, dst LIMIT {lim}"
+            ),
+        ),
     ]
 
     def generate(self, question: str) -> str:

@@ -235,3 +235,34 @@ def test_templates_reach_analytics_surface(spark):
 
     sh = generate_and_run(spark, g, "documents per shard")
     assert sh.ok and sh.df.columns == ["shard", "n_docs", "n_chars"]
+
+
+def test_templates_reach_curation_surface(spark):
+    """Round-3 curation/insight templates: boilerplate lines, A/B
+    readout, referential-integrity orphans, and event transitions run
+    end-to-end through sanitize + the read-only gate."""
+    from ai_etl_studio_spark.catalog import register_tables
+    from ai_etl_studio_spark.sqlgen.generator import (
+        TemplateGenerator,
+        generate_and_run,
+    )
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    g = TemplateGenerator()
+
+    bp = generate_and_run(spark, g, "which boilerplate lines repeat across documents")
+    assert bp.ok and bp.df.columns == ["line", "n_docs"]
+    assert all(r.n_docs >= 2 for r in bp.df.collect())
+
+    ab = generate_and_run(spark, g, "show the a/b test result")
+    rows = {r.variant: r for r in ab.df.collect()}
+    assert ab.ok and set(rows) == {0, 1} and all(r.n > 0 for r in rows.values())
+
+    ri = generate_and_run(spark, g, "check referential integrity")
+    assert ri.ok
+    orphans = {r.fk: r.n_orphans for r in ri.df.collect()}
+    assert orphans == {"lineitem->orders": 0, "orders->customer": 0}
+
+    tr = generate_and_run(spark, g, "show event transitions")
+    assert tr.ok and tr.df.columns == ["src", "dst", "n"]
+    assert tr.df.count() > 0
