@@ -1170,7 +1170,7 @@ def _pq_oracle() -> str:
       FROM v, UNNEST(range({PQ_M})) AS u(m)),
     anch AS (SELECT vec_id AS k, m, s AS a FROM sub WHERE vec_id < {PQ_K}),
     codes AS (
-      SELECT vec_id, m, (MIN({{'d': d2, 'k': k}})).k AS k
+      SELECT vec_id, m, MIN(d2 * {PQ_K} + k) % {PQ_K} AS k
       FROM (
         SELECT c.vec_id, c.m, a.k, {d2_ca} AS d2
         FROM sub c JOIN anch a ON a.m = c.m) t
@@ -1245,10 +1245,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = sub.join(F.broadcast(anch), "m").select(
         "vec_id", "m", "k", _pq_d2(F.col("s"), F.col("a")).alias("d2")
     )
+    # argmin with deterministic ties packed into ONE bigint (d2*K + k):
+    # plain MIN hash-aggregates with map-side combine — a struct-min
+    # would fall back to SortAggregate (struct buffers aren't hashable)
     codes = (
         scored.groupBy("vec_id", "m")
-        .agg(F.min(F.struct(F.col("d2").alias("d"), F.col("k").alias("k"))).alias("mk"))
-        .select("vec_id", "m", F.col("mk.k").alias("k"))
+        .agg(F.min(F.col("d2") * PQ_K + F.col("k")).alias("packed"))
+        .select("vec_id", "m", (F.col("packed") % PQ_K).alias("k"))
     )
     qd = (
         sub.filter(F.col("vec_id") < PQ_QUERIES)

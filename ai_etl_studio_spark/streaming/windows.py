@@ -833,3 +833,54 @@ def run_stream_dedup_vs_corpus(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_countmin(
+    spark: SparkSession, sf_dir: str, query_name: str = "cms_out"
+) -> DataFrame:
+    """REAL streaming build of the count-min sketch
+    (operators.text.countmin_heavy_hitters's cell table): token
+    occurrences stream in, each emits its CMS_D (row, bucket) cells, and
+    a streaming aggregation maintains the counters.
+
+    This is the whole point of count-min in a pipeline: the sketch is a
+    MERGEABLE summary, so the streaming state is bounded at CMS_D×CMS_W
+    counters FOREVER — no watermark needed, no state growth with the
+    stream, and the resulting cells are bit-identical to a batch build
+    over the same data (asserted in tests/test_streaming.py). Complete
+    output mode because the sink is the (constant-size) monitor table.
+    Returns (j, bucket, cnt)."""
+    from ai_etl_studio_spark.functions.texthash import md5_hash32, tokens
+    from ai_etl_studio_spark.operators.text import CMS_D, CMS_W
+
+    occ = (
+        read_docs_stream(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    jarr = F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j")
+    cells = (
+        occ.select("tok", jarr)
+        .select(
+            "j",
+            (
+                md5_hash32(
+                    F.concat(F.col("j").cast("string"), F.lit(":"), F.col("tok"))
+                )
+                % CMS_W
+            ).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

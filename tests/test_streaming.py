@@ -344,3 +344,35 @@ def test_stream_dedup_vs_corpus_matches_batch_twin(spark):
     }
     n_dupes_roll = sum(v[2] for v in roll.values())
     assert n_dupes_roll == sum(dup for _, dup in got)
+
+
+def test_stream_countmin_cells_match_batch(spark):
+    """The streamed count-min sketch equals a batch build cell-for-cell
+    — the mergeable-summary property that makes CMS the streaming
+    heavy-hitter structure (state bounded at CMS_D×CMS_W forever)."""
+    from ai_etl_studio_spark.functions.texthash import md5_hash32, tokens
+    from ai_etl_studio_spark.operators.text import CMS_D, CMS_W
+    from ai_etl_studio_spark.streaming.windows import run_stream_countmin
+
+    got = {
+        (r.j, r.bucket): r.cnt
+        for r in run_stream_countmin(spark, SF_DIR, "t_cms").collect()
+    }
+    occ = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("tok", F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j"))
+        .select(
+            "j",
+            (
+                md5_hash32(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("tok")))
+                % CMS_W
+            ).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .count()
+    )
+    want = {(r.j, r.bucket): r["count"] for r in occ.collect()}
+    assert got == want and len(got) > 0
+    assert len(got) <= CMS_D * CMS_W
