@@ -330,3 +330,154 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_tri.crossJoin(n_nodes).crossJoin(n_edges)
+
+
+# ---------------------------------------------------------------------------
+# OLS trend forecast over the daily revenue series
+# ---------------------------------------------------------------------------
+
+#: Training window (calendar year) and forecast horizon (days).
+_TREND_YEAR = "1996"
+_TREND_H = 7
+
+_TREND_ORACLE = f"""
+WITH daily AS (
+  SELECT datediff('day', DATE '{_TREND_YEAR}-01-01', CAST(o_orderdate AS DATE)) AS x,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders
+  WHERE o_orderdate >= DATE '{_TREND_YEAR}-01-01'
+    AND o_orderdate < DATE '{_TREND_YEAR}-01-01' + INTERVAL 1 YEAR
+  GROUP BY x),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily),
+fit AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+         (CAST(sy AS DOUBLE)
+           - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n
+           AS intercept
+  FROM s)
+SELECT d AS day_index,
+       intercept + slope * d AS forecast_cents,
+       slope, intercept
+FROM fit, UNNEST(range(366, 366 + {_TREND_H})) AS u(d)
+ORDER BY day_index
+"""
+
+
+@register("trend_forecast_linreg", oracle=_TREND_ORACLE)
+def trend_forecast_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-trend forecast: fit OLS revenue-vs-day over one calendar
+    year and extrapolate the next week — the trend complement to
+    `seasonal_naive_mape`'s seasonal baseline.
+
+    Scale: the fit consumes only the five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²), each an exact int64 sum folded into the ONE
+    daily aggregation — no second pass, no covariance matrix, no driver
+    math. Slope/intercept/forecast are a fixed IEEE expression tree over
+    those integers, mirrored in the oracle, so both engines agree
+    bit-for-bit.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    lo, hi = f"{_TREND_YEAR}-01-01", f"{int(_TREND_YEAR) + 1}-01-01"
+    daily = (
+        o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit(lo).cast("date")).alias("x")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y"))
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    fit = s.select(F.col("n"), slope.alias("slope"), intercept.alias("intercept"))
+    days = F.explode(
+        F.sequence(F.lit(366), F.lit(366 + _TREND_H - 1))
+    ).alias("day_index")
+    return (
+        fit.select(days, "slope", "intercept")
+        .select(
+            "day_index",
+            (F.col("intercept") + F.col("slope") * F.col("day_index")).alias(
+                "forecast_cents"
+            ),
+            "slope",
+            "intercept",
+        )
+        .orderBy("day_index")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample-based join-cardinality probe (the planner's sanity check)
+# ---------------------------------------------------------------------------
+
+#: Deterministic 1-in-K key sample.
+_CARD_K = 20
+
+_CARD_ORACLE = f"""
+WITH sample_cnt AS (
+  SELECT COUNT(*) AS c FROM orders o JOIN lineitem l
+    ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey % {_CARD_K} = 0),
+actual_cnt AS (
+  SELECT COUNT(*) AS c FROM orders o JOIN lineitem l
+    ON o.o_orderkey = l.l_orderkey)
+SELECT s.c * {_CARD_K} AS estimated, a.c AS actual,
+       abs(CAST(s.c * {_CARD_K} AS DOUBLE) - a.c) / a.c AS rel_err
+FROM sample_cnt s, actual_cnt a
+"""
+
+
+@register("join_cardinality_probe", oracle=_CARD_ORACLE)
+def join_cardinality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate a join's output cardinality from a deterministic 1-in-K
+    KEY sample (join both sides restricted to sampled keys, scale by K)
+    and report it against the true count — the pre-flight probe run
+    before committing a 100 TB shuffle strategy, and the correct way to
+    sample a join (sampling KEYS keeps matching pairs together; sampling
+    ROWS independently on each side underestimates by ~K×).
+
+    Scale: the probe touches 1/K of each side's keys (filter pushed to
+    both scans), so its cost is 1/K of the real join; the estimator
+    Σ_sampled |a_k|·|b_k| × K is unbiased over key strata. The actual
+    count here exists only to expose the error; production runs the
+    probe alone.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    sample = (
+        o.filter(F.col("o_orderkey") % _CARD_K == 0)
+        .join(
+            li.filter(F.col("l_orderkey") % _CARD_K == 0),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    actual = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s, a = sample.select(F.col("c").alias("sc")), actual.select(
+        F.col("c").alias("ac")
+    )
+    return s.crossJoin(a).select(
+        (F.col("sc") * _CARD_K).alias("estimated"),
+        F.col("ac").alias("actual"),
+        (
+            F.abs((F.col("sc") * _CARD_K).cast("double") - F.col("ac"))
+            / F.col("ac")
+        ).alias("rel_err"),
+    )

@@ -1056,3 +1056,113 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.withColumn(
         "pass_gopher", F.when(passes, 1).otherwise(0)
     ).orderBy("doc_id")
+
+
+@register(
+    "contamination_fraction",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(
+               [md5(array_to_string(toks[i:i+{DECON_N - 1}], ' '))
+                for i in range(1, len(toks) - {DECON_N} + 2)])) AS h
+      FROM (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks
+            FROM documents) t
+      WHERE len(toks) >= {DECON_N}),
+    bench AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+    scored AS (
+      SELECT s.doc_id, s.source, COUNT(*) AS n_grams,
+             COUNT(b.h) AS n_hit
+      FROM sh s LEFT JOIN bench b ON s.h = b.h
+      WHERE s.source <> 'src0'
+      GROUP BY s.doc_id, s.source)
+    SELECT doc_id, source, n_grams, n_hit,
+           CAST(n_hit AS DOUBLE) / n_grams AS contamination
+    FROM scored
+    WHERE n_hit > 0
+    ORDER BY doc_id
+    """,
+)
+def contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination: instead of the binary any-shared-8-gram
+    flag (`decontaminate_ngrams`), score each training document by the
+    FRACTION of its distinct 8-grams that appear in the benchmark —
+    the signal pipelines threshold when near-verbatim quotes are fine
+    but wholesale leakage is not.
+
+    Scale: the same hashed-shingle stream as decontaminate_ngrams
+    (16-byte digests, text never shuffles); the benchmark membership is
+    a broadcast LEFT join and the per-doc rollup is one count/count
+    aggregation; the fraction is an int/int IEEE division.
+    """
+    sh = _decon_shingles(spark, sf_dir)
+    dedup = sh.distinct()
+    bench = (
+        dedup.filter(F.col("source") == "src0").select("h").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    scored = (
+        dedup.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    return (
+        scored.filter(F.col("n_hit") > 0)
+        .withColumn(
+            "contamination",
+            F.col("n_hit").cast("double") / F.col("n_grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "ngram_novelty_rate",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [md5(array_to_string(toks[i:i+{DECON_N - 1}], ' '))
+                for i in range(1, len(toks) - {DECON_N} + 2)])) AS h
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+            FROM documents) t
+      WHERE len(toks) >= {DECON_N}),
+    first_seen AS (SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY h)
+    SELECT s.doc_id, COUNT(*) AS n_grams,
+           COUNT(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS n_novel,
+           CAST(COUNT(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM sh s JOIN first_seen f ON s.h = f.h
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-growth diagnostic: for each document (in doc_id ingest
+    order), the fraction of its distinct 8-grams never seen in any
+    earlier document. A collapsing novelty curve tells a crawl it has
+    saturated a source — the aggregate view of what line/minhash dedup
+    handles pair-by-pair.
+
+    Scale: first-occurrence is ONE groupBy(h) -> min(doc_id) over the
+    hashed shingle stream (map-side combinable, 16-byte keys); the
+    novelty tag rides a shuffle join on h back to the stream and rolls
+    up per doc. Same two-exchange budget however large the corpus.
+    """
+    sh = _decon_shingles(spark, sf_dir).select("doc_id", "h").distinct()
+    first_seen = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    tagged = sh.join(first_seen, "h")
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1)
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(novel).alias("n_novel"),
+            (F.count(novel).cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -33,6 +33,7 @@ from ai_etl_studio_spark.functions.exact import (
     davg,
     dsum,
     net_cents,
+    sql_csum,
     sql_davg,
     sql_dsum,
 )
@@ -1115,4 +1116,119 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN rev ON rev.m = months.m
         ORDER BY month_start
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classic TPC-H decision-support joins (reference-class OLAP parity)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_csum(SQL_NET_CENTS)} AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1996-03-15'
+      AND l_shipdate > DATE '1996-03-15'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority): top unshipped-revenue orders for one
+    market segment — scan → selective joins → agg → top-k, the canonical
+    decision-support shape the reference's warehouse users run
+    (balyuv/ai-etl-studio answers ad-hoc joins like prompts.py's examples;
+    this is the benchmark-canon instance).
+
+    Scale: both date filters push to the parquet scans; the filtered
+    customer segment broadcasts into orders, the result broadcasts into
+    lineitem (never the reverse); revenue is exact integer cents with
+    map-side partial agg; the ORDER BY + LIMIT is a TakeOrderedAndProject
+    heap, no global sort.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1996-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-03-15"
+    )
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(csum(net_cents()).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n_name, {sql_csum(SQL_NET_CENTS)} AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): revenue per nation where the
+    supplier and customer share a nation, for one region-year — the
+    6-way snowflake join.
+
+    Scale: region→nation→supplier chain collapses to a broadcast;
+    customer joins orders (both filtered) and broadcasts into lineitem;
+    the c_nationkey = s_nationkey locality condition rides the supplier
+    join as an equi-key, not a post-filter. One partial→final agg of
+    5 nation rows; exact integer cents.
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sn = (
+        s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    co = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_nationkey")
+    )
+    return (
+        li.join(F.broadcast(co), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(sn),
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(csum(net_cents()).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
     )

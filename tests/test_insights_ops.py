@@ -123,3 +123,59 @@ def test_pq_recall_beats_chance(spark):
     # plus an absolute floor with headroom under the observed value
     assert recall >= 0.25, recall
     assert recall > 10 * PQ_TOPK / n
+
+
+def test_trend_forecast_is_linear_extension(spark):
+    rows = QUERIES["trend_forecast_linreg"](spark, SF_DIR).collect()
+    assert [r.day_index for r in rows] == list(range(366, 373))
+    slope, intercept = rows[0].slope, rows[0].intercept
+    for r in rows:
+        assert r.forecast_cents == pytest.approx(
+            intercept + slope * r.day_index, rel=1e-12
+        )
+        assert r.slope == slope and r.intercept == intercept
+
+
+def test_join_cardinality_probe_is_close(spark):
+    [r] = QUERIES["join_cardinality_probe"](spark, SF_DIR).collect()
+    assert r.actual > 0 and r.estimated > 0
+    # key-stratified sampling at 1/20 should land well within 2x
+    assert r.rel_err < 1.0
+    assert r.rel_err == pytest.approx(
+        abs(r.estimated - r.actual) / r.actual, rel=1e-12
+    )
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark):
+    rows = QUERIES["ngram_novelty_rate"](spark, SF_DIR).collect()
+    assert rows[0].doc_id == min(r.doc_id for r in rows)
+    # the earliest document can only contain never-seen-before 8-grams
+    assert rows[0].novelty == 1.0
+    assert all(0.0 <= r.novelty <= 1.0 for r in rows)
+    # near-duplicate seeding guarantees some non-novel docs exist
+    assert any(r.novelty < 1.0 for r in rows)
+
+
+def test_contamination_fraction_bounds_and_subset(spark):
+    frac = QUERIES["contamination_fraction"](spark, SF_DIR).collect()
+    assert frac  # seeded cross-source duplicates contaminate someone
+    assert all(0.0 < r.contamination <= 1.0 for r in frac)
+    assert all(r.source != "src0" for r in frac)
+    # every binary-flagged contaminated count matches the graded op's
+    # per-source doc counts
+    binary = QUERIES["decontaminate_ngrams"](spark, SF_DIR).collect()
+    flagged = {r.source: r.n_contaminated for r in binary}
+    from collections import Counter
+
+    graded = Counter(r.source for r in frac)
+    for src, n in flagged.items():
+        assert graded.get(src, 0) == n, src
+
+
+def test_tpch_q3_q5_shapes(spark):
+    q3 = QUERIES["tpch_q3"](spark, SF_DIR).collect()
+    assert 0 < len(q3) <= 10
+    revs = [r.revenue for r in q3]
+    assert revs == sorted(revs, reverse=True)
+    q5 = QUERIES["tpch_q5"](spark, SF_DIR).collect()
+    assert len(q5) > 0 and all(r.revenue > 0 for r in q5)
