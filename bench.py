@@ -113,6 +113,14 @@ HEADLINE = [
     "triangle_count",
     "countmin_heavy_hitters",
     "ann_pq_topk",
+    "tpch_q3",
+    "tpch_q5",
+    "contamination_fraction",
+    "ngram_novelty_rate",
+    "trend_forecast_linreg",
+    "join_cardinality_probe",
+    "snapshot_diff",
+    "user_erasure_audit",
 ]
 
 
