@@ -928,3 +928,61 @@ def line_dedup_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "crosslingual_pairs",
+    oracle=rf"""
+    WITH {_bands_cte()},
+    langs AS (SELECT doc_id, lang FROM documents)
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           la.lang AS lang_1, lb.lang AS lang_2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    JOIN langs la ON la.doc_id = a.doc_id
+    JOIN langs lb ON lb.doc_id = b.doc_id
+    WHERE la.lang <> lb.lang
+    ORDER BY doc_id_1, doc_id_2
+    """,
+)
+def crosslingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language near-duplicate mining: LSH candidate pairs whose
+    two documents carry DIFFERENT language tags — the bitext/mirror-page
+    candidate generator of multilingual corpus pipelines (with a real
+    multilingual shingler the same plan mines translation pairs; here it
+    also surfaces mislabeled-language duplicates, a real cleaning task).
+
+    Scale: identical join geometry to dedup_minhash_lsh_pairs (banded
+    signatures, constant bytes/doc in the shuffle); the language
+    annotation is a broadcast (doc_id -> lang) join applied AFTER
+    candidate generation, so the language filter costs only the
+    candidate set, never the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    langs = d.select("doc_id", "lang")
+    bands = bands_from(d)
+    a = bands.select(
+        F.col("doc_id").alias("doc_id_1"), "band", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_id_2"), "band", "band_key"
+    )
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    l1 = langs.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("lang").alias("lang_1")
+    )
+    l2 = langs.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("lang").alias("lang_2")
+    )
+    return (
+        pairs.join(F.broadcast(l1), "doc_id_1")
+        .join(F.broadcast(l2), "doc_id_2")
+        .filter(F.col("lang_1") != F.col("lang_2"))
+        .select("doc_id_1", "doc_id_2", "lang_1", "lang_2")
+        .orderBy("doc_id_1", "doc_id_2")
+    )

@@ -481,3 +481,87 @@ def join_cardinality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("ac")
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median / MAD (the z-score's heavy-tail twin)
+# ---------------------------------------------------------------------------
+
+#: Modified z-score threshold (Iglewicz & Hoaglin 1993) and the
+#: consistency constant making MAD estimate sigma under normality.
+_MAD_K = 1.4826
+_MAD_Z = 3.5
+
+_MAD_ORACLE = f"""
+WITH m AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+  FROM m GROUP BY event_type),
+dev AS (
+  SELECT m.event_type, m.cents, med.med_cents,
+         abs(CAST(m.cents AS DOUBLE) - med.med_cents) AS adev
+  FROM m JOIN med ON m.event_type = med.event_type),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad_cents
+  FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       MAX(d.med_cents) AS med_cents,
+       MAX(mad.mad_cents) AS mad_cents,
+       COUNT(*) AS n,
+       COUNT(CASE WHEN d.adev > {_MAD_Z} * ({_MAD_K} * mad.mad_cents)
+                  THEN 1 END) AS n_outliers
+FROM dev d JOIN mad ON d.event_type = mad.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@register("mad_outliers", oracle=_MAD_ORACLE)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier counts via median/MAD (modified
+    z-score > 3.5) — unlike `anomaly_zscore`'s mean/stddev gate, one
+    whale purchase cannot drag the threshold (50% breakdown point).
+
+    Cross-engine exactness without quantized comparisons: values are
+    integer CENTS, so the exact interpolated median is x.0 or x.5 — both
+    representable — and the absolute deviations are again exact halves;
+    the second-level median inherits the property. The only true-double
+    term is the fixed 3.5·(1.4826·mad) product, an identical IEEE
+    expression in both engines.
+
+    Scale: two groupBy passes over (event_type, cents) — percentile
+    state is per-group; at 100 TB swap the exact median for
+    percentile_approx with documented tolerance (the sketch twin is
+    `percentile_approx_sketch`) or run on the pre-bucketed layout. The
+    deviation join broadcasts |event_types| medians.
+    """
+    e = load_table(spark, sf_dir, "events")
+    m = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    med = m.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med_cents")
+    )
+    dev = m.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents").cast("double") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med_cents").alias("med_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(
+                    F.col("adev") > _MAD_Z * (_MAD_K * F.col("mad_cents")), 1
+                )
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -179,3 +179,32 @@ def test_tpch_q3_q5_shapes(spark):
     assert revs == sorted(revs, reverse=True)
     q5 = QUERIES["tpch_q5"](spark, SF_DIR).collect()
     assert len(q5) > 0 and all(r.revenue > 0 for r in q5)
+
+
+def test_mad_outliers_robustness_vs_zscore(spark):
+    rows = QUERIES["mad_outliers"](spark, SF_DIR).collect()
+    assert rows and all(r.mad_cents >= 0 and r.n > 0 for r in rows)
+    # replay one group in pure python
+    import statistics
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    for want in rows[:2]:
+        cents = [round(e.value * 100) for e in ev if e.event_type == want.event_type]
+        med = statistics.median(cents)
+        adev = [abs(c - med) for c in cents]
+        mad = statistics.median(adev)
+        assert want.med_cents == med and want.mad_cents == mad
+        n_out = sum(1 for a in adev if a > 3.5 * (1.4826 * mad))
+        assert want.n_outliers == n_out
+
+
+def test_crosslingual_pairs_langs_differ(spark):
+    rows = QUERIES["crosslingual_pairs"](spark, SF_DIR).collect()
+    assert rows  # seeded near-dups cross language tags
+    assert all(r.lang_1 != r.lang_2 for r in rows)
+    # subset of the full LSH candidate set
+    full = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in QUERIES["dedup_minhash_lsh_pairs"](spark, SF_DIR).collect()
+    }
+    assert {(r.doc_id_1, r.doc_id_2) for r in rows} <= full
