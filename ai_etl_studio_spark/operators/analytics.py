@@ -1713,12 +1713,23 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_iterate(edges: DataFrame) -> DataFrame:
     """Run {PR_ITERS} synchronous integer-PageRank iterations over a
     materialized ``(src, dst, d)`` edge frame; top-{PR_TOP} projection."""
-    nodes = edges.select("src").distinct().withColumnRenamed("src", "node")
+    # nodes is reused by every iteration's dangling-mass join — checkpoint
+    # it ONCE (it is |nodes| rows) instead of re-running the distinct per
+    # iteration; the count() doubles as its materialization.
+    nodes = (
+        edges.select("src").distinct().withColumnRenamed("src", "node")
+        .localCheckpoint()
+    )
     n_nodes = nodes.count()  # one scalar on the driver, like K centroids
     base_tick = (PR_SCALE * 15 // 100) // n_nodes
     ranks = nodes.withColumn("tick", F.lit(PR_SCALE // n_nodes).cast("bigint"))
     for _ in range(PR_ITERS):
-        contrib = edges.join(ranks, edges.src == ranks.node).select(
+        # ranks is |nodes| rows -> broadcast it into the edge join: the
+        # (bucketed or checkpointed) edge list never shuffles, per
+        # iteration cost = one map-side join + one groupBy. At a scale
+        # where ranks outgrow the broadcast threshold, drop the hint and
+        # the bucketed-src layout takes over (edge side still unshuffled).
+        contrib = edges.join(F.broadcast(ranks), edges.src == ranks.node).select(
             "dst", F.expr("tick DIV d").alias("c")
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inf"))
