@@ -1234,6 +1234,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qe"),
     )
     ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    sub, anch = _pq_sub_anchors(emb)
+    codes = _pq_codes(sub, anch)
+    return _pq_serve(sub, anch, codes)
+
+
+def _pq_sub_anchors(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(sub, anch): per-subspace quantized subvectors for the corpus and
+    the PQ_K deterministic anchors."""
+    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
     sub = emb.select("vec_id", "qe", ms).select(
         "vec_id",
         "m",
@@ -1242,17 +1251,26 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     anch = sub.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("k"), "m", F.col("s").alias("a")
     )
+    return sub, anch
+
+
+def _pq_codes(sub: DataFrame, anch: DataFrame) -> DataFrame:
+    """(vec_id, m, k): nearest codeword per subspace."""
     scored = sub.join(F.broadcast(anch), "m").select(
         "vec_id", "m", "k", _pq_d2(F.col("s"), F.col("a")).alias("d2")
     )
     # argmin with deterministic ties packed into ONE bigint (d2*K + k):
     # plain MIN hash-aggregates with map-side combine — a struct-min
     # would fall back to SortAggregate (struct buffers aren't hashable)
-    codes = (
+    return (
         scored.groupBy("vec_id", "m")
         .agg(F.min(F.col("d2") * PQ_K + F.col("k")).alias("packed"))
         .select("vec_id", "m", (F.col("packed") % PQ_K).alias("k"))
     )
+
+
+def _pq_serve(sub: DataFrame, anch: DataFrame, codes: DataFrame) -> DataFrame:
+    """ADC ranking of coded candidates for the PQ_QUERIES query vectors."""
     qd = (
         sub.filter(F.col("vec_id") < PQ_QUERIES)
         .join(F.broadcast(anch), "m")
@@ -1275,3 +1293,79 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_TOPK)
         .orderBy("query_id", "rn")
     )
+
+
+def _pq_index_ident(sf_dir: str, base_dir: str | None = None) -> tuple[str, str]:
+    """(table_name, path) for the persisted PQ code table of ``sf_dir``
+    (fingerprinted on the embeddings file + geometry, like the PageRank
+    edge and boilerplate-line indexes)."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    fp = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{int(st.st_mtime)}"
+        f"|{PQ_M}|{PQ_SUBDIM}|{PQ_K}|{_PQ_SCALE}".encode()
+    ).hexdigest()[:12]
+    tbl = f"pq_codes_{fp}"
+    if base_dir is None:
+        import pathlib
+
+        base_dir = str(
+            pathlib.Path(__file__).resolve().parents[2] / ".cache" / "pq_codes"
+        )
+    return tbl, os.path.join(base_dir, tbl)
+
+
+def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _PQ_SCALE).cast("bigint"),
+        ).alias("qe"),
+    )
+
+
+def ensure_pq_code_index(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> str:
+    """Encode-once: persist the corpus's PQ codes (vec_id, m, k) as a
+    parquet table and return its name. This is PQ's whole memory story
+    made concrete — 4 small ints per vector instead of 64 floats; raw
+    embeddings never load again on the serving path."""
+    import os
+
+    tbl, path = _pq_index_ident(sf_dir, base_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        sub, anch = _pq_sub_anchors(_pq_quantized(spark, sf_dir))
+        (
+            _pq_codes(sub, anch)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+    elif not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE {tbl} (vec_id BIGINT, m INT, k BIGINT)"
+            f" USING PARQUET LOCATION '{path}'"
+        )
+    return tbl
+
+
+@register("ann_pq_from_index", oracle=_pq_oracle())
+def ann_pq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_pq_topk`` served from the persisted code table: queries are
+    (re)scored against the anchors fresh — PQ_QUERIES×PQ_M×PQ_K integers
+    — but the corpus side reads the encode-once codes; the raw
+    embedding column is scanned only for the anchor/query rows, never
+    for candidates. Same oracle, identical results.
+    """
+    tbl = ensure_pq_code_index(spark, sf_dir)
+    emb = _pq_quantized(spark, sf_dir)
+    sub, anch = _pq_sub_anchors(
+        emb.filter(F.col("vec_id") < max(PQ_K, PQ_QUERIES))
+    )
+    return _pq_serve(sub, anch, spark.table(tbl))

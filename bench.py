@@ -113,6 +113,7 @@ HEADLINE = [
     "triangle_count",
     "countmin_heavy_hitters",
     "ann_pq_topk",
+    "ann_pq_from_index",
     "tpch_q3",
     "tpch_q5",
     "contamination_fraction",
@@ -146,8 +147,11 @@ def main() -> None:
     from ai_etl_studio_spark.operators.analytics import ensure_pagerank_edge_index
     from ai_etl_studio_spark.operators.dedup import ensure_boilerplate_index
 
+    from ai_etl_studio_spark.operators.similarity import ensure_pq_code_index
+
     ensure_pagerank_edge_index(spark, sf_dir)
     ensure_boilerplate_index(spark, sf_dir)
+    ensure_pq_code_index(spark, sf_dir)
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(
         sf_dir

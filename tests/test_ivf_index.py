@@ -87,3 +87,36 @@ def test_partitioned_ivf_index_prunes_and_answers(spark, tmp_path):
 
     dirs = [d for d in os.listdir(idx_path) if d.startswith("centroid_id=")]
     assert len(dirs) == N_CENT
+
+
+def test_pq_code_index_builds_once_and_serves_identically(spark, tmp_path):
+    """The PQ code table mirrors the IVF/PageRank/boilerplate build-once
+    pattern: second ensure skips the build; serving from codes is
+    row-identical to the from-scratch encode."""
+    import os
+
+    from ai_etl_studio_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        ann_pq_from_index,
+        ann_pq_topk,
+        ensure_pq_code_index,
+    )
+    from tests.conftest import SF_DIR
+
+    base = str(tmp_path / "pq_idx")
+    tbl = ensure_pq_code_index(spark, SF_DIR, base_dir=base)
+    success = os.path.join(base, tbl, "_SUCCESS")
+    assert os.path.exists(success)
+    built_at = os.path.getmtime(success)
+    assert ensure_pq_code_index(spark, SF_DIR, base_dir=base) == tbl
+    assert os.path.getmtime(success) == built_at
+
+    codes = spark.table(tbl)
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert codes.count() == n_vecs * PQ_M
+    assert codes.agg({"k": "max"}).first()[0] < PQ_K
+
+    scratch = [tuple(r) for r in ann_pq_topk(spark, SF_DIR).collect()]
+    served = [tuple(r) for r in ann_pq_from_index(spark, SF_DIR).collect()]
+    assert served == scratch
