@@ -565,3 +565,168 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-latency distribution (first purchase after each click)
+# ---------------------------------------------------------------------------
+
+@register(
+    "time_to_convert",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.event_id AS click_id,
+             MIN(CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) // 1000000)
+               AS gap_s
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      GROUP BY c.event_id)
+    SELECT COUNT(*) AS n_converting_clicks,
+           MIN(gap_s) AS min_gap_s,
+           quantile_cont(gap_s, 0.5) AS med_gap_s,
+           ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
+           MAX(gap_s) AS max_gap_s
+    FROM pairs
+    """,
+)
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for every click with a same-user
+    purchase inside 30 minutes, the gap to the FIRST such purchase —
+    min / median / p90 / max in seconds. The attribution-window tuning
+    query behind `interval_join_events`.
+
+    Scale: the interval join keys on user_id (one shuffle); first-
+    purchase-per-click is a map-side-combinable MIN groupBy on the
+    (already co-partitioned) click id; the distribution rolls the
+    per-click gaps into one row. Gaps are exact integer seconds, so the
+    interpolated median is an exact half; p90's interpolation is
+    rounded to 6dp (the percentile_exact convention).
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    gap_s = (
+        F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)") / F.lit(1_000_000)
+    ).cast("bigint")
+    pairs = (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy("click_id")
+        .agg(F.min(gap_s).alias("gap_s"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_converting_clicks"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.percentile("gap_s", F.lit(0.5)).alias("med_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation between two daily metrics
+# ---------------------------------------------------------------------------
+
+#: Rolling window width (days, inclusive of the current day).
+_CORR_DAYS = 30
+
+_CORR_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 10000 AS rev,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+w AS (
+  SELECT a.d,
+         COUNT(*) AS n,
+         SUM(b.rev) AS sx, SUM(b.cnt) AS sy,
+         CAST(SUM(b.rev * b.cnt) AS BIGINT) AS sxy,
+         CAST(SUM(b.rev * b.rev) AS BIGINT) AS sxx,
+         CAST(SUM(b.cnt * b.cnt) AS BIGINT) AS syy
+  FROM daily a JOIN daily b
+    ON b.d <= a.d AND b.d >= a.d - INTERVAL {_CORR_DAYS - 1} DAY
+  GROUP BY a.d)
+SELECT d,
+       n,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         AS corr_rev_cnt
+FROM w
+WHERE n >= 10
+ORDER BY d
+"""
+
+
+@register("window_rolling_corr", oracle=_CORR_ORACLE)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day rolling Pearson correlation between daily revenue and
+    daily order count — the drift detector for "are we making more money
+    just because we take more orders?". Windows with under 10 days of
+    history are suppressed.
+
+    Scale: the base series is one aggregation to |dates| rows; the six
+    rolling sufficient statistics ride ONE RANGE window over the tiny
+    daily frame (no self-join), and the correlation is a fixed IEEE
+    expression over exact int64 sums — deterministic in any engine,
+    mirrored in the oracle. The unpartitioned window is safe precisely
+    because its input is |dates| rows, not the fact table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    # revenue in hundred-dollar units (deterministic integer division):
+    # keeps Σx² inside int64 headroom at any realistic SF — the raw-cents
+    # square overflowed at sf0.1, caught by the larger-SF verify gate
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.expr(
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) DIV 10000"
+        ).alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    # rolling sums via a range self-join of the (broadcast) daily series
+    # rather than an UNPARTITIONED range window — same semantics, but no
+    # single-partition WindowExec anywhere in the engine (the repo-wide
+    # invariant); the nested-loop join is |dates| × window_width pairs,
+    # independent of fact-table size.
+    hist = daily.select(
+        F.col("d").alias("hd"),
+        F.col("rev").alias("hrev"),
+        F.col("cnt").alias("hcnt"),
+    )
+    w = (
+        daily.join(
+            F.broadcast(hist),
+            (F.col("hd") <= F.col("d"))
+            & (F.col("hd") >= F.date_sub("d", _CORR_DAYS - 1)),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("hrev").alias("sx"),
+            F.sum("hcnt").alias("sy"),
+            F.sum(F.col("hrev") * F.col("hcnt")).cast("bigint").alias("sxy"),
+            F.sum(F.col("hrev") * F.col("hrev")).cast("bigint").alias("sxx"),
+            F.sum(F.col("hcnt") * F.col("hcnt")).cast("bigint").alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    corr = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return (
+        w.filter(F.col("n") >= 10)
+        .select("d", "n", corr.alias("corr_rev_cnt"))
+        .orderBy("d")
+    )

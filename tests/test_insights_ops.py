@@ -208,3 +208,50 @@ def test_crosslingual_pairs_langs_differ(spark):
         for r in QUERIES["dedup_minhash_lsh_pairs"](spark, SF_DIR).collect()
     }
     assert {(r.doc_id_1, r.doc_id_2) for r in rows} <= full
+
+
+def test_time_to_convert_stats_replay(spark):
+    [r] = QUERIES["time_to_convert"](spark, SF_DIR).collect()
+    import statistics
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    clicks = [(e.user_id, e.event_id, e.ts) for e in ev if e.event_type == "click"]
+    purch = [(e.user_id, e.ts) for e in ev if e.event_type == "purchase"]
+    gaps = []
+    for u, _cid, cts in clicks:
+        cands = [
+            (pts - cts).total_seconds()
+            for pu, pts in purch
+            if pu == u and pts >= cts and (pts - cts).total_seconds() <= 1800
+        ]
+        if cands:
+            gaps.append(int(min(cands)))
+    assert r.n_converting_clicks == len(gaps)
+    assert r.min_gap_s == min(gaps) and r.max_gap_s == max(gaps)
+    assert r.med_gap_s == statistics.median(gaps)
+
+
+def test_window_rolling_corr_bounds(spark):
+    rows = QUERIES["window_rolling_corr"](spark, SF_DIR).collect()
+    assert rows
+    assert all(-1.0 - 1e-9 <= r.corr_rev_cnt <= 1.0 + 1e-9 for r in rows)
+    assert all(r.n >= 10 for r in rows)
+    # replay one window in pure python
+    import numpy as np
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    from collections import defaultdict
+
+    cents, cnt = defaultdict(int), defaultdict(int)
+    for o in orders:
+        d = o.o_orderdate.date()
+        cents[d] += round(o.o_totalprice * 100)
+        cnt[d] += 1
+    # the operator correlates in hundred-dollar units (cents DIV 10000)
+    rev = {d: c // 10000 for d, c in cents.items()}
+    probe = rows[len(rows) // 2]
+    lo = probe.d - __import__("datetime").timedelta(days=29)
+    xs = [rev[d] for d in rev if lo <= d <= probe.d]
+    ys = [cnt[d] for d in rev if lo <= d <= probe.d]
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    assert probe.corr_rev_cnt == pytest.approx(want, rel=1e-9)
