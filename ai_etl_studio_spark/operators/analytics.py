@@ -2267,3 +2267,61 @@ def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "scd2_pit_lookup",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_type AS attr_value, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events
+      WHERE user_id < 20 AND event_type IN ('signup', 'purchase')),
+    ev AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE user_id < 20 AND event_type NOT IN ('signup', 'purchase'))
+    SELECT e.event_id, e.user_id, e.ts, d.attr_value
+    FROM ev e JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    ORDER BY e.event_id
+    """,
+)
+def scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the type-2 dimension: every fact
+    event of the tracked users is annotated with the attribute value in
+    effect AT ITS TIMESTAMP ([valid_from, valid_to) interval semantics)
+    — the query that SCD2 history exists to answer, completing the
+    build (scd2_dim_build) / as-of (asof_join) triangle.
+
+    Scale: the dimension is |entities|×|changes| rows — broadcast; the
+    fact stream joins it with an equi-key (user_id) plus the interval
+    predicate, so facts never shuffle. When the dimension outgrows a
+    broadcast, the same plan keyed on (user_id) becomes a sort-merge
+    join with interval post-filter — or the asof_join union-tag form,
+    one shuffle, no inequality join at all.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    changes = e.filter(F.col("event_type").isin("signup", "purchase"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    ev = e.filter(~F.col("event_type").isin("signup", "purchase")).select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        ev.join(
+            F.broadcast(dim),
+            (ev.user_id == dim.d_user)
+            & (ev.ts >= dim.valid_from)
+            & (dim.valid_to.isNull() | (ev.ts < dim.valid_to)),
+        )
+        .select("event_id", "user_id", "ts", "attr_value")
+        .orderBy("event_id")
+    )
