@@ -1166,3 +1166,203 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# The whole pretraining curation pipeline as ONE declarative query
+# ---------------------------------------------------------------------------
+
+#: Pipeline gate bounds (the corpus-applicable Gopher rules: word count
+#: and mean word length; the stopword rule is REPORTED by gopher_rules
+#: but not gated on here — the synthetic lexicon contains almost none of
+#: the published stop list, exactly as real non-English text wouldn't).
+_PL_MIN_W, _PL_MAX_W = 20, 100_000
+_PL_MIN_MWL, _PL_MAX_MWL = 3.0, 10.0
+_PL_SEQ_LEN = 1024
+
+_PIPELINE_ORACLE = rf"""
+WITH raw AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ts
+  FROM documents WHERE source <> 'src0'),
+gm AS (
+  SELECT doc_id, source, ts FROM raw
+  WHERE len(ts) BETWEEN {_PL_MIN_W} AND {_PL_MAX_W}
+    AND CAST(len(array_to_string(ts, '')) AS DOUBLE) / len(ts)
+        BETWEEN {_PL_MIN_MWL} AND {_PL_MAX_MWL}),
+lines AS (
+  SELECT doc_id, source, i AS line_no,
+         array_to_string(ts[(i*8+1):(i*8+8)], ' ') AS line
+  FROM gm, UNNEST(range(CAST(ceil(len(ts)/8.0) AS BIGINT))) AS u(i)),
+freq AS (SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
+cleaned AS (
+  SELECT doc_id, source,
+         COALESCE(string_agg(CASE WHEN f.df < 2 THEN line END,
+                             ' ' ORDER BY line_no), '') AS ctext
+  FROM lines l JOIN freq f ON md5(l.line) = f.h
+  GROUP BY doc_id, source),
+ne AS (SELECT doc_id, source, ctext, md5(ctext) AS ch FROM cleaned WHERE ctext <> ''),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM ne GROUP BY ch),
+ex AS (SELECT ne.* FROM ne JOIN keepers k ON ne.doc_id = k.doc_id),
+bench AS (
+  SELECT DISTINCT unnest(list_distinct(
+           [md5(array_to_string(toks[i:i+{DECON_N - 1}], ' '))
+            for i in range(1, len(toks) - {DECON_N} + 2)])) AS h
+  FROM (SELECT string_split_regex(lower(text), '\s+') AS toks
+        FROM documents WHERE source = 'src0') t
+  WHERE len(toks) >= {DECON_N}),
+exg AS (
+  SELECT doc_id, source, ctext,
+         list_distinct([md5(array_to_string(cts[i:i+{DECON_N - 1}], ' '))
+                        for i in range(1, len(cts) - {DECON_N} + 2)]) AS ghs
+  FROM (SELECT doc_id, source, ctext,
+               string_split_regex(ctext, ' ') AS cts FROM ex) t),
+hits AS (
+  SELECT DISTINCT g.doc_id
+  FROM (SELECT doc_id, unnest(ghs) AS h FROM exg) g
+  JOIN bench b ON g.h = b.h),
+fin AS (
+  SELECT e.doc_id, e.source,
+         len(string_split_regex(e.ctext, ' ')) AS n_toks
+  FROM exg e WHERE e.doc_id NOT IN (SELECT doc_id FROM hits)),
+stage AS (
+  SELECT r.source,
+         COUNT(DISTINCT r.doc_id) AS n_raw,
+         COUNT(DISTINCT gm.doc_id) AS n_quality,
+         COUNT(DISTINCT ne.doc_id) AS n_cleaned,
+         COUNT(DISTINCT ex.doc_id) AS n_exact,
+         COUNT(DISTINCT fin.doc_id) AS n_final
+  FROM raw r
+  LEFT JOIN gm ON gm.doc_id = r.doc_id
+  LEFT JOIN ne ON ne.doc_id = r.doc_id
+  LEFT JOIN ex ON ex.doc_id = r.doc_id
+  LEFT JOIN fin ON fin.doc_id = r.doc_id
+  GROUP BY r.source)
+SELECT s.*, COALESCE(t.tokens_final, 0) AS tokens_final,
+       COALESCE((t.tokens_final + {_PL_SEQ_LEN - 1}) // {_PL_SEQ_LEN}, 0)
+         AS est_sequences
+FROM stage s
+LEFT JOIN (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS tokens_final
+           FROM fin GROUP BY source) t
+  ON s.source = t.source
+ORDER BY s.source
+"""
+
+
+@register("pretrain_corpus_pipeline", oracle=_PIPELINE_ORACLE)
+def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining curation pipeline as one declarative
+    DAG — quality gate → cross-document line dedup → exact dedup →
+    benchmark decontamination → token budget — reporting per-source
+    survival at every stage plus the final token count and packed
+    1024-token sequence estimate. One query; Catalyst sees the whole
+    lineage and prunes/pushes across stage boundaries no orchestrator
+    of separate jobs could.
+
+    Scale anatomy (each stage is the already-audited operator's shape):
+    quality = row-local codegen predicates; line dedup = digest groupBy
+    + hash join; exact dedup = 16-byte-hash groupBy; decontamination =
+    broadcast semi-join of hashed 8-grams (docs travel as digests, the
+    cleaned TEXT only rides the per-doc reassembly); the stage rollup
+    joins per-stage DOC-ID sets (bytes per doc), never documents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    raw = d.filter(F.col("source") != "src0").select(
+        "doc_id", "source", ts.alias("ts")
+    )
+    n_w = F.size("ts")
+    mwl = F.length(F.array_join("ts", "")).cast("double") / n_w
+    gm = raw.filter(
+        n_w.between(_PL_MIN_W, _PL_MAX_W) & mwl.between(_PL_MIN_MWL, _PL_MAX_MWL)
+    )
+    from ai_etl_studio_spark.operators.dedup import LINE_W
+
+    n_lines = F.ceil(F.size("ts") / F.lit(float(LINE_W))).cast("int")
+    line_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        lambda i: F.array_join(F.slice("ts", i * LINE_W + 1, LINE_W), " "),
+    )
+    lines = gm.select(
+        "doc_id", "source", F.posexplode(line_arr).alias("line_no", "line")
+    ).withColumn("h", F.md5("line"))
+    freq = lines.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    keep = F.col("df") < 2
+    cleaned = (
+        lines.join(freq, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("line_no", "line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("ctext")
+        )
+    )
+    ne = cleaned.filter(F.col("ctext") != "").withColumn("ch", F.md5("ctext"))
+    keepers = ne.groupBy("ch").agg(F.min("doc_id").alias("doc_id"))
+    ex = ne.join(keepers.select("doc_id"), "doc_id", "left_semi")
+
+    from ai_etl_studio_spark.functions.texthash import tokens, word_shingles
+
+    bench = (
+        d.filter(F.col("source") == "src0")
+        .select(tokens("text").alias("toks"))
+        .filter(F.size("toks") >= DECON_N)
+        .select(F.explode(word_shingles(F.col("toks"), DECON_N)).alias("g"))
+        .select(F.md5("g").alias("h"))
+        .distinct()
+    )
+    exg = ex.select(
+        "doc_id", "source", "ctext", F.split("ctext", " ").alias("cts")
+    )
+    grams = exg.filter(F.size("cts") >= DECON_N).select(
+        "doc_id", F.explode(word_shingles(F.col("cts"), DECON_N)).alias("g")
+    ).select("doc_id", F.md5("g").alias("h"))
+    hits = grams.join(F.broadcast(bench), "h", "left_semi").select(
+        "doc_id"
+    ).distinct()
+    fin = (
+        exg.join(hits, "doc_id", "left_anti")
+        .select("doc_id", "source", F.size(F.split("ctext", " ")).alias("n_toks"))
+    )
+
+    r = raw.select("doc_id", "source")
+    stage = (
+        r.join(gm.select(F.col("doc_id").alias("g_id")), r.doc_id == F.col("g_id"), "left")
+        .join(ne.select(F.col("doc_id").alias("n_id")), r.doc_id == F.col("n_id"), "left")
+        .join(ex.select(F.col("doc_id").alias("e_id")), r.doc_id == F.col("e_id"), "left")
+        .join(fin.select(F.col("doc_id").alias("f_id")), r.doc_id == F.col("f_id"), "left")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_raw"),
+            F.countDistinct("g_id").alias("n_quality"),
+            F.countDistinct("n_id").alias("n_cleaned"),
+            F.countDistinct("e_id").alias("n_exact"),
+            F.countDistinct("f_id").alias("n_final"),
+        )
+    )
+    toks = fin.groupBy("source").agg(
+        F.sum("n_toks").cast("bigint").alias("tokens_final")
+    )
+    return (
+        stage.join(toks, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            "n_quality",
+            "n_cleaned",
+            "n_exact",
+            "n_final",
+            F.coalesce("tokens_final", F.lit(0)).alias("tokens_final"),
+            F.coalesce(
+                F.expr(f"(tokens_final + {_PL_SEQ_LEN - 1}) DIV {_PL_SEQ_LEN}"),
+                F.lit(0),
+            ).alias("est_sequences"),
+        )
+        .orderBy("source")
+    )

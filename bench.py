@@ -122,6 +122,12 @@ HEADLINE = [
     "join_cardinality_probe",
     "snapshot_diff",
     "user_erasure_audit",
+    "scd2_pit_lookup",
+    "time_to_convert",
+    "window_rolling_corr",
+    "crosslingual_pairs",
+    "mad_outliers",
+    "pretrain_corpus_pipeline",
 ]
 
 

@@ -177,3 +177,19 @@ def test_user_erasure_audit_counts(spark):
         "orders": len(hit_orders),
         "lineitem": n_li,
     }
+
+
+def test_pretrain_pipeline_funnel_is_monotone(spark):
+    rows = QUERIES["pretrain_corpus_pipeline"](spark, SF_DIR).collect()
+    assert rows and all(r.source != "src0" for r in rows)
+    for r in rows:
+        assert (
+            r.n_raw >= r.n_quality >= r.n_cleaned >= r.n_exact >= r.n_final >= 0
+        ), r
+        if r.n_final > 0:
+            assert r.tokens_final > 0
+            assert r.est_sequences == (r.tokens_final + 1023) // 1024
+        else:
+            assert r.tokens_final == 0 and r.est_sequences == 0
+    # the pipeline must actually remove something somewhere
+    assert sum(r.n_raw for r in rows) > sum(r.n_final for r in rows)
