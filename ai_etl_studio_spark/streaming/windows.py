@@ -884,3 +884,127 @@ def run_stream_countmin(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_curation(
+    spark: SparkSession, sf_dir: str, query_name: str = "curation_out"
+) -> DataFrame:
+    """REAL streaming twin of the pretraining curation pipeline's
+    per-batch stages: documents stream in and each micro-batch is
+    quality-gated (stateless row predicates), line-cleaned against the
+    PERSISTED boilerplate digest index, and decontaminated against the
+    static benchmark shingle set — the production ingest path, where
+    only corpus-global state (boilerplate frequencies, benchmark grams)
+    lives in build-once batch tables and the stream does stream-static
+    broadcast joins.
+
+    Per-source verdict counts come back from a streaming aggregation
+    whose state is bounded by |sources|. Returns (source, n_docs,
+    n_quality, n_with_boilerplate, n_decontaminated).
+
+    Scale: nothing in streaming state grows with the corpus — the
+    classic split of 'heavy global passes nightly, cheap membership
+    joins per batch'."""
+    from ai_etl_studio_spark.functions.texthash import tokens, word_shingles
+    from ai_etl_studio_spark.operators.dedup import (
+        ensure_boilerplate_index,
+    )
+    from ai_etl_studio_spark.operators.quality import DECON_N
+
+    # build-once global state (batch side)
+    bp = spark.table(ensure_boilerplate_index(spark, sf_dir)).withColumn(
+        "is_bp", F.lit(1)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("source") == "src0")
+        .select(tokens("text").alias("toks"))
+        .filter(F.size("toks") >= DECON_N)
+        .select(F.explode(word_shingles(F.col("toks"), DECON_N)).alias("g"))
+        .select(F.md5("g").alias("h"))
+        .distinct()
+    )
+
+    # ONE static probe table: boilerplate line digests + benchmark gram
+    # digests, kind-tagged, unioned, broadcast
+    probes_static = (
+        bp.select(F.lit("line").alias("kind"), F.col("h"))
+        .unionAll(bench.select(F.lit("gram").alias("kind"), F.col("h")))
+        .withColumn("hit", F.lit(1))
+    )
+
+    incoming = read_docs_stream(spark, sf_dir).filter(F.col("source") != "src0")
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    base = incoming.select("doc_id", "source", ts.alias("ts"))
+    n_w = F.size("ts")
+    mwl = F.length(F.array_join("ts", "")).cast("double") / n_w
+    gated = base.withColumn(
+        "q_pass",
+        (n_w.between(20, 100_000) & mwl.between(3.0, 10.0)).cast("int"),
+    )
+    from ai_etl_studio_spark.operators.dedup import LINE_W
+
+    n_lines = F.ceil(F.size("ts") / F.lit(float(LINE_W))).cast("int")
+    line_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        lambda i: F.array_join(F.slice("ts", i * LINE_W + 1, LINE_W), " "),
+    )
+    grams = F.when(
+        F.size("ts") >= DECON_N, word_shingles(F.col("ts"), DECON_N)
+    ).otherwise(F.array().cast("array<string>"))
+    # tag-union both probe kinds into one explode -> one stream-static join
+    probe_arr = F.concat(
+        F.transform(
+            line_arr,
+            lambda l: F.struct(F.lit("line").alias("kind"), F.md5(l).alias("h")),
+        ),
+        F.transform(
+            grams,
+            lambda g: F.struct(F.lit("gram").alias("kind"), F.md5(g).alias("h")),
+        ),
+    )
+    probed = gated.select(
+        "doc_id", "source", "q_pass", F.explode_outer(probe_arr).alias("p")
+    ).select("doc_id", "source", "q_pass", F.col("p.kind").alias("kind"), F.col("p.h").alias("h"))
+    hit = (
+        probed.join(F.broadcast(probes_static), ["kind", "h"], "left")
+        .groupBy("doc_id", "source", "q_pass")
+        .agg(
+            F.max(
+                F.when((F.col("kind") == "gram") & (F.col("hit") == 1), 1).otherwise(0)
+            ).alias("is_dirty"),
+            F.sum(
+                F.when((F.col("kind") == "line") & (F.col("hit") == 1), 1).otherwise(0)
+            ).alias("n_bp_lines"),
+        )
+    )
+    # ONE streaming aggregation (per-doc verdicts, state bounded by the
+    # batch) — chaining the per-source rollup as a second stateful op
+    # would trip Spark's multiple-stateful-operator correctness check;
+    # the rollup runs as a batch query over the drained sink instead.
+    q = (
+        hit.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(query_name)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q_pass").alias("n_quality"),
+            F.sum(F.when(F.col("n_bp_lines") > 0, 1).otherwise(0)).alias(
+                "n_with_boilerplate"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("q_pass") == 1) & (F.col("is_dirty") == 0), 1
+                ).otherwise(0)
+            ).alias("n_decontaminated"),
+        )
+    )

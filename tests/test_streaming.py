@@ -376,3 +376,57 @@ def test_stream_countmin_cells_match_batch(spark):
     want = {(r.j, r.bucket): r["count"] for r in occ.collect()}
     assert got == want and len(got) > 0
     assert len(got) <= CMS_D * CMS_W
+
+
+def test_stream_curation_matches_batch_stages(spark):
+    """The streaming ingest path of the curation pipeline (quality gate
+    + boilerplate-index probe + benchmark decon, all stream-static
+    broadcast joins) agrees with batch recomputation of the same
+    per-source verdicts."""
+    from ai_etl_studio_spark.operators.dedup import (
+        LINE_DROP_DF,
+        LINE_W,
+        ensure_boilerplate_index,
+    )
+    from ai_etl_studio_spark.operators.quality import DECON_N
+    from ai_etl_studio_spark.streaming.windows import run_stream_curation
+
+    got = {
+        r.source: (r.n_docs, r.n_quality, r.n_with_boilerplate, r.n_decontaminated)
+        for r in run_stream_curation(spark, SF_DIR, "t_curation").collect()
+    }
+
+    # batch replay in python
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    from collections import Counter, defaultdict
+
+    line_freq: Counter = Counter()
+    for d in docs:
+        ts = [w for w in d.text.lower().split() if w]
+        for ln in {
+            " ".join(ts[i : i + LINE_W]) for i in range(0, len(ts), LINE_W)
+        }:
+            line_freq[ln] += 1
+    bench = set()
+    for d in docs:
+        if d.source == "src0":
+            ts = [w for w in d.text.lower().split() if w]
+            for i in range(len(ts) - DECON_N + 1):
+                bench.add(" ".join(ts[i : i + DECON_N]))
+    want: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for d in docs:
+        if d.source == "src0":
+            continue
+        ts = [w for w in d.text.lower().split() if w]
+        w_ = want[d.source]
+        w_[0] += 1
+        q = len(ts) >= 20 and 3.0 <= sum(map(len, ts)) / len(ts) <= 10.0
+        w_[1] += q
+        lines = [" ".join(ts[i : i + LINE_W]) for i in range(0, len(ts), LINE_W)]
+        w_[2] += any(line_freq[ln] >= LINE_DROP_DF for ln in lines)
+        grams = {
+            " ".join(ts[i : i + DECON_N]) for i in range(len(ts) - DECON_N + 1)
+        }
+        dirty = bool(grams & bench)
+        w_[3] += q and not dirty
+    assert got == {s: tuple(v) for s, v in want.items()}
