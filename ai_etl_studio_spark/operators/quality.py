@@ -1012,6 +1012,14 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic gate, complementing ``text_quality``'s stopword/distinct
     ratios. (No counterpart in the reference engine; extension surface.)
 
+    Honest corpus note: the synthetic lexicon contains only 'the' from
+    the published stop list, so the >=2-distinct-stopwords rule fails
+    EVERY document and pass_gopher is 0 across the corpus — exactly how
+    the unmodified English rule behaves on non-English text. The
+    composed pipeline (pretrain_corpus_pipeline) therefore gates on the
+    corpus-applicable subset (word count + mean word length) and leaves
+    this op as the per-rule diagnostic report.
+
     Scale: ONE narrow projection per document — every rule is a
     higher-order-function / regexp expression inside whole-stage codegen;
     zero shuffles before the presentation sort, zero Python. The ratios
