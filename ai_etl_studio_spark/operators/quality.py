@@ -1311,7 +1311,18 @@ def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ctext")
         )
     )
-    ne = cleaned.filter(F.col("ctext") != "").withColumn("ch", F.md5("ctext"))
+    # materialize the cleaned corpus ONCE: five downstream consumers
+    # (exact-dedup keepers, the semi-join, gram explosion, the final
+    # token count, and the stage rollup) would otherwise each re-run the
+    # whole gate->explode->reassemble lineage — measured 26 scans/26
+    # Generates in the un-checkpointed plan. At cluster scale this is a
+    # persist() on the cleaned stage; locally localCheckpoint plays that
+    # role (same trick as the PageRank edge list).
+    ne = (
+        cleaned.filter(F.col("ctext") != "")
+        .withColumn("ch", F.md5("ctext"))
+        .localCheckpoint()
+    )
     keepers = ne.groupBy("ch").agg(F.min("doc_id").alias("doc_id"))
     ex = ne.join(keepers.select("doc_id"), "doc_id", "left_semi")
 
@@ -1337,6 +1348,7 @@ def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fin = (
         exg.join(hits, "doc_id", "left_anti")
         .select("doc_id", "source", F.size(F.split("ctext", " ")).alias("n_toks"))
+        .localCheckpoint()  # reused by the rollup AND the token sum
     )
 
     r = raw.select("doc_id", "source")
