@@ -730,3 +730,166 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d", "n", corr.alias("corr_rev_cnt"))
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Geospatial: grid-bucketed distance join (neighbor-cell candidate gen)
+# ---------------------------------------------------------------------------
+
+#: Distance threshold (km) and grid cell sizes (degrees), sized so the
+#: synthetic globe-scattered customers actually form regional pairs.
+#: Latitude degrees are a constant ~111 km, so 5° lat cells cover
+#: 500 km; a LONGITUDE degree shrinks by cos(lat) — at the domain edge
+#: (60°) it is ~55.7 km, so lon cells must be 10° for the 3×3
+#: neighborhood to still cover the radius (a cos-blind narrower lon
+#: cell would silently drop far-north/south pairs — caught by the
+#: brute-force recall test, NOT by the oracle, which shares the grid).
+_GEO_KM = 500.0
+_GEO_CELL = 5.0
+_GEO_CELL_LON = 10.0
+_EARTH_KM = 6371.0
+
+_GEO_HAVERSINE = (
+    "2 * {R} * asin(sqrt("
+    "sin(radians(({lat2} - {lat1}) / 2)) * sin(radians(({lat2} - {lat1}) / 2))"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * sin(radians(({lon2} - {lon1}) / 2)) * sin(radians(({lon2} - {lon1}) / 2))"
+    "))"
+).format
+
+
+def _geo_oracle() -> str:
+    from ai_etl_studio_spark.functions.texthash import sql_md5_hash32
+
+    lat = (
+        f"-60.0 + ({sql_md5_hash32('CAST(c_custkey AS VARCHAR)')} % 12000)"
+        " / 100.0"
+    )
+    lon = (
+        f"-180.0 + ({sql_md5_hash32(chr(39) + 'lon:' + chr(39) + ' || CAST(c_custkey AS VARCHAR)')} % 36000)"
+        " / 100.0"
+    )
+    hav = _GEO_HAVERSINE(R=_EARTH_KM, lat1="a.lat", lat2="b.lat", lon1="a.lon", lon2="b.lon")
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS key, c_nationkey,
+             {lat} AS lat, {lon} AS lon
+      FROM customer),
+    cells AS (
+      SELECT *, CAST(floor(lat / {_GEO_CELL}) AS BIGINT) AS cx,
+                CAST(floor(lon / {_GEO_CELL_LON}) AS BIGINT) AS cy
+      FROM pts),
+    probe AS (
+      SELECT key, c_nationkey, lat, lon, cx + dx AS cx, cy + dy AS cy
+      FROM cells, UNNEST([-1, 0, 1]) AS u(dx), UNNEST([-1, 0, 1]) AS v(dy)),
+    pairs AS (
+      SELECT a.c_nationkey
+      FROM cells a JOIN probe b ON a.cx = b.cx AND a.cy = b.cy
+        AND a.key < b.key AND a.c_nationkey = b.c_nationkey
+      WHERE {hav} <= {_GEO_KM})
+    SELECT n.n_name, COUNT(*) AS n_close_pairs
+    FROM pairs p JOIN nation n ON p.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """
+
+
+@register("geo_grid_join", oracle=_geo_oracle())
+def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial distance self-join: pairs of same-nation customers
+    within 500 km, counted per nation. Coordinates are synthesized
+    deterministically from the md5 hash family (the corpus has no geo
+    columns; the MECHANICS — haversine, grid bucketing — are the real
+    operator).
+
+    Scale design — the classic spatial-join shape Spark lacks natively:
+    an exact all-pairs haversine join is O(n²); instead each point gets
+    a lat/lon grid cell sized to the radius, ONE side replicates to its 3×3 neighbor cells
+    (9× a narrow frame), and the equi-join on (cell_x, cell_y) makes
+    candidate generation linear in occupied-cell density. The exact
+    haversine then filters candidates only. Same pattern as LSH
+    band-join dedup: bucket, join on bucket equality, verify exactly.
+    Both engines evaluate the identical IEEE haversine expression tree,
+    so the threshold compare cannot diverge.
+    """
+    from ai_etl_studio_spark.functions.texthash import md5_hash32
+
+    c = load_table(spark, sf_dir, "customer")
+    lat = (
+        F.lit(-60.0)
+        + (md5_hash32(F.col("c_custkey").cast("string")) % 12000) / 100.0
+    )
+    lon = (
+        F.lit(-180.0)
+        + (
+            md5_hash32(F.concat(F.lit("lon:"), F.col("c_custkey").cast("string")))
+            % 36000
+        )
+        / 100.0
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("key"),
+        "c_nationkey",
+        lat.alias("lat"),
+        lon.alias("lon"),
+    ).select(
+        "*",
+        F.floor(F.col("lat") / _GEO_CELL).alias("cx"),
+        F.floor(F.col("lon") / _GEO_CELL_LON).alias("cy"),
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    probe = pts.select(
+        F.col("key").alias("b_key"),
+        F.col("c_nationkey").alias("b_nat"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        "cx",
+        "cy",
+        offsets,
+    ).select(
+        "b_key",
+        "b_nat",
+        "b_lat",
+        "b_lon",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    half_dlat = F.radians((F.col("b_lat") - F.col("lat")) / 2)
+    half_dlon = F.radians((F.col("b_lon") - F.col("lon")) / 2)
+    hav = (
+        2
+        * _EARTH_KM
+        * F.asin(
+            F.sqrt(
+                F.sin(half_dlat) * F.sin(half_dlat)
+                + F.cos(F.radians("lat"))
+                * F.cos(F.radians("b_lat"))
+                * F.sin(half_dlon)
+                * F.sin(half_dlon)
+            )
+        )
+    )
+    pairs = (
+        pts.join(probe, ["cx", "cy"])
+        .filter(
+            (F.col("key") < F.col("b_key"))
+            & (F.col("c_nationkey") == F.col("b_nat"))
+        )
+        .filter(hav <= _GEO_KM)
+        .select("c_nationkey")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        pairs.join(F.broadcast(n), pairs.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_close_pairs"))
+        .orderBy("n_name")
+    )

@@ -128,6 +128,7 @@ HEADLINE = [
     "crosslingual_pairs",
     "mad_outliers",
     "pretrain_corpus_pipeline",
+    "geo_grid_join",
 ]
 
 

@@ -255,3 +255,56 @@ def test_window_rolling_corr_bounds(spark):
     ys = [cnt[d] for d in rev if lo <= d <= probe.d]
     want = float(np.corrcoef(xs, ys)[0, 1])
     assert probe.corr_rev_cnt == pytest.approx(want, rel=1e-9)
+
+
+def test_geo_grid_join_matches_bruteforce(spark):
+    """Grid-bucketed candidate generation loses no pairs: vectorized
+    brute-force haversine over all same-nation pairs equals the
+    operator's counts. Run at sf0.01 (sf0.001 has no close pairs) —
+    this is the RECALL check the oracle cannot provide, since the
+    oracle shares the grid (a too-narrow lon cell would match the
+    oracle and still drop far-north pairs)."""
+    import hashlib
+
+    import numpy as np
+
+    sf = "/root/testdata/sf0.01"
+    rows = {
+        r.n_name: r.n_close_pairs
+        for r in QUERIES["geo_grid_join"](spark, sf).collect()
+    }
+    cust = spark.read.parquet(f"{sf}/customer.parquet").collect()
+    nations = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{sf}/nation.parquet").collect()
+    }
+
+    def h32(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+
+    from collections import Counter, defaultdict
+
+    by_nat = defaultdict(list)
+    for c in cust:
+        by_nat[c.c_nationkey].append(
+            (
+                -60.0 + (h32(str(c.c_custkey)) % 12000) / 100.0,
+                -180.0 + (h32("lon:" + str(c.c_custkey)) % 36000) / 100.0,
+            )
+        )
+    want: Counter = Counter()
+    for nat, pts in by_nat.items():
+        lat = np.radians(np.array([p[0] for p in pts]))
+        lon = np.radians(np.array([p[1] for p in pts]))
+        dlat = (lat[:, None] - lat[None, :]) / 2
+        dlon = (lon[:, None] - lon[None, :]) / 2
+        a = (
+            np.sin(dlat) ** 2
+            + np.cos(lat[:, None]) * np.cos(lat[None, :]) * np.sin(dlon) ** 2
+        )
+        d = 2 * 6371.0 * np.arcsin(np.sqrt(a))
+        n_close = int((np.triu(d <= 500.0, k=1)).sum())
+        if n_close:
+            want[nations[nat]] += n_close
+    assert rows == dict(want)
+    assert sum(want.values()) > 0
