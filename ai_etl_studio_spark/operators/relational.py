@@ -1232,3 +1232,44 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(csum(net_cents()).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-07-01'
+      AND o_orderdate < DATE '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): orders in one quarter having
+    at least one line item shipped after the order date, counted by
+    priority — the canonical correlated-EXISTS decision-support query.
+
+    Scale: the EXISTS decorrelates to a LEFT SEMI join on orderkey; the
+    quarter filter pushes to the orders scan so the semi-join probes
+    with the small filtered side, and lineitem is pruned to two columns.
+    The final rollup is five rows.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

@@ -115,6 +115,7 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_pq_from_index",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "contamination_fraction",
     "ngram_novelty_rate",
