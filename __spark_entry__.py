@@ -36,25 +36,28 @@ def entry(spark: SparkSession) -> DataFrame:
 #: verdict-named round-2 additions + the extended/array/function
 #: surfaces, and ends with the 14 operators ADDED in round 3 so new
 #: code never waits a round for its driver row. Queued for the r4
-#: rotation — the EXACT 46 oracle-twinned queries with no driver row in
-#: r1∪r2∪r3 (all local-green at three SFs; regenerate the list with
+#: rotation — the EXACT 52 oracle-twinned queries with no driver row
+#: in r1∪r2∪r3 (all local-green at three SFs; regenerate with
 #: set(oracle_sql()) - set(CORRECTNESS_r0*.json) - set(PRIORITY)):
 #: ab_test_ztest ann_pq_from_index ann_pq_topk anomaly_zscore
 #: argmax_minby boolean_linreg_agg contamination_fraction
 #: countmin_heavy_hitters crosslingual_pairs datetime_functions
-#: distinct_projection dq_audit gopher_rules having_filter
-#: interval_join_events join_cardinality_probe join_cross
-#: line_dedup_corpus line_dedup_from_index mad_outliers math_functions
-#: multimodal_audio_segments multimodal_decode_pipeline
-#: multimodal_frame_sample ngram_novelty_rate null_handling
-#: path_transitions pct_of_total repetition_quality rolling_median
-#: salted_agg seasonal_naive_mape snapshot_diff stopword_pruned_corpus
-#: stream_static_join_batch_twin string_agg_ordered text_tokens
-#: tpch_q3 tpch_q5 trend_forecast_linreg triangle_count
-#: user_erasure_audit window_distinct_count window_fill_forward
-#: window_range_rolling window_sliding — plus the rows-only five
-#: (approx_distinct, hll_sketch_rollup, percentile_approx_sketch,
-#: kmeans_embeddings, embedding_pca_power) if slots remain.
+#: distinct_projection dq_audit geo_grid_join gopher_rules
+#: having_filter interval_join_events join_cardinality_probe
+#: join_cross line_dedup_corpus line_dedup_from_index mad_outliers
+#: math_functions multimodal_audio_segments
+#: multimodal_decode_pipeline multimodal_frame_sample
+#: ngram_novelty_rate null_handling path_transitions pct_of_total
+#: pretrain_corpus_pipeline repetition_quality rolling_median
+#: salted_agg scd2_pit_lookup seasonal_naive_mape snapshot_diff
+#: stopword_pruned_corpus stream_static_join_batch_twin
+#: string_agg_ordered text_tokens time_to_convert tpch_q3 tpch_q4
+#: tpch_q5 trend_forecast_linreg triangle_count user_erasure_audit
+#: window_distinct_count window_fill_forward window_range_rolling
+#: window_rolling_corr window_sliding
+#: — plus the rows-only five (approx_distinct, hll_sketch_rollup,
+#: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power)
+#: if slots remain.
 PRIORITY: tuple[str, ...] = (
     # prove the r2 fix first
     "pagerank_bipartite",
