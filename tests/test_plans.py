@@ -500,3 +500,51 @@ class TestRound3Plans:
         t = tree(spark, "line_dedup_corpus")
         # one lines explode feeding both freq and reassembly
         assert t.count("Generate") <= 2
+
+
+class TestLateRound3Plans:
+    """Plan contracts for the late-round-3 operators."""
+
+    def test_tpch_q3_broadcasts_and_heaps(self, spark):
+        t = tree(spark, "tpch_q3")
+        assert "BroadcastHashJoin" in t
+        assert "SortMergeJoin" not in t
+        assert "TakeOrderedAndProject" in t
+
+    def test_tpch_q4_exists_becomes_semi_join(self, spark):
+        t = tree(spark, "tpch_q4")
+        assert "LeftSemi" in t
+        full_plan = full(spark, "tpch_q4")
+        # the quarter filter reaches the orders parquet scan
+        assert "PushedFilters" in full_plan and "o_orderdate" in full_plan
+
+    def test_tpch_q5_snowflake_all_broadcast(self, spark):
+        t = tree(spark, "tpch_q5")
+        # region->nation->supplier and customer->orders chains broadcast;
+        # lineitem never sort-merges
+        assert t.count("BroadcastHashJoin") >= 4
+        assert "SortMergeJoin" not in t
+
+    def test_geo_join_is_cell_hash_join(self, spark):
+        t = tree(spark, "geo_grid_join")
+        # candidate generation is an equi-join on (cx, cy) — hash join,
+        # NOT a nested-loop over all pairs
+        assert "BroadcastNestedLoopJoin" not in t
+        assert "CartesianProduct" not in t
+
+    def test_scd2_lookup_dimension_broadcasts(self, spark):
+        t = tree(spark, "scd2_pit_lookup")
+        # dimension (window over changes) broadcasts; the fact side's
+        # only exchange is the presentation sort — facts never shuffle
+        # for the interval join
+        assert "BroadcastHashJoin Inner" in t
+        assert "SortMergeJoin" not in t
+        assert "CartesianProduct" not in t
+
+    def test_pipeline_plan_is_collapsed(self, spark):
+        # the checkpointed stage boundaries keep the composed pipeline's
+        # plan small: no more than a handful of scans/exchanges (the
+        # un-checkpointed form had 26 scans / 71 exchanges)
+        t = tree(spark, "pretrain_corpus_pipeline")
+        assert t.count("Scan parquet") <= 4
+        assert t.count("Exchange") <= 15
