@@ -1273,3 +1273,97 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT l_shipmode,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN l_linenumber % 2 = 0 THEN 'MAIL' ELSE 'SHIP' END
+               AS l_shipmode
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1997-01-01') t
+    GROUP BY l_shipmode
+    ORDER BY l_shipmode
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority): high/low-priority
+    line counts per ship mode for one year. The synthetic lineitem has
+    no l_shipmode column, so the mode is derived deterministically from
+    l_linenumber parity — the join/agg MECHANICS (conditional counts
+    over a fact⋈dim year slice) are the benchmark shape.
+
+    Scale: the year filter pushes to the lineitem scan; orders joins as
+    the broadcast side carrying only (orderkey, priority); both
+    conditional counts fuse into ONE HashAggregate of two groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    mode = F.when(F.col("l_linenumber") % 2 == 0, "MAIL").otherwise("SHIP")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .select(mode.alias("l_shipmode"), "o_orderpriority")
+        .groupBy("l_shipmode")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+@register(
+    "tpch_q14",
+    oracle="""
+    SELECT CAST(100.0 * promo_cents / total_cents AS DOUBLE) AS promo_revenue_pct
+    FROM (
+      SELECT SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                      AS BIGINT) ELSE 0 END) AS promo_cents,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                 AS BIGINT)) AS total_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1996-09-01'
+        AND l_shipdate < DATE '1996-10-01') t
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    promo-type parts.
+
+    Scale: month filter pushed to the lineitem scan, part broadcast,
+    both sums (conditional + total, exact integer cents) in ONE
+    aggregate; the percentage is a single final division of exact ints.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.col("p_type").startswith("PROMO")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(promo, net_cents()).otherwise(0)).alias("promo_cents"),
+            F.sum(net_cents()).alias("total_cents"),
+        )
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo_cents") / F.col("total_cents"))
+        .cast("double")
+        .alias("promo_revenue_pct")
+    )

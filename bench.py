@@ -117,6 +117,8 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
+    "tpch_q12",
+    "tpch_q14",
     "contamination_fraction",
     "ngram_novelty_rate",
     "trend_forecast_linreg",
