@@ -1367,3 +1367,155 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("promo_revenue_pct")
     )
+
+
+@register(
+    "tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100, 0)
+                    AS BIGINT)) AS DOUBLE) / 100 AS revenue_change
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): one-table filtered sum —
+    the purest scan-dominated benchmark query.
+
+    Scale: all three predicates push to the parquet scan (year bound on
+    shipdate, discount band, quantity cap); the sum is exact integer
+    cents with map-side partials; the answer is one row. At 100 TB this
+    query IS the scan: everything depends on pruning and pushdown,
+    nothing on shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents_expr = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100, 0
+    ).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((F.sum(cents_expr).cast("double") / 100).alias("revenue_change"))
+    )
+
+
+@register(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {sql_csum(SQL_NET_CENTS)} AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in one quarter.
+
+    Scale: both date and returnflag predicates push to their scans; the
+    (filtered orders ⋈ customer ⋈ nation) dimension chain broadcasts
+    into lineitem; exact integer cents; top-20 via
+    TakeOrderedAndProject heaps — no global sort.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    dims = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("o_orderkey", "c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_orderkey == dims.o_orderkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(csum(net_cents()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 150)
+    GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE),
+             o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, with their customers — the classic
+    HAVING-subquery + rejoin shape.
+
+    Scale: the qualifying-order set is ONE groupBy over (orderkey,
+    quantity) — integer quantities, map-side combine — whose tiny
+    survivors broadcast as a semi-join filter into BOTH the orders and
+    lineitem sides before the final rollup; top-20 via heaps.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round("l_quantity").cast("bigint").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("tq"))
+        .filter(F.col("tq") > 150)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(big),
+        F.col("o_orderkey") == big.l_orderkey,
+        "left_semi",
+    )
+    c = load_table(spark, sf_dir, "customer")
+    li2 = li.join(F.broadcast(big), "l_orderkey", "left_semi")
+    dims = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        "c_name",
+        "c_custkey",
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+        "o_totalprice",
+    )
+    return (
+        li2.join(F.broadcast(dims), li2.l_orderkey == dims.o_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "orderdate", "o_totalprice")
+        .agg(F.sum("qty").cast("bigint").alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )

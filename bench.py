@@ -117,8 +117,11 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
     "tpch_q12",
     "tpch_q14",
+    "tpch_q18",
     "contamination_fraction",
     "ngram_novelty_rate",
     "trend_forecast_linreg",
