@@ -1519,3 +1519,94 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of per-customer
+    order counts, zero-order customers included — the double-aggregation
+    + filtered LEFT OUTER join shape (the join predicate, not a WHERE,
+    keeps customers with no qualifying orders).
+
+    Scale: orders pre-filtered and aggregated per custkey BEFORE
+    touching customer would also work, but the canonical outer-join form
+    lets Catalyst choose; the second aggregation reduces to |distinct
+    counts| rows. COUNT(o_orderkey) counts non-null matches only —
+    exactly the outer-join-aware count.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+        "left_outer",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                AS DOUBLE) / 100 / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue from orders of
+    a brand's parts in quantities below 20% of that part's average — the
+    correlated scalar-subquery shape, decorrelated to an aggregate +
+    rejoin.
+
+    Scale: the per-part average is ONE groupBy over (partkey, quantity)
+    (map-side combinable); the brand filter pushes to the part scan and
+    prunes the average table to the brand's parts BEFORE it broadcasts
+    back into lineitem. The threshold compare (0.2×avg) is evaluated
+    identically in both engines (avg of small integer quantities).
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+                .cast("double")
+                / 100
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )

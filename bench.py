@@ -120,7 +120,9 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q10",
     "tpch_q12",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q17",
     "tpch_q18",
     "contamination_fraction",
     "ngram_novelty_rate",
