@@ -1610,3 +1610,454 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly")
         )
     )
+
+
+@register(
+    "tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_csum(SQL_NET_CENTS)} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice, l_discount
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by year — the disjunctive two-nation join condition.
+
+    Scale: both nation filters broadcast into supplier/customer; the
+    disjunction lives in the post-join predicate of broadcast joins, so
+    lineitem still never shuffles; exact cents; years come from the
+    pushed shipdate band.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    sn = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                             F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("snk"),
+    ).select("s_suppkey", "supp_nation")
+    cn = c.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("cnk"),
+                             F.col("n_name").alias("cust_nation"))),
+        c.c_nationkey == F.col("cnk"),
+    ).select("c_custkey", "cust_nation")
+    co = o.join(F.broadcast(cn), o.o_custkey == cn.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(csum(net_cents()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_1' THEN cents ELSE 0 END)
+                AS DOUBLE)
+             / SUM(cents) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                  AS BIGINT) AS cents,
+             n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one supplier nation's share of
+    a region's revenue in one part type, by year — the 8-way snowflake
+    with a conditional-share aggregate.
+
+    Scale: every dimension chain (part-type filter, customer→nation→
+    region, supplier→nation) broadcasts; lineitem and orders join
+    key-on-key; the share is exact-cents conditional sum over exact
+    total — one final int/int-derived division per year.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cust_region = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    co = o.join(
+        F.broadcast(cust_region), o.o_custkey == F.col("c_custkey"), "left_semi"
+    ).select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    sn = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                             F.col("n_name").alias("nation"))),
+        s.s_nationkey == F.col("snk"),
+    ).select("s_suppkey", "nation")
+    cents = net_cents()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .select("o_year", "nation", cents.alias("cents"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_1", F.col("cents")).otherwise(0))
+                .cast("double")
+                / F.sum("cents")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_csum(SQL_NET_CENTS)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum revenue in
+    one quarter — the view + scalar-max-subquery shape (ties kept, per
+    the spec).
+
+    Scale: revenue is one groupBy of (suppkey, cents); the scalar max is
+    a 1-row broadcast crossJoin back (no second full aggregation pass
+    over lineitem); supplier names broadcast in last.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        csum(net_cents()).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                    AS BIGINT)) AS DOUBLE) / 100 AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): revenue from three disjunctive
+    (brand, size, quantity) baskets — the OR-of-ANDs predicate that
+    tests an optimizer's disjunction handling (container/shipmode
+    clauses adapted to the columns this schema has).
+
+    Scale: Catalyst pushes the common p_size/brand bounds into the part
+    scan and the quantity bounds into lineitem where possible; part
+    broadcasts and the disjunction evaluates post-join in codegen. One
+    exact-cents sum out.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    basket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(basket)
+        .agg(
+            (F.sum(net_cents()).cast("double") / 100).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q9",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(SUM(profit_cents) AS DOUBLE) / 100 AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+               - (CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT) * 6) // 10
+               AS profit_cents
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): per supplier-nation and year, the
+    profit on one product family. This schema has no partsupp, so unit
+    cost is adapted to 60% of p_retailprice (exact integer arithmetic,
+    documented) — the join tree and rollup are the benchmark's.
+
+    Scale: the name-filtered part table broadcasts (LIKE can't push to
+    a min/max footer but prunes immediately after scan); supplier/nation
+    broadcast; lineitem⋈orders is the one key-on-key join; profit stays
+    in exact integer cents end to end (the // 10 is integer division,
+    identical in both engines for the non-negative operands here).
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey", "p_retailprice")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    # integer DIV 10 mirrored via expr to match DuckDB's // exactly
+    profit_cents = net_cents() - F.expr(
+        "(CAST(round(p_retailprice * 100, 0) AS BIGINT)"
+        " * CAST(round(l_quantity) AS BIGINT) * 6) DIV 10"
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            profit_cents.alias("profit_cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("profit_cents").cast("double") / 100).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q11",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey AS ps_partkey,
+             SUM(CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT)) AS value_cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN part ON p_partkey = l_partkey
+      WHERE n_name = 'NATION_1'
+      GROUP BY l_partkey)
+    SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100 AS value
+    FROM val
+    WHERE value_cents > (SELECT SUM(value_cents) * 0.001 FROM val)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): parts representing a
+    significant share of one nation's shipped value — the
+    aggregate-vs-global-scalar HAVING shape. partsupp's availqty×cost is
+    adapted to shipped qty × retail price (exact integer cents).
+
+    Scale: the nation's supplier set broadcasts as a semi-join filter;
+    per-part value is one groupBy with map-side combine; the global
+    total is a 1-row broadcast crossJoin — no second pass, no
+    correlated re-aggregation.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    li = load_table(spark, sf_dir, "lineitem")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    val = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+                * F.round("l_quantity").cast("bigint")
+            ).alias("value_cents")
+        )
+    )
+    total = val.agg((F.sum("value_cents") * 0.001).alias("cutoff"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") > F.col("cutoff"))
+        .select(
+            "ps_partkey",
+            (F.col("value_cents").cast("double") / 100).alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@register(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many distinct
+    suppliers ship each (brand, type, size) combination, excluding
+    flagged suppliers — the NOT-IN exclusion + multi-key distinct-count
+    shape (the complaints LIKE-clause adapted to negative balances;
+    partsupp adapted to shipment facts).
+
+    Scale: the excluded-supplier set is tiny → broadcast ANTI join; the
+    size/brand filters broadcast with the part dim; countDistinct rides
+    the (brand, type, size) shuffle via expand.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 50)
+    ORDER BY s_name, s_acctbal
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers in one nation who
+    shipped a significant volume of promo parts in one year — the
+    nested IN-subquery chain (partsupp availability adapted to shipped
+    volume).
+
+    Scale: the inner aggregate runs over the year+type-pruned lineitem
+    slice (both filters pushed); its small survivor set broadcasts as a
+    semi-join into the nation-filtered supplier dim. No correlated
+    execution anywhere — both INs decorrelate to semi-joins.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("tq"))
+        .filter(F.col("tq") > 50)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name", "s_acctbal")
+    )

@@ -118,11 +118,19 @@ HEADLINE = [
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
     "tpch_q10",
+    "tpch_q11",
     "tpch_q12",
     "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
     "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
     "tpch_q18",
     "contamination_fraction",
     "ngram_novelty_rate",
