@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: verdict-named round-2 additions + the extended/array/function
 #: surfaces, and ends with the 14 operators ADDED in round 3 so new
 #: code never waits a round for its driver row. Queued for the r4
-#: rotation — the EXACT 52 oracle-twinned queries with no driver row
+#: rotation — the EXACT 67 oracle-twinned queries with no driver row
 #: in r1∪r2∪r3 (all local-green at three SFs; regenerate with
 #: set(oracle_sql()) - set(CORRECTNESS_r0*.json) - set(PRIORITY)):
 #: ab_test_ztest ann_pq_from_index ann_pq_topk anomaly_zscore
@@ -51,10 +51,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: pretrain_corpus_pipeline repetition_quality rolling_median
 #: salted_agg scd2_pit_lookup seasonal_naive_mape snapshot_diff
 #: stopword_pruned_corpus stream_static_join_batch_twin
-#: string_agg_ordered text_tokens time_to_convert tpch_q3 tpch_q4
-#: tpch_q5 trend_forecast_linreg triangle_count user_erasure_audit
-#: window_distinct_count window_fill_forward window_range_rolling
-#: window_rolling_corr window_sliding
+#: string_agg_ordered text_tokens time_to_convert tpch_q10 tpch_q11
+#: tpch_q12 tpch_q13 tpch_q14 tpch_q15 tpch_q16 tpch_q17 tpch_q18
+#: tpch_q19 tpch_q20 tpch_q3 tpch_q4 tpch_q5 tpch_q6 tpch_q7
+#: tpch_q8 tpch_q9 trend_forecast_linreg triangle_count
+#: user_erasure_audit window_distinct_count window_fill_forward
+#: window_range_rolling window_rolling_corr window_sliding
 #: — plus the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power)
 #: if slots remain.
