@@ -548,3 +548,32 @@ class TestLateRound3Plans:
         t = tree(spark, "pretrain_corpus_pipeline")
         assert t.count("Scan parquet") <= 4
         assert t.count("Exchange") <= 15
+
+
+class TestTpchPlans:
+    """Plan contracts for the completed TPC-H block: dims broadcast,
+    facts never sort-merge, scans carry the pushed predicates."""
+
+    def test_q6_is_pure_pushed_scan(self, spark):
+        plan = full(spark, "tpch_q6")
+        assert "PushedFilters" in plan
+        assert "l_shipdate" in plan and "l_quantity" in plan
+        t = tree(spark, "tpch_q6")
+        assert "Join" not in t  # single-table: scan + agg only
+
+    def test_q9_q10_dims_broadcast(self, spark):
+        for name in ("tpch_q9", "tpch_q10"):
+            t = tree(spark, name)
+            assert "SortMergeJoin" not in t, name
+            assert t.count("BroadcastHashJoin") >= 3, name
+
+    def test_q18_semi_join_prunes_both_sides(self, spark):
+        t = tree(spark, "tpch_q18")
+        assert t.count("LeftSemi") >= 2
+        assert "SortMergeJoin" not in t
+
+    def test_q15_scalar_max_is_single_row_join(self, spark):
+        t = tree(spark, "tpch_q15")
+        # the MAX(total_revenue) compare must NOT re-aggregate lineitem:
+        # exactly one scan of lineitem in the whole plan
+        assert t.count("Scan parquet") <= 3  # lineitem + supplier (+reuse)
