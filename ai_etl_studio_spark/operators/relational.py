@@ -2061,3 +2061,20 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name", "s_acctbal")
     )
+
+
+def _alias_tpch(alias: str, target: str) -> None:
+    """Register a ``tpch_qN`` name for a query that predates the TPC-H
+    block under a descriptive name, so the full tpch_q1..q22 namespace
+    resolves (same callable, same oracle — the driver checks both rows
+    identically)."""
+    from ai_etl_studio_spark.operators import ORACLES, QUERIES
+
+    QUERIES[alias] = QUERIES[target]
+    ORACLES[alias] = ORACLES[target]
+
+
+_alias_tpch("tpch_q1", "agg_pricing_summary")
+_alias_tpch("tpch_q2", "min_cost_per_part")
+_alias_tpch("tpch_q21", "pending_returns_q21")
+_alias_tpch("tpch_q22", "lapsed_customers_q22")
