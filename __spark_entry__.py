@@ -31,91 +31,86 @@ def entry(spark: SparkSession) -> DataFrame:
 #: hash-checks exactly the first 50 registry keys per round, so the
 #: prefix ROTATES each round toward queries that have never had a
 #: driver row. Round 1 covered the reference-parity core; round 2 the
-#: LLM-data-pipeline extensions (49/50 green). Round 3 leads with
-#: pagerank_bipartite (proving the oracle int128 fix), keeps the
-#: verdict-named round-2 additions + the extended/array/function
-#: surfaces, and ends with the 14 operators ADDED in round 3 so new
-#: code never waits a round for its driver row. Queued for the r4
-#: rotation — the EXACT 67 oracle-twinned queries with no driver row
-#: in r1∪r2∪r3 (all local-green at three SFs; regenerate with
-#: set(oracle_sql()) - set(CORRECTNESS_r0*.json) - set(PRIORITY)):
-#: ab_test_ztest ann_pq_from_index ann_pq_topk anomaly_zscore
-#: argmax_minby boolean_linreg_agg contamination_fraction
-#: countmin_heavy_hitters crosslingual_pairs datetime_functions
-#: distinct_projection dq_audit geo_grid_join gopher_rules
-#: having_filter interval_join_events join_cardinality_probe
-#: join_cross line_dedup_corpus line_dedup_from_index mad_outliers
-#: math_functions multimodal_audio_segments
-#: multimodal_decode_pipeline multimodal_frame_sample
-#: ngram_novelty_rate null_handling path_transitions pct_of_total
-#: pretrain_corpus_pipeline repetition_quality rolling_median
-#: salted_agg scd2_pit_lookup seasonal_naive_mape snapshot_diff
-#: stopword_pruned_corpus stream_static_join_batch_twin
-#: string_agg_ordered text_tokens time_to_convert tpch_q10 tpch_q11
-#: tpch_q12 tpch_q13 tpch_q14 tpch_q15 tpch_q16 tpch_q17 tpch_q18
-#: tpch_q19 tpch_q20 tpch_q3 tpch_q4 tpch_q5 tpch_q6 tpch_q7
-#: tpch_q8 tpch_q9 trend_forecast_linreg triangle_count
-#: user_erasure_audit window_distinct_count window_fill_forward
-#: window_range_rolling window_rolling_corr window_sliding
+#: LLM-data-pipeline extensions; round 3 the extended/array/function
+#: surfaces + the round-3 additions (50/50 green). Round 4 rotates to
+#: the r1∪r2∪r3 backlog, TPC-H first: the 18 tpch_q3..q20 slots prove
+#: the r4 broadcast-hint rewrite (VERDICT r3 item 1) against the
+#: driver, then the audit/insights/PQ/geo/crosslingual set. NOTE when
+#: regenerating the backlog with set(oracle_sql()) -
+#: set(CORRECTNESS_r0*.json) - set(PRIORITY): the four alias names
+#: tpch_q1/q2/q21/q22 must ALSO be subtracted — their targets
+#: (agg_pricing_summary, min_cost_per_part, pending_returns_q21,
+#: q22_cohort_anti_join) already carry r1 driver rows, so the formula
+#: otherwise over-counts by 4 (71 instead of 67). Queued for the r5
+#: rotation — the 17 oracle-twinned names still without a driver row
+#: after this prefix runs:
+#: anomaly_zscore argmax_minby boolean_linreg_agg datetime_functions
+#: distinct_projection having_filter join_cross math_functions
+#: null_handling pct_of_total repetition_quality
+#: stopword_pruned_corpus string_agg_ordered text_tokens
+#: window_fill_forward window_range_rolling window_sliding
 #: — plus the rows-only five (approx_distinct, hll_sketch_rollup,
-#: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power)
-#: if slots remain.
+#: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
+#: which can't hash-match by design but get err:null rows-only rows.
 PRIORITY: tuple[str, ...] = (
-    # prove the r2 fix first
-    "pagerank_bipartite",
-    # round-2 additions never driver-checked (verdict-named)
-    "ntile_rfm_scalable",
-    "ewma_user_value",
-    "histogram_equidepth",
-    "curriculum_stages",
-    "curation_funnel",
-    "dedup_keep_best",
-    "dedup_source_matrix",
-    "dedup_embedding_lsh_pairs",
-    "dedup_embedding_lsh_pairs_capped",
-    "dedup_embedding_lsh_multiprobe",
-    "ann_lsh_buckets",
-    "mmr_diverse_topk",
-    "levenshtein_nearest",
-    # extended.py: joins / set ops / subqueries
-    "join_left_outer",
-    "join_full_outer",
-    "asof_join",
-    "range_join",
-    "in_subquery",
-    "not_in_subquery",
-    "exists_correlated",
-    "scalar_subquery",
-    "merge_upsert",
-    # extended.py + arrays.py: reshaping and function surfaces
-    "pivot_wide",
-    "unpivot_long",
-    "cube_agg",
-    "grouping_sets_agg",
-    "array_functions",
-    "higher_order_functions",
-    "map_struct_functions",
-    "posexplode_ordinal",
-    "variant_extract",
-    "string_functions",
-    "regex_functions",
-    "hash_functions",
-    "bitwise_agg",
-    # round-3 additions (new this round; driver-checked immediately)
-    "pagerank_from_index",
-    "decontaminate_bloom",
-    "heavy_hitters_twopass",
-    "cohort_retention",
-    "scd2_dim_build",
-    "er_blocked_pairs",
-    "export_shards",
-    "stream_dedup_vs_corpus",
-    "conversion_funnel",
-    "ivm_agg_delta",
-    "window_rank_suite",
-    "winsorized_mean",
-    "cdc_latest_snapshot",
-    "skew_profile",
+    # the full TPC-H backlog — proving the r4 plan rewrite (the 7
+    # de-broadcast queries + q18 inversion) under the driver's gate
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    # the composed flagship pipeline
+    "pretrain_corpus_pipeline",
+    # audit suite
+    "dq_audit",
+    "snapshot_diff",
+    "user_erasure_audit",
+    "contamination_fraction",
+    "ngram_novelty_rate",
+    # insights suite
+    "path_transitions",
+    "ab_test_ztest",
+    "seasonal_naive_mape",
+    "trend_forecast_linreg",
+    "mad_outliers",
+    "triangle_count",
+    "countmin_heavy_hitters",
+    "join_cardinality_probe",
+    # ANN PQ ladder + spatial
+    "ann_pq_topk",
+    "ann_pq_from_index",
+    "geo_grid_join",
+    # r4-fixed operators (fresh driver proof of the new plans)
+    "crosslingual_pairs",
+    "scd2_pit_lookup",
+    "time_to_convert",
+    "window_rolling_corr",
+    # remaining never-checked backlog (fills the 50-row window)
+    "line_dedup_corpus",
+    "line_dedup_from_index",
+    "multimodal_decode_pipeline",
+    "multimodal_frame_sample",
+    "multimodal_audio_segments",
+    "stream_static_join_batch_twin",
+    "salted_agg",
+    "gopher_rules",
+    "interval_join_events",
+    "window_distinct_count",
+    "rolling_median",
 )
 
 

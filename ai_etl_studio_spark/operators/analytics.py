@@ -70,7 +70,7 @@ def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spend = (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", "c_custkey", "c_name")
         .agg((F.sum("order_cents").cast("double") / 100).alias("total_spent"))
@@ -1770,15 +1770,18 @@ def _pagerank_index_ident(sf_dir: str, base_dir: str | None = None) -> tuple[str
     import hashlib
     import os
 
-    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
-    fp = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{int(st.st_mtime)}|{PR_BUCKETS}".encode()
-    ).hexdigest()[:12]
-    tbl = f"pr_edges_{fp}"
     if base_dir is None:
         import pathlib
 
         base_dir = str(pathlib.Path(__file__).resolve().parents[2] / ".cache" / "pr_edges")
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    # base_dir is part of the identity (ADVICE r3): same corpus, two
+    # locations → two catalog names, never a silent re-point
+    fp = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{int(st.st_mtime)}|{PR_BUCKETS}"
+        f"|{os.path.abspath(base_dir)}".encode()
+    ).hexdigest()[:12]
+    tbl = f"pr_edges_{fp}"
     return tbl, os.path.join(base_dir, tbl)
 
 
@@ -2296,12 +2299,13 @@ def scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the query that SCD2 history exists to answer, completing the
     build (scd2_dim_build) / as-of (asof_join) triangle.
 
-    Scale: the dimension is |entities|×|changes| rows — broadcast; the
-    fact stream joins it with an equi-key (user_id) plus the interval
-    predicate, so facts never shuffle. When the dimension outgrows a
-    broadcast, the same plan keyed on (user_id) becomes a sort-merge
-    join with interval post-filter — or the asof_join union-tag form,
-    one shuffle, no inequality join at all.
+    Scale: the dimension is |entities|×|changes| rows — hint-free, so
+    the planner broadcasts it while it fits (its runtime size, via
+    AQE's dynamic switch) and falls back to a sort-merge join keyed on
+    user_id with the interval as post-filter when change history is
+    itself fact-scale; either way the equi-key keeps the join hash, not
+    nested-loop. For huge histories the asof_join union-tag form (one
+    shuffle, no inequality join at all) is the drop-in alternative.
     """
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     changes = e.filter(F.col("event_type").isin("signup", "purchase"))
@@ -2317,7 +2321,7 @@ def scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.join(
-            F.broadcast(dim),
+            dim,
             (ev.user_id == dim.d_user)
             & (ev.ts >= dim.valid_from)
             & (dim.valid_to.isNull() | (ev.ts < dim.valid_to)),

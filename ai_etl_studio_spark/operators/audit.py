@@ -300,18 +300,21 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     each downstream table would be deleted — the dry-run every
     compliance pipeline executes before the destructive pass.
 
-    Scale: the victim cohort is small → BROADCAST semi-joins down the
-    foreign-key chain (customer → orders → lineitem); the lineitem count
-    reuses the orders-side semi-join result's keys, so the fact table is
-    touched once, with only its FK column in flight. Counts only — no
-    row payload ever moves.
+    Scale: semi-joins down the foreign-key chain (customer → orders →
+    lineitem), hint-free — an erasure cohort is usually tiny (AQE
+    broadcasts it at runtime) but is proportional to the customer table
+    in the worst case (bulk-erasure backfills), so the plan must not
+    FORCE a broadcast; keys-only frames ride the semi-joins either way.
+    The lineitem count reuses the orders-side semi-join result's keys,
+    so the fact table is touched once, with only its FK column in
+    flight. Counts only — no row payload ever moves.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     victims = c.filter(F.col("c_custkey") % _ERASE_MOD == 0).select("c_custkey")
     hit_orders = o.join(
-        F.broadcast(victims), o.o_custkey == victims.c_custkey, "left_semi"
+        victims, o.o_custkey == victims.c_custkey, "left_semi"
     )
     n_c = victims.agg(F.count(F.lit(1)).alias("n_rows")).select(
         F.lit("customer").alias("table_name"), "n_rows"
@@ -321,7 +324,7 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_l = (
         li.join(
-            F.broadcast(hit_orders.select("o_orderkey")),
+            hit_orders.select("o_orderkey"),
             li.l_orderkey == F.col("o_orderkey"),
             "left_semi",
         )

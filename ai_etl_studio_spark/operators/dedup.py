@@ -798,18 +798,21 @@ def _line_index_ident(sf_dir: str, base_dir: str | None = None) -> tuple[str, st
     import hashlib
     import os
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    fp = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{int(st.st_mtime)}"
-        f"|{LINE_W}|{LINE_DROP_DF}".encode()
-    ).hexdigest()[:12]
-    tbl = f"bp_lines_{fp}"
     if base_dir is None:
         import pathlib
 
         base_dir = str(
             pathlib.Path(__file__).resolve().parents[2] / ".cache" / "bp_lines"
         )
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    # base_dir is part of the identity: the same corpus indexed into two
+    # locations must get two catalog names, or the second ensure_* call
+    # silently re-points the shared table (ADVICE r3)
+    fp = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{int(st.st_mtime)}"
+        f"|{LINE_W}|{LINE_DROP_DF}|{os.path.abspath(base_dir)}".encode()
+    ).hexdigest()[:12]
+    tbl = f"bp_lines_{fp}"
     return tbl, os.path.join(base_dir, tbl)
 
 
@@ -901,13 +904,17 @@ def line_dedup_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     against yesterday's boilerplate list without touching the corpus).
 
     Same output contract (and oracle) as line_dedup_corpus; the plan is
-    the difference: one narrow pass over the input + one broadcast hash
-    join, no countDistinct shuffle, no line-frequency exchange.
+    the difference: one narrow pass over the input + one membership hash
+    join against the 8-byte digest table, no countDistinct shuffle, no
+    line-frequency exchange. The join is hint-free: a boilerplate list
+    is normally small (AQE broadcasts it), but it grows with corpus
+    breadth — forcing a broadcast would put an unbounded artifact in
+    every executor's memory (SCALE.md "Broadcast budget").
     """
     tbl = ensure_boilerplate_index(spark, sf_dir)
     bp = spark.table(tbl).withColumn("is_bp", F.lit(1))
     d = load_table(spark, sf_dir, "documents")
-    tagged = _doc_lines(d).join(F.broadcast(bp), "h", "left")
+    tagged = _doc_lines(d).join(bp, "h", "left")
     keep = F.col("is_bp").isNull()
     return (
         tagged.groupBy("doc_id")
@@ -934,10 +941,11 @@ def line_dedup_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "crosslingual_pairs",
     oracle=rf"""
     WITH {_bands_cte()},
+    {_SQL_CAPPED_BUCKETS},
     langs AS (SELECT doc_id, lang FROM documents)
     SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
            la.lang AS lang_1, lb.lang AS lang_2
-    FROM bands a JOIN bands b
+    FROM capped a JOIN capped b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     JOIN langs la ON la.doc_id = a.doc_id
     JOIN langs lb ON lb.doc_id = b.doc_id
@@ -952,27 +960,19 @@ def crosslingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     multilingual shingler the same plan mines translation pairs; here it
     also surfaces mislabeled-language duplicates, a real cleaning task).
 
-    Scale: identical join geometry to dedup_minhash_lsh_pairs (banded
-    signatures, constant bytes/doc in the shuffle); the language
-    annotation is a broadcast (doc_id -> lang) join applied AFTER
-    candidate generation, so the language filter costs only the
-    candidate set, never the corpus.
+    Scale: candidates come from the SAME hot-bucket-capped band join as
+    dedup_minhash_lsh_pairs_capped (≤{LSH_BUCKET_CAP} docs per bucket →
+    CAP² worst-case fan-out per bucket, constant bytes/doc in the
+    shuffle). The (doc_id → lang) annotation then shuffle-joins onto the
+    candidate list on doc_id — hint-free: the map is corpus-sized, the
+    candidates are few, so the shuffle carries ~|candidates| + the
+    2-column map once, and AQE broadcasts the small side at runtime.
+    Forcing the full-corpus map into a broadcast (the pre-r4 form) is a
+    driver OOM at 100 TB.
     """
     d = load_table(spark, sf_dir, "documents")
     langs = d.select("doc_id", "lang")
-    bands = bands_from(d)
-    a = bands.select(
-        F.col("doc_id").alias("doc_id_1"), "band", "band_key"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_id_2"), "band", "band_key"
-    )
-    pairs = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .select("doc_id_1", "doc_id_2")
-        .distinct()
-    )
+    pairs = _lsh_candidate_pairs(spark, sf_dir, cap=LSH_BUCKET_CAP)
     l1 = langs.select(
         F.col("doc_id").alias("doc_id_1"), F.col("lang").alias("lang_1")
     )
@@ -980,8 +980,8 @@ def crosslingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_id_2"), F.col("lang").alias("lang_2")
     )
     return (
-        pairs.join(F.broadcast(l1), "doc_id_1")
-        .join(F.broadcast(l2), "doc_id_2")
+        pairs.join(l1, "doc_id_1")
+        .join(l2, "doc_id_2")
         .filter(F.col("lang_1") != F.col("lang_2"))
         .select("doc_id_1", "doc_id_2", "lang_1", "lang_2")
         .orderBy("doc_id_1", "doc_id_2")

@@ -17,7 +17,7 @@ in the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_etl_studio_spark.catalog import load_table
@@ -747,6 +747,10 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GEO_KM = 500.0
 _GEO_CELL = 5.0
 _GEO_CELL_LON = 10.0
+#: longitude cells wrap modulo this count so the 3×3 neighborhood
+#: covers the ±180° antimeridian (a point at lon −179.9° and one at
+#: +179.9° are ~22 km apart at the equator and MUST be candidates)
+_GEO_N_LON_CELLS = int(360 / _GEO_CELL_LON)
 _EARTH_KM = 6371.0
 
 _GEO_HAVERSINE = (
@@ -770,6 +774,7 @@ def _geo_oracle() -> str:
         " / 100.0"
     )
     hav = _GEO_HAVERSINE(R=_EARTH_KM, lat1="a.lat", lat2="b.lat", lon1="a.lon", lon2="b.lon")
+    n_lon = _GEO_N_LON_CELLS
     return f"""
     WITH pts AS (
       SELECT c_custkey AS key, c_nationkey,
@@ -777,10 +782,12 @@ def _geo_oracle() -> str:
       FROM customer),
     cells AS (
       SELECT *, CAST(floor(lat / {_GEO_CELL}) AS BIGINT) AS cx,
-                CAST(floor(lon / {_GEO_CELL_LON}) AS BIGINT) AS cy
+                ((CAST(floor(lon / {_GEO_CELL_LON}) AS BIGINT) % {n_lon})
+                 + {n_lon}) % {n_lon} AS cy
       FROM pts),
     probe AS (
-      SELECT key, c_nationkey, lat, lon, cx + dx AS cx, cy + dy AS cy
+      SELECT key, c_nationkey, lat, lon, cx + dx AS cx,
+             ((cy + dy) % {n_lon} + {n_lon}) % {n_lon} AS cy
       FROM cells, UNNEST([-1, 0, 1]) AS u(dx), UNNEST([-1, 0, 1]) AS v(dy)),
     pairs AS (
       SELECT a.c_nationkey
@@ -827,6 +834,12 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 100.0
     )
+    # identical ((x % n) + n) % n wrap in both engines — cy lives in
+    # [0, n) and the antimeridian cells 0 and n-1 are neighbors
+    def wrap_lon_cell(cell: Column) -> Column:
+        n = F.lit(_GEO_N_LON_CELLS)
+        return ((cell % n) + n) % n
+
     pts = c.select(
         F.col("c_custkey").alias("key"),
         "c_nationkey",
@@ -835,7 +848,7 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "*",
         F.floor(F.col("lat") / _GEO_CELL).alias("cx"),
-        F.floor(F.col("lon") / _GEO_CELL_LON).alias("cy"),
+        wrap_lon_cell(F.floor(F.col("lon") / _GEO_CELL_LON)).alias("cy"),
     )
     offsets = F.explode(
         F.array(
@@ -860,7 +873,7 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_lat",
         "b_lon",
         (F.col("cx") + F.col("o.dx")).alias("cx"),
-        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        wrap_lon_cell(F.col("cy") + F.col("o.dy")).alias("cy"),
     )
     half_dlat = F.radians((F.col("b_lat") - F.col("lat")) / 2)
     half_dlon = F.radians((F.col("b_lon") - F.col("lon")) / 2)

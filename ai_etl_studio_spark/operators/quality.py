@@ -391,15 +391,20 @@ def dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure — a different CC algorithm reaching the same
     fixpoint.
 
-    Scale: the anti join broadcasts the drop set (|near-dups| ≪
-    |corpus|); everything upstream is the documented LSH/CC pipeline.
-    The final inventory is one partial-agg'd groupBy.
+    Scale: the anti join is hint-free — the drop set is usually tiny
+    (|near-dups| ≪ |corpus|; AQE broadcasts it at runtime) but is
+    corpus-PROPORTIONAL in the worst case (a 30% dup rate at 10^10 docs
+    is ~48 GB of keys — no broadcast survives that), so the plan must
+    not force it; AQE's dynamic switch picks broadcast vs shuffle
+    anti-join from the materialized size (SCALE.md "Broadcast budget").
+    Everything upstream is the documented LSH/CC pipeline. The final
+    inventory is one partial-agg'd groupBy.
     """
     labels = _cc_labels(spark, sf_dir)
     drops = labels.filter(F.col("label") != F.col("node")).select("node")
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.join(F.broadcast(drops), d.doc_id == drops.node, "left_anti")
+        d.join(drops, d.doc_id == drops.node, "left_anti")
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("kept_docs"),
@@ -712,11 +717,15 @@ def clean_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash split, reported as per-(split, source) doc and token budgets —
     the inventory a run actually trains on.
 
-    Scale: contaminated-doc set is tiny → broadcast anti join; the
+    Scale: the contaminated-doc set is benchmark-sized in practice but
+    corpus-proportional in the worst case (every training doc could
+    share an 8-gram with some benchmark), so the anti join is hint-free
+    — AQE broadcasts the materialized set while it fits and falls back
+    to a shuffle anti-join beyond (SCALE.md "Broadcast budget"). The
     split key is a narrow md5 on doc_id; one final small groupBy.
     """
     d = load_table(spark, sf_dir, "documents").filter(F.col("source") != "src0")
-    kept = d.join(F.broadcast(_contaminated_docs(spark, sf_dir)), "doc_id", "left_anti")
+    kept = d.join(_contaminated_docs(spark, sf_dir), "doc_id", "left_anti")
     bucket = (
         F.conv(
             F.substring(

@@ -223,8 +223,9 @@ def join_3way_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     without it the fact-fact join shuffles every lineitem row; with it
     the orderkey shuffle carries ~|orders| pre-combined rows, and the
     groupBy's output partitioning is reused by the join (one exchange
-    feeds both). Customer then broadcasts, and the custkey rollup
-    re-aggregates the per-order cents.
+    feeds both). Customer is SF-linear, so it joins hint-free on custkey
+    (AQE broadcasts it while it fits, shuffles beyond), and the custkey
+    rollup re-aggregates the per-order cents.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -234,7 +235,7 @@ def join_3way_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg((F.sum("order_cents").cast("double") / 100).alias("total_spent"))
         .orderBy(F.desc("total_spent"), "c_custkey")
@@ -1146,11 +1147,13 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     (balyuv/ai-etl-studio answers ad-hoc joins like prompts.py's examples;
     this is the benchmark-canon instance).
 
-    Scale: both date filters push to the parquet scans; the filtered
-    customer segment broadcasts into orders, the result broadcasts into
-    lineitem (never the reverse); revenue is exact integer cents with
-    map-side partial agg; the ORDER BY + LIMIT is a TakeOrderedAndProject
-    heap, no global sort.
+    Scale: both date filters push to the parquet scans. Orders and
+    customer are SF-linear (fact-scale at 100 TB), so NEITHER carries a
+    broadcast hint: customer⋈orders shuffles once on custkey, the result
+    ⋈lineitem once on orderkey — SCALE.md's fact-fact rule — and AQE's
+    dynamic join switch still broadcasts a side that turns out small at
+    runtime. Revenue is exact integer cents with map-side partial agg;
+    the ORDER BY + LIMIT is a TakeOrderedAndProject heap, no global sort.
     """
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -1162,7 +1165,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > "1996-03-15"
     )
     return (
-        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li.join(o.join(c, o.o_custkey == c.c_custkey),
                 li.l_orderkey == o.o_orderkey)
         .groupBy(
             "l_orderkey",
@@ -1197,9 +1200,12 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier and customer share a nation, for one region-year — the
     6-way snowflake join.
 
-    Scale: region→nation→supplier chain collapses to a broadcast;
-    customer joins orders (both filtered) and broadcasts into lineitem;
-    the c_nationkey = s_nationkey locality condition rides the supplier
+    Scale: the region→nation chain broadcasts into supplier, and the
+    region-pruned supplier map broadcasts into lineitem; orders and
+    customer are fact-scale, so their join and the lineitem⋈orders join
+    carry no hints — each shuffles once on its key, and AQE upgrades to
+    broadcast at runtime only if the filtered side is genuinely small.
+    The c_nationkey = s_nationkey locality condition rides the supplier
     join as an equi-key, not a post-filter. One partial→final agg of
     5 nation rows; exact integer cents.
     """
@@ -1218,11 +1224,11 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_nationkey", "n_name")
     )
     co = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .select("o_orderkey", "c_nationkey")
     )
     return (
-        li.join(F.broadcast(co), li.l_orderkey == F.col("o_orderkey"))
+        li.join(co, li.l_orderkey == F.col("o_orderkey"))
         .join(
             F.broadcast(sn),
             (li.l_suppkey == F.col("s_suppkey"))
@@ -1301,8 +1307,11 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_linenumber parity — the join/agg MECHANICS (conditional counts
     over a fact⋈dim year slice) are the benchmark shape.
 
-    Scale: the year filter pushes to the lineitem scan; orders joins as
-    the broadcast side carrying only (orderkey, priority); both
+    Scale: the year filter pushes to the lineitem scan; lineitem⋈orders
+    is the canonical fact-fact join — both sides shuffle once on
+    orderkey, no broadcast hint (orders is SF-linear; a narrow 2-column
+    projection does not change its row count), and bucketing both tables
+    on orderkey at write time removes even that shuffle. Both
     conditional counts fuse into ONE HashAggregate of two groups.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -1315,7 +1324,7 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode = F.when(F.col("l_linenumber") % 2 == 0, "MAIL").otherwise("SHIP")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .select(mode.alias("l_shipmode"), "o_orderpriority")
         .groupBy("l_shipmode")
         .agg(
@@ -1428,10 +1437,13 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
     lost to returns in one quarter.
 
-    Scale: both date and returnflag predicates push to their scans; the
-    (filtered orders ⋈ customer ⋈ nation) dimension chain broadcasts
-    into lineitem; exact integer cents; top-20 via
-    TakeOrderedAndProject heaps — no global sort.
+    Scale: both date and returnflag predicates push to their scans.
+    Nation broadcasts into customer; orders⋈customer and lineitem⋈
+    (orders-derived) are fact-fact joins — a quarter of orders is still
+    SF-linear, so no broadcast hints: one custkey shuffle, one orderkey
+    shuffle, AQE free to upgrade if the filtered side is small at
+    runtime. Exact integer cents; top-20 via TakeOrderedAndProject
+    heaps — no global sort.
     """
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -1443,12 +1455,12 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag") == "R"
     )
     dims = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select("o_orderkey", "c_custkey", "c_name", "c_acctbal", "n_name")
     )
     return (
-        li.join(F.broadcast(dims), li.l_orderkey == dims.o_orderkey)
+        li.join(dims, li.l_orderkey == dims.o_orderkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(csum(net_cents()).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -1483,7 +1495,10 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the qualifying-order set is ONE groupBy over (orderkey,
     quantity) — integer quantities, map-side combine — whose tiny
     survivors broadcast as a semi-join filter into BOTH the orders and
-    lineitem sides before the final rollup; top-20 via heaps.
+    lineitem sides before the final rollup. The qualified orders (the
+    aggregate-pruned, tiny side) then broadcast into FULL customer —
+    never the reverse: customer is SF-linear and streams — and the
+    resulting dim rejoins the pruned lineitem. Top-20 via heaps.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.round("l_quantity").cast("bigint").alias("qty")
@@ -1501,7 +1516,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load_table(spark, sf_dir, "customer")
     li2 = li.join(F.broadcast(big), "l_orderkey", "left_semi")
-    dims = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    dims = c.join(F.broadcast(o), o.o_custkey == c.c_custkey).select(
         "o_orderkey",
         "c_name",
         "c_custkey",
@@ -1509,7 +1524,9 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     return (
-        li2.join(F.broadcast(dims), li2.l_orderkey == dims.o_orderkey)
+        # both sides are already semi-pruned to the qualifying orders —
+        # tiny at any SF; AQE's dynamic switch broadcasts at runtime
+        li2.join(dims, li2.l_orderkey == dims.o_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "orderdate", "o_totalprice")
         .agg(F.sum("qty").cast("bigint").alias("total_qty"))
         .select(
@@ -1638,12 +1655,20 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (volume shipping): bilateral trade volume between two
     nations by year — the disjunctive two-nation join condition.
 
-    Scale: both nation filters broadcast into supplier/customer; the
-    disjunction lives in the post-join predicate of broadcast joins, so
-    lineitem still never shuffles; exact cents; years come from the
+    Scale: the pair disjunction implies BOTH endpoints are in
+    {NATION_1, NATION_2}, so that membership filter pushes below the
+    joins into the two nation lookups — supplier and customer shrink to
+    the two trading nations BEFORE anything joins orders (~12× less
+    order traffic than filtering after). The 2-nation-pruned supplier
+    map broadcasts into lineitem; customer and orders stay hint-free
+    (both SF-linear): custkey shuffle, then the orderkey fact-fact
+    shuffle, AQE free to upgrade. Only the cross-pair disjunction
+    remains as a post-join predicate. Exact cents; years come from the
     pushed shipdate band.
     """
-    n = load_table(spark, sf_dir, "nation")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
     s = load_table(spark, sf_dir, "supplier")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1660,7 +1685,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("n_name").alias("cust_nation"))),
         c.c_nationkey == F.col("cnk"),
     ).select("c_custkey", "cust_nation")
-    co = o.join(F.broadcast(cn), o.o_custkey == cn.c_custkey).select(
+    co = o.join(cn, o.o_custkey == cn.c_custkey).select(
         "o_orderkey", "cust_nation"
     )
     pair = (
@@ -1670,7 +1695,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
-        .join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
+        .join(co, li.l_orderkey == co.o_orderkey)
         .filter(pair)
         .groupBy(
             "supp_nation", "cust_nation",
@@ -1712,10 +1737,13 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     a region's revenue in one part type, by year — the 8-way snowflake
     with a conditional-share aggregate.
 
-    Scale: every dimension chain (part-type filter, customer→nation→
-    region, supplier→nation) broadcasts; lineitem and orders join
-    key-on-key; the share is exact-cents conditional sum over exact
-    total — one final int/int-derived division per year.
+    Scale: the true dimensions broadcast (type-filtered part as a
+    semi-join prune on lineitem, nation→region into customer,
+    supplier→nation); customer and orders are SF-linear so the
+    region-membership semi-join on orders and the lineitem⋈orders join
+    are hint-free key-on-key shuffles (AQE re-plans at runtime). The
+    share is exact-cents conditional sum over exact total — one final
+    int/int-derived division per year.
     """
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_type") == "PROMO"
@@ -1734,7 +1762,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     co = o.join(
-        F.broadcast(cust_region), o.o_custkey == F.col("c_custkey"), "left_semi"
+        cust_region, o.o_custkey == F.col("c_custkey"), "left_semi"
     ).select("o_orderkey", F.year("o_orderdate").alias("o_year"))
     sn = s.join(
         F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
@@ -1744,7 +1772,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = net_cents()
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
-        .join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
+        .join(co, li.l_orderkey == co.o_orderkey)
         .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
         .select("o_year", "nation", cents.alias("cents"))
         .groupBy("o_year")
@@ -1875,9 +1903,12 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the name-filtered part table broadcasts (LIKE can't push to
     a min/max footer but prunes immediately after scan); supplier/nation
-    broadcast; lineitem⋈orders is the one key-on-key join; profit stays
-    in exact integer cents end to end (the // 10 is integer division,
-    identical in both engines for the non-negative operands here).
+    broadcast; lineitem⋈orders is the one key-on-key fact-fact join —
+    both sides shuffle once on orderkey with NO hint (orders is
+    SF-linear; forcing it into a broadcast would OOM at the 100 TB
+    design point), AQE free to re-plan. Profit stays in exact integer
+    cents end to end (the // 10 is integer division, identical in both
+    engines for the non-negative operands here).
     """
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("%gear%")
@@ -1897,7 +1928,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
         .select(
             "nation",
             F.year("o_orderdate").alias("o_year"),

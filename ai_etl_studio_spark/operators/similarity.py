@@ -1302,18 +1302,20 @@ def _pq_index_ident(sf_dir: str, base_dir: str | None = None) -> tuple[str, str]
     import hashlib
     import os
 
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    fp = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{int(st.st_mtime)}"
-        f"|{PQ_M}|{PQ_SUBDIM}|{PQ_K}|{_PQ_SCALE}".encode()
-    ).hexdigest()[:12]
-    tbl = f"pq_codes_{fp}"
     if base_dir is None:
         import pathlib
 
         base_dir = str(
             pathlib.Path(__file__).resolve().parents[2] / ".cache" / "pq_codes"
         )
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    # base_dir is part of the identity (ADVICE r3): same corpus, two
+    # locations → two catalog names, never a silent re-point
+    fp = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{int(st.st_mtime)}"
+        f"|{PQ_M}|{PQ_SUBDIM}|{PQ_K}|{_PQ_SCALE}|{os.path.abspath(base_dir)}".encode()
+    ).hexdigest()[:12]
+    tbl = f"pq_codes_{fp}"
     return tbl, os.path.join(base_dir, tbl)
 
 

@@ -341,12 +341,14 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static enrichment join + tumbling rollup per segment.
 
     Works identically on batch and streaming ``events``: Spark re-plans
-    the static side per microbatch and BROADCASTS it under the join —
-    the standard streaming-dimension pattern (no state, unlike
-    stream-stream joins)."""
+    the static side per microbatch — the standard streaming-dimension
+    pattern (no state, unlike stream-stream joins). No broadcast hint:
+    customer is SF-linear, so the planner broadcasts the 2-column dim
+    projection while it fits and falls back to a per-microbatch shuffle
+    join beyond — forcing it would OOM at the 100 TB design point."""
     return (
         events.join(
-            F.broadcast(customers.select("c_custkey", "c_mktsegment")),
+            customers.select("c_custkey", "c_mktsegment"),
             events.user_id == F.col("c_custkey"),
         )
         .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")

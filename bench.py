@@ -195,6 +195,16 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # TPC-H tracked as ONE number so round-over-round movement of the
+    # 22-query suite (18 tpch_q* + the 4 r1 originals that tpch_q1/q2/
+    # q21/q22 alias) is a single comparison in BENCH_r{N}.json
+    tpch_names = [n for n in timings if n.startswith("tpch_q")] + [
+        "agg_pricing_summary",      # tpch_q1
+        "min_cost_per_part",        # tpch_q2
+        "pending_returns_q21",      # tpch_q21
+        "lapsed_customers_q22",     # tpch_q22
+    ]
+    tpch_total = round(sum(timings[n] for n in tpch_names if n in timings), 3)
     print(
         json.dumps(
             {
@@ -202,6 +212,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tpch_total": tpch_total,
                 "sf": sf,
             }
         )

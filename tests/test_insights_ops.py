@@ -11,7 +11,7 @@ import pytest
 
 from ai_etl_studio_spark.operators import load_all
 
-QUERIES, _ = load_all()
+QUERIES, ORACLES = load_all()
 SF_DIR = "/root/testdata/sf0.001"
 
 
@@ -210,6 +210,31 @@ def test_crosslingual_pairs_langs_differ(spark):
     assert {(r.doc_id_1, r.doc_id_2) for r in rows} <= full
 
 
+def test_crosslingual_pairs_uses_capped_candidates(spark):
+    """r4 fix (VERDICT r3 item 3): candidates come from the hot-bucket-
+    capped band join, so a boilerplate bucket can never explode the pair
+    count — the crosslingual set must equal (capped pairs ⋈ langs,
+    lang_1 ≠ lang_2), and the lang map must ride a hint-free join."""
+    from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+    df = QUERIES["crosslingual_pairs"](spark, SF_DIR)
+    assert broadcast_violations(df) == []  # no forced corpus broadcast
+    capped = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in QUERIES["dedup_minhash_lsh_pairs_capped"](spark, SF_DIR).collect()
+    }
+    got = {(r.doc_id_1, r.doc_id_2) for r in df.collect()}
+    assert got <= capped
+    # exactly the cross-language subset of the capped candidates
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang").collect()
+    }
+    want = {(a, b) for a, b in capped if langs[a] != langs[b]}
+    assert got == want
+
+
 def test_time_to_convert_stats_replay(spark):
     [r] = QUERIES["time_to_convert"](spark, SF_DIR).collect()
     import statistics
@@ -308,3 +333,46 @@ def test_geo_grid_join_matches_bruteforce(spark):
             want[nations[nat]] += n_close
     assert rows == dict(want)
     assert sum(want.values()) > 0
+
+
+def test_geo_grid_join_antimeridian_pair(spark, tmp_path):
+    """r4 fix (ADVICE r3): the longitude grid wraps modulo the cell
+    count, so a pair straddling ±180° is a candidate. Custkeys 164716
+    and 283426 hash to (45.79, -179.98) and (45.77, +179.99) — 3.2 km
+    apart across the antimeridian; before the wrap their cells were
+    cy=-18 vs +17 (non-adjacent) and the pair was silently dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([164716, 283426], pa.int64()),
+                "c_name": ["west-of-line", "east-of-line"],
+                "c_nationkey": pa.array([0, 0], pa.int32()),
+                "c_acctbal": [1.0, 2.0],
+                "c_mktsegment": ["BUILDING", "BUILDING"],
+            }
+        ),
+        f"{d}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0], pa.int32()),
+                "n_name": ["MERIDIANIA"],
+                "n_regionkey": pa.array([0], pa.int32()),
+            }
+        ),
+        f"{d}/nation.parquet",
+    )
+    rows = QUERIES["geo_grid_join"](spark, d).collect()
+    assert [(r.n_name, r.n_close_pairs) for r in rows] == [("MERIDIANIA", 1)]
+    # the oracle twin wraps identically
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{d}/customer.parquet'")
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM '{d}/nation.parquet'")
+    assert con.execute(ORACLES["geo_grid_join"]).fetchall() == [("MERIDIANIA", 1)]
