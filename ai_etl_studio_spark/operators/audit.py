@@ -332,3 +332,83 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lineitem").alias("table_name"), "n_rows")
     )
     return n_c.unionAll(n_o).unionAll(n_l).orderBy("table_name")
+
+
+#: Columns profiled by table_profile: (table, column, numeric?). A
+#: production catalog would derive this from the schema; the fixed list
+#: keeps the oracle twin literal.
+_PROFILE_COLS = (
+    ("orders", "o_orderkey", True),
+    ("orders", "o_custkey", True),
+    ("orders", "o_totalprice", True),
+    ("orders", "o_orderstatus", False),
+    ("customer", "c_custkey", True),
+    ("customer", "c_acctbal", True),
+    ("customer", "c_nationkey", True),
+    ("customer", "c_mktsegment", False),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for tbl, col, numeric in _PROFILE_COLS:
+        mn = f"CAST(MIN({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(MAX({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{tbl}' AS table_name, '{col}' AS column_name,"
+            f" COUNT(*) AS n_rows, COUNT({col}) AS n_nonnull,"
+            f" COUNT(DISTINCT {col}) AS n_distinct,"
+            f" {mn} AS min_value, {mx} AS max_value FROM {tbl}"
+        )
+    return (
+        " UNION ALL ".join(parts) + " ORDER BY table_name, column_name"
+    )
+
+
+@register("table_profile", oracle=_profile_oracle())
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile: per (table, column) row count,
+    non-null count, exact distinct count, and numeric min/max — the
+    statistics pass every warehouse runs to feed optimizers, data
+    contracts, and drift monitors (complementing dq_audit, which gates
+    on EXPECTED values; this op DISCOVERS them).
+
+    Scale: ONE aggregation pass per table — all per-column metrics fuse
+    into a single HashAggregate over a single scan (count(DISTINCT) for
+    k columns rides one shuffle via Expand ×k; at 100 TB swap in
+    approx_count_distinct, same plan minus the expand — documented
+    trade, exact here for the oracle gate). The wide 1-row result
+    explodes to long format driver-side-free (inline array of structs),
+    so no second scan and no union of per-column subplans.
+    """
+    frames = []
+    for tbl in ("orders", "customer"):
+        cols = [(c, num) for t, c, num in _PROFILE_COLS if t == tbl]
+        d = load_table(spark, sf_dir, tbl)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c, numeric in cols:
+            aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+            aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+            if numeric:
+                aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+                aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+        wide = d.agg(*aggs)
+        null_d = F.lit(None).cast("double")
+        structs = [
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                (F.col(f"mn_{c}") if numeric else null_d).alias("min_value"),
+                (F.col(f"mx_{c}") if numeric else null_d).alias("max_value"),
+            )
+            for c, numeric in cols
+        ]
+        frames.append(
+            wide.select(
+                F.lit(tbl).alias("table_name"),
+                F.explode(F.array(*structs)).alias("m"),
+            ).select("table_name", "m.*")
+        )
+    return reduce(DataFrame.unionAll, frames).orderBy("table_name", "column_name")

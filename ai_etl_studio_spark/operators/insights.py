@@ -906,3 +906,82 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_close_pairs"))
         .orderBy("n_name")
     )
+
+
+#: Market-basket top-k and the lift quantization (micro-ticks).
+BASKET_K = 50
+_LIFT_TICK = 1_000_000
+
+
+@register(
+    "basket_pairs",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    pair AS (
+      SELECT a.pk AS part_1, b.pk AS part_2, COUNT(*) AS support
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk),
+    pc AS (SELECT pk, COUNT(*) AS cnt FROM items GROUP BY pk),
+    tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+    scored AS (
+      SELECT part_1, part_2, support,
+             (2 * support * n_orders * {_LIFT_TICK} + c1.cnt * c2.cnt)
+               // (2 * c1.cnt * c2.cnt) AS lift_ticks
+      FROM pair
+      JOIN pc c1 ON part_1 = c1.pk
+      JOIN pc c2 ON part_2 = c2.pk
+      CROSS JOIN tot)
+    SELECT part_1, part_2, support, lift_ticks
+    FROM scored
+    ORDER BY support DESC, part_1, part_2
+    LIMIT {BASKET_K}
+    """,
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts co-purchased in the same order,
+    with support (co-occurrence count) and lift = P(a,b)/(P(a)·P(b)) —
+    the association-rule primitive behind "customers who bought X also
+    bought Y" and, in corpus work, behind tag/feature co-occurrence
+    mining.
+
+    Scale: the candidate generator is a self-join co-partitioned on the
+    basket key (orderkey) — ONE shuffle of (orderkey, partkey) pairs,
+    and per-basket fan-out is bounded by basket size squared (baskets
+    are small by schema: ≤7 lineitems), the same bounded-bucket shape
+    as the LSH band join — a pathological mega-basket would take the
+    LSH-style per-basket cap. Support aggregation map-side combines;
+    per-part counts and the 1-row order total join back hint-free
+    (aggregate-reduced; AQE broadcasts them); lift is exact integer
+    arithmetic — round(a/b) computed as (2a+b)//(2b) in BOTH engines,
+    so no float division ever orders a result. Top-k via
+    TakeOrderedAndProject heaps.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.select(F.col("ok"), F.col("pk").alias("part_1"))
+    b = items.select(F.col("ok"), F.col("pk").alias("part_2"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("part_1") < F.col("part_2"))
+        .groupBy("part_1", "part_2")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    pc = items.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = items.agg(F.countDistinct("ok").alias("n_orders"))
+    c1 = pc.select(F.col("pk").alias("part_1"), F.col("cnt").alias("cnt_1"))
+    c2 = pc.select(F.col("pk").alias("part_2"), F.col("cnt").alias("cnt_2"))
+    lift = F.expr(
+        f"(2 * support * n_orders * {_LIFT_TICK} + cnt_1 * cnt_2)"
+        " DIV (2 * cnt_1 * cnt_2)"
+    )
+    return (
+        pair.join(c1, "part_1")
+        .join(c2, "part_2")
+        .crossJoin(F.broadcast(tot))
+        .select("part_1", "part_2", "support", lift.alias("lift_ticks"))
+        .orderBy(F.desc("support"), "part_1", "part_2")
+        .limit(BASKET_K)
+    )

@@ -547,3 +547,77 @@ def write_training_shards(
     manifest = export_shards(spark, sf_dir)
     manifest.coalesce(1).write.mode("overwrite").json(out_dir.rstrip("/") + "_manifest")
     return manifest
+
+
+#: A-ES weighted sample size.
+WS_K = 100
+#: Priority quantization: ln(u)/w in integer nano-ticks — the house
+#: determinism pattern (cf. unigram_surprisal): both engines evaluate
+#: ln() on the IDENTICAL md5-derived double and round to int64 before
+#: any ordering, so a last-ulp libm divergence cannot flip a rank.
+WS_TICK = 1_000_000_000
+
+
+@register(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(round(
+               ln((CAST((CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS DOUBLE) + 1)
+                  / 4294967296.0)
+               / greatest(n_chars, 1) * {WS_TICK}, 0) AS BIGINT)
+               AS priority_ticks
+      FROM documents),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               ORDER BY priority_ticks DESC, doc_id) AS rank
+      FROM pri)
+    SELECT rank, doc_id, lang, source, n_chars, priority_ticks
+    FROM ranked WHERE rank <= {WS_K}
+    ORDER BY rank
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted k-without-replacement sample (Efraimidis–Spirakis A-ES):
+    each doc draws a deterministic uniform u from md5 and gets priority
+    u^(1/w) — equivalently ln(u)/w — with w = n_chars; the global top-k
+    by priority IS a weighted sample without replacement. The curation
+    move behind "sample 1M docs proportional to length/quality from a
+    10B-doc corpus" — one pass, no per-group state, reproducible.
+
+    Scale: the selection is ORDER BY + LIMIT over a derived column →
+    TakeOrderedAndProject per-task k-row heaps; no shuffle of corpus
+    rows, no global sort, and the only data movement is k rows per task
+    to the driver-side merge. Priorities are integer nano-ticks
+    (ln on the identical md5-derived double in both engines, quantized
+    BEFORE ranking) with doc_id tie-break — rank is total-ordered and
+    replayable across retries/partitionings.
+    """
+    from ai_etl_studio_spark.functions.texthash import md5_hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        md5_hash32(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))).cast(
+            "double"
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    ticks = F.round(
+        F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)) * WS_TICK, 0
+    ).cast("bigint")
+    topk = (
+        d.select("doc_id", "lang", "source", "n_chars", ticks.alias("priority_ticks"))
+        .orderBy(F.desc("priority_ticks"), "doc_id")
+        .limit(WS_K)
+    )
+    # rank the k survivors (bounded window: WS_K rows, one partition)
+    w = Window.orderBy(F.desc("priority_ticks"), "doc_id")
+    return topk.select(
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "priority_ticks",
+    ).orderBy("rank")

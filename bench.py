@@ -145,6 +145,10 @@ HEADLINE = [
     "mad_outliers",
     "pretrain_corpus_pipeline",
     "geo_grid_join",
+    # round-4 additions
+    "weighted_sample_topk",
+    "table_profile",
+    "basket_pairs",
 ]
 
 

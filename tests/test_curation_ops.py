@@ -193,3 +193,79 @@ def test_pretrain_pipeline_funnel_is_monotone(spark):
             assert r.tokens_final == 0 and r.est_sequences == 0
     # the pipeline must actually remove something somewhere
     assert sum(r.n_raw for r in rows) > sum(r.n_final for r in rows)
+
+
+def test_weighted_sample_is_length_biased(spark):
+    """A-ES with w = n_chars must overselect long documents: the mean
+    length of the k sample exceeds the corpus mean (deterministic given
+    the fixed testdata + md5 draws), ranks are exactly 1..K, and the
+    draw replays in pure python."""
+    import hashlib
+    import math
+
+    from ai_etl_studio_spark.operators.training import WS_K, WS_TICK
+
+    rows = QUERIES["weighted_sample_topk"](spark, SF_DIR).collect()
+    assert [r.rank for r in rows] == list(range(1, WS_K + 1))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    corpus_mean = sum(d.n_chars for d in docs) / len(docs)
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    # pure-python replay of the priority and the top-k membership
+    def pri(doc_id, n_chars):
+        h = int(hashlib.md5(f"ws:{doc_id}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967296.0
+        return round(math.log(u) / max(n_chars, 1) * WS_TICK)
+
+    want = sorted(
+        ((pri(d.doc_id, d.n_chars), -d.doc_id) for d in docs), reverse=True
+    )[:WS_K]
+    want_ids = {-negid for _, negid in want}
+    assert {r.doc_id for r in rows} == want_ids
+
+
+def test_table_profile_metrics_replay(spark):
+    rows = {
+        (r.table_name, r.column_name): r
+        for r in QUERIES["table_profile"](spark, SF_DIR).collect()
+    }
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    r = rows[("orders", "o_orderkey")]
+    assert r.n_rows == o.count()
+    assert r.n_distinct == o.count()  # primary key
+    assert r.min_value == 0.0 and r.max_value == float(o.count() - 1)
+    ck = rows[("customer", "c_custkey")]
+    assert ck.n_distinct == c.count()
+    seg = rows[("customer", "c_mktsegment")]
+    assert seg.min_value is None and seg.max_value is None
+    assert 1 <= seg.n_distinct <= 10
+
+
+def test_basket_pairs_support_and_lift_replay(spark):
+    from collections import defaultdict
+    from itertools import combinations
+
+    from ai_etl_studio_spark.operators.insights import _LIFT_TICK
+
+    rows = QUERIES["basket_pairs"](spark, SF_DIR).collect()
+    assert rows
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    support = defaultdict(int)
+    cnt = defaultdict(int)
+    for parts in baskets.values():
+        for p in parts:
+            cnt[p] += 1
+        for a, b in combinations(sorted(parts), 2):
+            support[(a, b)] += 1
+    n_orders = len(baskets)
+    top_support = sorted(support.values(), reverse=True)[: len(rows)]
+    assert sorted((r.support for r in rows), reverse=True) == top_support
+    for r in rows[:5]:
+        a, b = r.part_1, r.part_2
+        assert support[(a, b)] == r.support
+        num = 2 * r.support * n_orders * _LIFT_TICK + cnt[a] * cnt[b]
+        assert r.lift_ticks == num // (2 * cnt[a] * cnt[b])

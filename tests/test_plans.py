@@ -687,3 +687,25 @@ class TestBroadcastTripwire:
             if v:
                 bad[name] = sorted(set(v))
         assert not bad, f"forced fact-scale broadcasts: {bad}"
+
+
+class TestRound4Plans:
+    """Plan contracts for the round-4 operators."""
+
+    def test_weighted_sample_is_heap_topk(self, spark):
+        # A-ES selection must be per-task heaps, never a global sort
+        t = tree(spark, "weighted_sample_topk")
+        assert "TakeOrderedAndProject" in t
+        assert t.count("Scan parquet") == 1
+
+    def test_table_profile_one_fused_agg_per_table(self, spark):
+        # all column metrics fuse into one aggregation per table: two
+        # table scans total, no per-column subplans
+        t = tree(spark, "table_profile")
+        assert t.count("Scan parquet") == 2
+        assert "Expand" in t  # the multi-count-distinct rides one pass
+
+    def test_basket_pairs_no_cartesian(self, spark):
+        t = tree(spark, "basket_pairs")
+        assert "CartesianProduct" not in t
+        assert "TakeOrderedAndProject" in t
