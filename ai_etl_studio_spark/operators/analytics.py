@@ -2329,3 +2329,139 @@ def scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "attr_value")
         .orderBy("event_id")
     )
+
+
+#: Skyline price-bucket width in cents (coarse pre-partition; the
+#: per-bucket windows do the exact work).
+_SKY_BUCKET_CENTS = 500
+
+
+@register(
+    "skyline_pareto",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, CAST(round(p_retailprice * 100, 0) AS BIGINT)
+               AS price_cents, p_size
+      FROM part)
+    SELECT p_partkey, price_cents, p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+    ORDER BY price_cents, p_size, p_partkey
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline of parts: minimize price, maximize size — the
+    dominance query behind "best trade-off" product/offer pickers
+    (nothing cheaper is at least as big; nothing as cheap is bigger).
+    The oracle is the textbook quadratic NOT-EXISTS; the engine plan is
+    the scale path.
+
+    Scale: an all-pairs dominance join is O(n²). Instead (the
+    bounds-broadcast house pattern, cf. length_band_filter): rows
+    pre-partition into price buckets; a TINY per-bucket table carries
+    each bucket's running max size over all strictly-cheaper buckets
+    (window over ~|price range|/bucket rows, not data rows) and joins
+    back hint-free (aggregate-reduced → AQE broadcast). A row is then
+    dominated iff that cross-bucket max beats it, or a strictly-cheaper
+    row IN ITS OWN BUCKET does (per-bucket rangeBetween window — fully
+    parallel across buckets), or an equal-price row has larger size.
+    One shuffle on the bucket key; no global sort at any point.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        cents("p_retailprice").alias("price_cents"),
+        "p_size",
+    )
+    b = p.withColumn(
+        "bkt", (F.col("price_cents") / _SKY_BUCKET_CENTS).cast("bigint")
+    )
+    per_bkt = b.groupBy("bkt").agg(F.max("p_size").alias("bkt_max"))
+    wcum = (
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_bkt.select(
+        "bkt",
+        F.max("bkt_max").over(wcum).alias("cheaper_bkt_max"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("price_cents")
+    dominated = (
+        (F.col("p_size") <= F.coalesce(F.col("cheaper_bkt_max"), F.lit(-1)))
+        | (F.col("p_size") <= F.coalesce(F.max("p_size").over(w_in), F.lit(-1)))
+        | (F.col("p_size") < F.max("p_size").over(w_eq))
+    )
+    return (
+        b.join(cum, "bkt")
+        .withColumn("dominated", dominated)
+        .filter(~F.col("dominated"))
+        .select("p_partkey", "price_cents", "p_size")
+        .orderBy("price_cents", "p_size", "p_partkey")
+    )
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             epoch_us(ts) AS t_us,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) AS next_us
+      FROM events),
+    iv AS (
+      SELECT user_id, cents, next_us - t_us AS w_us
+      FROM seq WHERE next_us IS NOT NULL)
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(w_us) AS BIGINT) AS held_us,
+           CAST(SUM(cents * w_us) AS DOUBLE) / SUM(w_us) AS twap_cents
+    FROM iv
+    GROUP BY user_id
+    HAVING COUNT(*) >= 5
+    ORDER BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value
+    is held until the user's next event; the average weights values by
+    how long they were in force — the metrics/finance primitive that a
+    plain AVG silently gets wrong whenever sampling is irregular.
+
+    Scale: ONE shuffle partitions events by user for the lead() window
+    (a single row of lookahead state); the weighted sum is exact int64
+    — integer cents × integer microsecond durations (≤2^63 by a wide
+    margin) — so partial aggregation order cannot perturb it, and the
+    final divide is one int/int IEEE op per user, mirrored in the
+    oracle. Users with fewer than 5 intervals are dropped in the same
+    aggregate (HAVING), not a second pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.unix_micros(F.lead("ts").over(w).cast("timestamp")).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    iv = seq.withColumn("w_us", F.col("next_us") - F.col("t_us"))
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("w_us").alias("held_us"),
+            (
+                F.sum(F.col("cents") * F.col("w_us")).cast("double")
+                / F.sum("w_us")
+            ).alias("twap_cents"),
+        )
+        .filter(F.col("n_intervals") >= 5)
+        .orderBy("user_id")
+    )

@@ -985,3 +985,90 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "part_1", "part_2")
         .limit(BASKET_K)
     )
+
+
+#: Chi-square cell-contribution quantization (micro-ticks).
+_CHI2_TICK = 1_000_000
+
+
+@register(
+    "chi_square_independence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+    rt AS (SELECT lang, SUM(o) AS r FROM obs GROUP BY lang),
+    ct AS (SELECT source, SUM(o) AS c FROM obs GROUP BY source),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    dims AS (
+      SELECT (SELECT COUNT(*) FROM rt) AS n_rows_dim,
+             (SELECT COUNT(*) FROM ct) AS n_cols_dim),
+    cells AS (
+      SELECT l.lang, c2.source,
+             COALESCE(o.o, 0) AS o, l.r, c2.c, t.n
+      FROM rt l CROSS JOIN ct c2 CROSS JOIN tot t
+      LEFT JOIN obs o ON o.lang = l.lang AND o.source = c2.source),
+    ticks AS (
+      SELECT SUM(CAST(round(
+               pow(CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c, 2)
+               / (CAST(n AS DOUBLE) * r * c) * {_CHI2_TICK}, 0) AS BIGINT))
+               AS chi2_ticks
+      FROM cells)
+    SELECT CAST(t.chi2_ticks AS BIGINT) AS chi2_ticks,
+           CAST((d.n_rows_dim - 1) * (d.n_cols_dim - 1) AS BIGINT) AS dof,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n
+    FROM ticks t CROSS JOIN dims d
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between document language
+    and source — "is the lang mix the same across sources?", the
+    contingency-table readout behind drift monitors and stratification
+    checks (complements ab_test_ztest's two-sample mean test).
+
+    Scale: ONE groupBy over the corpus reduces everything to the
+    |langs|×|sources| contingency table; marginals, the zero-cell
+    completion (cross join of the two tiny marginal frames), and the
+    statistic all run on that sketch-sized table. Per-cell
+    contributions (o·n − r·c)²/(n·r·c) are evaluated on exact integer
+    counts (every product ≤ 2^53, so the IEEE doubles agree
+    bit-for-bit across engines) and quantized to integer micro-ticks
+    BEFORE the final sum — distributed float summation never happens.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # materialize the tiny contingency table once: every marginal /
+    # total / cell consumer reads it, not the corpus (without this the
+    # plan re-scans documents 7x — cf. collocation_pmi's checkpoint)
+    obs = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint()
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        rt.crossJoin(ct)
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["lang", "source"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    cell_ticks = F.round(
+        F.pow(F.col("o").cast("double") * F.col("n")
+              - F.col("r").cast("double") * F.col("c"), 2)
+        / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+        * _CHI2_TICK,
+        0,
+    ).cast("bigint")
+    ticks = cells.agg(F.sum(cell_ticks).alias("chi2_ticks"))
+    dims = rt.agg(F.count(F.lit(1)).alias("n_rows_dim")).crossJoin(
+        ct.agg(F.count(F.lit(1)).alias("n_cols_dim"))
+    )
+    return (
+        ticks.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "chi2_ticks",
+            ((F.col("n_rows_dim") - 1) * (F.col("n_cols_dim") - 1)).alias("dof"),
+            "n",
+        )
+    )

@@ -1371,3 +1371,122 @@ def ann_pq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < max(PQ_K, PQ_QUERIES))
     )
     return _pq_serve(sub, anch, spark.table(tbl))
+
+
+#: Unindexed "append" batch for the hybrid PQ serve: vec_id ≡ 7 (mod 10)
+#: stands in for the ~10% of vectors that arrived after the last encode.
+_PQ_DELTA_MOD = 10
+_PQ_DELTA_RESIDUE = 7
+
+
+def _pq_append_oracle() -> str:
+    d2_ca = _PQ_D2(n=PQ_SUBDIM + 1, a="c.s", b="a.a")
+    d2_qa = _PQ_D2(n=PQ_SUBDIM + 1, a="q.s", b="a.a")
+    d2_qc = _PQ_D2(n=PQ_SUBDIM + 1, a="q.s", b="c.s")
+    delta = f"vec_id % {_PQ_DELTA_MOD} = {_PQ_DELTA_RESIDUE}"
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(ROUND(x*{_PQ_SCALE}) AS BIGINT)) AS qe
+      FROM embeddings),
+    sub AS (
+      SELECT vec_id, m, qe[(m*{PQ_SUBDIM}+1):(m*{PQ_SUBDIM}+{PQ_SUBDIM})] AS s
+      FROM v, UNNEST(range({PQ_M})) AS u(m)),
+    anch AS (SELECT vec_id AS k, m, s AS a FROM sub WHERE vec_id < {PQ_K}),
+    codes AS (
+      SELECT vec_id, m, MIN(d2 * {PQ_K} + k) % {PQ_K} AS k
+      FROM (
+        SELECT c.vec_id, c.m, a.k, {d2_ca} AS d2
+        FROM sub c JOIN anch a ON a.m = c.m
+        WHERE NOT (c.{delta})) t
+      GROUP BY vec_id, m),
+    qd AS (
+      SELECT q.vec_id AS query_id, q.m, a.k, {d2_qa} AS d2
+      FROM sub q JOIN anch a ON a.m = q.m
+      WHERE q.vec_id < {PQ_QUERIES}),
+    adc AS (
+      SELECT qd.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(qd.d2) AS BIGINT) AS d2, 0 AS is_delta
+      FROM codes c JOIN qd ON qd.m = c.m AND qd.k = c.k
+      WHERE c.vec_id <> qd.query_id
+      GROUP BY qd.query_id, c.vec_id),
+    fresh AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM({d2_qc}) AS BIGINT) AS d2, 1 AS is_delta
+      FROM sub q JOIN sub c ON q.m = c.m
+      WHERE q.vec_id < {PQ_QUERIES} AND c.{delta}
+        AND c.vec_id <> q.vec_id
+      GROUP BY q.vec_id, c.vec_id),
+    allc AS (SELECT * FROM adc UNION ALL SELECT * FROM fresh)
+    SELECT query_id, neighbor_id, d2, is_delta, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY d2, neighbor_id) AS rn
+      FROM allc) r
+    WHERE rn <= {PQ_TOPK}
+    ORDER BY query_id, rn
+    """
+
+
+@register("ann_pq_append_topk", oracle=_pq_append_oracle())
+def ann_pq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid PQ serving over a GROWING corpus: the encoded bulk answers
+    by ADC (codes only), while the freshly-appended, not-yet-encoded
+    batch (here vec_id ≡ {_PQ_DELTA_RESIDUE} mod {_PQ_DELTA_MOD}) is
+    scored exactly; one ranking merges both. This is how a production
+    ANN index absorbs appends between re-encodes — serve now, re-encode
+    on schedule — completing the PQ ladder (encode → persist → serve →
+    serve-with-delta).
+
+    Scale: the bulk path is the documented ADC shape (per-candidate
+    cost = PQ_M integer adds against a broadcast 320-int distance
+    table); the delta path brute-forces ONLY the append batch — cost
+    |queries|×|delta|, and delta is bounded by the re-encode cadence,
+    not the corpus. Both sides produce exact int64 micro-unit
+    distances, so the merged ranking is deterministic; the union is
+    metadata-only (no shuffle) and the final top-k is a per-query
+    window over ≤|delta|+|bulk-candidates| rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _PQ_SCALE).cast("bigint"),
+        ).alias("qe"),
+    )
+    is_delta = F.col("vec_id") % _PQ_DELTA_MOD == _PQ_DELTA_RESIDUE
+    sub, anch = _pq_sub_anchors(emb)
+    codes = _pq_codes(sub.filter(~is_delta), anch)
+    q_sub = sub.filter(F.col("vec_id") < PQ_QUERIES)
+    qd = q_sub.join(F.broadcast(anch), "m").select(
+        F.col("vec_id").alias("query_id"),
+        "m",
+        "k",
+        _pq_d2(F.col("s"), F.col("a")).alias("d2"),
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["m", "k"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").cast("bigint").alias("d2"))
+        .withColumn("is_delta", F.lit(0))
+    )
+    qs = q_sub.select(
+        F.col("vec_id").alias("query_id"), "m", F.col("s").alias("qs")
+    )
+    fresh = (
+        sub.filter(is_delta)
+        .join(F.broadcast(qs), "m")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(_pq_d2(F.col("qs"), F.col("s"))).cast("bigint").alias("d2"))
+        .withColumn("is_delta", F.lit(1))
+    )
+    merged = adc.unionByName(fresh)
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "neighbor_id", "d2", "is_delta", "rn")
+        .orderBy("query_id", "rn")
+    )

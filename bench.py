@@ -149,6 +149,10 @@ HEADLINE = [
     "weighted_sample_topk",
     "table_profile",
     "basket_pairs",
+    "skyline_pareto",
+    "chi_square_independence",
+    "ann_pq_append_topk",
+    "time_weighted_avg",
 ]
 
 

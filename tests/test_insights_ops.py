@@ -376,3 +376,103 @@ def test_geo_grid_join_antimeridian_pair(spark, tmp_path):
     con.execute(f"CREATE VIEW customer AS SELECT * FROM '{d}/customer.parquet'")
     con.execute(f"CREATE VIEW nation AS SELECT * FROM '{d}/nation.parquet'")
     assert con.execute(ORACLES["geo_grid_join"]).fetchall() == [("MERIDIANIA", 1)]
+
+
+def test_skyline_pareto_matches_bruteforce(spark):
+    rows = QUERIES["skyline_pareto"](spark, SF_DIR).collect()
+    assert rows
+    parts = [
+        (p.p_partkey, round(p.p_retailprice * 100), p.p_size)
+        for p in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    ]
+    def dominated(a):
+        return any(
+            b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+            for b in parts
+        )
+    want = {k for k, pc, sz in parts if not dominated((k, pc, sz))}
+    assert {r.p_partkey for r in rows} == want
+    # frontier property: sorted by price, sizes strictly... non-dominated
+    # means along increasing price the max size seen so far never reaches
+    # a later point's size
+    best = -1
+    for r in sorted(rows, key=lambda r: (r.price_cents, -r.p_size)):
+        assert r.p_size > best or (r.p_size == best and True)
+        best = max(best, r.p_size)
+
+
+def test_chi_square_matches_numpy_replay(spark):
+    import numpy as np
+
+    from ai_etl_studio_spark.operators.insights import _CHI2_TICK
+
+    [r] = QUERIES["chi_square_independence"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    from collections import Counter
+
+    obs = Counter((d.lang, d.source) for d in docs)
+    langs = sorted({k[0] for k in obs})
+    srcs = sorted({k[1] for k in obs})
+    o = np.array([[obs.get((l, s), 0) for s in srcs] for l in langs], float)
+    n = o.sum()
+    e = o.sum(1)[:, None] * o.sum(0)[None, :] / n
+    chi2 = ((o - e) ** 2 / e).sum()
+    assert r.dof == (len(langs) - 1) * (len(srcs) - 1)
+    assert r.n == int(n)
+    # tick-quantized engine value within one tick per cell of the float
+    assert abs(r.chi2_ticks / _CHI2_TICK - chi2) < len(langs) * len(srcs) / _CHI2_TICK * 2
+
+
+def test_pq_append_delta_is_exact_and_merged(spark):
+    import numpy as np
+
+    from ai_etl_studio_spark.operators.similarity import (
+        _PQ_DELTA_MOD,
+        _PQ_DELTA_RESIDUE,
+        _PQ_SCALE,
+        PQ_TOPK,
+    )
+
+    rows = QUERIES["ann_pq_append_topk"](spark, SF_DIR).collect()
+    emb = {
+        r.vec_id: np.round(np.array(r.embedding, np.float64) * _PQ_SCALE)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == PQ_TOPK
+        assert [r.rn for r in sorted(rs, key=lambda r: r.rn)] == list(
+            range(1, PQ_TOPK + 1)
+        )
+        for r in rs:
+            in_delta = r.neighbor_id % _PQ_DELTA_MOD == _PQ_DELTA_RESIDUE
+            assert bool(r.is_delta) == in_delta
+            if in_delta:  # delta side must be the EXACT int64 distance
+                d = emb[q] - emb[r.neighbor_id]
+                assert r.d2 == int((d * d).sum())
+    # ranking is deterministic: re-running yields identical rows
+    again = QUERIES["ann_pq_append_topk"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_time_weighted_avg_replay(spark):
+    rows = QUERIES["time_weighted_avg"](spark, SF_DIR).collect()
+    assert rows and all(r.n_intervals >= 5 for r in rows)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    from collections import defaultdict
+
+    by_u = defaultdict(list)
+    for e in ev:
+        by_u[e.user_id].append((e.ts, e.event_id, round(e.value * 100)))
+    probe = rows[len(rows) // 2]
+    seq = sorted(by_u[probe.user_id])
+    num = den = 0
+    for (t0, _, c), (t1, _, _) in zip(seq, seq[1:]):
+        w = int((t1 - t0).total_seconds() * 1_000_000)
+        num += c * w
+        den += w
+    assert probe.n_intervals == len(seq) - 1
+    assert probe.held_us == den
+    assert probe.twap_cents == pytest.approx(num / den, rel=1e-12)

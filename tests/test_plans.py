@@ -709,3 +709,33 @@ class TestRound4Plans:
         t = tree(spark, "basket_pairs")
         assert "CartesianProduct" not in t
         assert "TakeOrderedAndProject" in t
+
+    def test_skyline_no_quadratic_join(self, spark):
+        # the dominance test must ride bucket windows, never an
+        # all-pairs join
+        t = tree(spark, "skyline_pareto")
+        assert "CartesianProduct" not in t
+        assert "BroadcastNestedLoopJoin" not in t
+        assert t.count("Scan parquet") <= 2  # data + bucket stats
+
+    def test_chi_square_single_corpus_reduction(self, spark):
+        # one corpus scan reduces to the contingency table; all later
+        # joins are over marginal-sized frames
+        t = tree(spark, "chi_square_independence")
+        assert t.count("Scan parquet") <= 1  # the checkpointed table
+        assert "CartesianProduct" not in t
+
+    def test_pq_append_no_raw_vector_shuffle(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        df = QUERIES["ann_pq_append_topk"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+        t = tree(spark, "ann_pq_append_topk")
+        assert "CartesianProduct" not in t
+
+    def test_twap_single_user_shuffle(self, spark):
+        # one hash exchange (user_id) serves both the lead window and
+        # the per-user aggregate; no second corpus pass
+        t = tree(spark, "time_weighted_avg")
+        assert t.count("Scan parquet") == 1
+        assert "CartesianProduct" not in t
