@@ -412,3 +412,64 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("table_name", "m.*")
         )
     return reduce(DataFrame.unionAll, frames).orderBy("table_name", "column_name")
+
+
+#: Freshness SLA: a stream is stale if nothing arrived in the last 6 h
+#: before the fixed audit anchor (no-current_date rule, SCALE.md).
+_FRESH_ANCHOR = "2024-01-31 00:00:00"
+_FRESH_SLA_US = 6 * 3600 * 1_000_000
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "freshness_audit",
+    oracle=f"""
+    SELECT event_type AS stream,
+           MAX(ts) AS last_ts,
+           CAST(epoch_us(TIMESTAMP '{_FRESH_ANCHOR}') - epoch_us(MAX(ts))
+                AS BIGINT) AS staleness_us,
+           COUNT(CASE WHEN epoch_us(TIMESTAMP '{_FRESH_ANCHOR}')
+                           - epoch_us(ts) <= {_DAY_US} THEN 1 END)
+             AS n_last_24h,
+           CASE WHEN epoch_us(TIMESTAMP '{_FRESH_ANCHOR}') - epoch_us(MAX(ts))
+                > {_FRESH_SLA_US} THEN 1 ELSE 0 END AS is_stale
+    FROM events
+    GROUP BY event_type
+    ORDER BY stream
+    """,
+)
+def freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA audit per event stream: last-arrival
+    timestamp, staleness vs the audit anchor, last-24 h volume, and the
+    stale flag — the landing-zone health check every ingestion pipeline
+    gates on (complements dq_audit's value checks and table_profile's
+    shape stats with ARRIVAL semantics).
+
+    Scale: ONE aggregation over one scan — max(ts) and the windowed
+    conditional count fuse into the same HashAggregate with map-side
+    combine, so the audit costs a single pass regardless of stream
+    count; output is |streams| rows. Timestamps compare as exact
+    integer microseconds against a FIXED anchor (reproducible across
+    retries — never current_timestamp in an audit).
+    """
+    e = load_table(spark, sf_dir, "events")
+    anchor_us = F.unix_micros(F.lit(_FRESH_ANCHOR).cast("timestamp"))
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        e.groupBy(F.col("event_type").alias("stream"))
+        .agg(
+            F.max("ts").alias("last_ts"),
+            (anchor_us - F.unix_micros(F.max("ts").cast("timestamp")))
+            .cast("bigint")
+            .alias("staleness_us"),
+            F.count(F.when(anchor_us - ts_us <= _DAY_US, 1)).alias("n_last_24h"),
+            F.when(
+                anchor_us - F.unix_micros(F.max("ts").cast("timestamp"))
+                > _FRESH_SLA_US,
+                1,
+            )
+            .otherwise(0)
+            .alias("is_stale"),
+        )
+        .orderBy("stream")
+    )

@@ -1072,3 +1072,262 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+#: Attribution lookback: a conversion credits its latest touch within
+#: this many microseconds (72 h); older touches → 'direct'.
+_ATTR_LOOKBACK_US = 72 * 3600 * 1_000_000
+_ATTR_TOUCHES = ("click", "view")
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE event_type IN ('click', 'view')),
+    lt AS (
+      SELECT p.event_id AS pid, p.cents,
+             (SELECT t.event_type FROM t
+              WHERE t.user_id = p.user_id AND t.ts <= p.ts
+                AND epoch_us(p.ts) - epoch_us(t.ts) <= {_ATTR_LOOKBACK_US}
+              ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS channel
+      FROM p)
+    SELECT COALESCE(channel, 'direct') AS channel,
+           COUNT(*) AS n_conversions,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM lt
+    GROUP BY COALESCE(channel, 'direct')
+    ORDER BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the
+    user's most recent click/view within a 72 h lookback (none →
+    'direct'), rolled up to conversions + exact revenue per channel —
+    the revenue-allocation query every growth team runs.
+
+    Scale: the union-tag + one-window as-of pattern (cf. asof_join):
+    touches and purchases union (metadata-only), ONE shuffle partitions
+    by user, and last(touch, ignorenulls) over the preceding-rows frame
+    carries a single row of state per user — never an inequality
+    self-join (quadratic per user) and never a per-conversion probe.
+    The oracle is the independent correlated-subquery formulation; the
+    tie at equal timestamps breaks to the larger event_id in both.
+    Revenue stays integer cents end to end.
+    """
+    e = load_table(spark, sf_dir, "events")
+    touches = e.filter(F.col("event_type").isin(*_ATTR_TOUCHES)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("tag"),
+        F.struct(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            F.col("event_id").alias("t_id"),
+            F.col("event_type").alias("channel"),
+        ).alias("touch"),
+        F.lit(None).cast("bigint").alias("cents"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("tag"),
+        F.lit(None)
+        .cast("struct<t_us:bigint,t_id:bigint,channel:string>")
+        .alias("touch"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = touches.unionByName(purch).withColumn(
+        "last_touch", F.last("touch", ignorenulls=True).over(w)
+    )
+    conv = tagged.filter(F.col("tag") == 1).select(
+        "cents",
+        F.when(
+            F.col("last_touch").isNotNull()
+            & (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.col("last_touch.t_us")
+                <= _ATTR_LOOKBACK_US
+            ),
+            F.col("last_touch.channel"),
+        )
+        .otherwise("direct")
+        .alias("channel"),
+    )
+    return (
+        conv.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+#: Survival-analysis study end (fixed anchor, cf. the no-current_date
+#: rule in SCALE.md) and the ln-survival quantization.
+_KM_ANCHOR = "2024-01-31 00:00:00"
+_KM_TICK = 1_000_000_000
+#: Terminal step (d == n_at_risk -> survival 0): ln(0) is undefined, so
+#: the step contributes this sentinel instead — exp(sentinel/1e9) == 0
+#: to double precision, and the curve stays exact int64.
+_KM_ZERO_TICKS = -(10 ** 12)
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "survival_km",
+    oracle=f"""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS start_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS ev_ts
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.start_ts
+      GROUP BY e.user_id),
+    subj AS (
+      SELECT su.user_id % 2 AS cohort,
+             CASE WHEN fp.ev_ts IS NOT NULL
+               THEN (epoch_us(fp.ev_ts) - epoch_us(su.start_ts)) // {_US_PER_DAY}
+               ELSE (epoch_us(TIMESTAMP '{_KM_ANCHOR}')
+                     - epoch_us(su.start_ts)) // {_US_PER_DAY} END AS day,
+             CASE WHEN fp.ev_ts IS NOT NULL THEN 1 ELSE 0 END AS event
+      FROM su LEFT JOIN fp ON su.user_id = fp.user_id),
+    risk AS (
+      SELECT cohort, day,
+             CAST(SUM(event) AS BIGINT) AS d,
+             CAST(COUNT(*) - SUM(event) AS BIGINT) AS censored
+      FROM subj GROUP BY cohort, day),
+    tot AS (SELECT cohort, COUNT(*) AS n0 FROM subj GROUP BY cohort),
+    at_risk AS (
+      SELECT r.cohort, r.day, r.d, r.censored,
+             t.n0 - COALESCE(SUM(r.d + r.censored) OVER (
+               PARTITION BY r.cohort ORDER BY r.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM risk r JOIN tot t ON r.cohort = t.cohort),
+    steps AS (
+      SELECT *, CASE WHEN d = 0 THEN 0
+               WHEN d < n_at_risk THEN
+               CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)
+                          * {_KM_TICK}, 0) AS BIGINT)
+               ELSE {_KM_ZERO_TICKS} END AS step_ticks
+      FROM at_risk)
+    SELECT cohort, day, CAST(n_at_risk AS BIGINT) AS n_at_risk, d AS n_events,
+           censored AS n_censored,
+           CAST(SUM(step_ticks) OVER (
+             PARTITION BY cohort ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS ln_surv_ticks
+    FROM steps
+    ORDER BY cohort, day
+    """,
+)
+def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve per cohort: time from signup to
+    first purchase, censored at the fixed study end — the
+    time-to-event readout behind churn, conversion-lag, and retention
+    duration analyses (cohorts = user_id parity, standing in for the
+    experiment hash).
+
+    Scale: subjects reduce to one (cohort, day, event) row each via two
+    per-user aggregations (signup min, first qualifying purchase), and
+    the KM machinery — at-risk counts, hazard steps, the cumulative
+    log-survival — runs entirely on the (cohort × ≤31 days) risk
+    table: window frames over dozens of rows, not events. Each step's
+    ln(1 − d/n) is quantized to integer nano-ticks BEFORE the running
+    sum (the surprisal determinism pattern), so the curve is exact
+    int64 and the survival probability is recoverable as
+    exp(ticks/1e9) by any consumer.
+    """
+    e = load_table(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("start_ts"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("start_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ev_ts"))
+    )
+    anchor_us = F.unix_micros(F.lit(_KM_ANCHOR).cast("timestamp"))
+    start_us = F.unix_micros(F.col("start_ts").cast("timestamp"))
+    ev_us = F.unix_micros(F.col("ev_ts").cast("timestamp"))
+    subj = su.join(fp, "user_id", "left").select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(
+            F.col("ev_ts").isNotNull(),
+            ((ev_us - start_us) / _US_PER_DAY).cast("bigint"),
+        )
+        .otherwise(((anchor_us - start_us) / _US_PER_DAY).cast("bigint"))
+        .alias("day"),
+        F.when(F.col("ev_ts").isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    risk = subj.groupBy("cohort", "day").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        (F.count(F.lit(1)) - F.sum("event")).cast("bigint").alias("censored"),
+    )
+    tot = subj.groupBy("cohort").agg(F.count(F.lit(1)).alias("n0"))
+    w_prev = (
+        Window.partitionBy("cohort")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    at_risk = risk.join(tot, "cohort").select(
+        "cohort",
+        "day",
+        "d",
+        "censored",
+        (
+            F.col("n0")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("censored")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_at_risk"),
+    )
+    step = (
+        F.when(F.col("d") == 0, F.lit(0).cast("bigint"))
+        .when(
+            F.col("d") < F.col("n_at_risk"),
+            F.round(
+                F.log(
+                    F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk")
+                )
+                * _KM_TICK,
+                0,
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(_KM_ZERO_TICKS).cast("bigint"))
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        at_risk.withColumn("step_ticks", step)
+        .select(
+            "cohort",
+            "day",
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.col("d").alias("n_events"),
+            F.col("censored").alias("n_censored"),
+            F.sum("step_ticks").over(w_cum).cast("bigint").alias("ln_surv_ticks"),
+        )
+        .orderBy("cohort", "day")
+    )

@@ -153,6 +153,9 @@ HEADLINE = [
     "chi_square_independence",
     "ann_pq_append_topk",
     "time_weighted_avg",
+    "attribution_last_touch",
+    "survival_km",
+    "freshness_audit",
 ]
 
 

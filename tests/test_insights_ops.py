@@ -476,3 +476,85 @@ def test_time_weighted_avg_replay(spark):
     assert probe.n_intervals == len(seq) - 1
     assert probe.held_us == den
     assert probe.twap_cents == pytest.approx(num / den, rel=1e-12)
+
+
+def test_attribution_conserves_conversions_and_revenue(spark):
+    rows = QUERIES["attribution_last_touch"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    purchases = [e for e in ev if e.event_type == "purchase"]
+    # conservation: every purchase is attributed exactly once
+    assert sum(r.n_conversions for r in rows) == len(purchases)
+    assert sum(r.revenue_cents for r in rows) == sum(
+        round(p.value * 100) for p in purchases
+    )
+    channels = {r.channel for r in rows}
+    assert channels <= {"click", "view", "direct"}
+    # replay one purchase end to end
+    from ai_etl_studio_spark.operators.insights import (
+        _ATTR_LOOKBACK_US,
+        _ATTR_TOUCHES,
+    )
+
+    p = sorted(purchases, key=lambda e: (e.ts, e.event_id))[len(purchases) // 2]
+    touches = [
+        t
+        for t in ev
+        if t.event_type in _ATTR_TOUCHES
+        and t.user_id == p.user_id
+        and t.ts <= p.ts
+        and (p.ts - t.ts).total_seconds() * 1e6 <= _ATTR_LOOKBACK_US
+    ]
+    want = (
+        max(touches, key=lambda t: (t.ts, t.event_id)).event_type
+        if touches
+        else "direct"
+    )
+    got = {r.channel: r for r in rows}
+    assert want in got  # the replayed channel exists in the rollup
+
+
+def test_survival_km_invariants_and_replay(spark):
+    import math
+
+    from ai_etl_studio_spark.operators.insights import (
+        _KM_TICK,
+        _KM_ZERO_TICKS,
+    )
+
+    rows = QUERIES["survival_km"](spark, SF_DIR).collect()
+    assert rows
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.cohort, []).append(r)
+    for cohort, rs in by_c.items():
+        rs = sorted(rs, key=lambda r: r.day)
+        # at-risk is the walking balance: monotone decreasing by d+c
+        for a, b in zip(rs, rs[1:]):
+            assert b.n_at_risk == a.n_at_risk - a.n_events - a.n_censored
+        # ln-survival is non-increasing, 0 at most
+        lns = [r.ln_surv_ticks for r in rs]
+        assert all(x <= 0 for x in lns)
+        assert lns == sorted(lns, reverse=True)
+        # replay the curve
+        cum = 0
+        for r in rs:
+            if r.n_events == 0:
+                step = 0
+            elif r.n_events < r.n_at_risk:
+                step = round(
+                    math.log(1.0 - r.n_events / r.n_at_risk) * _KM_TICK
+                )
+            else:
+                step = _KM_ZERO_TICKS
+            cum += step
+            assert r.ln_surv_ticks == cum
+
+
+def test_freshness_audit_shape(spark):
+    rows = QUERIES["freshness_audit"](spark, SF_DIR).collect()
+    streams = {r.stream for r in rows}
+    assert streams == {"click", "view", "purchase", "signup", "error"}
+    for r in rows:
+        assert r.staleness_us >= 0
+        assert r.n_last_24h >= 0
+        assert r.is_stale == int(r.staleness_us > 6 * 3600 * 1_000_000)

@@ -739,3 +739,19 @@ class TestRound4Plans:
         t = tree(spark, "time_weighted_avg")
         assert t.count("Scan parquet") == 1
         assert "CartesianProduct" not in t
+
+    def test_attribution_single_union_window(self, spark):
+        # union-tag as-of: one shuffle on user_id serves the window; no
+        # inequality self-join
+        t = tree(spark, "attribution_last_touch")
+        assert "CartesianProduct" not in t
+        assert "BroadcastNestedLoopJoin" not in t
+
+    def test_survival_km_windows_on_risk_table(self, spark):
+        t = tree(spark, "survival_km")
+        assert "CartesianProduct" not in t
+
+    def test_freshness_audit_single_pass(self, spark):
+        t = tree(spark, "freshness_audit")
+        assert t.count("Scan parquet") == 1
+        assert t.count("HashAggregate") == 2  # partial + final, fused
