@@ -2465,3 +2465,77 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_intervals") >= 5)
         .orderBy("user_id")
     )
+
+
+#: Key-space bucket for distributed gap detection (no global window).
+_GAP_BUCKET = 1024
+_GAP_TOPK = 100
+
+
+@register(
+    "sequence_gaps",
+    oracle=f"""
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderstatus = 'F'),
+    s AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nk FROM k)
+    SELECT k + 1 AS gap_start, nk - 1 AS gap_end, nk - 1 - k AS gap_len
+    FROM s WHERE nk - k > 1
+    ORDER BY gap_len DESC, gap_start
+    LIMIT {_GAP_TOPK}
+    """,
+)
+def sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-range detection over a key sequence (the surviving
+    'F'-status orders stand in for a post-purge id space): the largest
+    holes in the sequence, as (gap_start, gap_end, gap_len) — the audit
+    behind "which id ranges disappeared" / "is the ingest sequence
+    contiguous".
+
+    Scale: the textbook LEAD-over-all-keys needs a GLOBAL sort — a
+    single-task window at 100 TB. Instead keys bucket by key DIV
+    {_GAP_BUCKET}: in-bucket gaps come from per-bucket lead() windows
+    (parallel, each sorts ~{_GAP_BUCKET} keys), and cross-bucket gaps
+    from a lead() over the TINY per-bucket (min, max) table — which
+    also subsumes any run of entirely-empty buckets. One shuffle on the
+    bucket key; the top-{_GAP_TOPK} is a heap. The oracle stays the
+    single-node LEAD formulation.
+    """
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .withColumn("bkt", (F.col("k") / _GAP_BUCKET).cast("bigint"))
+    )
+    w_in = Window.partitionBy("bkt").orderBy("k")
+    internal = (
+        keys.withColumn("nk", F.lead("k").over(w_in))
+        .filter(F.col("nk") - F.col("k") > 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nk") - 1).alias("gap_end"),
+        )
+    )
+    per_bkt = keys.groupBy("bkt").agg(
+        F.min("k").alias("mn"), F.max("k").alias("mx")
+    )
+    w_b = Window.orderBy("bkt")  # bucket table: |keyspace|/1024 rows
+    boundary = (
+        per_bkt.withColumn("nmn", F.lead("mn").over(w_b))
+        .filter(F.col("nmn") - F.col("mx") > 1)
+        .select(
+            (F.col("mx") + 1).alias("gap_start"),
+            (F.col("nmn") - 1).alias("gap_end"),
+        )
+    )
+    return (
+        internal.unionByName(boundary)
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len"),
+        )
+        .orderBy(F.desc("gap_len"), "gap_start")
+        .limit(_GAP_TOPK)
+    )

@@ -473,3 +473,87 @@ def freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stream")
     )
+
+
+#: Benford deviation quantization (nano-ticks for the expected share,
+#: micro-ticks for the chi-square-style deviation).
+_BENFORD_TICK = 1_000_000_000
+_BENFORD_DEV_TICK = 1_000_000
+
+
+@register(
+    "benford_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders),
+    obs AS (SELECT digit, COUNT(*) AS observed FROM c GROUP BY digit),
+    tot AS (SELECT COUNT(*) AS n FROM c),
+    d AS (SELECT CAST(u.d AS INT) AS digit FROM UNNEST(range(1, 10)) u(d)),
+    e AS (
+      SELECT d.digit, COALESCE(o.observed, 0) AS observed, t.n,
+             CAST(round(log10(1.0 + 1.0 / d.digit) * {_BENFORD_TICK}, 0)
+                  AS BIGINT) AS benford_ticks
+      FROM d LEFT JOIN obs o ON d.digit = o.digit CROSS JOIN tot t)
+    SELECT digit, observed, benford_ticks,
+           CAST(round(pow(CAST(observed AS DOUBLE) * {_BENFORD_TICK}
+                          - CAST(n AS DOUBLE) * benford_ticks, 2)
+                      / (CAST(n AS DOUBLE) * benford_ticks * {_BENFORD_TICK})
+                      * {_BENFORD_DEV_TICK}, 0) AS BIGINT) AS dev_ticks
+    FROM e
+    ORDER BY digit
+    """,
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed count
+    per leading digit vs the log10(1+1/d) expectation, with a
+    chi-square-style deviation per digit — the classic
+    fabricated-numbers / fraud screen over any monetary column.
+
+    Scale: ONE aggregation reduces the table to ≤9 digit counts (the
+    leading digit comes from integer-cents → string, identical in both
+    engines — never float log on the value itself); the Benford
+    expectation and deviations are computed on that 9-row frame joined
+    to the literal digit spine. Deviation arithmetic runs on exact
+    integers scaled to ticks, with the one pow()/division mirrored
+    token-for-token in the oracle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    tot = o.agg(F.count(F.lit(1)).alias("n"))
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    benford = F.round(
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")) * _BENFORD_TICK, 0
+    ).cast("bigint")
+    e = (
+        digits.join(obs, "digit", "left")
+        .withColumn("observed", F.coalesce(F.col("observed"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("benford_ticks", benford)
+    )
+    dev = F.round(
+        F.pow(
+            F.col("observed").cast("double") * _BENFORD_TICK
+            - F.col("n").cast("double") * F.col("benford_ticks"),
+            2,
+        )
+        / (
+            F.col("n").cast("double")
+            * F.col("benford_ticks")
+            * _BENFORD_TICK
+        )
+        * _BENFORD_DEV_TICK,
+        0,
+    ).cast("bigint")
+    return (
+        e.select("digit", "observed", "benford_ticks", dev.alias("dev_ticks"))
+        .orderBy("digit")
+    )

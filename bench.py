@@ -156,6 +156,8 @@ HEADLINE = [
     "attribution_last_touch",
     "survival_km",
     "freshness_audit",
+    "sequence_gaps",
+    "benford_audit",
 ]
 
 

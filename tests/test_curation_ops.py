@@ -6,6 +6,7 @@ TPC-H tables and fails when fed a broken relation."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ai_etl_studio_spark.operators import load_all
@@ -269,3 +270,54 @@ def test_basket_pairs_support_and_lift_replay(spark):
         assert support[(a, b)] == r.support
         num = 2 * r.support * n_orders * _LIFT_TICK + cnt[a] * cnt[b]
         assert r.lift_ticks == num // (2 * cnt[a] * cnt[b])
+
+
+def test_sequence_gaps_matches_bruteforce(spark):
+    rows = QUERIES["sequence_gaps"](spark, SF_DIR).collect()
+    keys = sorted(
+        r.o_orderkey
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+        if r.o_orderstatus == "F"
+    )
+    gaps = [
+        (a + 1, b - 1, b - 1 - a)
+        for a, b in zip(keys, keys[1:])
+        if b - a > 1
+    ]
+    want = sorted(gaps, key=lambda g: (-g[2], g[0]))[: len(rows)]
+    assert [(r.gap_start, r.gap_end, r.gap_len) for r in rows] == want
+    # every reported range is genuinely absent from the key set
+    ks = set(keys)
+    for r in rows[:10]:
+        assert all(k not in ks for k in range(r.gap_start, r.gap_end + 1))
+
+
+def test_benford_audit_replay(spark):
+    import math
+    from collections import Counter
+
+    from ai_etl_studio_spark.operators.audit import (
+        _BENFORD_DEV_TICK,
+        _BENFORD_TICK,
+    )
+
+    rows = QUERIES["benford_audit"](spark, SF_DIR).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    c = Counter(int(str(round(r.o_totalprice * 100))[0]) for r in o)
+    n = len(o)
+    assert sum(r.observed for r in rows) == n
+    for r in rows:
+        assert r.observed == c.get(r.digit, 0)
+        bt = round(math.log10(1 + 1 / r.digit) * _BENFORD_TICK)
+        assert r.benford_ticks == bt
+        dev = round(
+            (r.observed * _BENFORD_TICK - n * bt) ** 2
+            / (n * bt * _BENFORD_TICK)
+            * _BENFORD_DEV_TICK
+        )
+        assert r.dev_ticks == dev
+    # expectation shares sum to ~1
+    assert sum(r.benford_ticks for r in rows) == pytest.approx(
+        _BENFORD_TICK, abs=5
+    )

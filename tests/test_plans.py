@@ -755,3 +755,15 @@ class TestRound4Plans:
         t = tree(spark, "freshness_audit")
         assert t.count("Scan parquet") == 1
         assert t.count("HashAggregate") == 2  # partial + final, fused
+
+    def test_sequence_gaps_bucketed_windows(self, spark):
+        # the only wide window runs per bucket; the global-order lead
+        # happens on the tiny per-bucket table, never on keys
+        t = tree(spark, "sequence_gaps")
+        assert "CartesianProduct" not in t
+        assert "TakeOrderedAndProject" in t
+
+    def test_benford_single_reduction(self, spark):
+        t = tree(spark, "benford_audit")
+        assert t.count("Scan parquet") <= 2  # digits pass + total pass
+        assert "CartesianProduct" not in t
