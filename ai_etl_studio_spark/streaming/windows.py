@@ -1010,3 +1010,36 @@ def run_stream_curation(
             ).alias("n_decontaminated"),
         )
     )
+
+
+def run_stream_freshness(
+    spark: SparkSession, sf_dir: str, query_name: str = "fresh_out"
+) -> DataFrame:
+    """Live freshness monitor — the streaming twin of the batch
+    ``freshness_audit``: per event stream, the latest arrival timestamp
+    and total arrivals, maintained incrementally as microbatches land.
+    In production this feeds the staleness alert (anchor-now minus
+    last_ts); the fixed-anchor arithmetic stays in the batch op so the
+    streaming state is pure MAX/COUNT.
+
+    Scale: state per key is one timestamp + one counter — constant per
+    stream regardless of volume; complete-mode output is |streams| rows.
+    MAX and COUNT are both mergeable, so microbatch updates are
+    map-side partials into the state store, never a re-scan.
+    """
+    stream = read_event_stream(spark, sf_dir)
+    agg = stream.groupBy(F.col("event_type").alias("stream")).agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -430,3 +430,22 @@ def test_stream_curation_matches_batch_stages(spark):
         dirty = bool(grams & bench)
         w_[3] += q and not dirty
     assert got == {s: tuple(v) for s, v in want.items()}
+
+
+def test_stream_freshness_matches_batch_audit(spark):
+    from ai_etl_studio_spark.operators import load_all
+    from ai_etl_studio_spark.streaming.windows import run_stream_freshness
+
+    queries, _ = load_all()
+    live = {
+        r.stream: (r.last_ts, r.n_events)
+        for r in run_stream_freshness(spark, SF_DIR, "t_fresh").collect()
+    }
+    batch = {
+        r.stream: r.last_ts
+        for r in queries["freshness_audit"](spark, SF_DIR).collect()
+    }
+    assert set(live) == set(batch)
+    for stream, (last_ts, n) in live.items():
+        assert last_ts == batch[stream], stream
+        assert n > 0
