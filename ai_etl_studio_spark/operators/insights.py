@@ -945,32 +945,53 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bought Y" and, in corpus work, behind tag/feature co-occurrence
     mining.
 
-    Scale: the candidate generator is a self-join co-partitioned on the
-    basket key (orderkey) — ONE shuffle of (orderkey, partkey) pairs,
-    and per-basket fan-out is bounded by basket size squared (baskets
-    are small by schema: ≤7 lineitems), the same bounded-bucket shape
-    as the LSH band join — a pathological mega-basket would take the
-    LSH-style per-basket cap. Support aggregation map-side combines;
-    per-part counts and the 1-row order total join back hint-free
-    (aggregate-reduced; AQE broadcasts them); lift is exact integer
-    arithmetic — round(a/b) computed as (2a+b)//(2b) in BOTH engines,
-    so no float division ever orders a result. Top-k via
+    Scale: ONE basket-key shuffle builds the per-order sorted part set
+    (collect_set, map-side combined), materialized once for its three
+    consumers; the i<j pair combinations then generate MAP-SIDE from
+    the array via nested higher-order transforms — no distinct pass, no
+    self-join, no second corpus exchange (the first cut paid 13
+    exchanges for the same answer; this shape pays 7). Per-basket
+    fan-out is bounded by basket size squared (≤7 lineitems by schema;
+    a pathological mega-basket would take the LSH-style per-basket
+    cap). Per-part counts and the 1-row order total join back
+    hint-free (aggregate-reduced; AQE broadcasts them); lift is exact
+    integer arithmetic — round(a/b) computed as (2a+b)//(2b) in BOTH
+    engines, so no float division ever orders a result. Top-k via
     TakeOrderedAndProject heaps.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = items.select(F.col("ok"), F.col("pk").alias("part_1"))
-    b = items.select(F.col("ok"), F.col("pk").alias("part_2"))
+    # ONE basket-key shuffle: per-order sorted part set, materialized
+    # once (three consumers — pairs, per-part counts, order total —
+    # would otherwise re-scan lineitem and re-shuffle each)
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint()
+    )
+    # pair generation is MAP-SIDE from the sorted array (i<j combos via
+    # nested higher-order transforms) — the r4-initial distinct +
+    # self-join shape paid two extra exchanges for the same pairs
+    combos = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("part_1"), y.alias("part_2")),
+            ),
+        )
+    )
     pair = (
-        a.join(b, "ok")
-        .filter(F.col("part_1") < F.col("part_2"))
+        baskets.select(F.explode(combos).alias("p"))
+        .select("p.part_1", "p.part_2")
         .groupBy("part_1", "part_2")
         .agg(F.count(F.lit(1)).alias("support"))
     )
-    pc = items.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = items.agg(F.countDistinct("ok").alias("n_orders"))
+    pc = (
+        baskets.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     c1 = pc.select(F.col("pk").alias("part_1"), F.col("cnt").alias("cnt_1"))
     c2 = pc.select(F.col("pk").alias("part_2"), F.col("cnt").alias("cnt_2"))
     lift = F.expr(
