@@ -819,10 +819,13 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     a naive sequence match would do.
     """
     e = load_table(spark, sf_dir, "events")
+    # each step frame feeds the next step's join AND the final rollup —
+    # materialize (|users| narrow rows each; cluster-scale: persist())
     s1 = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
     )
     c2 = (
         e.filter(F.col("event_type") == "click")
@@ -830,6 +833,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint()
     )
     p3 = (
         e.filter(F.col("event_type") == "purchase")
@@ -837,6 +841,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
+        .localCheckpoint()
     )
     return (
         s1.join(c2, "user_id", "left")
@@ -2044,10 +2049,14 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel narrows.
     """
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # each stage frame feeds both the next stage's join and its own
+    # count — materialize (|users| narrow rows each) so no stage's
+    # filter+join+agg chain executes twice; cluster-scale: persist()
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -2055,6 +2064,7 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint()
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
@@ -2062,6 +2072,7 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
+        .localCheckpoint()
     )
     stages = (
         v.agg(F.count(F.lit(1)).alias("n_users")).select(

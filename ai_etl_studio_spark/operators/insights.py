@@ -291,6 +291,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
+    # materialize the edge list ONCE: it has four consumers (degree
+    # table, orientation, closing-edge set, edge count) and each would
+    # otherwise re-run the basket self-join from the lineitem scan —
+    # the un-checkpointed plan carried 36 scans / 68 exchanges
     e = (
         a.join(
             b,
@@ -301,6 +305,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -313,6 +318,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # oriented edges feed three consumers (both wedge sides + closing
+    # set) — materialize once; at cluster scale persist() to disk-backed
+    # storage instead (same note as pretrain_corpus_pipeline)
     o = (
         e.join(F.broadcast(du), "u")
         .join(F.broadcast(dv), "v")
@@ -320,6 +328,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
+        .localCheckpoint()
     )
     o1 = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
     o2 = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
@@ -1274,10 +1283,13 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp(ticks/1e9) by any consumer.
     """
     e = load_table(spark, sf_dir, "events")
+    # the signup frame feeds the purchase join AND the subject build —
+    # materialize (|users| narrow rows) so events scans once per side
     su = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("start_ts"))
+        .localCheckpoint()
     )
     fp = (
         e.filter(F.col("event_type") == "purchase")
@@ -1298,7 +1310,7 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(((anchor_us - start_us) / _US_PER_DAY).cast("bigint"))
         .alias("day"),
         F.when(F.col("ev_ts").isNotNull(), 1).otherwise(0).alias("event"),
-    )
+    ).localCheckpoint()  # risk table + cohort totals both read subjects
     risk = subj.groupBy("cohort", "day").agg(
         F.sum("event").cast("bigint").alias("d"),
         (F.count(F.lit(1)) - F.sum("event")).cast("bigint").alias("censored"),

@@ -586,7 +586,15 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode k positions → map-side-combined bit_or per 64-bit word.)
     """
     sh = _decon_shingles(spark, sf_dir)
-    bench = sh.filter(F.col("source") == "src0").select("h").distinct()
+    # the benchmark shingle set feeds the bitmap build AND the exact
+    # confirm — materialize it (benchmark-sized, small by definition)
+    # so the src0 explode pipeline runs once; the corpus-side stream is
+    # NOT materialized: its two passes (prune chain, rollup totals) are
+    # the honest cost at 100 TB, cheaper than spilling every shingle
+    bench = (
+        sh.filter(F.col("source") == "src0").select("h").distinct()
+        .localCheckpoint()
+    )
     bitmap = decon_bloom_bitmap(bench)
     cand = sh.filter(F.col("source") != "src0")
     pruned = bloom_prune(cand, bitmap)

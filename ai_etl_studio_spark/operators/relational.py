@@ -1988,6 +1988,9 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_cents")
         )
     )
+    # per-part values feed BOTH the global cutoff and the filter —
+    # materialize once (|parts| rows) so the lineitem join runs once
+    val = val.localCheckpoint()
     total = val.agg((F.sum("value_cents") * 0.001).alias("cutoff"))
     return (
         val.crossJoin(F.broadcast(total))

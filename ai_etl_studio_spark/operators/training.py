@@ -446,6 +446,9 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tick"),
     )
+    # doc-level scores feed BOTH the tercile boundaries and the final
+    # bucketing — materialize once (|docs| narrow rows) or the whole
+    # explode+join+agg pipeline runs twice; cluster-scale: persist()
     scored = (
         toks.join(F.broadcast(vticks), "term")
         .groupBy("doc_id")
@@ -455,6 +458,7 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("tick").cast("double") / 1_000_000_000 / F.count(F.lit(1)), 6
             ).alias("avg_surprisal"),
         )
+        .localCheckpoint()
     )
     bounds = scored.agg(
         F.expr(
