@@ -2550,3 +2550,207 @@ def sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gap_len"), "gap_start")
         .limit(_GAP_TOPK)
     )
+
+
+@register(
+    "groupwise_linreg",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT grp, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY grp)
+    SELECT grp, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             AS slope_cents_per_unit,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+             / n AS intercept_cents
+    FROM s
+    ORDER BY grp
+    """,
+)
+def groupwise_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (extended price vs quantity, one line per
+    return flag): the grouped-regression primitive behind per-segment
+    elasticity / per-cohort trend dashboards — a closed-form fit for
+    EVERY group in one pass, where a naive approach trains one model
+    per group serially.
+
+    Scale: each group's fit consumes only its five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) — exact int64 sums folded into the
+    ONE partial→final aggregation (x as integer units, y as integer
+    cents, so products stay exact and order-free). Slope/intercept are
+    a fixed IEEE expression over those integers, mirrored
+    token-for-token in the oracle; group count never changes the number
+    of passes.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
+    )
+    s = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    nn = F.col("n").cast("double")
+    slope = (nn * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nn * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "grp",
+        "n",
+        slope.alias("slope_cents_per_unit"),
+        intercept.alias("intercept_cents"),
+    ).orderBy("grp")
+
+
+_CHG_TOPK = 10
+
+
+@register(
+    "revenue_changepoints",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+    delta AS (
+      SELECT d, rev,
+             LAG(rev) OVER (ORDER BY d) AS prev_rev,
+             rev - LAG(rev) OVER (ORDER BY d) AS delta_cents
+      FROM daily)
+    SELECT d, CAST(rev AS BIGINT) AS rev_cents,
+           CAST(prev_rev AS BIGINT) AS prev_cents,
+           CAST(delta_cents AS BIGINT) AS delta_cents
+    FROM delta WHERE delta_cents IS NOT NULL
+    ORDER BY abs(delta_cents) DESC, d
+    LIMIT {_CHG_TOPK}
+    """,
+)
+def revenue_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest day-over-day revenue swings: the top-{_CHG_TOPK} absolute
+    deltas in the daily revenue series with their before/after values —
+    the "what happened on this date" starting point of every incident
+    review and anomaly triage.
+
+    Scale: the corpus reduces to ONE row per day (exact cents,
+    partial→final) before any windowing; the lag() runs over the tiny
+    daily series, and the top-k by |delta| is a TakeOrderedAndProject
+    heap. The window's global order is over |days| rows — thousands at
+    any horizon — never over orders.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents("o_totalprice")).alias("rev")
+    )
+    w = Window.orderBy("d")  # |days| rows — bounded by the calendar
+    delta = daily.select(
+        "d",
+        F.col("rev").cast("bigint").alias("rev_cents"),
+        F.lag("rev").over(w).cast("bigint").alias("prev_cents"),
+        (F.col("rev") - F.lag("rev").over(w)).cast("bigint").alias("delta_cents"),
+    ).filter(F.col("delta_cents").isNotNull())
+    return delta.orderBy(F.abs(F.col("delta_cents")).desc(), "d").limit(
+        _CHG_TOPK
+    )
+
+
+#: Holt double-exponential smoothing constants (level α, trend β) and
+#: forecast horizon. Written as literals in BOTH engines so the parsed
+#: doubles are identical.
+_HW_YEAR = "1996"
+_HW_H = 7
+
+
+@register(
+    "holt_level_trend",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, y FROM (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS DOUBLE) AS y
+        FROM orders
+        WHERE o_orderdate >= DATE '{_HW_YEAR}-01-01'
+          AND o_orderdate < DATE '{int(_HW_YEAR) + 1}-01-01'
+        GROUP BY CAST(o_orderdate AS DATE)) t),
+    hw(i, l, b) AS (
+      SELECT 1,
+             (SELECT y FROM daily WHERE i = 1),
+             (SELECT y FROM daily WHERE i = 2)
+               - (SELECT y FROM daily WHERE i = 1)
+      UNION ALL
+      SELECT hw.i + 1,
+             0.5 * d.y + 0.5 * (hw.l + hw.b),
+             0.3 * ((0.5 * d.y + 0.5 * (hw.l + hw.b)) - hw.l) + 0.7 * hw.b
+      FROM hw JOIN daily d ON d.i = hw.i + 1)
+    SELECT (SELECT CAST(MAX(i) AS BIGINT) FROM daily) AS n_days,
+           l AS level_cents, b AS trend_cents,
+           l + {_HW_H} * b AS forecast_{_HW_H}d_cents
+    FROM hw WHERE i = (SELECT MAX(i) FROM daily)
+    """,
+)
+def holt_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) over one year
+    of daily revenue, with a {_HW_H}-day-ahead forecast — the adaptive
+    complement to the rigid OLS line (trend_forecast_linreg) and the
+    seasonal-naive baseline: recent days weigh more, so the forecast
+    tracks regime changes.
+
+    Scale: the recursion is inherently sequential, so the ONLY correct
+    distributed shape is reduce-then-fold — the corpus collapses to one
+    exact-cents row per day (partial→final agg), the ~365-element
+    series folds in a single JVM `aggregate` over the sorted array (no
+    Python, no driver loop, no per-step shuffle). The smoothing
+    arithmetic is written operation-for-operation identically in the
+    oracle's recursive CTE, so the IEEE doubles agree bit-for-bit.
+    Init: l₀ = y₀, b₀ = y₁ − y₀.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= f"{_HW_YEAR}-01-01")
+        & (F.col("o_orderdate") < f"{int(_HW_YEAR) + 1}-01-01")
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents("o_totalprice")).cast("double").alias("y")
+    )
+    row = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "y"))).alias("s")
+    ).select(F.transform("s", lambda x: x["y"]).alias("ys"))
+    ys = F.col("ys")
+    init = F.struct(
+        F.element_at(ys, 1).alias("l"),
+        (F.element_at(ys, 2) - F.element_at(ys, 1)).alias("b"),
+    )
+
+    def step(acc, y):
+        l_new = F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"])
+        b_new = (
+            F.lit(0.3) * ((F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"])) - acc["l"])
+            + F.lit(0.7) * acc["b"]
+        )
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    folded = F.aggregate(
+        F.slice(ys, 2, F.size(ys) - 1), init, step
+    )
+    return row.select(
+        F.size(ys).cast("bigint").alias("n_days"),
+        folded["l"].alias("level_cents"),
+        folded["b"].alias("trend_cents"),
+        (folded["l"] + _HW_H * folded["b"]).alias(f"forecast_{_HW_H}d_cents"),
+    )

@@ -158,6 +158,9 @@ HEADLINE = [
     "freshness_audit",
     "sequence_gaps",
     "benford_audit",
+    "groupwise_linreg",
+    "revenue_changepoints",
+    "holt_level_trend",
 ]
 
 

@@ -558,3 +558,65 @@ def test_freshness_audit_shape(spark):
         assert r.staleness_us >= 0
         assert r.n_last_24h >= 0
         assert r.is_stale == int(r.staleness_us > 6 * 3600 * 1_000_000)
+
+
+def test_groupwise_linreg_numpy_replay(spark):
+    import numpy as np
+
+    rows = QUERIES["groupwise_linreg"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    from collections import defaultdict
+
+    pts = defaultdict(list)
+    for r in li:
+        pts[r.l_returnflag].append(
+            (round(r.l_quantity), round(r.l_extendedprice * 100))
+        )
+    assert {r.grp for r in rows} == set(pts)
+    for r in rows:
+        x = np.array([p[0] for p in pts[r.grp]], float)
+        y = np.array([p[1] for p in pts[r.grp]], float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert r.n == len(x)
+        assert r.slope_cents_per_unit == pytest.approx(float(slope), rel=1e-9)
+        assert r.intercept_cents == pytest.approx(float(intercept), rel=1e-9)
+
+
+def test_revenue_changepoints_replay(spark):
+    rows = QUERIES["revenue_changepoints"](spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    from collections import defaultdict
+
+    daily = defaultdict(int)
+    for r in o:
+        daily[r.o_orderdate.date()] += round(r.o_totalprice * 100)
+    days = sorted(daily)
+    deltas = [
+        (d, daily[d], daily[p], daily[d] - daily[p])
+        for p, d in zip(days, days[1:])
+    ]
+    want = sorted(deltas, key=lambda t: (-abs(t[3]), t[0]))[: len(rows)]
+    got = [(r.d, r.rev_cents, r.prev_cents, r.delta_cents) for r in rows]
+    assert got == want
+
+
+def test_holt_level_trend_python_replay(spark):
+    [r] = QUERIES["holt_level_trend"](spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    from collections import defaultdict
+
+    daily = defaultdict(int)
+    for row in o:
+        d = row.o_orderdate.date()
+        if d.year == 1996:
+            daily[d] += round(row.o_totalprice * 100)
+    ys = [float(daily[d]) for d in sorted(daily)]
+    l, b = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        l_new = 0.5 * y + 0.5 * (l + b)
+        b = 0.3 * ((0.5 * y + 0.5 * (l + b)) - l) + 0.7 * b
+        l = l_new
+    assert r.n_days == len(ys)
+    assert r.level_cents == pytest.approx(l, rel=1e-12)
+    assert r.trend_cents == pytest.approx(b, rel=1e-12)
+    assert r.forecast_7d_cents == pytest.approx(l + 7 * b, rel=1e-12)

@@ -773,3 +773,21 @@ class TestRound4Plans:
         t = tree(spark, "benford_audit")
         assert t.count("Scan parquet") <= 2  # digits pass + total pass
         assert "CartesianProduct" not in t
+
+    def test_groupwise_linreg_single_agg(self, spark):
+        t = tree(spark, "groupwise_linreg")
+        assert t.count("Scan parquet") == 1
+        assert t.count("HashAggregate") == 2  # partial + final
+
+    def test_changepoints_window_on_daily(self, spark):
+        # corpus reduces to days before the lag window + heap top-k
+        t = tree(spark, "revenue_changepoints")
+        assert t.count("Scan parquet") == 1
+        assert "TakeOrderedAndProject" in t
+
+    def test_holt_fold_is_single_jvm_aggregate(self, spark):
+        # reduce-then-fold: one scan, no Python eval anywhere
+        t = tree(spark, "holt_level_trend")
+        assert t.count("Scan parquet") == 1
+        assert "BatchEvalPython" not in t
+        assert "ArrowEvalPython" not in t
