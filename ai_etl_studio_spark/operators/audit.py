@@ -557,3 +557,148 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("digit", "observed", "benford_ticks", dev.alias("dev_ticks"))
         .orderBy("digit")
     )
+
+
+@register(
+    "json_props_profile",
+    oracle="""
+    WITH kv AS (
+      SELECT k, CAST(json_extract(props, '$.' || k) AS VARCHAR) AS raw
+      FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)),
+    typed AS (
+      SELECT k,
+             CASE WHEN regexp_matches(raw, '^-?[0-9]+$') THEN 'integer'
+                  WHEN regexp_matches(raw, '^-?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?$')
+                    THEN 'number'
+                  WHEN raw IN ('true', 'false') THEN 'boolean'
+                  WHEN raw = 'null' THEN 'null'
+                  WHEN raw LIKE '"%' THEN 'string'
+                  ELSE 'object' END AS vtype,
+             CASE WHEN regexp_matches(raw, '^-?[0-9]+$')
+                  THEN CAST(raw AS BIGINT) END AS num
+      FROM kv)
+    SELECT k AS key, vtype, COUNT(*) AS n,
+           CAST(MIN(num) AS BIGINT) AS min_int,
+           CAST(MAX(num) AS BIGINT) AS max_int
+    FROM typed
+    GROUP BY k, vtype
+    ORDER BY key, vtype
+    """,
+)
+def json_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference over the semi-structured ``events.props`` JSON
+    column: every key's observed value type(s), occurrence count, and
+    integer range — the discovery pass that turns a schemaless landing
+    zone into typed columns (the generic machinery matters; this
+    dataset's props happen to carry one integer key).
+
+    Scale: ONE pass — ``from_json`` to ``map<string,string>`` then a
+    map explode keeps parsing JVM-side (no per-key re-parse, no dynamic
+    get_json_object path evaluation per key); type classification is a
+    codegen'd regex CASE, and the rollup is |keys × types| rows. The
+    oracle reaches the same classification through DuckDB's json_keys /
+    json_extract — two independent JSON stacks agreeing on the profile.
+    """
+    e = load_table(spark, sf_dir, "events")
+    kv = e.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("k", "v")
+    )
+    is_int = F.col("v").rlike(r"^-?[0-9]+$")
+    is_num = F.col("v").rlike(r"^-?[0-9]*\.[0-9]+([eE][+-]?[0-9]+)?$")
+    # from_json(map<string,string>) strips quotes from JSON strings, so
+    # classify strings LAST (anything not parsing as a JSON scalar)
+    vtype = (
+        F.when(is_int, "integer")
+        .when(is_num, "number")
+        .when(F.col("v").isin("true", "false"), "boolean")
+        .when(F.col("v").isNull() | (F.col("v") == "null"), "null")
+        .when(F.col("v").startswith("{") | F.col("v").startswith("["), "object")
+        .otherwise("string")
+    )
+    typed = kv.select(
+        F.col("k").alias("key"),
+        vtype.alias("vtype"),
+        F.when(is_int, F.col("v").cast("bigint")).alias("num"),
+    )
+    return (
+        typed.groupBy("key", "vtype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("num").cast("bigint").alias("min_int"),
+            F.max("num").cast("bigint").alias("max_int"),
+        )
+        .orderBy("key", "vtype")
+    )
+
+
+@register(
+    "table_checksums",
+    oracle="""
+    WITH o AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(concat('0x', substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
+             ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+      FROM orders),
+    c AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(concat('0x', substr(md5(
+               CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment
+             ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+      FROM customer)
+    SELECT * FROM (
+      SELECT 'orders' AS table_name, n, checksum FROM o
+      UNION ALL
+      SELECT 'customer', n, checksum FROM c) t
+    ORDER BY table_name
+    """,
+)
+def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksums per table (row count + sum of
+    per-row 32-bit md5 hashes over the business-key columns) — the
+    cross-system reconciliation primitive: two engines, two clusters, or
+    a before/after migration agree iff the (n, checksum) pairs agree,
+    with no row-by-row compare and no ordering requirement.
+
+    Scale: one pass per table, everything map-side until the single-row
+    SUM (addition commutes, so partitioning/retries can't change the
+    checksum); per-row hashing is the md5 family shared with the dedup
+    ladder (functions/texthash.py — identical in DuckDB, so the oracle
+    IS the cross-system reconciliation it demonstrates). Money enters
+    the hash as exact integer cents, never a float rendering.
+    """
+    from ai_etl_studio_spark.functions.texthash import md5_hash32
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    o_sum = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            md5_hash32(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("bigint")
+                    .cast("string"),
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    ).select(F.lit("orders").alias("table_name"), "n", "checksum")
+    c_sum = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            md5_hash32(
+                F.concat_ws(
+                    "|", F.col("c_custkey").cast("string"), F.col("c_mktsegment")
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    ).select(F.lit("customer").alias("table_name"), "n", "checksum")
+    return o_sum.unionAll(c_sum).orderBy("table_name")

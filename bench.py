@@ -161,6 +161,8 @@ HEADLINE = [
     "groupwise_linreg",
     "revenue_changepoints",
     "holt_level_trend",
+    "json_props_profile",
+    "table_checksums",
 ]
 
 

@@ -321,3 +321,66 @@ def test_benford_audit_replay(spark):
     assert sum(r.benford_ticks for r in rows) == pytest.approx(
         _BENFORD_TICK, abs=5
     )
+
+
+def test_json_props_profile_replay(spark):
+    import json
+
+    rows = QUERIES["json_props_profile"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    from collections import Counter, defaultdict
+
+    counts = Counter()
+    nums = defaultdict(list)
+    for e in ev:
+        for k, v in json.loads(e.props).items():
+            if isinstance(v, bool):
+                t = "boolean"
+            elif isinstance(v, int):
+                t = "integer"
+            elif isinstance(v, float):
+                t = "number"
+            elif v is None:
+                t = "null"
+            elif isinstance(v, str):
+                t = "string"
+            else:
+                t = "object"
+            counts[(k, t)] += 1
+            if t == "integer":
+                nums[(k, t)].append(v)
+    assert {(r.key, r.vtype): r.n for r in rows} == dict(counts)
+    for r in rows:
+        if (r.key, r.vtype) in nums:
+            vals = nums[(r.key, r.vtype)]
+            assert (r.min_int, r.max_int) == (min(vals), max(vals))
+
+
+def test_table_checksums_detect_any_change(spark, tmp_path):
+    """The reconciliation property: identical content → identical
+    (n, checksum); ONE changed cell → different checksum."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    rows = {
+        r.table_name: (r.n, r.checksum)
+        for r in QUERIES["table_checksums"](spark, SF_DIR).collect()
+    }
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    want = sum(
+        h(f"{r.o_orderkey}|{r.o_custkey}|{round(r.o_totalprice * 100)}")
+        for r in o
+    )
+    assert rows["orders"] == (len(o), want)
+    # single-cell sensitivity: bump one total by a cent → checksum moves
+    tampered = want - h(
+        f"{o[0].o_orderkey}|{o[0].o_custkey}|{round(o[0].o_totalprice * 100)}"
+    ) + h(
+        f"{o[0].o_orderkey}|{o[0].o_custkey}|{round(o[0].o_totalprice * 100) + 1}"
+    )
+    assert tampered != want

@@ -791,3 +791,17 @@ class TestRound4Plans:
         assert t.count("Scan parquet") == 1
         assert "BatchEvalPython" not in t
         assert "ArrowEvalPython" not in t
+
+    def test_json_profile_single_parse(self, spark):
+        # from_json to map + explode: one scan, no per-key reparse, no
+        # Python in the plan
+        t = tree(spark, "json_props_profile")
+        assert t.count("Scan parquet") == 1
+        assert "BatchEvalPython" not in t
+
+    def test_checksums_map_side_only(self, spark):
+        # per-table: scan → project(hash) → partial/final agg; the only
+        # exchanges are the two 1-row agg merges + presentation sort
+        t = tree(spark, "table_checksums")
+        assert t.count("Scan parquet") == 2
+        assert "Join" not in t
