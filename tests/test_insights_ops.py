@@ -620,3 +620,55 @@ def test_holt_level_trend_python_replay(spark):
     assert r.level_cents == pytest.approx(l, rel=1e-12)
     assert r.trend_cents == pytest.approx(b, rel=1e-12)
     assert r.forecast_7d_cents == pytest.approx(l + 7 * b, rel=1e-12)
+
+
+def test_skyline_pareto_edge_cases(spark, tmp_path):
+    """Crafted part table hitting the grid seams: prices exactly on
+    bucket multiples, equal-price/equal-size duplicates (neither
+    dominates -> both kept), an equal-price larger-size victim, and a
+    cross-bucket domination."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_etl_studio_spark.operators.analytics import _SKY_BUCKET_CENTS
+
+    b = _SKY_BUCKET_CENTS  # 500 cents
+    rows = [
+        # (key, price_cents, size)
+        (1, 2 * b, 10),   # on a bucket boundary
+        (2, 2 * b, 10),   # exact duplicate of 1 — both kept
+        (3, 2 * b, 7),    # equal price, smaller size — dominated by 1/2
+        (4, 3 * b + 1, 12),  # pricier but bigger — kept
+        (5, 5 * b, 12),   # same size as 4, strictly pricier — dominated
+        (6, 1, 1),        # cheapest overall — kept
+        (7, 5 * b + 3, 11),  # dominated by 4 (cheaper AND bigger)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                "p_name": [f"p{r[0]}" for r in rows],
+                "p_brand": ["B"] * len(rows),
+                "p_type": ["T"] * len(rows),
+                "p_size": pa.array([r[2] for r in rows], pa.int32()),
+                "p_retailprice": [r[1] / 100.0 for r in rows],
+            }
+        ),
+        f"{tmp_path}/part.parquet",
+    )
+    got = {
+        r.p_partkey
+        for r in QUERIES["skyline_pareto"](spark, str(tmp_path)).collect()
+    }
+    assert got == {1, 2, 4, 6}
+    # oracle twin agrees on the same crafted table
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM '{tmp_path}/part.parquet'"
+    )
+    oracle_keys = {
+        r[0] for r in con.execute(ORACLES["skyline_pareto"]).fetchall()
+    }
+    assert oracle_keys == {1, 2, 4, 6}
