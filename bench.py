@@ -163,6 +163,7 @@ HEADLINE = [
     "holt_level_trend",
     "json_props_profile",
     "table_checksums",
+    "media_chunk_dedup",
 ]
 
 

@@ -384,3 +384,33 @@ def test_table_checksums_detect_any_change(spark, tmp_path):
         f"{o[0].o_orderkey}|{o[0].o_custkey}|{round(o[0].o_totalprice * 100) + 1}"
     )
     assert tampered != want
+
+
+def test_media_chunk_dedup_replay(spark):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    rows = {
+        r.media_type: r
+        for r in QUERIES["media_chunk_dedup"](spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    per_type = defaultdict(Counter)
+    blen = defaultdict(dict)
+    for d in docs:
+        mt = ["image/png", "audio/wav", "video/mp4"][d.doc_id % 3]
+        payload = d.text.encode("utf-8")
+        for i in range(0, len(payload), 64):
+            chunk = payload[i : i + 64]
+            h = hashlib.md5(chunk.hex().upper().encode()).hexdigest()
+            per_type[mt][h] += 1
+            blen[mt][h] = len(chunk)
+    for mt, c in per_type.items():
+        r = rows[mt]
+        assert r.n_chunks == sum(c.values())
+        assert r.n_distinct_chunks == len(c)
+        assert r.dedup_savings_bytes == sum(
+            (n - 1) * blen[mt][h] for h, n in c.items()
+        )
+    # the seeded near-duplicate docs guarantee real savings somewhere
+    assert any(r.dedup_savings_bytes > 0 for r in rows.values())

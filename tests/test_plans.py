@@ -805,3 +805,10 @@ class TestRound4Plans:
         t = tree(spark, "table_checksums")
         assert t.count("Scan parquet") == 2
         assert "Join" not in t
+
+    def test_media_chunk_dedup_no_python_no_payload_shuffle(self, spark):
+        t = tree(spark, "media_chunk_dedup")
+        assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        assert t.count("Scan parquet") == 1
+        # the only wide exchanges carry chunk hashes, via the two aggs
+        assert t.count("HashAggregate") == 4  # partial+final × 2
