@@ -2754,3 +2754,86 @@ def holt_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded["b"].alias("trend_cents"),
         (folded["l"] + _HW_H * folded["b"]).alias(f"forecast_{_HW_H}d_cents"),
     )
+
+
+#: Value-bucket width (cents) for the distributed exact rank in
+#: gini_concentration.
+_GINI_BUCKET_CENTS = 1_000_000
+
+
+@register(
+    "gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS r
+      FROM spend),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(SUM(r * cents) AS BIGINT) AS rank_weighted
+      FROM ranked)
+    SELECT n AS n_customers, total_cents,
+           CAST(2 * rank_weighted - (n + 1) * total_cents AS DOUBLE)
+             / CAST(n * total_cents AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers — the
+    inequality/concentration audit behind "do 1% of customers drive 50%
+    of revenue" (0 = uniform, →1 = concentrated).
+
+    Scale: Gini needs every row's EXACT global rank, and the textbook
+    ROW_NUMBER over all customers is a single-task sort. Instead (the
+    ntile_rfm_scalable / sequence_gaps pattern, fully declarative — no
+    driver collect): spend rows bucket by VALUE range, per-bucket
+    row_number windows run in parallel, and each bucket's global offset
+    comes from a cumulative window over the TINY bucket-count table;
+    global rank = offset + local rank. The rank-weighted sum is exact
+    int64 (valid while Σ rank·cents < 2^63 ≈ sf1 here; beyond that,
+    decompose per bucket: offset_b·Σx_b + Σ rn·x_b, each term bounded);
+    the final Gini expression is one mirrored IEEE division.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("cents"))
+        .withColumn(
+            "bkt", (F.col("cents") / _GINI_BUCKET_CENTS).cast("bigint")
+        )
+        .localCheckpoint()  # ranks + bucket counts read this once
+    )
+    per_bkt = spend.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )  # tiny: one row per occupied value bucket
+    offsets = per_bkt.select(
+        "bkt", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("bkt").orderBy("cents", "o_custkey")
+    ranked = (
+        spend.withColumn("rn", F.row_number().over(w_in))
+        .join(offsets, "bkt")
+        .select("cents", (F.col("off") + F.col("rn")).alias("r"))
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("r") * F.col("cents")).cast("bigint").alias("rank_weighted"),
+    )
+    n = F.col("n")
+    # numerator and denominator stay EXACT int64 (each < 2^63 at the
+    # documented bound); ONE int->double conversion each + ONE IEEE
+    # division — a compound double expression here diverged from the
+    # oracle by 1 ulp at sf0.1 (engines may fuse/associate differently)
+    num = F.lit(2) * F.col("rank_weighted") - (n + F.lit(1)) * F.col("total_cents")
+    den = n * F.col("total_cents")
+    gini = num.cast("double") / den.cast("double")
+    return s.select(
+        n.alias("n_customers"), "total_cents", gini.alias("gini")
+    )

@@ -164,6 +164,7 @@ HEADLINE = [
     "json_props_profile",
     "table_checksums",
     "media_chunk_dedup",
+    "gini_concentration",
 ]
 
 

@@ -672,3 +672,20 @@ def test_skyline_pareto_edge_cases(spark, tmp_path):
         r[0] for r in con.execute(ORACLES["skyline_pareto"]).fetchall()
     }
     assert oracle_keys == {1, 2, 4, 6}
+
+
+def test_gini_concentration_replay_and_bounds(spark):
+    [r] = QUERIES["gini_concentration"](spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    from collections import defaultdict
+
+    spend = defaultdict(int)
+    for row in o:
+        spend[row.o_custkey] += round(row.o_totalprice * 100)
+    xs = sorted(spend.values())
+    n, total = len(xs), sum(xs)
+    rank_weighted = sum((i + 1) * x for i, x in enumerate(xs))
+    assert (r.n_customers, r.total_cents) == (n, total)
+    want = (2 * rank_weighted - (n + 1) * total) / (n * total)
+    assert r.gini == pytest.approx(want, rel=1e-12)
+    assert 0.0 <= r.gini < 1.0

@@ -812,3 +812,10 @@ class TestRound4Plans:
         assert t.count("Scan parquet") == 1
         # the only wide exchanges carry chunk hashes, via the two aggs
         assert t.count("HashAggregate") == 4  # partial+final × 2
+
+    def test_gini_rank_is_bucketed_not_global(self, spark):
+        # exact ranks come from per-bucket windows + the tiny offset
+        # table — never a single-partition global sort of customers
+        t = tree(spark, "gini_concentration")
+        assert t.count("Scan parquet") == 0  # checkpointed spend
+        assert "CartesianProduct" not in t
