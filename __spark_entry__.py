@@ -49,13 +49,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: null_handling pct_of_total repetition_quality
 #: stopword_pruned_corpus string_agg_ordered text_tokens
 #: window_fill_forward window_range_rolling window_sliding
-#: — plus the nineteen operators ADDED in round 4 (weighted_sample_topk,
+#: — plus the thirty-one operators ADDED in round 4 (weighted_sample_topk,
 #: table_profile, basket_pairs, skyline_pareto,
 #: chi_square_independence, ann_pq_append_topk, time_weighted_avg,
 #: attribution_last_touch, survival_km, freshness_audit,
 #: sequence_gaps, benford_audit, groupwise_linreg,
 #: revenue_changepoints, holt_level_trend, json_props_profile,
-#: table_checksums, media_chunk_dedup, gini_concentration; no
+#: table_checksums, media_chunk_dedup, gini_concentration, and the
+#: drift-audit tier psi_drift, ks_two_sample, mannwhitney_utest,
+#: correlation_matrix, seasonal_anomaly_dow, entropy_by_source,
+#: hhi_concentration, mutual_information, autocorrelation_lags,
+#: vocab_growth_curve, source_token_jaccard, power_law_alpha; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

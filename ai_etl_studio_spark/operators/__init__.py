@@ -50,6 +50,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         arrays,
         audit,
         dedup,
+        drift,
         extended,
         insights,
         multimodal,

@@ -1,0 +1,828 @@
+"""Distribution-drift and statistical-audit operators: PSI, two-sample
+KS, Mann-Whitney U, a one-pass correlation matrix, day-of-week-adjusted
+anomaly ranking, and per-source language entropy.
+
+The reference engine (balyuv/ai-etl-studio) answers only what its LLM
+can phrase as one SELECT; these are the canned drift/monitoring shapes
+an ML-data team runs between every two corpus snapshots — the "did the
+incoming distribution move" gate in front of a 100 TB training
+pipeline. Driver-directed extension surface, designed Spark-first.
+
+Float-determinism discipline (shared with exact.py and insights.py):
+every distributed SUM is over int64 ticks; rank machinery follows the
+bucketed-exact-global-rank pattern (per-value-bucket windows + a tiny
+bucket-offset table — never a single-partition global sort); doubles
+appear only in final tiny-table expressions mirrored token-for-token in
+the DuckDB oracle, quantized to ticks where the expression is compound
+(the gini 1-ulp lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_etl_studio_spark.catalog import load_table
+from ai_etl_studio_spark.functions.exact import cents
+from ai_etl_studio_spark.operators import register
+
+#: n_chars bin width for the PSI histogram.
+_PSI_BIN = 50
+
+#: Value-bucket width (cents) for the bucketed exact rank/ECDF used by
+#: the KS and Mann-Whitney tests (same scheme as gini_concentration).
+_RANK_BUCKET_CENTS = 1_000_000
+
+#: The two order-priority populations the two-sample tests compare.
+_GRP_A = "1-URGENT"
+_GRP_B = "5-LOW"
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index over a binned histogram
+# ---------------------------------------------------------------------------
+
+@register(
+    "psi_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(n_chars // {_PSI_BIN} AS BIGINT) AS bin,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_expected,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS cnt_actual
+      FROM documents WHERE lang IS NOT NULL
+      GROUP BY 1),
+    t AS (
+      SELECT bin, cnt_expected, cnt_actual,
+             CAST(SUM(cnt_expected) OVER () AS BIGINT) AS n_e,
+             CAST(SUM(cnt_actual) OVER () AS BIGINT) AS n_a
+      FROM b),
+    c AS (
+      SELECT bin, cnt_expected, cnt_actual,
+             CASE WHEN cnt_expected > 0 AND cnt_actual > 0 THEN
+               CAST(round(
+                 (CAST(cnt_actual AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(cnt_expected AS DOUBLE) / CAST(n_e AS DOUBLE))
+                 * ln((CAST(cnt_actual AS DOUBLE) / CAST(n_a AS DOUBLE))
+                      / (CAST(cnt_expected AS DOUBLE) / CAST(n_e AS DOUBLE)))
+                 * 1000000000, 0) AS BIGINT)
+             END AS contrib_ticks
+      FROM t)
+    SELECT bin, cnt_expected, cnt_actual, contrib_ticks,
+           CAST(SUM(contrib_ticks) OVER () AS BIGINT) AS psi_ticks
+    FROM c ORDER BY bin
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the English and non-English
+    document-length distributions — the standard "did this feature's
+    distribution move between snapshots" drift gate (PSI < 0.1 stable,
+    > 0.25 action).
+
+    Scale: documents reduce immediately to ≤ ~dozen histogram bins via
+    ONE map-side-combinable count aggregation; the side totals, per-bin
+    probabilities, and the PSI sum are all windows over that tiny bin
+    table. Bins where either side is empty contribute NULL (reported,
+    not silently dropped — the eps-smoothing choice is the caller's);
+    the ln((p_a)/(p_e)) term is quantized to integer nanoticks with the
+    expression mirrored token-for-token in the oracle.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    b = d.groupBy(
+        (F.col("n_chars") / _PSI_BIN).cast("bigint").alias("bin")
+    ).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cnt_expected"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("cnt_actual"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t = b.select(
+        "bin",
+        "cnt_expected",
+        "cnt_actual",
+        F.sum("cnt_expected").over(w_all).alias("n_e"),
+        F.sum("cnt_actual").over(w_all).alias("n_a"),
+    )
+    pa = F.col("cnt_actual").cast("double") / F.col("n_a").cast("double")
+    pe = F.col("cnt_expected").cast("double") / F.col("n_e").cast("double")
+    contrib = (
+        F.when(
+            (F.col("cnt_expected") > 0) & (F.col("cnt_actual") > 0),
+            F.round((pa - pe) * F.log(pa / pe) * 1_000_000_000, 0).cast("bigint"),
+        )
+    ).alias("contrib_ticks")
+    c = t.select("bin", "cnt_expected", "cnt_actual", contrib)
+    return c.select(
+        "*", F.sum("contrib_ticks").over(w_all).alias("psi_ticks")
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Shared bucketed exact ECDF/rank scaffold for the two-sample tests
+# ---------------------------------------------------------------------------
+
+def _two_sample_per_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-distinct-price counts for the two compared populations, with
+    bucketed exact cumulative counts.
+
+    Returns one row per distinct cents value carrying (v, ca, cb,
+    cum_a, cum_b, cum_all_before, n1, n2) where cum_* are INCLUSIVE
+    global cumulative counts in value order and cum_all_before is the
+    EXCLUSIVE pooled one — everything downstream (KS sup-distance,
+    Mann-Whitney midranks) is arithmetic on this table.
+
+    Scale: the global order is never materialized as a global sort —
+    values hash-bucket by range (``_RANK_BUCKET_CENTS``), per-bucket
+    windows cumulate in parallel, and each bucket's global offset comes
+    from a window over the tiny occupied-bucket table (the
+    gini_concentration pattern). ``localCheckpoint`` materializes the
+    per-value reduction once for its three consumers (per-bucket
+    windows, bucket totals, grand totals).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(_GRP_A, _GRP_B)
+    )
+    per_v = (
+        o.select(
+            cents("o_totalprice").alias("v"),
+            (F.col("o_orderpriority") == _GRP_A).cast("bigint").alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("is_a").alias("ca"),
+            F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
+        )
+        .withColumn("bkt", (F.col("v") / _RANK_BUCKET_CENTS).cast("bigint"))
+        .localCheckpoint()
+    )
+    per_bkt = per_v.groupBy("bkt").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bkt.select(
+        "bkt",
+        F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("off_a"),
+        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("off_b"),
+    )
+    totals = per_v.agg(
+        F.sum("ca").cast("bigint").alias("n1"), F.sum("cb").cast("bigint").alias("n2")
+    )
+    w_in = (
+        Window.partitionBy("bkt").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_ex = (
+        Window.partitionBy("bkt").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_v.withColumn("la", F.sum("ca").over(w_in))
+        .withColumn("lb", F.sum("cb").over(w_in))
+        .withColumn(
+            "lx", F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w_ex), F.lit(0))
+        )
+        .join(offsets, "bkt")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "v",
+            "ca",
+            "cb",
+            (F.col("off_a") + F.col("la")).alias("cum_a"),
+            (F.col("off_b") + F.col("lb")).alias("cum_b"),
+            (F.col("off_a") + F.col("off_b") + F.col("lx")).alias("cum_all_before"),
+            "n1",
+            "n2",
+        )
+    )
+
+
+#: Shared oracle CTE prefix producing the same per-value table.
+_TWO_SAMPLE_CTE = f"""
+    WITH f AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '{_GRP_A}' THEN 1 ELSE 0 END AS is_a
+      FROM orders
+      WHERE o_orderpriority IN ('{_GRP_A}', '{_GRP_B}')),
+    pv AS (
+      SELECT v, CAST(SUM(is_a) AS BIGINT) AS ca,
+             CAST(SUM(1 - is_a) AS BIGINT) AS cb
+      FROM f GROUP BY v),
+    c AS (
+      SELECT v, ca, cb,
+             CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
+             CAST(COALESCE(SUM(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_all_before
+      FROM pv),
+    t AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n1, CAST(SUM(cb) AS BIGINT) AS n2
+      FROM pv)
+"""
+
+
+@register(
+    "ks_two_sample",
+    oracle=_TWO_SAMPLE_CTE
+    + """
+    SELECT n1, n2,
+           CAST(MAX(ABS(cum_a * n2 - cum_b * n1)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(cum_a * n2 - cum_b * n1)) AS DOUBLE)
+             / CAST(n1 * n2 AS DOUBLE) AS d_stat
+    FROM c, t GROUP BY n1, n2
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic comparing the
+    order-value distributions of urgent vs low-priority orders — the
+    nonparametric "are these two samples from the same distribution"
+    drift test.
+
+    Scale: the sup-distance needs both ECDFs at every distinct value;
+    the bucketed cumulative scaffold (``_two_sample_per_value``) builds
+    them with per-bucket parallel windows — no global sort. D is kept
+    as an EXACT integer cross-product sup |F1·n2 - F2·n1| (int64 safe
+    to ~sf1000: cum ≤ 6e8, n ≤ 6e8 → 3.6e17 < 2^63; beyond that switch
+    the product to decimal128); the surfaced d_stat is one mirrored
+    IEEE division.
+    """
+    pv = _two_sample_per_value(spark, sf_dir)
+    d = F.abs(F.col("cum_a") * F.col("n2") - F.col("cum_b") * F.col("n1"))
+    return pv.groupBy("n1", "n2").agg(
+        F.max(d).cast("bigint").alias("d_num"),
+        (
+            F.max(d).cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double")
+        ).alias("d_stat"),
+    )
+
+
+@register(
+    "mannwhitney_utest",
+    oracle=_TWO_SAMPLE_CTE
+    + """
+    , mr AS (
+      SELECT ca, cb, ca + cb AS cnt,
+             2 * cum_all_before + (ca + cb) + 1 AS mr2
+      FROM c),
+    s AS (
+      SELECT CAST(SUM(ca * mr2) AS BIGINT) AS r1x2,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+      FROM mr)
+    SELECT n1, n2,
+           CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2, tie_term,
+           CAST(round(
+             (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+              - CAST(n1 * n2 AS DOUBLE) / 2)
+             / sqrt(CAST(n1 * n2 AS DOUBLE) / 12
+                    * (CAST(n1 + n2 + 1 AS DOUBLE)
+                       - CAST(tie_term AS DOUBLE)
+                         / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))
+             * 1000000, 0) AS BIGINT) AS z_ticks
+    FROM s, t
+    """,
+)
+def mannwhitney_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test on the same two order
+    populations — the rank-based location-shift test that, unlike the
+    t/z test, needs every row's exact global midrank.
+
+    Scale: midranks come from the bucketed exclusive-cumulative scaffold
+    (2·midrank = 2·cum_before + t + 1 stays integer through ties); the
+    doubled rank sum R1·2 and the tie-correction Σ(t³-t) are exact int64
+    (Σ ca·mr2 ≤ n1·2n ≈ 1.8e18 at sf1000 — documented bound, decimal128
+    beyond); only the final z-score is a mirrored compound double,
+    quantized to microticks per the gini 1-ulp lesson.
+    """
+    pv = _two_sample_per_value(spark, sf_dir)
+    mr2 = F.lit(2) * F.col("cum_all_before") + (F.col("ca") + F.col("cb")) + F.lit(1)
+    cnt = F.col("ca") + F.col("cb")
+    s = pv.groupBy("n1", "n2").agg(
+        F.sum(F.col("ca") * mr2).cast("bigint").alias("r1x2"),
+        F.sum(cnt * cnt * cnt - cnt).cast("bigint").alias("tie_term"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1x2 = F.col("r1x2") - n1 * (n1 + F.lit(1))
+    z = (
+        u1x2.cast("double") / 2 - (n1 * n2).cast("double") / 2
+    ) / F.sqrt(
+        (n1 * n2).cast("double") / 12
+        * (
+            (n1 + n2 + F.lit(1)).cast("double")
+            - F.col("tie_term").cast("double")
+            / ((n1 + n2) * (n1 + n2 - F.lit(1))).cast("double")
+        )
+    )
+    return s.select(
+        "n1",
+        "n2",
+        u1x2.cast("bigint").alias("u1_x2"),
+        "tie_term",
+        F.round(z * 1_000_000, 0).cast("bigint").alias("z_ticks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass pairwise correlation matrix
+# ---------------------------------------------------------------------------
+
+#: (output name, tick expression SQL, Spark tick column) per measure —
+#: tick scales chosen so Σx² stays inside int64 through ~sf100
+#: (price in whole dollars: 9e4² × 6e8 rows ≈ 5e18 < 2^63).
+_CORR_COLS = [
+    ("quantity", "CAST(round(l_quantity * 100, 0) AS BIGINT)"),
+    ("price", "CAST(round(l_extendedprice, 0) AS BIGINT)"),
+    ("discount", "CAST(round(l_discount * 100, 0) AS BIGINT)"),
+    ("tax", "CAST(round(l_tax * 100, 0) AS BIGINT)"),
+]
+
+_CORR_PAIRS = [
+    ("quantity", "price"),
+    ("quantity", "discount"),
+    ("quantity", "tax"),
+    ("price", "discount"),
+    ("price", "tax"),
+    ("discount", "tax"),
+]
+
+
+def _corr_oracle() -> str:
+    ticks = ", ".join(f"{sql} AS t_{n}" for n, sql in _CORR_COLS)
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for n, _ in _CORR_COLS:
+        sums.append(f"CAST(SUM(t_{n}) AS BIGINT) AS s_{n}")
+    for i, (a, _) in enumerate(_CORR_COLS):
+        for b, _sql in _CORR_COLS[i:]:
+            sums.append(f"CAST(SUM(t_{a} * t_{b}) AS BIGINT) AS x_{a}_{b}")
+    rows = []
+    for a, b in _CORR_PAIRS:
+        corr = (
+            f"(CAST(n AS DOUBLE) * CAST(x_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / (sqrt(CAST(n AS DOUBLE) * CAST(x_{a}_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(n AS DOUBLE) * CAST(x_{b}_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        rows.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n,"
+            f" CAST(round({corr} * 1000000000, 0) AS BIGINT) AS corr_ticks"
+            f" FROM s"
+        )
+    sums_str = ", ".join(sums)
+    return (
+        f"WITH ticks AS (SELECT {ticks} FROM lineitem),"
+        f" s AS (SELECT {sums_str} FROM ticks)"
+        f" {' UNION ALL '.join(rows)} ORDER BY col_x, col_y"
+    )
+
+
+@register("correlation_matrix", oracle=_corr_oracle())
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's four numeric
+    measures — the profiling primitive behind feature selection and
+    redundant-column detection, computed from ONE fused pass.
+
+    Scale: a single aggregation collects all 15 sufficient statistics
+    (n, 4 sums, 10 products) with map-side combine — the 100 TB cost is
+    exactly one scan + one 1-row reduce, NOT 6 corr() passes. The sums
+    are exact int64 on quantized ticks (scales documented at
+    ``_CORR_COLS``; at ~sf1000 move the Σx² columns to decimal128); the
+    6 output rows explode from the single stats row, each correlation a
+    mirrored compound double quantized to nanoticks.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    tick = {
+        "quantity": F.round(F.col("l_quantity") * 100, 0).cast("bigint"),
+        "price": F.round(F.col("l_extendedprice"), 0).cast("bigint"),
+        "discount": F.round(F.col("l_discount") * 100, 0).cast("bigint"),
+        "tax": F.round(F.col("l_tax") * 100, 0).cast("bigint"),
+    }
+    ticks = li.select(*[c.alias(f"t_{n}") for n, c in tick.items()])
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    names = list(tick)
+    for n in names:
+        aggs.append(F.sum(f"t_{n}").cast("bigint").alias(f"s_{n}"))
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            aggs.append(
+                F.sum(F.col(f"t_{a}") * F.col(f"t_{b}"))
+                .cast("bigint")
+                .alias(f"x_{a}_{b}")
+            )
+    s = ticks.agg(*aggs)
+
+    def corr_ticks(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        xab = F.col(f"x_{a}_{b}").cast("double")
+        xaa, xbb = F.col(f"x_{a}_{a}").cast("double"), F.col(f"x_{b}_{b}").cast("double")
+        corr = (n * xab - sa * sb) / (
+            F.sqrt(n * xaa - sa * sa) * F.sqrt(n * xbb - sb * sb)
+        )
+        return F.round(corr * 1_000_000_000, 0).cast("bigint")
+
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.col("n").alias("n"),
+            corr_ticks(a, b).alias("corr_ticks"),
+        )
+        for a, b in _CORR_PAIRS
+    ]
+    return (
+        s.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_x", "col_y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week-adjusted volume anomalies
+# ---------------------------------------------------------------------------
+
+@register(
+    "seasonal_anomaly_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1),
+    d AS (
+      SELECT day, CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS dow,
+             n_events FROM daily),
+    w AS (
+      SELECT day, dow, n_events,
+             SUM(n_events) OVER (PARTITION BY dow ORDER BY day
+               ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS baseline2,
+             COUNT(*) OVER (PARTITION BY dow ORDER BY day
+               ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS k
+      FROM d)
+    SELECT day, dow, n_events, CAST(baseline2 AS BIGINT) AS baseline2,
+           CAST(2 * n_events - baseline2 AS BIGINT) AS dev_x2
+    FROM w WHERE k = 2
+    ORDER BY ABS(2 * n_events - baseline2) DESC, day LIMIT 20
+    """,
+)
+def seasonal_anomaly_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 daily event-volume anomalies after removing day-of-week
+    seasonality: each day's count vs the sum of the two previous SAME
+    weekdays — the monitoring query behind "traffic looks weird today",
+    which a raw z-score gets wrong on every weekend.
+
+    Scale: events reduce to one row per calendar day in a single
+    map-side-combinable count; the seasonal baseline is a 2-row lag
+    window inside 7 tiny weekday partitions, and the deviation 2·n -
+    baseline stays exact int64 (no /2 rational). Days-since-epoch mod 7
+    derives the weekday identically in both engines (locale-free). Final
+    ranking is a TakeOrdered heap with the day as tiebreak.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "dow",
+            (F.datediff(F.col("day"), F.lit("1970-01-01")).cast("bigint")) % 7,
+        )
+    )
+    w = Window.partitionBy("dow").orderBy("day").rowsBetween(-2, -1)
+    out = (
+        daily.withColumn("baseline2", F.sum("n_events").over(w))
+        .withColumn("k", F.count("n_events").over(w))
+        .filter(F.col("k") == 2)
+    )
+    dev = (F.lit(2) * F.col("n_events") - F.col("baseline2")).cast("bigint")
+    return (
+        out.select(
+            "day",
+            "dow",
+            "n_events",
+            F.col("baseline2").cast("bigint").alias("baseline2"),
+            dev.alias("dev_x2"),
+        )
+        .orderBy(F.abs(F.col("dev_x2")).desc(), "day")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source language-mix entropy
+# ---------------------------------------------------------------------------
+
+@register(
+    "entropy_by_source",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n
+      FROM documents WHERE lang IS NOT NULL GROUP BY source, lang),
+    t AS (
+      SELECT source, lang, n,
+             CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS tot
+      FROM c)
+    SELECT source, CAST(MAX(tot) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(-SUM(CAST(round(
+             (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+             * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+             * 1000000000, 0) AS BIGINT)) AS BIGINT) AS entropy_ticks
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mix — the diversity
+    score that flags a crawl source collapsing to one language (entropy
+    → 0) before it skews the corpus mix.
+
+    Scale: documents reduce to |source|×|lang| counts in one map-side-
+    combinable aggregation; the per-source total is a window over that
+    tiny table and each -p·ln(p) term is quantized to nanoticks BEFORE
+    the per-source sum, so the distributed SUM is exact int64 and
+    engine-order-free.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.withColumn(
+        "tot", F.sum("n").over(Window.partitionBy("source")).cast("bigint")
+    )
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    term = F.round(p * F.log(p) * 1_000_000_000, 0).cast("bigint")
+    return (
+        t.withColumn("term_ticks", term)
+        .groupBy("source")
+        .agg(
+            F.max("tot").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            (-F.sum("term_ticks")).cast("bigint").alias("entropy_ticks"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration (Herfindahl-Hirschman index)
+# ---------------------------------------------------------------------------
+
+@register(
+    "hhi_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    cust AS (
+      SELECT c.c_nationkey, s.cents
+      FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+    tot AS (
+      SELECT c_nationkey, CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM cust GROUP BY c_nationkey),
+    terms AS (
+      SELECT cu.c_nationkey,
+             CAST(round(
+               (CAST(cu.cents AS DOUBLE) / CAST(t.total_cents AS DOUBLE))
+               * (CAST(cu.cents AS DOUBLE) / CAST(t.total_cents AS DOUBLE))
+               * 1000000000, 0) AS BIGINT) AS term_ticks
+      FROM cust cu JOIN tot t USING (c_nationkey))
+    SELECT n.n_name, t.n_customers, t.total_cents,
+           CAST(SUM(tr.term_ticks) AS BIGINT) AS hhi_ticks
+    FROM terms tr
+    JOIN tot t USING (c_nationkey)
+    JOIN nation n ON t.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, t.n_customers, t.total_cents
+    ORDER BY n.n_name
+    """,
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of revenue concentration per customer
+    nation — the antitrust-style "is this market owned by a few
+    accounts" score (1e9 ticks = monopoly), complementing the global
+    gini_concentration with a per-market view.
+
+    Scale: orders reduce to one row per customer BEFORE the customer
+    join (key-on-key, hint-free — AQE picks the strategy); nation
+    totals are a 25-row aggregate broadcast back onto per-customer
+    shares; each share² is quantized to nanoticks per term so the
+    per-nation SUM is exact int64 and order-free.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("cents")
+    )
+    cust = (
+        spend.join(c, spend["o_custkey"] == c["c_custkey"])
+        .select("c_nationkey", "cents")
+        # 2 consumers (nation totals, per-customer terms): materialize
+        # the per-customer reduction once — cluster scale: persist()
+        .localCheckpoint()
+    )
+    tot = cust.groupBy("c_nationkey").agg(
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+    )
+    share = F.col("cents").cast("double") / F.col("total_cents").cast("double")
+    terms = cust.join(F.broadcast(tot), "c_nationkey").select(
+        "c_nationkey",
+        "total_cents",
+        "n_customers",
+        F.round(share * share * 1_000_000_000, 0).cast("bigint").alias("term_ticks"),
+    )
+    return (
+        terms.join(F.broadcast(n), terms["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "n_customers", "total_cents")
+        .agg(F.sum("term_ticks").cast("bigint").alias("hhi_ticks"))
+        .select("n_name", "n_customers", "total_cents", "hhi_ticks")
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information of the lang × source contingency table
+# ---------------------------------------------------------------------------
+
+@register(
+    "mutual_information",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, COUNT(*) AS n
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang, source),
+    t AS (
+      SELECT n,
+             CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS r,
+             CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS cl,
+             CAST(SUM(n) OVER () AS BIGINT) AS tot
+      FROM c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX(tot) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(round(
+             (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+             * ln(CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)
+                  / (CAST(r AS DOUBLE) * CAST(cl AS DOUBLE)))
+             * 1000000000, 0) AS BIGINT)) AS BIGINT) AS mi_ticks
+    FROM t
+    """,
+)
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) over the same contingency
+    table chi_square_independence tests — the effect-size companion
+    (how MANY bits of a document's language its source reveals), the
+    dependence score used to catch source/label leakage in corpus mixes.
+
+    Scale: one map-side-combinable count reduces documents to
+    |lang|×|source| cells; the marginals are windows over that tiny
+    table and each p·ln(p·N/(r·c)) term is quantized to nanoticks
+    BEFORE the final sum (exact int64, order-free).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t = c.select(
+        "n",
+        F.sum("n").over(Window.partitionBy("lang")).cast("bigint").alias("r"),
+        F.sum("n").over(Window.partitionBy("source")).cast("bigint").alias("cl"),
+        F.sum("n").over(w_all).cast("bigint").alias("tot"),
+    )
+    nd, totd = F.col("n").cast("double"), F.col("tot").cast("double")
+    term = F.round(
+        (nd / totd)
+        * F.log(nd * totd / (F.col("r").cast("double") * F.col("cl").cast("double")))
+        * 1_000_000_000,
+        0,
+    ).cast("bigint")
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("tot").cast("bigint").alias("n_docs"),
+        F.sum(term).cast("bigint").alias("mi_ticks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily-revenue series
+# ---------------------------------------------------------------------------
+
+#: Row-lags probed by autocorrelation_lags (1 day, week, fortnight, ~month).
+_ACF_LAGS = [1, 7, 14, 28]
+
+
+@register(
+    "autocorrelation_lags",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(round(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS DOUBLE) / 100000, 0) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    l AS (
+      SELECT x,
+             lag(x, 1) OVER (ORDER BY day) AS x1,
+             lag(x, 7) OVER (ORDER BY day) AS x7,
+             lag(x, 14) OVER (ORDER BY day) AS x14,
+             lag(x, 28) OVER (ORDER BY day) AS x28
+      FROM daily),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q
+      FROM daily),
+    p AS (
+      SELECT 1 AS lag_k, x, x1 AS xl FROM l
+      UNION ALL SELECT 7, x, x7 FROM l
+      UNION ALL SELECT 14, x, x14 FROM l
+      UNION ALL SELECT 28, x, x28 FROM l),
+    a AS (
+      SELECT lag_k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x * xl) AS BIGINT) AS sxy,
+             CAST(SUM(x) AS BIGINT) AS sa, CAST(SUM(xl) AS BIGINT) AS sb
+      FROM p WHERE xl IS NOT NULL GROUP BY lag_k)
+    SELECT lag_k, n_pairs,
+           CAST(round(
+             (CAST(sxy AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sa + sb AS DOUBLE)
+              + CAST(n_pairs AS DOUBLE)
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(q AS DOUBLE)
+                - CAST(n AS DOUBLE)
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             * 1000000000, 0) AS BIGINT) AS acf_ticks
+    FROM a, g ORDER BY lag_k
+    """,
+)
+def autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily revenue at row-lags 1/7/14/28 —
+    the seasonality detector behind "is there a weekly cycle" (high
+    ACF at 7) and the whiteness check a forecast residual should pass.
+
+    Scale: orders reduce to ONE row per calendar day (bounded by the
+    calendar, not the data — ~2.4k rows here) before any window; the
+    lag alignment is a single unpartitioned window over that tiny
+    series (documented single-partition, same shape as
+    holt_level_trend), melted into (lag, x, x_lag) pairs via explode so
+    all four lags aggregate in one pass. Daily revenue is quantized to
+    $1k ticks so every sufficient statistic (Σx, Σx², Σx·x_lag) is
+    exact int64 (safe to ~sf100; decimal128 beyond); the textbook
+    mean-centered ACF is ONE mirrored compound double per lag,
+    quantized to nanoticks. Lags are over the ROW sequence of observed
+    days (calendar gaps collapse — documented).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(
+                F.sum(cents("o_totalprice")).cast("double") / 100000, 0
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+        .localCheckpoint()  # tiny; read by the window chain AND the stats agg
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "x", *[F.lag("x", k).over(w).alias(f"x{k}") for k in _ACF_LAGS]
+    )
+    pairs = (
+        lagged.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag_k"),
+                            F.col("x").alias("x"),
+                            F.col(f"x{k}").alias("xl"),
+                        )
+                        for k in _ACF_LAGS
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .filter(F.col("xl").isNotNull())
+    )
+    a = pairs.groupBy("lag_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("x") * F.col("xl")).cast("bigint").alias("sxy"),
+        F.sum("x").cast("bigint").alias("sa"),
+        F.sum("xl").cast("bigint").alias("sb"),
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    acf = (
+        F.col("sxy").cast("double")
+        - mu * (F.col("sa") + F.col("sb")).cast("double")
+        + F.col("n_pairs").cast("double") * mu * mu
+    ) / (F.col("q").cast("double") - F.col("n").cast("double") * mu * mu)
+    return (
+        a.crossJoin(F.broadcast(g))
+        .select(
+            "lag_k",
+            "n_pairs",
+            F.round(acf * 1_000_000_000, 0).cast("bigint").alias("acf_ticks"),
+        )
+        .orderBy("lag_k")
+    )

@@ -1051,3 +1051,220 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_cnt"), "tok")
         .limit(CMS_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth by corpus position
+# ---------------------------------------------------------------------------
+
+@register(
+    "vocab_growth_curve",
+    oracle=r"""
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    tk AS (
+      SELECT CAST(doc_id * 10 // (m + 1) AS BIGINT) AS decile,
+             unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents, mx WHERE text IS NOT NULL),
+    g AS (
+      SELECT decile, tok, COUNT(*) AS c FROM tk GROUP BY decile, tok),
+    occ AS (
+      SELECT decile, CAST(SUM(c) AS BIGINT) AS n_tokens FROM g GROUP BY decile),
+    fs AS (SELECT tok, MIN(decile) AS first_decile FROM g GROUP BY tok),
+    nt AS (
+      SELECT first_decile AS decile, CAST(COUNT(*) AS BIGINT) AS n_new_types
+      FROM fs GROUP BY first_decile)
+    SELECT o.decile, o.n_tokens,
+           CAST(COALESCE(nt.n_new_types, 0) AS BIGINT) AS n_new_types,
+           CAST(SUM(COALESCE(nt.n_new_types, 0)) OVER (ORDER BY o.decile)
+             AS BIGINT) AS cum_vocab
+    FROM occ o LEFT JOIN nt ON o.decile = nt.decile
+    ORDER BY o.decile
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary saturation curve: new distinct token types per corpus
+    decile (by doc_id ingest position) and the cumulative vocabulary —
+    the Heaps-law diagnostic behind "is more crawl still adding new
+    language or just repeating itself".
+
+    Scale: ONE token explode feeds a (decile, token) count — the single
+    vocabulary-keyed shuffle — and that checkpointed reduction serves
+    both per-decile occurrence totals and token first-seen minima
+    (cluster scale: persist; its size is bounded by vocabulary × 10,
+    not corpus tokens). The decile spine, first-seen counts, and the
+    cumulative window all run over ≤10 rows.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    mx = d.agg(F.max("doc_id").alias("m"))
+    tk = d.crossJoin(F.broadcast(mx)).select(
+        (F.col("doc_id") * 10 / (F.col("m") + 1)).cast("bigint").alias("decile"),
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    )
+    g = tk.groupBy("decile", "tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    occ = g.groupBy("decile").agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    fs = g.groupBy("tok").agg(F.min("decile").alias("first_decile"))
+    nt = fs.groupBy(F.col("first_decile").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_types")
+    )
+    w = Window.orderBy("decile")  # ≤10 rows
+    return (
+        occ.join(nt, "decile", "left")
+        .select(
+            "decile",
+            "n_tokens",
+            F.coalesce(F.col("n_new_types"), F.lit(0)).cast("bigint").alias("n_new_types"),
+        )
+        .withColumn(
+            "cum_vocab", F.sum("n_new_types").over(w).cast("bigint")
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source vocabulary overlap (Jaccard)
+# ---------------------------------------------------------------------------
+
+@register(
+    "source_token_jaccard",
+    oracle=r"""
+    WITH st AS (
+      SELECT DISTINCT source,
+             unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY source),
+    pr AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT pr.src_a, pr.src_b, pr.inter,
+           sa.n AS size_a, sb.n AS size_b,
+           CAST(pr.inter AS DOUBLE)
+             / CAST(sa.n + sb.n - pr.inter AS DOUBLE) AS jaccard
+    FROM pr
+    JOIN sz sa ON pr.src_a = sa.source
+    JOIN sz sb ON pr.src_b = sb.source
+    ORDER BY pr.src_a, pr.src_b
+    """,
+)
+def source_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard similarity between crawl sources —
+    the redundancy matrix behind "these two feeds are the same site
+    mirrored" before paying for cross-source dedup.
+
+    Scale: the corpus reduces once to DISTINCT (source, token) — the
+    vocabulary-keyed shuffle — and is checkpointed for its three
+    consumers. The token-key self-join fans out at most C(|sources|,2)
+    pairs per token (sources², NOT corpus²) and reduces map-side; the
+    per-pair division is the only double. Set sizes join back from the
+    |sources|-row table.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    st = (
+        d.select(
+            "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+        )
+        .distinct()
+        .localCheckpoint()  # vocabulary-bounded; cluster scale: persist
+    )
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = st.alias("a")
+    b = st.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("size_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("size_b"))
+    return (
+        pr.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            "size_a",
+            "size_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf tail exponent (discrete power-law MLE)
+# ---------------------------------------------------------------------------
+
+#: Minimum token frequency included in the power-law tail fit.
+_ZIPF_XMIN = 5
+
+
+@register(
+    "power_law_alpha",
+    oracle=rf"""
+    WITH tf AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL) t
+      GROUP BY tok),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_types_total FROM tf),
+    tail AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+             CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE) / {_ZIPF_XMIN}.0)
+               * 1000000000, 0) AS BIGINT)) AS BIGINT) AS sum_ln_ticks
+      FROM tf WHERE c >= {_ZIPF_XMIN})
+    SELECT n_types_total, n_tail, sum_ln_ticks,
+           CAST(round((1 + CAST(n_tail AS DOUBLE)
+             / (CAST(sum_ln_ticks AS DOUBLE) / 1000000000))
+             * 1000000, 0) AS BIGINT) AS alpha_ticks
+    FROM s, tail
+    """,
+)
+def power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law (Zipf) tail exponent of the token-frequency
+    distribution via the Hill/Clauset MLE alpha = 1 + n/Σln(x/xmin) —
+    the one-number check that a corpus has natural-language frequency
+    statistics (alpha ≈ 2) rather than boilerplate spam.
+
+    Scale: one token-keyed count (map-side combine) reduces the corpus
+    to its vocabulary; the checkpointed frequency table serves the
+    type count and the tail fit. Each ln(x/xmin) is quantized to
+    nanoticks BEFORE the sum (exact int64, order-free); alpha is one
+    mirrored compound double quantized to microticks.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tf = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # vocabulary-bounded; 2 consumers
+    )
+    s = tf.agg(F.count(F.lit(1)).cast("bigint").alias("n_types_total"))
+    ln_ticks = F.round(
+        F.log(F.col("c").cast("double") / float(_ZIPF_XMIN)) * 1_000_000_000, 0
+    ).cast("bigint")
+    tail = tf.filter(F.col("c") >= _ZIPF_XMIN).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.sum(ln_ticks).cast("bigint").alias("sum_ln_ticks"),
+    )
+    alpha = F.lit(1) + F.col("n_tail").cast("double") / (
+        F.col("sum_ln_ticks").cast("double") / 1_000_000_000
+    )
+    return s.crossJoin(F.broadcast(tail)).select(
+        "n_types_total",
+        "n_tail",
+        "sum_ln_ticks",
+        F.round(alpha * 1_000_000, 0).cast("bigint").alias("alpha_ticks"),
+    )

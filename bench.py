@@ -165,6 +165,18 @@ HEADLINE = [
     "table_checksums",
     "media_chunk_dedup",
     "gini_concentration",
+    "psi_drift",
+    "ks_two_sample",
+    "mannwhitney_utest",
+    "correlation_matrix",
+    "seasonal_anomaly_dow",
+    "entropy_by_source",
+    "hhi_concentration",
+    "mutual_information",
+    "autocorrelation_lags",
+    "vocab_growth_curve",
+    "source_token_jaccard",
+    "power_law_alpha",
 ]
 
 

@@ -1,0 +1,270 @@
+"""Behavior tests for the drift/statistical-audit operators — semantic
+properties beyond oracle parity: PSI terms are non-negative and sum to
+the reported total, KS and Mann-Whitney match exact pure-Python
+replays, the one-pass correlation matrix matches numpy.corrcoef, the
+seasonal anomaly top-k matches a brute-force replay, and entropies sit
+in [0, ln(k)]."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from ai_etl_studio_spark.operators import load_all
+
+QUERIES, ORACLES = load_all()
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _two_sample_values(spark):
+    rows = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    a = sorted(
+        round(r.o_totalprice * 100) for r in rows if r.o_orderpriority == "1-URGENT"
+    )
+    b = sorted(
+        round(r.o_totalprice * 100) for r in rows if r.o_orderpriority == "5-LOW"
+    )
+    return a, b
+
+
+def test_psi_drift_terms_nonnegative_and_sum(spark):
+    rows = QUERIES["psi_drift"](spark, SF_DIR).collect()
+    assert rows
+    contribs = [r.contrib_ticks for r in rows if r.contrib_ticks is not None]
+    # every PSI term (p_a - p_e)·ln(p_a/p_e) has matching signs → ≥ 0
+    # (ticks may round a tiny positive term down to 0)
+    assert all(c >= 0 for c in contribs)
+    assert {r.psi_ticks for r in rows} == {sum(contribs)}
+    # replay one bin's contribution exactly
+    n_e = sum(r.cnt_expected for r in rows)
+    n_a = sum(r.cnt_actual for r in rows)
+    r = next(r for r in rows if r.contrib_ticks is not None)
+    pa, pe = r.cnt_actual / n_a, r.cnt_expected / n_e
+    assert r.contrib_ticks == round((pa - pe) * math.log(pa / pe) * 1e9)
+
+
+def test_ks_two_sample_exact_replay(spark):
+    [r] = QUERIES["ks_two_sample"](spark, SF_DIR).collect()
+    a, b = _two_sample_values(spark)
+    assert (r.n1, r.n2) == (len(a), len(b))
+    values = sorted(set(a) | set(b))
+    ca = cb = 0
+    ia = ib = 0
+    d_num = 0
+    for v in values:
+        while ia < len(a) and a[ia] <= v:
+            ia += 1
+        while ib < len(b) and b[ib] <= v:
+            ib += 1
+        d_num = max(d_num, abs(ia * len(b) - ib * len(a)))
+    assert r.d_num == d_num
+    assert r.d_stat == pytest.approx(d_num / (len(a) * len(b)), rel=1e-12)
+
+
+def test_mannwhitney_exact_replay(spark):
+    [r] = QUERIES["mannwhitney_utest"](spark, SF_DIR).collect()
+    a, b = _two_sample_values(spark)
+    n1, n2 = len(a), len(b)
+    assert (r.n1, r.n2) == (n1, n2)
+    cnt = Counter(a + b)
+    ca = Counter(a)
+    cum = 0
+    r1x2 = 0
+    tie = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        r1x2 += ca[v] * (2 * cum + t + 1)
+        tie += t * t * t - t
+        cum += t
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    assert (r.u1_x2, r.tie_term) == (u1x2, tie)
+    n = n1 + n2
+    z = (u1x2 / 2 - n1 * n2 / 2) / math.sqrt(
+        n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    )
+    assert r.z_ticks == pytest.approx(round(z * 1e6), abs=1)
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    rows = QUERIES["correlation_matrix"](spark, SF_DIR).collect()
+    assert len(rows) == 6
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    cols = {
+        "quantity": np.array([round(r.l_quantity * 100) for r in li], dtype=float),
+        "price": np.array([round(r.l_extendedprice) for r in li], dtype=float),
+        "discount": np.array([round(r.l_discount * 100) for r in li], dtype=float),
+        "tax": np.array([round(r.l_tax * 100) for r in li], dtype=float),
+    }
+    for r in rows:
+        assert r.n == len(li)
+        want = np.corrcoef(cols[r.col_x], cols[r.col_y])[0, 1]
+        assert r.corr_ticks / 1e9 == pytest.approx(want, abs=1e-6)
+        assert -1_000_000_000 <= r.corr_ticks <= 1_000_000_000
+
+
+def test_seasonal_anomaly_dow_replay(spark):
+    rows = QUERIES["seasonal_anomaly_dow"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    daily = Counter()
+    for e in ev:
+        daily[e.ts.date().toordinal() - 719163] += 1  # days since epoch
+    by_dow = defaultdict(list)
+    for day in sorted(daily):
+        by_dow[day % 7].append(day)
+    want = {}
+    for dow, days in by_dow.items():
+        for i, day in enumerate(days):
+            if i >= 2:
+                base = daily[days[i - 1]] + daily[days[i - 2]]
+                want[day] = (dow, daily[day], base, 2 * daily[day] - base)
+    top = sorted(want.items(), key=lambda kv: (-abs(kv[1][3]), kv[0]))[:20]
+    got = {
+        (r.day.toordinal() - 719163): (r.dow, r.n_events, r.baseline2, r.dev_x2)
+        for r in rows
+    }
+    assert got == dict(top)
+
+
+def test_entropy_by_source_bounds_and_replay(spark):
+    rows = QUERIES["entropy_by_source"](spark, SF_DIR).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    per = defaultdict(Counter)
+    for d in docs:
+        if d.lang is not None:
+            per[d.source][d.lang] += 1
+    for r in rows:
+        langs = per[r.source]
+        tot = sum(langs.values())
+        assert (r.n_docs, r.n_langs) == (tot, len(langs))
+        want = -sum(
+            round((n / tot) * math.log(n / tot) * 1e9) for n in langs.values()
+        )
+        assert r.entropy_ticks == want
+        assert 0 <= r.entropy_ticks <= math.log(max(len(langs), 2)) * 1e9 + 1
+
+
+def test_hhi_concentration_replay(spark):
+    rows = QUERIES["hhi_concentration"](spark, SF_DIR).collect()
+    assert rows
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet").collect()
+    nat = {c.c_custkey: c.c_nationkey for c in cust}
+    name = {n.n_nationkey: n.n_name for n in nation}
+    spend = defaultdict(int)
+    for o in orders:
+        spend[o.o_custkey] += round(o.o_totalprice * 100)
+    per_nation = defaultdict(list)
+    for ck, cents_ in spend.items():
+        per_nation[name[nat[ck]]].append(cents_)
+    want = {}
+    for nm, vals in per_nation.items():
+        tot = sum(vals)
+        hhi = sum(round((v / tot) * (v / tot) * 1e9) for v in vals)
+        want[nm] = (len(vals), tot, hhi)
+    got = {r.n_name: (r.n_customers, r.total_cents, r.hhi_ticks) for r in rows}
+    assert got == want
+    # uniform lower bound: HHI ≥ 1/n
+    for nm, (ncust, _tot, hhi) in got.items():
+        assert hhi >= 1e9 / ncust - 1, nm
+
+
+def test_mutual_information_nonnegative_and_entropy_bound(spark):
+    [r] = QUERIES["mutual_information"](spark, SF_DIR).collect()
+    # MI ≥ 0 (ticks may round individual terms, allow n_cells ulps)
+    assert r.mi_ticks >= -r.n_cells
+    # MI ≤ H(lang): 5 langs → ln(5)
+    assert r.mi_ticks <= math.log(5) * 1e9 + r.n_cells
+    assert r.n_docs > 0 and r.n_cells > 0
+
+
+def test_autocorrelation_lags_replay(spark):
+    rows = QUERIES["autocorrelation_lags"](spark, SF_DIR).collect()
+    assert [r.lag_k for r in rows] == [1, 7, 14, 28]
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    daily = defaultdict(int)
+    for o in orders:
+        daily[o.o_orderdate.date()] += round(o.o_totalprice * 100)
+    xs = [round(daily[d] / 100000) for d in sorted(daily)]
+    n = len(xs)
+    mu = sum(xs) / n
+    den = sum((x - mu) ** 2 for x in xs)
+    for r in rows:
+        k = r.lag_k
+        num = sum((xs[t] - mu) * (xs[t - k] - mu) for t in range(k, n))
+        assert r.n_pairs == n - k
+        assert r.acf_ticks == pytest.approx(round(num / den * 1e9), abs=2)
+        assert -1_000_000_000 <= r.acf_ticks <= 1_000_000_000
+
+
+def _doc_tokens(spark):
+    import re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    out = []
+    for d in docs:
+        if d.text is not None:
+            out.append((d.doc_id, d.source, re.split(r"\s+", d.text.lower())))
+    return out
+
+
+def test_vocab_growth_curve_replay(spark):
+    rows = QUERIES["vocab_growth_curve"](spark, SF_DIR).collect()
+    docs = _doc_tokens(spark)
+    m = max(i for i, _, _ in docs)
+    seen = set()
+    new = Counter()
+    occ = Counter()
+    for doc_id, _src, toks in sorted(docs):
+        dec = doc_id * 10 // (m + 1)
+        occ[dec] += len(toks)
+        for t in toks:
+            if t not in seen:
+                seen.add(t)
+                new[dec] += 1
+    got = {r.decile: (r.n_tokens, r.n_new_types) for r in rows}
+    assert got == {d: (occ[d], new[d]) for d in occ}
+    # cumulative column is monotone and ends at |vocab|
+    cums = [r.cum_vocab for r in sorted(rows, key=lambda r: r.decile)]
+    assert cums == sorted(cums) and cums[-1] == len(seen)
+
+
+def test_source_token_jaccard_replay(spark):
+    rows = QUERIES["source_token_jaccard"](spark, SF_DIR).collect()
+    docs = _doc_tokens(spark)
+    vocab = defaultdict(set)
+    for _id, src, toks in docs:
+        vocab[src].update(toks)
+    srcs = sorted(vocab)
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            if inter:
+                want[(a, b)] = (inter, len(vocab[a]), len(vocab[b]))
+    got = {(r.src_a, r.src_b): (r.inter, r.size_a, r.size_b) for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.jaccard == pytest.approx(
+            r.inter / (r.size_a + r.size_b - r.inter), rel=1e-12
+        )
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_power_law_alpha_replay(spark):
+    [r] = QUERIES["power_law_alpha"](spark, SF_DIR).collect()
+    tf = Counter()
+    for _id, _src, toks in _doc_tokens(spark):
+        tf.update(toks)
+    tail = [c for c in tf.values() if c >= 5]
+    assert (r.n_types_total, r.n_tail) == (len(tf), len(tail))
+    ticks = sum(round(math.log(c / 5.0) * 1e9) for c in tail)
+    assert r.sum_ln_ticks == ticks
+    alpha = 1 + len(tail) / (ticks / 1e9)
+    assert r.alpha_ticks == pytest.approx(round(alpha * 1e6), abs=1)
+    assert r.alpha_ticks > 1_000_000  # alpha > 1 by construction

@@ -819,3 +819,70 @@ class TestRound4Plans:
         t = tree(spark, "gini_concentration")
         assert t.count("Scan parquet") == 0  # checkpointed spend
         assert "CartesianProduct" not in t
+
+
+class TestDriftPlans:
+    def test_two_sample_rank_is_bucketed_not_global(self, spark):
+        # the ECDF/midrank scaffold is per-bucket windows + the tiny
+        # offset table over the CHECKPOINTED per-value reduction — the
+        # orders scan happens once, before the checkpoint
+        for name in ("ks_two_sample", "mannwhitney_utest"):
+            t = tree(spark, name)
+            assert t.count("Scan parquet") == 0, name  # checkpointed
+            assert "CartesianProduct" not in t, name
+
+    def test_correlation_matrix_single_pass(self, spark):
+        # 15 sufficient statistics in ONE fused aggregate — one scan,
+        # partial+final agg, no joins; 6 output rows via explode
+        t = tree(spark, "correlation_matrix")
+        assert t.count("Scan parquet") == 1
+        assert t.count("HashAggregate") == 2
+        assert "Join" not in t
+
+    def test_psi_and_entropy_reduce_before_windows(self, spark):
+        # documents reduce to the tiny bin / (source,lang) table in one
+        # map-side-combinable agg; windows run over that reduction only
+        for name in ("psi_drift", "entropy_by_source"):
+            t = tree(spark, name)
+            assert t.count("Scan parquet") == 1, name
+            assert "Join" not in t, name
+
+    def test_seasonal_anomaly_heap_topk(self, spark):
+        t = tree(spark, "seasonal_anomaly_dow")
+        assert t.count("Scan parquet") == 1
+        assert "TakeOrderedAndProject" in t  # bounded top-k, no global sort
+
+    def test_hhi_reduces_orders_before_customer_join(self, spark):
+        # orders collapse to one row per customer BEFORE the join and
+        # the joined reduction is checkpointed for its two consumers;
+        # only the nation dim is scanned downstream
+        t = tree(spark, "hhi_concentration")
+        assert t.count("Scan parquet") == 1
+        assert "CartesianProduct" not in t
+
+    def test_mutual_information_single_reduction(self, spark):
+        t = tree(spark, "mutual_information")
+        assert t.count("Scan parquet") == 1
+        assert "Join" not in t
+
+    def test_acf_melts_all_lags_one_pass(self, spark):
+        # checkpointed daily series; four lags aggregate via ONE
+        # explode+groupBy, not four window passes
+        t = tree(spark, "autocorrelation_lags")
+        assert t.count("Scan parquet") == 0  # checkpointed daily
+        assert t.count("Generate") == 1  # the single explode
+
+    def test_vocab_and_zipf_single_vocab_shuffle(self, spark):
+        # ONE token-keyed reduction is checkpointed and serves every
+        # consumer — the corpus is never exploded twice
+        for name in ("vocab_growth_curve", "power_law_alpha"):
+            t = tree(spark, name)
+            assert t.count("Scan parquet") == 0, name  # checkpointed
+            assert "CartesianProduct" not in t, name
+
+    def test_source_jaccard_bounded_fanout(self, spark):
+        # self-join runs on the checkpointed DISTINCT (source, token)
+        # table; per-token fan-out is bounded by sources², not corpus²
+        t = tree(spark, "source_token_jaccard")
+        assert t.count("Scan parquet") == 0  # checkpointed
+        assert "CartesianProduct" not in t
