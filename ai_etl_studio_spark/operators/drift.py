@@ -826,3 +826,64 @@ def autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-by-quantile (QQ) drift table
+# ---------------------------------------------------------------------------
+
+@register(
+    "quantile_drift",
+    oracle=_TWO_SAMPLE_CTE
+    + """
+    , ds AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS d),
+    sp AS (
+      SELECT d, (d * n1 + 9) // 10 AS ta, (d * n2 + 9) // 10 AS tb
+      FROM ds, t),
+    q AS (
+      SELECT sp.d,
+             MIN(CASE WHEN c.cum_a >= sp.ta THEN c.v END) AS v_a,
+             MIN(CASE WHEN c.cum_b >= sp.tb THEN c.v END) AS v_b
+      FROM c, sp GROUP BY sp.d)
+    SELECT d AS decile, CAST(v_a AS BIGINT) AS v_a, CAST(v_b AS BIGINT) AS v_b,
+           CAST(v_a - v_b AS BIGINT) AS gap_cents
+    FROM q ORDER BY decile
+    """,
+)
+def quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ drift table: the exact decile values of the two compared
+    order-value populations side by side, with the per-decile gap in
+    cents — WHERE a distribution moved, where KS only says THAT it
+    moved.
+
+    Scale: reuses the bucketed exact-ECDF scaffold; each exact decile
+    is "min v whose cumulative count reaches ceil(d·n/10)", evaluated
+    as a conditional MIN over the per-value table crossed with the
+    9-row broadcast threshold spine — no sort, no percentile_approx,
+    and the thresholds use pure integer ceil division.
+    """
+    pv = _two_sample_per_value(spark, sf_dir)
+    totals = pv.select("n1", "n2").limit(1)
+    spine = totals.select(
+        F.explode(F.array(*[F.lit(d) for d in range(1, 10)])).alias("d"),
+        "n1",
+        "n2",
+    ).select(
+        "d",
+        ((F.col("d") * F.col("n1") + 9) / 10).cast("bigint").alias("ta"),
+        ((F.col("d") * F.col("n2") + 9) / 10).cast("bigint").alias("tb"),
+    )
+    q = (
+        pv.crossJoin(F.broadcast(spine))
+        .groupBy("d")
+        .agg(
+            F.min(F.when(F.col("cum_a") >= F.col("ta"), F.col("v"))).alias("v_a"),
+            F.min(F.when(F.col("cum_b") >= F.col("tb"), F.col("v"))).alias("v_b"),
+        )
+    )
+    return q.select(
+        F.col("d").alias("decile"),
+        F.col("v_a").cast("bigint").alias("v_a"),
+        F.col("v_b").cast("bigint").alias("v_b"),
+        (F.col("v_a") - F.col("v_b")).cast("bigint").alias("gap_cents"),
+    ).orderBy("decile")

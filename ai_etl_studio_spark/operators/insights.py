@@ -1364,3 +1364,92 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day load profile per event type
+# ---------------------------------------------------------------------------
+
+@register(
+    "hourly_seasonality_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr)
+    SELECT event_type, hr, n,
+           CAST(round(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+             * 1000000000, 0) AS BIGINT) AS share_ticks
+    FROM h ORDER BY event_type, hr
+    """,
+)
+def hourly_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load profile: each event type's traffic share by UTC
+    hour — the capacity-planning / batch-window query ("when is this
+    stream quiet"), and the baseline hourly anomaly detectors diff
+    against.
+
+    Scale: events reduce to ≤ |types|×24 cells in ONE map-side-
+    combinable count; the share normalization is a window over that
+    tiny table with the division quantized to nanoticks.
+    """
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("event_type")).cast("double")
+    return (
+        h.select(
+            "event_type",
+            "hr",
+            "n",
+            F.round(F.col("n").cast("double") / tot * 1_000_000_000, 0)
+            .cast("bigint")
+            .alias("share_ticks"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log2-bucketed user-degree distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "degree_distribution",
+    oracle="""
+    WITH deg AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS d
+      FROM events GROUP BY user_id)
+    SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY log2_bucket ORDER BY log2_bucket
+    """,
+)
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed distribution of per-user event counts — the graph
+    degree histogram that sizes skew mitigation (how heavy is the
+    heaviest key class) and checks the activity tail before a
+    user-keyed join.
+
+    Scale: one user-keyed count (map-side combine) then a ~32-row
+    histogram. The log2 bucket is floor(log2(d)) computed EXACTLY as
+    binary-representation length - 1 — integer logic in both engines,
+    immune to the ulp-at-power-of-2 hazard a double log2 would carry.
+    """
+    e = load_table(spark, sf_dir, "events")
+    deg = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    return (
+        deg.groupBy(
+            (F.length(F.bin("d")) - 1).cast("bigint").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("d").cast("bigint").alias("min_degree"),
+            F.max("d").cast("bigint").alias("max_degree"),
+        )
+        .orderBy("log2_bucket")
+    )

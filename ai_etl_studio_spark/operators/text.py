@@ -125,13 +125,9 @@ def _langid_sql() -> str:
     """
 
 
-@register("text_langid", oracle=_langid_sql())
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID via a deterministic marker-lexicon heuristic (argmax of
-    per-language marker-word counts with fixed precedence on ties).
-
-    Scale: pure codegen'd expressions; a real fastText-style model would
-    ride a Pandas UDF (see multimodal.py for that plumbing pattern)."""
+def _langid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, labeled_lang, predicted_lang) via the marker-lexicon
+    heuristic — shared by text_langid and langid_confusion."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), r"\s+")
     base = d.select("doc_id", F.col("lang").alias("labeled_lang"), toks.alias("toks"))
@@ -154,7 +150,60 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = scores[lang] >= o
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, lang).otherwise(expr)
-    return base.select("doc_id", "labeled_lang", expr.alias("predicted_lang")).orderBy("doc_id")
+    return base.select("doc_id", "labeled_lang", expr.alias("predicted_lang"))
+
+
+@register("text_langid", oracle=_langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via a deterministic marker-lexicon heuristic (argmax of
+    per-language marker-word counts with fixed precedence on ties).
+
+    Scale: pure codegen'd expressions; a real fastText-style model would
+    ride a Pandas UDF (see multimodal.py for that plumbing pattern)."""
+    return _langid_predictions(spark, sf_dir).orderBy("doc_id")
+
+
+@register(
+    "langid_confusion",
+    oracle=f"""
+    WITH p AS ({_langid_sql()}),
+    c AS (
+      SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY labeled_lang, predicted_lang)
+    SELECT labeled_lang, predicted_lang, n,
+           CAST(round(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS DOUBLE)
+             * 1000000000, 0) AS BIGINT) AS recall_ticks
+    FROM c ORDER BY labeled_lang, predicted_lang
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the langid heuristic against the labeled
+    lang column — the classifier-audit primitive (per-label recall on
+    the diagonal, systematic confusions off it) run before trusting a
+    language filter to gate a corpus.
+
+    Scale: the per-document scoring is the same codegen'd projection as
+    text_langid (no shuffle); the corpus then reduces to ≤ |langs|²
+    cells in one map-side-combinable count, and per-label recall is a
+    window over that tiny matrix, quantized to nanoticks.
+    """
+    p = _langid_predictions(spark, sf_dir)
+    c = p.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("labeled_lang")).cast("double")
+    return (
+        c.select(
+            "labeled_lang",
+            "predicted_lang",
+            "n",
+            F.round(F.col("n").cast("double") / tot * 1_000_000_000, 0)
+            .cast("bigint")
+            .alias("recall_ticks"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
 
 
 @register(

@@ -1043,3 +1043,47 @@ def run_stream_freshness(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_psi(
+    spark: SparkSession, sf_dir: str, query_name: str = "psi_out"
+) -> DataFrame:
+    """REAL streaming build of psi_drift's drift histogram: documents
+    stream in and a streaming aggregation maintains the per-bin
+    expected/actual side counts — the live corpus-drift monitor.
+
+    Like the count-min build, the histogram is a MERGEABLE summary, so
+    the streaming state is bounded at |bins| rows FOREVER — no
+    watermark, no state growth with the stream — and the resulting bin
+    table is bit-identical to the batch reduction inside
+    operators.drift.psi_drift over the same data (asserted in
+    tests/test_streaming.py); the PSI expression itself is a tiny-table
+    projection either side can apply. Complete output mode because the
+    sink is the constant-size monitor table. Returns
+    (bin, cnt_expected, cnt_actual)."""
+    from ai_etl_studio_spark.operators.drift import _PSI_BIN
+
+    b = (
+        read_docs_stream(spark, sf_dir)
+        .filter(F.col("lang").isNotNull())
+        .groupBy((F.col("n_chars") / _PSI_BIN).cast("bigint").alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
+                "cnt_expected"
+            ),
+            F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias(
+                "cnt_actual"
+            ),
+        )
+    )
+    q = (
+        b.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

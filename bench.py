@@ -177,6 +177,10 @@ HEADLINE = [
     "vocab_growth_curve",
     "source_token_jaccard",
     "power_law_alpha",
+    "quantile_drift",
+    "hourly_seasonality_profile",
+    "degree_distribution",
+    "langid_confusion",
 ]
 
 

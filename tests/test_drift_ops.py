@@ -268,3 +268,69 @@ def test_power_law_alpha_replay(spark):
     alpha = 1 + len(tail) / (ticks / 1e9)
     assert r.alpha_ticks == pytest.approx(round(alpha * 1e6), abs=1)
     assert r.alpha_ticks > 1_000_000  # alpha > 1 by construction
+
+
+def test_quantile_drift_replay(spark):
+    rows = QUERIES["quantile_drift"](spark, SF_DIR).collect()
+    assert [r.decile for r in rows] == list(range(1, 10))
+    a, b = _two_sample_values(spark)
+    for r in rows:
+        va = a[-(-r.decile * len(a) // 10) - 1]  # value at rank ceil(d·n/10)
+        vb = b[-(-r.decile * len(b) // 10) - 1]
+        assert (r.v_a, r.v_b, r.gap_cents) == (va, vb, va - vb)
+    # deciles are monotone within each population
+    for key in ("v_a", "v_b"):
+        vals = [getattr(r, key) for r in rows]
+        assert vals == sorted(vals)
+
+
+def test_hourly_seasonality_profile_replay(spark):
+    rows = QUERIES["hourly_seasonality_profile"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    cells = Counter((e.event_type, e.ts.hour) for e in ev)
+    tot = Counter()
+    for (t, _h), n in cells.items():
+        tot[t] += n
+    got = {(r.event_type, r.hr): (r.n, r.share_ticks) for r in rows}
+    want = {
+        (t, h): (n, round(n / tot[t] * 1e9)) for (t, h), n in cells.items()
+    }
+    assert got == want
+    # shares per type sum to ~1e9 (rounding slack ≤ 24 ulps)
+    per_type = Counter()
+    for r in rows:
+        per_type[r.event_type] += r.share_ticks
+    for t, s in per_type.items():
+        assert abs(s - 1_000_000_000) <= 24, t
+
+
+def test_degree_distribution_replay(spark):
+    rows = QUERIES["degree_distribution"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    deg = Counter(e.user_id for e in ev)
+    buckets = defaultdict(list)
+    for d in deg.values():
+        buckets[d.bit_length() - 1].append(d)
+    want = {
+        b: (len(v), min(v), max(v)) for b, v in buckets.items()
+    }
+    got = {r.log2_bucket: (r.n_users, r.min_degree, r.max_degree) for r in rows}
+    assert got == want
+    for r in rows:  # bucket bounds honored
+        assert 2**r.log2_bucket <= r.min_degree <= r.max_degree < 2 ** (
+            r.log2_bucket + 1
+        )
+
+
+def test_langid_confusion_replay(spark):
+    rows = QUERIES["langid_confusion"](spark, SF_DIR).collect()
+    preds = QUERIES["text_langid"](spark, SF_DIR).collect()
+    cells = Counter((p.labeled_lang, p.predicted_lang) for p in preds)
+    tot = Counter()
+    for (l, _p), n in cells.items():
+        tot[l] += n
+    got = {(r.labeled_lang, r.predicted_lang): (r.n, r.recall_ticks) for r in rows}
+    want = {
+        (l, p): (n, round(n / tot[l] * 1e9)) for (l, p), n in cells.items()
+    }
+    assert got == want

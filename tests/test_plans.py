@@ -886,3 +886,23 @@ class TestDriftPlans:
         t = tree(spark, "source_token_jaccard")
         assert t.count("Scan parquet") == 0  # checkpointed
         assert "CartesianProduct" not in t
+
+    def test_quantile_drift_thresholds_broadcast(self, spark):
+        # exact deciles = conditional MIN over the checkpointed
+        # per-value table × the 9-row broadcast threshold spine
+        t = tree(spark, "quantile_drift")
+        assert t.count("Scan parquet") == 0  # checkpointed scaffold
+        assert "BroadcastNestedLoopJoin" in t  # the tiny spine cross
+        assert "SortMergeJoin" not in t
+
+    def test_hourly_and_degree_reduce_once(self, spark):
+        for name in ("hourly_seasonality_profile", "degree_distribution"):
+            t = tree(spark, name)
+            assert t.count("Scan parquet") == 1, name
+            assert "Join" not in t, name
+
+    def test_langid_confusion_no_python(self, spark):
+        # scoring is the same codegen projection as text_langid
+        t = tree(spark, "langid_confusion")
+        assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        assert t.count("Scan parquet") == 1

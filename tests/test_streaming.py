@@ -449,3 +449,22 @@ def test_stream_freshness_matches_batch_audit(spark):
     for stream, (last_ts, n) in live.items():
         assert last_ts == batch[stream], stream
         assert n > 0
+
+
+def test_stream_psi_histogram_matches_batch(spark):
+    """The streaming drift histogram is bit-identical to the batch
+    reduction inside psi_drift — mergeable-summary equivalence, the
+    property that makes the monitor trustworthy."""
+    from ai_etl_studio_spark.operators import load_all
+    from ai_etl_studio_spark.streaming.windows import run_stream_psi
+
+    queries, _ = load_all()
+    got = {
+        (r.bin): (r.cnt_expected, r.cnt_actual)
+        for r in run_stream_psi(spark, SF_DIR, "t_psi").collect()
+    }
+    want = {
+        r.bin: (r.cnt_expected, r.cnt_actual)
+        for r in queries["psi_drift"](spark, SF_DIR).collect()
+    }
+    assert got == want
