@@ -2837,3 +2837,98 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         n.alias("n_customers"), "total_cents", gini.alias("gini")
     )
+
+
+@register(
+    "lorenz_curve",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS r,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+      FROM spend),
+    dec AS (
+      SELECT CAST((r - 1) * 10 // n AS BIGINT) + 1 AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS cents,
+             CAST(MAX(total_cents) AS BIGINT) AS total_cents
+      FROM ranked GROUP BY 1)
+    SELECT decile, n_customers, cents,
+           CAST(round(CAST(SUM(cents) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(total_cents AS DOUBLE) * 1000000000, 0) AS BIGINT)
+             AS cum_share_ticks
+    FROM dec ORDER BY decile
+    """,
+)
+def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve deciles of customer revenue: customers sorted by
+    spend, cut into ten equal-count groups, with the cumulative revenue
+    share per decile — the "top 10% of customers drive X% of revenue"
+    readout behind gini_concentration's single number.
+
+    Scale: reuses the bucketed exact-global-rank machinery (per-value-
+    bucket row_number windows + the tiny bucket-offset table — no
+    single-partition sort of customers); the decile cut is pure integer
+    floor arithmetic on the exact rank, totals ride the same tiny
+    tables, and the only double is the final 10-row cumulative share,
+    quantized to nanoticks.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("cents"))
+        .withColumn(
+            "bkt", (F.col("cents") / _GINI_BUCKET_CENTS).cast("bigint")
+        )
+        .localCheckpoint()  # ranks + bucket counts + totals read once
+    )
+    per_bkt = spend.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bkt.select(
+        "bkt", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    totals = spend.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    w_in = Window.partitionBy("bkt").orderBy("cents", "o_custkey")
+    ranked = (
+        spend.withColumn("rn", F.row_number().over(w_in))
+        .join(offsets, "bkt")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "cents", (F.col("off") + F.col("rn")).alias("r"), "n", "total_cents"
+        )
+    )
+    dec = ranked.groupBy(
+        (((F.col("r") - 1) * 10) / F.col("n")).cast("bigint").alias("d0")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.max("total_cents").cast("bigint").alias("total_cents"),
+    )
+    w_cum = Window.orderBy("d0")  # 10 rows
+    return (
+        dec.select(
+            (F.col("d0") + 1).alias("decile"),
+            "n_customers",
+            "cents",
+            F.round(
+                F.sum("cents").over(
+                    w_cum.rowsBetween(Window.unboundedPreceding, 0)
+                ).cast("double")
+                / F.col("total_cents").cast("double")
+                * 1_000_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("cum_share_ticks"),
+        )
+        .orderBy("decile")
+    )

@@ -702,3 +702,53 @@ def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("checksum"),
     ).select(F.lit("customer").alias("table_name"), "n", "checksum")
     return o_sum.unionAll(c_sum).orderBy("table_name")
+
+
+#: k-anonymity threshold for the quasi-identifier audit.
+K_ANON = 5
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN cnt < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_k,
+           CAST(SUM(CASE WHEN cnt < {K_ANON} THEN cnt ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(cnt) AS BIGINT) AS min_group_size
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier triple (nation,
+    market segment, $1k balance band): how many QI groups fall below
+    k=5 and how many customer rows are re-identifiable through them —
+    the privacy gate run before releasing an "anonymized" extract.
+
+    Scale: one map-side-combinable count reduces customers to their QI
+    groups, then a 1-row summary aggregate. The balance band uses
+    explicit floor() (not an int cast) so negative balances band
+    identically in both engines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("cnt") < K_ANON, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below_k"),
+        F.sum(F.when(F.col("cnt") < K_ANON, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("cnt").cast("bigint").alias("min_group_size"),
+    )

@@ -1453,3 +1453,67 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness
+# ---------------------------------------------------------------------------
+
+@register(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    spine AS (SELECT DISTINCT day FROM ud),
+    j AS (
+      SELECT s.day, ud.user_id, ud.day AS uday
+      FROM spine s JOIN ud
+        ON ud.day BETWEEN s.day - INTERVAL 6 DAY AND s.day)
+    SELECT day,
+           CAST(COUNT(DISTINCT CASE WHEN uday = day THEN user_id END)
+             AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+           CAST(round(
+             CAST(COUNT(DISTINCT CASE WHEN uday = day THEN user_id END)
+               AS DOUBLE)
+             / CAST(COUNT(DISTINCT user_id) AS DOUBLE) * 1000000000, 0)
+             AS BIGINT) AS stickiness_ticks
+    FROM j GROUP BY day ORDER BY day
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/weekly active users and the DAU/WAU stickiness ratio per
+    day — the product-health metric ("what share of this week's users
+    showed up today").
+
+    Scale: events reduce to DISTINCT (user, day) in one shuffle; the
+    trailing-7-day membership is a range join against the TINY
+    calendar spine (calendar-bounded broadcast — ≤7× fan-out of
+    user-days, never events²), and both actives counts come from ONE
+    distinct-aggregate pass with dau as a conditional distinct. The
+    ratio is mirrored IEEE division quantized to nanoticks.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct().localCheckpoint()  # user-day reduction, 2 consumers
+    spine = ud.select("day").distinct()
+    j = ud.alias("ud").join(
+        F.broadcast(spine.alias("s")),
+        F.col("ud.day").between(F.date_sub(F.col("s.day"), 6), F.col("s.day")),
+    )
+    dau = F.countDistinct(
+        F.when(F.col("ud.day") == F.col("s.day"), F.col("ud.user_id"))
+    ).cast("bigint")
+    wau = F.countDistinct("ud.user_id").cast("bigint")
+    return (
+        j.groupBy(F.col("s.day").alias("day"))
+        .agg(
+            dau.alias("dau"),
+            wau.alias("wau"),
+            F.round(dau.cast("double") / wau.cast("double") * 1_000_000_000, 0)
+            .cast("bigint")
+            .alias("stickiness_ticks"),
+        )
+        .orderBy("day")
+    )

@@ -1490,3 +1490,68 @@ def ann_pq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "d2", "is_delta", "rn")
         .orderBy("query_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-vector quality audit
+# ---------------------------------------------------------------------------
+
+#: Band width (in micro²-norm units) for the norm histogram: ~0.1 of a
+#: unit-norm vector's 1e12.
+_NORM_BAND = 100_000_000_000
+
+
+@register(
+    "embedding_norm_audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(list_sum(list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)
+                    * CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))) AS BIGINT)
+               AS norm2,
+             CAST(len(embedding) AS BIGINT) AS n_dims
+      FROM embeddings)
+    SELECT CAST(norm2 // {_NORM_BAND} AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+           CAST(MAX(norm2) AS BIGINT) AS max_norm2,
+           CAST(MIN(n_dims) AS BIGINT) AS min_dims,
+           CAST(MAX(n_dims) AS BIGINT) AS max_dims
+    FROM v GROUP BY band ORDER BY band
+    """,
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm-distribution audit of the embedding column: banded squared
+    norms plus dimension min/max — the vector-quality gate (zero/near-
+    zero vectors, un-normalized batches, ragged dimensions) run before
+    trusting cosine ANN over a new embedding drop.
+
+    Scale: the squared norm is a PER-ROW JVM higher-order fold over
+    integer micro-units (int addition is associative — fold order can
+    never matter), so the corpus reduces to ~10 histogram bands in one
+    map-side-combinable aggregate; no shuffle ever carries a vector.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def micro(x):
+        return F.round(x.cast("double") * 1_000_000, 0).cast("bigint")
+
+    norm2 = F.aggregate(
+        "embedding",
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + micro(x) * micro(x),
+    )
+    v = emb.select(
+        norm2.alias("norm2"), F.size("embedding").cast("bigint").alias("n_dims")
+    )
+    return (
+        v.groupBy((F.col("norm2") / _NORM_BAND).cast("bigint").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("norm2").cast("bigint").alias("min_norm2"),
+            F.max("norm2").cast("bigint").alias("max_norm2"),
+            F.min("n_dims").cast("bigint").alias("min_dims"),
+            F.max("n_dims").cast("bigint").alias("max_dims"),
+        )
+        .orderBy("band")
+    )

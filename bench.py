@@ -181,6 +181,10 @@ HEADLINE = [
     "hourly_seasonality_profile",
     "degree_distribution",
     "langid_confusion",
+    "lorenz_curve",
+    "k_anonymity_audit",
+    "dau_wau_stickiness",
+    "embedding_norm_audit",
 ]
 
 

@@ -334,3 +334,92 @@ def test_langid_confusion_replay(spark):
         (l, p): (n, round(n / tot[l] * 1e9)) for (l, p), n in cells.items()
     }
     assert got == want
+
+
+def test_lorenz_curve_replay(spark):
+    rows = QUERIES["lorenz_curve"](spark, SF_DIR).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    spend = defaultdict(int)
+    for row in o:
+        spend[row.o_custkey] += round(row.o_totalprice * 100)
+    ranked = sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ranked)
+    total = sum(v for _, v in ranked)
+    dec = defaultdict(lambda: [0, 0])
+    for i, (_ck, v) in enumerate(ranked):
+        d = i * 10 // n + 1
+        dec[d][0] += 1
+        dec[d][1] += v
+    got = {r.decile: (r.n_customers, r.cents) for r in rows}
+    assert got == {d: tuple(v) for d, v in dec.items()}
+    cum = 0
+    for r in rows:
+        cum += r.cents
+        assert r.cum_share_ticks == round(cum / total * 1e9)
+    assert rows[-1].cum_share_ticks == 1_000_000_000
+    # Lorenz convexity: decile revenue is non-decreasing
+    vals = [r.cents for r in rows]
+    assert vals == sorted(vals)
+
+
+def test_k_anonymity_audit_replay(spark):
+    import math as _m
+
+    [r] = QUERIES["k_anonymity_audit"](spark, SF_DIR).collect()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    g = Counter(
+        (c.c_nationkey, c.c_mktsegment, _m.floor(c.c_acctbal / 1000))
+        for c in cust
+    )
+    below = [v for v in g.values() if v < 5]
+    assert (r.n_groups, r.n_below_k, r.rows_at_risk, r.min_group_size) == (
+        len(g),
+        len(below),
+        sum(below),
+        min(g.values()),
+    )
+
+
+def test_dau_wau_stickiness_replay(spark):
+    rows = QUERIES["dau_wau_stickiness"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    ud = {(e.user_id, e.ts.date()) for e in ev}
+    days = sorted({d for _u, d in ud})
+    assert [r.day for r in rows] == days
+    import datetime
+
+    for r in rows:
+        dau = {u for u, d in ud if d == r.day}
+        wau = {
+            u
+            for u, d in ud
+            if r.day - datetime.timedelta(days=6) <= d <= r.day
+        }
+        assert (r.dau, r.wau) == (len(dau), len(wau))
+        assert r.stickiness_ticks == round(len(dau) / len(wau) * 1e9)
+        assert r.dau <= r.wau
+
+
+def test_embedding_norm_audit_replay(spark):
+    rows = QUERIES["embedding_norm_audit"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    bands = defaultdict(list)
+    for e in emb:
+        n2 = sum(round(float(x) * 1e6) ** 2 for x in e.embedding)
+        bands[n2 // 100_000_000_000].append((n2, len(e.embedding)))
+    got = {
+        r.band: (r.n_vecs, r.min_norm2, r.max_norm2, r.min_dims, r.max_dims)
+        for r in rows
+    }
+    want = {
+        b: (
+            len(v),
+            min(n for n, _ in v),
+            max(n for n, _ in v),
+            min(d for _, d in v),
+            max(d for _, d in v),
+        )
+        for b, v in bands.items()
+    }
+    assert got == want

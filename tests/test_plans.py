@@ -906,3 +906,28 @@ class TestDriftPlans:
         t = tree(spark, "langid_confusion")
         assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
         assert t.count("Scan parquet") == 1
+
+    def test_lorenz_rank_is_bucketed_not_global(self, spark):
+        t = tree(spark, "lorenz_curve")
+        assert t.count("Scan parquet") == 0  # checkpointed spend
+        assert "CartesianProduct" not in t
+
+    def test_k_anonymity_single_reduction(self, spark):
+        t = tree(spark, "k_anonymity_audit")
+        assert t.count("Scan parquet") == 1
+        assert "Join" not in t
+
+    def test_dau_wau_spine_broadcast(self, spark):
+        # user-day reduction checkpointed; the 7-day membership is a
+        # range join against the broadcast calendar spine
+        t = tree(spark, "dau_wau_stickiness")
+        assert t.count("Scan parquet") == 0  # checkpointed user-days
+        assert "BroadcastNestedLoopJoin" in t
+        assert "SortMergeJoin" not in t
+
+    def test_embedding_norm_audit_no_vector_shuffle(self, spark):
+        # per-row integer fold; only ~10 band rows ever shuffle
+        t = tree(spark, "embedding_norm_audit")
+        assert t.count("Scan parquet") == 1
+        assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        assert t.count("HashAggregate") == 2
