@@ -2932,3 +2932,85 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "reorder_interval_stats",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE)
+               - lag(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS gap_days
+      FROM orders),
+    pc AS (
+      SELECT o_custkey, CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+             CAST(COALESCE(SUM(gap_days), 0) AS BIGINT) AS sum_gap_days,
+             CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+             CAST(MAX(gap_days) AS BIGINT) AS max_gap
+      FROM g GROUP BY o_custkey),
+    seg AS (
+      SELECT c.c_mktsegment, CAST(SUM(pc.n_gaps) AS BIGINT) AS n_gaps,
+             CAST(SUM(pc.sum_gap_days) AS BIGINT) AS sum_gap_days,
+             CAST(MIN(pc.min_gap) AS BIGINT) AS min_gap,
+             CAST(MAX(pc.max_gap) AS BIGINT) AS max_gap
+      FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment)
+    SELECT c_mktsegment, n_gaps, sum_gap_days, min_gap, max_gap,
+           CAST(round(CAST(sum_gap_days AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+             * 1000000, 0) AS BIGINT) AS avg_gap_microdays
+    FROM seg ORDER BY c_mktsegment
+    """,
+)
+def reorder_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per market segment: the gaps (in days)
+    between each customer's consecutive orders, rolled up to segment
+    count / exact sum / min / max and a micro-day average — the
+    replenishment-cycle readout behind churn-risk timing ("this
+    segment reorders every ~40 days").
+
+    Scale: ONE shuffle partitions orders by customer for the lag
+    window; gaps pre-aggregate per customer BEFORE the customer join
+    (key-on-key, hint-free), so the join moves one row per customer
+    and the final rollup is |segments| rows. Sums stay exact int64;
+    the average is one mirrored division quantized to micro-days.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    day = F.col("o_orderdate").cast("date")
+    g = o.select(
+        "o_custkey", (F.datediff(day, F.lag(day).over(w))).alias("gap_days")
+    )
+    pc = g.groupBy("o_custkey").agg(
+        F.count("gap_days").cast("bigint").alias("n_gaps"),
+        F.coalesce(F.sum("gap_days"), F.lit(0)).cast("bigint").alias("sum_gap_days"),
+        F.min("gap_days").cast("bigint").alias("min_gap"),
+        F.max("gap_days").cast("bigint").alias("max_gap"),
+    )
+    seg = (
+        pc.join(c, pc["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_gaps").cast("bigint").alias("n_gaps"),
+            F.sum("sum_gap_days").cast("bigint").alias("sum_gap_days"),
+            F.min("min_gap").cast("bigint").alias("min_gap"),
+            F.max("max_gap").cast("bigint").alias("max_gap"),
+        )
+    )
+    return seg.select(
+        "c_mktsegment",
+        "n_gaps",
+        "sum_gap_days",
+        "min_gap",
+        "max_gap",
+        F.round(
+            F.col("sum_gap_days").cast("double")
+            / F.col("n_gaps").cast("double")
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("avg_gap_microdays"),
+    ).orderBy("c_mktsegment")

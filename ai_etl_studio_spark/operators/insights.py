@@ -1517,3 +1517,132 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap histogram (log2 microsecond buckets)
+# ---------------------------------------------------------------------------
+
+@register(
+    "interevent_gap_histogram",
+    oracle="""
+    WITH g AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT CAST(length(bin(gap_us)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY log2_bucket ORDER BY log2_bucket
+    """,
+)
+def interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-user inter-event gaps in log2 microsecond
+    buckets — the evidence behind a session-timeout choice (the valley
+    between the in-session mode and the between-session mode is where
+    sessionize's 30-minute threshold should sit).
+
+    Scale: ONE shuffle partitions events by user for the lag window
+    (single-row lookahead state); gaps then reduce to ≤ ~50 log2
+    buckets map-side. The bucket is binary-length − 1 — exact integer
+    logic, no double log2.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = e.select((us - F.lag(us).over(w)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return (
+        g.groupBy(
+            (F.length(F.bin("gap_us")) - 1).cast("bigint").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.min("gap_us").cast("bigint").alias("min_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily growth accounting (new / retained / resurrected / churned)
+# ---------------------------------------------------------------------------
+
+@register(
+    "growth_accounting_daily",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    c AS (
+      SELECT day,
+             CASE WHEN day = MIN(day) OVER (PARTITION BY user_id)
+                  THEN 'new'
+                  WHEN day = lag(day) OVER (PARTITION BY user_id
+                                            ORDER BY day) + INTERVAL 1 DAY
+                  THEN 'retained'
+                  ELSE 'resurrected' END AS klass
+      FROM ud),
+    d AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau,
+             CAST(SUM(CASE WHEN klass = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(SUM(CASE WHEN klass = 'retained' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN klass = 'resurrected' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_resurrected
+      FROM c GROUP BY day)
+    SELECT day, dau, n_new, n_retained, n_resurrected,
+           CAST(lag(dau) OVER (ORDER BY day) - n_retained AS BIGINT)
+             AS n_churned
+    FROM d ORDER BY day
+    """,
+)
+def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: every active user classified as new
+    (first day ever), retained (also active the previous calendar day)
+    or resurrected (returning after a gap), plus churned = yesterday's
+    actives who didn't return — the decomposition DAU movements are
+    actually explained with.
+
+    Scale: events reduce to DISTINCT (user, day), then ONE user-
+    partitioned window pass classifies every user-day (min + lag,
+    single-row state); the calendar rollup is a tiny |days| table and
+    churn is a 1-row lag window over it. NULL churn on the first day
+    is honest (no prior day), mirrored in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w_u = Window.partitionBy("user_id").orderBy("day")
+    klass = (
+        F.when(F.col("day") == F.min("day").over(Window.partitionBy("user_id")), "new")
+        .when(F.col("day") == F.date_add(F.lag("day").over(w_u), 1), "retained")
+        .otherwise("resurrected")
+    )
+    c = ud.select("day", klass.alias("klass"))
+    d = c.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau"),
+        F.sum(F.when(F.col("klass") == "new", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("klass") == "retained", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("klass") == "resurrected", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    w_d = Window.orderBy("day")  # |days| rows
+    return d.select(
+        "day",
+        "dau",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        (F.lag("dau").over(w_d) - F.col("n_retained"))
+        .cast("bigint")
+        .alias("n_churned"),
+    ).orderBy("day")

@@ -1317,3 +1317,69 @@ def power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_ln_ticks",
         F.round(alpha * 1_000_000, 0).cast("bigint").alias("alpha_ticks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-duplicate rate per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "dup_rate_by_source",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               string_split_regex(lower(trim(text)), '\s+'), ' '))
+               AS fingerprint
+      FROM documents WHERE text IS NOT NULL),
+    cnt AS (
+      SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n
+      FROM fp GROUP BY fingerprint)
+    SELECT fp.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(round(
+             CAST(SUM(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) * 1000000000, 0) AS BIGINT)
+             AS dup_share_ticks
+    FROM fp JOIN cnt USING (fingerprint)
+    GROUP BY fp.source ORDER BY fp.source
+    """,
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate exposure per crawl source: the share of each
+    source's documents whose normalized-text fingerprint appears more
+    than once ANYWHERE in the corpus — the per-feed score that decides
+    which source pays for aggressive dedup.
+
+    Scale: the fingerprint projection is per-row codegen (shared
+    normalization with text_fingerprint); the corpus reduces once to
+    fingerprint counts, joins back key-on-key on the fingerprint
+    (hint-free — a duplicate-group table is corpus-scale), and rolls
+    up to |sources| rows. The checkpointed fingerprint frame feeds
+    both sides without re-scanning documents.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = F.concat_ws(" ", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    fp = d.select(
+        "doc_id", "source", F.md5(norm).alias("fingerprint")
+    ).localCheckpoint()  # 2 consumers; cluster scale: persist
+    cnt = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dup = F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("bigint")
+    return (
+        fp.join(cnt, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            dup.alias("n_dup_docs"),
+            F.round(
+                dup.cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * 1_000_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("dup_share_ticks"),
+        )
+        .orderBy("source")
+    )

@@ -185,6 +185,10 @@ HEADLINE = [
     "k_anonymity_audit",
     "dau_wau_stickiness",
     "embedding_norm_audit",
+    "interevent_gap_histogram",
+    "growth_accounting_daily",
+    "reorder_interval_stats",
+    "dup_rate_by_source",
 ]
 
 

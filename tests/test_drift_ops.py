@@ -423,3 +423,107 @@ def test_embedding_norm_audit_replay(spark):
         for b, v in bands.items()
     }
     assert got == want
+
+
+def test_interevent_gap_histogram_replay(spark):
+    rows = QUERIES["interevent_gap_histogram"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e.user_id].append((e.ts, e.event_id))
+    gaps = []
+    for seq in per_user.values():
+        seq.sort()
+        for (a, _), (b, _) in zip(seq, seq[1:]):
+            us = round((b - a).total_seconds() * 1e6)
+            gaps.append(us)
+    buckets = defaultdict(list)
+    for g in gaps:
+        buckets[max(g.bit_length() - 1, 0)].append(g)
+    got = {r.log2_bucket: (r.n_gaps, r.min_gap_us, r.max_gap_us) for r in rows}
+    want = {b: (len(v), min(v), max(v)) for b, v in buckets.items()}
+    assert got == want
+
+
+def test_growth_accounting_daily_invariants_and_replay(spark):
+    rows = QUERIES["growth_accounting_daily"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    ud = {(e.user_id, e.ts.date()) for e in ev}
+    days = sorted({d for _u, d in ud})
+    active = {d: {u for u, dd in ud if dd == d} for d in days}
+    first = {}
+    for u, d in sorted(ud, key=lambda x: x[1]):
+        first.setdefault(u, d)
+    import datetime
+
+    prev_active_day = {}
+    want = {}
+    for d in days:
+        new = ret = res = 0
+        for u in active[d]:
+            if first[u] == d:
+                new += 1
+            elif prev_active_day[u] == d - datetime.timedelta(days=1):
+                ret += 1
+            else:
+                res += 1
+        want[d] = (len(active[d]), new, ret, res)
+        for u in active[d]:
+            prev_active_day[u] = d
+    got = {r.day: (r.dau, r.n_new, r.n_retained, r.n_resurrected) for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.dau == r.n_new + r.n_retained + r.n_resurrected
+    # churn: yesterday's actives minus today's retained
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_churned == prev.dau - cur.n_retained
+    assert rows[0].n_churned is None
+
+
+def test_reorder_interval_stats_replay(spark):
+    rows = QUERIES["reorder_interval_stats"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    seg = {c.c_custkey: c.c_mktsegment for c in cust}
+    per_cust = defaultdict(list)
+    for o in orders:
+        per_cust[o.o_custkey].append((o.o_orderdate.date(), o.o_orderkey))
+    agg = defaultdict(lambda: [0, 0, None, None])
+    for ck, seq in per_cust.items():
+        seq.sort()
+        s = agg[seg[ck]]
+        for (a, _), (b, _) in zip(seq, seq[1:]):
+            gap = (b - a).days
+            s[0] += 1
+            s[1] += gap
+            s[2] = gap if s[2] is None else min(s[2], gap)
+            s[3] = gap if s[3] is None else max(s[3], gap)
+    got = {
+        r.c_mktsegment: (r.n_gaps, r.sum_gap_days, r.min_gap, r.max_gap)
+        for r in rows
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    for r in rows:
+        assert r.avg_gap_microdays == round(r.sum_gap_days / r.n_gaps * 1e6)
+
+
+def test_dup_rate_by_source_replay(spark):
+    import re
+
+    rows = QUERIES["dup_rate_by_source"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    fps = []
+    for d in docs:
+        if d.text is not None:
+            norm = " ".join(re.split(r"\s+", d.text.lower().strip()))
+            fps.append((d.source, norm))
+    cnt = Counter(f for _s, f in fps)
+    per_src = defaultdict(lambda: [0, 0])
+    for s, f in fps:
+        per_src[s][0] += 1
+        if cnt[f] > 1:
+            per_src[s][1] += 1
+    got = {r.source: (r.n_docs, r.n_dup_docs) for r in rows}
+    assert got == {s: tuple(v) for s, v in per_src.items()}
+    for r in rows:
+        assert r.dup_share_ticks == round(r.n_dup_docs / r.n_docs * 1e9)

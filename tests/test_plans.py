@@ -931,3 +931,22 @@ class TestDriftPlans:
         assert t.count("Scan parquet") == 1
         assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
         assert t.count("HashAggregate") == 2
+
+    def test_gap_and_growth_single_user_shuffle(self, spark):
+        # one user-partitioned window pass; rollups are tiny tables
+        for name in ("interevent_gap_histogram", "growth_accounting_daily"):
+            t = tree(spark, name)
+            assert t.count("Scan parquet") == 1, name
+            assert "Join" not in t, name
+
+    def test_reorder_intervals_reduce_before_join(self, spark):
+        # per-customer gap aggregates BEFORE the customer join
+        t = tree(spark, "reorder_interval_stats")
+        assert t.count("Scan parquet") == 2
+        assert "CartesianProduct" not in t
+
+    def test_dup_rate_checkpointed_fingerprints(self, spark):
+        # fingerprint frame checkpointed for both join sides
+        t = tree(spark, "dup_rate_by_source")
+        assert t.count("Scan parquet") == 0
+        assert "CartesianProduct" not in t
