@@ -3014,3 +3014,159 @@ def reorder_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_gap_microdays"),
     ).orderBy("c_mktsegment")
+
+
+@register(
+    "supplier_share_shift",
+    oracle="""
+    WITH sy AS (
+      SELECT l_suppkey, CAST(year(l_shipdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+               AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_suppkey, yr),
+    ny AS (
+      SELECT n.n_name, sy.yr, CAST(SUM(sy.cents) AS BIGINT) AS revenue_cents
+      FROM sy
+      JOIN supplier s ON sy.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, sy.yr),
+    sh AS (
+      SELECT n_name, yr, revenue_cents,
+             CAST(round(CAST(revenue_cents AS DOUBLE)
+               / CAST(SUM(revenue_cents) OVER (PARTITION BY yr) AS DOUBLE)
+               * 1000000000, 0) AS BIGINT) AS share_ticks
+      FROM ny)
+    SELECT n_name, yr, revenue_cents, share_ticks,
+           CAST(share_ticks - lag(share_ticks) OVER (
+             PARTITION BY n_name ORDER BY yr) AS BIGINT) AS delta_ticks
+    FROM sh ORDER BY n_name, yr
+    """,
+)
+def supplier_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation revenue share by ship year with year-over-year
+    share deltas — the market-shift monitor ("which supply region is
+    gaining share") behind sourcing decisions.
+
+    Scale: lineitem reduces to one row per (supplier, year) BEFORE any
+    join — the only corpus-scale shuffle; supplier joins key-on-key
+    hint-free (SF-linear side, AQE sizes it) and nation broadcasts.
+    Shares and deltas are windows over the ≤ |nations|×|years| table,
+    with the share division quantized to nanoticks so the lag delta is
+    pure int subtraction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sy = li.groupBy(
+        "l_suppkey", F.year("l_shipdate").cast("bigint").alias("yr")
+    ).agg(F.sum(net_cents()).alias("cents"))
+    ny = (
+        sy.join(s, sy["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "yr")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+    )
+    share = F.round(
+        F.col("revenue_cents").cast("double")
+        / F.sum("revenue_cents").over(Window.partitionBy("yr")).cast("double")
+        * 1_000_000_000,
+        0,
+    ).cast("bigint")
+    sh = ny.select("n_name", "yr", "revenue_cents", share.alias("share_ticks"))
+    w = Window.partitionBy("n_name").orderBy("yr")
+    return sh.select(
+        "n_name",
+        "yr",
+        "revenue_cents",
+        "share_ticks",
+        (F.col("share_ticks") - F.lag("share_ticks").over(w))
+        .cast("bigint")
+        .alias("delta_ticks"),
+    ).orderBy("n_name", "yr")
+
+
+@register(
+    "shipping_delay_monthly",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+               AS BIGINT) AS sum_shipdays,
+             CAST(MIN(CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+               AS BIGINT) AS min_shipday,
+             CAST(MAX(CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+               AS BIGINT) AS max_shipday
+      FROM lineitem GROUP BY l_orderkey),
+    od AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS odays,
+             lo.n_lines, lo.sum_shipdays, lo.min_shipday, lo.max_shipday
+      FROM orders o JOIN lo ON o.o_orderkey = lo.l_orderkey),
+    m AS (
+      SELECT CAST(month AS DATE) AS month,
+             CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+             CAST(SUM(sum_shipdays - n_lines * odays) AS BIGINT)
+               AS sum_delay_days,
+             CAST(MIN(min_shipday - odays) AS BIGINT) AS min_delay,
+             CAST(MAX(max_shipday - odays) AS BIGINT) AS max_delay
+      FROM od GROUP BY 1)
+    SELECT month, n_lines, sum_delay_days, min_delay, max_delay,
+           CAST(round(CAST(sum_delay_days AS DOUBLE)
+             / CAST(n_lines AS DOUBLE) * 1000000, 0) AS BIGINT)
+             AS avg_delay_microdays
+    FROM m ORDER BY month
+    """,
+)
+def shipping_delay_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency by order month: per-line delay count /
+    exact sum / min / max / micro-day average — the fulfillment SLA
+    trend.
+
+    Scale: the naive plan joins two fact tables row-per-line; here
+    lineitem pre-aggregates per order (count + sum/min/max of
+    ship-days), exploiting Σ(ship−odate) = Σship − n·odate, so the
+    fact-fact join moves ONE row per order on the join key, hint-free
+    (AQE decides the strategy — SCALE.md's fact-fact discipline). The
+    monthly rollup is a tiny calendar table; sums stay exact int64.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01")
+    shipday = F.datediff(F.col("l_shipdate").cast("date"), epoch)
+    lo = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(shipday).cast("bigint").alias("sum_shipdays"),
+        F.min(shipday).cast("bigint").alias("min_shipday"),
+        F.max(shipday).cast("bigint").alias("max_shipday"),
+    )
+    od = o.join(lo, o["o_orderkey"] == lo["l_orderkey"]).select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("odays"),
+        "n_lines",
+        "sum_shipdays",
+        "min_shipday",
+        "max_shipday",
+    )
+    m = od.groupBy("month").agg(
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.sum(F.col("sum_shipdays") - F.col("n_lines") * F.col("odays"))
+        .cast("bigint")
+        .alias("sum_delay_days"),
+        F.min(F.col("min_shipday") - F.col("odays")).cast("bigint").alias("min_delay"),
+        F.max(F.col("max_shipday") - F.col("odays")).cast("bigint").alias("max_delay"),
+    )
+    return m.select(
+        "month",
+        "n_lines",
+        "sum_delay_days",
+        "min_delay",
+        "max_delay",
+        F.round(
+            F.col("sum_delay_days").cast("double")
+            / F.col("n_lines").cast("double")
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("avg_delay_microdays"),
+    ).orderBy("month")

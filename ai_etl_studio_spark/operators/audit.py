@@ -752,3 +752,70 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_at_risk"),
         F.min("cnt").cast("bigint").alias("min_group_size"),
     )
+
+
+@register(
+    "partition_skew_advisor",
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('month', o_orderdate) AS pmonth, o_orderpriority
+      FROM orders),
+    m AS (
+      SELECT 'month(o_orderdate)' AS candidate,
+             CAST(COUNT(*) AS BIGINT) AS n_rows, pmonth AS pkey
+      FROM base GROUP BY pmonth),
+    p AS (
+      SELECT 'o_orderpriority' AS candidate,
+             CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(NULL AS TIMESTAMP)
+               AS pkey
+      FROM base GROUP BY o_orderpriority),
+    u AS (
+      SELECT candidate, n_rows FROM m
+      UNION ALL SELECT candidate, n_rows FROM p)
+    SELECT candidate,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           CAST(MAX(n_rows) AS BIGINT) AS max_rows,
+           CAST(round(CAST(MAX(n_rows) AS DOUBLE)
+             / (CAST(SUM(n_rows) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             * 1000000, 0) AS BIGINT) AS skew_ratio_micro
+    FROM u GROUP BY candidate ORDER BY candidate
+    """,
+)
+def partition_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout advisor: for each candidate partition column,
+    the partition count, max-partition size, and max/mean skew ratio —
+    the write-layout decision ("partition by month or by priority?")
+    that at 100 TB separates balanced scans from one straggler file
+    per write.
+
+    Scale: the candidate cardinalities are what make this safe — each
+    candidate reduces to its partition-count table map-side (calendar
+    months, 5 priorities); the checkpointed 2-column projection feeds
+    both candidate aggregations without re-scanning orders. skew→1e6
+    means perfectly balanced.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.date_trunc("month", "o_orderdate").alias("pmonth"), "o_orderpriority"
+    ).localCheckpoint()  # 2 candidate groupings, one scan
+    m = base.groupBy("pmonth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    ).select(F.lit("month(o_orderdate)").alias("candidate"), "n_rows")
+    p = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    ).select(F.lit("o_orderpriority").alias("candidate"), "n_rows")
+    u = m.unionByName(p)
+    mean = F.sum("n_rows").cast("double") / F.count(F.lit(1)).cast("double")
+    return (
+        u.groupBy("candidate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.sum("n_rows").cast("bigint").alias("total_rows"),
+            F.max("n_rows").cast("bigint").alias("max_rows"),
+            F.round(F.max("n_rows").cast("double") / mean * 1_000_000, 0)
+            .cast("bigint")
+            .alias("skew_ratio_micro"),
+        )
+        .orderBy("candidate")
+    )

@@ -1646,3 +1646,102 @@ def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_churned"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Watermark / allowed-lateness advisor
+# ---------------------------------------------------------------------------
+
+#: Arrival-order bucket width for the bucketed running max.
+_WM_BUCKET = 1_000
+
+
+@register(
+    "watermark_lateness_advisor",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+    r AS (
+      SELECT event_id, ts_us,
+             MAX(ts_us) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS run_max_excl
+      FROM e),
+    l AS (
+      SELECT CASE WHEN run_max_excl IS NULL OR run_max_excl <= ts_us
+                  THEN CAST(-1 AS BIGINT)
+                  ELSE CAST(length(bin(run_max_excl - ts_us)) - 1 AS BIGINT)
+             END AS log2_bucket,
+             CASE WHEN run_max_excl > ts_us
+                  THEN run_max_excl - ts_us ELSE 0 END AS late_us
+      FROM r)
+    SELECT log2_bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us
+    FROM l GROUP BY log2_bucket ORDER BY log2_bucket
+    """,
+)
+def watermark_lateness_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile of the event stream in arrival order
+    (event_id): for each event, how far behind the running event-time
+    high-water mark it arrived, bucketed in log2 microseconds (−1 =
+    in order) — the evidence a withWatermark() allowed-lateness choice
+    should come from, instead of a guess.
+
+    Scale: the running max over arrival order is the bucketed-prefix
+    machinery with MAX instead of SUM — per-bucket exclusive-cummax
+    windows run in parallel and each bucket's carry-in is a cummax
+    window over the TINY per-bucket-max table; no single-partition
+    pass over events. The checkpointed (event_id, ts_us) projection
+    feeds both levels; lateness histograms reduce map-side.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).withColumn(
+        "bkt", (F.col("event_id") / _WM_BUCKET).cast("bigint")
+    ).localCheckpoint()  # per-bucket windows + bucket maxes, one scan
+    per_bkt = base.groupBy("bkt").agg(F.max("ts_us").alias("bmax"))
+    w_carry = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = per_bkt.select(
+        "bkt", F.max("bmax").over(w_carry).alias("carry_max")
+    )
+    w_loc = (
+        Window.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # NULL-aware running max: first row of first bucket has neither a
+    # local nor a carried prefix (greatest() would swallow one NULL)
+    run_max = (
+        F.when(F.col("loc_max").isNull(), F.col("carry_max"))
+        .when(F.col("carry_max").isNull(), F.col("loc_max"))
+        .otherwise(F.greatest("loc_max", "carry_max"))
+    )
+    r = (
+        base.withColumn("loc_max", F.max("ts_us").over(w_loc))
+        .join(carry, "bkt")
+        .select("ts_us", run_max.alias("run_max_excl"))
+    )
+    late = F.when(
+        F.col("run_max_excl").isNull()
+        | (F.col("run_max_excl") <= F.col("ts_us")),
+        F.lit(-1).cast("bigint"),
+    ).otherwise(
+        (F.length(F.bin(F.col("run_max_excl") - F.col("ts_us"))) - 1).cast(
+            "bigint"
+        )
+    )
+    late_us = F.when(
+        F.col("run_max_excl") > F.col("ts_us"),
+        F.col("run_max_excl") - F.col("ts_us"),
+    ).otherwise(F.lit(0))
+    return (
+        r.select(late.alias("log2_bucket"), late_us.alias("late_us"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("late_us").cast("bigint").alias("max_late_us"),
+        )
+        .orderBy("log2_bucket")
+    )

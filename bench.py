@@ -189,6 +189,10 @@ HEADLINE = [
     "growth_accounting_daily",
     "reorder_interval_stats",
     "dup_rate_by_source",
+    "supplier_share_shift",
+    "shipping_delay_monthly",
+    "partition_skew_advisor",
+    "watermark_lateness_advisor",
 ]
 
 

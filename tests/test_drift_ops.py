@@ -527,3 +527,102 @@ def test_dup_rate_by_source_replay(spark):
     assert got == {s: tuple(v) for s, v in per_src.items()}
     for r in rows:
         assert r.dup_share_ticks == round(r.n_dup_docs / r.n_docs * 1e9)
+
+
+def test_supplier_share_shift_replay(spark):
+    rows = QUERIES["supplier_share_shift"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    sup = spark.read.parquet(f"{SF_DIR}/supplier.parquet").collect()
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet").collect()
+    s2n = {s.s_suppkey: s.s_nationkey for s in sup}
+    nname = {n.n_nationkey: n.n_name for n in nat}
+    rev = defaultdict(int)
+    for l in li:
+        # HALF_UP like the engines (Python round() is banker's)
+        cents_ = math.floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+        rev[(nname[s2n[l.l_suppkey]], l.l_shipdate.year)] += cents_
+    year_tot = defaultdict(int)
+    for (nm, yr), c in rev.items():
+        year_tot[yr] += c
+    got = {(r.n_name, r.yr): (r.revenue_cents, r.share_ticks) for r in rows}
+    want = {
+        (nm, yr): (c, round(c / year_tot[yr] * 1e9))
+        for (nm, yr), c in rev.items()
+    }
+    assert got == want
+    # deltas consistent with shares
+    by_nation = defaultdict(dict)
+    for r in rows:
+        by_nation[r.n_name][r.yr] = r
+    for nm, yrs in by_nation.items():
+        ordered = sorted(yrs)
+        assert yrs[ordered[0]].delta_ticks is None
+        for a, b in zip(ordered, ordered[1:]):
+            assert yrs[b].delta_ticks == yrs[b].share_ticks - yrs[a].share_ticks
+
+
+def test_shipping_delay_monthly_replay(spark):
+    rows = QUERIES["shipping_delay_monthly"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    odate = {o.o_orderkey: o.o_orderdate for o in orders}
+    agg = defaultdict(lambda: [0, 0, None, None])
+    for l in li:
+        od = odate[l.l_orderkey]
+        month = od.date().replace(day=1)
+        delay = (l.l_shipdate.date() - od.date()).days
+        s = agg[month]
+        s[0] += 1
+        s[1] += delay
+        s[2] = delay if s[2] is None else min(s[2], delay)
+        s[3] = delay if s[3] is None else max(s[3], delay)
+    got = {
+        r.month: (r.n_lines, r.sum_delay_days, r.min_delay, r.max_delay)
+        for r in rows
+    }
+    assert got == {m: tuple(v) for m, v in agg.items()}
+    for r in rows:
+        assert r.avg_delay_microdays == round(r.sum_delay_days / r.n_lines * 1e6)
+        assert r.min_delay <= r.max_delay  # synthetic data ships early too
+
+
+def test_partition_skew_advisor_replay(spark):
+    rows = QUERIES["partition_skew_advisor"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    month = Counter(o.o_orderdate.date().replace(day=1) for o in orders)
+    prio = Counter(o.o_orderpriority for o in orders)
+    got = {
+        r.candidate: (r.n_partitions, r.total_rows, r.max_rows)
+        for r in rows
+    }
+    assert got == {
+        "month(o_orderdate)": (len(month), sum(month.values()), max(month.values())),
+        "o_orderpriority": (len(prio), sum(prio.values()), max(prio.values())),
+    }
+    for r in rows:
+        mean = r.total_rows / r.n_partitions
+        assert r.skew_ratio_micro == round(r.max_rows / mean * 1e6)
+        assert r.skew_ratio_micro >= 1_000_000
+
+
+def test_watermark_lateness_advisor_replay(spark):
+    rows = QUERIES["watermark_lateness_advisor"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    seq = sorted(
+        (e.event_id, round(e.ts.timestamp() * 1e6)) for e in ev
+    )
+    buckets = defaultdict(lambda: [0, 0])
+    run = None
+    for _eid, ts in seq:
+        if run is None or run <= ts:
+            b, late = -1, 0
+        else:
+            late = run - ts
+            b = late.bit_length() - 1
+        buckets[b][0] += 1
+        buckets[b][1] = max(buckets[b][1], late)
+        run = ts if run is None else max(run, ts)
+    got = {r.log2_bucket: (r.n_events, r.max_late_us) for r in rows}
+    assert got == {b: tuple(v) for b, v in buckets.items()}
+    # sanity: some events are out of order in this data, most are not
+    assert got[-1][0] > sum(v[0] for b, v in buckets.items() if b != -1)

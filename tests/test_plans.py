@@ -950,3 +950,27 @@ class TestDriftPlans:
         t = tree(spark, "dup_rate_by_source")
         assert t.count("Scan parquet") == 0
         assert "CartesianProduct" not in t
+
+    def test_supplier_share_reduces_lineitem_first(self, spark):
+        t = tree(spark, "supplier_share_shift")
+        assert t.count("Scan parquet") == 3
+        assert "CartesianProduct" not in t
+
+    def test_shipping_delay_joins_one_row_per_order(self, spark):
+        # lineitem pre-aggregates per order; the fact-fact join is
+        # key-on-key and hint-free
+        t = tree(spark, "shipping_delay_monthly")
+        assert t.count("Scan parquet") == 2
+        assert "CartesianProduct" not in t
+
+    def test_partition_skew_one_scan_two_candidates(self, spark):
+        t = tree(spark, "partition_skew_advisor")
+        assert t.count("Scan parquet") == 0  # checkpointed projection
+        assert "Join" not in t
+
+    def test_watermark_running_max_is_bucketed(self, spark):
+        # per-bucket exclusive cummax + tiny carry table — never a
+        # single-partition window over events
+        t = tree(spark, "watermark_lateness_advisor")
+        assert t.count("Scan parquet") == 0  # checkpointed base
+        assert "CartesianProduct" not in t
