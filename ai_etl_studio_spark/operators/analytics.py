@@ -3170,3 +3170,194 @@ def shipping_delay_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_delay_microdays"),
     ).orderBy("month")
+
+
+#: Fixed "as of" anchor for the aging report (day after the newest
+#: order in the corpus) — a wall-clock now() would break determinism.
+_AGING_ANCHOR = "2001-09-01"
+
+
+@register(
+    "open_order_aging",
+    oracle=f"""
+    WITH a AS (
+      SELECT DATE '{_AGING_ANCHOR}' - CAST(o_orderdate AS DATE) AS age_days,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus = 'O')
+    SELECT CASE WHEN age_days <= 365 THEN '0-365'
+                WHEN age_days <= 730 THEN '366-730'
+                WHEN age_days <= 1460 THEN '731-1460'
+                ELSE '1460+' END AS age_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(MAX(age_days) AS BIGINT) AS oldest_days
+    FROM a GROUP BY age_band ORDER BY age_band
+    """,
+)
+def open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging report of still-open orders: count, exposure (cents) and
+    oldest age per age band as of a fixed anchor date — the working-
+    capital / stuck-order review every ops team runs weekly.
+
+    Scale: the status filter pushes to the parquet scan, ages are a
+    per-row projection against the FIXED anchor (wall-clock now() would
+    be nondeterministic — the freshness_audit convention), and the
+    corpus reduces to 4 band rows map-side.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    age = F.datediff(F.lit(_AGING_ANCHOR).cast("date"), F.col("o_orderdate").cast("date"))
+    band = (
+        F.when(age <= 365, "0-365")
+        .when(age <= 730, "366-730")
+        .when(age <= 1460, "731-1460")
+        .otherwise("1460+")
+    )
+    return (
+        o.select(band.alias("age_band"), age.alias("age_days"), cents("o_totalprice").alias("cents"))
+        .groupBy("age_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.max("age_days").cast("bigint").alias("oldest_days"),
+        )
+        .orderBy("age_band")
+    )
+
+
+#: Spend-tier thresholds in cents (yearly revenue per customer).
+_TIER_MID_CENTS = 10_000_000  # $100k
+_TIER_HIGH_CENTS = 50_000_000  # $500k
+
+_TIER_SQL = f"""CASE WHEN n = 0 THEN 'none'
+                WHEN cents < {_TIER_MID_CENTS} THEN 'low'
+                WHEN cents < {_TIER_HIGH_CENTS} THEN 'mid'
+                ELSE 'high' END"""
+
+
+@register(
+    "spend_tier_migration",
+    oracle=f"""
+    WITH py AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1999
+               THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS cents_from,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1999 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_from,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 2000
+               THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS cents_to,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 2000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_to
+      FROM orders WHERE year(o_orderdate) IN (1999, 2000)
+      GROUP BY o_custkey),
+    t AS (
+      SELECT {_TIER_SQL.replace('n =', 'n_from =').replace('cents <', 'cents_from <')}
+               AS tier_from,
+             {_TIER_SQL.replace('n =', 'n_to =').replace('cents <', 'cents_to <')}
+               AS tier_to
+      FROM py)
+    SELECT tier_from, tier_to, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM t GROUP BY tier_from, tier_to
+    ORDER BY tier_from, tier_to
+    """,
+)
+def spend_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-tier transition matrix 1999→2000 (none/low/mid/
+    high by fixed yearly-revenue thresholds) — the churn/upsell
+    movement report behind "did our mid-tier customers grow or lapse".
+
+    Scale: ONE scan with the two-year filter pushed down, ONE customer-
+    keyed aggregation computing both years' spend as conditional sums,
+    a per-row tier classification, and a ≤16-cell matrix rollup —
+    never a self-join of two yearly snapshots.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1999, 2000)
+    )
+    yr = F.year("o_orderdate")
+    py = o.groupBy("o_custkey").agg(
+        F.sum(F.when(yr == 1999, cents("o_totalprice")).otherwise(0))
+        .cast("bigint")
+        .alias("cents_from"),
+        F.sum(F.when(yr == 1999, 1).otherwise(0)).cast("bigint").alias("n_from"),
+        F.sum(F.when(yr == 2000, cents("o_totalprice")).otherwise(0))
+        .cast("bigint")
+        .alias("cents_to"),
+        F.sum(F.when(yr == 2000, 1).otherwise(0)).cast("bigint").alias("n_to"),
+    )
+
+    def tier(n: str, c: str):
+        return (
+            F.when(F.col(n) == 0, "none")
+            .when(F.col(c) < _TIER_MID_CENTS, "low")
+            .when(F.col(c) < _TIER_HIGH_CENTS, "mid")
+            .otherwise("high")
+        )
+
+    t = py.select(
+        tier("n_from", "cents_from").alias("tier_from"),
+        tier("n_to", "cents_to").alias("tier_to"),
+    )
+    return (
+        t.groupBy("tier_from", "tier_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("tier_from", "tier_to")
+    )
+
+
+@register(
+    "discount_by_quantity_band",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor((l_quantity - 1) / 10) AS BIGINT) AS qty_band,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS gross_cents,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+               AS BIGINT) AS net_cents
+      FROM lineitem)
+    SELECT qty_band, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(disc_pct) AS BIGINT) AS sum_disc_pct,
+           CAST(SUM(gross_cents) AS BIGINT) AS gross_cents,
+           CAST(SUM(net_cents) AS BIGINT) AS net_cents,
+           CAST(round(CAST(SUM(disc_pct) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) * 1000000, 0) AS BIGINT)
+             AS avg_disc_micro_pct
+    FROM b GROUP BY qty_band ORDER BY qty_band
+    """,
+)
+def discount_by_quantity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount depth by order-line quantity band (1-10, 11-20, …):
+    line counts, exact gross/net revenue, and the average discount in
+    micro-percent — the volume-discount policy readout ("are big
+    orders actually getting deeper discounts").
+
+    Scale: a pure per-row projection (band + integer ticks) followed by
+    ONE map-side-combinable aggregate to ≤5 band rows; explicit
+    floor() banding and integer-cent sums keep it exact cross-engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.floor((F.col("l_quantity") - 1) / 10).cast("bigint").alias("qty_band"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc_pct"),
+        cents("l_extendedprice").alias("gross_cents"),
+        net_cents().alias("net_cents"),
+    )
+    return (
+        b.groupBy("qty_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("disc_pct").cast("bigint").alias("sum_disc_pct"),
+            F.sum("gross_cents").cast("bigint").alias("gross_cents"),
+            F.sum("net_cents").cast("bigint").alias("net_cents"),
+            F.round(
+                F.sum("disc_pct").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("avg_disc_micro_pct"),
+        )
+        .orderBy("qty_band")
+    )

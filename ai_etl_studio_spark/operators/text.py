@@ -1383,3 +1383,77 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-class composition per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "char_class_profile",
+    oracle=r"""
+    WITH c AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               AS BIGINT) AS alpha_chars,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+               AS BIGINT) AS digit_chars,
+             CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
+               AS BIGINT) AS space_chars
+      FROM documents WHERE text IS NOT NULL)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(alpha_chars) AS BIGINT) AS alpha_chars,
+           CAST(SUM(digit_chars) AS BIGINT) AS digit_chars,
+           CAST(SUM(space_chars) AS BIGINT) AS space_chars,
+           CAST(round(CAST(SUM(alpha_chars) AS DOUBLE)
+             / CAST(SUM(n_chars) AS DOUBLE) * 1000000000, 0) AS BIGINT)
+             AS alpha_share_ticks
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source (alpha / digit / space
+    share of total characters) — the cheap structural screen that
+    separates prose feeds from tables, code dumps, and serial-number
+    spam before any tokenizer runs.
+
+    Scale: four per-row codegen'd regexp lengths (Spark replaces all
+    matches; the DuckDB twin passes the 'g' flag for the same
+    semantics), then ONE map-side-combinable rollup to |sources| rows
+    with exact integer character sums.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    c = d.select(
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("bigint").alias(
+            "alpha_chars"
+        ),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("bigint").alias(
+            "digit_chars"
+        ),
+        F.length(F.regexp_replace("text", "[^ ]", "")).cast("bigint").alias(
+            "space_chars"
+        ),
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("alpha_chars").cast("bigint").alias("alpha_chars"),
+            F.sum("digit_chars").cast("bigint").alias("digit_chars"),
+            F.sum("space_chars").cast("bigint").alias("space_chars"),
+            F.round(
+                F.sum("alpha_chars").cast("double")
+                / F.sum("n_chars").cast("double")
+                * 1_000_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("alpha_share_ticks"),
+        )
+        .orderBy("source")
+    )

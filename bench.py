@@ -193,6 +193,10 @@ HEADLINE = [
     "shipping_delay_monthly",
     "partition_skew_advisor",
     "watermark_lateness_advisor",
+    "open_order_aging",
+    "spend_tier_migration",
+    "discount_by_quantity_band",
+    "char_class_profile",
 ]
 
 

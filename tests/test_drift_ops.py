@@ -626,3 +626,109 @@ def test_watermark_lateness_advisor_replay(spark):
     assert got == {b: tuple(v) for b, v in buckets.items()}
     # sanity: some events are out of order in this data, most are not
     assert got[-1][0] > sum(v[0] for b, v in buckets.items() if b != -1)
+
+
+def test_open_order_aging_replay(spark):
+    import datetime
+
+    rows = QUERIES["open_order_aging"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    anchor = datetime.date(2001, 9, 1)
+    agg = defaultdict(lambda: [0, 0, 0])
+    for o in orders:
+        if o.o_orderstatus != "O":
+            continue
+        age = (anchor - o.o_orderdate.date()).days
+        band = (
+            "0-365" if age <= 365
+            else "366-730" if age <= 730
+            else "731-1460" if age <= 1460
+            else "1460+"
+        )
+        s = agg[band]
+        s[0] += 1
+        s[1] += math.floor(o.o_totalprice * 100 + 0.5)
+        s[2] = max(s[2], age)
+    got = {r.age_band: (r.n_orders, r.total_cents, r.oldest_days) for r in rows}
+    assert got == {b: tuple(v) for b, v in agg.items()}
+    assert all(r.oldest_days > 0 for r in rows)
+
+
+def test_spend_tier_migration_replay(spark):
+    rows = QUERIES["spend_tier_migration"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    spend = defaultdict(lambda: [0, 0, 0, 0])  # c99, n99, c00, n00
+    for o in orders:
+        y = o.o_orderdate.year
+        if y not in (1999, 2000):
+            continue
+        s = spend[o.o_custkey]
+        c = math.floor(o.o_totalprice * 100 + 0.5)
+        if y == 1999:
+            s[0] += c
+            s[1] += 1
+        else:
+            s[2] += c
+            s[3] += 1
+
+    def tier(c, n):
+        if n == 0:
+            return "none"
+        if c < 10_000_000:
+            return "low"
+        if c < 50_000_000:
+            return "mid"
+        return "high"
+
+    mat = Counter(
+        (tier(c99, n99), tier(c00, n00)) for c99, n99, c00, n00 in spend.values()
+    )
+    got = {(r.tier_from, r.tier_to): r.n_customers for r in rows}
+    assert got == dict(mat)
+    assert sum(got.values()) == len(spend)
+
+
+def test_discount_by_quantity_band_replay(spark):
+    rows = QUERIES["discount_by_quantity_band"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for l in li:
+        band = math.floor((l.l_quantity - 1) / 10)
+        s = agg[band]
+        s[0] += 1
+        s[1] += math.floor(l.l_discount * 100 + 0.5)
+        s[2] += math.floor(l.l_extendedprice * 100 + 0.5)
+        s[3] += math.floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+    got = {
+        r.qty_band: (r.n_lines, r.sum_disc_pct, r.gross_cents, r.net_cents)
+        for r in rows
+    }
+    assert got == {b: tuple(v) for b, v in agg.items()}
+    for r in rows:
+        assert r.net_cents <= r.gross_cents
+        assert r.avg_disc_micro_pct == round(r.sum_disc_pct / r.n_lines * 1e6)
+
+
+def test_char_class_profile_replay(spark):
+    import re
+
+    rows = QUERIES["char_class_profile"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for d in docs:
+        if d.text is None:
+            continue
+        s = agg[d.source]
+        s[0] += 1
+        s[1] += len(d.text)
+        s[2] += len(re.sub(r"[^a-zA-Z]", "", d.text))
+        s[3] += len(re.sub(r"[^0-9]", "", d.text))
+        s[4] += len(re.sub(r"[^ ]", "", d.text))
+    got = {
+        r.source: (r.n_docs, r.n_chars, r.alpha_chars, r.digit_chars, r.space_chars)
+        for r in rows
+    }
+    assert got == {s: tuple(v) for s, v in agg.items()}
+    for r in rows:
+        assert r.alpha_share_ticks == round(r.alpha_chars / r.n_chars * 1e9)
+        assert r.alpha_chars + r.digit_chars + r.space_chars <= r.n_chars

@@ -974,3 +974,22 @@ class TestDriftPlans:
         t = tree(spark, "watermark_lateness_advisor")
         assert t.count("Scan parquet") == 0  # checkpointed base
         assert "CartesianProduct" not in t
+
+    def test_aging_filter_pushed_down(self, spark):
+        p = full(spark, "open_order_aging")
+        assert "EqualTo(o_orderstatus,O)" in p  # status filter at the scan
+        t = tree(spark, "open_order_aging")
+        assert t.count("Scan parquet") == 1 and "Join" not in t
+
+    def test_tier_migration_single_pass(self, spark):
+        # both years as conditional sums in ONE customer-keyed agg —
+        # never a self-join of two yearly snapshots
+        t = tree(spark, "spend_tier_migration")
+        assert t.count("Scan parquet") == 1
+        assert "Join" not in t
+
+    def test_discount_band_and_charclass_reduce_once(self, spark):
+        for name in ("discount_by_quantity_band", "char_class_profile"):
+            t = tree(spark, name)
+            assert t.count("Scan parquet") == 1, name
+            assert t.count("HashAggregate") == 2, name
