@@ -49,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: null_handling pct_of_total repetition_quality
 #: stopword_pruned_corpus string_agg_ordered text_tokens
 #: window_fill_forward window_range_rolling window_sliding
-#: — plus the fifty-one operators ADDED in round 4 (weighted_sample_topk,
+#: — plus the fifty-five operators ADDED in round 4 (weighted_sample_topk,
 #: table_profile, basket_pairs, skyline_pareto,
 #: chi_square_independence, ann_pq_append_topk, time_weighted_avg,
 #: attribution_last_touch, survival_km, freshness_audit,
@@ -67,7 +67,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: growth_accounting_daily, reorder_interval_stats, dup_rate_by_source,
 #: supplier_share_shift, shipping_delay_monthly, partition_skew_advisor,
 #: watermark_lateness_advisor, open_order_aging, spend_tier_migration,
-#: discount_by_quantity_band, char_class_profile; no
+#: discount_by_quantity_band, char_class_profile, event_type_affinity,
+#: event_value_deciles_by_type, revenue_bridge_monthly,
+#: priority_sla_rate; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -3361,3 +3361,147 @@ def discount_by_quantity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qty_band")
     )
+
+
+@register(
+    "revenue_bridge_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    l AS (
+      SELECT CAST(month AS DATE) AS month, n, rev,
+             lag(n) OVER (ORDER BY month) AS np,
+             lag(rev) OVER (ORDER BY month) AS rp
+      FROM m)
+    SELECT month, n AS n_orders, rev AS revenue_cents,
+           CAST(rev - rp AS BIGINT) AS delta_cents,
+           CAST(round(CAST(n - np AS DOUBLE)
+             * (CAST(rp AS DOUBLE) / CAST(np AS DOUBLE)), 0) AS BIGINT)
+             AS volume_effect_cents,
+           CAST(round(CAST(n AS DOUBLE)
+             * (CAST(rev AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(rp AS DOUBLE) / CAST(np AS DOUBLE)), 0) AS BIGINT)
+             AS price_effect_cents
+    FROM l WHERE np IS NOT NULL
+    ORDER BY month
+    """,
+)
+def revenue_bridge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue bridge: each month's revenue delta
+    decomposed into a volume effect (order-count change × prior
+    average order value) and a price/mix effect (current volume ×
+    average-value change) — the FP&A "why did revenue move" waterfall.
+
+    Scale: orders reduce to one row per month in a single map-side-
+    combinable aggregate; the bridge arithmetic is lag windows over
+    the calendar-bounded table. Revenue and deltas stay exact int64
+    cents; the two effects are mirrored double expressions rounded to
+    whole cents (volume + price ≈ delta; the sub-cent residual is the
+    standard bridge rounding).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents("o_totalprice")).cast("bigint").alias("rev"),
+    )
+    w = Window.orderBy("month")  # calendar-bounded
+    l = m.select(
+        "month",
+        "n",
+        "rev",
+        F.lag("n").over(w).alias("np"),
+        F.lag("rev").over(w).alias("rp"),
+    ).filter(F.col("np").isNotNull())
+    avg_p = F.col("rp").cast("double") / F.col("np").cast("double")
+    avg_c = F.col("rev").cast("double") / F.col("n").cast("double")
+    return l.select(
+        "month",
+        F.col("n").alias("n_orders"),
+        F.col("rev").alias("revenue_cents"),
+        (F.col("rev") - F.col("rp")).cast("bigint").alias("delta_cents"),
+        F.round((F.col("n") - F.col("np")).cast("double") * avg_p, 0)
+        .cast("bigint")
+        .alias("volume_effect_cents"),
+        F.round(F.col("n").cast("double") * (avg_c - avg_p), 0)
+        .cast("bigint")
+        .alias("price_effect_cents"),
+    ).orderBy("month")
+
+
+#: First-ship SLA threshold in days.
+_SLA_DAYS = 30
+
+
+@register(
+    "priority_sla_rate",
+    oracle=f"""
+    WITH fs AS (
+      SELECT l_orderkey,
+             CAST(MIN(CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+               AS BIGINT) AS first_shipday
+      FROM lineitem GROUP BY l_orderkey),
+    j AS (
+      SELECT o.o_orderpriority,
+             fs.first_shipday
+               - (CAST(o.o_orderdate AS DATE) - DATE '1970-01-01')
+               AS first_delay
+      FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN first_delay <= {_SLA_DAYS} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_within_sla,
+           CAST(round(
+             CAST(SUM(CASE WHEN first_delay <= {_SLA_DAYS} THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000000, 0)
+             AS BIGINT) AS sla_rate_ticks
+    FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def priority_sla_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-shipment SLA attainment per order priority: the share of
+    orders whose FIRST line ships within 30 days — the service-level
+    scoreboard that tells whether 1-URGENT actually ships faster than
+    5-LOW.
+
+    Scale: lineitem reduces to min(ship-day) per order BEFORE the
+    fact-fact join (one row per order each side, key-on-key,
+    hint-free), then a 5-row priority rollup with the rate quantized
+    to nanoticks.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01")
+    fs = li.groupBy("l_orderkey").agg(
+        F.min(F.datediff(F.col("l_shipdate").cast("date"), epoch))
+        .cast("bigint")
+        .alias("first_shipday")
+    )
+    j = o.join(fs, o["o_orderkey"] == fs["l_orderkey"]).select(
+        "o_orderpriority",
+        (
+            F.col("first_shipday")
+            - F.datediff(F.col("o_orderdate").cast("date"), epoch)
+        ).alias("first_delay"),
+    )
+    ok = F.sum(F.when(F.col("first_delay") <= _SLA_DAYS, 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            ok.alias("n_within_sla"),
+            F.round(
+                ok.cast("double") / F.count(F.lit(1)).cast("double") * 1_000_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("sla_rate_ticks"),
+        )
+        .orderBy("o_orderpriority")
+    )

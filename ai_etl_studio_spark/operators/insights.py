@@ -1745,3 +1745,177 @@ def watermark_lateness_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type affinity (user-level co-occurrence)
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_type_affinity",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events),
+    sz AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ut GROUP BY event_type),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+    pr AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS co_users
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type)
+    SELECT pr.type_a, pr.type_b, pr.co_users, sa.n AS n_a, sb.n AS n_b,
+           CAST(round(CAST(pr.co_users AS DOUBLE) * CAST(t.n_users AS DOUBLE)
+             / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE))
+             * 1000000, 0) AS BIGINT) AS lift_micro
+    FROM pr
+    JOIN sz sa ON pr.type_a = sa.event_type
+    JOIN sz sb ON pr.type_b = sb.event_type
+    CROSS JOIN tot t
+    ORDER BY pr.type_a, pr.type_b
+    """,
+)
+def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level co-occurrence lift between event types ("do users
+    who search also purchase?"): for every type pair, the users doing
+    both and the lift vs independence — the feature-adoption affinity
+    matrix.
+
+    Scale: events reduce to DISTINCT (user, type) — bounded by
+    users × |types| — and that checkpointed table serves sizes,
+    totals, and the user-keyed self-join whose fan-out is at most
+    C(|types|,2) per user, never events². Lift is one mirrored double
+    expression over the tiny pair matrix, quantized to microticks.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct().localCheckpoint()
+    sz = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = ut.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co_users"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    lift = F.round(
+        F.col("co_users").cast("double")
+        * F.col("n_users").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        * 1_000_000,
+        0,
+    ).cast("bigint")
+    return (
+        pr.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select("type_a", "type_b", "co_users", "n_a", "n_b", lift.alias("lift_micro"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group deciles (bucketed grouped ECDF)
+# ---------------------------------------------------------------------------
+
+#: Value-bucket width (cents) for the grouped decile machinery.
+_DEC_BUCKET_CENTS = 100_000
+
+
+@register(
+    "event_value_deciles_by_type",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    pv AS (
+      SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY event_type, v),
+    c AS (
+      SELECT event_type, v,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v)
+               AS BIGINT) AS cum
+      FROM pv),
+    t AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+      FROM pv GROUP BY event_type),
+    ds AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS d),
+    sp AS (
+      SELECT event_type, d, (d * n + 9) // 10 AS thr FROM t, ds)
+    SELECT sp.event_type, sp.d AS decile,
+           CAST(MIN(CASE WHEN c.cum >= sp.thr THEN c.v END) AS BIGINT)
+             AS v_cents
+    FROM c JOIN sp ON c.event_type = sp.event_type
+    GROUP BY sp.event_type, sp.d
+    ORDER BY sp.event_type, sp.d
+    """,
+)
+def event_value_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact value deciles per event type — the per-segment latency/
+    value SLO table (p10..p90 without approximation), showing the
+    bucketed-ECDF machinery generalizes to GROUPED exact quantiles.
+
+    Scale: per-(type, value) counts reduce once (checkpointed); the
+    cumulative counts run in per-(type, value-bucket) windows with
+    per-type bucket offsets from the tiny occupied-bucket table; each
+    decile is a conditional MIN against the broadcast |types|×9
+    integer-ceil threshold spine. No percentile_approx, no global
+    sort, no driver collect.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pv = (
+        e.select("event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("v"))
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("bkt", (F.col("v") / _DEC_BUCKET_CENTS).cast("bigint"))
+        .localCheckpoint()
+    )
+    per_bkt = pv.groupBy("event_type", "bkt").agg(F.sum("c").alias("bc"))
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bkt.select(
+        "event_type",
+        "bkt",
+        F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off"),
+    )
+    t = pv.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("n"))
+    w_in = (
+        Window.partitionBy("event_type", "bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        pv.withColumn("loc", F.sum("c").over(w_in))
+        .join(offsets, ["event_type", "bkt"])
+        .select("event_type", "v", (F.col("off") + F.col("loc")).alias("cum"))
+    )
+    sp = t.select(
+        "event_type",
+        F.explode(F.array(*[F.lit(d) for d in range(1, 10)])).alias("d"),
+        "n",
+    ).select(
+        "event_type", "d", ((F.col("d") * F.col("n") + 9) / 10).cast("bigint").alias("thr")
+    )
+    return (
+        c.join(F.broadcast(sp), "event_type")
+        .groupBy("event_type", F.col("d").alias("decile"))
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("thr"), F.col("v")))
+            .cast("bigint")
+            .alias("v_cents")
+        )
+        .orderBy("event_type", "decile")
+    )

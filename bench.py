@@ -197,6 +197,10 @@ HEADLINE = [
     "spend_tier_migration",
     "discount_by_quantity_band",
     "char_class_profile",
+    "event_type_affinity",
+    "event_value_deciles_by_type",
+    "revenue_bridge_monthly",
+    "priority_sla_rate",
 ]
 
 

@@ -732,3 +732,95 @@ def test_char_class_profile_replay(spark):
     for r in rows:
         assert r.alpha_share_ticks == round(r.alpha_chars / r.n_chars * 1e9)
         assert r.alpha_chars + r.digit_chars + r.space_chars <= r.n_chars
+
+
+def test_event_type_affinity_replay(spark):
+    rows = QUERIES["event_type_affinity"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    ut = {(e.user_id, e.event_type) for e in ev}
+    types = defaultdict(set)
+    for u, t in ut:
+        types[t].add(u)
+    n_users = len({u for u, _t in ut})
+    names = sorted(types)
+    want = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            co = len(types[a] & types[b])
+            if co:
+                want[(a, b)] = (co, len(types[a]), len(types[b]))
+    got = {(r.type_a, r.type_b): (r.co_users, r.n_a, r.n_b) for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.lift_micro == round(
+            r.co_users * n_users / (r.n_a * r.n_b) * 1e6
+        )
+
+
+def test_event_value_deciles_by_type_replay(spark):
+    rows = QUERIES["event_value_deciles_by_type"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    per_type = defaultdict(list)
+    for e in ev:
+        if e.value is not None:
+            per_type[e.event_type].append(math.floor(e.value * 100 + 0.5))
+    want = {}
+    for t, vals in per_type.items():
+        vals.sort()
+        n = len(vals)
+        for d in range(1, 10):
+            want[(t, d)] = vals[-(-d * n // 10) - 1]
+    got = {(r.event_type, r.decile): r.v_cents for r in rows}
+    assert got == want
+    # monotone deciles per type
+    for t in per_type:
+        seq = [got[(t, d)] for d in range(1, 10)]
+        assert seq == sorted(seq)
+
+
+def test_revenue_bridge_monthly_replay(spark):
+    rows = QUERIES["revenue_bridge_monthly"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    m = defaultdict(lambda: [0, 0])
+    for o in orders:
+        s = m[o.o_orderdate.date().replace(day=1)]
+        s[0] += 1
+        s[1] += math.floor(o.o_totalprice * 100 + 0.5)
+    months = sorted(m)
+    got = {r.month: r for r in rows}
+    assert sorted(got) == months[1:]  # first month has no prior
+    for prev, cur in zip(months, months[1:]):
+        (np_, rp), (n, rev) = m[prev], m[cur]
+        r = got[cur]
+        assert (r.n_orders, r.revenue_cents, r.delta_cents) == (n, rev, rev - rp)
+
+        def half_away(x):  # engine round(): half away from zero
+            return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+        assert r.volume_effect_cents == half_away((n - np_) * (rp / np_))
+        assert r.price_effect_cents == half_away(n * (rev / n - rp / np_))
+        # the decomposition closes up to sub-cent rounding
+        assert abs(r.delta_cents - r.volume_effect_cents - r.price_effect_cents) <= 1
+
+
+def test_priority_sla_rate_replay(spark):
+    rows = QUERIES["priority_sla_rate"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    first_ship = {}
+    for l in li:
+        d = l.l_shipdate.date()
+        k = l.l_orderkey
+        first_ship[k] = d if k not in first_ship else min(first_ship[k], d)
+    agg = defaultdict(lambda: [0, 0])
+    for o in orders:
+        if o.o_orderkey not in first_ship:
+            continue
+        delay = (first_ship[o.o_orderkey] - o.o_orderdate.date()).days
+        s = agg[o.o_orderpriority]
+        s[0] += 1
+        s[1] += delay <= 30
+    got = {r.o_orderpriority: (r.n_orders, r.n_within_sla) for r in rows}
+    assert got == {p: tuple(v) for p, v in agg.items()}
+    for r in rows:
+        assert r.sla_rate_ticks == round(r.n_within_sla / r.n_orders * 1e9)

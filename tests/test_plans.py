@@ -993,3 +993,25 @@ class TestDriftPlans:
             t = tree(spark, name)
             assert t.count("Scan parquet") == 1, name
             assert t.count("HashAggregate") == 2, name
+
+    def test_affinity_self_join_on_checkpoint(self, spark):
+        t = tree(spark, "event_type_affinity")
+        assert t.count("Scan parquet") == 0  # checkpointed user-type set
+        assert "CartesianProduct" not in t
+
+    def test_grouped_deciles_bucketed(self, spark):
+        # per-(type,bucket) windows + per-type offsets + broadcast spine
+        t = tree(spark, "event_value_deciles_by_type")
+        assert t.count("Scan parquet") == 0  # checkpointed per-value counts
+        assert "CartesianProduct" not in t
+        assert "SortMergeJoin" not in t
+
+    def test_revenue_bridge_single_scan(self, spark):
+        t = tree(spark, "revenue_bridge_monthly")
+        assert t.count("Scan parquet") == 1
+        assert "Join" not in t
+
+    def test_priority_sla_reduces_lineitem_first(self, spark):
+        t = tree(spark, "priority_sla_rate")
+        assert t.count("Scan parquet") == 2
+        assert "CartesianProduct" not in t
