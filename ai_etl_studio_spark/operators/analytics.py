@@ -3505,3 +3505,121 @@ def priority_sla_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "session_funnel",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_type,
+             SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM g),
+    v AS (
+      SELECT user_id, session_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id, session_id) AS v_ts
+      FROM s),
+    c AS (
+      SELECT user_id, session_id, ts, event_type, v_ts,
+             MIN(CASE WHEN event_type = 'click' AND ts >= v_ts THEN ts END)
+               OVER (PARTITION BY user_id, session_id) AS c_ts
+      FROM v),
+    p AS (
+      SELECT user_id, session_id, v_ts, c_ts,
+             MIN(CASE WHEN event_type = 'purchase' AND ts >= c_ts THEN ts END)
+               OVER (PARTITION BY user_id, session_id) AS p_ts
+      FROM c),
+    per_s AS (
+      SELECT user_id, session_id,
+             MAX(CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END) AS has_v,
+             MAX(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS has_c,
+             MAX(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS has_p
+      FROM p GROUP BY user_id, session_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(has_v) AS BIGINT) AS n_view,
+           CAST(SUM(has_c) AS BIGINT) AS n_view_click,
+           CAST(SUM(has_p) AS BIGINT) AS n_full_funnel,
+           CAST(round(CAST(SUM(has_p) AS DOUBLE)
+             / CAST(SUM(has_v) AS DOUBLE) * 1000000000, 0) AS BIGINT)
+             AS view_to_purchase_ticks
+    FROM per_s
+    """,
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-scoped ordered funnel view → click → purchase (30-min
+    inactivity sessions): a session converts only if the click happens
+    at/after its first view and the purchase at/after that click —
+    the within-visit conversion number, stricter than the user-level
+    funnels (conversion_funnel / funnel_conversion) which credit
+    cross-day journeys.
+
+    Scale: ONE shuffle on user_id covers sessionization AND the three
+    min-chaining stages — the session windows reuse the (user_id)
+    partitioning with per-session MIN frames, so Catalyst plans one
+    exchange + sorts; the rollup reduces sessions to a 1-row summary.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    s = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_ts", F.lag("ts").over(w_u))
+        .withColumn(
+            "session_id",
+            F.sum(
+                F.when(F.col("prev_ts").isNull() | (gap_us > 1_800_000_000), 1)
+                .otherwise(0)
+            ).over(w_u.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    w_s = Window.partitionBy("user_id", "session_id")
+    v = s.withColumn(
+        "v_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w_s)
+    )
+    c = v.withColumn(
+        "c_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("v_ts")),
+                F.col("ts"),
+            )
+        ).over(w_s),
+    )
+    p = c.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("c_ts")),
+                F.col("ts"),
+            )
+        ).over(w_s),
+    )
+    per_s = p.groupBy("user_id", "session_id").agg(
+        F.max(F.when(F.col("v_ts").isNotNull(), 1).otherwise(0)).alias("has_v"),
+        F.max(F.when(F.col("c_ts").isNotNull(), 1).otherwise(0)).alias("has_c"),
+        F.max(F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)).alias("has_p"),
+    )
+    return per_s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("has_v").cast("bigint").alias("n_view"),
+        F.sum("has_c").cast("bigint").alias("n_view_click"),
+        F.sum("has_p").cast("bigint").alias("n_full_funnel"),
+        F.round(
+            F.sum("has_p").cast("double")
+            / F.sum("has_v").cast("double")
+            * 1_000_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("view_to_purchase_ticks"),
+    )

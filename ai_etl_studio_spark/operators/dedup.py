@@ -986,3 +986,87 @@ def crosslingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_1", "doc_id_2", "lang_1", "lang_2")
         .orderBy("doc_id_1", "doc_id_2")
     )
+
+
+#: Containment threshold for partial-copy detection.
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def _containment_oracle() -> str:
+    inter = "len(list_intersect(s1.shingles, s2.shingles))"
+    c12 = f"CAST({inter} AS DOUBLE) / len(s1.shingles)"
+    c21 = f"CAST({inter} AS DOUBLE) / len(s2.shingles)"
+    return rf"""
+    WITH {_bands_cte()},
+    {_SQL_CAPPED_BUCKETS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_id_1, c.doc_id_2,
+           CAST({inter} AS BIGINT) AS n_inter,
+           CAST(len(s1.shingles) AS BIGINT) AS n_1,
+           CAST(len(s2.shingles) AS BIGINT) AS n_2,
+           {c12} AS containment_1_in_2,
+           {c21} AS containment_2_in_1
+    FROM cand c
+    JOIN sh s1 ON c.doc_id_1 = s1.doc_id
+    JOIN sh s2 ON c.doc_id_2 = s2.doc_id
+    WHERE {c12} >= {CONTAINMENT_THRESHOLD} OR {c21} >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_id_1, doc_id_2
+    """
+
+
+@register("dedup_containment_pairs", oracle=_containment_oracle())
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-scored near-dup pairs: capped-LSH candidates scored
+    by |A∩B|/|A| in BOTH directions, keeping pairs where either doc is
+    ≥ {CONTAINMENT_THRESHOLD} contained in the other — the quote /
+    partial-copy detector. Jaccard misses exactly this case: a
+    paragraph fully embedded in a 100× larger page has tiny Jaccard
+    but containment ≈ 1.
+
+    Scale: identical cost envelope to dedup_lsh_verified_pairs — the
+    capped band join bounds candidates, exact scoring is a JVM
+    array_intersect over |candidates| pairs, and the asymmetric
+    divisions are per-row int/int IEEE (no tick quantization needed).
+    """
+    sh_arr = _shingle_array_df(spark, sf_dir)
+    cand = _lsh_candidate_pairs(spark, sf_dir, cap=LSH_BUCKET_CAP)
+    s1 = sh_arr.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh_1")
+    )
+    s2 = sh_arr.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh_2")
+    )
+    n_inter = F.size(F.array_intersect("sh_1", "sh_2"))
+    paired = (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            n_inter.cast("bigint").alias("n_inter"),
+            F.size("sh_1").cast("bigint").alias("n_1"),
+            F.size("sh_2").cast("bigint").alias("n_2"),
+        )
+    )
+    c12 = F.col("n_inter").cast("double") / F.col("n_1")
+    c21 = F.col("n_inter").cast("double") / F.col("n_2")
+    return (
+        paired.select(
+            "doc_id_1",
+            "doc_id_2",
+            "n_inter",
+            "n_1",
+            "n_2",
+            c12.alias("containment_1_in_2"),
+            c21.alias("containment_2_in_1"),
+        )
+        .filter(
+            (F.col("containment_1_in_2") >= CONTAINMENT_THRESHOLD)
+            | (F.col("containment_2_in_1") >= CONTAINMENT_THRESHOLD)
+        )
+        .orderBy("doc_id_1", "doc_id_2")
+    )

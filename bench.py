@@ -201,6 +201,8 @@ HEADLINE = [
     "event_value_deciles_by_type",
     "revenue_bridge_monthly",
     "priority_sla_rate",
+    "session_funnel",
+    "dedup_containment_pairs",
 ]
 
 

@@ -824,3 +824,65 @@ def test_priority_sla_rate_replay(spark):
     assert got == {p: tuple(v) for p, v in agg.items()}
     for r in rows:
         assert r.sla_rate_ticks == round(r.n_within_sla / r.n_orders * 1e9)
+
+
+def test_session_funnel_replay(spark):
+    [r] = QUERIES["session_funnel"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e.user_id].append((e.ts, e.event_id, e.event_type))
+    n_sessions = n_v = n_c = n_p = 0
+    for seq in per_user.values():
+        seq.sort()
+        sessions = []
+        prev = None
+        for ts, _eid, et in seq:
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                sessions.append([])
+            sessions[-1].append((ts, et))
+            prev = ts
+        for sess in sessions:
+            n_sessions += 1
+            v_ts = min((t for t, et in sess if et == "view"), default=None)
+            c_ts = (
+                min((t for t, et in sess if et == "click" and t >= v_ts), default=None)
+                if v_ts
+                else None
+            )
+            p_ts = (
+                min(
+                    (t for t, et in sess if et == "purchase" and t >= c_ts),
+                    default=None,
+                )
+                if c_ts
+                else None
+            )
+            n_v += v_ts is not None
+            n_c += c_ts is not None
+            n_p += p_ts is not None
+    assert (r.n_sessions, r.n_view, r.n_view_click, r.n_full_funnel) == (
+        n_sessions,
+        n_v,
+        n_c,
+        n_p,
+    )
+    assert r.n_view >= r.n_view_click >= r.n_full_funnel
+    assert r.view_to_purchase_ticks == round(n_p / n_v * 1e9)
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    # every verified-Jaccard pair is also containment-strong, and the
+    # containment detector is a superset on candidates (asymmetric
+    # inclusion scores ≥ symmetric Jaccard)
+    jac = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in QUERIES["dedup_lsh_verified_pairs"](spark, SF_DIR).collect()
+    }
+    cont_rows = QUERIES["dedup_containment_pairs"](spark, SF_DIR).collect()
+    cont = {(r.doc_id_1, r.doc_id_2) for r in cont_rows}
+    assert jac <= cont
+    for r in cont_rows:
+        assert r.containment_1_in_2 == pytest.approx(r.n_inter / r.n_1)
+        assert r.containment_2_in_1 == pytest.approx(r.n_inter / r.n_2)
+        assert max(r.containment_1_in_2, r.containment_2_in_1) >= 0.8

@@ -1015,3 +1015,17 @@ class TestDriftPlans:
         t = tree(spark, "priority_sla_rate")
         assert t.count("Scan parquet") == 2
         assert "CartesianProduct" not in t
+
+    def test_session_funnel_one_user_exchange(self, spark):
+        # sessionization + three min-chaining windows share the
+        # user_id partitioning — one wide exchange before the rollup
+        t = tree(spark, "session_funnel")
+        assert t.count("Scan parquet") == 1
+        assert "Join" not in t
+        assert t.count("Exchange hashpartitioning") <= 2
+
+    def test_containment_uses_capped_candidates(self, spark):
+        t = tree(spark, "dedup_containment_pairs")
+        assert "CartesianProduct" not in t
+        # the cap's row_number window appears before the self-join
+        assert "Window" in t
