@@ -3623,3 +3623,160 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("view_to_purchase_ticks"),
     )
+
+
+@register(
+    "priority_mix_shift_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    sh AS (
+      SELECT CAST(month AS DATE) AS month, o_orderpriority, n,
+             CAST(round(CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY month) AS DOUBLE)
+               * 1000000000, 0) AS BIGINT) AS share_ticks
+      FROM m),
+    d AS (
+      SELECT month, o_orderpriority, n, share_ticks,
+             CAST(share_ticks - lag(share_ticks) OVER (
+               PARTITION BY o_orderpriority ORDER BY month) AS BIGINT)
+               AS delta_ticks
+      FROM sh)
+    SELECT o_orderpriority,
+           CAST(MAX(ABS(delta_ticks)) AS BIGINT) AS max_abs_swing_ticks,
+           CAST(MIN(share_ticks) AS BIGINT) AS min_share_ticks,
+           CAST(MAX(share_ticks) AS BIGINT) AS max_share_ticks
+    FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def priority_mix_shift_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix stability: each priority's monthly share of
+    orders, its biggest month-over-month swing, and its share range —
+    the categorical-mix drift monitor ("did 1-URGENT suddenly double
+    its share in March").
+
+    Scale: orders reduce to the |months|×|priorities| cell table in
+    one map-side-combinable count; shares, lags and the final rollup
+    are all windows/aggregates over that tiny table, with shares
+    quantized to nanoticks so deltas are pure int subtraction.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    share = F.round(
+        F.col("n").cast("double")
+        / F.sum("n").over(Window.partitionBy("month")).cast("double")
+        * 1_000_000_000,
+        0,
+    ).cast("bigint")
+    sh = m.select("month", "o_orderpriority", "n", share.alias("share_ticks"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    d = sh.withColumn(
+        "delta_ticks",
+        (F.col("share_ticks") - F.lag("share_ticks").over(w)).cast("bigint"),
+    )
+    return (
+        d.groupBy("o_orderpriority")
+        .agg(
+            F.max(F.abs("delta_ticks")).cast("bigint").alias("max_abs_swing_ticks"),
+            F.min("share_ticks").cast("bigint").alias("min_share_ticks"),
+            F.max("share_ticks").cast("bigint").alias("max_share_ticks"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+#: Value-bucket width (cents) for the weighted-median rank machinery.
+_WMED_BUCKET_CENTS = 1_000_000
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+             CAST(round(l_quantity * 100, 0) AS BIGINT) AS w
+      FROM lineitem),
+    pv AS (
+      SELECT l_returnflag, v, CAST(SUM(w) AS BIGINT) AS w
+      FROM v GROUP BY l_returnflag, v),
+    c AS (
+      SELECT l_returnflag, v,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v)
+               AS BIGINT) AS cum
+      FROM pv),
+    t AS (
+      SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS total_w
+      FROM pv GROUP BY l_returnflag)
+    SELECT c.l_returnflag, t.total_w,
+           CAST(MIN(CASE WHEN c.cum * 2 >= t.total_w THEN c.v END)
+             AS BIGINT) AS median_cents
+    FROM c JOIN t ON c.l_returnflag = t.l_returnflag
+    GROUP BY c.l_returnflag, t.total_w
+    ORDER BY c.l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per return flag — "the price
+    of the median UNIT sold", which a row-median gets wrong whenever
+    cheap lines carry big quantities. Lower weighted median
+    (min v with 2·cumweight ≥ W) — pure integer comparison, no /2.
+
+    Scale: per-(flag, price) weight sums reduce once (checkpointed);
+    cumulative weights run in per-(flag, value-bucket) windows with
+    per-flag bucket offsets from the tiny occupied-bucket table; the
+    median is a conditional MIN against the 3-row broadcast totals.
+    Same grouped bucketed-ECDF machinery as event_value_deciles_by_type,
+    generalized to weights.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.select(
+            "l_returnflag",
+            cents("l_extendedprice").alias("v"),
+            F.round(F.col("l_quantity") * 100, 0).cast("bigint").alias("w"),
+        )
+        .groupBy("l_returnflag", "v")
+        .agg(F.sum("w").alias("w"))
+        .withColumn("bkt", (F.col("v") / _WMED_BUCKET_CENTS).cast("bigint"))
+        .localCheckpoint()
+    )
+    per_bkt = pv.groupBy("l_returnflag", "bkt").agg(F.sum("w").alias("bw"))
+    w_off = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bkt.select(
+        "l_returnflag",
+        "bkt",
+        F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias("off"),
+    )
+    t = pv.groupBy("l_returnflag").agg(F.sum("w").cast("bigint").alias("total_w"))
+    w_in = (
+        Window.partitionBy("l_returnflag", "bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        pv.withColumn("loc", F.sum("w").over(w_in))
+        .join(offsets, ["l_returnflag", "bkt"])
+        .select("l_returnflag", "v", (F.col("off") + F.col("loc")).alias("cum"))
+    )
+    return (
+        c.join(F.broadcast(t), "l_returnflag")
+        .groupBy("l_returnflag", "total_w")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("total_w"), F.col("v"))
+            )
+            .cast("bigint")
+            .alias("median_cents")
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1087,3 +1087,36 @@ def run_stream_psi(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_hourly_profile(
+    spark: SparkSession, sf_dir: str, query_name: str = "hourly_out"
+) -> DataFrame:
+    """REAL streaming build of hourly_seasonality_profile's cell table:
+    events stream in and a streaming aggregation maintains the
+    (event_type, hour) counts — the live load-profile monitor.
+
+    Mergeable-summary shape again: state is bounded at |types|×24 rows
+    FOREVER (no watermark, no growth), and the cells are bit-identical
+    to the batch reduction (asserted in tests/test_streaming.py); the
+    share normalization is a tiny-table projection either side can
+    apply. Complete output mode into the constant-size monitor table.
+    Returns (event_type, hr, n)."""
+    b = (
+        read_event_stream(spark, sf_dir)
+        .groupBy(
+            "event_type", F.hour("ts").cast("bigint").alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    q = (
+        b.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

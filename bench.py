@@ -203,6 +203,8 @@ HEADLINE = [
     "priority_sla_rate",
     "session_funnel",
     "dedup_containment_pairs",
+    "priority_mix_shift_monthly",
+    "weighted_median_price",
 ]
 
 

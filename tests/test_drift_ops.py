@@ -886,3 +886,57 @@ def test_containment_catches_what_jaccard_misses(spark):
         assert r.containment_1_in_2 == pytest.approx(r.n_inter / r.n_1)
         assert r.containment_2_in_1 == pytest.approx(r.n_inter / r.n_2)
         assert max(r.containment_1_in_2, r.containment_2_in_1) >= 0.8
+
+
+def test_priority_mix_shift_replay(spark):
+    rows = QUERIES["priority_mix_shift_monthly"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cells = Counter(
+        (o.o_orderdate.date().replace(day=1), o.o_orderpriority) for o in orders
+    )
+    months = sorted({m for m, _p in cells})
+    mtot = Counter()
+    for (m, _p), n in cells.items():
+        mtot[m] += n
+    shares = defaultdict(dict)
+    for (m, p), n in cells.items():
+        shares[p][m] = round(n / mtot[m] * 1e9)
+    want = {}
+    for p, by_m in shares.items():
+        ms = sorted(by_m)
+        deltas = [abs(by_m[b] - by_m[a]) for a, b in zip(ms, ms[1:])]
+        want[p] = (max(deltas), min(by_m.values()), max(by_m.values()))
+    got = {
+        r.o_orderpriority: (
+            r.max_abs_swing_ticks,
+            r.min_share_ticks,
+            r.max_share_ticks,
+        )
+        for r in rows
+    }
+    assert got == want
+
+
+def test_weighted_median_price_replay(spark):
+    rows = QUERIES["weighted_median_price"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    per_flag = defaultdict(list)
+    for l in li:
+        per_flag[l.l_returnflag].append(
+            (
+                math.floor(l.l_extendedprice * 100 + 0.5),
+                math.floor(l.l_quantity * 100 + 0.5),
+            )
+        )
+    for r in rows:
+        pairs = sorted(per_flag[r.l_returnflag])
+        total = sum(w for _v, w in pairs)
+        assert r.total_w == total
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if cum * 2 >= total:
+                assert r.median_cents == v
+                break
+        # the weighted median is bracketed by the plain min/max
+        assert pairs[0][0] <= r.median_cents <= pairs[-1][0]

@@ -1029,3 +1029,13 @@ class TestDriftPlans:
         assert "CartesianProduct" not in t
         # the cap's row_number window appears before the self-join
         assert "Window" in t
+
+    def test_mix_shift_single_scan(self, spark):
+        t = tree(spark, "priority_mix_shift_monthly")
+        assert t.count("Scan parquet") == 1
+        assert "Join" not in t
+
+    def test_weighted_median_bucketed(self, spark):
+        t = tree(spark, "weighted_median_price")
+        assert t.count("Scan parquet") == 0  # checkpointed weights
+        assert "CartesianProduct" not in t and "SortMergeJoin" not in t

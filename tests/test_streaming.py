@@ -468,3 +468,19 @@ def test_stream_psi_histogram_matches_batch(spark):
         for r in queries["psi_drift"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_stream_hourly_profile_matches_batch(spark):
+    from ai_etl_studio_spark.operators import load_all
+    from ai_etl_studio_spark.streaming.windows import run_stream_hourly_profile
+
+    queries, _ = load_all()
+    got = {
+        (r.event_type, r.hr): r.n
+        for r in run_stream_hourly_profile(spark, SF_DIR, "t_hourly").collect()
+    }
+    want = {
+        (r.event_type, r.hr): r.n
+        for r in queries["hourly_seasonality_profile"](spark, SF_DIR).collect()
+    }
+    assert got == want
