@@ -1457,3 +1457,292 @@ def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language
+# ---------------------------------------------------------------------------
+
+@register(
+    "tokenizer_fertility",
+    oracle=rf"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+               AS n_ws,
+             CAST(len(regexp_extract_all(text,
+               '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(round(CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_ws) AS DOUBLE)
+             * 1000000, 0) AS BIGINT) AS fertility_micro
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word — the cost-per-language planning number (a
+    language at fertility 2.5 pays 2.5× the context budget of one at
+    1.1, which skews both training mix and serving cost).
+
+    Scale: two per-row codegen'd tokenizations (shared regexes with
+    text_tokens / token_count_bpe), one |langs|-row rollup with exact
+    integer token sums; the ratio is one mirrored division in
+    microticks.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    t = d.select(
+        "lang",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("n_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_bpe"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double")
+                / F.sum("n_ws").cast("double")
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("fertility_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window fit profile
+# ---------------------------------------------------------------------------
+
+#: Context windows (in BPE-ish tokens) the packing planner cares about.
+_CTX_WINDOWS = [128, 512, 2048, 8192]
+
+
+def _ctx_fit_oracle() -> str:
+    fits = ", ".join(
+        f"CAST(SUM(CASE WHEN n_bpe <= {w} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS docs_fit_{w}" for w in _CTX_WINDOWS
+    )
+    tok_fits = ", ".join(
+        f"CAST(SUM(CASE WHEN n_bpe <= {w} THEN n_bpe ELSE 0 END) AS BIGINT)"
+        f" AS tokens_fit_{w}" for w in _CTX_WINDOWS
+    )
+    return rf"""
+    WITH t AS (
+      SELECT CAST(len(regexp_extract_all(text,
+               '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe
+      FROM documents WHERE text IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_tokens,
+           {fits}, {tok_fits}
+    FROM t
+    """
+
+
+@register("context_window_fit", oracle=_ctx_fit_oracle())
+def context_window_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fit profile: for each candidate window size, how
+    many documents (and how many of the corpus' tokens) fit without
+    truncation — the sequence-packing planning table that decides the
+    training context length and predicts truncation loss.
+
+    Scale: one per-row BPE count, ONE fused aggregate computing every
+    window's doc/token tallies as conditional sums — the 100 TB cost
+    is a single scan regardless of how many windows are probed.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = d.select(
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_bpe")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("total_tokens"),
+    ]
+    for w in _CTX_WINDOWS:
+        aggs.append(
+            F.sum(F.when(F.col("n_bpe") <= w, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"docs_fit_{w}")
+        )
+    for w in _CTX_WINDOWS:
+        aggs.append(
+            F.sum(F.when(F.col("n_bpe") <= w, F.col("n_bpe")).otherwise(0))
+            .cast("bigint")
+            .alias(f"tokens_fit_{w}")
+        )
+    return t.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# PII exposure rate per source
+# ---------------------------------------------------------------------------
+
+#: Conservative cross-engine-identical PII patterns (no lookarounds).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+@register(
+    "pii_rate_by_source",
+    oracle=rf"""
+    WITH p AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_email,
+             CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phone
+      FROM documents WHERE text IS NOT NULL)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS email_hits,
+           CAST(SUM(n_phone) AS BIGINT) AS phone_hits,
+           CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_with_pii,
+           CAST(round(
+             CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000000, 0)
+             AS BIGINT) AS pii_doc_ticks
+    FROM p GROUP BY source ORDER BY source
+    """,
+)
+def pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure per crawl source: email / phone pattern hits and
+    the share of documents carrying any — the triage table that ranks
+    sources by redaction burden BEFORE running pii_redact over the
+    full corpus.
+
+    Scale: two per-row codegen'd regexp_extract_all counts (patterns
+    chosen lookaround-free so Spark's and DuckDB's regex engines agree
+    token-for-token), one |sources|-row rollup.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    p = d.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), 0))
+        .cast("bigint")
+        .alias("n_phone"),
+    )
+    has = F.sum(
+        F.when(F.col("n_email") + F.col("n_phone") > 0, 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        p.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("email_hits"),
+            F.sum("n_phone").cast("bigint").alias("phone_hits"),
+            has.alias("docs_with_pii"),
+            F.round(
+                has.cast("double") / F.count(F.lit(1)).cast("double") * 1_000_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("pii_doc_ticks"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-row dataset card
+# ---------------------------------------------------------------------------
+
+@register(
+    "dataset_card_summary",
+    oracle=r"""
+    WITH p AS (
+      SELECT lang, source, text,
+             CASE WHEN text IS NOT NULL
+               THEN CAST(len(string_split_regex(lower(text), '\s+'))
+                 AS BIGINT) END AS n_ws,
+             CASE WHEN text IS NOT NULL
+               THEN CAST(length(text) AS BIGINT) END AS n_chars,
+             CASE WHEN text IS NOT NULL
+               THEN md5(array_to_string(
+                 string_split_regex(lower(trim(text)), '\s+'), ' ')) END
+               AS fp
+      FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(text) AS BIGINT) AS n_with_text,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS en_docs,
+           CAST(COUNT(text) - COUNT(DISTINCT fp) AS BIGINT) AS exact_dup_docs,
+           CAST(round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000000, 0)
+             AS BIGINT) AS en_share_ticks,
+           CAST(round(CAST(SUM(n_chars) AS DOUBLE)
+             / CAST(COUNT(text) AS DOUBLE) * 1000000, 0) AS BIGINT)
+             AS mean_chars_micro
+    FROM p
+    """,
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card for the documents corpus: doc / language /
+    source counts, token and character volume, English share, exact-
+    duplicate count, mean length — the header block of a HuggingFace-
+    style dataset card, computed in ONE pass.
+
+    Scale: every statistic — including the duplicate count, via
+    count(text) − count(DISTINCT fingerprint) — fuses into a single
+    aggregation over one scan; the two COUNT(DISTINCT) terms are the
+    expensive parts at 100 TB (swap to approx_count_distinct with a
+    documented tolerance, or pre-bucket the fingerprint space).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    has_text = F.col("text").isNotNull()
+    norm = F.concat_ws(" ", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    p = d.select(
+        "lang",
+        "source",
+        "text",
+        F.when(has_text, F.size(F.split(F.lower("text"), r"\s+")).cast("bigint")).alias(
+            "n_ws"
+        ),
+        F.when(has_text, F.length("text").cast("bigint")).alias("n_chars"),
+        F.when(has_text, F.md5(norm)).alias("fp"),
+    )
+    en = F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint")
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count("text").cast("bigint").alias("n_with_text"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_ws").cast("bigint").alias("total_ws_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        en.alias("en_docs"),
+        (F.count("text") - F.countDistinct("fp")).cast("bigint").alias(
+            "exact_dup_docs"
+        ),
+        F.round(
+            en.cast("double") / F.count(F.lit(1)).cast("double") * 1_000_000_000, 0
+        )
+        .cast("bigint")
+        .alias("en_share_ticks"),
+        F.round(
+            F.sum("n_chars").cast("double")
+            / F.count("text").cast("double")
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("mean_chars_micro"),
+    )

@@ -205,6 +205,10 @@ HEADLINE = [
     "dedup_containment_pairs",
     "priority_mix_shift_monthly",
     "weighted_median_price",
+    "tokenizer_fertility",
+    "context_window_fit",
+    "pii_rate_by_source",
+    "dataset_card_summary",
 ]
 
 

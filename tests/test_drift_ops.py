@@ -940,3 +940,90 @@ def test_weighted_median_price_replay(spark):
                 break
         # the weighted median is bracketed by the plain min/max
         assert pairs[0][0] <= r.median_cents <= pairs[-1][0]
+
+
+def test_tokenizer_fertility_replay(spark):
+    import re
+
+    rows = QUERIES["tokenizer_fertility"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    pat = re.compile(
+        r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+    )
+    agg = defaultdict(lambda: [0, 0, 0])
+    for d in docs:
+        if d.text is None or d.lang is None:
+            continue
+        s = agg[d.lang]
+        s[0] += 1
+        s[1] += len(re.split(r"\s+", d.text.lower()))
+        s[2] += len(pat.findall(d.text))
+    got = {r.lang: (r.n_docs, r.ws_tokens, r.bpe_tokens) for r in rows}
+    assert got == {l: tuple(v) for l, v in agg.items()}
+    for r in rows:
+        assert r.fertility_micro == round(r.bpe_tokens / r.ws_tokens * 1e6)
+        assert r.fertility_micro > 0
+
+
+def test_context_window_fit_replay(spark):
+    import re
+
+    [r] = QUERIES["context_window_fit"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    pat = re.compile(
+        r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+    )
+    counts = [len(pat.findall(d.text)) for d in docs if d.text is not None]
+    assert (r.n_docs, r.total_tokens) == (len(counts), sum(counts))
+    prev_docs = -1
+    for w in (128, 512, 2048, 8192):
+        docs_fit = sum(c <= w for c in counts)
+        toks_fit = sum(c for c in counts if c <= w)
+        assert getattr(r, f"docs_fit_{w}") == docs_fit
+        assert getattr(r, f"tokens_fit_{w}") == toks_fit
+        assert docs_fit >= prev_docs  # monotone in window size
+        prev_docs = docs_fit
+
+
+def test_pii_rate_by_source_replay(spark):
+    import re
+
+    rows = QUERIES["pii_rate_by_source"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    phone = re.compile(r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}")
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for d in docs:
+        if d.text is None:
+            continue
+        s = agg[d.source]
+        ne, np_ = len(email.findall(d.text)), len(phone.findall(d.text))
+        s[0] += 1
+        s[1] += ne
+        s[2] += np_
+        s[3] += (ne + np_) > 0
+    got = {
+        r.source: (r.n_docs, r.email_hits, r.phone_hits, r.docs_with_pii)
+        for r in rows
+    }
+    assert got == {s: tuple(v) for s, v in agg.items()}
+
+
+def test_dataset_card_summary_replay(spark):
+    import re
+
+    [r] = QUERIES["dataset_card_summary"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    with_text = [d for d in docs if d.text is not None]
+    fps = {
+        " ".join(re.split(r"\s+", d.text.lower().strip())) for d in with_text
+    }
+    assert r.n_docs == len(docs)
+    assert r.n_with_text == len(with_text)
+    assert r.n_langs == len({d.lang for d in docs if d.lang is not None})
+    assert r.n_sources == len({d.source for d in docs if d.source is not None})
+    assert r.total_chars == sum(len(d.text) for d in with_text)
+    assert r.exact_dup_docs == len(with_text) - len(fps)
+    en = sum(d.lang == "en" for d in docs)
+    assert r.en_docs == en
+    assert r.en_share_ticks == round(en / len(docs) * 1e9)

@@ -1039,3 +1039,15 @@ class TestDriftPlans:
         t = tree(spark, "weighted_median_price")
         assert t.count("Scan parquet") == 0  # checkpointed weights
         assert "CartesianProduct" not in t and "SortMergeJoin" not in t
+
+    def test_llm_planning_ops_single_pass(self, spark):
+        for name in (
+            "tokenizer_fertility",
+            "context_window_fit",
+            "pii_rate_by_source",
+            "dataset_card_summary",
+        ):
+            t = tree(spark, name)
+            assert t.count("Scan parquet") == 1, name
+            assert "Join" not in t, name
+            assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t, name
