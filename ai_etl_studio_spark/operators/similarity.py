@@ -1555,3 +1555,102 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift between deterministic cohorts
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH e AS (
+      SELECT label, vec_id % 2 AS half,
+             unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    s AS (
+      SELECT label, half, dim,
+             CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+               AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY label, half, dim),
+    j AS (
+      SELECT a.label, a.dim, a.n AS n_a, b.n AS n_b,
+             CAST(round(
+               (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+               * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                  - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)), 0)
+               AS BIGINT) AS term
+      FROM s a JOIN s b
+        ON a.label = b.label AND a.dim = b.dim
+        AND a.half = 0 AND b.half = 1)
+    SELECT label, CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(SUM(term) AS BIGINT) AS dist2_micro2,
+           CAST(round(sqrt(CAST(SUM(term) AS DOUBLE)), 0) AS BIGINT)
+             AS l2_shift_micro
+    FROM j GROUP BY label ORDER BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid shift between two deterministic cohorts of
+    the embedding corpus (even vs odd vec_id — the stand-in for
+    old-batch vs new-batch): the L2 distance between cohort centroids
+    in integer micro-units — the embedding-space drift gate run when a
+    new encoder version or crawl lands.
+
+    Scale: vectors explode to (label, half, dim) micro-unit sums —
+    exact int64, order-free — so each cohort centroid is a pair of
+    integers (sum, count) per dimension; the per-dim squared gap is
+    quantized BEFORE the per-label reduction. Nothing wider than
+    |labels|×|dims| ever shuffles; vectors themselves never do.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "label",
+        "half",
+        (F.col("dim0") + 1).alias("dim"),  # 1-based like generate_subscripts
+        F.round(F.col("x").cast("double") * 1_000_000, 0).cast("bigint").alias("micro"),
+    )
+    s = (
+        e.groupBy("label", "half", "dim")
+        .agg(
+            F.sum("micro").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .localCheckpoint()  # |labels|×2×|dims| rows; 2 consumers (halves)
+    )
+    a = s.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("s").alias("s_a"), F.col("n").alias("n_a")
+    )
+    b = s.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("s").alias("s_b"), F.col("n").alias("n_b")
+    )
+    diff = (
+        F.col("s_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    )
+    j = a.join(b, ["label", "dim"]).select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(diff * diff, 0).cast("bigint").alias("term"),
+    )
+    return (
+        j.groupBy("label")
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.sum("term").cast("bigint").alias("dist2_micro2"),
+            F.round(F.sqrt(F.sum("term").cast("double")), 0)
+            .cast("bigint")
+            .alias("l2_shift_micro"),
+        )
+        .orderBy("label")
+    )

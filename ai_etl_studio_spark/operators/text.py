@@ -1746,3 +1746,141 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_chars_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test leakage audit over the hash split
+# ---------------------------------------------------------------------------
+
+@register(
+    "split_leakage_audit",
+    oracle=r"""
+    WITH s AS (
+      SELECT md5(array_to_string(
+               string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fp,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('split:',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 80
+                  THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(concat('split:',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90
+                  THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT fp,
+             CAST(MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS in_train,
+             CAST(MAX(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS in_eval,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM s GROUP BY fp)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(CASE WHEN in_train = 1 AND in_eval = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS leaked_fingerprints,
+           CAST(SUM(CASE WHEN in_train = 1 AND in_eval = 1 THEN n_copies
+             ELSE 0 END) AS BIGINT) AS leaked_docs,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_fingerprints
+    FROM g
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit over the SAME md5 hash split
+    dataset_split produces: fingerprints whose copies land on both
+    sides of the train boundary — the contamination that silently
+    inflates eval scores, because a random doc-level split leaks every
+    duplicated document.
+
+    Scale: one scan projects (fingerprint, split) per row; ONE
+    fingerprint-keyed aggregation computes side membership with max
+    flags; the verdict is a 1-row rollup. The leak count is exactly
+    why dedup must precede splitting — this operator quantifies the
+    damage of skipping it.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = F.concat_ws(" ", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+    )
+    s = d.select(F.md5(norm).alias("fp"), split.alias("split"))
+    g = s.groupBy("fp").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("in_train"),
+        F.max(F.when(F.col("split") != "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("in_eval"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+    leaked = (F.col("in_train") == 1) & (F.col("in_eval") == 1)
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.sum(F.when(leaked, 1).otherwise(0)).cast("bigint").alias(
+            "leaked_fingerprints"
+        ),
+        F.sum(F.when(leaked, F.col("n_copies")).otherwise(0))
+        .cast("bigint")
+        .alias("leaked_docs"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dup_fingerprints"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-frequency class-balance weights
+# ---------------------------------------------------------------------------
+
+@register(
+    "class_balance_weights",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM c)
+    SELECT c.lang, c.n, t.total,
+           CAST(round(CAST(t.total AS DOUBLE)
+             / (CAST(t.k AS DOUBLE) * CAST(c.n AS DOUBLE))
+             * 1000000, 0) AS BIGINT) AS weight_micro
+    FROM c, t ORDER BY c.lang
+    """,
+)
+def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency sampling weights per language (sklearn's
+    'balanced' formula N/(k·n_c)) — the per-class multipliers that
+    rebalance a skewed corpus at sampling time; weight·n_c is constant
+    across classes by construction.
+
+    Scale: one map-side-combinable count to |langs| rows, a 1-row
+    totals frame broadcast back, one mirrored division in microticks.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    w = F.round(
+        F.col("total").cast("double")
+        / (F.col("k").cast("double") * F.col("n").cast("double"))
+        * 1_000_000,
+        0,
+    ).cast("bigint")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select("lang", "n", "total", w.alias("weight_micro"))
+        .orderBy("lang")
+    )

@@ -209,6 +209,9 @@ HEADLINE = [
     "context_window_fit",
     "pii_rate_by_source",
     "dataset_card_summary",
+    "split_leakage_audit",
+    "class_balance_weights",
+    "embedding_centroid_drift",
 ]
 
 

@@ -1027,3 +1027,66 @@ def test_dataset_card_summary_replay(spark):
     en = sum(d.lang == "en" for d in docs)
     assert r.en_docs == en
     assert r.en_share_ticks == round(en / len(docs) * 1e9)
+
+
+def test_split_leakage_audit_replay(spark):
+    import hashlib
+    import re
+
+    [r] = QUERIES["split_leakage_audit"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    groups = defaultdict(lambda: [0, 0, 0])  # in_train, in_eval, copies
+    for d in docs:
+        if d.text is None:
+            continue
+        fp = " ".join(re.split(r"\s+", d.text.lower().strip()))
+        b = int(hashlib.md5(f"split:{d.doc_id}".encode()).hexdigest()[:8], 16) % 100
+        g = groups[fp]
+        if b < 80:
+            g[0] = 1
+        else:
+            g[1] = 1
+        g[2] += 1
+    leaked = [g for g in groups.values() if g[0] and g[1]]
+    assert r.n_fingerprints == len(groups)
+    assert r.leaked_fingerprints == len(leaked)
+    assert r.leaked_docs == sum(g[2] for g in leaked)
+    assert r.dup_fingerprints == sum(1 for g in groups.values() if g[2] > 1)
+    # a leak requires a duplicate: leaked ⊆ dup
+    assert r.leaked_fingerprints <= r.dup_fingerprints
+
+
+def test_class_balance_weights_replay(spark):
+    rows = QUERIES["class_balance_weights"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    cnt = Counter(d.lang for d in docs if d.lang is not None)
+    total, k = sum(cnt.values()), len(cnt)
+    got = {r.lang: (r.n, r.total, r.weight_micro) for r in rows}
+    assert got == {
+        l: (n, total, round(total / (k * n) * 1e6)) for l, n in cnt.items()
+    }
+    # weight·n_c ≈ constant N/k
+    for r in rows:
+        assert r.weight_micro * r.n == pytest.approx(total / k * 1e6, rel=1e-3)
+
+
+def test_embedding_centroid_drift_replay(spark):
+    import numpy as np
+
+    rows = QUERIES["embedding_centroid_drift"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    by = defaultdict(lambda: ([], []))
+    for e in emb:
+        micro = [round(float(x) * 1e6) for x in e.embedding]
+        by[e.label][e.vec_id % 2].append(micro)
+    for r in rows:
+        a, b = by[r.label]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        ca = np.array(a, dtype=float).sum(axis=0)
+        cb = np.array(b, dtype=float).sum(axis=0)
+        diffs = ca / len(a) - cb / len(b)
+        terms = [round(d * d) for d in diffs]
+        assert r.dist2_micro2 == pytest.approx(sum(terms), abs=len(terms))
+        assert r.l2_shift_micro == pytest.approx(
+            round(math.sqrt(sum(terms))), abs=1
+        )

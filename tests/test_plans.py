@@ -1051,3 +1051,16 @@ class TestDriftPlans:
             assert t.count("Scan parquet") == 1, name
             assert "Join" not in t, name
             assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t, name
+
+    def test_leakage_and_weights_single_pass(self, spark):
+        for name in ("split_leakage_audit", "class_balance_weights"):
+            t = tree(spark, name)
+            assert t.count("Scan parquet") == 1, name
+
+    def test_centroid_drift_no_vector_shuffle(self, spark):
+        # vectors explode to per-dim integer sums (checkpointed for
+        # the two cohort consumers) before any join
+        t = tree(spark, "embedding_centroid_drift")
+        assert t.count("Scan parquet") == 0
+        assert "CartesianProduct" not in t
+        assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
