@@ -3780,3 +3780,133 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+#: Inactivity gaps (minutes) probed by the sessionization advisor.
+_SESSION_GAPS_MIN = [5, 15, 30, 60]
+
+
+def _session_sensitivity_oracle() -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > {m * 60_000_000}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS s_{m}" for m in _SESSION_GAPS_MIN
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {m} AS gap_minutes, s_{m} AS n_sessions FROM t"
+        for m in _SESSION_GAPS_MIN
+    )
+    return f"""
+    WITH g AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    t AS (SELECT {sums} FROM g)
+    SELECT gap_minutes, n_sessions FROM ({rows}) u ORDER BY gap_minutes
+    """
+
+
+@register("session_timeout_sensitivity", oracle=_session_sensitivity_oracle())
+def session_timeout_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization-timeout sensitivity: total session count at 5 /
+    15 / 30 / 60-minute inactivity gaps, from ONE window pass — the
+    elbow chart that justifies (or indicts) the 30-minute default
+    sessionize uses, paired with interevent_gap_histogram's evidence.
+
+    Scale: one user-partitioned lag window (the same shuffle
+    sessionize pays), then every candidate timeout is a conditional
+    sum in a single fused aggregate — probing 4 timeouts costs exactly
+    one pass, not four sessionization runs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select("user_id", "ts", "event_id").withColumn(
+        "prev_ts", F.lag("ts").over(w)
+    )
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    aggs = [
+        F.sum(
+            F.when(
+                F.col("prev_ts").isNull() | (gap_us > m * 60_000_000), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"s_{m}")
+        for m in _SESSION_GAPS_MIN
+    ]
+    t = g.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(m).alias("gap_minutes"), F.col(f"s_{m}").alias("n_sessions")
+        )
+        for m in _SESSION_GAPS_MIN
+    ]
+    return (
+        t.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("gap_minutes")
+    )
+
+
+@register(
+    "order_fill_rate",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_final
+      FROM lineitem GROUP BY l_orderkey),
+    j AS (
+      SELECT date_trunc('month', o.o_orderdate) AS month,
+             lo.n_lines, lo.n_final
+      FROM orders o JOIN lo ON o.o_orderkey = lo.l_orderkey)
+    SELECT CAST(month AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN n_final = n_lines THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fully_final,
+           CAST(round(
+             CAST(SUM(CASE WHEN n_final = n_lines THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000000, 0)
+             AS BIGINT) AS fill_rate_ticks
+    FROM j GROUP BY 1 ORDER BY month
+    """,
+)
+def order_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order fill completeness by month: the share of orders whose
+    EVERY line has reached final status — the fulfillment-completeness
+    trend behind "are multi-line orders getting stuck partially
+    shipped".
+
+    Scale: lineitem reduces to (lines, finals) per order BEFORE the
+    fact-fact join (one row per order each side, key-on-key,
+    hint-free), then a calendar-bounded monthly rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lo = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_final"),
+    )
+    j = o.join(lo, o["o_orderkey"] == lo["l_orderkey"]).select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        "n_lines",
+        "n_final",
+    )
+    full = F.sum(
+        F.when(F.col("n_final") == F.col("n_lines"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        j.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            full.alias("n_fully_final"),
+            F.round(
+                full.cast("double") / F.count(F.lit(1)).cast("double") * 1_000_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("fill_rate_ticks"),
+        )
+        .orderBy("month")
+    )

@@ -1070,3 +1070,70 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id_1", "doc_id_2")
     )
+
+
+#: (bands, rows-per-band) layouts probed by the LSH tuning curve.
+_LSH_LAYOUTS = [(32, 4), (16, 8), (8, 16), (64, 2)]
+#: Jaccard similarity grid (percent points).
+_LSH_SIM_GRID = [10, 30, 50, 60, 70, 80, 90, 95]
+
+
+def _lsh_tuning_oracle() -> str:
+    layouts = " UNION ALL ".join(
+        f"SELECT {b} AS bands, {r} AS rows_per_band" for b, r in _LSH_LAYOUTS
+    )
+    sims = ", ".join(str(s) for s in _LSH_SIM_GRID)
+    return f"""
+    WITH l AS ({layouts}),
+    s AS (SELECT unnest([{sims}]) AS sim_pct),
+    g AS (SELECT l.bands, l.rows_per_band, s.sim_pct FROM l, s)
+    SELECT bands, rows_per_band, sim_pct,
+           CAST(round((1 - pow(1 - pow(CAST(sim_pct AS DOUBLE) / 100,
+             CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)))
+             * 1000000, 0) AS BIGINT) AS p_candidate_micro
+    FROM g ORDER BY bands, rows_per_band, sim_pct
+    """
+
+
+@register("lsh_tuning_curve", oracle=_lsh_tuning_oracle())
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH S-curve table: candidate probability
+    1−(1−s^r)^b for every (bands, rows-per-band) layout × similarity
+    grid point — the tuning sheet that picks the banding before a
+    100 TB dedup run (steepness at the target threshold = precision/
+    recall tradeoff).
+
+    Scale: no data touched — the grid materializes from literal
+    spines; it's registered so the advisor travels with the engine and
+    its arithmetic is pinned cross-engine (pow/round mirrored).
+    """
+    layouts = [
+        (F.lit(b).alias("bands"), F.lit(r).alias("rows_per_band"))
+        for b, r in _LSH_LAYOUTS
+    ]
+    rows = [spark.range(1).select(*cols) for cols in layouts]
+    l = rows[0]
+    for fr in rows[1:]:
+        l = l.unionByName(fr)
+    g = l.select(
+        "bands",
+        "rows_per_band",
+        F.explode(F.array(*[F.lit(s) for s in _LSH_SIM_GRID])).alias("sim_pct"),
+    )
+    p = (
+        F.lit(1)
+        - F.pow(
+            F.lit(1)
+            - F.pow(
+                F.col("sim_pct").cast("double") / 100,
+                F.col("rows_per_band").cast("double"),
+            ),
+            F.col("bands").cast("double"),
+        )
+    )
+    return g.select(
+        "bands",
+        "rows_per_band",
+        "sim_pct",
+        F.round(p * 1_000_000, 0).cast("bigint").alias("p_candidate_micro"),
+    ).orderBy("bands", "rows_per_band", "sim_pct")

@@ -1919,3 +1919,59 @@ def event_value_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B assignment sample-ratio-mismatch check
+# ---------------------------------------------------------------------------
+
+@register(
+    "ab_srm_check",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM (SELECT DISTINCT user_id FROM events) u)
+    SELECT n_a, n_b,
+           CAST(round(
+             CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE) * 1000000, 0) AS BIGINT)
+             AS chi2_micro,
+           CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE) > 3.841 THEN 1 ELSE 0 END
+             AS srm_flag
+    FROM a
+    """,
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for the user_id%2 A/B assignment
+    ab_test_ztest relies on: a 1-df chi-square of the 50/50 split
+    ((n_a−n_b)²/(n_a+n_b) against the 3.841 critical value) — the
+    FIRST check an experiment readout must pass, because a skewed
+    assignment invalidates the z-test before it runs.
+
+    Scale: distinct users reduce in one pass, the two arm counts are
+    conditional sums in one aggregate, and the statistic is a 1-row
+    mirrored expression in microticks.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.select("user_id").distinct()
+    a = u.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    chi2 = ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast(
+        "double"
+    ) / (F.col("n_a") + F.col("n_b")).cast("double")
+    return a.select(
+        "n_a",
+        "n_b",
+        F.round(chi2 * 1_000_000, 0).cast("bigint").alias("chi2_micro"),
+        F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_flag"),
+    )

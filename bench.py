@@ -212,6 +212,10 @@ HEADLINE = [
     "split_leakage_audit",
     "class_balance_weights",
     "embedding_centroid_drift",
+    "lsh_tuning_curve",
+    "session_timeout_sensitivity",
+    "ab_srm_check",
+    "order_fill_rate",
 ]
 
 

@@ -1090,3 +1090,78 @@ def test_embedding_centroid_drift_replay(spark):
         assert r.l2_shift_micro == pytest.approx(
             round(math.sqrt(sum(terms))), abs=1
         )
+
+
+def test_lsh_tuning_curve_properties(spark):
+    rows = QUERIES["lsh_tuning_curve"](spark, SF_DIR).collect()
+    assert len(rows) == 4 * 8
+    by_layout = defaultdict(list)
+    for r in rows:
+        # replay the S-curve formula
+        s = r.sim_pct / 100
+        p = 1 - (1 - s**r.rows_per_band) ** r.bands
+        assert r.p_candidate_micro == round(p * 1e6)
+        by_layout[(r.bands, r.rows_per_band)].append((r.sim_pct, r.p_candidate_micro))
+    for layout, pts in by_layout.items():
+        probs = [p for _s, p in sorted(pts)]
+        assert probs == sorted(probs), layout  # monotone in similarity
+        assert probs[-1] > 990_000  # near-certain at s=0.95
+
+
+def test_session_timeout_sensitivity_replay(spark):
+    rows = QUERIES["session_timeout_sensitivity"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e.user_id].append((e.ts, e.event_id))
+    want = {}
+    for m in (5, 15, 30, 60):
+        n = 0
+        for seq in per_user.values():
+            seq.sort()
+            prev = None
+            for ts, _eid in seq:
+                if prev is None or (ts - prev).total_seconds() * 1e6 > m * 60e6:
+                    n += 1
+                prev = ts
+        want[m] = n
+    got = {r.gap_minutes: r.n_sessions for r in rows}
+    assert got == want
+    # session count is non-increasing in the timeout
+    seq = [got[m] for m in (5, 15, 30, 60)]
+    assert seq == sorted(seq, reverse=True)
+
+
+def test_ab_srm_check_replay(spark):
+    [r] = QUERIES["ab_srm_check"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    users = {e.user_id for e in ev}
+    n_a = sum(1 for u in users if u % 2 == 0)
+    n_b = len(users) - n_a
+    assert (r.n_a, r.n_b) == (n_a, n_b)
+    chi2 = (n_a - n_b) ** 2 / (n_a + n_b)
+    assert r.chi2_micro == round(chi2 * 1e6)
+    assert r.srm_flag == (1 if chi2 > 3.841 else 0)
+
+
+def test_order_fill_rate_replay(spark):
+    rows = QUERIES["order_fill_rate"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    per_order = defaultdict(lambda: [0, 0])
+    for l in li:
+        s = per_order[l.l_orderkey]
+        s[0] += 1
+        s[1] += l.l_linestatus == "F"
+    agg = defaultdict(lambda: [0, 0])
+    for o in orders:
+        if o.o_orderkey not in per_order:
+            continue
+        n_lines, n_final = per_order[o.o_orderkey]
+        s = agg[o.o_orderdate.date().replace(day=1)]
+        s[0] += 1
+        s[1] += n_final == n_lines
+    got = {r.month: (r.n_orders, r.n_fully_final) for r in rows}
+    assert got == {m: tuple(v) for m, v in agg.items()}
+    for r in rows:
+        assert r.fill_rate_ticks == round(r.n_fully_final / r.n_orders * 1e9)

@@ -1064,3 +1064,17 @@ class TestDriftPlans:
         assert t.count("Scan parquet") == 0
         assert "CartesianProduct" not in t
         assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+
+    def test_session_sensitivity_one_window_pass(self, spark):
+        # 4 timeouts = 4 conditional sums over ONE lag window
+        t = tree(spark, "session_timeout_sensitivity")
+        assert t.count("Scan parquet") == 1
+        assert t.count("Window") == 1
+        assert "Join" not in t
+
+    def test_srm_and_fill_rate_shapes(self, spark):
+        t = tree(spark, "ab_srm_check")
+        assert t.count("Scan parquet") == 1 and "Join" not in t
+        t = tree(spark, "order_fill_rate")
+        assert t.count("Scan parquet") == 2
+        assert "CartesianProduct" not in t
