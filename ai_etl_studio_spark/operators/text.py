@@ -1884,3 +1884,181 @@ def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n", "total", w.alias("weight_micro"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-LM perplexity ranking per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "perplexity_by_source",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents),
+    vocab AS (SELECT term, COUNT(*) AS tc FROM toks GROUP BY term),
+    tot AS (SELECT SUM(tc) AS total_tokens FROM vocab),
+    vticks AS (
+      SELECT term,
+             CAST(round(ln(CAST(total_tokens AS DOUBLE) / tc) * 1000000000, 0)
+               AS BIGINT) AS ticks
+      FROM vocab, tot)
+    SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(v.ticks) AS BIGINT) AS sum_surprisal_ticks,
+           CAST(round(CAST(SUM(v.ticks) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)
+             AS avg_surprisal_ticks
+    FROM toks t JOIN vticks v ON t.term = v.term
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average unigram surprisal (log-perplexity) per source under the
+    corpus's own language model — perplexity filtering at the feed
+    level: a source whose text is far more "surprising" than the
+    corpus average is usually spam, boilerplate, or the wrong
+    language, and gets down-weighted before training.
+
+    Scale: the vocabulary reduces once (token-keyed, map-side
+    combine), surprisal ticks are quantized per TERM before any sum,
+    and the token⋈vocabulary join is key-on-key and hint-free (the
+    vocabulary is corpus-dependent — AQE broadcasts it while it fits,
+    shuffles when it doesn't; cf. unigram_surprisal's per-doc form).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    tot = vocab.agg(F.sum("tc").alias("total_tokens"))
+    vticks = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log(F.col("total_tokens").cast("double") / F.col("tc"))
+            * 1_000_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("ticks"),
+    )
+    return (
+        toks.join(vticks, "term")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("ticks").cast("bigint").alias("sum_surprisal_ticks"),
+            F.round(
+                F.sum("ticks").cast("double") / F.count(F.lit(1)).cast("double"), 0
+            )
+            .cast("bigint")
+            .alias("avg_surprisal_ticks"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KL divergence of each source's length distribution from the corpus
+# ---------------------------------------------------------------------------
+
+@register(
+    "kl_divergence_by_source",
+    oracle="""
+    WITH b AS (
+      SELECT source, CAST(n_chars // 50 AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, bin),
+    t AS (
+      SELECT source, bin, n,
+             CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS src_tot,
+             CAST(SUM(n) OVER (PARTITION BY bin) AS BIGINT) AS bin_tot,
+             CAST(SUM(n) OVER () AS BIGINT) AS corpus_tot
+      FROM b)
+    SELECT source, CAST(MAX(src_tot) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(round(
+             (CAST(n AS DOUBLE) / CAST(src_tot AS DOUBLE))
+             * ln((CAST(n AS DOUBLE) / CAST(src_tot AS DOUBLE))
+                  / (CAST(bin_tot AS DOUBLE) / CAST(corpus_tot AS DOUBLE)))
+             * 1000000000, 0) AS BIGINT)) AS BIGINT) AS kl_ticks
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's document-length distribution
+    from the corpus-wide distribution — the "which feed looks least
+    like the rest" ranking that complements psi_drift's two-sided
+    gate (KL is per-source, directional, and zero only for a source
+    shaped exactly like the corpus).
+
+    Scale: documents reduce to |sources|×|bins| cells once; all three
+    marginals are windows over that tiny table, and each p·ln(p/q)
+    term is quantized to nanoticks before the per-source int64 sum.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = d.groupBy(
+        "source", (F.col("n_chars") / 50).cast("bigint").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t = b.select(
+        "source",
+        "n",
+        F.sum("n").over(Window.partitionBy("source")).cast("bigint").alias("src_tot"),
+        F.sum("n").over(Window.partitionBy("bin")).cast("bigint").alias("bin_tot"),
+        F.sum("n").over(w_all).cast("bigint").alias("corpus_tot"),
+    )
+    p = F.col("n").cast("double") / F.col("src_tot").cast("double")
+    q = F.col("bin_tot").cast("double") / F.col("corpus_tot").cast("double")
+    term = F.round(p * F.log(p / q) * 1_000_000_000, 0).cast("bigint")
+    return (
+        t.withColumn("term_ticks", term)
+        .groupBy("source")
+        .agg(
+            F.max("src_tot").cast("bigint").alias("n_docs"),
+            F.sum("term_ticks").cast("bigint").alias("kl_ticks"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-duplicate cluster-size histogram
+# ---------------------------------------------------------------------------
+
+@register(
+    "dup_cluster_histogram",
+    oracle=r"""
+    WITH fp AS (
+      SELECT md5(array_to_string(
+               string_split_regex(lower(trim(text)), '\s+'), ' ')) AS f,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE text IS NOT NULL GROUP BY f)
+    SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n) AS BIGINT) AS n_docs
+    FROM fp GROUP BY log2_bucket ORDER BY log2_bucket
+    """,
+)
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram (log2 buckets): how many
+    fingerprint groups are singletons vs 2-3-copy vs mass-duplicated —
+    the shape that decides dedup strategy (a fat head of mega-clusters
+    wants the capped machinery; a long tail of pairs doesn't).
+
+    Scale: one fingerprint-keyed count, then a ~16-row histogram with
+    binary-length buckets (integer-exact log2).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = F.concat_ws(" ", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    fp = d.select(F.md5(norm).alias("f")).groupBy("f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        fp.groupBy(
+            (F.length(F.bin("n")) - 1).cast("bigint").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("n").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("log2_bucket")
+    )

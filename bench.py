@@ -216,6 +216,9 @@ HEADLINE = [
     "session_timeout_sensitivity",
     "ab_srm_check",
     "order_fill_rate",
+    "perplexity_by_source",
+    "kl_divergence_by_source",
+    "dup_cluster_histogram",
 ]
 
 

@@ -1165,3 +1165,77 @@ def test_order_fill_rate_replay(spark):
     assert got == {m: tuple(v) for m, v in agg.items()}
     for r in rows:
         assert r.fill_rate_ticks == round(r.n_fully_final / r.n_orders * 1e9)
+
+
+def test_perplexity_by_source_replay(spark):
+    import re
+
+    rows = QUERIES["perplexity_by_source"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    toks = []
+    for d in docs:
+        if d.text is not None:
+            toks += [(d.source, t) for t in re.split(r"\s+", d.text.lower())]
+    vocab = Counter(t for _s, t in toks)
+    total = sum(vocab.values())
+    ticks = {t: round(math.log(total / c) * 1e9) for t, c in vocab.items()}
+    agg = defaultdict(lambda: [0, 0])
+    for s, t in toks:
+        agg[s][0] += 1
+        agg[s][1] += ticks[t]
+    got = {r.source: (r.n_tokens, r.sum_surprisal_ticks) for r in rows}
+    assert got == {s: tuple(v) for s, v in agg.items()}
+    for r in rows:
+        # HALF_UP like the engines (Python round() is banker's)
+        assert r.avg_surprisal_ticks == math.floor(
+            r.sum_surprisal_ticks / r.n_tokens + 0.5
+        )
+        assert r.avg_surprisal_ticks > 0
+
+
+def test_kl_divergence_by_source_replay(spark):
+    rows = QUERIES["kl_divergence_by_source"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    cells = Counter((d.source, d.n_chars // 50) for d in docs)
+    src_tot = Counter()
+    bin_tot = Counter()
+    for (s, b), n in cells.items():
+        src_tot[s] += n
+        bin_tot[b] += n
+    corpus = sum(src_tot.values())
+    want = {}
+    for s in src_tot:
+        kl = 0
+        for (s2, b), n in cells.items():
+            if s2 != s:
+                continue
+            p = n / src_tot[s]
+            q = bin_tot[b] / corpus
+            kl += round(p * math.log(p / q) * 1e9)
+        want[s] = (src_tot[s], kl)
+    got = {r.source: (r.n_docs, r.kl_ticks) for r in rows}
+    assert got == want
+    # KL ≥ 0 up to per-term rounding
+    for r in rows:
+        assert r.kl_ticks >= -50
+
+
+def test_dup_cluster_histogram_replay(spark):
+    import re
+
+    rows = QUERIES["dup_cluster_histogram"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    fps = Counter(
+        " ".join(re.split(r"\s+", d.text.lower().strip()))
+        for d in docs
+        if d.text is not None
+    )
+    buckets = defaultdict(lambda: [0, 0])
+    for n in fps.values():
+        b = n.bit_length() - 1
+        buckets[b][0] += 1
+        buckets[b][1] += n
+    got = {r.log2_bucket: (r.n_clusters, r.n_docs) for r in rows}
+    assert got == {b: tuple(v) for b, v in buckets.items()}
+    # doc total across buckets = corpus with text
+    assert sum(v[1] for v in got.values()) == sum(fps.values())

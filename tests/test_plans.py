@@ -1078,3 +1078,17 @@ class TestDriftPlans:
         t = tree(spark, "order_fill_rate")
         assert t.count("Scan parquet") == 2
         assert "CartesianProduct" not in t
+
+    def test_perplexity_vocab_join_hint_free(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        df = QUERIES["perplexity_by_source"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+        t = tree(spark, "perplexity_by_source")
+        assert "CartesianProduct" not in t
+
+    def test_kl_and_dup_hist_reduce_once(self, spark):
+        for name in ("kl_divergence_by_source", "dup_cluster_histogram"):
+            t = tree(spark, name)
+            assert t.count("Scan parquet") == 1, name
+            assert "Join" not in t, name
