@@ -49,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: null_handling pct_of_total repetition_quality
 #: stopword_pruned_corpus string_agg_ordered text_tokens
 #: window_fill_forward window_range_rolling window_sliding
-#: — plus the seventy-three operators ADDED in round 4 (weighted_sample_topk,
+#: — plus the seventy-four operators ADDED in round 4 (weighted_sample_topk,
 #: table_profile, basket_pairs, skyline_pareto,
 #: chi_square_independence, ann_pq_append_topk, time_weighted_avg,
 #: attribution_last_touch, survival_km, freshness_audit,
@@ -76,7 +76,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: split_leakage_audit, class_balance_weights,
 #: embedding_centroid_drift, lsh_tuning_curve,
 #: session_timeout_sensitivity, ab_srm_check, order_fill_rate,
-#: perplexity_by_source, kl_divergence_by_source, dup_cluster_histogram; no
+#: perplexity_by_source, kl_divergence_by_source, dup_cluster_histogram,
+#: near_dup_rate_by_source; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -1137,3 +1137,97 @@ def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sim_pct",
         F.round(p * 1_000_000, 0).cast("bigint").alias("p_candidate_micro"),
     ).orderBy("bands", "rows_per_band", "sim_pct")
+
+
+def _near_dup_rate_oracle() -> str:
+    jac = (
+        "CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) / "
+        "(len(s1.shingles) + len(s2.shingles)"
+        " - len(list_intersect(s1.shingles, s2.shingles)))"
+    )
+    return rf"""
+    WITH {_bands_cte()},
+    {_SQL_CAPPED_BUCKETS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT c.doc_id_1, c.doc_id_2
+      FROM cand c
+      JOIN sh s1 ON c.doc_id_1 = s1.doc_id
+      JOIN sh s2 ON c.doc_id_2 = s2.doc_id
+      WHERE {jac} >= {JACCARD_THRESHOLD}),
+    dup_docs AS (
+      SELECT doc_id_1 AS doc_id FROM ver
+      UNION SELECT doc_id_2 FROM ver),
+    j AS (
+      SELECT d.source,
+             CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS near_dup_docs,
+           CAST(round(CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             * 1000000000, 0) AS BIGINT) AS near_dup_ticks
+    FROM j GROUP BY source ORDER BY source
+    """
+
+
+@register("near_dup_rate_by_source", oracle=_near_dup_rate_oracle())
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate exposure per source: the share of each source's
+    documents appearing in at least one verified (capped-LSH +
+    exact-Jaccard) near-dup pair — the fuzzy companion to
+    dup_rate_by_source's exact-fingerprint rate, and the per-feed KPI
+    a crawl team is actually judged on.
+
+    Scale: rides the existing capped candidate/verify pipeline
+    (bounded fan-out), collapses pairs to a DISTINCT doc set, and
+    marks membership with a key-on-key LEFT join back onto documents
+    (hint-free — the dup set is corpus-dependent; AQE sizes it).
+    """
+    sh_arr = _shingle_array_df(spark, sf_dir)
+    cand = _lsh_candidate_pairs(spark, sf_dir, cap=LSH_BUCKET_CAP)
+    s1 = sh_arr.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh_1")
+    )
+    s2 = sh_arr.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh_2")
+    )
+    n_inter = F.size(F.array_intersect("sh_1", "sh_2"))
+    jac = n_inter.cast("double") / (
+        F.size("sh_1") + F.size("sh_2") - n_inter
+    )
+    ver = (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_id_1", "doc_id_2")
+    )
+    dup_docs = (
+        ver.select(F.col("doc_id_1").alias("doc_id"))
+        .unionByName(ver.select(F.col("doc_id_2").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    j = d.join(dup_docs, "doc_id", "left").select(
+        "source", F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("near_dup_docs"),
+            F.round(
+                F.sum("is_dup").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * 1_000_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("near_dup_ticks"),
+        )
+        .orderBy("source")
+    )

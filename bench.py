@@ -219,6 +219,7 @@ HEADLINE = [
     "perplexity_by_source",
     "kl_divergence_by_source",
     "dup_cluster_histogram",
+    "near_dup_rate_by_source",
 ]
 
 

@@ -1239,3 +1239,18 @@ def test_dup_cluster_histogram_replay(spark):
     assert got == {b: tuple(v) for b, v in buckets.items()}
     # doc total across buckets = corpus with text
     assert sum(v[1] for v in got.values()) == sum(fps.values())
+
+
+def test_near_dup_rate_consistency(spark):
+    rows = QUERIES["near_dup_rate_by_source"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    pairs = QUERIES["dedup_lsh_verified_pairs"](spark, SF_DIR).collect()
+    dup_ids = {r.doc_id_1 for r in pairs} | {r.doc_id_2 for r in pairs}
+    src = defaultdict(lambda: [0, 0])
+    for d in docs:
+        src[d.source][0] += 1
+        src[d.source][1] += d.doc_id in dup_ids
+    got = {r.source: (r.n_docs, r.near_dup_docs) for r in rows}
+    assert got == {s: tuple(v) for s, v in src.items()}
+    for r in rows:
+        assert r.near_dup_ticks == round(r.near_dup_docs / r.n_docs * 1e9)

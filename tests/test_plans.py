@@ -1092,3 +1092,11 @@ class TestDriftPlans:
             t = tree(spark, name)
             assert t.count("Scan parquet") == 1, name
             assert "Join" not in t, name
+
+    def test_near_dup_rate_hint_free_membership_join(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        df = QUERIES["near_dup_rate_by_source"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+        t = tree(spark, "near_dup_rate_by_source")
+        assert "CartesianProduct" not in t
