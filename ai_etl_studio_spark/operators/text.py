@@ -1864,14 +1864,17 @@ def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebalance a skewed corpus at sampling time; weight·n_c is constant
     across classes by construction.
 
-    Scale: one map-side-combinable count to |langs| rows, a 1-row
-    totals frame broadcast back, one mirrored division in microticks.
+    Scale: one map-side-combinable count to |langs| rows; the N and k
+    totals come from an all-rows window over that tiny reduction (a
+    totals-frame cross-join would replan the scan subtree twice — a
+    second corpus pass for a 1-row total), one mirrored division in
+    microticks.
     """
     d = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
     c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    t = c.agg(
-        F.sum("n").cast("bigint").alias("total"),
-        F.count(F.lit(1)).cast("bigint").alias("k"),
+    wspec = Window.partitionBy()  # |langs| rows — single-partition safe
+    t = c.withColumn("total", F.sum("n").over(wspec).cast("bigint")).withColumn(
+        "k", F.count(F.lit(1)).over(wspec).cast("bigint")
     )
     w = F.round(
         F.col("total").cast("double")
@@ -1879,11 +1882,7 @@ def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1_000_000,
         0,
     ).cast("bigint")
-    return (
-        c.crossJoin(F.broadcast(t))
-        .select("lang", "n", "total", w.alias("weight_micro"))
-        .orderBy("lang")
-    )
+    return t.select("lang", "n", "total", w.alias("weight_micro")).orderBy("lang")
 
 
 # ---------------------------------------------------------------------------
@@ -2061,4 +2060,255 @@ def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("bigint").alias("n_docs"),
         )
         .orderBy("log2_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity per source (TTR + hapax)
+# ---------------------------------------------------------------------------
+
+@register(
+    "lexical_diversity_by_source",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS token
+      FROM documents WHERE text IS NOT NULL),
+    tc AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok WHERE token <> '' GROUP BY source, token)
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_count,
+           CAST(round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+             * 1000000, 0) AS BIGINT) AS ttr_micro,
+           CAST(round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) * 1000000, 0) AS BIGINT)
+             AS hapax_share_micro
+    FROM tc GROUP BY source ORDER BY source
+    """,
+)
+def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: type-token ratio and hapax-legomena
+    share — the vocabulary-richness screen that separates natural prose
+    (high TTR, fat hapax tail) from templated/boilerplate feeds (tiny
+    closed vocabulary) before any model-based quality scoring runs.
+
+    Scale: ONE (source, token)-keyed count with map-side combine (state
+    bounded by per-source vocabulary, not corpus size), then a
+    |sources|-row rollup; TTR and hapax share are mirrored divisions in
+    microticks over exact int64 sums.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    tc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+            hapax.cast("bigint").alias("hapax_count"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("n").cast("double")
+                * 1_000_000,
+                0,
+            ).cast("bigint").alias("ttr_micro"),
+            F.round(
+                hapax.cast("double") / F.count(F.lit(1)).cast("double")
+                * 1_000_000,
+                0,
+            ).cast("bigint").alias("hapax_share_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional entropy per language
+# ---------------------------------------------------------------------------
+
+@register(
+    "bigram_cond_entropy_by_lang",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        AND len(string_split_regex(lower(text), '\s+')) >= 2),
+    pos AS (
+      SELECT lang, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM toks),
+    bc AS (
+      SELECT lang, toks[i] AS w1, toks[i + 1] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pos GROUP BY lang, w1, w2),
+    wt AS (
+      SELECT lang, n,
+             CAST(SUM(n) OVER (PARTITION BY lang, w1) AS BIGINT) AS n1,
+             CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
+      FROM bc),
+    terms AS (
+      SELECT lang, tot,
+             CAST(round((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE))
+               * 1000000000, 0) AS BIGINT) AS term_ticks
+      FROM wt)
+    SELECT lang, CAST(MAX(tot) AS BIGINT) AS n_bigrams,
+           CAST(-SUM(term_ticks) AS BIGINT) AS cond_entropy_ticks
+    FROM terms GROUP BY lang ORDER BY lang
+    """,
+)
+def bigram_cond_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional entropy H(next|term) per language — the
+    corpus-level redundancy rate (nats, in nanoticks). Low conditional
+    entropy means word order is highly predictable: templated or
+    machine-generated feeds score far below natural prose, making this
+    the aggregate sibling of the per-doc bigram_surprisal screen.
+
+    Scale: bigrams are born per-row with the codegen'd index transform
+    (no position self-join), reduce once to the vocab²-bounded
+    (lang, w1, w2) count table (checkpointed — it feeds both the
+    context window and the per-lang totals), n(w1) contexts come from a
+    per-(lang, w1) window over that table, and the per-lang total joins
+    back as a broadcast |langs|-row aggregate instead of a
+    single-partition lang window. Each p·ln term is quantized to
+    nanoticks BEFORE the distributed sum (exact int64, order-free).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    toks = d.select(
+        "lang", F.split(F.lower("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    pairs = toks.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                " element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("lang", "bg.w1", "bg.w2")
+    bc = (
+        pairs.groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    tot = bc.groupBy("lang").agg(F.sum("n").cast("bigint").alias("tot"))
+    wt = bc.withColumn(
+        "n1", F.sum("n").over(Window.partitionBy("lang", "w1")).cast("bigint")
+    ).join(F.broadcast(tot), "lang")
+    term = F.round(
+        (F.col("n").cast("double") / F.col("tot").cast("double"))
+        * F.log(F.col("n").cast("double") / F.col("n1").cast("double"))
+        * 1_000_000_000,
+        0,
+    ).cast("bigint")
+    return (
+        wt.withColumn("term_ticks", term)
+        .groupBy("lang")
+        .agg(
+            F.max("tot").cast("bigint").alias("n_bigrams"),
+            (-F.sum("term_ticks")).cast("bigint").alias("cond_entropy_ticks"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact document-length deciles per source
+# ---------------------------------------------------------------------------
+
+#: Value-bucket width (chars) for the grouped length-decile machinery.
+_LEN_BUCKET_CHARS = 1_000
+
+
+@register(
+    "doc_length_deciles_by_source",
+    oracle="""
+    WITH pv AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY source, v),
+    c AS (
+      SELECT source, v,
+             CAST(SUM(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+               AS cum
+      FROM pv),
+    t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM pv GROUP BY source),
+    ds AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS d),
+    sp AS (SELECT source, d, (d * n + 9) // 10 AS thr FROM t, ds)
+    SELECT sp.source, sp.d AS decile,
+           CAST(MIN(CASE WHEN c.cum >= sp.thr THEN c.v END) AS BIGINT)
+             AS chars_at
+    FROM c JOIN sp ON c.source = sp.source
+    GROUP BY sp.source, sp.d
+    ORDER BY sp.source, sp.d
+    """,
+)
+def doc_length_deciles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact document-length deciles per source — the length-filter
+    design table (where do p10/p90 sit per feed?) that sets gopher-style
+    min/max-length gates and the packing planner's length priors,
+    without percentile_approx error bars.
+
+    Scale: the grouped bucketed-ECDF scaffold (cf.
+    event_value_deciles_by_type): per-(source, n_chars) counts reduce
+    once (checkpointed), cumulative counts run in per-(source,
+    length-bucket) windows with per-source bucket offsets from the tiny
+    occupied-bucket table, and each decile is a conditional MIN against
+    the broadcast |sources|×9 integer-ceil threshold spine. No global
+    sort, no driver collect.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    pv = (
+        d.select("source", F.col("n_chars").cast("bigint").alias("v"))
+        .groupBy("source", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("bkt", (F.col("v") / _LEN_BUCKET_CHARS).cast("bigint"))
+        .localCheckpoint()
+    )
+    per_bkt = pv.groupBy("source", "bkt").agg(F.sum("c").alias("bc"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bkt.select(
+        "source",
+        "bkt",
+        F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off"),
+    )
+    t = pv.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    w_in = (
+        Window.partitionBy("source", "bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        pv.withColumn("loc", F.sum("c").over(w_in))
+        .join(offsets, ["source", "bkt"])
+        .select("source", "v", (F.col("off") + F.col("loc")).alias("cum"))
+    )
+    sp = t.select(
+        "source",
+        F.explode(F.array(*[F.lit(d_) for d_ in range(1, 10)])).alias("d"),
+        "n",
+    ).select(
+        "source",
+        "d",
+        ((F.col("d") * F.col("n") + 9) / 10).cast("bigint").alias("thr"),
+    )
+    return (
+        c.join(F.broadcast(sp), "source")
+        .groupBy("source", F.col("d").alias("decile"))
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("thr"), F.col("v")))
+            .cast("bigint")
+            .alias("chars_at")
+        )
+        .orderBy("source", "decile")
     )

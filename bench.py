@@ -220,6 +220,9 @@ HEADLINE = [
     "kl_divergence_by_source",
     "dup_cluster_histogram",
     "near_dup_rate_by_source",
+    "lexical_diversity_by_source",
+    "bigram_cond_entropy_by_lang",
+    "doc_length_deciles_by_source",
 ]
 
 

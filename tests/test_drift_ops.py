@@ -1254,3 +1254,83 @@ def test_near_dup_rate_consistency(spark):
     assert got == {s: tuple(v) for s, v in src.items()}
     for r in rows:
         assert r.near_dup_ticks == round(r.near_dup_docs / r.n_docs * 1e9)
+
+
+def test_lexical_diversity_replay(spark):
+    import re
+
+    rows = QUERIES["lexical_diversity_by_source"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    agg = defaultdict(Counter)
+    for d in docs:
+        if d.text is None:
+            continue
+        for tok in re.split(r"\s+", d.text.lower()):
+            if tok:
+                agg[d.source][tok] += 1
+    got = {r.source: (r.n_tokens, r.vocab_size, r.hapax_count) for r in rows}
+    want = {
+        s: (
+            sum(c.values()),
+            len(c),
+            sum(1 for n in c.values() if n == 1),
+        )
+        for s, c in agg.items()
+    }
+    assert got == want
+    for r in rows:
+        assert r.hapax_count <= r.vocab_size <= r.n_tokens
+        assert r.ttr_micro == round(r.vocab_size / r.n_tokens * 1e6)
+        assert r.hapax_share_micro == round(r.hapax_count / r.vocab_size * 1e6)
+
+
+def test_bigram_cond_entropy_replay(spark):
+    import re
+
+    rows = QUERIES["bigram_cond_entropy_by_lang"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    bc = defaultdict(Counter)
+    for d in docs:
+        if d.text is None or d.lang is None:
+            continue
+        toks = re.split(r"\s+", d.text.lower())
+        if len(toks) < 2:
+            continue
+        for i in range(len(toks) - 1):
+            bc[d.lang][(toks[i], toks[i + 1])] += 1
+    got = {r.lang: (r.n_bigrams, r.cond_entropy_ticks) for r in rows}
+    for lang, c in bc.items():
+        tot = sum(c.values())
+        n1 = Counter()
+        for (w1, _), n in c.items():
+            n1[w1] += n
+        ticks = -sum(
+            round((n / tot) * math.log(n / n1[w1]) * 1e9)
+            for (w1, _), n in c.items()
+        )
+        assert got[lang] == (tot, ticks), lang
+        # conditional entropy is non-negative and at most ln(contexts)
+        assert 0 <= ticks <= math.log(len(c) + 1) * 1e9
+    assert set(got) == set(bc)
+
+
+def test_doc_length_deciles_replay(spark):
+    rows = QUERIES["doc_length_deciles_by_source"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    by_src = defaultdict(list)
+    for d in docs:
+        if d.n_chars is not None:
+            by_src[d.source].append(d.n_chars)
+    got = defaultdict(dict)
+    for r in rows:
+        got[r.source][r.decile] = r.chars_at
+    for s, vals in by_src.items():
+        vals.sort()
+        n = len(vals)
+        for dec in range(1, 10):
+            thr = -(-dec * n // 10)  # ceil(d·n/10), 1-indexed rank
+            assert got[s][dec] == vals[thr - 1], (s, dec)
+        # deciles are monotone non-decreasing
+        seq = [got[s][dec] for dec in range(1, 10)]
+        assert seq == sorted(seq)
+    assert set(got) == set(by_src)

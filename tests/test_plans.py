@@ -1100,3 +1100,32 @@ class TestDriftPlans:
         assert broadcast_violations(df) == []
         t = tree(spark, "near_dup_rate_by_source")
         assert "CartesianProduct" not in t
+
+    def test_lexical_diversity_reduces_once(self, spark):
+        # (source, token) count with map-side combine, then the
+        # |sources|-row rollup — one scan, two agg pairs, no joins
+        t = tree(spark, "lexical_diversity_by_source")
+        assert t.count("Scan parquet") == 1
+        assert t.count("HashAggregate") == 4
+        assert "Join" not in t
+
+    def test_bigram_cond_entropy_on_checkpoint(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the vocab²-bounded bigram table is checkpointed (feeds the
+        # context window AND the per-lang totals); the totals join back
+        # as an aggregate-reduced broadcast — never a lang-wide window
+        t = tree(spark, "bigram_cond_entropy_by_lang")
+        assert t.count("Scan parquet") == 0
+        assert "CartesianProduct" not in t
+        assert "BroadcastHashJoin" in t
+        df = QUERIES["bigram_cond_entropy_by_lang"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_doc_length_deciles_bucketed(self, spark):
+        # grouped bucketed-ECDF scaffold over the checkpointed
+        # per-(source, n_chars) counts — no global sort, no cartesian
+        t = tree(spark, "doc_length_deciles_by_source")
+        assert t.count("Scan parquet") == 0
+        assert "CartesianProduct" not in t
+        assert "SortMergeJoin" not in t
