@@ -78,7 +78,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: session_timeout_sensitivity, ab_srm_check, order_fill_rate,
 #: perplexity_by_source, kl_divergence_by_source, dup_cluster_histogram,
 #: near_dup_rate_by_source, lexical_diversity_by_source,
-#: bigram_cond_entropy_by_lang, doc_length_deciles_by_source; no
+#: bigram_cond_entropy_by_lang, doc_length_deciles_by_source,
+#: cusum_level_shift, stl_decompose_weekly, supplier_overlap_jaccard,
+#: quality_calibration_bands; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -3910,3 +3910,76 @@ def order_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM level-shift locator over the daily revenue series
+# ---------------------------------------------------------------------------
+
+_CUSUM_TOPK = 10
+
+
+@register(
+    "cusum_level_shift",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT d, rev,
+             CAST(SUM(rev) OVER (ORDER BY d) AS BIGINT) AS prefix,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t_idx,
+             CAST(SUM(rev) OVER () AS BIGINT) AS total,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily)
+    SELECT d, rev AS rev_cents,
+           CAST(n * prefix - t_idx * total AS BIGINT) AS cusum_scaled
+    FROM c
+    ORDER BY abs(CAST(n * prefix - t_idx * total AS BIGINT)) DESC, d
+    LIMIT {_CUSUM_TOPK}
+    """,
+)
+def cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift locator: the dates where the cumulative
+    deviation of daily revenue from its series mean peaks — the classic
+    single-changepoint estimator (argmax |CUSUM| splits the series at
+    the strongest mean shift), complementing revenue_changepoints'
+    day-over-day spike view with a REGIME view.
+
+    Exactness: CUSUM_t = Σ_{{i≤t}}(rev_i − mean) is rational; scaling by
+    n gives n·CUSUM_t = n·prefix_t − t·total — all exact int64 products
+    of exact cent sums, so the ranking is integer-exact in both engines
+    (no float mean ever enters). At a horizon where n·prefix threatens
+    int64 (~1e18: century-scale × petacent revenue) rank on the double
+    instead and keep the integer as the audit column.
+
+    Scale: orders reduce to ONE row per day (partial→final agg) before
+    any windowing; prefix/rank/total all run in one single-partition
+    window pass over the |days|-row series (thousands of rows at any
+    horizon — the documented bounded-window exception), and the top-k
+    is a TakeOrderedAndProject heap.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents("o_totalprice")).alias("rev")
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = daily.select(
+        "d",
+        "rev",
+        F.sum("rev").over(w_cum).cast("bigint").alias("prefix"),
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t_idx"),
+        F.sum("rev").over(w_all).cast("bigint").alias("total"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    cusum = (F.col("n") * F.col("prefix") - F.col("t_idx") * F.col("total")).cast(
+        "bigint"
+    )
+    return (
+        c.select("d", F.col("rev").alias("rev_cents"), cusum.alias("cusum_scaled"))
+        .orderBy(F.abs(F.col("cusum_scaled")).desc(), "d")
+        .limit(_CUSUM_TOPK)
+    )

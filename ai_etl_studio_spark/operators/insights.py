@@ -1975,3 +1975,186 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2 * 1_000_000, 0).cast("bigint").alias("chi2_micro"),
         F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite weekly decomposition of the daily revenue series
+# ---------------------------------------------------------------------------
+
+@register(
+    "stl_decompose_weekly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1),
+    tr AS (
+      SELECT d, rev,
+             CAST(SUM(rev) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS trend7,
+             CAST(COUNT(*) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS k,
+             (CAST(d - DATE '1970-01-01' AS BIGINT)) % 7 AS dow
+      FROM daily),
+    det AS (
+      SELECT d, dow, rev, trend7, CAST(7 * rev - trend7 AS BIGINT) AS det7
+      FROM tr WHERE k = 7),
+    seas AS (
+      SELECT d, dow, rev, trend7, det7,
+             CAST(round(CAST(SUM(det7) OVER (PARTITION BY dow) AS DOUBLE)
+               / CAST(COUNT(*) OVER (PARTITION BY dow) AS DOUBLE), 0)
+               AS BIGINT) AS seas7
+      FROM det)
+    SELECT d, CAST(dow AS BIGINT) AS dow, rev AS rev_cents,
+           trend7 AS trend7_cents, det7 AS det7_cents, seas7 AS seas7_cents,
+           CAST(det7 - seas7 AS BIGINT) AS resid7_cents
+    FROM seas ORDER BY d
+    """,
+)
+def stl_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of daily revenue into trend + weekly
+    seasonal + remainder: trend is the 7-day centered moving sum,
+    seasonality is the per-weekday mean of the detrended series, and
+    the residual is what anomaly detectors should actually look at
+    (seasonal_naive_mape forecasts the series; this EXPLAINS it).
+
+    Exactness: everything is kept at 7× scale so the moving average
+    never divides — det7 = 7·rev − trend7 is exact int64; the per-DOW
+    seasonal mean is ONE division of two exactly-known int64s (sum,
+    count), rounded identically in both engines; the residual is again
+    integer subtraction. Days-since-epoch mod 7 is the locale-free
+    weekday.
+
+    Scale: orders reduce to one row per day before any window; the
+    centered-MA window runs over the |days|-row series (the documented
+    bounded-window exception) and the seasonal means run in 7 tiny DOW
+    partitions. Edge policy: the first/last 3 days (incomplete 7-day
+    frame) are excluded rather than padded — k = 7 is the contract.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("rev")
+    )
+    w_ma = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "rev",
+        F.sum("rev").over(w_ma).cast("bigint").alias("trend7"),
+        F.count(F.lit(1)).over(w_ma).cast("bigint").alias("k"),
+        (F.datediff(F.col("d"), F.lit("1970-01-01")).cast("bigint") % 7).alias(
+            "dow"
+        ),
+    )
+    det = tr.filter(F.col("k") == 7).withColumn(
+        "det7", (F.lit(7) * F.col("rev") - F.col("trend7")).cast("bigint")
+    )
+    w_dow = Window.partitionBy("dow")
+    seas = det.withColumn(
+        "seas7",
+        F.round(
+            F.sum("det7").over(w_dow).cast("double")
+            / F.count(F.lit(1)).over(w_dow).cast("double"),
+            0,
+        ).cast("bigint"),
+    )
+    return seas.select(
+        "d",
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("rev").alias("rev_cents"),
+        F.col("trend7").alias("trend7_cents"),
+        F.col("det7").alias("det7_cents"),
+        F.col("seas7").alias("seas7_cents"),
+        (F.col("det7") - F.col("seas7")).cast("bigint").alias("resid7_cents"),
+    ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Supplier neighborhood similarity (bipartite Jaccard via co-occurrence)
+# ---------------------------------------------------------------------------
+
+#: Per-part supplier-list cap (the LSH-style fan-out guard) and top-k.
+_SUPP_CAP = 50
+_SUPP_TOPK = 20
+
+
+@register(
+    "supplier_overlap_jaccard",
+    oracle=f"""
+    WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    pl AS (SELECT p, list_sort(list(s))[1:{_SUPP_CAP}] AS ss FROM sp GROUP BY p),
+    pairs AS (
+      SELECT ss[i] AS s1, ss[j] AS s2
+      FROM pl,
+           unnest(generate_series(1, len(ss))) AS u(i),
+           unnest(generate_series(1, len(ss))) AS v(j)
+      WHERE j > i),
+    co AS (SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS co
+           FROM pairs GROUP BY s1, s2),
+    sz AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM sp GROUP BY s)
+    SELECT co.s1, co.s2, co.co, a.deg AS deg_1, b.deg AS deg_2,
+           CAST(round(CAST(co.co AS DOUBLE)
+             / CAST(a.deg + b.deg - co.co AS DOUBLE) * 1000000, 0) AS BIGINT)
+             AS jaccard_micro
+    FROM co JOIN sz a ON co.s1 = a.s JOIN sz b ON co.s2 = b.s
+    ORDER BY co.co DESC, co.s1, co.s2
+    LIMIT {_SUPP_TOPK}
+    """,
+)
+def supplier_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier neighborhood similarity: Jaccard overlap of the part
+    sets two suppliers ship, computed bipartite-style — candidate pairs
+    are generated per PART (the co-occurrence key), never supplier ×
+    supplier. The substitutability/redundancy graph primitive (which
+    suppliers can cover for each other), structurally the same shape as
+    collaborative-filtering item-item similarity.
+
+    Scale: the distinct (part, supplier) edge list reduces once and is
+    checkpointed for its two consumers (per-part lists + per-supplier
+    degrees). Pairs are born map-side from each part's SORTED,
+    CAP-{_SUPP_CAP}ED supplier list (the dedup-LSH per-bucket guard:
+    fan-out ≤ cap² per part regardless of how promiscuous a part is —
+    the cap is mirrored in the oracle so parity binds it). Degrees join
+    back hint-free — aggregate-reduced to |suppliers| rows, AQE
+    broadcasts them; the final top-k is a TakeOrderedAndProject heap.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    pl = sp.groupBy("p").agg(
+        F.slice(F.array_sort(F.collect_list("s")), 1, _SUPP_CAP).alias("ss")
+    )
+    combos = F.flatten(
+        F.transform(
+            "ss",
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size("ss")),
+                lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+            ),
+        )
+    )
+    co = (
+        pl.select(F.explode(combos).alias("pr"))
+        .select("pr.s1", "pr.s2")
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+    )
+    sz = sp.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    a = sz.select(F.col("s").alias("s1"), F.col("deg").alias("deg_1"))
+    b = sz.select(F.col("s").alias("s2"), F.col("deg").alias("deg_2"))
+    jac = F.round(
+        F.col("co").cast("double")
+        / (F.col("deg_1") + F.col("deg_2") - F.col("co")).cast("double")
+        * 1_000_000,
+        0,
+    ).cast("bigint")
+    return (
+        co.join(a, "s1")
+        .join(b, "s2")
+        .select("s1", "s2", "co", "deg_1", "deg_2", jac.alias("jaccard_micro"))
+        .orderBy(F.desc("co"), "s1", "s2")
+        .limit(_SUPP_TOPK)
+    )

@@ -1403,3 +1403,83 @@ def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-score calibration bands (reliability table)
+# ---------------------------------------------------------------------------
+
+def _calibration_oracle() -> str:
+    from ai_etl_studio_spark.operators.text import STOPWORDS
+
+    sw = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    return rf"""
+    WITH base AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS ts
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT len(ts) AS n_words,
+             CAST(len(list_filter(ts, x -> x IN {sw})) AS BIGINT) AS n_stop,
+             CAST(len(array_to_string(ts, '')) AS DOUBLE) / len(ts) AS mwl
+      FROM base WHERE len(ts) > 0),
+    b AS (
+      SELECT LEAST(9, CAST(floor(CAST(n_stop AS DOUBLE) / n_words * 10)
+               AS BIGINT)) AS band,
+             n_words, mwl
+      FROM m)
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
+                          AND mwl BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM b GROUP BY band ORDER BY band
+    """
+
+
+@register("quality_calibration_bands", oracle=_calibration_oracle())
+def quality_calibration_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the cheap stopword-density quality score:
+    docs bucketed into 10 fixed score bands × how often the
+    corpus-applicable gopher gate (word count + mean word length)
+    agrees. A calibrated cheap score lets the expensive gate run on a
+    fraction of the corpus; a flat table says the cheap score is noise.
+
+    Scale: ONE narrow codegen projection per document (shared
+    tokenization with text_quality / gopher_rules), then a ≤10-row
+    rollup with conditional sums — fixed-width bands need no global
+    rank, which is the point: the calibration readout costs one scan at
+    any corpus size.
+    """
+    from ai_etl_studio_spark.operators.text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    base = d.select(ts.alias("ts")).filter(F.size("ts") > 0)
+    n_words = F.size("ts")
+    n_stop = F.size(F.filter("ts", lambda w: w.isin(*STOPWORDS)))
+    mwl = F.length(F.array_join("ts", "")).cast("double") / n_words
+    m = base.select(
+        n_words.alias("n_words"),
+        n_stop.cast("bigint").alias("n_stop"),
+        mwl.alias("mwl"),
+    )
+    band = F.least(
+        F.lit(9),
+        F.floor(F.col("n_stop").cast("double") / F.col("n_words") * 10).cast(
+            "bigint"
+        ),
+    )
+    gate = F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS) & F.col(
+        "mwl"
+    ).between(_G_MIN_MWL, _G_MAX_MWL)
+    return (
+        m.select(band.alias("band"), "n_words", "mwl")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(gate, 1).otherwise(0)).cast("bigint").alias("n_pass"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+        .orderBy("band")
+    )

@@ -223,6 +223,10 @@ HEADLINE = [
     "lexical_diversity_by_source",
     "bigram_cond_entropy_by_lang",
     "doc_length_deciles_by_source",
+    "cusum_level_shift",
+    "stl_decompose_weekly",
+    "supplier_overlap_jaccard",
+    "quality_calibration_bands",
 ]
 
 

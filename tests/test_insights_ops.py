@@ -689,3 +689,92 @@ def test_gini_concentration_replay_and_bounds(spark):
     want = (2 * rank_weighted - (n + 1) * total) / (n * total)
     assert r.gini == pytest.approx(want, rel=1e-12)
     assert 0.0 <= r.gini < 1.0
+
+
+def test_cusum_level_shift_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["cusum_level_shift"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    daily = defaultdict(int)
+    for r in o:
+        daily[str(r.o_orderdate)[:10]] += round(r.o_totalprice * 100)
+    days = sorted(daily)
+    n, total = len(days), sum(daily.values())
+    prefix, cus = 0, {}
+    for t, d in enumerate(days, start=1):
+        prefix += daily[d]
+        cus[d] = n * prefix - t * total
+    want = sorted(cus.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:10]
+    got = [(str(r.d), r.cusum_scaled) for r in rows]
+    assert got == [(d, v) for d, v in want]
+    # the last day's CUSUM is exactly 0 by construction — never in top-k
+    assert cus[days[-1]] == 0
+
+
+def test_stl_decompose_weekly_identity_and_seasonal_mean(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["stl_decompose_weekly"](spark, SF_DIR).collect()
+    assert rows
+    by_dow = defaultdict(list)
+    for r in rows:
+        # decomposition identity at 7× scale: det7 = seas7 + resid7
+        assert r.det7_cents == r.seas7_cents + r.resid7_cents
+        assert r.det7_cents == 7 * r.rev_cents - r.trend7_cents
+        assert 0 <= r.dow <= 6
+        by_dow[r.dow].append((r.det7_cents, r.seas7_cents))
+    for dow, vals in by_dow.items():
+        # one seasonal value per weekday, equal to the rounded mean
+        seas = {s for _, s in vals}
+        assert len(seas) == 1, dow
+        dets = [d for d, _ in vals]
+        assert seas.pop() == round(sum(dets) / len(dets)), dow
+    # residual-of-seasonal-mean sums to ~0 per dow (within rounding)
+    for dow, vals in by_dow.items():
+        resid_sum = sum(d - s for d, s in vals)
+        assert abs(resid_sum) <= len(vals), dow
+
+
+def test_supplier_overlap_jaccard_replay(spark):
+    from collections import defaultdict
+    from itertools import combinations
+
+    rows = QUERIES["supplier_overlap_jaccard"](spark, SF_DIR).collect()
+    assert rows
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    edges = {(r.l_partkey, r.l_suppkey) for r in li}
+    by_part, deg = defaultdict(set), defaultdict(int)
+    for p, s in edges:
+        by_part[p].add(s)
+        deg[s] += 1
+    co = defaultdict(int)
+    for p, ss in by_part.items():
+        for s1, s2 in combinations(sorted(ss)[:50], 2):
+            co[(s1, s2)] += 1
+    ranked = sorted(co.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [((r.s1, r.s2), r.co) for r in rows]
+    assert got == ranked
+    for r in rows:
+        union = r.deg_1 + r.deg_2 - r.co
+        assert r.co <= min(r.deg_1, r.deg_2)
+        assert r.jaccard_micro == round(r.co / union * 1e6)
+
+
+def test_quality_calibration_bands_partition_of_corpus(spark):
+    rows = QUERIES["quality_calibration_bands"](spark, SF_DIR).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    import re
+
+    n_tokenizable = sum(
+        1
+        for d in docs
+        if d.text is not None
+        and [w for w in re.split(r"\s+", d.text.lower()) if w]
+    )
+    assert sum(r.n_docs for r in rows) == n_tokenizable
+    for r in rows:
+        assert 0 <= r.band <= 9
+        assert 0 <= r.n_pass <= r.n_docs

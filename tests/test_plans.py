@@ -1129,3 +1129,32 @@ class TestDriftPlans:
         assert t.count("Scan parquet") == 0
         assert "CartesianProduct" not in t
         assert "SortMergeJoin" not in t
+
+    def test_cusum_reduces_to_daily_before_window(self, spark):
+        t = tree(spark, "cusum_level_shift")
+        assert t.count("Scan parquet") == 1
+        assert "Join" not in t
+        assert "TakeOrderedAndProject" in t  # top-k heap, no global sort
+
+    def test_stl_windows_over_daily_reduction(self, spark):
+        t = tree(spark, "stl_decompose_weekly")
+        assert t.count("Scan parquet") == 1
+        assert "Join" not in t
+        assert t.count("HashAggregate") == 2  # one partial+final daily agg
+
+    def test_supplier_jaccard_on_checkpointed_edges(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the distinct (part, supplier) edge list is computed once for
+        # both consumers; degree joins are hint-free
+        t = tree(spark, "supplier_overlap_jaccard")
+        assert t.count("Scan parquet") == 0
+        assert "CartesianProduct" not in t
+        df = QUERIES["supplier_overlap_jaccard"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_quality_calibration_single_codegen_pass(self, spark):
+        t = tree(spark, "quality_calibration_bands")
+        assert t.count("Scan parquet") == 1
+        assert "Join" not in t
+        assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
