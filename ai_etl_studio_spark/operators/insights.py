@@ -2158,3 +2158,85 @@ def supplier_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("co"), "s1", "s2")
         .limit(_SUPP_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event burstiness coefficient per event type
+# ---------------------------------------------------------------------------
+
+@register(
+    "burstiness_by_type",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) // 1000000 AS t_s
+      FROM events),
+    g AS (
+      SELECT event_type,
+             t_s - LAG(t_s) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY t_s) AS gap
+      FROM e),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap) AS BIGINT) AS sum_gap_s,
+             CAST(SUM(gap * gap) AS DOUBLE) AS sgg
+      FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n, sum_gap_s,
+           CAST(round(
+             (sqrt(GREATEST(sgg / n - (CAST(sum_gap_s AS DOUBLE) / n)
+                                      * (CAST(sum_gap_s AS DOUBLE) / n), 0))
+              - CAST(sum_gap_s AS DOUBLE) / n)
+             / (sqrt(GREATEST(sgg / n - (CAST(sum_gap_s AS DOUBLE) / n)
+                                        * (CAST(sum_gap_s AS DOUBLE) / n), 0))
+                + CAST(sum_gap_s AS DOUBLE) / n)
+             * 1000000, 0) AS BIGINT) AS burstiness_micro
+    FROM s ORDER BY event_type
+    """,
+)
+def burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness coefficient B = (σ−μ)/(σ+μ) of the
+    inter-event gaps per event type: B→−1 is clockwork (bot heartbeat),
+    B≈0 Poisson (organic), B→+1 bursty (human sessions, incident
+    storms) — one number that separates traffic *mechanisms* where the
+    gap histogram shows only shape.
+
+    Exactness: gaps are whole SECONDS (integer-exact in both engines);
+    Σg is int64 and Σg² sums exactly in wide integers (Spark
+    decimal(38,0), DuckDB's native HUGEINT accumulator — per-row g²
+    fits int64 at second resolution) with ONE cast to double at the
+    end, so no cross-row float accumulation ever orders the result;
+    sqrt is IEEE-exact. Tie policy: equal timestamps give the same gap
+    multiset under any tie order, so the per-type sums are
+    order-independent.
+
+    Scale: one (user, type)-partitioned lag window (the sessionize
+    exchange shape), then a map-side-combinable rollup to |types| rows.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("bigint")
+        .alias("t_s"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("t_s")
+    g = e.select(
+        "event_type", (F.col("t_s") - F.lag("t_s").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("sum_gap_s"),
+        F.sum((F.col("gap") * F.col("gap")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sgg"),
+    )
+    mean = F.col("sum_gap_s").cast("double") / F.col("n")
+    sigma = F.sqrt(F.greatest(F.col("sgg") / F.col("n") - mean * mean, F.lit(0.0)))
+    return s.select(
+        "event_type",
+        "n",
+        "sum_gap_s",
+        F.round((sigma - mean) / (sigma + mean) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("burstiness_micro"),
+    ).orderBy("event_type")

@@ -2312,3 +2312,173 @@ def doc_length_deciles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-voting language purity per source
+# ---------------------------------------------------------------------------
+
+#: Chunk width (tokens) for the mixed-language vote.
+_PURITY_CHUNK = 20
+
+
+def _purity_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(ck, t -> t IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    cases = []
+    for lang in langs:
+        cond = " AND ".join(
+            f"{score[lang]} >= {score[o]}" for o in langs if o != lang
+        )
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return rf"""
+    WITH t AS (
+      SELECT source, lang, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+    pos AS (
+      SELECT source, lang, toks,
+             unnest(generate_series(1,
+               CAST(ceil(len(toks) / {_PURITY_CHUNK}.0) AS BIGINT))) AS ci
+      FROM t WHERE len(toks) > 0),
+    ck AS (
+      SELECT source, lang,
+             toks[(ci-1)*{_PURITY_CHUNK}+1 :
+                  LEAST(len(toks), ci*{_PURITY_CHUNK})] AS ck
+      FROM pos),
+    pred AS (SELECT source, lang, {case_sql} AS p FROM ck)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN p = lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           CAST(round(CAST(SUM(CASE WHEN p = lang THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) * 1000000, 0) AS BIGINT)
+             AS purity_micro
+    FROM pred GROUP BY source ORDER BY source
+    """
+
+
+@register("mixed_lang_purity_by_source", oracle=_purity_oracle())
+def mixed_lang_purity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-voting language purity: split each document into
+    {_PURITY_CHUNK}-token chunks, language-ID each chunk with the shared
+    marker lexicon, and report per source the share of chunks agreeing
+    with the document's label — the mixed-language/code-switch detector
+    that a single doc-level language ID structurally cannot see.
+
+    Scale: chunks are born per-row with a codegen'd sequence transform
+    (fan-out = ceil(tokens/{_PURITY_CHUNK}) per doc, linear in corpus
+    tokens); the marker scoring is the same JVM higher-order filter as
+    text_langid (tie-break en>de>fr>es>zh mirrored in the oracle CASE
+    chain), and everything reduces in ONE map-side-combinable rollup to
+    |sources| rows.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    toks = F.split(F.lower("text"), r"\s+")
+    base = d.select("source", "lang", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    chunks = F.expr(
+        f"transform(sequence(1, CAST(ceil(size(toks) / {_PURITY_CHUNK}.0) AS INT)),"
+        f" ci -> slice(toks, (ci-1)*{_PURITY_CHUNK}+1, {_PURITY_CHUNK}))"
+    )
+    ck = base.select(
+        "source", "lang", F.explode(chunks).alias("ck")
+    )
+
+    def marker_counter(ws: tuple[str, ...]):
+        return lambda t: t.isin(*ws)
+
+    scores = {
+        lang: F.size(F.filter(F.col("ck"), marker_counter(ws)))
+        for lang, ws in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        cond = None
+        for o in langs:
+            if o == lang:
+                continue
+            c = scores[lang] >= scores[o]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang).otherwise(pred)
+    agree = F.sum(F.when(F.col("p") == F.col("lang"), 1).otherwise(0))
+    return (
+        ck.select("source", "lang", pred.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            agree.cast("bigint").alias("n_agree"),
+            F.round(
+                agree.cast("double") / F.count(F.lit(1)).cast("double")
+                * 1_000_000,
+                0,
+            ).cast("bigint").alias("purity_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Template-prefix clusters (shared-opening boilerplate detector)
+# ---------------------------------------------------------------------------
+
+#: Prefix width (tokens) and result cap for the template detector.
+_TMPL_PREFIX = 8
+_TMPL_TOPK = 20
+
+
+@register(
+    "template_prefix_clusters",
+    oracle=rf"""
+    WITH fp AS (
+      SELECT md5(array_to_string(
+               string_split_regex(lower(trim(text)), '\s+')[1:{_TMPL_PREFIX}],
+               ' ')) AS f,
+             source
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM fp GROUP BY f)
+    SELECT f AS prefix_hash, n_docs, n_sources
+    FROM g WHERE n_docs >= 2
+    ORDER BY n_docs DESC, prefix_hash
+    LIMIT {_TMPL_TOPK}
+    """,
+)
+def template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-opening detector: documents sharing their first
+    {_TMPL_PREFIX} normalized tokens, ranked by cluster size with a
+    cross-source spread count — catches boilerplate headers, scraped
+    templates, and mirrored feeds that full-document fingerprints miss
+    (the bodies differ) and near-dup LSH pays real work to find.
+
+    Scale: ONE prefix-fingerprint-keyed count with map-side combine
+    (the md5 normalization is shared with dup_cluster_histogram, cut to
+    the token prefix); the n_docs ≥ 2 filter drops the singleton tail
+    before the TakeOrderedAndProject heap.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, _TMPL_PREFIX)
+    )
+    g = (
+        d.select(F.md5(prefix).alias("f"), "source")
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+    return (
+        g.filter(F.col("n_docs") >= 2)
+        .select(F.col("f").alias("prefix_hash"), "n_docs", "n_sources")
+        .orderBy(F.desc("n_docs"), "prefix_hash")
+        .limit(_TMPL_TOPK)
+    )

@@ -1120,3 +1120,65 @@ def run_stream_hourly_profile(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_quality_bands(
+    spark: SparkSession, sf_dir: str, query_name: str = "qbands_out"
+) -> DataFrame:
+    """REAL streaming build of quality_calibration_bands' reliability
+    cells: documents stream in and a streaming aggregation maintains
+    the per-band doc/pass/word counts — the live "is the cheap quality
+    score still calibrated" monitor for an ingest pipeline.
+
+    Mergeable-summary shape: the banding + gate are the SAME narrow
+    codegen projection as the batch operator (imported expressions, not
+    re-derived), state is bounded at ≤10 rows FOREVER, and the cells
+    are bit-identical to the batch rollup (asserted in
+    tests/test_streaming.py). Complete output mode into the
+    constant-size monitor table. Returns (band, n_docs, n_pass,
+    total_words)."""
+    from ai_etl_studio_spark.operators.quality import (
+        _G_MAX_MWL,
+        _G_MAX_WORDS,
+        _G_MIN_MWL,
+        _G_MIN_WORDS,
+    )
+    from ai_etl_studio_spark.operators.text import STOPWORDS
+
+    d = read_docs_stream(spark, sf_dir).filter(F.col("text").isNotNull())
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    base = d.select(ts.alias("ts")).filter(F.size("ts") > 0)
+    n_words = F.size("ts")
+    n_stop = F.size(F.filter("ts", lambda w: w.isin(*STOPWORDS)))
+    mwl = F.length(F.array_join("ts", "")).cast("double") / n_words
+    band = F.least(
+        F.lit(9),
+        F.floor(n_stop.cast("double") / n_words * 10).cast("bigint"),
+    )
+    gate = n_words.between(_G_MIN_WORDS, _G_MAX_WORDS) & mwl.between(
+        _G_MIN_MWL, _G_MAX_MWL
+    )
+    b = (
+        base.select(
+            band.alias("band"),
+            n_words.alias("n_words"),
+            F.when(gate, 1).otherwise(0).alias("ok"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ok").cast("bigint").alias("n_pass"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+    )
+    q = (
+        b.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -227,6 +227,9 @@ HEADLINE = [
     "stl_decompose_weekly",
     "supplier_overlap_jaccard",
     "quality_calibration_bands",
+    "mixed_lang_purity_by_source",
+    "template_prefix_clusters",
+    "burstiness_by_type",
 ]
 
 

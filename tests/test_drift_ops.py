@@ -1334,3 +1334,98 @@ def test_doc_length_deciles_replay(spark):
         seq = [got[s][dec] for dec in range(1, 10)]
         assert seq == sorted(seq)
     assert set(got) == set(by_src)
+
+
+def test_mixed_lang_purity_replay(spark):
+    import re
+
+    MARKERS = {
+        "en": ("the", "and", "of", "is"),
+        "de": ("der", "und", "die", "ist"),
+        "fr": ("le", "et", "les", "est"),
+        "es": ("el", "y", "los", "es"),
+        "zh": ("de5", "shi4", "le5", "he2"),
+    }
+    rows = QUERIES["mixed_lang_purity_by_source"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for d in docs:
+        if d.text is None or d.lang is None:
+            continue
+        toks = re.split(r"\s+", d.text.lower())
+        if not toks:
+            continue
+        for i in range(0, len(toks), 20):
+            ck = toks[i : i + 20]
+            scores = {
+                l: sum(1 for t in ck if t in ws) for l, ws in MARKERS.items()
+            }
+            best = max(scores.values())
+            pred = next(l for l in MARKERS if scores[l] == best)
+            agg[d.source][0] += 1
+            agg[d.source][1] += pred == d.lang
+    got = {r.source: (r.n_chunks, r.n_agree) for r in rows}
+    assert got == {s: tuple(v) for s, v in agg.items()}
+    for r in rows:
+        assert 0 <= r.n_agree <= r.n_chunks
+        assert r.purity_micro == round(r.n_agree / r.n_chunks * 1e6)
+
+
+def test_template_prefix_clusters_replay(spark):
+    import hashlib
+    import re
+
+    rows = QUERIES["template_prefix_clusters"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    groups = defaultdict(set)
+    counts = Counter()
+    for d in docs:
+        if d.text is None:
+            continue
+        pre = " ".join(re.split(r"\s+", d.text.strip().lower())[:8])
+        h = hashlib.md5(pre.encode()).hexdigest()
+        counts[h] += 1
+        groups[h].add(d.source)
+    want = sorted(
+        ((n, h) for h, n in counts.items() if n >= 2),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got = [(r.n_docs, r.prefix_hash) for r in rows]
+    assert got == want
+    for r in rows:
+        assert 1 <= r.n_sources <= r.n_docs
+        assert r.n_sources == len(groups[r.prefix_hash])
+
+
+def test_burstiness_by_type_replay(spark):
+    rows = QUERIES["burstiness_by_type"](spark, SF_DIR).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    import calendar
+
+    # replay at whole-second resolution (timetuple drops the sub-second
+    # part — the same floor the operator's µs // 1e6 applies)
+    per_key = defaultdict(list)
+    for r in ev:
+        per_key[(r.user_id, r.event_type)].append(
+            calendar.timegm(r.ts.timetuple())
+        )
+    stats = defaultdict(lambda: [0, 0, 0])
+    for (_, et), ts_list in per_key.items():
+        ts_list.sort()
+        for a, b in zip(ts_list, ts_list[1:]):
+            g = b - a
+            s = stats[et]
+            s[0] += 1
+            s[1] += g
+            s[2] += g * g
+    for r in rows:
+        n, sg, sgg = stats[r.event_type]
+        assert (r.n, r.sum_gap_s) == (n, sg)
+        mean = sg / n
+        var = max(sgg / n - mean * mean, 0.0)
+        sigma = var**0.5
+        want = round((sigma - mean) / (sigma + mean) * 1e6)
+        assert r.burstiness_micro == want
+        assert -1_000_000 <= r.burstiness_micro < 1_000_000
+    assert {r.event_type for r in rows} == set(stats)

@@ -1158,3 +1158,16 @@ class TestDriftPlans:
         assert t.count("Scan parquet") == 1
         assert "Join" not in t
         assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+
+    def test_purity_and_template_single_pass(self, spark):
+        for name in ("mixed_lang_purity_by_source", "template_prefix_clusters"):
+            t = tree(spark, name)
+            assert t.count("Scan parquet") == 1, name
+            assert "Join" not in t, name
+            assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t, name
+
+    def test_burstiness_one_lag_window_then_rollup(self, spark):
+        t = tree(spark, "burstiness_by_type")
+        assert t.count("Scan parquet") == 1
+        assert "Join" not in t
+        assert t.count("Window") == 1  # one (user,type) lag exchange

@@ -484,3 +484,23 @@ def test_stream_hourly_profile_matches_batch(spark):
         for r in queries["hourly_seasonality_profile"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_stream_quality_bands_matches_batch(spark):
+    """The streaming reliability cells are bit-identical to the batch
+    quality_calibration_bands rollup — the mergeable-summary property
+    that lets the calibration monitor run on the live ingest stream."""
+    from ai_etl_studio_spark.operators import load_all
+    from ai_etl_studio_spark.streaming.windows import run_stream_quality_bands
+
+    queries, _ = load_all()
+    got = {
+        r.band: (r.n_docs, r.n_pass, r.total_words)
+        for r in run_stream_quality_bands(spark, SF_DIR, "t_qbands").collect()
+    }
+    want = {
+        r.band: (r.n_docs, r.n_pass, r.total_words)
+        for r in queries["quality_calibration_bands"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) > 0
