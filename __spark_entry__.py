@@ -82,7 +82,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: cusum_level_shift, stl_decompose_weekly, supplier_overlap_jaccard,
 #: quality_calibration_bands, mixed_lang_purity_by_source,
 #: template_prefix_clusters, burstiness_by_type (+ the third streaming
-#: twin run_stream_quality_bands); no
+#: twin run_stream_quality_bands), cohort_ltv_curve,
+#: supplier_return_z, rising_terms, embedding_outlier_mahalanobis; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

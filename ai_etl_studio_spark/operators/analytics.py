@@ -3983,3 +3983,170 @@ def cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cusum_scaled")).desc(), "d")
         .limit(_CUSUM_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (cumulative revenue per acquisition cohort)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey),
+    cm AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2),
+    ca AS (
+      SELECT f.cohort,
+             (EXTRACT(year FROM cm.m) - EXTRACT(year FROM f.cohort)) * 12
+               + (EXTRACT(month FROM cm.m) - EXTRACT(month FROM f.cohort))
+               AS age,
+             CAST(SUM(cm.cents) AS BIGINT) AS cents
+      FROM cm JOIN fo f USING (o_custkey) GROUP BY 1, 2),
+    sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM fo GROUP BY cohort),
+    cum AS (
+      SELECT cohort, age, cents,
+             CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY age)
+               AS BIGINT) AS cum_cents
+      FROM ca)
+    SELECT strftime(c.cohort, '%Y-%m') AS cohort_month,
+           CAST(c.age AS BIGINT) AS age, c.cents AS rev_cents, c.cum_cents,
+           s.cohort_size,
+           CAST(round(CAST(c.cum_cents AS DOUBLE) / s.cohort_size, 0)
+             AS BIGINT) AS ltv_cents
+    FROM cum c JOIN sizes s USING (cohort)
+    ORDER BY cohort_month, age
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative revenue per acquisition
+    cohort by months-since-first-order, per-customer — the payback /
+    LTV:CAC readout that cohort_retention's activity triangle cannot
+    price.
+
+    Scale: ONE orders scan — the per-(customer, month) cents reduction
+    is checkpointed, the cohort month falls out of a per-customer MIN
+    window over that reduction (no second scan, no fact self-join for
+    the first-order date), and both consumers (cohort×age revenue,
+    cohort sizes) read the checkpoint; sizes join back hint-free
+    (aggregate-reduced to |cohorts| rows). Exact integer cents
+    throughout; LTV is one mirrored division.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cm = (
+        o.groupBy(
+            "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("cents"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("o_custkey")
+    cc = cm.withColumn("cohort", F.min("m").over(w))
+    age = (
+        (F.year("m") - F.year("cohort")) * 12 + (F.month("m") - F.month("cohort"))
+    ).cast("bigint")
+    ca = cc.groupBy("cohort", age.alias("age")).agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    )
+    sizes = cc.groupBy("cohort").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("cohort_size")
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ca.withColumn("cum_cents", F.sum("cents").over(w_cum).cast("bigint"))
+    return (
+        cum.join(sizes, "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            "age",
+            F.col("cents").alias("rev_cents"),
+            "cum_cents",
+            "cohort_size",
+            F.round(
+                F.col("cum_cents").cast("double") / F.col("cohort_size"), 0
+            ).cast("bigint").alias("ltv_cents"),
+        )
+        .orderBy("cohort_month", "age")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier return-rate anomaly (binomial z vs the global rate)
+# ---------------------------------------------------------------------------
+
+_RETZ_TOPK = 15
+
+
+@register(
+    "supplier_return_z",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_ret
+      FROM lineitem GROUP BY l_suppkey),
+    g AS (SELECT CAST(SUM(n_lines) AS BIGINT) AS tn,
+                 CAST(SUM(n_ret) AS BIGINT) AS tr FROM s)
+    SELECT s.l_suppkey, s.n_lines, s.n_ret,
+           CAST(round(
+             (CAST(s.n_ret AS DOUBLE) - s.n_lines * (CAST(g.tr AS DOUBLE) / g.tn))
+             / sqrt(s.n_lines * (CAST(g.tr AS DOUBLE) / g.tn)
+                    * (1 - CAST(g.tr AS DOUBLE) / g.tn)) * 1000000, 0)
+             AS BIGINT) AS z_micro
+    FROM s, g
+    ORDER BY z_micro DESC, s.l_suppkey
+    LIMIT {_RETZ_TOPK}
+    """,
+)
+def supplier_return_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier return-rate anomalies: binomial z-score of each
+    supplier's 'R' line share against the global rate — the
+    quality-escalation queue (which suppliers' returns are
+    statistically elevated, not just noisily high on small volume;
+    the z denominator does exactly that discounting).
+
+    Scale: lineitem reduces once to |suppliers| rows of exact integer
+    counts (map-side combine); the reduction is checkpointed so the
+    2-value global rate aggregates from it WITHOUT replanning the scan,
+    then broadcasts back; z is one mirrored closed-form expression of
+    exactly-known int64s (IEEE sqrt is exact). Top-k heap.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ret"),
+        )
+        .localCheckpoint()
+    )
+    g = s.agg(
+        F.sum("n_lines").cast("bigint").alias("tn"),
+        F.sum("n_ret").cast("bigint").alias("tr"),
+    )
+    p = F.col("tr").cast("double") / F.col("tn")
+    z = (F.col("n_ret").cast("double") - F.col("n_lines") * p) / F.sqrt(
+        F.col("n_lines") * p * (F.lit(1.0) - p)
+    )
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            "l_suppkey",
+            "n_lines",
+            "n_ret",
+            F.round(z * 1_000_000, 0).cast("bigint").alias("z_micro"),
+        )
+        .orderBy(F.desc("z_micro"), "l_suppkey")
+        .limit(_RETZ_TOPK)
+    )

@@ -887,3 +887,81 @@ def quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_b").cast("bigint").alias("v_b"),
         (F.col("v_a") - F.col("v_b")).cast("bigint").alias("gap_cents"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Rising terms between corpus halves
+# ---------------------------------------------------------------------------
+
+_RISING_TOPK = 25
+
+
+@register(
+    "rising_terms",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half,
+             unnest(string_split_regex(lower(text), '\s+')) AS token
+      FROM documents WHERE text IS NOT NULL),
+    c AS (
+      SELECT token,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM tok WHERE token <> '' GROUP BY token),
+    tot AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+      FROM c)
+    SELECT c.token, c.n_a, c.n_b,
+           CAST(round((CAST(c.n_b AS DOUBLE) / tb - CAST(c.n_a AS DOUBLE) / ta)
+             * 1000000000, 0) AS BIGINT) AS share_delta_ticks
+    FROM c, tot
+    ORDER BY share_delta_ticks DESC, c.token
+    LIMIT {_RISING_TOPK}
+    """,
+)
+def rising_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-terms detector: the tokens whose frequency SHARE rose
+    most between the two deterministic corpus halves — the vocabulary-
+    level drift readout (new jargon, a new feed's tics, an emerging
+    spam template) that psi_drift's length bins and entropy_by_source's
+    language mix cannot name.
+
+    Scale: ONE (token)-keyed reduction computes both cohorts' counts as
+    conditional sums (vocabulary-bounded state, map-side combine); the
+    reduction is checkpointed so the 2-value totals aggregate from it
+    without replanning the scan, then broadcast back; share deltas are
+    mirrored divisions in nanoticks and the top-k is a heap.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    c = (
+        tok.groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+        .localCheckpoint()
+    )
+    tot = c.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    delta = F.round(
+        (F.col("n_b").cast("double") / F.col("tb")
+         - F.col("n_a").cast("double") / F.col("ta"))
+        * 1_000_000_000,
+        0,
+    ).cast("bigint")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select("token", "n_a", "n_b", delta.alias("share_delta_ticks"))
+        .orderBy(F.desc("share_delta_ticks"), "token")
+        .limit(_RISING_TOPK)
+    )

@@ -1654,3 +1654,88 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label Mahalanobis (diagonal) embedding outliers
+# ---------------------------------------------------------------------------
+
+_MAHA_TOPK = 15
+
+
+@register(
+    "embedding_outlier_mahalanobis",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS xm,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    st AS (
+      SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xm) AS BIGINT) AS sx,
+             CAST(SUM(xm * xm) AS DOUBLE) AS sxx
+      FROM e GROUP BY label, dim),
+    terms AS (
+      SELECT e.vec_id, e.label,
+             CAST(round(
+               pow(e.xm - CAST(st.sx AS DOUBLE) / st.n, 2)
+               / GREATEST(st.sxx / st.n
+                          - pow(CAST(st.sx AS DOUBLE) / st.n, 2), 1)
+               * 1000000, 0) AS BIGINT) AS term_ticks
+      FROM e JOIN st ON e.label = st.label AND e.dim = st.dim)
+    SELECT vec_id, label, CAST(SUM(term_ticks) AS BIGINT) AS maha2_ticks
+    FROM terms GROUP BY vec_id, label
+    ORDER BY maha2_ticks DESC, vec_id
+    LIMIT {_MAHA_TOPK}
+    """,
+)
+def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers by diagonal-covariance Mahalanobis
+    distance: vectors far from their label's per-dimension mean/variance
+    envelope — the mislabeled/corrupt-vector screen that raw L2 norms
+    (embedding_norm_audit) can't see because a bad vector can have a
+    perfectly normal norm.
+
+    Scale: the build/serve two-pass shape — pass 1 reduces the exploded
+    (label, dim) micro-units to a |labels|×|dims| sufficient-statistics
+    table (Σx exact int64, Σx² in DuckDB's HUGEINT / Spark
+    decimal(38,0) with ONE cast to double); pass 2 re-explodes and
+    joins that tiny table back (hint-free — aggregate-reduced, AQE
+    broadcasts), quantizes each dimension's (x−μ)²/σ² term to ticks
+    BEFORE the per-vector sum (exact int64, order-free; variance floor
+    GREATEST(·,1) guards degenerate dims), and the groupBy vec_id
+    combines map-side since a vector's dims are co-located. Top-k heap.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000, 0).cast("bigint").alias("xm"),
+    )
+    st = e.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xm").cast("bigint").alias("sx"),
+        F.sum((F.col("xm") * F.col("xm")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    var = F.greatest(F.col("sxx") / F.col("n") - mu * mu, F.lit(1.0))
+    term = F.round(
+        F.pow(F.col("xm") - mu, F.lit(2.0)) / var * 1_000_000, 0
+    ).cast("bigint")
+    return (
+        e.join(st, ["label", "dim"])
+        .select("vec_id", "label", term.alias("term_ticks"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("term_ticks").cast("bigint").alias("maha2_ticks"))
+        .orderBy(F.desc("maha2_ticks"), "vec_id")
+        .limit(_MAHA_TOPK)
+    )

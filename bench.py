@@ -230,6 +230,10 @@ HEADLINE = [
     "mixed_lang_purity_by_source",
     "template_prefix_clusters",
     "burstiness_by_type",
+    "cohort_ltv_curve",
+    "supplier_return_z",
+    "rising_terms",
+    "embedding_outlier_mahalanobis",
 ]
 
 

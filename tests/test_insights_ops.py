@@ -778,3 +778,121 @@ def test_quality_calibration_bands_partition_of_corpus(spark):
     for r in rows:
         assert 0 <= r.band <= 9
         assert 0 <= r.n_pass <= r.n_docs
+
+
+def test_cohort_ltv_curve_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["cohort_ltv_curve"](spark, SF_DIR).collect()
+    assert rows
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    first = {}
+    rev = defaultdict(int)
+    for r in o:
+        m = (r.o_orderdate.year, r.o_orderdate.month)
+        c = r.o_custkey
+        first[c] = min(first.get(c, m), m)
+        rev[(c, m)] += round(r.o_totalprice * 100)
+    sizes = defaultdict(int)
+    for c, f in first.items():
+        sizes[f] += 1
+    ca = defaultdict(int)
+    for (c, m), cents in rev.items():
+        f = first[c]
+        age = (m[0] - f[0]) * 12 + (m[1] - f[1])
+        ca[(f, age)] += cents
+    got = {(r.cohort_month, r.age): (r.rev_cents, r.cum_cents, r.cohort_size) for r in rows}
+    assert len(got) == len(ca)
+    cum = defaultdict(int)
+    for (f, age) in sorted(ca):
+        cum[f] += ca[(f, age)]
+        key = (f"{f[0]:04d}-{f[1]:02d}", age)
+        assert got[key] == (ca[(f, age)], cum[f], sizes[f]), key
+    # LTV is the rounded per-customer cumulative and never decreases
+    by_cohort = defaultdict(list)
+    import math
+
+    for r in rows:
+        # half-away-from-zero (Spark/DuckDB round), not Python banker's
+        assert r.ltv_cents == math.floor(r.cum_cents / r.cohort_size + 0.5)
+        by_cohort[r.cohort_month].append((r.age, r.cum_cents))
+    for ages in by_cohort.values():
+        seq = [c for _, c in sorted(ages)]
+        assert seq == sorted(seq)
+
+
+def test_supplier_return_z_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["supplier_return_z"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    st = defaultdict(lambda: [0, 0])
+    for r in li:
+        s = st[r.l_suppkey]
+        s[0] += 1
+        s[1] += r.l_returnflag == "R"
+    tn = sum(v[0] for v in st.values())
+    tr = sum(v[1] for v in st.values())
+    p = tr / tn
+    z = {
+        k: round((v[1] - v[0] * p) / (v[0] * p * (1 - p)) ** 0.5 * 1e6)
+        for k, v in st.items()
+    }
+    want = sorted(z.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = [(r.l_suppkey, r.z_micro) for r in rows]
+    assert len(rows) == min(15, len(st))
+    assert got == want[: len(got)]
+
+
+def test_rising_terms_replay(spark):
+    import re
+    from collections import Counter
+
+    rows = QUERIES["rising_terms"](spark, SF_DIR).collect()
+    assert len(rows) == 25
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    a, b = Counter(), Counter()
+    for d in docs:
+        if d.text is None:
+            continue
+        side = b if d.doc_id % 2 else a
+        for t in re.split(r"\s+", d.text.lower()):
+            if t:
+                side[t] += 1
+    ta, tb = sum(a.values()), sum(b.values())
+    delta = {
+        t: round((b[t] / tb - a[t] / ta) * 1e9) for t in set(a) | set(b)
+    }
+    want = sorted(delta.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [(r.token, r.share_delta_ticks) for r in rows]
+    assert got == want
+    # share deltas over the whole vocabulary cancel to ~0 by definition
+    assert abs(sum(delta.values())) <= len(delta)
+
+
+def test_embedding_outlier_mahalanobis_replay(spark):
+    import numpy as np
+
+    rows = QUERIES["embedding_outlier_mahalanobis"](spark, SF_DIR).collect()
+    assert len(rows) == 15
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    from collections import defaultdict
+
+    by_label = defaultdict(list)
+    for r in emb:
+        xm = np.round(np.array(r.embedding, dtype=np.float64) * 1e6)
+        by_label[r.label].append((r.vec_id, xm))
+    scores = {}
+    for lab, vecs in by_label.items():
+        m = np.stack([x for _, x in vecs])
+        n = len(vecs)
+        mu = m.sum(axis=0) / n
+        var = np.maximum((m * m).sum(axis=0) / n - mu * mu, 1.0)
+        for vid, x in vecs:
+            scores[(vid, lab)] = int(
+                np.round((x - mu) ** 2 / var * 1e6).sum()
+            )
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0][0]))[:15]
+    got = [((r.vec_id, r.label), r.maha2_ticks) for r in rows]
+    assert got == want
+    assert all(v >= 0 for _, v in got)

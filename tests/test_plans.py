@@ -1171,3 +1171,27 @@ class TestDriftPlans:
         assert t.count("Scan parquet") == 1
         assert "Join" not in t
         assert t.count("Window") == 1  # one (user,type) lag exchange
+
+    def test_cohort_ltv_single_scan_window_cohort(self, spark):
+        # cohort month via per-customer window over the CHECKPOINTED
+        # (customer, month) reduction — no second orders scan, no
+        # fact self-join for the first-order date
+        t = tree(spark, "cohort_ltv_curve")
+        assert t.count("Scan parquet") == 0
+        assert "CartesianProduct" not in t
+
+    def test_return_z_and_rising_terms_on_checkpoint(self, spark):
+        for name in ("supplier_return_z", "rising_terms"):
+            t = tree(spark, name)
+            assert t.count("Scan parquet") == 0, name  # checkpointed reduction
+            assert "TakeOrderedAndProject" in t, name  # top-k heap
+
+    def test_mahalanobis_build_serve_two_pass(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "embedding_outlier_mahalanobis")
+        assert t.count("Scan parquet") == 2  # stats pass + scoring pass
+        assert "CartesianProduct" not in t
+        assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        df = QUERIES["embedding_outlier_mahalanobis"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
