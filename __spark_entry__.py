@@ -83,7 +83,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: quality_calibration_bands, mixed_lang_purity_by_source,
 #: template_prefix_clusters, burstiness_by_type (+ the third streaming
 #: twin run_stream_quality_bands), cohort_ltv_curve,
-#: supplier_return_z, rising_terms, embedding_outlier_mahalanobis; no
+#: supplier_return_z, rising_terms, embedding_outlier_mahalanobis,
+#: lsh_recall_by_band, ab_power_sample_size, l_diversity_audit; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -819,3 +819,56 @@ def partition_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("candidate")
     )
+
+
+#: l-diversity floor for the sensitive-attribute audit.
+L_DIV = 3
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+      FROM customer GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(l_div) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l_div < {L_DIV} THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_l,
+           CAST(SUM(CASE WHEN l_div < {L_DIV} THEN cnt ELSE 0 END) AS BIGINT)
+             AS rows_at_risk
+    FROM g
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: k_anonymity_audit's companion — a QI group can
+    be ≥k rows yet still leak if every member shares the SAME sensitive
+    value (here: market segment within (nation, balance-band) groups).
+    Counts groups whose sensitive-attribute diversity falls below
+    l={L_DIV} and the rows exposed by them.
+
+    Scale: one (QI, sensitive)-bounded aggregation with map-side
+    combine (distinct-count state is ≤|segments| per group), then a
+    1-row rollup; explicit floor() banding so negative balances band
+    identically in both engines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("l_div"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("l_div").cast("bigint").alias("min_l"),
+        F.sum(F.when(F.col("l_div") < L_DIV, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_below_l"),
+        F.sum(F.when(F.col("l_div") < L_DIV, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+    )

@@ -1231,3 +1231,120 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Measured LSH recall by true-Jaccard band (empirical tuning audit)
+# ---------------------------------------------------------------------------
+
+#: Deterministic evaluation sample: docs with doc_id % MOD == 0. Bounds
+#: the exact-Jaccard truth join to a constant fraction of the corpus.
+_RECALL_MOD = 2
+
+
+def _lsh_recall_oracle() -> str:
+    return rf"""
+    WITH {_bands_cte()},
+    {_SQL_CAPPED_BUCKETS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+      WHERE a.doc_id % {_RECALL_MOD} = 0 AND b.doc_id % {_RECALL_MOD} = 0),
+    sx AS (SELECT doc_id, shingles FROM sh WHERE doc_id % {_RECALL_MOD} = 0),
+    exs AS (SELECT doc_id, unnest(shingles) AS shingle FROM sx),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sx),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM exs a JOIN exs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT i.d1, i.d2,
+             CAST(i.n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_inter) AS j
+      FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id
+                   JOIN sizes s2 ON i.d2 = s2.doc_id
+      WHERE CAST(i.n_inter AS DOUBLE)
+            / (s1.n_sh + s2.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}),
+    flag AS (
+      SELECT LEAST(9, CAST(floor(t.j * 10) AS BIGINT)) AS j_band,
+             CASE WHEN c.d1 IS NULL THEN 0 ELSE 1 END AS caught
+      FROM truth t LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2)
+    SELECT j_band, CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(caught) AS BIGINT) AS n_caught,
+           CAST(round(CAST(SUM(caught) AS DOUBLE) / COUNT(*) * 1000000, 0)
+             AS BIGINT) AS recall_micro
+    FROM flag GROUP BY j_band ORDER BY j_band
+    """
+
+
+@register("lsh_recall_by_band", oracle=_lsh_recall_oracle())
+def lsh_recall_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall of the production capped-LSH candidate pipeline
+    against exact Jaccard truth, bucketed by true similarity — the
+    empirical validation of lsh_tuning_curve's theoretical S-curve
+    (theory says band-4×4 catches j≥0.5 pairs with p≥0.94; this is the
+    query that checks the deployed pipeline actually does, including
+    what the hot-bucket cap costs).
+
+    Scale: the exact-Jaccard truth join is the known-quadratic
+    verification shape, so it runs on a DETERMINISTIC 1/{_RECALL_MOD}
+    doc sample (doc_id % {_RECALL_MOD} — mirrored in the oracle;
+    recall is a per-pair property, so a doc sample estimates it
+    unbiasedly within similarity bands). Candidates come from the SAME
+    capped band join production uses (cap applied corpus-wide, THEN
+    restricted to the sample — measuring the pipeline as deployed).
+    One left join flags caught pairs; the readout is a ≤10-row rollup.
+    """
+    from pyspark.sql import Window as W
+
+    sh = _shingle_df(spark, sf_dir)
+    cand = (
+        _lsh_candidate_pairs(spark, sf_dir, cap=LSH_BUCKET_CAP)
+        .filter(
+            (F.col("doc_id_1") % _RECALL_MOD == 0)
+            & (F.col("doc_id_2") % _RECALL_MOD == 0)
+        )
+        .select(
+            F.col("doc_id_1").alias("d1"),
+            F.col("doc_id_2").alias("d2"),
+            F.lit(1).alias("caught"),
+        )
+    )
+    sx = sh.filter(F.col("doc_id") % _RECALL_MOD == 0).localCheckpoint()
+    sizes = sx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sx.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sx.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    j = F.col("n_inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_inter")
+    )
+    truth = (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("j", j)
+        .filter(F.col("j") >= JACCARD_THRESHOLD)
+    )
+    flag = truth.join(cand, ["d1", "d2"], "left").select(
+        F.least(F.lit(9), F.floor(F.col("j") * 10).cast("bigint")).alias("j_band"),
+        F.coalesce(F.col("caught"), F.lit(0)).alias("caught"),
+    )
+    return (
+        flag.groupBy("j_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum("caught").cast("bigint").alias("n_caught"),
+            F.round(
+                F.sum("caught").cast("double") / F.count(F.lit(1)) * 1_000_000,
+                0,
+            ).cast("bigint").alias("recall_micro"),
+        )
+        .orderBy("j_band")
+    )

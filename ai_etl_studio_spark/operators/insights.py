@@ -2240,3 +2240,77 @@ def burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("burstiness_micro"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A/B test sample-size planner (two-proportion power calculation)
+# ---------------------------------------------------------------------------
+
+#: MDE grid in per-mille relative lift; z for α=0.05 two-sided, 80% power.
+_POWER_MDE_PM = (10, 20, 50, 100)
+_Z_ALPHA = 1.959964
+_Z_BETA = 0.841621
+
+
+@register(
+    "ab_power_sample_size",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_conv
+      FROM events),
+    grid AS (SELECT unnest([{", ".join(str(m) for m in _POWER_MDE_PM)}])
+             AS mde_pm),
+    calc AS (
+      SELECT CAST(g.mde_pm AS BIGINT) AS mde_pm, b.n_events, b.n_conv,
+             CAST(b.n_conv AS DOUBLE) / b.n_events AS p1,
+             (CAST(b.n_conv AS DOUBLE) / b.n_events)
+               * (1 + g.mde_pm / 1000.0) AS p2
+      FROM base b, grid g)
+    SELECT mde_pm, n_events, n_conv,
+           CAST(round(p1 * 1000000, 0) AS BIGINT) AS p_base_micro,
+           CAST(round(p2 * 1000000, 0) AS BIGINT) AS p_target_micro,
+           CAST(ceil(({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA})
+             * (p1 * (1 - p1) + p2 * (1 - p2)) / ((p2 - p1) * (p2 - p1)))
+             AS BIGINT) AS n_per_arm
+    FROM calc ORDER BY mde_pm
+    """,
+)
+def ab_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size planner: events needed PER ARM to detect each
+    relative lift in the purchase share at α=0.05 / 80% power (normal
+    approximation, unpooled variance) — the "how long must this test
+    run" table that belongs in front of ab_test_ztest and ab_srm_check.
+
+    Scale: the baseline proportion is ONE fused conditional count over
+    events; the MDE grid is a {len(_POWER_MDE_PM)}-literal cross join
+    and the closed form is a mirrored single expression of
+    exactly-known int64s — cost is one scan at any event volume.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_conv"),
+    )
+    grid = base.select(
+        "n_events",
+        "n_conv",
+        F.explode(F.array(*[F.lit(m) for m in _POWER_MDE_PM])).alias("mde"),
+    ).select("n_events", "n_conv", F.col("mde").cast("bigint").alias("mde_pm"))
+    p1 = F.col("n_conv").cast("double") / F.col("n_events")
+    p2 = p1 * (F.lit(1.0) + F.col("mde_pm") / F.lit(1000.0))
+    zsum2 = F.lit((_Z_ALPHA + _Z_BETA) ** 2)
+    n_arm = F.ceil(
+        zsum2 * (p1 * (1 - p1) + p2 * (1 - p2)) / ((p2 - p1) * (p2 - p1))
+    ).cast("bigint")
+    return grid.select(
+        "mde_pm",
+        "n_events",
+        "n_conv",
+        F.round(p1 * 1_000_000, 0).cast("bigint").alias("p_base_micro"),
+        F.round(p2 * 1_000_000, 0).cast("bigint").alias("p_target_micro"),
+        n_arm.alias("n_per_arm"),
+    ).orderBy("mde_pm")

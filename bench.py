@@ -234,6 +234,9 @@ HEADLINE = [
     "supplier_return_z",
     "rising_terms",
     "embedding_outlier_mahalanobis",
+    "lsh_recall_by_band",
+    "ab_power_sample_size",
+    "l_diversity_audit",
 ]
 
 

@@ -86,3 +86,45 @@ def test_simhash_drops_null_text_docs(spark, tmp_path):
     out = {r.doc_id: r.simhash for r in dedup_simhash(spark, sf).collect()}
     assert set(out) == {1, 3}
     assert out[1] == out[3]
+
+
+def test_lsh_recall_by_band_truth_and_invariants(spark):
+    """The truth side of the recall eval equals a pure-python exact
+    Jaccard over the deterministic doc sample, and identical documents
+    (j-band 9) are always caught by the banded join."""
+    import re
+    from collections import defaultdict
+
+    from ai_etl_studio_spark.operators import load_all
+
+    queries, _ = load_all()
+    rows = queries["lsh_recall_by_band"](spark, "/root/testdata/sf0.001").collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    sh = {}
+    for d in docs:
+        if d.doc_id % 2 or d.text is None:
+            continue
+        toks = re.split(r"\s+", d.text.lower())
+        if len(toks) < 3:
+            continue
+        sh[d.doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    ids = sorted(sh)
+    band_counts = defaultdict(int)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            inter = len(sh[d1] & sh[d2])
+            if not inter:
+                continue
+            j = inter / (len(sh[d1]) + len(sh[d2]) - inter)
+            if j >= 0.2:
+                band_counts[min(9, int(j * 10))] += 1
+    got = {r.j_band: r.n_true for r in rows}
+    assert got == dict(band_counts)
+    for r in rows:
+        assert 0 <= r.n_caught <= r.n_true
+        assert r.recall_micro == round(r.n_caught / r.n_true * 1e6)
+        if r.j_band == 9:
+            # identical shingle sets collide on every band
+            assert r.recall_micro == 1_000_000

@@ -896,3 +896,46 @@ def test_embedding_outlier_mahalanobis_replay(spark):
     got = [((r.vec_id, r.label), r.maha2_ticks) for r in rows]
     assert got == want
     assert all(v >= 0 for _, v in got)
+
+
+def test_ab_power_sample_size_replay(spark):
+    import math
+
+    rows = QUERIES["ab_power_sample_size"](spark, SF_DIR).collect()
+    assert [r.mde_pm for r in rows] == [10, 20, 50, 100]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    n = len(ev)
+    conv = sum(1 for r in ev if r.event_type == "purchase")
+    p1 = conv / n
+    prev = None
+    for r in rows:
+        assert (r.n_events, r.n_conv) == (n, conv)
+        p2 = p1 * (1 + r.mde_pm / 1000.0)
+        want = math.ceil(
+            (1.959964 + 0.841621) ** 2
+            * (p1 * (1 - p1) + p2 * (1 - p2))
+            / (p2 - p1) ** 2
+        )
+        assert r.n_per_arm == want
+        # smaller detectable lifts need more samples
+        if prev is not None:
+            assert r.n_per_arm < prev
+        prev = r.n_per_arm
+
+
+def test_l_diversity_audit_replay(spark):
+    import math
+    from collections import defaultdict
+
+    [r] = QUERIES["l_diversity_audit"](spark, SF_DIR).collect()
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    groups = defaultdict(lambda: [0, set()])
+    for row in c:
+        g = groups[(row.c_nationkey, math.floor(row.c_acctbal / 1000))]
+        g[0] += 1
+        g[1].add(row.c_mktsegment)
+    below = [(cnt, len(s)) for cnt, s in groups.values() if len(s) < 3]
+    assert r.n_groups == len(groups)
+    assert r.min_l == min(len(s) for _, s in groups.values())
+    assert r.groups_below_l == len(below)
+    assert r.rows_at_risk == sum(cnt for cnt, _ in below)

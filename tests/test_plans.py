@@ -1195,3 +1195,17 @@ class TestDriftPlans:
         assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
         df = QUERIES["embedding_outlier_mahalanobis"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_lsh_recall_no_cartesian_hint_free(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "lsh_recall_by_band")
+        assert "CartesianProduct" not in t
+        df = QUERIES["lsh_recall_by_band"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_power_and_ldiv_single_scan(self, spark):
+        for name in ("ab_power_sample_size", "l_diversity_audit"):
+            t = tree(spark, name)
+            assert t.count("Scan parquet") == 1, name
+            assert "Join" not in t, name
