@@ -84,7 +84,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: template_prefix_clusters, burstiness_by_type (+ the third streaming
 #: twin run_stream_quality_bands), cohort_ltv_curve,
 #: supplier_return_z, rising_terms, embedding_outlier_mahalanobis,
-#: lsh_recall_by_band, ab_power_sample_size, l_diversity_audit; no
+#: lsh_recall_by_band, ab_power_sample_size, l_diversity_audit,
+#: ann_ivf_recall_eval, minhash_estimate_calibration; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

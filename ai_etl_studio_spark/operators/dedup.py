@@ -1348,3 +1348,123 @@ def lsh_recall_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-estimate calibration vs exact Jaccard on candidate pairs
+# ---------------------------------------------------------------------------
+
+def _mh_calibration_oracle() -> str:
+    agree = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K)
+    )
+    est_ticks = 1_000_000 // MINHASH_K
+    jac = (
+        "CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) / "
+        "(len(s1.shingles) + len(s2.shingles)"
+        " - len(list_intersect(s1.shingles, s2.shingles)))"
+    )
+    return rf"""
+    WITH {_bands_cte()},
+    {_SQL_CAPPED_BUCKETS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT c.d1, c.d2, ({agree}) * {est_ticks} AS est_micro,
+             {jac} AS j
+      FROM cand c
+      JOIN sig sa ON c.d1 = sa.doc_id
+      JOIN sig sb ON c.d2 = sb.doc_id
+      JOIN sh s1 ON c.d1 = s1.doc_id
+      JOIN sh s2 ON c.d2 = s2.doc_id)
+    SELECT LEAST(9, CAST(floor(j * 10) AS BIGINT)) AS j_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(est_micro) AS BIGINT) AS sum_est_micro,
+           CAST(SUM(CAST(round(abs(est_micro - j * 1000000), 0) AS BIGINT))
+             AS BIGINT) AS sum_abs_err_micro
+    FROM scored GROUP BY j_band ORDER BY j_band
+    """
+
+
+@register("minhash_estimate_calibration", oracle=_mh_calibration_oracle())
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the {MINHASH_K}-component MinHash Jaccard
+    ESTIMATOR against exact Jaccard on the production candidate pairs:
+    per true-similarity band, pair volume, summed estimate mass, and
+    summed absolute error — the "can I trust signature agreement as a
+    score, or must I always verify with shingles" readout (expected
+    estimator σ at k={MINHASH_K} is √(j(1−j)/{MINHASH_K}) ≈ 0.12 at
+    j=0.5; this measures it on THIS corpus).
+
+    Scale: candidates come from the capped band join (bounded fan-out);
+    signature agreement is a {MINHASH_K}-term integer sum over the two
+    broadcast-joined signature rows — estimates are EXACT integer
+    micro-units (1e6/{MINHASH_K} per agreeing component), so the
+    per-band sums are order-free int64; exact Jaccard runs only on the
+    candidate set (the verified-pairs discipline), and the error term
+    quantizes per pair before summing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = signature_from(d).localCheckpoint()
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cand = _lsh_candidate_pairs(spark, sf_dir, cap=LSH_BUCKET_CAP).select(
+        F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2")
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(MINHASH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(MINHASH_K)],
+    )
+    est_ticks = 1_000_000 // MINHASH_K
+    agree = None
+    for i in range(MINHASH_K):
+        t = F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        agree = t if agree is None else (agree + t)
+    # exact Jaccard on candidates only (the verified-pairs discipline)
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        cand.join(a, "d1")
+        .join(b, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    j = F.col("n_inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_inter")
+    )
+    scored = (
+        cand.join(sa, "d1")
+        .join(sb, "d2")
+        .select("d1", "d2", (agree * est_ticks).alias("est_micro"))
+        .join(inter, ["d1", "d2"], "left")
+        .join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("j", F.coalesce(j, F.lit(0.0)))
+    )
+    return (
+        scored.groupBy(
+            F.least(F.lit(9), F.floor(F.col("j") * 10).cast("bigint")).alias(
+                "j_band"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("est_micro").cast("bigint").alias("sum_est_micro"),
+            F.sum(
+                F.round(
+                    F.abs(F.col("est_micro") - F.col("j") * 1_000_000), 0
+                ).cast("bigint")
+            ).cast("bigint").alias("sum_abs_err_micro"),
+        )
+        .orderBy("j_band")
+    )

@@ -1739,3 +1739,64 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("maha2_ticks"), "vec_id")
         .limit(_MAHA_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Measured IVF recall vs exact cosine truth
+# ---------------------------------------------------------------------------
+
+def _ivf_recall_oracle() -> str:
+    from ai_etl_studio_spark.operators import ORACLES
+
+    return f"""
+    WITH exact AS ({ORACLES["ann_cosine_topk"]}),
+    approx AS ({ORACLES["ann_ivf_topk"]}),
+    hit AS (
+      SELECT e.query_id,
+             CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM exact e LEFT JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           CAST(round(CAST(SUM(hit) AS DOUBLE) / COUNT(*) * 1000000, 0)
+             AS BIGINT) AS recall_micro
+    FROM hit GROUP BY query_id ORDER BY query_id
+    """
+
+
+@register("ann_ivf_recall_eval", oracle=_ivf_recall_oracle())
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@{TOPK} of the IVF scale path against the exact
+    brute-force truth, per query — the companion of lsh_recall_by_band
+    for the vector side: the number that says whether NPROBE={NPROBE}
+    of {N_CENTROIDS} lists is enough for THIS corpus, not in theory.
+
+    Scale: composes the two registered pipelines (truth broadcasts the
+    tiny query set and streams the corpus once; IVF scans only probed
+    lists), then one left join on ({TOPK}·|Q| rows — driver-trivial)
+    and a |Q|-row rollup. The oracle composes the same two REGISTERED
+    oracle texts, so the eval can never drift from what it audits.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+                * 1_000_000,
+                0,
+            ).cast("bigint").alias("recall_micro"),
+        )
+        .orderBy("query_id")
+    )

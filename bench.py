@@ -237,6 +237,8 @@ HEADLINE = [
     "lsh_recall_by_band",
     "ab_power_sample_size",
     "l_diversity_audit",
+    "ann_ivf_recall_eval",
+    "minhash_estimate_calibration",
 ]
 
 

@@ -128,3 +128,50 @@ def test_lsh_recall_by_band_truth_and_invariants(spark):
         if r.j_band == 9:
             # identical shingle sets collide on every band
             assert r.recall_micro == 1_000_000
+
+
+def test_minhash_calibration_error_bound(spark):
+    """The measured mean absolute error of the 16-component estimator
+    stays within 3× the theoretical σ ≈ √(j(1−j)/16) per band, and the
+    estimate mass is consistent with the band's true similarity."""
+    from ai_etl_studio_spark.operators import load_all
+
+    queries, _ = load_all()
+    rows = queries["minhash_estimate_calibration"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pairs > 0
+        mean_est = r.sum_est_micro / r.n_pairs / 1e6
+        mae = r.sum_abs_err_micro / r.n_pairs / 1e6
+        assert 0.0 <= mean_est <= 1.0
+        j_mid = min(r.j_band / 10 + 0.05, 1.0)
+        sigma = (j_mid * (1 - j_mid) / 16) ** 0.5
+        assert mae <= 3 * sigma + 0.1, (r.j_band, mae, sigma)
+    # the exact-duplicate band estimates ~1.0 with ~zero error
+    top = {r.j_band: r for r in rows}
+    if 9 in top:
+        assert top[9].sum_abs_err_micro / top[9].n_pairs <= 100_000
+
+
+def test_ann_ivf_recall_eval_bounds(spark):
+    """IVF recall per query is in [0, 1], denominators equal TOPK, and
+    probing all lists would be exact — the eval's own sanity floor:
+    recall must beat the NPROBE/N_CENTROIDS random-lists baseline."""
+    from ai_etl_studio_spark.operators import load_all
+    from ai_etl_studio_spark.operators.similarity import (
+        N_QUERIES,
+        TOPK,
+    )
+
+    queries, _ = load_all()
+    rows = queries["ann_ivf_recall_eval"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == N_QUERIES
+    rec = [r.recall_micro / 1e6 for r in rows]
+    for r in rows:
+        assert r.n_exact == TOPK
+        assert 0 <= r.n_hit <= r.n_exact
+        assert r.recall_micro == round(r.n_hit / r.n_exact * 1e6)
+    # average recall across queries clears the random-probe baseline
+    assert sum(rec) / len(rec) > 4 / 16

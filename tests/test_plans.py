@@ -1209,3 +1209,12 @@ class TestDriftPlans:
             t = tree(spark, name)
             assert t.count("Scan parquet") == 1, name
             assert "Join" not in t, name
+
+    def test_recall_evals_no_cartesian_hint_free(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        for name in ("ann_ivf_recall_eval", "minhash_estimate_calibration"):
+            t = tree(spark, name)
+            assert "CartesianProduct" not in t, name
+            df = QUERIES[name](spark, SF_DIR)
+            assert broadcast_violations(df) == [], name
