@@ -4150,3 +4150,89 @@ def supplier_return_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("z_micro"), "l_suppkey")
         .limit(_RETZ_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly order-backlog series (opened − fully-shipped, cumulative)
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_backlog_monthly",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, date_trunc('month', o_orderdate) AS om FROM orders),
+    r AS (
+      SELECT l_orderkey, date_trunc('month', MAX(l_shipdate)) AS rm
+      FROM lineitem GROUP BY l_orderkey),
+    opened AS (SELECT om AS m, CAST(COUNT(*) AS BIGINT) AS n_open
+               FROM o GROUP BY om),
+    closed AS (SELECT rm AS m, CAST(COUNT(*) AS BIGINT) AS n_closed
+               FROM r GROUP BY rm),
+    months AS (SELECT m FROM opened UNION SELECT m FROM closed),
+    net AS (
+      SELECT mo.m, COALESCE(op.n_open, 0) AS opened,
+             COALESCE(cl.n_closed, 0) AS closed
+      FROM months mo
+      LEFT JOIN opened op ON mo.m = op.m
+      LEFT JOIN closed cl ON mo.m = cl.m)
+    SELECT strftime(m, '%Y-%m') AS month, opened, closed,
+           CAST(SUM(opened - closed) OVER (ORDER BY m) AS BIGINT) AS backlog
+    FROM net ORDER BY month
+    """,
+)
+def order_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-backlog burndown: monthly orders opened vs orders fully
+    shipped (last line's ship month — the close proxy in this schema),
+    with the cumulative open-order backlog — the operations series
+    behind open_order_aging's point-in-time snapshot (a rising backlog
+    is the leading indicator; the aging table is the post-mortem).
+
+    Scale: lineitem reduces per order (map-side MAX, the order_fill_rate
+    shape) before its month rollup; both sides land at |months| rows,
+    the month spine is their union, and the cumulative window runs over
+    that tiny series (the documented bounded-window exception). No
+    fact-fact join at all — the two facts only ever meet at month
+    granularity.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # both |months|-row reductions feed TWO consumers (the month spine
+    # and their join side) — checkpoint so neither fact is scanned twice
+    opened = (
+        o.select(F.date_trunc("month", "o_orderdate").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_open"))
+        .localCheckpoint()
+    )
+    closed = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(F.date_trunc("month", "last_ship").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_closed"))
+        .localCheckpoint()
+    )
+    months = opened.select("m").union(closed.select("m")).distinct()
+    net = (
+        months.join(opened, "m", "left")
+        .join(closed, "m", "left")
+        .select(
+            "m",
+            F.coalesce("n_open", F.lit(0)).alias("opened"),
+            F.coalesce("n_closed", F.lit(0)).alias("closed"),
+        )
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        net.withColumn(
+            "backlog",
+            F.sum(F.col("opened") - F.col("closed")).over(w).cast("bigint"),
+        )
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "opened",
+            "closed",
+            "backlog",
+        )
+        .orderBy("month")
+    )

@@ -2314,3 +2314,225 @@ def ab_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p2 * 1_000_000, 0).cast("bigint").alias("p_target_micro"),
         n_arm.alias("n_per_arm"),
     ).orderBy("mde_pm")
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+#: Lookback (µs) shared with attribution_last_touch's convention (72 h).
+_USHAPE_LOOK_US = 72 * 3600 * 1_000_000
+
+
+def _ushape_oracle() -> str:
+    # e0 literals in the weight CASE force DOUBLE arithmetic: a bare 0.4
+    # is a DECIMAL literal in DuckDB — a different rounding path than
+    # Spark's double lit(0.4); it diverged by 1 cent at sf0.1. (No SQL
+    # comments in oracle strings: register() collapses newlines.)
+    base = (
+        f"t.user_id = p.user_id AND t.t_us <= p.t_us"
+        f" AND p.t_us - t.t_us <= {_USHAPE_LOOK_US}"
+    )
+    return f"""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type
+      FROM events WHERE event_type IN ('click', 'view')),
+    stats AS (
+      SELECT p.event_id AS pid, p.cents,
+             (SELECT COUNT(*) FROM t WHERE {base}) AS n_all,
+             (SELECT COUNT(*) FROM t WHERE {base}
+                AND t.event_type = 'click') AS n_click,
+             (SELECT t.event_type FROM t WHERE {base}
+              ORDER BY t.t_us ASC, t.event_id ASC LIMIT 1) AS first_ch,
+             (SELECT t.event_type FROM t WHERE {base}
+              ORDER BY t.t_us DESC, t.event_id DESC LIMIT 1) AS last_ch
+      FROM p),
+    ch AS (SELECT unnest(['click', 'view']) AS c),
+    w AS (
+      SELECT s.pid, s.cents, ch.c,
+             CASE WHEN s.n_all = 0 THEN 0.0e0
+                  WHEN s.n_all = 1
+                    THEN CASE WHEN s.first_ch = ch.c THEN 1.0e0 ELSE 0.0e0 END
+                  WHEN s.n_all = 2
+                    THEN 0.5e0 * (CASE WHEN s.first_ch = ch.c THEN 1 ELSE 0 END)
+                       + 0.5e0 * (CASE WHEN s.last_ch = ch.c THEN 1 ELSE 0 END)
+                  ELSE 0.4e0 * (CASE WHEN s.first_ch = ch.c THEN 1 ELSE 0 END)
+                     + 0.4e0 * (CASE WHEN s.last_ch = ch.c THEN 1 ELSE 0 END)
+                     + 0.2e0 * ((CASE WHEN ch.c = 'click' THEN s.n_click
+                                    ELSE s.n_all - s.n_click END)
+                              - (CASE WHEN s.first_ch = ch.c THEN 1 ELSE 0 END)
+                              - (CASE WHEN s.last_ch = ch.c THEN 1 ELSE 0 END))
+                           / (s.n_all - 2) END AS wt
+      FROM stats s, ch),
+    direct AS (
+      SELECT 'direct' AS channel,
+             CAST(SUM(CASE WHEN n_all = 0 THEN 1000000 ELSE 0 END) AS BIGINT)
+               AS credit_micro,
+             CAST(SUM(CASE WHEN n_all = 0 THEN cents ELSE 0 END) AS BIGINT)
+               AS revenue_cents
+      FROM stats),
+    chan AS (
+      SELECT c AS channel,
+             CAST(SUM(CAST(round(wt * 1000000, 0) AS BIGINT)) AS BIGINT)
+               AS credit_micro,
+             CAST(SUM(CAST(round(wt * cents, 0) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM w GROUP BY c)
+    SELECT * FROM chan UNION ALL SELECT * FROM direct ORDER BY channel
+    """
+
+
+@register("attribution_u_shaped", oracle=_ushape_oracle())
+def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each purchase
+    splits credit 40/20/40 across first touch / middles / last touch in
+    the 72 h lookback (1 touch → 100%, 2 → 50/50, none → 'direct') —
+    the multi-touch counterpart of attribution_last_touch, rolled up to
+    credit mass and exact revenue allocation per channel.
+
+    Scale: needs the FULL touch set per conversion, so the as-of
+    window trick doesn't apply; instead the interval_join_events
+    bucket-replication shape bounds the join — purchases replicate to
+    their 72 h bucket and its predecessor (2×, constant), join touches
+    on (user, bucket), and the range predicate filters in-window pairs.
+    First/last channels come from one lexicographic struct MIN/MAX
+    ((t_us, event_id) tie-break mirrored in the oracle's ORDER BY);
+    per-(purchase, channel) credits quantize to micro BEFORE the
+    channel rollup. The oracle is the independent correlated-subquery
+    formulation.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("p_us"),
+        F.col("event_id").alias("pid"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        us.alias("t_us"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("ch"),
+    )
+    pb = p.withColumn(
+        "bkt",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_us") / _USHAPE_LOOK_US),
+                F.floor(F.col("p_us") / _USHAPE_LOOK_US) - 1,
+            )
+        ),
+    )
+    tb = t.withColumn("bkt", F.floor(F.col("t_us") / _USHAPE_LOOK_US))
+    pairs = pb.join(tb, ["user_id", "bkt"]).filter(
+        (F.col("t_us") <= F.col("p_us"))
+        & (F.col("p_us") - F.col("t_us") <= _USHAPE_LOOK_US)
+    )
+    key = F.struct("t_us", "tid", "ch")
+    stats = pairs.groupBy("pid", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.when(F.col("ch") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_click"),
+        F.min(key).getField("ch").alias("first_ch"),
+        F.max(key).getField("ch").alias("last_ch"),
+    )
+    first = F.when(F.col("first_ch") == F.col("c"), 1).otherwise(0)
+    last = F.when(F.col("last_ch") == F.col("c"), 1).otherwise(0)
+    n_c = F.when(F.col("c") == "click", F.col("n_click")).otherwise(
+        F.col("n_all") - F.col("n_click")
+    )
+    wt = (
+        F.when(F.col("n_all") == 1, first.cast("double"))
+        .when(F.col("n_all") == 2, 0.5 * first + 0.5 * last)
+        .otherwise(
+            0.4 * first
+            + 0.4 * last
+            + 0.2 * (n_c - first - last) / (F.col("n_all") - 2)
+        )
+    )
+    w = stats.select(
+        "cents",
+        F.explode(F.array(F.lit("click"), F.lit("view"))).alias("c"),
+        "n_all",
+        "n_click",
+        "first_ch",
+        "last_ch",
+    ).withColumn("wt", wt)
+    chan = w.groupBy(F.col("c").alias("channel")).agg(
+        F.sum(F.round(F.col("wt") * 1_000_000, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("credit_micro"),
+        F.sum(F.round(F.col("wt") * F.col("cents"), 0).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+    direct = (
+        p.join(stats.select("pid"), "pid", "left_anti")
+        .agg(
+            F.coalesce(F.count(F.lit(1)) * 1_000_000, F.lit(0))
+            .cast("bigint")
+            .alias("credit_micro"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .select(F.lit("direct").alias("channel"), "credit_micro", "revenue_cents")
+    )
+    return chan.unionAll(direct).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Top event trigram paths
+# ---------------------------------------------------------------------------
+
+_TRI_TOPK = 20
+
+
+@register(
+    "event_trigram_paths",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             LEAD(event_type) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+    SELECT event_type AS e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM e WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT {_TRI_TOPK}
+    """,
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step user journeys — the funnel-DISCOVERY query
+    (path_transitions gives the 1-step Markov matrix; three steps
+    expose the actual routes worth building funnels around, e.g.
+    view→view→click vs view→signup→error).
+
+    Scale: one user-partitioned window with two LEADs (same exchange
+    as sessionize), then a ≤|types|³-bounded count with map-side
+    combine and a top-k heap. Total (t_us, event_id) ordering makes
+    the path stream deterministic under ties.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    paths = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        paths.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(_TRI_TOPK)
+    )

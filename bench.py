@@ -239,6 +239,9 @@ HEADLINE = [
     "l_diversity_audit",
     "ann_ivf_recall_eval",
     "minhash_estimate_calibration",
+    "attribution_u_shaped",
+    "event_trigram_paths",
+    "order_backlog_monthly",
 ]
 
 

@@ -939,3 +939,73 @@ def test_l_diversity_audit_replay(spark):
     assert r.min_l == min(len(s) for _, s in groups.values())
     assert r.groups_below_l == len(below)
     assert r.rows_at_risk == sum(cnt for cnt, _ in below)
+
+
+def test_attribution_u_shaped_conservation(spark):
+    """Credit mass is conserved: total credit across channels + direct
+    equals 1e6 per purchase, and revenue allocation sums to total
+    purchase revenue within per-purchase rounding."""
+    rows = QUERIES["attribution_u_shaped"](spark, SF_DIR).collect()
+    chans = {r.channel: r for r in rows}
+    assert set(chans) == {"click", "view", "direct"}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    purchases = [r for r in ev if r.event_type == "purchase"]
+    total_credit = sum(r.credit_micro for r in rows)
+    # every purchase hands out exactly 1.0 of credit (up to the
+    # per-(purchase, channel) micro rounding: ≤1 micro per pair)
+    assert abs(total_credit - len(purchases) * 1_000_000) <= 2 * len(purchases)
+    total_rev = sum(
+        round(r.value * 100) for r in purchases if r.value is not None
+    )
+    got_rev = sum(r.revenue_cents for r in rows)
+    assert abs(got_rev - total_rev) <= 2 * len(purchases)
+
+
+def test_event_trigram_paths_replay(spark):
+    import calendar
+    from collections import Counter, defaultdict
+
+    rows = QUERIES["event_trigram_paths"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r.user_id].append(
+            (calendar.timegm(r.ts.timetuple()), r.ts.microsecond, r.event_id, r.event_type)
+        )
+    tri = Counter()
+    for s in seqs.values():
+        s.sort()
+        for i in range(len(s) - 2):
+            tri[(s[i][3], s[i + 1][3], s[i + 2][3])] += 1
+    want = sorted(tri.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [((r.e1, r.e2, r.e3), r.n) for r in rows]
+    assert got == want
+
+
+def test_order_backlog_monthly_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["order_backlog_monthly"](spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    opened = defaultdict(int)
+    for r in o:
+        opened[f"{r.o_orderdate.year:04d}-{r.o_orderdate.month:02d}"] += 1
+    last_ship = {}
+    for r in li:
+        last_ship[r.l_orderkey] = max(
+            last_ship.get(r.l_orderkey, r.l_shipdate), r.l_shipdate
+        )
+    closed = defaultdict(int)
+    for d in last_ship.values():
+        closed[f"{d.year:04d}-{d.month:02d}"] += 1
+    months = sorted(set(opened) | set(closed))
+    run = 0
+    want = []
+    for m in months:
+        run += opened.get(m, 0) - closed.get(m, 0)
+        want.append((m, opened.get(m, 0), closed.get(m, 0), run))
+    got = [(r.month, r.opened, r.closed, r.backlog) for r in rows]
+    assert got == want
+    # every opened order eventually closes or stays in terminal backlog
+    assert want[-1][3] == sum(opened.values()) - sum(closed.values())

@@ -1218,3 +1218,26 @@ class TestDriftPlans:
             assert "CartesianProduct" not in t, name
             df = QUERIES[name](spark, SF_DIR)
             assert broadcast_violations(df) == [], name
+
+    def test_ushape_bucketed_interval_join(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # bucket-replicated (constant 2×) interval join — never an
+        # unbounded inequality self-join
+        t = tree(spark, "attribution_u_shaped")
+        assert "CartesianProduct" not in t
+        df = QUERIES["attribution_u_shaped"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_trigram_one_window_then_heap(self, spark):
+        t = tree(spark, "event_trigram_paths")
+        assert t.count("Scan parquet") == 1
+        assert t.count("Window") == 1
+        assert "TakeOrderedAndProject" in t
+
+    def test_backlog_reduces_facts_to_months(self, spark):
+        # the two facts only meet at |months| granularity; both tiny
+        # reductions are checkpointed for their two consumers
+        t = tree(spark, "order_backlog_monthly")
+        assert t.count("Scan parquet") == 0
+        assert "SortMergeJoin" not in t  # month-spine joins are tiny
