@@ -86,7 +86,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: supplier_return_z, rising_terms, embedding_outlier_mahalanobis,
 #: lsh_recall_by_band, ab_power_sample_size, l_diversity_audit,
 #: ann_ivf_recall_eval, minhash_estimate_calibration,
-#: attribution_u_shaped, event_trigram_paths, order_backlog_monthly; no
+#: attribution_u_shaped, event_trigram_paths, order_backlog_monthly,
+#: weighted_deciles_price, stl_residual_outliers, quantile_norm_map; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

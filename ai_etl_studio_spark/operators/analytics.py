@@ -4236,3 +4236,105 @@ def order_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted deciles of line price per return flag
+# ---------------------------------------------------------------------------
+
+@register(
+    "weighted_deciles_price",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+             CAST(round(l_quantity * 100, 0) AS BIGINT) AS w
+      FROM lineitem),
+    pv AS (
+      SELECT l_returnflag, v, CAST(SUM(w) AS BIGINT) AS w
+      FROM v GROUP BY l_returnflag, v),
+    c AS (
+      SELECT l_returnflag, v,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v)
+               AS BIGINT) AS cum
+      FROM pv),
+    t AS (
+      SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS total_w
+      FROM pv GROUP BY l_returnflag),
+    ds AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS d)
+    SELECT c.l_returnflag, CAST(ds.d AS BIGINT) AS decile,
+           CAST(MIN(CASE WHEN c.cum * 10 >= ds.d * t.total_w THEN c.v END)
+             AS BIGINT) AS v_cents
+    FROM c JOIN t ON c.l_returnflag = t.l_returnflag
+    CROSS JOIN ds
+    GROUP BY c.l_returnflag, ds.d
+    ORDER BY c.l_returnflag, decile
+    """,
+)
+def weighted_deciles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED price deciles per return flag — the full
+    distribution of "price per unit sold" (weighted_median_price gives
+    d5 only; pricing and discount-band design want the whole curve).
+    Decile d is min v with 10·cumweight ≥ d·W — a pure integer
+    comparison, no division, no interpolation ambiguity.
+
+    Scale: the weighted grouped bucketed-ECDF scaffold — per-(flag,
+    price) weight sums reduce once (checkpointed), cumulative weights
+    run in per-(flag, bucket) windows with per-flag offsets, and every
+    decile is a conditional MIN against the broadcast |flags|×9
+    integer threshold spine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.select(
+            "l_returnflag",
+            cents("l_extendedprice").alias("v"),
+            F.round(F.col("l_quantity") * 100, 0).cast("bigint").alias("w"),
+        )
+        .groupBy("l_returnflag", "v")
+        .agg(F.sum("w").alias("w"))
+        .withColumn("bkt", (F.col("v") / 100_000).cast("bigint"))
+        .localCheckpoint()
+    )
+    per_bkt = pv.groupBy("l_returnflag", "bkt").agg(F.sum("w").alias("bw"))
+    w_off = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bkt.select(
+        "l_returnflag",
+        "bkt",
+        F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias("off"),
+    )
+    t = pv.groupBy("l_returnflag").agg(F.sum("w").cast("bigint").alias("total_w"))
+    w_in = (
+        Window.partitionBy("l_returnflag", "bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        pv.withColumn("loc", F.sum("w").over(w_in))
+        .join(offsets, ["l_returnflag", "bkt"])
+        .select("l_returnflag", "v", (F.col("off") + F.col("loc")).alias("cum"))
+    )
+    sp = t.select(
+        "l_returnflag",
+        F.explode(F.array(*[F.lit(d) for d in range(1, 10)])).alias("d"),
+        "total_w",
+    )
+    return (
+        c.join(F.broadcast(sp), "l_returnflag")
+        .groupBy("l_returnflag", F.col("d").cast("bigint").alias("decile"))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") * 10 >= F.col("d") * F.col("total_w"),
+                    F.col("v"),
+                )
+            )
+            .cast("bigint")
+            .alias("v_cents")
+        )
+        .orderBy("l_returnflag", "decile")
+    )

@@ -2536,3 +2536,99 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "e1", "e2", "e3")
         .limit(_TRI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# STL residual outliers (robust z over the decomposition remainder)
+# ---------------------------------------------------------------------------
+
+_STL_OUT_TOPK = 10
+
+
+def _stl_outlier_oracle() -> str:
+    from ai_etl_studio_spark.operators import ORACLES
+
+    return f"""
+    WITH stl AS ({ORACLES["stl_decompose_weekly"]}),
+    r AS (
+      SELECT d, resid7_cents AS r,
+             CAST(ROW_NUMBER() OVER (ORDER BY resid7_cents, d) AS BIGINT)
+               AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM stl),
+    med AS (SELECT MIN(CASE WHEN rk * 2 >= n THEN r END) AS m FROM r),
+    dev AS (
+      SELECT r.d, r.r, abs(r.r - med.m) AS dv,
+             CAST(ROW_NUMBER() OVER (ORDER BY abs(r.r - med.m), r.d)
+               AS BIGINT) AS rk2,
+             r.n
+      FROM r, med),
+    mad AS (SELECT MIN(CASE WHEN rk2 * 2 >= n THEN dv END) AS mad FROM dev)
+    SELECT dev.d, CAST(dev.r AS BIGINT) AS resid7_cents,
+           CAST(dev.dv AS BIGINT) AS abs_dev_cents,
+           CAST(round(CAST(dev.dv AS DOUBLE)
+             / GREATEST(CAST(mad.mad AS DOUBLE), 1.0e0) * 1000000, 0)
+             AS BIGINT) AS robust_z_micro
+    FROM dev, mad
+    ORDER BY dev.dv DESC, dev.d
+    LIMIT {_STL_OUT_TOPK}
+    """
+
+
+@register("stl_residual_outliers", oracle=_stl_outlier_oracle())
+def stl_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The days whose revenue is anomalous AFTER removing trend and
+    weekly seasonality: robust z (MAD-scaled) over
+    stl_decompose_weekly's remainder — the actual incident shortlist
+    (raw-series detectors fire every Sunday; the residual detector only
+    fires on genuine departures).
+
+    Scale: composes the REGISTERED decomposition (its oracle text is
+    reused as a CTE, so the outlier list can never drift from the
+    decomposition it audits); the median and MAD are lower-median
+    conditional MINs over the |days|-row series (2·rank ≥ n integer
+    tests, no interpolation), and the top-k is a heap. Everything past
+    the daily reduction is bounded-window work.
+    """
+    stl = stl_decompose_weekly(spark, sf_dir).select(
+        "d", F.col("resid7_cents").alias("r")
+    ).localCheckpoint()
+    w_all = Window.partitionBy()
+    r = stl.select(
+        "d",
+        "r",
+        F.row_number().over(Window.orderBy("r", "d")).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    med = r.agg(
+        F.min(F.when(F.col("rk") * 2 >= F.col("n"), F.col("r"))).alias("m")
+    )
+    dev = r.crossJoin(F.broadcast(med)).select(
+        "d",
+        "r",
+        F.abs(F.col("r") - F.col("m")).alias("dv"),
+        "n",
+    )
+    dev = dev.withColumn(
+        "rk2", F.row_number().over(Window.orderBy("dv", "d")).cast("bigint")
+    ).localCheckpoint()
+    mad = dev.agg(
+        F.min(F.when(F.col("rk2") * 2 >= F.col("n"), F.col("dv"))).alias("mad")
+    )
+    z = F.round(
+        F.col("dv").cast("double")
+        / F.greatest(F.col("mad").cast("double"), F.lit(1.0))
+        * 1_000_000,
+        0,
+    ).cast("bigint")
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "d",
+            F.col("r").cast("bigint").alias("resid7_cents"),
+            F.col("dv").cast("bigint").alias("abs_dev_cents"),
+            z.alias("robust_z_micro"),
+        )
+        .orderBy(F.desc("abs_dev_cents"), "d")
+        .limit(_STL_OUT_TOPK)
+    )

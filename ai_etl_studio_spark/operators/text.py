@@ -2482,3 +2482,100 @@ def template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "prefix_hash")
         .limit(_TMPL_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-normalization map (per-source → global length quantiles)
+# ---------------------------------------------------------------------------
+
+def _qmap_oracle() -> str:
+    from ai_etl_studio_spark.operators import ORACLES
+
+    return f"""
+    WITH src AS ({ORACLES["doc_length_deciles_by_source"]}),
+    pv AS (
+      SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY v),
+    cg AS (
+      SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM pv),
+    tg AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pv),
+    ds AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS d),
+    gq AS (
+      SELECT ds.d AS decile,
+             CAST(MIN(CASE WHEN cg.cum >= (ds.d * tg.n + 9) // 10
+                      THEN cg.v END) AS BIGINT) AS global_chars
+      FROM cg, tg, ds GROUP BY ds.d)
+    SELECT src.source, CAST(src.decile AS BIGINT) AS decile,
+           src.chars_at AS source_chars, gq.global_chars,
+           CAST(gq.global_chars - src.chars_at AS BIGINT) AS shift_chars
+    FROM src JOIN gq ON src.decile = gq.decile
+    ORDER BY src.source, decile
+    """
+
+
+@register("quantile_norm_map", oracle=_qmap_oracle())
+def quantile_norm_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization lookup table: each source's length
+    deciles aligned with the corpus-global deciles — the broadcastable
+    mapping that rank-normalizes per-feed score distributions onto one
+    scale (how quantile normalization actually ships at 100 TB: build
+    the tiny per-source map once, broadcast it, apply per row; never
+    rank the corpus per query).
+
+    Scale: composes the REGISTERED per-source decile scaffold (oracle
+    text reused as a CTE) with a global bucketed ECDF over the
+    |distinct lengths| reduction; the output is |sources|×9 rows — the
+    artifact IS broadcast-sized by construction.
+    """
+    src = doc_length_deciles_by_source(spark, sf_dir).select(
+        "source", "decile", F.col("chars_at").alias("source_chars")
+    )
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    pv = (
+        d.select(F.col("n_chars").cast("bigint").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("bkt", (F.col("v") / _LEN_BUCKET_CHARS).cast("bigint"))
+        .localCheckpoint()
+    )
+    per_bkt = pv.groupBy("bkt").agg(F.sum("c").alias("bc"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bkt.select(
+        "bkt", F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off")
+    )
+    t = pv.agg(F.sum("c").cast("bigint").alias("n"))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cg = (
+        pv.withColumn("loc", F.sum("c").over(w_in))
+        .join(offsets, "bkt")
+        .select("v", (F.col("off") + F.col("loc")).alias("cum"))
+    )
+    sp = t.select(
+        F.explode(F.array(*[F.lit(x) for x in range(1, 10)])).alias("d"), "n"
+    ).select("d", ((F.col("d") * F.col("n") + 9) / 10).cast("bigint").alias("thr"))
+    glob = (
+        cg.crossJoin(F.broadcast(sp))
+        .groupBy(F.col("d").cast("bigint").alias("decile"))
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("thr"), F.col("v")))
+            .cast("bigint")
+            .alias("global_chars")
+        )
+    )
+    return (
+        src.join(F.broadcast(glob), "decile")
+        .select(
+            "source",
+            "decile",
+            "source_chars",
+            "global_chars",
+            (F.col("global_chars") - F.col("source_chars"))
+            .cast("bigint")
+            .alias("shift_chars"),
+        )
+        .orderBy("source", "decile")
+    )

@@ -242,6 +242,9 @@ HEADLINE = [
     "attribution_u_shaped",
     "event_trigram_paths",
     "order_backlog_monthly",
+    "weighted_deciles_price",
+    "stl_residual_outliers",
+    "quantile_norm_map",
 ]
 
 

@@ -1009,3 +1009,77 @@ def test_order_backlog_monthly_replay(spark):
     assert got == want
     # every opened order eventually closes or stays in terminal backlog
     assert want[-1][3] == sum(opened.values()) - sum(closed.values())
+
+
+def test_weighted_deciles_price_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["weighted_deciles_price"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    agg = defaultdict(lambda: defaultdict(int))
+    for r in li:
+        agg[r.l_returnflag][round(r.l_extendedprice * 100)] += round(
+            r.l_quantity * 100
+        )
+    got = defaultdict(dict)
+    for r in rows:
+        got[r.l_returnflag][r.decile] = r.v_cents
+    for flag, wmap in agg.items():
+        total = sum(wmap.values())
+        items = sorted(wmap.items())
+        for d in range(1, 10):
+            cum = 0
+            for v, w in items:
+                cum += w
+                if cum * 10 >= d * total:
+                    assert got[flag][d] == v, (flag, d)
+                    break
+        # deciles are monotone and d5 equals the weighted median op
+        seq = [got[flag][d] for d in range(1, 10)]
+        assert seq == sorted(seq)
+    med = {
+        r.l_returnflag: r.median_cents
+        for r in QUERIES["weighted_median_price"](spark, SF_DIR).collect()
+    }
+    for flag, m in med.items():
+        assert got[flag][5] == m
+
+
+def test_stl_residual_outliers_consistency(spark):
+    rows = QUERIES["stl_residual_outliers"](spark, SF_DIR).collect()
+    assert rows
+    stl = {r.d: r.resid7_cents for r in QUERIES["stl_decompose_weekly"](spark, SF_DIR).collect()}
+    resid = sorted(stl.values())
+    n = len(resid)
+    m = resid[(n + 1) // 2 - 1]  # lower median: min r with 2·rank ≥ n
+    devs = sorted(abs(r - m) for r in resid)
+    mad = devs[(n + 1) // 2 - 1]
+    want = sorted(
+        ((abs(r - m), d) for d, r in stl.items()), key=lambda t: (-t[0], t[1])
+    )[:10]
+    got = [(r.abs_dev_cents, r.d) for r in rows]
+    assert got == want
+    for r in rows:
+        assert r.abs_dev_cents == abs(r.resid7_cents - m)
+        assert r.robust_z_micro == round(r.abs_dev_cents / max(mad, 1.0) * 1e6)
+
+
+def test_quantile_norm_map_consistency(spark):
+    rows = QUERIES["quantile_norm_map"](spark, SF_DIR).collect()
+    assert rows
+    src = {
+        (r.source, r.decile): r.chars_at
+        for r in QUERIES["doc_length_deciles_by_source"](spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    lens = sorted(d.n_chars for d in docs if d.n_chars is not None)
+    n = len(lens)
+    for r in rows:
+        assert r.source_chars == src[(r.source, r.decile)]
+        thr = -(-r.decile * n // 10)
+        assert r.global_chars == lens[thr - 1]
+        assert r.shift_chars == r.global_chars - r.source_chars
+    # 9 deciles per source, every source present
+    from collections import Counter
+
+    assert set(Counter(r.source for r in rows).values()) == {9}

@@ -1241,3 +1241,18 @@ class TestDriftPlans:
         t = tree(spark, "order_backlog_monthly")
         assert t.count("Scan parquet") == 0
         assert "SortMergeJoin" not in t  # month-spine joins are tiny
+
+    def test_weighted_deciles_bucketed(self, spark):
+        t = tree(spark, "weighted_deciles_price")
+        assert t.count("Scan parquet") == 0  # checkpointed weight table
+        assert "CartesianProduct" not in t
+        assert "SortMergeJoin" not in t
+
+    def test_stl_outliers_and_qmap_compose_checkpoints(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        for name in ("stl_residual_outliers", "quantile_norm_map"):
+            t = tree(spark, name)
+            assert "CartesianProduct" not in t, name
+            df = QUERIES[name](spark, SF_DIR)
+            assert broadcast_violations(df) == [], name
