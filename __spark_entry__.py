@@ -87,7 +87,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: lsh_recall_by_band, ab_power_sample_size, l_diversity_audit,
 #: ann_ivf_recall_eval, minhash_estimate_calibration,
 #: attribution_u_shaped, event_trigram_paths, order_backlog_monthly,
-#: weighted_deciles_price, stl_residual_outliers, quantile_norm_map; no
+#: weighted_deciles_price, stl_residual_outliers, quantile_norm_map,
+#: label_centroid_distances, range_split_points, dow_hour_value_heatmap; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

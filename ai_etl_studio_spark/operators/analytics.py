@@ -4338,3 +4338,136 @@ def weighted_deciles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Balanced range-partition split points (write-side partitioner design)
+# ---------------------------------------------------------------------------
+
+_N_RANGE_SPLITS = 32
+
+
+@register(
+    "range_split_points",
+    oracle=f"""
+    WITH pv AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY v),
+    cg AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM pv),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pv),
+    ks AS (SELECT unnest(generate_series(1, {_N_RANGE_SPLITS - 1})) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS split_idx,
+           CAST(MIN(CASE WHEN cg.cum >= (ks.k * t.n + {_N_RANGE_SPLITS - 1})
+                              // {_N_RANGE_SPLITS} THEN cg.v END) AS BIGINT)
+             AS boundary_cents
+    FROM cg, t, ks GROUP BY ks.k ORDER BY split_idx
+    """,
+)
+def range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced range-partition boundaries: the {_N_RANGE_SPLITS - 1}
+    exact order-price quantiles that split the table into
+    {_N_RANGE_SPLITS} equal-row ranges — the write-side partitioner /
+    repartitionByRange design artifact (Spark's RangePartitioner
+    SAMPLES for these; this computes them exactly, which is what you
+    persist for a stable production layout that doesn't move with each
+    job's sample).
+
+    Scale: the bucketed exact ECDF over the |distinct prices|
+    reduction (checkpointed), probed by a broadcast
+    {_N_RANGE_SPLITS - 1}-row integer-ceil spine — the NTILE machinery
+    repurposed for physical layout; the output is the broadcast-sized
+    boundary list itself.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pv = (
+        o.select(cents("o_totalprice").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("bkt", (F.col("v") / 1_000_000).cast("bigint"))
+        .localCheckpoint()
+    )
+    per_bkt = pv.groupBy("bkt").agg(F.sum("c").alias("bc"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bkt.select(
+        "bkt", F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off")
+    )
+    t = pv.agg(F.sum("c").cast("bigint").alias("n"))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cg = (
+        pv.withColumn("loc", F.sum("c").over(w_in))
+        .join(offsets, "bkt")
+        .select("v", (F.col("off") + F.col("loc")).alias("cum"))
+    )
+    n_s = _N_RANGE_SPLITS
+    sp = t.select(
+        F.explode(F.array(*[F.lit(k) for k in range(1, n_s)])).alias("k"), "n"
+    ).select(
+        "k",
+        ((F.col("k") * F.col("n") + (n_s - 1)) / n_s).cast("bigint").alias("thr"),
+    )
+    return (
+        cg.crossJoin(F.broadcast(sp))
+        .groupBy(F.col("k").cast("bigint").alias("split_idx"))
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("thr"), F.col("v")))
+            .cast("bigint")
+            .alias("boundary_cents")
+        )
+        .orderBy("split_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekday × hour value heatmap
+# ---------------------------------------------------------------------------
+
+@register(
+    "dow_hour_value_heatmap",
+    oracle="""
+    WITH e AS (
+      SELECT (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) % 7
+               AS dow,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+             CAST(round(COALESCE(value, 0) * 100, 0) AS BIGINT) AS cents
+      FROM events)
+    SELECT dow, hr, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS value_cents
+    FROM e GROUP BY dow, hr ORDER BY dow, hr
+    """,
+)
+def dow_hour_value_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour traffic-and-value heatmap (≤168 cells) — the
+    two-dimensional calendar profile behind staffing, maintenance
+    windows, and anomaly baselines (hourly_seasonality_profile slices
+    by type×hour; this crosses the week axis with exact value mass).
+
+    Scale: ONE map-side-combinable rollup to a fixed 168-cell table;
+    days-since-epoch mod 7 is the locale-free weekday, value stays
+    integer cents.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            (
+                F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).cast(
+                    "bigint"
+                )
+                % 7
+            ).alias("dow"),
+            F.hour("ts").cast("bigint").alias("hr"),
+            F.round(F.coalesce(F.col("value"), F.lit(0)) * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("dow", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("value_cents"),
+        )
+        .orderBy("dow", "hr")
+    )

@@ -1800,3 +1800,87 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid distance matrix (class confusability)
+# ---------------------------------------------------------------------------
+
+@register(
+    "label_centroid_distances",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS xm,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    c AS (
+      SELECT label, dim, CAST(SUM(xm) AS BIGINT) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY label, dim),
+    pair AS (
+      SELECT a.label AS label_1, b.label AS label_2, a.dim,
+             CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n AS diff
+      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label)
+    SELECT label_1, label_2,
+           CAST(SUM(CAST(round(diff * diff, 0) AS BIGINT)) AS BIGINT)
+             AS d2_micro2
+    FROM pair GROUP BY label_1, label_2 ORDER BY label_1, label_2
+    """,
+)
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise squared L2 distance between label centroids — the class
+    confusability matrix (two labels whose centroids nearly coincide
+    will confuse any classifier trained on these embeddings; the
+    between-class counterpart of embedding_outlier_mahalanobis's
+    within-class screen).
+
+    Scale: the corpus reduces ONCE to the |labels|×|dims| exact
+    integer-micro centroid table (the embedding_centroid_drift
+    machinery); the pairwise stage is a self-join of that TINY table on
+    dim (|labels|²·|dims| rows — driver-trivial), with each dimension's
+    squared difference quantized before the exact int64 sum. No shuffle
+    ever carries a vector.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000, 0)
+        .cast("bigint")
+        .alias("xm"),
+    )
+    c = (
+        e.groupBy("label", "dim")
+        .agg(
+            F.sum("xm").cast("bigint").alias("sx"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .localCheckpoint()
+    )
+    a = c.select(
+        F.col("label").alias("label_1"),
+        "dim",
+        (F.col("sx").cast("double") / F.col("n")).alias("mu_a"),
+    )
+    b = c.select(
+        F.col("label").alias("label_2"),
+        "dim",
+        (F.col("sx").cast("double") / F.col("n")).alias("mu_b"),
+    )
+    diff = F.col("mu_a") - F.col("mu_b")
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_1") < F.col("label_2"))
+        .select(
+            "label_1",
+            "label_2",
+            F.round(diff * diff, 0).cast("bigint").alias("term"),
+        )
+        .groupBy("label_1", "label_2")
+        .agg(F.sum("term").cast("bigint").alias("d2_micro2"))
+        .orderBy("label_1", "label_2")
+    )

@@ -245,6 +245,9 @@ HEADLINE = [
     "weighted_deciles_price",
     "stl_residual_outliers",
     "quantile_norm_map",
+    "label_centroid_distances",
+    "range_split_points",
+    "dow_hour_value_heatmap",
 ]
 
 

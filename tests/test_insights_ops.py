@@ -1083,3 +1083,64 @@ def test_quantile_norm_map_consistency(spark):
     from collections import Counter
 
     assert set(Counter(r.source for r in rows).values()) == {9}
+
+
+def test_label_centroid_distances_replay(spark):
+    import numpy as np
+    from collections import defaultdict
+    from itertools import combinations
+
+    rows = QUERIES["label_centroid_distances"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    by_label = defaultdict(list)
+    for r in emb:
+        by_label[r.label].append(
+            np.round(np.array(r.embedding, dtype=np.float64) * 1e6)
+        )
+    mu = {l: np.stack(v).sum(axis=0) / len(v) for l, v in by_label.items()}
+    got = {(r.label_1, r.label_2): r.d2_micro2 for r in rows}
+    for a, b in combinations(sorted(mu), 2):
+        want = int(np.round((mu[a] - mu[b]) ** 2).sum())
+        assert got[(a, b)] == want, (a, b)
+    assert len(got) == len(mu) * (len(mu) - 1) // 2
+    assert all(v >= 0 for v in got.values())
+
+
+def test_range_split_points_balance(spark):
+    rows = QUERIES["range_split_points"](spark, SF_DIR).collect()
+    assert len(rows) == 31
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    vals = sorted(round(r.o_totalprice * 100) for r in o)
+    n = len(vals)
+    bounds = [r.boundary_cents for r in rows]
+    assert bounds == sorted(bounds)
+    for r in rows:
+        thr = -(-r.split_idx * n // 32)
+        assert r.boundary_cents == vals[thr - 1]
+    # the resulting 32 ranges are balanced within one distinct-value run
+    import bisect
+
+    sizes = []
+    prev = 0
+    for b in bounds + [vals[-1]]:
+        idx = bisect.bisect_right(vals, b)
+        sizes.append(idx - prev)
+        prev = idx
+    assert min(sizes) > 0 and max(sizes) <= 2 * (n // 32 + 1)
+
+
+def test_dow_hour_value_heatmap_replay(spark):
+    import calendar
+    from collections import defaultdict
+
+    rows = QUERIES["dow_hour_value_heatmap"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in ev:
+        dow = (r.ts.date() - __import__("datetime").date(1970, 1, 1)).days % 7
+        cell = agg[(dow, r.ts.hour)]
+        cell[0] += 1
+        cell[1] += round((r.value or 0) * 100)
+    got = {(r.dow, r.hr): (r.n_events, r.value_cents) for r in rows}
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    assert len(got) <= 168

@@ -1256,3 +1256,18 @@ class TestDriftPlans:
             assert "CartesianProduct" not in t, name
             df = QUERIES[name](spark, SF_DIR)
             assert broadcast_violations(df) == [], name
+
+    def test_centroid_distances_no_vector_joins(self, spark):
+        t = tree(spark, "label_centroid_distances")
+        assert t.count("Scan parquet") == 0  # checkpointed centroid table
+        assert "CartesianProduct" not in t
+        assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+
+    def test_range_splits_and_heatmap_shapes(self, spark):
+        t = tree(spark, "range_split_points")
+        assert t.count("Scan parquet") == 0  # checkpointed value counts
+        assert "SortMergeJoin" not in t
+        t = tree(spark, "dow_hour_value_heatmap")
+        assert t.count("Scan parquet") == 1
+        assert "Join" not in t
+        assert t.count("HashAggregate") == 2
