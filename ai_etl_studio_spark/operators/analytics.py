@@ -4471,3 +4471,234 @@ def dow_hour_value_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized (seeded) PageRank over the purchase graph
+# ---------------------------------------------------------------------------
+
+#: Seed set: every 10th customer (their node ids are c·2).
+_PPR_SEED_MOD = 10
+
+
+def _ppr_oracle() -> str:
+    base = f"CAST({PR_SCALE} * 15 / 100 AS BIGINT) // n_seeds"
+    it = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        it.append(f"""
+    inflow{i} AS (
+      SELECT e.dst AS node, CAST(SUM(r.tick // d.d) AS BIGINT) AS inf
+      FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.node
+      WHERE r.tick > 0
+      GROUP BY e.dst),
+    r{i} AS (
+      SELECT nd.node,
+             CAST(CASE WHEN nd.node % 2 = 0
+                        AND (nd.node // 2) % {_PPR_SEED_MOD} = 0
+                   THEN {base} ELSE 0 END
+                  + (COALESCE(f.inf, 0) * 85) // 100 AS BIGINT) AS tick
+      FROM nodes nd CROSS JOIN ns LEFT JOIN inflow{i} f ON nd.node = f.node)""")
+        prev = f"r{i}"
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM e0
+              UNION ALL SELECT s * 2 + 1, c * 2 FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    ns AS (SELECT COUNT(*) AS n_seeds FROM nodes
+           WHERE node % 2 = 0 AND (node // 2) % {_PPR_SEED_MOD} = 0),
+    r0 AS (
+      SELECT node,
+             CAST(CASE WHEN node % 2 = 0
+                        AND (node // 2) % {_PPR_SEED_MOD} = 0
+                   THEN {PR_SCALE} // n_seeds ELSE 0 END AS BIGINT) AS tick
+      FROM nodes CROSS JOIN ns),
+    {",".join(it)}
+    SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+                ELSE 's' || (node // 2) END AS node,
+           CAST(tick AS BIGINT) AS rank_tick
+    FROM {prev}
+    WHERE tick > 0
+    ORDER BY rank_tick DESC, node
+    LIMIT {PR_TOP}
+    """
+
+
+@register("personalized_pagerank_seeded", oracle=_ppr_oracle())
+def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: random-walk-with-restart mass anchored on
+    a SEED set (every {_PPR_SEED_MOD}th customer) instead of the
+    uniform vector — "which suppliers matter to THIS customer segment",
+    the recommendation/affinity primitive the global rank can't answer
+    (global PageRank rewards overall popularity; PPR rewards proximity
+    to the seeds).
+
+    Exactness: the global op's integer-picotick arithmetic with the
+    restart CASE on the seed test — both engines run identical integer
+    DIVs; the oracle unrolls the same {PR_ITERS} iterations.
+
+    Scale: identical Pregel shape and cost to pagerank_bipartite (same
+    checkpointed degree-folded edges; rank vector broadcast per
+    iteration) — with the PPR advantage that mass STAYS sparse: rows
+    with tick = 0 are pruned from each contribution join, so early
+    iterations touch only the seeds' neighborhoods.
+    """
+    edges = _pagerank_raw_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        edges.select("src").distinct().withColumnRenamed("src", "node")
+        .localCheckpoint()
+    )
+    is_seed = (F.col("node") % 2 == 0) & (
+        (F.col("node") / 2).cast("bigint") % _PPR_SEED_MOD == 0
+    )
+    n_seeds = nodes.filter(is_seed).count()
+    restart = (PR_SCALE * 15 // 100) // n_seeds
+    ranks = nodes.withColumn(
+        "tick",
+        F.when(is_seed, F.lit(PR_SCALE // n_seeds)).otherwise(0).cast("bigint"),
+    )
+    for _ in range(PR_ITERS):
+        live = ranks.filter(F.col("tick") > 0)
+        contrib = edges.join(F.broadcast(live), edges.src == live.node).select(
+            "dst", F.expr("tick DIV d").alias("c")
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inf"))
+        ranks = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.when(is_seed, F.lit(restart)).otherwise(0)
+                    + F.expr("coalesce(inf, 0L) * 85 DIV 100")
+                ).cast("bigint").alias("tick"),
+            )
+            .localCheckpoint()
+        )
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.expr("node DIV 2").cast("string")),
+    ).otherwise(F.concat(F.lit("s"), F.expr("node DIV 2").cast("string")))
+    return (
+        ranks.filter(F.col("tick") > 0)
+        .select(label.alias("node"), F.col("tick").alias("rank_tick"))
+        .orderBy(F.desc("rank_tick"), "node")
+        .limit(PR_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (delta ⋈ dim, proven vs recompute)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ivm_join_delta",
+    oracle=f"""
+    WITH pre AS (
+      SELECT c.c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate < DATE '{IVM_CUTOFF}'
+      GROUP BY c.c_nationkey),
+    delta AS (
+      SELECT c.c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate >= DATE '{IVM_CUTOFF}'
+      GROUP BY c.c_nationkey),
+    fullv AS (
+      SELECT c.c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey),
+    keys AS (
+      SELECT c_nationkey FROM pre UNION SELECT c_nationkey FROM delta)
+    SELECT k.c_nationkey,
+           COALESCE(p.n, 0) AS pre_n, COALESCE(d.n, 0) AS delta_n,
+           COALESCE(p.n, 0) + COALESCE(d.n, 0) AS merged_n,
+           f.n AS full_n,
+           COALESCE(p.cents, 0) + COALESCE(d.cents, 0) AS merged_cents,
+           f.cents AS full_cents,
+           CASE WHEN COALESCE(p.n, 0) + COALESCE(d.n, 0) = f.n
+                 AND COALESCE(p.cents, 0) + COALESCE(d.cents, 0) = f.cents
+                THEN 1 ELSE 0 END AS consistent
+    FROM keys k
+    LEFT JOIN pre p USING (c_nationkey)
+    LEFT JOIN delta d USING (c_nationkey)
+    JOIN fullv f USING (c_nationkey)
+    ORDER BY k.c_nationkey
+    """,
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: the per-nation rollup of
+    orders ⋈ customer kept current by joining ONLY the delta batch to
+    the dimension and merging partial aggregates — with the full
+    recompute run alongside and a per-key consistency flag (ivm_agg_delta
+    proves the aggregate-merge law; this proves the join-delta law
+    Δ(A⋈B) = ΔA⋈B when the dimension is stable).
+
+    Scale: the point being demonstrated — the history partition is
+    never rescanned at refresh time; the delta (date-pruned at the
+    scan, AQE picks the dim join strategy) is the only fact input.
+    The verification recompute exists to make the proof a driver-checked
+    artifact; production runs the delta path alone.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    def rollup(frame: DataFrame) -> DataFrame:
+        return (
+            frame.join(c, frame.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(cents("o_totalprice")).cast("bigint").alias("cents"),
+            )
+        )
+
+    pre = rollup(o.filter(F.col("o_orderdate") < IVM_CUTOFF)).localCheckpoint()
+    delta = rollup(o.filter(F.col("o_orderdate") >= IVM_CUTOFF)).localCheckpoint()
+    fullv = rollup(o)
+    keys = (
+        pre.select("c_nationkey").union(delta.select("c_nationkey")).distinct()
+    )
+    p = pre.select(
+        "c_nationkey", F.col("n").alias("pre_n"), F.col("cents").alias("pre_c")
+    )
+    d = delta.select(
+        "c_nationkey", F.col("n").alias("delta_n"), F.col("cents").alias("delta_c")
+    )
+    f = fullv.select(
+        "c_nationkey", F.col("n").alias("full_n"), F.col("cents").alias("full_cents")
+    )
+    merged_n = F.coalesce("pre_n", F.lit(0)) + F.coalesce("delta_n", F.lit(0))
+    merged_c = F.coalesce("pre_c", F.lit(0)) + F.coalesce("delta_c", F.lit(0))
+    return (
+        keys.join(p, "c_nationkey", "left")
+        .join(d, "c_nationkey", "left")
+        .join(f, "c_nationkey")
+        .select(
+            "c_nationkey",
+            F.coalesce("pre_n", F.lit(0)).cast("bigint").alias("pre_n"),
+            F.coalesce("delta_n", F.lit(0)).cast("bigint").alias("delta_n"),
+            merged_n.cast("bigint").alias("merged_n"),
+            "full_n",
+            merged_c.cast("bigint").alias("merged_cents"),
+            "full_cents",
+            F.when(
+                (merged_n == F.col("full_n")) & (merged_c == F.col("full_cents")),
+                1,
+            )
+            .otherwise(0)
+            .alias("consistent"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -429,3 +429,103 @@ def media_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-sensitive media sequence fingerprints (re-encode/reorder detector)
+# ---------------------------------------------------------------------------
+
+@register(
+    "media_sequence_fingerprint",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             hex(encode(text)) AS h
+      FROM documents WHERE text IS NOT NULL),
+    chunks AS (
+      SELECT doc_id, media_type, g.i AS idx,
+             md5(substring(h, (g.i - 1) * {2 * _CHUNK_BYTES} + 1,
+                           {2 * _CHUNK_BYTES})) AS chash
+      FROM m, unnest(generate_series(1,
+             CAST(ceil(length(h) / {2.0 * _CHUNK_BYTES}) AS BIGINT))) AS g(i)),
+    fp AS (
+      SELECT doc_id, media_type,
+             md5(string_agg(chash, '' ORDER BY idx)) AS seq_fp,
+             md5(string_agg(chash, '' ORDER BY chash)) AS set_fp
+      FROM chunks GROUP BY doc_id, media_type)
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(DISTINCT seq_fp) AS BIGINT) AS n_seq_groups,
+           CAST(COUNT(DISTINCT set_fp) AS BIGINT) AS n_set_groups,
+           CAST(COUNT(DISTINCT seq_fp) - COUNT(DISTINCT set_fp) AS BIGINT)
+             AS reordered_groups
+    FROM fp GROUP BY media_type ORDER BY media_type
+    """,
+)
+def media_sequence_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-SENSITIVE vs order-insensitive media fingerprints: the
+    sequence fingerprint hashes the chunk-hash stream in stream order,
+    the set fingerprint hashes it sorted — their group-count gap counts
+    payloads built from the same blocks in a different arrangement
+    (remuxed/reordered media, shuffled shard concatenations) that
+    media_chunk_dedup's block-level view cannot distinguish.
+
+    Scale: chunking is the same per-row codegen'd substring fan-out as
+    media_chunk_dedup (payload bytes never shuffle — only 16-byte chunk
+    hashes move); both fingerprints reduce per doc in ONE
+    sort-within-group aggregation, and the readout is a |types|-row
+    distinct-count rollup.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media_type = (
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+    )
+    m = d.select(
+        "doc_id",
+        media_type.alias("media_type"),
+        F.upper(F.hex(F.encode("text", "UTF-8"))).alias("h"),
+    )
+    width = 2 * _CHUNK_BYTES
+    chunks = m.select(
+        "doc_id",
+        "media_type",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, CAST(ceil(length(h) / {float(width)})"
+                f" AS INT)), i -> md5(substring(h, (i-1)*{width}+1, {width})))"
+            )
+        ).alias("idx", "chash"),
+    )
+    fp = chunks.groupBy("doc_id", "media_type").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "chash"))
+                    ),
+                    lambda s: s.getField("chash"),
+                ),
+                "",
+            )
+        ).alias("seq_fp"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("chash")), "")).alias(
+            "set_fp"
+        ),
+    )
+    return (
+        fp.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.countDistinct("seq_fp").cast("bigint").alias("n_seq_groups"),
+            F.countDistinct("set_fp").cast("bigint").alias("n_set_groups"),
+            (F.countDistinct("seq_fp") - F.countDistinct("set_fp"))
+            .cast("bigint")
+            .alias("reordered_groups"),
+        )
+        .orderBy("media_type")
+    )

@@ -248,6 +248,9 @@ HEADLINE = [
     "label_centroid_distances",
     "range_split_points",
     "dow_hour_value_heatmap",
+    "personalized_pagerank_seeded",
+    "ivm_join_delta",
+    "media_sequence_fingerprint",
 ]
 
 

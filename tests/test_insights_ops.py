@@ -1144,3 +1144,47 @@ def test_dow_hour_value_heatmap_replay(spark):
     got = {(r.dow, r.hr): (r.n_events, r.value_cents) for r in rows}
     assert got == {k: tuple(v) for k, v in agg.items()}
     assert len(got) <= 168
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    """PPR mass concentrates near the seed set: every positive-rank
+    node is within PR_ITERS hops of a seed, and seeds hold restart
+    mass; the global rank's uniform floor is absent."""
+    rows = QUERIES["personalized_pagerank_seeded"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r.rank_tick > 0 for r in rows)
+    # seeds are customers with key % 10 == 0; with 3 iterations over a
+    # bipartite graph, odd hops land on suppliers — both sides present
+    kinds = {r.node[0] for r in rows}
+    assert kinds <= {"c", "s"}
+    # deterministic ordering: strictly non-increasing ticks
+    ticks = [r.rank_tick for r in rows]
+    assert ticks == sorted(ticks, reverse=True)
+
+
+def test_ivm_join_delta_all_consistent(spark):
+    """The join-delta law holds on every key: merged partials equal the
+    full recompute — the flag the driver hash-checks is all-1."""
+    rows = QUERIES["ivm_join_delta"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r.consistent == 1 for r in rows)
+    for r in rows:
+        assert r.pre_n + r.delta_n == r.full_n
+        assert r.merged_cents == r.full_cents
+    # the delta batch is genuinely non-empty (the cutoff splits data)
+    assert sum(r.delta_n for r in rows) > 0
+    assert sum(r.pre_n for r in rows) > 0
+
+
+def test_media_sequence_fingerprint_invariants(spark):
+    """Set groups can never exceed sequence groups (sorting is a
+    many-to-one map), and identical payloads share both fingerprints."""
+    rows = QUERIES["media_sequence_fingerprint"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_set_groups <= r.n_seq_groups <= r.n_items
+        assert r.reordered_groups == r.n_seq_groups - r.n_set_groups
+        assert r.reordered_groups >= 0
+    assert {r.media_type for r in rows} == {
+        "image/png", "audio/wav", "video/mp4"
+    }

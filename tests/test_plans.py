@@ -1271,3 +1271,25 @@ class TestDriftPlans:
         assert t.count("Scan parquet") == 1
         assert "Join" not in t
         assert t.count("HashAggregate") == 2
+
+    def test_ppr_prunes_zero_mass(self, spark):
+        # the contribution join filters tick > 0 — early iterations
+        # touch only the seeds' neighborhoods
+        t = tree(spark, "personalized_pagerank_seeded")
+        assert t.count("Scan parquet") == 0  # checkpointed edges + ranks
+        assert "CartesianProduct" not in t
+
+    def test_ivm_join_delta_prunes_history(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "ivm_join_delta")
+        # pre/delta rollups are checkpointed; only the verification
+        # recompute re-reads the facts
+        assert "CartesianProduct" not in t
+        df = QUERIES["ivm_join_delta"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_media_sequence_payload_never_shuffles(self, spark):
+        t = tree(spark, "media_sequence_fingerprint")
+        assert t.count("Scan parquet") == 1
+        assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
