@@ -90,7 +90,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: weighted_deciles_price, stl_residual_outliers, quantile_norm_map,
 #: label_centroid_distances, range_split_points, dow_hour_value_heatmap,
 #: personalized_pagerank_seeded, ivm_join_delta,
-#: media_sequence_fingerprint; no
+#: media_sequence_fingerprint, value_skewness_by_nation,
+#: hybrid_skew_join, heldout_perplexity; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -4702,3 +4702,158 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-moment value distribution per nation (skewness / kurtosis)
+# ---------------------------------------------------------------------------
+
+@register(
+    "value_skewness_by_nation",
+    oracle="""
+    WITH v AS (
+      SELECT c.c_nationkey, CAST(round(o.o_totalprice, 0) AS BIGINT) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    s AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(x AS HUGEINT) * x * x) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS DOUBLE) AS s4
+      FROM v GROUP BY c_nationkey),
+    m AS (
+      SELECT c_nationkey, n, CAST(s1 AS DOUBLE) / n AS mu,
+             s2 / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               AS var, s2 / n AS m2, s3 / n AS m3, s4 / n AS m4
+      FROM s)
+    SELECT c_nationkey, n,
+           CAST(round(mu * 100, 0) AS BIGINT) AS mean_cents,
+           CAST(round((m3 - 3 * mu * m2 + 2 * mu * mu * mu)
+             / pow(var, 1.5e0) * 1000000, 0) AS BIGINT) AS skew_micro,
+           CAST(round((m4 - 4 * mu * m3 + 6 * mu * mu * m2
+                       - 3 * mu * mu * mu * mu)
+             / (var * var) * 1000000, 0) AS BIGINT) AS kurtosis_micro
+    FROM m ORDER BY c_nationkey
+    """,
+)
+def value_skewness_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third and fourth standardized moments of order value per customer
+    nation — the distribution-SHAPE profile (heavy right tail? fat
+    tails?) that mean/variance dashboards miss and that decides whether
+    a mean-based KPI is even meaningful for a market.
+
+    Exactness: whole-dollar x keeps x³ in int64 per row and x⁴ exact in
+    the wide-integer accumulators (Spark decimal(38,0), DuckDB HUGEINT
+    — the SCALE.md second-moment rule extended to four moments), with
+    one double cast per finished power sum; the raw-moment expansions
+    are single mirrored expressions.
+
+    Scale: orders reduce per (nation) after one hint-free
+    customer join (AQE broadcasts the customer map side if it fits);
+    ONE fused aggregate carries all four power sums — the cost is a
+    scan plus a |nations|-row rollup regardless of moment order.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    x = F.round(F.col("o_totalprice"), 0).cast("bigint")
+    v = o.join(c, o.o_custkey == c.c_custkey).select("c_nationkey", x.alias("x"))
+    xd = F.col("x").cast("decimal(38,0)")
+    s = v.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("s2"),
+        F.sum(xd * xd * xd).cast("double").alias("s3"),
+        F.sum(xd * xd * xd * xd).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    m2 = F.col("s2") / n
+    m3 = F.col("s3") / n
+    m4 = F.col("s4") / n
+    var = m2 - mu * mu
+    skew = (m3 - 3 * mu * m2 + 2 * mu * mu * mu) / F.pow(var, F.lit(1.5))
+    kurt = (m4 - 4 * mu * m3 + 6 * mu * mu * m2 - 3 * mu * mu * mu * mu) / (
+        var * var
+    )
+    return s.select(
+        "c_nationkey",
+        "n",
+        F.round(mu * 100, 0).cast("bigint").alias("mean_cents"),
+        F.round(skew * 1_000_000, 0).cast("bigint").alias("skew_micro"),
+        F.round(kurt * 1_000_000, 0).cast("bigint").alias("kurtosis_micro"),
+    ).orderBy("c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid skew join (hot keys broadcast, cold keys shuffled)
+# ---------------------------------------------------------------------------
+
+_HYBRID_HOT_K = 2
+
+
+@register(
+    "hybrid_skew_join",
+    oracle=f"""
+    WITH counts AS (
+      SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY l_partkey),
+    hot AS (SELECT l_partkey FROM counts
+            ORDER BY c DESC, l_partkey LIMIT {_HYBRID_HOT_K}),
+    j AS (
+      SELECT l.l_partkey,
+             CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT CASE WHEN h.l_partkey IS NULL THEN 0 ELSE 1 END AS is_hot,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM j LEFT JOIN hot h ON j.l_partkey = h.l_partkey
+    GROUP BY 1 ORDER BY is_hot
+    """,
+)
+def hybrid_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER skew-join remedy next to salting: split the hottest
+    {_HYBRID_HOT_K} join keys onto a broadcast fast path (their dim
+    rows are by definition few) and let the cold long tail take the
+    ordinary shuffled join — no salt factor to tune, no dim-row
+    replication. The rollup proves both paths' union equals the plain
+    join, split by temperature.
+
+    Scale: the hot list is an aggregate + top-k (broadcast-legal by
+    the tripwire's own rules); the hot path joins a {_HYBRID_HOT_K}-row
+    part slice broadcast-side so the skewed keys never enter a shuffle
+    partition; the cold path stays hint-free for AQE. This is the
+    manual form of AQE's skew-join split, usable when the skew is KNOWN
+    ahead of time (a daily hot-key list) rather than detected at
+    runtime.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    hot = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "l_partkey")
+        .limit(_HYBRID_HOT_K)
+        .select("l_partkey")
+        .localCheckpoint()
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    li_hot = li.join(F.broadcast(hot), "l_partkey")
+    li_cold = li.join(F.broadcast(hot), "l_partkey", "left_anti")
+    part_hot = part.join(
+        F.broadcast(hot.withColumnRenamed("l_partkey", "p_partkey")),
+        "p_partkey",
+    )
+    j_hot = li_hot.join(
+        F.broadcast(part_hot), li_hot.l_partkey == part_hot.p_partkey
+    ).select(cents.alias("cents"), F.lit(1).alias("is_hot"))
+    j_cold = li_cold.join(part, li_cold.l_partkey == part.p_partkey).select(
+        cents.alias("cents"), F.lit(0).alias("is_hot")
+    )
+    return (
+        j_cold.unionAll(j_hot)
+        .groupBy("is_hot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("is_hot")
+    )

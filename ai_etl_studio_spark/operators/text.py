@@ -2579,3 +2579,85 @@ def quantile_norm_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Held-out unigram perplexity (proper LM eval split)
+# ---------------------------------------------------------------------------
+
+@register(
+    "heldout_perplexity",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half, source,
+             unnest(string_split_regex(lower(text), '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    train AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE half = 0 AND w <> '' GROUP BY w),
+    tn AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+           FROM train),
+    held AS (SELECT source, w FROM tok WHERE half = 1 AND w <> ''),
+    scored AS (
+      SELECT h.source,
+             CAST(round(ln(CAST(tn.n + tn.v + 1 AS DOUBLE)
+               / (COALESCE(t.c, 0) + 1)) * 1000000000, 0) AS BIGINT) AS ticks
+      FROM held h LEFT JOIN train t ON h.w = t.w CROSS JOIN tn)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(ticks) AS BIGINT) AS surprisal_ticks,
+           CAST(SUM(ticks) // COUNT(*) AS BIGINT) AS avg_ticks
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity: the unigram LM trains on the even-doc_id
+    half and scores the ODD half (add-one smoothing, +1 OOV slot) —
+    the in-sample bias check on perplexity_by_source (a memorized
+    template scores deceptively well when it graded itself; held-out
+    scoring is how LM quality filters are actually validated).
+
+    Scale: the build/serve two-pass shape — the train half reduces to
+    the vocabulary-bounded count table (checkpointed; its 1-row totals
+    aggregate from the checkpoint and broadcast), the held half joins
+    it hint-free (aggregate-reduced — AQE broadcasts a fitting vocab),
+    and each token's smoothed surprisal quantizes to nanoticks before
+    the per-source sum.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+    def toks(half: int) -> DataFrame:
+        return d.filter(F.col("doc_id") % 2 == half).select(
+            "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        ).filter(F.col("w") != "")
+
+    train = (
+        toks(0).groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    tn = train.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    held = toks(1)
+    ticks = F.round(
+        F.log(
+            (F.col("n") + F.col("v") + 1).cast("double")
+            / (F.coalesce(F.col("c"), F.lit(0)) + 1)
+        )
+        * 1_000_000_000,
+        0,
+    ).cast("bigint")
+    return (
+        held.join(train, "w", "left")
+        .crossJoin(F.broadcast(tn))
+        .select("source", ticks.alias("ticks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("ticks").cast("bigint").alias("surprisal_ticks"),
+            (F.sum("ticks") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_ticks"),
+        )
+        .orderBy("source")
+    )

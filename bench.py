@@ -251,6 +251,9 @@ HEADLINE = [
     "personalized_pagerank_seeded",
     "ivm_join_delta",
     "media_sequence_fingerprint",
+    "value_skewness_by_nation",
+    "hybrid_skew_join",
+    "heldout_perplexity",
 ]
 
 

