@@ -91,7 +91,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: label_centroid_distances, range_split_points, dow_hour_value_heatmap,
 #: personalized_pagerank_seeded, ivm_join_delta,
 #: media_sequence_fingerprint, value_skewness_by_nation,
-#: hybrid_skew_join, heldout_perplexity; no
+#: hybrid_skew_join, heldout_perplexity, vocab_coverage_topk,
+#: new_returning_revenue_monthly, abc_classification_parts; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -4857,3 +4857,157 @@ def hybrid_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_hot")
     )
+
+
+# ---------------------------------------------------------------------------
+# New-vs-returning revenue growth accounting (monthly)
+# ---------------------------------------------------------------------------
+
+@register(
+    "new_returning_revenue_monthly",
+    oracle="""
+    WITH o2 AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             min(CAST(date_trunc('month', o_orderdate) AS DATE))
+               OVER (PARTITION BY o_custkey) AS fm
+      FROM orders)
+    SELECT month,
+           CAST(SUM(CASE WHEN month = fm THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_orders,
+           CAST(SUM(CASE WHEN month = fm THEN cents ELSE 0 END) AS BIGINT)
+             AS new_cents,
+           CAST(SUM(CASE WHEN month <> fm THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_orders,
+           CAST(SUM(CASE WHEN month <> fm THEN cents ELSE 0 END) AS BIGINT)
+             AS returning_cents
+    FROM o2 GROUP BY month ORDER BY month
+    """,
+)
+def new_returning_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split into NEW customers (orders placed in the
+    customer's first-ever month) vs RETURNING — the revenue-side growth
+    accounting that says whether a month's top line is acquisition or
+    retention (the user-count twin is growth_accounting_daily).
+
+    Scale: one shuffle on o_custkey computes each customer's first
+    month as a partition-window MIN (no self-join, no second scan of
+    orders); the monthly split is then a map-side-combinable
+    conditional aggregate over calendar-bounded groups. Revenue stays
+    exact int64 cents end to end.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mo = F.date_trunc("month", "o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey")
+    d = o.select(
+        "o_custkey", mo.alias("month"), cents("o_totalprice").alias("cents")
+    ).withColumn("fm", F.min("month").over(w))
+    new = F.col("month") == F.col("fm")
+    return (
+        d.groupBy("month")
+        .agg(
+            F.sum(F.when(new, 1).otherwise(0)).cast("bigint").alias("new_orders"),
+            F.sum(F.when(new, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("new_cents"),
+            F.sum(F.when(~new, 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_orders"),
+            F.sum(F.when(~new, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("returning_cents"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification of parts by revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "abc_classification_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+    r AS (
+      SELECT cents,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, pk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM rev),
+    c AS (
+      SELECT cents, total,
+             CASE WHEN 5 * cum <= 4 * total THEN 'A'
+                  WHEN 20 * cum <= 19 * total THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM r CROSS JOIN t)
+    SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(cents) * 1000000000 // MAX(total) AS BIGINT)
+             AS share_ppb
+    FROM c GROUP BY cls ORDER BY cls
+    """,
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A = the head that carries ≤80% of cumulative revenue, B the
+    next slice to 95%, C the long tail — the warehouse segmentation
+    behind "which SKUs deserve premium treatment". Boundaries are exact
+    integer tests (5·cum ≤ 4·total, 20·cum ≤ 19·total), never float
+    shares.
+
+    Scale: per-part revenue reduces in one map-side-combinable
+    aggregate; the EXACT cumulative-revenue rank then comes from the
+    bucketed scaffold — log2(cents) buckets via length(bin()), a ≤64-
+    row offset table carrying both count and revenue prefixes, and a
+    per-bucket running-sum window — so no global sort of the part
+    dimension ever happens (the DuckDB oracle does the naive full-sort
+    cumulative; this plan replaces it with bucket-local windows).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(cents("l_extendedprice")).alias("cents"))
+        .withColumn("bkt", (F.length(F.bin("cents")) - 1).cast("bigint"))
+        .localCheckpoint()  # offsets + totals + ranked read once
+    )
+    per_bkt = rev.groupBy("bkt").agg(F.sum("cents").alias("bkt_cents"))
+    w_off = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bkt.select(
+        "bkt",
+        F.coalesce(F.sum("bkt_cents").over(w_off), F.lit(0)).alias("cents_off"),
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("total"))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("cents"), "pk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.col("cents_off") + F.sum("cents").over(w_in)
+    cls = (
+        F.when(5 * cum <= 4 * F.col("total"), "A")
+        .when(20 * cum <= 19 * F.col("total"), "B")
+        .otherwise("C")
+    )
+    return (
+        rev.join(offsets, "bkt")
+        .crossJoin(F.broadcast(tot))
+        .select("cents", "total", cls.alias("cls"))
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.expr(
+                "CAST(CAST(SUM(cents) AS DECIMAL(38,0)) * 1000000000"
+                " DIV MAX(total) AS BIGINT)"
+            ).alias("share_ppb"),
+        )
+        .orderBy("cls")
+    )

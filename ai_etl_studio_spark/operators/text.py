@@ -2661,3 +2661,97 @@ def heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k vocabulary token coverage (tokenizer-budget curve)
+# ---------------------------------------------------------------------------
+
+#: Vocabulary sizes probed by the coverage curve.
+_COVERAGE_KS = (1, 10, 100, 1_000, 10_000, 100_000)
+
+
+@register(
+    "vocab_coverage_topk",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    cnt AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE w <> '' GROUP BY w),
+    rk AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM cnt),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt),
+    ks AS (SELECT unnest([{", ".join(map(str, _COVERAGE_KS))}]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(c) AS BIGINT) AS covered_tokens,
+           CAST(MAX(total) AS BIGINT) AS total_tokens,
+           CAST(SUM(c) * 1000000000 // MAX(total) AS BIGINT)
+             AS coverage_ppb
+    FROM rk JOIN ks ON rk.r <= ks.k CROSS JOIN tot
+    GROUP BY ks.k ORDER BY k
+    """,
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token mass covered by the top-k most frequent words, for k in
+    1..100 000 — the tokenizer-budget curve: how big a vocabulary must
+    be before OOV/byte-fallback mass becomes negligible, and the
+    headline behind "the top 100 words are X% of the corpus".
+
+    Scale: the corpus reduces once to vocabulary-bounded word counts;
+    the exact global frequency rank then comes from the bucketed-rank
+    scaffold (log2(count) buckets via length(bin()) — per-bucket
+    row_number windows plus a tiny ≤64-row offset table, never a
+    global sort of the vocabulary). Each word fans out only to the
+    ≤|ks| probe sizes at or above its rank (map-side explode), and the
+    coverage share is exact 128-bit integer arithmetic (decimal(38,0)
+    / HUGEINT) — float never touches a distributed sum.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cnt = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("bkt", (F.length(F.bin("c")) - 1).cast("bigint"))
+        .localCheckpoint()  # ranks + offsets + totals read once
+    )
+    per_bkt = cnt.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_in"))
+    w_off = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bkt.select(
+        "bkt", F.coalesce(F.sum("n_in").over(w_off), F.lit(0)).alias("off")
+    )
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("total"))
+    w_in = Window.partitionBy("bkt").orderBy(F.desc("c"), "w")
+    ks = F.array(*[F.lit(k) for k in _COVERAGE_KS])
+    ranked = (
+        cnt.withColumn("rn", F.row_number().over(w_in))
+        .join(offsets, "bkt")
+        .select("c", (F.col("off") + F.col("rn")).alias("r"))
+    )
+    return (
+        ranked.select(
+            "c", F.explode(F.filter(ks, lambda k: k >= F.col("r"))).alias("k")
+        )
+        .groupBy(F.col("k").cast("bigint").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("c").cast("bigint").alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_words",
+            "covered_tokens",
+            F.col("total").cast("bigint").alias("total_tokens"),
+            F.expr(
+                "CAST(CAST(covered_tokens AS DECIMAL(38,0)) * 1000000000"
+                " DIV total AS BIGINT)"
+            ).alias("coverage_ppb"),
+        )
+        .orderBy("k")
+    )

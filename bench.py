@@ -254,6 +254,9 @@ HEADLINE = [
     "value_skewness_by_nation",
     "hybrid_skew_join",
     "heldout_perplexity",
+    "vocab_coverage_topk",
+    "new_returning_revenue_monthly",
+    "abc_classification_parts",
 ]
 
 

@@ -1273,3 +1273,91 @@ def test_heldout_perplexity_oov_gt_insample(spark):
         assert (r.n_tokens, r.surprisal_ticks) == (len(ws), ticks)
         assert r.avg_ticks == ticks // len(ws)
         assert r.avg_ticks > 0
+
+
+def test_vocab_coverage_topk_replay(spark):
+    import re
+    from collections import Counter
+
+    rows = QUERIES["vocab_coverage_topk"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    cnt = Counter()
+    for d in docs:
+        if d.text is not None:
+            cnt.update(w for w in re.split(r"\s+", d.text.lower()) if w)
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    got = {r.k: r for r in rows}
+    prev = -1
+    for k in (1, 10, 100, 1_000, 10_000, 100_000):
+        top = ordered[:k]
+        cov = sum(c for _, c in top)
+        r = got[k]
+        assert (r.n_words, r.covered_tokens, r.total_tokens) == (
+            len(top), cov, total
+        )
+        assert r.coverage_ppb == cov * 1_000_000_000 // total
+        assert r.coverage_ppb >= prev  # curve is monotone
+        prev = r.coverage_ppb
+    assert got[100_000].n_words == len(ordered)  # sf0.001 vocab < 100k
+
+
+def test_new_returning_revenue_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["new_returning_revenue_monthly"](spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    first = {}
+    for r in o:
+        m = (r.o_orderdate.year, r.o_orderdate.month)
+        if r.o_custkey not in first or m < first[r.o_custkey]:
+            first[r.o_custkey] = m
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in o:
+        m = (r.o_orderdate.year, r.o_orderdate.month)
+        b = agg[m]
+        c = round(r.o_totalprice * 100)
+        if m == first[r.o_custkey]:
+            b[0] += 1
+            b[1] += c
+        else:
+            b[2] += 1
+            b[3] += c
+    got = {
+        (r.month.year, r.month.month): (
+            r.new_orders, r.new_cents, r.returning_orders, r.returning_cents
+        )
+        for r in rows
+    }
+    assert got == {m: tuple(v) for m, v in agg.items()}
+    # the globally earliest month has zero returning revenue
+    assert got[min(got)][2] == 0
+
+
+def test_abc_classification_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["abc_classification_parts"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    rev = defaultdict(int)
+    for r in li:
+        rev[r.l_partkey] += round(r.l_extendedprice * 100)
+    ordered = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(rev.values())
+    agg = defaultdict(lambda: [0, 0])
+    cum = 0
+    for pk, c in ordered:
+        cum += c
+        cls = "A" if 5 * cum <= 4 * total else ("B" if 20 * cum <= 19 * total else "C")
+        agg[cls][0] += 1
+        agg[cls][1] += c
+    got = {r.cls: (r.n_parts, r.cents, r.share_ppb) for r in rows}
+    assert got == {
+        k: (v[0], v[1], v[1] * 1_000_000_000 // total) for k, v in agg.items()
+    }
+    # by construction A carries ~80% of revenue vs C's ~5% tail; the
+    # classes partition the part dimension exactly
+    if "A" in got and "C" in got:
+        assert got["A"][1] > got["C"][1]
+    assert sum(v[0] for v in got.values()) == len(rev)
+    assert sum(v[1] for v in got.values()) == total

@@ -1317,3 +1317,32 @@ class TestDriftPlans:
         assert "CartesianProduct" not in t
         df = QUERIES["heldout_perplexity"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_vocab_coverage_bucketed_rank_no_global_sort(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "vocab_coverage_topk")
+        assert "CartesianProduct" not in t
+        df = QUERIES["vocab_coverage_topk"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_new_returning_single_scan_window_min(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # first-month via partition window, not a self-join: ONE scan
+        t = tree(spark, "new_returning_revenue_monthly")
+        assert t.count("Scan parquet") == 1
+        assert "Join" not in t
+        df = QUERIES["new_returning_revenue_monthly"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_abc_classification_bucket_windows_only(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # lineitem scanned once AT the checkpoint; the served plan reads
+        # only the materialized per-part reduction, three times
+        t = tree(spark, "abc_classification_parts")
+        assert "Scan parquet" not in t and "Scan ExistingRDD" in t
+        assert "CartesianProduct" not in t
+        df = QUERIES["abc_classification_parts"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
