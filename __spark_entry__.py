@@ -92,7 +92,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: personalized_pagerank_seeded, ivm_join_delta,
 #: media_sequence_fingerprint, value_skewness_by_nation,
 #: hybrid_skew_join, heldout_perplexity, vocab_coverage_topk,
-#: new_returning_revenue_monthly, abc_classification_parts; no
+#: new_returning_revenue_monthly, abc_classification_parts,
+#: embedding_dim_stats, pairwise_distance_histogram,
+#: readability_scores_by_source; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -1884,3 +1884,152 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("term").cast("bigint").alias("d2_micro2"))
         .orderBy("label_1", "label_2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics (dead-dimension audit)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS xm,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    s AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xm) AS BIGINT) AS s1,
+             CAST(SUM(CAST(xm AS HUGEINT) * xm) AS DOUBLE) AS s2,
+             CAST(MIN(xm) AS BIGINT) AS mn, CAST(MAX(xm) AS BIGINT) AS mx
+      FROM e GROUP BY dim)
+    SELECT CAST(dim AS BIGINT) AS dim, n AS n_vecs,
+           CAST(round(CAST(s1 AS DOUBLE) / n * 1000, 0) AS BIGINT)
+             AS mean_nano,
+           CAST(round(s2 / n - (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n), 0) AS BIGINT) AS var_microsq,
+           mn AS min_micro, mx AS max_micro
+    FROM s ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance/range of the embedding column — the
+    dead-dimension audit (a dimension with ~zero variance carries no
+    information and signals a truncated or mis-exported encoder; a
+    mean far from 0 signals an un-centered batch) run before spending
+    ANN index budget on the space.
+
+    Scale: posexplode fans each vector into (dim, micro-tick) pairs
+    map-side; everything reduces in ONE aggregate to the |dims|-row
+    table. Σx² rides the wide-integer rule (decimal(38,0)/HUGEINT, one
+    final double cast); min/max/mean stay exact integer micro-ticks.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("pos", "x")).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000, 0)
+        .cast("bigint")
+        .alias("xm"),
+    )
+    xd = F.col("xm").cast("decimal(38,0)")
+    s = e.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xm").cast("bigint").alias("s1"),
+        F.sum(xd * xd).cast("double").alias("s2"),
+        F.min("xm").cast("bigint").alias("mn"),
+        F.max("xm").cast("bigint").alias("mx"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    return s.select(
+        "dim",
+        F.col("n").alias("n_vecs"),
+        F.round(mu * 1000, 0).cast("bigint").alias("mean_nano"),
+        F.round(F.col("s2") / F.col("n") - mu * mu, 0)
+        .cast("bigint")
+        .alias("var_microsq"),
+        F.col("mn").alias("min_micro"),
+        F.col("mx").alias("max_micro"),
+    ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-distance histogram on a deterministic sample (threshold calib)
+# ---------------------------------------------------------------------------
+
+#: Deterministic sample modulus — bounds the quadratic pair stage to
+#: (|vecs|/MOD)² regardless of corpus size (same device as the ANN
+#: recall evals' truth joins).
+_PAIR_HIST_MOD = 11
+
+
+@register(
+    "pairwise_distance_histogram",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {_PAIR_HIST_MOD} = 0),
+    e AS (
+      SELECT vec_id,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS xm,
+             generate_subscripts(embedding, 1) AS dim
+      FROM s),
+    d AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             CAST(SUM((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
+      FROM e a JOIN e b ON a.dim = b.dim AND a.vec_id < b.vec_id
+      GROUP BY 1, 2)
+    SELECT CAST(length(bin(greatest(d2, 1))) - 1 AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(d2) AS BIGINT) AS min_d2,
+           CAST(MAX(d2) AS BIGINT) AS max_d2
+    FROM d GROUP BY 1 ORDER BY log2_bucket
+    """,
+)
+def pairwise_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of exact pairwise squared L2 distances over a
+    deterministic vec_id-sample — the threshold-calibration readout
+    (where does the near-duplicate mode sit? how wide is the gap to
+    the background mode?) consulted before picking the cosine/L2
+    cutoff every near-dup and ANN operator depends on.
+
+    Scale: the quadratic stage is fenced to the MOD-sample (constant
+    row count by choosing MOD ∝ corpus size; the sample is
+    checkpointed so its tiny stats drive a BroadcastNestedLoopJoin,
+    never a full cartesian); distances are exact int64 over micro-tick
+    zip_with folds, and the log2 bucketing is the bin()-length idiom —
+    no float ever decides a bucket edge.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    micro = lambda c: F.round(c.cast("double") * 1_000_000, 0).cast("bigint")
+    s = (
+        emb.filter(F.col("vec_id") % _PAIR_HIST_MOD == 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: micro(x)).alias("tm"),
+        )
+        .localCheckpoint()  # bounded sample: read twice, stats known-small
+    )
+    a = s.select(F.col("vec_id").alias("v1"), F.col("tm").alias("ta"))
+    b = s.select(F.col("vec_id").alias("v2"), F.col("tm").alias("tb"))
+    d2 = F.aggregate(
+        F.zip_with("ta", "tb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select(d2.alias("d2"))
+        .groupBy(
+            (F.length(F.bin(F.greatest(F.col("d2"), F.lit(1)))) - 1)
+            .cast("bigint")
+            .alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("d2").cast("bigint").alias("min_d2"),
+            F.max("d2").cast("bigint").alias("max_d2"),
+        )
+        .orderBy("log2_bucket")
+    )

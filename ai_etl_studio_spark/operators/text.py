@@ -2755,3 +2755,91 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability profile per source (Flesch-Kincaid-style)
+# ---------------------------------------------------------------------------
+
+@register(
+    "readability_scores_by_source",
+    oracle=r"""
+    WITH d AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               w -> w <> '')) AS BIGINT) AS words,
+             CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+               x -> regexp_matches(x, '\S'))) AS BIGINT) AS sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS syls,
+             CAST(length(text) AS BIGINT) AS chars
+      FROM documents WHERE text IS NOT NULL),
+    f AS (SELECT * FROM d WHERE words >= 1 AND sents >= 1)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           CAST(SUM(sents) AS BIGINT) AS sentences,
+           CAST(round(CAST(SUM(words) AS DOUBLE) / SUM(sents) * 1000000, 0)
+             AS BIGINT) AS words_per_sentence_micro,
+           CAST(round(CAST(SUM(chars) AS DOUBLE) / SUM(words) * 1000000, 0)
+             AS BIGINT) AS chars_per_word_micro,
+           CAST(round((0.39e0 * (CAST(SUM(words) AS DOUBLE) / SUM(sents))
+             + 11.8e0 * (CAST(SUM(syls) AS DOUBLE) / SUM(words))
+             - 15.59e0) * 1000, 0) AS BIGINT) AS fk_grade_milli
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def readability_scores_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profile per source: words/sentence, chars/word, and
+    a Flesch-Kincaid-style grade (vowel-group runs as the syllable
+    proxy) — the quality dimension length/stopword filters miss: a feed
+    of run-on machine text scores high words-per-sentence long before
+    its token distribution drifts.
+
+    Scale: all four per-doc counts are single-pass JVM regex/
+    higher-order expressions (no Python, no shuffle of text); the
+    corpus reduces to |sources| rows of exact integer sums, and the
+    three ratios are final mirrored double expressions (float literals
+    written 0.39e0-style so the oracle's arithmetic path is double,
+    not DECIMAL).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.size(
+        F.filter(F.split("text", r"\s+"), lambda w: w != F.lit(""))
+    ).cast("bigint")
+    sents = F.size(
+        F.filter(F.split("text", r"[.!?]+"), lambda x: x.rlike(r"\S"))
+    ).cast("bigint")
+    syls = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)
+    ).cast("bigint")
+    f = d.select(
+        "source",
+        words.alias("words"),
+        sents.alias("sents"),
+        syls.alias("syls"),
+        F.length("text").cast("bigint").alias("chars"),
+    ).filter((F.col("words") >= 1) & (F.col("sents") >= 1))
+    sw = F.sum("words").cast("double")
+    ss = F.sum("sents").cast("double")
+    sy = F.sum("syls").cast("double")
+    sc = F.sum("chars").cast("double")
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("words").cast("bigint").alias("words"),
+            F.sum("sents").cast("bigint").alias("sentences"),
+            F.round(sw / ss * 1_000_000, 0)
+            .cast("bigint")
+            .alias("words_per_sentence_micro"),
+            F.round(sc / sw * 1_000_000, 0)
+            .cast("bigint")
+            .alias("chars_per_word_micro"),
+            F.round(
+                (0.39 * (sw / ss) + 11.8 * (sy / sw) - 15.59) * 1000, 0
+            )
+            .cast("bigint")
+            .alias("fk_grade_milli"),
+        )
+        .orderBy("source")
+    )

@@ -257,6 +257,9 @@ HEADLINE = [
     "vocab_coverage_topk",
     "new_returning_revenue_monthly",
     "abc_classification_parts",
+    "embedding_dim_stats",
+    "pairwise_distance_histogram",
+    "readability_scores_by_source",
 ]
 
 

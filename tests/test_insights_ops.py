@@ -15,6 +15,14 @@ QUERIES, ORACLES = load_all()
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _round_half_up(x: float) -> int:
+    """Spark/DuckDB round() semantics (half away from zero); Python's
+    built-in round is banker's and diverges on exact .5 ties."""
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
 def test_path_transitions_rows_are_distributions(spark):
     rows = QUERIES["path_transitions"](spark, SF_DIR).collect()
     assert rows
@@ -1361,3 +1369,84 @@ def test_abc_classification_replay(spark):
         assert got["A"][1] > got["C"][1]
     assert sum(v[0] for v in got.values()) == len(rev)
     assert sum(v[1] for v in got.values()) == total
+
+
+def test_embedding_dim_stats_replay(spark):
+    import numpy as np
+
+    rows = QUERIES["embedding_dim_stats"](spark, SF_DIR).collect()
+    vecs = [
+        r.embedding
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    ]
+    ticks = np.array(
+        [[_round_half_up(float(x) * 1e6) for x in v] for v in vecs],
+        dtype=np.int64,
+    )
+    assert len(rows) == ticks.shape[1]
+    for r in rows:
+        col = ticks[:, r.dim - 1]
+        assert r.n_vecs == len(col)
+        assert (r.min_micro, r.max_micro) == (col.min(), col.max())
+        mu = col.sum() / len(col)
+        assert r.mean_nano == _round_half_up(mu * 1000)
+        var = float((col.astype(object) ** 2).sum()) / len(col) - mu * mu
+        assert abs(r.var_microsq - var) <= 1
+        assert r.var_microsq > 0  # no dead dims in the synthetic data
+
+
+def test_pairwise_distance_histogram_replay(spark):
+    from itertools import combinations
+
+    rows = QUERIES["pairwise_distance_histogram"](spark, SF_DIR).collect()
+    sample = [
+        [_round_half_up(float(x) * 1e6) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+        if r.vec_id % 11 == 0
+    ]
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, None, None])
+    for a, b in combinations(sample, 2):
+        d2 = sum((x - y) ** 2 for x, y in zip(a, b))
+        bkt = max(d2, 1).bit_length() - 1
+        e = agg[bkt]
+        e[0] += 1
+        e[1] = d2 if e[1] is None else min(e[1], d2)
+        e[2] = d2 if e[2] is None else max(e[2], d2)
+    got = {r.log2_bucket: (r.n_pairs, r.min_d2, r.max_d2) for r in rows}
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    assert sum(v[0] for v in got.values()) == len(sample) * (len(sample) - 1) // 2
+
+
+def test_readability_scores_replay(spark):
+    import re
+    from collections import defaultdict
+
+    rows = QUERIES["readability_scores_by_source"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, words, sents, syls, chars
+    for d in docs:
+        if d.text is None:
+            continue
+        w = len([x for x in re.split(r"\s+", d.text) if x])
+        s = len([x for x in re.split(r"[.!?]+", d.text) if re.search(r"\S", x)])
+        if w < 1 or s < 1:
+            continue
+        y = len(re.findall(r"[aeiouy]+", d.text.lower()))
+        b = agg[d.source]
+        b[0] += 1
+        b[1] += w
+        b[2] += s
+        b[3] += y
+        b[4] += len(d.text)
+    got = {r.source: r for r in rows}
+    assert set(got) == set(agg)
+    for src, (n, w, s, y, c) in agg.items():
+        r = got[src]
+        assert (r.n_docs, r.words, r.sentences) == (n, w, s)
+        assert r.words_per_sentence_micro == _round_half_up(w / s * 1e6)
+        assert r.chars_per_word_micro == _round_half_up(c / w * 1e6)
+        assert r.fk_grade_milli == _round_half_up(
+            (0.39 * (w / s) + 11.8 * (y / w) - 15.59) * 1000
+        )

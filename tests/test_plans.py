@@ -1346,3 +1346,29 @@ class TestDriftPlans:
         assert "CartesianProduct" not in t
         df = QUERIES["abc_classification_parts"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_embedding_dim_stats_one_aggregate_no_vector_shuffle(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "embedding_dim_stats")
+        assert t.count("Scan parquet") == 1
+        assert t.count("HashAggregate") == 2  # one partial+final pair
+        df = QUERIES["embedding_dim_stats"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_pairwise_histogram_bnlj_on_bounded_sample(self, spark):
+        # quadratic stage fenced to the MOD-sample: the checkpointed
+        # sample drives BroadcastNestedLoopJoin, never CartesianProduct
+        t = tree(spark, "pairwise_distance_histogram")
+        assert "BroadcastNestedLoopJoin" in t
+        assert "CartesianProduct" not in t
+        assert "Scan parquet" not in t  # reads the checkpointed sample
+
+    def test_readability_single_scan_no_python(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "readability_scores_by_source")
+        assert t.count("Scan parquet") == 1
+        assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        df = QUERIES["readability_scores_by_source"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
