@@ -94,7 +94,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: hybrid_skew_join, heldout_perplexity, vocab_coverage_topk,
 #: new_returning_revenue_monthly, abc_classification_parts,
 #: embedding_dim_stats, pairwise_distance_histogram,
-#: readability_scores_by_source; no
+#: readability_scores_by_source, markov_stationary_profile,
+#: attribution_time_decay, basket_size_profile; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -5011,3 +5011,69 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls")
     )
+
+
+# ---------------------------------------------------------------------------
+# Basket-size profile (orders by line count)
+# ---------------------------------------------------------------------------
+
+@register(
+    "basket_size_profile",
+    oracle="""
+    WITH o AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1),
+    s AS (
+      SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      FROM o GROUP BY 1)
+    SELECT n_lines, n_orders, revenue_cents,
+           CAST(revenue_cents // n_orders AS BIGINT) AS avg_order_cents,
+           CAST(CAST(revenue_cents AS HUGEINT) * 1000000000
+             // SUM(revenue_cents) OVER () AS BIGINT) AS share_ppb
+    FROM s ORDER BY n_lines
+    """,
+)
+def basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders profiled by basket size (line count 1..7): how many
+    orders, how much revenue, the average ticket, and each size's
+    revenue share — the merchandising readout behind free-shipping
+    thresholds and bundle pricing ("do big baskets actually carry the
+    revenue?").
+
+    Scale: one orderkey-shuffle reduction to per-order (lines, cents),
+    a second map-side-combinable rollup to ≤7 rows, and the share
+    denominator is an all-rows window over that tiny result (the
+    class_balance_weights device — never a second scan). Average and
+    share are exact integer floor divisions in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(cents("l_extendedprice")).alias("cents"),
+    )
+    s = o.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    return (
+        s.withColumn(
+            "share_ppb",
+            F.expr(
+                "CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000000"
+                " DIV (SUM(revenue_cents) OVER ()) AS BIGINT)"
+            ),
+        )
+        .select(
+            "n_lines",
+            "n_orders",
+            "revenue_cents",
+            F.expr("CAST(revenue_cents DIV n_orders AS BIGINT)").alias(
+                "avg_order_cents"
+            ),
+            "share_ppb",
+        )
+        .orderBy("n_lines")
+    )

@@ -2632,3 +2632,254 @@ def stl_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("abs_dev_cents"), "d")
         .limit(_STL_OUT_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Stationary distribution of the event-type Markov chain
+# ---------------------------------------------------------------------------
+
+#: Power-iteration tick scale and iteration count (mirrored in the
+#: unrolled oracle CTEs below).
+_STAT_PIC = 1_000_000_000_000
+_STAT_ITERS = 3
+
+
+def _stationary_oracle() -> str:
+    it = """
+    p{j} AS (
+      SELECT m.dst AS s,
+             CAST(SUM(CAST(p{i}.pi AS HUGEINT) * m.n // deg.d) AS BIGINT)
+               AS pi
+      FROM p{i} JOIN m ON m.src = p{i}.s JOIN deg ON deg.src = p{i}.s
+      GROUP BY 1)"""
+    iters = ",".join(
+        it.format(i=i, j=i + 1) for i in range(_STAT_ITERS)
+    )
+    return f"""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    m AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+    deg AS (SELECT src, CAST(SUM(n) AS BIGINT) AS d FROM m GROUP BY 1),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM deg),
+    p0 AS (
+      SELECT src AS s, CAST({_STAT_PIC} // k AS BIGINT) AS pi
+      FROM deg CROSS JOIN k),
+    {iters},
+    freq AS (
+      SELECT event_type AS s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM freq)
+    SELECT f.s AS event_type,
+           CAST(CAST(f.c AS HUGEINT) * {_STAT_PIC} // tot.t AS BIGINT)
+             AS freq_ticks,
+           CAST(p{_STAT_ITERS}.pi AS BIGINT) AS stationary_ticks,
+           CAST(p{_STAT_ITERS}.pi
+             - CAST(f.c AS HUGEINT) * {_STAT_PIC} // tot.t AS BIGINT)
+             AS delta_ticks
+    FROM freq f JOIN p{_STAT_ITERS} ON p{_STAT_ITERS}.s = f.s
+    CROSS JOIN tot
+    ORDER BY event_type
+    """
+
+
+@register("markov_stationary_profile", oracle=_stationary_oracle())
+def markov_stationary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain (where
+    does a user's session settle if the observed transition dynamics
+    keep running?) next to the raw empirical frequency — a large gap
+    (delta_ticks) flags types that are over/under-represented purely
+    because of WHERE they sit in journeys (e.g. terminal error states
+    accumulate mass; entry-only types bleed it).
+
+    Scale: one user-partition lead window reduces the corpus to the
+    ≤|types|² transition matrix; the {_STAT_ITERS} power iterations are
+    then joins over that tiny matrix (the pagerank Pregel shape with
+    the graph ALREADY reduced) in exact integer picoticks — per-term
+    floor division mirrored in both engines, so no float ever crosses
+    an aggregation. Truncation bleeds ≤1 tick per term per iteration;
+    the profile is exact to the documented arithmetic, not approximate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    m = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()  # ≤|types|² rows; iterations re-read it
+    )
+    deg = m.groupBy("src").agg(F.sum("n").cast("bigint").alias("d"))
+    k = deg.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    p = deg.crossJoin(F.broadcast(k)).select(
+        F.col("src").alias("s"),
+        F.expr(f"CAST({_STAT_PIC} DIV k AS BIGINT)").alias("pi"),
+    )
+    for _ in range(_STAT_ITERS):
+        p = (
+            p.join(m, m.src == p.s)
+            .join(deg.withColumnRenamed("src", "dsrc"), F.col("dsrc") == F.col("s"))
+            .select(
+                F.col("dst").alias("s2"),
+                F.expr(
+                    "CAST(CAST(pi AS DECIMAL(38,0)) * n DIV d AS BIGINT)"
+                ).alias("term"),
+            )
+            .groupBy(F.col("s2").alias("s"))
+            .agg(F.sum("term").cast("bigint").alias("pi"))
+        )
+    freq = (
+        e.groupBy(F.col("event_type").alias("s"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn(  # ≤|types| rows: the total is an all-rows window,
+            "t", F.sum("c").over(Window.partitionBy())  # never a 2nd scan
+        )
+    )
+    ft = F.expr(f"CAST(CAST(c AS DECIMAL(38,0)) * {_STAT_PIC} DIV t AS BIGINT)")
+    return (
+        freq.join(p, "s")
+        .select(
+            F.col("s").alias("event_type"),
+            ft.alias("freq_ticks"),
+            F.col("pi").alias("stationary_ticks"),
+            (F.col("pi") - ft).cast("bigint").alias("delta_ticks"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_TDECAY_LOOK_US = 72 * 3600 * 1_000_000
+_TDECAY_HALF_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "attribution_time_decay",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS p_us, event_id AS pid,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_type AS ch
+      FROM events WHERE event_type IN ('click', 'view')),
+    pr AS (
+      SELECT p.pid, p.cents, t.ch,
+             CAST(round(pow(0.5e0,
+               CAST(p.p_us - t.t_us AS DOUBLE) / {_TDECAY_HALF_US})
+               * 1000000000, 0) AS BIGINT) AS raw
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND t.t_us <= p.p_us AND p.p_us - t.t_us <= {_TDECAY_LOOK_US}),
+    s AS (
+      SELECT pid, cents, ch, CAST(SUM(raw) AS BIGINT) AS s_ch
+      FROM pr GROUP BY 1, 2, 3),
+    tt AS (SELECT pid, CAST(SUM(s_ch) AS BIGINT) AS s_all FROM s GROUP BY 1),
+    w AS (
+      SELECT s.ch,
+             CAST(round(CAST(s_ch AS DOUBLE) / s_all * 1000000, 0)
+               AS BIGINT) AS credit,
+             CAST(round(CAST(s_ch AS DOUBLE) / s_all * cents, 0)
+               AS BIGINT) AS rev
+      FROM s JOIN tt ON s.pid = tt.pid),
+    chan AS (
+      SELECT ch AS channel, CAST(SUM(credit) AS BIGINT) AS credit_micro,
+             CAST(SUM(rev) AS BIGINT) AS revenue_cents
+      FROM w GROUP BY 1),
+    direct AS (
+      SELECT 'direct' AS channel,
+             CAST(COALESCE(COUNT(*), 0) * 1000000 AS BIGINT) AS credit_micro,
+             CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS revenue_cents
+      FROM p WHERE pid NOT IN (SELECT pid FROM s))
+    SELECT * FROM chan UNION ALL SELECT * FROM direct ORDER BY channel
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every click/view in the 72 h
+    lookback gets credit ∝ 2^(-age/24 h), normalized per purchase —
+    the third classic model beside attribution_last_touch (winner-take-
+    all) and attribution_u_shaped (position-based); decay rewards
+    recency without zeroing early touches.
+
+    Scale: the same bucket-replication bound as the U-shaped model
+    (purchases replicate to their 72 h bucket + predecessor, join
+    touches on (user, bucket) — never an unbounded event self-join).
+    Each pair's decay weight quantizes to nanoticks per-row BEFORE any
+    aggregation, per-(purchase, channel) masses are exact integer
+    sums, and the only doubles are the final normalize-and-round
+    expressions mirrored token-for-token in the oracle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("p_us"),
+        F.col("event_id").alias("pid"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        us.alias("t_us"),
+        F.col("event_type").alias("ch"),
+    )
+    pb = p.withColumn(
+        "bkt",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_us") / _TDECAY_LOOK_US),
+                F.floor(F.col("p_us") / _TDECAY_LOOK_US) - 1,
+            )
+        ),
+    )
+    tb = t.withColumn("bkt", F.floor(F.col("t_us") / _TDECAY_LOOK_US))
+    raw = F.round(
+        F.pow(
+            F.lit(0.5),
+            (F.col("p_us") - F.col("t_us")).cast("double") / _TDECAY_HALF_US,
+        )
+        * 1_000_000_000,
+        0,
+    ).cast("bigint")
+    s = (
+        pb.join(tb, ["user_id", "bkt"])
+        .filter(
+            (F.col("t_us") <= F.col("p_us"))
+            & (F.col("p_us") - F.col("t_us") <= _TDECAY_LOOK_US)
+        )
+        .groupBy("pid", "cents", "ch")
+        .agg(F.sum(raw).cast("bigint").alias("s_ch"))
+    )
+    w_pid = Window.partitionBy("pid")
+    share = F.col("s_ch").cast("double") / F.sum("s_ch").over(w_pid)
+    w = s.select(
+        "pid",
+        "ch",
+        F.round(share * 1_000_000, 0).cast("bigint").alias("credit"),
+        F.round(share * F.col("cents"), 0).cast("bigint").alias("rev"),
+    )
+    chan = w.groupBy(F.col("ch").alias("channel")).agg(
+        F.sum("credit").cast("bigint").alias("credit_micro"),
+        F.sum("rev").cast("bigint").alias("revenue_cents"),
+    )
+    direct = (
+        p.join(s.select("pid"), "pid", "left_anti")
+        .agg(
+            F.coalesce(F.count(F.lit(1)) * 1_000_000, F.lit(0))
+            .cast("bigint")
+            .alias("credit_micro"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .select(F.lit("direct").alias("channel"), "credit_micro", "revenue_cents")
+    )
+    return chan.unionAll(direct).orderBy("channel")

@@ -260,6 +260,9 @@ HEADLINE = [
     "embedding_dim_stats",
     "pairwise_distance_histogram",
     "readability_scores_by_source",
+    "markov_stationary_profile",
+    "attribution_time_decay",
+    "basket_size_profile",
 ]
 
 

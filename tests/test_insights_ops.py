@@ -1450,3 +1450,102 @@ def test_readability_scores_replay(spark):
         assert r.fk_grade_milli == _round_half_up(
             (0.39 * (w / s) + 11.8 * (y / w) - 15.59) * 1000
         )
+
+
+def test_markov_stationary_replay(spark):
+    from collections import Counter, defaultdict
+
+    rows = QUERIES["markov_stationary_profile"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append((e.ts, e.event_id, e.event_type))
+    m, deg = Counter(), Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            m[(a, b)] += 1
+            deg[a] += 1
+    pi = {s: 1_000_000_000_000 // len(deg) for s in deg}
+    for _ in range(3):
+        nxt = defaultdict(int)
+        for (a, b), n in m.items():
+            nxt[b] += pi[a] * n // deg[a]
+        pi = dict(nxt)
+    freq = Counter(e.event_type for e in ev)
+    total = sum(freq.values())
+    got = {r.event_type: r for r in rows}
+    assert set(got) == set(pi)
+    for s, r in got.items():
+        ft = freq[s] * 1_000_000_000_000 // total
+        assert (r.freq_ticks, r.stationary_ticks) == (ft, pi[s])
+        assert r.delta_ticks == pi[s] - ft
+    # power iteration conserves mass up to floor-division bleed
+    assert 0 <= 1_000_000_000_000 - sum(pi.values()) < 10_000
+
+
+def test_attribution_time_decay_replay(spark):
+    import math
+    from collections import defaultdict
+
+    rows = QUERIES["attribution_time_decay"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    LOOK, HALF = 72 * 3600 * 10**6, 24 * 3600 * 10**6
+    import calendar
+
+    def to_us(ts):
+        return calendar.timegm(ts.timetuple()) * 10**6 + ts.microsecond
+
+    touches = defaultdict(list)
+    for e in ev:
+        if e.event_type in ("click", "view"):
+            touches[e.user_id].append((to_us(e.ts), e.event_type))
+    chan = defaultdict(lambda: [0, 0])
+    for e in ev:
+        if e.event_type != "purchase":
+            continue
+        p_us, cents = to_us(e.ts), _round_half_up(e.value * 100)
+        s_ch = defaultdict(int)
+        for t_us, ch in touches[e.user_id]:
+            if t_us <= p_us and p_us - t_us <= LOOK:
+                s_ch[ch] += _round_half_up(
+                    math.pow(0.5, (p_us - t_us) / HALF) * 1e9
+                )
+        if not s_ch:
+            chan["direct"][0] += 1_000_000
+            chan["direct"][1] += cents
+            continue
+        s_all = sum(s_ch.values())
+        for ch, v in s_ch.items():
+            chan[ch][0] += _round_half_up(v / s_all * 1_000_000)
+            chan[ch][1] += _round_half_up(v / s_all * cents)
+    got = {r.channel: (r.credit_micro, r.revenue_cents) for r in rows}
+    assert got == {k: tuple(v) for k, v in chan.items()}
+    # per-purchase normalization: total credit ≈ 1e6 per purchase
+    n_purch = sum(1 for e in ev if e.event_type == "purchase")
+    assert abs(sum(v[0] for v in got.values()) - n_purch * 1_000_000) < n_purch * 2
+
+
+def test_basket_size_profile_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["basket_size_profile"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    per_o = defaultdict(lambda: [0, 0])
+    for r in li:
+        b = per_o[r.l_orderkey]
+        b[0] += 1
+        b[1] += _round_half_up(r.l_extendedprice * 100)
+    agg = defaultdict(lambda: [0, 0])
+    for n, c in per_o.values():
+        agg[n][0] += 1
+        agg[n][1] += c
+    total = sum(v[1] for v in agg.values())
+    got = {r.n_lines: r for r in rows}
+    assert set(got) == set(agg)
+    for n, (cnt, rev) in agg.items():
+        r = got[n]
+        assert (r.n_orders, r.revenue_cents) == (cnt, rev)
+        assert r.avg_order_cents == rev // cnt
+        assert r.share_ppb == rev * 1_000_000_000 // total
+    assert sum(r.n_orders for r in rows) == len(per_o)

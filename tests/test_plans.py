@@ -1372,3 +1372,30 @@ class TestDriftPlans:
         assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
         df = QUERIES["readability_scores_by_source"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_markov_iterations_on_reduced_matrix(self, spark):
+        # corpus reduces ONCE (checkpointed matrix); iterations join only
+        # the tiny ExistingRDD, and only the freq rollup re-touches parquet
+        t = tree(spark, "markov_stationary_profile")
+        assert t.count("Scan parquet") == 1
+        assert t.count("Scan ExistingRDD") >= 3  # matrix read per iteration
+        assert "CartesianProduct" not in t
+
+    def test_time_decay_bucket_replication_join(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # bounded (user, bucket) equi-join, never an unbounded theta join
+        t = tree(spark, "attribution_time_decay")
+        assert "CartesianProduct" not in t
+        assert "BroadcastNestedLoopJoin" not in t
+        df = QUERIES["attribution_time_decay"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_basket_profile_two_rollups_one_scan(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "basket_size_profile")
+        assert t.count("Scan parquet") == 1
+        assert t.count("HashAggregate") == 4  # two partial+final pairs
+        df = QUERIES["basket_size_profile"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
