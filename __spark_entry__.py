@@ -95,7 +95,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: new_returning_revenue_monthly, abc_classification_parts,
 #: embedding_dim_stats, pairwise_distance_histogram,
 #: readability_scores_by_source, markov_stationary_profile,
-#: attribution_time_decay, basket_size_profile; no
+#: attribution_time_decay, basket_size_profile, gini_by_nation,
+#: single_source_risk, shipping_delay_percentiles_by_priority; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -5077,3 +5077,254 @@ def basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_lines")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped Gini: revenue inequality per customer nation
+# ---------------------------------------------------------------------------
+
+@register(
+    "gini_by_nation",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT c_nationkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, o_custkey) AS r
+      FROM spend),
+    s AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(SUM(CAST(r AS HUGEINT) * cents) AS DOUBLE) AS rw
+      FROM ranked GROUP BY 1)
+    SELECT c_nationkey, n AS n_customers, total_cents,
+           CAST(round((2e0 * rw - (CAST(n AS DOUBLE) + 1)
+               * CAST(total_cents AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(total_cents AS DOUBLE))
+             * 1000000000, 0) AS BIGINT) AS gini_nano
+    FROM s ORDER BY c_nationkey
+    """,
+)
+def gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini of customer revenue concentration — the grouped
+    form of gini_concentration: one market can look healthy globally
+    while a single nation's revenue hangs on three whale accounts.
+
+    Scale: proof the bucketed exact-rank scaffold generalizes to
+    GROUPED keys — per-customer spend buckets by value, the offset
+    table partitions by (nation) and the row_number windows by
+    (nation, bucket), so every nation's exact ranks compute in
+    parallel with no single-task sort anywhere. The rank-weighted sum
+    rides the wide-integer rule (decimal(38,0)/HUGEINT, one final
+    double cast), and the Gini itself is one mirrored double
+    expression quantized to nanoticks.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("cents"))
+        .withColumn("bkt", (F.col("cents") / _GINI_BUCKET_CENTS).cast("bigint"))
+        .localCheckpoint()  # ranks + offsets read once
+    )
+    per_bkt = spend.groupBy("c_nationkey", "bkt").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_off = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bkt.select(
+        "c_nationkey",
+        "bkt",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_in = Window.partitionBy("c_nationkey", "bkt").orderBy("cents", "o_custkey")
+    ranked = spend.withColumn("rn", F.row_number().over(w_in)).join(
+        offsets, ["c_nationkey", "bkt"]
+    )
+    rd = (F.col("off") + F.col("rn")).cast("decimal(38,0)")
+    s = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(rd * F.col("cents")).cast("double").alias("rw"),
+    )
+    nd = F.col("n").cast("double")
+    td = F.col("total_cents").cast("double")
+    return s.select(
+        "c_nationkey",
+        F.col("n").alias("n_customers"),
+        "total_cents",
+        F.round(
+            (2 * F.col("rw") - (nd + 1) * td) / (nd * td) * 1_000_000_000, 0
+        )
+        .cast("bigint")
+        .alias("gini_nano"),
+    ).orderBy("c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Single-source supply risk (suppliers per part)
+# ---------------------------------------------------------------------------
+
+@register(
+    "single_source_risk",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_sup,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1),
+    b AS (
+      SELECT CASE WHEN n_sup >= 4 THEN 4 ELSE n_sup END AS supplier_band,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      FROM ps GROUP BY 1)
+    SELECT supplier_band, n_parts, revenue_cents,
+           CAST(CAST(revenue_cents AS HUGEINT) * 1000000000
+             // SUM(revenue_cents) OVER () AS BIGINT) AS share_ppb
+    FROM b ORDER BY supplier_band
+    """,
+)
+def single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration audit: revenue banded by how many
+    distinct suppliers ship each part (band 4 = "4 or more") — the
+    share landing in band 1 is the single-sourced revenue a lost
+    supplier takes down with it.
+
+    Scale: one partkey-shuffle aggregate computes distinct-supplier
+    counts and revenue together (COUNT DISTINCT expands map-side, but
+    per part the supplier set is schema-bounded); the band rollup is
+    ≤4 rows and the share denominator an all-rows window over them.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_sup"),
+        F.sum(cents("l_extendedprice")).alias("cents"),
+    )
+    return (
+        ps.groupBy(
+            F.least(F.col("n_sup"), F.lit(4)).cast("bigint").alias(
+                "supplier_band"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .withColumn(
+            "share_ppb",
+            F.expr(
+                "CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000000"
+                " DIV (SUM(revenue_cents) OVER ()) AS BIGINT)"
+            ),
+        )
+        .orderBy("supplier_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shipping-delay percentiles per order priority (grouped exact)
+# ---------------------------------------------------------------------------
+
+@register(
+    "shipping_delay_percentiles_by_priority",
+    oracle="""
+    WITH d AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+               AS BIGINT) AS delay_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    pv AS (
+      SELECT priority, delay_days, CAST(COUNT(*) AS BIGINT) AS c
+      FROM d GROUP BY 1, 2),
+    cu AS (
+      SELECT priority, delay_days,
+             CAST(SUM(c) OVER (PARTITION BY priority ORDER BY delay_days)
+               AS BIGINT) AS cum
+      FROM pv),
+    t AS (SELECT priority, CAST(SUM(c) AS BIGINT) AS n FROM pv GROUP BY 1)
+    SELECT t.priority, t.n AS n_lines,
+           CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100
+             THEN delay_days END) AS BIGINT) AS p50_days,
+           CAST(MIN(CASE WHEN cum >= (90 * n + 99) // 100
+             THEN delay_days END) AS BIGINT) AS p90_days,
+           CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100
+             THEN delay_days END) AS BIGINT) AS p99_days
+    FROM cu JOIN t ON cu.priority = t.priority
+    GROUP BY t.priority, t.n ORDER BY t.priority
+    """,
+)
+def shipping_delay_percentiles_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact p50/p90/p99 order-to-ship delay per order priority — the
+    SLA tail readout (averages hide the p99 where the complaints
+    live), with ceil-rank percentile semantics mirrored in both
+    engines as pure integer arithmetic.
+
+    Scale: the lineitem⋈orders key join shuffles both fact sides once
+    hint-free (AQE's call); delays then collapse to per-(priority,
+    delay) counts — the value domain is calendar-bounded (≤ a few
+    hundred distinct days), so the cumulative windows run over tiny
+    per-priority partitions, never over raw lines. The textbook
+    percentile-over-everything sort never happens.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("delay_days"),
+    )
+    pv = d.groupBy("priority", "delay_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("delay_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("priority")
+    cu = pv.select(
+        "priority",
+        "delay_days",
+        F.sum("c").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+    )
+
+    def pct(p: int):
+        thr = F.expr(f"CAST(({p} * n + 99) DIV 100 AS BIGINT)")
+        return F.min(
+            F.when(F.col("cum") >= thr, F.col("delay_days"))
+        ).cast("bigint")
+
+    return (
+        cu.groupBy("priority", "n")
+        .agg(
+            pct(50).alias("p50_days"),
+            pct(90).alias("p90_days"),
+            pct(99).alias("p99_days"),
+        )
+        .select(
+            "priority",
+            F.col("n").alias("n_lines"),
+            "p50_days",
+            "p90_days",
+            "p99_days",
+        )
+        .orderBy("priority")
+    )

@@ -263,6 +263,9 @@ HEADLINE = [
     "markov_stationary_profile",
     "attribution_time_decay",
     "basket_size_profile",
+    "gini_by_nation",
+    "single_source_risk",
+    "shipping_delay_percentiles_by_priority",
 ]
 
 

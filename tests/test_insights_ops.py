@@ -1549,3 +1549,80 @@ def test_basket_size_profile_replay(spark):
         assert r.avg_order_cents == rev // cnt
         assert r.share_ppb == rev * 1_000_000_000 // total
     assert sum(r.n_orders for r in rows) == len(per_o)
+
+
+def test_gini_by_nation_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["gini_by_nation"](spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    nat = {r.c_custkey: r.c_nationkey for r in c}
+    spend = defaultdict(int)
+    for r in o:
+        spend[(nat[r.o_custkey], r.o_custkey)] += _round_half_up(
+            r.o_totalprice * 100
+        )
+    by_n = defaultdict(list)
+    for (n, ck), v in spend.items():
+        by_n[n].append((v, ck))
+    got = {r.c_nationkey: r for r in rows}
+    assert set(got) == set(by_n)
+    for nk, vals in by_n.items():
+        vals.sort()
+        n, total = len(vals), sum(v for v, _ in vals)
+        rw = sum((i + 1) * v for i, (v, _) in enumerate(vals))
+        gini = (2 * float(rw) - (n + 1) * total) / (n * total)
+        r = got[nk]
+        assert (r.n_customers, r.total_cents) == (n, total)
+        assert r.gini_nano == _round_half_up(gini * 1e9)
+        assert 0 <= r.gini_nano < 1_000_000_000
+
+
+def test_single_source_risk_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["single_source_risk"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    per_part = defaultdict(lambda: [set(), 0])
+    for r in li:
+        b = per_part[r.l_partkey]
+        b[0].add(r.l_suppkey)
+        b[1] += _round_half_up(r.l_extendedprice * 100)
+    agg = defaultdict(lambda: [0, 0])
+    for sups, cents in per_part.values():
+        band = min(len(sups), 4)
+        agg[band][0] += 1
+        agg[band][1] += cents
+    total = sum(v[1] for v in agg.values())
+    got = {r.supplier_band: r for r in rows}
+    assert set(got) == set(agg)
+    for band, (np_, rev) in agg.items():
+        r = got[band]
+        assert (r.n_parts, r.revenue_cents) == (np_, rev)
+        assert r.share_ppb == rev * 1_000_000_000 // total
+
+
+def test_shipping_delay_percentiles_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["shipping_delay_percentiles_by_priority"](
+        spark, SF_DIR
+    ).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    od = {r.o_orderkey: (r.o_orderpriority, r.o_orderdate.date()) for r in o}
+    delays = defaultdict(list)
+    for r in li:
+        pr, odate = od[r.l_orderkey]
+        delays[pr].append((r.l_shipdate.date() - odate).days)
+    got = {r.priority: r for r in rows}
+    assert set(got) == set(delays)
+    for pr, ds in delays.items():
+        ds.sort()
+        n = len(ds)
+        r = got[pr]
+        assert r.n_lines == n
+        for p, v in ((50, r.p50_days), (90, r.p90_days), (99, r.p99_days)):
+            assert v == ds[-(-p * n // 100) - 1]  # ceil-rank percentile
+        assert r.p50_days <= r.p90_days <= r.p99_days

@@ -1399,3 +1399,33 @@ class TestDriftPlans:
         assert t.count("HashAggregate") == 4  # two partial+final pairs
         df = QUERIES["basket_size_profile"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_gini_grouped_rank_windows_are_partitioned(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the served plan reads the checkpointed spend reduction; every
+        # Sort is window-local (partitioned), never a global Sort+single
+        # partition Exchange
+        t = tree(spark, "gini_by_nation")
+        assert "Scan parquet" not in t and "Scan ExistingRDD" in t
+        assert "Exchange SinglePartition" not in t
+        df = QUERIES["gini_by_nation"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_single_source_one_fact_scan(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "single_source_risk")
+        assert t.count("Scan parquet") == 1
+        df = QUERIES["single_source_risk"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_delay_percentiles_fact_join_hint_free(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # fact-fact join stays AQE's call; the cumulative windows run on
+        # the per-(priority, day) reduction, so no corpus-wide Sort
+        t = tree(spark, "shipping_delay_percentiles_by_priority")
+        assert "CartesianProduct" not in t
+        df = QUERIES["shipping_delay_percentiles_by_priority"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
