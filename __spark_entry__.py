@@ -96,7 +96,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: embedding_dim_stats, pairwise_distance_histogram,
 #: readability_scores_by_source, markov_stationary_profile,
 #: attribution_time_decay, basket_size_profile, gini_by_nation,
-#: single_source_risk, shipping_delay_percentiles_by_priority; no
+#: single_source_risk, shipping_delay_percentiles_by_priority,
+#: trade_flow_matrix, return_rate_by_discount_band,
+#: price_dispersion_by_part_type; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

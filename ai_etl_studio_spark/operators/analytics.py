@@ -5328,3 +5328,180 @@ def shipping_delay_percentiles_by_priority(
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trade-flow matrix: supplier nation x customer nation
+# ---------------------------------------------------------------------------
+
+@register(
+    "trade_flow_matrix",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(round((l.l_extendedprice * (1 - l.l_discount))
+             * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full supplier-nation × customer-nation revenue matrix — the
+    generalization of TPC-H q7's two-nation slice: every cross-border
+    (and domestic) flow in one rollup, the input to tariff/logistics
+    exposure analysis.
+
+    Scale: the two fact joins (lineitem⋈orders, ⋈customer, ⋈supplier)
+    stay hint-free — key-on-key shuffles AQE may switch per stats; only
+    the 25-row nation legs carry broadcast hints. Output is bounded at
+    |nations|² rows regardless of SF.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(net_cents()).cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Return rate by discount band
+# ---------------------------------------------------------------------------
+
+@register(
+    "return_rate_by_discount_band",
+    oracle="""
+    WITH l AS (
+      SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS discount_pct,
+             CAST(l_returnflag = 'R' AS BIGINT) AS ret,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem)
+    SELECT discount_pct, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(ret) AS BIGINT) AS n_returned,
+           CAST(SUM(ret) * 1000000 // COUNT(*) AS BIGINT)
+             AS return_rate_ppm,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(ret * cents) AS BIGINT) AS returned_cents
+    FROM l GROUP BY 1 ORDER BY discount_pct
+    """,
+)
+def return_rate_by_discount_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate and returned revenue per whole-percent discount band
+    — does discounting correlate with returns (impulse buys, channel
+    stuffing), and how much revenue do returned discounted lines carry?
+
+    Scale: a single scan reduces map-side to ≤11 discount bands; rates
+    are exact integer ppm floor divisions — never a float ratio in an
+    aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    l = li.select(
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias(
+            "discount_pct"
+        ),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("ret"),
+        cents("l_extendedprice").alias("cents"),
+    )
+    return (
+        l.groupBy("discount_pct")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("ret").cast("bigint").alias("n_returned"),
+            F.expr(
+                "CAST(SUM(ret) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("return_rate_ppm"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.sum(F.col("ret") * F.col("cents"))
+            .cast("bigint")
+            .alias("returned_cents"),
+        )
+        .orderBy("discount_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unit-price dispersion per part type
+# ---------------------------------------------------------------------------
+
+@register(
+    "price_dispersion_by_part_type",
+    oracle="""
+    WITH u AS (
+      SELECT p.p_type,
+             CAST(round(l.l_extendedprice * 100 / l.l_quantity, 0)
+               AS BIGINT) AS unit_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    s AS (
+      SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(unit_cents) AS BIGINT) AS s1,
+             CAST(SUM(CAST(unit_cents AS HUGEINT) * unit_cents) AS DOUBLE)
+               AS s2
+      FROM u GROUP BY 1)
+    SELECT p_type, n AS n_lines,
+           CAST(round(CAST(s1 AS DOUBLE) / n, 0) AS BIGINT) AS mean_cents,
+           CAST(round(sqrt(s2 / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n))
+             / (CAST(s1 AS DOUBLE) / n) * 1000000, 0) AS BIGINT)
+             AS cv_micro
+    FROM s ORDER BY p_type
+    """,
+)
+def price_dispersion_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coefficient of variation of realized unit price per part type —
+    the pricing-consistency audit: a type whose identical goods sell at
+    wildly different unit prices signals discount leakage or catalog
+    mis-binning.
+
+    Scale: unit prices quantize to integer cents per-row; one fused
+    aggregate per type carries n/Σx/Σx² (Σx² on the wide-integer rule)
+    after the hint-free part join, and mean/CV are final mirrored
+    double expressions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    u = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_type",
+        F.round(F.col("l_extendedprice") * 100 / F.col("l_quantity"), 0)
+        .cast("bigint")
+        .alias("unit_cents"),
+    )
+    ud = F.col("unit_cents").cast("decimal(38,0)")
+    s = u.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("unit_cents").cast("bigint").alias("s1"),
+        F.sum(ud * ud).cast("double").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    return s.select(
+        "p_type",
+        F.col("n").alias("n_lines"),
+        F.round(mu, 0).cast("bigint").alias("mean_cents"),
+        F.round(
+            F.sqrt(F.col("s2") / F.col("n") - mu * mu) / mu * 1_000_000, 0
+        )
+        .cast("bigint")
+        .alias("cv_micro"),
+    ).orderBy("p_type")

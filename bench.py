@@ -266,6 +266,9 @@ HEADLINE = [
     "gini_by_nation",
     "single_source_risk",
     "shipping_delay_percentiles_by_priority",
+    "trade_flow_matrix",
+    "return_rate_by_discount_band",
+    "price_dispersion_by_part_type",
 ]
 
 

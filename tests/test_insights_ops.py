@@ -1626,3 +1626,80 @@ def test_shipping_delay_percentiles_replay(spark):
         for p, v in ((50, r.p50_days), (90, r.p90_days), (99, r.p99_days)):
             assert v == ds[-(-p * n // 100) - 1]  # ceil-rank percentile
         assert r.p50_days <= r.p90_days <= r.p99_days
+
+
+def test_trade_flow_matrix_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["trade_flow_matrix"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    o = {r.o_orderkey: r.o_custkey
+         for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()}
+    cn = {r.c_custkey: r.c_nationkey
+          for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()}
+    sn = {r.s_suppkey: r.s_nationkey
+          for r in spark.read.parquet(f"{SF_DIR}/supplier.parquet").collect()}
+    nm = {r.n_nationkey: r.n_name
+          for r in spark.read.parquet(f"{SF_DIR}/nation.parquet").collect()}
+    agg = defaultdict(lambda: [0, 0])
+    for r in li:
+        key = (nm[sn[r.l_suppkey]], nm[cn[o[r.l_orderkey]]])
+        agg[key][0] += 1
+        agg[key][1] += _round_half_up(
+            r.l_extendedprice * (1 - r.l_discount) * 100
+        )
+    got = {(r.supp_nation, r.cust_nation): (r.n_lines, r.revenue_cents)
+           for r in rows}
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # the matrix accounts for every lineitem exactly once
+    assert sum(v[0] for v in got.values()) == len(li)
+
+
+def test_return_rate_by_discount_band_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["return_rate_by_discount_band"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in li:
+        b = agg[_round_half_up(r.l_discount * 100)]
+        c = _round_half_up(r.l_extendedprice * 100)
+        ret = 1 if r.l_returnflag == "R" else 0
+        b[0] += 1
+        b[1] += ret
+        b[2] += c
+        b[3] += ret * c
+    got = {r.discount_pct: r for r in rows}
+    assert set(got) == set(agg)
+    for pct, (n, nr, rev, rrev) in agg.items():
+        r = got[pct]
+        assert (r.n_lines, r.n_returned, r.revenue_cents, r.returned_cents) == (
+            n, nr, rev, rrev
+        )
+        assert r.return_rate_ppm == nr * 1_000_000 // n
+
+
+def test_price_dispersion_replay(spark):
+    from collections import defaultdict
+    import math
+
+    rows = QUERIES["price_dispersion_by_part_type"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    pt = {r.p_partkey: r.p_type
+          for r in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()}
+    vals = defaultdict(list)
+    for r in li:
+        vals[pt[r.l_partkey]].append(
+            _round_half_up(r.l_extendedprice * 100 / r.l_quantity)
+        )
+    got = {r.p_type: r for r in rows}
+    assert set(got) == set(vals)
+    for t, xs in vals.items():
+        n, s1 = len(xs), sum(xs)
+        s2 = float(sum(x * x for x in xs))
+        mu = s1 / n
+        cv = math.sqrt(s2 / n - mu * mu) / mu
+        r = got[t]
+        assert (r.n_lines, r.mean_cents) == (n, _round_half_up(mu))
+        assert r.cv_micro == _round_half_up(cv * 1e6)
+        assert r.cv_micro > 0

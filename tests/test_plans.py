@@ -1429,3 +1429,24 @@ class TestDriftPlans:
         assert "CartesianProduct" not in t
         df = QUERIES["shipping_delay_percentiles_by_priority"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_trade_flow_only_nation_broadcast_forced(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "trade_flow_matrix")
+        assert "CartesianProduct" not in t
+        df = QUERIES["trade_flow_matrix"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_return_rate_single_scan_single_rollup(self, spark):
+        t = tree(spark, "return_rate_by_discount_band")
+        assert t.count("Scan parquet") == 1
+        assert t.count("HashAggregate") == 2
+
+    def test_price_dispersion_fused_moments(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "price_dispersion_by_part_type")
+        assert t.count("HashAggregate") == 2  # one fused partial+final
+        df = QUERIES["price_dispersion_by_part_type"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
