@@ -2883,3 +2883,207 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("direct").alias("channel"), "credit_micro", "revenue_cents")
     )
     return chan.unionAll(direct).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Engagement frequency histogram (the L28-style power-user curve)
+# ---------------------------------------------------------------------------
+
+@register(
+    "engagement_frequency_histogram",
+    oracle="""
+    WITH ud AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month, user_id,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS n_active_days
+      FROM events GROUP BY 1, 2)
+    SELECT month, n_active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ud GROUP BY 1, 2 ORDER BY month, n_active_days
+    """,
+)
+def engagement_frequency_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The power-user curve (L28 shape): per month, how many users were
+    active on exactly N distinct days — the engagement-depth
+    distribution whose right mass separates habit products from
+    drive-by traffic (DAU/WAU compresses this to one number;
+    dau_wau_stickiness is the companion op).
+
+    Scale: one (month, user) shuffle carries the distinct-day count
+    (map-side partial distinct), then a calendar×≤31-row rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        "user_id",
+    ).agg(
+        F.countDistinct(F.col("ts").cast("date"))
+        .cast("bigint")
+        .alias("n_active_days")
+    )
+    return (
+        ud.groupBy("month", "n_active_days")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("month", "n_active_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Error-recovery time histogram
+# ---------------------------------------------------------------------------
+
+@register(
+    "error_recovery_histogram",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events),
+    nxt AS (
+      SELECT event_type, us,
+             MIN(CASE WHEN event_type <> 'error' THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS rec_us
+      FROM e),
+    err AS (
+      SELECT CASE WHEN rec_us IS NULL THEN -1
+                  ELSE CAST(length(bin(greatest((rec_us - us) // 1000000,
+                    1))) - 1 AS BIGINT) END AS log2_bucket,
+             (rec_us - us) // 1000000 AS secs
+      FROM nxt WHERE event_type = 'error')
+    SELECT log2_bucket, CAST(COUNT(*) AS BIGINT) AS n_errors,
+           CAST(MIN(secs) AS BIGINT) AS min_s,
+           CAST(MAX(secs) AS BIGINT) AS max_s
+    FROM err GROUP BY 1 ORDER BY log2_bucket
+    """,
+)
+def error_recovery_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time from each error event to the user's next NON-error action,
+    as a log2-seconds histogram (bucket −1 = never recovered in the
+    observed window) — the UX-resilience readout: a mode at seconds
+    means users retry through; heavy right mass or a fat −1 bucket
+    means errors end sessions.
+
+    Scale: one user-partition window computes the conditional
+    next-non-error timestamp (MIN over the following frame — no
+    self-join of events with itself); buckets are the exact
+    bin()-length idiom and the rollup is ≤~40 rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = e.select("user_id", "event_id", "event_type", us.alias("us"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = base.withColumn(
+        "rec_us",
+        F.min(
+            F.when(F.col("event_type") != "error", F.col("us"))
+        ).over(w),
+    )
+    secs = F.expr("(rec_us - us) DIV 1000000")
+    bucket = F.when(F.col("rec_us").isNull(), F.lit(-1)).otherwise(
+        (F.length(F.bin(F.greatest(secs, F.lit(1)))) - 1).cast("bigint")
+    )
+    return (
+        nxt.filter(F.col("event_type") == "error")
+        .select(bucket.cast("bigint").alias("log2_bucket"), secs.alias("secs"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_errors"),
+            F.min("secs").cast("bigint").alias("min_s"),
+            F.max("secs").cast("bigint").alias("max_s"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session depth vs conversion
+# ---------------------------------------------------------------------------
+
+_DEPTH_CAP = 10
+
+
+@register(
+    "session_depth_conversion",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    s AS (
+      SELECT user_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps),
+    per AS (
+      SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS depth,
+             CAST(MAX(CAST(event_type = 'purchase' AS INT)) AS BIGINT)
+               AS converted
+      FROM s GROUP BY 1, 2)
+    SELECT CASE WHEN depth >= {_DEPTH_CAP} THEN {_DEPTH_CAP}
+                ELSE depth END AS depth_band,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT)
+             AS conversion_ppm
+    FROM per GROUP BY 1 ORDER BY depth_band
+    """,
+)
+def session_depth_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by session depth (events per 30-min-gap session,
+    band {_DEPTH_CAP} = "{_DEPTH_CAP}+") — does conversion climb with
+    engagement depth, or do long sessions signal users failing to find
+    the thing? The merchandising twin of session_funnel.
+
+    Scale: the sessionize machinery (lag + running sum over ONE
+    user-partition sort, reused by both windows), a per-session
+    reduction, and a ≤{_DEPTH_CAP}-row rollup with integer-ppm rates.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "is_new",
+        F.when(
+            (us - F.lag(us).over(w) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    s = gaps.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("depth"),
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("converted"),
+    )
+    return (
+        per.groupBy(
+            F.when(F.col("depth") >= _DEPTH_CAP, _DEPTH_CAP)
+            .otherwise(F.col("depth"))
+            .cast("bigint")
+            .alias("depth_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.expr(
+                "CAST(SUM(converted) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("conversion_ppm"),
+        )
+        .orderBy("depth_band")
+    )

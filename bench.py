@@ -269,6 +269,9 @@ HEADLINE = [
     "trade_flow_matrix",
     "return_rate_by_discount_band",
     "price_dispersion_by_part_type",
+    "engagement_frequency_histogram",
+    "error_recovery_histogram",
+    "session_depth_conversion",
 ]
 
 

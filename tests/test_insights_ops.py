@@ -1703,3 +1703,99 @@ def test_price_dispersion_replay(spark):
         assert (r.n_lines, r.mean_cents) == (n, _round_half_up(mu))
         assert r.cv_micro == _round_half_up(cv * 1e6)
         assert r.cv_micro > 0
+
+
+def test_engagement_frequency_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["engagement_frequency_histogram"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    days = defaultdict(set)
+    for e in ev:
+        days[((e.ts.year, e.ts.month), e.user_id)].add(e.ts.date())
+    agg = defaultdict(int)
+    for (m, _), ds in days.items():
+        agg[(m, len(ds))] += 1
+    got = {((r.month.year, r.month.month), r.n_active_days): r.n_users
+           for r in rows}
+    assert got == dict(agg)
+    # every (month, user) lands in exactly one histogram cell
+    assert sum(got.values()) == len(days)
+
+
+def test_error_recovery_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["error_recovery_histogram"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    import calendar
+
+    def to_us(ts):
+        return calendar.timegm(ts.timetuple()) * 10**6 + ts.microsecond
+
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append((to_us(e.ts), e.event_id, e.event_type))
+    agg = defaultdict(lambda: [0, None, None])
+    n_errors_total = 0
+    for seq in by_user.values():
+        seq.sort()
+        for i, (us, _, et) in enumerate(seq):
+            if et != "error":
+                continue
+            n_errors_total += 1
+            rec = next(
+                (u for u, _, t in seq[i + 1:] if t != "error"), None
+            )
+            if rec is None:
+                b, secs = -1, None
+            else:
+                secs = (rec - us) // 10**6
+                b = max(secs, 1).bit_length() - 1
+            e_ = agg[b]
+            e_[0] += 1
+            if secs is not None:
+                e_[1] = secs if e_[1] is None else min(e_[1], secs)
+                e_[2] = secs if e_[2] is None else max(e_[2], secs)
+    got = {r.log2_bucket: (r.n_errors, r.min_s, r.max_s) for r in rows}
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    assert sum(v[0] for v in got.values()) == n_errors_total
+
+
+def test_session_depth_conversion_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["session_depth_conversion"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    import calendar
+
+    def to_us(ts):
+        return calendar.timegm(ts.timetuple()) * 10**6 + ts.microsecond
+
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append((to_us(e.ts), e.event_id, e.event_type))
+    agg = defaultdict(lambda: [0, 0])
+    n_sessions_total = 0
+    for seq in by_user.values():
+        seq.sort()
+        sessions, cur, last = [], [], None
+        for us, _, et in seq:
+            if last is not None and us - last > 1_800_000_000:
+                sessions.append(cur)
+                cur = []
+            cur.append(et)
+            last = us
+        sessions.append(cur)
+        for s_ in sessions:
+            n_sessions_total += 1
+            band = min(len(s_), 10)
+            agg[band][0] += 1
+            agg[band][1] += int("purchase" in s_)
+    got = {r.depth_band: r for r in rows}
+    assert set(got) == set(agg)
+    for band, (n, conv) in agg.items():
+        r = got[band]
+        assert (r.n_sessions, r.n_converted) == (n, conv)
+        assert r.conversion_ppm == conv * 1_000_000 // n
+    assert sum(r.n_sessions for r in rows) == n_sessions_total

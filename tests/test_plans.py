@@ -1450,3 +1450,23 @@ class TestDriftPlans:
         assert t.count("HashAggregate") == 2  # one fused partial+final
         df = QUERIES["price_dispersion_by_part_type"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_engagement_histogram_two_rollups(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "engagement_frequency_histogram")
+        assert t.count("Scan parquet") == 1
+        df = QUERIES["engagement_frequency_histogram"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_error_recovery_no_self_join(self, spark):
+        # conditional next-event via ONE window frame, never events⋈events
+        t = tree(spark, "error_recovery_histogram")
+        assert "Join" not in t
+        assert t.count("Scan parquet") == 1
+
+    def test_session_depth_single_user_sort(self, spark):
+        # lag + running-sum share one user-partition sort (window reuse)
+        t = tree(spark, "session_depth_conversion")
+        assert t.count("Scan parquet") == 1
+        assert t.count("Exchange hashpartitioning") <= 3
