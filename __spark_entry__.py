@@ -99,7 +99,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: single_source_risk, shipping_delay_percentiles_by_priority,
 #: trade_flow_matrix, return_rate_by_discount_band,
 #: price_dispersion_by_part_type, engagement_frequency_histogram,
-#: error_recovery_histogram, session_depth_conversion; no
+#: error_recovery_histogram, session_depth_conversion,
+#: dup_rate_by_quality_band, brand_price_realization,
+#: doc_feature_correlation; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -5505,3 +5505,61 @@ def price_dispersion_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("cv_micro"),
     ).orderBy("p_type")
+
+
+# ---------------------------------------------------------------------------
+# Brand price realization (realized net vs retail value)
+# ---------------------------------------------------------------------------
+
+@register(
+    "brand_price_realization",
+    oracle="""
+    WITH l AS (
+      SELECT p.p_brand,
+             CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100, 0)
+               AS BIGINT) AS realized,
+             CAST(round(p.p_retailprice * l.l_quantity * 100, 0)
+               AS BIGINT) AS retail
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(realized) AS BIGINT) AS realized_cents,
+           CAST(SUM(retail) AS BIGINT) AS retail_cents,
+           CAST(CAST(SUM(realized) AS HUGEINT) * 1000000 // SUM(retail)
+             AS BIGINT) AS realization_ppm
+    FROM l GROUP BY 1 ORDER BY p_brand
+    """,
+)
+def brand_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price realization per brand: net revenue actually collected vs
+    the catalog retail value of the same units — the discount-leakage
+    scoreboard (a brand realizing 82% of retail is buying volume with
+    margin; one above 100% is selling over list).
+
+    Scale: the hint-free part join feeds ONE fused rollup; both money
+    legs quantize to cents per-row, and the realization ratio is exact
+    128-bit integer ppm.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    l = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        net_cents().alias("realized"),
+        F.round(F.col("p_retailprice") * F.col("l_quantity") * 100, 0)
+        .cast("bigint")
+        .alias("retail"),
+    )
+    return (
+        l.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("realized").cast("bigint").alias("realized_cents"),
+            F.sum("retail").cast("bigint").alias("retail_cents"),
+            F.expr(
+                "CAST(CAST(SUM(realized) AS DECIMAL(38,0)) * 1000000"
+                " DIV SUM(retail) AS BIGINT)"
+            ).alias("realization_ppm"),
+        )
+        .orderBy("p_brand")
+    )

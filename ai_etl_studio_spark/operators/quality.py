@@ -23,7 +23,7 @@ these are extensions, cited as such.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_etl_studio_spark.catalog import load_table
@@ -1480,6 +1480,78 @@ def quality_calibration_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum(F.when(gate, 1).otherwise(0)).cast("bigint").alias("n_pass"),
             F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate rate by quality band (dedup x quality interaction)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dup_rate_by_quality_band",
+    oracle=r"""
+    WITH t AS (
+      SELECT md5(text) AS h,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               w -> w <> '') AS ts
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT h, CAST(len(ts) AS BIGINT) AS n_words,
+             CAST(len(list_filter(ts, w -> w IN ('the', 'a', 'an', 'of',
+               'to', 'and', 'in', 'is'))) AS BIGINT) AS n_stop
+      FROM t WHERE len(ts) > 0),
+    d AS (
+      SELECT least(9, CAST(floor(CAST(n_stop AS DOUBLE) / n_words * 10)
+               AS BIGINT)) AS band,
+             CAST(COUNT(*) OVER (PARTITION BY h) > 1 AS BIGINT) AS is_dup
+      FROM m)
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+           CAST(SUM(is_dup) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM d GROUP BY band ORDER BY band
+    """,
+)
+def dup_rate_by_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per cheap-quality band (stopword-density
+    deciles, the quality_calibration_bands score) — the interaction
+    audit behind dedup budgeting: if dups concentrate in the low-
+    quality bands, a quality gate FIRST shrinks the dedup problem; if
+    they're flat, dedup must run on everything.
+
+    Scale: one scan computes the hash and the band in the same narrow
+    projection; duplicate flags come from a COUNT window over the hash
+    partition (one shuffle on the 32-hex digest — no join back, no
+    second scan), and the rollup is ≤10 rows with integer-ppm rates.
+    """
+    from ai_etl_studio_spark.operators.text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    m = d.select(F.md5("text").alias("h"), ts.alias("ts")).filter(
+        F.size("ts") > 0
+    )
+    band = F.least(
+        F.lit(9),
+        F.floor(
+            F.size(F.filter("ts", lambda w: w.isin(*STOPWORDS))).cast("double")
+            / F.size("ts")
+            * 10
+        ).cast("bigint"),
+    )
+    is_dup = (
+        F.count(F.lit(1)).over(Window.partitionBy("h")) > 1
+    ).cast("bigint")
+    return (
+        m.select(band.alias("band"), is_dup.alias("is_dup"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_dups"),
+            F.expr("CAST(SUM(is_dup) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
+                "dup_ppm"
+            ),
         )
         .orderBy("band")
     )

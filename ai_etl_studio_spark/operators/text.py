@@ -2843,3 +2843,112 @@ def readability_scores_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation of cheap document features
+# ---------------------------------------------------------------------------
+
+_DFC_PAIRS = (("chars", "words"), ("chars", "uniq"), ("words", "stops"))
+
+
+def _dfc_oracle() -> str:
+    stats = """
+    WITH t AS (
+      SELECT CAST(length(text) AS BIGINT) AS chars,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+               w -> w <> '')) AS BIGINT) AS words,
+             CAST(len(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), w -> w <> '')))
+               AS BIGINT) AS uniq,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+               w -> w IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is')))
+               AS BIGINT) AS stops
+      FROM documents WHERE text IS NOT NULL),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {sums}
+      FROM t)"""
+    cols = ("chars", "words", "uniq", "stops")
+    sums = []
+    for c in cols:
+        sums.append(f"CAST(SUM({c}) AS DOUBLE) AS s_{c}")
+        sums.append(
+            f"CAST(SUM(CAST({c} AS HUGEINT) * {c}) AS DOUBLE) AS q_{c}"
+        )
+    for x, y in _DFC_PAIRS:
+        sums.append(
+            f"CAST(SUM(CAST({x} AS HUGEINT) * {y}) AS DOUBLE) AS x_{x}_{y}"
+        )
+    body = stats.format(sums=",\n             ".join(sums))
+    selects = []
+    for x, y in _DFC_PAIRS:
+        r = (
+            f"(n * x_{x}_{y} - s_{x} * s_{y})"
+            f" / sqrt((n * q_{x} - s_{x} * s_{x})"
+            f" * (n * q_{y} - s_{y} * s_{y}))"
+        )
+        selects.append(
+            f"SELECT '{x}' AS feature_x, '{y}' AS feature_y, n AS n_docs,"
+            f" CAST(round({r} * 1000000000, 0) AS BIGINT) AS r_nano FROM s"
+        )
+    return body + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY feature_x, feature_y"
+
+
+@register("doc_feature_correlation", oracle=_dfc_oracle())
+def doc_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between cheap per-document features
+    (chars↔words, chars↔distinct-tokens, words↔stopwords) — the feature-
+    redundancy audit run before building a quality classifier: a 0.99
+    chars↔words correlation says one of them is dead weight; a LOW
+    words↔stopwords correlation flags non-prose contamination, and the
+    chars↔uniq leg tracks how fast vocabulary saturates with length.
+
+    Scale: the correlation_matrix discipline on the documents table —
+    one narrow codegen projection per doc, ONE fused aggregate carrying
+    all sufficient statistics (Σx, Σx², Σxy on the wide-integer rule),
+    and the r values are final mirrored double expressions on the
+    1-row stats frame, fanned out map-side to one row per pair.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    t = d.select(
+        F.length("text").cast("bigint").alias("chars"),
+        F.size(ts).cast("bigint").alias("words"),
+        F.size(F.array_distinct(ts)).cast("bigint").alias("uniq"),
+        F.size(
+            F.filter(ts, lambda w: w.isin(*STOPWORDS))
+        )
+        .cast("bigint")
+        .alias("stops"),
+    )
+    cols = ("chars", "words", "uniq", "stops")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in cols:
+        cd = F.col(c).cast("decimal(38,0)")
+        aggs.append(F.sum(c).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(cd * cd).cast("double").alias(f"q_{c}"))
+    for x, y in _DFC_PAIRS:
+        aggs.append(
+            F.sum(F.col(x).cast("decimal(38,0)") * F.col(y))
+            .cast("double")
+            .alias(f"x_{x}_{y}")
+        )
+    s = t.agg(*aggs)
+    rows = []
+    for x, y in _DFC_PAIRS:
+        r = (
+            f"(n * x_{x}_{y} - s_{x} * s_{y})"
+            f" / sqrt((n * q_{x} - s_{x} * s_{x})"
+            f" * (n * q_{y} - s_{y} * s_{y}))"
+        )
+        rows.append(
+            f"struct('{x}' AS feature_x, '{y}' AS feature_y,"
+            f" n AS n_docs,"
+            f" CAST(round({r} * 1000000000, 0) AS BIGINT) AS r_nano)"
+        )
+    return (
+        s.select(F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("p"))
+        .select("p.feature_x", "p.feature_y", "p.n_docs", "p.r_nano")
+        .orderBy("feature_x", "feature_y")
+    )

@@ -272,6 +272,9 @@ HEADLINE = [
     "engagement_frequency_histogram",
     "error_recovery_histogram",
     "session_depth_conversion",
+    "dup_rate_by_quality_band",
+    "brand_price_realization",
+    "doc_feature_correlation",
 ]
 
 

@@ -414,3 +414,32 @@ def test_media_chunk_dedup_replay(spark):
         )
     # the seeded near-duplicate docs guarantee real savings somewhere
     assert any(r.dedup_savings_bytes > 0 for r in rows.values())
+
+
+def test_dup_rate_by_quality_band_replay(spark):
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from tests.test_insights_ops import QUERIES, SF_DIR
+
+    rows = QUERIES["dup_rate_by_quality_band"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    SW = {"the", "a", "an", "of", "to", "and", "in", "is"}
+    texts = [d.text for d in docs if d.text is not None]
+    hc = Counter(texts)
+    agg = defaultdict(lambda: [0, 0])
+    for t in texts:
+        ws = [w for w in re.split(r"\s+", t.lower()) if w]
+        if not ws:
+            continue
+        band = min(9, math.floor(sum(w in SW for w in ws) / len(ws) * 10))
+        agg[band][0] += 1
+        agg[band][1] += int(hc[t] > 1)
+    got = {r.band: (r.n_docs, r.n_dups, r.dup_ppm) for r in rows}
+    assert got == {
+        k: (n, d, d * 1_000_000 // n) for k, (n, d) in agg.items()
+    }
+    # rates are well-formed ppm (exact dups may be zero at tiny SF —
+    # the seeded near-dups are not byte-identical)
+    assert all(0 <= ppm <= 1_000_000 for _, _, ppm in got.values())

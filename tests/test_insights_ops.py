@@ -1799,3 +1799,71 @@ def test_session_depth_conversion_replay(spark):
         assert (r.n_sessions, r.n_converted) == (n, conv)
         assert r.conversion_ppm == conv * 1_000_000 // n
     assert sum(r.n_sessions for r in rows) == n_sessions_total
+
+
+def test_brand_price_realization_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["brand_price_realization"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    part = {
+        r.p_partkey: (r.p_brand, r.p_retailprice)
+        for r in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in li:
+        brand, retail = part[r.l_partkey]
+        b = agg[brand]
+        b[0] += 1
+        b[1] += _round_half_up(r.l_extendedprice * (1 - r.l_discount) * 100)
+        b[2] += _round_half_up(retail * r.l_quantity * 100)
+    got = {r.p_brand: r for r in rows}
+    assert set(got) == set(agg)
+    for brand, (n, realized, retail) in agg.items():
+        r = got[brand]
+        assert (r.n_lines, r.realized_cents, r.retail_cents) == (
+            n, realized, retail
+        )
+        assert r.realization_ppm == realized * 1_000_000 // retail
+        assert r.realization_ppm > 0
+
+
+def test_doc_feature_correlation_replay(spark):
+    import math
+    import re
+
+    rows = QUERIES["doc_feature_correlation"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    SW = {"the", "a", "an", "of", "to", "and", "in", "is"}
+    feats = []
+    for d in docs:
+        if d.text is None:
+            continue
+        ws = [w for w in re.split(r"\s+", d.text.lower()) if w]
+        feats.append({
+            "chars": len(d.text),
+            "words": len(ws),
+            "uniq": len(set(ws)),
+            "stops": sum(w in SW for w in ws),
+        })
+    n = len(feats)
+
+    def pearson(x, y):
+        sx = sum(f[x] for f in feats)
+        sy = sum(f[y] for f in feats)
+        sxy = float(sum(f[x] * f[y] for f in feats))
+        sxx = float(sum(f[x] ** 2 for f in feats))
+        syy = float(sum(f[y] ** 2 for f in feats))
+        return (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+
+    got = {(r.feature_x, r.feature_y): r for r in rows}
+    assert set(got) == {("chars", "words"), ("chars", "uniq"),
+                        ("words", "stops")}
+    for (x, y), r in got.items():
+        assert r.n_docs == n
+        assert r.r_nano == _round_half_up(pearson(x, y) * 1e9)
+        assert -1_000_000_000 <= r.r_nano <= 1_000_000_000
+    # chars and words measure the same thing: near-perfect correlation
+    assert got[("chars", "words")].r_nano > 900_000_000

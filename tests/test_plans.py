@@ -1470,3 +1470,26 @@ class TestDriftPlans:
         t = tree(spark, "session_depth_conversion")
         assert t.count("Scan parquet") == 1
         assert t.count("Exchange hashpartitioning") <= 3
+
+    def test_dup_quality_one_scan_one_hash_shuffle(self, spark):
+        # hash + band in one projection; dup flag via COUNT window over
+        # the digest partition — no join back, no second scan
+        t = tree(spark, "dup_rate_by_quality_band")
+        assert t.count("Scan parquet") == 1
+        assert "Join" not in t
+
+    def test_brand_realization_fused_rollup(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "brand_price_realization")
+        assert t.count("HashAggregate") == 2
+        df = QUERIES["brand_price_realization"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_doc_feature_corr_single_fused_aggregate(self, spark):
+        # all sufficient statistics in ONE partial+final pair; the pair
+        # fan-out is a map-side explode on the 1-row stats frame
+        t = tree(spark, "doc_feature_correlation")
+        assert t.count("Scan parquet") == 1
+        assert t.count("HashAggregate") == 2
+        assert "Join" not in t
