@@ -3087,3 +3087,110 @@ def session_depth_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution model comparison (last-touch vs U-shaped vs time-decay)
+# ---------------------------------------------------------------------------
+
+def _attr_cmp_oracle() -> str:
+    from ai_etl_studio_spark.operators import ORACLES
+
+    lt, us, td = (
+        ORACLES["attribution_last_touch"],
+        ORACLES["attribution_u_shaped"],
+        ORACLES["attribution_time_decay"],
+    )
+    return f"""
+    WITH all_m AS (
+      SELECT 'lt' AS model, channel,
+             CAST(n_conversions * 1000000 AS BIGINT) AS micro,
+             revenue_cents
+      FROM ({lt}) lt_q
+      UNION ALL
+      SELECT 'us', channel, credit_micro, revenue_cents FROM ({us}) us_q
+      UNION ALL
+      SELECT 'td', channel, credit_micro, revenue_cents FROM ({td}) td_q),
+    p AS (
+      SELECT channel,
+             CAST(COALESCE(SUM(CASE WHEN model = 'lt' THEN micro END), 0)
+               AS BIGINT) AS lt_micro,
+             CAST(COALESCE(SUM(CASE WHEN model = 'us' THEN micro END), 0)
+               AS BIGINT) AS us_micro,
+             CAST(COALESCE(SUM(CASE WHEN model = 'td' THEN micro END), 0)
+               AS BIGINT) AS td_micro,
+             CAST(COALESCE(SUM(CASE WHEN model = 'lt' THEN revenue_cents
+               END), 0) AS BIGINT) AS lt_cents,
+             CAST(COALESCE(SUM(CASE WHEN model = 'us' THEN revenue_cents
+               END), 0) AS BIGINT) AS us_cents,
+             CAST(COALESCE(SUM(CASE WHEN model = 'td' THEN revenue_cents
+               END), 0) AS BIGINT) AS td_cents
+      FROM all_m GROUP BY channel)
+    SELECT channel, lt_micro, us_micro, td_micro,
+           CAST(greatest(lt_cents, us_cents, td_cents)
+             - least(lt_cents, us_cents, td_cents) AS BIGINT)
+             AS revenue_spread_cents,
+           lt_cents, us_cents, td_cents
+    FROM p ORDER BY channel
+    """
+
+
+@register("attribution_model_comparison", oracle=_attr_cmp_oracle())
+def attribution_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-by-side credit and revenue allocation under the three
+    registered attribution models (last-touch / U-shaped / time-decay)
+    with the per-channel revenue spread — the sensitivity analysis that
+    says whether the channel-budget decision is model-robust or an
+    artifact of the model choice.
+
+    Scale: composes the three REGISTERED pipelines (oracle composed
+    from their registered texts, so the comparison can never drift from
+    what each model actually computes — the ann_ivf_recall_eval
+    device); each produces a ≤3-row frame, and the pivot is a
+    conditional aggregate over their union.
+    """
+    lt = attribution_last_touch(spark, sf_dir).select(
+        F.lit("lt").alias("model"),
+        "channel",
+        (F.col("n_conversions") * 1_000_000).cast("bigint").alias("micro"),
+        "revenue_cents",
+    )
+    us_ = attribution_u_shaped(spark, sf_dir).select(
+        F.lit("us").alias("model"), "channel", F.col("credit_micro").alias("micro"), "revenue_cents"
+    )
+    td = attribution_time_decay(spark, sf_dir).select(
+        F.lit("td").alias("model"), "channel", F.col("credit_micro").alias("micro"), "revenue_cents"
+    )
+    all_m = lt.unionAll(us_).unionAll(td)
+
+    def pick(model, col):
+        return (
+            F.coalesce(
+                F.sum(F.when(F.col("model") == model, F.col(col))), F.lit(0)
+            )
+            .cast("bigint")
+        )
+
+    p = all_m.groupBy("channel").agg(
+        pick("lt", "micro").alias("lt_micro"),
+        pick("us", "micro").alias("us_micro"),
+        pick("td", "micro").alias("td_micro"),
+        pick("lt", "revenue_cents").alias("lt_cents"),
+        pick("us", "revenue_cents").alias("us_cents"),
+        pick("td", "revenue_cents").alias("td_cents"),
+    )
+    return p.select(
+        "channel",
+        "lt_micro",
+        "us_micro",
+        "td_micro",
+        (
+            F.greatest("lt_cents", "us_cents", "td_cents")
+            - F.least("lt_cents", "us_cents", "td_cents")
+        )
+        .cast("bigint")
+        .alias("revenue_spread_cents"),
+        "lt_cents",
+        "us_cents",
+        "td_cents",
+    ).orderBy("channel")

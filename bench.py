@@ -275,6 +275,9 @@ HEADLINE = [
     "dup_rate_by_quality_band",
     "brand_price_realization",
     "doc_feature_correlation",
+    "attribution_model_comparison",
+    "ivm_topk_delta",
+    "type_seasonality_index",
 ]
 
 

@@ -1867,3 +1867,72 @@ def test_doc_feature_correlation_replay(spark):
         assert -1_000_000_000 <= r.r_nano <= 1_000_000_000
     # chars and words measure the same thing: near-perfect correlation
     assert got[("chars", "words")].r_nano > 900_000_000
+
+
+def test_attribution_comparison_consistent_with_parts(spark):
+    rows = QUERIES["attribution_model_comparison"](spark, SF_DIR).collect()
+    lt = {r.channel: r for r in
+          QUERIES["attribution_last_touch"](spark, SF_DIR).collect()}
+    us = {r.channel: r for r in
+          QUERIES["attribution_u_shaped"](spark, SF_DIR).collect()}
+    td = {r.channel: r for r in
+          QUERIES["attribution_time_decay"](spark, SF_DIR).collect()}
+    got = {r.channel: r for r in rows}
+    assert set(got) == set(lt) | set(us) | set(td)
+    for ch, r in got.items():
+        assert r.lt_micro == (lt[ch].n_conversions * 1_000_000 if ch in lt else 0)
+        assert r.us_micro == (us[ch].credit_micro if ch in us else 0)
+        assert r.td_micro == (td[ch].credit_micro if ch in td else 0)
+        cents = [r.lt_cents, r.us_cents, r.td_cents]
+        assert r.revenue_spread_cents == max(cents) - min(cents)
+    # conservation up to per-conversion credit rounding: each model
+    # allocates the same revenue within a cent per purchase
+    n_purch = sum(
+        1
+        for e in spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+        if e.event_type == "purchase"
+    )
+    lt_t = sum(r.lt_cents for r in rows)
+    for other in (sum(r.us_cents for r in rows), sum(r.td_cents for r in rows)):
+        assert abs(lt_t - other) <= n_purch
+
+
+def test_ivm_topk_delta_consistent_here(spark):
+    rows = QUERIES["ivm_topk_delta"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert [r.rank for r in rows] == list(range(1, 11))
+    # the flag is honest: it equals the rank-wise comparison it claims
+    for r in rows:
+        assert r.consistent == int(
+            r.pk_delta == r.pk_full and r.cents_delta == r.cents_full
+        )
+    # merged values only ever UNDER-estimate (state may drop pre mass),
+    # so the full leg dominates rank-for-rank
+    assert all(r.cents_delta <= r.cents_full for r in rows)
+    cents = [r.cents_delta for r in rows]
+    assert cents == sorted(cents, reverse=True)
+
+
+def test_type_seasonality_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["type_seasonality_index"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    om = {r.o_orderkey: r.o_orderdate.month
+          for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()}
+    pt = {r.p_partkey: r.p_type
+          for r in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()}
+    agg = defaultdict(int)
+    for r in li:
+        agg[(pt[r.l_partkey], om[r.l_orderkey])] += _round_half_up(
+            r.l_extendedprice * 100
+        )
+    tot = defaultdict(int)
+    for (t, _), c in agg.items():
+        tot[t] += c
+    got = {(r.p_type, r.month): r for r in rows}
+    assert set(got) == set(agg)
+    for (t, m), c in agg.items():
+        r = got[(t, m)]
+        assert r.cents == c
+        assert r.seasonality_ppm == c * 12_000_000 // tot[t]

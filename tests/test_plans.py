@@ -1493,3 +1493,25 @@ class TestDriftPlans:
         assert t.count("Scan parquet") == 1
         assert t.count("HashAggregate") == 2
         assert "Join" not in t
+
+    def test_attr_comparison_no_new_machinery(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        df = QUERIES["attribution_model_comparison"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+        t = tree(spark, "attribution_model_comparison")
+        assert "CartesianProduct" not in t
+
+    def test_ivm_topk_heaps_not_sorts(self, spark):
+        # every top-N leg is a TakeOrderedAndProject heap
+        t = tree(spark, "ivm_topk_delta")
+        assert "TakeOrderedAndProject" in t
+        assert "CartesianProduct" not in t
+
+    def test_type_seasonality_window_on_bounded_matrix(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "type_seasonality_index")
+        assert "CartesianProduct" not in t
+        df = QUERIES["type_seasonality_index"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
