@@ -102,7 +102,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: error_recovery_histogram, session_depth_conversion,
 #: dup_rate_by_quality_band, brand_price_realization,
 #: doc_feature_correlation, attribution_model_comparison,
-#: ivm_topk_delta, type_seasonality_index; no
+#: ivm_topk_delta, type_seasonality_index, term_burstiness_topk,
+#: media_byte_entropy, supplier_delivery_consistency; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

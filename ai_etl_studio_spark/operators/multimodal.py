@@ -529,3 +529,90 @@ def media_sequence_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-entropy profile per media type (compression/encryption detector)
+# ---------------------------------------------------------------------------
+
+@register(
+    "media_byte_entropy",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             hex(encode(text)) AS h
+      FROM documents WHERE text IS NOT NULL),
+    b AS (
+      SELECT media_type, substring(h, g.i * 2 - 1, 2) AS byte
+      FROM m, unnest(generate_series(1, CAST(length(h) // 2 AS BIGINT)))
+        AS g(i)),
+    c AS (
+      SELECT media_type, byte, CAST(COUNT(*) AS BIGINT) AS c
+      FROM b GROUP BY 1, 2),
+    t AS (
+      SELECT media_type, byte, c,
+             CAST(SUM(c) OVER (PARTITION BY media_type) AS BIGINT) AS n
+      FROM c)
+    SELECT media_type, CAST(MAX(n) AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+           CAST(SUM(CAST(round((CAST(c AS DOUBLE) / n)
+               * log2(CAST(n AS DOUBLE) / c) * 1000000000, 0) AS BIGINT))
+             AS BIGINT) AS entropy_bits_nano
+    FROM t GROUP BY media_type ORDER BY media_type
+    """,
+)
+def media_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon byte-entropy per media type — the codec-free
+    compression/encryption detector: plaintext payloads sit near 4-5
+    bits/byte, well-compressed or encrypted media near 8; a 'video'
+    feed reading like text is mislabeled, and text reading like noise
+    is binary contamination.
+
+    Scale: payload bytes expand to (type, byte) pairs MAP-SIDE (the
+    hex ride-along never shuffles — only the ≤256-value byte column
+    does, pre-aggregated by the partial combine); the per-byte
+    surprisal terms quantize to nanoticks before the final ≤256-row
+    sum per type, per the engine's entropy discipline.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    m = d.select(
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.hex(F.encode("text", "UTF-8")).alias("h"),
+    )
+    b = m.select(
+        "media_type",
+        F.explode(
+            F.sequence(F.lit(1), (F.length("h") / 2).cast("bigint"))
+        ).alias("i"),
+        "h",
+    ).select(
+        "media_type",
+        F.expr("substring(h, i * 2 - 1, 2)").alias("byte"),
+    )
+    c = b.groupBy("media_type", "byte").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    from pyspark.sql import Window as _W
+
+    n = F.sum("c").over(_W.partitionBy("media_type")).cast("bigint")
+    t = c.withColumn("n", n)
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log2(F.col("n").cast("double") / F.col("c"))
+        * 1_000_000_000,
+        0,
+    ).cast("bigint")
+    return (
+        t.groupBy("media_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_bytes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_bytes"),
+            F.sum(term).cast("bigint").alias("entropy_bits_nano"),
+        )
+        .orderBy("media_type")
+    )

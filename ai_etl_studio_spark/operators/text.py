@@ -2952,3 +2952,89 @@ def doc_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.feature_x", "p.feature_y", "p.n_docs", "p.r_nano")
         .orderBy("feature_x", "feature_y")
     )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (Church-Gale) for the top vocabulary
+# ---------------------------------------------------------------------------
+
+_BURST_TOPK = 50
+
+
+@register(
+    "term_burstiness_topk",
+    oracle=rf"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text),
+               '\s+'), w -> w <> '')) AS uniq,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               w -> w <> '') AS ts
+      FROM documents WHERE text IS NOT NULL),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM docs),
+    cf AS (
+      SELECT term, COUNT(*) AS c
+      FROM (SELECT unnest(ts) AS term FROM docs) GROUP BY 1),
+    df AS (
+      SELECT term, COUNT(*) AS df
+      FROM (SELECT unnest(uniq) AS term FROM docs) GROUP BY 1),
+    j AS (
+      SELECT cf.term, CAST(cf.c AS BIGINT) AS cf, CAST(df.df AS BIGINT)
+               AS df, nd.d
+      FROM cf JOIN df ON cf.term = df.term CROSS JOIN nd)
+    SELECT term, cf, df,
+           CAST(cf * 1000000 // df AS BIGINT) AS burst_micro,
+           CAST(round(d * (1 - exp(-(CAST(cf AS DOUBLE) / d))), 0)
+             AS BIGINT) AS poisson_df
+    FROM j
+    ORDER BY cf DESC, term LIMIT {_BURST_TOPK}
+    """,
+)
+def term_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness for the top-{_BURST_TOPK} terms: mean
+    occurrences per CONTAINING document (cf/df) next to the document
+    frequency a Poisson scatter of the same mass would predict — bursty
+    terms (cf/df ≫ 1, df ≪ poisson_df) are topical/templated content;
+    terms matching Poisson are function words. The corpus-linguistics
+    signal behind stopword discovery and boilerplate candidates.
+
+    Scale: one pass builds both the collection-frequency and the
+    document-frequency tables (the distinct leg explodes the per-doc
+    UNIQUE token array — map-side dedup, so the df shuffle carries each
+    (doc, term) once); they join vocabulary-to-vocabulary, the 1-row
+    doc count broadcasts, burstiness is exact integer micro, and the
+    Poisson leg is one mirrored double expression. Top-k is a heap.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    docs = d.select(ts.alias("ts"), F.array_distinct(ts).alias("uniq")).localCheckpoint()
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    cf = (
+        docs.select(F.explode("ts").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    )
+    df = (
+        docs.select(F.explode("uniq").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    return (
+        cf.join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term",
+            "cf",
+            "df",
+            F.expr("CAST(cf * 1000000 DIV df AS BIGINT)").alias("burst_micro"),
+            F.round(
+                F.col("d")
+                * (1 - F.exp(-(F.col("cf").cast("double") / F.col("d")))),
+                0,
+            )
+            .cast("bigint")
+            .alias("poisson_df"),
+        )
+        .orderBy(F.desc("cf"), "term")
+        .limit(_BURST_TOPK)
+    )

@@ -278,6 +278,9 @@ HEADLINE = [
     "attribution_model_comparison",
     "ivm_topk_delta",
     "type_seasonality_index",
+    "term_burstiness_topk",
+    "media_byte_entropy",
+    "supplier_delivery_consistency",
 ]
 
 

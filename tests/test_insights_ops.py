@@ -1936,3 +1936,87 @@ def test_type_seasonality_replay(spark):
         r = got[(t, m)]
         assert r.cents == c
         assert r.seasonality_ppm == c * 12_000_000 // tot[t]
+
+
+def test_term_burstiness_replay(spark):
+    import math
+    import re
+    from collections import Counter
+
+    rows = QUERIES["term_burstiness_topk"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    cf, df = Counter(), Counter()
+    n_docs = 0
+    for d in docs:
+        if d.text is None:
+            continue
+        n_docs += 1
+        ws = [w for w in re.split(r"\s+", d.text.lower()) if w]
+        cf.update(ws)
+        df.update(set(ws))
+    top = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert [(r.term, r.cf) for r in rows] == top
+    for r in rows:
+        assert r.df == df[r.term]
+        assert r.burst_micro == r.cf * 1_000_000 // r.df
+        assert r.poisson_df == _round_half_up(
+            n_docs * (1 - math.exp(-r.cf / n_docs))
+        )
+        # burstiness is ≥ 1 by construction (cf ≥ df)
+        assert r.burst_micro >= 1_000_000
+
+
+def test_media_byte_entropy_replay(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    rows = QUERIES["media_byte_entropy"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    hists = defaultdict(Counter)
+    for d in docs:
+        if d.text is None:
+            continue
+        mt = ("image/png", "audio/wav", "video/mp4")[d.doc_id % 3]
+        hists[mt].update(d.text.encode("utf-8"))
+    got = {r.media_type: r for r in rows}
+    assert set(got) == set(hists)
+    for mt, hist in hists.items():
+        n = sum(hist.values())
+        ent = sum(
+            _round_half_up((c / n) * math.log2(n / c) * 1e9)
+            for c in hist.values()
+        )
+        r = got[mt]
+        assert (r.n_bytes, r.n_distinct_bytes) == (n, len(hist))
+        assert r.entropy_bits_nano == ent
+        # utf-8 text payloads: well under the 8-bit random ceiling
+        assert 2_000_000_000 < r.entropy_bits_nano < 6_500_000_000
+
+
+def test_supplier_delivery_consistency_replay(spark):
+    import math
+    from collections import defaultdict
+
+    rows = QUERIES["supplier_delivery_consistency"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    od = {r.o_orderkey: r.o_orderdate.date()
+          for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()}
+    delays = defaultdict(list)
+    for r in li:
+        delays[r.l_suppkey].append(
+            (r.l_shipdate.date() - od[r.l_orderkey]).days
+        )
+    scored = []
+    for sk, ds in delays.items():
+        if len(ds) < 30:
+            continue
+        n, s1 = len(ds), sum(ds)
+        s2 = float(sum(x * x for x in ds))
+        mu = s1 / n
+        std = math.sqrt(s2 / n - mu * mu)
+        scored.append(
+            (sk, n, _round_half_up(mu * 1000), _round_half_up(std * 1e6))
+        )
+    scored.sort(key=lambda t: (-t[3], t[0]))
+    assert [(r.l_suppkey, r.n_lines, r.mean_delay_milli, r.std_micro)
+            for r in rows] == scored[:20]

@@ -1515,3 +1515,30 @@ class TestDriftPlans:
         assert "CartesianProduct" not in t
         df = QUERIES["type_seasonality_index"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_burstiness_single_corpus_reduction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # checkpointed token arrays feed both the cf and df legs — the
+        # corpus is tokenized once
+        t = tree(spark, "term_burstiness_topk")
+        assert "Scan parquet" not in t and "Scan ExistingRDD" in t
+        assert "TakeOrderedAndProject" in t
+        df = QUERIES["term_burstiness_topk"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_byte_entropy_mapside_expansion(self, spark):
+        # the hex payload explodes map-side; only (type, byte) pairs
+        # shuffle, pre-combined — one scan, no join
+        t = tree(spark, "media_byte_entropy")
+        assert t.count("Scan parquet") == 1
+        assert "Join" not in t
+        assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+
+    def test_delivery_consistency_quantized_heap(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "supplier_delivery_consistency")
+        assert "TakeOrderedAndProject" in t
+        df = QUERIES["supplier_delivery_consistency"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
