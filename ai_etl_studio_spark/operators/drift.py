@@ -965,3 +965,266 @@ def rising_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("share_delta_ticks"), "token")
         .limit(_RISING_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend per nation (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "theil_sen_trend_by_nation",
+    oracle="""
+    WITH monthly AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(date_trunc('month', CAST(o.o_orderdate AS DATE)) AS DATE)
+               AS m,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    idx AS (
+      SELECT nk, rev, CAST(year(m) * 12 + month(m) AS BIGINT) AS mi
+      FROM monthly),
+    pairs AS (
+      SELECT a.nk, (b.rev - a.rev) * 1000 AS dr1000, b.mi - a.mi AS dm
+      FROM idx a JOIN idx b ON a.nk = b.nk AND b.mi > a.mi),
+    slopes AS (
+      SELECT nk,
+             CAST((dr1000 - (((dr1000 % dm) + dm) % dm)) // dm AS BIGINT)
+               AS slope_milli
+      FROM pairs),
+    ranked AS (
+      SELECT nk, slope_milli,
+             ROW_NUMBER() OVER (PARTITION BY nk ORDER BY slope_milli) AS rn,
+             COUNT(*) OVER (PARTITION BY nk) AS cnt
+      FROM slopes)
+    SELECT n.n_name AS nation, CAST(cnt AS BIGINT) AS n_pairs,
+           CAST(slope_milli AS BIGINT) AS theil_slope_milli
+    FROM ranked r JOIN nation n ON r.nk = n.n_nationkey
+    WHERE rn = (cnt + 1) // 2
+    ORDER BY nation
+    """,
+)
+def theil_sen_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust monthly-revenue trend per nation: the median of
+    all pairwise month-to-month slopes — a 29%-breakdown-point estimator
+    a single crazy month cannot drag, unlike the OLS fit
+    (groupwise_linreg) it complements. The robust-trend standard for
+    noisy KPI series.
+
+    Scale: the corpus reduces to |nation|x|month| exact-cents rows
+    (partial->final, ONE fact shuffle) before anything quadratic; the
+    pairwise self-join and median run on that tiny aggregate (84 months
+    -> <=3.5k pairs per nation, independent of row count). Slopes are
+    exact integer milli-cents/month via the subtract-positive-mod trick
+    (pmod makes the numerator exactly divisible, so Spark DIV and
+    DuckDB // agree at every sign); the median is the deterministic
+    LOWER median — selection, never averaging, so no float enters.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("m"),
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    )
+    idx = monthly.select(
+        "nk",
+        "rev",
+        (F.year("m") * 12 + F.month("m")).cast("bigint").alias("mi"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nk") == F.col("b.nk")) & (F.col("b.mi") > F.col("a.mi")),
+    ).select(
+        F.col("a.nk").alias("nk"),
+        ((F.col("b.rev") - F.col("a.rev")) * 1000).alias("dr1000"),
+        (F.col("b.mi") - F.col("a.mi")).alias("dm"),
+    )
+    slopes = pairs.select(
+        "nk",
+        F.expr("CAST((dr1000 - pmod(dr1000, dm)) DIV dm AS BIGINT)").alias(
+            "slope_milli"
+        ),
+    )
+    w = Window.partitionBy("nk")
+    ranked = slopes.select(
+        "nk",
+        "slope_milli",
+        F.row_number().over(w.orderBy("slope_milli")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    ).filter(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+    return (
+        ranked.join(F.broadcast(n), ranked.nk == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("cnt").cast("bigint").alias("n_pairs"),
+            F.col("slope_milli").cast("bigint").alias("theil_slope_milli"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation: nation revenue vs average order value
+# ---------------------------------------------------------------------------
+
+@register(
+    "spearman_rev_aov_nations",
+    oracle="""
+    WITH per_nation AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    ranked AS (
+      SELECT nk,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, nk) AS r_rev,
+             ROW_NUMBER() OVER (ORDER BY rev // n_orders DESC, nk) AS r_aov
+      FROM per_nation),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((r_rev - r_aov) * (r_rev - r_aov)) AS BIGINT) AS sd2
+      FROM ranked)
+    SELECT n, sd2,
+           CAST(1000000 - (6000000 * sd2) // (n * (n * n - 1)) AS BIGINT)
+             AS rho_ppm
+    FROM s
+    """,
+)
+def spearman_rev_aov_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between nation TOTAL revenue and nation
+    AVERAGE order value: does selling more mean selling bigger? A
+    near-zero rho says market size and basket size are independent
+    levers — the scale-free cousin of correlation_matrix's Pearson,
+    immune to outliers because only ranks enter.
+
+    Scale: the fact join reduces to ONE exact-cents row per nation
+    before any ranking; both rank windows and the d-squared sum run on
+    the |nation|-row aggregate (25 rows — driver-scale by
+    construction). AOV is exact floor-division of positives (Spark DIV
+    = DuckDB //); rho is the closed-form 1 - 6*sum(d^2)/(n(n^2-1)) in
+    exact integer ppm, floor-divided while the numerator is
+    non-negative so both engines truncate identically.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(cents("o_totalprice")).cast("bigint").alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    ranked = per_nation.select(
+        "nk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rev"), "nk"))
+        .alias("r_rev"),
+        F.row_number()
+        .over(Window.orderBy(F.expr("rev DIV n_orders").desc(), "nk"))
+        .alias("r_aov"),
+    )
+    d2 = (F.col("r_rev") - F.col("r_aov")) * (F.col("r_rev") - F.col("r_aov"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d2).cast("bigint").alias("sd2"),
+    )
+    return s.select(
+        "n",
+        "sd2",
+        F.expr(
+            "CAST(1000000 - (6000000 * sd2) DIV (n * (n * n - 1)) AS BIGINT)"
+        ).alias("rho_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau: brand rank agreement between revenue and unit volume
+# ---------------------------------------------------------------------------
+
+@register(
+    "kendall_tau_brand_ranks",
+    oracle="""
+    WITH per_brand AS (
+      SELECT p.p_brand AS brand,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev,
+             CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1),
+    pr AS (
+      SELECT CASE WHEN (a.rev - b.rev) * (a.qty - b.qty) > 0
+                  THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.rev - b.rev) * (a.qty - b.qty) < 0
+                  THEN 1 ELSE 0 END AS disc
+      FROM per_brand a JOIN per_brand b ON a.brand < b.brand),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(conc) AS BIGINT) AS concordant,
+             CAST(SUM(disc) AS BIGINT) AS discordant
+      FROM pr)
+    SELECT n_pairs, concordant, discordant,
+           CAST(n_pairs - concordant - discordant AS BIGINT) AS ties,
+           CAST(((concordant - discordant) * 1000000
+             - ((((concordant - discordant) * 1000000 % n_pairs) + n_pairs)
+                % n_pairs)) // n_pairs AS BIGINT) AS tau_ppm
+    FROM s
+    """,
+)
+def kendall_tau_brand_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a between two brand rankings — by revenue and by
+    unit volume: the pairwise-agreement view of "do our dollar-best
+    brands also move the most units?", with the tie mass reported
+    rather than hidden. Tau's pair semantics make it the standard for
+    comparing leaderboards (it IS the bubble-sort distance, rescaled).
+
+    Scale: the fact join reduces to ONE row per brand (exact cents /
+    exact units, partial->final) before the O(|brands|^2) pair join —
+    25 brands -> 300 pairs regardless of corpus size. Concordance is
+    pure integer sign algebra; tau_ppm floor-divides via the
+    subtract-positive-mod trick so a negative tau still matches DuckDB
+    bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_brand = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("rev"),
+            F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        )
+    )
+    a, b = per_brand.alias("a"), per_brand.alias("b")
+    sign = (F.col("a.rev") - F.col("b.rev")) * (F.col("a.qty") - F.col("b.qty"))
+    pr = a.join(b, F.col("a.brand") < F.col("b.brand")).select(
+        F.when(sign > 0, 1).otherwise(0).alias("conc"),
+        F.when(sign < 0, 1).otherwise(0).alias("disc"),
+    )
+    s = pr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("conc").cast("bigint").alias("concordant"),
+        F.sum("disc").cast("bigint").alias("discordant"),
+    )
+    return s.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        (F.col("n_pairs") - F.col("concordant") - F.col("discordant"))
+        .cast("bigint")
+        .alias("ties"),
+        F.expr(
+            "CAST(((concordant - discordant) * 1000000"
+            " - pmod((concordant - discordant) * 1000000, n_pairs))"
+            " DIV n_pairs AS BIGINT)"
+        ).alias("tau_ppm"),
+    )

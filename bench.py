@@ -281,6 +281,9 @@ HEADLINE = [
     "term_burstiness_topk",
     "media_byte_entropy",
     "supplier_delivery_consistency",
+    "theil_sen_trend_by_nation",
+    "spearman_rev_aov_nations",
+    "kendall_tau_brand_ranks",
 ]
 
 

@@ -1429,3 +1429,88 @@ def test_burstiness_by_type_replay(spark):
         assert r.burstiness_micro == want
         assert -1_000_000 <= r.burstiness_micro < 1_000_000
     assert {r.event_type for r in rows} == set(stats)
+
+
+def test_theil_sen_trend_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["theil_sen_trend_by_nation"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    monthly = defaultdict(int)
+    for o in orders:
+        d = o.o_orderdate.date()
+        monthly[(cust[o.o_custkey], d.year * 12 + d.month)] += round(
+            o.o_totalprice * 100
+        )
+    by_nk = defaultdict(list)
+    for (nk, mi), rev in monthly.items():
+        by_nk[nk].append((mi, rev))
+    want = {}
+    for nk, pts in by_nk.items():
+        pts.sort()
+        slopes = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                dr, dm = (pts[j][1] - pts[i][1]) * 1000, pts[j][0] - pts[i][0]
+                slopes.append(dr // dm)  # python // IS floor division
+        slopes.sort()
+        want[f"NATION_{nk}"] = (len(slopes), slopes[(len(slopes) + 1) // 2 - 1])
+    assert {r.nation: (r.n_pairs, r.theil_slope_milli) for r in rows} == want
+
+
+def test_spearman_rev_aov_replay(spark):
+    from collections import defaultdict
+
+    [r] = QUERIES["spearman_rev_aov_nations"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    rev, cnt = defaultdict(int), defaultdict(int)
+    for o in orders:
+        nk = cust[o.o_custkey]
+        rev[nk] += round(o.o_totalprice * 100)
+        cnt[nk] += 1
+    nks = sorted(rev)
+    r_rev = {nk: i + 1 for i, nk in enumerate(sorted(nks, key=lambda k: (-rev[k], k)))}
+    r_aov = {
+        nk: i + 1
+        for i, nk in enumerate(sorted(nks, key=lambda k: (-(rev[k] // cnt[k]), k)))
+    }
+    n = len(nks)
+    sd2 = sum((r_rev[k] - r_aov[k]) ** 2 for k in nks)
+    assert (r.n, r.sd2) == (n, sd2)
+    assert r.rho_ppm == 1_000_000 - (6_000_000 * sd2) // (n * (n * n - 1))
+    # permutation ranks bound: rho in [-1, 1] ppm
+    assert -1_000_000 <= r.rho_ppm <= 1_000_000
+
+
+def test_kendall_tau_replay(spark):
+    from collections import defaultdict
+    from itertools import combinations
+
+    [r] = QUERIES["kendall_tau_brand_ranks"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    brand = {
+        p.p_partkey: p.p_brand
+        for p in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    rev, qty = defaultdict(int), defaultdict(int)
+    for x in li:
+        b = brand[x.l_partkey]
+        rev[b] += round(x.l_extendedprice * 100)
+        qty[b] += round(x.l_quantity)
+    conc = disc = 0
+    for a, b in combinations(sorted(rev), 2):
+        s = (rev[a] - rev[b]) * (qty[a] - qty[b])
+        conc += s > 0
+        disc += s < 0
+    n_pairs = len(rev) * (len(rev) - 1) // 2
+    assert (r.n_pairs, r.concordant, r.discordant) == (n_pairs, conc, disc)
+    assert r.ties == n_pairs - conc - disc
+    assert r.tau_ppm == ((conc - disc) * 1_000_000) // n_pairs

@@ -1542,3 +1542,35 @@ class TestDriftPlans:
         assert "TakeOrderedAndProject" in t
         df = QUERIES["supplier_delivery_consistency"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_theil_sen_pairs_on_aggregate_only(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the quadratic pair join must sit ABOVE the monthly reduction:
+        # both self-join legs are HashAggregate outputs, never raw facts
+        t = tree(spark, "theil_sen_trend_by_nation")
+        assert "CartesianProduct" not in t
+        assert t.count("HashAggregate") >= 2
+        df = QUERIES["theil_sen_trend_by_nation"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_spearman_ranks_on_nation_aggregate(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # rank windows run on the |nation|-row aggregate — the single
+        # global-order window is over 25 rows by construction
+        t = tree(spark, "spearman_rev_aov_nations")
+        assert "Window" in t and "HashAggregate" in t
+        df = QUERIES["spearman_rev_aov_nations"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_kendall_pairs_bounded_by_brands(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the O(brands^2) theta-join is above the per-brand reduction;
+        # no python eval anywhere in the plan
+        t = tree(spark, "kendall_tau_brand_ranks")
+        assert t.count("HashAggregate") >= 2
+        assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        df = QUERIES["kendall_tau_brand_ranks"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
