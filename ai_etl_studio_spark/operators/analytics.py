@@ -5829,3 +5829,67 @@ def supplier_delivery_consistency(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("std_micro"), "l_suppkey")
         .limit(_CONSIST_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year revenue growth per part type
+# ---------------------------------------------------------------------------
+
+@register(
+    "yoy_growth_by_type",
+    oracle="""
+    WITH yr AS (
+      SELECT p.p_type AS ptype,
+             CAST(year(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS yr,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    g AS (
+      SELECT ptype, yr, rev,
+             LAG(rev) OVER (PARTITION BY ptype ORDER BY yr) AS prev
+      FROM yr)
+    SELECT ptype, yr, CAST(rev AS BIGINT) AS rev_cents,
+           CAST(prev AS BIGINT) AS prev_cents,
+           CAST(((rev - prev) * 1000000
+             - ((((rev - prev) * 1000000 % prev) + prev) % prev)) // prev
+             AS BIGINT) AS growth_ppm
+    FROM g WHERE prev IS NOT NULL
+    ORDER BY ptype, yr
+    """,
+)
+def yoy_growth_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year shipped-revenue growth per part type — the
+    category-level growth scoreboard (which product families are
+    compounding, which are shrinking) that anchors every annual plan.
+
+    Scale: the fact join reduces to |type|x|year| exact-cents rows in
+    ONE partial->final aggregation; the lag window runs per type over a
+    handful of years. Growth is exact integer ppm via floor division
+    (subtract-positive-mod, so a revenue DECLINE — negative numerator —
+    floors identically in Spark and DuckDB).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    yr = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_type").alias("ptype"),
+            F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("yr"),
+        )
+        .agg(F.sum(cents("l_extendedprice")).cast("bigint").alias("rev"))
+    )
+    w = Window.partitionBy("ptype").orderBy("yr")
+    g = yr.withColumn("prev", F.lag("rev").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    return g.select(
+        "ptype",
+        "yr",
+        F.col("rev").alias("rev_cents"),
+        F.col("prev").alias("prev_cents"),
+        F.expr(
+            "CAST(((rev - prev) * 1000000"
+            " - pmod((rev - prev) * 1000000, prev)) DIV prev AS BIGINT)"
+        ).alias("growth_ppm"),
+    ).orderBy("ptype", "yr")

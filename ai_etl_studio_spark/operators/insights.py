@@ -3194,3 +3194,150 @@ def attribution_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         "us_cents",
         "td_cents",
     ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Monthly customer reactivation (return after a long gap)
+# ---------------------------------------------------------------------------
+
+_REACT_GAP_DAYS = 180
+
+
+@register(
+    "customer_reactivation_monthly",
+    oracle=f"""
+    WITH o2 AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(o_orderdate AS DATE) - LAG(CAST(o_orderdate AS DATE))
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS gap_days
+      FROM orders),
+    m AS (
+      SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CASE WHEN gap_days IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_first,
+             CAST(SUM(CASE WHEN gap_days > {_REACT_GAP_DAYS} THEN 1 ELSE 0
+               END) AS BIGINT) AS n_reactivated
+      FROM o2 GROUP BY 1)
+    SELECT month, n_orders, n_first, n_reactivated,
+           CAST(n_reactivated * 1000000 // n_orders AS BIGINT)
+             AS reactivation_ppm
+    FROM m ORDER BY month
+    """,
+)
+def customer_reactivation_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly win-back scoreboard: of the month's orders, how many are
+    a customer's FIRST and how many are a RETURN after more than
+    {_REACT_GAP_DAYS} days away — the resurrection leg of growth
+    accounting at order grain, where win-back campaigns actually land.
+
+    Scale: ONE shuffle partitions orders by customer for the
+    single-row-state lag window (per-customer partitions stay small at
+    any corpus size); classified orders then reduce map-side to one row
+    per month. The rate is exact integer ppm over positives.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o2 = o.select(
+        d.alias("d"), F.datediff(d, F.lag(d).over(w)).alias("gap_days")
+    )
+    m = o2.groupBy(F.trunc("d", "month").alias("month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("gap_days").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first"),
+        F.sum(F.when(F.col("gap_days") > _REACT_GAP_DAYS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_reactivated"),
+    )
+    return m.select(
+        "month",
+        "n_orders",
+        "n_first",
+        "n_reactivated",
+        F.expr("CAST(n_reactivated * 1000000 DIV n_orders AS BIGINT)").alias(
+            "reactivation_ppm"
+        ),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Funnel stage-to-stage latency histogram (log2 microsecond buckets)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "funnel_stage_latency",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_us
+      FROM events
+      WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+      GROUP BY 1, 2),
+    lat AS (
+      SELECT a.event_type || '->' || b.event_type AS stage_pair,
+             b.first_us - a.first_us AS lat_us
+      FROM firsts a JOIN firsts b ON a.user_id = b.user_id
+       AND ((a.event_type = 'signup' AND b.event_type = 'view')
+         OR (a.event_type = 'view' AND b.event_type = 'click')
+         OR (a.event_type = 'click' AND b.event_type = 'purchase'))
+      WHERE b.first_us >= a.first_us)
+    SELECT stage_pair,
+           CAST(length(bin(lat_us)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(lat_us) AS BIGINT) AS min_us,
+           CAST(MAX(lat_us) AS BIGINT) AS max_us
+    FROM lat GROUP BY 1, 2 ORDER BY stage_pair, log2_bucket
+    """,
+)
+def funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long each funnel hop takes: per adjacent stage pair
+    (signup->view->click->purchase), the distribution of time from a
+    user's FIRST occurrence of the earlier stage to their FIRST of the
+    later one, as a log2-microsecond histogram — the
+    where-do-users-stall view that conversion RATES (session_funnel)
+    cannot show.
+
+    Scale: events reduce to one (user, stage) row via min() before the
+    self-join, which is key-on-key on user_id — one shuffle each side,
+    per-user groups of <=4 rows. Latencies bucket by binary length
+    (exact integer log2, no double), so the output is <=|pairs|x~60
+    rows regardless of corpus size.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*_FUNNEL_STAGES)
+    )
+    firsts = e.groupBy("user_id", "event_type").agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("first_us")
+    )
+    a, b = firsts.alias("a"), firsts.alias("b")
+    adj = None
+    for s0, s1 in zip(_FUNNEL_STAGES, _FUNNEL_STAGES[1:]):
+        cond = (F.col("a.event_type") == s0) & (F.col("b.event_type") == s1)
+        adj = cond if adj is None else (adj | cond)
+    lat = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id")) & adj)
+        .filter(F.col("b.first_us") >= F.col("a.first_us"))
+        .select(
+            F.concat_ws("->", F.col("a.event_type"), F.col("b.event_type")).alias(
+                "stage_pair"
+            ),
+            (F.col("b.first_us") - F.col("a.first_us")).alias("lat_us"),
+        )
+    )
+    return (
+        lat.groupBy(
+            "stage_pair",
+            (F.length(F.bin("lat_us")) - 1).cast("bigint").alias("log2_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("lat_us").cast("bigint").alias("min_us"),
+            F.max("lat_us").cast("bigint").alias("max_us"),
+        )
+        .orderBy("stage_pair", "log2_bucket")
+    )

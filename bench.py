@@ -284,6 +284,9 @@ HEADLINE = [
     "theil_sen_trend_by_nation",
     "spearman_rev_aov_nations",
     "kendall_tau_brand_ranks",
+    "yoy_growth_by_type",
+    "customer_reactivation_monthly",
+    "funnel_stage_latency",
 ]
 
 

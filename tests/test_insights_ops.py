@@ -2020,3 +2020,92 @@ def test_supplier_delivery_consistency_replay(spark):
     scored.sort(key=lambda t: (-t[3], t[0]))
     assert [(r.l_suppkey, r.n_lines, r.mean_delay_milli, r.std_micro)
             for r in rows] == scored[:20]
+
+
+def test_yoy_growth_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["yoy_growth_by_type"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    ptype = {
+        p.p_partkey: p.p_type
+        for p in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    rev = defaultdict(int)
+    for x in li:
+        rev[(ptype[x.l_partkey], x.l_shipdate.year)] += round(
+            x.l_extendedprice * 100
+        )
+    want = []
+    for t in sorted({k[0] for k in rev}):
+        yrs = sorted(y for tt, y in rev if tt == t)
+        # LAG pairs consecutive PRESENT years (a missing year shifts
+        # the comparison base, it does not produce a NULL row)
+        for y0, y1 in zip(yrs, yrs[1:]):
+            prev, cur = rev[(t, y0)], rev[(t, y1)]
+            want.append((t, y1, cur, prev, ((cur - prev) * 1_000_000) // prev))
+    got = [
+        (r.ptype, r.yr, r.rev_cents, r.prev_cents, r.growth_ppm) for r in rows
+    ]
+    assert got == want
+
+
+def test_customer_reactivation_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["customer_reactivation_monthly"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    by_cust = defaultdict(list)
+    for o in orders:
+        by_cust[o.o_custkey].append((o.o_orderdate.date(), o.o_orderkey))
+    stats = defaultdict(lambda: [0, 0, 0])  # n_orders, n_first, n_react
+    for ds in by_cust.values():
+        ds.sort()
+        for i, (d, _) in enumerate(ds):
+            key = (d.year, d.month)
+            stats[key][0] += 1
+            if i == 0:
+                stats[key][1] += 1
+            elif (d - ds[i - 1][0]).days > 180:
+                stats[key][2] += 1
+    for r in rows:
+        n, nf, nr = stats[(r.month.year, r.month.month)]
+        assert (r.n_orders, r.n_first, r.n_reactivated) == (n, nf, nr)
+        assert r.reactivation_ppm == nr * 1_000_000 // n
+    assert len(rows) == len(stats)
+    # conservation: every order is classified at most once each way
+    assert all(r.n_first + r.n_reactivated <= r.n_orders for r in rows)
+
+
+def test_funnel_stage_latency_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["funnel_stage_latency"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    firsts = {}
+    for e in ev:
+        if e.event_type in ("signup", "view", "click", "purchase"):
+            k = (e.user_id, e.event_type)
+            us = e.ts  # nanos int64 in raw parquet
+            us = us // 1000 if isinstance(us, int) else int(
+                e.ts.timestamp() * 1e6
+            )
+            firsts[k] = min(firsts.get(k, us), us)
+    hist = defaultdict(lambda: [0, None, None])
+    for s0, s1 in (("signup", "view"), ("view", "click"), ("click", "purchase")):
+        for (u, t), us in firsts.items():
+            if t != s0 or (u, s1) not in firsts:
+                continue
+            lat = firsts[(u, s1)] - us
+            if lat < 0:
+                continue
+            b = (s0 + "->" + s1, max(lat.bit_length() - 1, 0))
+            h = hist[b]
+            h[0] += 1
+            h[1] = lat if h[1] is None else min(h[1], lat)
+            h[2] = lat if h[2] is None else max(h[2], lat)
+    got = {
+        (r.stage_pair, r.log2_bucket): [r.n_users, r.min_us, r.max_us]
+        for r in rows
+    }
+    assert got == dict(hist)

@@ -1574,3 +1574,35 @@ class TestDriftPlans:
         assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
         df = QUERIES["kendall_tau_brand_ranks"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_yoy_growth_window_on_aggregate(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the lag window runs per type over |years| rows, above the
+        # single partial->final fact reduction
+        t = tree(spark, "yoy_growth_by_type")
+        assert "Window" in t and "HashAggregate" in t
+        df = QUERIES["yoy_growth_by_type"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_reactivation_single_lag_then_reduce(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # one customer-partitioned lag window, then a map-side monthly
+        # reduction — no join anywhere
+        t = tree(spark, "customer_reactivation_monthly")
+        assert "Join" not in t
+        assert t.count("Window") == 1
+        df = QUERIES["customer_reactivation_monthly"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_funnel_latency_reduce_before_selfjoin(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # events reduce to (user, stage) firsts BEFORE the self-join;
+        # the latency histogram is a bounded-log2-bucket reduction
+        t = tree(spark, "funnel_stage_latency")
+        assert t.count("HashAggregate") >= 3
+        assert "CartesianProduct" not in t
+        df = QUERIES["funnel_stage_latency"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
