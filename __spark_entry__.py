@@ -106,7 +106,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: media_byte_entropy, supplier_delivery_consistency,
 #: theil_sen_trend_by_nation, spearman_rev_aov_nations,
 #: kendall_tau_brand_ranks, yoy_growth_by_type,
-#: customer_reactivation_monthly, funnel_stage_latency; no
+#: customer_reactivation_monthly, funnel_stage_latency,
+#: embedding_label_centroid_separation, hapax_rate_by_source,
+#: size_demand_curve; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -5893,3 +5893,67 @@ def yoy_growth_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - pmod((rev - prev) * 1000000, prev)) DIV prev AS BIGINT)"
         ).alias("growth_ppm"),
     ).orderBy("ptype", "yr")
+
+
+# ---------------------------------------------------------------------------
+# Demand/price curve by part size
+# ---------------------------------------------------------------------------
+
+@register(
+    "size_demand_curve",
+    oracle="""
+    WITH s AS (
+      SELECT p.p_size AS size,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1),
+    t AS (SELECT s.*, CAST(SUM(rev_cents) OVER () AS BIGINT) AS tot FROM s)
+    SELECT size, n_lines, qty, rev_cents,
+           CAST(rev_cents * 1000 // qty AS BIGINT) AS unit_price_milli,
+           CAST(rev_cents * 1000000 // tot AS BIGINT) AS rev_share_ppm
+    FROM t ORDER BY size
+    """,
+)
+def size_demand_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand and realized unit price along the part-SIZE axis: lines,
+    units, revenue, exact unit price, and revenue share per size — the
+    does-bigger-sell-dearer curve that prices a dimension nobody
+    aggregates by in the standard TPC-H set.
+
+    Scale: the fact join reduces to one row per size (<=50) in ONE
+    partial->final aggregation; the revenue total is a window over that
+    bounded table and both ratios are exact integer floor-divisions of
+    positives (Spark DIV = DuckDB //).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_size").alias("size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.round("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("rev_cents"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = s.withColumn("tot", F.sum("rev_cents").over(w_all).cast("bigint"))
+    return t.select(
+        "size",
+        "n_lines",
+        "qty",
+        "rev_cents",
+        F.expr("CAST(rev_cents * 1000 DIV qty AS BIGINT)").alias(
+            "unit_price_milli"
+        ),
+        F.expr("CAST(rev_cents * 1000000 DIV tot AS BIGINT)").alias(
+            "rev_share_ppm"
+        ),
+    ).orderBy("size")

@@ -2033,3 +2033,99 @@ def pairwise_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid separation matrix (class-overlap audit)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_label_centroid_separation",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS xm
+      FROM embeddings),
+    s AS (
+      SELECT label, dim, CAST(SUM(xm) AS BIGINT) AS sv,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+    p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(MAX(a.n) AS BIGINT) AS n_a,
+             CAST(MAX(b.n) AS BIGINT) AS n_b,
+             CAST(SUM(CAST(a.sv AS HUGEINT) * b.sv) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(a.sv AS HUGEINT) * a.sv) AS DOUBLE) AS naa,
+             CAST(SUM(CAST(b.sv AS HUGEINT) * b.sv) AS DOUBLE) AS nbb
+      FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT label_a, label_b, n_a, n_b,
+           CAST(round(dot / sqrt(naa * nbb) * 1000000000, 0) AS BIGINT)
+             AS centroid_cos_nano
+    FROM p ORDER BY label_a, label_b
+    """,
+)
+def embedding_label_centroid_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise cosine between every two LABEL CENTROIDS — the
+    class-overlap audit run before trusting the labels for training: a
+    pair near cos=1 is two names for one cluster (merge or re-label), a
+    matrix hovering near 0 says the classes are geometrically real.
+
+    Scale: vectors fan map-side into (label, dim, micro-tick) and reduce
+    to the |labels|x|dims| exact SUM table — cosine of sum-vectors
+    EQUALS cosine of centroids (scale invariance), so no division ever
+    touches the distributed path. The pair join runs on that bounded
+    table; Σ products ride the wide-integer rule (decimal(38,0)/HUGEINT,
+    ONE final double cast) and the cosine is a mirrored tiny-table
+    expression quantized to nano.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000, 0)
+        .cast("bigint")
+        .alias("xm"),
+    )
+    s = e.groupBy("label", "dim").agg(
+        F.sum("xm").cast("bigint").alias("sv"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    sa = F.col("a.sv").cast("decimal(38,0)")
+    sb = F.col("b.sv").cast("decimal(38,0)")
+    p = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.max("a.n").cast("bigint").alias("n_a"),
+            F.max("b.n").cast("bigint").alias("n_b"),
+            F.sum(sa * sb).cast("double").alias("dot"),
+            F.sum(sa * sa).cast("double").alias("naa"),
+            F.sum(sb * sb).cast("double").alias("nbb"),
+        )
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("dot") / F.sqrt(F.col("naa") * F.col("nbb")) * 1_000_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("centroid_cos_nano"),
+    ).orderBy("label_a", "label_b")

@@ -3038,3 +3038,71 @@ def term_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cf"), "term")
         .limit(_BURST_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomenon rate per source (vocabulary freshness)
+# ---------------------------------------------------------------------------
+
+@register(
+    "hapax_rate_by_source",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               w -> w <> '')) AS term
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+    tc AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS BIGINT) AS hapax_ppm
+    FROM tc GROUP BY source ORDER BY source
+    """,
+)
+def hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomenon rate per source: what fraction of each source's
+    vocabulary occurs exactly ONCE there — the classic vocabulary-
+    freshness signal (high hapax = productive/diverse text, near-zero
+    hapax = templated or looped generation) read next to
+    lexical_diversity_by_source's type-token ratio.
+
+    Scale: one tokenize pass reduces to (source, term) counts with
+    map-side combine — the only shuffle keys on the source x vocabulary
+    grid, never on tokens; the hapax flag and the per-source rollup are
+    arithmetic on that reduction. Exact integer ppm throughout.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+        ).alias("term"),
+    )
+    tc = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    hap = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            hap.alias("hapax"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "vocab",
+            "hapax",
+            "n_tokens",
+            F.expr("CAST(hapax * 1000000 DIV vocab AS BIGINT)").alias(
+                "hapax_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

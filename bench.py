@@ -287,6 +287,9 @@ HEADLINE = [
     "yoy_growth_by_type",
     "customer_reactivation_monthly",
     "funnel_stage_latency",
+    "embedding_label_centroid_separation",
+    "hapax_rate_by_source",
+    "size_demand_curve",
 ]
 
 

@@ -1514,3 +1514,74 @@ def test_kendall_tau_replay(spark):
     assert (r.n_pairs, r.concordant, r.discordant) == (n_pairs, conc, disc)
     assert r.ties == n_pairs - conc - disc
     assert r.tau_ppm == ((conc - disc) * 1_000_000) // n_pairs
+
+
+def test_label_centroid_separation_replay(spark):
+    import numpy as np
+
+    rows = QUERIES["embedding_label_centroid_separation"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    by_label = defaultdict(list)
+    for r in emb:
+        by_label[r.label].append(
+            [int(round(float(x) * 1_000_000)) for x in r.embedding]
+        )
+    labels = sorted(by_label)
+    got = {(r.label_a, r.label_b): r for r in rows}
+    assert set(got) == {
+        (a, b) for i, a in enumerate(labels) for b in labels[i + 1 :]
+    }
+    for (a, b), r in got.items():
+        sa = np.array(by_label[a], dtype=object).sum(axis=0)
+        sb = np.array(by_label[b], dtype=object).sum(axis=0)
+        dot = float(sum(int(x) * int(y) for x, y in zip(sa, sb)))
+        naa = float(sum(int(x) * int(x) for x in sa))
+        nbb = float(sum(int(y) * int(y) for y in sb))
+        want = math.floor(dot / math.sqrt(naa * nbb) * 1e9 + 0.5)
+        assert (r.n_a, r.n_b) == (len(by_label[a]), len(by_label[b]))
+        assert abs(r.centroid_cos_nano - want) <= 1
+        # cosine bound
+        assert -1_000_000_000 <= r.centroid_cos_nano <= 1_000_000_000
+
+
+def test_hapax_rate_replay(spark):
+    import re
+
+    rows = QUERIES["hapax_rate_by_source"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    cnt = defaultdict(Counter)
+    for d in docs:
+        if d.text is None or d.source is None:
+            continue
+        cnt[d.source].update(w for w in re.split(r"\s+", d.text.lower()) if w)
+    assert {r.source for r in rows} == set(cnt)
+    for r in rows:
+        c = cnt[r.source]
+        hap = sum(1 for v in c.values() if v == 1)
+        assert (r.vocab, r.hapax, r.n_tokens) == (len(c), hap, sum(c.values()))
+        assert r.hapax_ppm == hap * 1_000_000 // len(c)
+
+
+def test_size_demand_curve_replay(spark):
+    rows = QUERIES["size_demand_curve"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    size = {
+        p.p_partkey: p.p_size
+        for p in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0])
+    for x in li:
+        a = agg[size[x.l_partkey]]
+        a[0] += 1
+        a[1] += round(x.l_quantity)
+        a[2] += round(x.l_extendedprice * 100)
+    tot = sum(a[2] for a in agg.values())
+    assert [r.size for r in rows] == sorted(agg)
+    for r in rows:
+        n, q, rev = agg[r.size]
+        assert (r.n_lines, r.qty, r.rev_cents) == (n, q, rev)
+        assert r.unit_price_milli == rev * 1000 // q
+        assert r.rev_share_ppm == rev * 1_000_000 // tot
+    # shares sum to ~1e6 (floor rounding loses at most |sizes| ppm)
+    s = sum(r.rev_share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= s <= 1_000_000

@@ -1606,3 +1606,35 @@ class TestDriftPlans:
         assert "CartesianProduct" not in t
         df = QUERIES["funnel_stage_latency"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_centroid_separation_sum_vector_reduction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # cosine-of-sums: the pair join consumes the |labels|x|dims|
+        # exact SUM table, never raw vectors; no python eval
+        t = tree(spark, "embedding_label_centroid_separation")
+        assert t.count("HashAggregate") >= 3
+        assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        df = QUERIES["embedding_label_centroid_separation"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_hapax_single_tokenize_reduction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # one tokenize pass, shuffle keyed on (source, term) counts,
+        # no join anywhere
+        t = tree(spark, "hapax_rate_by_source")
+        assert "Join" not in t
+        assert "Generate" in t  # the explode is map-side
+        df = QUERIES["hapax_rate_by_source"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_size_demand_bounded_window(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the only window (grand total) runs over the <=50-row size
+        # aggregate, after the single fact reduction
+        t = tree(spark, "size_demand_curve")
+        assert "Window" in t and "HashAggregate" in t
+        df = QUERIES["size_demand_curve"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
