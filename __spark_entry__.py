@@ -108,7 +108,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: kendall_tau_brand_ranks, yoy_growth_by_type,
 #: customer_reactivation_monthly, funnel_stage_latency,
 #: embedding_label_centroid_separation, hapax_rate_by_source,
-#: size_demand_curve; no
+#: size_demand_curve, orderstatus_consistency_audit,
+#: mktsegment_nation_mix (+ the fourth streaming twin
+#: run_stream_byte_entropy); no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -5957,3 +5957,88 @@ def size_demand_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_share_ppm"
         ),
     ).orderBy("size")
+
+
+# ---------------------------------------------------------------------------
+# Market-segment mix by nation (share + lift)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mktsegment_nation_mix",
+    oracle="""
+    WITH cell AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    t AS (
+      SELECT cell.*,
+             CAST(SUM(n_cust) OVER (PARTITION BY nation) AS BIGINT)
+               AS tot_nation,
+             CAST(SUM(n_cust) OVER (PARTITION BY segment) AS BIGINT)
+               AS tot_seg,
+             CAST(SUM(n_cust) OVER () AS BIGINT) AS tot_all
+      FROM cell)
+    SELECT nation, segment, n_cust,
+           CAST(n_cust * 1000000 // tot_nation AS BIGINT)
+             AS nation_share_ppm,
+           CAST(round(CAST(n_cust AS DOUBLE) * tot_all
+             / (CAST(tot_nation AS DOUBLE) * tot_seg) * 1000, 0) AS BIGINT)
+             AS lift_milli
+    FROM t ORDER BY nation, segment
+    """,
+)
+def mktsegment_nation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-segment mix per nation with LIFT against the global
+    segment base rate (lift 1000 = this nation buys like the world;
+    2000 = twice the global propensity) — the market-entry heat map
+    behind "which segment over-indexes where", sharper than raw shares
+    because it nets out both margins of the contingency table.
+
+    Scale: customers reduce to the |nation|x|segment| cell table in ONE
+    partial->final aggregation (the dim join is broadcast-size); all
+    three margins are windows over that bounded table. Share is exact
+    integer ppm; lift is one mirrored double expression over exact
+    int64 margins, quantized to milli.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cell = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    )
+    t = cell.select(
+        "*",
+        F.sum("n_cust")
+        .over(Window.partitionBy("nation"))
+        .cast("bigint")
+        .alias("tot_nation"),
+        F.sum("n_cust")
+        .over(Window.partitionBy("segment"))
+        .cast("bigint")
+        .alias("tot_seg"),
+        F.sum("n_cust")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("tot_all"),
+    )
+    lift = F.round(
+        F.col("n_cust").cast("double")
+        * F.col("tot_all")
+        / (F.col("tot_nation").cast("double") * F.col("tot_seg"))
+        * 1000,
+        0,
+    ).cast("bigint")
+    return t.select(
+        "nation",
+        "segment",
+        "n_cust",
+        F.expr("CAST(n_cust * 1000000 DIV tot_nation AS BIGINT)").alias(
+            "nation_share_ppm"
+        ),
+        lift.alias("lift_milli"),
+    ).orderBy("nation", "segment")

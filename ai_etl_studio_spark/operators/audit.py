@@ -872,3 +872,78 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rows_at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table order/line status consistency audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "orderstatus_consistency_audit",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS nf,
+             CAST(COUNT(*) AS BIGINT) AS nl
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderstatus AS status,
+             CASE WHEN lo.l_orderkey IS NULL THEN 'no_lines'
+                  WHEN lo.nf = lo.nl THEN 'all_F'
+                  WHEN lo.nf = 0 THEN 'all_O' ELSE 'mixed' END AS line_mix
+      FROM orders o LEFT JOIN lo ON o.o_orderkey = lo.l_orderkey)
+    SELECT status, line_mix, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CASE WHEN (status = 'F' AND line_mix = 'all_F')
+                       OR (status = 'O' AND line_mix = 'all_O')
+                       OR (status = 'P' AND line_mix = 'mixed')
+                THEN 0 ELSE 1 END AS BIGINT) AS is_violation
+    FROM j GROUP BY status, line_mix ORDER BY status, line_mix
+    """,
+)
+def orderstatus_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-SEMANTICS audit: does each order's header
+    status agree with its lines (TPC-H invariant: F iff every line
+    finished, O iff none, P otherwise)? The contingency table of
+    header-status x line-mix with the violating cells flagged — the
+    header/detail drift check every warehouse needs after a partial
+    load, and one a single-table dq_audit constraint cannot see.
+
+    Scale: lineitem reduces per-order map-side (nf, nl) before the
+    key-on-key LEFT join with orders — one shuffle each side on the
+    natural key; the result then collapses to the <=|status|x4 cell
+    table. Orders with NO lines surface as their own mix class instead
+    of vanishing (the left join is the audit).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lo = li.groupBy("l_orderkey").agg(
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nf"),
+        F.count(F.lit(1)).cast("bigint").alias("nl"),
+    )
+    j = o.join(lo, o.o_orderkey == lo.l_orderkey, "left").select(
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("l_orderkey").isNull(), "no_lines")
+        .when(F.col("nf") == F.col("nl"), "all_F")
+        .when(F.col("nf") == 0, "all_O")
+        .otherwise("mixed")
+        .alias("line_mix"),
+    )
+    ok = (
+        ((F.col("status") == "F") & (F.col("line_mix") == "all_F"))
+        | ((F.col("status") == "O") & (F.col("line_mix") == "all_O"))
+        | ((F.col("status") == "P") & (F.col("line_mix") == "mixed"))
+    )
+    return (
+        j.groupBy("status", "line_mix")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .select(
+            "status",
+            "line_mix",
+            "n_orders",
+            F.when(ok, 0).otherwise(1).cast("bigint").alias("is_violation"),
+        )
+        .orderBy("status", "line_mix")
+    )

@@ -1182,3 +1182,55 @@ def run_stream_quality_bands(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_byte_entropy(
+    spark: SparkSession, sf_dir: str, query_name: str = "bytes_out"
+) -> DataFrame:
+    """REAL streaming build of media_byte_entropy's byte histogram:
+    documents stream in, payload bytes expand MAP-SIDE into (media
+    type, byte) pairs, and a streaming aggregation maintains the
+    ≤|types|×256-cell count table — the live
+    compression/encryption/mislabeling monitor on an ingest feed.
+
+    Mergeable-summary shape again: state is bounded at ≤768 rows
+    FOREVER (no watermark, no growth with the stream), the cells are
+    bit-identical to the batch reduction inside
+    operators.multimodal.media_byte_entropy (asserted in
+    tests/test_streaming.py), and the entropy expression is a
+    tiny-table projection either side can apply. Complete output mode
+    into the constant-size monitor table. Returns
+    (media_type, byte, c)."""
+    d = read_docs_stream(spark, sf_dir).filter(F.col("text").isNotNull())
+    m = d.select(
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.hex(F.encode("text", "UTF-8")).alias("h"),
+    )
+    b = (
+        m.select(
+            "media_type",
+            F.explode(
+                F.sequence(F.lit(1), (F.length("h") / 2).cast("bigint"))
+            ).alias("i"),
+            "h",
+        )
+        .select(
+            "media_type", F.expr("substring(h, i * 2 - 1, 2)").alias("byte")
+        )
+        .groupBy("media_type", "byte")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    q = (
+        b.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -290,6 +290,8 @@ HEADLINE = [
     "embedding_label_centroid_separation",
     "hapax_rate_by_source",
     "size_demand_curve",
+    "orderstatus_consistency_audit",
+    "mktsegment_nation_mix",
 ]
 
 

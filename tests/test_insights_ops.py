@@ -2109,3 +2109,63 @@ def test_funnel_stage_latency_replay(spark):
         for r in rows
     }
     assert got == dict(hist)
+
+
+def test_orderstatus_consistency_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["orderstatus_consistency_audit"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    per_order = defaultdict(lambda: [0, 0])
+    for x in li:
+        a = per_order[x.l_orderkey]
+        a[0] += x.l_linestatus == "F"
+        a[1] += 1
+    cells = defaultdict(int)
+    for o in orders:
+        if o.o_orderkey not in per_order:
+            mix = "no_lines"
+        else:
+            nf, nl = per_order[o.o_orderkey]
+            mix = "all_F" if nf == nl else ("all_O" if nf == 0 else "mixed")
+        cells[(o.o_orderstatus, mix)] += 1
+    ok_pairs = {("F", "all_F"), ("O", "all_O"), ("P", "mixed")}
+    got = {(r.status, r.line_mix): (r.n_orders, r.is_violation) for r in rows}
+    want = {
+        k: (v, 0 if k in ok_pairs else 1) for k, v in cells.items()
+    }
+    assert got == want
+    # conservation: cells partition the order set
+    assert sum(v for v, _ in got.values()) == len(orders)
+
+
+def test_mktsegment_mix_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["mktsegment_nation_mix"](spark, SF_DIR).collect()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    cells = defaultdict(int)
+    for c in cust:
+        cells[(f"NATION_{c.c_nationkey}", c.c_mktsegment)] += 1
+    tot_nation = defaultdict(int)
+    tot_seg = defaultdict(int)
+    for (n, s), v in cells.items():
+        tot_nation[n] += v
+        tot_seg[s] += v
+    tot_all = sum(cells.values())
+    assert len(rows) == len(cells)
+    for r in rows:
+        v = cells[(r.nation, r.segment)]
+        assert r.n_cust == v
+        assert r.nation_share_ppm == v * 1_000_000 // tot_nation[r.nation]
+        lift = v * tot_all / (tot_nation[r.nation] * tot_seg[r.segment])
+        import math
+
+        assert r.lift_milli == math.floor(lift * 1000 + 0.5)
+    # per-nation shares sum to ~1e6
+    by_nation = defaultdict(int)
+    for r in rows:
+        by_nation[r.nation] += r.nation_share_ppm
+    for n, s in by_nation.items():
+        assert 1_000_000 - 10 <= s <= 1_000_000

@@ -1638,3 +1638,23 @@ class TestDriftPlans:
         assert "Window" in t and "HashAggregate" in t
         df = QUERIES["size_demand_curve"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_orderstatus_audit_reduce_before_join(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # lineitem reduces per-order BEFORE the key-on-key LEFT join;
+        # no forced broadcast of either fact side
+        t = tree(spark, "orderstatus_consistency_audit")
+        assert t.count("HashAggregate") >= 3
+        df = QUERIES["orderstatus_consistency_audit"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_mktsegment_mix_bounded_margins(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # all three contingency margins are windows over the bounded
+        # nation x segment cell table, after ONE customer reduction
+        t = tree(spark, "mktsegment_nation_mix")
+        assert t.count("Window") >= 2
+        df = QUERIES["mktsegment_nation_mix"](spark, SF_DIR)
+        assert broadcast_violations(df) == []

@@ -504,3 +504,48 @@ def test_stream_quality_bands_matches_batch(spark):
     }
     assert got == want
     assert sum(v[0] for v in got.values()) > 0
+
+
+def test_stream_byte_entropy_matches_batch(spark):
+    """The streaming byte-histogram cells are bit-identical to the
+    per-(type, byte) counts inside the batch media_byte_entropy
+    reduction — the mergeable-summary property that lets the payload
+    monitor run on the live feed with ≤768 rows of state."""
+    import math
+    from collections import Counter
+
+    from ai_etl_studio_spark.operators import load_all
+    from ai_etl_studio_spark.streaming.windows import run_stream_byte_entropy
+
+    queries, _ = load_all()
+    got = {
+        (r.media_type, r.byte): r.c
+        for r in run_stream_byte_entropy(spark, SF_DIR, "t_bytes").collect()
+    }
+    # replay the batch reduction's cells from raw data (the batch op
+    # exposes only the rollup, so rebuild its intermediate here)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    want = Counter()
+    for d in docs:
+        if d.text is None:
+            continue
+        mt = ("image/png", "audio/wav", "video/mp4")[d.doc_id % 3]
+        for byte in d.text.encode("utf-8"):
+            want[(mt, format(byte, "02X"))] += 1
+    assert got == dict(want)
+    # and the entropy the batch op reports is exactly what these cells
+    # imply (summary -> rollup consistency)
+    ent = {}
+    for (mt, _), c in want.items():
+        ent.setdefault(mt, []).append(c)
+    for r in queries["media_byte_entropy"](spark, SF_DIR).collect():
+        cs = ent[r.media_type]
+        n = sum(cs)
+        t = sum(
+            math.floor((c / n) * math.log2(n / c) * 1e9 + 0.5) for c in cs
+        )
+        assert (r.n_bytes, r.n_distinct_bytes, r.entropy_bits_nano) == (
+            n,
+            len(cs),
+            t,
+        )
