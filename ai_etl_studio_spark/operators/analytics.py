@@ -6042,3 +6042,48 @@ def mktsegment_nation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lift.alias("lift_milli"),
     ).orderBy("nation", "segment")
+
+
+# ---------------------------------------------------------------------------
+# Line-number position effect (basket composition by position)
+# ---------------------------------------------------------------------------
+
+@register(
+    "linenumber_position_effect",
+    oracle="""
+    WITH lp AS (
+      SELECT l_linenumber AS line_no, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1)
+    SELECT line_no, n_lines,
+           CAST(qty * 1000 // n_lines AS BIGINT) AS avg_qty_milli,
+           CAST(rev // n_lines AS BIGINT) AS avg_line_cents
+    FROM lp ORDER BY line_no
+    """,
+)
+def linenumber_position_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket composition along the LINE-NUMBER axis: for each position
+    in the order (1st line, 2nd line, ...), the line count, exact mean
+    quantity and mean line value — is the first thing in the basket the
+    big-ticket anchor and the tail small add-ons, or is position noise?
+    The add-on-economics primitive behind cross-sell placement.
+
+    Scale: a single partial->final reduction to <=7 position rows; both
+    means are exact integer floor-divisions of positives. No join, no
+    window, nothing but one map-side-combinable aggregate over the
+    fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.groupBy(F.col("l_linenumber").alias("line_no")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        F.sum(cents("l_extendedprice")).cast("bigint").alias("rev"),
+    )
+    return lp.select(
+        "line_no",
+        "n_lines",
+        F.expr("CAST(qty * 1000 DIV n_lines AS BIGINT)").alias("avg_qty_milli"),
+        F.expr("CAST(rev DIV n_lines AS BIGINT)").alias("avg_line_cents"),
+    ).orderBy("line_no")

@@ -2129,3 +2129,90 @@ def embedding_label_centroid_separation(
         .cast("bigint")
         .alias("centroid_cos_nano"),
     ).orderBy("label_a", "label_b")
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA of the first embedding dimension across labels
+# ---------------------------------------------------------------------------
+
+@register(
+    "anova_dim1_by_label",
+    oracle="""
+    WITH nm AS (
+      SELECT label,
+             CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS x_micro
+      FROM embeddings),
+    g AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x_micro) AS BIGINT) AS s1,
+             SUM(CAST(x_micro AS HUGEINT) * x_micro) AS s2
+      FROM nm GROUP BY 1),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_tot,
+             CAST(SUM(s1) AS BIGINT) AS s1_tot,
+             CAST(SUM(s2) AS DOUBLE) AS s2_tot,
+             CAST(SUM(CAST(round(CAST(s1 AS DOUBLE) * s1 / n, 0) AS BIGINT))
+               AS DOUBLE) AS sb_raw
+      FROM g)
+    SELECT k, n_tot,
+           CAST(round((sb_raw - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot)
+             / (k - 1), 0) AS BIGINT) AS msb_microsq,
+           CAST(round((s2_tot - sb_raw) / (n_tot - k), 0) AS BIGINT)
+             AS msw_microsq,
+           CAST(round((sb_raw - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot)
+             / (k - 1) / ((s2_tot - sb_raw) / (n_tot - k)) * 1000000, 0)
+             AS BIGINT) AS f_stat_micro
+    FROM t
+    """,
+)
+def anova_dim1_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of the FIRST embedding coordinate across labels:
+    F = between-label variance over within-label variance — does the
+    label actually move the geometry along this axis, or is the class
+    signal spread thin? (The norms are unit by construction, so the
+    magnitude carries nothing; a single coordinate is the honest
+    cheap probe.)
+
+    Scale: one pass reduces vectors to per-label (n, Σx, Σx²) with Σx²
+    riding the wide-integer rule; the between-group terms s1²/n are
+    quantized to integer ticks BEFORE the k-row total sum (the engine's
+    per-term tick discipline — a distributed double sum is never
+    order-free); the F ratio is one mirrored expression on the final
+    single row.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    nm = emb.select(
+        "label",
+        F.round(F.element_at("embedding", 1).cast("double") * 1_000_000, 0)
+        .cast("bigint")
+        .alias("x_micro"),
+    )
+    xd = F.col("x_micro").cast("decimal(38,0)")
+    g = nm.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x_micro").cast("bigint").alias("s1"),
+        F.sum(xd * xd).alias("s2"),
+    )
+    sb_term = F.round(
+        F.col("s1").cast("double") * F.col("s1") / F.col("n"), 0
+    ).cast("bigint")
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s1").cast("bigint").alias("s1_tot"),
+        F.sum("s2").cast("double").alias("s2_tot"),
+        F.sum(sb_term).cast("double").alias("sb_raw"),
+    )
+    ssb = F.col("sb_raw") - F.col("s1_tot").cast("double") * F.col("s1_tot") / F.col(
+        "n_tot"
+    )
+    msb = ssb / (F.col("k") - 1)
+    msw = (F.col("s2_tot") - F.col("sb_raw")) / (F.col("n_tot") - F.col("k"))
+    return t.select(
+        "k",
+        "n_tot",
+        F.round(msb, 0).cast("bigint").alias("msb_microsq"),
+        F.round(msw, 0).cast("bigint").alias("msw_microsq"),
+        F.round(msb / msw * 1_000_000, 0).cast("bigint").alias("f_stat_micro"),
+    )

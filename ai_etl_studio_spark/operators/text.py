@@ -3106,3 +3106,84 @@ def hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional vocabulary-novelty curve (within-document)
+# ---------------------------------------------------------------------------
+
+@register(
+    "positional_novelty_curve",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               w -> w <> '') AS ts
+      FROM documents WHERE text IS NOT NULL),
+    pt AS (
+      SELECT doc_id, unnest(ts) AS term,
+             generate_subscripts(ts, 1) AS pos, len(ts) AS n
+      FROM toks),
+    f AS (
+      SELECT pos, n,
+             CASE WHEN pos = MIN(pos) OVER (PARTITION BY doc_id, term)
+               THEN 1 ELSE 0 END AS is_new
+      FROM pt)
+    SELECT CAST((pos - 1) * 10 // n AS BIGINT) AS pos_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           CAST(SUM(is_new) * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+)
+def positional_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE in a document new vocabulary appears: the fraction of
+    tokens at each relative-position decile that are the document's
+    FIRST occurrence of that word. Healthy prose decays smoothly from
+    ~1.0; a curve that re-spikes mid-document marks templated sections,
+    and one that crashes early marks looping degeneration — structure
+    the document-level type-token ratio (lexical_diversity_by_source)
+    averages away.
+
+    Scale: tokens fan map-side with their positions; the only wide
+    shuffle keys on (doc, term) for the first-occurrence window (small
+    groups at any corpus size), then everything collapses to ten decile
+    rows with map-side combine. Exact integer ppm.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    pt = d.select(
+        "doc_id", ts.alias("ts")
+    ).select(
+        "doc_id",
+        F.posexplode("ts").alias("pos0", "term"),
+        F.size("ts").alias("n"),
+    ).select(
+        "doc_id", "term", (F.col("pos0") + 1).alias("pos"), "n"
+    )
+    w = Window.partitionBy("doc_id", "term")
+    f = pt.select(
+        "pos",
+        "n",
+        F.when(F.col("pos") == F.min("pos").over(w), 1).otherwise(0).alias(
+            "is_new"
+        ),
+    )
+    return (
+        f.groupBy(
+            F.expr("CAST((pos - 1) * 10 DIV n AS BIGINT)").alias("pos_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("is_new").cast("bigint").alias("n_new"),
+        )
+        .select(
+            "pos_decile",
+            "n_tokens",
+            "n_new",
+            F.expr("CAST(n_new * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
+        .orderBy("pos_decile")
+    )

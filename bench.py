@@ -292,6 +292,9 @@ HEADLINE = [
     "size_demand_curve",
     "orderstatus_consistency_audit",
     "mktsegment_nation_mix",
+    "anova_dim1_by_label",
+    "linenumber_position_effect",
+    "positional_novelty_curve",
 ]
 
 

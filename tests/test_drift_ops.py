@@ -1585,3 +1585,73 @@ def test_size_demand_curve_replay(spark):
     # shares sum to ~1e6 (floor rounding loses at most |sizes| ppm)
     s = sum(r.rev_share_ppm for r in rows)
     assert 1_000_000 - len(rows) <= s <= 1_000_000
+
+
+def test_anova_dim1_replay(spark):
+    [r] = QUERIES["anova_dim1_by_label"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    groups = defaultdict(list)
+    for e in emb:
+        groups[e.label].append(int(round(float(e.embedding[0]) * 1_000_000)))
+    k = len(groups)
+    n_tot = sum(len(v) for v in groups.values())
+    s1_tot = sum(sum(v) for v in groups.values())
+    s2_tot = float(sum(x * x for v in groups.values() for x in v))
+    sb_raw = float(
+        sum(math.floor(sum(v) * float(sum(v)) / len(v) + 0.5)
+            for v in groups.values())
+    )
+    ssb = sb_raw - float(s1_tot) * s1_tot / n_tot
+    msb = ssb / (k - 1)
+    msw = (s2_tot - sb_raw) / (n_tot - k)
+    assert (r.k, r.n_tot) == (k, n_tot)
+    assert abs(r.msb_microsq - msb) <= 1
+    assert abs(r.msw_microsq - msw) <= 1
+    assert abs(r.f_stat_micro - msb / msw * 1e6) <= 1
+    # sanity: unit-normalized vectors -> both variances well below 1
+    assert 0 < r.msw_microsq < 10**12
+
+
+def test_linenumber_position_replay(spark):
+    rows = QUERIES["linenumber_position_effect"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for x in li:
+        a = agg[x.l_linenumber]
+        a[0] += 1
+        a[1] += round(x.l_quantity)
+        a[2] += round(x.l_extendedprice * 100)
+    assert [r.line_no for r in rows] == sorted(agg)
+    for r in rows:
+        n, q, rev = agg[r.line_no]
+        assert r.n_lines == n
+        assert r.avg_qty_milli == q * 1000 // n
+        assert r.avg_line_cents == rev // n
+    # line numbers are a prefix-closed sequence: count never rises
+    counts = [r.n_lines for r in rows]
+    assert counts == sorted(counts, reverse=True) or len(set(counts)) > 1
+
+
+def test_positional_novelty_replay(spark):
+    import re
+
+    rows = QUERIES["positional_novelty_curve"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    cells = defaultdict(lambda: [0, 0])
+    for d in docs:
+        if d.text is None:
+            continue
+        ws = [w for w in re.split(r"\s+", d.text.lower()) if w]
+        seen = set()
+        for i, w in enumerate(ws):
+            dec = i * 10 // len(ws)
+            cells[dec][0] += 1
+            if w not in seen:
+                cells[dec][1] += 1
+                seen.add(w)
+    got = {r.pos_decile: (r.n_tokens, r.n_new, r.novelty_ppm) for r in rows}
+    assert set(got) == set(cells)
+    for dec, (n, new) in cells.items():
+        assert got[dec] == (n, new, new * 1_000_000 // n)
+    # novelty decays: decile 0 strictly above decile 9
+    assert got[0][2] > got[9][2]

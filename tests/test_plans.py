@@ -1658,3 +1658,35 @@ class TestDriftPlans:
         assert t.count("Window") >= 2
         df = QUERIES["mktsegment_nation_mix"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_anova_tick_terms_before_total(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # two-level reduction: per-label sufficient stats, then the
+        # k-row total with tick-quantized between-group terms
+        t = tree(spark, "anova_dim1_by_label")
+        assert t.count("HashAggregate") >= 3
+        assert "Join" not in t
+        df = QUERIES["anova_dim1_by_label"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_linenumber_single_reduction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # one map-side-combinable aggregate, nothing else
+        t = tree(spark, "linenumber_position_effect")
+        assert "Join" not in t and "Window" not in t
+        assert t.count("Exchange") <= 2  # partial->final + output sort
+        df = QUERIES["linenumber_position_effect"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_novelty_window_on_doc_term_groups(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the only wide shuffle keys on (doc, term) for the
+        # first-occurrence window; deciles reduce map-side after
+        t = tree(spark, "positional_novelty_curve")
+        assert "Window" in t and "Generate" in t
+        assert "Join" not in t
+        df = QUERIES["positional_novelty_curve"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
