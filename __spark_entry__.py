@@ -111,7 +111,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: size_demand_curve, orderstatus_consistency_audit,
 #: mktsegment_nation_mix (+ the fourth streaming twin
 #: run_stream_byte_entropy), anova_dim1_by_label,
-#: linenumber_position_effect, positional_novelty_curve; no
+#: linenumber_position_effect, positional_novelty_curve,
+#: fdr_bh_screening, neyman_allocation, runs_test_daily_revenue; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

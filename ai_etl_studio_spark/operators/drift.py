@@ -1228,3 +1228,328 @@ def kendall_tau_brand_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV n_pairs AS BIGINT)"
         ).alias("tau_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR screening of per-nation urgency anomalies
+# ---------------------------------------------------------------------------
+
+#: Normal-CDF tail via Abramowitz-Stegun 7.1.26 over |z| — the SAME
+#: textual expression is planted in the Spark projection and the DuckDB
+#: oracle (exact integer inputs -> bit-identical IEEE evaluation).
+_PHI_TAIL = (
+    "exp(-az * az / 2) / sqrt(2 * pi())"
+    " * (0.319381530e0 * (1 / (1 + 0.2316419e0 * az))"
+    "  - 0.356563782e0 * pow(1 / (1 + 0.2316419e0 * az), 2)"
+    "  + 1.781477937e0 * pow(1 / (1 + 0.2316419e0 * az), 3)"
+    "  - 1.821255978e0 * pow(1 / (1 + 0.2316419e0 * az), 4)"
+    "  + 1.330274429e0 * pow(1 / (1 + 0.2316419e0 * az), 5))"
+)
+
+#: BH target false-discovery rate, in nano (0.05).
+_FDR_ALPHA_NANO = 50_000_000
+
+
+@register(
+    "fdr_bh_screening",
+    oracle=f"""
+    WITH pn AS (
+      SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+               THEN 1 ELSE 0 END) AS BIGINT) AS u
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    t AS (
+      SELECT pn.*, CAST(SUM(n) OVER () AS BIGINT) AS tn,
+             CAST(SUM(u) OVER () AS BIGINT) AS tu
+      FROM pn),
+    z AS (
+      SELECT nk, n, u,
+             abs((CAST(u AS DOUBLE) / n - CAST(tu AS DOUBLE) / tn)
+               / sqrt((CAST(tu AS DOUBLE) / tn)
+                 * (1 - CAST(tu AS DOUBLE) / tn) / n)) AS az
+      FROM t),
+    p AS (
+      SELECT nk, n, u,
+             CAST(round(2 * ({_PHI_TAIL}) * 1000000000, 0) AS BIGINT)
+               AS p_nano
+      FROM z),
+    r AS (
+      SELECT p.*, ROW_NUMBER() OVER (ORDER BY p_nano, nk) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM p),
+    f AS (
+      SELECT r.*, CASE WHEN p_nano * m <= rk * {_FDR_ALPHA_NANO}
+        THEN rk ELSE 0 END AS hit
+      FROM r),
+    g AS (SELECT f.*, CAST(MAX(hit) OVER () AS BIGINT) AS cutoff FROM f)
+    SELECT nk AS nationkey, n AS n_orders, u AS n_urgent, p_nano,
+           rk AS p_rank,
+           CAST(CASE WHEN rk <= cutoff THEN 1 ELSE 0 END AS BIGINT)
+             AS significant
+    FROM g ORDER BY p_rank
+    """,
+)
+def fdr_bh_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which nations' URGENT-order share genuinely deviates from the
+    global rate, with the false-discovery rate controlled at 5% by the
+    Benjamini-Hochberg step-up — the multiple-testing discipline that
+    keeps a 25-segment dashboard from crying wolf on ~1 segment every
+    refresh (ab_test_ztest is the single-test primitive; this is what
+    you run when you test EVERY segment at once).
+
+    Scale: one fact reduction to |nation| rows; the z/p machinery, the
+    p-ranking, and the BH cutoff are windows over that bounded table.
+    The normal tail is the shared A&S 7.1.26 text over exact integer
+    counts (bit-identical IEEE both engines), the p-value quantizes to
+    nano, and the BH comparison p*m <= rank*alpha is EXACT integer
+    arithmetic — no float ever decides significance.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pn = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("u"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = pn.select(
+        "*",
+        F.sum("n").over(w_all).cast("bigint").alias("tn"),
+        F.sum("u").over(w_all).cast("bigint").alias("tu"),
+    )
+    z = t.select(
+        "nk",
+        "n",
+        "u",
+        F.expr(
+            "abs((CAST(u AS DOUBLE) / n - CAST(tu AS DOUBLE) / tn)"
+            " / sqrt((CAST(tu AS DOUBLE) / tn)"
+            " * (1 - CAST(tu AS DOUBLE) / tn) / n))"
+        ).alias("az"),
+    )
+    p = z.select(
+        "nk",
+        "n",
+        "u",
+        F.expr(
+            f"CAST(round(2 * ({_PHI_TAIL}) * 1000000000, 0) AS BIGINT)"
+        ).alias("p_nano"),
+    )
+    r = p.select(
+        "*",
+        F.row_number().over(Window.orderBy("p_nano", "nk")).alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("m"),
+    )
+    f = r.withColumn(
+        "hit",
+        F.when(
+            F.col("p_nano") * F.col("m") <= F.col("rk") * _FDR_ALPHA_NANO,
+            F.col("rk"),
+        ).otherwise(0),
+    )
+    g = f.withColumn("cutoff", F.max("hit").over(w_all).cast("bigint"))
+    return g.select(
+        F.col("nk").alias("nationkey"),
+        F.col("n").alias("n_orders"),
+        F.col("u").alias("n_urgent"),
+        "p_nano",
+        F.col("rk").alias("p_rank"),
+        F.when(F.col("rk") <= F.col("cutoff"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("significant"),
+    ).orderBy("p_rank")
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal sample allocation across strata
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 10_000
+
+
+@register(
+    "neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+      SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS s1,
+             SUM(CAST(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+               AS HUGEINT) * CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS s2
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    w AS (
+      SELECT nk, n,
+             CAST(round(n * sqrt(CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 0)
+               AS BIGINT) AS wt
+      FROM s),
+    t AS (SELECT w.*, CAST(SUM(wt) OVER () AS BIGINT) AS tw FROM w)
+    SELECT nk AS nationkey, n AS stratum_size, wt AS weight_ticks,
+           CAST({_NEYMAN_BUDGET} * wt // tw AS BIGINT) AS alloc
+    FROM t ORDER BY nationkey
+    """,
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal audit-sample allocation: given a budget of
+    {_NEYMAN_BUDGET} order inspections, how many to draw from each
+    nation to estimate mean order value at minimum variance — samples
+    proportional to N_h*S_h, so big AND volatile strata get the
+    inspectors. The survey-sampling primitive behind every stratified
+    audit design (stratified_sample draws uniformly; this says what the
+    rates SHOULD be).
+
+    Scale: one fact reduction to per-stratum sufficient statistics
+    (Σx through int64 cents, Σx² through the wide-integer rule); the
+    N_h*S_h weight quantizes to integer ticks BEFORE the global total
+    (per-term tick discipline), and the allocation is exact integer
+    floor-division of positives over the bounded stratum table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    v = cents("o_totalprice")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(F.col("c_nationkey").alias("nk"), v.alias("x"))
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s1"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+            ).alias("s2"),
+        )
+    )
+    w = s.select(
+        "nk",
+        "n",
+        F.round(
+            F.col("n")
+            * F.sqrt(
+                F.col("s2").cast("double") / F.col("n")
+                - (F.col("s1").cast("double") / F.col("n"))
+                * (F.col("s1").cast("double") / F.col("n"))
+            ),
+            0,
+        )
+        .cast("bigint")
+        .alias("wt"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = w.withColumn("tw", F.sum("wt").over(w_all).cast("bigint"))
+    return t.select(
+        F.col("nk").alias("nationkey"),
+        F.col("n").alias("stratum_size"),
+        F.col("wt").alias("weight_ticks"),
+        F.expr(f"CAST({_NEYMAN_BUDGET} * wt DIV tw AS BIGINT)").alias("alloc"),
+    ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily revenue series
+# ---------------------------------------------------------------------------
+
+@register(
+    "runs_test_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    med AS (
+      SELECT rev AS m FROM (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, d) AS rn,
+               COUNT(*) OVER () AS c FROM daily)
+      WHERE rn = (c + 1) // 2),
+    sgn AS (
+      SELECT d, CASE WHEN rev > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
+      FROM daily),
+    ch AS (
+      SELECT s, CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL THEN 1
+                     WHEN s <> LAG(s) OVER (ORDER BY d) THEN 1 ELSE 0
+                END AS chg
+      FROM sgn),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2,
+             CAST(SUM(chg) AS BIGINT) AS runs
+      FROM ch)
+    SELECT nd AS n_days, n1 AS n_above, n2 AS n_below, runs,
+           CAST(round((runs - (2.0e0 * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(2.0e0 * n1 * n2 * (2.0e0 * n1 * n2 - n1 - n2)
+               / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1)))
+             * 1000000000, 0) AS BIGINT) AS z_nano
+    FROM agg
+    """,
+)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue series: are
+    above/below-median days RANDOMLY interleaved, or does revenue run
+    in streaks (momentum/regime behavior that invalidates iid
+    assumptions behind naive control charts)? z >> 0 means too MANY
+    alternations (oscillation), z << 0 too few (clustering).
+
+    Scale: orders reduce to one exact-cents row per day; the median is
+    the deterministic LOWER-median selection, the sign/run machinery is
+    one lag window, and the z closed form is a mirrored expression over
+    four exact integers — all on the bounded daily table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("rev")
+    )
+    ranked = daily.select(
+        "d",
+        "rev",
+        F.row_number().over(Window.orderBy("rev", "d")).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("c"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(c + 1) DIV 2")).select(
+        F.col("rev").alias("m")
+    )
+    sgn = daily.crossJoin(F.broadcast(med)).select(
+        "d", F.when(F.col("rev") > F.col("m"), 1).otherwise(0).alias("s")
+    )
+    lag_s = F.lag("s").over(Window.orderBy("d"))
+    ch = sgn.select(
+        "s",
+        F.when(lag_s.isNull(), 1)
+        .when(F.col("s") != lag_s, 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    agg = ch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n2"),
+        F.sum("chg").cast("bigint").alias("runs"),
+    )
+    return agg.select(
+        F.col("nd").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        "runs",
+        F.expr(
+            "CAST(round((runs - (2.0e0 * n1 * n2 / (n1 + n2) + 1))"
+            " / sqrt(2.0e0 * n1 * n2 * (2.0e0 * n1 * n2 - n1 - n2)"
+            " / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1)))"
+            " * 1000000000, 0) AS BIGINT)"
+        ).alias("z_nano"),
+    )

@@ -295,6 +295,9 @@ HEADLINE = [
     "anova_dim1_by_label",
     "linenumber_position_effect",
     "positional_novelty_curve",
+    "fdr_bh_screening",
+    "neyman_allocation",
+    "runs_test_daily_revenue",
 ]
 
 

@@ -1655,3 +1655,105 @@ def test_positional_novelty_replay(spark):
         assert got[dec] == (n, new, new * 1_000_000 // n)
     # novelty decays: decile 0 strictly above decile 9
     assert got[0][2] > got[9][2]
+
+
+def test_fdr_bh_replay(spark):
+    rows = QUERIES["fdr_bh_screening"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    n, u = defaultdict(int), defaultdict(int)
+    for o in orders:
+        nk = cust[o.o_custkey]
+        n[nk] += 1
+        u[nk] += o.o_orderpriority == "1-URGENT"
+    tn, tu = sum(n.values()), sum(u.values())
+    p0 = tu / tn
+
+    def p_nano(nk):
+        az = abs((u[nk] / n[nk] - p0) / math.sqrt(p0 * (1 - p0) / n[nk]))
+        t = 1 / (1 + 0.2316419 * az)
+        tail = (
+            math.exp(-az * az / 2)
+            / math.sqrt(2 * math.pi)
+            * (
+                0.319381530 * t
+                - 0.356563782 * t**2
+                + 1.781477937 * t**3
+                - 1.821255978 * t**4
+                + 1.330274429 * t**5
+            )
+        )
+        return math.floor(2 * tail * 1e9 + 0.5)
+
+    ps = sorted(((p_nano(nk), nk) for nk in n))
+    m = len(ps)
+    cutoff = 0
+    for i, (p, _) in enumerate(ps, 1):
+        if p * m <= i * 50_000_000:
+            cutoff = i
+    got = [(r.nationkey, r.p_nano, r.p_rank, r.significant) for r in rows]
+    want = [
+        (nk, p, i, 1 if i <= cutoff else 0)
+        for i, (p, nk) in enumerate(ps, 1)
+    ]
+    # allow 1-nano slack on the p-value itself; rank/sig must be exact
+    for (gn, gp, gr, gs), (wn, wp, wr, ws) in zip(got, want):
+        assert (gn, gr, gs) == (wn, wr, ws)
+        assert abs(gp - wp) <= 1
+    # BH step-up is monotone: significant rows form a prefix of ranks
+    sig = [r.significant for r in rows]
+    assert sig == sorted(sig, reverse=True)
+
+
+def test_neyman_allocation_replay(spark):
+    rows = QUERIES["neyman_allocation"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    vals = defaultdict(list)
+    for o in orders:
+        vals[cust[o.o_custkey]].append(round(o.o_totalprice * 100))
+    wt = {}
+    for nk, xs in vals.items():
+        nn = len(xs)
+        s1, s2 = sum(xs), sum(x * x for x in xs)
+        var = s2 / nn - (s1 / nn) ** 2
+        wt[nk] = math.floor(nn * math.sqrt(var) + 0.5)
+    tw = sum(wt.values())
+    for r in rows:
+        assert r.stratum_size == len(vals[r.nationkey])
+        assert abs(r.weight_ticks - wt[r.nationkey]) <= 1
+        assert r.alloc == 10_000 * r.weight_ticks // tw
+    # allocation never exceeds budget; floor loses < |strata| samples
+    total = sum(r.alloc for r in rows)
+    assert 10_000 - len(rows) <= total <= 10_000
+
+
+def test_runs_test_replay(spark):
+    [r] = QUERIES["runs_test_daily_revenue"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    daily = defaultdict(int)
+    for o in orders:
+        daily[o.o_orderdate.date()] += round(o.o_totalprice * 100)
+    by_rev = sorted(daily.items(), key=lambda kv: (kv[1], kv[0]))
+    med = by_rev[(len(by_rev) + 1) // 2 - 1][1]
+    seq = [1 if daily[d] > med else 0 for d in sorted(daily)]
+    runs = 1 + sum(a != b for a, b in zip(seq, seq[1:]))
+    n1, n2 = sum(seq), len(seq) - sum(seq)
+    assert (r.n_days, r.n_above, r.n_below, r.runs) == (
+        len(seq),
+        n1,
+        n2,
+        runs,
+    )
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert abs(r.z_nano - (runs - mu) / math.sqrt(var) * 1e9) <= 1

@@ -1690,3 +1690,34 @@ class TestDriftPlans:
         assert "Join" not in t
         df = QUERIES["positional_novelty_curve"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_fdr_windows_on_nation_aggregate(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # z/p/rank/cutoff machinery all runs on the |nation|-row
+        # reduction; integer BH comparison, no python eval
+        t = tree(spark, "fdr_bh_screening")
+        assert "Window" in t and "HashAggregate" in t
+        assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        df = QUERIES["fdr_bh_screening"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_neyman_tick_weights_before_total(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # per-stratum sufficient stats reduce first; the weight
+        # quantizes to ticks before the bounded-table total window
+        t = tree(spark, "neyman_allocation")
+        assert "Window" in t and "HashAggregate" in t
+        df = QUERIES["neyman_allocation"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_runs_test_daily_reduction_first(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # orders reduce to the daily series before any window; the
+        # 1-row median broadcast is aggregate-derived (tripwire-clean)
+        t = tree(spark, "runs_test_daily_revenue")
+        assert t.count("HashAggregate") >= 2
+        df = QUERIES["runs_test_daily_revenue"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
