@@ -112,7 +112,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: mktsegment_nation_mix (+ the fourth streaming twin
 #: run_stream_byte_entropy), anova_dim1_by_label,
 #: linenumber_position_effect, positional_novelty_curve,
-#: fdr_bh_screening, neyman_allocation, runs_test_daily_revenue; no
+#: fdr_bh_screening, neyman_allocation, runs_test_daily_revenue,
+#: activity_streak_histogram, customer_value_drift_by_tenure,
+#: lang_source_interaction_scan; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -6087,3 +6087,102 @@ def linenumber_position_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(qty * 1000 DIV n_lines AS BIGINT)").alias("avg_qty_milli"),
         F.expr("CAST(rev DIV n_lines AS BIGINT)").alias("avg_line_cents"),
     ).orderBy("line_no")
+
+
+# ---------------------------------------------------------------------------
+# First-vs-last order value drift by tenure
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_value_drift_by_tenure",
+    oracle="""
+    WITH fl AS (
+      SELECT o_custkey,
+             min_by(CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                    (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                      * 10000000000 + o_orderkey) AS first_cents,
+             max_by(CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                    (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                      * 10000000000 + o_orderkey) AS last_cents,
+             CAST((year(MAX(CAST(o_orderdate AS DATE))) * 12
+               + month(MAX(CAST(o_orderdate AS DATE))))
+               - (year(MIN(CAST(o_orderdate AS DATE))) * 12
+               + month(MIN(CAST(o_orderdate AS DATE)))) AS BIGINT)
+               AS tenure_months
+      FROM orders GROUP BY 1
+      HAVING COUNT(*) >= 2)
+    SELECT CAST(tenure_months // 12 AS BIGINT) AS tenure_years,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN last_cents > first_cents THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_grew,
+           CAST(SUM(CASE WHEN last_cents > first_cents THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS grew_ppm,
+           CAST((SUM(last_cents - first_cents)
+             - ((SUM(last_cents - first_cents) % COUNT(*)) + COUNT(*))
+               % COUNT(*)) // COUNT(*) AS BIGINT) AS mean_delta_cents
+    FROM fl GROUP BY 1 ORDER BY 1
+    """,
+)
+def customer_value_drift_by_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do customers spend MORE on their last order than their first,
+    and does longer tenure bend that curve? First/last order value per
+    customer via deterministic min_by/max_by (date x orderkey composite
+    key), rolled into growth share and exact mean delta per tenure-year
+    band — the individual-level value-drift view that monthly revenue
+    aggregates (new_returning_revenue_monthly) cannot separate from mix
+    shift.
+
+    Scale: first/last compact MAP-SIDE inside one partial->final
+    aggregate (min_by/max_by carry a single (value, key) pair per
+    partition — no per-customer sort, no window); the tenure rollup is
+    a second bounded reduction. The mean delta floor-divides via the
+    subtract-positive-mod trick, exact at every sign.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    key = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        * F.lit(10_000_000_000).cast("bigint")
+        + F.col("o_orderkey")
+    )
+    v = cents("o_totalprice")
+    d = F.col("o_orderdate").cast("date")
+    fl = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min_by(v, key).alias("first_cents"),
+            F.max_by(v, key).alias("last_cents"),
+            (
+                (F.year(F.max(d)) * 12 + F.month(F.max(d)))
+                - (F.year(F.min(d)) * 12 + F.month(F.min(d)))
+            )
+            .cast("bigint")
+            .alias("tenure_months"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 2)
+    )
+    grew = F.sum(
+        F.when(F.col("last_cents") > F.col("first_cents"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        fl.groupBy(F.expr("CAST(tenure_months DIV 12 AS BIGINT)").alias("tenure_years"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            grew.alias("n_grew"),
+            F.sum(F.col("last_cents") - F.col("first_cents"))
+            .cast("bigint")
+            .alias("sd"),
+        )
+        .select(
+            "tenure_years",
+            "n_customers",
+            "n_grew",
+            F.expr("CAST(n_grew * 1000000 DIV n_customers AS BIGINT)").alias(
+                "grew_ppm"
+            ),
+            F.expr(
+                "CAST((sd - pmod(sd, n_customers)) DIV n_customers AS BIGINT)"
+            ).alias("mean_delta_cents"),
+        )
+        .orderBy("tenure_years")
+    )

@@ -1553,3 +1553,93 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000000, 0) AS BIGINT)"
         ).alias("z_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-factor interaction scan: language x source on document length
+# ---------------------------------------------------------------------------
+
+_INTERACT_TOPK = 15
+
+
+@register(
+    "lang_source_interaction_scan",
+    oracle=f"""
+    WITH cell AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s
+      FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2),
+    m AS (
+      SELECT cell.*,
+             CAST(SUM(s) OVER (PARTITION BY lang) AS BIGINT) AS s_lang,
+             CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+             CAST(SUM(s) OVER (PARTITION BY source) AS BIGINT) AS s_src,
+             CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+             CAST(SUM(s) OVER () AS BIGINT) AS s_all,
+             CAST(SUM(n) OVER () AS BIGINT) AS n_all
+      FROM cell),
+    r AS (
+      SELECT lang, source, n,
+             CAST(round((CAST(s AS DOUBLE) / n
+               - CAST(s_lang AS DOUBLE) / n_lang
+               - CAST(s_src AS DOUBLE) / n_src
+               + CAST(s_all AS DOUBLE) / n_all) * 1000, 0) AS BIGINT)
+               AS interaction_milli
+      FROM m)
+    SELECT * FROM r
+    ORDER BY abs(interaction_milli) DESC, lang, source
+    LIMIT {_INTERACT_TOPK}
+    """,
+)
+def lang_source_interaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor INTERACTION scan on document length: for each
+    (language, source) cell, the residual after removing both main
+    effects (cell mean - language mean - source mean + grand mean) —
+    the top-{_INTERACT_TOPK} cells where a source writes unusually
+    long/short FOR THAT LANGUAGE specifically. Main-effect dashboards
+    (entropy_by_source, doc_length_deciles) can't see these; the
+    interaction is where scraper bugs and template mixes hide.
+
+    Scale: documents reduce to the |lang|x|source| cell table in ONE
+    aggregation; all three margins are windows over that bounded
+    table; the residual is a mirrored double expression over exact
+    int64 sums, quantized to milli; top-k is a heap.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    cell = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+    )
+    m = cell.select(
+        "*",
+        F.sum("s").over(Window.partitionBy("lang")).cast("bigint").alias("s_lang"),
+        F.sum("n").over(Window.partitionBy("lang")).cast("bigint").alias("n_lang"),
+        F.sum("s").over(Window.partitionBy("source")).cast("bigint").alias("s_src"),
+        F.sum("n").over(Window.partitionBy("source")).cast("bigint").alias("n_src"),
+        F.sum("s")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("s_all"),
+        F.sum("n")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("n_all"),
+    )
+    resid = F.round(
+        (
+            F.col("s").cast("double") / F.col("n")
+            - F.col("s_lang").cast("double") / F.col("n_lang")
+            - F.col("s_src").cast("double") / F.col("n_src")
+            + F.col("s_all").cast("double") / F.col("n_all")
+        )
+        * 1000,
+        0,
+    ).cast("bigint")
+    return (
+        m.select("lang", "source", "n", resid.alias("interaction_milli"))
+        .orderBy(F.abs(F.col("interaction_milli")).desc(), "lang", "source")
+        .limit(_INTERACT_TOPK)
+    )

@@ -3341,3 +3341,64 @@ def funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage_pair", "log2_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity-streak histogram (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+@register(
+    "activity_streak_histogram",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    g AS (
+      SELECT user_id,
+             (day - DATE '1970-01-01')
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM ud),
+    runs AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS streak_len
+      FROM g GROUP BY 1, 2)
+    SELECT streak_len, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM runs GROUP BY 1 ORDER BY 1
+    """,
+)
+def activity_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks: how long do users stay daily-
+    active before breaking? The gaps-and-islands classic — island id =
+    epoch-day minus per-user row_number, constant within each
+    consecutive run — rolled into a streak-length histogram, the
+    habit-formation curve behind DAU targets (dau_wau_stickiness is the
+    ratio; this is the full distribution it summarizes).
+
+    Scale: events dedup to (user, day) grain map-side; ONE shuffle
+    partitions users for the row_number window (per-user groups =
+    active days, small at any corpus); islands then reduce twice with
+    map-side combine into the <=|max-streak| histogram. The distinct
+    user count per length is the only expensive aggregate and runs on
+    the already-reduced runs table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = ud.select(
+        "user_id",
+        (
+            F.datediff("day", F.lit("1970-01-01"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    runs = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_len")
+    )
+    return (
+        runs.groupBy("streak_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("streak_len")
+    )

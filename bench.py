@@ -298,6 +298,9 @@ HEADLINE = [
     "fdr_bh_screening",
     "neyman_allocation",
     "runs_test_daily_revenue",
+    "activity_streak_histogram",
+    "customer_value_drift_by_tenure",
+    "lang_source_interaction_scan",
 ]
 
 

@@ -2169,3 +2169,112 @@ def test_mktsegment_mix_replay(spark):
         by_nation[r.nation] += r.nation_share_ppm
     for n, s in by_nation.items():
         assert 1_000_000 - 10 <= s <= 1_000_000
+
+
+def test_activity_streak_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["activity_streak_histogram"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    days = defaultdict(set)
+    for e in ev:
+        ts = e.ts
+        d = (
+            __import__("datetime").datetime.utcfromtimestamp(ts / 1e9).date()
+            if isinstance(ts, int)
+            else ts.date()
+        )
+        days[e.user_id].add(d)
+    hist = defaultdict(lambda: [0, set()])
+    for u, ds in days.items():
+        ds = sorted(ds)
+        run = 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                run += 1
+            else:
+                hist[run][0] += 1
+                hist[run][1].add(u)
+                run = 1
+        hist[run][0] += 1
+        hist[run][1].add(u)
+    got = {r.streak_len: (r.n_streaks, r.n_users) for r in rows}
+    assert got == {k: (v[0], len(v[1])) for k, v in hist.items()}
+    # conservation: total streak-days == total active user-days
+    assert sum(k * v[0] for k, v in hist.items()) == sum(
+        len(d) for d in days.values()
+    )
+
+
+def test_customer_value_drift_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["customer_value_drift_by_tenure"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    by_cust = defaultdict(list)
+    for o in orders:
+        by_cust[o.o_custkey].append(
+            (o.o_orderdate.date(), o.o_orderkey, round(o.o_totalprice * 100))
+        )
+    bands = defaultdict(lambda: [0, 0, 0])
+    for ds in by_cust.values():
+        if len(ds) < 2:
+            continue
+        ds.sort()
+        first, last = ds[0][2], ds[-1][2]
+        d0, d1 = ds[0][0], ds[-1][0]
+        tm = (d1.year * 12 + d1.month) - (d0.year * 12 + d0.month)
+        b = bands[tm // 12]
+        b[0] += 1
+        b[1] += last > first
+        b[2] += last - first
+    got = {
+        r.tenure_years: (r.n_customers, r.n_grew, r.grew_ppm, r.mean_delta_cents)
+        for r in rows
+    }
+    want = {
+        k: (n, g, g * 1_000_000 // n, sd // n) for k, (n, g, sd) in bands.items()
+    }
+    assert got == want
+
+
+def test_lang_source_interaction_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["lang_source_interaction_scan"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    cells = defaultdict(lambda: [0, 0])
+    for d in docs:
+        if d.lang is None or d.source is None:
+            continue
+        c = cells[(d.lang, d.source)]
+        c[0] += 1
+        c[1] += d.n_chars
+    sl, nl, ss, ns = (
+        defaultdict(int),
+        defaultdict(int),
+        defaultdict(int),
+        defaultdict(int),
+    )
+    for (l, s), (n, tot) in cells.items():
+        sl[l] += tot
+        nl[l] += n
+        ss[s] += tot
+        ns[s] += n
+    s_all = sum(sl.values())
+    n_all = sum(nl.values())
+    import math
+
+    def resid(l, s):
+        n, tot = cells[(l, s)]
+        x = tot / n - sl[l] / nl[l] - ss[s] / ns[s] + s_all / n_all
+        return math.floor(x * 1000 + 0.5)
+
+    scored = sorted(
+        ((l, s, cells[(l, s)][0], resid(l, s)) for l, s in cells),
+        key=lambda t: (-abs(t[3]), t[0], t[1]),
+    )[:15]
+    got = [(r.lang, r.source, r.n, r.interaction_milli) for r in rows]
+    for g, w in zip(got, scored):
+        assert g[:3] == w[:3]
+        assert abs(g[3] - w[3]) <= 1

@@ -1721,3 +1721,35 @@ class TestDriftPlans:
         assert t.count("HashAggregate") >= 2
         df = QUERIES["runs_test_daily_revenue"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_streak_islands_single_user_window(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # dedup to (user, day), ONE user-partitioned row_number window,
+        # then two map-side-combinable reductions — no join
+        t = tree(spark, "activity_streak_histogram")
+        assert "Join" not in t
+        assert t.count("Window") == 1
+        df = QUERIES["activity_streak_histogram"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_value_drift_minby_compaction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # first/last compact inside the aggregate (min_by/max_by) —
+        # no per-customer window, no sort, no join
+        t = tree(spark, "customer_value_drift_by_tenure")
+        assert "Join" not in t and "Window" not in t
+        df = QUERIES["customer_value_drift_by_tenure"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_interaction_scan_bounded_margins(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # margins are windows over the lang x source cell table; top-k
+        # is a heap
+        t = tree(spark, "lang_source_interaction_scan")
+        assert "TakeOrderedAndProject" in t
+        assert t.count("Window") >= 2
+        df = QUERIES["lang_source_interaction_scan"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
