@@ -114,7 +114,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: linenumber_position_effect, positional_novelty_curve,
 #: fdr_bh_screening, neyman_allocation, runs_test_daily_revenue,
 #: activity_streak_histogram, customer_value_drift_by_tenure,
-#: lang_source_interaction_scan; no
+#: lang_source_interaction_scan, catalog_name_collision_audit,
+#: supplier_month_peak_ratio, brand_pareto_curve; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

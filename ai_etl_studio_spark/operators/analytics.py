@@ -6186,3 +6186,142 @@ def customer_value_drift_by_tenure(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("tenure_years")
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier peak-to-mean monthly load (capacity imbalance)
+# ---------------------------------------------------------------------------
+
+_PEAK_MIN_LINES = 60
+_PEAK_TOPK = 20
+
+
+@register(
+    "supplier_month_peak_ratio",
+    oracle=f"""
+    WITH sm AS (
+      SELECT l_suppkey,
+             CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+               AS m,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2),
+    s AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_months,
+             CAST(SUM(n) AS BIGINT) AS total_lines,
+             CAST(MAX(n) AS BIGINT) AS peak_lines
+      FROM sm GROUP BY 1 HAVING SUM(n) >= {_PEAK_MIN_LINES})
+    SELECT l_suppkey, n_months, total_lines, peak_lines,
+           CAST(peak_lines * n_months * 1000 // total_lines AS BIGINT)
+             AS peak_to_mean_milli
+    FROM s ORDER BY peak_to_mean_milli DESC, l_suppkey
+    LIMIT {_PEAK_TOPK}
+    """,
+)
+def supplier_month_peak_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity imbalance per supplier: the busiest month's line count
+    over the monthly mean (peak/mean 1.0 = flat load, 3.0 = one month
+    carries triple the average) for suppliers above a volume floor —
+    the demand-smoothing / safety-capacity worklist
+    supplier_delivery_consistency's variance view doesn't localize in
+    time.
+
+    Scale: two nested reductions — fact to supplier x month, then to
+    one row per supplier — both map-side combinable; the ratio is
+    exact integer milli (peak * n_months * 1000 // total, positives);
+    top-k is a heap. No window, no join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sm = li.groupBy(
+        "l_suppkey",
+        F.trunc(F.col("l_shipdate").cast("date"), "month").alias("m"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = (
+        sm.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            F.sum("n").cast("bigint").alias("total_lines"),
+            F.max("n").cast("bigint").alias("peak_lines"),
+        )
+        .filter(F.col("total_lines") >= _PEAK_MIN_LINES)
+    )
+    return (
+        s.select(
+            "l_suppkey",
+            "n_months",
+            "total_lines",
+            "peak_lines",
+            F.expr(
+                "CAST(peak_lines * n_months * 1000 DIV total_lines AS BIGINT)"
+            ).alias("peak_to_mean_milli"),
+        )
+        .orderBy(F.desc("peak_to_mean_milli"), "l_suppkey")
+        .limit(_PEAK_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brand Pareto curve (cumulative revenue share)
+# ---------------------------------------------------------------------------
+
+@register(
+    "brand_pareto_curve",
+    oracle="""
+    WITH b AS (
+      SELECT p.p_brand AS brand,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1),
+    r AS (
+      SELECT brand, rev,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, brand) AS rk,
+             CAST(SUM(rev) OVER (ORDER BY rev DESC, brand
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev,
+             CAST(SUM(rev) OVER () AS BIGINT) AS tot
+      FROM b)
+    SELECT rk AS brand_rank, brand, rev AS rev_cents,
+           CAST(cum_rev * 1000000 // tot AS BIGINT) AS cum_share_ppm
+    FROM r ORDER BY rk
+    """,
+)
+def brand_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brand Pareto curve materialized: brands ranked by revenue
+    with exact CUMULATIVE share at each rank — read off "the top k
+    brands carry X% of revenue" for every k at once (the curve
+    abc_classification_parts thresholds at part grain, here exact and
+    complete at the bounded brand grain).
+
+    Scale: the fact join reduces to one row per brand before any
+    ordering; the running-share window sorts only the |brand|-row
+    aggregate (25 rows — driver-scale by construction). Cumulative
+    share is exact integer ppm of int64 cents.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    b = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(cents("l_extendedprice")).cast("bigint").alias("rev"))
+    )
+    w_ord = Window.orderBy(F.desc("rev"), "brand")
+    r = b.select(
+        "brand",
+        "rev",
+        F.row_number().over(w_ord).alias("rk"),
+        F.sum("rev")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_rev"),
+        F.sum("rev")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("tot"),
+    )
+    return r.select(
+        F.col("rk").alias("brand_rank"),
+        "brand",
+        F.col("rev").alias("rev_cents"),
+        F.expr("CAST(cum_rev * 1000000 DIV tot AS BIGINT)").alias(
+            "cum_share_ppm"
+        ),
+    ).orderBy("brand_rank")

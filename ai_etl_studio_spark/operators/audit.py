@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_etl_studio_spark.catalog import load_table
+from ai_etl_studio_spark.functions.exact import cents
 from ai_etl_studio_spark.operators import register
 
 #: Accepted o_orderstatus values (TPC-H domain).
@@ -946,4 +947,71 @@ def orderstatus_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             F.when(ok, 0).otherwise(1).cast("bigint").alias("is_violation"),
         )
         .orderBy("status", "line_mix")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog name-collision audit (duplicate product names)
+# ---------------------------------------------------------------------------
+
+_COLL_TOPK = 20
+
+
+@register(
+    "catalog_name_collision_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+             CAST(MIN(CAST(round(p_retailprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS min_price_cents,
+             CAST(MAX(CAST(round(p_retailprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS max_price_cents,
+             CAST(MIN(p_partkey) AS BIGINT) AS min_partkey
+      FROM part GROUP BY 1 HAVING COUNT(*) > 1)
+    SELECT p_name, n_parts, n_brands, min_price_cents, max_price_cents,
+           max_price_cents - min_price_cents AS price_spread_cents,
+           min_partkey
+    FROM g ORDER BY n_parts DESC, p_name LIMIT {_COLL_TOPK}
+    """,
+)
+def catalog_name_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Products sharing the SAME display name: how many part keys hide
+    behind each duplicated name, across how many brands, and how wide
+    the price spread runs — the master-data dedup worklist (a name with
+    40 keys and a 100x price range is either a catalog bug or a
+    variant family that needs structure). The ER complement to
+    er_blocked_pairs, at name-exact grain.
+
+    Scale: one reduction keyed on p_name with map-side combine; the
+    distinct-brand count runs on the already-grouped name grain;
+    deterministic sample key via MIN(p_partkey); top-k is a heap.
+    Exact integer cents throughout.
+    """
+    p = load_table(spark, sf_dir, "part")
+    g = (
+        p.groupBy("p_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.countDistinct("p_brand").cast("bigint").alias("n_brands"),
+            F.min(cents("p_retailprice")).cast("bigint").alias("min_price_cents"),
+            F.max(cents("p_retailprice")).cast("bigint").alias("max_price_cents"),
+            F.min("p_partkey").cast("bigint").alias("min_partkey"),
+        )
+        .filter(F.col("n_parts") > 1)
+    )
+    return (
+        g.select(
+            "p_name",
+            "n_parts",
+            "n_brands",
+            "min_price_cents",
+            "max_price_cents",
+            (F.col("max_price_cents") - F.col("min_price_cents")).alias(
+                "price_spread_cents"
+            ),
+            "min_partkey",
+        )
+        .orderBy(F.desc("n_parts"), "p_name")
+        .limit(_COLL_TOPK)
     )

@@ -301,6 +301,9 @@ HEADLINE = [
     "activity_streak_histogram",
     "customer_value_drift_by_tenure",
     "lang_source_interaction_scan",
+    "catalog_name_collision_audit",
+    "supplier_month_peak_ratio",
+    "brand_pareto_curve",
 ]
 
 

@@ -2278,3 +2278,98 @@ def test_lang_source_interaction_replay(spark):
     for g, w in zip(got, scored):
         assert g[:3] == w[:3]
         assert abs(g[3] - w[3]) <= 1
+
+
+def test_catalog_collision_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["catalog_name_collision_audit"](spark, SF_DIR).collect()
+    parts = spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    g = defaultdict(list)
+    for p in parts:
+        g[p.p_name].append(p)
+    scored = []
+    for name, ps in g.items():
+        if len(ps) < 2:
+            continue
+        prices = [round(p.p_retailprice * 100) for p in ps]
+        scored.append(
+            (
+                name,
+                len(ps),
+                len({p.p_brand for p in ps}),
+                min(prices),
+                max(prices),
+                max(prices) - min(prices),
+                min(p.p_partkey for p in ps),
+            )
+        )
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    got = [
+        (
+            r.p_name,
+            r.n_parts,
+            r.n_brands,
+            r.min_price_cents,
+            r.max_price_cents,
+            r.price_spread_cents,
+            r.min_partkey,
+        )
+        for r in rows
+    ]
+    assert got == scored[:20]
+
+
+def test_supplier_peak_ratio_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["supplier_month_peak_ratio"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    sm = defaultdict(lambda: defaultdict(int))
+    for x in li:
+        sm[x.l_suppkey][(x.l_shipdate.year, x.l_shipdate.month)] += 1
+    scored = []
+    for sk, months in sm.items():
+        tot = sum(months.values())
+        if tot < 60:
+            continue
+        scored.append(
+            (sk, len(months), tot, max(months.values()),
+             max(months.values()) * len(months) * 1000 // tot)
+        )
+    scored.sort(key=lambda t: (-t[4], t[0]))
+    got = [
+        (r.l_suppkey, r.n_months, r.total_lines, r.peak_lines,
+         r.peak_to_mean_milli)
+        for r in rows
+    ]
+    assert got == scored[:20]
+    # ratio is >= 1000 by construction (peak >= mean)
+    assert all(r.peak_to_mean_milli >= 1000 for r in rows)
+
+
+def test_brand_pareto_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["brand_pareto_curve"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    brand = {
+        p.p_partkey: p.p_brand
+        for p in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    rev = defaultdict(int)
+    for x in li:
+        rev[brand[x.l_partkey]] += round(x.l_extendedprice * 100)
+    order = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(rev.values())
+    cum = 0
+    want = []
+    for i, (b, r) in enumerate(order, 1):
+        cum += r
+        want.append((i, b, r, cum * 1_000_000 // tot))
+    got = [(r.brand_rank, r.brand, r.rev_cents, r.cum_share_ppm) for r in rows]
+    assert got == want
+    # curve is monotone and ends at ~100%
+    shares = [r.cum_share_ppm for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] in (999_999, 1_000_000)

@@ -1753,3 +1753,33 @@ class TestDriftPlans:
         assert t.count("Window") >= 2
         df = QUERIES["lang_source_interaction_scan"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_collision_audit_single_name_reduction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # one reduction keyed on p_name; top-k heap; no join
+        t = tree(spark, "catalog_name_collision_audit")
+        assert "Join" not in t
+        assert "TakeOrderedAndProject" in t
+        df = QUERIES["catalog_name_collision_audit"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_peak_ratio_nested_reductions(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # fact -> supplier x month -> supplier: two reductions, no
+        # window, no join
+        t = tree(spark, "supplier_month_peak_ratio")
+        assert "Join" not in t and "Window" not in t
+        assert t.count("HashAggregate") >= 4  # two partial->final pairs
+        df = QUERIES["supplier_month_peak_ratio"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_pareto_window_on_brand_aggregate(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the running-share window sorts only the |brand|-row aggregate
+        t = tree(spark, "brand_pareto_curve")
+        assert "Window" in t and "HashAggregate" in t
+        df = QUERIES["brand_pareto_curve"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
