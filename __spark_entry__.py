@@ -115,7 +115,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: fdr_bh_screening, neyman_allocation, runs_test_daily_revenue,
 #: activity_streak_histogram, customer_value_drift_by_tenure,
 #: lang_source_interaction_scan, catalog_name_collision_audit,
-#: supplier_month_peak_ratio, brand_pareto_curve; no
+#: supplier_month_peak_ratio, brand_pareto_curve,
+#: session_value_by_entry_type, doc_cooccurrence_lift_topk,
+#: centroid_classifier_eval; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

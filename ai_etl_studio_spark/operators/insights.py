@@ -3402,3 +3402,109 @@ def activity_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("streak_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session value by entry event type
+# ---------------------------------------------------------------------------
+
+@register(
+    "session_value_by_entry_type",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS v_cents,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT *,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps),
+    entry AS (
+      SELECT user_id, session_id, event_type, v_cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+               ORDER BY ts, event_id) AS rn
+      FROM sess),
+    per_sess AS (
+      SELECT user_id, session_id,
+             min_by(event_type, rn) AS entry_type,
+             CAST(SUM(v_cents) AS BIGINT) AS sess_value,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM entry GROUP BY 1, 2)
+    SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(sess_value) AS BIGINT) AS total_value_cents,
+           CAST((SUM(sess_value) - ((SUM(sess_value) % COUNT(*)) + COUNT(*))
+             % COUNT(*)) // COUNT(*) AS BIGINT) AS avg_session_value_cents
+    FROM per_sess GROUP BY 1 ORDER BY 1
+    """,
+)
+def session_value_by_entry_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which DOOR users come in through matters: sessions grouped by
+    their ENTRY event type (the first event after a 30-min gap) with
+    count, size, and exact total/mean session value — the landing-page
+    economics view session_funnel's step rates don't price.
+
+    Scale: the shared lag+running-sum sessionizer (ONE user-partitioned
+    shuffle feeds all three windows — the entry row_number reuses the
+    same partitioning); sessions then reduce twice with map-side
+    combine to the |entry-type| table. Entry selection is
+    deterministic (rn from (ts, event_id)); value rides exact integer
+    cents and the mean floor-divides via subtract-positive-mod.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+        F.when(
+            ((us - F.lag(us).over(w)) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    entry = sess.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+        ),
+    )
+    per_sess = entry.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", "rn").alias("entry_type"),
+        F.sum("v_cents").cast("bigint").alias("sess_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return (
+        per_sess.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sess_value").cast("bigint").alias("tv"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_events",
+            F.col("tv").alias("total_value_cents"),
+            F.expr(
+                "CAST((tv - pmod(tv, n_sessions)) DIV n_sessions AS BIGINT)"
+            ).alias("avg_session_value_cents"),
+        )
+        .orderBy("entry_type")
+    )

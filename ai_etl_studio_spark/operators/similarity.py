@@ -2216,3 +2216,98 @@ def anova_dim1_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(msw, 0).cast("bigint").alias("msw_microsq"),
         F.round(msb / msw * 1_000_000, 0).cast("bigint").alias("f_stat_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classifier evaluation (confusion matrix)
+# ---------------------------------------------------------------------------
+
+@register(
+    "centroid_classifier_eval",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label AS true_label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS xm
+      FROM embeddings),
+    e2 AS (SELECT vec_id, true_label AS label, dim, xm FROM e),
+    s AS (
+      SELECT label, dim, CAST(SUM(xm) AS BIGINT) AS sv
+      FROM e2 GROUP BY 1, 2),
+    ss AS (
+      SELECT label, CAST(SUM(CAST(sv AS HUGEINT) * sv) AS DOUBLE) AS nrm
+      FROM s GROUP BY 1),
+    dots AS (
+      SELECT e.vec_id, e.true_label, s.label AS cand,
+             CAST(SUM(CAST(e.xm AS HUGEINT) * s.sv) AS DOUBLE) AS dot
+      FROM e JOIN s ON e.dim = s.dim
+      GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT d.vec_id, d.true_label, d.cand,
+             ROW_NUMBER() OVER (PARTITION BY d.vec_id
+               ORDER BY d.dot / sqrt(ss.nrm) DESC, d.cand) AS rk
+      FROM dots d JOIN ss ON d.cand = ss.label)
+    SELECT true_label, cand AS predicted_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM scored WHERE rk = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio/nearest-class-mean classifier scored against its own
+    labels: every vector is assigned to the label whose CENTROID it is
+    cosine-closest to, and the full confusion matrix comes back — the
+    cheapest possible "are these labels learnable from this geometry"
+    eval (the diagonal mass is the linear-separability floor any real
+    classifier must beat; knn_classify is the expensive local
+    comparison).
+
+    Scale: centroids are exact integer SUM vectors (cosine is scale
+    invariant, so no mean division); scoring joins each vector's
+    (dim, tick) fan-out against the bounded |labels|x|dims| sum table —
+    constant work per vector — and the per-vector argmax is a 10-row
+    window. Dot products ride the wide-integer rule; the argmax
+    compares identical IEEE doubles with a label tiebreak.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "true_label",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000, 0)
+        .cast("bigint")
+        .alias("xm"),
+    )
+    s = e.groupBy(F.col("true_label").alias("label"), "dim").agg(
+        F.sum("xm").cast("bigint").alias("sv")
+    )
+    svd = F.col("sv").cast("decimal(38,0)")
+    ss = s.groupBy("label").agg(F.sum(svd * svd).cast("double").alias("nrm"))
+    dots = (
+        e.join(s, "dim")
+        .groupBy("vec_id", "true_label", F.col("label").alias("cand"))
+        .agg(
+            F.sum(F.col("xm").cast("decimal(38,0)") * F.col("sv"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    scored = dots.join(ss, dots.cand == ss.label).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(
+                (F.col("dot") / F.sqrt(F.col("nrm"))).desc(), "cand"
+            )
+        ),
+    )
+    return (
+        scored.filter(F.col("rk") == 1)
+        .groupBy("true_label", F.col("cand").alias("predicted_label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("true_label", "predicted_label")
+    )

@@ -3187,3 +3187,101 @@ def positional_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos_decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Document-level co-occurrence lift (non-adjacent association)
+# ---------------------------------------------------------------------------
+
+_COOC_MIN_SUPPORT = 5
+_COOC_TOPK = 20
+
+
+@register(
+    "doc_cooccurrence_lift_topk",
+    oracle=rf"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               w -> w <> '')) AS term
+      FROM documents WHERE text IS NOT NULL),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dt),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2),
+    l AS (
+      SELECT p.term_a, p.term_b, p.c_ab, da.df AS df_a, db.df AS df_b,
+             CAST(round(CAST(p.c_ab AS DOUBLE) * nd.n
+               / (CAST(da.df AS DOUBLE) * db.df) * 1000, 0) AS BIGINT)
+               AS lift_milli
+      FROM pairs p JOIN df da ON p.term_a = da.term
+      JOIN df db ON p.term_b = db.term CROSS JOIN nd
+      WHERE p.c_ab >= {_COOC_MIN_SUPPORT})
+    SELECT term_a, term_b, c_ab, df_a, df_b, lift_milli
+    FROM l ORDER BY lift_milli DESC, term_a, term_b LIMIT {_COOC_TOPK}
+    """,
+)
+def doc_cooccurrence_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-LEVEL term association: which word pairs share documents
+    far beyond independence (lift = P(a,b)/(P(a)P(b)))? The topical-
+    affinity complement to collocation_pmi's ADJACENT bigrams — these
+    pairs can sit paragraphs apart and still bind (the basket-analysis
+    lift, applied to vocabulary).
+
+    Scale: docs dedup to (doc, term) grain map-side; the pair join is
+    key-on-key on doc_id with per-doc fanout bounded by unique-terms-
+    per-doc, and reduces straight to the <=|vocab|^2 pair table; the
+    lift joins are vocabulary-to-vocabulary with the 1-row doc count
+    broadcast. Support-filtered, heap top-k.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dt = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+            )
+        ).alias("term"),
+    )
+    nd = dt.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    df = dt.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    a, b = dt.alias("a"), dt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= _COOC_MIN_SUPPORT)
+    )
+    da = df.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    db = df.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    l = (
+        pairs.join(da, "term_a")
+        .join(db, "term_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term_a",
+            "term_b",
+            "c_ab",
+            "df_a",
+            "df_b",
+            F.round(
+                F.col("c_ab").cast("double")
+                * F.col("n")
+                / (F.col("df_a").cast("double") * F.col("df_b"))
+                * 1000,
+                0,
+            )
+            .cast("bigint")
+            .alias("lift_milli"),
+        )
+    )
+    return l.orderBy(F.desc("lift_milli"), "term_a", "term_b").limit(_COOC_TOPK)

@@ -304,6 +304,9 @@ HEADLINE = [
     "catalog_name_collision_audit",
     "supplier_month_peak_ratio",
     "brand_pareto_curve",
+    "session_value_by_entry_type",
+    "doc_cooccurrence_lift_topk",
+    "centroid_classifier_eval",
 ]
 
 

@@ -53,7 +53,12 @@ def rows_normalized(cols, rows):
 #: Queries allowed a CartesianProduct: every one joins two broadcast-
 #: bounded sides (region×nation, 1-row bounds frames are
 #: BroadcastNestedLoop and don't trip this).
-CARTESIAN_OK = {"join_cross"}
+#: Queries allowed a CartesianProduct: join_cross IS the cross-join
+#: surface; kendall_tau_brand_ranks theta-joins (brand < brand) two
+#: copies of the <=|brands|-row aggregate — bounded by construction
+#: (the fact table reduces BEFORE the pair join; see its plan contract
+#: in test_plans.py).
+CARTESIAN_OK = {"join_cross", "kendall_tau_brand_ranks"}
 
 
 def assert_plan_contract(name: str, sdf) -> None:

@@ -2373,3 +2373,112 @@ def test_brand_pareto_replay(spark):
     shares = [r.cum_share_ppm for r in rows]
     assert shares == sorted(shares)
     assert shares[-1] in (999_999, 1_000_000)
+
+
+def test_session_entry_value_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["session_value_by_entry_type"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for e in ev:
+        ts_us = e.ts // 1000 if isinstance(e.ts, int) else int(
+            e.ts.timestamp() * 1e6
+        )
+        by_user[e.user_id].append(
+            (ts_us, e.event_id, e.event_type, round(e.value * 100))
+        )
+    agg = defaultdict(lambda: [0, 0, 0])
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions = []
+        for i, (us, eid, et, v) in enumerate(evs):
+            if i == 0 or us - evs[i - 1][0] > 1_800_000_000:
+                sessions.append([et, 0, 0])
+            sessions[-1][1] += v
+            sessions[-1][2] += 1
+        for et, val, n in sessions:
+            a = agg[et]
+            a[0] += 1
+            a[1] += n
+            a[2] += val
+    got = {
+        r.entry_type: (
+            r.n_sessions,
+            r.n_events,
+            r.total_value_cents,
+            r.avg_session_value_cents,
+        )
+        for r in rows
+    }
+    want = {
+        et: (ns, ne, tv, tv // ns) for et, (ns, ne, tv) in agg.items()
+    }
+    assert got == want
+
+
+def test_doc_cooccurrence_replay(spark):
+    import re
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    rows = QUERIES["doc_cooccurrence_lift_topk"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    df, c_ab = Counter(), Counter()
+    n_docs = 0
+    for d in docs:
+        if d.text is None:
+            continue
+        n_docs += 1
+        terms = sorted({w for w in re.split(r"\s+", d.text.lower()) if w})
+        df.update(terms)
+        c_ab.update(combinations(terms, 2))
+    import math
+
+    scored = [
+        (a, b, c, df[a], df[b],
+         math.floor(c * n_docs / (df[a] * df[b]) * 1000 + 0.5))
+        for (a, b), c in c_ab.items()
+        if c >= 5
+    ]
+    scored.sort(key=lambda t: (-t[5], t[0], t[1]))
+    got = [
+        (r.term_a, r.term_b, r.c_ab, r.df_a, r.df_b, r.lift_milli)
+        for r in rows
+    ]
+    assert got == scored[:20]
+
+
+def test_centroid_classifier_replay(spark):
+    import math
+    from collections import defaultdict
+
+    rows = QUERIES["centroid_classifier_eval"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    vecs = [
+        (e.vec_id, e.label,
+         [int(round(float(x) * 1_000_000)) for x in e.embedding])
+        for e in emb
+    ]
+    sums = defaultdict(lambda: None)
+    for _, l, v in vecs:
+        if sums[l] is None:
+            sums[l] = list(v)
+        else:
+            sums[l] = [a + b for a, b in zip(sums[l], v)]
+    nrm = {l: float(sum(x * x for x in s)) for l, s in sums.items()}
+    conf = defaultdict(int)
+    for _, true_l, v in vecs:
+        best = min(
+            sorted(sums),
+            key=lambda l: (
+                -sum(a * b for a, b in zip(v, sums[l])) / math.sqrt(nrm[l]),
+                l,
+            ),
+        )
+        conf[(true_l, best)] += 1
+    got = {(r.true_label, r.predicted_label): r.n for r in rows}
+    assert got == dict(conf)
+    # the classifier must beat chance on the diagonal
+    diag = sum(v for (a, b), v in conf.items() if a == b)
+    assert diag * len(sums) > sum(conf.values())

@@ -1783,3 +1783,35 @@ class TestDriftPlans:
         assert "Window" in t and "HashAggregate" in t
         df = QUERIES["brand_pareto_curve"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_session_entry_one_user_shuffle(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the sessionizer lag, running-sum, and entry row_number all
+        # ride ONE user-partitioned exchange
+        t = tree(spark, "session_value_by_entry_type")
+        assert "Join" not in t
+        df = QUERIES["session_value_by_entry_type"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_cooccurrence_dedup_before_pairjoin(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # (doc, term) dedup precedes the key-on-key doc_id pair join;
+        # lift joins are vocabulary-grain; top-k is a heap
+        t = tree(spark, "doc_cooccurrence_lift_topk")
+        assert "TakeOrderedAndProject" in t
+        assert "CartesianProduct" not in t
+        df = QUERIES["doc_cooccurrence_lift_topk"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_centroid_classifier_bounded_scoring(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # scoring joins the vector fan-out against the bounded
+        # label x dim sum table; argmax is a 10-row window per vector
+        t = tree(spark, "centroid_classifier_eval")
+        assert "Window" in t
+        assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        df = QUERIES["centroid_classifier_eval"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
