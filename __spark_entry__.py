@@ -117,7 +117,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: lang_source_interaction_scan, catalog_name_collision_audit,
 #: supplier_month_peak_ratio, brand_pareto_curve,
 #: session_value_by_entry_type, doc_cooccurrence_lift_topk,
-#: centroid_classifier_eval; no
+#: centroid_classifier_eval, temporal_integrity_by_year,
+#: month_end_loading_audit, part_price_consistency_topk; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -6325,3 +6325,145 @@ def brand_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share_ppm"
         ),
     ).orderBy("brand_rank")
+
+
+# ---------------------------------------------------------------------------
+# Month-end loading audit (hockey-stick sales pattern)
+# ---------------------------------------------------------------------------
+
+@register(
+    "month_end_loading_audit",
+    oracle="""
+    WITH o2 AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS month,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom
+      FROM orders),
+    m AS (
+      SELECT month, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CASE WHEN eom - d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tail,
+             CAST(day(MAX(eom)) AS BIGINT) AS days_in_month
+      FROM o2 GROUP BY 1)
+    SELECT month, n_orders, n_tail,
+           CAST(n_tail * 1000000 // n_orders AS BIGINT) AS tail_share_ppm,
+           CAST(round(CAST(n_tail AS DOUBLE) * days_in_month
+             / (CAST(n_orders AS DOUBLE) * 3) * 1000, 0) AS BIGINT)
+             AS loading_lift_milli
+    FROM m ORDER BY month
+    """,
+)
+def month_end_loading_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hockey-stick detector: what share of each month's orders
+    land in the LAST THREE days, and how that compares to a uniform
+    spread (lift 1000 = no loading; 3000 = quarter-end-style cramming).
+    Sustained lift >> 1 is the signature of quota-driven booking — and
+    of pipelines that will spike-load every month-end at 100 TB.
+
+    Scale: one reduction to |month| rows (the last-day/tail flags are
+    per-row codegen); share is exact ppm and the lift is one mirrored
+    double expression over exact integers on the bounded month table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    o2 = o.select(
+        F.trunc(d, "month").alias("month"),
+        d.alias("d"),
+        F.last_day(d).alias("eom"),
+    )
+    m = o2.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.datediff("eom", "d") < 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tail"),
+        F.dayofmonth(F.max("eom")).cast("bigint").alias("days_in_month"),
+    )
+    lift = F.round(
+        F.col("n_tail").cast("double")
+        * F.col("days_in_month")
+        / (F.col("n_orders").cast("double") * 3)
+        * 1000,
+        0,
+    ).cast("bigint")
+    return m.select(
+        "month",
+        "n_orders",
+        "n_tail",
+        F.expr("CAST(n_tail * 1000000 DIV n_orders AS BIGINT)").alias(
+            "tail_share_ppm"
+        ),
+        lift.alias("loading_lift_milli"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Per-part realized-price consistency (top spreads)
+# ---------------------------------------------------------------------------
+
+_PRICE_CONS_MIN_LINES = 10
+_PRICE_CONS_TOPK = 20
+
+
+@register(
+    "part_price_consistency_topk",
+    oracle=f"""
+    WITH pp AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(MIN(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * 1000 // CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS min_unit_milli,
+             CAST(MAX(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * 1000 // CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS max_unit_milli
+      FROM lineitem WHERE CAST(round(l_quantity) AS BIGINT) >= 1
+      GROUP BY 1 HAVING COUNT(*) >= {_PRICE_CONS_MIN_LINES})
+    SELECT l_partkey, n_lines, min_unit_milli, max_unit_milli,
+           CAST((max_unit_milli - min_unit_milli) * 1000
+             // min_unit_milli AS BIGINT) AS spread_milli
+    FROM pp ORDER BY spread_milli DESC, l_partkey
+    LIMIT {_PRICE_CONS_TOPK}
+    """,
+)
+def part_price_consistency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose REALIZED unit price swings widest (max/min line-level
+    unit price relative to the floor) — the price-governance worklist at
+    PART grain: a 4000-permille spread on one SKU is a mispriced deal
+    or a data error, invisible in price_dispersion_by_part_type's
+    type-level roll-up.
+
+    Scale: per-line unit price is one codegen projection (exact integer
+    milli via floor division of positives); min/max compact map-side in
+    the single per-part reduction; the relative spread and heap top-k
+    run on the reduced table. No join — partkey is the grain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = F.expr(
+        "CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 1000"
+        " DIV CAST(round(l_quantity, 0) AS BIGINT) AS BIGINT)"
+    )
+    pp = (
+        li.filter(F.round("l_quantity").cast("bigint") >= 1)
+        .select("l_partkey", unit.alias("u"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.min("u").cast("bigint").alias("min_unit_milli"),
+            F.max("u").cast("bigint").alias("max_unit_milli"),
+        )
+        .filter(F.col("n_lines") >= _PRICE_CONS_MIN_LINES)
+    )
+    return (
+        pp.select(
+            "l_partkey",
+            "n_lines",
+            "min_unit_milli",
+            "max_unit_milli",
+            F.expr(
+                "CAST((max_unit_milli - min_unit_milli) * 1000"
+                " DIV min_unit_milli AS BIGINT)"
+            ).alias("spread_milli"),
+        )
+        .orderBy(F.desc("spread_milli"), "l_partkey")
+        .limit(_PRICE_CONS_TOPK)
+    )

@@ -1015,3 +1015,65 @@ def catalog_name_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_parts"), "p_name")
         .limit(_COLL_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal referential-integrity audit (ship-before-order)
+# ---------------------------------------------------------------------------
+
+@register(
+    "temporal_integrity_by_year",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(year(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS yr,
+             CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+               AS delta
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS BIGINT) AS violation_ppm,
+           CAST(MIN(delta) AS BIGINT) AS worst_delta_days
+    FROM j GROUP BY yr ORDER BY yr
+    """,
+)
+def temporal_integrity_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAUSALITY audit across the header/detail pair: lines that SHIP
+    before their order exists, by ship year — the temporal cousin of
+    orderstatus_consistency_audit (key-valid rows can still be
+    time-impossible, and neither dq_audit's single-table bounds nor the
+    orphan checks can see it). The per-year trend localizes which load
+    windows the corruption entered through.
+
+    Scale: the one key-on-key fact join carries only the two date
+    columns; everything reduces map-side to one row per year. Exact
+    integer day deltas and ppm.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("yr"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("delta"),
+    )
+    viol = F.sum(F.when(F.col("delta") < 0, 1).otherwise(0)).cast("bigint")
+    return (
+        j.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            viol.alias("n_violations"),
+            F.min("delta").cast("bigint").alias("worst_delta_days"),
+        )
+        .select(
+            "yr",
+            "n_lines",
+            "n_violations",
+            F.expr("CAST(n_violations * 1000000 DIV n_lines AS BIGINT)").alias(
+                "violation_ppm"
+            ),
+            "worst_delta_days",
+        )
+        .orderBy("yr")
+    )

@@ -307,6 +307,9 @@ HEADLINE = [
     "session_value_by_entry_type",
     "doc_cooccurrence_lift_topk",
     "centroid_classifier_eval",
+    "temporal_integrity_by_year",
+    "month_end_loading_audit",
+    "part_price_consistency_topk",
 ]
 
 

@@ -2482,3 +2482,80 @@ def test_centroid_classifier_replay(spark):
     # the classifier must beat chance on the diagonal
     diag = sum(v for (a, b), v in conf.items() if a == b)
     assert diag * len(sums) > sum(conf.values())
+
+
+def test_temporal_integrity_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["temporal_integrity_by_year"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    od = {
+        o.o_orderkey: o.o_orderdate.date()
+        for o in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, None])
+    for x in li:
+        delta = (x.l_shipdate.date() - od[x.l_orderkey]).days
+        a = agg[x.l_shipdate.year]
+        a[0] += 1
+        a[1] += delta < 0
+        a[2] = delta if a[2] is None else min(a[2], delta)
+    got = {
+        r.yr: (r.n_lines, r.n_violations, r.violation_ppm, r.worst_delta_days)
+        for r in rows
+    }
+    want = {
+        y: (n, v, v * 1_000_000 // n, w) for y, (n, v, w) in agg.items()
+    }
+    assert got == want
+
+
+def test_month_end_loading_replay(spark):
+    import calendar
+    from collections import defaultdict
+
+    rows = QUERIES["month_end_loading_audit"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for o in orders:
+        d = o.o_orderdate.date()
+        dim = calendar.monthrange(d.year, d.month)[1]
+        a = agg[(d.year, d.month)]
+        a[0] += 1
+        a[1] += (dim - d.day) < 3
+    import math
+
+    for r in rows:
+        n, tail = agg[(r.month.year, r.month.month)]
+        dim = calendar.monthrange(r.month.year, r.month.month)[1]
+        assert (r.n_orders, r.n_tail) == (n, tail)
+        assert r.tail_share_ppm == tail * 1_000_000 // n
+        assert r.loading_lift_milli == math.floor(
+            tail * dim / (n * 3) * 1000 + 0.5
+        )
+    assert len(rows) == len(agg)
+
+
+def test_part_price_consistency_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["part_price_consistency_topk"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    units = defaultdict(list)
+    for x in li:
+        q = round(x.l_quantity)
+        if q >= 1:
+            units[x.l_partkey].append(round(x.l_extendedprice * 100) * 1000 // q)
+    scored = []
+    for pk, us in units.items():
+        if len(us) < 10:
+            continue
+        lo, hi = min(us), max(us)
+        scored.append((pk, len(us), lo, hi, (hi - lo) * 1000 // lo))
+    scored.sort(key=lambda t: (-t[4], t[0]))
+    got = [
+        (r.l_partkey, r.n_lines, r.min_unit_milli, r.max_unit_milli,
+         r.spread_milli)
+        for r in rows
+    ]
+    assert got == scored[:20]

@@ -1815,3 +1815,31 @@ class TestDriftPlans:
         assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
         df = QUERIES["centroid_classifier_eval"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_temporal_integrity_two_column_join(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the key-on-key join carries only the date columns; yearly
+        # rollup reduces map-side
+        t = tree(spark, "temporal_integrity_by_year")
+        assert t.count("HashAggregate") >= 2
+        df = QUERIES["temporal_integrity_by_year"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_month_end_single_reduction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "month_end_loading_audit")
+        assert "Join" not in t and "Window" not in t
+        df = QUERIES["month_end_loading_audit"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_price_consistency_no_join(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # partkey IS the grain — min/max compact map-side, no join
+        t = tree(spark, "part_price_consistency_topk")
+        assert "Join" not in t
+        assert "TakeOrderedAndProject" in t
+        df = QUERIES["part_price_consistency_topk"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
