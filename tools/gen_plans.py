@@ -1,7 +1,11 @@
 """Regenerate PLANS.md: capture the physical-plan trees of the headline
 operators at sf0.01 and re-emit the annotated document.
 
-Usage: python -c "from tools.gen_plans import main; main()"
+Usage: python -c "from tools.gen_plans import main; main()"           # all
+       python tools/gen_plans.py name1 name2 ...                     # subset
+(A subset run only refreshes the named sections — use it when adding a
+wave so the per-wave cost stays at ~3 plans, with a periodic full run
+to catch plan drift in the carried suite.)
 """
 
 from __future__ import annotations
@@ -14,7 +18,9 @@ REPO = Path(__file__).resolve().parent.parent
 PLANS_MD = REPO / "PLANS.md"
 
 
-def capture(sf: str = "/root/testdata/sf0.01") -> dict[str, str]:
+def capture(
+    sf: str = "/root/testdata/sf0.01", only: list[str] | None = None
+) -> dict[str, str]:
     sys.path.insert(0, str(REPO))
     from ai_etl_studio_spark.operators import load_all
     from ai_etl_studio_spark.plans.guard import explain_str
@@ -24,6 +30,11 @@ def capture(sf: str = "/root/testdata/sf0.01") -> dict[str, str]:
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = load_all()
     names = _documented_names()
+    if only:
+        unknown = set(only) - set(names)
+        if unknown:
+            raise SystemExit(f"not documented in PLANS.md: {sorted(unknown)}")
+        names = [n for n in names if n in set(only)]
     return {
         n: explain_str(queries[n](spark, sf), "formatted").split("\n\n")[0]
         for n in names
@@ -35,8 +46,8 @@ def _documented_names() -> list[str]:
     return re.findall(r"^## (\w+)$", PLANS_MD.read_text(), re.M)
 
 
-def main() -> None:
-    plans = capture()
+def main(only: list[str] | None = None) -> None:
+    plans = capture(only=only)
     text = PLANS_MD.read_text()
     # replace each fenced block following a "## name" heading in place,
     # keeping the hand-written annotations
@@ -50,4 +61,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:] or None)
