@@ -1555,3 +1555,97 @@ def dup_rate_by_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (privacy triad: k-anonymity, l-diversity, t-closeness)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t_closeness_audit",
+    oracle="""
+    WITH cell AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2),
+    grid AS (
+      SELECT nk, seg FROM (SELECT DISTINCT nk FROM cell)
+      CROSS JOIN (SELECT DISTINCT seg FROM cell)),
+    full_cell AS (
+      SELECT g.nk, g.seg, COALESCE(cell.c, 0) AS c
+      FROM grid g LEFT JOIN cell ON g.nk = cell.nk AND g.seg = cell.seg),
+    m AS (
+      SELECT full_cell.*,
+             CAST(SUM(c) OVER (PARTITION BY nk) AS BIGINT) AS n_g,
+             CAST(SUM(c) OVER (PARTITION BY seg) AS BIGINT) AS n_s,
+             CAST(SUM(c) OVER () AS BIGINT) AS n_all
+      FROM full_cell),
+    t AS (
+      SELECT nk, n_g,
+             CAST(round(abs(CAST(c AS DOUBLE) / n_g
+               - CAST(n_s AS DOUBLE) / n_all) * 1000000000, 0) AS BIGINT)
+               AS term_nano
+      FROM m)
+    SELECT nk AS nationkey, CAST(MAX(n_g) AS BIGINT) AS n_customers,
+           CAST(SUM(term_nano) // 2 AS BIGINT) AS tvd_nano
+    FROM t GROUP BY nk ORDER BY tvd_nano DESC, nationkey
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness per quasi-identifier group: the total-variation
+    distance between each nation's market-segment distribution and the
+    global one — the release gate that k_anonymity_audit (group size)
+    and l_diversity_audit (value count) both miss: a large, diverse
+    group still leaks if its sensitive-value MIX deviates from the
+    population (tvd > t means an attacker learns the segment better
+    than the prior). Completes the engine's privacy triad.
+
+    Scale: customers reduce to the |nation|x|segment| cell table; the
+    grid CROSS JOIN of the two tiny distinct sets restores EMPTY cells
+    (a missing segment contributes its full prior mass — dropping it
+    understates the leak); margins are windows over the bounded grid;
+    per-cell terms quantize to nano BEFORE the group sum and the final
+    halving is integer floor.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cell = c.groupBy(
+        F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cell = cell.localCheckpoint()
+    grid = cell.select("nk").distinct().crossJoin(
+        cell.select("seg").distinct()
+    )
+    full_cell = grid.join(cell, ["nk", "seg"], "left").select(
+        "nk", "seg", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    m = full_cell.select(
+        "*",
+        F.sum("c").over(Window.partitionBy("nk")).cast("bigint").alias("n_g"),
+        F.sum("c").over(Window.partitionBy("seg")).cast("bigint").alias("n_s"),
+        F.sum("c")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("n_all"),
+    )
+    term = F.round(
+        F.abs(
+            F.col("c").cast("double") / F.col("n_g")
+            - F.col("n_s").cast("double") / F.col("n_all")
+        )
+        * 1_000_000_000,
+        0,
+    ).cast("bigint")
+    return (
+        m.select("nk", "n_g", term.alias("term_nano"))
+        .groupBy("nk")
+        .agg(
+            F.max("n_g").cast("bigint").alias("n_customers"),
+            F.sum("term_nano").alias("st"),
+        )
+        .select(
+            F.col("nk").alias("nationkey"),
+            "n_customers",
+            F.expr("CAST(st DIV 2 AS BIGINT)").alias("tvd_nano"),
+        )
+        .orderBy(F.desc("tvd_nano"), "nationkey")
+    )

@@ -1234,3 +1234,66 @@ def run_stream_byte_entropy(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+ORDERS_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+    " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def read_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the orders parquet (the 'orders arriving'
+    side of live warehouse monitors)."""
+    return (
+        spark.readStream.schema(ORDERS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "orders.parquet")
+        .load(sf_dir)
+    )
+
+
+def run_stream_urgency_by_nation(
+    spark: SparkSession, sf_dir: str, query_name: str = "urgency_out"
+) -> DataFrame:
+    """REAL streaming build of fdr_bh_screening's input table: orders
+    stream in, join the STATIC customer dimension (stream-static join —
+    no state, the dimension is just read per micro-batch), and a
+    streaming aggregation maintains the per-nation (orders, urgent)
+    counts — the live feed under the FDR screen.
+
+    Mergeable-summary shape: state is bounded at |nation| rows FOREVER,
+    the counts are bit-identical to the batch reduction inside
+    fdr_bh_screening (asserted in tests/test_streaming.py), and the
+    z/p/BH machinery is a bounded-table projection either side can
+    apply downstream. Complete output mode into the constant-size
+    monitor table. Returns (nk, n, u)."""
+    from ai_etl_studio_spark.catalog import load_table
+
+    o = read_orders_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    pn = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("u"),
+        )
+    )
+    q = (
+        pn.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

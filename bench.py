@@ -310,6 +310,8 @@ HEADLINE = [
     "temporal_integrity_by_year",
     "month_end_loading_audit",
     "part_price_consistency_topk",
+    "t_closeness_audit",
+    "ivm_distinct_delta",
 ]
 
 

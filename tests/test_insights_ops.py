@@ -2559,3 +2559,59 @@ def test_part_price_consistency_replay(spark):
         for r in rows
     ]
     assert got == scored[:20]
+
+
+def test_t_closeness_replay(spark):
+    import math
+    from collections import defaultdict
+
+    rows = QUERIES["t_closeness_audit"](spark, SF_DIR).collect()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    cells = defaultdict(int)
+    for c in cust:
+        cells[(c.c_nationkey, c.c_mktsegment)] += 1
+    nks = {k for k, _ in cells}
+    segs = {s for _, s in cells}
+    n_g = defaultdict(int)
+    n_s = defaultdict(int)
+    for (k, s), v in cells.items():
+        n_g[k] += v
+        n_s[s] += v
+    n_all = sum(cells.values())
+    want = {}
+    for k in nks:
+        t = sum(
+            math.floor(
+                abs(cells.get((k, s), 0) / n_g[k] - n_s[s] / n_all) * 1e9 + 0.5
+            )
+            for s in segs
+        )
+        want[k] = (n_g[k], t // 2)
+    got = {r.nationkey: (r.n_customers, r.tvd_nano) for r in rows}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) <= len(segs)  # nano slack per term
+    # TVD is a distance: in [0, 1e9]
+    assert all(0 <= r.tvd_nano <= 1_000_000_000 for r in rows)
+
+
+def test_ivm_distinct_delta_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["ivm_distinct_delta"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    first = {}
+    for o in orders:
+        d = o.o_orderdate.date()
+        k = o.o_custkey
+        first[k] = min(first.get(k, d), d)
+    months = defaultdict(int)
+    for d in first.values():
+        months[(d.year, d.month)] += 1
+    assert len(rows) == len(months)
+    for r in rows:
+        assert r.n_full == months[(r.month.year, r.month.month)]
+        # the WHOLE POINT: incremental equals recompute everywhere
+        assert r.n_inc == r.n_full
+        assert r.consistent == 1

@@ -1843,3 +1843,24 @@ class TestDriftPlans:
         assert "TakeOrderedAndProject" in t
         df = QUERIES["part_price_consistency_topk"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_t_closeness_grid_completion(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the grid cross-join runs on two tiny DISTINCT sets of the
+        # checkpointed cell reduction — never on raw customers
+        t = tree(spark, "t_closeness_audit")
+        assert "Scan parquet" not in t and "Scan ExistingRDD" in t
+        df = QUERIES["t_closeness_audit"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_ivm_distinct_compacted_merge(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # both sides compact to per-key MIN before the full-outer
+        # merge; monthly rollups are bounded
+        t = tree(spark, "ivm_distinct_delta")
+        assert "FullOuter" in t or "full_outer" in t.lower()
+        assert t.count("HashAggregate") >= 6
+        df = QUERIES["ivm_distinct_delta"](spark, SF_DIR)
+        assert broadcast_violations(df) == []

@@ -549,3 +549,30 @@ def test_stream_byte_entropy_matches_batch(spark):
             len(cs),
             t,
         )
+
+
+def test_stream_urgency_counts_match_batch(spark):
+    """The stream-static join's per-nation (orders, urgent) counts are
+    bit-identical to the batch reduction feeding fdr_bh_screening —
+    |nation| rows of state forever, the live side of the FDR screen."""
+    from collections import defaultdict
+
+    from ai_etl_studio_spark.streaming.windows import (
+        run_stream_urgency_by_nation,
+    )
+
+    got = {
+        r.nk: (r.n, r.u)
+        for r in run_stream_urgency_by_nation(spark, SF_DIR, "t_urg").collect()
+    }
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    want = defaultdict(lambda: [0, 0])
+    for o in orders:
+        w = want[cust[o.o_custkey]]
+        w[0] += 1
+        w[1] += o.o_orderpriority == "1-URGENT"
+    assert got == {k: tuple(v) for k, v in want.items()}
