@@ -120,7 +120,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: centroid_classifier_eval, temporal_integrity_by_year,
 #: month_end_loading_audit, part_price_consistency_topk,
 #: t_closeness_audit, ivm_distinct_delta (+ the fifth streaming twin
-#: run_stream_urgency_by_nation, a stream-static join); no
+#: run_stream_urgency_by_nation, a stream-static join),
+#: jackknife_se_by_nation, capture_recapture_customers,
+#: priority_transition_matrix; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -6567,3 +6567,61 @@ def ivm_distinct_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-priority transition matrix (per-customer Markov at order grain)
+# ---------------------------------------------------------------------------
+
+@register(
+    "priority_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority AS p,
+             LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev_p
+      FROM orders),
+    cell AS (
+      SELECT prev_p, p, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_p IS NOT NULL GROUP BY 1, 2),
+    t AS (
+      SELECT cell.*,
+             CAST(SUM(n) OVER (PARTITION BY prev_p) AS BIGINT) AS row_tot
+      FROM cell)
+    SELECT prev_p AS prev_priority, p AS next_priority, n,
+           CAST(n * 1000000 // row_tot AS BIGINT) AS row_share_ppm
+    FROM t ORDER BY prev_priority, next_priority
+    """,
+)
+def priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-order PRIORITY transitions per customer (the Markov
+    matrix at order grain): does a LOW order follow an URGENT one, or
+    do customers escalate and stay escalated? Row-normalized shares
+    expose escalation stickiness — the order-channel cousin of
+    path_transitions' event-level chains.
+
+    Scale: ONE customer-partitioned lag window (single-row state), a
+    map-side reduction to the <=5x5 matrix, and a row-total window on
+    that bounded table. Exact integer ppm.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.col("o_orderpriority").alias("p"),
+        F.lag("o_orderpriority").over(w).alias("prev_p"),
+    ).filter(F.col("prev_p").isNotNull())
+    cell = seq.groupBy("prev_p", "p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = cell.withColumn(
+        "row_tot",
+        F.sum("n").over(Window.partitionBy("prev_p")).cast("bigint"),
+    )
+    return t.select(
+        F.col("prev_p").alias("prev_priority"),
+        F.col("p").alias("next_priority"),
+        "n",
+        F.expr("CAST(n * 1000000 DIV row_tot AS BIGINT)").alias(
+            "row_share_ppm"
+        ),
+    ).orderBy("prev_priority", "next_priority")

@@ -1643,3 +1643,179 @@ def lang_source_interaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("interaction_milli")).desc(), "lang", "source")
         .limit(_INTERACT_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Jackknife standard error (delete-one-group replicates)
+# ---------------------------------------------------------------------------
+
+@register(
+    "jackknife_se_by_nation",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS s
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g),
+    r AS (
+      SELECT g.nk,
+             CAST(round((CAST(tot.ts - g.s AS DOUBLE) / (tot.tn - g.n)
+               - CAST(tot.ts AS DOUBLE) / tot.tn)
+               * (CAST(tot.ts - g.s AS DOUBLE) / (tot.tn - g.n)
+               - CAST(tot.ts AS DOUBLE) / tot.tn) * 1000000, 0) AS BIGINT)
+               AS dev_microsq,
+             CAST(round(CAST(tot.ts - g.s AS DOUBLE) / (tot.tn - g.n)
+               * 1000, 0) AS BIGINT) AS theta_i_milli,
+             tot.k
+      FROM g CROSS JOIN tot),
+    m AS (
+      SELECT CAST(MAX(k) AS BIGINT) AS k,
+             CAST(SUM(theta_i_milli) AS BIGINT) AS sum_theta_milli,
+             CAST(SUM(dev_microsq) AS BIGINT) AS ssq_microsq
+      FROM r)
+    SELECT k AS n_groups, sum_theta_milli,
+           CAST(round(sqrt(CAST(ssq_microsq AS DOUBLE) / 1000000
+             * (k - 1) / k) * 1000, 0) AS BIGINT) AS jackknife_se_milli
+    FROM m
+    """,
+)
+def jackknife_se_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error for the global mean
+    order value, with nations as the deletion blocks: each replicate
+    theta_i is the mean with nation i's mass removed — computable from
+    the group totals alone, so the whole resampling scheme costs ONE
+    aggregation (the honest uncertainty band when observations within
+    a nation are correlated and the iid SE lies).
+
+    Scale: the corpus reduces to per-nation (n, Σcents); replicates are
+    arithmetic on that bounded table against the broadcast 1-row
+    totals; the deviation terms quantize to ticks BEFORE the k-row sum
+    (per-term tick discipline) and the final sqrt is one mirrored
+    expression. No resampled data ever materializes.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents("o_totalprice")).cast("bigint").alias("s"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("s").cast("bigint").alias("ts"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    theta_i = (F.col("ts") - F.col("s")).cast("double") / (
+        F.col("tn") - F.col("n")
+    )
+    theta_all = F.col("ts").cast("double") / F.col("tn")
+    r = g.crossJoin(F.broadcast(tot)).select(
+        "nk",
+        F.round((theta_i - theta_all) * (theta_i - theta_all) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("dev_microsq"),
+        F.round(theta_i * 1000, 0).cast("bigint").alias("theta_i_milli"),
+        "k",
+    )
+    m = r.agg(
+        F.max("k").cast("bigint").alias("k"),
+        F.sum("theta_i_milli").cast("bigint").alias("sum_theta_milli"),
+        F.sum("dev_microsq").cast("bigint").alias("ssq_microsq"),
+    )
+    return m.select(
+        F.col("k").alias("n_groups"),
+        "sum_theta_milli",
+        F.round(
+            F.sqrt(
+                F.col("ssq_microsq").cast("double")
+                / 1_000_000
+                * (F.col("k") - 1)
+                / F.col("k")
+            )
+            * 1000,
+            0,
+        )
+        .cast("bigint")
+        .alias("jackknife_se_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture population estimate (Lincoln-Petersen)
+# ---------------------------------------------------------------------------
+
+@register(
+    "capture_recapture_customers",
+    oracle="""
+    WITH s1 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+        AND DATE '1996-12-31'),
+    s2 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01'
+        AND DATE '1997-12-31'),
+    c AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM s1 JOIN s2 USING (o_custkey)) AS m)
+    SELECT n1, n2, m,
+           CAST(n1 * n2 // m AS BIGINT) AS lincoln_petersen_estimate,
+           (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer)
+             AS true_universe
+    FROM c
+    """,
+)
+def capture_recapture_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen capture-recapture: estimate the TOTAL customer
+    universe from two overlapping yearly 'captures' (active 1996,
+    active 1997, and the overlap) — N-hat = n1*n2/m, the ecology
+    estimator that answers "how many customers exist that we never see
+    in any one window", graded against the actual customer table.
+
+    Scale: two key-distinct reductions, one key-on-key semi-overlap
+    count, three 1-row aggregates cross-joined — every input to the
+    estimate is an exact integer and the estimator is exact integer
+    floor-division of positives.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    d = F.col("o_orderdate").cast("date")
+    s1 = o.filter(d.between("1996-01-01", "1996-12-31")).select(
+        "o_custkey"
+    ).distinct()
+    s2 = o.filter(d.between("1997-01-01", "1997-12-31")).select(
+        "o_custkey"
+    ).distinct()
+    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    m = (
+        s1.join(s2, "o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    tu = c.agg(
+        F.countDistinct("c_custkey").cast("bigint").alias("true_universe")
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(tu))
+        .select(
+            "n1",
+            "n2",
+            "m",
+            F.expr("CAST(n1 * n2 DIV m AS BIGINT)").alias(
+                "lincoln_petersen_estimate"
+            ),
+            "true_universe",
+        )
+    )

@@ -312,6 +312,9 @@ HEADLINE = [
     "part_price_consistency_topk",
     "t_closeness_audit",
     "ivm_distinct_delta",
+    "jackknife_se_by_nation",
+    "capture_recapture_customers",
+    "priority_transition_matrix",
 ]
 
 

@@ -1757,3 +1757,81 @@ def test_runs_test_replay(spark):
         / ((n1 + n2) ** 2 * (n1 + n2 - 1))
     )
     assert abs(r.z_nano - (runs - mu) / math.sqrt(var) * 1e9) <= 1
+
+
+def test_jackknife_se_replay(spark):
+    [r] = QUERIES["jackknife_se_by_nation"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    n, s = defaultdict(int), defaultdict(int)
+    for o in orders:
+        nk = cust[o.o_custkey]
+        n[nk] += 1
+        s[nk] += round(o.o_totalprice * 100)
+    tn, ts, k = sum(n.values()), sum(s.values()), len(n)
+    theta_all = ts / tn
+    devs, thetas = [], []
+    for nk in n:
+        th = (ts - s[nk]) / (tn - n[nk])
+        thetas.append(math.floor(th * 1000 + 0.5))
+        devs.append(math.floor((th - theta_all) ** 2 * 1e6 + 0.5))
+    assert r.n_groups == k
+    assert abs(r.sum_theta_milli - sum(thetas)) <= k
+    want_se = math.sqrt(sum(devs) / 1e6 * (k - 1) / k) * 1000
+    assert abs(r.jackknife_se_milli - want_se) <= 2
+    # delete-one replicates hug the global mean: SE well under theta
+    assert r.jackknife_se_milli < r.sum_theta_milli // k
+
+
+def test_capture_recapture_replay(spark):
+    [r] = QUERIES["capture_recapture_customers"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    s1 = {
+        o.o_custkey
+        for o in orders
+        if o.o_orderdate.year == 1996
+    }
+    s2 = {
+        o.o_custkey
+        for o in orders
+        if o.o_orderdate.year == 1997
+    }
+    m = len(s1 & s2)
+    assert (r.n1, r.n2, r.m) == (len(s1), len(s2), m)
+    assert r.lincoln_petersen_estimate == len(s1) * len(s2) // m
+    # the estimator should land within 20% of the true universe here
+    assert abs(r.lincoln_petersen_estimate - r.true_universe) < (
+        r.true_universe // 5
+    )
+
+
+def test_priority_transition_replay(spark):
+    rows = QUERIES["priority_transition_matrix"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    by_cust = defaultdict(list)
+    for o in orders:
+        by_cust[o.o_custkey].append(
+            (o.o_orderdate.date(), o.o_orderkey, o.o_orderpriority)
+        )
+    cells = defaultdict(int)
+    for seq in by_cust.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            cells[(a, b)] += 1
+    row_tot = defaultdict(int)
+    for (a, _), v in cells.items():
+        row_tot[a] += v
+    got = {(r.prev_priority, r.next_priority): (r.n, r.row_share_ppm)
+           for r in rows}
+    assert got == {
+        k: (v, v * 1_000_000 // row_tot[k[0]]) for k, v in cells.items()
+    }
+    # each row's shares sum to ~1e6
+    shares = defaultdict(int)
+    for r in rows:
+        shares[r.prev_priority] += r.row_share_ppm
+    for v in shares.values():
+        assert 1_000_000 - 5 <= v <= 1_000_000

@@ -1864,3 +1864,32 @@ class TestDriftPlans:
         assert t.count("HashAggregate") >= 6
         df = QUERIES["ivm_distinct_delta"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_jackknife_no_resample_materialization(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # replicates are arithmetic on the bounded group table against
+        # the broadcast 1-row totals — no resampled data
+        t = tree(spark, "jackknife_se_by_nation")
+        assert t.count("HashAggregate") >= 4
+        df = QUERIES["jackknife_se_by_nation"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_capture_recapture_distinct_reductions(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # two key-distinct reductions + overlap count; all estimate
+        # inputs are 1-row aggregates
+        t = tree(spark, "capture_recapture_customers")
+        assert t.count("HashAggregate") >= 4
+        df = QUERIES["capture_recapture_customers"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_priority_transition_single_lag(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "priority_transition_matrix")
+        assert "Join" not in t
+        assert t.count("Window") == 2  # customer lag + row-total
+        df = QUERIES["priority_transition_matrix"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
