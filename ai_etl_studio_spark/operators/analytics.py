@@ -6625,3 +6625,105 @@ def priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_share_ppm"
         ),
     ).orderBy("prev_priority", "next_priority")
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres price index (matched base-year basket)
+# ---------------------------------------------------------------------------
+
+_LASPEYRES_BASE_YEAR = 1995
+
+
+@register(
+    "laspeyres_price_index",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q0,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS r0
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = {_LASPEYRES_BASE_YEAR}
+      GROUP BY 1 HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+    cur AS (
+      SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+               AS m,
+             l_partkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qt,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rt
+      FROM lineitem GROUP BY 1, 2
+      HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+    j AS (
+      SELECT cur.m,
+             CAST(SUM(CAST(cur.rt * 1000 // cur.qt AS BIGINT)
+               * base.q0) AS BIGINT) AS num,
+             CAST(SUM(CAST(base.r0 * 1000 // base.q0 AS BIGINT)
+               * base.q0) AS BIGINT) AS den,
+             CAST(COUNT(*) AS BIGINT) AS n_parts_matched
+      FROM cur JOIN base ON cur.l_partkey = base.l_partkey
+      GROUP BY 1)
+    SELECT m AS month, n_parts_matched,
+           CAST(num * 1000 // den AS BIGINT) AS laspeyres_index_milli
+    FROM j ORDER BY m
+    """,
+)
+def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A matched-basket Laspeyres price index: each month's realized
+    unit prices weighted by the {_LASPEYRES_BASE_YEAR} base-year
+    quantities, over the parts present in both periods — the
+    fixed-basket "what would last year's purchases cost today" answer
+    that separates PRICE movement from MIX movement (monthly revenue
+    alone conflates them).
+
+    Scale: both legs reduce to per-(part[, month]) exact integers
+    BEFORE the key-on-key join (the join carries sums, never lines);
+    unit values are exact integer milli floor-divisions of positives
+    and the index is exact integer milli of int64 products. The
+    matched-part count is reported so basket shrinkage is visible, not
+    silent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round("l_quantity").cast("bigint")
+    base = (
+        li.filter(
+            F.year(F.col("l_shipdate").cast("date")) == _LASPEYRES_BASE_YEAR
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(q).cast("bigint").alias("q0"),
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("r0"),
+        )
+        .filter(F.col("q0") > 0)
+    )
+    cur = (
+        li.groupBy(
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias("m"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(q).cast("bigint").alias("qt"),
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("rt"),
+        )
+        .filter(F.col("qt") > 0)
+    )
+    j = (
+        cur.join(base, "l_partkey")
+        .groupBy("m")
+        .agg(
+            F.sum(F.expr("CAST(rt * 1000 DIV qt AS BIGINT)") * F.col("q0"))
+            .cast("bigint")
+            .alias("num"),
+            F.sum(F.expr("CAST(r0 * 1000 DIV q0 AS BIGINT)") * F.col("q0"))
+            .cast("bigint")
+            .alias("den"),
+            F.count(F.lit(1)).cast("bigint").alias("n_parts_matched"),
+        )
+    )
+    return j.select(
+        F.col("m").alias("month"),
+        "n_parts_matched",
+        F.expr("CAST(num * 1000 DIV den AS BIGINT)").alias(
+            "laspeyres_index_milli"
+        ),
+    ).orderBy("month")

@@ -1819,3 +1819,121 @@ def capture_recapture_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_universe",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chow test for a structural break in the revenue trend
+# ---------------------------------------------------------------------------
+
+_CHOW_BREAK_MI = 1997 * 12 + 1  # break candidate: 1997-01
+
+#: Per-segment OLS residual sum of squares from sufficient statistics —
+#: the same textual expression evaluates per half and on the pooled row.
+_RSS_EXPR = (
+    "syy - (CAST(sy AS DOUBLE) * sy) / n"
+    " - pow(sxy - (CAST(sx AS DOUBLE) * sy) / n, 2)"
+    " / (sxx - (CAST(sx AS DOUBLE) * sx) / n)"
+)
+
+
+@register(
+    "chow_test_break",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+        + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mi,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    seg AS (
+      SELECT mi, rev,
+             CASE WHEN mi < {_CHOW_BREAK_MI} THEN 0 ELSE 1 END AS h
+      FROM monthly),
+    s AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(mi) AS BIGINT) AS sx,
+             CAST(SUM(rev) AS BIGINT) AS sy,
+             CAST(SUM(CAST(mi AS HUGEINT) * rev) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(mi AS HUGEINT) * mi) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE) AS syy
+      FROM seg GROUP BY h),
+    sp AS (SELECT CAST(SUM({_RSS_EXPR}) AS DOUBLE) AS rss_split FROM s),
+    p AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+             CAST(SUM(sy) AS BIGINT) AS sy,
+             CAST(SUM(sxy) AS DOUBLE) AS sxy,
+             CAST(SUM(sxx) AS DOUBLE) AS sxx,
+             CAST(SUM(syy) AS DOUBLE) AS syy
+      FROM s),
+    pool AS (SELECT {_RSS_EXPR} AS rss_pooled, n AS n_tot FROM p)
+    SELECT CAST(n_tot AS BIGINT) AS n_months,
+           CAST(round(rss_pooled / 1e12, 0) AS BIGINT) AS rss_pooled_tera,
+           CAST(round(rss_split / 1e12, 0) AS BIGINT) AS rss_split_tera,
+           CAST(round((rss_pooled - rss_split) / 2
+             / (rss_split / (n_tot - 4)) * 1000000, 0) AS BIGINT)
+             AS chow_f_micro
+    FROM pool CROSS JOIN sp
+    """,
+)
+def chow_test_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test on the monthly revenue trend at
+    1997-01: fit one line to the whole series and one to each half —
+    if splitting buys a big residual drop (F >> 1), the trend CHANGED
+    at the break, and every forecast fitted across it is wrong. The
+    regime-shift gate in front of trend_forecast_linreg.
+
+    Scale: orders reduce to |month| rows, then to TWO sufficient-
+    statistic rows (one per half) — Σxy/Σx²/Σy² through the
+    wide-integer rule. The two-element double sums are IEEE-commutative
+    (order-free by arithmetic, not by luck), the RSS expression is ONE
+    shared text evaluated per half and pooled, and the F ratio is a
+    mirrored final expression.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    monthly = o.groupBy(
+        (F.year(d) * 12 + F.month(d)).cast("bigint").alias("mi")
+    ).agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    seg = monthly.withColumn(
+        "h", F.when(F.col("mi") < _CHOW_BREAK_MI, 0).otherwise(1)
+    )
+    mid = F.col("mi").cast("decimal(38,0)")
+    rvd = F.col("rev").cast("decimal(38,0)")
+    s = seg.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("mi").cast("bigint").alias("sx"),
+        F.sum("rev").cast("bigint").alias("sy"),
+        F.sum(mid * rvd).cast("double").alias("sxy"),
+        F.sum(mid * mid).cast("double").alias("sxx"),
+        F.sum(rvd * rvd).cast("double").alias("syy"),
+    )
+    sp = s.agg(F.sum(F.expr(_RSS_EXPR)).cast("double").alias("rss_split"))
+    p = s.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").cast("bigint").alias("sx"),
+        F.sum("sy").cast("bigint").alias("sy"),
+        F.sum("sxy").cast("double").alias("sxy"),
+        F.sum("sxx").cast("double").alias("sxx"),
+        F.sum("syy").cast("double").alias("syy"),
+    )
+    pool = p.select(
+        F.expr(_RSS_EXPR).alias("rss_pooled"), F.col("n").alias("n_tot")
+    )
+    return pool.crossJoin(F.broadcast(sp)).select(
+        F.col("n_tot").cast("bigint").alias("n_months"),
+        F.round(F.col("rss_pooled") / 1e12, 0)
+        .cast("bigint")
+        .alias("rss_pooled_tera"),
+        F.round(F.col("rss_split") / 1e12, 0)
+        .cast("bigint")
+        .alias("rss_split_tera"),
+        F.round(
+            (F.col("rss_pooled") - F.col("rss_split"))
+            / 2
+            / (F.col("rss_split") / (F.col("n_tot") - 4))
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("chow_f_micro"),
+    )

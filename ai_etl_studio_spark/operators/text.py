@@ -3285,3 +3285,146 @@ def doc_cooccurrence_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return l.orderBy(F.desc("lift_milli"), "term_a", "term_b").limit(_COOC_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Burrows' delta stylometry (source-vs-corpus stylistic distance)
+# ---------------------------------------------------------------------------
+
+_BURROWS_TOP_TERMS = 50
+
+
+@register(
+    "stylometry_burrows_delta",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               w -> w <> '')) AS term
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+    st AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2),
+    stot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM st GROUP BY 1),
+    top AS (
+      SELECT term FROM (
+        SELECT term, SUM(c) AS cf FROM st GROUP BY term
+        ORDER BY cf DESC, term LIMIT {_BURROWS_TOP_TERMS})),
+    grid AS (
+      SELECT s.source, t.term FROM (SELECT DISTINCT source FROM st) s
+      CROSS JOIN top t),
+    f AS (
+      SELECT g.source, g.term,
+             CAST(COALESCE(st.c, 0) * 1000000000 // stot.tot AS BIGINT)
+               AS fr
+      FROM grid g
+      LEFT JOIN st ON g.source = st.source AND g.term = st.term
+      JOIN stot ON g.source = stot.source),
+    mu AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(fr) AS BIGINT) AS s1,
+             SUM(CAST(fr AS HUGEINT) * fr) AS s2
+      FROM f GROUP BY term),
+    z AS (
+      SELECT f.source,
+             CAST(round(abs(CAST(f.fr AS DOUBLE)
+               - CAST(mu.s1 AS DOUBLE) / mu.k)
+               / sqrt(CAST(mu.s2 AS DOUBLE) / mu.k
+                 - (CAST(mu.s1 AS DOUBLE) / mu.k)
+                 * (CAST(mu.s1 AS DOUBLE) / mu.k)) * 1000, 0) AS BIGINT)
+               AS az_milli
+      FROM f JOIN mu ON f.term = mu.term
+      WHERE CAST(mu.s2 AS DOUBLE) * mu.k > CAST(mu.s1 AS DOUBLE) * mu.s1)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(az_milli) // COUNT(*) AS BIGINT)
+             AS burrows_delta_milli
+    FROM z GROUP BY source ORDER BY burrows_delta_milli DESC, source
+    """,
+)
+def stylometry_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' delta per source — the stylometry standard: z-score
+    each source's relative frequency of the top-{_BURROWS_TOP_TERMS}
+    corpus terms against the cross-source distribution, and average the
+    |z|. High delta = a source whose FUNCTION-WORD profile deviates
+    from the corpus (different register, different generator, different
+    author) even when topic mixes look identical — the provenance
+    check langid and length profiles miss.
+
+    Scale: one tokenize pass to (source, term) counts; the top-term
+    selection, the grid completion (zero cells are evidence, not
+    absence), the per-term moments, and the z-scores all run on
+    bounded source x term tables. Relative frequencies are exact ppb
+    integers; |z| quantizes to milli per cell before the per-source
+    mean; zero-variance terms drop by an exact comparison mirrored in
+    both engines.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+        ).alias("term"),
+    )
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    st = st.localCheckpoint()
+    stot = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
+    top = (
+        st.groupBy("term")
+        .agg(F.sum("c").alias("cf"))
+        .orderBy(F.desc("cf"), "term")
+        .limit(_BURROWS_TOP_TERMS)
+        .select("term")
+    )
+    grid = st.select("source").distinct().crossJoin(F.broadcast(top))
+    f = (
+        grid.join(st, ["source", "term"], "left")
+        .join(stot, "source")
+        .select(
+            "source",
+            "term",
+            F.expr(
+                "CAST(COALESCE(c, 0) * 1000000000 DIV tot AS BIGINT)"
+            ).alias("fr"),
+        )
+    )
+    frd = F.col("fr").cast("decimal(38,0)")
+    mu = f.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("fr").cast("bigint").alias("s1"),
+        F.sum(frd * frd).alias("s2"),
+    )
+    muk = F.col("s1").cast("double") / F.col("k")
+    sd = F.sqrt(F.col("s2").cast("double") / F.col("k") - muk * muk)
+    z = (
+        f.join(mu, "term")
+        .filter(
+            F.col("s2").cast("double") * F.col("k")
+            > F.col("s1").cast("double") * F.col("s1")
+        )
+        .select(
+            "source",
+            F.round(F.abs(F.col("fr").cast("double") - muk) / sd * 1000, 0)
+            .cast("bigint")
+            .alias("az_milli"),
+        )
+    )
+    return (
+        z.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("az_milli").alias("saz"),
+        )
+        .select(
+            "source",
+            "n_terms",
+            F.expr("CAST(saz DIV n_terms AS BIGINT)").alias(
+                "burrows_delta_milli"
+            ),
+        )
+        .orderBy(F.desc("burrows_delta_milli"), "source")
+    )

@@ -315,6 +315,9 @@ HEADLINE = [
     "jackknife_se_by_nation",
     "capture_recapture_customers",
     "priority_transition_matrix",
+    "chow_test_break",
+    "laspeyres_price_index",
+    "stylometry_burrows_delta",
 ]
 
 

@@ -1835,3 +1835,102 @@ def test_priority_transition_replay(spark):
         shares[r.prev_priority] += r.row_share_ppm
     for v in shares.values():
         assert 1_000_000 - 5 <= v <= 1_000_000
+
+
+def test_chow_test_replay(spark):
+    [r] = QUERIES["chow_test_break"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    monthly = defaultdict(int)
+    for o in orders:
+        d = o.o_orderdate.date()
+        monthly[d.year * 12 + d.month] += round(o.o_totalprice * 100)
+
+    def rss(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = float(sum(x * y for x, y in pts))
+        sxx = float(sum(x * x for x, _ in pts))
+        syy = float(sum(y * y for _, y in pts))
+        return syy - sy * float(sy) / n - (sxy - sx * float(sy) / n) ** 2 / (
+            sxx - sx * float(sx) / n
+        )
+
+    pts = sorted(monthly.items())
+    left = [(x, y) for x, y in pts if x < 1997 * 12 + 1]
+    right = [(x, y) for x, y in pts if x >= 1997 * 12 + 1]
+    pooled, split = rss(pts), rss(left) + rss(right)
+    assert r.n_months == len(pts)
+    assert abs(r.rss_pooled_tera - pooled / 1e12) <= 1
+    assert abs(r.rss_split_tera - split / 1e12) <= 1
+    f = (pooled - split) / 2 / (split / (len(pts) - 4))
+    assert abs(r.chow_f_micro - f * 1e6) <= 2
+    # splitting can never raise RSS
+    assert r.rss_split_tera <= r.rss_pooled_tera
+
+
+def test_laspeyres_replay(spark):
+    rows = QUERIES["laspeyres_price_index"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    base = defaultdict(lambda: [0, 0])
+    cur = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for x in li:
+        q, rv = round(x.l_quantity), round(x.l_extendedprice * 100)
+        if x.l_shipdate.year == 1995:
+            base[x.l_partkey][0] += q
+            base[x.l_partkey][1] += rv
+        m = (x.l_shipdate.year, x.l_shipdate.month)
+        cur[m][x.l_partkey][0] += q
+        cur[m][x.l_partkey][1] += rv
+    for r in rows:
+        m = (r.month.year, r.month.month)
+        num = den = matched = 0
+        for pk, (qt, rt) in cur[m].items():
+            if pk not in base or base[pk][0] <= 0 or qt <= 0:
+                continue
+            q0, r0 = base[pk]
+            num += (rt * 1000 // qt) * q0
+            den += (r0 * 1000 // q0) * q0
+            matched += 1
+        assert (r.n_parts_matched, r.laspeyres_index_milli) == (
+            matched,
+            num * 1000 // den,
+        )
+
+
+def test_burrows_delta_replay(spark):
+    import re
+
+    rows = QUERIES["stylometry_burrows_delta"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    st = defaultdict(Counter)
+    for d in docs:
+        if d.text is None or d.source is None:
+            continue
+        st[d.source].update(w for w in re.split(r"\s+", d.text.lower()) if w)
+    cf = Counter()
+    for c in st.values():
+        cf.update(c)
+    top = [t for t, _ in sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:50]]
+    tot = {s: sum(c.values()) for s, c in st.items()}
+    fr = {
+        (s, t): st[s][t] * 1_000_000_000 // tot[s] for s in st for t in top
+    }
+    k = len(st)
+    want = {}
+    for s in st:
+        azs = []
+        for t in top:
+            vals = [fr[(s2, t)] for s2 in st]
+            s1, s2m = sum(vals), sum(v * v for v in vals)
+            if float(s2m) * k <= float(s1) * s1:
+                continue
+            mu = s1 / k
+            sd = math.sqrt(s2m / k - mu * mu)
+            azs.append(math.floor(abs(fr[(s, t)] - mu) / sd * 1000 + 0.5))
+        want[s] = (len(azs), sum(azs) // len(azs))
+    got = {r.source: (r.n_terms, r.burrows_delta_milli) for r in rows}
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][0] == want[s][0]
+        assert abs(got[s][1] - want[s][1]) <= 1

@@ -1893,3 +1893,33 @@ class TestDriftPlans:
         assert t.count("Window") == 2  # customer lag + row-total
         df = QUERIES["priority_transition_matrix"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_chow_two_row_sufficient_stats(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # monthly reduction, then TWO sufficient-stat rows; all F
+        # machinery is bounded-table expressions
+        t = tree(spark, "chow_test_break")
+        assert t.count("HashAggregate") >= 4
+        assert "Window" not in t
+        df = QUERIES["chow_test_break"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_laspeyres_reduce_both_legs(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # both legs reduce per part(-month) BEFORE the key-on-key join
+        t = tree(spark, "laspeyres_price_index")
+        assert t.count("HashAggregate") >= 4
+        df = QUERIES["laspeyres_price_index"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_burrows_bounded_grid(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # one tokenize reduction (checkpointed); the grid/moments/z all
+        # run on bounded source x term tables
+        t = tree(spark, "stylometry_burrows_delta")
+        assert "Scan parquet" not in t and "Scan ExistingRDD" in t
+        df = QUERIES["stylometry_burrows_delta"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
