@@ -123,7 +123,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: run_stream_urgency_by_nation, a stream-static join),
 #: jackknife_se_by_nation, capture_recapture_customers,
 #: priority_transition_matrix, chow_test_break,
-#: laspeyres_price_index, stylometry_burrows_delta; no
+#: laspeyres_price_index, stylometry_burrows_delta,
+#: fisher_price_index, type_demand_transfer_topk,
+#: dow_seasonality_strength; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -6727,3 +6727,224 @@ def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "laspeyres_index_milli"
         ),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Fisher ideal price index (Laspeyres x Paasche geometric mean)
+# ---------------------------------------------------------------------------
+
+@register(
+    "fisher_price_index",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q0,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS r0
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = {_LASPEYRES_BASE_YEAR}
+      GROUP BY 1 HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+    cur AS (
+      SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+               AS m,
+             l_partkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qt,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rt
+      FROM lineitem GROUP BY 1, 2
+      HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+    j AS (
+      SELECT cur.m,
+             CAST(SUM(CAST(CAST(cur.rt * 1000 // cur.qt AS BIGINT)
+               AS HUGEINT) * base.q0) AS BIGINT) AS l_num,
+             CAST(SUM(CAST(CAST(base.r0 * 1000 // base.q0 AS BIGINT)
+               AS HUGEINT) * base.q0) AS BIGINT) AS l_den,
+             CAST(SUM(CAST(CAST(cur.rt * 1000 // cur.qt AS BIGINT)
+               AS HUGEINT) * cur.qt) AS BIGINT) AS p_num,
+             CAST(SUM(CAST(CAST(base.r0 * 1000 // base.q0 AS BIGINT)
+               AS HUGEINT) * cur.qt) AS BIGINT) AS p_den,
+             CAST(COUNT(*) AS BIGINT) AS n_matched
+      FROM cur JOIN base ON cur.l_partkey = base.l_partkey
+      GROUP BY 1)
+    SELECT m AS month, n_matched,
+           CAST(l_num * 1000 // l_den AS BIGINT) AS laspeyres_milli,
+           CAST(p_num * 1000 // p_den AS BIGINT) AS paasche_milli,
+           CAST(round(sqrt((CAST(l_num AS DOUBLE) / l_den)
+             * (CAST(p_num AS DOUBLE) / p_den)) * 1000, 0) AS BIGINT)
+             AS fisher_milli
+    FROM j ORDER BY m
+    """,
+)
+def fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full price-index triad per month: Laspeyres (base-year
+    weights, overstates inflation), Paasche (current weights,
+    understates it), and the Fisher IDEAL index — their geometric mean,
+    the national-accounts standard — over the matched basket. The
+    L-P gap itself is the substitution-bias diagnostic.
+
+    Scale: same reduce-before-join shape as laspeyres_price_index; the
+    four weighted sums ride the wide-integer rule for their products,
+    the two pure indices are exact integer milli, and only the Fisher
+    geometric mean is a (mirrored) double expression on the bounded
+    monthly table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round("l_quantity").cast("bigint")
+    base = (
+        li.filter(
+            F.year(F.col("l_shipdate").cast("date")) == _LASPEYRES_BASE_YEAR
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(q).cast("bigint").alias("q0"),
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("r0"),
+        )
+        .filter(F.col("q0") > 0)
+    )
+    cur = (
+        li.groupBy(
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias("m"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(q).cast("bigint").alias("qt"),
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("rt"),
+        )
+        .filter(F.col("qt") > 0)
+    )
+    pt = F.expr("CAST(rt * 1000 DIV qt AS BIGINT)").cast("decimal(38,0)")
+    p0 = F.expr("CAST(r0 * 1000 DIV q0 AS BIGINT)").cast("decimal(38,0)")
+    j = (
+        cur.join(base, "l_partkey")
+        .groupBy("m")
+        .agg(
+            F.sum(pt * F.col("q0")).cast("bigint").alias("l_num"),
+            F.sum(p0 * F.col("q0")).cast("bigint").alias("l_den"),
+            F.sum(pt * F.col("qt")).cast("bigint").alias("p_num"),
+            F.sum(p0 * F.col("qt")).cast("bigint").alias("p_den"),
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        )
+    )
+    return j.select(
+        F.col("m").alias("month"),
+        "n_matched",
+        F.expr("CAST(l_num * 1000 DIV l_den AS BIGINT)").alias(
+            "laspeyres_milli"
+        ),
+        F.expr("CAST(p_num * 1000 DIV p_den AS BIGINT)").alias(
+            "paasche_milli"
+        ),
+        F.round(
+            F.sqrt(
+                (F.col("l_num").cast("double") / F.col("l_den"))
+                * (F.col("p_num").cast("double") / F.col("p_den"))
+            )
+            * 1000,
+            0,
+        )
+        .cast("bigint")
+        .alias("fisher_milli"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Part-type demand transfer (year-over-year customer flow)
+# ---------------------------------------------------------------------------
+
+_TRANSFER_TOPK = 20
+
+
+@register(
+    "type_demand_transfer_topk",
+    oracle=f"""
+    WITH cty AS (
+      SELECT DISTINCT o.o_custkey AS ck, p.p_type AS ty,
+             CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey),
+    flow AS (
+      SELECT a.ty AS type_from, b.ty AS type_to,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cty a JOIN cty b ON a.ck = b.ck AND b.yr = a.yr + 1
+      GROUP BY 1, 2),
+    marg AS (
+      SELECT flow.*,
+             CAST(SUM(n) OVER (PARTITION BY type_from) AS BIGINT)
+               AS tot_from,
+             CAST(SUM(n) OVER (PARTITION BY type_to) AS BIGINT) AS tot_to,
+             CAST(SUM(n) OVER () AS BIGINT) AS tot
+      FROM flow)
+    SELECT type_from, type_to, n,
+           CAST(round(CAST(n AS DOUBLE) * tot
+             / (CAST(tot_from AS DOUBLE) * tot_to) * 1000, 0) AS BIGINT)
+             AS lift_milli
+    FROM marg ORDER BY n DESC, type_from, type_to
+    LIMIT {_TRANSFER_TOPK}
+    """,
+)
+def type_demand_transfer_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year demand TRANSFER between part types: customers who
+    bought type A in year Y and type B in year Y+1, as a flow matrix
+    with independence lift — the substitution/expansion map (a
+    persistent off-diagonal cell with lift > 1 is demand migrating;
+    basket_pairs sees within-order affinity, this sees ACROSS-year
+    movement).
+
+    Scale: the 3-way fact join reduces to DISTINCT (customer, type,
+    year) rows first; the year-shift self-join is key-on-key on
+    custkey (per-customer groups of <=|types|x|years|), and the flow
+    matrix plus margins are bounded-table arithmetic. Lift is one
+    mirrored double expression over exact counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    cty = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("p_type").alias("ty"),
+            F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("yr"),
+        )
+        .distinct()
+    )
+    a, b = cty.alias("a"), cty.alias("b")
+    flow = (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("b.yr") == F.col("a.yr") + 1),
+        )
+        .groupBy(
+            F.col("a.ty").alias("type_from"), F.col("b.ty").alias("type_to")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    marg = flow.select(
+        "*",
+        F.sum("n").over(Window.partitionBy("type_from")).cast("bigint").alias("tot_from"),
+        F.sum("n").over(Window.partitionBy("type_to")).cast("bigint").alias("tot_to"),
+        F.sum("n")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("tot"),
+    )
+    return (
+        marg.select(
+            "type_from",
+            "type_to",
+            "n",
+            F.round(
+                F.col("n").cast("double")
+                * F.col("tot")
+                / (F.col("tot_from").cast("double") * F.col("tot_to"))
+                * 1000,
+                0,
+            )
+            .cast("bigint")
+            .alias("lift_milli"),
+        )
+        .orderBy(F.desc("n"), "type_from", "type_to")
+        .limit(_TRANSFER_TOPK)
+    )

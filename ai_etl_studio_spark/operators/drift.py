@@ -1937,3 +1937,98 @@ def chow_test_break(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chow_f_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality strength (variance explained)
+# ---------------------------------------------------------------------------
+
+#: Between-group sum Σ s1_d²/n_d written out over the seven pivoted
+#: day-of-week columns in FIXED textual order — evaluated identically
+#: (left-associative doubles over exact int64 inputs) in Spark and
+#: DuckDB, so no distributed double sum ever happens.
+_DOW_SB = " + ".join(
+    f"CASE WHEN n_{d} > 0 THEN CAST(s1_{d} AS DOUBLE) * s1_{d} / n_{d}"
+    f" ELSE 0 END"
+    for d in range(1, 8)
+)
+_DOW_PIVOT_DDB = ",\n         ".join(
+    f"CAST(SUM(CASE WHEN dow = {d} THEN 1 ELSE 0 END) AS BIGINT) AS n_{d},"
+    f" CAST(SUM(CASE WHEN dow = {d} THEN rev ELSE 0 END) AS BIGINT) AS s1_{d}"
+    for d in range(1, 8)
+)
+
+
+@register(
+    "dow_seasonality_strength",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    dd AS (
+      SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS dow, rev FROM daily),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+             CAST(SUM(rev) AS BIGINT) AS s1_tot,
+             CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE) AS s2_tot,
+             {_DOW_PIVOT_DDB}
+      FROM dd)
+    SELECT n_tot AS n_days,
+           CAST(round((({_DOW_SB})
+             - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot)
+             / (s2_tot - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot)
+             * 1000000, 0) AS BIGINT) AS dow_r2_micro
+    FROM t
+    """,
+)
+def dow_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of daily-revenue variance DAY-OF-WEEK explains: the
+    one-way-ANOVA R-squared of the daily series against its weekday
+    grouping — one number that says whether a weekly seasonal model
+    (seasonal_naive_mape, stl_decompose_weekly) is worth fitting at
+    all, or the weekday effect is noise.
+
+    Scale: orders reduce to the bounded daily table, then ONE
+    conditional aggregation pivots all seven weekday sufficient
+    statistics into a single row of exact int64 columns (Σrev² rides
+    the wide-integer rule). The between-group sum is a FIXED-ORDER
+    seven-term double expression on that one row — mirrored textually
+    in the oracle — so no distributed double sum and no tick overflow
+    at any revenue magnitude.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("rev")
+    )
+    dd = daily.select(
+        F.dayofweek("d").cast("bigint").alias("dow"), "rev"
+    )
+    rvd = F.col("rev").cast("decimal(38,0)")
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_tot"),
+        F.sum("rev").cast("bigint").alias("s1_tot"),
+        F.sum(rvd * rvd).cast("double").alias("s2_tot"),
+    ]
+    for d in range(1, 8):
+        aggs.append(
+            F.sum(F.when(F.col("dow") == d, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{d}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("dow") == d, F.col("rev")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s1_{d}")
+        )
+    t = dd.agg(*aggs)
+    gm = F.col("s1_tot").cast("double") * F.col("s1_tot") / F.col("n_tot")
+    return t.select(
+        F.col("n_tot").alias("n_days"),
+        F.round(
+            (F.expr(_DOW_SB) - gm) / (F.col("s2_tot") - gm) * 1_000_000, 0
+        )
+        .cast("bigint")
+        .alias("dow_r2_micro"),
+    )

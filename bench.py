@@ -318,6 +318,9 @@ HEADLINE = [
     "chow_test_break",
     "laspeyres_price_index",
     "stylometry_burrows_delta",
+    "fisher_price_index",
+    "type_demand_transfer_topk",
+    "dow_seasonality_strength",
 ]
 
 

@@ -1934,3 +1934,98 @@ def test_burrows_delta_replay(spark):
     for s in want:
         assert got[s][0] == want[s][0]
         assert abs(got[s][1] - want[s][1]) <= 1
+
+
+def test_fisher_index_replay(spark):
+    rows = QUERIES["fisher_price_index"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    base = defaultdict(lambda: [0, 0])
+    cur = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for x in li:
+        q, rv = round(x.l_quantity), round(x.l_extendedprice * 100)
+        if x.l_shipdate.year == 1995:
+            base[x.l_partkey][0] += q
+            base[x.l_partkey][1] += rv
+        cur[(x.l_shipdate.year, x.l_shipdate.month)][x.l_partkey][0] += q
+        cur[(x.l_shipdate.year, x.l_shipdate.month)][x.l_partkey][1] += rv
+    for r in rows:
+        m = (r.month.year, r.month.month)
+        ln = ld = pn = pd_ = 0
+        for pk, (qt, rt) in cur[m].items():
+            if pk not in base or base[pk][0] <= 0 or qt <= 0:
+                continue
+            q0, r0 = base[pk]
+            pt, p0 = rt * 1000 // qt, r0 * 1000 // q0
+            ln += pt * q0
+            ld += p0 * q0
+            pn += pt * qt
+            pd_ += p0 * qt
+        assert r.laspeyres_milli == ln * 1000 // ld
+        assert r.paasche_milli == pn * 1000 // pd_
+        want_f = math.sqrt((ln / ld) * (pn / pd_)) * 1000
+        assert abs(r.fisher_milli - want_f) <= 1
+        # Fisher sits between its factors
+        lo, hi = sorted((r.laspeyres_milli, r.paasche_milli))
+        assert lo - 1 <= r.fisher_milli <= hi + 1
+
+
+def test_type_transfer_replay(spark):
+    rows = QUERIES["type_demand_transfer_topk"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    od = {
+        o.o_orderkey: (o.o_custkey, o.o_orderdate.year)
+        for o in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    ptype = {
+        p.p_partkey: p.p_type
+        for p in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    cty = {(od[x.l_orderkey][0], ptype[x.l_partkey], od[x.l_orderkey][1])
+           for x in li}
+    flow = Counter()
+    by_ck = defaultdict(list)
+    for ck, ty, yr in cty:
+        by_ck[ck].append((ty, yr))
+    for ck, pairs in by_ck.items():
+        for ta, ya in pairs:
+            for tb, yb in pairs:
+                if yb == ya + 1:
+                    flow[(ta, tb)] += 1
+    tot_from, tot_to = Counter(), Counter()
+    for (a, b), v in flow.items():
+        tot_from[a] += v
+        tot_to[b] += v
+    tot = sum(flow.values())
+    scored = sorted(
+        (
+            (a, b, v,
+             math.floor(v * tot / (tot_from[a] * tot_to[b]) * 1000 + 0.5))
+            for (a, b), v in flow.items()
+        ),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:20]
+    got = [(r.type_from, r.type_to, r.n, r.lift_milli) for r in rows]
+    for g, w in zip(got, scored):
+        assert g[:3] == w[:3]
+        assert abs(g[3] - w[3]) <= 1
+
+
+def test_dow_r2_replay(spark):
+    [r] = QUERIES["dow_seasonality_strength"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    daily = defaultdict(int)
+    for o in orders:
+        daily[o.o_orderdate.date()] += round(o.o_totalprice * 100)
+    groups = defaultdict(list)
+    for d, rev in daily.items():
+        groups[d.isoweekday() % 7 + 1].append(rev)  # Spark: Sunday=1
+    n = len(daily)
+    s1 = sum(daily.values())
+    s2 = float(sum(v * v for v in daily.values()))
+    sb = sum(sum(v) ** 2 / len(v) for v in groups.values())
+    gm = s1 * s1 / n
+    want = (sb - gm) / (s2 - gm) * 1e6
+    assert r.n_days == n
+    assert abs(r.dow_r2_micro - want) <= 2
+    # R-squared bounds
+    assert 0 <= r.dow_r2_micro <= 1_000_000

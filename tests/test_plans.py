@@ -1923,3 +1923,32 @@ class TestDriftPlans:
         assert "Scan parquet" not in t and "Scan ExistingRDD" in t
         df = QUERIES["stylometry_burrows_delta"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_fisher_reduce_before_join(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "fisher_price_index")
+        assert t.count("HashAggregate") >= 4
+        df = QUERIES["fisher_price_index"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_type_transfer_distinct_before_shift_join(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the 3-way fact join reduces to DISTINCT (cust, type, year)
+        # before the key-on-key year-shift self-join
+        t = tree(spark, "type_demand_transfer_topk")
+        assert "CartesianProduct" not in t
+        assert "TakeOrderedAndProject" in t
+        df = QUERIES["type_demand_transfer_topk"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_dow_r2_single_row_pivot(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # daily reduction then ONE conditional aggregation to a single
+        # row — no window, no join, no distributed double sum
+        t = tree(spark, "dow_seasonality_strength")
+        assert "Join" not in t and "Window" not in t
+        df = QUERIES["dow_seasonality_strength"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
