@@ -6948,3 +6948,144 @@ def type_demand_transfer_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "type_from", "type_to")
         .limit(_TRANSFER_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Part launch velocity (first-90-day demand share)
+# ---------------------------------------------------------------------------
+
+_LAUNCH_WINDOW_DAYS = 90
+_LAUNCH_MIN_LINES = 20
+_LAUNCH_TOPK = 20
+
+
+@register(
+    "part_launch_velocity_topk",
+    oracle=f"""
+    WITH fp AS (
+      SELECT l_partkey, MIN(CAST(l_shipdate AS DATE)) AS launch
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT l.l_partkey,
+             CASE WHEN CAST(l.l_shipdate AS DATE) - fp.launch
+               < {_LAUNCH_WINDOW_DAYS} THEN 1 ELSE 0 END AS in_launch
+      FROM lineitem l JOIN fp ON l.l_partkey = fp.l_partkey),
+    s AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(in_launch) AS BIGINT) AS n_launch
+      FROM j GROUP BY 1 HAVING COUNT(*) >= {_LAUNCH_MIN_LINES})
+    SELECT l_partkey, n_lines, n_launch,
+           CAST(n_launch * 1000000 // n_lines AS BIGINT)
+             AS launch_share_ppm
+    FROM s ORDER BY launch_share_ppm DESC, l_partkey
+    LIMIT {_LAUNCH_TOPK}
+    """,
+)
+def part_launch_velocity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Launch-heavy parts: the share of each part's lifetime demand
+    that landed in its FIRST {_LAUNCH_WINDOW_DAYS} days on market —
+    fad-vs-staple classification (a part that did a quarter of its
+    lifetime volume in its launch window is a fad; inventory policy
+    for fads and staples should not be the same policy).
+
+    Scale: the launch date compacts per part map-side (MIN); the join
+    back is key-on-key carrying one date; the flag reduction and the
+    heap top-k are bounded. Exact integer ppm with a volume floor.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    fp = li.groupBy("l_partkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("launch")
+    )
+    j = li.join(fp, "l_partkey").select(
+        "l_partkey",
+        F.when(
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("launch"))
+            < _LAUNCH_WINDOW_DAYS,
+            1,
+        )
+        .otherwise(0)
+        .alias("in_launch"),
+    )
+    s = (
+        j.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("in_launch").cast("bigint").alias("n_launch"),
+        )
+        .filter(F.col("n_lines") >= _LAUNCH_MIN_LINES)
+    )
+    return (
+        s.select(
+            "l_partkey",
+            "n_lines",
+            "n_launch",
+            F.expr("CAST(n_launch * 1000000 DIV n_lines AS BIGINT)").alias(
+                "launch_share_ppm"
+            ),
+        )
+        .orderBy(F.desc("launch_share_ppm"), "l_partkey")
+        .limit(_LAUNCH_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Balance x activity quadrant (credit-risk screen)
+# ---------------------------------------------------------------------------
+
+@register(
+    "debt_activity_quadrant",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE year(CAST(o_orderdate AS DATE)) >= 1998),
+    q AS (
+      SELECT CASE WHEN c.c_acctbal < 0 THEN 'in_debt' ELSE 'solvent' END
+               AS balance_band,
+             CASE WHEN act.o_custkey IS NOT NULL THEN 'active_1998'
+                  ELSE 'inactive' END AS activity_band,
+             c.c_acctbal
+      FROM customer c LEFT JOIN act ON c.c_custkey = act.o_custkey)
+    SELECT balance_band, activity_band,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_balance_cents
+    FROM q GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def debt_activity_quadrant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The credit-risk quadrant: customers split by balance sign
+    (in-debt vs solvent) crossed with recent activity (ordered in 1998
+    vs lapsed), with headcount and total balance per cell — in-debt AND
+    still-buying is the collections-priority cell; in-debt and gone is
+    the write-off cell. The two-axis screen a single-metric aging
+    report flattens.
+
+    Scale: the activity flag is a key-distinct reduction LEFT-joined
+    key-on-key onto customers; everything collapses to four cells with
+    map-side combine. Exact integer cents (negative balances sum
+    exactly — no float drift on the write-off column).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    act = (
+        o.filter(F.year(F.col("o_orderdate").cast("date")) >= 1998)
+        .select("o_custkey")
+        .distinct()
+    )
+    q = c.join(act, c.c_custkey == act.o_custkey, "left").select(
+        F.when(F.col("c_acctbal") < 0, "in_debt")
+        .otherwise("solvent")
+        .alias("balance_band"),
+        F.when(F.col("o_custkey").isNotNull(), "active_1998")
+        .otherwise("inactive")
+        .alias("activity_band"),
+        cents("c_acctbal").alias("bal"),
+    )
+    return (
+        q.groupBy("balance_band", "activity_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("bal").cast("bigint").alias("total_balance_cents"),
+        )
+        .orderBy("balance_band", "activity_band")
+    )

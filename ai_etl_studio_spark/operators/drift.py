@@ -2032,3 +2032,93 @@ def dow_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dow_r2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (heavy-tail diagnostic)
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100
+
+
+@register(
+    "hill_tail_index",
+    oracle=f"""
+    WITH topv AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders ORDER BY v DESC, o_orderkey LIMIT {_HILL_K + 1}),
+    r AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS kk
+      FROM topv),
+    xk AS (SELECT CAST(MIN(v) AS BIGINT) AS vmin FROM r),
+    lt AS (
+      SELECT CAST(round(ln(CAST(r.v AS DOUBLE) / xk.vmin) * 1000000000, 0)
+        AS BIGINT) AS lnr
+      FROM r CROSS JOIN xk WHERE r.rk < r.kk)
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_order_stats,
+           CAST(SUM(lnr) AS BIGINT) AS sum_ln_ratio_nano,
+           CAST(round(CAST(COUNT(*) AS DOUBLE)
+             / (CAST(SUM(lnr) AS DOUBLE) / 1e9) * 1000000, 0) AS BIGINT)
+             AS hill_alpha_micro
+    FROM lt
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index over the top
+    {_HILL_K} order statistics: alpha-hat = k / Σ ln(x_i / x_k). Small
+    alpha (< 2) means a genuinely heavy tail — whale orders dominate
+    totals, means are unstable, and capacity must be sized to extremes;
+    large alpha says the tail is thin and mean-based planning is safe.
+    The heavy-tail gate in front of any mean-based KPI.
+
+    Scale: the top-(k+1) selection is a TakeOrderedAndProject heap
+    (bounded k, deterministic orderkey tiebreak — boundary ties all
+    share the same value, so which one becomes x_k cannot change the
+    estimate); the log-ratios quantize to nano ticks against the
+    broadcast 1-row x_k before the exact k-element integer sum.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    topv = (
+        o.select(cents("o_totalprice").alias("v"), "o_orderkey")
+        .orderBy(F.desc("v"), "o_orderkey")
+        .limit(_HILL_K + 1)
+        .select("v")
+    )
+    r = topv.select(
+        "v",
+        F.row_number().over(Window.orderBy(F.desc("v"))).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("kk"),
+    )
+    xk = r.agg(F.min("v").cast("bigint").alias("vmin"))
+    lt = (
+        r.crossJoin(F.broadcast(xk))
+        .filter(F.col("rk") < F.col("kk"))
+        .select(
+            F.round(
+                F.log(F.col("v").cast("double") / F.col("vmin"))
+                * 1_000_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("lnr")
+        )
+    )
+    return lt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_order_stats"),
+        F.sum("lnr").cast("bigint").alias("sum_ln_ratio_nano"),
+    ).select(
+        "k_order_stats",
+        "sum_ln_ratio_nano",
+        F.round(
+            F.col("k_order_stats").cast("double")
+            / (F.col("sum_ln_ratio_nano").cast("double") / 1e9)
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("hill_alpha_micro"),
+    )

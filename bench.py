@@ -321,6 +321,9 @@ HEADLINE = [
     "fisher_price_index",
     "type_demand_transfer_topk",
     "dow_seasonality_strength",
+    "part_launch_velocity_topk",
+    "debt_activity_quadrant",
+    "hill_tail_index",
 ]
 
 

@@ -2615,3 +2615,72 @@ def test_ivm_distinct_delta_replay(spark):
         # the WHOLE POINT: incremental equals recompute everywhere
         assert r.n_inc == r.n_full
         assert r.consistent == 1
+
+
+def test_part_launch_velocity_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["part_launch_velocity_topk"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    ships = defaultdict(list)
+    for x in li:
+        ships[x.l_partkey].append(x.l_shipdate.date())
+    scored = []
+    for pk, ds in ships.items():
+        if len(ds) < 20:
+            continue
+        launch = min(ds)
+        nl = sum((d - launch).days < 90 for d in ds)
+        scored.append((pk, len(ds), nl, nl * 1_000_000 // len(ds)))
+    scored.sort(key=lambda t: (-t[3], t[0]))
+    got = [(r.l_partkey, r.n_lines, r.n_launch, r.launch_share_ppm)
+           for r in rows]
+    assert got == scored[:20]
+
+
+def test_debt_quadrant_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["debt_activity_quadrant"](spark, SF_DIR).collect()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    active = {
+        o.o_custkey
+        for o in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+        if o.o_orderdate.year >= 1998
+    }
+    cells = defaultdict(lambda: [0, 0])
+    for c in cust:
+        k = (
+            "in_debt" if c.c_acctbal < 0 else "solvent",
+            "active_1998" if c.c_custkey in active else "inactive",
+        )
+        cells[k][0] += 1
+        cells[k][1] += round(c.c_acctbal * 100)
+    got = {
+        (r.balance_band, r.activity_band): (r.n_customers,
+                                            r.total_balance_cents)
+        for r in rows
+    }
+    assert got == {k: tuple(v) for k, v in cells.items()}
+    # quadrants partition the customer base
+    assert sum(v[0] for v in got.values()) == len(cust)
+
+
+def test_hill_tail_replay(spark):
+    import math
+
+    [r] = QUERIES["hill_tail_index"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    vals = sorted(
+        (round(o.o_totalprice * 100) for o in orders), reverse=True
+    )[:101]
+    vmin = vals[-1]
+    lnrs = [
+        math.floor(math.log(v / vmin) * 1e9 + 0.5) for v in vals[:-1]
+    ]
+    assert r.k_order_stats == 100
+    assert abs(r.sum_ln_ratio_nano - sum(lnrs)) <= 100
+    alpha = 100 / (sum(lnrs) / 1e9) * 1e6
+    assert abs(r.hill_alpha_micro - alpha) <= abs(alpha) * 1e-5 + 2
+    # alpha is positive and, for bounded synthetic prices, large
+    assert r.hill_alpha_micro > 1_000_000

@@ -1952,3 +1952,33 @@ class TestDriftPlans:
         assert "Join" not in t and "Window" not in t
         df = QUERIES["dow_seasonality_strength"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_launch_velocity_minmax_compaction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # launch dates compact per part before the key-on-key join
+        t = tree(spark, "part_launch_velocity_topk")
+        assert "TakeOrderedAndProject" in t
+        assert t.count("HashAggregate") >= 4
+        df = QUERIES["part_launch_velocity_topk"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_debt_quadrant_distinct_flag_join(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # key-distinct activity flag LEFT-joined onto customers; four
+        # cells out
+        t = tree(spark, "debt_activity_quadrant")
+        assert t.count("HashAggregate") >= 3
+        df = QUERIES["debt_activity_quadrant"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_hill_heap_selection(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the top-(k+1) selection is a heap; everything after runs on
+        # the bounded order-statistics table
+        t = tree(spark, "hill_tail_index")
+        assert "TakeOrderedAndProject" in t
+        df = QUERIES["hill_tail_index"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
