@@ -126,7 +126,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: laspeyres_price_index, stylometry_burrows_delta,
 #: fisher_price_index, type_demand_transfer_topk,
 #: dow_seasonality_strength, part_launch_velocity_topk,
-#: debt_activity_quadrant, hill_tail_index; no
+#: debt_activity_quadrant, hill_tail_index, bass_diffusion_fit,
+#: newsvendor_quantile_by_type, order_count_dispersion; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -2122,3 +2122,64 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hill_alpha_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-count overdispersion test (variance-to-mean ratio)
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_count_dispersion",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS s1,
+             CAST(SUM(CAST(k AS HUGEINT) * k) AS DOUBLE) AS s2
+      FROM pc)
+    SELECT n AS n_customers, s1 AS n_orders,
+           CAST(round((s2 / n - (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n)) / (CAST(s1 AS DOUBLE) / n)
+             * 1000000, 0) AS BIGINT) AS vmr_micro,
+           CAST(round(((s2 / n - (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n)) / (CAST(s1 AS DOUBLE) / n) - 1)
+             * sqrt((n - 1) / 2.0e0) * 1000000, 0) AS BIGINT)
+             AS z_overdisp_micro
+    FROM s
+    """,
+)
+def order_count_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are per-customer order counts Poisson, or is demand CLUMPED? The
+    variance-to-mean ratio (VMR = 1 under Poisson) with its z-test —
+    VMR >> 1 means a negative-binomial world (a few heavy repeaters
+    carry the volume; per-customer forecasts need a dispersion
+    parameter), VMR < 1 means scheduled/regular ordering. The
+    count-model gate in front of any per-customer rate forecast.
+
+    Scale: one reduction to per-customer counts, one to the three
+    sufficient statistics (Σk² through the wide-integer rule); VMR and
+    its z are a mirrored final expression on a single row.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    kd = F.col("k").cast("decimal(38,0)")
+    s = pc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("s1"),
+        F.sum(kd * kd).cast("double").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    vmr = (F.col("s2") / F.col("n") - mu * mu) / mu
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("s1").alias("n_orders"),
+        F.round(vmr * 1_000_000, 0).cast("bigint").alias("vmr_micro"),
+        F.round(
+            (vmr - 1) * F.sqrt((F.col("n") - 1) / F.lit(2.0)) * 1_000_000, 0
+        )
+        .cast("bigint")
+        .alias("z_overdisp_micro"),
+    )

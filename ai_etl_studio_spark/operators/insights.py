@@ -3508,3 +3508,119 @@ def session_value_by_entry_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bass diffusion regression (adopter curve fit)
+# ---------------------------------------------------------------------------
+
+#: Cramer's-rule fragments for the quadratic fit n_t = a + b·N + c·N²
+#: over the sufficient sums (n, sx1..sx4, sy, sxy, sx2y) — ONE shared
+#: text evaluated identically (fixed-order doubles over exact wide-int
+#: inputs) in the Spark projection and the DuckDB oracle.
+_BASS_D = (
+    "(n*(sx2*sx4 - sx3*sx3) - sx1*(sx1*sx4 - sx3*sx2)"
+    " + sx2*(sx1*sx3 - sx2*sx2))"
+)
+_BASS_DA = (
+    "(sy*(sx2*sx4 - sx3*sx3) - sx1*(sxy*sx4 - sx3*sx2y)"
+    " + sx2*(sxy*sx3 - sx2*sx2y))"
+)
+_BASS_DB = (
+    "(n*(sxy*sx4 - sx3*sx2y) - sy*(sx1*sx4 - sx3*sx2)"
+    " + sx2*(sx1*sx2y - sxy*sx2))"
+)
+_BASS_DC = (
+    "(n*(sx2*sx2y - sxy*sx3) - sx1*(sx1*sx2y - sxy*sx2)"
+    " + sy*(sx1*sx3 - sx2*sx2))"
+)
+
+
+@register(
+    "bass_diffusion_fit",
+    oracle=f"""
+    WITH ff AS (
+      SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS fd
+      FROM orders GROUP BY 1),
+    m AS (
+      SELECT CAST(year(fd) * 12 + month(fd) AS BIGINT) AS mi,
+             CAST(COUNT(*) AS BIGINT) AS n_t
+      FROM ff GROUP BY 1),
+    c AS (
+      SELECT mi, n_t,
+             CAST(COALESCE(SUM(n_t) OVER (ORDER BY mi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS np
+      FROM m),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(np) AS BIGINT) AS DOUBLE) AS sx1,
+             CAST(SUM(CAST(np AS HUGEINT) * np) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(np AS HUGEINT) * np * np) AS DOUBLE) AS sx3,
+             CAST(SUM(CAST(np AS HUGEINT) * np * np * np) AS DOUBLE) AS sx4,
+             CAST(CAST(SUM(n_t) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(np AS HUGEINT) * n_t) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(np AS HUGEINT) * np * n_t) AS DOUBLE) AS sx2y
+      FROM c)
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST(round({_BASS_DA} / {_BASS_D} * 1000, 0) AS BIGINT)
+             AS a_milli,
+           CAST(round({_BASS_DB} / {_BASS_D} * 1000000000, 0) AS BIGINT)
+             AS b_nano,
+           CAST(round({_BASS_DC} / {_BASS_D} * 1000000000000, 0) AS BIGINT)
+             AS c_pico
+    FROM s
+    """,
+)
+def bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bass diffusion discrete regression n_t = a + b·N + c·N² on
+    monthly FIRST-TIME customers (N = cumulative adopters): the
+    marketing-science fit whose coefficients encode innovation (p=a/M)
+    and imitation (q) forces — an S-curve (c<0, b>0) says word-of-mouth
+    is compounding and the market will saturate at the quadratic's
+    root; a flat/declining fit says acquisition is purely external
+    spend. Run on any product's adopter stream.
+
+    Scale: adopters compact per customer (MIN), reduce to |month|
+    rows; ONE aggregation builds all seven sufficient sums with powers
+    riding the wide-integer rule (N^4 fits decimal(38)); the Cramer's
+    rule solve is a shared fixed-order text on the final single row —
+    no matrix library, no iteration, no distributed double sum.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ff = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("fd")
+    )
+    m = ff.groupBy(
+        (F.year("fd") * 12 + F.month("fd")).cast("bigint").alias("mi")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    w = Window.orderBy("mi").rowsBetween(Window.unboundedPreceding, -1)
+    c = m.select(
+        "n_t",
+        F.coalesce(F.sum("n_t").over(w), F.lit(0)).cast("bigint").alias("np"),
+    )
+    npd = F.col("np").cast("decimal(38,0)")
+    ntd = F.col("n_t").cast("decimal(38,0)")
+    s = c.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("np").cast("bigint").cast("double").alias("sx1"),
+        F.sum(npd * npd).cast("double").alias("sx2"),
+        F.sum(npd * npd * npd).cast("double").alias("sx3"),
+        F.sum(npd * npd * npd * npd).cast("double").alias("sx4"),
+        F.sum("n_t").cast("bigint").cast("double").alias("sy"),
+        F.sum(npd * ntd).cast("double").alias("sxy"),
+        F.sum(npd * npd * ntd).cast("double").alias("sx2y"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_months"),
+        F.expr(
+            f"CAST(round({_BASS_DA} / {_BASS_D} * 1000, 0) AS BIGINT)"
+        ).alias("a_milli"),
+        F.expr(
+            f"CAST(round({_BASS_DB} / {_BASS_D} * 1000000000, 0) AS BIGINT)"
+        ).alias("b_nano"),
+        F.expr(
+            f"CAST(round({_BASS_DC} / {_BASS_D} * 1000000000000, 0)"
+            " AS BIGINT)"
+        ).alias("c_pico"),
+    )

@@ -324,6 +324,9 @@ HEADLINE = [
     "part_launch_velocity_topk",
     "debt_activity_quadrant",
     "hill_tail_index",
+    "bass_diffusion_fit",
+    "newsvendor_quantile_by_type",
+    "order_count_dispersion",
 ]
 
 

@@ -2684,3 +2684,85 @@ def test_hill_tail_replay(spark):
     assert abs(r.hill_alpha_micro - alpha) <= abs(alpha) * 1e-5 + 2
     # alpha is positive and, for bounded synthetic prices, large
     assert r.hill_alpha_micro > 1_000_000
+
+
+def test_bass_fit_replay(spark):
+    import math
+    from collections import defaultdict
+
+    [r] = QUERIES["bass_diffusion_fit"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    first = {}
+    for o in orders:
+        d = o.o_orderdate.date()
+        first[o.o_custkey] = min(first.get(o.o_custkey, d), d)
+    months = defaultdict(int)
+    for d in first.values():
+        months[d.year * 12 + d.month] += 1
+    mis = sorted(months)
+    pts = []
+    cum = 0
+    for mi in mis:
+        pts.append((cum, months[mi]))
+        cum += months[mi]
+    n = len(pts)
+    sx1 = sum(x for x, _ in pts)
+    sx2 = sum(x * x for x, _ in pts)
+    sx3 = sum(x**3 for x, _ in pts)
+    sx4 = sum(x**4 for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sx2y = sum(x * x * y for x, y in pts)
+    import numpy as np
+
+    A = np.array([[n, sx1, sx2], [sx1, sx2, sx3], [sx2, sx3, sx4]], float)
+    b = np.array([sy, sxy, sx2y], float)
+    a_, b_, c_ = np.linalg.solve(A, b)
+    assert r.n_months == n
+    assert abs(r.a_milli - a_ * 1000) <= max(2, abs(a_ * 1000) * 1e-6)
+    assert abs(r.b_nano - b_ * 1e9) <= max(2, abs(b_ * 1e9) * 1e-6)
+    assert abs(r.c_pico - c_ * 1e12) <= max(2, abs(c_ * 1e12) * 1e-6)
+
+
+def test_newsvendor_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["newsvendor_quantile_by_type"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    ptype = {
+        p.p_partkey: p.p_type
+        for p in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    md = defaultdict(lambda: defaultdict(int))
+    for x in li:
+        md[ptype[x.l_partkey]][
+            (x.l_shipdate.year, x.l_shipdate.month)
+        ] += round(x.l_quantity)
+    for r in rows:
+        demands = sorted(md[r.ptype].values())
+        nm = len(demands)
+        assert r.n_months == nm
+        assert r.mean_demand == sum(demands) // nm
+        assert r.q80_stock == demands[(nm * 8 + 9) // 10 - 1]
+        # the quantile stock covers the mean-stocker's shortfall
+        assert r.q80_stock >= r.mean_demand
+    assert len(rows) == len(md)
+
+
+def test_order_dispersion_replay(spark):
+    import math
+    from collections import Counter
+
+    [r] = QUERIES["order_count_dispersion"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    k = Counter(o.o_custkey for o in orders)
+    n = len(k)
+    s1 = sum(k.values())
+    s2 = sum(v * v for v in k.values())
+    mu = s1 / n
+    vmr = (s2 / n - mu * mu) / mu
+    assert (r.n_customers, r.n_orders) == (n, s1)
+    assert abs(r.vmr_micro - vmr * 1e6) <= 1
+    assert abs(
+        r.z_overdisp_micro - (vmr - 1) * math.sqrt((n - 1) / 2) * 1e6
+    ) <= 2

@@ -1982,3 +1982,32 @@ class TestDriftPlans:
         assert "TakeOrderedAndProject" in t
         df = QUERIES["hill_tail_index"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_bass_single_row_solve(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # adopters compact per customer, reduce to months, then ONE
+        # sufficient-sum row; Cramer solve is a final projection
+        t = tree(spark, "bass_diffusion_fit")
+        assert "Join" not in t
+        assert t.count("HashAggregate") >= 4
+        df = QUERIES["bass_diffusion_fit"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_newsvendor_selection_quantile(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # exact quantile by row_number SELECTION on per-type month
+        # partitions — no percentile approx, no global sort
+        t = tree(spark, "newsvendor_quantile_by_type")
+        assert "Window" in t
+        df = QUERIES["newsvendor_quantile_by_type"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_dispersion_two_reductions(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "order_count_dispersion")
+        assert "Join" not in t and "Window" not in t
+        df = QUERIES["order_count_dispersion"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
