@@ -7160,3 +7160,74 @@ def newsvendor_quantile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ptype")
     )
+
+
+# ---------------------------------------------------------------------------
+# Economic order quantity by part type
+# ---------------------------------------------------------------------------
+
+_EOQ_ORDER_COST = 50   # $ per purchase order placed
+_EOQ_HOLD_COST = 2     # $ per unit-year of stock held
+
+
+@register(
+    "eoq_by_type",
+    oracle=f"""
+    WITH d AS (
+      SELECT p.p_type AS ptype,
+             CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+               AS annual_units,
+             CAST(COUNT(DISTINCT year(CAST(l.l_shipdate AS DATE)))
+               AS BIGINT) AS n_years
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1)
+    SELECT ptype, annual_units, n_years,
+           CAST(annual_units // n_years AS BIGINT) AS units_per_year,
+           CAST(round(sqrt(2.0e0 * (CAST(annual_units AS DOUBLE) / n_years)
+             * {_EOQ_ORDER_COST} / {_EOQ_HOLD_COST}), 0) AS BIGINT)
+             AS eoq_units,
+           CAST(round((CAST(annual_units AS DOUBLE) / n_years)
+             / sqrt(2.0e0 * (CAST(annual_units AS DOUBLE) / n_years)
+               * {_EOQ_ORDER_COST} / {_EOQ_HOLD_COST}), 0) AS BIGINT)
+             AS orders_per_year
+    FROM d ORDER BY ptype
+    """,
+)
+def eoq_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The economic order quantity per part type — Wilson's
+    sqrt(2DS/H) with ordering cost ${_EOQ_ORDER_COST}/PO and holding
+    cost ${_EOQ_HOLD_COST}/unit-year (policy constants, swap per
+    contract) — plus the implied replenishment frequency. Pairs with
+    newsvendor_quantile_by_type: EOQ sets HOW MUCH per order, the
+    quantile sets the safety level.
+
+    Scale: ONE fact reduction to |type| rows (exact annual unit
+    volumes; the distinct-year count is bounded); the EOQ formula is a
+    mirrored double expression on that bounded table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    d = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("ptype"))
+        .agg(
+            F.sum(F.round("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("annual_units"),
+            F.countDistinct(F.year(F.col("l_shipdate").cast("date")))
+            .cast("bigint")
+            .alias("n_years"),
+        )
+    )
+    dy = F.col("annual_units").cast("double") / F.col("n_years")
+    eoq = F.sqrt(F.lit(2.0) * dy * _EOQ_ORDER_COST / _EOQ_HOLD_COST)
+    return d.select(
+        "ptype",
+        "annual_units",
+        "n_years",
+        F.expr("CAST(annual_units DIV n_years AS BIGINT)").alias(
+            "units_per_year"
+        ),
+        F.round(eoq, 0).cast("bigint").alias("eoq_units"),
+        F.round(dy / eoq, 0).cast("bigint").alias("orders_per_year"),
+    ).orderBy("ptype")

@@ -2183,3 +2183,69 @@ def order_count_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("z_overdisp_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley cumulative-deviation drift statistic
+# ---------------------------------------------------------------------------
+
+_PH_REF_YEAR = 1995
+
+
+@register(
+    "page_hinkley_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    ref AS (
+      SELECT CAST(SUM(rev) // COUNT(*) AS BIGINT) AS mu
+      FROM daily WHERE year(d) = {_PH_REF_YEAR}),
+    m AS (
+      SELECT daily.d,
+             CAST(SUM(daily.rev - ref.mu) OVER (ORDER BY daily.d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mt
+      FROM daily CROSS JOIN ref)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(mt) AS BIGINT) AS max_mt,
+           CAST(MIN(mt) AS BIGINT) AS min_mt,
+           CAST(MAX(mt) - MIN(mt) AS BIGINT) AS ph_range_cents
+    FROM m
+    """,
+)
+def page_hinkley_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley cumulative-deviation statistic for the daily
+    revenue stream against the {_PH_REF_YEAR} reference mean: the
+    running sum of (x_t − μ_ref) and its max−min RANGE — the classic
+    sequential change detector (a level shift shows up as the range
+    exploding long before any monthly average moves; cusum_level_shift
+    localizes WHERE, this is the one-number alarm magnitude).
+
+    Scale: orders reduce to the bounded daily series; the reference
+    mean is a 1-row aggregate-derived broadcast (exact integer floor);
+    the cumulative window runs over |days| rows and the extrema reduce
+    to one row. Exact integer cents end to end.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("rev")
+    )
+    ref = daily.filter(F.year("d") == _PH_REF_YEAR).agg(
+        F.expr("CAST(SUM(rev) DIV COUNT(*) AS BIGINT)").alias("mu")
+    )
+    m = daily.crossJoin(F.broadcast(ref)).select(
+        F.sum(F.col("rev") - F.col("mu"))
+        .over(
+            Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("mt")
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("mt").cast("bigint").alias("max_mt"),
+        F.min("mt").cast("bigint").alias("min_mt"),
+        (F.max("mt") - F.min("mt")).cast("bigint").alias("ph_range_cents"),
+    )

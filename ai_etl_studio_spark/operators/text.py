@@ -3428,3 +3428,73 @@ def stylometry_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("burrows_delta_milli"), "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Yule's K vocabulary-richness characteristic per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "yule_k_by_source",
+    oracle=r"""
+    WITH tc AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source,
+              unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                w -> w <> '')) AS term
+            FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)
+      GROUP BY 1, 2)
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST((10000 * (SUM(CAST(c AS HUGEINT) * c) - SUM(c)) * 1000000)
+             // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT)
+             AS yule_k_micro
+    FROM tc GROUP BY source ORDER BY source
+    """,
+)
+def yule_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K characteristic per source — the classic repetitiveness
+    constant K = 10^4 (Σc² − N)/N², INDEPENDENT of text length (unlike
+    type-token ratios, which collapse as N grows): a source whose K
+    jumps is recycling vocabulary regardless of how much it writes.
+    The length-invariant leg of the richness triad next to
+    hapax_rate_by_source and lexical_diversity_by_source.
+
+    Scale: one tokenize pass to (source, term) counts; K is EXACT
+    integer micro via wide-integer arithmetic (Σc² and N² through
+    HUGEINT/decimal(38), one integral division whose quotient is
+    bounded ~10^10) — no float anywhere in the statistic.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    tc = (
+        d.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+            ).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum(cd * cd).alias("s2"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.expr(
+                "CAST((10000 * (s2 - n_tokens) * 1000000)"
+                " DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)"
+                " AS BIGINT)"
+            ).alias("yule_k_micro"),
+        )
+        .orderBy("source")
+    )

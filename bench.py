@@ -327,6 +327,9 @@ HEADLINE = [
     "bass_diffusion_fit",
     "newsvendor_quantile_by_type",
     "order_count_dispersion",
+    "yule_k_by_source",
+    "eoq_by_type",
+    "page_hinkley_revenue",
 ]
 
 

@@ -2029,3 +2029,65 @@ def test_dow_r2_replay(spark):
     assert abs(r.dow_r2_micro - want) <= 2
     # R-squared bounds
     assert 0 <= r.dow_r2_micro <= 1_000_000
+
+
+def test_yule_k_replay(spark):
+    import re
+
+    rows = QUERIES["yule_k_by_source"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    cnt = defaultdict(Counter)
+    for d in docs:
+        if d.text is None or d.source is None:
+            continue
+        cnt[d.source].update(w for w in re.split(r"\s+", d.text.lower()) if w)
+    assert {r.source for r in rows} == set(cnt)
+    for r in rows:
+        c = cnt[r.source]
+        n = sum(c.values())
+        s2 = sum(v * v for v in c.values())
+        assert (r.n_tokens, r.vocab) == (n, len(c))
+        assert r.yule_k_micro == 10_000 * (s2 - n) * 1_000_000 // (n * n)
+        # bounded-vocab synthetic text is HIGHLY repetitive: K >> 100
+        assert r.yule_k_micro > 100_000_000
+
+
+def test_eoq_replay(spark):
+    rows = QUERIES["eoq_by_type"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    ptype = {
+        p.p_partkey: p.p_type
+        for p in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    units, years = defaultdict(int), defaultdict(set)
+    for x in li:
+        t = ptype[x.l_partkey]
+        units[t] += round(x.l_quantity)
+        years[t].add(x.l_shipdate.year)
+    for r in rows:
+        au, ny = units[r.ptype], len(years[r.ptype])
+        assert (r.annual_units, r.n_years) == (au, ny)
+        dy = au / ny
+        eoq = math.sqrt(2 * dy * 50 / 2)
+        assert abs(r.eoq_units - eoq) <= 1
+        assert abs(r.orders_per_year - dy / eoq) <= 1
+        # EOQ grows as sqrt of demand: the UNROUNDED frequency times
+        # quantity reproduces demand (integer outputs round each side)
+        assert abs(eoq * (dy / eoq) - dy) < 1e-6
+
+
+def test_page_hinkley_replay(spark):
+    [r] = QUERIES["page_hinkley_revenue"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    daily = defaultdict(int)
+    for o in orders:
+        daily[o.o_orderdate.date()] += round(o.o_totalprice * 100)
+    ref = [v for d, v in daily.items() if d.year == 1995]
+    mu = sum(ref) // len(ref)
+    mt, mts = 0, []
+    for d in sorted(daily):
+        mt += daily[d] - mu
+        mts.append(mt)
+    assert r.n_days == len(daily)
+    assert (r.max_mt, r.min_mt) == (max(mts), min(mts))
+    assert r.ph_range_cents == max(mts) - min(mts)

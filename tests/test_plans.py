@@ -2011,3 +2011,30 @@ class TestDriftPlans:
         assert "Join" not in t and "Window" not in t
         df = QUERIES["order_count_dispersion"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_yule_k_exact_integer(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # one tokenize reduction; K is integral division, no double
+        t = tree(spark, "yule_k_by_source")
+        assert "Join" not in t
+        df = QUERIES["yule_k_by_source"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_eoq_single_reduction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "eoq_by_type")
+        assert "Window" not in t
+        df = QUERIES["eoq_by_type"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_page_hinkley_bounded_cumsum(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the cumulative window runs over the bounded daily series
+        # against the broadcast 1-row reference mean
+        t = tree(spark, "page_hinkley_revenue")
+        assert t.count("Window") == 1
+        df = QUERIES["page_hinkley_revenue"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
