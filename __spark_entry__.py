@@ -128,7 +128,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: dow_seasonality_strength, part_launch_velocity_topk,
 #: debt_activity_quadrant, hill_tail_index, bass_diffusion_fit,
 #: newsvendor_quantile_by_type, order_count_dispersion,
-#: yule_k_by_source, eoq_by_type, page_hinkley_revenue; no
+#: yule_k_by_source, eoq_by_type, page_hinkley_revenue,
+#: order_total_reconciliation, discount_demand_response,
+#: suppliers_per_order_profile; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

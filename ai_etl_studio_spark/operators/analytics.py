@@ -7231,3 +7231,118 @@ def eoq_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(eoq, 0).cast("bigint").alias("eoq_units"),
         F.round(dy / eoq, 0).cast("bigint").alias("orders_per_year"),
     ).orderBy("ptype")
+
+
+# ---------------------------------------------------------------------------
+# Demand response along the discount grid
+# ---------------------------------------------------------------------------
+
+@register(
+    "discount_demand_response",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1),
+    b AS (
+      SELECT CAST(MAX(CASE WHEN disc_pct = 0
+        THEN qty * 1000 // n_lines END) AS BIGINT) AS base_milli
+      FROM g)
+    SELECT g.disc_pct, g.n_lines,
+           CAST(g.qty * 1000 // g.n_lines AS BIGINT) AS mean_qty_milli,
+           CAST((g.qty * 1000 // g.n_lines) * 1000 // b.base_milli
+             AS BIGINT) AS lift_vs_base_milli
+    FROM g CROSS JOIN b ORDER BY g.disc_pct
+    """,
+)
+def discount_demand_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demand-response curve along the discount grid: mean units
+    per line at each discount point, normalized against the zero-
+    discount baseline — the direct does-discounting-move-volume read
+    (a flat curve at lift 1000 says discounts transfer margin without
+    moving units; brand_price_realization prices the leak, this tests
+    whether it buys anything).
+
+    Scale: one map-side reduction to the <=11 grid rows; the baseline
+    is a 1-row aggregate cross-joined back. Exact integer milli
+    everywhere (positives floor identically in both engines).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+    )
+    b = g.agg(
+        F.max(
+            F.when(
+                F.col("disc_pct") == 0,
+                F.expr("qty * 1000 DIV n_lines"),
+            )
+        )
+        .cast("bigint")
+        .alias("base_milli")
+    )
+    return (
+        g.crossJoin(F.broadcast(b))
+        .select(
+            "disc_pct",
+            "n_lines",
+            F.expr("CAST(qty * 1000 DIV n_lines AS BIGINT)").alias(
+                "mean_qty_milli"
+            ),
+            F.expr(
+                "CAST((qty * 1000 DIV n_lines) * 1000 DIV base_milli"
+                " AS BIGINT)"
+            ).alias("lift_vs_base_milli"),
+        )
+        .orderBy("disc_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Suppliers-per-order fulfillment profile
+# ---------------------------------------------------------------------------
+
+@register(
+    "suppliers_per_order_profile",
+    oracle="""
+    WITH so AS (
+      SELECT l_orderkey,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1)
+    SELECT n_supp AS suppliers_per_order,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(rev) AS BIGINT) AS rev_cents
+    FROM so GROUP BY 1 ORDER BY 1
+    """,
+)
+def suppliers_per_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-complexity histogram: how many DISTINCT suppliers
+    each order touches, with the revenue riding at each complexity
+    level — every extra supplier per order is another shipment,
+    another delay tail (shipping_delay percentiles), another partial-
+    fill risk (order_fill_rate). If most revenue sits at 4+ suppliers,
+    consolidation is the cheapest reliability lever.
+
+    Scale: one per-order reduction (the distinct-supplier count runs
+    inside per-order groups of <=7 lines), then a map-side histogram
+    rollup. Exact integer cents.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    so = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_supp"),
+        F.sum(cents("l_extendedprice")).cast("bigint").alias("rev"),
+    )
+    return (
+        so.groupBy(F.col("n_supp").alias("suppliers_per_order"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("rev").cast("bigint").alias("rev_cents"),
+        )
+        .orderBy("suppliers_per_order")
+    )

@@ -1077,3 +1077,87 @@ def temporal_integrity_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Header-vs-lines revenue reconciliation audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_total_reconciliation",
+    oracle="""
+    WITH ls AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+               * (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS lines_cents
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS header_cents,
+             COALESCE(ls.lines_cents, 0) AS lines_cents
+      FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey),
+    f AS (
+      SELECT yr, header_cents, lines_cents,
+             abs(header_cents - lines_cents) AS gap,
+             CASE WHEN abs(header_cents - lines_cents) * 100 > header_cents
+               THEN 1 ELSE 0 END AS off_1pct
+      FROM j)
+    SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(off_1pct) AS BIGINT) AS n_mismatched,
+           CAST(SUM(off_1pct) * 1000000 // COUNT(*) AS BIGINT)
+             AS mismatch_ppm,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_cents
+    FROM f GROUP BY yr ORDER BY yr
+    """,
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The books-balance audit: does each order's HEADER total equal
+    the sum of its lines priced out (extendedprice x (1-discount) x
+    (1+tax))? Orders off by more than 1% counted per year with the
+    worst absolute gap — the reconciliation any finance close runs
+    before trusting either table (a lineless order reconciles against
+    zero, so orphan headers surface too, not vanish).
+
+    Scale: lines reduce per order map-side (one exact-cents sum), the
+    LEFT join is key-on-key carrying two integers, and the yearly
+    rollup reduces map-side. The 1% test is exact integer
+    cross-multiplication — no float threshold.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    line_val = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100,
+        0,
+    ).cast("bigint")
+    ls = li.groupBy("l_orderkey").agg(
+        F.sum(line_val).cast("bigint").alias("lines_cents")
+    )
+    j = o.join(ls, o.o_orderkey == ls.l_orderkey, "left").select(
+        F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("yr"),
+        cents("o_totalprice").alias("header_cents"),
+        F.coalesce(F.col("lines_cents"), F.lit(0)).alias("lines_cents"),
+    )
+    gap = F.abs(F.col("header_cents") - F.col("lines_cents"))
+    off = F.when(gap * 100 > F.col("header_cents"), 1).otherwise(0)
+    return (
+        j.select("yr", gap.alias("gap"), off.alias("off_1pct"))
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("off_1pct").cast("bigint").alias("n_mismatched"),
+            F.max("gap").cast("bigint").alias("max_gap_cents"),
+        )
+        .select(
+            "yr",
+            "n_orders",
+            "n_mismatched",
+            F.expr("CAST(n_mismatched * 1000000 DIV n_orders AS BIGINT)").alias(
+                "mismatch_ppm"
+            ),
+            "max_gap_cents",
+        )
+        .orderBy("yr")
+    )

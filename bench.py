@@ -330,6 +330,9 @@ HEADLINE = [
     "yule_k_by_source",
     "eoq_by_type",
     "page_hinkley_revenue",
+    "order_total_reconciliation",
+    "discount_demand_response",
+    "suppliers_per_order_profile",
 ]
 
 

@@ -2766,3 +2766,72 @@ def test_order_dispersion_replay(spark):
     assert abs(
         r.z_overdisp_micro - (vmr - 1) * math.sqrt((n - 1) / 2) * 1e6
     ) <= 2
+
+
+def test_order_reconciliation_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["order_total_reconciliation"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    lines = defaultdict(int)
+    for x in li:
+        lines[x.l_orderkey] += round(
+            x.l_extendedprice * (1 - x.l_discount) * (1 + x.l_tax) * 100
+        )
+    agg = defaultdict(lambda: [0, 0, 0])
+    for o in orders:
+        h = round(o.o_totalprice * 100)
+        gap = abs(h - lines.get(o.o_orderkey, 0))
+        a = agg[o.o_orderdate.year]
+        a[0] += 1
+        a[1] += gap * 100 > h
+        a[2] = max(a[2], gap)
+    got = {
+        r.yr: (r.n_orders, r.n_mismatched, r.mismatch_ppm, r.max_gap_cents)
+        for r in rows
+    }
+    want = {
+        y: (n, m, m * 1_000_000 // n, g) for y, (n, m, g) in agg.items()
+    }
+    assert got == want
+
+
+def test_discount_response_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["discount_demand_response"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    g = defaultdict(lambda: [0, 0])
+    for x in li:
+        a = g[round(x.l_discount * 100)]
+        a[0] += 1
+        a[1] += round(x.l_quantity)
+    base = g[0][1] * 1000 // g[0][0]
+    assert len(rows) == len(g)
+    for r in rows:
+        n, q = g[r.disc_pct]
+        assert (r.n_lines, r.mean_qty_milli) == (n, q * 1000 // n)
+        assert r.lift_vs_base_milli == (q * 1000 // n) * 1000 // base
+    # the zero-discount row is its own baseline
+    assert next(
+        r.lift_vs_base_milli for r in rows if r.disc_pct == 0
+    ) == 1000
+
+
+def test_suppliers_per_order_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["suppliers_per_order_profile"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    supp, rev = defaultdict(set), defaultdict(int)
+    for x in li:
+        supp[x.l_orderkey].add(x.l_suppkey)
+        rev[x.l_orderkey] += round(x.l_extendedprice * 100)
+    hist = defaultdict(lambda: [0, 0])
+    for k in supp:
+        h = hist[len(supp[k])]
+        h[0] += 1
+        h[1] += rev[k]
+    got = {r.suppliers_per_order: (r.n_orders, r.rev_cents) for r in rows}
+    assert got == {k: tuple(v) for k, v in hist.items()}

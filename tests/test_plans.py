@@ -2038,3 +2038,29 @@ class TestDriftPlans:
         assert t.count("Window") == 1
         df = QUERIES["page_hinkley_revenue"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_reconciliation_reduce_then_left_join(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # lines reduce per order first; the LEFT join carries two
+        # integers; integer cross-multiplied threshold
+        t = tree(spark, "order_total_reconciliation")
+        assert t.count("HashAggregate") >= 3
+        df = QUERIES["order_total_reconciliation"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_discount_response_grid_reduction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "discount_demand_response")
+        assert "Window" not in t
+        df = QUERIES["discount_demand_response"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_suppliers_profile_nested_reductions(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "suppliers_per_order_profile")
+        assert "Join" not in t and "Window" not in t
+        df = QUERIES["suppliers_per_order_profile"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
