@@ -7346,3 +7346,89 @@ def suppliers_per_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppliers_per_order")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nation revenue CAGR (first full year to last)
+# ---------------------------------------------------------------------------
+
+@register(
+    "nation_revenue_cagr",
+    oracle="""
+    WITH ny AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    fl AS (
+      SELECT nk,
+             CAST(MIN(yr) AS BIGINT) AS y0, CAST(MAX(yr) AS BIGINT) AS y1,
+             CAST(min_by(rev, yr) AS BIGINT) AS rev0,
+             CAST(max_by(rev, yr) AS BIGINT) AS rev1
+      FROM ny GROUP BY 1 HAVING MAX(yr) > MIN(yr))
+    SELECT n.n_name AS nation, y0, y1, rev0 AS first_year_cents,
+           rev1 AS last_year_cents,
+           CAST(round((pow(CAST(rev1 AS DOUBLE) / rev0,
+             1.0e0 / (y1 - y0)) - 1) * 1000000, 0) AS BIGINT) AS cagr_micro
+    FROM fl JOIN nation n ON fl.nk = n.n_nationkey ORDER BY nation
+    """,
+)
+def nation_revenue_cagr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound annual growth rate per nation from its first observed
+    year to its last — the growth number boards compare markets with
+    (a YoY table says what happened each step; CAGR is the one-number
+    geometric summary between the endpoints, immune to mid-series
+    noise by construction).
+
+    Scale: one fact reduction to nation x year; the endpoint pick is
+    min_by/max_by compaction keyed on year (no window, no sort); the
+    CAGR pow() is a mirrored double expression over exact cents on the
+    <=|nation| table, dim join broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ny = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("yr"),
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    )
+    fl = (
+        ny.groupBy("nk")
+        .agg(
+            F.min("yr").cast("bigint").alias("y0"),
+            F.max("yr").cast("bigint").alias("y1"),
+            F.min_by("rev", "yr").cast("bigint").alias("rev0"),
+            F.max_by("rev", "yr").cast("bigint").alias("rev1"),
+        )
+        .filter(F.col("y1") > F.col("y0"))
+    )
+    return (
+        fl.join(F.broadcast(n), fl.nk == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "y0",
+            "y1",
+            F.col("rev0").alias("first_year_cents"),
+            F.col("rev1").alias("last_year_cents"),
+            F.round(
+                (
+                    F.pow(
+                        F.col("rev1").cast("double") / F.col("rev0"),
+                        F.lit(1.0) / (F.col("y1") - F.col("y0")),
+                    )
+                    - 1
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("cagr_micro"),
+        )
+        .orderBy("nation")
+    )

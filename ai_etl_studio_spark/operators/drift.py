@@ -2249,3 +2249,97 @@ def page_hinkley_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mt").cast("bigint").alias("min_mt"),
         (F.max("mt") - F.min("mt")).cast("bigint").alias("ph_range_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tukey-fence outlier census on the daily revenue series
+# ---------------------------------------------------------------------------
+
+@register(
+    "tukey_fence_outlier_days",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT d, rev, ROW_NUMBER() OVER (ORDER BY rev, d) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily),
+    q AS (
+      SELECT CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN rev END) AS BIGINT)
+               AS q1,
+             CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN rev END)
+               AS BIGINT) AS q3
+      FROM r),
+    f AS (
+      SELECT r.rev, q.q1, q.q3, q.q3 - q.q1 AS iqr
+      FROM r CROSS JOIN q)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(q1) AS BIGINT) AS q1_cents,
+           CAST(MAX(q3) AS BIGINT) AS q3_cents,
+           CAST(SUM(CASE WHEN rev * 2 > q3 * 2 + iqr * 3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_high_outliers,
+           CAST(SUM(CASE WHEN rev * 2 < q1 * 2 - iqr * 3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_low_outliers
+    FROM f
+    """,
+)
+def tukey_fence_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boxplot rule as a census: exact quartiles of the daily
+    revenue series and the count of days beyond the 1.5xIQR Tukey
+    fences on each side — the robust outlier count that, read next to
+    mad_outliers' z-style ranking, distinguishes a FAT TAIL (many mild
+    outliers) from a few point shocks.
+
+    Scale: orders reduce to the bounded daily table; quartiles are
+    exact SELECTION (ceil-index row_number, deterministic date
+    tiebreak); the fence test is integer cross-multiplication (x2 and
+    x3 clear the 1.5 factor) — no float anywhere.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("rev")
+    )
+    r = daily.select(
+        "d",
+        "rev",
+        F.row_number().over(Window.orderBy("rev", "d")).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("n"),
+    )
+    q = r.agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 3) DIV 4"), F.col("rev")))
+        .cast("bigint")
+        .alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) DIV 4"), F.col("rev"))
+        )
+        .cast("bigint")
+        .alias("q3"),
+    )
+    f = r.crossJoin(F.broadcast(q)).withColumn(
+        "iqr", F.col("q3") - F.col("q1")
+    )
+    return f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("q1").cast("bigint").alias("q1_cents"),
+        F.max("q3").cast("bigint").alias("q3_cents"),
+        F.sum(
+            F.when(
+                F.col("rev") * 2 > F.col("q3") * 2 + F.col("iqr") * 3, 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_high_outliers"),
+        F.sum(
+            F.when(
+                F.col("rev") * 2 < F.col("q1") * 2 - F.col("iqr") * 3, 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_low_outliers"),
+    )

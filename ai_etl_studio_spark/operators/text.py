@@ -3498,3 +3498,80 @@ def yule_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity / effective vocabulary per language
+# ---------------------------------------------------------------------------
+
+@register(
+    "simpson_diversity_by_lang",
+    oracle=r"""
+    WITH tc AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT lang,
+              unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                w -> w <> '')) AS term
+            FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)
+      GROUP BY 1, 2)
+    SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST((SUM(CAST(c AS HUGEINT) * (c - 1)) * 1000000000)
+             // (CAST(SUM(c) AS HUGEINT) * (SUM(c) - 1)) AS BIGINT)
+             AS simpson_repeat_nano,
+           CAST((CAST(SUM(c) AS HUGEINT) * (SUM(c) - 1) * 1000)
+             // SUM(CAST(c AS HUGEINT) * (c - 1)) AS BIGINT)
+             AS effective_vocab_milli
+    FROM tc GROUP BY lang ORDER BY lang
+    """,
+)
+def simpson_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's unbiased repeat probability per language — the chance
+    two tokens drawn WITHOUT replacement are the same word,
+    Σc(c−1)/(N(N−1)) — and its inverse, the EFFECTIVE vocabulary (the
+    number of equally-common words that would produce the same
+    concentration). The ecology-standard diversity pair: effective
+    vocab far below raw vocab means the tail types are decoration and
+    the language's real lexicon in this corpus is tiny.
+
+    Scale: one tokenize pass to (lang, term) counts; both statistics
+    are EXACT wide-integer arithmetic (Σc(c−1) and N(N−1) through
+    HUGEINT/decimal(38), integral divisions with bounded quotients) —
+    like yule_k_by_source, no float in the statistic.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    tc = (
+        d.select(
+            "lang",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+            ).alias("term"),
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    return (
+        tc.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum(cd * (cd - 1)).alias("s2"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "vocab",
+            F.expr(
+                "CAST((s2 * 1000000000) DIV (CAST(n_tokens AS DECIMAL(38,0))"
+                " * (n_tokens - 1)) AS BIGINT)"
+            ).alias("simpson_repeat_nano"),
+            F.expr(
+                "CAST((CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)"
+                " * 1000) DIV s2 AS BIGINT)"
+            ).alias("effective_vocab_milli"),
+        )
+        .orderBy("lang")
+    )

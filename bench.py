@@ -333,6 +333,9 @@ HEADLINE = [
     "order_total_reconciliation",
     "discount_demand_response",
     "suppliers_per_order_profile",
+    "tukey_fence_outlier_days",
+    "nation_revenue_cagr",
+    "simpson_diversity_by_lang",
 ]
 
 

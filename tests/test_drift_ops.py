@@ -2091,3 +2091,70 @@ def test_page_hinkley_replay(spark):
     assert r.n_days == len(daily)
     assert (r.max_mt, r.min_mt) == (max(mts), min(mts))
     assert r.ph_range_cents == max(mts) - min(mts)
+
+
+def test_tukey_fences_replay(spark):
+    [r] = QUERIES["tukey_fence_outlier_days"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    daily = defaultdict(int)
+    for o in orders:
+        daily[o.o_orderdate.date()] += round(o.o_totalprice * 100)
+    vals = sorted(daily.values())
+    n = len(vals)
+    q1 = vals[(n + 3) // 4 - 1]
+    q3 = vals[(3 * n + 3) // 4 - 1]
+    iqr = q3 - q1
+    hi = sum(2 * v > 2 * q3 + 3 * iqr for v in vals)
+    lo = sum(2 * v < 2 * q1 - 3 * iqr for v in vals)
+    assert (r.n_days, r.q1_cents, r.q3_cents) == (n, q1, q3)
+    assert (r.n_high_outliers, r.n_low_outliers) == (hi, lo)
+    # the quartiles bracket at least half the days
+    inside = sum(q1 <= v <= q3 for v in vals)
+    assert inside * 2 >= n
+
+
+def test_nation_cagr_replay(spark):
+    rows = QUERIES["nation_revenue_cagr"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    ny = defaultdict(int)
+    for o in orders:
+        ny[(cust[o.o_custkey], o.o_orderdate.year)] += round(
+            o.o_totalprice * 100
+        )
+    nations = {nk for nk, _ in ny}
+    for r in rows:
+        nk = int(r.nation.split("_")[1])
+        yrs = sorted(y for k, y in ny if k == nk)
+        y0, y1 = yrs[0], yrs[-1]
+        rev0, rev1 = ny[(nk, y0)], ny[(nk, y1)]
+        assert (r.y0, r.y1) == (y0, y1)
+        assert (r.first_year_cents, r.last_year_cents) == (rev0, rev1)
+        cagr = ((rev1 / rev0) ** (1 / (y1 - y0)) - 1) * 1e6
+        assert abs(r.cagr_micro - cagr) <= 2
+    assert len(rows) == len(nations)
+
+
+def test_simpson_diversity_replay(spark):
+    import re
+
+    rows = QUERIES["simpson_diversity_by_lang"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    cnt = defaultdict(Counter)
+    for d in docs:
+        if d.text is None or d.lang is None:
+            continue
+        cnt[d.lang].update(w for w in re.split(r"\s+", d.text.lower()) if w)
+    assert {r.lang for r in rows} == set(cnt)
+    for r in rows:
+        c = cnt[r.lang]
+        n = sum(c.values())
+        s2 = sum(v * (v - 1) for v in c.values())
+        assert (r.n_tokens, r.vocab) == (n, len(c))
+        assert r.simpson_repeat_nano == s2 * 1_000_000_000 // (n * (n - 1))
+        assert r.effective_vocab_milli == n * (n - 1) * 1000 // s2
+        # effective vocab never exceeds raw vocab
+        assert r.effective_vocab_milli <= r.vocab * 1000

@@ -2064,3 +2064,30 @@ class TestDriftPlans:
         assert "Join" not in t and "Window" not in t
         df = QUERIES["suppliers_per_order_profile"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_tukey_selection_quartiles(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # quartiles by exact selection on the bounded daily table; the
+        # fence census is integer arithmetic against the broadcast q-row
+        t = tree(spark, "tukey_fence_outlier_days")
+        assert t.count("HashAggregate") >= 4
+        df = QUERIES["tukey_fence_outlier_days"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_cagr_endpoint_compaction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # endpoints via min_by/max_by compaction — no window, no sort
+        t = tree(spark, "nation_revenue_cagr")
+        assert "Window" not in t
+        df = QUERIES["nation_revenue_cagr"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_simpson_exact_integer(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "simpson_diversity_by_lang")
+        assert "Join" not in t
+        df = QUERIES["simpson_diversity_by_lang"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
