@@ -131,7 +131,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: yule_k_by_source, eoq_by_type, page_hinkley_revenue,
 #: order_total_reconciliation, discount_demand_response,
 #: suppliers_per_order_profile, tukey_fence_outlier_days,
-#: nation_revenue_cagr, simpson_diversity_by_lang; no
+#: nation_revenue_cagr, simpson_diversity_by_lang,
+#: quantile_shift_by_priority, design_effect_by_nation,
+#: spc_range_sigma_ratio; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -2343,3 +2343,297 @@ def tukey_fence_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_low_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effect: where the urgent/low gap lives
+# ---------------------------------------------------------------------------
+
+@register(
+    "quantile_shift_by_priority",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS is_a
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    pv AS (
+      SELECT v, CAST(SUM(is_a) AS BIGINT) AS ca,
+             CAST(SUM(1 - is_a) AS BIGINT) AS cb
+      FROM v GROUP BY v),
+    cum AS (
+      SELECT v,
+             CAST(SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_b,
+             CAST(SUM(ca) OVER () AS BIGINT) AS na,
+             CAST(SUM(cb) OVER () AS BIGINT) AS nb
+      FROM pv),
+    dec AS (SELECT unnest(generate_series(1, 9)) AS q),
+    qa AS (
+      SELECT dec.q, CAST(MIN(cum.v) AS BIGINT) AS va
+      FROM dec JOIN cum ON cum.cum_a * 10 >= dec.q * cum.na
+      GROUP BY dec.q),
+    qb AS (
+      SELECT dec.q, CAST(MIN(cum.v) AS BIGINT) AS vb
+      FROM dec JOIN cum ON cum.cum_b * 10 >= dec.q * cum.nb
+      GROUP BY dec.q)
+    SELECT qa.q AS decile, qa.va AS urgent_cents, qb.vb AS low_cents,
+           CAST(qa.va - qb.vb AS BIGINT) AS shift_cents
+    FROM qa JOIN qb ON qa.q = qb.q ORDER BY qa.q
+    """,
+)
+def quantile_shift_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile-treatment-effect ladder: the exact decile-by-decile
+    value gap between URGENT and LOW orders — WHERE in the distribution
+    the difference lives (a gap only above the median is a whale
+    effect; a uniform ladder is a level shift), which the KS statistic
+    (one number) and the mean difference (one number) both flatten.
+
+    Scale: per-distinct-value reduction first; each side's deciles come
+    from integer cross-multiplied ECDF thresholds (cum*10 >= q*n — no
+    float quantile), resolved by MIN over the value axis. The
+    cumulative window runs over distinct VALUES, not rows; the decile
+    join is 9x9.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    v = o.select(
+        cents("o_totalprice").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("is_a"),
+    )
+    pv = v.groupBy("v").agg(
+        F.sum("is_a").cast("bigint").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("cb"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = pv.select(
+        "v",
+        F.sum("ca").over(w_cum).cast("bigint").alias("cum_a"),
+        F.sum("cb").over(w_cum).cast("bigint").alias("cum_b"),
+        F.sum("ca").over(w_all).cast("bigint").alias("na"),
+        F.sum("cb").over(w_all).cast("bigint").alias("nb"),
+    ).localCheckpoint()
+    dec = spark.range(1, 10).select(F.col("id").cast("bigint").alias("q"))
+    qa = (
+        F.broadcast(dec)
+        .join(cum, F.col("cum_a") * 10 >= F.col("q") * F.col("na"))
+        .groupBy("q")
+        .agg(F.min("v").cast("bigint").alias("va"))
+    )
+    qb = (
+        F.broadcast(dec)
+        .join(cum, F.col("cum_b") * 10 >= F.col("q") * F.col("nb"))
+        .groupBy("q")
+        .agg(F.min("v").cast("bigint").alias("vb"))
+    )
+    return (
+        qa.join(qb, "q")
+        .select(
+            F.col("q").alias("decile"),
+            F.col("va").alias("urgent_cents"),
+            F.col("vb").alias("low_cents"),
+            (F.col("va") - F.col("vb")).cast("bigint").alias("shift_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Design effect / effective sample size under nation clustering
+# ---------------------------------------------------------------------------
+
+@register(
+    "design_effect_by_nation",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS s1,
+             SUM(CAST(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+               AS HUGEINT) * CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS s2
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_tot,
+             CAST(SUM(s1) AS BIGINT) AS s1_tot,
+             CAST(SUM(s2) AS DOUBLE) AS s2_tot,
+             CAST(SUM(CAST(round(CAST(s1 AS DOUBLE) * s1 / n / 1000000, 0)
+               AS BIGINT)) AS DOUBLE) * 1000000 AS sb
+      FROM g),
+    c2 AS (
+      SELECT k, n_tot,
+             (sb - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot) / (k - 1)
+               AS msb,
+             (s2_tot - sb) / (n_tot - k) AS msw,
+             CAST(n_tot AS DOUBLE) / k AS m_avg
+      FROM t)
+    SELECT k AS n_clusters, n_tot AS n_orders,
+           CAST(round((msb - msw) / (msb + (m_avg - 1) * msw) * 1000000, 0)
+             AS BIGINT) AS icc_micro,
+           CAST(round((1 + (m_avg - 1) * ((msb - msw) / (msb + (m_avg - 1)
+             * msw))) * 1000, 0) AS BIGINT) AS deff_milli,
+           CAST(round(n_tot / (1 + (m_avg - 1) * ((msb - msw) / (msb
+             + (m_avg - 1) * msw))), 0) AS BIGINT) AS effective_n
+    FROM c2
+    """,
+)
+def design_effect_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish design effect under nation clustering: the intraclass
+    correlation of order values within nations, the DEFF = 1+(m−1)·ICC
+    it implies, and the EFFECTIVE sample size — the honest n for any
+    inference that samples whole nations (DEFF 2.0 means your 15k
+    orders carry the information of 7.5k independent ones; pairs with
+    jackknife_se_by_nation, which prices the same clustering into an
+    SE).
+
+    Scale: one reduction to per-nation sufficient statistics; the
+    between-group terms quantize to mega-cent² ticks before the k-row
+    sum (s1²/n exceeds int64 raw — the tick divisor keeps 12+ exact
+    digits at every tested SF; re-scale it alongside the corpus at
+    extreme sizes); the ANOVA components and Kish formulas are one
+    mirrored final expression.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    val = cents("o_totalprice")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(F.col("c_nationkey").alias("nk"), val.alias("x"))
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s1"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+            ).alias("s2"),
+        )
+    )
+    sb_term = F.round(
+        F.col("s1").cast("double") * F.col("s1") / F.col("n") / 1_000_000, 0
+    ).cast("bigint")
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s1").cast("bigint").alias("s1_tot"),
+        F.sum("s2").cast("double").alias("s2_tot"),
+        (F.sum(sb_term).cast("double") * 1_000_000).alias("sb"),
+    )
+    msb = (
+        F.col("sb")
+        - F.col("s1_tot").cast("double") * F.col("s1_tot") / F.col("n_tot")
+    ) / (F.col("k") - 1)
+    msw = (F.col("s2_tot") - F.col("sb")) / (F.col("n_tot") - F.col("k"))
+    m_avg = F.col("n_tot").cast("double") / F.col("k")
+    icc = (msb - msw) / (msb + (m_avg - 1) * msw)
+    return t.select(
+        F.col("k").alias("n_clusters"),
+        F.col("n_tot").alias("n_orders"),
+        F.round(icc * 1_000_000, 0).cast("bigint").alias("icc_micro"),
+        F.round((1 + (m_avg - 1) * icc) * 1000, 0)
+        .cast("bigint")
+        .alias("deff_milli"),
+        F.round(F.col("n_tot") / (1 + (m_avg - 1) * icc), 0)
+        .cast("bigint")
+        .alias("effective_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPC range/sigma consistency check (d2 constant)
+# ---------------------------------------------------------------------------
+
+@register(
+    "spc_range_sigma_ratio",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    wk AS (
+      SELECT (d - DATE '1970-01-01') // 7 AS wkno,
+             CAST(MAX(rev) - MIN(rev) AS BIGINT) AS rng
+      FROM daily GROUP BY 1 HAVING COUNT(*) = 7),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
+             CAST(SUM(rng) AS BIGINT) AS sum_rng
+      FROM wk),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev) AS BIGINT) AS s1,
+             CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE) AS s2
+      FROM daily)
+    SELECT t.n_weeks,
+           CAST(t.sum_rng // t.n_weeks AS BIGINT) AS mean_range_cents,
+           CAST(round(sqrt(s.s2 / s.n - (CAST(s.s1 AS DOUBLE) / s.n)
+             * (CAST(s.s1 AS DOUBLE) / s.n)), 0) AS BIGINT) AS sigma_cents,
+           CAST(round((CAST(t.sum_rng AS DOUBLE) / t.n_weeks)
+             / sqrt(s.s2 / s.n - (CAST(s.s1 AS DOUBLE) / s.n)
+             * (CAST(s.s1 AS DOUBLE) / s.n)) * 1000, 0) AS BIGINT)
+             AS range_sigma_ratio_milli
+    FROM t CROSS JOIN s
+    """,
+)
+def spc_range_sigma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart's R-bar/sigma consistency check: the mean range of
+    complete 7-day subgroups over the pooled standard deviation. For
+    an in-control iid process this ratio IS the d2(7) constant 2.704 —
+    a ratio well above says within-week outliers, well below says the
+    week structure soaks up variance (weekly seasonality — confirm
+    with dow_seasonality_strength). The SPC-foundations sanity check
+    behind every X-bar/R control chart.
+
+    Scale: two bounded reductions off the daily table (complete weeks
+    by epoch-week key; pooled moments with Σrev² through the
+    wide-integer rule); the ratio is one mirrored expression on a
+    1x1 cross join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("rev")
+    )
+    daily = daily.localCheckpoint()
+    wk = (
+        daily.groupBy(
+            F.expr("CAST(datediff(d, DATE '1970-01-01') DIV 7 AS BIGINT)").alias(
+                "wkno"
+            )
+        )
+        .agg(
+            (F.max("rev") - F.min("rev")).cast("bigint").alias("rng"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .filter(F.col("nd") == 7)
+    )
+    t = wk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+        F.sum("rng").cast("bigint").alias("sum_rng"),
+    )
+    rvd = F.col("rev").cast("decimal(38,0)")
+    s = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rev").cast("bigint").alias("s1"),
+        F.sum(rvd * rvd).cast("double").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sigma = F.sqrt(F.col("s2") / F.col("n") - mu * mu)
+    return t.crossJoin(F.broadcast(s)).select(
+        "n_weeks",
+        F.expr("CAST(sum_rng DIV n_weeks AS BIGINT)").alias(
+            "mean_range_cents"
+        ),
+        F.round(sigma, 0).cast("bigint").alias("sigma_cents"),
+        F.round(
+            (F.col("sum_rng").cast("double") / F.col("n_weeks")) / sigma
+            * 1000,
+            0,
+        )
+        .cast("bigint")
+        .alias("range_sigma_ratio_milli"),
+    )

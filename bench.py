@@ -336,6 +336,9 @@ HEADLINE = [
     "tukey_fence_outlier_days",
     "nation_revenue_cagr",
     "simpson_diversity_by_lang",
+    "quantile_shift_by_priority",
+    "design_effect_by_nation",
+    "spc_range_sigma_ratio",
 ]
 
 

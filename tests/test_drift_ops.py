@@ -2158,3 +2158,96 @@ def test_simpson_diversity_replay(spark):
         assert r.effective_vocab_milli == n * (n - 1) * 1000 // s2
         # effective vocab never exceeds raw vocab
         assert r.effective_vocab_milli <= r.vocab * 1000
+
+
+def test_quantile_shift_replay(spark):
+    rows = QUERIES["quantile_shift_by_priority"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    a = sorted(
+        round(o.o_totalprice * 100)
+        for o in orders
+        if o.o_orderpriority == "1-URGENT"
+    )
+    b = sorted(
+        round(o.o_totalprice * 100)
+        for o in orders
+        if o.o_orderpriority == "5-LOW"
+    )
+
+    def q_at(xs, q):
+        # smallest value whose inclusive ECDF reaches q/10
+        import bisect
+
+        target = -(-q * len(xs) // 10)  # ceil(q*n/10)
+        return xs[target - 1]
+
+    assert len(rows) == 9
+    for r in rows:
+        va, vb = q_at(a, r.decile), q_at(b, r.decile)
+        assert (r.urgent_cents, r.low_cents) == (va, vb)
+        assert r.shift_cents == va - vb
+    # deciles are monotone within each sample
+    for col in ("urgent_cents", "low_cents"):
+        vals = [getattr(r, col) for r in rows]
+        assert vals == sorted(vals)
+
+
+def test_design_effect_replay(spark):
+    rows = QUERIES["design_effect_by_nation"](spark, SF_DIR).collect()
+    [r] = rows
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    groups = defaultdict(list)
+    for o in orders:
+        groups[cust[o.o_custkey]].append(round(o.o_totalprice * 100))
+    k = len(groups)
+    n_tot = sum(len(v) for v in groups.values())
+    s1_tot = sum(sum(v) for v in groups.values())
+    s2_tot = float(sum(x * x for v in groups.values() for x in v))
+    sb = (
+        sum(
+            math.floor(sum(v) * float(sum(v)) / len(v) / 1e6 + 0.5)
+            for v in groups.values()
+        )
+        * 1e6
+    )
+    msb = (sb - float(s1_tot) * s1_tot / n_tot) / (k - 1)
+    msw = (s2_tot - sb) / (n_tot - k)
+    m_avg = n_tot / k
+    icc = (msb - msw) / (msb + (m_avg - 1) * msw)
+    deff = 1 + (m_avg - 1) * icc
+    assert (r.n_clusters, r.n_orders) == (k, n_tot)
+    assert abs(r.icc_micro - icc * 1e6) <= 2
+    assert abs(r.deff_milli - deff * 1000) <= 2
+    assert abs(r.effective_n - n_tot / deff) <= 2
+
+
+def test_spc_ratio_replay(spark):
+    [r] = QUERIES["spc_range_sigma_ratio"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    daily = defaultdict(int)
+    for o in orders:
+        daily[o.o_orderdate.date()] += round(o.o_totalprice * 100)
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    weeks = defaultdict(list)
+    for d, v in daily.items():
+        weeks[(d - epoch).days // 7].append(v)
+    full = [vs for vs in weeks.values() if len(vs) == 7]
+    mean_rng = sum(max(v) - min(v) for v in full) // len(full)
+    n = len(daily)
+    s1 = sum(daily.values())
+    s2 = float(sum(v * v for v in daily.values()))
+    sigma = math.sqrt(s2 / n - (s1 / n) ** 2)
+    assert r.n_weeks == len(full)
+    assert r.mean_range_cents == mean_rng
+    assert abs(r.sigma_cents - sigma) <= 1
+    ratio = (sum(max(v) - min(v) for v in full) / len(full)) / sigma * 1000
+    assert abs(r.range_sigma_ratio_milli - ratio) <= 2
+    # iid daily revenue: the ratio sits in the d2(7) = 2.704
+    # neighborhood (small-SF discreteness pulls it low)
+    assert 1_700 < r.range_sigma_ratio_milli < 3_400

@@ -2091,3 +2091,32 @@ class TestDriftPlans:
         assert "Join" not in t
         df = QUERIES["simpson_diversity_by_lang"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_quantile_shift_value_grain_cumsum(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the cumulative window runs over DISTINCT values (checkpointed
+        # reduction); deciles resolve by integer ECDF thresholds
+        t = tree(spark, "quantile_shift_by_priority")
+        assert "Scan parquet" not in t and "Scan ExistingRDD" in t
+        df = QUERIES["quantile_shift_by_priority"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_design_effect_tick_terms(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "design_effect_by_nation")
+        assert t.count("HashAggregate") >= 4
+        assert "Window" not in t
+        df = QUERIES["design_effect_by_nation"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_spc_two_bounded_reductions(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # weekly ranges and pooled moments both reduce off the
+        # checkpointed daily table
+        t = tree(spark, "spc_range_sigma_ratio")
+        assert "Scan parquet" not in t and "Scan ExistingRDD" in t
+        df = QUERIES["spc_range_sigma_ratio"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
