@@ -2637,3 +2637,169 @@ def spc_range_sigma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("range_sigma_ratio_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau Q over the registered ACF lags
+# ---------------------------------------------------------------------------
+
+def _ljung_box_oracle() -> str:
+    from ai_etl_studio_spark.operators import ORACLES
+
+    return f"""
+    WITH acf AS ({ORACLES["autocorrelation_lags"]}),
+    t AS (
+      SELECT n_pairs + lag_k AS n,
+             CAST(round(CAST(acf_ticks AS DOUBLE) * acf_ticks / n_pairs, 0)
+               AS BIGINT) AS term_scaled
+      FROM acf)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_lags,
+           CAST(round(CAST(MAX(n) AS DOUBLE) * (MAX(n) + 2)
+             * CAST(SUM(term_scaled) AS DOUBLE) / 1e15, 0) AS BIGINT)
+             AS ljung_box_q_milli
+    FROM t
+    """
+
+
+@register("ljung_box_q", oracle=_ljung_box_oracle())
+def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Ljung-Box portmanteau test assembled FROM the registered
+    autocorrelation_lags estimates: Q = n(n+2)·Σ r_k²/(n−k) over the
+    engine's lag set — the one-number "is there ANY autocorrelation
+    structure" gate (chi-square with |lags| dof under the white-noise
+    null) that the per-lag ACF table makes the analyst eyeball.
+
+    Scale: everything heavy IS autocorrelation_lags (daily reduction +
+    four lag windows); this op adds arithmetic on its 4-row output —
+    per-lag terms quantize to scaled integers before the fixed small
+    sum, and the oracle text is COMPOSED from the registered ACF
+    oracle, so the test can never drift from the estimates.
+    """
+    from ai_etl_studio_spark.operators import QUERIES as _Q
+
+    acf = _Q["autocorrelation_lags"](spark, sf_dir)
+    t = acf.select(
+        (F.col("n_pairs") + F.col("lag_k")).alias("n"),
+        F.round(
+            F.col("acf_ticks").cast("double") * F.col("acf_ticks")
+            / F.col("n_pairs"),
+            0,
+        )
+        .cast("bigint")
+        .alias("term_scaled"),
+    )
+    return t.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lags"),
+        F.round(
+            F.max("n").cast("double")
+            * (F.max("n") + 2)
+            * F.sum("term_scaled").cast("double")
+            / 1e15,
+            0,
+        )
+        .cast("bigint")
+        .alias("ljung_box_q_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KPSS stationarity proxy (level-stationarity statistic)
+# ---------------------------------------------------------------------------
+
+@register(
+    "kpss_stationarity_proxy",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+             SUM(CAST(x AS HUGEINT) * x) AS q
+      FROM daily),
+    e AS (
+      SELECT daily.d, CAST(daily.x AS HUGEINT) * g.n - g.s AS en,
+             g.n, g.s, g.q
+      FROM daily CROSS JOIN g),
+    cum AS (
+      SELECT SUM(en) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS sn,
+             n, s, q
+      FROM e),
+    agg AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(s) AS BIGINT) AS s,
+             CAST(MAX(CAST(q AS DOUBLE)) AS DOUBLE) AS qd,
+             CAST(SUM(sn * sn) AS DOUBLE) AS ss2
+      FROM cum)
+    SELECT n AS n_days,
+           CAST(round(ss2 / (CAST(n AS DOUBLE) * n)
+             / (CAST(n AS DOUBLE) * n)
+             / (qd / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             * 1000000, 0) AS BIGINT) AS kpss_eta_micro
+    FROM agg
+    """,
+)
+def kpss_stationarity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KPSS level-stationarity statistic (iid-variance flavor):
+    η = Σ_t S_t² / (n²·σ̂²) over partial sums of the demeaned daily
+    series — the null here is STATIONARY (the mirror of unit-root
+    tests), so a large η rejects level-stationarity outright. Read
+    with runs_test (independence) and page_hinkley (alarm magnitude):
+    the three sequential views of the same health question.
+
+    Scale: demeaning stays EXACT by scaling through n (e_t = n·x_t − Σx
+    is integer); partial sums and their squares ride the wide-integer
+    rule (Σ S'² fits decimal(38) through every tested SF — re-derive
+    the bound before pointing at >10^12-cent days); one cumulative
+    window over the bounded daily series, one final mirrored double.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("x")
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    g = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(xd * xd).alias("q"),
+    )
+    e = daily.crossJoin(F.broadcast(g)).select(
+        "d",
+        (F.col("x").cast("decimal(38,0)") * F.col("n") - F.col("s")).alias(
+            "en"
+        ),
+        "n",
+        "s",
+        "q",
+    )
+    cum = e.select(
+        F.sum("en")
+        .over(Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sn"),
+        "n",
+        "s",
+        "q",
+    )
+    agg = cum.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("s").cast("bigint").alias("s"),
+        F.max(F.col("q").cast("double")).alias("qd"),
+        F.sum(F.col("sn") * F.col("sn")).cast("double").alias("ss2"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / F.col("n")
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            F.col("ss2")
+            / (nd * F.col("n"))
+            / (nd * F.col("n"))
+            / (F.col("qd") / F.col("n") - mu * mu)
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("kpss_eta_micro"),
+    )

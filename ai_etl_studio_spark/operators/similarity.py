@@ -2311,3 +2311,85 @@ def centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("true_label", "predicted_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-vs-cross label similarity split (metric-learning health)
+# ---------------------------------------------------------------------------
+
+#: Deterministic anchor-sample modulus — bounds the pair stage to
+#: (|vecs|/MOD)² like pairwise_distance_histogram's device.
+_LABEL_SPLIT_MOD = 7
+
+
+@register(
+    "label_pair_similarity_split",
+    oracle=f"""
+    WITH sub AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id % {_LABEL_SPLIT_MOD} = 0),
+    pairs AS (
+      SELECT CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same_label,
+             CAST(round(list_sum(list_transform(
+               list_zip(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               * 1000000000, 0) AS BIGINT) AS cos_nano
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+    SELECT same_label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(cos_nano) // COUNT(*) AS BIGINT) AS mean_cos_nano,
+           CAST(MIN(cos_nano) AS BIGINT) AS min_cos_nano,
+           CAST(MAX(cos_nano) AS BIGINT) AS max_cos_nano
+    FROM pairs GROUP BY 1 ORDER BY 1
+    """,
+)
+def label_pair_similarity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-row metric-learning health check: pairwise cosine
+    statistics split into SAME-label and CROSS-label pairs over a
+    deterministic vector sample — the within/between gap is the
+    signal any contrastive objective would train on, and a gap near
+    zero says the labels are geometrically invisible
+    (centroid_classifier_eval then shows WHICH classes collide).
+
+    Scale: the quadratic pair stage is fenced to the 1/{_LABEL_SPLIT_MOD}
+    deterministic sample (the pairwise_distance_histogram device); dot
+    products fold sequentially over the zipped arrays — identical
+    fold order both engines — and the split reduces to two rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % _LABEL_SPLIT_MOD == 0
+    )
+    a = emb.select(
+        F.col("vec_id").alias("ida"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * y),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    pairs = a.join(b, F.col("ida") < F.col("idb")).select(
+        F.when(F.col("la") == F.col("lb"), 1).otherwise(0).alias("same_label"),
+        F.round(dot * 1_000_000_000, 0).cast("bigint").alias("cos_nano"),
+    )
+    return (
+        pairs.groupBy("same_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("cos_nano").alias("sc"),
+            F.min("cos_nano").cast("bigint").alias("min_cos_nano"),
+            F.max("cos_nano").cast("bigint").alias("max_cos_nano"),
+        )
+        .select(
+            "same_label",
+            "n_pairs",
+            F.expr("CAST(sc DIV n_pairs AS BIGINT)").alias("mean_cos_nano"),
+            "min_cos_nano",
+            "max_cos_nano",
+        )
+        .orderBy("same_label")
+    )

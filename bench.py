@@ -339,6 +339,9 @@ HEADLINE = [
     "quantile_shift_by_priority",
     "design_effect_by_nation",
     "spc_range_sigma_ratio",
+    "ljung_box_q",
+    "kpss_stationarity_proxy",
+    "label_pair_similarity_split",
 ]
 
 

@@ -2251,3 +2251,72 @@ def test_spc_ratio_replay(spark):
     # iid daily revenue: the ratio sits in the d2(7) = 2.704
     # neighborhood (small-SF discreteness pulls it low)
     assert 1_700 < r.range_sigma_ratio_milli < 3_400
+
+
+def test_ljung_box_replay(spark):
+    [r] = QUERIES["ljung_box_q"](spark, SF_DIR).collect()
+    acf = QUERIES["autocorrelation_lags"](spark, SF_DIR).collect()
+    n = acf[0].n_pairs + acf[0].lag_k
+    terms = [
+        math.floor(float(a.acf_ticks) * a.acf_ticks / a.n_pairs + 0.5)
+        for a in acf
+    ]
+    q_milli = math.floor(n * (n + 2) * float(sum(terms)) / 1e15 + 0.5)
+    assert r.n_days == n
+    assert r.n_lags == len(acf)
+    assert abs(r.ljung_box_q_milli - q_milli) <= 1
+    # Q is a sum of squares: non-negative
+    assert r.ljung_box_q_milli >= 0
+
+
+def test_kpss_replay(spark):
+    [r] = QUERIES["kpss_stationarity_proxy"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    daily = defaultdict(int)
+    for o in orders:
+        daily[o.o_orderdate.date()] += round(o.o_totalprice * 100)
+    xs = [daily[d] for d in sorted(daily)]
+    n, s = len(xs), sum(xs)
+    q = sum(x * x for x in xs)
+    sn, ss2 = 0, 0
+    for x in xs:
+        sn += x * n - s
+        ss2 += sn * sn
+    sigma2 = q / n - (s / n) ** 2
+    eta = ss2 / (n * n) / (n * n) / sigma2
+    assert r.n_days == n
+    assert abs(r.kpss_eta_micro - eta * 1e6) <= 2
+    # eta is positive; a wildly trending series would exceed ~1
+    assert r.kpss_eta_micro > 0
+
+
+def test_label_similarity_split_replay(spark):
+    rows = QUERIES["label_pair_similarity_split"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    sub = [
+        (e.vec_id, e.label, [float(x) for x in e.embedding])
+        for e in emb
+        if e.vec_id % 7 == 0
+    ]
+    stats = {0: [], 1: []}
+    for i, (ida, la, ea) in enumerate(sub):
+        for idb, lb, eb in sub[i + 1 :]:
+            acc = 0.0
+            for x, y in zip(ea, eb):
+                acc += x * y
+            stats[1 if la == lb else 0].append(
+                math.floor(acc * 1e9 + 0.5)
+            )
+    got = {r.same_label: r for r in rows}
+    for k, vals in stats.items():
+        r = got[k]
+        assert r.n_pairs == len(vals)
+        assert abs(r.mean_cos_nano - sum(vals) // len(vals)) <= 1
+        assert abs(r.min_cos_nano - min(vals)) <= 1
+        assert abs(r.max_cos_nano - max(vals)) <= 1
+    # both rows exist and cover every sampled pair exactly once
+    n_sub = len(sub)
+    assert got[0].n_pairs + got[1].n_pairs == n_sub * (n_sub - 1) // 2
+    # (the within-vs-cross GAP is the op's finding, not an invariant:
+    # at sf0.001 the sampled subset's labels are geometrically
+    # invisible — gap < 0 — which is exactly what the check reports)

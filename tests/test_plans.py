@@ -2120,3 +2120,32 @@ class TestDriftPlans:
         assert "Scan parquet" not in t and "Scan ExistingRDD" in t
         df = QUERIES["spc_range_sigma_ratio"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_ljung_box_rides_acf(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the portmanteau is arithmetic on the 4-row ACF output
+        t = tree(spark, "ljung_box_q")
+        assert "HashAggregate" in t
+        df = QUERIES["ljung_box_q"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_kpss_exact_partial_sums(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # one cumulative window over the bounded daily series; wide-int
+        # partial-sum squares, one final double
+        t = tree(spark, "kpss_stationarity_proxy")
+        assert t.count("Window") == 1
+        df = QUERIES["kpss_stationarity_proxy"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_label_split_sampled_pairs(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the quadratic pair stage is fenced to the deterministic
+        # sample; the split reduces to two rows
+        t = tree(spark, "label_pair_similarity_split")
+        assert "PushedFilters" in full(spark, "label_pair_similarity_split")
+        df = QUERIES["label_pair_similarity_split"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
