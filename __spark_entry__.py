@@ -134,7 +134,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: nation_revenue_cagr, simpson_diversity_by_lang,
 #: quantile_shift_by_priority, design_effect_by_nation,
 #: spc_range_sigma_ratio, ljung_box_q, kpss_stationarity_proxy,
-#: label_pair_similarity_split; no
+#: label_pair_similarity_split, effect_size_priority,
+#: mann_kendall_trend, benford_second_digit_audit; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

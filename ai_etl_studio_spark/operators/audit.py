@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_etl_studio_spark.catalog import load_table
@@ -1161,3 +1161,80 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford second-digit forensic audit
+# ---------------------------------------------------------------------------
+
+#: Benford second-digit probabilities in exact ppm — Σ_k log10(1+1/(10k+d))
+#: computed ONCE and inlined as literals, so neither engine ever sums the
+#: nine log terms at runtime (a 9-element double sum is order-dependent).
+_BENFORD2_PPM = {
+    0: 119679, 1: 113890, 2: 108821, 3: 104330, 4: 100308,
+    5: 96677, 6: 93375, 7: 90352, 8: 87570, 9: 84997,
+}
+_BENFORD2_VALUES = ", ".join(
+    f"({d}, {p})" for d, p in _BENFORD2_PPM.items()
+)
+
+
+@register(
+    "benford_second_digit_audit",
+    oracle=f"""
+    WITH d2 AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0)
+        AS BIGINT) AS VARCHAR), 2, 1) AS BIGINT) AS digit
+      FROM orders WHERE round(o_totalprice * 100, 0) >= 10),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d2 GROUP BY 1),
+    exp2(digit, expected_ppm) AS (VALUES {_BENFORD2_VALUES}),
+    t AS (
+      SELECT c.digit, c.n, CAST(exp2.expected_ppm AS BIGINT)
+               AS expected_ppm,
+             CAST(SUM(c.n) OVER () AS BIGINT) AS tot
+      FROM c JOIN exp2 ON c.digit = exp2.digit)
+    SELECT digit, n,
+           CAST(n * 1000000 // tot AS BIGINT) AS observed_ppm,
+           expected_ppm,
+           CAST(n * 1000000 // tot - expected_ppm AS BIGINT)
+             AS deviation_ppm
+    FROM t ORDER BY digit
+    """,
+)
+def benford_second_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND-digit Benford test — the forensic accountant's
+    sharper blade: fabricators who know to fake a first-digit Benford
+    curve almost never fake the second digit's gentler 12.0%→8.5%
+    slope, and rounding-to-psychological-prices shows up here first.
+    (Synthetic uniform prices deviate on BOTH digits — also a finding.)
+    Complements benford_audit's first-digit screen.
+
+    Scale: one projection extracts the digit (string slice of the
+    exact integer cents — no float log), one map-side reduction to ten
+    rows, expected values joined from INLINED constants (the nine-term
+    log sums are precomputed literals, not runtime float sums).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    v = cents("o_totalprice")
+    d2 = o.filter(v >= 10).select(
+        F.substring(v.cast("string"), 2, 1).cast("bigint").alias("digit")
+    )
+    c = d2.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    exp_rows = [(d, p) for d, p in _BENFORD2_PPM.items()]
+    exp2 = spark.createDataFrame(exp_rows, "digit bigint, expected_ppm bigint")
+    t = c.join(F.broadcast(exp2), "digit").withColumn(
+        "tot",
+        F.sum("n")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint"),
+    )
+    return t.select(
+        "digit",
+        "n",
+        F.expr("CAST(n * 1000000 DIV tot AS BIGINT)").alias("observed_ppm"),
+        "expected_ppm",
+        F.expr(
+            "CAST(n * 1000000 DIV tot - expected_ppm AS BIGINT)"
+        ).alias("deviation_ppm"),
+    ).orderBy("digit")

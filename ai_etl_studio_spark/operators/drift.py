@@ -2803,3 +2803,169 @@ def kpss_stationarity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kpss_eta_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d effect size between the urgent and low populations
+# ---------------------------------------------------------------------------
+
+@register(
+    "effect_size_priority",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS s1,
+             SUM(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               AS HUGEINT) * CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS s2
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY 1),
+    w AS (
+      SELECT MAX(CASE WHEN grp = 1 THEN n END) AS na,
+             MAX(CASE WHEN grp = 1 THEN s1 END) AS sa,
+             MAX(CASE WHEN grp = 1 THEN CAST(s2 AS DOUBLE) END) AS qa,
+             MAX(CASE WHEN grp = 0 THEN n END) AS nb,
+             MAX(CASE WHEN grp = 0 THEN s1 END) AS sb,
+             MAX(CASE WHEN grp = 0 THEN CAST(s2 AS DOUBLE) END) AS qb
+      FROM s)
+    SELECT CAST(na AS BIGINT) AS n_urgent, CAST(nb AS BIGINT) AS n_low,
+           CAST(round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+             / sqrt(((qa - CAST(sa AS DOUBLE) * sa / na)
+               + (qb - CAST(sb AS DOUBLE) * sb / nb)) / (na + nb - 2))
+             * 1000000, 0) AS BIGINT) AS cohens_d_micro
+    FROM w
+    """,
+)
+def effect_size_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d between the URGENT and LOW order-value populations —
+    the standardized effect size that answers "is the difference BIG",
+    which the z-test's p-value (ab_test_ztest: is it REAL) and the QTE
+    ladder (quantile_shift: WHERE is it) don't: d < 0.2 is a
+    difference nobody should reorganize logistics over, however
+    significant.
+
+    Scale: both groups reduce to sufficient statistics in ONE
+    aggregation, pivot to a single row (two-group conditional MAX), and
+    the pooled-SD formula is one mirrored expression. Σx² rides the
+    wide-integer rule.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    x = cents("o_totalprice")
+    xd = x.cast("decimal(38,0)")
+    s = o.groupBy(
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("s1"),
+        F.sum(xd * xd).alias("s2"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == 1, F.col("s1"))).alias("sa"),
+        F.max(F.when(F.col("grp") == 1, F.col("s2").cast("double"))).alias("qa"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == 0, F.col("s1"))).alias("sb"),
+        F.max(F.when(F.col("grp") == 0, F.col("s2").cast("double"))).alias("qb"),
+    )
+    mean_gap = F.col("sa").cast("double") / F.col("na") - F.col("sb").cast(
+        "double"
+    ) / F.col("nb")
+    pooled = F.sqrt(
+        (
+            (F.col("qa") - F.col("sa").cast("double") * F.col("sa") / F.col("na"))
+            + (F.col("qb") - F.col("sb").cast("double") * F.col("sb") / F.col("nb"))
+        )
+        / (F.col("na") + F.col("nb") - 2)
+    )
+    return w.select(
+        F.col("na").cast("bigint").alias("n_urgent"),
+        F.col("nb").cast("bigint").alias("n_low"),
+        F.round(mean_gap / pooled * 1_000_000, 0)
+        .cast("bigint")
+        .alias("cohens_d_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall monotone-trend test on monthly revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+        + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mi,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    p AS (
+      SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                           WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+               AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM monthly a JOIN monthly b ON b.mi > a.mi),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM monthly)
+    SELECT n.n AS n_months, p.s AS mk_s, p.n_pairs,
+           CAST(round((p.s - CASE WHEN p.s > 0 THEN 1
+                                  WHEN p.s < 0 THEN -1 ELSE 0 END)
+             / sqrt(CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5) / 18)
+             * 1000000, 0) AS BIGINT) AS mk_z_micro
+    FROM p CROSS JOIN n
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Mann-Kendall monotone-trend test on monthly revenue: S =
+    Σ sign(x_j − x_i) over all month pairs with its continuity-
+    corrected z — the SIGNIFICANCE half of the robust-trend pair
+    (theil_sen_trend gives the slope magnitude; MK says whether a
+    monotone drift exists at all, immune to outliers and any monotone
+    transform of the data).
+
+    Scale: the corpus reduces to |month| rows before the bounded pair
+    join (the theil_sen device); S is exact integer sign algebra and
+    the z is one mirrored closed form over three exact integers.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    monthly = o.groupBy(
+        (F.year(d) * 12 + F.month(d)).cast("bigint").alias("mi")
+    ).agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    a, b = monthly.alias("a"), monthly.alias("b")
+    p = a.join(b, F.col("b.mi") > F.col("a.mi")).agg(
+        F.sum(
+            F.when(F.col("b.rev") > F.col("a.rev"), 1)
+            .when(F.col("b.rev") < F.col("a.rev"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    n = monthly.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cc = (
+        F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    )
+    return p.crossJoin(F.broadcast(n)).select(
+        F.col("n").alias("n_months"),
+        F.col("s").alias("mk_s"),
+        "n_pairs",
+        F.round(
+            (F.col("s") - cc)
+            / F.sqrt(
+                F.col("n").cast("double")
+                * (F.col("n") - 1)
+                * (2 * F.col("n") + 5)
+                / 18
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("mk_z_micro"),
+    )

@@ -342,6 +342,9 @@ HEADLINE = [
     "ljung_box_q",
     "kpss_stationarity_proxy",
     "label_pair_similarity_split",
+    "effect_size_priority",
+    "mann_kendall_trend",
+    "benford_second_digit_audit",
 ]
 
 

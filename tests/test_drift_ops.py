@@ -2320,3 +2320,68 @@ def test_label_similarity_split_replay(spark):
     # (the within-vs-cross GAP is the op's finding, not an invariant:
     # at sf0.001 the sampled subset's labels are geometrically
     # invisible — gap < 0 — which is exactly what the check reports)
+
+
+def test_effect_size_replay(spark):
+    [r] = QUERIES["effect_size_priority"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    a = [round(o.o_totalprice * 100) for o in orders
+         if o.o_orderpriority == "1-URGENT"]
+    b = [round(o.o_totalprice * 100) for o in orders
+         if o.o_orderpriority == "5-LOW"]
+    na, nb = len(a), len(b)
+    ssa = sum(x * x for x in a) - sum(a) ** 2 / na
+    ssb = sum(x * x for x in b) - sum(b) ** 2 / nb
+    pooled = math.sqrt((ssa + ssb) / (na + nb - 2))
+    d = (sum(a) / na - sum(b) / nb) / pooled
+    assert (r.n_urgent, r.n_low) == (na, nb)
+    assert abs(r.cohens_d_micro - d * 1e6) <= 2
+    # synthetic priorities are value-independent: |d| stays in the
+    # small-effect band (sampling noise at sf0.001 reaches ~0.2)
+    assert abs(r.cohens_d_micro) < 400_000
+
+
+def test_mann_kendall_replay(spark):
+    [r] = QUERIES["mann_kendall_trend"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    monthly = defaultdict(int)
+    for o in orders:
+        d = o.o_orderdate.date()
+        monthly[d.year * 12 + d.month] += round(o.o_totalprice * 100)
+    xs = [monthly[k] for k in sorted(monthly)]
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    assert (r.n_months, r.mk_s, r.n_pairs) == (n, s, n * (n - 1) // 2)
+    cc = 1 if s > 0 else (-1 if s < 0 else 0)
+    z = (s - cc) / math.sqrt(n * (n - 1) * (2 * n + 5) / 18)
+    assert abs(r.mk_z_micro - z * 1e6) <= 2
+
+
+def test_benford_second_digit_replay(spark):
+    rows = QUERIES["benford_second_digit_audit"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    c = Counter()
+    for o in orders:
+        v = round(o.o_totalprice * 100)
+        if v >= 10:
+            c[int(str(v)[1])] += 1
+    tot = sum(c.values())
+    exp = {
+        0: 119679, 1: 113890, 2: 108821, 3: 104330, 4: 100308,
+        5: 96677, 6: 93375, 7: 90352, 8: 87570, 9: 84997,
+    }
+    got = {r.digit: r for r in rows}
+    assert set(got) == set(c)
+    for d, n in c.items():
+        r = got[d]
+        obs = n * 1_000_000 // tot
+        assert (r.n, r.observed_ppm) == (n, obs)
+        assert r.expected_ppm == exp[d]
+        assert r.deviation_ppm == obs - exp[d]
+    # uniform synthetic prices: observed ~100k ppm per digit, so digit
+    # 0 under-indexes and digit 9 over-indexes vs Benford
+    assert got[0].deviation_ppm < 0 < got[9].deviation_ppm

@@ -2149,3 +2149,31 @@ class TestDriftPlans:
         assert "PushedFilters" in full(spark, "label_pair_similarity_split")
         df = QUERIES["label_pair_similarity_split"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_effect_size_single_row_pivot(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "effect_size_priority")
+        assert "Join" not in t and "Window" not in t
+        df = QUERIES["effect_size_priority"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_mann_kendall_pairs_on_aggregate(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the pair join sits above the monthly reduction (theil_sen
+        # device); S is integer sign algebra
+        t = tree(spark, "mann_kendall_trend")
+        assert t.count("HashAggregate") >= 3
+        df = QUERIES["mann_kendall_trend"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_benford2_inlined_expectations(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # expected values join from inlined constants; digit extraction
+        # is a string slice of exact integer cents
+        t = tree(spark, "benford_second_digit_audit")
+        assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+        df = QUERIES["benford_second_digit_audit"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
