@@ -7432,3 +7432,199 @@ def nation_revenue_cagr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-account concentration per part type
+# ---------------------------------------------------------------------------
+
+@register(
+    "key_account_concentration_by_type",
+    oracle="""
+    WITH tc AS (
+      SELECT p.p_type AS ptype, o.o_custkey AS ck,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    r AS (
+      SELECT ptype, ck, rev,
+             ROW_NUMBER() OVER (PARTITION BY ptype
+               ORDER BY rev DESC, ck) AS rn,
+             CAST(SUM(rev) OVER (PARTITION BY ptype) AS BIGINT)
+               AS total_rev,
+             CAST(COUNT(*) OVER (PARTITION BY ptype) AS BIGINT)
+               AS n_customers
+      FROM tc),
+    w AS (
+      SELECT ptype, CAST(MAX(n_customers) AS BIGINT) AS n_customers,
+             CAST(MAX(total_rev) AS BIGINT) AS total_rev,
+             CAST(MAX(CASE WHEN rn = 1 THEN ck END) AS BIGINT)
+               AS top_custkey,
+             CAST(MAX(CASE WHEN rn = 1 THEN rev END) AS BIGINT) AS top_rev,
+             CAST(MAX(CASE WHEN rn = 2 THEN rev END) AS BIGINT)
+               AS second_rev
+      FROM r GROUP BY ptype)
+    SELECT ptype, n_customers, top_custkey,
+           CAST(top_rev * 1000000 // total_rev AS BIGINT) AS top_share_ppm,
+           CAST(second_rev * 1000000 // total_rev AS BIGINT)
+             AS second_share_ppm,
+           CAST(top_rev * 1000 // second_rev AS BIGINT) AS top_gap_milli
+    FROM w ORDER BY ptype
+    """,
+)
+def key_account_concentration_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Key-account risk per part type: the #1 customer's revenue share,
+    the #2 share, and the gap between them — a category whose top
+    account carries 5%+ AND doubles the runner-up has a single point of
+    demand failure (the customer-side mirror of single_source_risk's
+    supply view).
+
+    Scale: the 3-way fact join reduces to (type, customer) exact cents
+    first; the rank window partitions by type over per-type customer
+    counts; the two leaders pivot out by conditional MAX. All shares
+    exact integer.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    tc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_type").alias("ptype"), F.col("o_custkey").alias("ck")
+        )
+        .agg(F.sum(cents("l_extendedprice")).cast("bigint").alias("rev"))
+    )
+    wp = Window.partitionBy("ptype")
+    r = tc.select(
+        "ptype",
+        "ck",
+        "rev",
+        F.row_number().over(wp.orderBy(F.desc("rev"), "ck")).alias("rn"),
+        F.sum("rev").over(wp).cast("bigint").alias("total_rev"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_customers"),
+    )
+    w = r.groupBy("ptype").agg(
+        F.max("n_customers").cast("bigint").alias("n_customers"),
+        F.max("total_rev").cast("bigint").alias("total_rev"),
+        F.max(F.when(F.col("rn") == 1, F.col("ck"))).cast("bigint").alias("top_custkey"),
+        F.max(F.when(F.col("rn") == 1, F.col("rev"))).cast("bigint").alias("top_rev"),
+        F.max(F.when(F.col("rn") == 2, F.col("rev"))).cast("bigint").alias("second_rev"),
+    )
+    return w.select(
+        "ptype",
+        "n_customers",
+        "top_custkey",
+        F.expr("CAST(top_rev * 1000000 DIV total_rev AS BIGINT)").alias(
+            "top_share_ppm"
+        ),
+        F.expr("CAST(second_rev * 1000000 DIV total_rev AS BIGINT)").alias(
+            "second_share_ppm"
+        ),
+        F.expr("CAST(top_rev * 1000 DIV second_rev AS BIGINT)").alias(
+            "top_gap_milli"
+        ),
+    ).orderBy("ptype")
+
+
+# ---------------------------------------------------------------------------
+# Weekend revenue lift by nation
+# ---------------------------------------------------------------------------
+
+@register(
+    "weekpart_nation_lift",
+    oracle="""
+    WITH j AS (
+      SELECT n.n_name AS nation,
+             CASE WHEN dayofweek(CAST(o.o_orderdate AS DATE)) IN (0, 6)
+               THEN 1 ELSE 0 END AS is_weekend,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    g AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(is_weekend) AS BIGINT) AS n_weekend,
+             CAST(SUM(v) AS BIGINT) AS rev,
+             CAST(SUM(CASE WHEN is_weekend = 1 THEN v ELSE 0 END)
+               AS BIGINT) AS weekend_rev
+      FROM j GROUP BY 1),
+    t AS (
+      SELECT g.*, CAST(SUM(weekend_rev) OVER () AS BIGINT) AS tw,
+             CAST(SUM(rev) OVER () AS BIGINT) AS tr
+      FROM g)
+    SELECT nation, n_orders, n_weekend,
+           CAST(weekend_rev * 1000000 // rev AS BIGINT)
+             AS weekend_share_ppm,
+           CAST(round(CAST(weekend_rev AS DOUBLE) * tr
+             / (CAST(rev AS DOUBLE) * tw) * 1000, 0) AS BIGINT)
+             AS weekend_lift_milli
+    FROM t ORDER BY nation
+    """,
+)
+def weekpart_nation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend revenue behavior by market: each nation's weekend
+    revenue share and its LIFT against the global weekend norm —
+    markets over-indexing on weekends want different staffing, promo
+    windows, and batch schedules than weekday-heavy ones
+    (dow_seasonality_strength says whether weekday matters AT ALL;
+    this localizes WHO differs). Note the weekday-number mapping:
+    Spark's dayofweek is 1=Sunday..7, DuckDB's 0..6 — the weekend set
+    is (1,7) vs (0,6), mirrored deliberately.
+
+    Scale: one fact reduction to |nation| rows (dim joins
+    broadcast-size); global norms are windows over that bounded table;
+    share exact ppm, lift one mirrored double expression.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.when(
+                F.dayofweek(F.col("o_orderdate").cast("date")).isin(1, 7), 1
+            )
+            .otherwise(0)
+            .alias("is_weekend"),
+            cents("o_totalprice").alias("v"),
+        )
+    )
+    g = j.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("is_weekend").cast("bigint").alias("n_weekend"),
+        F.sum("v").cast("bigint").alias("rev"),
+        F.sum(F.when(F.col("is_weekend") == 1, F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("weekend_rev"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = g.select(
+        "*",
+        F.sum("weekend_rev").over(w_all).cast("bigint").alias("tw"),
+        F.sum("rev").over(w_all).cast("bigint").alias("tr"),
+    )
+    return t.select(
+        "nation",
+        "n_orders",
+        "n_weekend",
+        F.expr("CAST(weekend_rev * 1000000 DIV rev AS BIGINT)").alias(
+            "weekend_share_ppm"
+        ),
+        F.round(
+            F.col("weekend_rev").cast("double")
+            * F.col("tr")
+            / (F.col("rev").cast("double") * F.col("tw"))
+            * 1000,
+            0,
+        )
+        .cast("bigint")
+        .alias("weekend_lift_milli"),
+    ).orderBy("nation")

@@ -345,6 +345,8 @@ HEADLINE = [
     "effect_size_priority",
     "mann_kendall_trend",
     "benford_second_digit_audit",
+    "key_account_concentration_by_type",
+    "weekpart_nation_lift",
 ]
 
 

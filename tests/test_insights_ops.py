@@ -2835,3 +2835,66 @@ def test_suppliers_per_order_replay(spark):
         h[1] += rev[k]
     got = {r.suppliers_per_order: (r.n_orders, r.rev_cents) for r in rows}
     assert got == {k: tuple(v) for k, v in hist.items()}
+
+
+def test_key_account_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["key_account_concentration_by_type"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    ocust = {
+        o.o_orderkey: o.o_custkey
+        for o in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    ptype = {
+        p.p_partkey: p.p_type
+        for p in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    tc = defaultdict(lambda: defaultdict(int))
+    for x in li:
+        tc[ptype[x.l_partkey]][ocust[x.l_orderkey]] += round(
+            x.l_extendedprice * 100
+        )
+    for r in rows:
+        cust = tc[r.ptype]
+        order = sorted(cust.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(cust.values())
+        (k1, v1), (_, v2) = order[0], order[1]
+        assert (r.n_customers, r.top_custkey) == (len(cust), k1)
+        assert r.top_share_ppm == v1 * 1_000_000 // total
+        assert r.second_share_ppm == v2 * 1_000_000 // total
+        assert r.top_gap_milli == v1 * 1000 // v2
+        assert r.top_gap_milli >= 1000  # #1 >= #2 by construction
+    assert len(rows) == len(tc)
+
+
+def test_weekpart_lift_replay(spark):
+    import math
+    from collections import defaultdict
+
+    rows = QUERIES["weekpart_nation_lift"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    g = defaultdict(lambda: [0, 0, 0, 0])
+    for o in orders:
+        nk = cust[o.o_custkey]
+        wk = o.o_orderdate.date().isoweekday() in (6, 7)
+        v = round(o.o_totalprice * 100)
+        a = g[f"NATION_{nk}"]
+        a[0] += 1
+        a[1] += wk
+        a[2] += v
+        a[3] += v if wk else 0
+    tw = sum(a[3] for a in g.values())
+    tr = sum(a[2] for a in g.values())
+    assert len(rows) == len(g)
+    for r in rows:
+        n, nw, rev, wrev = g[r.nation]
+        assert (r.n_orders, r.n_weekend) == (n, nw)
+        assert r.weekend_share_ppm == wrev * 1_000_000 // rev
+        assert r.weekend_lift_milli == math.floor(
+            wrev * tr / (rev * tw) * 1000 + 0.5
+        )

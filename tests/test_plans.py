@@ -2177,3 +2177,21 @@ class TestDriftPlans:
         assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
         df = QUERIES["benford_second_digit_audit"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_key_account_rank_on_reduction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # rank windows run on the (type, customer) reduction, never on
+        # raw lines; leaders pivot by conditional MAX
+        t = tree(spark, "key_account_concentration_by_type")
+        assert "Window" in t and t.count("HashAggregate") >= 3
+        df = QUERIES["key_account_concentration_by_type"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_weekpart_bounded_norms(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "weekpart_nation_lift")
+        assert t.count("Window") >= 1
+        df = QUERIES["weekpart_nation_lift"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
