@@ -136,7 +136,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: spc_range_sigma_ratio, ljung_box_q, kpss_stationarity_proxy,
 #: label_pair_similarity_split, effect_size_priority,
 #: mann_kendall_trend, benford_second_digit_audit,
-#: key_account_concentration_by_type, weekpart_nation_lift; no
+#: key_account_concentration_by_type, weekpart_nation_lift,
+#: purchase_acceleration_share, first_order_dow_profile; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -3624,3 +3624,165 @@ def bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("c_pico"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Purchase-cadence acceleration share (per-customer micro-regressions)
+# ---------------------------------------------------------------------------
+
+_ACCEL_MIN_GAPS = 4
+
+
+@register(
+    "purchase_acceleration_share",
+    oracle=f"""
+    WITH seq AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE)
+               - LAG(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS gap,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) - 1 AS idx
+      FROM orders),
+    g AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(idx) AS BIGINT) AS sx,
+             CAST(SUM(gap) AS BIGINT) AS sy,
+             CAST(SUM(idx * gap) AS BIGINT) AS sxy
+      FROM seq WHERE gap IS NOT NULL
+      GROUP BY 1 HAVING COUNT(*) >= {_ACCEL_MIN_GAPS}),
+    cls AS (
+      SELECT CASE WHEN n * sxy - sx * sy < 0 THEN 'accelerating'
+                  WHEN n * sxy - sx * sy > 0 THEN 'decelerating'
+                  ELSE 'flat' END AS band
+      FROM g)
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM cls GROUP BY 1 ORDER BY 1
+    """,
+)
+def purchase_acceleration_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A million tiny regressions in one pass: for every customer with
+    enough history, the OLS TREND of their inter-order gaps —
+    shrinking gaps (accelerating) vs growing (decelerating, the
+    churn-risk whisper months before the churn). The banded census is
+    the health dial; reorder_interval_stats gives the level this op
+    gives the derivative of.
+
+    Scale: one customer-partitioned window pass builds (gap, index)
+    pairs; each customer's slope SIGN is the exact integer
+    n·Σxy − Σx·Σy — no division, no float, so the classification can
+    never flip on a ulp. The per-customer "model fleet" costs one
+    groupBy, which is the entire point versus fitting per-customer
+    models serially.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    seq = o.select(
+        "o_custkey",
+        F.datediff(d, F.lag(d).over(w)).alias("gap"),
+        (F.row_number().over(w) - 1).alias("idx"),
+    ).filter(F.col("gap").isNotNull())
+    g = (
+        seq.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("idx").cast("bigint").alias("sx"),
+            F.sum("gap").cast("bigint").alias("sy"),
+            F.sum(F.col("idx") * F.col("gap")).cast("bigint").alias("sxy"),
+        )
+        .filter(F.col("n") >= _ACCEL_MIN_GAPS)
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        g.select(
+            F.when(num < 0, "accelerating")
+            .when(num > 0, "decelerating")
+            .otherwise("flat")
+            .alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Acquisition-day profile (first orders vs all orders by weekday)
+# ---------------------------------------------------------------------------
+
+@register(
+    "first_order_dow_profile",
+    oracle="""
+    WITH ff AS (
+      SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS fd
+      FROM orders GROUP BY 1),
+    f AS (
+      SELECT CAST(dayofweek(fd) + 1 AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_first
+      FROM ff GROUP BY 1),
+    a AS (
+      SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT)
+               AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_all
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT f.dow, f.n_first, a.n_all,
+             CAST(SUM(f.n_first) OVER () AS BIGINT) AS tf,
+             CAST(SUM(a.n_all) OVER () AS BIGINT) AS ta
+      FROM f JOIN a ON f.dow = a.dow)
+    SELECT dow, n_first, n_all,
+           CAST(n_first * 1000000 // tf AS BIGINT) AS first_share_ppm,
+           CAST(round(CAST(n_first AS DOUBLE) * ta
+             / (CAST(n_all AS DOUBLE) * tf) * 1000, 0) AS BIGINT)
+             AS acquisition_lift_milli
+    FROM t ORDER BY dow
+    """,
+)
+def first_order_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN do customers arrive: the weekday profile of FIRST orders
+    against the all-orders baseline — a weekday whose acquisition lift
+    beats its traffic lift is where new-customer conversion actually
+    happens, and where onboarding capacity belongs. (Spark dayofweek
+    is 1=Sunday..7; the DuckDB twin maps 0..6 with +1.)
+
+    Scale: first orders compact per customer (MIN); both legs reduce
+    to seven weekday rows; the lift is one mirrored double over exact
+    counts on the bounded join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ff = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("fd")
+    )
+    f = ff.groupBy(F.dayofweek("fd").cast("bigint").alias("dow")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_first")
+    )
+    a = o.groupBy(
+        F.dayofweek(F.col("o_orderdate").cast("date")).cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = f.join(a, "dow").select(
+        "*",
+        F.sum("n_first").over(w_all).cast("bigint").alias("tf"),
+        F.sum("n_all").over(w_all).cast("bigint").alias("ta"),
+    )
+    return t.select(
+        "dow",
+        "n_first",
+        "n_all",
+        F.expr("CAST(n_first * 1000000 DIV tf AS BIGINT)").alias(
+            "first_share_ppm"
+        ),
+        F.round(
+            F.col("n_first").cast("double")
+            * F.col("ta")
+            / (F.col("n_all").cast("double") * F.col("tf"))
+            * 1000,
+            0,
+        )
+        .cast("bigint")
+        .alias("acquisition_lift_milli"),
+    ).orderBy("dow")

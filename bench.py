@@ -347,6 +347,8 @@ HEADLINE = [
     "benford_second_digit_audit",
     "key_account_concentration_by_type",
     "weekpart_nation_lift",
+    "purchase_acceleration_share",
+    "first_order_dow_profile",
 ]
 
 

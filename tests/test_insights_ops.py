@@ -2898,3 +2898,57 @@ def test_weekpart_lift_replay(spark):
         assert r.weekend_lift_milli == math.floor(
             wrev * tr / (rev * tw) * 1000 + 0.5
         )
+
+
+def test_purchase_acceleration_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["purchase_acceleration_share"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    by_cust = defaultdict(list)
+    for o in orders:
+        by_cust[o.o_custkey].append((o.o_orderdate.date(), o.o_orderkey))
+    bands = defaultdict(int)
+    for ds in by_cust.values():
+        ds.sort()
+        gaps = [(b[0] - a[0]).days for a, b in zip(ds, ds[1:])]
+        if len(gaps) < 4:
+            continue
+        n = len(gaps)
+        sx = sum(range(1, n + 1))
+        sy = sum(gaps)
+        sxy = sum((i + 1) * g for i, g in enumerate(gaps))
+        num = n * sxy - sx * sy
+        bands[
+            "accelerating" if num < 0 else
+            ("decelerating" if num > 0 else "flat")
+        ] += 1
+    got = {r.band: r.n_customers for r in rows}
+    assert got == dict(bands)
+
+
+def test_first_order_dow_replay(spark):
+    from collections import Counter, defaultdict
+
+    rows = QUERIES["first_order_dow_profile"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    first = {}
+    alld = Counter()
+    for o in orders:
+        d = o.o_orderdate.date()
+        alld[d.isoweekday() % 7 + 1] += 1
+        k = o.o_custkey
+        first[k] = min(first.get(k, d), d)
+    fd = Counter(d.isoweekday() % 7 + 1 for d in first.values())
+    tf, ta = sum(fd.values()), sum(alld.values())
+    import math
+
+    assert len(rows) == len(fd)
+    for r in rows:
+        assert (r.n_first, r.n_all) == (fd[r.dow], alld[r.dow])
+        assert r.first_share_ppm == fd[r.dow] * 1_000_000 // tf
+        assert r.acquisition_lift_milli == math.floor(
+            fd[r.dow] * ta / (alld[r.dow] * tf) * 1000 + 0.5
+        )
+    # every customer acquired exactly once
+    assert sum(r.n_first for r in rows) == len(first)

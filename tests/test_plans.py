@@ -2195,3 +2195,23 @@ class TestDriftPlans:
         assert t.count("Window") >= 1
         df = QUERIES["weekpart_nation_lift"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_acceleration_integer_sign_fleet(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # one customer-partitioned window pass; slope SIGN is exact
+        # integer algebra — no division in the classification
+        t = tree(spark, "purchase_acceleration_share")
+        assert "Join" not in t
+        df = QUERIES["purchase_acceleration_share"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_first_order_dow_two_legs(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # first-order compaction + all-orders reduction, joined at
+        # seven weekday rows
+        t = tree(spark, "first_order_dow_profile")
+        assert t.count("HashAggregate") >= 4
+        df = QUERIES["first_order_dow_profile"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
