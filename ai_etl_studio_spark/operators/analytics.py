@@ -7628,3 +7628,118 @@ def weekpart_nation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weekend_lift_milli"),
     ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# Part lifecycle span histogram (active lifetime on market)
+# ---------------------------------------------------------------------------
+
+@register(
+    "part_lifecycle_span",
+    oracle="""
+    WITH pl AS (
+      SELECT l_partkey, MIN(CAST(l_shipdate AS DATE)) AS first_d,
+             MAX(CAST(l_shipdate AS DATE)) AS last_d,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1),
+    mx AS (SELECT MAX(last_d) AS horizon FROM pl),
+    b AS (
+      SELECT CAST((pl.last_d - pl.first_d) // 90 AS BIGINT)
+               AS span_quarters,
+             CASE WHEN mx.horizon - pl.last_d <= 90 THEN 1 ELSE 0 END
+               AS active,
+             pl.n_lines
+      FROM pl CROSS JOIN mx)
+    SELECT span_quarters, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(active) AS BIGINT) AS n_still_active,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def part_lifecycle_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long parts LIVE on the market: the first-to-last-shipment
+    span per part in quarters, with the still-active count (shipped in
+    the horizon's final 90 days) per span band — short-span dead bands
+    are churned catalog (pair with part_launch_velocity's fad signal),
+    and a long-span band with few still-active parts is a sunsetting
+    generation.
+
+    Scale: lifespans compact per part map-side (MIN/MAX/COUNT in ONE
+    aggregate); the horizon is a 1-row aggregate-derived broadcast;
+    the histogram reduces to ~30 quarter bands. Exact integer day
+    arithmetic end to end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    pl = li.groupBy("l_partkey").agg(
+        F.min(d).alias("first_d"),
+        F.max(d).alias("last_d"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+    mx = pl.agg(F.max("last_d").alias("horizon"))
+    b = pl.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            "CAST(datediff(last_d, first_d) DIV 90 AS BIGINT)"
+        ).alias("span_quarters"),
+        F.when(F.datediff("horizon", "last_d") <= 90, 1)
+        .otherwise(0)
+        .alias("active"),
+        "n_lines",
+    )
+    return (
+        b.groupBy("span_quarters")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("active").cast("bigint").alias("n_still_active"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+        )
+        .orderBy("span_quarters")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog expansion curve (first-sale cohorts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "catalog_expansion_curve",
+    oracle="""
+    WITH fp AS (
+      SELECT l_partkey, MIN(CAST(l_shipdate AS DATE)) AS fd
+      FROM lineitem GROUP BY 1),
+    m AS (
+      SELECT CAST(date_trunc('month', fd) AS DATE) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM fp GROUP BY 1)
+    SELECT month, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS cum_catalog
+    FROM m ORDER BY month
+    """,
+)
+def catalog_expansion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKU-side adoption curve: parts making their FIRST sale per
+    month and the cumulative selling catalog — the assortment
+    saturation view (a plateau says the catalog is fully activated;
+    late first-sales are either new introductions or zombie stock
+    finally moving). The part-side mirror of bass_diffusion_fit's
+    customer-adoption stream.
+
+    Scale: first-sale dates compact per part (MIN), reduce to |month|
+    rows, and the cumulative window runs over that bounded series.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    fp = li.groupBy("l_partkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("fd")
+    )
+    m = fp.groupBy(F.trunc("fd", "month").alias("month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    return m.select(
+        "month",
+        "n_new",
+        F.sum("n_new")
+        .over(Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_catalog"),
+    ).orderBy("month")

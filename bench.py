@@ -349,6 +349,8 @@ HEADLINE = [
     "weekpart_nation_lift",
     "purchase_acceleration_share",
     "first_order_dow_profile",
+    "part_lifecycle_span",
+    "catalog_expansion_curve",
 ]
 
 

@@ -2952,3 +2952,55 @@ def test_first_order_dow_replay(spark):
         )
     # every customer acquired exactly once
     assert sum(r.n_first for r in rows) == len(first)
+
+
+def test_part_lifecycle_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["part_lifecycle_span"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    pl = {}
+    for x in li:
+        d = x.l_shipdate.date()
+        if x.l_partkey not in pl:
+            pl[x.l_partkey] = [d, d, 0]
+        p = pl[x.l_partkey]
+        p[0] = min(p[0], d)
+        p[1] = max(p[1], d)
+        p[2] += 1
+    horizon = max(p[1] for p in pl.values())
+    cells = defaultdict(lambda: [0, 0, 0])
+    for first_d, last_d, n in pl.values():
+        c = cells[(last_d - first_d).days // 90]
+        c[0] += 1
+        c[1] += (horizon - last_d).days <= 90
+        c[2] += n
+    got = {
+        r.span_quarters: (r.n_parts, r.n_still_active, r.n_lines)
+        for r in rows
+    }
+    assert got == {k: tuple(v) for k, v in cells.items()}
+    # spans partition the catalog
+    assert sum(v[0] for v in got.values()) == len(pl)
+
+
+def test_catalog_expansion_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["catalog_expansion_curve"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    first = {}
+    for x in li:
+        d = x.l_shipdate.date()
+        first[x.l_partkey] = min(first.get(x.l_partkey, d), d)
+    months = defaultdict(int)
+    for d in first.values():
+        months[(d.year, d.month)] += 1
+    cum = 0
+    assert len(rows) == len(months)
+    for r in rows:
+        n = months[(r.month.year, r.month.month)]
+        cum += n
+        assert (r.n_new, r.cum_catalog) == (n, cum)
+    # the curve ends at the full catalog
+    assert rows[-1].cum_catalog == len(first)

@@ -2215,3 +2215,21 @@ class TestDriftPlans:
         assert t.count("HashAggregate") >= 4
         df = QUERIES["first_order_dow_profile"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_lifecycle_span_compaction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # lifespans compact per part in ONE aggregate; 1-row horizon
+        # broadcast; bounded histogram
+        t = tree(spark, "part_lifecycle_span")
+        assert "Window" not in t
+        df = QUERIES["part_lifecycle_span"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_catalog_curve_bounded_cumsum(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "catalog_expansion_curve")
+        assert t.count("Window") == 1
+        df = QUERIES["catalog_expansion_curve"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
