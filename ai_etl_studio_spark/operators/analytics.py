@@ -7743,3 +7743,99 @@ def catalog_expansion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_catalog"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Regional price-parity index (matched-part cross-sectional)
+# ---------------------------------------------------------------------------
+
+@register(
+    "regional_price_parity_index",
+    oracle="""
+    WITH lp AS (
+      SELECT l.l_partkey, r.r_name AS region,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev,
+             CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+               AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2 HAVING SUM(CAST(round(l.l_quantity) AS BIGINT)) > 0),
+    gp AS (
+      SELECT l_partkey, CAST(SUM(rev) AS BIGINT) AS g_rev,
+             CAST(SUM(qty) AS BIGINT) AS g_qty
+      FROM lp GROUP BY 1),
+    j AS (
+      SELECT lp.region,
+             CAST(SUM(CAST(CAST(lp.rev * 1000 // lp.qty AS BIGINT)
+               AS HUGEINT) * lp.qty) AS BIGINT) AS num,
+             CAST(SUM(CAST(CAST(gp.g_rev * 1000 // gp.g_qty AS BIGINT)
+               AS HUGEINT) * lp.qty) AS BIGINT) AS den,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM lp JOIN gp ON lp.l_partkey = gp.l_partkey
+      GROUP BY 1)
+    SELECT region, n_parts,
+           CAST(num * 1000 // den AS BIGINT) AS price_parity_milli
+    FROM j ORDER BY region
+    """,
+)
+def regional_price_parity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchasing-power parity across sales regions: each region's
+    realized unit prices weighted by its OWN quantities, normalized by
+    what the same basket would cost at GLOBAL unit prices — parity
+    1000 means the region pays the world price; 1050 is a 5% premium
+    market. Part-level matching nets out assortment mix, which a raw
+    revenue/unit comparison cannot (fisher_price_index is this op's
+    TIME axis; this is the GEOGRAPHY axis).
+
+    Scale: one 4-dim-join fact reduction to (part, region) exact
+    integers; the global leg re-aggregates that reduction (never the
+    fact table twice); the parity joins are part-grain key-on-key and
+    the weighted sums ride the wide-integer rule. Exact integer milli.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    lp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("l_partkey", F.col("r_name").alias("region"))
+        .agg(
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("rev"),
+            F.sum(F.round("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+        .filter(F.col("qty") > 0)
+    )
+    lp = lp.localCheckpoint()
+    gp = lp.groupBy("l_partkey").agg(
+        F.sum("rev").cast("bigint").alias("g_rev"),
+        F.sum("qty").cast("bigint").alias("g_qty"),
+    )
+    up_r = F.expr("CAST(rev * 1000 DIV qty AS BIGINT)").cast("decimal(38,0)")
+    up_g = F.expr("CAST(g_rev * 1000 DIV g_qty AS BIGINT)").cast(
+        "decimal(38,0)"
+    )
+    j = (
+        lp.join(gp, "l_partkey")
+        .groupBy("region")
+        .agg(
+            F.sum(up_r * F.col("qty")).cast("bigint").alias("num"),
+            F.sum(up_g * F.col("qty")).cast("bigint").alias("den"),
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        )
+    )
+    return j.select(
+        "region",
+        "n_parts",
+        F.expr("CAST(num * 1000 DIV den AS BIGINT)").alias(
+            "price_parity_milli"
+        ),
+    ).orderBy("region")

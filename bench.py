@@ -351,6 +351,7 @@ HEADLINE = [
     "first_order_dow_profile",
     "part_lifecycle_span",
     "catalog_expansion_curve",
+    "regional_price_parity_index",
 ]
 
 

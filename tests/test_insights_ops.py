@@ -3004,3 +3004,49 @@ def test_catalog_expansion_replay(spark):
         assert (r.n_new, r.cum_catalog) == (n, cum)
     # the curve ends at the full catalog
     assert rows[-1].cum_catalog == len(first)
+
+
+def test_regional_parity_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["regional_price_parity_index"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    ocust = {
+        o.o_orderkey: o.o_custkey
+        for o in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    cn = {
+        c.c_custkey: c.c_nationkey
+        for c in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    nr = {
+        n.n_nationkey: n.n_regionkey
+        for n in spark.read.parquet(f"{SF_DIR}/nation.parquet").collect()
+    }
+    rn = {
+        r.r_regionkey: r.r_name
+        for r in spark.read.parquet(f"{SF_DIR}/region.parquet").collect()
+    }
+    lp = defaultdict(lambda: [0, 0])
+    for x in li:
+        reg = rn[nr[cn[ocust[x.l_orderkey]]]]
+        a = lp[(x.l_partkey, reg)]
+        a[0] += round(x.l_extendedprice * 100)
+        a[1] += round(x.l_quantity)
+    gp = defaultdict(lambda: [0, 0])
+    for (pk, _), (rev, qty) in lp.items():
+        gp[pk][0] += rev
+        gp[pk][1] += qty
+    agg = defaultdict(lambda: [0, 0, 0])
+    for (pk, reg), (rev, qty) in lp.items():
+        if qty <= 0:
+            continue
+        a = agg[reg]
+        a[0] += (rev * 1000 // qty) * qty
+        a[1] += (gp[pk][0] * 1000 // gp[pk][1]) * qty
+        a[2] += 1
+    got = {r.region: (r.n_parts, r.price_parity_milli) for r in rows}
+    want = {
+        reg: (n, num * 1000 // den) for reg, (num, den, n) in agg.items()
+    }
+    assert got == want

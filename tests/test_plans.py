@@ -2233,3 +2233,13 @@ class TestDriftPlans:
         assert t.count("Window") == 1
         df = QUERIES["catalog_expansion_curve"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_parity_single_fact_reduction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the global leg re-aggregates the checkpointed (part, region)
+        # reduction — the fact table scans once
+        t = tree(spark, "regional_price_parity_index")
+        assert "Scan parquet" not in t and "Scan ExistingRDD" in t
+        df = QUERIES["regional_price_parity_index"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
