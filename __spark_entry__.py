@@ -139,7 +139,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: key_account_concentration_by_type, weekpart_nation_lift,
 #: purchase_acceleration_share, first_order_dow_profile,
 #: part_lifecycle_span, catalog_expansion_curve,
-#: regional_price_parity_index; no
+#: regional_price_parity_index, sampling_moe_table,
+#: revenue_waterfall_by_year; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

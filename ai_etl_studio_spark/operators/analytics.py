@@ -7839,3 +7839,63 @@ def regional_price_parity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_parity_milli"
         ),
     ).orderBy("region")
+
+
+# ---------------------------------------------------------------------------
+# Revenue waterfall by year (gross -> discount -> tax -> net)
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_waterfall_by_year",
+    oracle="""
+    SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+           CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             AS BIGINT) AS gross_cents,
+           CAST(SUM(CAST(round(l_extendedprice * l_discount * 100, 0)
+             AS BIGINT)) AS BIGINT) AS discount_cents,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * l_tax
+             * 100, 0) AS BIGINT)) AS BIGINT) AS tax_cents,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+             * (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT)
+             AS net_collected_cents
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def revenue_waterfall_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The finance waterfall per ship year: gross list revenue, the
+    discount given away, the tax collected on top, and the net amount
+    actually invoiced — the four exact-cents columns every P&L bridge
+    starts from (revenue_bridge_monthly decomposes the CHANGE; this
+    decomposes the LEVEL).
+
+    Scale: ONE map-side-combinable aggregation over the fact table —
+    all four legs are per-row codegen projections rounded to integer
+    cents at line grain (the same per-line discipline as
+    order_total_reconciliation, so the two ops reconcile exactly).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ep, disc, tax = (
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+        F.col("l_tax"),
+    )
+    return (
+        li.groupBy(
+            F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("yr")
+        )
+        .agg(
+            F.sum(F.round(ep * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("gross_cents"),
+            F.sum(F.round(ep * disc * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("discount_cents"),
+            F.sum(F.round(ep * (1 - disc) * tax * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("tax_cents"),
+            F.sum(F.round(ep * (1 - disc) * (1 + tax) * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("net_collected_cents"),
+        )
+        .orderBy("yr")
+    )

@@ -2969,3 +2969,78 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mk_z_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling margin-of-error planning table
+# ---------------------------------------------------------------------------
+
+_MOE_RATES_PPM = (10_000, 50_000, 100_000, 500_000)
+
+
+@register(
+    "sampling_moe_table",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS s1,
+             CAST(SUM(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               AS HUGEINT) * CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS DOUBLE) AS s2
+      FROM orders),
+    rates(rate_ppm) AS (VALUES {", ".join(f"({r})" for r in _MOE_RATES_PPM)})
+    SELECT rate_ppm,
+           CAST(s.n * rate_ppm // 1000000 AS BIGINT) AS sample_n,
+           CAST(round(1.959964e0
+             * sqrt((s.s2 / s.n - (CAST(s.s1 AS DOUBLE) / s.n)
+                 * (CAST(s.s1 AS DOUBLE) / s.n))
+               / (s.n * rate_ppm / 1000000.0e0)
+               * (1 - CAST(rate_ppm AS DOUBLE) / 1000000)), 0) AS BIGINT)
+             AS moe_cents_95
+    FROM rates CROSS JOIN s ORDER BY rate_ppm
+    """,
+)
+def sampling_moe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sample-or-scan decision table: the 95% margin of error on
+    mean order value at 1/5/10/50% sampling rates, WITH the finite-
+    population correction — read off how much accuracy each 10x of
+    compute buys before running an expensive full-table job at 100 TB
+    (neyman_allocation says WHERE to sample; this says HOW MUCH the
+    answer would wobble).
+
+    Scale: one pass over orders for the population moments (Σx² wide-
+    integer); the rate spine is inlined constants cross-joined against
+    the 1-row moment table, and the MOE is a mirrored expression per
+    spine row.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    x = cents("o_totalprice")
+    xd = x.cast("decimal(38,0)")
+    s = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("s1"),
+        F.sum(xd * xd).cast("double").alias("s2"),
+    )
+    rates = spark.createDataFrame(
+        [(r,) for r in _MOE_RATES_PPM], "rate_ppm bigint"
+    )
+    j = F.broadcast(rates).crossJoin(F.broadcast(s))
+    var = F.col("s2") / F.col("n") - (
+        F.col("s1").cast("double") / F.col("n")
+    ) * (F.col("s1").cast("double") / F.col("n"))
+    return j.select(
+        "rate_ppm",
+        F.expr("CAST(n * rate_ppm DIV 1000000 AS BIGINT)").alias("sample_n"),
+        F.round(
+            F.lit(1.959964)
+            * F.sqrt(
+                var
+                / (F.col("n") * F.col("rate_ppm") / F.lit(1_000_000.0))
+                * (1 - F.col("rate_ppm").cast("double") / 1_000_000)
+            ),
+            0,
+        )
+        .cast("bigint")
+        .alias("moe_cents_95"),
+    ).orderBy("rate_ppm")

@@ -352,6 +352,8 @@ HEADLINE = [
     "part_lifecycle_span",
     "catalog_expansion_curve",
     "regional_price_parity_index",
+    "sampling_moe_table",
+    "revenue_waterfall_by_year",
 ]
 
 

@@ -2385,3 +2385,52 @@ def test_benford_second_digit_replay(spark):
     # uniform synthetic prices: observed ~100k ppm per digit, so digit
     # 0 under-indexes and digit 9 over-indexes vs Benford
     assert got[0].deviation_ppm < 0 < got[9].deviation_ppm
+
+
+def test_sampling_moe_replay(spark):
+    rows = QUERIES["sampling_moe_table"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    xs = [round(o.o_totalprice * 100) for o in orders]
+    n = len(xs)
+    var = sum(x * x for x in xs) / n - (sum(xs) / n) ** 2
+    assert [r.rate_ppm for r in rows] == [10_000, 50_000, 100_000, 500_000]
+    for r in rows:
+        assert r.sample_n == n * r.rate_ppm // 1_000_000
+        moe = 1.959964 * math.sqrt(
+            var / (n * r.rate_ppm / 1e6) * (1 - r.rate_ppm / 1e6)
+        )
+        assert abs(r.moe_cents_95 - moe) <= 1
+    # more sample, less error: strictly decreasing
+    moes = [r.moe_cents_95 for r in rows]
+    assert moes == sorted(moes, reverse=True)
+
+
+def test_revenue_waterfall_replay(spark):
+    rows = QUERIES["revenue_waterfall_by_year"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    # floor(x+0.5), not python round(): the engines round half AWAY,
+    # python rounds half to even (the banker's-rounding gotcha)
+    for x in li:
+        a = agg[x.l_shipdate.year]
+        a[0] += math.floor(x.l_extendedprice * 100 + 0.5)
+        a[1] += math.floor(x.l_extendedprice * x.l_discount * 100 + 0.5)
+        a[2] += math.floor(
+            x.l_extendedprice * (1 - x.l_discount) * x.l_tax * 100 + 0.5
+        )
+        a[3] += math.floor(
+            x.l_extendedprice * (1 - x.l_discount) * (1 + x.l_tax) * 100
+            + 0.5
+        )
+    got = {
+        r.yr: (r.gross_cents, r.discount_cents, r.tax_cents,
+               r.net_collected_cents)
+        for r in rows
+    }
+    assert got == {y: tuple(v) for y, v in agg.items()}
+    # waterfall arithmetic holds to line-level rounding: net is within
+    # a few cents-per-line of gross - discount + tax
+    for r in rows:
+        n_lines = sum(1 for x in li if x.l_shipdate.year == r.yr)
+        approx = r.gross_cents - r.discount_cents + r.tax_cents
+        assert abs(r.net_collected_cents - approx) <= n_lines

@@ -2243,3 +2243,19 @@ class TestDriftPlans:
         assert "Scan parquet" not in t and "Scan ExistingRDD" in t
         df = QUERIES["regional_price_parity_index"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_moe_spine_cross_join(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "sampling_moe_table")
+        assert t.count("HashAggregate") >= 2
+        df = QUERIES["sampling_moe_table"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_waterfall_single_aggregation(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "revenue_waterfall_by_year")
+        assert "Join" not in t and "Window" not in t
+        df = QUERIES["revenue_waterfall_by_year"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
