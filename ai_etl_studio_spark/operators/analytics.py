@@ -7899,3 +7899,121 @@ def revenue_waterfall_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Brand price co-movement (pairwise monthly unit-price correlation)
+# ---------------------------------------------------------------------------
+
+_COMOVE_MIN_MONTHS = 24
+_COMOVE_TOPK = 15
+
+
+@register(
+    "brand_price_comovement_topk",
+    oracle=f"""
+    WITH bm AS (
+      SELECT p.p_brand AS brand,
+             CAST(year(CAST(l.l_shipdate AS DATE)) * 12
+               + month(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS mi,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+               * 1000 // SUM(CAST(round(l.l_quantity) AS BIGINT))
+               AS BIGINT) AS up_milli
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+      HAVING SUM(CAST(round(l.l_quantity) AS BIGINT)) > 0),
+    pr AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.up_milli) AS BIGINT) AS sa,
+             CAST(SUM(b.up_milli) AS BIGINT) AS sb,
+             CAST(SUM(CAST(a.up_milli AS HUGEINT) * b.up_milli) AS DOUBLE)
+               AS sab,
+             CAST(SUM(CAST(a.up_milli AS HUGEINT) * a.up_milli) AS DOUBLE)
+               AS saa,
+             CAST(SUM(CAST(b.up_milli AS HUGEINT) * b.up_milli) AS DOUBLE)
+               AS sbb
+      FROM bm a JOIN bm b ON a.mi = b.mi AND a.brand < b.brand
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_COMOVE_MIN_MONTHS})
+    SELECT brand_a, brand_b, n,
+           CAST(round((n * sab - CAST(sa AS DOUBLE) * sb)
+             / sqrt((n * saa - CAST(sa AS DOUBLE) * sa)
+               * (n * sbb - CAST(sb AS DOUBLE) * sb)) * 1000000, 0)
+             AS BIGINT) AS price_corr_micro
+    FROM pr ORDER BY price_corr_micro DESC, brand_a, brand_b
+    LIMIT {_COMOVE_TOPK}
+    """,
+)
+def brand_price_comovement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which brands' realized unit prices MOVE TOGETHER month to month —
+    the market-structure fingerprint (persistently correlated pricing
+    across brands is shared cost exposure, a common supplier, or
+    coordination worth a closer look; kendall_tau compares LEVELS, this
+    correlates the monthly dynamics).
+
+    Scale: the fact join reduces to |brand|x|month| exact unit prices;
+    the pair stage joins that bounded table to itself on month
+    (key-on-key, <=|brands|² pairs); Pearson runs on per-pair exact
+    sufficient statistics with wide-integer products, min-support
+    filtered, heap top-k.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    d = F.col("l_shipdate").cast("date")
+    bm = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.year(d) * 12 + F.month(d)).cast("bigint").alias("mi"),
+        )
+        .agg(
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("rev"),
+            F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        )
+        .filter(F.col("qty") > 0)
+        .select(
+            "brand",
+            "mi",
+            F.expr("CAST(rev * 1000 DIV qty AS BIGINT)").alias("up_milli"),
+        )
+    )
+    a = bm.select(
+        F.col("brand").alias("brand_a"), "mi", F.col("up_milli").alias("ua")
+    )
+    b = bm.select(
+        F.col("brand").alias("brand_b"), "mi", F.col("up_milli").alias("ub")
+    )
+    uad = F.col("ua").cast("decimal(38,0)")
+    ubd = F.col("ub").cast("decimal(38,0)")
+    pr = (
+        a.join(b, (a.mi == b.mi) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("ua").cast("bigint").alias("sa"),
+            F.sum("ub").cast("bigint").alias("sb"),
+            F.sum(uad * ubd).cast("double").alias("sab"),
+            F.sum(uad * uad).cast("double").alias("saa"),
+            F.sum(ubd * ubd).cast("double").alias("sbb"),
+        )
+        .filter(F.col("n") >= _COMOVE_MIN_MONTHS)
+    )
+    corr = (
+        (F.col("n") * F.col("sab") - F.col("sa").cast("double") * F.col("sb"))
+        / F.sqrt(
+            (F.col("n") * F.col("saa") - F.col("sa").cast("double") * F.col("sa"))
+            * (F.col("n") * F.col("sbb") - F.col("sb").cast("double") * F.col("sb"))
+        )
+    )
+    return (
+        pr.select(
+            "brand_a",
+            "brand_b",
+            "n",
+            F.round(corr * 1_000_000, 0).cast("bigint").alias(
+                "price_corr_micro"
+            ),
+        )
+        .orderBy(F.desc("price_corr_micro"), "brand_a", "brand_b")
+        .limit(_COMOVE_TOPK)
+    )

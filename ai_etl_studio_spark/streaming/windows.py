@@ -1297,3 +1297,63 @@ def run_stream_urgency_by_nation(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_waterfall(
+    spark: SparkSession, sf_dir: str, query_name: str = "waterfall_out"
+) -> DataFrame:
+    """REAL streaming build of revenue_waterfall_by_year's P&L legs:
+    lineitem rows stream in (same parquet file source pattern) and a
+    streaming aggregation maintains the four exact-cents sums per ship
+    year — the live close-of-books monitor.
+
+    Mergeable-summary shape: integer SUMs are order-free and
+    associative, state is bounded at |years| rows FOREVER, and the
+    legs are bit-identical to the batch reduction (asserted in
+    tests/test_streaming.py). Complete output mode into the
+    constant-size monitor table. Returns (yr, gross_cents,
+    discount_cents, tax_cents, net_collected_cents)."""
+    schema = (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber bigint, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp"
+    )
+    li = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "lineitem.parquet")
+        .load(sf_dir)
+    )
+    ep, disc, tax = (
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+        F.col("l_tax"),
+    )
+    wf = li.groupBy(
+        F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("yr")
+    ).agg(
+        F.sum(F.round(ep * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("gross_cents"),
+        F.sum(F.round(ep * disc * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("discount_cents"),
+        F.sum(F.round(ep * (1 - disc) * tax * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("tax_cents"),
+        F.sum(F.round(ep * (1 - disc) * (1 + tax) * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("net_collected_cents"),
+    )
+    q = (
+        wf.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -354,6 +354,7 @@ HEADLINE = [
     "regional_price_parity_index",
     "sampling_moe_table",
     "revenue_waterfall_by_year",
+    "brand_price_comovement_topk",
 ]
 
 

@@ -3050,3 +3050,48 @@ def test_regional_parity_replay(spark):
         reg: (n, num * 1000 // den) for reg, (num, den, n) in agg.items()
     }
     assert got == want
+
+
+def test_brand_comovement_replay(spark):
+    import math
+    from collections import defaultdict
+    from itertools import combinations
+
+    rows = QUERIES["brand_price_comovement_topk"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    brand = {
+        p.p_partkey: p.p_brand
+        for p in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    bm = defaultdict(lambda: [0, 0])
+    for x in li:
+        k = (brand[x.l_partkey], x.l_shipdate.year * 12 + x.l_shipdate.month)
+        bm[k][0] += round(x.l_extendedprice * 100)
+        bm[k][1] += round(x.l_quantity)
+    up = {
+        k: rev * 1000 // qty for k, (rev, qty) in bm.items() if qty > 0
+    }
+    series = defaultdict(dict)
+    for (b, mi), u in up.items():
+        series[b][mi] = u
+    scored = []
+    for ba, bb in combinations(sorted(series), 2):
+        common = sorted(set(series[ba]) & set(series[bb]))
+        if len(common) < 24:
+            continue
+        xs = [series[ba][m] for m in common]
+        ys = [series[bb][m] for m in common]
+        n = len(common)
+        sa, sb = sum(xs), sum(ys)
+        sab = sum(x * y for x, y in zip(xs, ys))
+        saa = sum(x * x for x in xs)
+        sbb = sum(y * y for y in ys)
+        corr = (n * sab - sa * sb) / math.sqrt(
+            (n * saa - sa * sa) * (n * sbb - sb * sb)
+        )
+        scored.append((ba, bb, n, math.floor(corr * 1e6 + 0.5)))
+    scored.sort(key=lambda t: (-t[3], t[0], t[1]))
+    got = [(r.brand_a, r.brand_b, r.n, r.price_corr_micro) for r in rows]
+    for g, w in zip(got, scored[:15]):
+        assert g[:3] == w[:3]
+        assert abs(g[3] - w[3]) <= 1

@@ -2259,3 +2259,14 @@ class TestDriftPlans:
         assert "Join" not in t and "Window" not in t
         df = QUERIES["revenue_waterfall_by_year"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_comovement_pairs_on_brand_month_grid(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the pair stage joins the bounded brand x month reduction to
+        # itself on month — never the fact table
+        t = tree(spark, "brand_price_comovement_topk")
+        assert "TakeOrderedAndProject" in t
+        assert "CartesianProduct" not in t
+        df = QUERIES["brand_price_comovement_topk"](spark, SF_DIR)
+        assert broadcast_violations(df) == []

@@ -576,3 +576,24 @@ def test_stream_urgency_counts_match_batch(spark):
         w[0] += 1
         w[1] += o.o_orderpriority == "1-URGENT"
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_stream_waterfall_matches_batch(spark):
+    """The streaming P&L legs are bit-identical to the batch
+    revenue_waterfall_by_year — integer sums are order-free, so the
+    live close-of-books monitor can never drift from the batch close."""
+    from ai_etl_studio_spark.operators import load_all
+    from ai_etl_studio_spark.streaming.windows import run_stream_waterfall
+
+    queries, _ = load_all()
+    got = {
+        r.yr: (r.gross_cents, r.discount_cents, r.tax_cents,
+               r.net_collected_cents)
+        for r in run_stream_waterfall(spark, SF_DIR, "t_wf").collect()
+    }
+    want = {
+        r.yr: (r.gross_cents, r.discount_cents, r.tax_cents,
+               r.net_collected_cents)
+        for r in queries["revenue_waterfall_by_year"](spark, SF_DIR).collect()
+    }
+    assert got == want
