@@ -8017,3 +8017,88 @@ def brand_price_comovement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("price_corr_micro"), "brand_a", "brand_b")
         .limit(_COMOVE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Lead-time profile by supplier nation
+# ---------------------------------------------------------------------------
+
+@register(
+    "lead_time_by_supplier_nation",
+    oracle="""
+    WITH d AS (
+      SELECT s.s_nationkey AS nk,
+             CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+               AS BIGINT) AS delay
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    g AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(delay) AS BIGINT) AS s1,
+             SUM(CAST(delay AS HUGEINT) * delay) AS s2
+      FROM d GROUP BY 1)
+    SELECT n2.n_name AS supplier_nation, g.n AS n_lines,
+           CAST((g.s1 * 1000 - ((g.s1 * 1000 % g.n) + g.n) % g.n) // g.n
+             AS BIGINT) AS mean_delay_milli,
+           CAST(round(sqrt(CAST(g.s2 AS DOUBLE) / g.n
+             - (CAST(g.s1 AS DOUBLE) / g.n) * (CAST(g.s1 AS DOUBLE) / g.n))
+             * 1000000, 0) AS BIGINT) AS std_micro
+    FROM g JOIN nation n2 ON g.nk = n2.n_nationkey
+    ORDER BY supplier_nation
+    """,
+)
+def lead_time_by_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment lead time by the SUPPLIER'S nation: exact mean and
+    spread of ship-minus-order days per origin country — the
+    sourcing-geography risk table (supplier_delivery_consistency ranks
+    individual suppliers; this aggregates to the level where trade
+    routes and customs regimes live; negative means inherit the
+    temporal_integrity_by_year corruption and surface it here too).
+
+    Scale: the two key-on-key joins carry only dates and the supplier
+    nation; one reduction to 25 sufficient-statistic rows (Σdelay²
+    wide-integer); the signed mean floor-divides via
+    subtract-positive-mod.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("nk"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("bigint")
+            .alias("delay"),
+        )
+    )
+    dd = F.col("delay").cast("decimal(38,0)")
+    g = d.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("delay").cast("bigint").alias("s1"),
+        F.sum(dd * dd).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    return (
+        g.join(F.broadcast(n), g.nk == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("supplier_nation"),
+            F.col("n").alias("n_lines"),
+            F.expr(
+                "CAST((s1 * 1000 - pmod(s1 * 1000, n)) DIV n AS BIGINT)"
+            ).alias("mean_delay_milli"),
+            F.round(
+                F.sqrt(F.col("s2").cast("double") / F.col("n") - mu * mu)
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("std_micro"),
+        )
+        .orderBy("supplier_nation")
+    )

@@ -3786,3 +3786,73 @@ def first_order_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("acquisition_lift_milli"),
     ).orderBy("dow")
+
+
+# ---------------------------------------------------------------------------
+# Error-concentration dispersion (are failures clustered in few users?)
+# ---------------------------------------------------------------------------
+
+@register(
+    "error_concentration_dispersion",
+    oracle="""
+    WITH ue AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS k
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS s1,
+             SUM(CAST(k AS HUGEINT) * k) AS s2,
+             CAST(MAX(k) AS BIGINT) AS max_k,
+             CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_error_free
+      FROM ue)
+    SELECT n AS n_users, s1 AS n_errors, n_error_free, max_k AS max_errors,
+           CAST(round((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n)) / (CAST(s1 AS DOUBLE) / n)
+             * 1000000, 0) AS BIGINT) AS vmr_micro
+    FROM s
+    """,
+)
+def error_concentration_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are errors an EVERYONE problem or a SOMEONE problem: the
+    variance-to-mean ratio of per-user error counts (VMR 1 = errors
+    strike at random; VMR >> 1 = a cohort of users is trapped in a
+    failure loop — fix their path, not the fleet), with the error-free
+    user count and the worst-hit user's tally as the anchors.
+
+    Scale: one reduction to per-user error counts (all users kept —
+    zero counts are the denominator the concentration question needs),
+    one to the sufficient-statistics row; Σk² rides the wide-integer
+    rule and the VMR is one mirrored expression.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ue = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k")
+    )
+    kd = F.col("k").cast("decimal(38,0)")
+    s = ue.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("s1"),
+        F.sum(kd * kd).alias("s2"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.sum(F.when(F.col("k") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_error_free"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("s1").alias("n_errors"),
+        "n_error_free",
+        F.col("max_k").alias("max_errors"),
+        F.round(
+            (F.col("s2").cast("double") / F.col("n") - mu * mu) / mu
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("vmr_micro"),
+    )

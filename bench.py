@@ -355,6 +355,8 @@ HEADLINE = [
     "sampling_moe_table",
     "revenue_waterfall_by_year",
     "brand_price_comovement_topk",
+    "lead_time_by_supplier_nation",
+    "error_concentration_dispersion",
 ]
 
 

@@ -3095,3 +3095,53 @@ def test_brand_comovement_replay(spark):
     for g, w in zip(got, scored[:15]):
         assert g[:3] == w[:3]
         assert abs(g[3] - w[3]) <= 1
+
+
+def test_lead_time_by_nation_replay(spark):
+    import math
+    from collections import defaultdict
+
+    rows = QUERIES["lead_time_by_supplier_nation"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    od = {
+        o.o_orderkey: o.o_orderdate.date()
+        for o in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    snat = {
+        s.s_suppkey: s.s_nationkey
+        for s in spark.read.parquet(f"{SF_DIR}/supplier.parquet").collect()
+    }
+    delays = defaultdict(list)
+    for x in li:
+        delays[snat[x.l_suppkey]].append(
+            (x.l_shipdate.date() - od[x.l_orderkey]).days
+        )
+    assert len(rows) == len(delays)
+    for r in rows:
+        nk = int(r.supplier_nation.split("_")[1])
+        ds = delays[nk]
+        n, s1 = len(ds), sum(ds)
+        assert r.n_lines == n
+        assert r.mean_delay_milli == (s1 * 1000) // n  # python // IS floor
+        std = math.sqrt(sum(d * d for d in ds) / n - (s1 / n) ** 2)
+        assert abs(r.std_micro - std * 1e6) <= 2
+
+
+def test_error_concentration_replay(spark):
+    from collections import Counter
+
+    [r] = QUERIES["error_concentration_dispersion"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    users = {e.user_id for e in ev}
+    errs = Counter(e.user_id for e in ev if e.event_type == "error")
+    n = len(users)
+    s1 = sum(errs.values())
+    s2 = sum(v * v for v in errs.values())
+    mu = s1 / n
+    vmr = (s2 / n - mu * mu) / mu
+    assert (r.n_users, r.n_errors) == (n, s1)
+    assert r.n_error_free == n - len(errs)
+    assert r.max_errors == max(errs.values())
+    import math
+
+    assert abs(r.vmr_micro - vmr * 1e6) <= 1

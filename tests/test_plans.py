@@ -2270,3 +2270,21 @@ class TestDriftPlans:
         assert "CartesianProduct" not in t
         df = QUERIES["brand_price_comovement_topk"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_lead_time_nation_two_joins_dates_only(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "lead_time_by_supplier_nation")
+        assert t.count("HashAggregate") >= 2
+        df = QUERIES["lead_time_by_supplier_nation"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_error_concentration_keeps_zeros(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # conditional count keeps error-free users in the denominator;
+        # no join, no window
+        t = tree(spark, "error_concentration_dispersion")
+        assert "Join" not in t and "Window" not in t
+        df = QUERIES["error_concentration_dispersion"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
