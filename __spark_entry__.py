@@ -142,7 +142,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: regional_price_parity_index, sampling_moe_table,
 #: revenue_waterfall_by_year, brand_price_comovement_topk (+ the
 #: sixth streaming twin run_stream_waterfall),
-#: lead_time_by_supplier_nation, error_concentration_dispersion; no
+#: lead_time_by_supplier_nation, error_concentration_dispersion,
+#: median_price_by_quantity, second_order_latency_by_cohort; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

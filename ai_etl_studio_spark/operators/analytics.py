@@ -8102,3 +8102,158 @@ def lead_time_by_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supplier_nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Median realized price along the quantity axis (robust demand curve)
+# ---------------------------------------------------------------------------
+
+@register(
+    "median_price_by_quantity",
+    oracle="""
+    WITH vg AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    cum AS (
+      SELECT qty, price, c,
+             CAST(SUM(c) OVER (PARTITION BY qty ORDER BY price
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+             CAST(SUM(c) OVER (PARTITION BY qty) AS BIGINT) AS n
+      FROM vg)
+    SELECT qty, CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(MIN(CASE WHEN cum_c * 2 >= n THEN price END) AS BIGINT)
+             AS median_price_cents
+    FROM cum GROUP BY qty ORDER BY qty
+    """,
+)
+def median_price_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROBUST price-quantity curve: the exact MEDIAN line price at
+    each quantity level — read against size_demand_curve's means, a
+    median curve that sits well below the mean curve says outlier
+    deals, not typical pricing, shape the average (and the mean-based
+    discount policy built on it).
+
+    Scale: lines reduce to the (qty, distinct-price) VALUE GRAIN before
+    any ordering — the cumulative window walks distinct price values
+    per quantity level, never raw lines, and the median is the integer
+    ECDF threshold cum*2 >= n (lower median, pure selection).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    vg = li.groupBy(
+        F.round("l_quantity").cast("bigint").alias("qty"),
+        cents("l_extendedprice").alias("price"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wq = Window.partitionBy("qty")
+    cum = vg.select(
+        "qty",
+        "price",
+        F.sum("c")
+        .over(wq.orderBy("price").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_c"),
+        F.sum("c").over(wq).cast("bigint").alias("n"),
+    )
+    return (
+        cum.groupBy("qty")
+        .agg(
+            F.max("n").cast("bigint").alias("n_lines"),
+            F.min(
+                F.when(F.col("cum_c") * 2 >= F.col("n"), F.col("price"))
+            )
+            .cast("bigint")
+            .alias("median_price_cents"),
+        )
+        .orderBy("qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time to second order by acquisition cohort (exact median latency)
+# ---------------------------------------------------------------------------
+
+@register(
+    "second_order_latency_by_cohort",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders),
+    fs AS (
+      SELECT CAST(date_trunc('month', a.d) AS DATE) AS cohort_month,
+             b.d - a.d AS latency_days
+      FROM ranked a JOIN ranked b
+        ON a.o_custkey = b.o_custkey AND a.rn = 1 AND b.rn = 2),
+    vg AS (
+      SELECT cohort_month, CAST(latency_days AS BIGINT) AS lat,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM fs GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_month, lat, c,
+             CAST(SUM(c) OVER (PARTITION BY cohort_month ORDER BY lat
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+             CAST(SUM(c) OVER (PARTITION BY cohort_month) AS BIGINT) AS n
+      FROM vg)
+    SELECT cohort_month, CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MIN(CASE WHEN cum_c * 2 >= n THEN lat END) AS BIGINT)
+             AS median_latency_days
+    FROM cum GROUP BY cohort_month ORDER BY cohort_month
+    """,
+)
+def second_order_latency_by_cohort(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The second-order clock per acquisition cohort: the exact MEDIAN
+    days from a customer's first order to their second, by first-order
+    month — the single best early predictor of cohort LTV curves
+    (cohort_ltv_curve shows the money; this shows the habit forming or
+    not, months earlier).
+
+    Scale: one customer-partitioned rank window (the sessionizer
+    shuffle shape), a self-join of rank-1 to rank-2 rows (key-on-key,
+    one row each side per customer), then the value-grain median
+    device: distinct latencies per cohort cumulate and the median is
+    the integer ECDF threshold — no fat-partition sort of raw
+    customers.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    ).localCheckpoint()
+    a = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.trunc("d", "month").alias("cohort_month"), F.col("d").alias("d1")
+    )
+    b = ranked.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("d").alias("d2")
+    )
+    fs = a.join(b, "o_custkey").select(
+        "cohort_month", F.datediff("d2", "d1").cast("bigint").alias("lat")
+    )
+    vg = fs.groupBy("cohort_month", "lat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wc = Window.partitionBy("cohort_month")
+    cum = vg.select(
+        "cohort_month",
+        "lat",
+        F.sum("c")
+        .over(wc.orderBy("lat").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_c"),
+        F.sum("c").over(wc).cast("bigint").alias("n"),
+    )
+    return (
+        cum.groupBy("cohort_month")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.min(F.when(F.col("cum_c") * 2 >= F.col("n"), F.col("lat")))
+            .cast("bigint")
+            .alias("median_latency_days"),
+        )
+        .orderBy("cohort_month")
+    )

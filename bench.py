@@ -357,6 +357,8 @@ HEADLINE = [
     "brand_price_comovement_topk",
     "lead_time_by_supplier_nation",
     "error_concentration_dispersion",
+    "median_price_by_quantity",
+    "second_order_latency_by_cohort",
 ]
 
 

@@ -3145,3 +3145,41 @@ def test_error_concentration_replay(spark):
     import math
 
     assert abs(r.vmr_micro - vmr * 1e6) <= 1
+
+
+def test_median_price_by_qty_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["median_price_by_quantity"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    prices = defaultdict(list)
+    for x in li:
+        prices[round(x.l_quantity)].append(round(x.l_extendedprice * 100))
+    assert len(rows) == len(prices)
+    for r in rows:
+        ps = sorted(prices[r.qty])
+        assert r.n_lines == len(ps)
+        # lower median: smallest value whose inclusive ECDF >= 1/2
+        assert r.median_price_cents == ps[(len(ps) + 1) // 2 - 1]
+
+
+def test_second_order_latency_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["second_order_latency_by_cohort"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    by_cust = defaultdict(list)
+    for o in orders:
+        by_cust[o.o_custkey].append((o.o_orderdate.date(), o.o_orderkey))
+    lats = defaultdict(list)
+    for ds in by_cust.values():
+        if len(ds) < 2:
+            continue
+        ds.sort()
+        cohort = (ds[0][0].year, ds[0][0].month)
+        lats[cohort].append((ds[1][0] - ds[0][0]).days)
+    assert len(rows) == len(lats)
+    for r in rows:
+        ls = sorted(lats[(r.cohort_month.year, r.cohort_month.month)])
+        assert r.n_customers == len(ls)
+        assert r.median_latency_days == ls[(len(ls) + 1) // 2 - 1]

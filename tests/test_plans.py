@@ -2288,3 +2288,24 @@ class TestDriftPlans:
         assert "Join" not in t and "Window" not in t
         df = QUERIES["error_concentration_dispersion"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_median_price_value_grain(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the cumulative walks distinct prices per quantity, never raw
+        # lines; median is integer ECDF selection
+        t = tree(spark, "median_price_by_quantity")
+        assert "Join" not in t
+        assert t.count("HashAggregate") >= 3
+        df = QUERIES["median_price_by_quantity"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_second_order_rank_then_value_grain(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # one customer rank window (checkpointed), rank-1 x rank-2
+        # key join, then the value-grain median device
+        t = tree(spark, "second_order_latency_by_cohort")
+        assert "Scan parquet" not in t and "Scan ExistingRDD" in t
+        df = QUERIES["second_order_latency_by_cohort"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
