@@ -8257,3 +8257,77 @@ def second_order_latency_by_cohort(
         )
         .orderBy("cohort_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier balance-volume correlation (financial-health linkage)
+# ---------------------------------------------------------------------------
+
+@register(
+    "supplier_balance_volume_corr",
+    oracle="""
+    WITH sv AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT CAST(round(s.s_acctbal * 100, 0) AS BIGINT) AS bal,
+             COALESCE(sv.n_lines, 0) AS vol
+      FROM supplier s LEFT JOIN sv ON s.s_suppkey = sv.l_suppkey),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(bal) AS BIGINT) AS sa,
+             CAST(SUM(vol) AS BIGINT) AS sb,
+             CAST(SUM(CAST(bal AS HUGEINT) * vol) AS DOUBLE) AS sab,
+             CAST(SUM(CAST(bal AS HUGEINT) * bal) AS DOUBLE) AS saa,
+             CAST(SUM(CAST(vol AS HUGEINT) * vol) AS DOUBLE) AS sbb
+      FROM j)
+    SELECT n AS n_suppliers,
+           CAST(round((n * sab - CAST(sa AS DOUBLE) * sb)
+             / sqrt((n * saa - CAST(sa AS DOUBLE) * sa)
+               * (n * sbb - CAST(sb AS DOUBLE) * sb)) * 1000000, 0)
+             AS BIGINT) AS corr_micro
+    FROM m
+    """,
+)
+def supplier_balance_volume_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does shipping volume track supplier financial standing? Pearson
+    between account balance and line volume across the supplier base —
+    a strong positive says volume concentrates in well-capitalized
+    suppliers (resilient), near zero says allocation ignores financial
+    health (fragile under stress; cross-check the negative-balance
+    suppliers against single_source_risk).
+
+    Scale: volumes compact per supplier; the LEFT join keeps zero-
+    volume suppliers (dropping them would bias the correlation);
+    Pearson runs on one sufficient-statistics row with wide-integer
+    products.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    sv = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    j = s.join(sv, s.s_suppkey == sv.l_suppkey, "left").select(
+        cents("s_acctbal").alias("bal"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("vol"),
+    )
+    bd = F.col("bal").cast("decimal(38,0)")
+    vd = F.col("vol").cast("decimal(38,0)")
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("bal").cast("bigint").alias("sa"),
+        F.sum("vol").cast("bigint").alias("sb"),
+        F.sum(bd * vd).cast("double").alias("sab"),
+        F.sum(bd * bd).cast("double").alias("saa"),
+        F.sum(vd * vd).cast("double").alias("sbb"),
+    )
+    corr = (
+        (F.col("n") * F.col("sab") - F.col("sa").cast("double") * F.col("sb"))
+        / F.sqrt(
+            (F.col("n") * F.col("saa") - F.col("sa").cast("double") * F.col("sa"))
+            * (F.col("n") * F.col("sbb") - F.col("sb").cast("double") * F.col("sb"))
+        )
+    )
+    return m.select(
+        F.col("n").alias("n_suppliers"),
+        F.round(corr * 1_000_000, 0).cast("bigint").alias("corr_micro"),
+    )

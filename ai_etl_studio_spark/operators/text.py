@@ -3575,3 +3575,68 @@ def simpson_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-length spectrum (corpus-wide)
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_length_histogram",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        w -> w <> '')) AS term
+      FROM documents WHERE text IS NOT NULL),
+    tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+    g AS (
+      SELECT CAST(length(term) AS BIGINT) AS token_len,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM tc GROUP BY 1),
+    t AS (SELECT g.*, CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot FROM g)
+    SELECT token_len, n_tokens, n_types,
+           CAST(n_tokens * 1000000 // tot AS BIGINT) AS token_share_ppm
+    FROM t ORDER BY token_len
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-length spectrum with TYPE and TOKEN counts separated:
+    how much of the stream is short function-ish words vs long content
+    words — the length mix drives subword-tokenizer economics
+    (tokenizer_fertility measures the outcome; this is the raw-material
+    profile that predicts it), and a mass spike at extreme lengths is
+    concatenation corruption.
+
+    Scale: tokenize once to vocabulary grain (the only wide shuffle
+    keys on terms), then the spectrum reduces to <=|max-length| rows;
+    shares are exact integer ppm over the bounded table.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tc = (
+        d.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    g = tc.groupBy(F.length("term").cast("bigint").alias("token_len")).agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    t = g.withColumn(
+        "tot",
+        F.sum("n_tokens")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint"),
+    )
+    return t.select(
+        "token_len",
+        "n_tokens",
+        "n_types",
+        F.expr("CAST(n_tokens * 1000000 DIV tot AS BIGINT)").alias(
+            "token_share_ppm"
+        ),
+    ).orderBy("token_len")

@@ -359,6 +359,8 @@ HEADLINE = [
     "error_concentration_dispersion",
     "median_price_by_quantity",
     "second_order_latency_by_cohort",
+    "token_length_histogram",
+    "supplier_balance_volume_corr",
 ]
 
 

@@ -2434,3 +2434,50 @@ def test_revenue_waterfall_replay(spark):
         n_lines = sum(1 for x in li if x.l_shipdate.year == r.yr)
         approx = r.gross_cents - r.discount_cents + r.tax_cents
         assert abs(r.net_collected_cents - approx) <= n_lines
+
+
+def test_token_length_histogram_replay(spark):
+    import re
+
+    rows = QUERIES["token_length_histogram"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    c = Counter()
+    for d in docs:
+        if d.text is None:
+            continue
+        c.update(w for w in re.split(r"\s+", d.text.lower()) if w)
+    by_len = defaultdict(lambda: [0, 0])
+    for term, n in c.items():
+        b = by_len[len(term)]
+        b[0] += n
+        b[1] += 1
+    tot = sum(v[0] for v in by_len.values())
+    got = {
+        r.token_len: (r.n_tokens, r.n_types, r.token_share_ppm)
+        for r in rows
+    }
+    assert got == {
+        k: (v[0], v[1], v[0] * 1_000_000 // tot) for k, v in by_len.items()
+    }
+    # types never exceed tokens
+    assert all(r.n_types <= r.n_tokens for r in rows)
+
+
+def test_supplier_balance_corr_replay(spark):
+    [r] = QUERIES["supplier_balance_volume_corr"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    sup = spark.read.parquet(f"{SF_DIR}/supplier.parquet").collect()
+    vol = Counter(x.l_suppkey for x in li)
+    pts = [(round(s.s_acctbal * 100), vol.get(s.s_suppkey, 0)) for s in sup]
+    n = len(pts)
+    sa = sum(a for a, _ in pts)
+    sb = sum(b for _, b in pts)
+    sab = sum(a * b for a, b in pts)
+    saa = sum(a * a for a, _ in pts)
+    sbb = sum(b * b for _, b in pts)
+    corr = (n * sab - sa * sb) / math.sqrt(
+        (n * saa - sa * sa) * (n * sbb - sb * sb)
+    )
+    assert r.n_suppliers == n
+    assert abs(r.corr_micro - corr * 1e6) <= 2
+    assert -1_000_000 <= r.corr_micro <= 1_000_000

@@ -2309,3 +2309,22 @@ class TestDriftPlans:
         assert "Scan parquet" not in t and "Scan ExistingRDD" in t
         df = QUERIES["second_order_latency_by_cohort"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_token_length_vocab_grain(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the only wide shuffle keys on terms; the spectrum is a
+        # bounded rollup
+        t = tree(spark, "token_length_histogram")
+        assert "Join" not in t
+        df = QUERIES["token_length_histogram"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_balance_corr_keeps_zero_volume(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the LEFT join keeps zero-volume suppliers in the correlation
+        t = tree(spark, "supplier_balance_volume_corr")
+        assert t.count("HashAggregate") >= 3
+        df = QUERIES["supplier_balance_volume_corr"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
