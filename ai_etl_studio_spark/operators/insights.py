@@ -3856,3 +3856,70 @@ def error_concentration_dispersion(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("vmr_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interarrival CV-squared per event type (queueing burstiness)
+# ---------------------------------------------------------------------------
+
+@register(
+    "interarrival_cv2_by_type",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap_us) AS BIGINT) AS s1,
+             SUM(CAST(gap_us AS HUGEINT) * gap_us) AS s2
+      FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
+    SELECT event_type, n AS n_gaps,
+           CAST(s1 // n AS BIGINT) AS mean_gap_us,
+           CAST(round((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n))
+             / ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             * 1000000, 0) AS BIGINT) AS cv2_micro
+    FROM s ORDER BY event_type
+    """,
+)
+def interarrival_cv2_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The queueing-theory burstiness number per event type: the
+    squared coefficient of variation of interarrival times (CV² = 1
+    Poisson, > 1 bursty — queues blow up superlinearly in CV² under
+    load, so this single number IS the capacity-planning multiplier;
+    interevent_gap_histogram shows the shape, this extracts the figure
+    capacity math consumes).
+
+    Scale: ONE type-partitioned lag window (five fat-ish partitions —
+    acceptable because |types| is fixed and tiny; repartition by a
+    (type, day) compound for wider type sets), then a reduction to one
+    sufficient-statistics row per type. Σgap² rides the wide-integer
+    rule.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    gd = F.col("gap_us").cast("decimal(38,0)")
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap_us").cast("bigint").alias("s1"),
+        F.sum(gd * gd).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.expr("CAST(s1 DIV n AS BIGINT)").alias("mean_gap_us"),
+        F.round(
+            (F.col("s2").cast("double") / F.col("n") - mu * mu) / (mu * mu)
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("cv2_micro"),
+    ).orderBy("event_type")

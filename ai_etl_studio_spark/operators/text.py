@@ -3640,3 +3640,101 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share_ppm"
         ),
     ).orderBy("token_len")
+
+
+# ---------------------------------------------------------------------------
+# Weighted Jaccard between source term distributions
+# ---------------------------------------------------------------------------
+
+_WJACC_TOPK = 15
+
+
+@register(
+    "weighted_jaccard_source_pairs",
+    oracle=rf"""
+    WITH tc AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source,
+              unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                w -> w <> '')) AS term
+            FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)
+      GROUP BY 1, 2),
+    stot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM tc GROUP BY 1),
+    f AS (
+      SELECT tc.source, tc.term,
+             CAST(tc.c * 1000000000 // stot.tot AS BIGINT) AS fr
+      FROM tc JOIN stot ON tc.source = stot.source),
+    pr AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(SUM(LEAST(a.fr, b.fr)) AS BIGINT) AS s_min,
+             CAST(SUM(GREATEST(a.fr, b.fr)) AS BIGINT) AS s_max
+      FROM f a JOIN f b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           CAST(s_min * 1000000 // s_max AS BIGINT)
+             AS weighted_jaccard_ppm
+    FROM pr ORDER BY weighted_jaccard_ppm DESC, source_a, source_b
+    LIMIT {_WJACC_TOPK}
+    """,
+)
+def weighted_jaccard_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENCY-weighted Jaccard between source vocabularies:
+    Σmin(f_a, f_b)/Σmax(f_a, f_b) over normalized term frequencies —
+    two sources sharing the same word SET but at different RATES score
+    low here and high on source_token_jaccard; the pair of numbers
+    separates shared vocabulary from shared usage (near-identical
+    usage = mirrored/proxied feeds).
+
+    Scale: one tokenize pass to (source, term) counts, relative
+    frequencies in exact ppb; the pair join runs term-to-term on the
+    bounded source x vocabulary grid and reduces to <=|sources|² pairs.
+    Exact integer throughout (min/max of integers, floor ppm).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    tc = (
+        d.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+            ).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stot = tc.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
+    f = tc.join(stot, "source").select(
+        "source",
+        "term",
+        F.expr("CAST(c * 1000000000 DIV tot AS BIGINT)").alias("fr"),
+    )
+    a = f.select(
+        F.col("source").alias("source_a"), "term", F.col("fr").alias("fa")
+    )
+    b = f.select(
+        F.col("source").alias("source_b"), "term", F.col("fr").alias("fb")
+    )
+    pr = (
+        a.join(
+            b,
+            (a.term == b.term) & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.least("fa", "fb")).cast("bigint").alias("s_min"),
+            F.sum(F.greatest("fa", "fb")).cast("bigint").alias("s_max"),
+        )
+    )
+    return (
+        pr.select(
+            "source_a",
+            "source_b",
+            F.expr("CAST(s_min * 1000000 DIV s_max AS BIGINT)").alias(
+                "weighted_jaccard_ppm"
+            ),
+        )
+        .orderBy(F.desc("weighted_jaccard_ppm"), "source_a", "source_b")
+        .limit(_WJACC_TOPK)
+    )

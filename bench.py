@@ -361,6 +361,8 @@ HEADLINE = [
     "second_order_latency_by_cohort",
     "token_length_histogram",
     "supplier_balance_volume_corr",
+    "weighted_jaccard_source_pairs",
+    "interarrival_cv2_by_type",
 ]
 
 

@@ -2481,3 +2481,56 @@ def test_supplier_balance_corr_replay(spark):
     assert r.n_suppliers == n
     assert abs(r.corr_micro - corr * 1e6) <= 2
     assert -1_000_000 <= r.corr_micro <= 1_000_000
+
+
+def test_weighted_jaccard_replay(spark):
+    import re
+
+    rows = QUERIES["weighted_jaccard_source_pairs"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    cnt = defaultdict(Counter)
+    for d in docs:
+        if d.text is None or d.source is None:
+            continue
+        cnt[d.source].update(w for w in re.split(r"\s+", d.text.lower()) if w)
+    fr = {
+        (s, t): c * 1_000_000_000 // sum(cs.values())
+        for s, cs in cnt.items()
+        for t, c in cs.items()
+    }
+    scored = []
+    srcs = sorted(cnt)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            common = set(cnt[a]) & set(cnt[b])
+            s_min = sum(min(fr[(a, t)], fr[(b, t)]) for t in common)
+            s_max = sum(max(fr[(a, t)], fr[(b, t)]) for t in common)
+            scored.append((a, b, s_min * 1_000_000 // s_max))
+    scored.sort(key=lambda t: (-t[2], t[0], t[1]))
+    got = [(r.source_a, r.source_b, r.weighted_jaccard_ppm) for r in rows]
+    assert got == scored[:15]
+    # weighted jaccard is a [0, 1] similarity
+    assert all(0 <= g[2] <= 1_000_000 for g in got)
+
+
+def test_interarrival_cv2_replay(spark):
+    rows = QUERIES["interarrival_cv2_by_type"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_type = defaultdict(list)
+    for e in ev:
+        us = e.ts // 1000 if isinstance(e.ts, int) else int(
+            e.ts.timestamp() * 1e6
+        )
+        by_type[e.event_type].append((us, e.event_id))
+    got = {r.event_type: r for r in rows}
+    assert set(got) == set(by_type)
+    for t, evs in by_type.items():
+        evs.sort()
+        gaps = [b[0] - a[0] for a, b in zip(evs, evs[1:])]
+        n, s1 = len(gaps), sum(gaps)
+        s2 = sum(g * g for g in gaps)
+        mu = s1 / n
+        cv2 = (s2 / n - mu * mu) / (mu * mu)
+        r = got[t]
+        assert (r.n_gaps, r.mean_gap_us) == (n, s1 // n)
+        assert abs(r.cv2_micro - cv2 * 1e6) <= 2

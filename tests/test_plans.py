@@ -2328,3 +2328,22 @@ class TestDriftPlans:
         assert t.count("HashAggregate") >= 3
         df = QUERIES["supplier_balance_volume_corr"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_weighted_jaccard_grid_pairs(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # pairs join term-to-term on the bounded source x vocab grid
+        t = tree(spark, "weighted_jaccard_source_pairs")
+        assert "TakeOrderedAndProject" in t
+        assert "CartesianProduct" not in t
+        df = QUERIES["weighted_jaccard_source_pairs"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_cv2_single_type_window(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "interarrival_cv2_by_type")
+        assert t.count("Window") == 1
+        assert "Join" not in t
+        df = QUERIES["interarrival_cv2_by_type"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
