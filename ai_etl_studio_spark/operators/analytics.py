@@ -8331,3 +8331,63 @@ def supplier_balance_volume_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_suppliers"),
         F.round(corr * 1_000_000, 0).cast("bigint").alias("corr_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier HHI per part type (sourcing concentration)
+# ---------------------------------------------------------------------------
+
+@register(
+    "supplier_hhi_by_part_type",
+    oracle="""
+    WITH ts AS (
+      SELECT p.p_type AS ptype, l.l_suppkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    g AS (
+      SELECT ptype, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(rev) AS BIGINT) AS tot,
+             SUM(CAST(rev AS HUGEINT) * rev) AS ss
+      FROM ts GROUP BY 1)
+    SELECT ptype, n_suppliers,
+           CAST((ss * 1000000) // (CAST(tot AS HUGEINT) * tot) AS BIGINT)
+             AS hhi_ppm
+    FROM g ORDER BY ptype
+    """,
+)
+def supplier_hhi_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sourcing concentration per part TYPE: the Herfindahl index of
+    supplier revenue shares within each category — the antitrust-style
+    number (10,000 ppm = perfectly spread over ~100 suppliers; 2,500
+    hhi-points = regulator-concentrated) that tells procurement which
+    categories have real supplier competition and which are captive
+    (hhi_concentration is the global number; single_source_risk is the
+    part-grain extreme — this is the category policy level).
+
+    Scale: the fact join reduces to (type, supplier) exact cents; HHI
+    is the exact cross-multiplied integer Σrev²·10⁶/(Σrev)² per type —
+    shares never materialize, wide-integer products throughout.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ts = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("ptype"), "l_suppkey")
+        .agg(F.sum(cents("l_extendedprice")).cast("bigint").alias("rev"))
+    )
+    rd = F.col("rev").cast("decimal(38,0)")
+    g = ts.groupBy("ptype").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("rev").cast("bigint").alias("tot"),
+        F.sum(rd * rd).alias("ss"),
+    )
+    return g.select(
+        "ptype",
+        "n_suppliers",
+        F.expr(
+            "CAST((ss * 1000000) DIV (CAST(tot AS DECIMAL(38,0)) * tot)"
+            " AS BIGINT)"
+        ).alias("hhi_ppm"),
+    ).orderBy("ptype")

@@ -3738,3 +3738,96 @@ def weighted_jaccard_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("weighted_jaccard_ppm"), "source_a", "source_b")
         .limit(_WJACC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Renyi entropy spectrum of the term distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "renyi_entropy_spectrum",
+    oracle=r"""
+    WITH tc AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+        '\s+'), w -> w <> '')) AS term
+        FROM documents WHERE text IS NOT NULL)
+      GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(c) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT) * c) AS c2,
+             CAST(MAX(c) AS BIGINT) AS cmax,
+             CAST(SUM(CAST(round(c * ln(CAST(c AS DOUBLE)) * 1000, 0)
+               AS BIGINT)) AS BIGINT) AS clnc_milli
+      FROM tc)
+    SELECT vocab, n,
+           CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000, 0) AS BIGINT)
+             AS h0_hartley_micro,
+           CAST(round((ln(CAST(n AS DOUBLE))
+             - (CAST(clnc_milli AS DOUBLE) / 1000) / n) * 1000000, 0)
+             AS BIGINT) AS h1_shannon_micro,
+           CAST(round(-ln(CAST(c2 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n)) * 1000000, 0) AS BIGINT)
+             AS h2_collision_micro,
+           CAST(round(-ln(CAST(cmax AS DOUBLE) / n) * 1000000, 0)
+             AS BIGINT) AS hinf_minentropy_micro
+    FROM s
+    """,
+)
+def renyi_entropy_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Rényi spectrum of the corpus term distribution in one
+    row: H0 (Hartley, log-vocabulary), H1 (Shannon), H2 (collision —
+    the log of Simpson's repeat rate), and H∞ (min-entropy, set by the
+    single most common word). The spectrum's SLOPE is the
+    concentration story: H0 >> H∞ means a fat head carries the mass —
+    with guaranteed ordering H0 >= H1 >= H2 >= H∞ as a built-in
+    self-check.
+
+    Scale: one tokenize pass to vocabulary grain; all four entropies
+    come from one sufficient-statistics row (Σc·ln c quantized to
+    milli-ticks per TERM before the distributed sum; Σc² wide-integer;
+    max exact). No per-document work at all.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tc = (
+        d.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    clnc = F.round(
+        F.col("c") * F.log(F.col("c").cast("double")) * 1000, 0
+    ).cast("bigint")
+    s = tc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(cd * cd).alias("c2"),
+        F.max("c").cast("bigint").alias("cmax"),
+        F.sum(clnc).cast("bigint").alias("clnc_milli"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "vocab",
+        "n",
+        F.round(F.log(F.col("vocab").cast("double")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("h0_hartley_micro"),
+        F.round(
+            (F.log(nd) - (F.col("clnc_milli").cast("double") / 1000) / F.col("n"))
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("h1_shannon_micro"),
+        F.round(-F.log(F.col("c2").cast("double") / (nd * F.col("n"))) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("h2_collision_micro"),
+        F.round(-F.log(F.col("cmax").cast("double") / F.col("n")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("hinf_minentropy_micro"),
+    )

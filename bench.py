@@ -363,6 +363,8 @@ HEADLINE = [
     "supplier_balance_volume_corr",
     "weighted_jaccard_source_pairs",
     "interarrival_cv2_by_type",
+    "renyi_entropy_spectrum",
+    "supplier_hhi_by_part_type",
 ]
 
 

@@ -2534,3 +2534,53 @@ def test_interarrival_cv2_replay(spark):
         r = got[t]
         assert (r.n_gaps, r.mean_gap_us) == (n, s1 // n)
         assert abs(r.cv2_micro - cv2 * 1e6) <= 2
+
+
+def test_renyi_spectrum_replay(spark):
+    import re
+
+    [r] = QUERIES["renyi_entropy_spectrum"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    c = Counter()
+    for d in docs:
+        if d.text is None:
+            continue
+        c.update(w for w in re.split(r"\s+", d.text.lower()) if w)
+    vocab, n = len(c), sum(c.values())
+    clnc = sum(math.floor(v * math.log(v) * 1000 + 0.5) for v in c.values())
+    c2 = sum(v * v for v in c.values())
+    cmax = max(c.values())
+    assert (r.vocab, r.n) == (vocab, n)
+    assert abs(r.h0_hartley_micro - math.log(vocab) * 1e6) <= 1
+    assert abs(
+        r.h1_shannon_micro - (math.log(n) - (clnc / 1000) / n) * 1e6
+    ) <= 2
+    assert abs(r.h2_collision_micro - (-math.log(c2 / n / n)) * 1e6) <= 2
+    assert abs(r.hinf_minentropy_micro - (-math.log(cmax / n)) * 1e6) <= 2
+    # the Renyi ordering is a theorem: H0 >= H1 >= H2 >= Hinf
+    assert (
+        r.h0_hartley_micro + 2
+        >= r.h1_shannon_micro
+        >= r.h2_collision_micro - 2
+    )
+    assert r.h2_collision_micro + 2 >= r.hinf_minentropy_micro
+
+
+def test_supplier_hhi_by_type_replay(spark):
+    rows = QUERIES["supplier_hhi_by_part_type"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    ptype = {
+        p.p_partkey: p.p_type
+        for p in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    ts = defaultdict(lambda: defaultdict(int))
+    for x in li:
+        ts[ptype[x.l_partkey]][x.l_suppkey] += round(x.l_extendedprice * 100)
+    assert len(rows) == len(ts)
+    for r in rows:
+        revs = list(ts[r.ptype].values())
+        tot = sum(revs)
+        assert r.n_suppliers == len(revs)
+        assert r.hhi_ppm == sum(v * v for v in revs) * 1_000_000 // (tot * tot)
+        # HHI floor: 1e6 / n_suppliers
+        assert r.hhi_ppm >= 1_000_000 // r.n_suppliers

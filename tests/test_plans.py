@@ -2347,3 +2347,23 @@ class TestDriftPlans:
         assert "Join" not in t
         df = QUERIES["interarrival_cv2_by_type"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_renyi_one_vocab_row(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # all four entropies come from ONE sufficient-statistics row
+        # over the vocabulary-grain reduction
+        t = tree(spark, "renyi_entropy_spectrum")
+        assert "Join" not in t and "Window" not in t
+        df = QUERIES["renyi_entropy_spectrum"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_supplier_hhi_cross_multiplied(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # shares never materialize: HHI is exact integer cross-
+        # multiplication per type
+        t = tree(spark, "supplier_hhi_by_part_type")
+        assert "Window" not in t
+        df = QUERIES["supplier_hhi_by_part_type"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
