@@ -8391,3 +8391,128 @@ def supplier_hhi_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("hhi_ppm"),
     ).orderBy("ptype")
+
+
+# ---------------------------------------------------------------------------
+# Basket size vs line value interaction
+# ---------------------------------------------------------------------------
+
+@register(
+    "basket_size_value_interaction",
+    oracle="""
+    WITH po AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1)
+    SELECT n_lines AS basket_lines, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(rev) // SUM(n_lines) AS BIGINT) AS mean_line_cents,
+           CAST(SUM(rev) // COUNT(*) AS BIGINT) AS mean_order_cents
+    FROM po GROUP BY 1 ORDER BY 1
+    """,
+)
+def basket_size_value_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do bigger baskets carry CHEAPER lines? Exact mean line value and
+    mean order value at each basket size — a declining line-value curve
+    says multi-line orders are stocking-up on small items (bundle
+    pricing opportunity), a flat one says basket size is pure
+    independent accumulation (basket_size_profile counts the baskets;
+    this prices their composition).
+
+    Scale: one per-order reduction, one bounded rollup to <=7 basket
+    sizes; both means are exact integer floor-divisions of positives.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(cents("l_extendedprice")).cast("bigint").alias("rev"),
+    )
+    return (
+        po.groupBy(F.col("n_lines").alias("basket_lines"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("rev").cast("bigint").alias("sr"),
+            F.sum("n_lines").cast("bigint").alias("sl"),
+        )
+        .select(
+            "basket_lines",
+            "n_orders",
+            F.expr("CAST(sr DIV sl AS BIGINT)").alias("mean_line_cents"),
+            F.expr("CAST(sr DIV n_orders AS BIGINT)").alias(
+                "mean_order_cents"
+            ),
+        )
+        .orderBy("basket_lines")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multinational fulfillment rate by year
+# ---------------------------------------------------------------------------
+
+@register(
+    "multinational_fulfillment_rate",
+    oracle="""
+    WITH onat AS (
+      SELECT l.l_orderkey,
+             CAST(COUNT(DISTINCT s.s_nationkey) AS BIGINT) AS n_nations
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1),
+    j AS (
+      SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+             onat.n_nations
+      FROM orders o JOIN onat ON o.o_orderkey = onat.l_orderkey)
+    SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN n_nations > 1 THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS BIGINT) AS multi_nation_ppm,
+           CAST(SUM(n_nations) * 1000 // COUNT(*) AS BIGINT)
+             AS mean_nations_milli
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def multinational_fulfillment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How often ONE order crosses supplier BORDERS: the share of
+    orders fulfilled from more than one supplier nation per year, and
+    the mean nations touched — each extra origin country is a customs
+    event and a consolidation opportunity (suppliers_per_order_profile
+    counts suppliers; this counts BORDERS, which is what logistics
+    cost actually keys on).
+
+    Scale: the supplier-nation distinct count runs inside per-order
+    groups of <=7 lines; the orders join is key-on-key carrying one
+    small integer; the yearly rollup reduces map-side. Exact integer
+    ppm/milli.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    onat = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("s_nationkey").cast("bigint").alias("n_nations"))
+    )
+    j = o.join(onat, o.o_orderkey == onat.l_orderkey).select(
+        F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("yr"),
+        "n_nations",
+    )
+    return (
+        j.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("n_nations") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("nm"),
+            F.sum("n_nations").cast("bigint").alias("sn"),
+        )
+        .select(
+            "yr",
+            "n_orders",
+            F.expr("CAST(nm * 1000000 DIV n_orders AS BIGINT)").alias(
+                "multi_nation_ppm"
+            ),
+            F.expr("CAST(sn * 1000 DIV n_orders AS BIGINT)").alias(
+                "mean_nations_milli"
+            ),
+        )
+        .orderBy("yr")
+    )

@@ -365,6 +365,8 @@ HEADLINE = [
     "interarrival_cv2_by_type",
     "renyi_entropy_spectrum",
     "supplier_hhi_by_part_type",
+    "basket_size_value_interaction",
+    "multinational_fulfillment_rate",
 ]
 
 

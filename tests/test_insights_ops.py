@@ -3183,3 +3183,60 @@ def test_second_order_latency_replay(spark):
         ls = sorted(lats[(r.cohort_month.year, r.cohort_month.month)])
         assert r.n_customers == len(ls)
         assert r.median_latency_days == ls[(len(ls) + 1) // 2 - 1]
+
+
+def test_basket_value_interaction_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["basket_size_value_interaction"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    po = defaultdict(lambda: [0, 0])
+    for x in li:
+        a = po[x.l_orderkey]
+        a[0] += 1
+        a[1] += round(x.l_extendedprice * 100)
+    bands = defaultdict(lambda: [0, 0, 0])
+    for n, rev in po.values():
+        b = bands[n]
+        b[0] += 1
+        b[1] += rev
+        b[2] += n
+    got = {
+        r.basket_lines: (r.n_orders, r.mean_line_cents, r.mean_order_cents)
+        for r in rows
+    }
+    assert got == {
+        k: (c, sr // sl, sr // c) for k, (c, sr, sl) in bands.items()
+    }
+
+
+def test_multinational_rate_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["multinational_fulfillment_rate"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    snat = {
+        s.s_suppkey: s.s_nationkey
+        for s in spark.read.parquet(f"{SF_DIR}/supplier.parquet").collect()
+    }
+    oyear = {
+        o.o_orderkey: o.o_orderdate.year
+        for o in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    nations = defaultdict(set)
+    for x in li:
+        nations[x.l_orderkey].add(snat[x.l_suppkey])
+    agg = defaultdict(lambda: [0, 0, 0])
+    for ok, ns in nations.items():
+        a = agg[oyear[ok]]
+        a[0] += 1
+        a[1] += len(ns) > 1
+        a[2] += len(ns)
+    got = {
+        r.yr: (r.n_orders, r.multi_nation_ppm, r.mean_nations_milli)
+        for r in rows
+    }
+    assert got == {
+        y: (n, m * 1_000_000 // n, sn * 1000 // n)
+        for y, (n, m, sn) in agg.items()
+    }

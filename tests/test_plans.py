@@ -2367,3 +2367,21 @@ class TestDriftPlans:
         assert "Window" not in t
         df = QUERIES["supplier_hhi_by_part_type"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_basket_value_two_reductions(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "basket_size_value_interaction")
+        assert "Join" not in t and "Window" not in t
+        df = QUERIES["basket_size_value_interaction"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_multinational_per_order_distinct(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the distinct-nation count runs in per-order groups; the
+        # orders join carries one small integer
+        t = tree(spark, "multinational_fulfillment_rate")
+        assert t.count("HashAggregate") >= 3
+        df = QUERIES["multinational_fulfillment_rate"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
