@@ -1238,3 +1238,134 @@ def benford_second_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n * 1000000 DIV tot - expected_ppm AS BIGINT)"
         ).alias("deviation_ppm"),
     ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# Key-vs-time monotonicity audit (append-order forensics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "key_time_correlation",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS d
+      FROM orders),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS sa,
+             CAST(SUM(d) AS BIGINT) AS sb,
+             CAST(SUM(CAST(k AS HUGEINT) * d) AS DOUBLE) AS sab,
+             CAST(SUM(CAST(k AS HUGEINT) * k) AS DOUBLE) AS saa,
+             CAST(SUM(CAST(d AS HUGEINT) * d) AS DOUBLE) AS sbb
+      FROM j)
+    SELECT n AS n_orders,
+           CAST(round((n * sab - CAST(sa AS DOUBLE) * sb)
+             / sqrt((n * saa - CAST(sa AS DOUBLE) * sa)
+               * (n * sbb - CAST(sb AS DOUBLE) * sb)) * 1000000, 0)
+             AS BIGINT) AS key_time_corr_micro
+    FROM m
+    """,
+)
+def key_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do surrogate keys follow TIME? The correlation between order key
+    and order date — in an append-only system it should approach 1 (and
+    then key ranges prune time predicates for free); near 0 means keys
+    were bulk-assigned, shuffled, or backfilled, and every
+    key-range-as-time assumption downstream is wrong. A one-number
+    physical-layout audit to run before min/max-skipping designs
+    (zorder_write, candidate_files) assume key-time locality.
+
+    Scale: one pass to a sufficient-statistics row; products ride the
+    wide-integer rule and the Pearson is a mirrored final expression.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    j = o.select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("d"),
+    )
+    kd = F.col("k").cast("decimal(38,0)")
+    dd = F.col("d").cast("decimal(38,0)")
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sa"),
+        F.sum("d").cast("bigint").alias("sb"),
+        F.sum(kd * dd).cast("double").alias("sab"),
+        F.sum(kd * kd).cast("double").alias("saa"),
+        F.sum(dd * dd).cast("double").alias("sbb"),
+    )
+    corr = (
+        (F.col("n") * F.col("sab") - F.col("sa").cast("double") * F.col("sb"))
+        / F.sqrt(
+            (F.col("n") * F.col("saa") - F.col("sa").cast("double") * F.col("sa"))
+            * (F.col("n") * F.col("sbb") - F.col("sb").cast("double") * F.col("sb"))
+        )
+    )
+    return m.select(
+        F.col("n").alias("n_orders"),
+        F.round(corr * 1_000_000, 0).cast("bigint").alias(
+            "key_time_corr_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price-ending digit forensics (psychological pricing / fabrication)
+# ---------------------------------------------------------------------------
+
+_ENDING_TOPK = 10
+
+
+@register(
+    "price_ending_digits_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) % 100
+        AS BIGINT) AS ending
+      FROM orders),
+    c AS (
+      SELECT ending, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+    t AS (SELECT c.*, CAST(SUM(n) OVER () AS BIGINT) AS tot FROM c)
+    SELECT ending, n,
+           CAST(n * 1000000 // tot AS BIGINT) AS observed_ppm,
+           CAST(n * 1000000 // tot - 10000 AS BIGINT) AS deviation_ppm
+    FROM t ORDER BY n DESC, ending LIMIT {_ENDING_TOPK}
+    """,
+)
+def price_ending_digits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CENTS-ending census: the most common last-two-digit endings
+    of order totals against the uniform 1% baseline — real commerce
+    piles up on .99/.95/.00 (psychological pricing and round-number
+    invoicing); a synthetic or laundered ledger is flat. The third leg
+    of the digit-forensics set (benford_audit leads, second-digit
+    refines, endings close the other end of the number).
+
+    Scale: the ending is integer modulo on exact cents; one map-side
+    reduction to <=100 rows; the baseline comparison is exact ppm
+    arithmetic; heap top-k.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    e = o.select((cents("o_totalprice") % 100).cast("bigint").alias("ending"))
+    c = e.groupBy("ending").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.withColumn(
+        "tot",
+        F.sum("n")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint"),
+    )
+    return (
+        t.select(
+            "ending",
+            "n",
+            F.expr("CAST(n * 1000000 DIV tot AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            F.expr("CAST(n * 1000000 DIV tot - 10000 AS BIGINT)").alias(
+                "deviation_ppm"
+            ),
+        )
+        .orderBy(F.desc("n"), "ending")
+        .limit(_ENDING_TOPK)
+    )

@@ -367,6 +367,8 @@ HEADLINE = [
     "supplier_hhi_by_part_type",
     "basket_size_value_interaction",
     "multinational_fulfillment_rate",
+    "key_time_correlation",
+    "price_ending_digits_topk",
 ]
 
 

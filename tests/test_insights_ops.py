@@ -3240,3 +3240,43 @@ def test_multinational_rate_replay(spark):
         y: (n, m * 1_000_000 // n, sn * 1000 // n)
         for y, (n, m, sn) in agg.items()
     }
+
+
+def test_key_time_correlation_replay(spark):
+    import math
+
+    [r] = QUERIES["key_time_correlation"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    pts = [
+        (o.o_orderkey, (o.o_orderdate.date() - epoch).days) for o in orders
+    ]
+    n = len(pts)
+    sa = sum(a for a, _ in pts)
+    sb = sum(b for _, b in pts)
+    sab = sum(a * b for a, b in pts)
+    saa = sum(a * a for a, _ in pts)
+    sbb = sum(b * b for _, b in pts)
+    corr = (n * sab - sa * sb) / math.sqrt(
+        (n * saa - sa * sa) * (n * sbb - sb * sb)
+    )
+    assert r.n_orders == n
+    assert abs(r.key_time_corr_micro - corr * 1e6) <= 2
+
+
+def test_price_endings_replay(spark):
+    from collections import Counter
+
+    rows = QUERIES["price_ending_digits_topk"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    c = Counter(round(o.o_totalprice * 100) % 100 for o in orders)
+    tot = sum(c.values())
+    scored = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.ending, r.n, r.observed_ppm, r.deviation_ppm) for r in rows]
+    want = [
+        (e, n, n * 1_000_000 // tot, n * 1_000_000 // tot - 10_000)
+        for e, n in scored
+    ]
+    assert got == want

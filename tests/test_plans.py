@@ -2385,3 +2385,19 @@ class TestDriftPlans:
         assert t.count("HashAggregate") >= 3
         df = QUERIES["multinational_fulfillment_rate"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_key_time_one_row(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "key_time_correlation")
+        assert "Join" not in t and "Window" not in t
+        df = QUERIES["key_time_correlation"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_price_endings_bounded(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "price_ending_digits_topk")
+        assert "TakeOrderedAndProject" in t
+        df = QUERIES["price_ending_digits_topk"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
