@@ -148,7 +148,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: weighted_jaccard_source_pairs, interarrival_cv2_by_type,
 #: renyi_entropy_spectrum, supplier_hhi_by_part_type,
 #: basket_size_value_interaction, multinational_fulfillment_rate,
-#: key_time_correlation, price_ending_digits_topk; no
+#: key_time_correlation, price_ending_digits_topk,
+#: dow_consistency_histogram, event_type_run_histogram; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

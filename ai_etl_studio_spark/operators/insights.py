@@ -3923,3 +3923,134 @@ def interarrival_cv2_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cv2_micro"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Weekday-consistency histogram (habit regularity per customer)
+# ---------------------------------------------------------------------------
+
+_DOWC_MIN_ORDERS = 5
+
+
+@register(
+    "dow_consistency_histogram",
+    oracle=f"""
+    WITH cd AS (
+      SELECT o_custkey,
+             CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT)
+               AS dow,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2),
+    g AS (
+      SELECT o_custkey, CAST(MAX(c) AS BIGINT) AS modal,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM cd GROUP BY 1 HAVING SUM(c) >= {_DOWC_MIN_ORDERS}),
+    b AS (
+      SELECT CAST(modal * 10 // n AS BIGINT) AS modal_share_decile FROM g)
+    SELECT modal_share_decile, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def dow_consistency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How WEEKDAY-regular each customer's ordering is: the share of
+    their orders landing on their single most common weekday, binned
+    into deciles — mass at high deciles is subscription-like cadence
+    (ship on their day, churn-flag a missed one); mass near the 1/7
+    floor is opportunistic buying. The per-customer regularity
+    DISTRIBUTION that the global dow_seasonality_strength R² averages
+    into one number.
+
+    Scale: two nested reductions — (customer, weekday) counts, then
+    per-customer modal/total via plain MAX/SUM (no window, no argmax
+    sort) — and a bounded decile histogram. Exact integer deciles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cd = o.groupBy(
+        "o_custkey",
+        F.dayofweek(F.col("o_orderdate").cast("date")).cast("bigint").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    g = (
+        cd.groupBy("o_custkey")
+        .agg(
+            F.max("c").cast("bigint").alias("modal"),
+            F.sum("c").cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") >= _DOWC_MIN_ORDERS)
+    )
+    return (
+        g.select(
+            F.expr("CAST(modal * 10 DIV n AS BIGINT)").alias(
+                "modal_share_decile"
+            )
+        )
+        .groupBy("modal_share_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("modal_share_decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type run-length histogram (repeat-action detector)
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_type_run_histogram",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) IS DISTINCT FROM event_type
+               THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    grp AS (
+      SELECT user_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS gid
+      FROM seq),
+    runs AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM grp GROUP BY user_id, gid, event_type)
+    SELECT event_type, run_len, CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def event_type_run_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSECUTIVE same-action runs per user: the run-length histogram
+    by event type — a fat error-run tail is a retry loop (users
+    hammering a broken thing: read with error_recovery_histogram), a
+    fat click-run tail is pagination or rage-clicking; Markov
+    transition matrices (path_transitions) average these streaks away.
+
+    Scale: the same ONE user-partitioned exchange feeds both the
+    lag-compare and the running-sum island id (the sessionizer shape
+    applied to type changes); runs then reduce twice map-side to the
+    bounded type x length histogram.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    grp = seq.select(
+        "user_id",
+        "event_type",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("gid"),
+    )
+    runs = grp.groupBy("user_id", "gid", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    return (
+        runs.groupBy("event_type", "run_len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_runs"))
+        .orderBy("event_type", "run_len")
+    )

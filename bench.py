@@ -369,6 +369,8 @@ HEADLINE = [
     "multinational_fulfillment_rate",
     "key_time_correlation",
     "price_ending_digits_topk",
+    "dow_consistency_histogram",
+    "event_type_run_histogram",
 ]
 
 

@@ -3280,3 +3280,50 @@ def test_price_endings_replay(spark):
         for e, n in scored
     ]
     assert got == want
+
+
+def test_dow_consistency_replay(spark):
+    from collections import Counter, defaultdict
+
+    rows = QUERIES["dow_consistency_histogram"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    per_cust = defaultdict(Counter)
+    for o in orders:
+        per_cust[o.o_custkey][o.o_orderdate.date().isoweekday() % 7 + 1] += 1
+    hist = Counter()
+    for c in per_cust.values():
+        n = sum(c.values())
+        if n < 5:
+            continue
+        hist[max(c.values()) * 10 // n] += 1
+    got = {r.modal_share_decile: r.n_customers for r in rows}
+    assert got == dict(hist)
+    # a modal share is at least 1/7 and at most 1: deciles 1..10
+    assert all(1 <= d <= 10 for d in got)
+
+
+def test_event_run_histogram_replay(spark):
+    from collections import Counter, defaultdict
+
+    rows = QUERIES["event_type_run_histogram"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for e in ev:
+        us = e.ts if isinstance(e.ts, int) else int(e.ts.timestamp() * 1e9)
+        by_user[e.user_id].append((us, e.event_id, e.event_type))
+    hist = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        run_type, run_len = None, 0
+        for _, _, t in evs:
+            if t == run_type:
+                run_len += 1
+            else:
+                if run_type is not None:
+                    hist[(run_type, run_len)] += 1
+                run_type, run_len = t, 1
+        hist[(run_type, run_len)] += 1
+    got = {(r.event_type, r.run_len): r.n_runs for r in rows}
+    assert got == dict(hist)
+    # conservation: total run-lengths cover every event once
+    assert sum(l * n for (_, l), n in hist.items()) == len(ev)

@@ -2401,3 +2401,21 @@ class TestDriftPlans:
         assert "TakeOrderedAndProject" in t
         df = QUERIES["price_ending_digits_topk"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_dow_consistency_no_window(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # modal/total via plain MAX/SUM — no window, no argmax sort
+        t = tree(spark, "dow_consistency_histogram")
+        assert "Join" not in t and "Window" not in t
+        df = QUERIES["dow_consistency_histogram"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_event_runs_one_user_exchange(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # lag-compare and island-id share one user-partitioned exchange
+        t = tree(spark, "event_type_run_histogram")
+        assert "Join" not in t
+        df = QUERIES["event_type_run_histogram"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
