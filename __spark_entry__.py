@@ -149,7 +149,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: renyi_entropy_spectrum, supplier_hhi_by_part_type,
 #: basket_size_value_interaction, multinational_fulfillment_rate,
 #: key_time_correlation, price_ending_digits_topk,
-#: dow_consistency_histogram, event_type_run_histogram; no
+#: dow_consistency_histogram, event_type_run_histogram,
+#: eb_shrunk_return_rates; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -371,6 +371,7 @@ HEADLINE = [
     "price_ending_digits_topk",
     "dow_consistency_histogram",
     "event_type_run_histogram",
+    "eb_shrunk_return_rates",
 ]
 
 

@@ -2584,3 +2584,41 @@ def test_supplier_hhi_by_type_replay(spark):
         assert r.hhi_ppm == sum(v * v for v in revs) * 1_000_000 // (tot * tot)
         # HHI floor: 1e6 / n_suppliers
         assert r.hhi_ppm >= 1_000_000 // r.n_suppliers
+
+
+def test_eb_shrinkage_replay(spark):
+    rows = QUERIES["eb_shrunk_return_rates"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    sup = defaultdict(lambda: [0, 0])
+    for x in li:
+        a = sup[x.l_suppkey]
+        a[0] += 1
+        a[1] += x.l_returnflag == "R"
+    k = len(sup)
+    tn = sum(v[0] for v in sup.values())
+    tx = sum(v[1] for v in sup.values())
+    p0 = tx / tn
+    ssr = sum(
+        math.floor((v[1] / v[0] - p0) ** 2 * 1e9 + 0.5)
+        for v in sup.values()
+    )
+    tau2 = max(ssr / 1e9 / k - p0 * (1 - p0) / (tn / k), 1e-9)
+    m = p0 * (1 - p0) / tau2 - 1
+    scored = sorted(
+        (
+            (sk, n, x, x * 1_000_000 // n,
+             math.floor((x + m * p0) / (n + m) * 1e6 + 0.5))
+            for sk, (n, x) in sup.items()
+        ),
+        key=lambda t: (-t[3], t[0]),
+    )[:15]
+    got = [(r.l_suppkey, r.n, r.x, r.raw_rate_ppm, r.shrunk_rate_ppm)
+           for r in rows]
+    for g, w in zip(got, scored):
+        assert g[:4] == w[:4]
+        assert abs(g[4] - w[4]) <= 1
+    # shrinkage pulls every estimate BETWEEN its raw rate and the prior
+    p0_ppm = tx * 1_000_000 // tn
+    for _, _, _, raw, shrunk in got:
+        lo, hi = sorted((raw, p0_ppm))
+        assert lo - 1 <= shrunk <= hi + 1

@@ -2419,3 +2419,13 @@ class TestDriftPlans:
         assert "Join" not in t
         df = QUERIES["event_type_run_histogram"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_eb_shrinkage_broadcast_prior(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # per-supplier stats checkpoint once; the prior is a broadcast
+        # 1-row frame; tick-quantized deviations
+        t = tree(spark, "eb_shrunk_return_rates")
+        assert "Scan parquet" not in t and "Scan ExistingRDD" in t
+        df = QUERIES["eb_shrunk_return_rates"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
