@@ -8516,3 +8516,129 @@ def multinational_fulfillment_rate(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-status fulfillment share by ship quarter
+# ---------------------------------------------------------------------------
+
+@register(
+    "linestatus_share_by_quarter",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(year(CAST(l_shipdate AS DATE)) * 10
+        + (month(CAST(l_shipdate AS DATE)) + 2) // 3 AS BIGINT) AS yq,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS nf
+      FROM lineitem GROUP BY 1)
+    SELECT yq AS year_quarter, n AS n_lines,
+           CAST(nf * 1000000 // n AS BIGINT) AS finished_ppm
+    FROM q ORDER BY yq
+    """,
+)
+def linestatus_share_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fulfillment-status lifecycle curve: FINISHED line share per
+    ship quarter — in a healthy ledger this climbs toward 1 as
+    quarters age (everything old is settled); a recent quarter ABOVE
+    an older one means backfilled status or clock skew (cross-check
+    temporal_integrity_by_year). The ledger's own aging curve.
+
+    Scale: one map-side reduction keyed on year-quarter (integer
+    arithmetic on year/month, no date truncation dialects); exact ppm
+    on the bounded table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    q = li.groupBy(
+        (F.year(d) * 10 + F.expr("(month(CAST(l_shipdate AS DATE)) + 2) DIV 3"))
+        .cast("bigint")
+        .alias("yq")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nf"),
+    )
+    return q.select(
+        F.col("yq").alias("year_quarter"),
+        F.col("n").alias("n_lines"),
+        F.expr("CAST(nf * 1000000 DIV n AS BIGINT)").alias("finished_ppm"),
+    ).orderBy("year_quarter")
+
+
+# ---------------------------------------------------------------------------
+# Revenue volatility league by nation
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_volatility_by_nation",
+    oracle="""
+    WITH nm AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(year(CAST(o.o_orderdate AS DATE)) * 12
+               + month(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS mi,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    g AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS BIGINT) AS s1,
+             SUM(CAST(rev AS HUGEINT) * rev) AS s2
+      FROM nm GROUP BY 1)
+    SELECT n2.n_name AS nation, g.n AS n_months,
+           CAST(round(sqrt(CAST(g.s2 AS DOUBLE) / g.n
+             - (CAST(g.s1 AS DOUBLE) / g.n) * (CAST(g.s1 AS DOUBLE) / g.n))
+             / (CAST(g.s1 AS DOUBLE) / g.n) * 1000000, 0) AS BIGINT)
+             AS cv_micro
+    FROM g JOIN nation n2 ON g.nk = n2.n_nationkey
+    ORDER BY cv_micro DESC, nation
+    """,
+)
+def revenue_volatility_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The volatility league: coefficient of variation of MONTHLY
+    revenue per nation, most turbulent first — high-CV markets need
+    buffer stock and flexible capacity, low-CV ones reward lean
+    planning (nation_revenue_cagr ranks growth; this ranks the RISK
+    around it — the two axes of every market portfolio chart).
+
+    Scale: the fact join reduces to nation x month exact cents, then to
+    25 sufficient-statistic rows (Σrev² wide-integer); CV is one
+    mirrored expression; dim join broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    d = F.col("o_orderdate").cast("date")
+    nm = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            (F.year(d) * 12 + F.month(d)).cast("bigint").alias("mi"),
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    )
+    rd = F.col("rev").cast("decimal(38,0)")
+    g = nm.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rev").cast("bigint").alias("s1"),
+        F.sum(rd * rd).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    return (
+        g.join(F.broadcast(n), g.nk == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_months"),
+            F.round(
+                F.sqrt(F.col("s2").cast("double") / F.col("n") - mu * mu)
+                / mu
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("cv_micro"),
+        )
+        .orderBy(F.desc("cv_micro"), "nation")
+    )

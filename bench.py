@@ -372,6 +372,8 @@ HEADLINE = [
     "dow_consistency_histogram",
     "event_type_run_histogram",
     "eb_shrunk_return_rates",
+    "linestatus_share_by_quarter",
+    "revenue_volatility_by_nation",
 ]
 
 

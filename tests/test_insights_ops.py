@@ -3327,3 +3327,53 @@ def test_event_run_histogram_replay(spark):
     assert got == dict(hist)
     # conservation: total run-lengths cover every event once
     assert sum(l * n for (_, l), n in hist.items()) == len(ev)
+
+
+def test_linestatus_quarter_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["linestatus_share_by_quarter"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for x in li:
+        yq = x.l_shipdate.year * 10 + (x.l_shipdate.month + 2) // 3
+        a = agg[yq]
+        a[0] += 1
+        a[1] += x.l_linestatus == "F"
+    got = {r.year_quarter: (r.n_lines, r.finished_ppm) for r in rows}
+    assert got == {
+        q: (n, f * 1_000_000 // n) for q, (n, f) in agg.items()
+    }
+
+
+def test_revenue_volatility_replay(spark):
+    import math
+    from collections import defaultdict
+
+    rows = QUERIES["revenue_volatility_by_nation"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    nm = defaultdict(int)
+    for o in orders:
+        nm[(cust[o.o_custkey],
+            o.o_orderdate.year * 12 + o.o_orderdate.month)] += round(
+            o.o_totalprice * 100
+        )
+    series = defaultdict(list)
+    for (nk, _), rev in nm.items():
+        series[nk].append(rev)
+    assert len(rows) == len(series)
+    for r in rows:
+        nk = int(r.nation.split("_")[1])
+        xs = series[nk]
+        n, s1 = len(xs), sum(xs)
+        mu = s1 / n
+        cv = math.sqrt(sum(x * x for x in xs) / n - mu * mu) / mu
+        assert r.n_months == n
+        assert abs(r.cv_micro - cv * 1e6) <= 2
+    # league is sorted most turbulent first
+    cvs = [r.cv_micro for r in rows]
+    assert cvs == sorted(cvs, reverse=True)

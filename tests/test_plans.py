@@ -2429,3 +2429,19 @@ class TestDriftPlans:
         assert "Scan parquet" not in t and "Scan ExistingRDD" in t
         df = QUERIES["eb_shrunk_return_rates"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_linestatus_quarter_single_pass(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "linestatus_share_by_quarter")
+        assert "Join" not in t and "Window" not in t
+        df = QUERIES["linestatus_share_by_quarter"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_volatility_nation_month_grid(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "revenue_volatility_by_nation")
+        assert t.count("HashAggregate") >= 4
+        df = QUERIES["revenue_volatility_by_nation"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
