@@ -8642,3 +8642,106 @@ def revenue_volatility_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cv_micro"), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth-risk portfolio quadrant (composed from CAGR x volatility)
+# ---------------------------------------------------------------------------
+
+def _portfolio_quadrant_oracle() -> str:
+    from ai_etl_studio_spark.operators import ORACLES
+
+    return f"""
+    WITH cagr AS ({ORACLES["nation_revenue_cagr"]}),
+    vol AS ({ORACLES["revenue_volatility_by_nation"]}),
+    j AS (
+      SELECT cagr.nation, cagr.cagr_micro, vol.cv_micro
+      FROM cagr JOIN vol ON cagr.nation = vol.nation),
+    med AS (
+      SELECT
+        (SELECT cagr_micro FROM (
+           SELECT cagr_micro, ROW_NUMBER() OVER (ORDER BY cagr_micro,
+             nation) AS rn, COUNT(*) OVER () AS c FROM j) t
+         WHERE rn = (c + 1) // 2) AS med_g,
+        (SELECT cv_micro FROM (
+           SELECT cv_micro, ROW_NUMBER() OVER (ORDER BY cv_micro, nation)
+             AS rn, COUNT(*) OVER () AS c FROM j) t
+         WHERE rn = (c + 1) // 2) AS med_v),
+    cls AS (
+      SELECT CASE WHEN j.cagr_micro > med.med_g AND j.cv_micro <= med.med_v
+               THEN 'star_growth_stable'
+             WHEN j.cagr_micro > med.med_g THEN 'question_growth_volatile'
+             WHEN j.cv_micro <= med.med_v THEN 'cashcow_slow_stable'
+             ELSE 'dog_slow_volatile' END AS quadrant,
+             j.nation
+      FROM j CROSS JOIN med)
+    SELECT quadrant, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(nation) AS example_nation
+    FROM cls GROUP BY 1 ORDER BY 1
+    """
+
+
+@register("market_portfolio_quadrant", oracle=_portfolio_quadrant_oracle())
+def market_portfolio_quadrant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-share style portfolio matrix over markets: every
+    nation classified by median splits of its revenue CAGR and its
+    monthly-revenue CV — stars (growing, stable), questions (growing,
+    turbulent), cash cows (slow, stable), dogs (slow, turbulent) —
+    COMPOSED from the two registered single-axis ops, so the quadrant
+    can never disagree with the league tables it summarizes.
+
+    Scale: both inputs are bounded |nation|-row results; medians are
+    LOWER-median selections on 25 rows, the 1-row split broadcast, and
+    the quadrant census is a four-row rollup.
+    """
+    from ai_etl_studio_spark.operators import QUERIES as _Q
+
+    cagr = _Q["nation_revenue_cagr"](spark, sf_dir).select(
+        "nation", "cagr_micro"
+    )
+    vol = _Q["revenue_volatility_by_nation"](spark, sf_dir).select(
+        "nation", "cv_micro"
+    )
+    j = cagr.join(vol, "nation").localCheckpoint()
+
+    def lower_median(col: str):
+        r = j.select(
+            col,
+            F.row_number().over(Window.orderBy(col, "nation")).alias("rn"),
+            F.count(F.lit(1))
+            .over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("c"),
+        )
+        return r.filter(F.col("rn") == F.expr("(c + 1) DIV 2")).select(
+            F.col(col).alias(f"med_{col}")
+        )
+
+    med = lower_median("cagr_micro").crossJoin(
+        F.broadcast(lower_median("cv_micro"))
+    )
+    cls = j.crossJoin(F.broadcast(med)).select(
+        F.when(
+            (F.col("cagr_micro") > F.col("med_cagr_micro"))
+            & (F.col("cv_micro") <= F.col("med_cv_micro")),
+            "star_growth_stable",
+        )
+        .when(F.col("cagr_micro") > F.col("med_cagr_micro"),
+              "question_growth_volatile")
+        .when(F.col("cv_micro") <= F.col("med_cv_micro"),
+              "cashcow_slow_stable")
+        .otherwise("dog_slow_volatile")
+        .alias("quadrant"),
+        "nation",
+    )
+    return (
+        cls.groupBy("quadrant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.min("nation").alias("example_nation"),
+        )
+        .orderBy("quadrant")
+    )

@@ -374,6 +374,7 @@ HEADLINE = [
     "eb_shrunk_return_rates",
     "linestatus_share_by_quarter",
     "revenue_volatility_by_nation",
+    "market_portfolio_quadrant",
 ]
 
 

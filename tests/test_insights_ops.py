@@ -3377,3 +3377,42 @@ def test_revenue_volatility_replay(spark):
     # league is sorted most turbulent first
     cvs = [r.cv_micro for r in rows]
     assert cvs == sorted(cvs, reverse=True)
+
+
+def test_portfolio_quadrant_replay(spark):
+    rows = QUERIES["market_portfolio_quadrant"](spark, SF_DIR).collect()
+    cagr = {
+        r.nation: r.cagr_micro
+        for r in QUERIES["nation_revenue_cagr"](spark, SF_DIR).collect()
+    }
+    vol = {
+        r.nation: r.cv_micro
+        for r in QUERIES["revenue_volatility_by_nation"](
+            spark, SF_DIR
+        ).collect()
+    }
+    nations = sorted(set(cagr) & set(vol))
+
+    def lower_median(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    mg = lower_median([(cagr[n], n) for n in nations])[0]
+    mv = lower_median([(vol[n], n) for n in nations])[0]
+    from collections import defaultdict
+
+    cells = defaultdict(list)
+    for n in nations:
+        if cagr[n] > mg and vol[n] <= mv:
+            q = "star_growth_stable"
+        elif cagr[n] > mg:
+            q = "question_growth_volatile"
+        elif vol[n] <= mv:
+            q = "cashcow_slow_stable"
+        else:
+            q = "dog_slow_volatile"
+        cells[q].append(n)
+    got = {r.quadrant: (r.n_nations, r.example_nation) for r in rows}
+    assert got == {q: (len(v), min(v)) for q, v in cells.items()}
+    # quadrants partition the markets
+    assert sum(v[0] for v in got.values()) == len(nations)

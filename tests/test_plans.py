@@ -2445,3 +2445,13 @@ class TestDriftPlans:
         assert t.count("HashAggregate") >= 4
         df = QUERIES["revenue_volatility_by_nation"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_portfolio_quadrant_bounded_composition(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # composed from two bounded results; medians by 25-row
+        # selection; the census is a four-row rollup
+        t = tree(spark, "market_portfolio_quadrant")
+        assert "Scan parquet" not in t and "Scan ExistingRDD" in t
+        df = QUERIES["market_portfolio_quadrant"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
