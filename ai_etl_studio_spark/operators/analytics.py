@@ -8745,3 +8745,127 @@ def market_portfolio_quadrant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quadrant")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment delay along the discount grid
+# ---------------------------------------------------------------------------
+
+@register(
+    "delay_by_discount_grid",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(round(l.l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+               AS BIGINT) AS delay
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT disc_pct, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST((SUM(delay) * 1000 - ((SUM(delay) * 1000 % COUNT(*))
+             + COUNT(*)) % COUNT(*)) // COUNT(*) AS BIGINT)
+             AS mean_delay_milli
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def delay_by_discount_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do DISCOUNTED lines ship differently? Exact mean ship delay at
+    each discount grid point — a rising curve means discounted volume
+    is deprioritized in fulfillment (the service-level fine print
+    behind the pricing policy); flat means operations is blind to the
+    discount, as it should be.
+
+    Scale: the key-on-key join carries a date pair and the discount
+    grid point; one reduction to <=11 rows; the signed mean
+    floor-divides via subtract-positive-mod.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("delay"),
+    )
+    return (
+        j.groupBy("disc_pct")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("delay").cast("bigint").alias("sd"),
+        )
+        .select(
+            "disc_pct",
+            "n_lines",
+            F.expr(
+                "CAST((sd * 1000 - pmod(sd * 1000, n_lines)) DIV n_lines"
+                " AS BIGINT)"
+            ).alias("mean_delay_milli"),
+        )
+        .orderBy("disc_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month movers by part type
+# ---------------------------------------------------------------------------
+
+_MOVERS_TOPK = 15
+
+
+@register(
+    "type_mom_movers_topk",
+    oracle=f"""
+    WITH tm AS (
+      SELECT p.p_type AS ptype,
+             CAST(year(CAST(l.l_shipdate AS DATE)) * 12
+               + month(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS mi,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    d AS (
+      SELECT ptype, mi, rev,
+             rev - LAG(rev) OVER (PARTITION BY ptype ORDER BY mi) AS delta
+      FROM tm)
+    SELECT ptype, mi AS month_index, rev AS rev_cents,
+           CAST(delta AS BIGINT) AS delta_cents
+    FROM d WHERE delta IS NOT NULL
+    ORDER BY abs(delta) DESC, ptype, mi LIMIT {_MOVERS_TOPK}
+    """,
+)
+def type_mom_movers_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The biggest month-over-month revenue SWINGS by category: which
+    part type jumped or cratered, when, and by how much — the category
+    incident list (revenue_changepoints finds WHEN the business moved;
+    this names WHAT moved). Exact cents deltas, heap top-k by
+    magnitude.
+
+    Scale: the fact join reduces to |type|x|month| exact cents; the
+    lag window runs per type over months; top-k is a
+    TakeOrderedAndProject heap on |cells| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    d = F.col("l_shipdate").cast("date")
+    tm = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_type").alias("ptype"),
+            (F.year(d) * 12 + F.month(d)).cast("bigint").alias("mi"),
+        )
+        .agg(F.sum(cents("l_extendedprice")).cast("bigint").alias("rev"))
+    )
+    w = Window.partitionBy("ptype").orderBy("mi")
+    dd = tm.withColumn(
+        "delta", F.col("rev") - F.lag("rev").over(w)
+    ).filter(F.col("delta").isNotNull())
+    return (
+        dd.select(
+            "ptype",
+            F.col("mi").alias("month_index"),
+            F.col("rev").alias("rev_cents"),
+            F.col("delta").cast("bigint").alias("delta_cents"),
+        )
+        .orderBy(F.abs(F.col("delta_cents")).desc(), "ptype", "month_index")
+        .limit(_MOVERS_TOPK)
+    )

@@ -375,6 +375,8 @@ HEADLINE = [
     "linestatus_share_by_quarter",
     "revenue_volatility_by_nation",
     "market_portfolio_quadrant",
+    "delay_by_discount_grid",
+    "type_mom_movers_topk",
 ]
 
 

@@ -3416,3 +3416,51 @@ def test_portfolio_quadrant_replay(spark):
     assert got == {q: (len(v), min(v)) for q, v in cells.items()}
     # quadrants partition the markets
     assert sum(v[0] for v in got.values()) == len(nations)
+
+
+def test_delay_discount_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["delay_by_discount_grid"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    od = {
+        o.o_orderkey: o.o_orderdate.date()
+        for o in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for x in li:
+        a = agg[round(x.l_discount * 100)]
+        a[0] += 1
+        a[1] += (x.l_shipdate.date() - od[x.l_orderkey]).days
+    got = {r.disc_pct: (r.n_lines, r.mean_delay_milli) for r in rows}
+    assert got == {
+        d: (n, (s * 1000) // n) for d, (n, s) in agg.items()
+    }
+
+
+def test_type_movers_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["type_mom_movers_topk"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    ptype = {
+        p.p_partkey: p.p_type
+        for p in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    tm = defaultdict(int)
+    for x in li:
+        tm[(ptype[x.l_partkey],
+            x.l_shipdate.year * 12 + x.l_shipdate.month)] += round(
+            x.l_extendedprice * 100
+        )
+    series = defaultdict(dict)
+    for (t, mi), rev in tm.items():
+        series[t][mi] = rev
+    scored = []
+    for t, ms in series.items():
+        mis = sorted(ms)
+        for a, b in zip(mis, mis[1:]):
+            scored.append((t, b, ms[b], ms[b] - ms[a]))
+    scored.sort(key=lambda r: (-abs(r[3]), r[0], r[1]))
+    got = [(r.ptype, r.month_index, r.rev_cents, r.delta_cents) for r in rows]
+    assert got == scored[:15]

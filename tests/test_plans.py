@@ -2455,3 +2455,19 @@ class TestDriftPlans:
         assert "Scan parquet" not in t and "Scan ExistingRDD" in t
         df = QUERIES["market_portfolio_quadrant"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_delay_discount_single_join(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "delay_by_discount_grid")
+        assert t.count("HashAggregate") >= 2
+        df = QUERIES["delay_by_discount_grid"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_type_movers_heap(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "type_mom_movers_topk")
+        assert "TakeOrderedAndProject" in t
+        df = QUERIES["type_mom_movers_topk"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
