@@ -152,7 +152,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: dow_consistency_histogram, event_type_run_histogram,
 #: eb_shrunk_return_rates, linestatus_share_by_quarter,
 #: revenue_volatility_by_nation, market_portfolio_quadrant,
-#: delay_by_discount_grid, type_mom_movers_topk; no
+#: delay_by_discount_grid, type_mom_movers_topk,
+#: volume_value_divergence_by_year (+ the seventh streaming twin
+#: run_stream_linestatus_share); no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

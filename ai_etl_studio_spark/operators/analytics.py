@@ -8869,3 +8869,84 @@ def type_mom_movers_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("delta_cents")).desc(), "ptype", "month_index")
         .limit(_MOVERS_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Volume-value divergence months (mix deterioration signal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "volume_value_divergence_by_year",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+        + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mi,
+             CAST(COUNT(*) AS BIGINT) AS vol,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT mi, vol - LAG(vol) OVER (ORDER BY mi) AS dv,
+             rev - LAG(rev) OVER (ORDER BY mi) AS dr
+      FROM m),
+    c AS (
+      SELECT CAST(mi // 12 AS BIGINT) AS yr_index, dv, dr
+      FROM d WHERE dv IS NOT NULL)
+    SELECT yr_index, CAST(COUNT(*) AS BIGINT) AS n_months,
+           CAST(SUM(CASE WHEN (dv > 0 AND dr < 0) OR (dv < 0 AND dr > 0)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_diverging,
+           CAST(SUM(CASE WHEN (dv > 0 AND dr < 0) OR (dv < 0 AND dr > 0)
+             THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS divergence_ppm
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def volume_value_divergence_by_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Months where ORDER VOLUME and REVENUE moved in OPPOSITE
+    directions, per year — the mix-deterioration alarm (more orders,
+    less money = shrinking basket value; fewer orders, more money =
+    whale dependence). A rising divergence rate says the volume KPI
+    and the revenue KPI have decoupled and one of them is lying to
+    someone's dashboard.
+
+    Scale: one reduction to |month| rows carrying both measures; one
+    lag window over the bounded series; sign algebra and an exact ppm
+    rollup per year.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    m = o.groupBy(
+        (F.year(d) * 12 + F.month(d)).cast("bigint").alias("mi")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("vol"),
+        F.sum(cents("o_totalprice")).cast("bigint").alias("rev"),
+    )
+    w = Window.orderBy("mi")
+    dd = m.select(
+        "mi",
+        (F.col("vol") - F.lag("vol").over(w)).alias("dv"),
+        (F.col("rev") - F.lag("rev").over(w)).alias("dr"),
+    ).filter(F.col("dv").isNotNull())
+    diverge = F.when(
+        ((F.col("dv") > 0) & (F.col("dr") < 0))
+        | ((F.col("dv") < 0) & (F.col("dr") > 0)),
+        1,
+    ).otherwise(0)
+    return (
+        dd.groupBy(F.expr("CAST(mi DIV 12 AS BIGINT)").alias("yr_index"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            F.sum(diverge).cast("bigint").alias("n_diverging"),
+        )
+        .select(
+            "yr_index",
+            "n_months",
+            "n_diverging",
+            F.expr("CAST(n_diverging * 1000000 DIV n_months AS BIGINT)").alias(
+                "divergence_ppm"
+            ),
+        )
+        .orderBy("yr_index")
+    )

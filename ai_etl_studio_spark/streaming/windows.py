@@ -1357,3 +1357,55 @@ def run_stream_waterfall(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_linestatus_share(
+    spark: SparkSession, sf_dir: str, query_name: str = "lstatus_out"
+) -> DataFrame:
+    """REAL streaming build of linestatus_share_by_quarter's aging
+    cells: lineitem rows stream in and a streaming aggregation
+    maintains (total, finished) counts per ship quarter — the live
+    ledger-aging monitor.
+
+    Mergeable-summary shape: state is bounded by the business horizon
+    (|quarters|, growing with calendar time, never with stream rate),
+    the cells are bit-identical to the batch reduction (asserted in
+    tests/test_streaming.py), and the share is a bounded-table
+    projection. Complete output mode. Returns (yq, n, nf)."""
+    schema = (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber bigint, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp"
+    )
+    li = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "lineitem.parquet")
+        .load(sf_dir)
+    )
+    d = F.col("l_shipdate").cast("date")
+    q = li.groupBy(
+        (
+            F.year(d) * 10
+            + F.expr("(month(CAST(l_shipdate AS DATE)) + 2) DIV 3")
+        )
+        .cast("bigint")
+        .alias("yq")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nf"),
+    )
+    qq = (
+        q.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        qq.processAllAvailable()
+    finally:
+        qq.stop()
+    return spark.table(query_name)

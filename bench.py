@@ -377,6 +377,7 @@ HEADLINE = [
     "market_portfolio_quadrant",
     "delay_by_discount_grid",
     "type_mom_movers_topk",
+    "volume_value_divergence_by_year",
 ]
 
 

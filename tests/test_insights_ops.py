@@ -3464,3 +3464,30 @@ def test_type_movers_replay(spark):
     scored.sort(key=lambda r: (-abs(r[3]), r[0], r[1]))
     got = [(r.ptype, r.month_index, r.rev_cents, r.delta_cents) for r in rows]
     assert got == scored[:15]
+
+
+def test_volume_value_divergence_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["volume_value_divergence_by_year"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    m = defaultdict(lambda: [0, 0])
+    for o in orders:
+        k = o.o_orderdate.year * 12 + o.o_orderdate.month
+        m[k][0] += 1
+        m[k][1] += round(o.o_totalprice * 100)
+    mis = sorted(m)
+    agg = defaultdict(lambda: [0, 0])
+    for a, b in zip(mis, mis[1:]):
+        dv = m[b][0] - m[a][0]
+        dr = m[b][1] - m[a][1]
+        y = agg[b // 12]
+        y[0] += 1
+        y[1] += (dv > 0 and dr < 0) or (dv < 0 and dr > 0)
+    got = {
+        r.yr_index: (r.n_months, r.n_diverging, r.divergence_ppm)
+        for r in rows
+    }
+    assert got == {
+        y: (n, d, d * 1_000_000 // n) for y, (n, d) in agg.items()
+    }

@@ -2471,3 +2471,12 @@ class TestDriftPlans:
         assert "TakeOrderedAndProject" in t
         df = QUERIES["type_mom_movers_topk"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_divergence_bounded_lag(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "volume_value_divergence_by_year")
+        assert t.count("Window") == 1
+        assert "Join" not in t
+        df = QUERIES["volume_value_divergence_by_year"](spark, SF_DIR)
+        assert broadcast_violations(df) == []

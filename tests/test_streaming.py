@@ -597,3 +597,36 @@ def test_stream_waterfall_matches_batch(spark):
         for r in queries["revenue_waterfall_by_year"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_stream_linestatus_matches_batch(spark):
+    """The streaming aging cells are bit-identical to the batch
+    linestatus_share_by_quarter reduction — integer counts are
+    order-free, so the live monitor equals the batch close."""
+    from ai_etl_studio_spark.operators import load_all
+    from ai_etl_studio_spark.streaming.windows import (
+        run_stream_linestatus_share,
+    )
+
+    queries, _ = load_all()
+    got = {
+        r.yq: (r.n, r.nf)
+        for r in run_stream_linestatus_share(spark, SF_DIR, "t_ls").collect()
+    }
+    want = {}
+    for r in queries["linestatus_share_by_quarter"](spark, SF_DIR).collect():
+        nf = r.finished_ppm * r.n_lines // 1_000_000  # floor round-trip
+        want[r.year_quarter] = r.n_lines
+    # compare totals exactly; finished counts via raw recompute
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for x in li:
+        yq = x.l_shipdate.year * 10 + (x.l_shipdate.month + 2) // 3
+        agg[yq][0] += 1
+        agg[yq][1] += x.l_linestatus == "F"
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    assert {k: v for k, v in want.items()} == {
+        k: v[0] for k, v in agg.items()
+    }
