@@ -8950,3 +8950,140 @@ def volume_value_divergence_by_year(
         )
         .orderBy("yr_index")
     )
+
+
+# ---------------------------------------------------------------------------
+# Brand peak month (argmax compaction)
+# ---------------------------------------------------------------------------
+
+@register(
+    "brand_peak_month",
+    oracle="""
+    WITH bm AS (
+      SELECT p.p_brand AS brand,
+             CAST(month(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS mo,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    g AS (
+      SELECT brand, CAST(SUM(rev) AS BIGINT) AS tot,
+             CAST(MAX(rev * 100 + (12 - mo)) AS BIGINT) AS peak_key
+      FROM bm GROUP BY 1)
+    SELECT brand, CAST(12 - peak_key % 100 AS BIGINT) AS peak_month,
+           CAST(peak_key // 100 AS BIGINT) AS peak_rev_cents,
+           CAST((peak_key // 100) * 1000000 // tot AS BIGINT)
+             AS peak_share_ppm
+    FROM g ORDER BY brand
+    """,
+)
+def brand_peak_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each brand's PEAK calendar month: when it sells hardest, how
+    much the peak carries, and its share of the brand's total — the
+    promo-calendar primitive (align campaigns with each brand's
+    natural peak instead of one global season;
+    type_seasonality_index gives the full curve, this extracts the
+    headline cell per brand).
+
+    Scale: brand x calendar-month reduction, then ARGMAX WITHOUT A
+    WINDOW: the peak packs into MAX(rev*100 + (12 - month)) — one
+    integer key whose order is (revenue, earlier-month tiebreak),
+    decoded by div/mod. Pure map-side compaction, exact integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bm = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.month(F.col("l_shipdate").cast("date")).cast("bigint").alias("mo"),
+        )
+        .agg(F.sum(cents("l_extendedprice")).cast("bigint").alias("rev"))
+    )
+    g = bm.groupBy("brand").agg(
+        F.sum("rev").cast("bigint").alias("tot"),
+        F.max(F.col("rev") * 100 + (12 - F.col("mo")))
+        .cast("bigint")
+        .alias("peak_key"),
+    )
+    return g.select(
+        "brand",
+        F.expr("CAST(12 - peak_key % 100 AS BIGINT)").alias("peak_month"),
+        F.expr("CAST(peak_key DIV 100 AS BIGINT)").alias("peak_rev_cents"),
+        F.expr(
+            "CAST((peak_key DIV 100) * 1000000 DIV tot AS BIGINT)"
+        ).alias("peak_share_ppm"),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# Wilson lower-bound ranking of supplier return rates
+# ---------------------------------------------------------------------------
+
+_WILSON_TOPK = 15
+
+
+@register(
+    "return_rate_wilson_rank",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM lineitem GROUP BY 1),
+    w AS (
+      SELECT l_suppkey, n, x, CAST(x AS DOUBLE) / n AS p FROM s)
+    SELECT l_suppkey, n, x,
+           CAST(x * 1000000 // n AS BIGINT) AS raw_rate_ppm,
+           CAST(round((p + 1.959964e0 * 1.959964e0 / (2 * n)
+             - 1.959964e0 * sqrt(p * (1 - p) / n
+               + 1.959964e0 * 1.959964e0 / (4.0e0 * n * n)))
+             / (1 + 1.959964e0 * 1.959964e0 / n) * 1000000, 0) AS BIGINT)
+             AS wilson_lower_ppm
+    FROM w ORDER BY wilson_lower_ppm DESC, l_suppkey
+    LIMIT {_WILSON_TOPK}
+    """,
+)
+def return_rate_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers ranked by the WILSON LOWER BOUND of their return rate —
+    the sort-by-lower-confidence-bound trick that makes small noisy
+    samples rank below solidly-measured offenders (the frequentist
+    cousin of eb_shrunk_return_rates' shrinkage: both exist because
+    sorting by the raw rate rewards small n). The 95% bound is the
+    defensible worst-case number a supplier scorecard should print.
+
+    Scale: one reduction to per-supplier (n, x); the Wilson formula is
+    one mirrored expression per row (shared literal z = 1.959964);
+    heap top-k by the bound.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    pcol = F.col("x").cast("double") / F.col("n")
+    z = F.lit(1.959964)
+    wilson = (
+        pcol
+        + z * z / (2 * F.col("n"))
+        - z
+        * F.sqrt(
+            pcol * (1 - pcol) / F.col("n")
+            + z * z / (F.lit(4.0) * F.col("n") * F.col("n"))
+        )
+    ) / (1 + z * z / F.col("n"))
+    return (
+        s.select(
+            "l_suppkey",
+            "n",
+            "x",
+            F.expr("CAST(x * 1000000 DIV n AS BIGINT)").alias("raw_rate_ppm"),
+            F.round(wilson * 1_000_000, 0)
+            .cast("bigint")
+            .alias("wilson_lower_ppm"),
+        )
+        .orderBy(F.desc("wilson_lower_ppm"), "l_suppkey")
+        .limit(_WILSON_TOPK)
+    )

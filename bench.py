@@ -378,6 +378,8 @@ HEADLINE = [
     "delay_by_discount_grid",
     "type_mom_movers_topk",
     "volume_value_divergence_by_year",
+    "brand_peak_month",
+    "return_rate_wilson_rank",
 ]
 
 

@@ -3491,3 +3491,59 @@ def test_volume_value_divergence_replay(spark):
     assert got == {
         y: (n, d, d * 1_000_000 // n) for y, (n, d) in agg.items()
     }
+
+
+def test_brand_peak_month_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["brand_peak_month"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    brand = {
+        p.p_partkey: p.p_brand
+        for p in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    bm = defaultdict(lambda: defaultdict(int))
+    for x in li:
+        bm[brand[x.l_partkey]][x.l_shipdate.month] += round(
+            x.l_extendedprice * 100
+        )
+    assert len(rows) == len(bm)
+    for r in rows:
+        ms = bm[r.brand]
+        tot = sum(ms.values())
+        peak_mo, peak_rev = max(ms.items(), key=lambda kv: (kv[1], -kv[0]))
+        assert (r.peak_month, r.peak_rev_cents) == (peak_mo, peak_rev)
+        assert r.peak_share_ppm == peak_rev * 1_000_000 // tot
+        # a peak month carries at least 1/12 of the year
+        assert r.peak_share_ppm >= 1_000_000 // 12
+
+
+def test_wilson_rank_replay(spark):
+    import math
+    from collections import defaultdict
+
+    rows = QUERIES["return_rate_wilson_rank"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    sup = defaultdict(lambda: [0, 0])
+    for x in li:
+        a = sup[x.l_suppkey]
+        a[0] += 1
+        a[1] += x.l_returnflag == "R"
+    z = 1.959964
+    scored = []
+    for sk, (n, x) in sup.items():
+        p = x / n
+        w = (
+            p + z * z / (2 * n)
+            - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        ) / (1 + z * z / n)
+        scored.append((sk, n, x, x * 1_000_000 // n,
+                       math.floor(w * 1e6 + 0.5)))
+    scored.sort(key=lambda t: (-t[4], t[0]))
+    got = [(r.l_suppkey, r.n, r.x, r.raw_rate_ppm, r.wilson_lower_ppm)
+           for r in rows]
+    for g, w in zip(got, scored[:15]):
+        assert g[:4] == w[:4]
+        assert abs(g[4] - w[4]) <= 1
+    # the lower bound never exceeds the raw rate
+    assert all(r.wilson_lower_ppm <= r.raw_rate_ppm for r in rows)

@@ -2480,3 +2480,21 @@ class TestDriftPlans:
         assert "Join" not in t
         df = QUERIES["volume_value_divergence_by_year"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_brand_peak_no_window_argmax(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the argmax packs into one integer MAX — no window, no sort
+        t = tree(spark, "brand_peak_month")
+        assert "Window" not in t
+        df = QUERIES["brand_peak_month"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_wilson_rank_single_reduction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "return_rate_wilson_rank")
+        assert "TakeOrderedAndProject" in t
+        assert "Join" not in t
+        df = QUERIES["return_rate_wilson_rank"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
