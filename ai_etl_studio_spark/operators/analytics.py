@@ -9087,3 +9087,98 @@ def return_rate_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("wilson_lower_ppm"), "l_suppkey")
         .limit(_WILSON_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Slowest trade routes (supplier nation -> customer nation delay)
+# ---------------------------------------------------------------------------
+
+_ROUTE_MIN_LINES = 30
+_ROUTE_TOPK = 20
+
+
+@register(
+    "route_delay_topk",
+    oracle=f"""
+    WITH r AS (
+      SELECT s.s_nationkey AS snk, c.c_nationkey AS cnk,
+             CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+               AS BIGINT) AS delay
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    g AS (
+      SELECT snk, cnk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(delay) AS BIGINT) AS s1
+      FROM r GROUP BY 1, 2 HAVING COUNT(*) >= {_ROUTE_MIN_LINES})
+    SELECT n1.n_name AS from_nation, n2.n_name AS to_nation,
+           g.n AS n_lines,
+           CAST((g.s1 * 1000 - ((g.s1 * 1000 % g.n) + g.n) % g.n) // g.n
+             AS BIGINT) AS mean_delay_milli
+    FROM g JOIN nation n1 ON g.snk = n1.n_nationkey
+    JOIN nation n2 ON g.cnk = n2.n_nationkey
+    ORDER BY mean_delay_milli DESC, from_nation, to_nation
+    LIMIT {_ROUTE_TOPK}
+    """,
+)
+def route_delay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The slowest TRADE ROUTES: exact mean ship delay per (supplier
+    nation → customer nation) lane with a volume floor — the logistics
+    overlay on trade_flow_matrix's volume view (a big-volume lane at
+    the top of THIS list is where a regional depot pays for itself;
+    lead_time_by_supplier_nation averages over destinations, this
+    keeps the lane).
+
+    Scale: the fact joins carry only the two nation keys and the date
+    pair; one reduction to the <=|nations|² route grid; signed means
+    floor-divide via subtract-positive-mod; dim joins broadcast; heap
+    top-k.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("snk"),
+            F.col("c_nationkey").alias("cnk"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("bigint")
+            .alias("delay"),
+        )
+    )
+    g = (
+        r.groupBy("snk", "cnk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("delay").cast("bigint").alias("s1"),
+        )
+        .filter(F.col("n") >= _ROUTE_MIN_LINES)
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("k1"), F.col("n_name").alias("from_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("to_nation")
+    )
+    return (
+        g.join(F.broadcast(n1), g.snk == F.col("k1"))
+        .join(F.broadcast(n2), g.cnk == F.col("k2"))
+        .select(
+            "from_nation",
+            "to_nation",
+            F.col("n").alias("n_lines"),
+            F.expr(
+                "CAST((s1 * 1000 - pmod(s1 * 1000, n)) DIV n AS BIGINT)"
+            ).alias("mean_delay_milli"),
+        )
+        .orderBy(F.desc("mean_delay_milli"), "from_nation", "to_nation")
+        .limit(_ROUTE_TOPK)
+    )

@@ -380,6 +380,7 @@ HEADLINE = [
     "volume_value_divergence_by_year",
     "brand_peak_month",
     "return_rate_wilson_rank",
+    "route_delay_topk",
 ]
 
 

@@ -3547,3 +3547,38 @@ def test_wilson_rank_replay(spark):
         assert abs(g[4] - w[4]) <= 1
     # the lower bound never exceeds the raw rate
     assert all(r.wilson_lower_ppm <= r.raw_rate_ppm for r in rows)
+
+
+def test_route_delay_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["route_delay_topk"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    od = {
+        o.o_orderkey: (o.o_custkey, o.o_orderdate.date())
+        for o in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    cn = {
+        c.c_custkey: c.c_nationkey
+        for c in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    sn = {
+        s.s_suppkey: s.s_nationkey
+        for s in spark.read.parquet(f"{SF_DIR}/supplier.parquet").collect()
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for x in li:
+        ck, odate = od[x.l_orderkey]
+        key = (sn[x.l_suppkey], cn[ck])
+        a = agg[key]
+        a[0] += 1
+        a[1] += (x.l_shipdate.date() - odate).days
+    scored = [
+        (f"NATION_{f}", f"NATION_{t}", n, (s * 1000) // n)
+        for (f, t), (n, s) in agg.items()
+        if n >= 30
+    ]
+    scored.sort(key=lambda r: (-r[3], r[0], r[1]))
+    got = [(r.from_nation, r.to_nation, r.n_lines, r.mean_delay_milli)
+           for r in rows]
+    assert got == scored[:20]

@@ -2498,3 +2498,13 @@ class TestDriftPlans:
         assert "Join" not in t
         df = QUERIES["return_rate_wilson_rank"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_route_delay_grid_reduction(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # fact joins carry nation keys + dates only; one reduction to
+        # the route grid; heap top-k
+        t = tree(spark, "route_delay_topk")
+        assert "TakeOrderedAndProject" in t
+        df = QUERIES["route_delay_topk"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
