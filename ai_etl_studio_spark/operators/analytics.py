@@ -9182,3 +9182,94 @@ def route_delay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mean_delay_milli"), "from_nation", "to_nation")
         .limit(_ROUTE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority mix across exact value quartiles
+# ---------------------------------------------------------------------------
+
+@register(
+    "priority_mix_by_value_quartile",
+    oracle="""
+    WITH vg AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1),
+    cum AS (
+      SELECT v, CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        AS BIGINT) AS cc, CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM vg),
+    qs AS (
+      SELECT CAST(MIN(CASE WHEN cc * 4 >= n THEN v END) AS BIGINT) AS q1,
+             CAST(MIN(CASE WHEN cc * 2 >= n THEN v END) AS BIGINT) AS q2,
+             CAST(MIN(CASE WHEN cc * 4 >= 3 * n THEN v END) AS BIGINT)
+               AS q3
+      FROM cum),
+    b AS (
+      SELECT CASE WHEN CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+               <= qs.q1 THEN 1
+             WHEN CAST(round(o.o_totalprice * 100, 0) AS BIGINT) <= qs.q2
+               THEN 2
+             WHEN CAST(round(o.o_totalprice * 100, 0) AS BIGINT) <= qs.q3
+               THEN 3
+             ELSE 4 END AS value_quartile,
+             o.o_orderpriority AS priority
+      FROM orders o CROSS JOIN qs)
+    SELECT value_quartile, priority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def priority_mix_by_value_quartile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Are BIG orders flagged urgent? The priority mix inside each
+    EXACT value quartile — a 4x5 contingency that answers whether the
+    priority field carries economic signal or is assigned blind to
+    value (the mirror question of effect_size_priority, and the
+    quartile boundaries are exact integer ECDF thresholds, not
+    approximate percentiles).
+
+    Scale: quartile cuts come from the value-grain cumulative (the
+    quantile_shift device), broadcast as ONE row; the banding is a
+    per-row projection and the contingency reduces map-side.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    v = cents("o_totalprice")
+    vg = o.groupBy(v.alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = vg.select(
+        "v",
+        F.sum("c")
+        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cc"),
+        F.sum("c")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("n"),
+    )
+    qs = cum.agg(
+        F.min(F.when(F.col("cc") * 4 >= F.col("n"), F.col("v")))
+        .cast("bigint")
+        .alias("q1"),
+        F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("v")))
+        .cast("bigint")
+        .alias("q2"),
+        F.min(F.when(F.col("cc") * 4 >= 3 * F.col("n"), F.col("v")))
+        .cast("bigint")
+        .alias("q3"),
+    )
+    b = o.crossJoin(F.broadcast(qs)).select(
+        F.when(v <= F.col("q1"), 1)
+        .when(v <= F.col("q2"), 2)
+        .when(v <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("value_quartile"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return (
+        b.groupBy("value_quartile", "priority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy("value_quartile", "priority")
+    )

@@ -3831,3 +3831,86 @@ def renyi_entropy_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hinf_minentropy_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-mix stability along the ingest axis
+# ---------------------------------------------------------------------------
+
+_MIX_DRIFT_TOPK = 10
+
+
+@register(
+    "source_mix_by_ingest_decile",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    d AS (
+      SELECT CAST(doc_id * 10 // (mx.m + 1) AS BIGINT) AS decile, source
+      FROM documents, mx WHERE source IS NOT NULL),
+    c AS (
+      SELECT decile, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY 1, 2),
+    t AS (
+      SELECT c.*, CAST(SUM(n) OVER (PARTITION BY decile) AS BIGINT) AS dt
+      FROM c),
+    sh AS (
+      SELECT source, decile, CAST(n * 1000000 // dt AS BIGINT) AS share_ppm
+      FROM t)
+    SELECT source,
+           CAST(MIN(share_ppm) AS BIGINT) AS min_share_ppm,
+           CAST(MAX(share_ppm) AS BIGINT) AS max_share_ppm,
+           CAST(MAX(share_ppm) - MIN(share_ppm) AS BIGINT) AS drift_ppm
+    FROM sh GROUP BY source ORDER BY drift_ppm DESC, source
+    LIMIT {_MIX_DRIFT_TOPK}
+    """,
+)
+def source_mix_by_ingest_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix stability along the INGEST axis: each source's share
+    of the corpus per doc_id decile, ranked by its min-to-max share
+    swing — a source with a big drift turned on or off mid-ingest
+    (pipeline change, feed outage, backfill), which poisons any
+    time-split train/eval before content drift is even on the table
+    (vocab_growth_curve tracks vocabulary along this axis; this tracks
+    PROVENANCE).
+
+    Scale: one reduction to the decile x source grid (deciles by exact
+    integer key arithmetic against the broadcast max); shares are
+    exact ppm; the drift rollup and top-k run on the bounded grid.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    mx = load_table(spark, sf_dir, "documents").agg(
+        F.max("doc_id").alias("m")
+    )
+    dd = d.crossJoin(F.broadcast(mx)).select(
+        F.expr("CAST(doc_id * 10 DIV (m + 1) AS BIGINT)").alias("decile"),
+        "source",
+    )
+    c = dd.groupBy("decile", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.withColumn(
+        "dt", F.sum("n").over(Window.partitionBy("decile")).cast("bigint")
+    )
+    sh = t.select(
+        "source",
+        F.expr("CAST(n * 1000000 DIV dt AS BIGINT)").alias("share_ppm"),
+    )
+    return (
+        sh.groupBy("source")
+        .agg(
+            F.min("share_ppm").cast("bigint").alias("min_share_ppm"),
+            F.max("share_ppm").cast("bigint").alias("max_share_ppm"),
+        )
+        .select(
+            "source",
+            "min_share_ppm",
+            "max_share_ppm",
+            (F.col("max_share_ppm") - F.col("min_share_ppm")).alias(
+                "drift_ppm"
+            ),
+        )
+        .orderBy(F.desc("drift_ppm"), "source")
+        .limit(_MIX_DRIFT_TOPK)
+    )

@@ -381,6 +381,8 @@ HEADLINE = [
     "brand_peak_month",
     "return_rate_wilson_rank",
     "route_delay_topk",
+    "source_mix_by_ingest_decile",
+    "priority_mix_by_value_quartile",
 ]
 
 

@@ -3582,3 +3582,61 @@ def test_route_delay_replay(spark):
     got = [(r.from_nation, r.to_nation, r.n_lines, r.mean_delay_milli)
            for r in rows]
     assert got == scored[:20]
+
+
+def test_source_mix_drift_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["source_mix_by_ingest_decile"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    m = max(d.doc_id for d in docs)
+    cells = defaultdict(lambda: defaultdict(int))
+    for d in docs:
+        if d.source is None:
+            continue
+        cells[d.doc_id * 10 // (m + 1)][d.source] += 1
+    shares = defaultdict(list)
+    for dec, srcs in cells.items():
+        dt = sum(srcs.values())
+        for s, n in srcs.items():
+            shares[s].append(n * 1_000_000 // dt)
+    scored = sorted(
+        ((s, min(v), max(v), max(v) - min(v)) for s, v in shares.items()),
+        key=lambda t: (-t[3], t[0]),
+    )[:10]
+    got = [(r.source, r.min_share_ppm, r.max_share_ppm, r.drift_ppm)
+           for r in rows]
+    assert got == scored
+
+
+def test_priority_value_quartile_replay(spark):
+    from collections import Counter
+
+    rows = QUERIES["priority_mix_by_value_quartile"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    vals = sorted(round(o.o_totalprice * 100) for o in orders)
+    n = len(vals)
+
+    def cut(mult, num):
+        # smallest v with inclusive ECDF*mult >= num*n
+        import bisect
+
+        target = -(-num * n // mult)
+        return vals[target - 1]
+
+    q1, q2, q3 = cut(4, 1), cut(2, 1), cut(4, 3)
+    cells = Counter()
+    for o in orders:
+        v = round(o.o_totalprice * 100)
+        q = 1 if v <= q1 else (2 if v <= q2 else (3 if v <= q3 else 4))
+        cells[(q, o.o_orderpriority)] += 1
+    got = {(r.value_quartile, r.priority): r.n_orders for r in rows}
+    assert got == dict(cells)
+    # quartiles are quarters: each band holds ~n/4 orders
+    from collections import defaultdict
+
+    per_q = defaultdict(int)
+    for (q, _), c in cells.items():
+        per_q[q] += c
+    for q, c in per_q.items():
+        assert abs(c - n / 4) < n * 0.05

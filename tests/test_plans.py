@@ -2508,3 +2508,21 @@ class TestDriftPlans:
         assert "TakeOrderedAndProject" in t
         df = QUERIES["route_delay_topk"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_source_mix_grid(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "source_mix_by_ingest_decile")
+        assert "TakeOrderedAndProject" in t
+        df = QUERIES["source_mix_by_ingest_decile"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
+
+    def test_priority_quartile_broadcast_cuts(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # quartile cuts are ONE broadcast row from the value-grain
+        # cumulative; banding is per-row codegen
+        t = tree(spark, "priority_mix_by_value_quartile")
+        assert t.count("HashAggregate") >= 3
+        df = QUERIES["priority_mix_by_value_quartile"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
