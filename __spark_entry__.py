@@ -156,7 +156,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: volume_value_divergence_by_year (+ the seventh streaming twin
 #: run_stream_linestatus_share), brand_peak_month,
 #: return_rate_wilson_rank, route_delay_topk,
-#: source_mix_by_ingest_decile, priority_mix_by_value_quartile; no
+#: source_mix_by_ingest_decile, priority_mix_by_value_quartile,
+#: brand_discovery_curve; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -9273,3 +9273,64 @@ def priority_mix_by_value_quartile(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
         .orderBy("value_quartile", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Brand discovery curve (species accumulation over order count)
+# ---------------------------------------------------------------------------
+
+@register(
+    "brand_discovery_curve",
+    oracle="""
+    WITH cb AS (
+      SELECT o.o_custkey,
+             CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+             CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1)
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_brands) * 1000 // COUNT(*) AS BIGINT)
+             AS mean_brands_milli
+    FROM cb GROUP BY 1 ORDER BY 1
+    """,
+)
+def brand_discovery_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The species-accumulation curve for customers: mean DISTINCT
+    brands touched as a function of order count — where the curve
+    flattens is each cohort's natural assortment ceiling (cross-sell
+    beyond it fights gravity; below it there is headroom).
+    type_demand_transfer shows WHERE exploration goes; this shows HOW
+    MUCH exploring happens per order of tenure.
+
+    Scale: per-customer distinct counts run inside bounded per-customer
+    groups (<=10 orders x <=7 lines); the curve reduces map-side to
+    |order-count| rows. Exact integer milli means.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    cb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+            F.countDistinct("p_brand").cast("bigint").alias("n_brands"),
+        )
+    )
+    return (
+        cb.groupBy("n_orders")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("n_brands").cast("bigint").alias("sb"),
+        )
+        .select(
+            "n_orders",
+            "n_customers",
+            F.expr("CAST(sb * 1000 DIV n_customers AS BIGINT)").alias(
+                "mean_brands_milli"
+            ),
+        )
+        .orderBy("n_orders")
+    )

@@ -383,6 +383,7 @@ HEADLINE = [
     "route_delay_topk",
     "source_mix_by_ingest_decile",
     "priority_mix_by_value_quartile",
+    "brand_discovery_curve",
 ]
 
 

@@ -3640,3 +3640,36 @@ def test_priority_value_quartile_replay(spark):
         per_q[q] += c
     for q, c in per_q.items():
         assert abs(c - n / 4) < n * 0.05
+
+
+def test_brand_discovery_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["brand_discovery_curve"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    ocust = {
+        o.o_orderkey: o.o_custkey
+        for o in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    brand = {
+        p.p_partkey: p.p_brand
+        for p in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    }
+    ords, brands = defaultdict(set), defaultdict(set)
+    for x in li:
+        ck = ocust[x.l_orderkey]
+        ords[ck].add(x.l_orderkey)
+        brands[ck].add(brand[x.l_partkey])
+    bands = defaultdict(lambda: [0, 0])
+    for ck in ords:
+        b = bands[len(ords[ck])]
+        b[0] += 1
+        b[1] += len(brands[ck])
+    got = {r.n_orders: (r.n_customers, r.mean_brands_milli) for r in rows}
+    assert got == {
+        k: (c, sb * 1000 // c) for k, (c, sb) in bands.items()
+    }
+    # discovery is monotone-ish: the curve's last band sees more brands
+    # than the first
+    ks = sorted(got)
+    assert got[ks[-1]][1] > got[ks[0]][1]

@@ -2526,3 +2526,13 @@ class TestDriftPlans:
         assert t.count("HashAggregate") >= 3
         df = QUERIES["priority_mix_by_value_quartile"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_brand_discovery_bounded_groups(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # distinct counts run inside bounded per-customer groups; the
+        # curve reduces map-side
+        t = tree(spark, "brand_discovery_curve")
+        assert t.count("HashAggregate") >= 3
+        df = QUERIES["brand_discovery_curve"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
