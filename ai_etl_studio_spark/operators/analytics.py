@@ -9334,3 +9334,99 @@ def brand_discovery_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Size x type price interaction scan (catalog pricing residuals)
+# ---------------------------------------------------------------------------
+
+_SIZE_TYPE_TOPK = 12
+
+
+@register(
+    "size_type_price_interaction",
+    oracle=f"""
+    WITH cell AS (
+      SELECT p_type AS ptype, CAST(p_size // 10 AS BIGINT) AS size_band,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(p_retailprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS s
+      FROM part GROUP BY 1, 2),
+    m AS (
+      SELECT cell.*,
+             CAST(SUM(s) OVER (PARTITION BY ptype) AS BIGINT) AS s_t,
+             CAST(SUM(n) OVER (PARTITION BY ptype) AS BIGINT) AS n_t,
+             CAST(SUM(s) OVER (PARTITION BY size_band) AS BIGINT) AS s_b,
+             CAST(SUM(n) OVER (PARTITION BY size_band) AS BIGINT) AS n_b,
+             CAST(SUM(s) OVER () AS BIGINT) AS s_all,
+             CAST(SUM(n) OVER () AS BIGINT) AS n_all
+      FROM cell),
+    r AS (
+      SELECT ptype, size_band, n,
+             CAST(round((CAST(s AS DOUBLE) / n - CAST(s_t AS DOUBLE) / n_t
+               - CAST(s_b AS DOUBLE) / n_b + CAST(s_all AS DOUBLE) / n_all)
+               * 10, 0) AS BIGINT) AS interaction_millidollar
+      FROM m)
+    SELECT * FROM r
+    ORDER BY abs(interaction_millidollar) DESC, ptype, size_band
+    LIMIT {_SIZE_TYPE_TOPK}
+    """,
+)
+def size_type_price_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-pricing interaction residuals: for each (type, size-band)
+    cell, the retail-price deviation after removing BOTH the type and
+    the size main effects — the cells where the price list treats a
+    size differently FOR THAT TYPE specifically (a legacy price sheet,
+    a costing error, or genuine engineering economics; the warehouse
+    twin of lang_source_interaction_scan's corpus device).
+
+    Scale: parts reduce to the |type|x|size-band| cell table; all
+    margins are windows over the bounded grid; the residual is a
+    mirrored double over exact int64 sums, quantized to milli-dollars;
+    heap top-k by magnitude.
+    """
+    p = load_table(spark, sf_dir, "part")
+    cell = p.groupBy(
+        F.col("p_type").alias("ptype"),
+        F.expr("CAST(p_size DIV 10 AS BIGINT)").alias("size_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents("p_retailprice")).cast("bigint").alias("s"),
+    )
+    m = cell.select(
+        "*",
+        F.sum("s").over(Window.partitionBy("ptype")).cast("bigint").alias("s_t"),
+        F.sum("n").over(Window.partitionBy("ptype")).cast("bigint").alias("n_t"),
+        F.sum("s").over(Window.partitionBy("size_band")).cast("bigint").alias("s_b"),
+        F.sum("n").over(Window.partitionBy("size_band")).cast("bigint").alias("n_b"),
+        F.sum("s")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("s_all"),
+        F.sum("n")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("n_all"),
+    )
+    resid = F.round(
+        (
+            F.col("s").cast("double") / F.col("n")
+            - F.col("s_t").cast("double") / F.col("n_t")
+            - F.col("s_b").cast("double") / F.col("n_b")
+            + F.col("s_all").cast("double") / F.col("n_all")
+        )
+        * 10,
+        0,
+    ).cast("bigint")
+    return (
+        m.select(
+            "ptype",
+            "size_band",
+            "n",
+            resid.alias("interaction_millidollar"),
+        )
+        .orderBy(
+            F.abs(F.col("interaction_millidollar")).desc(), "ptype", "size_band"
+        )
+        .limit(_SIZE_TYPE_TOPK)
+    )

@@ -384,6 +384,7 @@ HEADLINE = [
     "source_mix_by_ingest_decile",
     "priority_mix_by_value_quartile",
     "brand_discovery_curve",
+    "size_type_price_interaction",
 ]
 
 

@@ -3673,3 +3673,45 @@ def test_brand_discovery_replay(spark):
     # than the first
     ks = sorted(got)
     assert got[ks[-1]][1] > got[ks[0]][1]
+
+
+def test_size_type_interaction_replay(spark):
+    import math
+    from collections import defaultdict
+
+    rows = QUERIES["size_type_price_interaction"](spark, SF_DIR).collect()
+    parts = spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    cells = defaultdict(lambda: [0, 0])
+    for p in parts:
+        c = cells[(p.p_type, p.p_size // 10)]
+        c[0] += 1
+        c[1] += round(p.p_retailprice * 100)
+    st, nt, sb, nb = (
+        defaultdict(int),
+        defaultdict(int),
+        defaultdict(int),
+        defaultdict(int),
+    )
+    for (t, b), (n, s) in cells.items():
+        st[t] += s
+        nt[t] += n
+        sb[b] += s
+        nb[b] += n
+    s_all = sum(st.values())
+    n_all = sum(nt.values())
+
+    def resid(t, b):
+        n, s = cells[(t, b)]
+        x = s / n - st[t] / nt[t] - sb[b] / nb[b] + s_all / n_all
+        return math.floor(x * 10 + 0.5)
+
+    scored = sorted(
+        ((t, b, cells[(t, b)][0], resid(t, b)) for t, b in cells),
+        key=lambda r: (-abs(r[3]), r[0], r[1]),
+    )[:12]
+    got = [
+        (r.ptype, r.size_band, r.n, r.interaction_millidollar) for r in rows
+    ]
+    for g, w in zip(got, scored):
+        assert g[:3] == w[:3]
+        assert abs(g[3] - w[3]) <= 1

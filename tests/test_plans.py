@@ -2536,3 +2536,12 @@ class TestDriftPlans:
         assert t.count("HashAggregate") >= 3
         df = QUERIES["brand_discovery_curve"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_size_type_interaction_grid(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "size_type_price_interaction")
+        assert "TakeOrderedAndProject" in t
+        assert t.count("Window") >= 2
+        df = QUERIES["size_type_price_interaction"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
