@@ -4054,3 +4054,70 @@ def event_type_run_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_runs"))
         .orderBy("event_type", "run_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# User event-type entropy histogram (specialist vs generalist)
+# ---------------------------------------------------------------------------
+
+_UENT_MIN_EVENTS = 5
+
+
+@register(
+    "user_type_entropy_histogram",
+    oracle=f"""
+    WITH ut AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    e AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(c * ln(CAST(c AS DOUBLE)) * 1000, 0)
+               AS BIGINT)) AS BIGINT) AS clnc_milli
+      FROM ut GROUP BY 1),
+    h AS (
+      SELECT CAST(round((ln(CAST(n AS DOUBLE))
+        - (CAST(clnc_milli AS DOUBLE) / 1000) / n) * 100, 0) AS BIGINT)
+        AS entropy_centinat
+      FROM e WHERE n >= {_UENT_MIN_EVENTS})
+    SELECT entropy_centinat, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM h GROUP BY 1 ORDER BY 1
+    """,
+)
+def user_type_entropy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Specialists vs generalists: the histogram of per-user
+    EVENT-TYPE entropy (centinats) — mass near zero is single-action
+    users (pure browsers, pure buyers: serve them narrow), mass near
+    ln(|types|) is uniform generalists. The behavioral-diversity
+    segmentation that per-type volume dashboards cannot express.
+
+    Scale: (user, type) counts reduce map-side; each user's entropy is
+    the Shannon identity over tick-quantized c·ln c terms summed
+    INSIDE bounded per-user groups (<=|types| rows each); the
+    histogram is a bounded centinat rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    clnc = F.round(
+        F.col("c") * F.log(F.col("c").cast("double")) * 1000, 0
+    ).cast("bigint")
+    eu = ut.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(clnc).cast("bigint").alias("clnc_milli"),
+    )
+    ent = F.round(
+        (
+            F.log(F.col("n").cast("double"))
+            - (F.col("clnc_milli").cast("double") / 1000) / F.col("n")
+        )
+        * 100,
+        0,
+    ).cast("bigint")
+    return (
+        eu.filter(F.col("n") >= _UENT_MIN_EVENTS)
+        .select(ent.alias("entropy_centinat"))
+        .groupBy("entropy_centinat")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("entropy_centinat")
+    )

@@ -385,6 +385,7 @@ HEADLINE = [
     "priority_mix_by_value_quartile",
     "brand_discovery_curve",
     "size_type_price_interaction",
+    "user_type_entropy_histogram",
 ]
 
 

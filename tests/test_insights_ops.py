@@ -3715,3 +3715,30 @@ def test_size_type_interaction_replay(spark):
     for g, w in zip(got, scored):
         assert g[:3] == w[:3]
         assert abs(g[3] - w[3]) <= 1
+
+
+def test_user_entropy_histogram_replay(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    rows = QUERIES["user_type_entropy_histogram"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    per_user = defaultdict(Counter)
+    for e in ev:
+        per_user[e.user_id][e.event_type] += 1
+    hist = Counter()
+    for c in per_user.values():
+        n = sum(c.values())
+        if n < 5:
+            continue
+        clnc = sum(
+            math.floor(v * math.log(v) * 1000 + 0.5) for v in c.values()
+        )
+        ent = math.floor(
+            (math.log(n) - (clnc / 1000) / n) * 100 + 0.5
+        )
+        hist[ent] += 1
+    got = {r.entropy_centinat: r.n_users for r in rows}
+    assert got == dict(hist)
+    # entropies sit in [0, 100*ln(5)] for five event types
+    assert all(0 <= k <= 161 for k in got)

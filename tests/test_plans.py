@@ -2545,3 +2545,13 @@ class TestDriftPlans:
         assert t.count("Window") >= 2
         df = QUERIES["size_type_price_interaction"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_user_entropy_bounded_groups(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # entropy sums run inside bounded per-user groups; the
+        # histogram is a bounded rollup; no window, no join
+        t = tree(spark, "user_type_entropy_histogram")
+        assert "Join" not in t and "Window" not in t
+        df = QUERIES["user_type_entropy_histogram"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
