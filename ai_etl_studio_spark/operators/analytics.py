@@ -9430,3 +9430,118 @@ def size_type_price_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_SIZE_TYPE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment delay by exact order-value quartile
+# ---------------------------------------------------------------------------
+
+@register(
+    "delay_by_value_quartile",
+    oracle="""
+    WITH vg AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1),
+    cum AS (
+      SELECT v, CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        AS BIGINT) AS cc, CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM vg),
+    qs AS (
+      SELECT CAST(MIN(CASE WHEN cc * 4 >= n THEN v END) AS BIGINT) AS q1,
+             CAST(MIN(CASE WHEN cc * 2 >= n THEN v END) AS BIGINT) AS q2,
+             CAST(MIN(CASE WHEN cc * 4 >= 3 * n THEN v END) AS BIGINT)
+               AS q3
+      FROM cum),
+    j AS (
+      SELECT CASE WHEN CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+               <= qs.q1 THEN 1
+             WHEN CAST(round(o.o_totalprice * 100, 0) AS BIGINT) <= qs.q2
+               THEN 2
+             WHEN CAST(round(o.o_totalprice * 100, 0) AS BIGINT) <= qs.q3
+               THEN 3
+             ELSE 4 END AS value_quartile,
+             CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+               AS BIGINT) AS delay
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      CROSS JOIN qs)
+    SELECT value_quartile, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST((SUM(delay) * 1000 - ((SUM(delay) * 1000 % COUNT(*))
+             + COUNT(*)) % COUNT(*)) // COUNT(*) AS BIGINT)
+             AS mean_delay_milli
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def delay_by_value_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does ORDER SIZE buy service? Exact mean line-ship delay inside
+    each exact order-value quartile — a falling curve means big orders
+    jump the queue (the service tier nobody wrote down), a flat one
+    means fulfillment is value-blind. Completes the who-gets-slow-
+    service picture next to delay_by_discount_grid.
+
+    Scale: quartile cuts from the value-grain cumulative broadcast as
+    ONE row (the quantile_shift device); the fact join carries dates
+    and the banded quartile; signed means floor-divide via
+    subtract-positive-mod on a 4-row table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    v = cents("o_totalprice")
+    vg = o.groupBy(v.alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = vg.select(
+        "v",
+        F.sum("c")
+        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cc"),
+        F.sum("c")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("n"),
+    )
+    qs = cum.agg(
+        F.min(F.when(F.col("cc") * 4 >= F.col("n"), F.col("v")))
+        .cast("bigint")
+        .alias("q1"),
+        F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("v")))
+        .cast("bigint")
+        .alias("q2"),
+        F.min(F.when(F.col("cc") * 4 >= 3 * F.col("n"), F.col("v")))
+        .cast("bigint")
+        .alias("q3"),
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .crossJoin(F.broadcast(qs))
+        .select(
+            F.when(v <= F.col("q1"), 1)
+            .when(v <= F.col("q2"), 2)
+            .when(v <= F.col("q3"), 3)
+            .otherwise(4)
+            .alias("value_quartile"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("bigint")
+            .alias("delay"),
+        )
+    )
+    return (
+        j.groupBy("value_quartile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("delay").cast("bigint").alias("sd"),
+        )
+        .select(
+            "value_quartile",
+            "n_lines",
+            F.expr(
+                "CAST((sd * 1000 - pmod(sd * 1000, n_lines)) DIV n_lines"
+                " AS BIGINT)"
+            ).alias("mean_delay_milli"),
+        )
+        .orderBy("value_quartile")
+    )

@@ -386,6 +386,7 @@ HEADLINE = [
     "brand_discovery_curve",
     "size_type_price_interaction",
     "user_type_entropy_histogram",
+    "delay_by_value_quartile",
 ]
 
 

@@ -3742,3 +3742,34 @@ def test_user_entropy_histogram_replay(spark):
     assert got == dict(hist)
     # entropies sit in [0, 100*ln(5)] for five event types
     assert all(0 <= k <= 161 for k in got)
+
+
+def test_delay_value_quartile_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["delay_by_value_quartile"](spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    vals = sorted(round(o.o_totalprice * 100) for o in orders)
+    n = len(vals)
+
+    def cut(mult, num):
+        target = -(-num * n // mult)
+        return vals[target - 1]
+
+    q1, q2, q3 = cut(4, 1), cut(2, 1), cut(4, 3)
+    info = {
+        o.o_orderkey: (round(o.o_totalprice * 100), o.o_orderdate.date())
+        for o in orders
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for x in li:
+        v, odate = info[x.l_orderkey]
+        q = 1 if v <= q1 else (2 if v <= q2 else (3 if v <= q3 else 4))
+        a = agg[q]
+        a[0] += 1
+        a[1] += (x.l_shipdate.date() - odate).days
+    got = {r.value_quartile: (r.n_lines, r.mean_delay_milli) for r in rows}
+    assert got == {
+        q: (c, (s * 1000) // c) for q, (c, s) in agg.items()
+    }

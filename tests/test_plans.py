@@ -2555,3 +2555,11 @@ class TestDriftPlans:
         assert "Join" not in t and "Window" not in t
         df = QUERIES["user_type_entropy_histogram"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_delay_value_quartile_broadcast_cuts(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        t = tree(spark, "delay_by_value_quartile")
+        assert t.count("HashAggregate") >= 3
+        df = QUERIES["delay_by_value_quartile"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
