@@ -4121,3 +4121,91 @@ def user_type_entropy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("entropy_centinat")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-decile user value concentration
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_value_concentration",
+    oracle="""
+    WITH uv AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM events GROUP BY 1),
+    vg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(v) AS BIGINT) AS sv
+      FROM uv GROUP BY 1),
+    cum AS (
+      SELECT v,
+             CAST(SUM(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cc,
+             CAST(SUM(sv) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_v,
+             CAST(SUM(c) OVER () AS BIGINT) AS n,
+             CAST(SUM(sv) OVER () AS BIGINT) AS tot
+      FROM vg),
+    cut AS (
+      SELECT n, tot,
+             CAST(MIN(CASE WHEN cc * 10 >= n THEN cum_v END) AS BIGINT)
+               AS top_v,
+             CAST(MIN(CASE WHEN cc * 10 >= n THEN cc END) AS BIGINT)
+               AS top_n
+      FROM cum GROUP BY n, tot)
+    SELECT n AS n_users, top_n AS n_top_decile,
+           CAST(top_v * 1000000 // tot AS BIGINT) AS top_decile_share_ppm
+    FROM cut
+    """,
+)
+def user_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whale question in one number: the share of total event value
+    held by the TOP DECILE of users — 10% share is perfectly flat
+    demand, 80% is a whale economy where the product is really serving
+    a few hundred accounts (lorenz_curve draws the whole curve; this
+    extracts the headline the board asks for).
+
+    Scale: per-user totals reduce first, then the VALUE-GRAIN
+    descending cumulative (distinct totals, not users) finds the exact
+    decile cut by integer ECDF threshold — no global sort of users,
+    exact cents, exact ppm.
+    """
+    e = load_table(spark, sf_dir, "events")
+    uv = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    vg = uv.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("v").cast("bigint").alias("sv"),
+    )
+    w_desc = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vg.select(
+        F.sum("c").over(w_desc).cast("bigint").alias("cc"),
+        F.sum("sv").over(w_desc).cast("bigint").alias("cum_v"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+        F.sum("sv").over(w_all).cast("bigint").alias("tot"),
+    )
+    cut = cum.groupBy("n", "tot").agg(
+        F.min(F.when(F.col("cc") * 10 >= F.col("n"), F.col("cum_v")))
+        .cast("bigint")
+        .alias("top_v"),
+        F.min(F.when(F.col("cc") * 10 >= F.col("n"), F.col("cc")))
+        .cast("bigint")
+        .alias("top_n"),
+    )
+    return cut.select(
+        F.col("n").alias("n_users"),
+        F.col("top_n").alias("n_top_decile"),
+        F.expr("CAST(top_v * 1000000 DIV tot AS BIGINT)").alias(
+            "top_decile_share_ppm"
+        ),
+    )

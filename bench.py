@@ -387,6 +387,7 @@ HEADLINE = [
     "size_type_price_interaction",
     "user_type_entropy_histogram",
     "delay_by_value_quartile",
+    "user_value_concentration",
 ]
 
 

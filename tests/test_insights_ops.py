@@ -3773,3 +3773,33 @@ def test_delay_value_quartile_replay(spark):
     assert got == {
         q: (c, (s * 1000) // c) for q, (c, s) in agg.items()
     }
+
+
+def test_user_value_concentration_replay(spark):
+    from collections import defaultdict
+
+    [r] = QUERIES["user_value_concentration"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    uv = defaultdict(int)
+    for e in ev:
+        uv[e.user_id] += round(e.value * 100)
+    vals = sorted(uv.values(), reverse=True)
+    n, tot = len(vals), sum(vals)
+    # smallest prefix (by distinct value groups descending) covering
+    # >= 10% of users
+    cc = cum_v = 0
+    i = 0
+    while i < n:
+        v = vals[i]
+        j = i
+        while j < n and vals[j] == v:
+            cum_v += vals[j]
+            cc += 1
+            j += 1
+        if cc * 10 >= n:
+            break
+        i = j
+    assert (r.n_users, r.n_top_decile) == (n, cc)
+    assert r.top_decile_share_ppm == cum_v * 1_000_000 // tot
+    # the top decile holds at least its proportional share
+    assert r.top_decile_share_ppm >= 100_000 - 1

@@ -2563,3 +2563,14 @@ class TestDriftPlans:
         assert t.count("HashAggregate") >= 3
         df = QUERIES["delay_by_value_quartile"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_value_concentration_value_grain(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # the descending cumulative walks DISTINCT per-user totals —
+        # never a global sort of users
+        t = tree(spark, "user_value_concentration")
+        assert "Join" not in t
+        assert t.count("HashAggregate") >= 4
+        df = QUERIES["user_value_concentration"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
