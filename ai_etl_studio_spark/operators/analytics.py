@@ -9545,3 +9545,70 @@ def delay_by_value_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("value_quartile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Order open-span histogram (log2-day buckets, violations fenced)
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_span_histogram",
+    oracle="""
+    WITH sp AS (
+      SELECT o.o_orderkey,
+             CAST(MAX(CAST(l.l_shipdate AS DATE))
+               - CAST(o.o_orderdate AS DATE) AS BIGINT) AS span
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    b AS (
+      SELECT CASE WHEN span < 0 THEN -1
+                  ELSE CAST(length(bin(span + 1)) - 1 AS BIGINT) END
+               AS bucket,
+             span
+      FROM sp)
+    SELECT bucket AS log2_span_bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(span) AS BIGINT) AS min_span_days,
+           CAST(MAX(span) AS BIGINT) AS max_span_days
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def order_span_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long orders stay OPEN: the order-date-to-last-shipment span
+    in log2-day buckets — the working-capital clock (each bucket
+    doubles the cash tied up per order), with TIME-IMPOSSIBLE spans
+    (last ship before the order) fenced into their own -1 bucket
+    instead of poisoning the log scale (the histogram view of
+    temporal_integrity_by_year's violation count).
+
+    Scale: the last-ship date compacts per order inside the key-on-key
+    join's groups; buckets are the exact binary-length idiom on
+    span+1 (span 0 lands in bucket 0); the histogram is bounded at
+    ~|log2(horizon)| rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.datediff(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("bigint")
+            .alias("span")
+        )
+    )
+    bucket = F.when(F.col("span") < 0, F.lit(-1).cast("bigint")).otherwise(
+        (F.length(F.bin(F.col("span") + 1)) - 1).cast("bigint")
+    )
+    return (
+        sp.select(bucket.alias("log2_span_bucket"), "span")
+        .groupBy("log2_span_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("span").cast("bigint").alias("min_span_days"),
+            F.max("span").cast("bigint").alias("max_span_days"),
+        )
+        .orderBy("log2_span_bucket")
+    )

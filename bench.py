@@ -388,6 +388,7 @@ HEADLINE = [
     "user_type_entropy_histogram",
     "delay_by_value_quartile",
     "user_value_concentration",
+    "order_span_histogram",
 ]
 
 

@@ -3803,3 +3803,33 @@ def test_user_value_concentration_replay(spark):
     assert r.top_decile_share_ppm == cum_v * 1_000_000 // tot
     # the top decile holds at least its proportional share
     assert r.top_decile_share_ppm >= 100_000 - 1
+
+
+def test_order_span_histogram_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["order_span_histogram"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    od = {
+        o.o_orderkey: o.o_orderdate.date()
+        for o in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    last = {}
+    for x in li:
+        d = x.l_shipdate.date()
+        last[x.l_orderkey] = max(last.get(x.l_orderkey, d), d)
+    hist = defaultdict(lambda: [0, None, None])
+    for ok, ld in last.items():
+        span = (ld - od[ok]).days
+        b = -1 if span < 0 else max((span + 1).bit_length() - 1, 0)
+        h = hist[b]
+        h[0] += 1
+        h[1] = span if h[1] is None else min(h[1], span)
+        h[2] = span if h[2] is None else max(h[2], span)
+    got = {
+        r.log2_span_bucket: (r.n_orders, r.min_span_days, r.max_span_days)
+        for r in rows
+    }
+    assert got == {k: tuple(v) for k, v in hist.items()}
+    # orders with lines partition across buckets
+    assert sum(v[0] for v in got.values()) == len(last)

@@ -2574,3 +2574,13 @@ class TestDriftPlans:
         assert t.count("HashAggregate") >= 4
         df = QUERIES["user_value_concentration"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_order_span_fenced_buckets(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # last-ship compacts inside the join groups; violations fence
+        # into the -1 bucket; bin()-length idiom on span+1
+        t = tree(spark, "order_span_histogram")
+        assert t.count("HashAggregate") >= 3
+        df = QUERIES["order_span_histogram"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
