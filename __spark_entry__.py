@@ -159,7 +159,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: source_mix_by_ingest_decile, priority_mix_by_value_quartile,
 #: brand_discovery_curve, size_type_price_interaction,
 #: user_type_entropy_histogram, delay_by_value_quartile,
-#: user_value_concentration, order_span_histogram; no
+#: user_value_concentration, order_span_histogram,
+#: horizon_edge_audit; no
 #: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
 #: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
 #: which can't hash-match by design but get err:null rows-only rows.

@@ -1369,3 +1369,102 @@ def price_ending_digits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "ending")
         .limit(_ENDING_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Horizon edge audit (partial-period coverage at the data boundaries)
+# ---------------------------------------------------------------------------
+
+@register(
+    "horizon_edge_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(l_shipdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1),
+    mx AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+    c AS (
+      SELECT CASE WHEN d.day < mx.lo + 30 THEN 'head_30d'
+                  WHEN d.day > mx.hi - 30 THEN 'tail_30d'
+                  ELSE 'interior' END AS zone,
+             d.n
+      FROM d CROSS JOIN mx),
+    g AS (
+      SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS n_lines
+      FROM c GROUP BY 1),
+    t AS (
+      SELECT g.*,
+             CAST(SUM(CASE WHEN zone = 'interior' THEN n_lines END)
+               OVER () AS BIGINT) AS int_lines,
+             CAST(SUM(CASE WHEN zone = 'interior' THEN n_days END)
+               OVER () AS BIGINT) AS int_days
+      FROM g)
+    SELECT zone, n_days, n_lines,
+           CAST(n_lines * 1000 // n_days AS BIGINT) AS lines_per_day_milli,
+           CAST(round(CAST(n_lines AS DOUBLE) * int_days
+             / (CAST(n_days AS DOUBLE) * int_lines) * 1000, 0) AS BIGINT)
+             AS vs_interior_milli
+    FROM t ORDER BY zone
+    """,
+)
+def horizon_edge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partial-period trap, measured: daily line volume in the
+    FIRST and LAST 30 days of the data horizon against the interior
+    norm — an edge well below 1000 milli means that window is
+    incomplete (orders in flight at snapshot time, ramp-up at genesis)
+    and every trend fitted across it inherits a fake cliff. Run this
+    before believing any first/last-period number in the time-series
+    suite.
+
+    Scale: one reduction to the daily table; the horizon bounds are a
+    1-row broadcast; zones roll up to three rows and both ratios are
+    bounded-table arithmetic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    d = d.localCheckpoint()
+    mx = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    c = d.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("day") < F.date_add(F.col("lo"), 30), "head_30d")
+        .when(F.col("day") > F.date_sub(F.col("hi"), 30), "tail_30d")
+        .otherwise("interior")
+        .alias("zone"),
+        "n",
+    )
+    g = c.groupBy("zone").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("n_lines"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = g.select(
+        "*",
+        F.sum(F.when(F.col("zone") == "interior", F.col("n_lines")))
+        .over(w_all)
+        .cast("bigint")
+        .alias("int_lines"),
+        F.sum(F.when(F.col("zone") == "interior", F.col("n_days")))
+        .over(w_all)
+        .cast("bigint")
+        .alias("int_days"),
+    )
+    return t.select(
+        "zone",
+        "n_days",
+        "n_lines",
+        F.expr("CAST(n_lines * 1000 DIV n_days AS BIGINT)").alias(
+            "lines_per_day_milli"
+        ),
+        F.round(
+            F.col("n_lines").cast("double")
+            * F.col("int_days")
+            / (F.col("n_days").cast("double") * F.col("int_lines"))
+            * 1000,
+            0,
+        )
+        .cast("bigint")
+        .alias("vs_interior_milli"),
+    ).orderBy("zone")

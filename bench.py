@@ -389,6 +389,7 @@ HEADLINE = [
     "delay_by_value_quartile",
     "user_value_concentration",
     "order_span_histogram",
+    "horizon_edge_audit",
 ]
 
 

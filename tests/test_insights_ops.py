@@ -3833,3 +3833,40 @@ def test_order_span_histogram_replay(spark):
     assert got == {k: tuple(v) for k, v in hist.items()}
     # orders with lines partition across buckets
     assert sum(v[0] for v in got.values()) == len(last)
+
+
+def test_horizon_edge_replay(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["horizon_edge_audit"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    daily = defaultdict(int)
+    for x in li:
+        daily[x.l_shipdate.date()] += 1
+    import datetime
+    import math
+
+    lo, hi = min(daily), max(daily)
+    zones = defaultdict(lambda: [0, 0])
+    for d, n in daily.items():
+        z = (
+            "head_30d"
+            if d < lo + datetime.timedelta(days=30)
+            else ("tail_30d" if d > hi - datetime.timedelta(days=30)
+                  else "interior")
+        )
+        zones[z][0] += 1
+        zones[z][1] += n
+    il, idn = zones["interior"][1], zones["interior"][0]
+    got = {
+        r.zone: (r.n_days, r.n_lines, r.lines_per_day_milli,
+                 r.vs_interior_milli)
+        for r in rows
+    }
+    for z, (nd, nl) in zones.items():
+        assert got[z][:3] == (nd, nl, nl * 1000 // nd)
+        assert abs(
+            got[z][3] - math.floor(nl * idn / (nd * il) * 1000 + 0.5)
+        ) <= 1
+    # interior compares to itself at exactly 1000 milli
+    assert got["interior"][3] == 1000

@@ -2584,3 +2584,13 @@ class TestDriftPlans:
         assert t.count("HashAggregate") >= 3
         df = QUERIES["order_span_histogram"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+    def test_horizon_edge_broadcast_bounds(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        # daily reduction checkpoints once; horizon bounds broadcast;
+        # three-row rollup
+        t = tree(spark, "horizon_edge_audit")
+        assert "Scan parquet" not in t and "Scan ExistingRDD" in t
+        df = QUERIES["horizon_edge_audit"](spark, SF_DIR)
+        assert broadcast_violations(df) == []
