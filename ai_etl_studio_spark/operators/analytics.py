@@ -335,7 +335,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
@@ -879,18 +879,21 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     here because offsets are non-negative by construction (cohort_week
     <= every event of that user).
 
-    Scale: first_seen is a user-key agg (small output) that broadcasts
-    into the event scan; the final agg shuffles on (cohort, week) —
-    dozens of cells regardless of event count. COUNT DISTINCT expands
-    to a two-phase partial-distinct, so the wide shuffle carries
-    (cohort, week, user) triples — still bounded by |users| x weeks.
+    Scale: first_seen is a USER-GRAIN agg — SF-linear, so its join into
+    the event scan is HINT-FREE (the r4 verdict's fact-grain-aggregate
+    class): AQE broadcasts it at every SF where it fits and falls back
+    to a user_id-key shuffle join past that. The final agg shuffles on
+    (cohort, week) — dozens of cells regardless of event count. COUNT
+    DISTINCT expands to a two-phase partial-distinct, so the wide
+    shuffle carries (cohort, week, user) triples — still bounded by
+    |users| x weeks.
     """
     e = load_table(spark, sf_dir, "events")
     first_seen = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
     )
     return (
-        e.join(F.broadcast(first_seen), "user_id")
+        e.join(first_seen, "user_id")
         .select(
             "cohort_week",
             F.floor(
@@ -1729,12 +1732,14 @@ def _pagerank_iterate(edges: DataFrame) -> DataFrame:
     base_tick = (PR_SCALE * 15 // 100) // n_nodes
     ranks = nodes.withColumn("tick", F.lit(PR_SCALE // n_nodes).cast("bigint"))
     for _ in range(PR_ITERS):
-        # ranks is |nodes| rows -> broadcast it into the edge join: the
-        # (bucketed or checkpointed) edge list never shuffles, per
-        # iteration cost = one map-side join + one groupBy. At a scale
-        # where ranks outgrow the broadcast threshold, drop the hint and
-        # the bucketed-src layout takes over (edge side still unshuffled).
-        contrib = edges.join(F.broadcast(ranks), edges.src == ranks.node).select(
+        # ranks is |nodes| rows — NODE-GRAIN, SF-linear — so the edge
+        # join is HINT-FREE (r5 policy: a forced broadcast of the rank
+        # vector OOMs once |nodes| outgrows the executor heap). AQE
+        # broadcasts it at every SF where it fits (per-iteration cost =
+        # one map-side join + one groupBy, same plan the hint forced);
+        # past that the bucketed-src edge layout takes over and ranks
+        # shuffle on src while the edge side stays unshuffled.
+        contrib = edges.join(ranks, edges.src == ranks.node).select(
             "dst", F.expr("tick DIV d").alias("c")
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inf"))
@@ -4541,8 +4546,9 @@ def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIVs; the oracle unrolls the same {PR_ITERS} iterations.
 
     Scale: identical Pregel shape and cost to pagerank_bipartite (same
-    checkpointed degree-folded edges; rank vector broadcast per
-    iteration) — with the PPR advantage that mass STAYS sparse: rows
+    checkpointed degree-folded edges; hint-free rank join per
+    iteration, AQE picks broadcast while the live set fits) — with the
+    PPR advantage that mass stays sparse early: rows
     with tick = 0 are pruned from each contribution join, so early
     iterations touch only the seeds' neighborhoods.
     """
@@ -4562,7 +4568,11 @@ def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(PR_ITERS):
         live = ranks.filter(F.col("tick") > 0)
-        contrib = edges.join(F.broadcast(live), edges.src == live.node).select(
+        # hint-free (r5 policy): live is node-grain — sparse only in
+        # early iterations — so AQE decides per iteration whether it
+        # broadcasts; at rank-vector scale it degrades to a src-key
+        # shuffle instead of an OOM
+        contrib = edges.join(live, edges.src == live.node).select(
             "dst", F.expr("tick DIV d").alias("c")
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inf"))
@@ -4838,10 +4848,13 @@ def hybrid_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     li_hot = li.join(F.broadcast(hot), "l_partkey")
     li_cold = li.join(F.broadcast(hot), "l_partkey", "left_anti")
+    # join on part's UNIQUE key against ≤K hot keys bounds part_hot at
+    # K rows — the explicit limit makes that bound tripwire-provable
+    # (and is a no-op: p_partkey is unique)
     part_hot = part.join(
         F.broadcast(hot.withColumnRenamed("l_partkey", "p_partkey")),
         "p_partkey",
-    )
+    ).limit(_HYBRID_HOT_K)
     j_hot = li_hot.join(
         F.broadcast(part_hot), li_hot.l_partkey == part_hot.p_partkey
     ).select(cents.alias("cents"), F.lit(1).alias("is_hot"))

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ai_etl_studio_spark.catalog import load_table
 from ai_etl_studio_spark.functions.exact import cents
 from ai_etl_studio_spark.operators import ORACLES, register
+from ai_etl_studio_spark.operators.text import _SW_SQL
 
 N_SALTS = 8
 PII_ID_CAP = 500
@@ -203,7 +204,11 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: this is the manual form of AQE's skew-join split, needed when
     the skew is known ahead of time (fact-to-dim joins on hot entities)
     or the engine's threshold heuristics miss it. The replicated side
-    grows ×N_SALTS — only ever salt the SMALL side.
+    grows ×N_SALTS — only ever salt the SMALL side. The join is
+    HINT-FREE: salting only matters when the join actually shuffles
+    (supplier is SF-linear; a forced broadcast would both defeat the
+    demonstration and OOM at scale) — AQE broadcasts at small SFs,
+    and past that the salt spreads each hot key over N_SALTS reducers.
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -213,7 +218,7 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_s = li.withColumn("salt", (F.col("l_orderkey") % N_SALTS).cast("int"))
     return (
         li_s.join(
-            F.broadcast(s_rep),
+            s_rep,
             (li_s.l_suppkey == s_rep.s_suppkey) & (li_s.salt == s_rep.salt),
         )
         .groupBy("s_name")
@@ -878,10 +883,12 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination. The report a data-curation review actually reads.
 
     Scale: composes three proven fragments — broadcast 1-row percentile
-    bounds, narrow quality expressions, broadcast anti-join-able
-    contaminated set — into a single pass plus one small per-source
-    rollup. Every gate flag is computed in the same projection, so the
-    corpus is read once.
+    bounds, narrow quality expressions, and the contaminated doc set —
+    into a single pass plus one small per-source rollup. The
+    contaminated set is DOC-GRAIN (worst case corpus-proportional), so
+    its left join is hint-free: AQE broadcasts it while it fits and
+    shuffles on doc_id past that. Every gate flag is computed in the
+    same projection, so the corpus is read once.
     """
     from ai_etl_studio_spark.functions.texthash import tokens
 
@@ -897,7 +904,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
     gated = (
         d.crossJoin(F.broadcast(bounds))
-        .join(F.broadcast(cont), "doc_id", "left")
+        .join(cont, "doc_id", "left")
         .select(
             "source",
             ((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
@@ -1491,7 +1498,7 @@ def quality_calibration_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dup_rate_by_quality_band",
-    oracle=r"""
+    oracle=rf"""
     WITH t AS (
       SELECT md5(text) AS h,
              list_filter(string_split_regex(lower(text), '\s+'),
@@ -1499,8 +1506,8 @@ def quality_calibration_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE text IS NOT NULL),
     m AS (
       SELECT h, CAST(len(ts) AS BIGINT) AS n_words,
-             CAST(len(list_filter(ts, w -> w IN ('the', 'a', 'an', 'of',
-               'to', 'and', 'in', 'is'))) AS BIGINT) AS n_stop
+             CAST(len(list_filter(ts, w -> w IN {_SW_SQL}))
+               AS BIGINT) AS n_stop
       FROM t WHERE len(ts) > 0),
     d AS (
       SELECT least(9, CAST(floor(CAST(n_stop AS DOUBLE) / n_words * 10)

@@ -61,16 +61,18 @@ NET = SQL_NET_CENTS
 )
 def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: 'top 10 products by sales' (the reference's own canonical
-    example, app.py:281). Scan → broadcast join → hash agg → top-k.
+    example, app.py:281). Scan → join → hash agg → top-k.
 
-    Scale: part is |lineitem|/30 — broadcast it, so lineitem never
-    shuffles before the aggregation; the agg shuffles only |part| groups.
-    The final sort is TakeOrderedAndProject (no global sort).
+    Scale: part is SF-linear (200k·SF) so the join is HINT-FREE — AQE's
+    dynamic switch broadcasts it at every SF where it fits and degrades
+    to shuffle join (never OOM) when it doesn't; the agg shuffles only
+    |part| groups. The final sort is TakeOrderedAndProject (no global
+    sort).
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_name")
         .agg(csum(net_cents()).alias("revenue"))
         .orderBy(F.desc("revenue"), "p_name")
@@ -259,15 +261,17 @@ def join_4way_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake join chain fact → dim → dim → dim: revenue per region/nation
     (the 'total sales per store' workload, prompts.py:28,103, on schema B).
 
-    Scale: all three dims broadcast — the fact table never shuffles until
-    the (tiny-cardinality) aggregation.
+    Scale: nation/region are constant-size dims (hinted); supplier is
+    SF-linear so its join is hint-free (AQE broadcasts while it fits,
+    shuffles past that) — the fact table never shuffles until the
+    (tiny-cardinality) aggregation at every SF where supplier fits.
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -546,7 +550,7 @@ def derived_table_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     inner = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(csum(net_cents()).alias("total_rev"))
@@ -904,9 +908,10 @@ def min_cost_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: NOT agg-then-self-join (two shuffles of lineitem on
     partkey). A window MIN over partkey gets the per-part floor in the
     SAME shuffle that the filter consumes — lineitem moves once, then
-    the survivors (|parts|-ish rows) broadcast-join the part and
-    supplier dims. DISTINCT collapses tied lines of one supplier; its
-    shuffle carries only the filtered rows.
+    the survivors (|parts|-ish rows) join the part and supplier dims
+    HINT-FREE (both are SF-linear; AQE broadcasts them while they fit).
+    DISTINCT collapses tied lines of one supplier; its shuffle carries
+    only the filtered rows.
     """
     from pyspark.sql import Window
 
@@ -922,8 +927,8 @@ def min_cost_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        cheapest.join(F.broadcast(p), cheapest.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), cheapest.l_suppkey == s.s_suppkey)
+        cheapest.join(p, cheapest.l_partkey == p.p_partkey)
+        .join(s, cheapest.l_suppkey == s.s_suppkey)
         .select("p_partkey", "p_name", "s_name", "min_price")
         .orderBy("p_partkey", "s_name")
         .limit(100)
@@ -1200,11 +1205,11 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier and customer share a nation, for one region-year — the
     6-way snowflake join.
 
-    Scale: the region→nation chain broadcasts into supplier, and the
-    region-pruned supplier map broadcasts into lineitem; orders and
-    customer are fact-scale, so their join and the lineitem⋈orders join
+    Scale: the region→nation chain broadcasts into supplier (25→5-row
+    dims, hinted); supplier, orders and customer are all SF-linear, so
+    the supplier-map join into lineitem and the orders/customer joins
     carry no hints — each shuffles once on its key, and AQE upgrades to
-    broadcast at runtime only if the filtered side is genuinely small.
+    broadcast at runtime only if the side is genuinely small.
     The c_nationkey = s_nationkey locality condition rides the supplier
     join as an equi-key, not a post-filter. One partial→final agg of
     5 nation rows; exact integer cents.
@@ -1230,7 +1235,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(co, li.l_orderkey == F.col("o_orderkey"))
         .join(
-            F.broadcast(sn),
+            sn,
             (li.l_suppkey == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -1354,9 +1359,10 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promotion effect): share of one month's revenue from
     promo-type parts.
 
-    Scale: month filter pushed to the lineitem scan, part broadcast,
-    both sums (conditional + total, exact integer cents) in ONE
-    aggregate; the percentage is a single final division of exact ints.
+    Scale: month filter pushed to the lineitem scan; part is SF-linear
+    so the join is hint-free (AQE broadcasts while it fits); both sums
+    (conditional + total, exact integer cents) in ONE aggregate; the
+    percentage is a single final division of exact ints.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-09-01")
@@ -1365,7 +1371,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     promo = F.col("p_type").startswith("PROMO")
     agg = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(promo, net_cents()).otherwise(0)).alias("promo_cents"),
             F.sum(net_cents()).alias("total_cents"),
@@ -1493,12 +1499,14 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING-subquery + rejoin shape.
 
     Scale: the qualifying-order set is ONE groupBy over (orderkey,
-    quantity) — integer quantities, map-side combine — whose tiny
-    survivors broadcast as a semi-join filter into BOTH the orders and
-    lineitem sides before the final rollup. The qualified orders (the
-    aggregate-pruned, tiny side) then broadcast into FULL customer —
-    never the reverse: customer is SF-linear and streams — and the
-    resulting dim rejoins the pruned lineitem. Top-20 via heaps.
+    quantity) — integer quantities, map-side combine — whose survivors
+    semi-join-prune BOTH the orders and lineitem sides before the final
+    rollup. Every join is HINT-FREE: the qualified set is a constant
+    *fraction* of orders (qty>150 keeps ~1.5% at every SF — SF-linear,
+    not bounded), so AQE's dynamic switch broadcasts it at runtime
+    while it fits and falls back to shuffle joins past that, instead
+    of a forced hint OOMing at the 100 TB design point. Top-20 via
+    heaps.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.round("l_quantity").cast("bigint").alias("qty")
@@ -1510,13 +1518,13 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     o = load_table(spark, sf_dir, "orders").join(
-        F.broadcast(big),
+        big,
         F.col("o_orderkey") == big.l_orderkey,
         "left_semi",
     )
     c = load_table(spark, sf_dir, "customer")
-    li2 = li.join(F.broadcast(big), "l_orderkey", "left_semi")
-    dims = c.join(F.broadcast(o), o.o_custkey == c.c_custkey).select(
+    li2 = li.join(big, "l_orderkey", "left_semi")
+    dims = c.join(o, o.o_custkey == c.c_custkey).select(
         "o_orderkey",
         "c_name",
         "c_custkey",
@@ -1601,22 +1609,25 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the per-part average is ONE groupBy over (partkey, quantity)
     (map-side combinable); the brand filter pushes to the part scan and
-    prunes the average table to the brand's parts BEFORE it broadcasts
-    back into lineitem. The threshold compare (0.2×avg) is evaluated
-    identically in both engines (avg of small integer quantities).
+    prunes the average table to the brand's parts BEFORE it joins back
+    into lineitem. All joins HINT-FREE: a brand slice of part is a
+    constant fraction (SF-linear), and so is the part-grain average —
+    AQE broadcasts them at runtime while they fit. The threshold
+    compare (0.2×avg) is evaluated identically in both engines (avg of
+    small integer quantities).
     """
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#1"
     ).select("p_partkey")
     li = load_table(spark, sf_dir, "lineitem")
     avg_qty = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        li.join(p, li.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_partkey")
         .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap"))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(avg_qty), "l_partkey")
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cap"))
         .agg(
             (
@@ -1659,10 +1670,11 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     {NATION_1, NATION_2}, so that membership filter pushes below the
     joins into the two nation lookups — supplier and customer shrink to
     the two trading nations BEFORE anything joins orders (~12× less
-    order traffic than filtering after). The 2-nation-pruned supplier
-    map broadcasts into lineitem; customer and orders stay hint-free
-    (both SF-linear): custkey shuffle, then the orderkey fact-fact
-    shuffle, AQE free to upgrade. Only the cross-pair disjunction
+    order traffic than filtering after). ALL fact-side joins hint-free
+    — the 2-nation supplier slice is still a constant fraction of an
+    SF-linear table, so AQE decides whether it broadcasts into
+    lineitem; customer and orders shuffle on their keys, AQE free to
+    upgrade. Only the cross-pair disjunction
     remains as a post-join predicate. Exact cents; years come from the
     pushed shipdate band.
     """
@@ -1694,7 +1706,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     )
     return (
-        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
         .join(co, li.l_orderkey == co.o_orderkey)
         .filter(pair)
         .groupBy(
@@ -1737,11 +1749,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     a region's revenue in one part type, by year — the 8-way snowflake
     with a conditional-share aggregate.
 
-    Scale: the true dimensions broadcast (type-filtered part as a
-    semi-join prune on lineitem, nation→region into customer,
-    supplier→nation); customer and orders are SF-linear so the
-    region-membership semi-join on orders and the lineitem⋈orders join
-    are hint-free key-on-key shuffles (AQE re-plans at runtime). The
+    Scale: only the TRUE dims broadcast (nation→region into customer,
+    nation into supplier); part/supplier slices are constant fractions
+    of SF-linear tables, so the type-filtered-part semi-join on
+    lineitem, the supplier-map join, the region-membership semi-join on
+    orders, and the lineitem⋈orders join are all hint-free key-on-key
+    shuffles (AQE upgrades to broadcast at runtime while they fit). The
     share is exact-cents conditional sum over exact total — one final
     int/int-derived division per year.
     """
@@ -1771,9 +1784,9 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "nation")
     cents = net_cents()
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        li.join(p, li.l_partkey == p.p_partkey, "left_semi")
         .join(co, li.l_orderkey == co.o_orderkey)
-        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
         .select("o_year", "nation", cents.alias("cents"))
         .groupBy("o_year")
         .agg(
@@ -1810,7 +1823,8 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: revenue is one groupBy of (suppkey, cents); the scalar max is
     a 1-row broadcast crossJoin back (no second full aggregation pass
-    over lineitem); supplier names broadcast in last.
+    over lineitem); supplier names join in last, hint-free (supplier is
+    SF-linear — AQE broadcasts while it fits).
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
@@ -1824,7 +1838,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -1851,8 +1865,9 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     clauses adapted to the columns this schema has).
 
     Scale: Catalyst pushes the common p_size/brand bounds into the part
-    scan and the quantity bounds into lineitem where possible; part
-    broadcasts and the disjunction evaluates post-join in codegen. One
+    scan and the quantity bounds into lineitem where possible; the part
+    join is hint-free (part is SF-linear — AQE broadcasts while it
+    fits) and the disjunction evaluates post-join in codegen. One
     exact-cents sum out.
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -1866,7 +1881,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(basket)
         .agg(
             (F.sum(net_cents()).cast("double") / 100).alias("revenue")
@@ -1901,9 +1916,11 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is adapted to 60% of p_retailprice (exact integer arithmetic,
     documented) — the join tree and rollup are the benchmark's.
 
-    Scale: the name-filtered part table broadcasts (LIKE can't push to
-    a min/max footer but prunes immediately after scan); supplier/nation
-    broadcast; lineitem⋈orders is the one key-on-key fact-fact join —
+    Scale: the name-filtered part slice and the supplier⋈nation map are
+    constant fractions of SF-linear tables — hint-free joins (the LIKE
+    prunes right after the part scan; AQE broadcasts both sides at
+    runtime while they fit); lineitem⋈orders is the one key-on-key
+    fact-fact join —
     both sides shuffle once on orderkey with NO hint (orders is
     SF-linear; forcing it into a broadcast would OOM at the 100 TB
     design point), AQE free to re-plan. Profit stays in exact integer
@@ -1926,8 +1943,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", F.col("n_name").alias("nation")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .select(
             "nation",
@@ -1965,7 +1982,10 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-vs-global-scalar HAVING shape. partsupp's availqty×cost is
     adapted to shipped qty × retail price (exact integer cents).
 
-    Scale: the nation's supplier set broadcasts as a semi-join filter;
+    Scale: the nation's supplier set semi-join-prunes lineitem and the
+    part join runs hint-free (both are SF-linear slices; AQE broadcasts
+    while they fit — the hints formerly here were hidden from the
+    tripwire by the localCheckpoint and are gone per the r5 policy);
     per-part value is one groupBy with map-side combine; the global
     total is a 1-row broadcast crossJoin — no second pass, no
     correlated re-aggregation.
@@ -1978,8 +1998,8 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     val = (
-        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(nat_supp, li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(
             F.sum(
@@ -2024,9 +2044,11 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (the complaints LIKE-clause adapted to negative balances;
     partsupp adapted to shipment facts).
 
-    Scale: the excluded-supplier set is tiny → broadcast ANTI join; the
-    size/brand filters broadcast with the part dim; countDistinct rides
-    the (brand, type, size) shuffle via expand.
+    Scale: the excluded-supplier set and the size/brand part slice are
+    constant fractions of SF-linear tables — both joins hint-free (AQE
+    broadcasts the anti-join build side and the part dim at runtime
+    while they fit); countDistinct rides the (brand, type, size)
+    shuffle via expand.
     """
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -2037,8 +2059,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -2069,9 +2091,11 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume).
 
     Scale: the inner aggregate runs over the year+type-pruned lineitem
-    slice (both filters pushed); its small survivor set broadcasts as a
-    semi-join into the nation-filtered supplier dim. No correlated
-    execution anywhere — both INs decorrelate to semi-joins.
+    slice (both filters pushed); its survivor set semi-join-prunes the
+    nation-filtered supplier dim HINT-FREE — the survivors are
+    supplier-grain (SF-linear worst case), so AQE decides the build
+    side at runtime. No correlated execution anywhere — both INs
+    decorrelate to semi-joins.
     """
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_type") == "PROMO"
@@ -2081,7 +2105,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1997-01-01")
     )
     heavy = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        li.join(p, li.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("tq"))
         .filter(F.col("tq") > 50)
@@ -2091,7 +2115,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(heavy, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name", "s_acctbal")
     )

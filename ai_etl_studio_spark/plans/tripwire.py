@@ -5,31 +5,41 @@ Walks a query's *analyzed* logical plan (where ``ResolvedHint`` nodes
 still exist — the optimizer folds them into join hints later) and, for
 every broadcast hint, inspects the hinted subtree's leaf relations. A
 leaf that belongs to an SF-linear table (orders, lineitem, customer,
-documents, events, embeddings — all grow 1:1 with scale factor, so at
-the 100 TB design point each is billions of rows) makes the hint a
-scale bug UNLESS the path from the hint to that leaf passes through a
-cardinality-reducing operator:
+supplier, part, documents, events, embeddings — all grow 1:1 with scale
+factor, so at the 100 TB design point each is millions-to-billions of
+rows) makes the hint a scale bug UNLESS the path from the hint to that
+leaf passes through a genuinely cardinality-bounding operator:
 
-- ``Aggregate`` / ``Distinct`` / ``Deduplicate`` — output is group
-  cardinality, not input rows;
-- a ``LeftSemi`` / ``LeftAnti`` join — the hinted frame was pruned by a
-  membership set (the classic TPC-H q18 qualified-orders shape);
+- ``Aggregate`` / ``Distinct`` / ``Deduplicate`` whose grouping keys
+  contain NO fact-grain column — output is group cardinality over a
+  bounded domain (nation, month, flag, bucket). A group-by over a
+  fact-grain key (user_id, l_orderkey, p_partkey, node ids…) outputs
+  SF-linear rows and does NOT excuse — the r4 tripwire's blanket
+  "Aggregate excuses" rule was the hole the r4 verdict flagged
+  (PageRank rank vectors, per-user first_seen, q18's qualified orders).
 - ``GlobalLimit`` / ``LocalLimit`` / ``Sample`` — explicitly bounded.
+- A ``Filter`` comparing a fact table's unique key against LITERALS:
+  equality / IN keeps O(#literals) rows and ``key < small-constant``
+  keeps at most that many rows at ANY scale factor (the ANN
+  query-vector pattern). The RHS must be a literal — column-to-column
+  equality, negation, and OR-disjuncts do not bound anything (r4
+  ADVICE item).
 
 A plain ``Filter`` does NOT excuse: a date-slice of orders is still
-SF-linear (a year of orders at 100 TB is hundreds of GB), which is
-exactly the defect class this guard exists to kill. Genuinely-selective
-filters are handled by AQE's dynamic join switch at runtime — the hint
-is never needed for them. The one filter shape that IS excused is a
-bounded comparison on a fact table's unique key (``vec_id = 7``,
-``vec_id < 8``, ``c_custkey IN (…)``): a literal equality/IN keeps
-O(#literals) rows and ``key < small-constant`` keeps at most that many
-rows at ANY scale factor — the ANN query-vector pattern.
+SF-linear (a year of orders at 100 TB is hundreds of GB). A semi/anti
+join does NOT excuse its left side either — the survivors are a
+*fraction* of the fact table (q18's >150-qty orders grow 1:1 with SF);
+only the right (probe) side of a semi/anti join is exempt, because it
+prunes without ever materializing into the broadcast hash table.
+Genuinely-selective filters are handled by AQE's dynamic join switch at
+runtime — the hint is never needed for them.
 
-Dimension tables (region, nation, supplier, part) are exempt: they are
-either constant-size or sub-linear enough that SCALE.md's broadcast
-budget covers them (supplier = customer/15, part behind selective
-filters).
+Only region (5 rows) and nation (25 rows) are exempt as true
+constant-size dimensions. supplier (10k·SF) and part (200k·SF) are
+SF-linear — at 100 TB they are tens of GB and a forced hint bypasses
+the autoBroadcastJoinThreshold entirely (hard Spark limit 8 GB /
+512 M rows, then the job dies); hint-free, AQE still broadcasts them
+at every SF where they actually fit.
 """
 
 from __future__ import annotations
@@ -45,36 +55,50 @@ FACT_KEY_COLUMNS = {
     "l_orderkey": "lineitem",
     "o_orderkey": "orders",
     "c_custkey": "customer",
+    "s_suppkey": "supplier",
+    "p_partkey": "part",
     "doc_id": "documents",
     "event_id": "events",
     "vec_id": "embeddings",
 }
 
-#: Node classes whose output cardinality no longer scales with the
-#: fact-table leaf below them.
-_REDUCING = {
-    "Aggregate",
-    "Distinct",
-    "Deduplicate",
-    "GlobalLimit",
-    "LocalLimit",
-    "Sample",
+#: Columns whose presence in a group-by / distinct key set keeps the
+#: output SF-linear: primary keys, their foreign-key twins, and the
+#: known fact-grain aliases (graph node ids, q15's supplier_no).
+FACT_GRAIN_COLUMNS = frozenset(FACT_KEY_COLUMNS) | {
+    "o_custkey",
+    "l_partkey",
+    "l_suppkey",
+    "ps_partkey",
+    "ps_suppkey",
+    "user_id",
+    "node",
+    "src",
+    "dst",
+    "supplier_no",
 }
 
-
 #: key-column comparison that bounds row count independent of SF:
-#: equality / IN (O(#literals) rows on a unique key) or < / <= against a
-#: small numeric literal (at most that many rows for non-negative keys).
+#: equality / IN against LITERALS (O(#literals) rows on a unique key)
+#: or < / <= against a small numeric literal (at most that many rows
+#: for non-negative keys). The RHS must start with a digit so that
+#: column-to-column equality (o_orderkey#5L = o_custkey#7L) never
+#: matches; conditions containing OR / NOT are rejected wholesale —
+#: a disjunct or negation around a bounded clause bounds nothing.
 _KEY_ALT = "|".join(FACT_KEY_COLUMNS)
-_KEY_EQ_OR_IN = re.compile(rf"(?:{_KEY_ALT})#\d+L?\s*(?:=[^=]|IN\b)")
+_KEY_EQ_LIT = re.compile(rf"(?:{_KEY_ALT})#\d+L?\s*=\s*(?:cast\()?\d")
+_KEY_IN_LIT = re.compile(rf"(?:{_KEY_ALT})#\d+L?\s+IN\s*\(\s*(?:cast\()?\d")
 _KEY_LT_SMALL = re.compile(
     rf"(?:{_KEY_ALT})#\d+L?\s*<=?\s*(?:cast\()?(\d+)"
 )
 _BOUNDED_KEY_MAX = 65536
+_UNBOUNDED_CONTEXT = re.compile(r"\bOR\b|\bNOT\b")
 
 
 def _is_bounded_key_filter(cond: str) -> bool:
-    if _KEY_EQ_OR_IN.search(cond):
+    if _UNBOUNDED_CONTEXT.search(cond):
+        return False
+    if _KEY_EQ_LIT.search(cond) or _KEY_IN_LIT.search(cond):
         return True
     m = _KEY_LT_SMALL.search(cond)
     return bool(m) and int(m.group(1)) <= _BOUNDED_KEY_MAX
@@ -105,40 +129,101 @@ def _leaf_fact_table(node) -> str | None:
     return None
 
 
-def _unexcused_fact_leaves(node, excused: bool) -> list[str]:
-    """Fact-table leaves under ``node`` not behind a reducing operator."""
-    if excused:
-        return []
+_ATTR_NAME = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+def _grouping_is_bounded(node) -> bool:
+    """True when an Aggregate's grouping expressions reference no
+    fact-grain column — its output cardinality is a bounded domain."""
+    exprs = node.groupingExpressions()
+    refs: set[str] = set()
+    for i in range(exprs.length()):
+        refs.update(_ATTR_NAME.findall(str(exprs.apply(i))))
+    return not (refs & FACT_GRAIN_COLUMNS)
+
+
+def _distinct_is_bounded(node) -> bool:
+    """Distinct/Deduplicate reduce to the distinct-value count of their
+    output columns — bounded only if none of those is fact-grain."""
+    out = node.output()
+    names = {out.apply(i).name() for i in range(out.length())}
+    return not (names & FACT_GRAIN_COLUMNS)
+
+
+def _unexcused_fact_leaves(node) -> list[str]:
+    """Fact-table leaves under ``node`` not behind a bounding operator."""
     cls = _cls(node)
     kids = _children(node)
     if not kids:
         table = _leaf_fact_table(node)
         return [table] if table else []
-    child_excused = cls in _REDUCING
+    if cls in ("GlobalLimit", "LocalLimit", "Sample"):
+        return []
+    if cls == "Aggregate" and _grouping_is_bounded(node):
+        return []
+    if cls in ("Distinct", "Deduplicate") and _distinct_is_bounded(node):
+        return []
     if cls == "Filter" and _is_bounded_key_filter(str(node.condition())):
-        child_excused = True
-    if cls == "Join":
-        jt = str(node.joinType())
-        if jt in ("LeftSemi", "LeftAnti"):
-            # result = pruned left side; right side only prunes, it is
-            # never materialized into the broadcast hash table
-            child_excused = True
+        return []
+    if cls == "Join" and str(node.joinType()) in ("LeftSemi", "LeftAnti"):
+        # the result is the (still fraction-of-fact, SF-linear) left
+        # side; the right side only prunes and never materializes into
+        # the broadcast hash table
+        return _unexcused_fact_leaves(kids[0])
     found: list[str] = []
     for k in kids:
-        found.extend(_unexcused_fact_leaves(k, child_excused))
+        found.extend(_unexcused_fact_leaves(k))
     return found
 
 
+class checkpoint_audit:
+    """Context manager closing the tripwire's localCheckpoint blind
+    spot (r4 ADVICE): ``df.localCheckpoint()`` executes eagerly and
+    replaces the subtree with a LogicalRDD leaf, so any broadcast hint
+    INSIDE the checkpointed plan is invisible to a later
+    ``broadcast_violations`` walk (the hole the r4 pagerank/q11 hints
+    rode). While active, every ``DataFrame.localCheckpoint`` call first
+    audits the pre-checkpoint plan and accumulates its violations in
+    ``self.violations`` — the sweep test wraps query construction in
+    this, so checkpointed subplans are held to the same policy as the
+    final plan."""
+
+    def __enter__(self):
+        # patch the CONCRETE class: Spark 4 instances are
+        # pyspark.sql.classic.dataframe.DataFrame, which overrides the
+        # abstract pyspark.sql.DataFrame method — patching the parent
+        # would never intercept
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame as _cls
+        except ImportError:  # older PySpark: one concrete class
+            _cls = DataFrame
+        self._cls = _cls
+        self.violations: list[str] = []
+        self._orig = _cls.localCheckpoint
+        audit = self
+
+        def _wrapped(df_self, *a, **kw):
+            audit.violations.extend(broadcast_violations(df_self))
+            return audit._orig(df_self, *a, **kw)
+
+        _cls.localCheckpoint = _wrapped
+        return self
+
+    def __exit__(self, *exc):
+        self._cls.localCheckpoint = self._orig
+        return False
+
+
 def broadcast_violations(df: DataFrame) -> list[str]:
-    """Return ['<table> (under broadcast hint)'] for every fact-scale
-    leaf reachable from a broadcast hint without cardinality reduction.
-    Empty list = plan is broadcast-safe at the 100 TB design point."""
+    """Return ['<table>'] for every fact-scale leaf reachable from a
+    broadcast hint without cardinality bounding. Empty list = plan is
+    broadcast-safe at the 100 TB design point."""
     analyzed = df._jdf.queryExecution().analyzed()
     violations: list[str] = []
 
     def walk(node):
         if _is_broadcast_hint(node):
-            violations.extend(_unexcused_fact_leaves(node.child(), False))
+            violations.extend(_unexcused_fact_leaves(node.child()))
         for k in _children(node):
             walk(k)
 

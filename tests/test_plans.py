@@ -641,10 +641,14 @@ class TestBroadcastTripwire:
     """The class-level guard against forced broadcasts of fact-scale
     frames (the defect class of the r3 TPC-H block): every registered
     query's analyzed plan is walked; a broadcast hint whose subtree
-    reaches an orders/lineitem/customer/documents/events/embeddings
-    leaf without a cardinality-reducing operator (aggregate, semi/anti
-    join, limit, bounded-key filter) fails the suite — same spirit as
-    test_oracle_types.py killing the HUGEINT class at authoring time."""
+    reaches an orders/lineitem/customer/supplier/part/documents/events/
+    embeddings leaf without a cardinality-BOUNDING operator (group-by
+    over non-fact-grain keys, limit, literal bounded-key filter, or
+    the never-materialized right side of a semi/anti join) fails the
+    suite — same spirit as test_oracle_types.py killing the HUGEINT
+    class at authoring time. r5 closed the r4 verdict's three holes:
+    fact-grain aggregates no longer excuse, semi/anti no longer excuse
+    their left side, and supplier/part count as SF-linear."""
 
     def test_flags_forced_fact_broadcast(self, spark):
         # the tripwire itself must fire if someone re-adds F.broadcast(o)
@@ -664,6 +668,84 @@ class TestBroadcastTripwire:
         )
         assert broadcast_violations(bad_filtered) == ["orders"]
 
+    def test_fact_grain_aggregate_fires(self, spark):
+        # r4 verdict item 1: a per-user/per-orderkey aggregate is still
+        # SF-linear — "Aggregate excuses the hint" must not apply
+        import pyspark.sql.functions as F
+
+        from ai_etl_studio_spark.operators.relational import load_table
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        e = load_table(spark, SF_DIR, "events")
+        per_user = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+        bad = e.join(F.broadcast(per_user), "user_id")
+        assert broadcast_violations(bad) == ["events"]
+        # the q18 shape: an l_orderkey-grain aggregate (constant
+        # FRACTION of orders, not a bounded count) no longer excuses
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("tq"))
+            .filter(F.col("tq") > 150)
+        )
+        bad2 = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        assert broadcast_violations(bad2) == ["lineitem"]
+
+    def test_supplier_part_are_fact_scale(self, spark):
+        # r4 verdict item 3: supplier (10k·SF) and part (200k·SF) are
+        # SF-linear — an unfiltered hint bypasses the broadcast budget
+        import pyspark.sql.functions as F
+
+        from ai_etl_studio_spark.operators.relational import load_table
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        p = load_table(spark, SF_DIR, "part")
+        s = load_table(spark, SF_DIR, "supplier")
+        assert broadcast_violations(
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        ) == ["part"]
+        assert broadcast_violations(
+            li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        ) == ["supplier"]
+
+    def test_semi_join_left_side_not_excused(self, spark):
+        # the semi-pruned fact side is a FRACTION of the fact table;
+        # only the (never-materialized) right probe side is exempt
+        import pyspark.sql.functions as F
+
+        from ai_etl_studio_spark.operators.relational import load_table
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        o = load_table(spark, SF_DIR, "orders")
+        n = load_table(spark, SF_DIR, "nation").limit(3)
+        li = load_table(spark, SF_DIR, "lineitem")
+        pruned = o.join(n, o.o_custkey == n.n_nationkey, "left_semi")
+        bad = li.join(F.broadcast(pruned), li.l_orderkey == pruned.o_orderkey)
+        assert broadcast_violations(bad) == ["orders"]
+
+    def test_bounded_key_filter_literal_rhs_only(self, spark):
+        # r4 ADVICE: column-to-column equality / OR / NOT around a key
+        # comparison bounds nothing
+        import pyspark.sql.functions as F
+
+        from ai_etl_studio_spark.operators.relational import load_table
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        o = load_table(spark, SF_DIR, "orders")
+        li = load_table(spark, SF_DIR, "lineitem")
+        col_eq = o.filter(F.col("o_orderkey") == F.col("o_custkey"))
+        assert broadcast_violations(
+            li.join(F.broadcast(col_eq), li.l_orderkey == col_eq.o_orderkey)
+        ) == ["orders"]
+        disjunct = o.filter(
+            (F.col("o_orderkey") == 7) | (F.col("o_totalprice") > 0)
+        )
+        assert broadcast_violations(
+            li.join(F.broadcast(disjunct), li.l_orderkey == disjunct.o_orderkey)
+        ) == ["orders"]
+
     def test_reducing_operators_excuse(self, spark):
         import pyspark.sql.functions as F
 
@@ -672,24 +754,54 @@ class TestBroadcastTripwire:
 
         o = load_table(spark, SF_DIR, "orders")
         li = load_table(spark, SF_DIR, "lineitem")
-        # aggregate-reduced build side: fine (the q18 shape)
-        big = (
-            li.groupBy("l_orderkey")
-            .agg(F.sum("l_quantity").alias("tq"))
-            .filter(F.col("tq") > 150)
+        # aggregate over a BOUNDED domain: fine
+        by_priority = o.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n")
         )
-        ok = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        ok = o.join(F.broadcast(by_priority), "o_orderpriority")
         assert broadcast_violations(ok) == []
         # bounded-key filter (the ANN query-vector shape): fine
         one = o.filter(F.col("o_orderkey") == 7)
         assert broadcast_violations(li.crossJoin(F.broadcast(one))) == []
+        # explicit limit: fine
+        topk = li.groupBy("l_orderkey").count().limit(10)
+        assert broadcast_violations(
+            o.join(F.broadcast(topk), o.o_orderkey == topk.l_orderkey)
+        ) == []
+
+    def test_checkpoint_audit_sees_hidden_hints(self, spark):
+        # r4 ADVICE: localCheckpoint hides hinted subplans — the audit
+        # hook must surface them at checkpoint time
+        import pyspark.sql.functions as F
+
+        from ai_etl_studio_spark.operators.relational import load_table
+        from ai_etl_studio_spark.plans.tripwire import (
+            broadcast_violations,
+            checkpoint_audit,
+        )
+
+        o = load_table(spark, SF_DIR, "orders")
+        li = load_table(spark, SF_DIR, "lineitem")
+        with checkpoint_audit() as audit:
+            hidden = li.join(
+                F.broadcast(o), li.l_orderkey == o.o_orderkey
+            ).localCheckpoint()
+        # the final plan is a leaf — blind without the audit...
+        assert broadcast_violations(hidden.groupBy("o_orderpriority").count()) == []
+        # ...but the audit caught the hint before it vanished
+        assert audit.violations == ["orders"]
 
     def test_all_registered_queries_are_broadcast_safe(self, spark):
-        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+        from ai_etl_studio_spark.plans.tripwire import (
+            broadcast_violations,
+            checkpoint_audit,
+        )
 
         bad = {}
         for name, fn in QUERIES.items():
-            v = broadcast_violations(fn(spark, SF_DIR))
+            with checkpoint_audit() as audit:
+                v = broadcast_violations(fn(spark, SF_DIR))
+            v = list(v) + audit.violations
             if v:
                 bad[name] = sorted(set(v))
         assert not bad, f"forced fact-scale broadcasts: {bad}"
