@@ -32,24 +32,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #: prefix ROTATES each round toward queries that have never had a
 #: driver row. Round 1 covered the reference-parity core; round 2 the
 #: LLM-data-pipeline extensions; round 3 the extended/array/function
-#: surfaces + the round-3 additions (50/50 green). Round 4 rotates to
-#: the r1∪r2∪r3 backlog, TPC-H first: the 18 tpch_q3..q20 slots prove
-#: the r4 broadcast-hint rewrite (VERDICT r3 item 1) against the
-#: driver, then the audit/insights/PQ/geo/crosslingual set. NOTE when
-#: regenerating the backlog with set(oracle_sql()) -
+#: surfaces + round-3 additions; round 4 the TPC-H block (proving the
+#: de-broadcast rewrite) + audit/insights/PQ/geo (all 50/50 green).
+#: Round 5 (this prefix, per the r4 verdict items 2+5): the 17
+#: old-backlog §2B names first, then the drift tier (11), the
+#: corpus/LLM tier (17), and the FIVE ROWS-ONLY sketch/iterative ops
+#: at slots 46-50 — they can't hash-match by design and get err:null
+#: rows-only rows (carried from the r3 verdict; r4 had no free slot).
+#: NOTE when regenerating the backlog with set(queries()) -
 #: set(CORRECTNESS_r0*.json) - set(PRIORITY): the four alias names
 #: tpch_q1/q2/q21/q22 must ALSO be subtracted — their targets
 #: (agg_pricing_summary, min_cost_per_part, pending_returns_q21,
 #: q22_cohort_anti_join) already carry r1 driver rows, so the formula
-#: otherwise over-counts by 4 (71 instead of 67). Queued for the r5
-#: rotation — the 17 oracle-twinned names still without a driver row
-#: after this prefix runs:
-#: anomaly_zscore argmax_minby boolean_linreg_agg datetime_functions
-#: distinct_projection having_filter join_cross math_functions
-#: null_handling pct_of_total repetition_quality
-#: stopword_pruned_corpus string_agg_ordered text_tokens
-#: window_fill_forward window_range_rolling window_sliding
-#: — plus the seventy-four operators ADDED in round 4 (weighted_sample_topk,
+#: otherwise over-counts by 4. Remaining r6+ backlog pool (r4-session
+#: additions, still without driver rows after this prefix runs):
+#: the round-4 operators (weighted_sample_topk,
 #: table_profile, basket_pairs, skyline_pareto,
 #: chi_square_independence, ann_pq_append_topk, time_weighted_avg,
 #: attribution_last_touch, survival_km, freshness_audit,
@@ -160,69 +157,65 @@ def entry(spark: SparkSession) -> DataFrame:
 #: brand_discovery_curve, size_type_price_interaction,
 #: user_type_entropy_histogram, delay_by_value_quartile,
 #: user_value_concentration, order_span_histogram,
-#: horizon_edge_audit; no
-#: prefix slot left this round) and the rows-only five (approx_distinct, hll_sketch_rollup,
-#: percentile_approx_sketch, kmeans_embeddings, embedding_pca_power),
-#: which can't hash-match by design but get err:null rows-only rows.
+#: horizon_edge_audit — plus the round-5 additions substring_dup_spans,
+#: substring_dedup_from_index, ann_ivfpq_topk, ann_ivfpq_recall_eval.
 PRIORITY: tuple[str, ...] = (
-    # the full TPC-H backlog — proving the r4 plan rewrite (the 7
-    # de-broadcast queries + q18 inversion) under the driver's gate
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    # the composed flagship pipeline
-    "pretrain_corpus_pipeline",
-    # audit suite
-    "dq_audit",
-    "snapshot_diff",
-    "user_erasure_audit",
-    "contamination_fraction",
-    "ngram_novelty_rate",
-    # insights suite
-    "path_transitions",
-    "ab_test_ztest",
-    "seasonal_naive_mape",
-    "trend_forecast_linreg",
-    "mad_outliers",
-    "triangle_count",
-    "countmin_heavy_hitters",
-    "join_cardinality_probe",
-    # ANN PQ ladder + spatial
-    "ann_pq_topk",
-    "ann_pq_from_index",
-    "geo_grid_join",
-    # r4-fixed operators (fresh driver proof of the new plans)
-    "crosslingual_pairs",
-    "scd2_pit_lookup",
-    "time_to_convert",
-    "window_rolling_corr",
-    # remaining never-checked backlog (fills the 50-row window)
-    "line_dedup_corpus",
-    "line_dedup_from_index",
-    "multimodal_decode_pipeline",
-    "multimodal_frame_sample",
-    "multimodal_audio_segments",
-    "stream_static_join_batch_twin",
-    "salted_agg",
-    "gopher_rules",
-    "interval_join_events",
-    "window_distinct_count",
-    "rolling_median",
+    # 17 old-backlog §2B names (math/string/datetime/null long tail,
+    # window frames, pct-of-total — queued since r3)
+    "anomaly_zscore",
+    "argmax_minby",
+    "boolean_linreg_agg",
+    "datetime_functions",
+    "distinct_projection",
+    "having_filter",
+    "join_cross",
+    "math_functions",
+    "null_handling",
+    "pct_of_total",
+    "repetition_quality",
+    "stopword_pruned_corpus",
+    "string_agg_ordered",
+    "text_tokens",
+    "window_fill_forward",
+    "window_range_rolling",
+    "window_sliding",
+    # drift/statistics tier
+    "psi_drift",
+    "ks_two_sample",
+    "mannwhitney_utest",
+    "correlation_matrix",
+    "seasonal_anomaly_dow",
+    "entropy_by_source",
+    "hhi_concentration",
+    "mutual_information",
+    "autocorrelation_lags",
+    "quantile_drift",
+    "kl_divergence_by_source",
+    # corpus/LLM-feed tier
+    "vocab_growth_curve",
+    "tokenizer_fertility",
+    "perplexity_by_source",
+    "dup_rate_by_source",
+    "split_leakage_audit",
+    "source_token_jaccard",
+    "power_law_alpha",
+    "langid_confusion",
+    "context_window_fit",
+    "pii_rate_by_source",
+    "dataset_card_summary",
+    "class_balance_weights",
+    "embedding_norm_audit",
+    "embedding_centroid_drift",
+    "lsh_tuning_curve",
+    "near_dup_rate_by_source",
+    "dup_cluster_histogram",
+    # the rows-only five (slots 46-50, r3 verdict item 5): no SQL
+    # oracle by design — the driver records err:null rows-only rows
+    "approx_distinct",
+    "hll_sketch_rollup",
+    "percentile_approx_sketch",
+    "kmeans_embeddings",
+    "embedding_pca_power",
 )
 
 

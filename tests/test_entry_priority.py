@@ -19,12 +19,26 @@ def _entry():
     return mod
 
 
+#: the five sketch/iterative ops with no SQL oracle by design — the r5
+#: prefix deliberately carries them at slots 46-50 so the driver records
+#: their err:null rows-only rows (r3 verdict item 5); every OTHER prefix
+#: entry must be fully hash-checkable
+ROWS_ONLY = {
+    "approx_distinct",
+    "hll_sketch_rollup",
+    "percentile_approx_sketch",
+    "kmeans_embeddings",
+    "embedding_pca_power",
+}
+
+
 def test_priority_prefix_invariants():
     m = _entry()
     q, o = m.queries(), m.oracle_sql()
     assert len(m.PRIORITY) == 50
     assert list(q)[: len(m.PRIORITY)] == list(m.PRIORITY)
     # every priority entry is oracle-twinned (full hash-check row)
-    assert [k for k in m.PRIORITY if k not in o] == []
+    # except the deliberate rows-only five
+    assert set(k for k in m.PRIORITY if k not in o) <= ROWS_ONLY
     # oracles never reference unregistered queries
     assert set(o) <= set(q)

@@ -1,0 +1,51 @@
+"""Registry-vs-docs consistency: the README inventory counts are pinned
+here so the doc cannot silently drift from ``__spark_entry__.queries()``
+again (r4 ADVICE item — the README sat at the r3 counts for a round).
+
+When adding operators, update BOTH the counts below and the README
+paragraph that cites them.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import __spark_entry__ as entry
+
+REPO = Path(__file__).resolve().parent.parent
+
+#: the five sketch/iterative ops that cannot hash-match a SQL oracle by
+#: design — each carries independent pytest verification instead
+ROWS_ONLY = {
+    "approx_distinct",
+    "embedding_pca_power",
+    "hll_sketch_rollup",
+    "kmeans_embeddings",
+    "percentile_approx_sketch",
+}
+
+
+def test_registry_counts_match_readme():
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(o) <= set(q)
+    assert set(q) - set(o) == ROWS_ONLY
+    readme = (REPO / "README.md").read_text()
+    m = re.search(r"\((\d+) entries, (\d+)\s*\nwith exact SQL oracles", readme)
+    assert m, "README inventory sentence not found / reformatted"
+    assert (int(m.group(1)), int(m.group(2))) == (len(q), len(o)), (
+        f"README claims {m.group(1)}/{m.group(2)} but registry has "
+        f"{len(q)}/{len(o)} — update the README inventory paragraph"
+    )
+
+
+def test_priority_prefix_is_50_and_registered():
+    q = entry.queries()
+    assert len(entry.PRIORITY) == 50
+    assert len(set(entry.PRIORITY)) == 50
+    missing = [n for n in entry.PRIORITY if n not in q]
+    assert not missing, f"PRIORITY names not in registry: {missing}"
+    # the driver hash-checks the first 50 keys — the dict must lead
+    # with exactly the PRIORITY names in order
+    assert list(q)[:50] == list(entry.PRIORITY)
