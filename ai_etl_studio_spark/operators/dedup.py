@@ -1468,3 +1468,238 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (hashed suffix-window, Lee et al. 2022 tier)
+# ---------------------------------------------------------------------------
+
+#: Tokens per suffix window. Every stride-1 window of this length is
+#: hashed; a window seen in >= SUBSTR_DF distinct documents marks a
+#: duplicated SPAN (the pretraining tier between line dedup's coarse
+#: fixed blocks and MinHash's whole-doc similarity — Lee et al.,
+#: "Deduplicating Training Data Makes Language Models Better", use
+#: suffix arrays for the same semantics; hashed stride-1 windows are
+#: the standard distributed approximation).
+SUBSTR_W = 12
+
+#: A window in >= this many DISTINCT documents is a duplicated span.
+SUBSTR_DF = 2
+
+_SUBSTR_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      FROM documents WHERE text IS NOT NULL),
+    win AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(ts[(i+1):(i+{SUBSTR_W})], ' ')) AS h
+      FROM toks, UNNEST(range(CAST(len(ts) - {SUBSTR_W} + 1 AS BIGINT))) AS u(i)
+      WHERE len(ts) >= {SUBSTR_W}),
+    freq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM win GROUP BY h),
+    tagged AS (
+      SELECT w.doc_id, w.pos, (f.df >= {SUBSTR_DF}) AS dup
+      FROM win w JOIN freq f USING (h)),
+    runs AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM tagged WHERE dup),
+    islands AS (
+      SELECT doc_id, COUNT(*) AS run_len FROM runs GROUP BY doc_id, grp),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+      FROM tagged GROUP BY doc_id),
+    spans AS (SELECT doc_id, MAX(run_len) AS max_run FROM islands GROUP BY doc_id)
+    SELECT p.doc_id, p.n_windows, p.n_dup_windows,
+           CAST(CASE WHEN s.max_run IS NULL THEN 0
+                     ELSE s.max_run + {SUBSTR_W} - 1 END AS BIGINT)
+             AS max_dup_span_tokens,
+           CAST(p.n_dup_windows * 1000000 // p.n_windows AS BIGINT)
+             AS dup_window_ppm,
+           CAST(CASE WHEN p.n_dup_windows * 2 >= p.n_windows THEN 1 ELSE 0 END
+                AS BIGINT) AS drop_candidate
+    FROM per_doc p LEFT JOIN spans s ON p.doc_id = s.doc_id
+    ORDER BY p.doc_id
+    """
+
+
+def _doc_windows(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): every stride-1 SUBSTR_W-token window's 64-bit
+    digest, built with a narrow transform + ONE posexplode (no token
+    explode, no window-string shuffle — only 8-byte digests move).
+
+    Docs shorter than SUBSTR_W tokens have no window and are excluded
+    (mirrored by the oracle's ``len(ts) >= W`` guard)."""
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    docs = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", ts.alias("ts"))
+        .filter(F.size("ts") >= SUBSTR_W)
+    )
+    win_arr = F.transform(
+        F.sequence(F.lit(0), F.size("ts") - SUBSTR_W),
+        lambda i: F.xxhash64(F.array_join(F.slice("ts", i + 1, SUBSTR_W), " ")),
+    )
+    return docs.select("doc_id", F.posexplode(win_arr).alias("pos", "h"))
+
+
+def _substring_span_report(tagged: DataFrame) -> DataFrame:
+    """Per-doc rollup of a (doc_id, pos, dup) frame: window counts, the
+    longest duplicated RUN folded from the sorted duplicated positions
+    (a pure expression — per-doc state bounded by doc length, no second
+    window shuffle), ppm rate and the drop verdict."""
+    agg = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.count(F.when(F.col("dup"), 1)).cast("bigint").alias("n_dup_windows"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("dup"), F.col("pos")))
+        ).alias("dup_pos"),
+    )
+    max_run = F.aggregate(
+        F.col("dup_pos"),
+        F.struct(
+            F.lit(0).alias("best"), F.lit(0).alias("cur"), F.lit(-2).alias("prev")
+        ),
+        lambda acc, p: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(p == acc["prev"] + 1, acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(p == acc["prev"] + 1, acc["cur"] + 1)
+            .otherwise(F.lit(1))
+            .alias("cur"),
+            p.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return (
+        agg.select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.when(max_run > 0, max_run + SUBSTR_W - 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("max_dup_span_tokens"),
+            F.expr("n_dup_windows * 1000000 DIV n_windows").alias(
+                "dup_window_ppm"
+            ),
+            (F.col("n_dup_windows") * 2 >= F.col("n_windows"))
+            .cast("bigint")
+            .alias("drop_candidate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("substring_dup_spans", oracle=_SUBSTR_ORACLE)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (the missing pretraining tier between
+    line dedup and MinHash): every stride-1 SUBSTR_W-token window is
+    hashed; windows seen in >= SUBSTR_DF distinct docs mark duplicated
+    spans. Per doc: window counts, the LONGEST duplicated span in
+    tokens (consecutive duplicated windows w..w+k cover k + W - 1
+    tokens), integer-ppm dup rate, and a drop verdict (>= half the
+    windows duplicated). The reference (balyuv/ai-etl-studio) has no
+    text pipeline; this is driver-directed extension surface.
+
+    Scale (the fan-out bound, cf. LSH_BUCKET_CAP): stride-1 windows are
+    Sum(n_i - W + 1) <= corpus token count — LINEAR in the corpus, the
+    same row count every token-grain op here already carries; pairs are
+    NEVER materialized (a boilerplate window shared by millions of docs
+    fans into the one-row-per-digest freq side only). The frequency agg
+    groups on the 8-byte xxhash64 digest, not the window text; the
+    longest-run scan is a per-doc fold over sorted positions inside one
+    groupBy — no second shuffle, no window function. Both engines hash
+    independently (xxhash64 vs md5) — equal windows collide to equal
+    digests within each engine, so the df counts agree.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    win = _doc_windows(d)
+    freq = win.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    tagged = win.join(freq, "h").select(
+        "doc_id", "pos", (F.col("df") >= SUBSTR_DF).alias("dup")
+    )
+    return _substring_span_report(tagged)
+
+
+def _substr_index_ident(sf_dir: str, base_dir: str | None = None) -> tuple[str, str]:
+    """(table_name, path) for the persisted duplicated-window digest
+    index — corpus-file fingerprint + base_dir identity, exactly the
+    _line_index_ident contract (ADVICE r3: base_dir is part of the
+    identity so two locations never share a catalog name)."""
+    import hashlib
+    import os
+
+    if base_dir is None:
+        import pathlib
+
+        base_dir = str(
+            pathlib.Path(__file__).resolve().parents[2] / ".cache" / "substr_win"
+        )
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{int(st.st_mtime)}"
+        f"|{SUBSTR_W}|{SUBSTR_DF}|{os.path.abspath(base_dir)}".encode()
+    ).hexdigest()[:12]
+    tbl = f"substr_win_{fp}"
+    return tbl, os.path.join(base_dir, tbl)
+
+
+def ensure_substring_index(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> str:
+    """Build-once the corpus's duplicated-window digest set (xxhash64 of
+    every SUBSTR_W-token window in >= SUBSTR_DF distinct docs) as a
+    parquet table; later sessions re-register the files. The production
+    split: the corpus-wide frequency pass runs once per snapshot, then
+    every ingest batch tags its own spans with one membership join —
+    cost scales with the batch, not the corpus."""
+    import os
+
+    tbl, path = _substr_index_ident(sf_dir, base_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents")
+        (
+            _doc_windows(d)
+            .groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df") >= SUBSTR_DF)
+            .select("h")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+    elif not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE {tbl} (h BIGINT) USING PARQUET LOCATION '{path}'"
+        )
+    return tbl
+
+
+@register(
+    "substring_dedup_from_index",
+    # identical contract to substring_dup_spans -> same oracle (the
+    # index only changes the PLAN: membership join replaces the
+    # corpus-wide frequency aggregation)
+    oracle=_SUBSTR_ORACLE,
+)
+def substring_dedup_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``substring_dup_spans`` served from the persisted duplicated-
+    window index: the countDistinct shuffle over every window is
+    REPLACED by one membership hash join against the build-once digest
+    table — the incremental-ingest shape at 100 TB. The join is
+    hint-free: the duplicated-window set is normally small (AQE
+    broadcasts it) but grows with corpus breadth, so forcing a
+    broadcast would pin an unbounded artifact in every executor
+    (SCALE.md "Broadcast budget")."""
+    tbl = ensure_substring_index(spark, sf_dir)
+    idx = spark.table(tbl).withColumn("is_dup", F.lit(1))
+    d = load_table(spark, sf_dir, "documents")
+    tagged = _doc_windows(d).join(idx, "h", "left").select(
+        "doc_id", "pos", F.col("is_dup").isNotNull().alias("dup")
+    )
+    return _substring_span_report(tagged)

@@ -2393,3 +2393,265 @@ def label_pair_similarity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("same_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ combined serve (the completed ANN ladder) + measured recall
+# ---------------------------------------------------------------------------
+
+#: ADC shortlist size per query before the exact re-rank — the Faiss
+#: "refine" factor: PQ at {PQ_M}×{PQ_K} codes is a 16× compression and
+#: too coarse to ORDER the final top-k on its own (measured raw-ADC
+#: recall ~0.4 here), but it is plenty to SHORTLIST; re-ranking R raw
+#: vectors per query restores recall. R is the serving knob trading
+#: refine I/O for recall — it must track the probed-list length (R=400
+#: is ~3% of each query's candidates at sf0.1 and makes the hybrid's
+#: measured recall IDENTICAL to the IVF path's per query at every
+#: tested SF, see ann_ivfpq_recall_eval); at 100 TB, tune R per corpus
+#: exactly as Faiss's refine factor is tuned.
+IVFPQ_REFINE_R = 400
+
+
+def _ivfpq_oracle() -> str:
+    """IVF coarse pruning (the ann_ivf_topk assignment/probe CTEs) +
+    PQ-ADC shortlisting (the ann_pq_topk code/distance-table CTEs)
+    restricted to the surviving cells + exact cosine re-rank of the
+    R-row shortlist — the fragments are the SAME text the registered
+    single-stage oracles use, so the hybrid cannot drift from its
+    parts."""
+    d2_ca = _PQ_D2(n=PQ_SUBDIM + 1, a="c.s", b="a.a")
+    d2_qa = _PQ_D2(n=PQ_SUBDIM + 1, a="q.s", b="a.a")
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS cemb FROM v
+          WHERE vec_id < {N_CENTROIDS}),
+    cscored AS (
+      SELECT v.vec_id, c.centroid_id, {_COS_VC} AS cos_c
+      FROM v CROSS JOIN c),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_c DESC, centroid_id) AS crn
+        FROM cscored) s
+      WHERE crn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_c DESC, centroid_id) AS crn
+        FROM cscored WHERE vec_id < {PQ_QUERIES}) s
+      WHERE crn <= {NPROBE}),
+    ivf_cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.query_id),
+    vq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(ROUND(x*{_PQ_SCALE}) AS BIGINT)) AS qe
+      FROM embeddings),
+    sub AS (
+      SELECT vec_id, m, qe[(m*{PQ_SUBDIM}+1):(m*{PQ_SUBDIM}+{PQ_SUBDIM})] AS s
+      FROM vq, UNNEST(range({PQ_M})) AS u(m)),
+    anch AS (SELECT vec_id AS k, m, s AS a FROM sub WHERE vec_id < {PQ_K}),
+    codes AS (
+      SELECT vec_id, m, MIN(d2 * {PQ_K} + k) % {PQ_K} AS k
+      FROM (
+        SELECT c.vec_id, c.m, a.k, {d2_ca} AS d2
+        FROM sub c JOIN anch a ON a.m = c.m) t
+      GROUP BY vec_id, m),
+    qd AS (
+      SELECT q.vec_id AS query_id, q.m, a.k, {d2_qa} AS d2
+      FROM sub q JOIN anch a ON a.m = q.m
+      WHERE q.vec_id < {PQ_QUERIES}),
+    adc AS (
+      SELECT qd.query_id, cd.vec_id AS neighbor_id,
+             CAST(SUM(qd.d2) AS BIGINT) AS adc_d2
+      FROM codes cd
+      JOIN qd ON qd.m = cd.m AND qd.k = cd.k
+      JOIN ivf_cand ic
+        ON ic.query_id = qd.query_id AND ic.neighbor_id = cd.vec_id
+      GROUP BY qd.query_id, cd.vec_id),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2, neighbor_id) AS arn
+        FROM adc) r
+      WHERE arn <= {IVFPQ_REFINE_R}),
+    paired AS (
+      SELECT s.query_id, s.neighbor_id, q.emb AS q_emb, n.emb AS n_emb
+      FROM shortlist s
+      JOIN v q ON q.vec_id = s.query_id
+      JOIN v n ON n.vec_id = s.neighbor_id),
+    refined AS (
+      SELECT query_id, neighbor_id, {_COS_QN} AS cos FROM paired)
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+      SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rn
+      FROM refined) r
+    WHERE rn <= {PQ_TOPK}
+    ORDER BY query_id, rn
+    """
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined serve with exact refinement — the production ANN
+    shape that completes the ladder (brute force → LSH buckets → IVF →
+    PQ → IVF+PQ+refine): the coarse quantizer prunes the corpus to each
+    query's {NPROBE} nearest of {N_CENTROIDS} inverted lists, PQ
+    Asymmetric Distance Computation over the ENCODE-ONCE code table
+    shortlists {IVFPQ_REFINE_R} survivors per query, and ONLY that
+    shortlist loads raw vectors for the exact cosine top-{PQ_TOPK} —
+    candidate generation and shortlist scoring never touch more than
+    {NPROBE}/{N_CENTROIDS} of the codes, and raw vectors are read for
+    R·|Q| rows total (the Faiss refine pattern; raw ADC at
+    {PQ_M}×{PQ_K} codes orders too coarsely — measured ~0.4 recall —
+    while the refined serve matches the IVF path's recall).
+
+    Scale: the assignment pass is the ann_ivf_topk argmax (map-side
+    combining groupBy, one row per vector — at 100 TB it is WRITTEN
+    bucketed by centroid_id next to the PQ code table, so serving joins
+    two build-once artifacts); the probe list and the query distance
+    table are bounded-key-filtered query-side frames (broadcast-legal
+    by the tripwire's literal-RHS rule); the candidate⋈code join is
+    hint-free vec_id-on-vec_id; the refine join fetches R·|Q| raw
+    vectors through an aggregate-bounded shortlist. ADC stays exact
+    int64 micro-units — bit-identical across engines in any summation
+    order.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "cos_c", cosine(F.col("emb"), F.col("cemb"))
+    )
+    order_key = F.struct(F.col("cos_c"), (-F.col("centroid_id")).alias("negid"))
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(F.max_by("centroid_id", order_key).alias("centroid_id"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id")
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < PQ_QUERIES)
+        .withColumn("crn", F.row_number().over(w_probe))
+        .filter(F.col("crn") <= NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "centroid_id")
+    )
+    ivf_cand = (
+        assign.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    codes = spark.table(ensure_pq_code_index(spark, sf_dir))
+    sub, anch = _pq_sub_anchors(
+        _pq_quantized(spark, sf_dir).filter(
+            F.col("vec_id") < max(PQ_K, PQ_QUERIES)
+        )
+    )
+    qd = (
+        sub.filter(F.col("vec_id") < PQ_QUERIES)
+        .join(F.broadcast(anch), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "k",
+            _pq_d2(F.col("s"), F.col("a")).alias("d2"),
+        )
+    )
+    adc = (
+        codes.join(ivf_cand, "vec_id")
+        .join(F.broadcast(qd), ["query_id", "m", "k"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").cast("bigint").alias("adc_d2"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = (
+        adc.withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= IVFPQ_REFINE_R)
+        .select("query_id", "neighbor_id")
+    )
+    q_emb = emb.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    refined = (
+        shortlist.join(F.broadcast(q_emb), "query_id")
+        .join(emb, shortlist.neighbor_id == emb.vec_id)
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        refined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+            "rn",
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
+def _ivfpq_recall_oracle() -> str:
+    from ai_etl_studio_spark.operators import ORACLES
+
+    return f"""
+    WITH exact AS ({ORACLES["ann_cosine_topk"]}),
+    approx AS ({ORACLES["ann_ivfpq_topk"]}),
+    hit AS (
+      SELECT e.query_id,
+             CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM exact e LEFT JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           CAST(round(CAST(SUM(hit) AS DOUBLE) / COUNT(*) * 1000000, 0)
+             AS BIGINT) AS recall_micro
+    FROM hit GROUP BY query_id ORDER BY query_id
+    """
+
+
+@register("ann_ivfpq_recall_eval", oracle=_ivfpq_recall_oracle())
+def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@{TOPK} of the IVF-PQ combined serve against the
+    exact brute-force truth — the hybrid's companion to
+    ann_ivf_recall_eval, on the SAME queries, so the two evals are
+    directly comparable (the acceptance bar: the hybrid should not lose
+    recall to the IVF-only path beyond PQ's quantization error).
+
+    Scale: identical shape to ann_ivf_recall_eval — one left join of
+    two {TOPK}·|Q|-row rankings + a |Q|-row rollup; the oracle composes
+    the two REGISTERED oracle texts so the eval can never drift from
+    what it audits.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_ivfpq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+                * 1_000_000,
+                0,
+            ).cast("bigint").alias("recall_micro"),
+        )
+        .orderBy("query_id")
+    )

@@ -390,6 +390,11 @@ HEADLINE = [
     "user_value_concentration",
     "order_span_histogram",
     "horizon_edge_audit",
+    # round-5 additions
+    "substring_dup_spans",
+    "substring_dedup_from_index",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall_eval",
 ]
 
 
@@ -413,12 +418,15 @@ def main() -> None:
     # build-once artifacts are warmed here so the timed region measures
     # serving from the persisted index, not the one-time build
     from ai_etl_studio_spark.operators.analytics import ensure_pagerank_edge_index
-    from ai_etl_studio_spark.operators.dedup import ensure_boilerplate_index
-
+    from ai_etl_studio_spark.operators.dedup import (
+        ensure_boilerplate_index,
+        ensure_substring_index,
+    )
     from ai_etl_studio_spark.operators.similarity import ensure_pq_code_index
 
     ensure_pagerank_edge_index(spark, sf_dir)
     ensure_boilerplate_index(spark, sf_dir)
+    ensure_substring_index(spark, sf_dir)
     ensure_pq_code_index(spark, sf_dir)
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(
@@ -450,18 +458,34 @@ def main() -> None:
         "lapsed_customers_q22",     # tpch_q22
     ]
     tpch_total = round(sum(timings[n] for n in tpch_names if n in timings), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "tpch_total": tpch_total,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "tpch_total": tpch_total,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # The driver's BENCH_r{N}.json keeps only a 4 KB stdout tail, which
+    # truncates the per-query map past ~80 queries (r4 verdict item 4).
+    # Persist the FULL map to a round-stamped artifact so per-query
+    # round-over-round comparison works from files alone.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        n = max(rounds, default=0) + 1
+        full = json.dumps(payload, indent=1, sort_keys=True)
+        with open(os.path.join(repo, f"BENCH_full_r{n:02d}.json"), "w") as fh:
+            fh.write(full + "\n")
+        with open(os.path.join(repo, "BENCH_full_latest.json"), "w") as fh:
+            fh.write(full + "\n")
+    except OSError:
+        pass  # artifact write must never fail the bench
 
 
 if __name__ == "__main__":

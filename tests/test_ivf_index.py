@@ -120,3 +120,67 @@ def test_pq_code_index_builds_once_and_serves_identically(spark, tmp_path):
     scratch = [tuple(r) for r in ann_pq_topk(spark, SF_DIR).collect()]
     served = [tuple(r) for r in ann_pq_from_index(spark, SF_DIR).collect()]
     assert served == scratch
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ combined serve (round 5)
+# ---------------------------------------------------------------------------
+
+def test_ivfpq_refined_recall_matches_ivf_path(spark):
+    """The hybrid's acceptance bar (r4 verdict item 7): refined IVF-PQ
+    recall@k must not lose to the IVF-only path on the same queries —
+    PQ shortlists, the exact re-rank restores the ordering."""
+    from ai_etl_studio_spark.operators.similarity import (
+        ann_ivf_recall_eval,
+        ann_ivfpq_recall_eval,
+    )
+
+    ivf = {
+        r["query_id"]: r["recall_micro"]
+        for r in ann_ivf_recall_eval(spark, SF_DIR).collect()
+    }
+    hybrid = {
+        r["query_id"]: r["recall_micro"]
+        for r in ann_ivfpq_recall_eval(spark, SF_DIR).collect()
+    }
+    assert set(hybrid) == set(ivf)
+    for q in ivf:
+        assert hybrid[q] >= ivf[q], (q, hybrid[q], ivf[q])
+
+
+def test_ivfpq_topk_agrees_with_ivf_on_shared_neighbors(spark):
+    """Where both paths return a neighbor for a query, the exact-cosine
+    re-rank must give the hybrid the SAME rounded score the IVF path
+    computed — the refine step scores with raw vectors, not codes."""
+    from ai_etl_studio_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivfpq_topk,
+    )
+
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in ann_ivf_topk(spark, SF_DIR).collect()
+    }
+    hy = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in ann_ivfpq_topk(spark, SF_DIR).collect()
+    }
+    shared = set(ivf) & set(hy)
+    assert shared  # the two paths overlap on this corpus
+    for key in shared:
+        assert abs(ivf[key] - hy[key]) < 1e-9
+
+
+def test_ivfpq_plan_contracts(spark):
+    from ai_etl_studio_spark.operators.similarity import ann_ivfpq_topk
+    from ai_etl_studio_spark.plans.guard import explain_str
+    from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+    df = ann_ivfpq_topk(spark, SF_DIR)
+    assert broadcast_violations(df) == []
+    tree = explain_str(df, "formatted").split("\n\n")[0]
+    # candidate scoring reads the persisted code table, never re-encodes
+    assert "pq_codes_" in tree
+    # the only nested-loop joins are the broadcast centroid/query
+    # crossJoins (bounded-key-filtered); no CartesianProduct ever
+    assert "CartesianProduct" not in tree

@@ -55,6 +55,15 @@ def main(only: list[str] | None = None) -> None:
         pattern = re.compile(
             rf"(## {name}\n.*?```\n)(.*?)(\n```)", re.S
         )
+        if not pattern.search(text):
+            # an EMPTY fenced block ("```\n```") never matches this
+            # pattern and the lazy group would swallow the next section
+            # — refuse instead of corrupting (bit us in r5: seed new
+            # sections with a placeholder line inside the fence)
+            raise SystemExit(
+                f"PLANS.md section for {name} has no well-formed fenced "
+                "block (seed it with a non-empty placeholder line)"
+            )
         text = pattern.sub(lambda m: m.group(1) + tree + m.group(3), text, count=1)
     PLANS_MD.write_text(text)
     print(f"PLANS.md regenerated for {len(plans)} operators")
