@@ -1,11 +1,18 @@
 """Multimodal column plumbing (driver-directed extension).
 
 Images/audio/video are opaque ``binary`` columns + typed metadata. The
-container has no image/audio codecs, so the *decode* step is a clearly
-marked deterministic fake (`_fake_decode_meta`) — but everything Spark
-cares about is real and tested: binary column construction, schema,
-Arrow-batched Pandas-UDF signatures, `mapInPandas` batch shape, and
-partition-count preservation.
+decode step runs behind a RUNTIME CAPABILITY PROBE (r5): when a real
+codec library is importable (PIL for images, soundfile for audio) the
+payload bytes are decoded for real — dimensions/frame counts come from
+the codec, and unparseable bytes surface as ``decode_ok = false``
+instead of fake numbers. When the codec is absent (this container has
+neither) the step falls back to the clearly marked deterministic fake
+(`_fake_decode_meta`), which keeps CI hermetic and the DuckDB oracles
+exact. Everything Spark cares about is real and tested either way:
+binary column construction, schema, Arrow-batched Pandas-UDF
+signatures, `mapInPandas` batch shape, and partition-count
+preservation. Video stays stubbed unconditionally (no ffmpeg binding
+is probed).
 
 The synthetic payloads derive from ``documents.text`` (utf-8 bytes, and
 the corpus is pure ASCII at every SF — byte offsets == char offsets),
@@ -87,10 +94,54 @@ DECODE_SCHEMA = (
 )
 
 
+def _codec_probe() -> tuple[object | None, object | None]:
+    """(PIL.Image module or None, soundfile module or None) — probed
+    once per interpreter. Executors probe independently (the closure
+    ships the FUNCTION, not the probe result), which is what you want:
+    a heterogeneous cluster decodes wherever the codec exists."""
+    global _PROBE
+    if _PROBE is None:
+        try:
+            from PIL import Image as _img  # noqa: N813
+        except ImportError:
+            _img = None
+        try:
+            import soundfile as _sf
+        except ImportError:
+            _sf = None
+        _PROBE = (_img, _sf)
+    return _PROBE
+
+
+_PROBE: tuple[object | None, object | None] | None = None
+
+
+def _real_decode_meta(
+    payload: bytes, media_type: str
+) -> tuple[int, int, int] | None:
+    """Decode REAL bytes with whatever codec the runtime has; return
+    None when no codec for this type is installed (the caller falls
+    back to the deterministic stub). Raises on unparseable bytes —
+    the caller turns that into a decode_ok=false row, never a fake
+    success."""
+    img, sf = _codec_probe()
+    if media_type == "image/png" and img is not None:
+        import io
+
+        with img.open(io.BytesIO(bytes(payload))) as im:
+            return (im.width, im.height, getattr(im, "n_frames", 1))
+    if media_type == "audio/wav" and sf is not None:
+        import io
+
+        with sf.SoundFile(io.BytesIO(bytes(payload))) as f:
+            return (0, 0, int(f.frames))
+    return None
+
+
 def _fake_decode_meta(payload: bytes, media_type: str) -> tuple[int, int, int]:
-    """STUB decode: the real implementation would call PIL/ffmpeg here —
-    unavailable in this container (see module docstring). Deterministic
-    fake: dimensions derived from payload length so tests are stable.
+    """STUB decode — the hermetic fallback when `_codec_probe` finds no
+    codec for the type (see module docstring). Deterministic fake:
+    dimensions derived from payload length so tests are stable.
 
     Raises NotImplementedError for unknown media types, marking the
     decode boundary explicitly.
@@ -112,10 +163,19 @@ def decode_media(df: DataFrame) -> DataFrame:
     batches — the 100 TB-safe shape for any Python-side media work.
     """
 
+    def decode_one(payload: bytes, media_type: str) -> tuple[int, int, int, bool]:
+        try:
+            real = _real_decode_meta(payload, media_type)
+        except Exception:
+            return (0, 0, 0, False)  # codec present, bytes unparseable
+        if real is not None:
+            return (*real, True)
+        return (*_fake_decode_meta(payload, media_type), True)
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = [
-                _fake_decode_meta(p, t)
+                decode_one(p, t)
                 for p, t in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
@@ -126,7 +186,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                     "width": [m[0] for m in meta],
                     "height": [m[1] for m in meta],
                     "n_frames": [m[2] for m in meta],
-                    "decode_ok": True,
+                    "decode_ok": [m[3] for m in meta],
                 }
             )
 
