@@ -158,7 +158,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: user_type_entropy_histogram, delay_by_value_quartile,
 #: user_value_concentration, order_span_histogram,
 #: horizon_edge_audit — plus the round-5 additions substring_dup_spans,
-#: substring_dedup_from_index, ann_ivfpq_topk, ann_ivfpq_recall_eval.
+#: substring_dedup_from_index, ann_ivfpq_topk, ann_ivfpq_recall_eval,
+#: cross_correlation_lags, tax_rate_mix_by_year, histogram_bin_advisor,
+#: markov_absorption_k_step, embedding_gram_isotropy,
+#: intrinsic_dim_two_nn.
 PRIORITY: tuple[str, ...] = (
     # 17 old-backlog §2B names (math/string/datetime/null long tail,
     # window frames, pct-of-total — queued since r3)

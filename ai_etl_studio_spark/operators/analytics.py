@@ -9625,3 +9625,187 @@ def order_span_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_span_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tax-rate mix by ship year (indirect-tax exposure readout)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tax_rate_mix_by_year",
+    oracle="""
+    WITH t AS (
+      SELECT year(l_shipdate) AS yr,
+             CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_pct,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS base_cents,
+             (CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+              * CAST(round(l_tax * 100, 0) AS BIGINT)) // 100 AS tax_cents
+      FROM lineitem)
+    SELECT yr, tax_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(base_cents) AS BIGINT) AS base_cents,
+           CAST(SUM(tax_cents) AS BIGINT) AS tax_cents,
+           CAST(SUM(base_cents) * 1000000 //
+                (SELECT SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 FROM lineitem l2 WHERE year(l2.l_shipdate) = t.yr)
+                AS BIGINT) AS base_share_ppm
+    FROM t GROUP BY yr, tax_pct ORDER BY yr, tax_pct
+    """,
+)
+def tax_rate_mix_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indirect-tax exposure: per ship year and tax band (the schema's
+    l_tax is one of a few fixed percents), line count, taxable base,
+    tax collected at exact integer cents, and each band's share of the
+    year's base — the readout a VAT-rate change lands on.
+
+    Exactness: tax cents = base_cents × tax_pct // 100 — all-integer
+    cross multiplication (no double ever touches money); shares are
+    exact 64-bit ppm floor divisions. The oracle's correlated-subquery
+    per-year total is the same all-rows window Spark computes.
+
+    Scale: one lineitem scan; the groupBy carries |years|×|bands|
+    cells; the per-year total is a window over that bounded cell
+    table, not a second scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = cents("l_extendedprice")
+    tax_pct = F.round(F.col("l_tax") * 100, 0).cast("bigint")
+    cells = (
+        li.select(
+            F.year("l_shipdate").alias("yr"),
+            tax_pct.alias("tax_pct"),
+            base.alias("base_cents"),
+            F.expr(
+                "(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+                " * CAST(round(l_tax * 100, 0) AS BIGINT)) DIV 100"
+            ).alias("tax_cents"),
+        )
+        .groupBy("yr", "tax_pct")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("base_cents").cast("bigint").alias("base_cents"),
+            F.sum("tax_cents").cast("bigint").alias("tax_cents"),
+        )
+    )
+    w_year = Window.partitionBy("yr")
+    return (
+        cells.withColumn("yr_total", F.sum("base_cents").over(w_year))
+        .select(
+            "yr",
+            "tax_pct",
+            "n_lines",
+            "base_cents",
+            "tax_cents",
+            F.expr("base_cents * 1000000 DIV yr_total").alias("base_share_ppm"),
+        )
+        .orderBy("yr", "tax_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram bin-width advisor (Freedman-Diaconis / Sturges from exact IQR)
+# ---------------------------------------------------------------------------
+
+@register(
+    "histogram_bin_advisor",
+    oracle="""
+    WITH m AS (
+      SELECT 'event_value' AS measure,
+             CAST(round(value * 1000000, 0) AS BIGINT) AS v FROM events
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'o_totalprice', CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      FROM orders),
+    g AS (SELECT measure, v, CAST(COUNT(*) AS BIGINT) AS c FROM m GROUP BY 1, 2),
+    cum AS (
+      SELECT measure, v,
+             SUM(c) OVER (PARTITION BY measure ORDER BY v) AS cum,
+             SUM(c) OVER (PARTITION BY measure) AS n
+      FROM g),
+    qs AS (
+      SELECT measure, CAST(MAX(n) AS BIGINT) AS n,
+             MIN(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+             MIN(CASE WHEN cum * 4 >= 3 * n THEN v END) AS q3,
+             MIN(v) AS lo, MAX(v) AS hi
+      FROM cum GROUP BY measure)
+    SELECT measure, n, q1, q3, q3 - q1 AS iqr,
+           CAST(round(2.0 * (q3 - q1) / pow(CAST(n AS DOUBLE), 1.0 / 3), 0)
+             AS BIGINT) AS fd_width,
+           CAST(ceil(CAST(hi - lo AS DOUBLE)
+             / (2.0 * (q3 - q1) / pow(CAST(n AS DOUBLE), 1.0 / 3)))
+             AS BIGINT) AS fd_bins,
+           CAST(ceil(ln(CAST(n AS DOUBLE)) / ln(2.0)) + 1 AS BIGINT)
+             AS sturges_bins
+    FROM qs ORDER BY measure
+    """,
+)
+def histogram_bin_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram design advisor: for each continuous measure, the exact
+    quartiles (value-grain ECDF — integer cum·4 ≥ k·n thresholds, no
+    percentile_approx error bars), the Freedman–Diaconis bin width
+    2·IQR·n^(-1/3), the implied bin count over the exact range, and
+    Sturges' ⌈log2 n⌉+1 — what an auto-binning dashboard or a
+    histogram-sketch operator should be configured with, derived from
+    the data instead of guessed.
+
+    Scale: each measure reduces to its DISTINCT-VALUE grain first (the
+    reusable value-grain ECDF device), so the quartile windows run over
+    value counts, never rows; three bounded branches union into one
+    ≤3-row report. Quartiles are exact integer thresholds; the two
+    advisor formulas are single-row double expressions over exact ints.
+    """
+    branches = []
+    for measure, table, expr in (
+        ("event_value", "events", F.round(F.col("value") * 1_000_000, 0)),
+        ("l_extendedprice", "lineitem", F.round(F.col("l_extendedprice") * 100, 0)),
+        ("o_totalprice", "orders", F.round(F.col("o_totalprice") * 100, 0)),
+    ):
+        t = load_table(spark, sf_dir, table)
+        branches.append(
+            t.select(
+                F.lit(measure).alias("measure"),
+                expr.cast("bigint").alias("v"),
+            )
+        )
+    m = branches[0].unionAll(branches[1]).unionAll(branches[2])
+    g = m.groupBy("measure", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w_cum = (
+        Window.partitionBy("measure")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("measure")
+    cum = g.select(
+        "measure",
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    qs = cum.groupBy("measure").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("v"))).alias("q1"),
+        F.min(F.when(F.col("cum") * 4 >= 3 * F.col("n"), F.col("v"))).alias("q3"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    fd_width_d = (
+        F.lit(2.0)
+        * (F.col("q3") - F.col("q1"))
+        / F.pow(F.col("n").cast("double"), F.lit(1.0 / 3))
+    )
+    return qs.select(
+        "measure",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        F.round(fd_width_d, 0).cast("bigint").alias("fd_width"),
+        F.ceil((F.col("hi") - F.col("lo")).cast("double") / fd_width_d)
+        .cast("bigint")
+        .alias("fd_bins"),
+        (F.ceil(F.log(F.col("n").cast("double")) / F.log(F.lit(2.0))) + 1)
+        .cast("bigint")
+        .alias("sturges_bins"),
+    ).orderBy("measure")

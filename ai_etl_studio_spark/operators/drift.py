@@ -3158,3 +3158,129 @@ def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("raw_rate_ppm"), "l_suppkey")
         .limit(_EB_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation of daily order volume vs daily revenue (lead-lag scan)
+# ---------------------------------------------------------------------------
+
+#: Row-lags probed: same-day plus the ACF grid (does volume LEAD value?).
+_XCF_LAGS = (0, 1, 7, 14, 28)
+
+
+@register(
+    "cross_correlation_lags",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(round(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) / 100000, 0) AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    led AS (
+      SELECT x,
+             {", ".join(f"LEAD(y, {k}) OVER (ORDER BY day) AS y{k}" for k in _XCF_LAGS)}
+      FROM daily),
+    pairs AS (
+      {" UNION ALL ".join(f"SELECT {k} AS lag_k, x, y{k} AS yl FROM led WHERE y{k} IS NOT NULL" for k in _XCF_LAGS)}),
+    s AS (
+      SELECT lag_k, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yl) AS BIGINT) AS sy,
+             CAST(SUM(x * yl) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(yl * yl) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag_k)
+    SELECT lag_k, n,
+           CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             * 1000000, 0) AS BIGINT) AS xcorr_micro
+    FROM s ORDER BY lag_k
+    """,
+)
+def cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily ORDER VOLUME and daily
+    REVENUE at row-lags {_XCF_LAGS}: lag 0 says how tightly value
+    tracks count same-day; positive lags ask whether volume LEADS
+    revenue (it should not in a transactional system — a high lag-7
+    XCF would mean booked volume converts to recognized value a week
+    later, a pipeline/backlog signature). The lead-lag companion of
+    autocorrelation_lags.
+
+    Scale: orders reduce to ONE row per calendar day before any window
+    (bounded by the calendar); the lead alignment is a single window
+    over that tiny series (same documented single-partition shape as
+    the ACF), melted so all lags aggregate in one pass. Revenue is
+    quantized to $1k ticks, so every sufficient statistic (Σx, Σy,
+    Σxy, Σx², Σy²) is exact int64 and the textbook Pearson per lag is
+    ONE mirrored compound double, quantized to microticks. Row-lags
+    over observed days (calendar gaps collapse — documented, as in the
+    ACF).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.round(
+                F.sum(cents("o_totalprice")).cast("double") / 100000, 0
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .localCheckpoint()
+    )
+    w = Window.orderBy("day")
+    led = daily.select(
+        "x", *[F.lead("y", k).over(w).alias(f"y{k}") for k in _XCF_LAGS]
+    )
+    pairs = (
+        led.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("int").alias("lag_k"),
+                            F.col("x").alias("x"),
+                            F.col(f"y{k}").alias("yl"),
+                        )
+                        for k in _XCF_LAGS
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .filter(F.col("yl").isNotNull())
+    )
+    s = pairs.groupBy("lag_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("yl").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("yl")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("yl") * F.col("yl")).cast("bigint").alias("syy"),
+    )
+    return s.select(
+        "lag_k",
+        "n",
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / (
+                F.sqrt(
+                    F.col("n").cast("double") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                * F.sqrt(
+                    F.col("n").cast("double") * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("xcorr_micro"),
+    ).orderBy("lag_k")

@@ -4209,3 +4209,112 @@ def user_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_decile_share_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-step absorption probability into the purchase state (conversion horizon)
+# ---------------------------------------------------------------------------
+
+#: Picotick scale for absorption probabilities and the unrolled horizon.
+_ABS_PT = 1_000_000_000_000
+_ABS_STEPS = 4
+
+
+def _absorption_oracle() -> str:
+    pt = _ABS_PT
+    steps = "\n".join(
+        f"""h{k} AS (
+      SELECT c.s AS state, CAST(CASE WHEN c.s = 'purchase' THEN {pt}
+        ELSE SUM(c.c * h{k-1}.h) // MAX(n.n) END AS BIGINT) AS h
+      FROM c JOIN h{k-1} ON h{k-1}.state = c.t JOIN n ON n.s = c.s
+      GROUP BY c.s),"""
+        for k in range(1, _ABS_STEPS + 1)
+    )
+    sel = " UNION ALL ".join(
+        f"SELECT {k} AS k_steps, state, h AS p_ticks FROM h{k}"
+        for k in range(1, _ABS_STEPS + 1)
+    )
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS s,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t
+      FROM events),
+    c AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM seq WHERE t IS NOT NULL GROUP BY 1, 2),
+    n AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+    h0 AS (SELECT s AS state,
+                  CAST(CASE WHEN s = 'purchase' THEN {pt} ELSE 0 END
+                    AS BIGINT) AS h
+           FROM n),
+    {steps}
+    dummy AS (SELECT 1)
+    {sel}
+    ORDER BY k_steps, state
+    """
+
+
+@register("markov_absorption_k_step", oracle=_absorption_oracle())
+def markov_absorption_k_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion horizon: from each event type, the probability of
+    REACHING the purchase state within k steps of the observed Markov
+    dynamics (purchase made absorbing), for k = 1..{_ABS_STEPS} — the
+    absorption-probability companion of markov_stationary_profile:
+    stationary says where sessions settle, absorption says how fast
+    each entry state converts. h_k(s) = Σ_t P(s,t)·h_{{k-1}}(t) with
+    h(purchase) pinned to 1.
+
+    Scale: one user-partition lead window reduces the corpus to the
+    ≤|types|² transition-count matrix; the unrolled k-step recursion is
+    then {_ABS_STEPS} hint-free joins over that tiny checkpointed
+    matrix in exact integer picoticks (count·tick products summed as
+    int64, ONE floor division per state per step — mirrored `DIV` /
+    `//`, so no float ever crosses an aggregation; truncation bleeds
+    ≤1 tick per division, identical in both engines).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    )
+    m = (
+        seq.filter(F.col("t").isNotNull())
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()  # ≤|types|² rows; every step re-reads it
+    )
+    deg = m.groupBy("s").agg(F.sum("c").cast("bigint").alias("n"))
+    h = deg.select(
+        F.col("s").alias("state"),
+        F.when(F.col("s") == "purchase", F.lit(_ABS_PT))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("h"),
+    )
+    reports = []
+    for k in range(1, _ABS_STEPS + 1):
+        h = (
+            m.join(h, m.t == h.state)
+            .groupBy(m.s)
+            .agg(F.sum(F.col("c") * F.col("h")).cast("bigint").alias("num"))
+            .join(deg, "s")
+            .select(
+                F.col("s").alias("state"),
+                F.when(F.col("s") == "purchase", F.lit(_ABS_PT))
+                .otherwise(F.expr("num DIV n"))
+                .cast("bigint")
+                .alias("h"),
+            )
+        )
+        reports.append(
+            h.select(
+                F.lit(k).cast("int").alias("k_steps"),
+                "state",
+                F.col("h").alias("p_ticks"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("k_steps", "state")

@@ -2655,3 +2655,251 @@ def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding isotropy audit: full dim×dim correlation via partial Gram
+# ---------------------------------------------------------------------------
+
+#: Off-diagonal pairs reported (ranked by |corr|).
+_GRAM_TOPK = 20
+
+
+@register(
+    "embedding_gram_isotropy",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS xm
+      FROM embeddings),
+    s1 AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xm) AS BIGINT) AS sx,
+             CAST(CAST(SUM(xm * xm) AS HUGEINT) AS DOUBLE) AS sxx
+      FROM e GROUP BY d),
+    p AS (
+      SELECT a.d AS di, b.d AS dj,
+             CAST(CAST(SUM(a.xm * b.xm) AS HUGEINT) AS DOUBLE) AS sxy
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d < b.d
+      GROUP BY 1, 2)
+    SELECT di, dj, corr_micro FROM (
+      SELECT di, dj,
+             CAST(round((CAST(sa.n AS DOUBLE) * p.sxy
+                  - CAST(sa.sx AS DOUBLE) * sb.sx)
+               / (sqrt(CAST(sa.n AS DOUBLE) * sa.sxx
+                       - CAST(sa.sx AS DOUBLE) * sa.sx)
+                  * sqrt(CAST(sb.n AS DOUBLE) * sb.sxx
+                         - CAST(sb.sx AS DOUBLE) * sb.sx))
+               * 1000000, 0) AS BIGINT) AS corr_micro
+      FROM p JOIN s1 sa ON sa.d = p.di JOIN s1 sb ON sb.d = p.dj) r
+    ORDER BY abs(corr_micro) DESC, di, dj LIMIT 20
+    """,
+)
+def embedding_gram_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy / whitening audit: the FULL dim×dim Pearson correlation
+    of the embedding space, reporting the {_GRAM_TOPK} most-correlated
+    dimension pairs — correlated dimensions mean the space wastes
+    capacity and cosine distances are anisotropic (the per-dimension
+    audit embedding_dim_stats cannot see: it checks each axis alone).
+
+    Scale — the partial-Gram pattern: an Arrow-batched mapInPandas
+    computes each batch's integer Gram matrix Mᵀ·M with one numpy
+    matmul (int64; |xm| ≤ 1e6 ⇒ a 10k-row batch is ~1e16, safely in
+    range) and emits only the dim(dim+1)/2 + dim + 1 partial rows —
+    the shuffle carries ~2 k rows per batch instead of 2016 rows per
+    VECTOR (the oracle's explode-self-join, which is fine for DuckDB
+    at audit scale but 2016× the corpus distributed). Global sums ride
+    decimal(38,0) with ONE final double cast (engine exactness rule);
+    the per-pair Pearson is a single-row mirrored double expression
+    over exact integers. Quantization happens JVM-side (HALF_UP round,
+    matching the oracle) BEFORE Arrow, so numpy's banker's rounding
+    never touches the data.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("bigint"),
+        ).alias("qe")
+    )
+
+    def gram_batches(batches):
+        for pdf in batches:
+            m = np.stack(pdf["qe"].to_numpy()).astype(np.int64)
+            dim = m.shape[1]
+            g = m.T @ m
+            iu = np.triu_indices(dim)
+            di = (iu[0] + 1).astype(np.int64)
+            dj = (iu[1] + 1).astype(np.int64)
+            out = pd.DataFrame({"di": di, "dj": dj, "sv": g[iu]})
+            sums = pd.DataFrame(
+                {
+                    "di": np.arange(1, dim + 1, dtype=np.int64),
+                    "dj": np.zeros(dim, dtype=np.int64),
+                    "sv": m.sum(axis=0),
+                }
+            )
+            cnt = pd.DataFrame({"di": [0], "dj": [0], "sv": [len(pdf)]})
+            yield pd.concat([out, sums, cnt], ignore_index=True)
+
+    partial = emb.mapInPandas(gram_batches, "di int, dj int, sv bigint")
+    tot = partial.groupBy("di", "dj").agg(
+        F.sum(F.col("sv").cast("decimal(38,0)")).alias("sv")
+    ).localCheckpoint()  # ≤ dim²/2 + dim + 1 rows; read by three legs
+    n = tot.filter((F.col("di") == 0) & (F.col("dj") == 0)).select(
+        F.col("sv").cast("bigint").alias("n")
+    )
+    s1 = (
+        tot.filter((F.col("dj") == 0) & (F.col("di") > 0))
+        .select(F.col("di").alias("d"), F.col("sv").cast("bigint").alias("sx"))
+        .join(
+            tot.filter((F.col("di") == F.col("dj")) & (F.col("di") > 0)).select(
+                F.col("di").alias("d"), F.col("sv").cast("double").alias("sxx")
+            ),
+            "d",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    pairs = tot.filter(
+        (F.col("di") > 0) & (F.col("dj") > F.col("di"))
+    ).select("di", "dj", F.col("sv").cast("double").alias("sxy"))
+    sa = s1.select(
+        F.col("d").alias("di"), F.col("n").alias("n"),
+        F.col("sx").alias("sx_a"), F.col("sxx").alias("sxx_a"),
+    )
+    sb = s1.select(
+        F.col("d").alias("dj"),
+        F.col("sx").alias("sx_b"), F.col("sxx").alias("sxx_b"),
+    )
+    corr = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx_a").cast("double") * F.col("sx_b")
+    ) / (
+        F.sqrt(
+            F.col("n").cast("double") * F.col("sxx_a")
+            - F.col("sx_a").cast("double") * F.col("sx_a")
+        )
+        * F.sqrt(
+            F.col("n").cast("double") * F.col("sxx_b")
+            - F.col("sx_b").cast("double") * F.col("sx_b")
+        )
+    )
+    return (
+        pairs.join(sa, "di")
+        .join(sb, "dj")
+        .select(
+            "di", "dj",
+            F.round(corr * 1_000_000, 0).cast("bigint").alias("corr_micro"),
+        )
+        .orderBy(F.abs(F.col("corr_micro")).desc(), "di", "dj")
+        .limit(_GRAM_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intrinsic dimensionality (Levina-Bickel two-NN MLE on a MOD sample)
+# ---------------------------------------------------------------------------
+
+#: Deterministic sample: every 4th vector queries the full corpus.
+_ID_SAMPLE_MOD = 4
+
+
+@register(
+    "intrinsic_dim_two_nn",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
+      FROM embeddings),
+    s AS (SELECT vec_id AS sid, qe AS sq FROM v
+          WHERE vec_id % {_ID_SAMPLE_MOD} = 0),
+    d AS (
+      SELECT s.sid, v.vec_id AS nid,
+             CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+               i -> (s.sq[i] - v.qe[i]) * (s.sq[i] - v.qe[i]))) AS BIGINT) AS d2
+      FROM s JOIN v ON v.vec_id <> s.sid),
+    rnk AS (SELECT sid, d2,
+                   ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d2, nid) AS rn
+            FROM d),
+    two AS (
+      SELECT sid, MAX(CASE WHEN rn = 1 THEN d2 END) AS d1,
+             MAX(CASE WHEN rn = 2 THEN d2 END) AS dd2
+      FROM rnk WHERE rn <= 2 GROUP BY sid),
+    pts AS (SELECT sid,
+                   CAST(round(ln(CAST(dd2 AS DOUBLE) / d1) * 1000000, 0)
+                     AS BIGINT) AS lnr
+            FROM two WHERE d1 > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(lnr) AS BIGINT) AS sum_ln_ticks,
+           round(2.0 * COUNT(*) / (CAST(SUM(lnr) AS DOUBLE) / 1000000), 3)
+             AS id_hat
+    FROM pts
+    """,
+)
+def intrinsic_dim_two_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intrinsic dimensionality of the embedding space by the TwoNN /
+    Levina-Bickel MLE: for each sampled point the ratio of its 2nd to
+    1st nearest-neighbor distance, ID ≈ n / Σ ln(r2/r1) (factor 2
+    because the ratios here are SQUARED distances). The number that
+    says whether 64 ambient dimensions carry 64 degrees of freedom —
+    and therefore how hard ANN indexing and how meaningful cosine
+    thresholds are on THIS corpus.
+
+    Scale: the quadratic NN-truth stage is fenced to a deterministic
+    1/{_ID_SAMPLE_MOD} MOD sample (the pairwise_distance_histogram
+    device) — sample × corpus through a nested-loop join the planner
+    builds on the smaller side, with the per-pair distance an exact
+    int64 micro² sum (order-free). Exact-duplicate query points
+    (d1 = 0) are excluded deterministically in both engines; each
+    point's log-ratio quantizes to microticks BEFORE the single exact
+    int64 sum, and the MLE itself is one final double expression.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("bigint"),
+        ).alias("qe"),
+    )
+    s = emb.filter(F.col("vec_id") % _ID_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("sid"), F.col("qe").alias("sq")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sq"), F.col("qe"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = (
+        emb.crossJoin(s)
+        .filter(F.col("vec_id") != F.col("sid"))
+        .select("sid", F.col("vec_id").alias("nid"), d2.alias("d2"))
+    )
+    w = Window.partitionBy("sid").orderBy("d2", "nid")
+    two = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("sid")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("d2"))).alias("dd2"),
+        )
+    )
+    pts = two.filter(F.col("d1") > 0).select(
+        F.round(
+            F.log(F.col("dd2").cast("double") / F.col("d1")) * 1_000_000, 0
+        )
+        .cast("bigint")
+        .alias("lnr")
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("lnr").cast("bigint").alias("sum_ln_ticks"),
+        F.round(
+            F.lit(2.0)
+            * F.count(F.lit(1))
+            / (F.sum("lnr").cast("double") / 1_000_000),
+            3,
+        ).alias("id_hat"),
+    )

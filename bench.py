@@ -395,6 +395,12 @@ HEADLINE = [
     "substring_dedup_from_index",
     "ann_ivfpq_topk",
     "ann_ivfpq_recall_eval",
+    "cross_correlation_lags",
+    "tax_rate_mix_by_year",
+    "histogram_bin_advisor",
+    "markov_absorption_k_step",
+    "embedding_gram_isotropy",
+    "intrinsic_dim_two_nn",
 ]
 
 
