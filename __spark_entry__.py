@@ -161,7 +161,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: substring_dedup_from_index, ann_ivfpq_topk, ann_ivfpq_recall_eval,
 #: cross_correlation_lags, tax_rate_mix_by_year, histogram_bin_advisor,
 #: markov_absorption_k_step, embedding_gram_isotropy,
-#: intrinsic_dim_two_nn.
+#: intrinsic_dim_two_nn, rayleigh_uniformity_by_type,
+#: exp_gof_interarrival, lang_trigram_divergence,
+#: markov_removal_effects.
 PRIORITY: tuple[str, ...] = (
     # 17 old-backlog §2B names (math/string/datetime/null long tail,
     # window frames, pct-of-total — queued since r3)

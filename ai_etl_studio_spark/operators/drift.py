@@ -3284,3 +3284,176 @@ def cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("xcorr_micro"),
     ).orderBy("lag_k")
+
+
+# ---------------------------------------------------------------------------
+# Rayleigh circular-uniformity audit of event time-of-day
+# ---------------------------------------------------------------------------
+
+@register(
+    "rayleigh_uniformity_by_type",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             2 * pi() * (epoch_us(ts) % 86400000000) / 86400000000.0 AS th
+      FROM events),
+    t AS (
+      SELECT event_type,
+             CAST(round(cos(th) * 1000000, 0) AS BIGINT) AS c,
+             CAST(round(sin(th) * 1000000, 0) AS BIGINT) AS s
+      FROM e)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(round(sqrt(CAST(SUM(c) AS DOUBLE) * SUM(c)
+                           + CAST(SUM(s) AS DOUBLE) * SUM(s))
+                      / COUNT(*), 0) AS BIGINT) AS rbar_micro,
+           CAST(round((CAST(SUM(c) AS DOUBLE) * SUM(c)
+                       + CAST(SUM(s) AS DOUBLE) * SUM(s))
+                      / COUNT(*) / 1000000000000.0 , 6) AS DOUBLE) AS rayleigh_z
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+)
+def rayleigh_uniformity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular-uniformity audit: is each event type's TIME OF DAY
+    uniform around the 24 h clock? Rayleigh statistic z = n·R̄² where
+    R̄ is the resultant length of the unit phasors e^(iθ),
+    θ = 2π·(second-of-day)/86400 — the right test for clock-face data,
+    where a linear histogram (hourly_seasonality_profile) can hide a
+    concentration that straddles midnight. z ≳ 3 rejects uniformity at
+    ~5%; near-zero R̄ certifies the feed has no diurnal phase.
+
+    Exactness: each event's cos/sin quantizes to microticks BEFORE the
+    distributed sums (the per-term tick rule), so Σc and Σs are exact
+    int64 and R̄/z are single-row mirrored double expressions.
+
+    Scale: one narrow projection + one |types|-row aggregation.
+    """
+    e = load_table(spark, sf_dir, "events")
+    th = (
+        F.lit(2 * 3.141592653589793)
+        * (F.unix_micros(F.col("ts").cast("timestamp")) % 86_400_000_000).cast(
+            "double"
+        )
+        / 86400000000.0
+    )
+    t = e.select(
+        "event_type",
+        F.round(F.cos(th) * 1_000_000, 0).cast("bigint").alias("c"),
+        F.round(F.sin(th) * 1_000_000, 0).cast("bigint").alias("s"),
+    )
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum("s").cast("bigint").alias("ss"),
+    )
+    mag2 = (
+        F.col("sc").cast("double") * F.col("sc")
+        + F.col("ss").cast("double") * F.col("ss")
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.sqrt(mag2) / F.col("n"), 0).cast("bigint").alias("rbar_micro"),
+        F.round(mag2 / F.col("n") / 1_000_000_000_000.0, 6)
+        .cast("double")
+        .alias("rayleigh_z"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Goodness-of-fit of inter-event gaps against the fitted exponential
+# ---------------------------------------------------------------------------
+
+@register(
+    "exp_gof_interarrival",
+    oracle="""
+    WITH g AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS gap
+      FROM events),
+    gg AS (SELECT CAST(gap AS BIGINT) AS gap FROM g
+           WHERE gap IS NOT NULL AND gap > 0),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(gap) AS BIGINT) AS sum_gap FROM gg),
+    vals AS (SELECT gap, CAST(COUNT(*) AS BIGINT) AS c FROM gg GROUP BY gap),
+    ecdf AS (SELECT gap, SUM(c) OVER (ORDER BY gap) AS cum FROM vals),
+    terms AS (
+      SELECT CAST(round(abs(CAST(cum AS DOUBLE) / n.n
+               - (1 - exp(-(CAST(n.n AS DOUBLE) / n.sum_gap) * gap)))
+               * 1000000, 0) AS BIGINT) AS d_micro
+      FROM ecdf, n)
+    SELECT n.n, n.sum_gap,
+           (SELECT MAX(d_micro) FROM terms) AS ks_d_micro
+    FROM n
+    """,
+)
+def exp_gof_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is per-user event arrival a Poisson process? KS goodness-of-fit
+    of the positive inter-event gaps against the FITTED exponential
+    (rate = n/Σgap, the MLE): D = sup |ECDF(t) − (1 − e^(−λt))|. A
+    small D certifies the memoryless baseline that queueing/capacity
+    models assume; a large D (heavy tail, bursts) says use
+    burstiness_by_type / interarrival_cv2_by_type to pick a better
+    model. Complements interarrival_cv2 (a moment test) with a full
+    distribution-shape test.
+
+    Exactness: gaps are integer microseconds; the ECDF lives at the
+    distinct-GAP grain (value-grain ECDF device — the sup is attained
+    at jump points, so evaluating at distinct gaps is exact, not an
+    approximation); λ = n/Σgap from exact int64; each |ECDF − CDF|
+    quantizes to microticks and the sup is an integer MAX.
+
+    Scale: one user-partition lag window; then everything is at the
+    distinct-gap grain (bounded by the gap value range, not events),
+    and the global cumulative NEVER materializes a global sort — gaps
+    hash-bucket by hour, per-bucket windows cumulate in parallel, and
+    each bucket's offset comes from a window over the tiny
+    occupied-bucket table (the _two_sample_per_value pattern).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = e.select((us - F.lag(us).over(w)).alias("gap")).filter(
+        F.col("gap").isNotNull() & (F.col("gap") > 0)
+    )
+    vals = g.groupBy("gap").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    vals = vals.localCheckpoint()  # tiny; read by the totals AND the ECDF legs
+    tot = vals.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("gap") * F.col("c")).cast("bigint").alias("sum_gap"),
+    )
+    vals_b = vals.withColumn("bkt", F.expr("gap DIV 3600000000"))
+    per_bkt = vals_b.groupBy("bkt").agg(F.sum("c").alias("t"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bkt.select(
+        "bkt", F.coalesce(F.sum("t").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = (
+        vals_b.withColumn("cum_in", F.sum("c").over(w_in))
+        .join(offsets, "bkt")
+        .select("gap", (F.col("cum_in") + F.col("off")).alias("cum"))
+    )
+    terms = ecdf.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.abs(
+                F.col("cum").cast("double") / F.col("n")
+                - (
+                    F.lit(1)
+                    - F.exp(
+                        -(F.col("n").cast("double") / F.col("sum_gap"))
+                        * F.col("gap")
+                    )
+                )
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("d_micro")
+    )
+    d = terms.agg(F.max("d_micro").alias("ks_d_micro"))
+    return tot.crossJoin(F.broadcast(d)).select("n", "sum_gap", "ks_d_micro")

@@ -4318,3 +4318,170 @@ def markov_absorption_k_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionAll(r)
     return out.orderBy("k_steps", "state")
+
+
+# ---------------------------------------------------------------------------
+# Markov removal effects (channel attribution by counterfactual deletion)
+# ---------------------------------------------------------------------------
+
+#: Non-absorbing states whose removal effect is measured (the event
+#: vocabulary is fixed in this corpus; purchase is the absorbing goal).
+_REMOVAL_STATES = ("click", "error", "signup", "view")
+
+
+def _removal_oracle() -> str:
+    pt = _ABS_PT
+    variants = {"full": None} | {s: s for s in _REMOVAL_STATES}
+
+    def h_cte(v: str, k: int, removed: str | None) -> str:
+        zero = f"WHEN c.s = '{removed}' THEN 0" if removed else ""
+        return f"""h_{v}_{k} AS (
+      SELECT c.s AS state, CAST(CASE WHEN c.s = 'purchase' THEN {pt}
+        {zero}
+        ELSE SUM(c.c * h_{v}_{k-1}.h) // MAX(n.n) END AS BIGINT) AS h
+      FROM c JOIN h_{v}_{k-1} ON h_{v}_{k-1}.state = c.t
+      JOIN n ON n.s = c.s GROUP BY c.s)"""
+
+    ctes = []
+    convs = []
+    for v, removed in variants.items():
+        ctes.append(
+            f"""h_{v}_0 AS (SELECT s AS state,
+          CAST(CASE WHEN s = 'purchase' THEN {pt} ELSE 0 END AS BIGINT) AS h
+        FROM n)"""
+        )
+        for k in range(1, _ABS_STEPS + 1):
+            ctes.append(h_cte(v, k, removed))
+        convs.append(
+            f"""conv_{v} AS (
+      SELECT CAST(SUM(ent.c * h.h) // (SELECT SUM(c) FROM ent) AS BIGINT)
+        AS conv
+      FROM ent JOIN h_{v}_{_ABS_STEPS} h ON h.state = ent.s)"""
+        )
+    rows = " UNION ALL ".join(
+        f"""SELECT '{s}' AS removed_state,
+        (SELECT conv FROM conv_full) AS conv_full_ticks,
+        (SELECT conv FROM conv_{s}) AS conv_removed_ticks,
+        CAST(((SELECT conv FROM conv_full) - (SELECT conv FROM conv_{s}))
+          * 1000000 // (SELECT conv FROM conv_full) AS BIGINT)
+          AS removal_effect_ppm"""
+        for s in _REMOVAL_STATES
+    )
+    cte_block = ",\n    ".join(ctes)
+    conv_block = ",\n    ".join(convs)
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS s, ts, event_id,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t
+      FROM events),
+    c AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM seq WHERE t IS NOT NULL GROUP BY 1, 2),
+    n AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+    firsts AS (
+      SELECT s FROM (
+        SELECT s, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+        FROM seq) f WHERE rn = 1),
+    ent AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM firsts GROUP BY 1),
+    {cte_block},
+    {conv_block}
+    {rows}
+    ORDER BY removed_state
+    """
+
+
+@register("markov_removal_effects", oracle=_removal_oracle())
+def markov_removal_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel attribution by counterfactual deletion — the Markov
+    removal-effect model: conversion is the {_ABS_STEPS}-step
+    absorption probability into purchase averaged over the observed
+    ENTRY-state distribution; each state's removal effect is the
+    relative conversion lost when that state is deleted (its absorption
+    value pinned to 0 — journeys reaching it die). The third
+    attribution family next to the positional models
+    (attribution_last_touch / _u_shaped / _time_decay): it credits a
+    step by what the FUNNEL loses without it, not by where it sits.
+
+    Exactness: the same integer-picotick recursion as
+    markov_absorption_k_step, run once per variant over the identical
+    checkpointed transition matrix; the entry average and the ppm
+    effect are exact integer floor divisions mirrored in both engines.
+
+    Scale: the corpus reduces ONCE (one lead window) to the ≤|types|²
+    matrix and a |types|-row entry distribution; all 1 + |removals|
+    recursions are joins over those tiny frames.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+        F.row_number().over(w).alias("rn"),
+    ).localCheckpoint()  # one corpus window feeds the matrix AND entries
+    m = (
+        seq.filter(F.col("t").isNotNull())
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    deg = m.groupBy("s").agg(F.sum("c").cast("bigint").alias("n"))
+    ent = (
+        seq.filter(F.col("rn") == 1)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ec"))
+        .localCheckpoint()
+    )
+    ent_tot = ent.agg(F.sum("ec").cast("bigint").alias("te"))
+
+    def k_step_conv(removed: str | None):
+        pin = F.when(F.col("s") == "purchase", F.lit(_ABS_PT))
+        if removed is not None:
+            pin = pin.when(F.col("s") == removed, F.lit(0))
+        h = deg.select(
+            F.col("s").alias("state"),
+            F.when(F.col("s") == "purchase", F.lit(_ABS_PT))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("h"),
+        )
+        for _ in range(_ABS_STEPS):
+            h = (
+                m.join(h, m.t == h.state)
+                .groupBy(m.s)
+                .agg(F.sum(F.col("c") * F.col("h")).cast("bigint").alias("num"))
+                .join(deg, "s")
+                .select(
+                    F.col("s").alias("state"),
+                    pin.otherwise(F.expr("num DIV n")).cast("bigint").alias("h"),
+                )
+            )
+        return (
+            ent.join(h, ent.s == h.state)
+            .agg(F.sum(F.col("ec") * F.col("h")).cast("bigint").alias("num"))
+            .crossJoin(F.broadcast(ent_tot))
+            .select(F.expr("num DIV te").alias("conv"))
+        )
+
+    full = k_step_conv(None).select(F.col("conv").alias("conv_full_ticks"))
+    rows = None
+    for s in _REMOVAL_STATES:
+        r = (
+            k_step_conv(s)
+            .select(F.col("conv").alias("conv_removed_ticks"))
+            .crossJoin(F.broadcast(full))
+            .select(
+                F.lit(s).alias("removed_state"),
+                "conv_full_ticks",
+                "conv_removed_ticks",
+                F.expr(
+                    "(conv_full_ticks - conv_removed_ticks) * 1000000"
+                    " DIV conv_full_ticks"
+                ).alias("removal_effect_ppm"),
+            )
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.orderBy("removed_state")

@@ -3914,3 +3914,137 @@ def source_mix_by_ingest_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drift_ppm"), "source")
         .limit(_MIX_DRIFT_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram Jensen-Shannon divergence between language feeds
+# ---------------------------------------------------------------------------
+
+@register(
+    "lang_trigram_divergence",
+    oracle="""
+    WITH tg AS (
+      SELECT lang, substring(lower(text), CAST(i AS INT), 3) AS g
+      FROM documents,
+           UNNEST(range(1, CAST(length(text) - 1 AS BIGINT))) AS u(i)
+      WHERE text IS NOT NULL AND length(text) >= 3),
+    c AS (SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c FROM tg GROUP BY 1, 2),
+    n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+    grid AS (
+      SELECT a.lang AS la, b.lang AS lb, v.g
+      FROM n a JOIN n b ON a.lang < b.lang
+      CROSS JOIN (SELECT DISTINCT g FROM c) v),
+    j AS (
+      SELECT grid.la, grid.lb, grid.g,
+             COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+      FROM grid
+      LEFT JOIN c ca ON ca.lang = grid.la AND ca.g = grid.g
+      LEFT JOIN c cb ON cb.lang = grid.lb AND cb.g = grid.g
+      WHERE COALESCE(ca.c, 0) + COALESCE(cb.c, 0) > 0),
+    t AS (
+      SELECT la, lb,
+             CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END AS is_shared,
+             CASE WHEN ca > 0 THEN CAST(round(
+               0.5 * (CAST(ca AS DOUBLE) / na.n)
+                   * ln(2 * (CAST(ca AS DOUBLE) / na.n)
+                        / (CAST(ca AS DOUBLE) / na.n
+                           + CAST(cb AS DOUBLE) / nb.n)) * 1000000000, 0)
+               AS BIGINT) ELSE 0 END
+             + CASE WHEN cb > 0 THEN CAST(round(
+               0.5 * (CAST(cb AS DOUBLE) / nb.n)
+                   * ln(2 * (CAST(cb AS DOUBLE) / nb.n)
+                        / (CAST(ca AS DOUBLE) / na.n
+                           + CAST(cb AS DOUBLE) / nb.n)) * 1000000000, 0)
+               AS BIGINT) ELSE 0 END AS tick
+      FROM j JOIN n na ON na.lang = j.la JOIN n nb ON nb.lang = j.lb)
+    SELECT la AS lang_1, lb AS lang_2,
+           CAST(SUM(is_shared) AS BIGINT) AS n_shared_grams,
+           CAST(SUM(tick) AS BIGINT) AS jsd_nanonats
+    FROM t GROUP BY la, lb ORDER BY la, lb
+    """,
+)
+def lang_trigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between each language feed's
+    CHARACTER-TRIGRAM distribution — the language-similarity matrix
+    behind langid confidence (languages with low JSD will confuse the
+    n-gram classifier; see langid_confusion for the realized errors)
+    and behind multilingual sampling design (close languages share
+    subword signal, distant ones need their own token budget). JSD is
+    symmetric and bounded by ln 2, unlike the KL the per-source length
+    screen uses.
+
+    Exactness: trigram counts are exact integers; each gram's
+    p·ln(2p/(p+q)) contribution quantizes to nanonat ticks BEFORE the
+    distributed sum (the per-term tick rule — ln() agrees across
+    engines on identical double inputs, proven by the entropy/PSI/PMI
+    family); one-sided grams contribute their exact p·ln2 mass through
+    the same CASE, never dropped.
+
+    Scale: the corpus reduces ONCE to the (lang, gram) count table
+    (vocabulary-bounded, not corpus-bounded); the pair stage is a
+    |langs|²/2 × |gram-vocab| grid over that tiny table — no join ever
+    touches documents again. Trigram construction is a narrow
+    transform + one posexplode (no per-character explode).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= 3)
+    )
+    tl = F.lower(F.col("text"))
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(tl) - 2),
+                lambda i: tl.substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    c = grams.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()  # vocabulary-bounded; read by 4 legs below
+    n = c.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    vocab = c.select("g").distinct()
+    pairs = (
+        n.select(F.col("lang").alias("la"), F.col("n").alias("na"))
+        .join(
+            n.select(F.col("lang").alias("lb"), F.col("n").alias("nb")),
+            F.col("la") < F.col("lb"),
+        )
+    )
+    grid = pairs.crossJoin(vocab)
+    ca = c.select(F.col("lang").alias("la"), "g", F.col("c").alias("ca"))
+    cb = c.select(F.col("lang").alias("lb"), "g", F.col("c").alias("cb"))
+    j = (
+        grid.join(ca, ["la", "g"], "left")
+        .join(cb, ["lb", "g"], "left")
+        .select(
+            "la",
+            "lb",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+            "na",
+            "nb",
+        )
+        .filter(F.col("ca") + F.col("cb") > 0)
+    )
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    tick = F.when(
+        F.col("ca") > 0,
+        F.round(F.lit(0.5) * p * F.log(F.lit(2) * p / (p + q)) * 1_000_000_000, 0)
+        .cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint")) + F.when(
+        F.col("cb") > 0,
+        F.round(F.lit(0.5) * q * F.log(F.lit(2) * q / (p + q)) * 1_000_000_000, 0)
+        .cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    both = F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0)
+    return (
+        j.select("la", "lb", both.alias("both"), tick.alias("tick"))
+        .groupBy(F.col("la").alias("lang_1"), F.col("lb").alias("lang_2"))
+        .agg(
+            F.sum("both").cast("bigint").alias("n_shared_grams"),
+            F.sum("tick").cast("bigint").alias("jsd_nanonats"),
+        )
+        .orderBy("lang_1", "lang_2")
+    )

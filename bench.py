@@ -401,6 +401,10 @@ HEADLINE = [
     "markov_absorption_k_step",
     "embedding_gram_isotropy",
     "intrinsic_dim_two_nn",
+    "rayleigh_uniformity_by_type",
+    "exp_gof_interarrival",
+    "lang_trigram_divergence",
+    "markov_removal_effects",
 ]
 
 
