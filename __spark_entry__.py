@@ -163,7 +163,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: markov_absorption_k_step, embedding_gram_isotropy,
 #: intrinsic_dim_two_nn, rayleigh_uniformity_by_type,
 #: exp_gof_interarrival, lang_trigram_divergence,
-#: markov_removal_effects.
+#: markov_removal_effects, kruskal_wallis_delay_by_priority,
+#: weibull_shape_reorder, mcnemar_quality_gates, int8_recall_eval.
 PRIORITY: tuple[str, ...] = (
     # 17 old-backlog §2B names (math/string/datetime/null long tail,
     # window frames, pct-of-total — queued since r3)

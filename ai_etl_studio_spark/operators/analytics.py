@@ -9809,3 +9809,119 @@ def histogram_bin_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sturges_bins"),
     ).orderBy("measure")
+
+
+# ---------------------------------------------------------------------------
+# Weibull shape of reorder intervals (probability-plot regression)
+# ---------------------------------------------------------------------------
+
+@register(
+    "weibull_shape_reorder",
+    oracle="""
+    WITH g AS (
+      SELECT date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap
+      FROM orders),
+    gg AS (SELECT CAST(gap AS BIGINT) AS gap FROM g
+           WHERE gap IS NOT NULL AND gap > 0),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gg),
+    vv AS (SELECT gap, CAST(COUNT(*) AS BIGINT) AS cv FROM gg GROUP BY gap),
+    ecdf AS (SELECT gap, SUM(cv) OVER (ORDER BY gap) AS cum FROM vv),
+    pts AS (
+      SELECT CAST(round(ln(CAST(gap AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+             CAST(round(ln(-ln(1 - CAST(cum AS DOUBLE) / (n.n + 1)))
+               * 1000000, 0) AS BIGINT) AS y
+      FROM ecdf, n),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(CAST(SUM(x * y) AS HUGEINT) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS HUGEINT) AS DOUBLE) AS sxx
+      FROM pts)
+    SELECT m AS n_points, (SELECT n FROM n) AS n_gaps,
+           CAST(round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * 1000000, 0) AS BIGINT) AS shape_micro,
+           CAST(round((CAST(sy AS DOUBLE) - (CAST(m AS DOUBLE) * sxy
+               - CAST(sx AS DOUBLE) * sy)
+             / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+             / m, 0) AS BIGINT) AS intercept_micro
+    FROM s
+    """,
+)
+def weibull_shape_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull shape of customer REORDER intervals by probability-plot
+    regression: ln(−ln(1−F(t))) is linear in ln t with slope = the
+    Weibull shape k, so an OLS over the ECDF points estimates k
+    directly. k ≈ 1 certifies memoryless reordering (exponential — no
+    aging); k < 1 means churn risk decays with tenure; k > 1 means
+    reorders cluster around a natural cadence. The distribution-FIT
+    companion of reorder_interval_stats (moments) and
+    exp_gof_interarrival (GOF at the event grain).
+
+    Exactness: gaps are integer days; the plot points live at the
+    distinct-gap grain with F = cum/(n+1) (median-unbiased plotting
+    position, never 1); both coordinates quantize to microticks and the
+    OLS sufficient statistics ride exact int64 / decimal(38,0); slope
+    and intercept are single-row fixed-order double expressions.
+
+    Scale: one custkey-partition lag window; everything downstream is
+    at the distinct-gap grain (bounded by the calendar range).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("bigint")
+        .alias("gap")
+    ).filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    vv = g.groupBy("gap").agg(F.count(F.lit(1)).cast("bigint").alias("cv"))
+    vv = vv.localCheckpoint()  # distinct-gap grain; feeds totals AND ECDF
+    n = vv.agg(F.sum("cv").cast("bigint").alias("n"))
+    w_cum = Window.orderBy("gap").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = vv.select("gap", F.sum("cv").over(w_cum).alias("cum"))
+    pts = ecdf.crossJoin(F.broadcast(n)).select(
+        F.round(F.log(F.col("gap").cast("double")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("x"),
+        F.round(
+            F.log(-F.log(F.lit(1) - F.col("cum").cast("double") / (F.col("n") + 1)))
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (
+        F.col("m").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("m").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return s.crossJoin(F.broadcast(n)).select(
+        F.col("m").alias("n_points"),
+        F.col("n").alias("n_gaps"),
+        F.round(slope * 1_000_000, 0).cast("bigint").alias("shape_micro"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("m"), 0
+        )
+        .cast("bigint")
+        .alias("intercept_micro"),
+    )

@@ -3457,3 +3457,158 @@ def exp_gof_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = terms.agg(F.max("d_micro").alias("ks_d_micro"))
     return tot.crossJoin(F.broadcast(d)).select("n", "sum_gap", "ks_d_micro")
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis rank ANOVA of ship delay across order priorities
+# ---------------------------------------------------------------------------
+
+_KW_GROUPS = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def _kw_oracle() -> str:
+    piv = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN grp = '{g}' THEN c ELSE 0 END) AS BIGINT)"
+        f" AS ng_{i},\n             "
+        f"CAST(SUM(CASE WHEN grp = '{g}' THEN c * midrank2 ELSE 0 END)"
+        f" AS BIGINT) AS sr2_{i}"
+        for i, g in enumerate(_KW_GROUPS)
+    )
+    r_terms = " + ".join(
+        f"(CAST(sr2_{i} AS DOUBLE) / 2) * (CAST(sr2_{i} AS DOUBLE) / 2)"
+        f" / ng_{i}"
+        for i in range(len(_KW_GROUPS))
+    )
+    n_sum = " + ".join(f"ng_{i}" for i in range(len(_KW_GROUPS)))
+    return f"""
+    WITH d AS (
+      SELECT o.o_orderpriority AS grp,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    c AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+    vv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM c GROUP BY v),
+    mid AS (
+      SELECT v, cv,
+             2 * (SUM(cv) OVER (ORDER BY v) - cv) + cv + 1 AS midrank2
+      FROM vv),
+    piv AS (
+      SELECT {piv}
+      FROM c JOIN mid USING (v)),
+    ties AS (
+      SELECT CAST(CAST(SUM(cv * cv * cv - cv) AS HUGEINT) AS DOUBLE) AS t3
+      FROM vv),
+    stat AS (
+      SELECT ({n_sum}) AS n,
+             12.0 / (({n_sum}) * (CAST(({n_sum}) AS DOUBLE) + 1))
+               * ({r_terms})
+               - 3 * (CAST(({n_sum}) AS DOUBLE) + 1) AS h,
+             t3
+      FROM piv, ties)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(round(h * 1000000, 0) AS BIGINT) AS h_micro,
+           CAST(round(h / (1 - t3 / (CAST(n AS DOUBLE) * n * n - n))
+                * 1000000, 0) AS BIGINT) AS h_tie_corrected_micro,
+           CAST({len(_KW_GROUPS) - 1} AS BIGINT) AS df
+    FROM stat
+    """
+
+
+@register("kruskal_wallis_delay_by_priority", oracle=_kw_oracle())
+def kruskal_wallis_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank ANOVA: does order→ship delay DIFFER across
+    the five order priorities, without assuming normality — the
+    k-group generalization of mannwhitney_utest (H ~ χ²(k−1); H > 9.5
+    rejects equal delay distributions at 5% for k=5). The rank-based
+    counterpart of the parametric delay comparisons, robust to the
+    delay distribution's skew.
+
+    Exactness: the shared value-grain midrank device — per-(group,
+    delay) counts, 2·midrank kept INTEGER (2·(cum−cv)+cv+1), per-group
+    rank sums exact int64; the five groups pivot into ONE row and H is
+    a single fixed-order double expression (the dow-R² device — no
+    distributed double sum, no DIV overflow); the tie term Σ(t³−t)
+    rides decimal(38,0)/HUGEINT with one double cast.
+
+    Scale: the fact join reduces to (group, delay-value) counts
+    immediately; the midrank window runs over DISTINCT delay values
+    (bounded by the calendar, not rows).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("v"),
+    )
+    c = d.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    c = c.localCheckpoint()  # (group, value)-grain; feeds vv AND the pivot
+    vv = c.groupBy("v").agg(F.sum("c").cast("bigint").alias("cv"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    mid = vv.select(
+        "v",
+        "cv",
+        (2 * (F.sum("cv").over(w) - F.col("cv")) + F.col("cv") + 1).alias(
+            "midrank2"
+        ),
+    )
+    piv_aggs = []
+    for i, g in enumerate(_KW_GROUPS):
+        piv_aggs.append(
+            F.sum(F.when(F.col("grp") == g, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias(f"ng_{i}")
+        )
+        piv_aggs.append(
+            F.sum(
+                F.when(F.col("grp") == g, F.col("c") * F.col("midrank2")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"sr2_{i}")
+        )
+    piv = c.join(mid, "v").agg(*piv_aggs)
+    ties = vv.agg(
+        F.sum(
+            (F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("t3")
+    )
+    n_sum = " + ".join(f"ng_{i}" for i in range(len(_KW_GROUPS)))
+    r_terms = " + ".join(
+        f"(CAST(sr2_{i} AS DOUBLE) / 2) * (CAST(sr2_{i} AS DOUBLE) / 2)"
+        f" / ng_{i}"
+        for i in range(len(_KW_GROUPS))
+    )
+    stat = piv.crossJoin(F.broadcast(ties)).select(
+        F.expr(f"({n_sum})").alias("n"),
+        F.expr(
+            f"12.0 / (({n_sum}) * (CAST(({n_sum}) AS DOUBLE) + 1))"
+            f" * ({r_terms}) - 3 * (CAST(({n_sum}) AS DOUBLE) + 1)"
+        ).alias("h"),
+        "t3",
+    )
+    return stat.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("h") * 1_000_000, 0).cast("bigint").alias("h_micro"),
+        F.round(
+            F.col("h")
+            / (
+                F.lit(1)
+                - F.col("t3")
+                / (F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n"))
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("h_tie_corrected_micro"),
+        F.lit(len(_KW_GROUPS) - 1).cast("bigint").alias("df"),
+    )

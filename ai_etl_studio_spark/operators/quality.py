@@ -1656,3 +1656,91 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("tvd_nano"), "nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired test: do two curation gates disagree symmetrically?
+# ---------------------------------------------------------------------------
+
+@register(
+    "mcnemar_quality_gates",
+    oracle=r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS ts
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT CAST(len(ts) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(ts)) AS BIGINT) AS n_dist
+      FROM t WHERE len(ts) > 0),
+    f AS (
+      SELECT CASE WHEN n_tok >= 40 THEN 1 ELSE 0 END AS a,
+             CASE WHEN 100 * n_dist >= 55 * n_tok THEN 1 ELSE 0 END AS b
+      FROM m),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+      FROM f)
+    SELECT n00, n01, n10, n11,
+           CAST(round((abs(CAST(n01 AS DOUBLE) - n10) - 1)
+                * (abs(CAST(n01 AS DOUBLE) - n10) - 1)
+                / (n01 + n10) * 1000000, 0) AS BIGINT) AS chi2_micro
+    FROM cells
+    """,
+)
+def mcnemar_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test on two curation gates over the SAME docs —
+    gate A = length (≥40 tokens), gate B = lexical diversity (distinct
+    ratio ≥ 0.55): the 2×2 agreement cells plus the
+    continuity-corrected χ² on the DISCORDANT pair (n01 vs n10). A
+    significant χ² says the gates disagree asymmetrically — they
+    encode different quality notions and the curation funnel's gate
+    ORDER matters; the paired test the two-proportion z (which ignores
+    pairing) gets wrong. Companion of quality_calibration_bands (which
+    grades one gate against another; this tests their symmetry).
+
+    Exactness: both gates are INTEGER tests (the diversity threshold is
+    the cross-multiplication 100·distinct ≥ 55·tokens — no double ever
+    decides a cell); χ² is one single-row double over exact counts.
+
+    Scale: one corpus pass computes both gate bits in the same narrow
+    projection; the aggregate is four conditional sums.
+    """
+    from ai_etl_studio_spark.functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ts = F.filter(tokens("text"), lambda w: w != "")
+    m = d.select(
+        F.size(ts).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(ts)).cast("bigint").alias("n_dist"),
+    ).filter(F.col("n_tok") > 0)
+    f = m.select(
+        (F.col("n_tok") >= 40).cast("int").alias("a"),
+        (100 * F.col("n_dist") >= 55 * F.col("n_tok")).cast("int").alias("b"),
+    )
+    cells = f.agg(
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+    )
+    diff = F.abs(F.col("n01").cast("double") - F.col("n10")) - 1
+    return cells.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.round(diff * diff / (F.col("n01") + F.col("n10")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("chi2_micro"),
+    )

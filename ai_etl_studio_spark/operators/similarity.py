@@ -2903,3 +2903,132 @@ def intrinsic_dim_two_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("id_hat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization recall eval (does 4x compression change the top-k?)
+# ---------------------------------------------------------------------------
+
+def _int8_recall_oracle() -> str:
+    from ai_etl_studio_spark.operators import ORACLES
+
+    return f"""
+    WITH q8 AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(x * 127 / list_max(
+                 list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))))
+                 AS BIGINT)) AS q
+      FROM embeddings),
+    pr AS (
+      SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+               i -> qq.q[i] * c.q[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                  i -> qq.q[i] * qq.q[i])) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                  i -> c.q[i] * c.q[i])) AS DOUBLE))) AS cos8
+      FROM q8 qq JOIN q8 c ON c.vec_id <> qq.vec_id
+      WHERE qq.vec_id < {N_QUERIES}),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos8 DESC, neighbor_id) AS rn
+        FROM pr) r
+      WHERE rn <= {TOPK}),
+    exact AS ({ORACLES["ann_cosine_topk"]}),
+    hit AS (
+      SELECT e.query_id,
+             CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM exact e LEFT JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           CAST(round(CAST(SUM(hit) AS DOUBLE) / COUNT(*) * 1000000, 0)
+             AS BIGINT) AS recall_micro
+    FROM hit GROUP BY query_id ORDER BY query_id
+    """
+
+
+@register("int8_recall_eval", oracle=_int8_recall_oracle())
+def int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@{TOPK} of brute-force cosine over the int8
+    SYMMETRIC-quantized vectors (the vector_quantize_int8 codes, 4×
+    smaller) against the float truth — the number that says whether
+    the compression step in front of the ANN index costs ranking
+    quality on THIS corpus, completing the eval family
+    (ann_ivf_recall_eval / ann_ivfpq_recall_eval / lsh_recall_by_band
+    / minhash_estimate_calibration). The truth leg composes the
+    REGISTERED ann_cosine_topk oracle, so the eval cannot drift.
+
+    Exactness: int8 codes are exact integers in both engines (the same
+    round(x·127/maxabs) as vector_quantize_int8); the int8 cosine's
+    sums are exact int64 folds, its ratio one mirrored double; ranking
+    ties break on neighbor_id.
+
+    Scale: the query side is a bounded-key-filtered {N_QUERIES}-vector
+    frame broadcast into one corpus pass (the ann_cosine_topk shape);
+    the int8 scoring never touches float vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    maxabs = F.array_max(
+        F.transform(F.col("emb"), lambda c: F.abs(c.cast("double")))
+    )
+    q8 = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("emb"),
+            lambda c: F.round(c.cast("double") * 127 / maxabs, 0).cast("bigint"),
+        ).alias("q"),
+    )
+    qs = q8.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    dot8 = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n2 = lambda col: F.aggregate(  # noqa: E731
+        F.transform(F.col(col), lambda a: a * a),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pr = (
+        q8.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot8.cast("double")
+                / (F.sqrt(n2("qq").cast("double")) * F.sqrt(n2("q").cast("double")))
+            ).alias("cos8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos8"), "neighbor_id")
+    approx = (
+        pr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+                * 1_000_000,
+                0,
+            ).cast("bigint").alias("recall_micro"),
+        )
+        .orderBy("query_id")
+    )

@@ -405,6 +405,10 @@ HEADLINE = [
     "exp_gof_interarrival",
     "lang_trigram_divergence",
     "markov_removal_effects",
+    "kruskal_wallis_delay_by_priority",
+    "weibull_shape_reorder",
+    "mcnemar_quality_gates",
+    "int8_recall_eval",
 ]
 
 
