@@ -164,7 +164,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: intrinsic_dim_two_nn, rayleigh_uniformity_by_type,
 #: exp_gof_interarrival, lang_trigram_divergence,
 #: markov_removal_effects, kruskal_wallis_delay_by_priority,
-#: weibull_shape_reorder, mcnemar_quality_gates, int8_recall_eval.
+#: weibull_shape_reorder, mcnemar_quality_gates, int8_recall_eval,
+#: shapley_channel_attribution, silhouette_by_label,
+#: friedman_priority_by_year, cochran_q_activity_years.
 PRIORITY: tuple[str, ...] = (
     # 17 old-backlog §2B names (math/string/datetime/null long tail,
     # window frames, pct-of-total — queued since r3)

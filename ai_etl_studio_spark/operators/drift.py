@@ -3612,3 +3612,170 @@ def kruskal_wallis_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFr
         .alias("h_tie_corrected_micro"),
         F.lit(len(_KW_GROUPS) - 1).cast("bigint").alias("df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test: priority revenue ranks across year blocks
+# ---------------------------------------------------------------------------
+
+def _friedman_oracle() -> str:
+    k = len(_KW_GROUPS)
+    piv = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN p = '{g}' THEN rk ELSE 0 END) AS BIGINT)"
+        f" AS rs_{i}"
+        for i, g in enumerate(_KW_GROUPS)
+    )
+    r2 = " + ".join(f"rs_{i} * rs_{i}" for i in range(k))
+    return f"""
+    WITH c AS (
+      SELECT year(o_orderdate) AS yr, o_orderpriority AS p,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2),
+    rk AS (
+      SELECT yr, p,
+             CAST(ROW_NUMBER() OVER (PARTITION BY yr ORDER BY rev, p)
+               AS BIGINT) AS rk
+      FROM c),
+    piv AS (
+      SELECT CAST(COUNT(DISTINCT yr) AS BIGINT) AS b, {piv}
+      FROM rk)
+    SELECT b, {", ".join(f"rs_{i}" for i in range(k))},
+           CAST(round((12.0 / (b * {k} * {k + 1})) * ({r2})
+                - 3.0 * b * {k + 1}, 6) AS DOUBLE) AS friedman_chi2
+    FROM piv
+    """
+
+
+@register("friedman_priority_by_year", oracle=_friedman_oracle())
+def friedman_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the repeated-measures rank ANOVA: within each
+    YEAR block, the five priorities are ranked by revenue; a large
+    χ²_F (~χ²(k−1)) says the priority revenue ORDERING is consistent
+    across years (a real structural ranking), a small one says the
+    year-to-year orderings are noise. The blocked companion of
+    kruskal_wallis_delay_by_priority (which pools all rows and ignores
+    the year blocking).
+
+    Exactness: revenue per (year, priority) cell is exact cents; ranks
+    are integers from a deterministic (rev, priority) ordering (exact
+    cents make value ties measure-zero; the priority tiebreak mirrors
+    regardless); rank sums pivot into ONE row and χ²_F is a fixed-order
+    double expression over exact integers.
+
+    Scale: one scan to the |years|×|priorities| cell table; everything
+    after is windows and arithmetic on ≤40 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.col("o_orderpriority").alias("p")
+    ).agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    w = Window.partitionBy("yr").orderBy("rev", "p")
+    rk = c.select("yr", "p", F.row_number().over(w).cast("bigint").alias("rk"))
+    k = len(_KW_GROUPS)
+    aggs = [F.countDistinct("yr").cast("bigint").alias("b")]
+    for i, g in enumerate(_KW_GROUPS):
+        aggs.append(
+            F.sum(F.when(F.col("p") == g, F.col("rk")).otherwise(0))
+            .cast("bigint")
+            .alias(f"rs_{i}")
+        )
+    piv = rk.agg(*aggs)
+    r2 = " + ".join(f"rs_{i} * rs_{i}" for i in range(k))
+    return piv.select(
+        "b",
+        *[f"rs_{i}" for i in range(k)],
+        F.round(
+            F.expr(
+                f"(12.0 / (b * {k} * {k + 1})) * ({r2}) - 3.0 * b * {k + 1}"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("friedman_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q: is customer activity homogeneous across probe years?
+# ---------------------------------------------------------------------------
+
+_COCHRAN_YEARS = (1996, 1998, 2000)
+
+
+def _cochran_oracle() -> str:
+    k = len(_COCHRAN_YEARS)
+    cols = ",\n             ".join(
+        f"MAX(CASE WHEN year(o_orderdate) = {y} THEN 1 ELSE 0 END) AS y{i}"
+        for i, y in enumerate(_COCHRAN_YEARS)
+    )
+    csum = " + ".join(f"y{i}" for i in range(k))
+    cj = ", ".join(f"CAST(SUM(y{i}) AS BIGINT) AS c{i}" for i in range(k))
+    cj2 = " + ".join(f"CAST(c{i} AS DOUBLE) * c{i}" for i in range(k))
+    return f"""
+    WITH a AS (
+      SELECT o_custkey, {cols}
+      FROM orders GROUP BY o_custkey),
+    r AS (SELECT o_custkey, ({csum}) AS ri FROM a),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_customers, {cj},
+             CAST(SUM(ri) AS BIGINT) AS t,
+             CAST(SUM(ri * ri) AS BIGINT) AS t2
+      FROM a JOIN r USING (o_custkey))
+    SELECT n_customers, {", ".join(f"c{i}" for i in range(k))},
+           CAST(round({k - 1} * ({k} * ({cj2}) - CAST(t AS DOUBLE) * t)
+                / ({k} * CAST(t AS DOUBLE) - t2) * 1000000, 0) AS BIGINT)
+             AS q_micro
+    FROM s
+    """
+
+
+@register("cochran_q_activity_years", oracle=_cochran_oracle())
+def cochran_q_activity_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q — the k-sample paired test for BINARY outcomes: per
+    customer, the was-active flag in each probe year
+    {_COCHRAN_YEARS}; Q (~χ²(k−1)) tests whether activity probability
+    is the same across the years GIVEN the per-customer pairing —
+    the binary-panel companion of spend_tier_migration (which shows
+    the flows) and of mcnemar_quality_gates (its k=2, doc-grain
+    sibling). Q = (k−1)(k·ΣC_j² − T²)/(k·T − ΣR_i²).
+
+    Exactness: everything up to the final ratio is exact int64 (column
+    totals, row totals, their squares); Q is one single-row mirrored
+    double, quantized to microticks.
+
+    Scale: one orders scan reduces to per-customer year bits
+    (map-side-combinable MAX), then one fused aggregate.
+    """
+    k = len(_COCHRAN_YEARS)
+    o = load_table(spark, sf_dir, "orders")
+    a = o.groupBy("o_custkey").agg(
+        *[
+            F.max(
+                F.when(F.year("o_orderdate") == y, 1).otherwise(0)
+            ).alias(f"y{i}")
+            for i, y in enumerate(_COCHRAN_YEARS)
+        ]
+    )
+    ri = sum((F.col(f"y{i}") for i in range(k)), F.lit(0))
+    s = a.withColumn("ri", ri).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        *[F.sum(f"y{i}").cast("bigint").alias(f"c{i}") for i in range(k)],
+        F.sum("ri").cast("bigint").alias("t"),
+        F.sum(F.col("ri") * F.col("ri")).cast("bigint").alias("t2"),
+    )
+    cj2 = " + ".join(f"CAST(c{i} AS DOUBLE) * c{i}" for i in range(k))
+    return s.select(
+        "n_customers",
+        *[f"c{i}" for i in range(k)],
+        F.round(
+            F.expr(
+                f"{k - 1} * ({k} * ({cj2}) - CAST(t AS DOUBLE) * t)"
+                f" / ({k} * CAST(t AS DOUBLE) - t2)"
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("q_micro"),
+    )

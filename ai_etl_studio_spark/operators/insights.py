@@ -4485,3 +4485,171 @@ def markov_removal_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionAll(r)
     return rows.orderBy("removed_state")
+
+
+# ---------------------------------------------------------------------------
+# Shapley channel attribution (exact over session touch-set coalitions)
+# ---------------------------------------------------------------------------
+
+#: channel -> bit in the session touch mask (purchase is the conversion,
+#: never a channel).
+_SHAPLEY_CHANNELS = (("view", 1), ("click", 2), ("signup", 4), ("error", 8))
+
+#: 24·w(|S|) for n = 4 players: |S|!·(n−1−|S|)!/n! × 4! — exact integers.
+_SHAPLEY_W24 = (6, 2, 2, 6)
+
+_POPCNT_SQL = (
+    "((smask % 2) + ((smask // 2) % 2) + ((smask // 4) % 2)"
+    " + ((smask // 8) % 2))"
+)
+
+
+def _shapley_oracle() -> str:
+    mask_expr = " + ".join(
+        f"MAX(CASE WHEN event_type = '{ch}' THEN {bit} ELSE 0 END)"
+        for ch, bit in _SHAPLEY_CHANNELS
+    )
+    w24 = (
+        f"CASE {_POPCNT_SQL} WHEN 0 THEN {_SHAPLEY_W24[0]}"
+        f" WHEN 1 THEN {_SHAPLEY_W24[1]} WHEN 2 THEN {_SHAPLEY_W24[2]}"
+        f" ELSE {_SHAPLEY_W24[3]} END"
+    )
+    phis = " UNION ALL ".join(
+        f"""SELECT '{ch}' AS channel,
+        CAST(SUM({w24.replace("smask", "v1.smask")}
+             * (v2.v - v1.v)) AS BIGINT) AS phi24_ppm
+      FROM v v1 JOIN v v2 ON v2.smask = v1.smask + {bit}
+      WHERE (v1.smask // {bit}) % 2 = 0"""
+        for ch, bit in _SHAPLEY_CHANNELS
+    )
+    return f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s2 AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS sess
+           FROM g),
+    u AS (
+      SELECT user_id, sess, {mask_expr} AS mask,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM s2 GROUP BY user_id, sess),
+    r AS (
+      SELECT mask,
+             CAST(SUM(conv) * 1000000 // COUNT(*) AS BIGINT) AS r_ppm
+      FROM u WHERE mask > 0 GROUP BY mask),
+    spine AS (SELECT CAST(i AS BIGINT) AS smask
+              FROM UNNEST(range(16)) AS t(i)),
+    v AS (
+      SELECT spine.smask,
+             CAST(COALESCE(SUM(r.r_ppm), 0) AS BIGINT) AS v
+      FROM spine LEFT JOIN r ON (r.mask & spine.smask) = r.mask
+      GROUP BY spine.smask),
+    phi AS ({phis}),
+    tot AS (SELECT SUM(phi24_ppm) AS t FROM phi)
+    SELECT channel, phi24_ppm,
+           CAST(phi24_ppm * 1000000 // (SELECT t FROM tot) AS BIGINT)
+             AS share_ppm
+    FROM phi ORDER BY channel
+    """
+
+
+@register("shapley_channel_attribution", oracle=_shapley_oracle())
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution over session coalitions —
+    the game-theoretic member of the attribution family (positional:
+    last-touch/U-shaped/time-decay; counterfactual:
+    markov_removal_effects; axiomatic-fair: this). Sessions (the
+    shared 30-min rule) reduce to their channel TOUCH SET; each
+    coalition's value v(S) is the summed conversion rate of the touch
+    sets it covers, and φ(channel) is the exact Shapley sum over all
+    2⁴ coalitions. With 4 channels the factorial weights ×4! are the
+    integers {_SHAPLEY_W24}, so φ is EXACT integer arithmetic end to
+    end (conversion rates as ppm floor divisions) — no sampling, no
+    permutation Monte Carlo.
+
+    Scale: the corpus reduces through the sessionize windows to
+    ≤2⁴ (mask, n, conv) cells; everything after is joins over a 16-row
+    spine. The exactness story is the point: at ≤26 channels the
+    2^k spine still beats permutation sampling; beyond that, sample
+    permutations instead.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    g = e.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "prev_ts", F.lag("ts").over(w)
+    )
+    s2 = g.withColumn(
+        "new_s",
+        F.when(gap_us > 1_800_000_000, 1)
+        .when(F.col("prev_ts").isNull(), 1)
+        .otherwise(0),
+    ).withColumn("sess", F.sum("new_s").over(w))
+    mask = sum(
+        (
+            F.max(
+                F.when(F.col("event_type") == ch, F.lit(bit)).otherwise(0)
+            )
+            for ch, bit in _SHAPLEY_CHANNELS
+        ),
+        F.lit(0),
+    )
+    u = s2.groupBy("user_id", "sess").agg(
+        mask.alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    r = (
+        u.filter(F.col("mask") > 0)
+        .groupBy("mask")
+        .agg(F.expr("SUM(conv) * 1000000 DIV COUNT(*)").alias("r_ppm"))
+        .localCheckpoint()  # ≤15 rows; the spine join reads it
+    )
+    spine = spark.range(16).select(F.col("id").alias("smask"))
+    v = (
+        spine.join(
+            r, (F.col("mask").bitwiseAND(F.col("smask")) == F.col("mask")), "left"
+        )
+        .groupBy("smask")
+        .agg(F.coalesce(F.sum("r_ppm"), F.lit(0)).cast("bigint").alias("v"))
+        .localCheckpoint()  # 16 rows; read twice per channel
+    )
+    w24 = F.expr(
+        f"CASE {_POPCNT_SQL.replace('//', ' DIV ')} WHEN 0 THEN {_SHAPLEY_W24[0]}"
+        f" WHEN 1 THEN {_SHAPLEY_W24[1]} WHEN 2 THEN {_SHAPLEY_W24[2]}"
+        f" ELSE {_SHAPLEY_W24[3]} END"
+    )
+    rows = None
+    v1 = v.select(F.col("smask"), F.col("v").alias("v1"))
+    for ch, bit in _SHAPLEY_CHANNELS:
+        v2 = v.select(
+            (F.col("smask") - bit).alias("smask"), F.col("v").alias("v2")
+        )
+        phi = (
+            v1.filter(F.expr(f"(smask DIV {bit}) % 2 = 0"))
+            .join(v2, "smask")
+            .agg(
+                F.sum(w24 * (F.col("v2") - F.col("v1")))
+                .cast("bigint")
+                .alias("phi24_ppm")
+            )
+            .select(F.lit(ch).alias("channel"), "phi24_ppm")
+        )
+        rows = phi if rows is None else rows.unionAll(phi)
+    tot = rows.agg(F.sum("phi24_ppm").alias("t"))
+    return (
+        rows.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "phi24_ppm",
+            F.expr("phi24_ppm * 1000000 DIV t").alias("share_ppm"),
+        )
+        .orderBy("channel")
+    )

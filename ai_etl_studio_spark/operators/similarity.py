@@ -3032,3 +3032,134 @@ def int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Silhouette score of the label partition (cluster-quality classic)
+# ---------------------------------------------------------------------------
+
+@register(
+    "silhouette_by_label",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
+      FROM embeddings),
+    s AS (SELECT vec_id AS sid, label AS slabel, qe AS sq FROM v
+          WHERE vec_id % {_ID_SAMPLE_MOD} = 0),
+    p AS (
+      SELECT s.sid, s.slabel, v.label AS nlabel,
+             CAST(round(sqrt(CAST(list_sum(list_transform(
+               range(1, {EMB_DIM + 1}),
+               i -> (s.sq[i] - v.qe[i]) * (s.sq[i] - v.qe[i])))
+               AS DOUBLE))) AS BIGINT) AS dist_micro
+      FROM s JOIN v ON v.vec_id <> s.sid),
+    gl AS (
+      SELECT sid, slabel, nlabel,
+             CAST(SUM(dist_micro) AS BIGINT) AS sd,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM p GROUP BY 1, 2, 3),
+    ab AS (
+      SELECT sid, slabel,
+             MAX(CASE WHEN nlabel = slabel
+                      THEN CAST(sd AS DOUBLE) / c END) AS a,
+             MIN(CASE WHEN nlabel <> slabel
+                      THEN CAST(sd AS DOUBLE) / c END) AS b
+      FROM gl GROUP BY 1, 2),
+    pts AS (
+      SELECT slabel,
+             CAST(round((b - a) / greatest(a, b) * 1000000, 0) AS BIGINT)
+               AS s_micro
+      FROM ab WHERE a IS NOT NULL AND b IS NOT NULL)
+    SELECT slabel AS label, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(s_micro) // COUNT(*) AS BIGINT) AS mean_silhouette_micro
+    FROM pts GROUP BY slabel ORDER BY slabel
+    """,
+)
+def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette score of the LABEL partition, per label — the classic
+    cluster-quality readout ((b−a)/max(a,b): a = mean distance to own
+    label, b = mean distance to the nearest other label). Near-zero or
+    negative silhouettes say the labels do not partition the embedding
+    space — the geometric verdict behind centroid_classifier_eval's
+    accuracy and anova_dim1_by_label's per-axis screen.
+
+    Exactness: pair distances are exact int64 micro² sums, each
+    quantized to an integer micro distance BEFORE the per-(point,
+    label) mean (the per-term tick rule); a, b and the silhouette are
+    single-row double expressions per sample point, re-quantized to
+    microticks before the per-label average (an exact floor division).
+
+    Scale: the quadratic stage is fenced to the deterministic
+    1/{_ID_SAMPLE_MOD} MOD sample (the intrinsic_dim/pairwise-histogram
+    device); pairs immediately reduce to the (point, label) grain —
+    |sample|×|labels| rows — before anything else happens.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("bigint"),
+        ).alias("qe"),
+    )
+    s = emb.filter(F.col("vec_id") % _ID_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("sid"),
+        F.col("label").alias("slabel"),
+        F.col("qe").alias("sq"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sq"), F.col("qe"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    p = (
+        emb.crossJoin(s)
+        .filter(F.col("vec_id") != F.col("sid"))
+        .select(
+            "sid",
+            "slabel",
+            F.col("label").alias("nlabel"),
+            F.round(F.sqrt(d2.cast("double")), 0).cast("bigint").alias(
+                "dist_micro"
+            ),
+        )
+    )
+    gl = p.groupBy("sid", "slabel", "nlabel").agg(
+        F.sum("dist_micro").cast("bigint").alias("sd"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    ab = gl.groupBy("sid", "slabel").agg(
+        F.max(
+            F.when(
+                F.col("nlabel") == F.col("slabel"),
+                F.col("sd").cast("double") / F.col("c"),
+            )
+        ).alias("a"),
+        F.min(
+            F.when(
+                F.col("nlabel") != F.col("slabel"),
+                F.col("sd").cast("double") / F.col("c"),
+            )
+        ).alias("b"),
+    )
+    pts = ab.filter(F.col("a").isNotNull() & F.col("b").isNotNull()).select(
+        "slabel",
+        F.round(
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b"))
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("s_micro"),
+    )
+    return (
+        pts.groupBy(F.col("slabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.expr("SUM(s_micro) DIV COUNT(*)").alias("mean_silhouette_micro"),
+        )
+        .orderBy("label")
+    )

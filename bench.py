@@ -409,6 +409,10 @@ HEADLINE = [
     "weibull_shape_reorder",
     "mcnemar_quality_gates",
     "int8_recall_eval",
+    "shapley_channel_attribution",
+    "silhouette_by_label",
+    "friedman_priority_by_year",
+    "cochran_q_activity_years",
 ]
 
 
