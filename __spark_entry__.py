@@ -166,7 +166,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: markov_removal_effects, kruskal_wallis_delay_by_priority,
 #: weibull_shape_reorder, mcnemar_quality_gates, int8_recall_eval,
 #: shapley_channel_attribution, silhouette_by_label,
-#: friedman_priority_by_year, cochran_q_activity_years.
+#: friedman_priority_by_year, cochran_q_activity_years,
+#: blocking_quality_eval, davies_bouldin_labels,
+#: log_odds_terms_by_lang, substring_dup_share_by_source.
 PRIORITY: tuple[str, ...] = (
     # 17 old-backlog §2B names (math/string/datetime/null long tail,
     # window frames, pct-of-total — queued since r3)

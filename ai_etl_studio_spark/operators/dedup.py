@@ -1703,3 +1703,202 @@ def substring_dedup_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pos", F.col("is_dup").isNotNull().alias("dup")
     )
     return _substring_span_report(tagged)
+
+
+# ---------------------------------------------------------------------------
+# Blocking-scheme quality eval (reduction ratio vs pair completeness)
+# ---------------------------------------------------------------------------
+
+#: Deterministic truth sample for the quadratic edit-distance stage.
+_BQ_MOD = 4
+
+
+def _blocking_quality_oracle() -> str:
+    from ai_etl_studio_spark.operators import ORACLES
+
+    cand = ORACLES["er_blocked_pairs"].rsplit(" ORDER BY ", 1)[0]
+    return f"""
+    WITH cand AS ({cand}),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM part),
+    ncand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+    s AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % {_BQ_MOD} = 0),
+    truth AS (
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+      FROM s a JOIN s b ON a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= {ER_DIST}),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+    hit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM truth t JOIN cand c ON c.key_a = t.key_a AND c.key_b = t.key_b)
+    SELECT np.n_parts, ncand.n_cand,
+           CAST(1000000 - ncand.n_cand * 1000000
+                // (np.n_parts * (np.n_parts - 1) // 2) AS BIGINT) AS rr_ppm,
+           nt.n_truth, hit.n_hit,
+           CAST(CASE WHEN nt.n_truth = 0 THEN 1000000
+                ELSE hit.n_hit * 1000000 // nt.n_truth END AS BIGINT)
+             AS pc_ppm
+    FROM np, ncand, nt, hit
+    """
+
+
+@register("blocking_quality_eval", oracle=_blocking_quality_oracle())
+def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED quality of the er_blocked_pairs blocking scheme — the
+    two numbers every record-linkage design is judged on: REDUCTION
+    RATIO (share of the N²/2 pair space the blocks never generate) and
+    PAIR COMPLETENESS (share of true edit-distance-≤{ER_DIST} pairs the
+    blocks recover, on a deterministic 1/{_BQ_MOD} key sample where the
+    quadratic truth is affordable — the lsh_recall_by_band pattern
+    applied to entity resolution). High RR with low PC means the
+    blocking key is too aggressive; the oracle composes the REGISTERED
+    er_blocked_pairs text so the eval can never drift from the scheme
+    it audits.
+
+    Scale: the candidate count rides the production capped-block
+    pipeline; the truth stage is sample×sample through the block-free
+    join but fenced to (N/{_BQ_MOD})²/2 pairs; both ratios are exact
+    integer ppm floor divisions.
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cand = er_blocked_pairs(spark, sf_dir).select("key_a", "key_b")
+    n_parts = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    s = p.filter(F.col("p_partkey") % _BQ_MOD == 0)
+    a = s.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("na"))
+    b = s.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("nb"))
+    truth = a.join(b, F.col("key_a") < F.col("key_b")).filter(
+        F.levenshtein(F.col("na"), F.col("nb")) <= ER_DIST
+    ).select("key_a", "key_b")
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_hit = truth.join(cand, ["key_a", "key_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        n_parts.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_parts",
+            "n_cand",
+            F.expr(
+                "1000000 - n_cand * 1000000 DIV"
+                " (n_parts * (n_parts - 1) DIV 2)"
+            ).alias("rr_ppm"),
+            "n_truth",
+            "n_hit",
+            F.when(F.col("n_truth") == 0, F.lit(1000000))
+            .otherwise(F.expr("n_hit * 1000000 DIV n_truth"))
+            .cast("bigint")
+            .alias("pc_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span token coverage by source (the dedup budget readout)
+# ---------------------------------------------------------------------------
+
+@register(
+    "substring_dup_share_by_source",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      FROM documents WHERE text IS NOT NULL),
+    win AS (
+      SELECT doc_id, source, i AS pos, len(ts) AS n_tok,
+             md5(array_to_string(ts[(i+1):(i+{SUBSTR_W})], ' ')) AS h
+      FROM toks, UNNEST(range(CAST(len(ts) - {SUBSTR_W} + 1 AS BIGINT))) AS u(i)
+      WHERE len(ts) >= {SUBSTR_W}),
+    freq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM win GROUP BY h),
+    dup AS (
+      SELECT w.doc_id, w.source, w.n_tok, w.pos
+      FROM win w JOIN freq f USING (h) WHERE f.df >= {SUBSTR_DF}),
+    runs AS (
+      SELECT doc_id, source, n_tok, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dup),
+    islands AS (
+      SELECT doc_id, MAX(source) AS source, MAX(n_tok) AS n_tok,
+             COUNT(*) + {SUBSTR_W} - 1 AS covered
+      FROM runs GROUP BY doc_id, grp),
+    per_doc AS (
+      SELECT d.doc_id, MAX(d.source) AS source, MAX(d.n_tok) AS n_tok,
+             CAST(COALESCE(SUM(i.covered), 0) AS BIGINT) AS covered
+      FROM (SELECT DISTINCT doc_id, source, n_tok FROM win) d
+      LEFT JOIN islands i ON i.doc_id = d.doc_id
+      GROUP BY d.doc_id)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(covered) AS BIGINT) AS covered_tokens,
+           CAST(SUM(covered) * 1000000 // SUM(n_tok) AS BIGINT)
+             AS coverage_ppm
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def substring_dup_share_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup BUDGET readout per feed: what share of each source's
+    tokens sits inside cross-document duplicated {SUBSTR_W}-token
+    spans (the union of overlapping duplicated windows — an island of
+    k consecutive duplicated positions covers k+W−1 tokens). A feed
+    with high coverage shrinks a lot under substring dedup; near-zero
+    coverage says skip the expensive pass for that feed — the
+    source-grain companion of substring_dup_spans' per-doc report.
+
+    Scale: rides the same linear window pipeline (Σ windows ≤ corpus
+    tokens, pairs never materialize); the island union is computed in
+    the per-doc fold / gaps-and-islands grouping, and the rollup is
+    |sources| rows. Docs shorter than W tokens carry no window and are
+    excluded in both engines (documented in substring_dup_spans).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    win = _doc_windows(d)
+    freq = win.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    # per-doc sorted duplicated positions -> covered tokens via a fold
+    # (continuation adds 1 token, a new island adds W)
+    tagged = win.join(freq, "h").select(
+        "doc_id", "pos", (F.col("df") >= SUBSTR_DF).alias("dup")
+    )
+    per_doc = tagged.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) + SUBSTR_W - 1).cast("bigint").alias("n_tok"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("dup"), F.col("pos")))
+        ).alias("dup_pos"),
+    )
+    covered = F.aggregate(
+        F.col("dup_pos"),
+        F.struct(
+            F.lit(0).cast("bigint").alias("cov"), F.lit(-2).alias("prev")
+        ),
+        lambda acc, p: F.struct(
+            (
+                acc["cov"]
+                + F.when(p == acc["prev"] + 1, F.lit(1)).otherwise(
+                    F.lit(SUBSTR_W)
+                )
+            ).alias("cov"),
+            p.alias("prev"),
+        ),
+        lambda acc: acc["cov"],
+    )
+    src = d.select("doc_id", "source")
+    return (
+        per_doc.select("doc_id", "n_tok", covered.alias("covered"))
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("covered").cast("bigint").alias("covered_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "covered_tokens",
+            F.expr("covered_tokens * 1000000 DIV total_tokens").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -3163,3 +3163,173 @@ def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Davies-Bouldin cluster-quality index over the label partition
+# ---------------------------------------------------------------------------
+
+@register(
+    "davies_bouldin_labels",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS xm
+      FROM embeddings),
+    st AS (
+      SELECT label, d, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xm) AS BIGINT) AS sx
+      FROM e GROUP BY 1, 2),
+    vt AS (
+      SELECT e.vec_id, e.label,
+             CAST(SUM(CAST(round(
+               (e.xm - CAST(st.sx AS DOUBLE) / st.n)
+               * (e.xm - CAST(st.sx AS DOUBLE) / st.n), 0) AS BIGINT))
+               AS BIGINT) AS d2t
+      FROM e JOIN st ON st.label = e.label AND st.d = e.d
+      GROUP BY 1, 2),
+    vd AS (SELECT label,
+                  CAST(round(sqrt(CAST(d2t AS DOUBLE)), 0) AS BIGINT)
+                    AS dist_micro
+           FROM vt),
+    si AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                  CAST(SUM(dist_micro) AS BIGINT) AS sd
+           FROM vd GROUP BY label),
+    cp AS (
+      SELECT a.label AS la, b.label AS lb,
+             CAST(SUM(CAST(round(
+               (CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n)
+               * (CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n),
+               0) AS BIGINT)) AS BIGINT) AS c2t
+      FROM st a JOIN st b ON a.d = b.d AND a.label <> b.label
+      GROUP BY 1, 2),
+    r AS (
+      SELECT cp.la, cp.lb,
+             (CAST(sa.sd AS DOUBLE) / sa.n_vecs
+              + CAST(sb.sd AS DOUBLE) / sb.n_vecs)
+             / sqrt(CAST(cp.c2t AS DOUBLE)) AS rr
+      FROM cp JOIN si sa ON sa.label = cp.la JOIN si sb ON sb.label = cp.lb),
+    worst AS (
+      SELECT la, lb, rr FROM (
+        SELECT la, lb, rr,
+               ROW_NUMBER() OVER (PARTITION BY la
+                                  ORDER BY rr DESC, lb) AS rn
+        FROM r) t WHERE rn = 1)
+    SELECT w.la AS label, si.n_vecs,
+           CAST(si.sd // si.n_vecs AS BIGINT) AS s_micro,
+           w.lb AS worst_label,
+           CAST(round(w.rr * 1000000, 0) AS BIGINT) AS r_max_micro
+    FROM worst w JOIN si ON si.label = w.la
+    ORDER BY label
+    """,
+)
+def davies_bouldin_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster quality over the label partition: per
+    label its mean distance to its own centroid (scatter sᵢ), the
+    OTHER label maximizing Rᵢⱼ = (sᵢ+sⱼ)/‖μᵢ−μⱼ‖, and that worst
+    ratio — the label's DB term (the full index is their mean). The
+    EXACT full-corpus companion of silhouette_by_label's sampled view:
+    DB needs only centroid sufficient statistics plus one distance per
+    vector, so no pair stage and no sample.
+
+    Exactness: centroids are exact-integer micro sums; each vector's
+    squared deviation quantizes PER DIMENSION to integer micro² ticks
+    before the per-vector sum (order-free int64), the distance
+    re-quantizes to micro before the per-label mean (exact floor
+    division); centroid-pair distances use the same per-dim tick rule
+    on the bounded |labels|²×|dims| grid; R and the argmax are
+    single-row doubles with a deterministic label tiebreak.
+
+    Scale: build/serve two-pass — pass 1 reduces the corpus to the
+    |labels|×|dims| stats table; pass 2 re-scans once, joining that
+    tiny table back (hint-free, AQE broadcasts); the pair stage never
+    touches vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("d"),
+        F.round(F.col("x").cast("double") * 1_000_000, 0)
+        .cast("bigint")
+        .alias("xm"),
+    )
+    st = e.groupBy("label", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xm").cast("bigint").alias("sx"),
+    ).localCheckpoint()  # |labels|x|dims| rows; feeds the rescan AND pairs
+    mu = F.col("sx").cast("double") / F.col("n")
+    vt = (
+        e.join(st, ["label", "d"])
+        .select(
+            "vec_id",
+            "label",
+            F.round((F.col("xm") - mu) * (F.col("xm") - mu), 0)
+            .cast("bigint")
+            .alias("t"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("t").cast("bigint").alias("d2t"))
+    )
+    vd = vt.select(
+        "label",
+        F.round(F.sqrt(F.col("d2t").cast("double")), 0)
+        .cast("bigint")
+        .alias("dist_micro"),
+    )
+    si = vd.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("dist_micro").cast("bigint").alias("sd"),
+    ).localCheckpoint()  # |labels| rows; read by both sides of R
+    a = st.select(
+        F.col("label").alias("la"), "d", (F.col("sx").cast("double") / F.col("n")).alias("ma")
+    )
+    b = st.select(
+        F.col("label").alias("lb"), "d", (F.col("sx").cast("double") / F.col("n")).alias("mb")
+    )
+    cp = (
+        a.join(b, "d")
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            F.round((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")), 0)
+            .cast("bigint")
+            .alias("t"),
+        )
+        .groupBy("la", "lb")
+        .agg(F.sum("t").cast("bigint").alias("c2t"))
+    )
+    sa = si.select(F.col("label").alias("la"), F.col("n_vecs").alias("nva"), F.col("sd").alias("sda"))
+    sb = si.select(F.col("label").alias("lb"), F.col("n_vecs").alias("nvb"), F.col("sd").alias("sdb"))
+    r = (
+        cp.join(sa, "la")
+        .join(sb, "lb")
+        .select(
+            "la",
+            "lb",
+            (
+                (
+                    F.col("sda").cast("double") / F.col("nva")
+                    + F.col("sdb").cast("double") / F.col("nvb")
+                )
+                / F.sqrt(F.col("c2t").cast("double"))
+            ).alias("rr"),
+        )
+    )
+    w = Window.partitionBy("la").orderBy(F.desc("rr"), "lb")
+    worst = r.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        worst.join(si, worst.la == si.label)
+        .select(
+            F.col("la").alias("label"),
+            "n_vecs",
+            F.expr("sd DIV n_vecs").alias("s_micro"),
+            F.col("lb").alias("worst_label"),
+            F.round(F.col("rr") * 1_000_000, 0).cast("bigint").alias("r_max_micro"),
+        )
+        .orderBy("label")
+    )

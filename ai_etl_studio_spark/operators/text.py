@@ -4048,3 +4048,115 @@ def lang_trigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_1", "lang_2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Monroe log-odds enriched terms per language (informative Dirichlet prior)
+# ---------------------------------------------------------------------------
+
+_LO_PRIOR_A0 = 1000  # total prior mass, spread per the corpus distribution
+_LO_TOPK = 5
+
+
+@register(
+    "log_odds_terms_by_lang",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                w -> w <> '')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    c AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS y FROM toks GROUP BY 1, 2),
+    gl AS (SELECT w, CAST(SUM(y) AS BIGINT) AS g FROM c GROUP BY w),
+    nl AS (SELECT lang, CAST(SUM(y) AS BIGINT) AS n FROM c GROUP BY lang),
+    tot AS (SELECT CAST(SUM(y) AS BIGINT) AS nn FROM c),
+    z AS (
+      SELECT c.lang, c.w, c.y,
+             CAST(round((
+               ln((c.y + {_LO_PRIOR_A0}.0 * gl.g / tot.nn)
+                  / (nl.n + {_LO_PRIOR_A0} - c.y
+                     - {_LO_PRIOR_A0}.0 * gl.g / tot.nn))
+               - ln((gl.g - c.y + {_LO_PRIOR_A0}.0 * gl.g / tot.nn)
+                    / (tot.nn - nl.n + {_LO_PRIOR_A0} - (gl.g - c.y)
+                       - {_LO_PRIOR_A0}.0 * gl.g / tot.nn)))
+               / sqrt(1.0 / (c.y + {_LO_PRIOR_A0}.0 * gl.g / tot.nn)
+                      + 1.0 / (gl.g - c.y
+                               + {_LO_PRIOR_A0}.0 * gl.g / tot.nn))
+               * 1000000, 0) AS BIGINT) AS z_micro
+      FROM c JOIN gl USING (w) JOIN nl USING (lang), tot)
+    SELECT lang, w AS term, y, z_micro FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY z_micro DESC, w) AS rn
+      FROM z) t
+    WHERE rn <= {_LO_TOPK}
+    ORDER BY lang, z_micro DESC, term
+    """,
+)
+def log_odds_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe et al. "Fightin' Words" log-odds with an informative
+    Dirichlet prior: for each language, the {_LO_TOPK} terms most
+    over-represented vs the REST of the corpus, z-scored — the
+    statistically sound replacement for raw TF-IDF ranking when
+    comparing feeds (the prior, spread per the corpus distribution,
+    kills the low-count noise that dominates plain log-odds). The
+    per-feed companion of rising_terms (which compares time halves).
+
+    Exactness: all counts exact int64; each (lang, term) z is ONE
+    mirrored double expression over them, quantized to microticks
+    before the per-lang top-k ordering (deterministic term tiebreak).
+
+    Scale: the corpus tokenizes once into the vocabulary-grain count
+    table; every later join is (lang,term)- or term-keyed over that
+    reduction; top-k per lang rides a WindowGroupLimit.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from ai_etl_studio_spark.functions.texthash import tokens
+
+    toks = d.select(
+        "lang",
+        F.explode(F.filter(tokens("text"), lambda w: w != "")).alias("w"),
+    )
+    c = toks.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    ).localCheckpoint()  # vocabulary-grain; feeds three marginal legs
+    gl = c.groupBy("w").agg(F.sum("y").cast("bigint").alias("g"))
+    nl = c.groupBy("lang").agg(F.sum("y").cast("bigint").alias("n"))
+    tot = c.agg(F.sum("y").cast("bigint").alias("nn"))
+    a0 = _LO_PRIOR_A0
+    j = (
+        c.join(gl, "w")
+        .join(nl, "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    alpha = F.lit(float(a0)) * F.col("g") / F.col("nn")
+    delta = F.log(
+        (F.col("y") + alpha)
+        / (F.col("n") + a0 - F.col("y") - alpha)
+    ) - F.log(
+        (F.col("g") - F.col("y") + alpha)
+        / (
+            F.col("nn")
+            - F.col("n")
+            + a0
+            - (F.col("g") - F.col("y"))
+            - alpha
+        )
+    )
+    var = F.lit(1.0) / (F.col("y") + alpha) + F.lit(1.0) / (
+        F.col("g") - F.col("y") + alpha
+    )
+    z = j.select(
+        "lang",
+        F.col("w").alias("term"),
+        "y",
+        F.round(delta / F.sqrt(var) * 1_000_000, 0).cast("bigint").alias(
+            "z_micro"
+        ),
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("z_micro"), "term")
+    return (
+        z.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _LO_TOPK)
+        .select("lang", "term", "y", "z_micro")
+        .orderBy("lang", F.desc("z_micro"), "term")
+    )

@@ -413,6 +413,10 @@ HEADLINE = [
     "silhouette_by_label",
     "friedman_priority_by_year",
     "cochran_q_activity_years",
+    "blocking_quality_eval",
+    "davies_bouldin_labels",
+    "log_odds_terms_by_lang",
+    "substring_dup_share_by_source",
 ]
 
 
