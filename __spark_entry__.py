@@ -168,7 +168,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: shapley_channel_attribution, silhouette_by_label,
 #: friedman_priority_by_year, cochran_q_activity_years,
 #: blocking_quality_eval, davies_bouldin_labels,
-#: log_odds_terms_by_lang, substring_dup_share_by_source.
+#: log_odds_terms_by_lang, substring_dup_share_by_source,
+#: theil_decomposition_by_nation, quality_score_auc,
+#: psi_monthly_series, loo_1nn_accuracy.
 PRIORITY: tuple[str, ...] = (
     # 17 old-backlog §2B names (math/string/datetime/null long tail,
     # window frames, pct-of-total — queued since r3)

@@ -9925,3 +9925,120 @@ def weibull_shape_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("intercept_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality decomposition of customer spend (between vs within nation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "theil_decomposition_by_nation",
+    oracle="""
+    WITH sp AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS xv
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_custkey, c.c_nationkey),
+    tot AS (SELECT CAST(SUM(xv) AS BIGINT) AS xt,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM sp),
+    ticks AS (
+      SELECT CAST(round((CAST(xv AS DOUBLE) / xt)
+               * ln((CAST(xv AS DOUBLE) / xt) * n) * 1000000000, 0)
+               AS BIGINT) AS t
+      FROM sp, tot),
+    grp AS (SELECT nk, CAST(SUM(xv) AS BIGINT) AS xg,
+                   CAST(COUNT(*) AS BIGINT) AS ng FROM sp GROUP BY nk),
+    bticks AS (
+      SELECT CAST(round((CAST(xg AS DOUBLE) / xt)
+               * ln((CAST(xg AS DOUBLE) / xt) * n / ng) * 1000000000, 0)
+               AS BIGINT) AS t
+      FROM grp, tot),
+    s AS (
+      SELECT (SELECT n FROM tot) AS n_customers,
+             (SELECT CAST(SUM(t) AS BIGINT) FROM ticks) AS t_total_nano,
+             (SELECT CAST(SUM(t) AS BIGINT) FROM bticks) AS t_between_nano)
+    SELECT n_customers,
+           CAST(t_total_nano // 1000 AS BIGINT) AS theil_total_micro,
+           CAST(t_between_nano // 1000 AS BIGINT) AS theil_between_micro,
+           CAST((t_total_nano - t_between_nano) // 1000 AS BIGINT)
+             AS theil_within_micro,
+           CAST(t_between_nano * 1000000 // t_total_nano AS BIGINT)
+             AS between_share_ppm
+    FROM s
+    """,
+)
+def theil_decomposition_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of customer lifetime spend, DECOMPOSED into
+    between-nation and within-nation components — the property Gini
+    does not have (Theil is additively decomposable: T = T_between +
+    Σ share_g·T_g). A small between share says geography explains
+    almost none of the spend inequality — segment customers, not
+    markets. Companion of gini_by_nation (per-group level) and
+    lorenz_curve (the shape).
+
+    Exactness: per-customer spend is exact cents; each customer's
+    (x/X)·ln((x/X)·n) term quantizes to nanonat ticks before the
+    distributed sum (the per-term tick rule), likewise the 25 nation
+    terms; the decomposition and share are integer arithmetic on the
+    two tick sums.
+
+    Scale: orders reduce to customer grain in one groupBy (map-side
+    combine), the customer⋈nation key join is hint-free; everything
+    after the two tick sums is single-row arithmetic.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sp = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("xv"))
+        .select(F.col("c_nationkey").alias("nk"), "xv")
+        .localCheckpoint()  # customer grain; feeds totals, ticks, groups
+    )
+    tot = sp.agg(
+        F.sum("xv").cast("bigint").alias("xt"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    share = F.col("xv").cast("double") / F.col("xt")
+    t_total = (
+        sp.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(share * F.log(share * F.col("n")) * 1_000_000_000, 0)
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("bigint").alias("t_total_nano"))
+    )
+    grp = sp.groupBy("nk").agg(
+        F.sum("xv").cast("bigint").alias("xg"),
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+    )
+    gshare = F.col("xg").cast("double") / F.col("xt")
+    t_between = (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                gshare * F.log(gshare * F.col("n") / F.col("ng")) * 1_000_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("bigint").alias("t_between_nano"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(t_between))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.expr("t_total_nano DIV 1000").alias("theil_total_micro"),
+            F.expr("t_between_nano DIV 1000").alias("theil_between_micro"),
+            F.expr("(t_total_nano - t_between_nano) DIV 1000").alias(
+                "theil_within_micro"
+            ),
+            F.expr("t_between_nano * 1000000 DIV t_total_nano").alias(
+                "between_share_ppm"
+            ),
+        )
+    )

@@ -3779,3 +3779,116 @@ def cochran_q_activity_years(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly PSI drift series of the order-value distribution vs baseline
+# ---------------------------------------------------------------------------
+
+@register(
+    "psi_monthly_series",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             length(bin(CAST(round(o_totalprice * 100, 0) AS BIGINT))) - 1
+               AS bkt
+      FROM orders),
+    base_m AS (SELECT MIN(month) AS m0 FROM b),
+    cells AS (SELECT month, bkt, CAST(COUNT(*) AS BIGINT) AS c
+              FROM b GROUP BY 1, 2),
+    bins AS (SELECT DISTINCT bkt FROM cells),
+    months AS (SELECT DISTINCT month FROM cells),
+    grid AS (
+      SELECT m.month, bins.bkt, COALESCE(c.c, 0) AS c
+      FROM months m CROSS JOIN bins
+      LEFT JOIN cells c ON c.month = m.month AND c.bkt = bins.bkt),
+    n AS (SELECT month, CAST(SUM(c) AS BIGINT) AS n FROM grid GROUP BY month),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbins FROM bins),
+    p AS (
+      SELECT g.month, g.bkt,
+             (CAST(g.c AS DOUBLE) + 1) / (n.n + nb.nbins) AS p
+      FROM grid g JOIN n USING (month), nb),
+    base AS (
+      SELECT p.bkt, p.p AS p0 FROM p, base_m WHERE p.month = base_m.m0),
+    terms AS (
+      SELECT p.month,
+             CAST(round((p.p - base.p0) * ln(p.p / base.p0)
+               * 1000000000, 0) AS BIGINT) AS t
+      FROM p JOIN base USING (bkt), base_m
+      WHERE p.month <> base_m.m0)
+    SELECT month, CAST(SUM(t) // 1000 AS BIGINT) AS psi_micro
+    FROM terms GROUP BY month ORDER BY month
+    """,
+)
+def psi_monthly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift DASHBOARD series: PSI of each month's order-value
+    distribution against the first month, over log2 value bins — the
+    rolling readout an MLOps monitor alerts on (psi_drift is one
+    two-population comparison; this is the whole timeline, so a slow
+    value-mix migration shows as a trending PSI, not a single number).
+
+    Exactness: bins are binary-length log2 buckets (exact in both
+    engines); Laplace +1 smoothing on the COMPLETED month×bin grid
+    keeps every cell positive with deterministic integer counts (the
+    t_closeness grid-completion lesson — a missing cell must
+    contribute its prior mass, and unsmoothed PSI is infinite on any
+    empty cell); each (month, bin) term quantizes to nanoticks before
+    the per-month sum.
+
+    Scale: one scan to |months|×|bins| cells; the grid, totals and
+    series are arithmetic over that bounded table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        (F.length(F.bin(cents("o_totalprice"))) - 1).alias("bkt"),
+    )
+    cells = b.groupBy("month", "bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()  # |months|x|bins|; feeds grid, bins, months, base
+    bins = cells.select("bkt").distinct()
+    months = cells.select("month").distinct()
+    base_m = cells.agg(F.min("month").alias("m0"))
+    grid = (
+        months.crossJoin(bins)
+        .join(cells, ["month", "bkt"], "left")
+        .select("month", "bkt", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    n = grid.groupBy("month").agg(F.sum("c").cast("bigint").alias("n"))
+    nb = bins.agg(F.count(F.lit(1)).cast("bigint").alias("nbins"))
+    p = (
+        grid.join(n, "month")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "month",
+            "bkt",
+            ((F.col("c").cast("double") + 1) / (F.col("n") + F.col("nbins"))).alias(
+                "p"
+            ),
+        )
+    )
+    base = (
+        p.crossJoin(F.broadcast(base_m))
+        .filter(F.col("month") == F.col("m0"))
+        .select("bkt", F.col("p").alias("p0"))
+    )
+    terms = (
+        p.crossJoin(F.broadcast(base_m))
+        .filter(F.col("month") != F.col("m0"))
+        .join(base, "bkt")
+        .select(
+            "month",
+            F.round(
+                (F.col("p") - F.col("p0")) * F.log(F.col("p") / F.col("p0"))
+                * 1_000_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("t"),
+        )
+    )
+    return (
+        terms.groupBy("month")
+        .agg(F.expr("SUM(t) DIV 1000").alias("psi_micro"))
+        .orderBy("month")
+    )

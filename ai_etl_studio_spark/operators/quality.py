@@ -1744,3 +1744,121 @@ def mcnemar_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chi2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC of the cheap stopword score predicting the diversity gate
+# ---------------------------------------------------------------------------
+
+@register(
+    "quality_score_auc",
+    oracle=r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS ts
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT CAST(len(ts) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(ts, w -> w IN """
+    + _SW_SQL
+    + r""")) AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(ts)) AS BIGINT) AS nd
+      FROM t WHERE len(ts) > 0),
+    sc AS (
+      SELECT n_stop * 1000000 // n_tok AS score_ppm,
+             CASE WHEN 100 * nd >= 55 * n_tok THEN 1 ELSE 0 END AS y
+      FROM m),
+    c AS (SELECT score_ppm, y, CAST(COUNT(*) AS BIGINT) AS c
+          FROM sc GROUP BY 1, 2),
+    vv AS (SELECT score_ppm, CAST(SUM(c) AS BIGINT) AS cv
+           FROM c GROUP BY score_ppm),
+    mid AS (
+      SELECT score_ppm, cv,
+             2 * (SUM(cv) OVER (ORDER BY score_ppm) - cv) + cv + 1
+               AS midrank2
+      FROM vv),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN y = 1 THEN c ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN y = 0 THEN c ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN y = 1 THEN c * midrank2 ELSE 0 END)
+               AS BIGINT) AS r2_pos
+      FROM c JOIN mid USING (score_ppm))
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           CAST(round((CAST(r2_pos AS DOUBLE) / 2 - CAST(n1 AS DOUBLE)
+                * (n1 + 1) / 2) / (CAST(n1 AS DOUBLE) * n0)
+                * 1000000, 0) AS BIGINT) AS auc_micro
+    FROM s
+    """,
+)
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC (= the Mann-Whitney statistic normalized) of the cheap
+    stopword-density score as a predictor of the lexical-diversity
+    gate — the ranking-quality number behind any plan to use the cheap
+    score as a pre-filter for the expensive gate (AUC ≈ 0.5 means the
+    shortcut is worthless; quality_calibration_bands shows WHERE it
+    fails, this says WHETHER it ranks at all).
+
+    Exactness: the score is an INTEGER ppm floor division (never a
+    double sort key), so the midrank machinery runs on exact integer
+    values — 2·midranks are integers, the positive-class rank sum is
+    exact int64, and AUC is one single-row mirrored double.
+
+    Scale: one corpus pass to (score, outcome) counts; the midrank
+    window runs over DISTINCT score values.
+    """
+    from ai_etl_studio_spark.operators.text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ts = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda w: w != ""
+    )
+    m = d.select(ts.alias("ts")).filter(F.size("ts") > 0).select(
+        F.size("ts").cast("bigint").alias("n_tok"),
+        F.size(F.filter(F.col("ts"), lambda w: w.isin(*STOPWORDS)))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(F.array_distinct("ts")).cast("bigint").alias("nd"),
+    )
+    sc = m.select(
+        F.expr("n_stop * 1000000 DIV n_tok").alias("score_ppm"),
+        (100 * F.col("nd") >= 55 * F.col("n_tok")).cast("int").alias("y"),
+    )
+    c = sc.groupBy("score_ppm", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()  # (score, outcome)-grain; feeds vv AND the join
+    vv = c.groupBy("score_ppm").agg(F.sum("c").cast("bigint").alias("cv"))
+    w = Window.orderBy("score_ppm").rowsBetween(Window.unboundedPreceding, 0)
+    mid = vv.select(
+        "score_ppm",
+        (2 * (F.sum("cv").over(w) - F.col("cv")) + F.col("cv") + 1).alias(
+            "midrank2"
+        ),
+    )
+    s = c.join(mid, "score_ppm").agg(
+        F.sum(F.when(F.col("y") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("y") == 0, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(
+            F.when(F.col("y") == 1, F.col("c") * F.col("midrank2")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r2_pos"),
+    )
+    return s.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(
+            (
+                F.col("r2_pos").cast("double") / 2
+                - F.col("n1").cast("double") * (F.col("n1") + 1) / 2
+            )
+            / (F.col("n1").cast("double") * F.col("n0"))
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("auc_micro"),
+    )

@@ -3333,3 +3333,103 @@ def davies_bouldin_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out 1-NN label accuracy (embedding-space label coherence)
+# ---------------------------------------------------------------------------
+
+@register(
+    "loo_1nn_accuracy",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
+      FROM embeddings),
+    s AS (SELECT vec_id AS sid, label AS slabel, qe AS sq FROM v
+          WHERE vec_id % {_ID_SAMPLE_MOD} = 0),
+    d AS (
+      SELECT s.sid, s.slabel, v.label AS nlabel,
+             CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+               i -> (s.sq[i] - v.qe[i]) * (s.sq[i] - v.qe[i])))
+               AS BIGINT) AS d2,
+             v.vec_id AS nid
+      FROM s JOIN v ON v.vec_id <> s.sid),
+    nn AS (
+      SELECT sid, slabel, nlabel FROM (
+        SELECT sid, slabel, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d2, nid) AS rn
+        FROM d) t WHERE rn = 1)
+    SELECT slabel AS label, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CASE WHEN nlabel = slabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN nlabel = slabel THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS acc_ppm
+    FROM nn GROUP BY slabel ORDER BY label
+    """,
+)
+def loo_1nn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-nearest-neighbor label accuracy on the MOD
+    sample — the sharpest cheap test of whether labels are LOCALLY
+    coherent in the embedding space (centroid_classifier_eval tests
+    global linear separability; a label can pass 1-NN and fail
+    centroids when classes are multi-modal, and vice versa when labels
+    are noisy). Random-guess baseline is 1/|labels|.
+
+    Exactness: exact int64 micro² distances; the neighbor argmin
+    tiebreaks on vec_id; accuracy is an exact ppm floor division.
+
+    Scale: the quadratic stage is the same fenced 1/{_ID_SAMPLE_MOD}
+    MOD-sample nested loop as intrinsic_dim_two_nn, reduced by a
+    WindowGroupLimit to one neighbor per sample point.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("bigint"),
+        ).alias("qe"),
+    )
+    s = emb.filter(F.col("vec_id") % _ID_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("sid"),
+        F.col("label").alias("slabel"),
+        F.col("qe").alias("sq"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sq"), F.col("qe"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = (
+        emb.crossJoin(s)
+        .filter(F.col("vec_id") != F.col("sid"))
+        .select(
+            "sid",
+            "slabel",
+            F.col("label").alias("nlabel"),
+            d2.alias("d2"),
+            F.col("vec_id").alias("nid"),
+        )
+    )
+    w = Window.partitionBy("sid").orderBy("d2", "nid")
+    nn = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        nn.groupBy(F.col("slabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum(
+                F.when(F.col("nlabel") == F.col("slabel"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_points",
+            "n_correct",
+            F.expr("n_correct * 1000000 DIV n_points").alias("acc_ppm"),
+        )
+        .orderBy("label")
+    )

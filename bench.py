@@ -417,6 +417,10 @@ HEADLINE = [
     "davies_bouldin_labels",
     "log_odds_terms_by_lang",
     "substring_dup_share_by_source",
+    "theil_decomposition_by_nation",
+    "quality_score_auc",
+    "psi_monthly_series",
+    "loo_1nn_accuracy",
 ]
 
 
