@@ -10042,3 +10042,139 @@ def theil_decomposition_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Törnqvist price index (geometric, share-weighted — completes the family)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tornqvist_price_index",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q0,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS r0
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = {_LASPEYRES_BASE_YEAR}
+      GROUP BY 1 HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+    cur AS (
+      SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+               AS m,
+             l_partkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qt,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rt
+      FROM lineitem GROUP BY 1, 2
+      HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+    j AS (
+      SELECT cur.m, cur.l_partkey,
+             CAST(cur.rt * 1000 // cur.qt AS BIGINT) AS pt,
+             CAST(base.r0 * 1000 // base.q0 AS BIGINT) AS p0,
+             cur.rt, base.r0
+      FROM cur JOIN base ON cur.l_partkey = base.l_partkey),
+    tots AS (
+      SELECT m, CAST(SUM(rt) AS BIGINT) AS srt,
+             CAST(SUM(r0) AS BIGINT) AS sr0,
+             CAST(COUNT(*) AS BIGINT) AS n_parts_matched
+      FROM j GROUP BY m),
+    terms AS (
+      SELECT j.m,
+             CAST(round(0.5 * (CAST(j.r0 AS DOUBLE) / t.sr0
+                               + CAST(j.rt AS DOUBLE) / t.srt)
+               * ln(CAST(j.pt AS DOUBLE) / j.p0) * 1000000000, 0)
+               AS BIGINT) AS tick
+      FROM j JOIN tots t USING (m))
+    SELECT terms.m AS month, t.n_parts_matched,
+           CAST(round(exp(CAST(SUM(tick) AS DOUBLE) / 1000000000) * 1000, 0)
+             AS BIGINT) AS tornqvist_index_milli
+    FROM terms JOIN tots t ON t.m = terms.m
+    GROUP BY terms.m, t.n_parts_matched
+    ORDER BY terms.m
+    """,
+)
+def tornqvist_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Törnqvist price index — the superlative member completing the
+    index family (Laspeyres = base-weighted, Paasche =
+    current-weighted, Fisher = their geometric mean, Törnqvist =
+    geometric with AVERAGED revenue shares): exp(Σ ½(w₀+wₜ)·ln(pₜ/p₀))
+    over the matched basket. Diewert's result: it tracks a flexible
+    cost-of-living index exactly, which the fixed-weight pair cannot.
+
+    Exactness: unit prices are the SAME integer milli-cent floor
+    divisions the Laspeyres op pins; each part's share-weighted
+    log-relative quantizes to nanoticks before the per-month sum; the
+    final exp of the exact tick sum is one mirrored double per month.
+
+    Scale: identical shape to laspeyres_price_index — lineitem reduces
+    to (month, part) and (base, part) grains once; the matched join
+    and the share windows run at part-month grain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round("l_quantity").cast("bigint")
+    base = (
+        li.filter(F.year(F.col("l_shipdate").cast("date")) == _LASPEYRES_BASE_YEAR)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(qty).cast("bigint").alias("q0"),
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("r0"),
+        )
+        .filter(F.col("q0") > 0)
+    )
+    cur = (
+        li.groupBy(
+            F.date_trunc("month", F.col("l_shipdate").cast("date"))
+            .cast("date")
+            .alias("m"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(qty).cast("bigint").alias("qt"),
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("rt"),
+        )
+        .filter(F.col("qt") > 0)
+    )
+    j = cur.join(base, "l_partkey").select(
+        "m",
+        "l_partkey",
+        F.expr("rt * 1000 DIV qt").alias("pt"),
+        F.expr("r0 * 1000 DIV q0").alias("p0"),
+        "rt",
+        "r0",
+    ).localCheckpoint()  # part-month grain; feeds totals AND terms
+    tots = j.groupBy("m").agg(
+        F.sum("rt").cast("bigint").alias("srt"),
+        F.sum("r0").cast("bigint").alias("sr0"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts_matched"),
+    )
+    terms = j.join(tots, "m").select(
+        "m",
+        F.round(
+            F.lit(0.5)
+            * (
+                F.col("r0").cast("double") / F.col("sr0")
+                + F.col("rt").cast("double") / F.col("srt")
+            )
+            * F.log(F.col("pt").cast("double") / F.col("p0"))
+            * 1_000_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("tick"),
+    )
+    return (
+        terms.groupBy("m")
+        .agg(F.sum("tick").cast("bigint").alias("s"))
+        .join(tots.select("m", "n_parts_matched"), "m")
+        .select(
+            F.col("m").alias("month"),
+            "n_parts_matched",
+            F.round(
+                F.exp(F.col("s").cast("double") / 1_000_000_000) * 1000, 0
+            )
+            .cast("bigint")
+            .alias("tornqvist_index_milli"),
+        )
+        .orderBy("month")
+    )

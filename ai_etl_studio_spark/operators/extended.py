@@ -878,3 +878,124 @@ def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN null semantics (the three-valued-logic trap, demonstrated)
+# ---------------------------------------------------------------------------
+
+@register(
+    "not_in_null_semantics",
+    oracle="""
+    WITH sub AS (
+      SELECT CASE WHEN o_orderstatus = 'O' THEN o_custkey END AS k
+      FROM orders),
+    a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer
+          WHERE c_custkey NOT IN (SELECT k FROM sub)),
+    b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer
+          WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL)),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer cu
+          WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = cu.c_custkey))
+    SELECT a.n AS not_in_with_nulls, b.n AS not_in_null_filtered,
+           c.n AS not_exists
+    FROM a, b, c
+    """,
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN three-valued-logic trap, demonstrated as a query: the
+    same "customers with no open order" question asked three ways —
+    NOT IN against a list CONTAINING NULLs (returns zero rows: any
+    NULL in the list makes every NOT IN predicate UNKNOWN), NOT IN
+    with the NULLs filtered, and NOT EXISTS (null-safe by
+    construction). Engines agree on all three; query AUTHORS routinely
+    don't — this is the §2B null-handling row's sharpest edge, and in
+    Spark the first form plans as the expensive null-aware anti join
+    (every row must check the whole list for a NULL witness).
+
+    Scale: the NOT EXISTS / filtered forms decorrelate to ordinary
+    anti joins (hash, shuffled); the null-aware form is the
+    documented trap — at fact scale prefer NOT EXISTS always.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    o.select(
+        F.when(F.col("o_orderstatus") == "O", F.col("o_custkey")).alias("k")
+    ).createOrReplaceTempView("nn_sub")
+    cu.createOrReplaceTempView("nn_customer")
+    return spark.sql(
+        """
+        WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nn_customer
+                   WHERE c_custkey NOT IN (SELECT k FROM nn_sub)),
+        b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nn_customer
+              WHERE c_custkey NOT IN (SELECT k FROM nn_sub
+                                      WHERE k IS NOT NULL)),
+        c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nn_customer cu
+              WHERE NOT EXISTS (SELECT 1 FROM nn_sub
+                                WHERE nn_sub.k = cu.c_custkey))
+        SELECT a.n AS not_in_with_nulls, b.n AS not_in_null_filtered,
+               c.n AS not_exists
+        FROM a, b, c
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING()/GROUPING_ID() surface over a rollup (total-row disambiguation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "grouping_id_report",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+             AS BIGINT) AS grouping_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             AS BIGINT) AS revenue_cents
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY grouping_id, returnflag, linestatus
+    """,
+)
+def grouping_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPING()/GROUPING_ID() surface: a rollup whose total rows
+    are DISAMBIGUATED by the grouping flags instead of relying on NULL
+    labels (the §2B grouping-sets row's missing corner — a NULL data
+    value and a rolled-up total are indistinguishable without
+    GROUPING(); here the id encodes exactly which levels each row
+    aggregates). Same contract in both engines: id 0 = leaf cells,
+    1 = per-flag totals, 3 = grand total.
+
+    Scale: rollup expands after partial aggregation; the report is
+    |flags|×|statuses| + |flags| + 1 rows.
+    """
+    from ai_etl_studio_spark.functions.exact import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            )
+            .cast("bigint")
+            .alias("grouping_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(cents("l_extendedprice")).cast("bigint").alias(
+                "revenue_cents"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias(
+                "returnflag"
+            ),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias(
+                "linestatus"
+            ),
+            "grouping_id",
+            "n_lines",
+            "revenue_cents",
+        )
+        .orderBy("grouping_id", "returnflag", "linestatus")
+    )

@@ -4160,3 +4160,88 @@ def log_odds_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "term", "y", "z_micro")
         .orderBy("lang", F.desc("z_micro"), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa of the langid heuristic vs the gold labels
+# ---------------------------------------------------------------------------
+
+def _kappa_oracle() -> str:
+    return f"""
+    WITH p AS ({_langid_sql()}),
+    cm AS (
+      SELECT labeled_lang AS gold, predicted_lang AS pred,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM p GROUP BY 1, 2),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cm),
+    agree AS (SELECT CAST(SUM(CASE WHEN gold = pred THEN c ELSE 0 END)
+                AS BIGINT) AS a FROM cm),
+    marg AS (
+      SELECT COALESCE(g.gold, pr.pred) AS lab,
+             COALESCE(g.cg, 0) AS cg, COALESCE(pr.cp, 0) AS cp
+      FROM (SELECT gold, SUM(c) AS cg FROM cm GROUP BY gold) g
+      FULL JOIN (SELECT pred, SUM(c) AS cp FROM cm GROUP BY pred) pr
+        ON pr.pred = g.gold),
+    e AS (SELECT CAST(SUM(cg * cp) AS BIGINT) AS exp_agree FROM marg)
+    SELECT n.n, agree.a AS n_agree,
+           CAST(round((CAST(agree.a AS DOUBLE) / n.n
+                - CAST(e.exp_agree AS DOUBLE) / (CAST(n.n AS DOUBLE) * n.n))
+              / (1 - CAST(e.exp_agree AS DOUBLE)
+                 / (CAST(n.n AS DOUBLE) * n.n)) * 1000000, 0) AS BIGINT)
+             AS kappa_micro
+    FROM n, agree, e
+    """
+
+
+@register("langid_cohens_kappa", oracle=_kappa_oracle())
+def langid_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the langid heuristic against the gold language
+    labels — chance-corrected agreement, the single number
+    langid_confusion's matrix summarizes to (raw accuracy flatters a
+    classifier whenever the label distribution is skewed; kappa
+    subtracts the agreement the marginals produce by chance). Shares
+    the REGISTERED langid scoring, so the two views can never diverge.
+
+    Exactness: the confusion matrix, its marginals and the expected
+    agreement Σ(row·col) are exact int64; kappa is one single-row
+    mirrored double, quantized to microticks.
+
+    Scale: one scoring pass (the shared narrow projection) reduces to
+    ≤|langs|² cells; everything else is arithmetic on that.
+    """
+    p = _langid_predictions(spark, sf_dir)
+    cm = p.groupBy(
+        F.col("labeled_lang").alias("gold"),
+        F.col("predicted_lang").alias("pred"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c")).localCheckpoint()
+    n = cm.agg(F.sum("c").cast("bigint").alias("n"))
+    agree = cm.agg(
+        F.sum(F.when(F.col("gold") == F.col("pred"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("a")
+    )
+    g = cm.groupBy("gold").agg(F.sum("c").alias("cg"))
+    pr = cm.groupBy("pred").agg(F.sum("c").alias("cp"))
+    marg = (
+        g.join(pr, g.gold == pr.pred, "full")
+        .select(
+            F.coalesce(F.col("cg"), F.lit(0)).alias("cg"),
+            F.coalesce(F.col("cp"), F.lit(0)).alias("cp"),
+        )
+    )
+    e = marg.agg(F.sum(F.col("cg") * F.col("cp")).cast("bigint").alias("exp_agree"))
+    po = F.col("a").cast("double") / F.col("n")
+    pe = F.col("exp_agree").cast("double") / (
+        F.col("n").cast("double") * F.col("n")
+    )
+    return (
+        n.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(e))
+        .select(
+            "n",
+            F.col("a").alias("n_agree"),
+            F.round((po - pe) / (F.lit(1) - pe) * 1_000_000, 0)
+            .cast("bigint")
+            .alias("kappa_micro"),
+        )
+    )

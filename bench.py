@@ -421,6 +421,10 @@ HEADLINE = [
     "quality_score_auc",
     "psi_monthly_series",
     "loo_1nn_accuracy",
+    "tornqvist_price_index",
+    "langid_cohens_kappa",
+    "not_in_null_semantics",
+    "grouping_id_report",
 ]
 
 
