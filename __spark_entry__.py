@@ -171,7 +171,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: log_odds_terms_by_lang, substring_dup_share_by_source,
 #: theil_decomposition_by_nation, quality_score_auc,
 #: psi_monthly_series, loo_1nn_accuracy, tornqvist_price_index,
-#: langid_cohens_kappa, not_in_null_semantics, grouping_id_report.
+#: langid_cohens_kappa, not_in_null_semantics, grouping_id_report,
+#: hubness_k_occurrence, acf_differenced_revenue (+ the eighth
+#: streaming twin run_stream_tax_mix).
 PRIORITY: tuple[str, ...] = (
     # 17 old-backlog §2B names (math/string/datetime/null long tail,
     # window frames, pct-of-total — queued since r3)

@@ -3892,3 +3892,159 @@ def psi_monthly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("SUM(t) DIV 1000").alias("psi_micro"))
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# ACF of the doubly-differenced revenue series (SARIMA pre-check)
+# ---------------------------------------------------------------------------
+
+@register(
+    "acf_differenced_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(round(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS DOUBLE) / 100000, 0) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    l AS (
+      SELECT day, x,
+             lag(x, 1) OVER (ORDER BY day) AS x1,
+             lag(x, 7) OVER (ORDER BY day) AS x7,
+             lag(x, 8) OVER (ORDER BY day) AS x8
+      FROM daily),
+    z AS (
+      SELECT day, (x - x1) - (x7 - x8) AS z
+      FROM l WHERE x8 IS NOT NULL),
+    zl AS (
+      SELECT z,
+             lag(z, 1) OVER (ORDER BY day) AS z1,
+             lag(z, 7) OVER (ORDER BY day) AS z7,
+             lag(z, 14) OVER (ORDER BY day) AS z14
+      FROM z),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(z) AS BIGINT) AS s,
+             CAST(SUM(z * z) AS BIGINT) AS q
+      FROM z),
+    p AS (
+      SELECT 1 AS lag_k, z, z1 AS zl FROM zl
+      UNION ALL SELECT 7, z, z7 FROM zl
+      UNION ALL SELECT 14, z, z14 FROM zl),
+    a AS (
+      SELECT lag_k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(z * zl) AS BIGINT) AS sxy,
+             CAST(SUM(z) AS BIGINT) AS sa, CAST(SUM(zl) AS BIGINT) AS sb
+      FROM p WHERE zl IS NOT NULL GROUP BY lag_k)
+    SELECT lag_k, n_pairs,
+           CAST(round(
+             (CAST(sxy AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sa + sb AS DOUBLE)
+              + CAST(n_pairs AS DOUBLE)
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(q AS DOUBLE)
+                - CAST(n AS DOUBLE)
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             * 1000000000, 0) AS BIGINT) AS acf_ticks
+    FROM a, g ORDER BY lag_k
+    """,
+)
+def acf_differenced_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of the DOUBLY-DIFFERENCED daily revenue z_t = (1−B)(1−B⁷)x_t
+    — the SARIMA identification pre-check: autocorrelation_lags shows
+    the raw series' structure; THIS says whether one regular plus one
+    weekly seasonal difference leaves white residual correlation
+    (near-zero ACF ⇒ a SARIMA(0,1,·)(0,1,·)₇ family fits; a big
+    negative lag-1/lag-7 spike ⇒ over-differenced). z stays in exact
+    $1k-tick integers because differencing integers is exact.
+
+    Scale: the same bounded-daily-series shape as the ACF — orders
+    reduce to one row per day, differencing and lag alignment are
+    windows over that tiny checkpointed series, the per-lag Pearson is
+    the identical mirrored compound expression.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum(cents("o_totalprice")).cast("double") / 100000, 0)
+            .cast("bigint")
+            .alias("x")
+        )
+        .localCheckpoint()
+    )
+    w = Window.orderBy("day")
+    z = (
+        daily.select(
+            "day",
+            "x",
+            F.lag("x", 1).over(w).alias("x1"),
+            F.lag("x", 7).over(w).alias("x7"),
+            F.lag("x", 8).over(w).alias("x8"),
+        )
+        .filter(F.col("x8").isNotNull())
+        .select(
+            "day",
+            ((F.col("x") - F.col("x1")) - (F.col("x7") - F.col("x8"))).alias(
+                "z"
+            ),
+        )
+        .localCheckpoint()
+    )
+    g = z.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("q"),
+    )
+    lags = [1, 7, 14]
+    zl = z.select(
+        "z", *[F.lag("z", k).over(w.orderBy("day")).alias(f"z{k}") for k in lags]
+    )
+    p = (
+        zl.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("int").alias("lag_k"),
+                            F.col("z").alias("zv"),
+                            F.col(f"z{k}").alias("zl"),
+                        )
+                        for k in lags
+                    ]
+                )
+            ).alias("pp")
+        )
+        .select("pp.*")
+        .filter(F.col("zl").isNotNull())
+    )
+    a = p.groupBy("lag_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("zv") * F.col("zl")).cast("bigint").alias("sxy"),
+        F.sum("zv").cast("bigint").alias("sa"),
+        F.sum("zl").cast("bigint").alias("sb"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    return (
+        a.crossJoin(F.broadcast(g))
+        .select(
+            "lag_k",
+            "n_pairs",
+            F.round(
+                (
+                    F.col("sxy").cast("double")
+                    - mean * (F.col("sa") + F.col("sb")).cast("double")
+                    + F.col("n_pairs").cast("double") * mean * mean
+                )
+                / (
+                    F.col("q").cast("double")
+                    - F.col("n").cast("double") * mean * mean
+                )
+                * 1_000_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("acf_ticks"),
+        )
+        .orderBy("lag_k")
+    )

@@ -3433,3 +3433,107 @@ def loo_1nn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hubness (k-occurrence) of the embedding space — the ANN pathology audit
+# ---------------------------------------------------------------------------
+
+_HUB_K = 10
+
+
+@register(
+    "hubness_k_occurrence",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
+      FROM embeddings),
+    s AS (SELECT vec_id AS sid, qe AS sq FROM v
+          WHERE vec_id % {_ID_SAMPLE_MOD} = 0),
+    d AS (
+      SELECT s.sid, v.vec_id AS nid,
+             CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+               i -> (s.sq[i] - v.qe[i]) * (s.sq[i] - v.qe[i])))
+               AS BIGINT) AS d2
+      FROM s JOIN v ON v.vec_id <> s.sid),
+    nn AS (
+      SELECT nid FROM (
+        SELECT sid, nid,
+               ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d2, nid) AS rn
+        FROM d) t WHERE rn <= {_HUB_K}),
+    occ AS (SELECT nid, CAST(COUNT(*) AS BIGINT) AS o FROM nn GROUP BY nid),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM v),
+    hist AS (
+      SELECT o AS k_occurrence, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM occ GROUP BY o),
+    zero AS (
+      SELECT CAST(0 AS BIGINT) AS k_occurrence,
+             CAST(tot.n_corpus - (SELECT COUNT(*) FROM occ) AS BIGINT)
+               AS n_points
+      FROM tot)
+    SELECT k_occurrence, n_points FROM hist
+    UNION ALL SELECT k_occurrence, n_points FROM zero
+    ORDER BY k_occurrence
+    """,
+)
+def hubness_k_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit: the k-occurrence distribution N_{_HUB_K}(x) — how
+    many sample queries list each corpus point among their {_HUB_K}
+    nearest neighbors. In healthy low-dimensional data the histogram
+    is tight around k·|sample|/|corpus|; a long right tail (hub points
+    appearing in MANY lists while most points appear in none) is the
+    curse-of-dimensionality pathology that silently degrades every
+    k-NN-based op (knn_classify, loo_1nn, MMR) — the audit to run
+    before trusting them. The 0-occurrence row (anti-hubs) is included
+    via the corpus total.
+
+    Exactness: exact int64 distances, integer ranks with vec_id
+    tiebreak, integer histogram.
+
+    Scale: the same fenced MOD-sample nested loop as
+    intrinsic_dim_two_nn, cut to k rows per query by WindowGroupLimit;
+    the occurrence count and histogram are tiny aggregations.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("bigint"),
+        ).alias("qe"),
+    )
+    s = emb.filter(F.col("vec_id") % _ID_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("sid"), F.col("qe").alias("sq")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sq"), F.col("qe"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = (
+        emb.crossJoin(s)
+        .filter(F.col("vec_id") != F.col("sid"))
+        .select("sid", F.col("vec_id").alias("nid"), d2.alias("d2"))
+    )
+    w = Window.partitionBy("sid").orderBy("d2", "nid")
+    nn = d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _HUB_K
+    )
+    occ = nn.groupBy("nid").agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    occ = occ.localCheckpoint()  # bounded by corpus; read twice below
+    tot = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
+    n_occ = occ.agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    hist = occ.groupBy(F.col("o").alias("k_occurrence")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    zero = (
+        tot.crossJoin(F.broadcast(n_occ))
+        .select(
+            F.lit(0).cast("bigint").alias("k_occurrence"),
+            (F.col("n_corpus") - F.col("n_occ")).cast("bigint").alias(
+                "n_points"
+            ),
+        )
+    )
+    return hist.unionAll(zero).orderBy("k_occurrence")

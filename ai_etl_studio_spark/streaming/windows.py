@@ -1409,3 +1409,61 @@ def run_stream_linestatus_share(
     finally:
         qq.stop()
     return spark.table(query_name)
+
+
+def run_stream_tax_mix(
+    spark: SparkSession, sf_dir: str, query_name: str = "taxmix_out"
+) -> DataFrame:
+    """REAL streaming build of tax_rate_mix_by_year's exposure cells
+    (the eighth readStream twin): lineitem rows stream in and a
+    streaming aggregation maintains per-(ship-year, tax-band) line
+    counts, taxable base and tax collected — the live indirect-tax
+    ledger a VAT monitor reads.
+
+    Mergeable-summary shape: state is bounded by |years|×|tax bands|
+    (the business horizon × a fixed rate schedule — never stream
+    rate); all three measures are exact integer sums (cents via the
+    same all-integer cross multiplication as the batch op), so the
+    cells are bit-identical to the batch reduction in ANY arrival
+    order (asserted in tests/test_streaming.py). Complete output mode.
+    Returns (yr, tax_pct, n_lines, base_cents, tax_cents)."""
+    schema = (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber bigint, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp"
+    )
+    li = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "lineitem.parquet")
+        .load(sf_dir)
+    )
+    cells = li.groupBy(
+        F.year(F.col("l_shipdate").cast("date")).alias("yr"),
+        F.round(F.col("l_tax") * 100, 0).cast("bigint").alias("tax_pct"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("base_cents"),
+        F.sum(
+            F.expr(
+                "(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+                " * CAST(round(l_tax * 100, 0) AS BIGINT)) DIV 100"
+            )
+        )
+        .cast("bigint")
+        .alias("tax_cents"),
+    )
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -425,6 +425,8 @@ HEADLINE = [
     "langid_cohens_kappa",
     "not_in_null_semantics",
     "grouping_id_report",
+    "hubness_k_occurrence",
+    "acf_differenced_revenue",
 ]
 
 

@@ -630,3 +630,22 @@ def test_stream_linestatus_matches_batch(spark):
     assert {k: v for k, v in want.items()} == {
         k: v[0] for k, v in agg.items()
     }
+
+
+def test_stream_tax_mix_matches_batch(spark):
+    """The streaming tax-exposure cells are bit-identical to the batch
+    tax_rate_mix_by_year reduction — all three measures are exact
+    integer sums, order-free by construction."""
+    from ai_etl_studio_spark.operators import load_all
+    from ai_etl_studio_spark.streaming.windows import run_stream_tax_mix
+
+    queries, _ = load_all()
+    got = {
+        (r.yr, r.tax_pct): (r.n_lines, r.base_cents, r.tax_cents)
+        for r in run_stream_tax_mix(spark, SF_DIR, "t_taxmix").collect()
+    }
+    want = {
+        (r.yr, r.tax_pct): (r.n_lines, r.base_cents, r.tax_cents)
+        for r in queries["tax_rate_mix_by_year"](spark, SF_DIR).collect()
+    }
+    assert got == want
