@@ -1468,3 +1468,149 @@ def horizon_edge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("vs_interior_milli"),
     ).orderBy("zone")
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-partition advisor (size spark.sql.shuffle.partitions from data)
+# ---------------------------------------------------------------------------
+
+#: Target post-shuffle partition size (the 128 MB parquet-block rule of
+#: thumb) and the fixed per-type width proxies used to estimate row
+#: bytes without reading file footers (mirrorable in SQL).
+_SPA_TARGET_BYTES = 128 * 1024 * 1024
+_SPA_FIXED = {  # fixed-width column bytes: 8 per number/timestamp
+    "orders": 8 * 4,      # orderkey, custkey, totalprice, orderdate
+    "lineitem": 8 * 9,    # 3 keys + linenumber + 5 measures/date
+    "events": 8 * 4,      # event_id, ts, user_id, value
+    "documents": 8 * 2,   # doc_id, n_chars
+}
+
+
+@register(
+    "shuffle_partition_advisor",
+    oracle=f"""
+    WITH b AS (
+      SELECT 'orders' AS tbl,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM({_SPA_FIXED["orders"]}
+               + strlen(o_orderstatus)
+               + strlen(o_orderpriority)) AS BIGINT) AS est_bytes
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM({_SPA_FIXED["lineitem"]}
+               + strlen(l_returnflag)
+               + strlen(l_linestatus)) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'events', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM({_SPA_FIXED["events"]}
+               + strlen(event_type)
+               + strlen(COALESCE(props, ''))) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM({_SPA_FIXED["documents"]}
+               + strlen(COALESCE(text, ''))
+               + strlen(lang) + strlen(source)) AS BIGINT)
+      FROM documents)
+    SELECT tbl, n_rows, est_bytes,
+           CAST(est_bytes // n_rows AS BIGINT) AS est_row_bytes,
+           CAST(greatest(1, (est_bytes + {_SPA_TARGET_BYTES} - 1)
+             // {_SPA_TARGET_BYTES}) AS BIGINT) AS recommended_partitions
+    FROM b ORDER BY tbl
+    """,
+)
+def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sizing advisor for `spark.sql.shuffle.partitions` /
+    `repartition()` per fact table: estimated UNCOMPRESSED row bytes
+    (fixed 8-byte widths per numeric/timestamp column + exact string
+    octet lengths), total bytes, and the partition count that puts
+    ~{_SPA_TARGET_BYTES >> 20} MB in each post-shuffle partition — the
+    number AQE coalesces TOWARD, and the explicit setting for engines
+    without AQE. The companion of partition_skew_advisor (which finds
+    the skewed KEYS; this sizes the COUNT).
+
+    Exactness: string bytes are exact octet lengths, widths are fixed
+    constants, the recommendation is an integer ceiling division —
+    nothing estimated beyond the stated width proxy (the honest
+    alternative to reading engine-private footer statistics).
+
+    Scale: one narrow aggregate per table (4 scans, no joins); at
+    100 TB this is the query you run once per snapshot and cache.
+    """
+    branches = []
+    o = load_table(spark, sf_dir, "orders")
+    branches.append(
+        o.agg(
+            F.lit("orders").alias("tbl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.lit(_SPA_FIXED["orders"])
+                + F.octet_length("o_orderstatus")
+                + F.octet_length("o_orderpriority")
+            )
+            .cast("bigint")
+            .alias("est_bytes"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    branches.append(
+        li.agg(
+            F.lit("lineitem").alias("tbl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.lit(_SPA_FIXED["lineitem"])
+                + F.octet_length("l_returnflag")
+                + F.octet_length("l_linestatus")
+            )
+            .cast("bigint")
+            .alias("est_bytes"),
+        )
+    )
+    e = load_table(spark, sf_dir, "events")
+    branches.append(
+        e.agg(
+            F.lit("events").alias("tbl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.lit(_SPA_FIXED["events"])
+                + F.octet_length("event_type")
+                + F.octet_length(F.coalesce(F.col("props"), F.lit("")))
+            )
+            .cast("bigint")
+            .alias("est_bytes"),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents")
+    branches.append(
+        d.agg(
+            F.lit("documents").alias("tbl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.lit(_SPA_FIXED["documents"])
+                + F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+                + F.octet_length("lang")
+                + F.octet_length("source")
+            )
+            .cast("bigint")
+            .alias("est_bytes"),
+        )
+    )
+    b = branches[0]
+    for x in branches[1:]:
+        b = b.unionAll(x)
+    return b.select(
+        "tbl",
+        "n_rows",
+        "est_bytes",
+        F.expr("est_bytes DIV n_rows").alias("est_row_bytes"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr(
+                f"(est_bytes + {_SPA_TARGET_BYTES - 1}) DIV {_SPA_TARGET_BYTES}"
+            ),
+        )
+        .cast("bigint")
+        .alias("recommended_partitions"),
+    ).orderBy("tbl")

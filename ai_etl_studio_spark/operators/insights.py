@@ -4653,3 +4653,101 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the customer-part purchase graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "degree_assortativity_graph",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    du AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    dp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    j AS (SELECT du.d AS x, dp.d AS y
+          FROM e JOIN du USING (u) JOIN dp USING (p)),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(CAST(SUM(x * x) AS HUGEINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS HUGEINT) AS DOUBLE) AS syy
+      FROM j)
+    SELECT n AS n_edges,
+           CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             * 1000000, 0) AS BIGINT) AS assortativity_micro
+    FROM s
+    """,
+)
+def degree_assortativity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer⋈part purchase bipartite
+    graph: the Pearson correlation, over EDGES, between the two
+    endpoints' degrees — positive means heavy buyers concentrate on
+    popular parts (rich-club structure: recommendation and inventory
+    models can exploit hubs), negative means heavy buyers live in the
+    long tail, near zero certifies a degree-uncorrelated graph (what
+    this corpus shows — an informative negative for any
+    popularity-prior model). The structural companion of
+    degree_distribution (the marginals) and triangle_count (closure).
+
+    Exactness: degrees are exact integer counts; the edge-level Pearson
+    rides exact int64 / HUGEINT-decimal sufficient statistics with one
+    mirrored single-row double.
+
+    Scale: edges dedup to DISTINCT (customer, part) — lineitem-bounded;
+    the two degree joins are hint-free key joins back onto that edge
+    set (fact-grain aggregates, AQE decides); one fused stats row out.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()  # edge set; feeds both degree legs + the join
+    )
+    du = e.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("dx"))
+    dp = e.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("dy"))
+    j = e.join(du, "u").join(dp, "p").select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_edges"),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / (
+                F.sqrt(
+                    F.col("n").cast("double") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                * F.sqrt(
+                    F.col("n").cast("double") * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("assortativity_micro"),
+    )

@@ -427,6 +427,8 @@ HEADLINE = [
     "grouping_id_report",
     "hubness_k_occurrence",
     "acf_differenced_revenue",
+    "degree_assortativity_graph",
+    "shuffle_partition_advisor",
 ]
 
 
