@@ -10178,3 +10178,132 @@ def tornqvist_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Safety stock by part type (completes the EOQ / newsvendor OR trio)
+# ---------------------------------------------------------------------------
+
+#: z for a 95% cycle service level (one-sided normal), in micro units.
+_SS_Z_MICRO = 1_644_854
+
+
+@register(
+    "safety_stock_by_type",
+    oracle=f"""
+    WITH d AS (
+      SELECT p.p_type AS t, CAST(l.l_shipdate AS DATE) AS dy,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    s AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(q) AS BIGINT) AS sq,
+             CAST(CAST(SUM(q * q) AS HUGEINT) AS DOUBLE) AS sqq
+      FROM d GROUP BY t HAVING COUNT(*) >= 2),
+    lt AS (
+      SELECT p.p_type AS t,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE))) AS BIGINT)
+               AS sum_lead
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= o.o_orderdate
+      GROUP BY 1)
+    SELECT s.t AS part_type, s.n_days,
+           CAST(s.sq // s.n_days AS BIGINT) AS mean_daily_qty,
+           CAST(round(sqrt(greatest((sqq - CAST(s.sq AS DOUBLE) * s.sq
+             / s.n_days) / (s.n_days - 1), 0)) * 1000, 0) AS BIGINT)
+             AS sd_daily_milli,
+           CAST(lt.sum_lead // lt.n_lines AS BIGINT) AS mean_lead_days,
+           CAST(round({_SS_Z_MICRO} / 1000000.0
+             * sqrt(greatest((sqq - CAST(s.sq AS DOUBLE) * s.sq
+                 / s.n_days) / (s.n_days - 1), 0))
+             * sqrt(CAST(lt.sum_lead AS DOUBLE) / lt.n_lines), 0)
+             AS BIGINT) AS safety_stock_units
+    FROM s JOIN lt ON lt.t = s.t
+    ORDER BY part_type
+    """,
+)
+def safety_stock_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety stock z·σ_daily·√L̄ per part type at a 95% cycle service
+    level — the third leg of the operations-research trio (eoq_by_type
+    sizes the ORDER, newsvendor_quantile_by_type prices the single
+    period, this buffers lead-time demand variability). σ_daily comes
+    from the per-(type, ship-day) demand series; L̄ is the realized
+    order→ship lead time.
+
+    Exactness: daily demand and lead-day sums are exact int64; Σq²
+    rides HUGEINT/decimal with one double cast (the engine rule); σ, z
+    and the final units are a single-row mirrored double per type.
+
+    Scale: two independent reductions (type×day demand; type lead
+    time) joined at |types| grain — the fact table never joins itself.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_type").alias("t"),
+            F.col("l_shipdate").cast("date").alias("dy"),
+        )
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    )
+    s = d.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sqq"),
+    ).filter(F.col("n_days") >= 2)  # a 1-day type has no variance
+    lt = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        # the corpus contains ship-before-order violations (see
+        # temporal_integrity_by_year); lead time is defined over the
+        # causally-valid lines only
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(F.col("p_type").alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+            )
+            .cast("bigint")
+            .alias("sum_lead"),
+        )
+    )
+    var = F.greatest(
+        (
+            F.col("sqq")
+            - F.col("sq").cast("double") * F.col("sq") / F.col("n_days")
+        )
+        / (F.col("n_days") - 1),
+        F.lit(0.0),
+    )
+    return (
+        s.join(lt, "t")
+        .select(
+            F.col("t").alias("part_type"),
+            "n_days",
+            F.expr("sq DIV n_days").alias("mean_daily_qty"),
+            F.round(F.sqrt(var) * 1000, 0).cast("bigint").alias("sd_daily_milli"),
+            F.expr("sum_lead DIV n_lines").alias("mean_lead_days"),
+            F.round(
+                F.lit(_SS_Z_MICRO / 1_000_000)
+                * F.sqrt(var)
+                * F.sqrt(F.col("sum_lead").cast("double") / F.col("n_lines")),
+                0,
+            )
+            .cast("bigint")
+            .alias("safety_stock_units"),
+        )
+        .orderBy("part_type")
+    )

@@ -429,6 +429,7 @@ HEADLINE = [
     "acf_differenced_revenue",
     "degree_assortativity_graph",
     "shuffle_partition_advisor",
+    "safety_stock_by_type",
 ]
 
 
