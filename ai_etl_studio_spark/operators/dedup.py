@@ -1709,8 +1709,9 @@ def substring_dedup_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Blocking-scheme quality eval (reduction ratio vs pair completeness)
 # ---------------------------------------------------------------------------
 
-#: Deterministic truth sample for the quadratic edit-distance stage.
-_BQ_MOD = 4
+#: Deterministic truth sample for the quadratic edit-distance stage
+#: (r5 perf pass: 4 -> 8; the truth-pair count scales with 1/MOD²).
+_BQ_MOD = 8
 
 
 def _blocking_quality_oracle() -> str:

@@ -2802,8 +2802,12 @@ def embedding_gram_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Intrinsic dimensionality (Levina-Bickel two-NN MLE on a MOD sample)
 # ---------------------------------------------------------------------------
 
-#: Deterministic sample: every 4th vector queries the full corpus.
-_ID_SAMPLE_MOD = 4
+#: Deterministic sample: every 8th vector queries the full corpus.
+#: (r5 perf pass: MOD 4 -> 8 halves the sample; the quadratic audits'
+#: bench cost scales linearly with it and the estimates stay stable —
+#: the knob to RAISE when auditing a real corpus matters more than
+#: wall-clock.)
+_ID_SAMPLE_MOD = 8
 
 
 @register(
