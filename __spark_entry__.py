@@ -174,7 +174,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: langid_cohens_kappa, not_in_null_semantics, grouping_id_report,
 #: hubness_k_occurrence, acf_differenced_revenue (+ the eighth
 #: streaming twin run_stream_tax_mix), degree_assortativity_graph,
-#: shuffle_partition_advisor, safety_stock_by_type.
+#: shuffle_partition_advisor, safety_stock_by_type,
+#: markov_entropy_rate.
 PRIORITY: tuple[str, ...] = (
     # 17 old-backlog §2B names (math/string/datetime/null long tail,
     # window frames, pct-of-total — queued since r3)

@@ -4751,3 +4751,112 @@ def degree_assortativity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("assortativity_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the event-type Markov chain (journey predictability)
+# ---------------------------------------------------------------------------
+
+def _entropy_rate_oracle() -> str:
+    from ai_etl_studio_spark.operators import ORACLES
+
+    return f"""
+    WITH pi AS ({ORACLES["markov_stationary_profile"]}),
+    seq AS (
+      SELECT event_type AS s,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t
+      FROM events),
+    c AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM seq WHERE t IS NOT NULL GROUP BY 1, 2),
+    n AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+    terms AS (
+      SELECT CAST(round(
+               (CAST(pi.stationary_ticks AS DOUBLE) / 1000000000000)
+               * (CAST(c.c AS DOUBLE) / n.n)
+               * ln(CAST(n.n AS DOUBLE) / c.c) * 1000000000, 0)
+               AS BIGINT) AS tick
+      FROM c JOIN n USING (s) JOIN pi ON pi.event_type = c.s),
+    h0 AS (
+      SELECT CAST(round(
+               (CAST(stationary_ticks AS DOUBLE) / 1000000000000)
+               * ln(1000000000000.0 / stationary_ticks)
+               * 1000000000, 0) AS BIGINT) AS tick
+      FROM pi WHERE stationary_ticks > 0)
+    SELECT (SELECT CAST(SUM(tick) // 1000 AS BIGINT) FROM terms)
+             AS entropy_rate_micronats,
+           (SELECT CAST(SUM(tick) // 1000 AS BIGINT) FROM h0)
+             AS stationary_entropy_micronats
+    """
+
+
+@register("markov_entropy_rate", oracle=_entropy_rate_oracle())
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the event-type Markov chain, H = −Σᵢ πᵢ Σⱼ
+    Pᵢⱼ ln Pᵢⱼ (how unpredictable the NEXT step is, given the current
+    one, under the stationary mix) next to the stationary entropy
+    H(π) (how unpredictable a step is with no context). Their gap is
+    exactly the predictability the 1-step context buys — the number
+    that says whether journey-aware models (markov_absorption,
+    event_trigram_paths) can beat marginal-frequency baselines at all.
+    Composes the REGISTERED stationary distribution, so the two views
+    share one definition of π.
+
+    Exactness: π comes from the integer-picotick power iteration;
+    every (i,j) term quantizes to nanonats before the bounded sum
+    (≤|types|² terms); the two entropies are exact tick integers.
+
+    Scale: one lead window reduces the corpus to the transition matrix
+    (shared shape with the stationary op); everything else is
+    arithmetic over ≤|types|² rows.
+    """
+    pi = markov_stationary_profile(spark, sf_dir).select(
+        F.col("event_type").alias("s"), "stationary_ticks"
+    )
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    )
+    c = (
+        seq.filter(F.col("t").isNotNull())
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n = c.groupBy("s").agg(F.sum("c").cast("bigint").alias("n"))
+    terms = (
+        c.join(n, "s")
+        .join(pi, "s")
+        .select(
+            F.round(
+                (F.col("stationary_ticks").cast("double") / 1_000_000_000_000)
+                * (F.col("c").cast("double") / F.col("n"))
+                * F.log(F.col("n").cast("double") / F.col("c"))
+                * 1_000_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("tick")
+        )
+        .agg(F.expr("CAST(SUM(tick) DIV 1000 AS BIGINT)").alias(
+            "entropy_rate_micronats"
+        ))
+    )
+    h0 = (
+        pi.filter(F.col("stationary_ticks") > 0)
+        .select(
+            F.round(
+                (F.col("stationary_ticks").cast("double") / 1_000_000_000_000)
+                * F.log(F.lit(1_000_000_000_000.0) / F.col("stationary_ticks"))
+                * 1_000_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("tick")
+        )
+        .agg(F.expr("CAST(SUM(tick) DIV 1000 AS BIGINT)").alias(
+            "stationary_entropy_micronats"
+        ))
+    )
+    return terms.crossJoin(F.broadcast(h0))

@@ -430,6 +430,7 @@ HEADLINE = [
     "degree_assortativity_graph",
     "shuffle_partition_advisor",
     "safety_stock_by_type",
+    "markov_entropy_rate",
 ]
 
 
