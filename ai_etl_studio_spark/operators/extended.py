@@ -999,3 +999,75 @@ def grouping_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grouping_id", "returnflag", "linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL ordering semantics (the cross-engine default-divergence corner)
+# ---------------------------------------------------------------------------
+
+@register(
+    "null_ordering_semantics",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O' THEN NULL
+                  ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             END AS v
+      FROM orders),
+    a AS (SELECT o_orderkey, v, 'nulls_first' AS ordering,
+                 ROW_NUMBER() OVER (ORDER BY v ASC NULLS FIRST, o_orderkey)
+                   AS rn
+          FROM s),
+    b AS (SELECT o_orderkey, v, 'nulls_last' AS ordering,
+                 ROW_NUMBER() OVER (ORDER BY v ASC NULLS LAST, o_orderkey)
+                   AS rn
+          FROM s)
+    SELECT ordering, rn, o_orderkey, v FROM (
+      SELECT * FROM a WHERE rn <= 5
+      UNION ALL SELECT * FROM b WHERE rn <= 5) t
+    ORDER BY ordering, rn
+    """,
+)
+def null_ordering_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL-ordering corner of the sort surface: the same nullable
+    measure ranked ASC with EXPLICIT `NULLS FIRST` and `NULLS LAST` —
+    Spark's default for ASC is NULLS FIRST while DuckDB's (and
+    Postgres's) is NULLS LAST, so any cross-engine ORDER BY on a
+    nullable key silently disagrees unless the placement is written
+    out. The engine rule this op pins: reproducible sorts always state
+    null placement AND a unique tiebreak (§2B sorts row; companion of
+    not_in_null_semantics on the predicate side).
+
+    Scale: two TakeOrderedAndProject top-5 heaps over one narrow
+    projection — no global sort.
+    """
+    from ai_etl_studio_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", F.lit(None)).otherwise(
+            cents("o_totalprice")
+        ).alias("v"),
+    )
+    a = (
+        s.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("v").asc_nulls_first(), "o_orderkey")
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select(F.lit("nulls_first").alias("ordering"), "rn", "o_orderkey", "v")
+    )
+    b = (
+        s.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("v").asc_nulls_last(), "o_orderkey")
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select(F.lit("nulls_last").alias("ordering"), "rn", "o_orderkey", "v")
+    )
+    return a.unionAll(b).orderBy("ordering", "rn")

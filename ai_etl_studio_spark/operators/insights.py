@@ -4860,3 +4860,47 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
     )
     return terms.crossJoin(F.broadcast(h0))
+
+
+# ---------------------------------------------------------------------------
+# Cumulative user acquisition curve (distinct-users-ever by day)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cumulative_new_users_daily",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1),
+    daily AS (SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+              FROM fs GROUP BY 1)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+             AS users_ever
+    FROM daily ORDER BY day
+    """,
+)
+def cumulative_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-acquisition curve: first-seen day per user, daily new
+    users, and the running distinct-users-ever total — the cumulative
+    companion of growth_accounting_daily's flow view (that op nets
+    new/churned per day; this is the headline "total users" line whose
+    flattening is the saturation signal dau_wau_stickiness normalizes
+    by).
+
+    Scale: events reduce to user grain (map-side-combinable MIN), then
+    to |days| rows; the cumulative window runs over the bounded
+    calendar series.
+    """
+    e = load_table(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    daily = fs.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("users_ever"),
+    ).orderBy("day")

@@ -1862,3 +1862,123 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("auc_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gains / lift table of the cheap quality score (the deployment readout)
+# ---------------------------------------------------------------------------
+
+@register(
+    "gains_table_quality_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS ts
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT CAST(len(ts) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(ts, w -> w IN """
+    + _SW_SQL
+    + r""")) AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(ts)) AS BIGINT) AS nd
+      FROM t WHERE len(ts) > 0),
+    sc AS (
+      SELECT n_stop * 1000000 // n_tok AS score_ppm,
+             CASE WHEN 100 * nd >= 55 * n_tok THEN 1 ELSE 0 END AS y
+      FROM m),
+    c AS (SELECT score_ppm, CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(y) AS BIGINT) AS pos
+          FROM sc GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+          FROM c),
+    cum AS (
+      SELECT score_ppm, c, pos,
+             SUM(c) OVER (ORDER BY score_ppm DESC, score_ppm) AS cumn
+      FROM c),
+    dec AS (
+      SELECT least(9, CAST((cumn - 1) * 10 // n.n AS BIGINT)) AS decile,
+             c, pos
+      FROM cum, n),
+    g AS (
+      SELECT decile, CAST(SUM(c) AS BIGINT) AS n_docs,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM dec GROUP BY decile)
+    SELECT decile, n_docs, n_pos,
+           CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+           CAST(SUM(n_pos) OVER (ORDER BY decile) * 1000000
+                // (SELECT p FROM n) AS BIGINT) AS cum_gain_ppm,
+           CAST(n_pos * (SELECT n FROM n) * 1000000
+                // (n_docs * (SELECT p FROM n)) AS BIGINT) AS lift_ppm
+    FROM g ORDER BY decile
+    """,
+)
+def gains_table_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment readout behind quality_score_auc: docs ranked by
+    the cheap stopword score (DESCENDING) and cut into value-grain
+    deciles — per decile the diversity-gate positives captured,
+    cumulative gain (what share of all positives the top-k deciles
+    catch) and lift vs random. AUC says the score ranks; THIS says
+    what a "screen the top 30% with the cheap score" policy actually
+    recovers. Ties share a score value and therefore a decile
+    (value-grain cut — deterministic, no double sort keys).
+
+    Exactness: the score is an integer ppm; decile assignment is the
+    exact integer test (cum−1)·10 // n on the descending value-grain
+    cumulative; gains and lifts are integer ppm floor divisions.
+
+    Scale: one corpus pass to (score, outcome) counts; the cut and the
+    rollup run at the distinct-score grain.
+    """
+    from ai_etl_studio_spark.operators.text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    m = d.select(ts.alias("ts")).filter(F.size("ts") > 0).select(
+        F.size("ts").cast("bigint").alias("n_tok"),
+        F.size(F.filter(F.col("ts"), lambda w: w.isin(*STOPWORDS)))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(F.array_distinct("ts")).cast("bigint").alias("nd"),
+    )
+    sc = m.select(
+        F.expr("n_stop * 1000000 DIV n_tok").alias("score_ppm"),
+        (100 * F.col("nd") >= 55 * F.col("n_tok")).cast("int").alias("y"),
+    )
+    c = sc.groupBy("score_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("pos"),
+    ).localCheckpoint()  # distinct-score grain; feeds totals AND the cut
+    n = c.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    w_cum = Window.orderBy(F.desc("score_ppm")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = c.select("score_ppm", "c", "pos", F.sum("c").over(w_cum).alias("cumn"))
+    dec = cum.crossJoin(F.broadcast(n)).select(
+        F.least(F.lit(9), F.expr("(cumn - 1) * 10 DIV n")).alias("decile"),
+        "c",
+        "pos",
+    )
+    g = dec.groupBy("decile").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    w_gain = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        g.crossJoin(F.broadcast(n))
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            F.sum("n_pos").over(w_gain).cast("bigint").alias("cum_pos"),
+            F.expr(
+                "CAST(SUM(n_pos) OVER (ORDER BY decile"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " * 1000000 DIV p AS BIGINT)"
+            ).alias("cum_gain_ppm"),
+            F.expr("n_pos * n * 1000000 DIV (n_docs * p)").alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )

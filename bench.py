@@ -431,6 +431,9 @@ HEADLINE = [
     "shuffle_partition_advisor",
     "safety_stock_by_type",
     "markov_entropy_rate",
+    "gains_table_quality_score",
+    "null_ordering_semantics",
+    "cumulative_new_users_daily",
 ]
 
 
