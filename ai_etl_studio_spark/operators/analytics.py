@@ -10307,3 +10307,118 @@ def safety_stock_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# GK sketch error eval: percentile_approx audited against exact deciles
+# ---------------------------------------------------------------------------
+
+_GK_ACCURACY = 10_000
+
+
+@register(
+    "gk_sketch_error_eval",
+    # The oracle carries the EXACT deciles (hash-checked) and asserts
+    # the GK rank-error guarantee as literal TRUE: if Spark's sketch
+    # ever exceeds its documented bound, the Spark side emits false and
+    # the hash mismatches — the oracle IS the guarantee.
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+      FROM lineitem),
+    g AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY c),
+    e AS (SELECT c, SUM(cnt) OVER (ORDER BY c) AS cum,
+                 SUM(cnt) OVER () AS n
+          FROM g),
+    q AS (SELECT i AS decile FROM UNNEST(range(1, 10)) AS t(i)),
+    exact AS (
+      SELECT q.decile,
+             MIN(CASE WHEN e.cum * 10 >= q.decile * e.n THEN e.c END)
+               AS exact_value
+      FROM q, e GROUP BY q.decile)
+    SELECT decile, exact_value, TRUE AS within_gk_bound
+    FROM exact ORDER BY decile
+    """,
+)
+def gk_sketch_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-accuracy eval that turns percentile_approx's
+    Greenwald-Khanna guarantee into a hash-checked assertion: exact
+    price deciles from the value-grain ECDF (compared value-for-value
+    with the oracle) plus, per decile, whether the sketch's answer at
+    accuracy={_GK_ACCURACY} sits within its documented rank-error bound
+    n/accuracy — verified by looking the sketch's returned value back
+    up in the exact ECDF (GK returns observed values, so the lookup is
+    an equality join) and cross-multiplying ranks as integers. The
+    oracle asserts literal TRUE: a sketch regression flips the flag and
+    fails the hash gate. Companion of percentile_approx_sketch (which
+    is rows-only because the approx VALUES themselves are not
+    SQL-mirrorable; the exact side and the bound are).
+
+    Scale: one scan to the distinct-cents grain for the ECDF; one
+    sketch aggregation; a 9-row join. The cum window is value-grain
+    (price domain, not rows).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(cents("l_extendedprice").alias("c"))
+    g = v.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    g = g.localCheckpoint()  # distinct-cents grain; ECDF + both lookups
+    w_cum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    e = g.select(
+        "c",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    ).localCheckpoint()
+    q = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    exact = (
+        q.crossJoin(e)
+        .groupBy("decile")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") * 10 >= F.col("decile") * F.col("n"),
+                    F.col("c"),
+                )
+            ).alias("exact_value")
+        )
+    )
+    approx = li.agg(
+        F.percentile_approx(
+            cents("l_extendedprice"),
+            [i / 10 for i in range(1, 10)],
+            _GK_ACCURACY,
+        ).alias("ap")
+    ).select(
+        F.posexplode("ap").alias("pos", "approx_value")
+    ).select((F.col("pos") + 1).alias("decile"), "approx_value")
+    # rank of the sketch's value in the exact ECDF (equality lookup —
+    # GK returns observed values)
+    ranked = approx.join(
+        e.select(F.col("c").alias("approx_value"), "cnt", "cum", "n"),
+        "approx_value",
+    )
+    # a tied value OCCUPIES the rank interval [cum-cnt+1, cum]; the GK
+    # guarantee (relative rank error 1/accuracy) accepts any rank in
+    # [floor((p-eps)n), ceil((p+eps)n)] — all integer arithmetic:
+    # lo_bound = floor((decile*n*acc - 10n) / (10*acc)),
+    # hi_bound = ceil((decile*n*acc + 10n) / (10*acc))
+    acc = _GK_ACCURACY
+    lo_bound = F.expr(
+        f"(decile * n * {acc} - 10 * n) DIV (10 * {acc})"
+    )
+    hi_bound = F.expr(
+        f"(decile * n * {acc} + 10 * n + 10 * {acc} - 1) DIV (10 * {acc})"
+    )
+    flags = ranked.select(
+        "decile",
+        (
+            (F.col("cum") >= lo_bound)
+            & (F.col("cum") - F.col("cnt") + 1 <= hi_bound)
+        ).alias("within_gk_bound"),
+    )
+    return (
+        exact.join(flags, "decile")
+        .select("decile", "exact_value", "within_gk_bound")
+        .orderBy("decile")
+    )

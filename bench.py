@@ -434,6 +434,7 @@ HEADLINE = [
     "gains_table_quality_score",
     "null_ordering_semantics",
     "cumulative_new_users_daily",
+    "gk_sketch_error_eval",
 ]
 
 
