@@ -10422,3 +10422,63 @@ def gk_sketch_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("decile", "exact_value", "within_gk_bound")
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch error eval: approx_count_distinct audited against exact NDV
+# ---------------------------------------------------------------------------
+
+@register(
+    "hll_error_eval",
+    # exact NDVs hash-checked; the 3-sigma flag asserted literal TRUE
+    # (HLL++ is deterministic for fixed data — a regression flips it)
+    oracle="""
+    SELECT 'events.user_id' AS col, 
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ndv,
+           TRUE AS within_3rsd
+    FROM events
+    UNION ALL
+    SELECT 'lineitem.l_partkey',
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT), TRUE
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders.o_custkey',
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT), TRUE
+    FROM orders
+    ORDER BY col
+    """,
+)
+def hll_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct's HyperLogLog++ audited against the exact
+    NDV on three fact keys: the exact counts are hash-checked
+    value-for-value, and the within-3·rsd flag (rsd = 5%, the default)
+    is asserted TRUE by the oracle — HLL++ is deterministic for fixed
+    data, so a library or register-width regression flips the flag and
+    fails the hash gate. The guarantee-eval companion of
+    gk_sketch_error_eval, and the hash-checked upgrade of the
+    rows-only approx_distinct / hll_sketch_rollup pair.
+
+    Scale: each branch is one partial-aggregating scan carrying HLL
+    registers + a distinct count; 3 rows out.
+    """
+    specs = (
+        ("events.user_id", "events", "user_id"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+    )
+    rows = None
+    for label, table, col in specs:
+        t = load_table(spark, sf_dir, table)
+        r = t.agg(
+            F.lit(label).alias("col"),
+            F.countDistinct(col).cast("bigint").alias("exact_ndv"),
+            F.approx_count_distinct(col, 0.05).cast("bigint").alias("a"),
+        ).select(
+            "col",
+            "exact_ndv",
+            # |approx - exact| <= 3 * 0.05 * exact, cross-multiplied:
+            (F.abs(F.col("a") - F.col("exact_ndv")) * 100
+             <= 15 * F.col("exact_ndv")).alias("within_3rsd"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.orderBy("col")

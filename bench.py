@@ -435,6 +435,7 @@ HEADLINE = [
     "null_ordering_semantics",
     "cumulative_new_users_daily",
     "gk_sketch_error_eval",
+    "hll_error_eval",
 ]
 
 
