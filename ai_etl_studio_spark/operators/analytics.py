@@ -10482,3 +10482,87 @@ def hll_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionAll(r)
     return rows.orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# Expected shortfall (CVaR 95) of daily revenue — the downside-risk number
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_cvar_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS r
+      FROM orders GROUP BY 1),
+    g AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS c FROM daily GROUP BY r),
+    e AS (SELECT r, c, SUM(c) OVER (ORDER BY r) AS cum,
+                 SUM(c) OVER () AS n
+          FROM g),
+    var AS (SELECT MIN(r) AS v FROM e WHERE cum * 20 >= n),
+    tail AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS tail_days,
+             CAST(SUM(r * c) AS BIGINT) AS tail_cents
+      FROM e, var WHERE e.r <= var.v)
+    SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM e) AS n_days,
+           (SELECT v FROM var) AS var95_cents,
+           tail.tail_days,
+           CAST(tail.tail_cents // tail.tail_days AS BIGINT)
+             AS cvar95_cents
+    FROM tail
+    """,
+)
+def revenue_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downside risk of the daily revenue distribution: the 5th-
+    percentile day (VaR₉₅, exact via the value-grain ECDF threshold
+    cum·20 ≥ n) and the EXPECTED SHORTFALL — the mean of all days at or
+    below it (CVaR₉₅, the coherent risk measure VaR is not: it answers
+    "how bad IS a bad day", not just "how often"). The risk companion
+    of tukey_fence_outlier_days (which flags individual anomalies; this
+    prices the whole tail) — the number a revenue-smoothing or working-
+    capital reserve is sized from.
+
+    Exactness: daily revenue is exact cents; the VaR cut is an integer
+    ECDF test; CVaR is an exact integer sum over the tail with one
+    floor division.
+
+    Scale: orders reduce to the bounded daily series; everything after
+    runs at the distinct-revenue-value grain.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("r")
+    )
+    g = daily.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    g = g.localCheckpoint()  # distinct-value grain; ECDF + tail legs
+    w_cum = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    e = g.select(
+        "r",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    ).localCheckpoint()
+    var = e.filter(F.col("cum") * 20 >= F.col("n")).agg(
+        F.min("r").alias("v")
+    )
+    tail = (
+        e.crossJoin(F.broadcast(var))
+        .filter(F.col("r") <= F.col("v"))
+        .agg(
+            F.sum("c").cast("bigint").alias("tail_days"),
+            F.sum(F.col("r") * F.col("c")).cast("bigint").alias("tail_cents"),
+        )
+    )
+    n_days = e.agg(F.max("n").cast("bigint").alias("n_days"))
+    return (
+        n_days.crossJoin(F.broadcast(var))
+        .crossJoin(F.broadcast(tail))
+        .select(
+            "n_days",
+            F.col("v").alias("var95_cents"),
+            "tail_days",
+            F.expr("tail_cents DIV tail_days").alias("cvar95_cents"),
+        )
+    )

@@ -436,6 +436,7 @@ HEADLINE = [
     "cumulative_new_users_daily",
     "gk_sketch_error_eval",
     "hll_error_eval",
+    "revenue_cvar_daily",
 ]
 
 
