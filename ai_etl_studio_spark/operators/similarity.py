@@ -2802,12 +2802,73 @@ def embedding_gram_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Intrinsic dimensionality (Levina-Bickel two-NN MLE on a MOD sample)
 # ---------------------------------------------------------------------------
 
-#: Deterministic sample: every 8th vector queries the full corpus.
-#: (r5 perf pass: MOD 4 -> 8 halves the sample; the quadratic audits'
-#: bench cost scales linearly with it and the estimates stay stable —
-#: the knob to RAISE when auditing a real corpus matters more than
-#: wall-clock.)
+#: Deterministic sample: every 8th vector (up to a hard cap) queries
+#: the full corpus. (r5 perf pass: MOD 4 -> 8 halves the sample; the
+#: quadratic audits' bench cost scales linearly with it and the
+#: estimates stay stable — the knob to RAISE when audit fidelity
+#: matters more than wall-clock.)
 _ID_SAMPLE_MOD = 8
+
+#: Hard sample bound: vec_id < CAP keeps the sample BOUNDED at every
+#: scale factor (a bare MOD sample is corpus/MOD — SF-linear — which
+#: would make the driver-side sample collect and the broadcast grow
+#: with the corpus). Covers every test SF entirely (corpora here are
+#: ≤2k vectors), so results are unchanged; at 100 TB the audit runs on
+#: the first CAP·MOD ids — a fixed-size probe, the production shape.
+_ID_SAMPLE_CAP = 32768
+
+
+def _sample_pair_d2(spark: SparkSession, emb) -> DataFrame:
+    """(sid, nid, d2): exact int64 squared L2 between every bounded-
+    sample vector and every corpus vector, via an Arrow/numpy kernel —
+    the 100 TB shape for brute-force audit distances: the ≤CAP sample
+    matrix broadcasts once (an int64 numpy array, ~1 MB), each corpus
+    Arrow batch computes d2 = |s|² + |m|² − 2·S·Mᵀ with ONE integer
+    matmul, and only the (sid, nid, d2) triples cross Arrow. ~50×
+    faster than a per-pair zip_with fold (which is interpreter-bound at
+    ~10 µs/pair) and bit-identical: int64 matmul over |xm| ≤ 1e6
+    micro-units cannot overflow or round. Self-pairs are NOT emitted.
+
+    ``emb`` must carry (vec_id, qe array<bigint>)."""
+    import numpy as np
+    import pandas as pd
+
+    sample = (
+        emb.filter(
+            (F.col("vec_id") % _ID_SAMPLE_MOD == 0)
+            & (F.col("vec_id") < _ID_SAMPLE_CAP)
+        )
+        .select("vec_id", "qe")
+        .toPandas()
+    )
+    sids = sample["vec_id"].to_numpy(dtype=np.int64)
+    smat = np.stack(sample["qe"].to_numpy()).astype(np.int64)
+    snorm = (smat * smat).sum(axis=1)
+    bc = spark.sparkContext.broadcast((sids, smat, snorm))
+
+    def kernel(batches):
+        b_sids, b_smat, b_snorm = bc.value
+        for pdf in batches:
+            m = np.stack(pdf["qe"].to_numpy()).astype(np.int64)
+            nids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mnorm = (m * m).sum(axis=1)
+            # (k x b) exact int64 distance matrix via one matmul
+            d2 = b_snorm[:, None] + mnorm[None, :] - 2 * (b_smat @ m.T)
+            k, b = d2.shape
+            out_sid = np.repeat(b_sids, b)
+            out_nid = np.tile(nids, k)
+            keep = out_sid != out_nid
+            yield pd.DataFrame(
+                {
+                    "sid": out_sid[keep],
+                    "nid": out_nid[keep],
+                    "d2": d2.reshape(-1)[keep],
+                }
+            )
+
+    return emb.select("vec_id", "qe").mapInPandas(
+        kernel, "sid bigint, nid bigint, d2 bigint"
+    )
 
 
 @register(
@@ -2818,7 +2879,8 @@ _ID_SAMPLE_MOD = 8
                x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
       FROM embeddings),
     s AS (SELECT vec_id AS sid, qe AS sq FROM v
-          WHERE vec_id % {_ID_SAMPLE_MOD} = 0),
+          WHERE vec_id % {_ID_SAMPLE_MOD} = 0
+            AND vec_id < {_ID_SAMPLE_CAP}),
     d AS (
       SELECT s.sid, v.vec_id AS nid,
              CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
@@ -2867,19 +2929,7 @@ def intrinsic_dim_two_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("bigint"),
         ).alias("qe"),
     )
-    s = emb.filter(F.col("vec_id") % _ID_SAMPLE_MOD == 0).select(
-        F.col("vec_id").alias("sid"), F.col("qe").alias("sq")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("sq"), F.col("qe"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    d = (
-        emb.crossJoin(s)
-        .filter(F.col("vec_id") != F.col("sid"))
-        .select("sid", F.col("vec_id").alias("nid"), d2.alias("d2"))
-    )
+    d = _sample_pair_d2(spark, emb)
     w = Window.partitionBy("sid").orderBy("d2", "nid")
     two = (
         d.withColumn("rn", F.row_number().over(w))
@@ -3051,7 +3101,8 @@ def int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
       FROM embeddings),
     s AS (SELECT vec_id AS sid, label AS slabel, qe AS sq FROM v
-          WHERE vec_id % {_ID_SAMPLE_MOD} = 0),
+          WHERE vec_id % {_ID_SAMPLE_MOD} = 0
+            AND vec_id < {_ID_SAMPLE_CAP}),
     p AS (
       SELECT s.sid, s.slabel, v.label AS nlabel,
              CAST(round(sqrt(CAST(list_sum(list_transform(
@@ -3108,26 +3159,28 @@ def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("bigint"),
         ).alias("qe"),
     )
-    s = emb.filter(F.col("vec_id") % _ID_SAMPLE_MOD == 0).select(
-        F.col("vec_id").alias("sid"),
-        F.col("label").alias("slabel"),
-        F.col("qe").alias("sq"),
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("sq"), F.col("qe"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    labels = emb.select("vec_id", "label")
     p = (
-        emb.crossJoin(s)
-        .filter(F.col("vec_id") != F.col("sid"))
+        _sample_pair_d2(spark, emb.select("vec_id", "qe"))
+        .join(
+            labels.select(
+                F.col("vec_id").alias("sid"), F.col("label").alias("slabel")
+            ),
+            "sid",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("nid"), F.col("label").alias("nlabel")
+            ),
+            "nid",
+        )
         .select(
             "sid",
             "slabel",
-            F.col("label").alias("nlabel"),
-            F.round(F.sqrt(d2.cast("double")), 0).cast("bigint").alias(
-                "dist_micro"
-            ),
+            "nlabel",
+            F.round(F.sqrt(F.col("d2").cast("double")), 0)
+            .cast("bigint")
+            .alias("dist_micro"),
         )
     )
     gl = p.groupBy("sid", "slabel", "nlabel").agg(
@@ -3352,7 +3405,8 @@ def davies_bouldin_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
       FROM embeddings),
     s AS (SELECT vec_id AS sid, label AS slabel, qe AS sq FROM v
-          WHERE vec_id % {_ID_SAMPLE_MOD} = 0),
+          WHERE vec_id % {_ID_SAMPLE_MOD} = 0
+            AND vec_id < {_ID_SAMPLE_CAP}),
     d AS (
       SELECT s.sid, s.slabel, v.label AS nlabel,
              CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
@@ -3396,25 +3450,20 @@ def loo_1nn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("bigint"),
         ).alias("qe"),
     )
-    s = emb.filter(F.col("vec_id") % _ID_SAMPLE_MOD == 0).select(
-        F.col("vec_id").alias("sid"),
-        F.col("label").alias("slabel"),
-        F.col("qe").alias("sq"),
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("sq"), F.col("qe"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    labels = emb.select("vec_id", "label")
     d = (
-        emb.crossJoin(s)
-        .filter(F.col("vec_id") != F.col("sid"))
-        .select(
+        _sample_pair_d2(spark, emb.select("vec_id", "qe"))
+        .join(
+            labels.select(
+                F.col("vec_id").alias("sid"), F.col("label").alias("slabel")
+            ),
             "sid",
-            "slabel",
-            F.col("label").alias("nlabel"),
-            d2.alias("d2"),
-            F.col("vec_id").alias("nid"),
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("nid"), F.col("label").alias("nlabel")
+            ),
+            "nid",
         )
     )
     w = Window.partitionBy("sid").orderBy("d2", "nid")
@@ -3455,7 +3504,8 @@ _HUB_K = 10
                x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
       FROM embeddings),
     s AS (SELECT vec_id AS sid, qe AS sq FROM v
-          WHERE vec_id % {_ID_SAMPLE_MOD} = 0),
+          WHERE vec_id % {_ID_SAMPLE_MOD} = 0
+            AND vec_id < {_ID_SAMPLE_CAP}),
     d AS (
       SELECT s.sid, v.vec_id AS nid,
              CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
@@ -3507,19 +3557,7 @@ def hubness_k_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("bigint"),
         ).alias("qe"),
     )
-    s = emb.filter(F.col("vec_id") % _ID_SAMPLE_MOD == 0).select(
-        F.col("vec_id").alias("sid"), F.col("qe").alias("sq")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("sq"), F.col("qe"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    d = (
-        emb.crossJoin(s)
-        .filter(F.col("vec_id") != F.col("sid"))
-        .select("sid", F.col("vec_id").alias("nid"), d2.alias("d2"))
-    )
+    d = _sample_pair_d2(spark, emb)
     w = Window.partitionBy("sid").orderBy("d2", "nid")
     nn = d.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= _HUB_K
