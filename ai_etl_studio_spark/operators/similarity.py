@@ -3579,3 +3579,163 @@ def hubness_k_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hist.unionAll(zero).orderBy("k_occurrence")
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe -> recall tuning curve (the knob sheet, measured)
+# ---------------------------------------------------------------------------
+
+_NPROBE_GRID = (1, 2, 4, 8)
+
+
+def _nprobe_curve_oracle() -> str:
+    from ai_etl_studio_spark.operators import ORACLES
+
+    probes_max = max(_NPROBE_GRID)
+    rows = " UNION ALL ".join(f"SELECT {np} AS nprobe" for np in _NPROBE_GRID)
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS cemb FROM v
+          WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT v.vec_id, c.centroid_id, {_COS_VC} AS cos_c
+      FROM v CROSS JOIN c),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_c DESC, centroid_id) AS crn
+        FROM scored) s
+      WHERE crn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id, crn FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_c DESC, centroid_id) AS crn
+        FROM scored WHERE vec_id < {N_QUERIES}) s
+      WHERE crn <= {probes_max}),
+    grid AS ({rows}),
+    cand AS (
+      SELECT g.nprobe, p.query_id, a.vec_id AS neighbor_id,
+             q.emb AS q_emb, n.emb AS n_emb
+      FROM grid g
+      JOIN probes p ON p.crn <= g.nprobe
+      JOIN assign a ON a.centroid_id = p.centroid_id
+      JOIN v q ON q.vec_id = p.query_id
+      JOIN v n ON n.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id),
+    ranked AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT nprobe, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                                  ORDER BY {_COS_QN} DESC, neighbor_id) AS rn
+        FROM cand) r
+      WHERE rn <= {TOPK}),
+    exact AS ({ORACLES["ann_cosine_topk"]}),
+    hit AS (
+      SELECT g.nprobe, e.query_id,
+             CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM grid g CROSS JOIN exact e
+      LEFT JOIN ranked a ON a.nprobe = g.nprobe
+        AND a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+    SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           CAST(round(CAST(SUM(hit) AS DOUBLE) / COUNT(*) * 1000000, 0)
+             AS BIGINT) AS recall_micro
+    FROM hit GROUP BY nprobe ORDER BY nprobe
+    """
+
+
+@register("ivf_nprobe_recall_curve", oracle=_nprobe_curve_oracle())
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning sheet, MEASURED: recall@{TOPK} pooled over the
+    query set at nprobe ∈ {_NPROBE_GRID} — the curve that picks the
+    probe count for a latency budget (ann_ivf_recall_eval grades ONE
+    operating point; this draws the whole knob). Probe ranks are
+    computed ONCE to the max grid value; each grid point reuses them
+    by a crn ≤ nprobe filter, so the corpus-side assignment and the
+    probe scoring never recompute.
+
+    Scale: one assignment argmax + one probe ranking (bounded-key
+    query set); the grid multiplies only the probe LIST (|Q|·max-probe
+    rows), candidates stay nprobe/K of the corpus per grid point; the
+    exact-truth leg composes the registered cosine oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "cos_c", cosine(F.col("emb"), F.col("cemb"))
+    )
+    order_key = F.struct(F.col("cos_c"), (-F.col("centroid_id")).alias("negid"))
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("centroid_id"), F.col("emb")), order_key
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.centroid_id").alias("centroid_id"),
+            F.col("best.emb").alias("emb"),
+        )
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id")
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("crn", F.row_number().over(w_probe))
+        .filter(F.col("crn") <= max(_NPROBE_GRID))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            "crn",
+            F.col("emb").alias("q_emb"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(np,) for np in _NPROBE_GRID], "nprobe int"
+    )
+    cand = (
+        assign.join(
+            F.broadcast(probes.crossJoin(F.broadcast(grid)).filter(
+                F.col("crn") <= F.col("nprobe")
+            )),
+            "centroid_id",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_qn", cosine(F.col("q_emb"), F.col("emb")))
+    )
+    w_rank = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cos_qn"), F.asc("vec_id")
+    )
+    ranked = (
+        cand.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= TOPK)
+        .select("nprobe", "query_id", F.col("vec_id").alias("neighbor_id"),
+                F.lit(1).alias("hit"))
+    )
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        exact.crossJoin(F.broadcast(grid))
+        .join(ranked, ["nprobe", "query_id", "neighbor_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+                * 1_000_000,
+                0,
+            ).cast("bigint").alias("recall_micro"),
+        )
+        .orderBy("nprobe")
+    )

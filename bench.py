@@ -437,6 +437,7 @@ HEADLINE = [
     "gk_sketch_error_eval",
     "hll_error_eval",
     "revenue_cvar_daily",
+    "ivf_nprobe_recall_curve",
 ]
 
 
