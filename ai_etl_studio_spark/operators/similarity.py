@@ -3739,3 +3739,99 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook utilization audit (dead codewords waste quantization bits)
+# ---------------------------------------------------------------------------
+
+def _pq_util_oracle() -> str:
+    d2_ca = _PQ_D2(n=PQ_SUBDIM + 1, a="c.s", b="a.a")
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(ROUND(x*{_PQ_SCALE}) AS BIGINT)) AS qe
+      FROM embeddings),
+    sub AS (
+      SELECT vec_id, m, qe[(m*{PQ_SUBDIM}+1):(m*{PQ_SUBDIM}+{PQ_SUBDIM})] AS s
+      FROM v, UNNEST(range({PQ_M})) AS u(m)),
+    anch AS (SELECT vec_id AS k, m, s AS a FROM sub WHERE vec_id < {PQ_K}),
+    codes AS (
+      SELECT vec_id, m, MIN(d2 * {PQ_K} + k) % {PQ_K} AS k
+      FROM (
+        SELECT c.vec_id, c.m, a.k, {d2_ca} AS d2
+        FROM sub c JOIN anch a ON a.m = c.m) t
+      GROUP BY vec_id, m),
+    cc AS (SELECT m, k, CAST(COUNT(*) AS BIGINT) AS c
+           FROM codes GROUP BY m, k),
+    n AS (SELECT m, CAST(SUM(c) AS BIGINT) AS n FROM cc GROUP BY m),
+    t AS (
+      SELECT cc.m,
+             CAST(COUNT(*) AS BIGINT) AS used_codewords,
+             CAST(MAX(cc.c) AS BIGINT) AS max_codeword_n,
+             CAST(SUM(CAST(round((CAST(cc.c AS DOUBLE) / n.n)
+               * ln(CAST(n.n AS DOUBLE) / cc.c) * 1000000000, 0) AS BIGINT))
+               AS BIGINT) AS ent_nano
+      FROM cc JOIN n USING (m) GROUP BY cc.m)
+    SELECT m AS subspace, used_codewords,
+           CAST({PQ_K} - used_codewords AS BIGINT) AS dead_codewords,
+           max_codeword_n,
+           CAST(ent_nano // 1000 AS BIGINT) AS entropy_micronats
+    FROM t ORDER BY subspace
+    """
+
+
+@register("pq_codebook_utilization", oracle=_pq_util_oracle())
+def pq_codebook_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook health per subspace: distinct codewords actually
+    used, dead codewords ({PQ_K} − used — bits the encoder pays for
+    and never exercises), the hottest codeword's population, and the
+    code-assignment entropy (max ln {PQ_K} ≈ 2.77 nats = a balanced
+    codebook; low entropy means the subspace's codewords collapse onto
+    few cells and ADC loses resolution exactly where
+    ann_ivfpq_recall_eval would show it). The training-quality
+    diagnostic for the PQ family — run it before blaming the refine
+    factor.
+
+    Exactness: code assignment is the registered integer argmin; the
+    entropy terms quantize to nanonats before the ≤{PQ_K}-row sums.
+
+    Scale: one encode pass (or the persisted code table in production)
+    reduces to ≤{PQ_M}×{PQ_K} cells; everything else is arithmetic.
+    """
+    codes = spark.table(ensure_pq_code_index(spark, sf_dir))
+    cc = codes.groupBy("m", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()
+    n = cc.groupBy("m").agg(F.sum("c").cast("bigint").alias("n"))
+    t = (
+        cc.join(n, "m")
+        .select(
+            "m",
+            "c",
+            F.round(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(F.col("n").cast("double") / F.col("c"))
+                * 1_000_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("tick"),
+        )
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("used_codewords"),
+            F.max("c").cast("bigint").alias("max_codeword_n"),
+            F.sum("tick").cast("bigint").alias("ent_nano"),
+        )
+    )
+    return t.select(
+        F.col("m").alias("subspace"),
+        "used_codewords",
+        (F.lit(PQ_K) - F.col("used_codewords")).cast("bigint").alias(
+            "dead_codewords"
+        ),
+        "max_codeword_n",
+        F.expr("ent_nano DIV 1000").alias("entropy_micronats"),
+    ).orderBy("subspace")

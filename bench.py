@@ -438,6 +438,7 @@ HEADLINE = [
     "hll_error_eval",
     "revenue_cvar_daily",
     "ivf_nprobe_recall_curve",
+    "pq_codebook_utilization",
 ]
 
 
