@@ -178,7 +178,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: markov_entropy_rate, gains_table_quality_score,
 #: null_ordering_semantics, cumulative_new_users_daily,
 #: gk_sketch_error_eval, hll_error_eval, revenue_cvar_daily,
-#: ivf_nprobe_recall_curve, pq_codebook_utilization.
+#: ivf_nprobe_recall_curve, pq_codebook_utilization (+ the ninth
+#: streaming twin run_stream_daily_revenue).
 PRIORITY: tuple[str, ...] = (
     # 17 old-backlog §2B names (math/string/datetime/null long tail,
     # window frames, pct-of-total — queued since r3)

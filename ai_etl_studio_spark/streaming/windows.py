@@ -1467,3 +1467,38 @@ def run_stream_tax_mix(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_daily_revenue(
+    spark: SparkSession, sf_dir: str, query_name: str = "dailyrev_out"
+) -> DataFrame:
+    """REAL streaming build of the daily-revenue series (the ninth
+    readStream twin) — the cells revenue_cvar_daily, the ACF family and
+    every daily forecast op read: orders stream in and a streaming
+    aggregation maintains exact integer cents per order day.
+
+    Mergeable-summary shape: state is bounded by the CALENDAR (one row
+    per day with orders — the business horizon, never stream rate), and
+    the integer sums are order-free, so the series is bit-identical to
+    the batch reduction in any arrival order (asserted in
+    tests/test_streaming.py, where the batch side IS the CVaR op's
+    daily leg). Complete output mode. Returns (day, r)."""
+    o = read_orders_stream(spark, sf_dir)
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("r")
+    )
+    q = (
+        daily.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

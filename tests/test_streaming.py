@@ -649,3 +649,31 @@ def test_stream_tax_mix_matches_batch(spark):
         for r in queries["tax_rate_mix_by_year"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_stream_daily_revenue_matches_batch(spark):
+    """The streaming daily-revenue cells are bit-identical to the batch
+    reduction the CVaR / ACF / forecast family reads — integer cents
+    are order-free."""
+    import pyspark.sql.functions as F
+
+    from ai_etl_studio_spark.streaming.windows import (
+        run_stream_daily_revenue,
+    )
+
+    got = {
+        r.day: r.r
+        for r in run_stream_daily_revenue(spark, SF_DIR, "t_dailyrev").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("r")
+        )
+        .collect()
+    )
+    assert got == {r.day: r.r for r in batch}
+    assert len(got) > 0
