@@ -34,11 +34,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: LLM-data-pipeline extensions; round 3 the extended/array/function
 #: surfaces + round-3 additions; round 4 the TPC-H block (proving the
 #: de-broadcast rewrite) + audit/insights/PQ/geo (all 50/50 green).
-#: Round 5 (this prefix, per the r4 verdict items 2+5): the 17
-#: old-backlog §2B names first, then the drift tier (11), the
-#: corpus/LLM tier (17), and the FIVE ROWS-ONLY sketch/iterative ops
-#: at slots 46-50 — they can't hash-match by design and get err:null
-#: rows-only rows (carried from the r3 verdict; r4 had no free slot).
+#: Round 5: the 17 old-backlog §2B names, the drift tier (11), the
+#: corpus/LLM tier (17), and the five rows-only sketch ops (45 green +
+#: 4 rows-only recorded; percentile_approx_sketch's array output broke
+#: the driver canonicalizer — fixed and re-slotted below). Round 6
+#: (this prefix, per the r5 verdict items 2+4): percentile_approx_sketch
+#: first, then the 48 round-5 additions, then the head of the r4 pool.
+#: NOTE: the 50-slot rotation cannot converge on a registry growing
+#: ~48 names/round — the FULL-registry artifact
+#: CORRECTNESS_full_r{N}.json (tools/driver_sim.py over every oracle
+#: at sf0.01, committed per round) is the complete record; the prefix
+#: remains the driver-recorded spot-check.
 #: NOTE when regenerating the backlog with set(queries()) -
 #: set(CORRECTNESS_r0*.json) - set(PRIORITY): the four alias names
 #: tpch_q1/q2/q21/q22 must ALSO be subtracted — their targets
@@ -181,62 +187,64 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ivf_nprobe_recall_curve, pq_codebook_utilization (+ the ninth
 #: streaming twin run_stream_daily_revenue).
 PRIORITY: tuple[str, ...] = (
-    # 17 old-backlog §2B names (math/string/datetime/null long tail,
-    # window frames, pct-of-total — queued since r3)
-    "anomaly_zscore",
-    "argmax_minby",
-    "boolean_linreg_agg",
-    "datetime_functions",
-    "distinct_projection",
-    "having_filter",
-    "join_cross",
-    "math_functions",
-    "null_handling",
-    "pct_of_total",
-    "repetition_quality",
-    "stopword_pruned_corpus",
-    "string_agg_ordered",
-    "text_tokens",
-    "window_fill_forward",
-    "window_range_rolling",
-    "window_sliding",
-    # drift/statistics tier
-    "psi_drift",
-    "ks_two_sample",
-    "mannwhitney_utest",
-    "correlation_matrix",
-    "seasonal_anomaly_dow",
-    "entropy_by_source",
-    "hhi_concentration",
-    "mutual_information",
-    "autocorrelation_lags",
-    "quantile_drift",
-    "kl_divergence_by_source",
-    # corpus/LLM-feed tier
-    "vocab_growth_curve",
-    "tokenizer_fertility",
-    "perplexity_by_source",
-    "dup_rate_by_source",
-    "split_leakage_audit",
-    "source_token_jaccard",
-    "power_law_alpha",
-    "langid_confusion",
-    "context_window_fit",
-    "pii_rate_by_source",
-    "dataset_card_summary",
-    "class_balance_weights",
-    "embedding_norm_audit",
-    "embedding_centroid_drift",
-    "lsh_tuning_curve",
-    "near_dup_rate_by_source",
-    "dup_cluster_histogram",
-    # the rows-only five (slots 46-50, r3 verdict item 5): no SQL
-    # oracle by design — the driver records err:null rows-only rows
-    "approx_distinct",
-    "hll_sketch_rollup",
+    # r6 prefix (r5 verdict items 2+4): percentile_approx_sketch FIRST
+    # — its array<double> output broke the driver's rows-only
+    # canonicalizer in r5 (the one real CORRECTNESS_r05 error); the
+    # output is now flat scalar quartile columns, re-slotted to get
+    # its recorded rows-only row.
     "percentile_approx_sketch",
-    "kmeans_embeddings",
-    "embedding_pca_power",
+    # the 48 round-5 additions without driver rows (35 judge-verified
+    # MATCH at sf0.01 in the r5 session)
+    "substring_dup_spans",
+    "substring_dedup_from_index",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall_eval",
+    "cross_correlation_lags",
+    "tax_rate_mix_by_year",
+    "histogram_bin_advisor",
+    "markov_absorption_k_step",
+    "embedding_gram_isotropy",
+    "intrinsic_dim_two_nn",
+    "rayleigh_uniformity_by_type",
+    "exp_gof_interarrival",
+    "lang_trigram_divergence",
+    "markov_removal_effects",
+    "kruskal_wallis_delay_by_priority",
+    "weibull_shape_reorder",
+    "mcnemar_quality_gates",
+    "int8_recall_eval",
+    "shapley_channel_attribution",
+    "silhouette_by_label",
+    "friedman_priority_by_year",
+    "cochran_q_activity_years",
+    "blocking_quality_eval",
+    "davies_bouldin_labels",
+    "log_odds_terms_by_lang",
+    "substring_dup_share_by_source",
+    "theil_decomposition_by_nation",
+    "quality_score_auc",
+    "psi_monthly_series",
+    "loo_1nn_accuracy",
+    "tornqvist_price_index",
+    "langid_cohens_kappa",
+    "not_in_null_semantics",
+    "grouping_id_report",
+    "hubness_k_occurrence",
+    "acf_differenced_revenue",
+    "degree_assortativity_graph",
+    "shuffle_partition_advisor",
+    "safety_stock_by_type",
+    "markov_entropy_rate",
+    "gains_table_quality_score",
+    "null_ordering_semantics",
+    "cumulative_new_users_daily",
+    "gk_sketch_error_eval",
+    "hll_error_eval",
+    "revenue_cvar_daily",
+    "ivf_nprobe_recall_curve",
+    "pq_codebook_utilization",
+    # head of the round-4 backlog pool
+    "skyline_pareto",
 )
 
 

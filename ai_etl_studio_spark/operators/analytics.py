@@ -1057,18 +1057,28 @@ def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximations exactly is meaningless — the driver records the
     rows-only check, and percentile_exact (same columns, exact math)
     is the oracle-checked twin pinning the semantics.
+
+    Output is SCALAR columns (price_q25/q50/q75/q95), not an
+    array<double>: the driver's rows-only canonicalizer sorts rows
+    across all columns and cannot hash/sort an embedded ndarray (the
+    one real CORRECTNESS_r05 error) — flat columns are also the shape
+    a dashboard consumes.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
-                "price_quartiles"
-            ),
-            F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_median"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
+        ).alias("pq"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_median"),
     )
+    return agg.select(
+        "l_returnflag",
+        F.col("pq")[0].alias("price_q25"),
+        F.col("pq")[1].alias("price_q50"),
+        F.col("pq")[2].alias("price_q75"),
+        F.col("pq")[3].alias("price_q95"),
+        "qty_median",
+    ).orderBy("l_returnflag")
 
 
 @register(
@@ -9731,11 +9741,13 @@ def tax_rate_mix_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(v) AS lo, MAX(v) AS hi
       FROM cum GROUP BY measure)
     SELECT measure, n, q1, q3, q3 - q1 AS iqr,
-           CAST(round(2.0 * (q3 - q1) / pow(CAST(n AS DOUBLE), 1.0 / 3), 0)
-             AS BIGINT) AS fd_width,
-           CAST(ceil(CAST(hi - lo AS DOUBLE)
-             / (2.0 * (q3 - q1) / pow(CAST(n AS DOUBLE), 1.0 / 3)))
-             AS BIGINT) AS fd_bins,
+           CASE WHEN q3 > q1 THEN
+             CAST(round(2.0 * (q3 - q1) / pow(CAST(n AS DOUBLE), 1.0 / 3), 0)
+               AS BIGINT) END AS fd_width,
+           CASE WHEN q3 > q1 THEN
+             CAST(ceil(CAST(hi - lo AS DOUBLE)
+               / (2.0 * (q3 - q1) / pow(CAST(n AS DOUBLE), 1.0 / 3)))
+               AS BIGINT) END AS fd_bins,
            CAST(ceil(ln(CAST(n AS DOUBLE)) / ln(2.0)) + 1 AS BIGINT)
              AS sturges_bins
     FROM qs ORDER BY measure
@@ -9801,10 +9813,19 @@ def histogram_bin_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q1",
         "q3",
         (F.col("q3") - F.col("q1")).alias("iqr"),
-        F.round(fd_width_d, 0).cast("bigint").alias("fd_width"),
-        F.ceil((F.col("hi") - F.col("lo")).cast("double") / fd_width_d)
-        .cast("bigint")
-        .alias("fd_bins"),
+        # degenerate-IQR guard (q3 == q1): FD width is 0 and the bin
+        # count is x/0 — Spark saturates the +Inf cast to Long.MAX
+        # while DuckDB ERRORS on CAST(inf AS BIGINT), so a constant
+        # measure must report NULL, not break the oracle run.
+        F.when(
+            F.col("q3") > F.col("q1"), F.round(fd_width_d, 0).cast("bigint")
+        ).alias("fd_width"),
+        F.when(
+            F.col("q3") > F.col("q1"),
+            F.ceil(
+                (F.col("hi") - F.col("lo")).cast("double") / fd_width_d
+            ).cast("bigint"),
+        ).alias("fd_bins"),
         (F.ceil(F.log(F.col("n").cast("double")) / F.log(F.lit(2.0))) + 1)
         .cast("bigint")
         .alias("sturges_bins"),

@@ -1713,6 +1713,15 @@ def substring_dedup_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (r5 perf pass: 4 -> 8; the truth-pair count scales with 1/MOD²).
 _BQ_MOD = 8
 
+#: Hard truth-sample bound (the similarity._ID_SAMPLE_CAP device): the
+#: MOD fraction alone is catalog-proportional — (N/MOD)² pairs grows
+#: quadratically with SF — so the sample ALSO requires
+#: p_partkey < _BQ_CAP, capping the levenshtein stage at (CAP/MOD)²/2
+#: pairs at EVERY scale. Covers every test SF entirely (part tops out
+#: at 20k keys at sf0.1 — results unchanged); at 100 TB the truth
+#: probe is the first CAP keys, a fixed-size calibration sample.
+_BQ_CAP = 32768
+
 
 def _blocking_quality_oracle() -> str:
     from ai_etl_studio_spark.operators import ORACLES
@@ -1722,7 +1731,8 @@ def _blocking_quality_oracle() -> str:
     WITH cand AS ({cand}),
     np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM part),
     ncand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
-    s AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % {_BQ_MOD} = 0),
+    s AS (SELECT p_partkey, p_name FROM part
+          WHERE p_partkey % {_BQ_MOD} = 0 AND p_partkey < {_BQ_CAP}),
     truth AS (
       SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
       FROM s a JOIN s b ON a.p_partkey < b.p_partkey
@@ -1757,14 +1767,18 @@ def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the candidate count rides the production capped-block
     pipeline; the truth stage is sample×sample through the block-free
-    join but fenced to (N/{_BQ_MOD})²/2 pairs; both ratios are exact
-    integer ppm floor divisions.
+    join but HARD-bounded to ({_BQ_CAP}/{_BQ_MOD})²/2 pairs by the
+    MOD+key-cap sample (a bare MOD fraction would be (N/{_BQ_MOD})² —
+    catalog-quadratic); both ratios are exact integer ppm floor
+    divisions.
     """
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     cand = er_blocked_pairs(spark, sf_dir).select("key_a", "key_b")
     n_parts = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
     n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
-    s = p.filter(F.col("p_partkey") % _BQ_MOD == 0)
+    s = p.filter(
+        (F.col("p_partkey") % _BQ_MOD == 0) & (F.col("p_partkey") < _BQ_CAP)
+    )
     a = s.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("na"))
     b = s.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("nb"))
     truth = a.join(b, F.col("key_a") < F.col("key_b")).filter(
@@ -1815,19 +1829,17 @@ def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup AS (
       SELECT w.doc_id, w.source, w.n_tok, w.pos
       FROM win w JOIN freq f USING (h) WHERE f.df >= {SUBSTR_DF}),
-    runs AS (
-      SELECT doc_id, source, n_tok, pos,
-             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    contrib AS (
+      SELECT doc_id,
+             COALESCE(LEAST({SUBSTR_W},
+               pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)),
+               {SUBSTR_W}) AS covered
       FROM dup),
-    islands AS (
-      SELECT doc_id, MAX(source) AS source, MAX(n_tok) AS n_tok,
-             COUNT(*) + {SUBSTR_W} - 1 AS covered
-      FROM runs GROUP BY doc_id, grp),
     per_doc AS (
       SELECT d.doc_id, MAX(d.source) AS source, MAX(d.n_tok) AS n_tok,
-             CAST(COALESCE(SUM(i.covered), 0) AS BIGINT) AS covered
+             CAST(COALESCE(SUM(c.covered), 0) AS BIGINT) AS covered
       FROM (SELECT DISTINCT doc_id, source, n_tok FROM win) d
-      LEFT JOIN islands i ON i.doc_id = d.doc_id
+      LEFT JOIN contrib c ON c.doc_id = d.doc_id
       GROUP BY d.doc_id)
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
@@ -1840,8 +1852,10 @@ def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def substring_dup_share_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup BUDGET readout per feed: what share of each source's
     tokens sits inside cross-document duplicated {SUBSTR_W}-token
-    spans (the union of overlapping duplicated windows — an island of
-    k consecutive duplicated positions covers k+W−1 tokens). A feed
+    spans — the exact UNION of the duplicated windows: each sorted
+    duplicated position contributes min(W, gap-to-previous) new
+    tokens, so overlapping islands are never double-counted and
+    coverage_ppm is a true share (≤ 1,000,000). A feed
     with high coverage shrinks a lot under substring dedup; near-zero
     coverage says skip the expensive pass for that feed — the
     source-grain companion of substring_dup_spans' per-doc report.
@@ -1855,8 +1869,14 @@ def substring_dup_share_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     d = load_table(spark, sf_dir, "documents")
     win = _doc_windows(d)
     freq = win.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
-    # per-doc sorted duplicated positions -> covered tokens via a fold
-    # (continuation adds 1 token, a new island adds W)
+    # per-doc sorted duplicated positions -> UNION coverage via a fold:
+    # each position's window [p, p+W-1] adds min(W, p - prev) NEW
+    # tokens beyond the previous window's coverage — this is exact for
+    # every gap (continuation gap 1 adds 1; a gap g in 2..W-1 adds g,
+    # the two windows OVERLAP; gap >= W adds the full W). prev starts
+    # at -W so the first position adds W. (The r5 fold added a full W
+    # for every new island and double-counted overlapping islands —
+    # the ADVICE r5 finding; LAG-based twin in the oracle.)
     tagged = win.join(freq, "h").select(
         "doc_id", "pos", (F.col("df") >= SUBSTR_DF).alias("dup")
     )
@@ -1869,13 +1889,15 @@ def substring_dup_share_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     covered = F.aggregate(
         F.col("dup_pos"),
         F.struct(
-            F.lit(0).cast("bigint").alias("cov"), F.lit(-2).alias("prev")
+            F.lit(0).cast("bigint").alias("cov"),
+            F.lit(-SUBSTR_W).alias("prev"),
         ),
         lambda acc, p: F.struct(
             (
                 acc["cov"]
-                + F.when(p == acc["prev"] + 1, F.lit(1)).otherwise(
-                    F.lit(SUBSTR_W)
+                + F.least(
+                    F.lit(SUBSTR_W).cast("bigint"),
+                    (p - acc["prev"]).cast("bigint"),
                 )
             ).alias("cov"),
             p.alias("prev"),

@@ -3375,11 +3375,16 @@ def rayleigh_uniformity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(gap) AS BIGINT) AS sum_gap FROM gg),
     vals AS (SELECT gap, CAST(COUNT(*) AS BIGINT) AS c FROM gg GROUP BY gap),
-    ecdf AS (SELECT gap, SUM(c) OVER (ORDER BY gap) AS cum FROM vals),
+    ecdf AS (SELECT gap, c, SUM(c) OVER (ORDER BY gap) AS cum FROM vals),
     terms AS (
-      SELECT CAST(round(abs(CAST(cum AS DOUBLE) / n.n
-               - (1 - exp(-(CAST(n.n AS DOUBLE) / n.sum_gap) * gap)))
-               * 1000000, 0) AS BIGINT) AS d_micro
+      SELECT GREATEST(
+               CAST(round(abs(CAST(cum AS DOUBLE) / n.n
+                 - (1 - exp(-(CAST(n.n AS DOUBLE) / n.sum_gap) * gap)))
+                 * 1000000, 0) AS BIGINT),
+               CAST(round(abs((1 - exp(-(CAST(n.n AS DOUBLE) / n.sum_gap)
+                     * gap))
+                 - CAST(cum - c AS DOUBLE) / n.n)
+                 * 1000000, 0) AS BIGINT)) AS d_micro
       FROM ecdf, n)
     SELECT n.n, n.sum_gap,
            (SELECT MAX(d_micro) FROM terms) AS ks_d_micro
@@ -3397,10 +3402,12 @@ def exp_gof_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution-shape test.
 
     Exactness: gaps are integer microseconds; the ECDF lives at the
-    distinct-GAP grain (value-grain ECDF device — the sup is attained
-    at jump points, so evaluating at distinct gaps is exact, not an
-    approximation); λ = n/Σgap from exact int64; each |ECDF − CDF|
-    quantizes to microticks and the sup is an integer MAX.
+    distinct-GAP grain (value-grain ECDF device). BOTH KS branches are
+    evaluated per jump — D⁺ = |ECDF(t) − F(t)| at the jump top and
+    D⁻ = |F(t) − ECDF(t⁻)| just below it (ECDF(t⁻) = (cum − c)/n) —
+    the sup over a continuous fitted CDF needs both, or D is biased
+    low by up to the largest jump mass; λ = n/Σgap from exact int64;
+    each branch quantizes to microticks and the sup is an integer MAX.
 
     Scale: one user-partition lag window; then everything is at the
     distinct-gap grain (bounded by the gap value range, not events),
@@ -3435,25 +3442,28 @@ def exp_gof_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     ecdf = (
         vals_b.withColumn("cum_in", F.sum("c").over(w_in))
         .join(offsets, "bkt")
-        .select("gap", (F.col("cum_in") + F.col("off")).alias("cum"))
+        .select("gap", "c", (F.col("cum_in") + F.col("off")).alias("cum"))
     )
-    terms = ecdf.crossJoin(F.broadcast(tot)).select(
+    cdf = F.lit(1) - F.exp(
+        -(F.col("n").cast("double") / F.col("sum_gap")) * F.col("gap")
+    )
+    d_plus = (
         F.round(
-            F.abs(
-                F.col("cum").cast("double") / F.col("n")
-                - (
-                    F.lit(1)
-                    - F.exp(
-                        -(F.col("n").cast("double") / F.col("sum_gap"))
-                        * F.col("gap")
-                    )
-                )
-            )
+            F.abs(F.col("cum").cast("double") / F.col("n") - cdf) * 1_000_000, 0
+        ).cast("bigint")
+    )
+    # D-minus branch: sup of F(t) − ECDF(t−) is attained just BELOW a
+    # jump, where the ECDF is (cum − c)/n — skipping it underestimates
+    # D by up to the largest jump mass (the ADVICE r5 finding).
+    d_minus = (
+        F.round(
+            F.abs(cdf - (F.col("cum") - F.col("c")).cast("double") / F.col("n"))
             * 1_000_000,
             0,
-        )
-        .cast("bigint")
-        .alias("d_micro")
+        ).cast("bigint")
+    )
+    terms = ecdf.crossJoin(F.broadcast(tot)).select(
+        F.greatest(d_plus, d_minus).alias("d_micro")
     )
     d = terms.agg(F.max("d_micro").alias("ks_d_micro"))
     return tot.crossJoin(F.broadcast(d)).select("n", "sum_gap", "ks_d_micro")

@@ -1,18 +1,21 @@
 """Multimodal column plumbing (driver-directed extension).
 
 Images/audio/video are opaque ``binary`` columns + typed metadata. The
-decode step runs behind a RUNTIME CAPABILITY PROBE (r5): when a real
-codec library is importable (PIL for images, soundfile for audio) the
-payload bytes are decoded for real — dimensions/frame counts come from
-the codec, and unparseable bytes surface as ``decode_ok = false``
-instead of fake numbers. When the codec is absent (this container has
-neither) the step falls back to the clearly marked deterministic fake
-(`_fake_decode_meta`), which keeps CI hermetic and the DuckDB oracles
-exact. Everything Spark cares about is real and tested either way:
-binary column construction, schema, Arrow-batched Pandas-UDF
-signatures, `mapInPandas` batch shape, and partition-count
-preservation. Video stays stubbed unconditionally (no ffmpeg binding
-is probed).
+decode step is gated by an EXPLICIT OPT-IN (r6, the r5 ADVICE fix):
+real decode runs only when ``SPARK_GRAFT_REAL_CODECS=1`` is set AND the
+codec library is importable (PIL for images, soundfile for audio,
+PyAV for video) — dimensions/frame counts then come from the codec,
+and unparseable bytes surface as ``decode_ok = false`` instead of fake
+numbers. Without the opt-in the step is PINNED to the clearly marked
+deterministic fake (`_fake_decode_meta`) even when a codec happens to
+be importable (Pillow is a common transitive dependency, and the
+synthetic payloads are document-text bytes, not real media — an
+import-probe alone would flip the registered oracle-checked ops to
+decode_ok=false on such payloads and break the correctness sweep).
+The opt-in keeps CI hermetic and the DuckDB oracles exact everywhere.
+Everything Spark cares about is real and tested either way: binary
+column construction, schema, Arrow-batched Pandas-UDF signatures,
+`mapInPandas` batch shape, and partition-count preservation.
 
 The synthetic payloads derive from ``documents.text`` (utf-8 bytes, and
 the corpus is pure ASCII at every SF — byte offsets == char offsets),
@@ -94,11 +97,14 @@ DECODE_SCHEMA = (
 )
 
 
-def _codec_probe() -> tuple[object | None, object | None]:
-    """(PIL.Image module or None, soundfile module or None) — probed
-    once per interpreter. Executors probe independently (the closure
-    ships the FUNCTION, not the probe result), which is what you want:
-    a heterogeneous cluster decodes wherever the codec exists."""
+def _codec_probe() -> tuple[object | None, object | None, object | None]:
+    """(PIL.Image module, soundfile module, av module — each or None) —
+    probed once per interpreter. Executors probe independently (the
+    closure ships the FUNCTION, not the probe result), which is what
+    you want: a heterogeneous cluster decodes wherever the codec
+    exists. The probe only says what COULD decode; whether real decode
+    runs at all is the explicit SPARK_GRAFT_REAL_CODECS opt-in
+    (see `real_codecs_enabled`)."""
     global _PROBE
     if _PROBE is None:
         try:
@@ -109,11 +115,26 @@ def _codec_probe() -> tuple[object | None, object | None]:
             import soundfile as _sf
         except ImportError:
             _sf = None
-        _PROBE = (_img, _sf)
+        try:
+            import av as _av  # PyAV: the ffmpeg binding for video
+        except ImportError:
+            _av = None
+        _PROBE = (_img, _sf, _av)
     return _PROBE
 
 
-_PROBE: tuple[object | None, object | None] | None = None
+_PROBE: tuple[object | None, object | None, object | None] | None = None
+
+
+def real_codecs_enabled() -> bool:
+    """The explicit opt-in for real decode: SPARK_GRAFT_REAL_CODECS=1.
+    Evaluated on the DRIVER at plan-build time and shipped through the
+    closure, so the registered oracle-checked ops stay pinned to the
+    deterministic stub unless the operator of the pipeline asked for
+    real decode — an importable codec alone never flips behavior."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_REAL_CODECS") == "1"
 
 
 def _real_decode_meta(
@@ -124,7 +145,7 @@ def _real_decode_meta(
     back to the deterministic stub). Raises on unparseable bytes —
     the caller turns that into a decode_ok=false row, never a fake
     success."""
-    img, sf = _codec_probe()
+    img, sf, av = _codec_probe()
     if media_type == "image/png" and img is not None:
         import io
 
@@ -135,6 +156,18 @@ def _real_decode_meta(
 
         with sf.SoundFile(io.BytesIO(bytes(payload))) as f:
             return (0, 0, int(f.frames))
+    if media_type == "video/mp4" and av is not None:
+        import io
+
+        with av.open(io.BytesIO(bytes(payload))) as container:
+            vstreams = [s for s in container.streams if s.type == "video"]
+            if not vstreams:
+                raise ValueError("no video stream")
+            vs = vstreams[0]
+            n_frames = vs.frames or sum(
+                1 for _ in container.decode(video=0)
+            )
+            return (int(vs.width or 0), int(vs.height or 0), int(n_frames))
     return None
 
 
@@ -156,20 +189,29 @@ def _fake_decode_meta(payload: bytes, media_type: str) -> tuple[int, int, int]:
     raise NotImplementedError(f"no decoder for {media_type}")
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def decode_media(df: DataFrame, real: bool | None = None) -> DataFrame:
     """`mapInPandas` decode: Arrow-batched, per-partition, zero shuffle.
 
     The UDF sees pandas DataFrames (one per Arrow batch) and yields
     batches — the 100 TB-safe shape for any Python-side media work.
+
+    ``real=None`` (the registered-op default) resolves to the
+    SPARK_GRAFT_REAL_CODECS opt-in on the driver; the resolved boolean
+    ships in the closure so every executor agrees. real=False pins the
+    deterministic stub; real=True decodes with whatever codec each
+    worker can import, stub-falls-back per type when none exists, and
+    reports unparseable bytes as decode_ok=false.
     """
+    use_real = real_codecs_enabled() if real is None else real
 
     def decode_one(payload: bytes, media_type: str) -> tuple[int, int, int, bool]:
-        try:
-            real = _real_decode_meta(payload, media_type)
-        except Exception:
-            return (0, 0, 0, False)  # codec present, bytes unparseable
-        if real is not None:
-            return (*real, True)
+        if use_real:
+            try:
+                real_meta = _real_decode_meta(payload, media_type)
+            except Exception:
+                return (0, 0, 0, False)  # codec present, bytes unparseable
+            if real_meta is not None:
+                return (*real_meta, True)
         return (*_fake_decode_meta(payload, media_type), True)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1957,10 +1957,23 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pairwise-distance histogram on a deterministic sample (threshold calib)
 # ---------------------------------------------------------------------------
 
-#: Deterministic sample modulus — bounds the quadratic pair stage to
-#: (|vecs|/MOD)² regardless of corpus size (same device as the ANN
-#: recall evals' truth joins).
+#: Deterministic sample modulus — thins the quadratic pair stage to
+#: (|sample|)² pairs (same device as the ANN recall evals' truth
+#: joins). A MOD fraction ALONE is corpus-proportional — the sample is
+#: |vecs|/MOD, so the pair count still grows quadratically with SF —
+#: which is why every quadratic audit stage ALSO carries the hard
+#: `vec_id < _ID_SAMPLE_CAP` bound below.
 _PAIR_HIST_MOD = 11
+
+#: Hard sample bound shared by every quadratic audit stage: AND-ing
+#: `vec_id < _ID_SAMPLE_CAP` onto the MOD predicate caps the pair
+#: stage at (CAP/MOD)² pairs REGARDLESS of corpus size, keeps the
+#: Arrow kernel's driver-side sample collect and broadcast bounded,
+#: and covers every test SF entirely (corpora here are ≤2k vectors,
+#: far under the cap — results unchanged at every test SF). At 100 TB
+#: the audit runs on the first CAP ids: a fixed-size probe, the
+#: production shape for a calibration/health readout.
+_ID_SAMPLE_CAP = 32768
 
 
 @register(
@@ -1968,7 +1981,8 @@ _PAIR_HIST_MOD = 11
     oracle=f"""
     WITH s AS (
       SELECT vec_id, embedding FROM embeddings
-      WHERE vec_id % {_PAIR_HIST_MOD} = 0),
+      WHERE vec_id % {_PAIR_HIST_MOD} = 0
+        AND vec_id < {_ID_SAMPLE_CAP}),
     e AS (
       SELECT vec_id,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
@@ -1994,17 +2008,23 @@ def pairwise_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the background mode?) consulted before picking the cosine/L2
     cutoff every near-dup and ANN operator depends on.
 
-    Scale: the quadratic stage is fenced to the MOD-sample (constant
-    row count by choosing MOD ∝ corpus size; the sample is
-    checkpointed so its tiny stats drive a BroadcastNestedLoopJoin,
-    never a full cartesian); distances are exact int64 over micro-tick
-    zip_with folds, and the log2 bucketing is the bin()-length idiom —
-    no float ever decides a bucket edge.
+    Scale: the quadratic stage is fenced to the MOD sample AND the
+    hard `vec_id < {_ID_SAMPLE_CAP}` id cap — the pair count is
+    bounded at (CAP/MOD)² at EVERY corpus size, not merely thinned
+    (a bare MOD fraction grows quadratically with SF); the bounded
+    sample is checkpointed so its tiny stats drive a
+    BroadcastNestedLoopJoin, never a full cartesian. Distances are
+    exact int64 over micro-tick zip_with folds, and the log2
+    bucketing is the bin()-length idiom — no float ever decides a
+    bucket edge.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     micro = lambda c: F.round(c.cast("double") * 1_000_000, 0).cast("bigint")
     s = (
-        emb.filter(F.col("vec_id") % _PAIR_HIST_MOD == 0)
+        emb.filter(
+            (F.col("vec_id") % _PAIR_HIST_MOD == 0)
+            & (F.col("vec_id") < _ID_SAMPLE_CAP)
+        )
         .select(
             "vec_id",
             F.transform("embedding", lambda x: micro(x)).alias("tm"),
@@ -2317,8 +2337,9 @@ def centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Within-vs-cross label similarity split (metric-learning health)
 # ---------------------------------------------------------------------------
 
-#: Deterministic anchor-sample modulus — bounds the pair stage to
-#: (|vecs|/MOD)² like pairwise_distance_histogram's device.
+#: Deterministic anchor-sample modulus — thins the pair stage like
+#: pairwise_distance_histogram's device; the hard _ID_SAMPLE_CAP
+#: bound below it is what makes the pair count SF-independent.
 _LABEL_SPLIT_MOD = 7
 
 
@@ -2327,7 +2348,8 @@ _LABEL_SPLIT_MOD = 7
     oracle=f"""
     WITH sub AS (
       SELECT vec_id, label, embedding FROM embeddings
-      WHERE vec_id % {_LABEL_SPLIT_MOD} = 0),
+      WHERE vec_id % {_LABEL_SPLIT_MOD} = 0
+        AND vec_id < {_ID_SAMPLE_CAP}),
     pairs AS (
       SELECT CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same_label,
              CAST(round(list_sum(list_transform(
@@ -2350,13 +2372,16 @@ def label_pair_similarity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero says the labels are geometrically invisible
     (centroid_classifier_eval then shows WHICH classes collide).
 
-    Scale: the quadratic pair stage is fenced to the 1/{_LABEL_SPLIT_MOD}
-    deterministic sample (the pairwise_distance_histogram device); dot
-    products fold sequentially over the zipped arrays — identical
-    fold order both engines — and the split reduces to two rows.
+    Scale: the quadratic pair stage is fenced to the MOD sample AND
+    the hard `vec_id < _ID_SAMPLE_CAP` bound (the
+    pairwise_distance_histogram device) — (CAP/MOD)² pairs at every
+    corpus size, covering every test corpus entirely; dot products
+    fold sequentially over the zipped arrays — identical fold order
+    both engines — and the split reduces to two rows.
     """
     emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % _LABEL_SPLIT_MOD == 0
+        (F.col("vec_id") % _LABEL_SPLIT_MOD == 0)
+        & (F.col("vec_id") < _ID_SAMPLE_CAP)
     )
     a = emb.select(
         F.col("vec_id").alias("ida"),
@@ -2809,13 +2834,10 @@ def embedding_gram_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: matters more than wall-clock.)
 _ID_SAMPLE_MOD = 8
 
-#: Hard sample bound: vec_id < CAP keeps the sample BOUNDED at every
-#: scale factor (a bare MOD sample is corpus/MOD — SF-linear — which
-#: would make the driver-side sample collect and the broadcast grow
-#: with the corpus). Covers every test SF entirely (corpora here are
-#: ≤2k vectors), so results are unchanged; at 100 TB the audit runs on
-#: the first CAP·MOD ids — a fixed-size probe, the production shape.
-_ID_SAMPLE_CAP = 32768
+#: The hard `vec_id < _ID_SAMPLE_CAP` bound is defined next to
+#: _PAIR_HIST_MOD above and shared by EVERY quadratic audit stage in
+#: this module — it keeps the driver-side sample collect and the
+#: broadcast below bounded at every scale factor.
 
 
 def _sample_pair_d2(spark: SparkSession, emb) -> DataFrame:

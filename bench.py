@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -484,12 +485,24 @@ def main() -> None:
             except Exception:
                 pass  # warmup must never fail the bench
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Per-query MEDIAN over SPARK_GRAFT_BENCH_N runs (default 1 to keep
+    # the driver's per-round wall-clock unchanged; set 3 for the
+    # committed round artifact): N=1 rollups drift ~1.25x with ambient
+    # machine load, which reads as a plan regression it isn't (the r5
+    # verdict's tpch_total 15.57 -> 17.66 s finding). Repeats run as
+    # full passes over the suite, not back-to-back per query, so cache
+    # warmth is comparable across repeats.
+    bench_n = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "1")))
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(bench_n):
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs[name].append(time.perf_counter() - t0)
+    timings: dict[str, float] = {
+        name: round(statistics.median(ts), 3) for name, ts in runs.items()
+    }
 
     total = round(sum(timings.values()), 3)
     # TPC-H tracked as ONE number so round-over-round movement of the
@@ -508,6 +521,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "tpch_total": tpch_total,
+        "bench_n": bench_n,
         "sf": sf,
     }
     print(json.dumps(payload))
@@ -517,12 +531,20 @@ def main() -> None:
     # round-over-round comparison works from files alone.
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        rounds = [
-            int(m.group(1))
-            for f in os.listdir(repo)
-            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
-        ]
-        n = max(rounds, default=0) + 1
+        # Round number: explicit SPARK_GRAFT_ROUND wins (the r5 ADVICE
+        # fix — a re-run AFTER the driver wrote this round's BENCH_r
+        # file would otherwise stamp the NEXT round's name); fall back
+        # to max(BENCH_r*)+1 inference only when unset.
+        env_round = os.environ.get("SPARK_GRAFT_ROUND")
+        if env_round and env_round.isdigit():
+            n = int(env_round)
+        else:
+            rounds = [
+                int(m.group(1))
+                for f in os.listdir(repo)
+                if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+            ]
+            n = max(rounds, default=0) + 1
         full = json.dumps(payload, indent=1, sort_keys=True)
         with open(os.path.join(repo, f"BENCH_full_r{n:02d}.json"), "w") as fh:
             fh.write(full + "\n")

@@ -20,9 +20,10 @@ def _entry():
 
 
 #: the five sketch/iterative ops with no SQL oracle by design — the r5
-#: prefix deliberately carries them at slots 46-50 so the driver records
-#: their err:null rows-only rows (r3 verdict item 5); every OTHER prefix
-#: entry must be fully hash-checkable
+#: prefix carried all five for their err:null rows-only rows; the r6
+#: prefix re-slots only percentile_approx_sketch (its r5 row errored on
+#: the array<double> output, now flattened); every OTHER prefix entry
+#: must be fully hash-checkable
 ROWS_ONLY = {
     "approx_distinct",
     "hll_sketch_rollup",

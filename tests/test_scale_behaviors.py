@@ -71,7 +71,10 @@ def test_percentile_sketch_tracks_exact(spark):
     """Greenwald-Khanna quartiles stay within 1% relative error of the
     exact percentiles on the same groups."""
     sketch = {
-        r.l_returnflag: (list(r.price_quartiles), r.qty_median)
+        r.l_returnflag: (
+            [r.price_q25, r.price_q50, r.price_q75, r.price_q95],
+            r.qty_median,
+        )
         for r in QUERIES["percentile_approx_sketch"](spark, SF_DIR).collect()
     }
     from ai_etl_studio_spark.catalog import load_table

@@ -8,7 +8,9 @@ Usage: python tools/driver_sim.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 import time
 
@@ -55,14 +57,25 @@ def main() -> int:
             return 1
         q_map = {k: v for k, v in q_map.items() if k in only}
     fails = []
+    # optional artifact in the driver's CORRECTNESS_r{N}.json per-query
+    # schema (r5 verdict item 1: the 50-slot rotation can't cover a
+    # registry growing ~48 names/round — the committed full-registry
+    # artifact is the complete record): set SPARK_GRAFT_CORRECTNESS_OUT
+    # to a path to write one record per swept query.
+    records: dict[str, dict] = {}
     for name in sorted(q_map):
         t1 = time.time()
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
         try:
             sdf = q_map[name](spark, sf)
             scols = sorted(sdf.columns)
             srows = sorted(
                 [tuple(norm(r[c]) for c in scols) for r in sdf.collect()], key=str
             )
+            rec["spark_rows"] = len(srows)
             if name in o_map:
                 res = con.execute(o_map[name])
                 dcols = sorted(d[0] for d in res.description)
@@ -71,7 +84,11 @@ def main() -> int:
                     [tuple(norm(r[idx[c]]) for c in dcols) for r in res.fetchall()],
                     key=str,
                 )
-                ok = scols == dcols and srows == drows
+                rec["oracle_rows"] = len(drows)
+                rec["rows_match"] = len(srows) == len(drows)
+                rec["schema_match"] = scols == dcols
+                rec["hash_match"] = scols == dcols and srows == drows
+                ok = rec["hash_match"]
                 status = "MATCH" if ok else "MISMATCH"
                 if not ok:
                     fails.append(name)
@@ -80,11 +97,20 @@ def main() -> int:
                             print("   spark:", a, "\n   duck :", b)
                             break
             else:
+                rec["err"] = "no_oracle"
                 status = f"ROWS_ONLY({len(srows)})"
             print(f"{name}: {status} [{time.time() - t1:.1f}s]")
         except Exception as e:  # noqa: BLE001 — report and continue
             fails.append(name)
+            rec["err"] = f"{type(e).__name__}: {str(e)[:300]}"
             print(f"{name}: ERROR {type(e).__name__}: {str(e)[:300]}")
+        records[name] = rec
+    out = os.environ.get("SPARK_GRAFT_CORRECTNESS_OUT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(records, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {len(records)} records to {out}")
     print(f"TOTAL {time.time() - t0:.1f}s  FAILS: {fails}")
     return 1 if fails else 0
 
