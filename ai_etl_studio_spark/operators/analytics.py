@@ -10587,3 +10587,440 @@ def revenue_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("tail_cents DIV tail_days").alias("cvar95_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Atkinson inequality index of order values by nation (round 6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "atkinson_index_by_nation",
+    oracle="""
+    WITH j AS (
+      SELECT n.n_name,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    t AS (
+      SELECT n_name, v,
+             CAST(round(ln(CAST(v AS DOUBLE)) * 1000000, 0) AS BIGINT)
+               AS ln_micro
+      FROM j),
+    g AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(ln_micro) AS BIGINT) AS sl
+      FROM t GROUP BY n_name)
+    SELECT n_name, n_orders,
+           CAST(round((1E0 - exp(CAST(sl AS DOUBLE)
+               / (CAST(n_orders AS DOUBLE) * 1000000E0))
+             / (CAST(sv AS DOUBLE) / CAST(n_orders AS DOUBLE)))
+             * 1000000E0, 0) AS BIGINT) AS atkinson1_ppm
+    FROM g ORDER BY n_name
+    """,
+)
+def atkinson_index_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (ε = 1) of customer order values per
+    nation: A₁ = 1 − geomean/mean — the welfare-grounded companion to
+    gini_by_nation (Gini weighs transfers uniformly; Atkinson ε=1
+    weighs them by the LOG utility of the receiving end, so it reacts
+    hardest to inequality at the bottom of the distribution). A₁ = 0.3
+    reads as "this nation would accept losing 30% of total order value
+    for a perfectly equal split".
+
+    Exactness: values are integer cents; each ln(v) quantizes to micro
+    BEFORE the distributed sum (the per-term tick device — ln sums are
+    the canonical order-divergent reduction), so Σln and Σv are exact
+    int64 and the final exp/ratio is one mirrored fixed-order
+    expression per |nations| row.
+
+    Scale: one fact scan reduces to |nations| sufficient-statistic
+    rows; the dimension joins broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select("n_name", cents("o_totalprice").alias("v"))
+    )
+    t = j.select(
+        "n_name",
+        "v",
+        F.round(F.log(F.col("v").cast("double")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("ln_micro"),
+    )
+    g = t.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum("ln_micro").cast("bigint").alias("sl"),
+    )
+    return g.select(
+        "n_name",
+        "n_orders",
+        F.expr(
+            "CAST(round((1E0 - exp(CAST(sl AS DOUBLE)"
+            " / (CAST(n_orders AS DOUBLE) * 1000000E0))"
+            " / (CAST(sv AS DOUBLE) / CAST(n_orders AS DOUBLE)))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("atkinson1_ppm"),
+    ).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# Price/volume bridge of revenue by part type, year over year (round 6)
+# ---------------------------------------------------------------------------
+
+#: The year pair bridged (both fully covered by the generator's
+#: 1995-2001 order-date span at every SF).
+_PVB_Y0, _PVB_Y1 = 1999, 2000
+
+
+@register(
+    "price_volume_bridge_yoy",
+    oracle=f"""
+    WITH li AS (
+      SELECT p.p_type, year(o.o_orderdate) AS y,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+               AS BIGINT) AS rev,
+             CAST(round(l.l_quantity, 0) AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(o.o_orderdate) IN ({_PVB_Y0}, {_PVB_Y1})),
+    g AS (
+      SELECT p_type, y, CAST(SUM(rev) AS BIGINT) AS rev,
+             CAST(SUM(qty) AS BIGINT) AS qty
+      FROM li GROUP BY 1, 2),
+    b AS (
+      SELECT a.p_type, a.rev AS r0, b.rev AS r1, a.qty AS q0, b.qty AS q1
+      FROM g a JOIN g b ON a.p_type = b.p_type
+      WHERE a.y = {_PVB_Y0} AND b.y = {_PVB_Y1})
+    SELECT p_type, r0 AS rev0_ticks, r1 AS rev1_ticks,
+           q0 AS qty0, q1 AS qty1,
+           r1 - r0 AS delta_ticks,
+           CAST(round((CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0)
+             * q1, 0) AS BIGINT) AS price_effect_ticks,
+           CAST(round(CAST(r0 AS DOUBLE) / q0 * (q1 - q0), 0) AS BIGINT)
+             AS volume_effect_ticks
+    FROM b ORDER BY p_type
+    """,
+)
+def price_volume_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FP&A price/volume bridge by part type across
+    {_PVB_Y0}→{_PVB_Y1}: Δrevenue split into a price effect
+    (Δprice × new volume) and a volume effect (old price × Δvolume).
+    The two effects sum to Δrevenue exactly before rounding — the
+    algebraic identity p₁q₁ − p₀q₀ = (p₁−p₀)q₁ + p₀(q₁−q₀) — so the
+    bridge ALWAYS reconciles; revenue_bridge_monthly tracks the
+    customer-mix axis, this tracks the classic rate/volume axis.
+
+    Exactness: revenue in 0.1-milli ticks (×10⁴) and quantities are
+    exact int64 per (type, year); the two effects are single mirrored
+    double expressions over four exact ints, rounded to ticks.
+
+    Scale: one fact scan with the year predicate pushed to the scan,
+    reduced to |types|×2 rows before the self-join; everything after
+    is dimension-bounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .withColumn("y", F.year("o_orderdate"))
+        .filter(F.col("y").isin(_PVB_Y0, _PVB_Y1))
+        .select(
+            "p_type",
+            "y",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+            )
+            .cast("bigint")
+            .alias("rev"),
+            F.round(F.col("l_quantity"), 0).cast("bigint").alias("qty"),
+        )
+    )
+    g = j.groupBy("p_type", "y").agg(
+        F.sum("rev").cast("bigint").alias("rev"),
+        F.sum("qty").cast("bigint").alias("qty"),
+    )
+    a = g.filter(F.col("y") == _PVB_Y0).select(
+        "p_type", F.col("rev").alias("r0"), F.col("qty").alias("q0")
+    )
+    b = g.filter(F.col("y") == _PVB_Y1).select(
+        "p_type", F.col("rev").alias("r1"), F.col("qty").alias("q1")
+    )
+    return (
+        a.join(b, "p_type")
+        .select(
+            "p_type",
+            F.col("r0").alias("rev0_ticks"),
+            F.col("r1").alias("rev1_ticks"),
+            F.col("q0").alias("qty0"),
+            F.col("q1").alias("qty1"),
+            (F.col("r1") - F.col("r0")).alias("delta_ticks"),
+            F.expr(
+                "CAST(round((CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE)"
+                " / q0) * q1, 0) AS BIGINT)"
+            ).alias("price_effect_ticks"),
+            F.expr(
+                "CAST(round(CAST(r0 AS DOUBLE) / q0 * (q1 - q0), 0)"
+                " AS BIGINT)"
+            ).alias("volume_effect_ticks"),
+        )
+        .orderBy("p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized vs raw mean ship delay by priority (round 6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "winsorized_mean_delay_by_priority",
+    oracle="""
+    WITH d AS (
+      SELECT o.o_orderpriority AS pr,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate),
+    c AS (SELECT pr, v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+    cum AS (
+      SELECT pr, v, c,
+             SUM(c) OVER (PARTITION BY pr ORDER BY v) AS cum,
+             SUM(c) OVER (PARTITION BY pr) AS n
+      FROM c),
+    qs AS (
+      SELECT pr, CAST(MAX(n) AS BIGINT) AS n,
+             MIN(CASE WHEN cum * 20 >= n THEN v END) AS p05,
+             MIN(CASE WHEN cum * 20 >= 19 * n THEN v END) AS p95
+      FROM cum GROUP BY pr),
+    w AS (
+      SELECT c.pr, qs.n, qs.p05, qs.p95,
+             CAST(SUM(c.c * c.v) AS BIGINT) AS sraw,
+             CAST(SUM(c.c * LEAST(GREATEST(c.v, qs.p05), qs.p95)) AS BIGINT)
+               AS swin
+      FROM c JOIN qs ON c.pr = qs.pr
+      GROUP BY c.pr, qs.n, qs.p05, qs.p95)
+    SELECT pr, n, p05, p95,
+           CAST(round(CAST(sraw AS DOUBLE) / n * 1000000, 0) AS BIGINT)
+             AS raw_mean_micro,
+           CAST(round(CAST(swin AS DOUBLE) / n * 1000000, 0) AS BIGINT)
+             AS winsor_mean_micro
+    FROM w ORDER BY pr
+    """,
+)
+def winsorized_mean_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%/95% winsorized mean of order→ship delay per priority next to
+    the raw mean — the robust-location readout that answers "is the
+    SLA average real or tail-driven": a winsorized mean far below the
+    raw mean says a thin tail of extreme delays is dragging the KPI
+    (investigate the tail, don't re-plan the fleet); near-equal means
+    the delay level is genuine.
+
+    Exactness: delays are integer days; p05/p95 are EXACT integer
+    ECDF thresholds at the (priority, value) grain (cum·20 ≥ k·n, the
+    value-grain quantile device — no percentile_approx error bars);
+    raw and clamped sums are exact int64, each mean one mirrored
+    double division.
+
+    Scale: the fact join reduces to (priority, distinct-delay) counts
+    before any window; winsorizing re-aggregates the SAME value-grain
+    table (never re-scans facts), so the second moment pass is free.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("pr"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("v"),
+        )
+    )
+    c = d.groupBy("pr", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    c = c.localCheckpoint()  # value-grain; read by the ECDF AND the sums
+    w_cum = (
+        Window.partitionBy("pr")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("pr")
+    cum = c.select(
+        "pr", "v", "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    qs = cum.groupBy("pr").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(F.col("cum") * 20 >= F.col("n"), F.col("v"))).alias("p05"),
+        F.min(
+            F.when(F.col("cum") * 20 >= 19 * F.col("n"), F.col("v"))
+        ).alias("p95"),
+    )
+    w = (
+        c.join(qs, "pr")
+        .groupBy("pr", "n", "p05", "p95")
+        .agg(
+            F.sum(F.col("c") * F.col("v")).cast("bigint").alias("sraw"),
+            F.sum(
+                F.col("c")
+                * F.least(F.greatest(F.col("v"), F.col("p05")), F.col("p95"))
+            )
+            .cast("bigint")
+            .alias("swin"),
+        )
+    )
+    return w.select(
+        "pr", "n", "p05", "p95",
+        F.round(F.col("sraw").cast("double") / F.col("n") * 1_000_000, 0)
+        .cast("bigint")
+        .alias("raw_mean_micro"),
+        F.round(F.col("swin").cast("double") / F.col("n") * 1_000_000, 0)
+        .cast("bigint")
+        .alias("winsor_mean_micro"),
+    ).orderBy("pr")
+
+
+# ---------------------------------------------------------------------------
+# Median/MAD robust outlier audit of order values by nation (round 6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mad_robust_z_by_nation",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cnt AS (SELECT nk, v, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+    cum AS (
+      SELECT nk, v, c, SUM(c) OVER (PARTITION BY nk ORDER BY v) AS cum,
+             SUM(c) OVER (PARTITION BY nk) AS n
+      FROM cnt),
+    med AS (
+      SELECT nk, CAST(MAX(n) AS BIGINT) AS n,
+             MIN(CASE WHEN cum * 2 >= n THEN v END) AS med
+      FROM cum GROUP BY nk),
+    dev AS (
+      SELECT cnt.nk, abs(cnt.v - m.med) AS av, cnt.c
+      FROM cnt JOIN med m ON cnt.nk = m.nk),
+    dc AS (SELECT nk, av, CAST(SUM(c) AS BIGINT) AS c FROM dev GROUP BY 1, 2),
+    dcum AS (
+      SELECT nk, av, c, SUM(c) OVER (PARTITION BY nk ORDER BY av) AS cum,
+             SUM(c) OVER (PARTITION BY nk) AS n
+      FROM dc),
+    madt AS (
+      SELECT nk, MIN(CASE WHEN cum * 2 >= n THEN av END) AS mad
+      FROM dcum GROUP BY nk),
+    outl AS (
+      SELECT d.nk, CAST(SUM(CASE WHEN d.av * 10000 > 44478 * t.mad
+                                 THEN d.c ELSE 0 END) AS BIGINT) AS n_out
+      FROM dc d JOIN madt t ON d.nk = t.nk GROUP BY d.nk)
+    SELECT n.n_name, m.n AS n_orders, m.med AS median_cents,
+           t.mad AS mad_cents, o.n_out,
+           CAST(o.n_out * 1000000 // m.n AS BIGINT) AS outlier_ppm
+    FROM med m
+    JOIN madt t ON m.nk = t.nk
+    JOIN outl o ON m.nk = o.nk
+    JOIN nation n ON m.nk = n.n_nationkey
+    ORDER BY n.n_name
+    """,
+)
+def mad_robust_z_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier audit of order values per nation: the
+    exact grouped median, the exact median absolute deviation, and the
+    share of orders beyond the robust 3σ fence |v − med| > 3·1.4826·MAD
+    — the outlier gate that, unlike mean/σ z-scores, cannot be dragged
+    by the very outliers it hunts (MAD has a 50% breakdown point vs 0%
+    for σ).
+
+    Exactness: BOTH medians ride the value-grain integer-ECDF device
+    (cum·2 ≥ n over distinct-value counts — the second one over
+    distinct |v − med| values, weighted by the first pass's counts);
+    the fence is the integer cross-multiplication av·10⁴ > 44478·MAD
+    (3·1.4826 = 4.4478 exactly), so no double ever decides an outlier.
+
+    Scale: facts reduce once to (nation, value) counts; the deviation
+    pass re-aggregates that REDUCED table (never the facts), windows
+    run per nation over value-grain rows, and the report is |nations|.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cst = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    j = o.join(cst, o.o_custkey == cst.c_custkey).select(
+        F.col("c_nationkey").alias("nk"), cents("o_totalprice").alias("v")
+    )
+    cnt = j.groupBy("nk", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cnt = cnt.localCheckpoint()  # value-grain; read by both median passes
+    w_cum = (
+        Window.partitionBy("nk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("nk")
+    cum = cnt.select(
+        "nk", "v", "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    med = cum.groupBy("nk").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("med"),
+    )
+    dc = (
+        cnt.join(med.select("nk", "med"), "nk")
+        .select("nk", F.abs(F.col("v") - F.col("med")).alias("av"), "c")
+        .groupBy("nk", "av")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    dc = dc.localCheckpoint()  # read by the MAD ECDF AND the fence count
+    w_dcum = (
+        Window.partitionBy("nk")
+        .orderBy("av")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = dc.select(
+        "nk", "av", "c",
+        F.sum("c").over(w_dcum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    madt = dcum.groupBy("nk").agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("av"))).alias("mad")
+    )
+    outl = (
+        dc.join(madt, "nk")
+        .groupBy("nk")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("av") * 10000 > 44478 * F.col("mad"), F.col("c")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_out")
+        )
+    )
+    return (
+        med.join(madt, "nk")
+        .join(outl, "nk")
+        .join(nat, F.col("nk") == nat.n_nationkey)
+        .select(
+            "n_name",
+            F.col("n").alias("n_orders"),
+            F.col("med").alias("median_cents"),
+            F.col("mad").alias("mad_cents"),
+            "n_out",
+            F.expr("n_out * 1000000 DIV n").alias("outlier_ppm"),
+        )
+        .orderBy("n_name")
+    )

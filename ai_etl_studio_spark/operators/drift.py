@@ -4058,3 +4058,459 @@ def acf_differenced_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grubbs max-outlier test on the daily-revenue series (round 6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "grubbs_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS ed,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             ROUND(AVG(rev), 6) AS m, ROUND(stddev_samp(rev), 6) AS sd
+      FROM daily),
+    d AS (
+      SELECT ed,
+             CAST(round(abs(rev - s.m) / s.sd * 1000000, 0) AS BIGINT)
+               AS d_micro
+      FROM daily, s),
+    pk AS (
+      SELECT CAST(MAX(d_micro * 65536 + (65535 - ed)) AS BIGINT) AS pack
+      FROM d)
+    SELECT s.n_days,
+           CAST(pk.pack // 65536 AS BIGINT) AS g_micro,
+           DATE '1970-01-01'
+             + CAST(65535 - pk.pack % 65536 AS INTEGER) AS peak_day
+    FROM s, pk
+    """,
+)
+def grubbs_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' max-studentized-deviation statistic on daily revenue:
+    G = max|x − x̄|/s over the day-grain series, plus WHICH day attains
+    it — the single-outlier screen run before trusting any
+    daily-revenue anomaly alert (compare G against the Grubbs critical
+    value at the series length; the z-anomaly ops flag >3σ points, this
+    reports the most extreme one with its day).
+
+    Exactness: mean/σ are rounded to 6dp FIRST (the anomaly_zscore
+    device), each day's deviation quantizes to micro, and the argmax
+    day rides the integer-pack idiom (d·65536 + (65535 − epoch_day),
+    epoch days here ≤ ~12k) — ties break to the EARLIEST day in both
+    engines, no window sort anywhere.
+
+    Scale: orders reduce to one row per calendar day before anything
+    else; the stats row broadcasts back over the tiny series.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("ed")
+    ).agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    s = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.avg("rev"), 6).alias("m"),
+        F.round(F.stddev_samp("rev"), 6).alias("sd"),
+    )
+    d = daily.crossJoin(F.broadcast(s)).select(
+        "ed",
+        F.round(F.abs(F.col("rev") - F.col("m")) / F.col("sd") * 1_000_000, 0)
+        .cast("bigint")
+        .alias("d_micro"),
+    )
+    pk = d.agg(
+        F.max(F.col("d_micro") * 65536 + (65535 - F.col("ed")))
+        .cast("bigint")
+        .alias("pack")
+    )
+    return s.crossJoin(F.broadcast(pk)).select(
+        "n_days",
+        F.expr("pack DIV 65536").cast("bigint").alias("g_micro"),
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            (65535 - F.col("pack") % 65536).cast("int"),
+        ).alias("peak_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation of daily revenue (Durbin-Levinson, lags 1-3)
+# ---------------------------------------------------------------------------
+
+def _pacf_phi_exprs() -> tuple[str, str]:
+    """(phi22_text, phi33_text): the Durbin-Levinson recursion for lags
+    2 and 3 over micro-rounded r1m/r2m/r3m columns, as ONE fixed-order
+    textual expression shared verbatim by Spark and DuckDB (the dow-R²
+    device) — no distributed double sums, no engine-order divergence.
+    """
+    r1 = "(CAST(r1m AS DOUBLE)/1000000E0)"
+    r2 = "(CAST(r2m AS DOUBLE)/1000000E0)"
+    r3 = "(CAST(r3m AS DOUBLE)/1000000E0)"
+    phi22 = f"((({r2}) - ({r1})*({r1})) / (1E0 - ({r1})*({r1})))"
+    phi21 = f"(({r1}) * (1E0 - {phi22}))"
+    phi33 = (
+        f"((({r3}) - {phi21}*({r2}) - {phi22}*({r1}))"
+        f" / (1E0 - {phi21}*({r1}) - {phi22}*({r2})))"
+    )
+    return phi22, phi33
+
+
+_PACF_PHI22, _PACF_PHI33 = _pacf_phi_exprs()
+
+
+def _pacf_oracle() -> str:
+    from ai_etl_studio_spark.operators import ORACLES  # composed, can't drift
+
+    acf = ORACLES["autocorrelation_lags"]
+    # reuse the REGISTERED acf text's series + stats construction but at
+    # lags 1/2/3: cheapest honest reuse is textual — keep this twin
+    # self-contained instead (same daily $1k-tick series, same
+    # mean-centered acf expression, micro grain).
+    del acf
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(round(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS DOUBLE) / 100000, 0) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    l AS (
+      SELECT x,
+             lag(x, 1) OVER (ORDER BY day) AS x1,
+             lag(x, 2) OVER (ORDER BY day) AS x2,
+             lag(x, 3) OVER (ORDER BY day) AS x3
+      FROM daily),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q
+      FROM daily),
+    p AS (
+      SELECT 1 AS lag_k, x, x1 AS xl FROM l
+      UNION ALL SELECT 2, x, x2 FROM l
+      UNION ALL SELECT 3, x, x3 FROM l),
+    a AS (
+      SELECT lag_k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x * xl) AS BIGINT) AS sxy,
+             CAST(SUM(x) AS BIGINT) AS sa, CAST(SUM(xl) AS BIGINT) AS sb
+      FROM p WHERE xl IS NOT NULL GROUP BY lag_k),
+    r AS (
+      SELECT lag_k,
+             CAST(round(
+               (CAST(sxy AS DOUBLE)
+                - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * CAST(sa + sb AS DOUBLE)
+                + CAST(n_pairs AS DOUBLE)
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+               / (CAST(q AS DOUBLE)
+                  - CAST(n AS DOUBLE)
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+               * 1000000, 0) AS BIGINT) AS rm
+      FROM a, g),
+    piv AS (
+      SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM g) AS n_days,
+             CAST(SUM(CASE WHEN lag_k = 1 THEN rm END) AS BIGINT) AS r1m,
+             CAST(SUM(CASE WHEN lag_k = 2 THEN rm END) AS BIGINT) AS r2m,
+             CAST(SUM(CASE WHEN lag_k = 3 THEN rm END) AS BIGINT) AS r3m
+      FROM r)
+    SELECT n_days, r1m AS r1_micro, r2m AS r2_micro, r3m AS r3_micro,
+           r1m AS pacf1_micro,
+           CAST(round(({_PACF_PHI22}) * 1000000E0, 0) AS BIGINT)
+             AS pacf2_micro,
+           CAST(round(({_PACF_PHI33}) * 1000000E0, 0) AS BIGINT)
+             AS pacf3_micro
+    FROM piv
+    """
+
+
+@register("pacf_daily_revenue", oracle=_pacf_oracle())
+def pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1-3 via the
+    Durbin-Levinson recursion — the AR-order selector that ACF alone
+    cannot give (an AR(1) series has geometric ACF at every lag but
+    PACF cuts off after lag 1): pacf2 strips lag-1 transmission out of
+    r2, pacf3 strips the order-2 model out of r3.
+
+    Exactness: the same $1k-tick daily series and exact int64
+    sufficient statistics as autocorrelation_lags; each r_k rounds to
+    micro FIRST, then both φ recursions are ONE shared fixed-order
+    textual expression over the rounded values (`_pacf_phi_exprs`) —
+    identical token stream in both engines, so no compound-double
+    divergence is possible.
+
+    Scale: one calendar-day reduction, one tiny unpartitioned lag
+    window (documented single-partition over ≤ a few thousand rows),
+    one-row pivot; nothing downstream touches fact grain.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum(cents("o_totalprice")).cast("double") / 100000, 0)
+            .cast("bigint")
+            .alias("x")
+        )
+        .localCheckpoint()  # tiny; read by the window chain AND stats
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "x", *[F.lag("x", k).over(w).alias(f"x{k}") for k in (1, 2, 3)]
+    )
+    pairs = (
+        lagged.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag_k"),
+                            F.col("x").alias("x"),
+                            F.col(f"x{k}").alias("xl"),
+                        )
+                        for k in (1, 2, 3)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .filter(F.col("xl").isNotNull())
+    )
+    a = pairs.groupBy("lag_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("x") * F.col("xl")).cast("bigint").alias("sxy"),
+        F.sum("x").cast("bigint").alias("sa"),
+        F.sum("xl").cast("bigint").alias("sb"),
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    acf = (
+        F.col("sxy").cast("double")
+        - mu * (F.col("sa") + F.col("sb")).cast("double")
+        + F.col("n_pairs").cast("double") * mu * mu
+    ) / (F.col("q").cast("double") - F.col("n").cast("double") * mu * mu)
+    r = a.crossJoin(F.broadcast(g)).select(
+        "lag_k",
+        "n",
+        F.round(acf * 1_000_000, 0).cast("bigint").alias("rm"),
+    )
+    piv = r.groupBy().agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("lag_k") == 1, F.col("rm")))
+        .cast("bigint")
+        .alias("r1m"),
+        F.sum(F.when(F.col("lag_k") == 2, F.col("rm")))
+        .cast("bigint")
+        .alias("r2m"),
+        F.sum(F.when(F.col("lag_k") == 3, F.col("rm")))
+        .cast("bigint")
+        .alias("r3m"),
+    )
+    return piv.select(
+        "n_days",
+        F.col("r1m").alias("r1_micro"),
+        F.col("r2m").alias("r2_micro"),
+        F.col("r3m").alias("r3_micro"),
+        F.col("r1m").alias("pacf1_micro"),
+        F.expr(
+            f"CAST(round(({_PACF_PHI22}) * 1000000E0, 0) AS BIGINT)"
+        ).alias("pacf2_micro"),
+        F.expr(
+            f"CAST(round(({_PACF_PHI33}) * 1000000E0, 0) AS BIGINT)"
+        ).alias("pacf3_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent (rescaled-range) of daily revenue (round 6)
+# ---------------------------------------------------------------------------
+
+#: R/S segment lengths — powers of 4, so the ln-ln regression's x grid
+#: is equally spaced and the OLS slope collapses to a two-point form.
+_HURST_WINDOWS = (16, 64, 256)
+
+
+@register(
+    "hurst_rs_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1),
+    t AS (SELECT row_number() OVER (ORDER BY day) - 1 AS t, x FROM daily),
+    seg AS (
+      SELECT w, t // w AS s, t % w AS i, x
+      FROM t, (SELECT unnest([{", ".join(str(w) for w in _HURST_WINDOWS)}])
+               AS w)),
+    sm AS (
+      SELECT w, s, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qx
+      FROM seg GROUP BY 1, 2),
+    full_seg AS (SELECT * FROM sm WHERE cnt = w),
+    dev AS (
+      SELECT seg.w, seg.s,
+             CAST(seg.w AS BIGINT)
+               * SUM(seg.x) OVER (PARTITION BY seg.w, seg.s ORDER BY seg.i)
+               - (seg.i + 1) * f.sx AS devw
+      FROM seg JOIN full_seg f ON seg.w = f.w AND seg.s = f.s),
+    rng AS (
+      SELECT w, s, CAST(MAX(devw) - MIN(devw) AS BIGINT) AS rw
+      FROM dev GROUP BY 1, 2),
+    rs AS (
+      SELECT r.w,
+             CAST(round(r.rw / sqrt(CAST(f.w * f.qx
+               - CAST(f.sx AS HUGEINT) * f.sx AS DOUBLE)) * 1000000, 0)
+               AS BIGINT) AS rs_micro
+      FROM rng r JOIN full_seg f ON r.w = f.w AND r.s = f.s
+      WHERE f.w * f.qx - CAST(f.sx AS HUGEINT) * f.sx > 0),
+    byw AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_seg,
+             CAST(round(CAST(SUM(rs_micro) AS DOUBLE) / COUNT(*), 0)
+               AS BIGINT) AS rsm
+      FROM rs GROUP BY w),
+    piv AS (
+      SELECT CAST(SUM(CASE WHEN w = 16 THEN n_seg END) AS BIGINT) AS n_seg16,
+             CAST(SUM(CASE WHEN w = 16 THEN rsm END) AS BIGINT) AS rs16_micro,
+             CAST(SUM(CASE WHEN w = 64 THEN n_seg END) AS BIGINT) AS n_seg64,
+             CAST(SUM(CASE WHEN w = 64 THEN rsm END) AS BIGINT) AS rs64_micro,
+             CAST(SUM(CASE WHEN w = 256 THEN n_seg END) AS BIGINT)
+               AS n_seg256,
+             CAST(SUM(CASE WHEN w = 256 THEN rsm END) AS BIGINT)
+               AS rs256_micro
+      FROM byw)
+    SELECT n_seg16, rs16_micro, n_seg64, rs64_micro, n_seg256, rs256_micro,
+           CAST(round(ln(CAST(rs256_micro AS DOUBLE) / rs16_micro)
+             / ln(16E0) * 1000000E0, 0) AS BIGINT) AS hurst_micro
+    FROM piv
+    """,
+)
+def hurst_rs_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by classical rescaled-range
+    analysis: mean R/S over disjoint segments of length 16/64/256, and
+    H as the ln-ln slope — H≈0.5 certifies a memoryless series (what
+    iid order flow should give), H>0.6 long-range persistence (trends
+    compound — forecast with momentum), H<0.4 mean reversion. The
+    window grid is powers of 4, so the equally-spaced ln-ln OLS slope
+    reduces EXACTLY to ln(RS₂₅₆/RS₁₆)/ln 16 — a two-point expression,
+    no regression machinery.
+
+    Exactness: within a segment the mean-adjusted cumulative deviation
+    is scaled by w — devw_i = w·Σ_{{≤i}}x − (i+1)·S — so the running
+    range is pure int64 (cents); w·Σx² − S² rides the decimal128/
+    HUGEINT wide-square device with ONE final double cast inside the
+    per-segment sqrt; each segment's R/S quantizes to micro before the
+    per-w mean.
+
+    Scale: the fact table reduces to the calendar-day grain first; the
+    only windows are per-(w, segment) prefix sums over ≤256-row
+    partitions (the sequence index is ONE tiny unpartitioned
+    row_number over the checkpointed day series, the documented
+    exception shared with the ACF family); segments with zero variance
+    are excluded in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("x"))
+        .localCheckpoint()  # tiny day-grain series, read by 3 window legs
+    )
+    t = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"), "x"
+    )
+    seg = t.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(w,) for w in _HURST_WINDOWS], "w int"
+            )
+        )
+    ).select(
+        "w",
+        F.expr("t DIV w").alias("s"),
+        (F.col("t") % F.col("w")).alias("i"),
+        "x",
+    )
+    sm = seg.groupBy("w", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("qx"),
+    )
+    full_seg = sm.filter(F.col("cnt") == F.col("w"))
+    w_pref = (
+        Window.partitionBy("w", "s")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = seg.join(full_seg.select("w", "s", "sx", "qx"), ["w", "s"]).select(
+        "w",
+        "s",
+        (
+            F.col("w").cast("bigint") * F.sum("x").over(w_pref)
+            - (F.col("i") + 1) * F.col("sx")
+        ).alias("devw"),
+    )
+    rng = dev.groupBy("w", "s").agg(
+        (F.max("devw") - F.min("devw")).cast("bigint").alias("rw")
+    )
+    m_expr = (
+        F.col("w").cast("decimal(38,0)") * F.col("qx")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sx")
+    )
+    rs = (
+        rng.join(full_seg.select("w", "s", "sx", "qx"), ["w", "s"])
+        .withColumn("m", m_expr)
+        .filter(F.col("m") > 0)
+        .select(
+            "w",
+            F.round(
+                F.col("rw") / F.sqrt(F.col("m").cast("double")) * 1_000_000, 0
+            )
+            .cast("bigint")
+            .alias("rs_micro"),
+        )
+    )
+    byw = rs.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seg"),
+        F.round(F.sum("rs_micro").cast("double") / F.count(F.lit(1)), 0)
+        .cast("bigint")
+        .alias("rsm"),
+    )
+    piv = byw.groupBy().agg(
+        *[
+            c
+            for w in _HURST_WINDOWS
+            for c in (
+                F.sum(F.when(F.col("w") == w, F.col("n_seg")))
+                .cast("bigint")
+                .alias(f"n_seg{w}"),
+                F.sum(F.when(F.col("w") == w, F.col("rsm")))
+                .cast("bigint")
+                .alias(f"rs{w}_micro"),
+            )
+        ]
+    )
+    return piv.select(
+        "n_seg16",
+        "rs16_micro",
+        "n_seg64",
+        "rs64_micro",
+        "n_seg256",
+        "rs256_micro",
+        F.expr(
+            "CAST(round(ln(CAST(rs256_micro AS DOUBLE) / rs16_micro)"
+            " / ln(16E0) * 1000000E0, 0) AS BIGINT)"
+        ).alias("hurst_micro"),
+    )
