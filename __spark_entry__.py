@@ -37,9 +37,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Round 5: the 17 old-backlog §2B names, the drift tier (11), the
 #: corpus/LLM tier (17), and the five rows-only sketch ops (45 green +
 #: 4 rows-only recorded; percentile_approx_sketch's array output broke
-#: the driver canonicalizer — fixed and re-slotted below). Round 6
-#: (this prefix, per the r5 verdict items 2+4): percentile_approx_sketch
-#: first, then the 48 round-5 additions, then the head of the r4 pool.
+#: the driver canonicalizer — fixed and re-slotted below). Round 6:
+#: percentile_approx_sketch first, then the 48 round-5 additions, then
+#: skyline_pareto (all 50 recorded: 49 green + 1 rows-only). Round 7
+#: (this prefix, per the r6 verdict item 5): the seven r6
+#: post-snapshot ops first, then the next 43 of the r4 backlog pool
+#: below in order.
 #: NOTE: the 50-slot rotation cannot converge on a registry growing
 #: ~48 names/round — the FULL-registry artifact
 #: CORRECTNESS_full_r{N}.json (tools/driver_sim.py over every oracle
@@ -187,64 +190,62 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ivf_nprobe_recall_curve, pq_codebook_utilization (+ the ninth
 #: streaming twin run_stream_daily_revenue).
 PRIORITY: tuple[str, ...] = (
-    # r6 prefix (r5 verdict items 2+4): percentile_approx_sketch FIRST
-    # — its array<double> output broke the driver's rows-only
-    # canonicalizer in r5 (the one real CORRECTNESS_r05 error); the
-    # output is now flat scalar quartile columns, re-slotted to get
-    # its recorded rows-only row.
-    "percentile_approx_sketch",
-    # the 48 round-5 additions without driver rows (35 judge-verified
-    # MATCH at sf0.01 in the r5 session)
-    "substring_dup_spans",
-    "substring_dedup_from_index",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_recall_eval",
-    "cross_correlation_lags",
-    "tax_rate_mix_by_year",
-    "histogram_bin_advisor",
-    "markov_absorption_k_step",
-    "embedding_gram_isotropy",
-    "intrinsic_dim_two_nn",
-    "rayleigh_uniformity_by_type",
-    "exp_gof_interarrival",
-    "lang_trigram_divergence",
-    "markov_removal_effects",
-    "kruskal_wallis_delay_by_priority",
-    "weibull_shape_reorder",
-    "mcnemar_quality_gates",
-    "int8_recall_eval",
-    "shapley_channel_attribution",
-    "silhouette_by_label",
-    "friedman_priority_by_year",
-    "cochran_q_activity_years",
-    "blocking_quality_eval",
-    "davies_bouldin_labels",
-    "log_odds_terms_by_lang",
-    "substring_dup_share_by_source",
-    "theil_decomposition_by_nation",
-    "quality_score_auc",
-    "psi_monthly_series",
-    "loo_1nn_accuracy",
-    "tornqvist_price_index",
-    "langid_cohens_kappa",
-    "not_in_null_semantics",
-    "grouping_id_report",
-    "hubness_k_occurrence",
-    "acf_differenced_revenue",
-    "degree_assortativity_graph",
-    "shuffle_partition_advisor",
-    "safety_stock_by_type",
-    "markov_entropy_rate",
-    "gains_table_quality_score",
-    "null_ordering_semantics",
-    "cumulative_new_users_daily",
-    "gk_sketch_error_eval",
-    "hll_error_eval",
-    "revenue_cvar_daily",
-    "ivf_nprobe_recall_curve",
-    "pq_codebook_utilization",
-    # head of the round-4 backlog pool
-    "skyline_pareto",
+    # r7 prefix (r6 verdict item 5): the SEVEN round-6 post-snapshot
+    # operators FIRST — implemented + judge-spot-verified in r6 but
+    # carrying no driver-recorded row anywhere (the r6 "What's wrong"
+    # item 1); this gives them their CORRECTNESS_r07 rows.
+    "atkinson_index_by_nation",
+    "price_volume_bridge_yoy",
+    "winsorized_mean_delay_by_priority",
+    "mad_robust_z_by_nation",
+    "grubbs_daily_revenue",
+    "pacf_daily_revenue",
+    "hurst_rs_daily_revenue",
+    # then the round-4 backlog pool in its documented order
+    # (skyline_pareto already got its row in the r6 prefix)
+    "weighted_sample_topk",
+    "table_profile",
+    "basket_pairs",
+    "chi_square_independence",
+    "ann_pq_append_topk",
+    "time_weighted_avg",
+    "attribution_last_touch",
+    "survival_km",
+    "freshness_audit",
+    "sequence_gaps",
+    "benford_audit",
+    "groupwise_linreg",
+    "revenue_changepoints",
+    "holt_level_trend",
+    "json_props_profile",
+    "table_checksums",
+    "media_chunk_dedup",
+    "gini_concentration",
+    "psi_drift",
+    "ks_two_sample",
+    "mannwhitney_utest",
+    "correlation_matrix",
+    "seasonal_anomaly_dow",
+    "entropy_by_source",
+    "hhi_concentration",
+    "mutual_information",
+    "autocorrelation_lags",
+    "vocab_growth_curve",
+    "source_token_jaccard",
+    "power_law_alpha",
+    "quantile_drift",
+    "hourly_seasonality_profile",
+    "degree_distribution",
+    "langid_confusion",
+    "lorenz_curve",
+    "k_anonymity_audit",
+    "dau_wau_stickiness",
+    "embedding_norm_audit",
+    "interevent_gap_histogram",
+    "growth_accounting_daily",
+    "reorder_interval_stats",
+    "dup_rate_by_source",
+    "supplier_share_shift",
 )
 
 

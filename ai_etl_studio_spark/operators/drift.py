@@ -4361,12 +4361,12 @@ _HURST_WINDOWS = (16, 64, 256)
     full_seg AS (SELECT * FROM sm WHERE cnt = w),
     dev AS (
       SELECT seg.w, seg.s,
-             CAST(seg.w AS BIGINT)
+             CAST(seg.w AS HUGEINT)
                * SUM(seg.x) OVER (PARTITION BY seg.w, seg.s ORDER BY seg.i)
-               - (seg.i + 1) * f.sx AS devw
+               - CAST(seg.i + 1 AS HUGEINT) * f.sx AS devw
       FROM seg JOIN full_seg f ON seg.w = f.w AND seg.s = f.s),
     rng AS (
-      SELECT w, s, CAST(MAX(devw) - MIN(devw) AS BIGINT) AS rw
+      SELECT w, s, CAST(MAX(devw) - MIN(devw) AS HUGEINT) AS rw
       FROM dev GROUP BY 1, 2),
     rs AS (
       SELECT r.w,
@@ -4407,9 +4407,10 @@ def hurst_rs_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     no regression machinery.
 
     Exactness: within a segment the mean-adjusted cumulative deviation
-    is scaled by w — devw_i = w·Σ_{{≤i}}x − (i+1)·S — so the running
-    range is pure int64 (cents); w·Σx² − S² rides the decimal128/
-    HUGEINT wide-square device with ONE final double cast inside the
+    is scaled by w — devw_i = w·Σ_{{≤i}}x − (i+1)·S — and BOTH terms
+    ride the decimal128/HUGEINT wide device (w·prefix reaches
+    ~w²·daily_cents, past int64 near SF 1.5e4 — r6 ADVICE); w·Σx² − S²
+    takes the same treatment with ONE final double cast inside the
     per-segment sqrt; each segment's R/S quantizes to micro before the
     per-w mean.
 
@@ -4458,12 +4459,16 @@ def hurst_rs_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         "s",
         (
-            F.col("w").cast("bigint") * F.sum("x").over(w_pref)
-            - (F.col("i") + 1) * F.col("sx")
-        ).alias("devw"),
+            F.col("w").cast("decimal(19,0)")
+            * F.sum("x").over(w_pref).cast("decimal(19,0)")
+            - (F.col("i") + 1).cast("decimal(19,0)")
+            * F.col("sx").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("devw"),
     )
     rng = dev.groupBy("w", "s").agg(
-        (F.max("devw") - F.min("devw")).cast("bigint").alias("rw")
+        (F.max("devw") - F.min("devw")).cast("decimal(38,0)").alias("rw")
     )
     m_expr = (
         F.col("w").cast("decimal(38,0)") * F.col("qx")
@@ -4476,7 +4481,10 @@ def hurst_rs_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "w",
             F.round(
-                F.col("rw") / F.sqrt(F.col("m").cast("double")) * 1_000_000, 0
+                F.col("rw").cast("double")
+                / F.sqrt(F.col("m").cast("double"))
+                * 1_000_000,
+                0,
             )
             .cast("bigint")
             .alias("rs_micro"),

@@ -440,6 +440,14 @@ HEADLINE = [
     "revenue_cvar_daily",
     "ivf_nprobe_recall_curve",
     "pq_codebook_utilization",
+    # round-6 post-snapshot ops (booked in round 7 per the r6 verdict)
+    "atkinson_index_by_nation",
+    "price_volume_bridge_yoy",
+    "winsorized_mean_delay_by_priority",
+    "mad_robust_z_by_nation",
+    "grubbs_daily_revenue",
+    "pacf_daily_revenue",
+    "hurst_rs_daily_revenue",
 ]
 
 

@@ -49,3 +49,32 @@ def test_priority_prefix_is_50_and_registered():
     # the driver hash-checks the first 50 keys — the dict must lead
     # with exactly the PRIORITY names in order
     assert list(q)[:50] == list(entry.PRIORITY)
+
+
+def test_correctness_full_artifact_is_fresh():
+    """The committed full-registry correctness artifact must cover the
+    registry EXACTLY (r6 ADVICE: the r6 artifact was generated before 7
+    late registrations, so the 'complete record' claim silently went
+    stale). tools/driver_sim.py writes/merges CORRECTNESS_full_latest;
+    any commit that registers an operator must regenerate or merge it
+    in the same session — this gate makes forgetting a red test."""
+    import json
+
+    art = json.loads((REPO / "CORRECTNESS_full_latest.json").read_text())
+    q = entry.queries()
+    missing = sorted(set(q) - set(art))
+    stale = sorted(set(art) - set(q))
+    assert not missing, (
+        f"registered ops without a correctness record: {missing} — run "
+        "SPARK_GRAFT_CORRECTNESS_OUT=CORRECTNESS_full_latest.json "
+        f"python tools/driver_sim.py /root/testdata/sf0.01 {' '.join(missing)}"
+    )
+    assert not stale, f"artifact records unregistered names: {stale}"
+    errs = {
+        n: r["err"]
+        for n, r in art.items()
+        if r.get("err") not in (None, "no_oracle")
+    }
+    assert not errs, f"recorded failures: {errs}"
+    mism = [n for n, r in art.items() if r.get("hash_match") is False]
+    assert not mism, f"recorded hash mismatches: {mism}"

@@ -170,14 +170,17 @@ def test_quadratic_audit_samples_are_hard_capped(spark):
         ("blocking_quality_eval", _BQ_CAP, "p_partkey"),
     ):
         assert f"{col} < {cap}" in oracles[name], f"{name} oracle lost the cap"
-    for name in ("label_pair_similarity_split", "blocking_quality_eval"):
+    for name, cap in (
+        ("label_pair_similarity_split", _ID_SAMPLE_CAP),
+        ("blocking_quality_eval", _BQ_CAP),
+    ):
         plan = (
             queries[name](spark, SF_DIR)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
-        assert "32768" in plan, f"{name} physical plan lost the id cap"
+        assert str(cap) in plan, f"{name} physical plan lost the id cap"
     # pairwise_distance_histogram checkpoints its bounded sample, so
     # the cap filter runs BEFORE the visible plan (it scans the
     # checkpoint RDD) — pin the cap at the source level instead

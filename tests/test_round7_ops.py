@@ -1,0 +1,115 @@
+"""Round-7 behavior tests: pure-Python replays on the real corpus for
+the two recursive round-6 series ops (r6 verdict item 1 — the house
+rule that recursions get an engine-independent replay, because BOTH
+engines share the same fixed-order expression text and the hash gate
+cannot catch a wrong recursion mirrored twice)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from tests.conftest import SF_DIR
+
+
+def _daily_cents(spark):
+    """day-sorted exact daily revenue in integer cents, straight off the
+    parquet rows — no Spark aggregation in the replay path."""
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    per_day: dict = defaultdict(int)
+    for r in rows:
+        # mirror cents(): round-half-up of price*100 on positive values
+        per_day[r.o_orderdate] += int(
+            math.floor(float(r.o_totalprice) * 100 + 0.5)
+        )
+    return [v for _, v in sorted(per_day.items())]
+
+
+def _half_up_micro(x: float) -> int:
+    return int(math.floor(x * 1_000_000 + 0.5)) if x >= 0 else -int(
+        math.floor(-x * 1_000_000 + 0.5)
+    )
+
+
+def test_pacf_durbin_levinson_replay(spark):
+    """Replay pacf_daily_revenue end to end: the $1k-tick daily series,
+    the lag-1/2/3 mean-centered ACF from literal pair sums (NOT the
+    operator's sufficient-statistic rearrangement), then the textbook
+    Durbin-Levinson order-2/3 recursion in plain floats. The operator's
+    micro-rounded r's bound the allowed drift: |Δr| ≤ 1e-6 each, and
+    the φ recursions are smooth away from |r1|→1, so ±100 micro is a
+    semantics-pinning tolerance (a wrong recursion is off by 1000s)."""
+    from ai_etl_studio_spark.operators.drift import pacf_daily_revenue
+
+    got = pacf_daily_revenue(spark, SF_DIR).collect()[0]
+    cents = _daily_cents(spark)
+    # the operator's daily x is round-half-up(sum_cents / 100000)
+    x = [int(math.floor(c / 100000 + 0.5)) for c in cents]
+    n = len(x)
+    assert got["n_days"] == n
+    mu = sum(x) / n
+    den = sum((v - mu) ** 2 for v in x)
+    r = {}
+    for k in (1, 2, 3):
+        num = sum((x[t] - mu) * (x[t - k] - mu) for t in range(k, n))
+        r[k] = num / den
+    for k in (1, 2, 3):
+        assert abs(got[f"r{k}_micro"] - _half_up_micro(r[k])) <= 2
+    # Durbin-Levinson: φ11 = r1; φ22 = (r2 − r1²)/(1 − r1²);
+    # φ21 = r1(1 − φ22); φ33 = (r3 − φ21 r2 − φ22 r1)/(1 − φ21 r1 − φ22 r2)
+    phi11 = r[1]
+    phi22 = (r[2] - r[1] ** 2) / (1 - r[1] ** 2)
+    phi21 = r[1] * (1 - phi22)
+    phi33 = (r[3] - phi21 * r[2] - phi22 * r[1]) / (
+        1 - phi21 * r[1] - phi22 * r[2]
+    )
+    assert abs(got["pacf1_micro"] - _half_up_micro(phi11)) <= 2
+    assert abs(got["pacf2_micro"] - _half_up_micro(phi22)) <= 100
+    assert abs(got["pacf3_micro"] - _half_up_micro(phi33)) <= 100
+
+
+def test_hurst_rescaled_range_replay(spark):
+    """Replay hurst_rs_daily_revenue as the literal textbook R/S: per
+    full segment, the range of the mean-adjusted cumulative deviation
+    over the population σ (floats on exact ints — magnitudes < 2^53 at
+    test SF), mean R/S per window, H = ln(RS₂₅₆/RS₁₆)/ln 16. Pins that
+    the operator's scaled integer device devw = w·prefix − (i+1)·S is
+    really w·(classic deviation) and m = w·Σx² − S² really w²·σ²."""
+    from ai_etl_studio_spark.operators.drift import (
+        _HURST_WINDOWS,
+        hurst_rs_daily_revenue,
+    )
+
+    got = hurst_rs_daily_revenue(spark, SF_DIR).collect()[0]
+    x = _daily_cents(spark)
+    rs_mean = {}
+    for w in _HURST_WINDOWS:
+        rs_vals = []
+        for s in range(len(x) // w):
+            seg = x[s * w : (s + 1) * w]
+            mu = sum(seg) / w
+            var = sum(v * v for v in seg) / w - mu * mu
+            if var <= 0:
+                continue
+            dev, run = [], 0.0
+            for v in seg:
+                run += v - mu
+                dev.append(run)
+            rng = max(dev) - min(dev)
+            rs_vals.append(rng / math.sqrt(var))
+        if rs_vals:
+            # operator quantizes each segment's R/S to micro first
+            q = [_half_up_micro(v / 1.0) for v in rs_vals]
+            assert got[f"n_seg{w}"] == len(q)
+            mean_micro = int(math.floor(sum(q) / len(q) + 0.5))
+            assert abs(got[f"rs{w}_micro"] - mean_micro) <= len(q) + 1
+            rs_mean[w] = got[f"rs{w}_micro"]
+    # two-point ln-ln slope over the operator's own per-w means
+    h = math.log(rs_mean[256] / rs_mean[16]) / math.log(16.0)
+    assert abs(got["hurst_micro"] - _half_up_micro(h)) <= 2
+    # a revenue series of iid-ish order flow must land in (0, 1)
+    assert 0 < got["hurst_micro"] < 1_000_000

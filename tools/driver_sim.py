@@ -107,6 +107,18 @@ def main() -> int:
         records[name] = rec
     out = os.environ.get("SPARK_GRAFT_CORRECTNESS_OUT")
     if out:
+        # restricted sweeps MERGE into an existing artifact (incremental
+        # freshness: new registrations get rows without re-running all
+        # ~500 oracles); unrestricted sweeps overwrite — and by
+        # construction cover set(queries()) exactly, so the committed
+        # artifact can only go stale by REGISTERING after generation,
+        # which tests/test_registry.py::test_correctness_full_artifact_is_fresh
+        # now catches (r6 ADVICE).
+        if only and os.path.exists(out):
+            with open(out) as fh:
+                merged = json.load(fh)
+            merged.update(records)
+            records = merged
         with open(out, "w") as fh:
             json.dump(records, fh, indent=1, sort_keys=True)
             fh.write("\n")
