@@ -4522,3 +4522,695 @@ def hurst_rs_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / ln(16E0) * 1000000E0, 0) AS BIGINT)"
         ).alias("hurst_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: classical statistical-test suite over the house scaffolds
+# ---------------------------------------------------------------------------
+
+#: Shared oracle CTE: the day-grain $1k-tick revenue series with a
+#: 0-based time index (the ACF/PACF/Hurst series, factored once).
+_DAILY_1K_CTE = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(round(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS DOUBLE) / 100000, 0) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    t AS (SELECT row_number() OVER (ORDER BY day) - 1 AS t, x FROM daily)
+"""
+
+
+def _daily_1k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_DAILY_1K_CTE``: checkpointed day-grain series
+    with a 0-based index (the documented tiny unpartitioned row_number
+    exception shared with the ACF family)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum(cents("o_totalprice")).cast("double") / 100000, 0)
+            .cast("bigint")
+            .alias("x")
+        )
+        .localCheckpoint()
+    )
+    return daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"), "x"
+    )
+
+
+#: JB final expression over the one-row exact power sums — ONE fixed
+#: token stream shared verbatim by Spark and DuckDB (the dow-R² device).
+_JB_MU = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_JB_M2 = f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {_JB_MU} * {_JB_MU})"
+_JB_M3 = (
+    f"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3E0 * {_JB_MU} * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" + 2E0 * {_JB_MU} * {_JB_MU} * {_JB_MU})"
+)
+_JB_M4 = (
+    f"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 4E0 * {_JB_MU} * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" + 6E0 * {_JB_MU} * {_JB_MU}"
+    f" * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" - 3E0 * {_JB_MU} * {_JB_MU} * {_JB_MU} * {_JB_MU})"
+)
+_JB_SKEW = f"({_JB_M3} / sqrt({_JB_M2} * {_JB_M2} * {_JB_M2}))"
+_JB_EXK = f"({_JB_M4} / ({_JB_M2} * {_JB_M2}) - 3E0)"
+_JB_STAT = (
+    f"(CAST(n AS DOUBLE) / 6E0 * ({_JB_SKEW} * {_JB_SKEW}"
+    f" + {_JB_EXK} * {_JB_EXK} / 4E0))"
+)
+
+
+@register(
+    "jarque_bera_daily_revenue",
+    oracle=f"""
+    {_DAILY_1K_CTE},
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS s1,
+             CAST(SUM(x * x) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(x * x AS HUGEINT) * x) AS HUGEINT) AS s3,
+             CAST(SUM(CAST(x * x AS HUGEINT) * (x * x)) AS HUGEINT) AS s4
+      FROM t)
+    SELECT n AS n_days,
+           CAST(round({_JB_SKEW} * 1000000E0, 0) AS BIGINT) AS skew_micro,
+           CAST(round({_JB_EXK} * 1000000E0, 0) AS BIGINT) AS exkurt_micro,
+           CAST(round({_JB_STAT} * 1000000E0, 0) AS BIGINT) AS jb_micro
+    FROM g
+    """,
+)
+def jarque_bera_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of daily revenue: JB = n/6·(S² +
+    K²/4) from the exact sample skewness S and excess kurtosis K — the
+    gate in front of every z-score/σ-fence daily alert (Grubbs, CUSUM
+    limits, SPC bands all assume near-normal marginals; JB ≫ 9 says
+    use the robust MAD/quantile ops instead).
+
+    Exactness: the $1k-tick day series keeps x⁴ power sums inside
+    decimal128/HUGEINT through ~sf1000 (x ≈ 9.4e7 ticks ⇒ Σx⁴ ≈ 2e35 <
+    1e38); all four power sums are exact wide integers and every
+    moment/statistic is ONE shared fixed-order textual expression over
+    them (`_JB_STAT`) — no distributed double ever sums.
+
+    Scale: one day-grain reduction (orders shrink ~5 orders of
+    magnitude before anything else), one single-row aggregate; no
+    window at all.
+    """
+    t = _daily_1k(spark, sf_dir)
+    x = F.col("x")
+    x2 = (x * x).cast("bigint")
+    g = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("s1"),
+        F.sum(x2.cast("decimal(38,0)")).cast("decimal(38,0)").alias("s2"),
+        F.sum(x2.cast("decimal(19,0)") * x.cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s3"),
+        F.sum(x2.cast("decimal(19,0)") * x2.cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )
+    return g.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            f"CAST(round({_JB_SKEW} * 1000000E0, 0) AS BIGINT)"
+        ).alias("skew_micro"),
+        F.expr(
+            f"CAST(round({_JB_EXK} * 1000000E0, 0) AS BIGINT)"
+        ).alias("exkurt_micro"),
+        F.expr(
+            f"CAST(round({_JB_STAT} * 1000000E0, 0) AS BIGINT)"
+        ).alias("jb_micro"),
+    )
+
+
+@register(
+    "cramer_von_mises_two_sample",
+    oracle=_TWO_SAMPLE_CTE
+    + """
+    , s AS (
+      SELECT CAST(SUM(CAST((ca + cb) AS HUGEINT)
+               * (CAST(cum_a * n2 - cum_b * n1 AS HUGEINT)
+                  * (cum_a * n2 - cum_b * n1)) ) AS HUGEINT) AS t_num
+      FROM c, t)
+    SELECT n1, n2,
+           CAST(round(CAST(t_num AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
+             * 1000000E0, 0) AS BIGINT) AS cvm_t_micro
+    FROM s, t
+    """,
+)
+def cramer_von_mises_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises T on the same urgent-vs-low order
+    populations as ks_two_sample — the INTEGRAL of the squared ECDF gap
+    over the pooled sample, where KS takes only the sup: a fat
+    everywhere-slightly-off drift moves T long before it moves D
+    (T = nm/(n+m)² · Σ_pooled (F₁−F₂)²).
+
+    Exactness: rides the shared bucketed two-sample ECDF scaffold; the
+    per-value gap stays the exact integer cross-product cum_a·n2 −
+    cum_b·n1 (the KS device), its square and the count-weighted sum run
+    on decimal128/HUGEINT — exact while |gap| < 1e19, i.e. through
+    ~sf30; beyond that quantize the per-value term to micro before the
+    sum (documented switch, same as the KS int64 note). ONE double
+    division chain at the end, mirrored token-for-token.
+
+    Scale: same no-global-sort ECDF as KS — per-bucket windows + tiny
+    offset table; the extra moment is one more column in the same
+    aggregate.
+    """
+    pv = _two_sample_per_value(spark, sf_dir)
+    gap = (F.col("cum_a") * F.col("n2") - F.col("cum_b") * F.col("n1")).cast(
+        "decimal(19,0)"
+    )
+    s = pv.groupBy("n1", "n2").agg(
+        F.sum((F.col("ca") + F.col("cb")).cast("decimal(19,0)") * gap * gap)
+        .cast("decimal(38,0)")
+        .alias("t_num")
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.expr(
+            "CAST(round(CAST(t_num AS DOUBLE)"
+            " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+            " / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("cvm_t_micro"),
+    )
+
+
+#: Shared oracle CTE: (priority, delay-days) value-grain counts with
+#: per-group cumulative + totals — the winsorized-mean scaffold hoisted
+#: for the variance-homogeneity tests (delays are small integers, so
+#: the grain is ≤ |priorities|·~125 rows at every SF).
+_DELAY_GRAIN_CTE = """
+    WITH d AS (
+      SELECT o.o_orderpriority AS pr,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate),
+    c AS (SELECT pr, v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2)
+"""
+
+
+def _delay_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_DELAY_GRAIN_CTE``: the (priority, delay, count)
+    table, checkpointed — every downstream window/median/variance runs
+    on ≤ |priorities|·~125 rows, never on fact grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("pr"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("v"),
+        )
+        .groupBy("pr", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+
+
+@register(
+    "levene_bf_delay_by_priority",
+    oracle=_DELAY_GRAIN_CTE
+    + """
+    , cum AS (
+      SELECT pr, v, c, SUM(c) OVER (PARTITION BY pr ORDER BY v) AS cum,
+             SUM(c) OVER (PARTITION BY pr) AS n
+      FROM c),
+    med AS (
+      SELECT pr, CAST(MAX(n) AS BIGINT) AS n,
+             MIN(CASE WHEN cum * 2 >= n THEN v END) AS med
+      FROM cum GROUP BY pr),
+    g AS (
+      SELECT c.pr, med.n AS ni,
+             CAST(SUM(c.c * ABS(c.v - med.med)) AS BIGINT) AS sz,
+             CAST(SUM(c.c * ABS(c.v - med.med) * ABS(c.v - med.med))
+               AS BIGINT) AS qz
+      FROM c JOIN med ON c.pr = med.pr
+      GROUP BY c.pr, med.n),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ni) AS BIGINT) AS n,
+             CAST(SUM(sz) AS BIGINT) AS s, CAST(SUM(qz) AS BIGINT) AS q,
+             CAST(SUM(CAST(round(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+               / CAST(ni AS DOUBLE) * 1000E0, 0) AS BIGINT)) AS BIGINT)
+               AS tb_milli
+      FROM g)
+    SELECT k, n,
+           CAST(round(
+             ((CAST(tb_milli AS DOUBLE) / 1000E0
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(k - 1 AS DOUBLE))
+             / ((CAST(q AS DOUBLE) - CAST(tb_milli AS DOUBLE) / 1000E0)
+                / CAST(n - k AS DOUBLE))
+             * 1000000E0, 0) AS BIGINT) AS w_micro
+    FROM s
+    """,
+)
+def levene_bf_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test of ship-delay
+    variance homogeneity across the five order priorities — the gate in
+    front of every pooled-variance comparison (the ANOVA/t machinery
+    assumes equal group variances; W ≫ F_crit says compare medians and
+    quantiles instead, or Welch-correct). Median centering (vs Levene's
+    mean) keeps the test robust when the delay tail is heavy — exactly
+    when the question matters.
+
+    Exactness: group medians are the integer lower-median off the
+    value-grain ECDF (cum·2 ≥ n); the deviations |v − med| are integers,
+    so every per-group sufficient statistic (n, Σz, Σz²) is exact int64
+    (z ≤ ~125 days ⇒ Σz² ≈ 9e16 at sf1000); the one non-integer
+    per-group term sz²/nᵢ quantizes to MILLI before the k-term sum (the
+    per-term tick device — k = 5, so the sum is 5 exact int64s), and W
+    is ONE mirrored fixed-order double expression.
+
+    Scale: the fact-fact join reduces to the (priority, delay) grain
+    (≤ |priorities|·~125 rows) before any window; both test passes
+    re-aggregate the SAME checkpointed grain table.
+    """
+    c = _delay_grain(spark, sf_dir)
+    w_cum = (
+        Window.partitionBy("pr")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = c.select(
+        "pr", "v", "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("pr")).alias("n"),
+    )
+    med = cum.groupBy("pr").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("med"),
+    )
+    z = F.abs(F.col("v") - F.col("med"))
+    g = (
+        c.join(med, "pr")
+        .groupBy("pr", F.col("n").alias("ni"))
+        .agg(
+            F.sum(F.col("c") * z).cast("bigint").alias("sz"),
+            F.sum(F.col("c") * z * z).cast("bigint").alias("qz"),
+        )
+    )
+    s = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ni").cast("bigint").alias("n"),
+        F.sum("sz").cast("bigint").alias("s"),
+        F.sum("qz").cast("bigint").alias("q"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)"
+                " / CAST(ni AS DOUBLE) * 1000E0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("tb_milli"),
+    )
+    return s.select(
+        "k",
+        "n",
+        F.expr(
+            "CAST(round("
+            " ((CAST(tb_milli AS DOUBLE) / 1000E0"
+            "   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+            "  / CAST(k - 1 AS DOUBLE))"
+            " / ((CAST(q AS DOUBLE) - CAST(tb_milli AS DOUBLE) / 1000E0)"
+            "    / CAST(n - k AS DOUBLE))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("w_micro"),
+    )
+
+
+@register(
+    "bartlett_variance_by_priority",
+    oracle=_DELAY_GRAIN_CTE
+    + """
+    , g AS (
+      SELECT pr, CAST(SUM(c) AS BIGINT) AS ni,
+             CAST(SUM(c * v) AS BIGINT) AS sv,
+             CAST(SUM(c * v * v) AS BIGINT) AS qv
+      FROM c GROUP BY pr),
+    gi AS (
+      SELECT pr, ni, sv, qv,
+             (CAST(qv AS DOUBLE)
+              - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(ni AS DOUBLE))
+             / CAST(ni - 1 AS DOUBLE) AS s2i
+      FROM g),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ni) AS BIGINT) AS n,
+             CAST(SUM(qv) AS BIGINT) AS q,
+             CAST(SUM(CAST(round(CAST(ni - 1 AS DOUBLE) * ln(s2i) * 1000000E0,
+               0) AS BIGINT)) AS BIGINT) AS lnterm_micro,
+             CAST(SUM(CAST(round(1000000000E0 / CAST(ni - 1 AS DOUBLE), 0)
+               AS BIGINT)) AS BIGINT) AS invsum_nano,
+             CAST(SUM(CAST(round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+               / CAST(ni AS DOUBLE) * 1000E0, 0) AS BIGINT)) AS BIGINT)
+               AS wg_milli
+      FROM gi)
+    SELECT k, n,
+           CAST(round(
+             (CAST(n - k AS DOUBLE)
+              * ln((CAST(q AS DOUBLE) - CAST(wg_milli AS DOUBLE) / 1000E0)
+                   / CAST(n - k AS DOUBLE))
+              - CAST(lnterm_micro AS DOUBLE) / 1000000E0)
+             / (1E0 + (CAST(invsum_nano AS DOUBLE) / 1000000000E0
+                       - 1E0 / CAST(n - k AS DOUBLE))
+                      / (3E0 * CAST(k - 1 AS DOUBLE)))
+             * 1000000E0, 0) AS BIGINT) AS chi2_micro
+    FROM s
+    """,
+)
+def bartlett_variance_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's χ² for ship-delay variance homogeneity across the
+    five priorities — the parametric companion of levene_bf: sharper
+    when delays are near-normal, famously fragile when they aren't
+    (run both; Bartlett-rejects + Levene-accepts reads as "the tails,
+    not the variances, differ").
+
+    Exactness: per-group n, Σv, Σv² are exact int64 off the same
+    checkpointed (priority, delay) grain; the three non-integer
+    per-group reductions — (nᵢ−1)·ln sᵢ² (micro), 1/(nᵢ−1) (nano) and
+    the pooled-variance correction sᵥ²/nᵢ (milli) — each quantize
+    per-term before their 5-term sums; χ² with its Bartlett correction
+    C is ONE mirrored fixed-order expression.
+
+    Scale: identical to levene_bf — all statistics at the
+    (priority, delay) grain, one 5-row aggregate, one-row output.
+    """
+    c = _delay_grain(spark, sf_dir)
+    g = c.groupBy("pr").agg(
+        F.sum("c").cast("bigint").alias("ni"),
+        F.sum(F.col("c") * F.col("v")).cast("bigint").alias("sv"),
+        F.sum(F.col("c") * F.col("v") * F.col("v")).cast("bigint").alias("qv"),
+    )
+    gi = g.withColumn(
+        "s2i",
+        F.expr(
+            "(CAST(qv AS DOUBLE)"
+            " - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(ni AS DOUBLE))"
+            " / CAST(ni - 1 AS DOUBLE)"
+        ),
+    )
+    s = gi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ni").cast("bigint").alias("n"),
+        F.sum("qv").cast("bigint").alias("q"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(ni - 1 AS DOUBLE) * ln(s2i) * 1000000E0, 0)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("lnterm_micro"),
+        F.sum(
+            F.expr(
+                "CAST(round(1000000000E0 / CAST(ni - 1 AS DOUBLE), 0)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("invsum_nano"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)"
+                " / CAST(ni AS DOUBLE) * 1000E0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("wg_milli"),
+    )
+    return s.select(
+        "k",
+        "n",
+        F.expr(
+            "CAST(round("
+            " (CAST(n - k AS DOUBLE)"
+            "  * ln((CAST(q AS DOUBLE) - CAST(wg_milli AS DOUBLE) / 1000E0)"
+            "       / CAST(n - k AS DOUBLE))"
+            "  - CAST(lnterm_micro AS DOUBLE) / 1000000E0)"
+            " / (1E0 + (CAST(invsum_nano AS DOUBLE) / 1000000000E0"
+            "           - 1E0 / CAST(n - k AS DOUBLE))"
+            "          / (3E0 * CAST(k - 1 AS DOUBLE)))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("chi2_micro"),
+    )
+
+
+@register(
+    "variance_ratio_daily_revenue",
+    oracle=_DAILY_1K_CTE
+    + """
+    , l AS (
+      SELECT x, lag(x, 1) OVER (ORDER BY t) AS x1,
+             lag(x, 5) OVER (ORDER BY t) AS x5
+      FROM t),
+    g AS (
+      SELECT CAST(COUNT(x1) AS BIGINT) AS tn,
+             CAST(SUM(x - x1) AS BIGINT) AS s,
+             CAST(SUM(CAST((x - x1) AS HUGEINT) * (x - x1)) AS HUGEINT)
+               AS q1,
+             CAST(COUNT(x5) AS BIGINT) AS nq,
+             CAST(SUM(x - x5) AS BIGINT) AS sq,
+             CAST(SUM(CAST((x - x5) AS HUGEINT) * (x - x5)) AS HUGEINT)
+               AS qq
+      FROM l)
+    SELECT tn AS n_diffs,
+           CAST(round(
+             ((CAST(qq AS DOUBLE)
+               - 2E0 * 5E0 * (CAST(s AS DOUBLE) / CAST(tn AS DOUBLE))
+                 * CAST(sq AS DOUBLE)
+               + CAST(nq AS DOUBLE) * 25E0
+                 * (CAST(s AS DOUBLE) / CAST(tn AS DOUBLE))
+                 * (CAST(s AS DOUBLE) / CAST(tn AS DOUBLE)))
+              / (CAST(nq AS DOUBLE) * 5E0))
+             / ((CAST(q1 AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(tn AS DOUBLE))
+                / CAST(tn AS DOUBLE))
+             * 1000000E0, 0) AS BIGINT) AS vr_micro,
+           CAST(round(
+             sqrt(CAST(tn AS DOUBLE))
+             * (((CAST(qq AS DOUBLE)
+                  - 2E0 * 5E0 * (CAST(s AS DOUBLE) / CAST(tn AS DOUBLE))
+                    * CAST(sq AS DOUBLE)
+                  + CAST(nq AS DOUBLE) * 25E0
+                    * (CAST(s AS DOUBLE) / CAST(tn AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(tn AS DOUBLE)))
+                 / (CAST(nq AS DOUBLE) * 5E0))
+                / ((CAST(q1 AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(tn AS DOUBLE))
+                   / CAST(tn AS DOUBLE))
+                - 1E0)
+             / sqrt(2E0 * 9E0 * 4E0 / 15E0)
+             * 1000000E0, 0) AS BIGINT) AS z_micro
+    FROM g
+    """,
+)
+def variance_ratio_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test VR(5) on daily revenue: the
+    variance of 5-day overlapping changes over 5× the 1-day variance —
+    VR ≈ 1 certifies a random walk (changes uncorrelated), VR > 1
+    momentum (trends compound, the Hurst > 0.5 story told through
+    variances), VR < 1 mean reversion; z is the iid-asymptotic score
+    √T·(VR−1)/√(2(2q−1)(q−1)/(3q)), here q = 5 ⇒ √(24/5).
+
+    Exactness: both difference legs are integer ($1k ticks), their
+    sufficient statistics exact int64/decimal128 (Σd² ≈ 2.4e19 at
+    sf1000 crosses int64 — hence the wide sums); the drift μ̂ = Σd₁/T
+    telescopes to (x_T − x₀)/T so it needs no extra pass; VR and z are
+    ONE mirrored fixed-order expression over six exact numbers.
+
+    Scale: day-grain reduction first; two lag columns in ONE tiny
+    unpartitioned window (the documented ACF-family exception), a
+    single-row aggregate after.
+    """
+    t = _daily_1k(spark, sf_dir)
+    w = Window.orderBy("t")
+    l = t.select(
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 5).over(w).alias("x5"),
+    )
+    d1 = F.col("x") - F.col("x1")
+    d5 = F.col("x") - F.col("x5")
+    g = l.agg(
+        F.count("x1").cast("bigint").alias("tn"),
+        F.sum(d1).cast("bigint").alias("s"),
+        F.sum(d1.cast("decimal(19,0)") * d1.cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("q1"),
+        F.count("x5").cast("bigint").alias("nq"),
+        F.sum(d5).cast("bigint").alias("sq"),
+        F.sum(d5.cast("decimal(19,0)") * d5.cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("qq"),
+    )
+    vr = (
+        "((CAST(qq AS DOUBLE)"
+        "  - 2E0 * 5E0 * (CAST(s AS DOUBLE) / CAST(tn AS DOUBLE))"
+        "    * CAST(sq AS DOUBLE)"
+        "  + CAST(nq AS DOUBLE) * 25E0"
+        "    * (CAST(s AS DOUBLE) / CAST(tn AS DOUBLE))"
+        "    * (CAST(s AS DOUBLE) / CAST(tn AS DOUBLE)))"
+        " / (CAST(nq AS DOUBLE) * 5E0))"
+        " / ((CAST(q1 AS DOUBLE)"
+        "     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(tn AS DOUBLE))"
+        "    / CAST(tn AS DOUBLE))"
+    )
+    return g.select(
+        F.col("tn").alias("n_diffs"),
+        F.expr(f"CAST(round({vr} * 1000000E0, 0) AS BIGINT)").alias(
+            "vr_micro"
+        ),
+        F.expr(
+            f"CAST(round(sqrt(CAST(tn AS DOUBLE)) * ({vr} - 1E0)"
+            " / sqrt(2E0 * 9E0 * 4E0 / 15E0) * 1000000E0, 0) AS BIGINT)"
+        ).alias("z_micro"),
+    )
+
+
+@register(
+    "cox_stuart_trend_daily",
+    oracle=_DAILY_1K_CTE
+    + """
+    , g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+    p AS (
+      SELECT a.x AS xa, b.x AS xb
+      FROM t a JOIN g ON TRUE
+      JOIN t b ON b.t = a.t + (g.n + 1) // 2
+      WHERE a.t < g.n - (g.n + 1) // 2),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN xb > xa THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos,
+             CAST(SUM(CASE WHEN xb < xa THEN 1 ELSE 0 END) AS BIGINT)
+               AS neg
+      FROM p)
+    SELECT n AS n_days, pos, neg,
+           CAST(round(
+             (2E0 * CAST(pos AS DOUBLE) - CAST(pos + neg AS DOUBLE))
+             / sqrt(CAST(pos + neg AS DOUBLE)) * 1000000E0, 0) AS BIGINT)
+             AS z_micro
+    FROM s, g
+    """,
+)
+def cox_stuart_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart sign test for monotone trend in daily revenue: pair
+    each first-half day with its second-half partner c = ⌈n/2⌉ days
+    later, count rises vs falls, and score the binomial z — the
+    assumption-free trend certificate next to mann_kendall (this one is
+    O(n) pairs, Mann-Kendall is all-pairs; at the day grain both are
+    tiny but the device scales to any per-key series).
+
+    Exactness: pure integer comparisons and counts; ties (equal pair)
+    drop per the classical test; z is one mirrored expression.
+
+    Scale: the pairing is a self-join of the tiny day table at offset
+    c (never fact grain); the offset comes from the one-row count via
+    a broadcast cross join in both engines.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    g = t.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = t.alias("a").crossJoin(F.broadcast(g))
+    pairs = a.join(
+        t.alias("b"),
+        F.col("b.t") == F.col("a.t") + F.expr("(n + 1) DIV 2"),
+    ).filter(F.col("a.t") < F.col("n") - F.expr("(n + 1) DIV 2"))
+    s = pairs.agg(
+        F.sum(F.when(F.col("b.x") > F.col("a.x"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(F.when(F.col("b.x") < F.col("a.x"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    return s.crossJoin(F.broadcast(g)).select(
+        F.col("n").alias("n_days"),
+        "pos",
+        "neg",
+        F.expr(
+            "CAST(round((2E0 * CAST(pos AS DOUBLE)"
+            " - CAST(pos + neg AS DOUBLE))"
+            " / sqrt(CAST(pos + neg AS DOUBLE)) * 1000000E0, 0) AS BIGINT)"
+        ).alias("z_micro"),
+    )
+
+
+@register(
+    "turning_point_test_daily",
+    oracle=_DAILY_1K_CTE
+    + """
+    , l AS (
+      SELECT x, lag(x) OVER (ORDER BY t) AS prev,
+             lead(x) OVER (ORDER BY t) AS nxt
+      FROM t),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_interior,
+             CAST(SUM(CASE WHEN (x - prev) * (nxt - x) < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp
+      FROM l WHERE prev IS NOT NULL AND nxt IS NOT NULL),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t)
+    SELECT n AS n_days, tp,
+           CAST(round(
+             (CAST(tp AS DOUBLE) - 2E0 * CAST(n - 2 AS DOUBLE) / 3E0)
+             / sqrt((16E0 * CAST(n AS DOUBLE) - 29E0) / 90E0)
+             * 1000000E0, 0) AS BIGINT) AS z_micro
+    FROM s, g
+    """,
+)
+def turning_point_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point randomness test on daily revenue: count strict
+    local extrema (sign change of consecutive differences) against the
+    iid expectation 2(n−2)/3 with variance (16n−29)/90 — too FEW
+    turning points reads as trend/momentum, too MANY as negative
+    autocorrelation (over-correction); the third independent
+    randomness lens beside the runs test (levels vs median) and the
+    VR test (variances).
+
+    Exactness: integer differences and counts; flats (zero diff) count
+    as non-turning per the strict-inequality convention, stated in both
+    engines as (x−prev)·(next−x) < 0; z is one mirrored expression.
+
+    Scale: one lag+lead window over the tiny checkpointed day series,
+    one-row output.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    w = Window.orderBy("t")
+    l = t.select(
+        "x",
+        F.lag("x").over(w).alias("prev"),
+        F.lead("x").over(w).alias("nxt"),
+    ).filter(F.col("prev").isNotNull() & F.col("nxt").isNotNull())
+    s = l.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_interior"),
+        F.sum(
+            F.when(
+                (F.col("x") - F.col("prev")) * (F.col("nxt") - F.col("x"))
+                < 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+    )
+    g = t.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return s.crossJoin(F.broadcast(g)).select(
+        F.col("n").alias("n_days"),
+        "tp",
+        F.expr(
+            "CAST(round("
+            "(CAST(tp AS DOUBLE) - 2E0 * CAST(n - 2 AS DOUBLE) / 3E0)"
+            " / sqrt((16E0 * CAST(n AS DOUBLE) - 29E0) / 90E0)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("z_micro"),
+    )

@@ -448,6 +448,14 @@ HEADLINE = [
     "grubbs_daily_revenue",
     "pacf_daily_revenue",
     "hurst_rs_daily_revenue",
+    # round-7: classical statistical-test suite
+    "jarque_bera_daily_revenue",
+    "cramer_von_mises_two_sample",
+    "levene_bf_delay_by_priority",
+    "bartlett_variance_by_priority",
+    "variance_ratio_daily_revenue",
+    "cox_stuart_trend_daily",
+    "turning_point_test_daily",
 ]
 
 

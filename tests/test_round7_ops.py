@@ -113,3 +113,152 @@ def test_hurst_rescaled_range_replay(spark):
     assert abs(got["hurst_micro"] - _half_up_micro(h)) <= 2
     # a revenue series of iid-ish order flow must land in (0, 1)
     assert 0 < got["hurst_micro"] < 1_000_000
+
+
+def _daily_1k_ticks(spark):
+    return [
+        int(math.floor(c / 100000 + 0.5)) for c in _daily_cents(spark)
+    ]
+
+
+def test_jarque_bera_replay(spark):
+    """Replay JB from the raw daily series via the literal central
+    moments (no power-sum rearrangement)."""
+    from ai_etl_studio_spark.operators.drift import jarque_bera_daily_revenue
+
+    got = jarque_bera_daily_revenue(spark, SF_DIR).collect()[0]
+    x = _daily_1k_ticks(spark)
+    n = len(x)
+    assert got["n_days"] == n
+    mu = sum(x) / n
+    m2 = sum((v - mu) ** 2 for v in x) / n
+    m3 = sum((v - mu) ** 3 for v in x) / n
+    m4 = sum((v - mu) ** 4 for v in x) / n
+    skew = m3 / m2**1.5
+    exk = m4 / m2**2 - 3
+    jb = n / 6 * (skew**2 + exk**2 / 4)
+    assert abs(got["skew_micro"] - _half_up_micro(skew)) <= 2
+    assert abs(got["exkurt_micro"] - _half_up_micro(exk)) <= 2
+    # JB scales with n; allow the micro-rounding of S/K to propagate
+    assert abs(got["jb_micro"] - _half_up_micro(jb)) <= 10 * n
+
+
+def test_variance_ratio_replay(spark):
+    """Replay VR(5) from literal overlapping differences."""
+    from ai_etl_studio_spark.operators.drift import (
+        variance_ratio_daily_revenue,
+    )
+
+    got = variance_ratio_daily_revenue(spark, SF_DIR).collect()[0]
+    x = _daily_1k_ticks(spark)
+    d1 = [x[t] - x[t - 1] for t in range(1, len(x))]
+    d5 = [x[t] - x[t - 5] for t in range(5, len(x))]
+    T = len(d1)
+    assert got["n_diffs"] == T
+    mu = sum(d1) / T
+    s1 = sum((d - mu) ** 2 for d in d1) / T
+    sq = sum((d - 5 * mu) ** 2 for d in d5) / (len(d5) * 5)
+    vr = sq / s1
+    z = math.sqrt(T) * (vr - 1) / math.sqrt(2 * (2 * 5 - 1) * (5 - 1) / (3 * 5))
+    assert abs(got["vr_micro"] - _half_up_micro(vr)) <= 2
+    assert abs(got["z_micro"] - _half_up_micro(z)) <= 60
+
+
+def test_cox_stuart_and_turning_point_replay(spark):
+    """Literal pairing / extrema counting replays for the two sign
+    tests."""
+    from ai_etl_studio_spark.operators.drift import (
+        cox_stuart_trend_daily,
+        turning_point_test_daily,
+    )
+
+    x = _daily_1k_ticks(spark)
+    n = len(x)
+    got = cox_stuart_trend_daily(spark, SF_DIR).collect()[0]
+    c = (n + 1) // 2
+    pos = sum(1 for i in range(n - c) if x[i + c] > x[i])
+    neg = sum(1 for i in range(n - c) if x[i + c] < x[i])
+    assert (got["n_days"], got["pos"], got["neg"]) == (n, pos, neg)
+    m = pos + neg
+    assert abs(
+        got["z_micro"] - _half_up_micro((2 * pos - m) / math.sqrt(m))
+    ) <= 2
+
+    got = turning_point_test_daily(spark, SF_DIR).collect()[0]
+    tp = sum(
+        1
+        for t in range(1, n - 1)
+        if (x[t] - x[t - 1]) * (x[t + 1] - x[t]) < 0
+    )
+    assert (got["n_days"], got["tp"]) == (n, tp)
+    z = (tp - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90)
+    assert abs(got["z_micro"] - _half_up_micro(z)) <= 2
+
+
+def test_levene_bartlett_replay(spark):
+    """Replay Brown-Forsythe W and Bartlett χ² from the raw joined
+    delays (textbook formulas on python floats, no value-grain
+    rearrangement, lower medians by literal sorting)."""
+    from ai_etl_studio_spark.operators.drift import (
+        bartlett_variance_by_priority,
+        levene_bf_delay_by_priority,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    )
+    od = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate)
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .collect()
+    }
+    groups = defaultdict(list)
+    for r in li:
+        pr, odate = od[r.l_orderkey]
+        delta = (r.l_shipdate.date() if hasattr(r.l_shipdate, "date")
+                 else r.l_shipdate) - (
+            odate.date() if hasattr(odate, "date") else odate
+        )
+        if delta.days >= 0:
+            groups[pr].append(delta.days)
+    k = len(groups)
+    N = sum(len(v) for v in groups.values())
+
+    # Brown-Forsythe
+    zs = {}
+    for pr, vals in groups.items():
+        vals = sorted(vals)
+        med = vals[(len(vals) - 1) // 2]  # lower median: min v, 2cum>=n
+        zs[pr] = [abs(v - med) for v in vals]
+    zbar = {pr: sum(z) / len(z) for pr, z in zs.items()}
+    zall = sum(sum(z) for z in zs.values()) / N
+    num = sum(len(z) * (zbar[pr] - zall) ** 2 for pr, z in zs.items()) / (
+        k - 1
+    )
+    den = sum(
+        sum((v - zbar[pr]) ** 2 for v in z) for pr, z in zs.items()
+    ) / (N - k)
+    w = num / den
+    got = levene_bf_delay_by_priority(spark, SF_DIR).collect()[0]
+    assert (got["k"], got["n"]) == (k, N)
+    assert abs(got["w_micro"] - _half_up_micro(w)) <= 100
+
+    # Bartlett
+    s2 = {
+        pr: sum((v - sum(vals) / len(vals)) ** 2 for v in vals)
+        / (len(vals) - 1)
+        for pr, vals in groups.items()
+    }
+    sp2 = sum((len(v) - 1) * s2[pr] for pr, v in groups.items()) / (N - k)
+    chi = (N - k) * math.log(sp2) - sum(
+        (len(v) - 1) * math.log(s2[pr]) for pr, v in groups.items()
+    )
+    corr = 1 + (
+        sum(1 / (len(v) - 1) for v in groups.values()) - 1 / (N - k)
+    ) / (3 * (k - 1))
+    got = bartlett_variance_by_priority(spark, SF_DIR).collect()[0]
+    assert (got["k"], got["n"]) == (k, N)
+    assert abs(got["chi2_micro"] - _half_up_micro(chi / corr)) <= 200
