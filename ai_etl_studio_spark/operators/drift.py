@@ -5214,3 +5214,82 @@ def turning_point_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000E0, 0) AS BIGINT)"
         ).alias("z_micro"),
     )
+
+
+def _page_oracle() -> str:
+    k = len(_KW_GROUPS)
+    piv = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN p = '{g}' THEN rk ELSE 0 END) AS BIGINT)"
+        f" AS rs_{i}"
+        for i, g in enumerate(_KW_GROUPS)
+    )
+    l_expr = " + ".join(f"{i + 1} * rs_{i}" for i in range(k))
+    return f"""
+    WITH c AS (
+      SELECT year(o_orderdate) AS yr, o_orderpriority AS p,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2),
+    rk AS (
+      SELECT yr, p,
+             CAST(ROW_NUMBER() OVER (PARTITION BY yr ORDER BY rev, p)
+               AS BIGINT) AS rk
+      FROM c),
+    piv AS (
+      SELECT CAST(COUNT(DISTINCT yr) AS BIGINT) AS b, {piv}
+      FROM rk)
+    SELECT b, CAST(({l_expr}) AS BIGINT) AS page_l,
+           CAST(round(
+             (CAST(({l_expr}) AS DOUBLE)
+              - CAST(b AS DOUBLE) * {k} * {(k + 1) ** 2} / 4E0)
+             / sqrt(CAST(b AS DOUBLE) * {k * k} * {k + 1} * {k * k - 1}
+                    / 144E0)
+             * 1000000E0, 0) AS BIGINT) AS z_micro
+    FROM piv
+    """
+
+
+@register("page_trend_test_priority", oracle=_page_oracle())
+def page_trend_test_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for an ORDERED alternative on the Friedman rank
+    table: within each year block the five priorities are ranked by
+    revenue, and L = Σ j·R_j weights the rank sums by the hypothesized
+    priority order (1-URGENT … 5-LOW) — significant z says priority
+    revenue is MONOTONE in the priority label across years, the
+    directional claim Friedman's omnibus χ² (any difference) cannot
+    make. Run after friedman_priority_by_year rejects: ordered tests
+    buy ~30% power when the alternative really is monotone.
+
+    Exactness: the SAME deterministic integer rank table as Friedman
+    (exact-cents revenue, (rev, priority) tiebreak); L is an exact
+    integer dot product and z one mirrored fixed-order expression.
+
+    Scale: identical to Friedman — one |years|×|priorities| reduction,
+    windows over ≤40 rows, one-row output.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.col("o_orderpriority").alias("p")
+    ).agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    w = Window.partitionBy("yr").orderBy("rev", "p")
+    rk = c.select("yr", "p", F.row_number().over(w).cast("bigint").alias("rk"))
+    k = len(_KW_GROUPS)
+    aggs = [F.countDistinct("yr").cast("bigint").alias("b")]
+    for i, g in enumerate(_KW_GROUPS):
+        aggs.append(
+            F.sum(F.when(F.col("p") == g, F.col("rk")).otherwise(0))
+            .cast("bigint")
+            .alias(f"rs_{i}")
+        )
+    piv = rk.agg(*aggs)
+    l_expr = " + ".join(f"{i + 1} * rs_{i}" for i in range(k))
+    return piv.select(
+        "b",
+        F.expr(f"CAST(({l_expr}) AS BIGINT)").alias("page_l"),
+        F.expr(
+            f"CAST(round((CAST(({l_expr}) AS DOUBLE)"
+            f" - CAST(b AS DOUBLE) * {k} * {(k + 1) ** 2} / 4E0)"
+            f" / sqrt(CAST(b AS DOUBLE) * {k * k} * {k + 1} * {k * k - 1}"
+            f" / 144E0) * 1000000E0, 0) AS BIGINT)"
+        ).alias("z_micro"),
+    )

@@ -1982,3 +1982,395 @@ def gains_table_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: scorecard-deployment evals of the cheap quality score
+# ---------------------------------------------------------------------------
+
+#: Shared oracle CTE: every doc's stopword-density score (integer ppm)
+#: and the lexical-diversity gate bit — the (score, outcome) pair the
+#: AUC / gains / PR-AUC / Brier family all grade.
+_SCORE_GATE_CTE = (
+    r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS ts
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT CAST(len(ts) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(ts, w -> w IN """
+    + _SW_SQL
+    + r""")) AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(ts)) AS BIGINT) AS nd
+      FROM t WHERE len(ts) > 0),
+    sc AS (
+      SELECT n_stop * 1000000 // n_tok AS score_ppm,
+             CASE WHEN 100 * nd >= 55 * n_tok THEN 1 ELSE 0 END AS y
+      FROM m)
+"""
+)
+
+
+def _score_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_SCORE_GATE_CTE``: one corpus pass to
+    (score_ppm, y) rows — integer ppm floor-division score, integer
+    cross-multiplied gate, shared with quality_score_auc."""
+    from ai_etl_studio_spark.operators.text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    m = d.select(ts.alias("ts")).filter(F.size("ts") > 0).select(
+        F.size("ts").cast("bigint").alias("n_tok"),
+        F.size(F.filter(F.col("ts"), lambda w: w.isin(*STOPWORDS)))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(F.array_distinct("ts")).cast("bigint").alias("nd"),
+    )
+    return m.select(
+        F.expr("n_stop * 1000000 DIV n_tok").alias("score_ppm"),
+        (100 * F.col("nd") >= 55 * F.col("n_tok")).cast("int").alias("y"),
+    )
+
+
+@register(
+    "brier_decomposition_quality",
+    oracle=_SCORE_GATE_CTE
+    + """
+    , b AS (
+      SELECT LEAST(score_ppm * 10 // 1000000, 9) AS bin, y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM sc GROUP BY 1, 2),
+    g AS (
+      SELECT bin, CAST(SUM(c) AS BIGINT) AS nk,
+             CAST(SUM(CASE WHEN y = 1 THEN c ELSE 0 END) AS BIGINT) AS sk,
+             CAST(SUM(CASE WHEN y = 1 THEN c * (2 * bin + 1 - 20)
+                             * (2 * bin + 1 - 20)
+                           ELSE c * (2 * bin + 1) * (2 * bin + 1) END)
+               AS BIGINT) AS b400
+      FROM b GROUP BY bin),
+    tot AS (
+      SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(sk) AS BIGINT) AS s,
+             CAST(SUM(b400) AS BIGINT) AS b400
+      FROM g),
+    terms AS (
+      SELECT CAST(SUM(CAST(round(CAST(nk AS DOUBLE)
+               * (CAST(2 * bin + 1 AS DOUBLE) / 20E0
+                  - CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE))
+               * (CAST(2 * bin + 1 AS DOUBLE) / 20E0
+                  - CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE))
+               * 1000E0, 0) AS BIGINT)) AS BIGINT) AS rel_milli,
+             CAST(SUM(CAST(round(CAST(nk AS DOUBLE)
+               * (CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE)
+                  - (SELECT CAST(s AS DOUBLE) / n FROM tot))
+               * (CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE)
+                  - (SELECT CAST(s AS DOUBLE) / n FROM tot))
+               * 1000E0, 0) AS BIGINT)) AS BIGINT) AS res_milli
+      FROM g)
+    SELECT n AS n_docs,
+           CAST(round(CAST(b400 AS DOUBLE) / 400E0 / CAST(n AS DOUBLE)
+             * 1000000E0, 0) AS BIGINT) AS brier_micro,
+           CAST(round(CAST(rel_milli AS DOUBLE) / 1000E0 / CAST(n AS DOUBLE)
+             * 1000000E0, 0) AS BIGINT) AS reliability_micro,
+           CAST(round(CAST(res_milli AS DOUBLE) / 1000E0 / CAST(n AS DOUBLE)
+             * 1000000E0, 0) AS BIGINT) AS resolution_micro,
+           CAST(round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1E0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000E0, 0) AS BIGINT) AS uncertainty_micro
+    FROM terms, tot
+    """,
+)
+def brier_decomposition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score of the (decile-binned)
+    stopword-density score forecasting the lexical-diversity gate:
+    Brier = reliability − resolution + uncertainty. Reliability ≈ 0
+    says the score IS a calibrated probability (use it directly as a
+    sampling weight); high resolution says it separates the classes
+    (worth calibrating); uncertainty is the class-imbalance floor no
+    forecaster can beat. The decomposition tells you whether to fix the
+    score by RECALIBRATING (high reliability term) or by adding
+    features (low resolution) — AUC alone can't distinguish the two.
+
+    Exactness: the forecast is the bin MIDPOINT (2k+1)/20, so per-doc
+    400·(p−y)² = ((2k+1)−20y)² is exact integer and Brier is an
+    integer ratio; the per-bin reliability/resolution terms (the only
+    fractions) quantize to milli per bin before the ≤10-term sums; the
+    identity Brier = rel − res + unc holds exactly in binned form
+    (pinned by the round-7 replay test).
+
+    Scale: one corpus pass to (bin, y) counts — 20 cells; everything
+    downstream is arithmetic on the 10-row bin table.
+    """
+    sc = _score_gate(spark, sf_dir)
+    b = sc.groupBy(
+        F.expr("LEAST(score_ppm * 10 DIV 1000000, 9)").alias("bin"), "y"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    g = b.groupBy("bin").agg(
+        F.sum("c").cast("bigint").alias("nk"),
+        F.sum(F.when(F.col("y") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("sk"),
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.col("c")
+                * (2 * F.col("bin") + 1 - 20)
+                * (2 * F.col("bin") + 1 - 20),
+            ).otherwise(
+                F.col("c") * (2 * F.col("bin") + 1) * (2 * F.col("bin") + 1)
+            )
+        )
+        .cast("bigint")
+        .alias("b400"),
+    ).localCheckpoint()  # 10-row bin table; read by tot AND terms
+    tot = g.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("sk").cast("bigint").alias("s"),
+        F.sum("b400").cast("bigint").alias("b400"),
+    )
+    gt = g.crossJoin(F.broadcast(tot))
+    terms = gt.agg(
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(nk AS DOUBLE)"
+                " * (CAST(2 * bin + 1 AS DOUBLE) / 20E0"
+                "    - CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE))"
+                " * (CAST(2 * bin + 1 AS DOUBLE) / 20E0"
+                "    - CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE))"
+                " * 1000E0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("rel_milli"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(nk AS DOUBLE)"
+                " * (CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE)"
+                "    - CAST(s AS DOUBLE) / n)"
+                " * (CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE)"
+                "    - CAST(s AS DOUBLE) / n)"
+                " * 1000E0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("res_milli"),
+    )
+    return terms.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_docs"),
+        F.expr(
+            "CAST(round(CAST(b400 AS DOUBLE) / 400E0 / CAST(n AS DOUBLE)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("brier_micro"),
+        F.expr(
+            "CAST(round(CAST(rel_milli AS DOUBLE) / 1000E0"
+            " / CAST(n AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+        ).alias("reliability_micro"),
+        F.expr(
+            "CAST(round(CAST(res_milli AS DOUBLE) / 1000E0"
+            " / CAST(n AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+        ).alias("resolution_micro"),
+        F.expr(
+            "CAST(round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * (1E0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("uncertainty_micro"),
+    )
+
+
+@register(
+    "matthews_corrcoef_gates",
+    oracle=r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS ts
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT CAST(len(ts) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(ts)) AS BIGINT) AS n_dist
+      FROM t WHERE len(ts) > 0),
+    f AS (
+      SELECT CASE WHEN n_tok >= 40 THEN 1 ELSE 0 END AS a,
+             CASE WHEN 100 * n_dist >= 55 * n_tok THEN 1 ELSE 0 END AS b
+      FROM m),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM f)
+    SELECT tp, fp, fn, tn,
+           CAST(round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+             * 1000000E0, 0) AS BIGINT) AS precision_micro,
+           CAST(round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+             * 1000000E0, 0) AS BIGINT) AS recall_micro,
+           CAST(round(2E0 * CAST(tp AS DOUBLE)
+             / CAST(2 * tp + fp + fn AS DOUBLE) * 1000000E0, 0) AS BIGINT)
+             AS f1_micro,
+           CAST(round(
+             CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+               AS DOUBLE)
+             / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                    * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+             * 1000000E0, 0) AS BIGINT) AS mcc_micro
+    FROM cells
+    """,
+)
+def matthews_corrcoef_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation + precision/recall/F1 of the cheap length
+    gate (≥40 tokens) PREDICTING the lexical-diversity gate — the
+    effect-size companion of mcnemar_quality_gates (McNemar says the
+    gates disagree asymmetrically; MCC says how far the cheap gate is
+    from a usable surrogate, robust to the class imbalance that
+    inflates accuracy and F1). MCC ≈ 0 kills the "skip the expensive
+    gate" plan even when F1 looks healthy.
+
+    Exactness: the confusion cells are the same integer-test cells as
+    McNemar's; the MCC numerator tp·tn − fp·fn rides HUGEINT/decimal128
+    (cell products cross int64 once cells exceed ~3e9); each ratio is
+    ONE mirrored fixed-order expression over the four exact counts.
+
+    Scale: one corpus pass, four conditional sums, one-row output.
+    """
+    from ai_etl_studio_spark.functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ts = F.filter(tokens("text"), lambda w: w != "")
+    m = d.select(
+        F.size(ts).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(ts)).cast("bigint").alias("n_dist"),
+    ).filter(F.col("n_tok") > 0)
+    f = m.select(
+        (F.col("n_tok") >= 40).cast("int").alias("a"),
+        (100 * F.col("n_dist") >= 55 * F.col("n_tok")).cast("int").alias("b"),
+    )
+    cells = f.agg(
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+    )
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "CAST(round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("precision_micro"),
+        F.expr(
+            "CAST(round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("recall_micro"),
+        F.expr(
+            "CAST(round(2E0 * CAST(tp AS DOUBLE)"
+            " / CAST(2 * tp + fp + fn AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+        ).alias("f1_micro"),
+        F.expr(
+            "CAST(round("
+            "CAST(CAST(tp AS DECIMAL(19,0)) * tn"
+            " - CAST(fp AS DECIMAL(19,0)) * fn AS DOUBLE)"
+            " / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)"
+            "        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("mcc_micro"),
+    )
+
+
+@register(
+    "pr_auc_quality_score",
+    oracle=_SCORE_GATE_CTE
+    + """
+    , c AS (
+      SELECT score_ppm, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM sc GROUP BY score_ppm),
+    cum AS (
+      SELECT score_ppm, pos,
+             CAST(SUM(pos) OVER (ORDER BY score_ppm DESC) AS BIGINT)
+               AS cumpos,
+             CAST(SUM(cnt) OVER (ORDER BY score_ppm DESC) AS BIGINT)
+               AS cumall
+      FROM c),
+    s AS (
+      SELECT CAST(SUM(CAST(round(CAST(pos AS DOUBLE) * cumpos
+               / CAST(cumall AS DOUBLE) * 1000000000E0, 0) AS BIGINT))
+               AS BIGINT) AS ap_nano_sum,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM cum),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc)
+    SELECT n_pos, n AS n_docs,
+           CAST(round(CAST(ap_nano_sum AS DOUBLE) / 1000000000E0
+             / CAST(n_pos AS DOUBLE) * 1000000E0, 0) AS BIGINT) AS ap_micro,
+           CAST(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+             * 1000000E0, 0) AS BIGINT) AS prevalence_micro
+    FROM s, tot
+    """,
+)
+def pr_auc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC) of the stopword-density score ranking
+    docs for the lexical-diversity gate, scored DESCENDING with whole
+    tie-groups entering together — the ranking readout that, unlike ROC
+    AUC (quality_score_auc), does not get flattered by the easy
+    negatives when the positive class is rare: compare ap against the
+    prevalence baseline (random ranking scores AP = prevalence), not
+    against 0.5.
+
+    Exactness: the score is the same integer-ppm value grain as the
+    AUC op; descending cumulatives are exact integers per distinct
+    score; the only fraction — the tie-group term pos·(cumpos/cumall)
+    — quantizes to NANO per value before the sum (per-term tick
+    device), and AP is one mirrored final division chain.
+
+    Scale: value-grain table, one window over distinct scores (no
+    per-doc ranking), one-row output.
+    """
+    sc = _score_gate(spark, sf_dir)
+    c = sc.groupBy("score_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy(F.desc("score_ppm")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = c.select(
+        "pos",
+        F.sum("pos").over(w).cast("bigint").alias("cumpos"),
+        F.sum("cnt").over(w).cast("bigint").alias("cumall"),
+    )
+    s = cum.agg(
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(pos AS DOUBLE) * cumpos"
+                " / CAST(cumall AS DOUBLE) * 1000000000E0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("ap_nano_sum"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    tot = sc.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n_pos",
+        F.col("n").alias("n_docs"),
+        F.expr(
+            "CAST(round(CAST(ap_nano_sum AS DOUBLE) / 1000000000E0"
+            " / CAST(n_pos AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+        ).alias("ap_micro"),
+        F.expr(
+            "CAST(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("prevalence_micro"),
+    )

@@ -456,6 +456,10 @@ HEADLINE = [
     "variance_ratio_daily_revenue",
     "cox_stuart_trend_daily",
     "turning_point_test_daily",
+    "brier_decomposition_quality",
+    "matthews_corrcoef_gates",
+    "pr_auc_quality_score",
+    "page_trend_test_priority",
 ]
 
 

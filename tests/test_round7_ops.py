@@ -262,3 +262,163 @@ def test_levene_bartlett_replay(spark):
     got = bartlett_variance_by_priority(spark, SF_DIR).collect()[0]
     assert (got["k"], got["n"]) == (k, N)
     assert abs(got["chi2_micro"] - _half_up_micro(chi / corr)) <= 200
+
+
+def _score_gate_rows(spark):
+    """Literal (score_ppm, y) pairs from the raw corpus — replays the
+    stopword-ppm score and diversity gate with python ints."""
+    import re
+
+    from ai_etl_studio_spark.operators.text import STOPWORDS
+
+    sw = set(STOPWORDS)
+    out = []
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("text")
+        .collect()
+    ):
+        if r.text is None:
+            continue
+        ts = [t for t in re.split(r"\s+", r.text.lower()) if t]
+        if not ts:
+            continue
+        n_tok = len(ts)
+        n_stop = sum(1 for t in ts if t in sw)
+        nd = len(set(ts))
+        out.append((n_stop * 1_000_000 // n_tok, 1 if 100 * nd >= 55 * n_tok else 0))
+    return out
+
+
+def test_brier_decomposition_identity_and_replay(spark):
+    """Literal per-doc Brier with bin-midpoint forecasts + the Murphy
+    identity Brier = reliability − resolution + uncertainty (exact in
+    binned form up to the committed milli/micro quantization)."""
+    from ai_etl_studio_spark.operators import load_all
+
+    brier_decomposition_quality = load_all()[0]["brier_decomposition_quality"]
+
+    got = brier_decomposition_quality(spark, SF_DIR).collect()[0]
+    rows = _score_gate_rows(spark)
+    n = len(rows)
+    assert got["n_docs"] == n
+    binned = [(min(s * 10 // 1_000_000, 9), y) for s, y in rows]
+    brier = sum(((2 * b + 1) / 20 - y) ** 2 for b, y in binned) / n
+    obar = sum(y for _, y in binned) / n
+    per = defaultdict(lambda: [0, 0])
+    for b, y in binned:
+        per[b][0] += 1
+        per[b][1] += y
+    rel = sum(
+        nk * ((2 * b + 1) / 20 - sk / nk) ** 2 for b, (nk, sk) in per.items()
+    ) / n
+    res = sum(nk * (sk / nk - obar) ** 2 for b, (nk, sk) in per.items()) / n
+    unc = obar * (1 - obar)
+    assert abs(got["brier_micro"] - _half_up_micro(brier)) <= 2
+    assert abs(got["reliability_micro"] - _half_up_micro(rel)) <= 2
+    assert abs(got["resolution_micro"] - _half_up_micro(res)) <= 2
+    assert abs(got["uncertainty_micro"] - _half_up_micro(unc)) <= 2
+    # the Murphy identity, on the op's own quantized outputs
+    assert abs(
+        got["brier_micro"]
+        - (
+            got["reliability_micro"]
+            - got["resolution_micro"]
+            + got["uncertainty_micro"]
+        )
+    ) <= 4
+
+
+def test_pr_auc_replay(spark):
+    """Literal tie-grouped average precision, descending score."""
+    from ai_etl_studio_spark.operators import load_all
+
+    pr_auc_quality_score = load_all()[0]["pr_auc_quality_score"]
+
+    got = pr_auc_quality_score(spark, SF_DIR).collect()[0]
+    rows = _score_gate_rows(spark)
+    per = defaultdict(lambda: [0, 0])
+    for s, y in rows:
+        per[s][0] += 1
+        per[s][1] += y
+    cumpos = cumall = 0
+    ap_sum = 0.0
+    for s in sorted(per, reverse=True):
+        cnt, pos = per[s]
+        cumpos += pos
+        cumall += cnt
+        ap_sum += pos * cumpos / cumall
+    n_pos = sum(y for _, y in rows)
+    assert (got["n_pos"], got["n_docs"]) == (n_pos, len(rows))
+    assert abs(got["ap_micro"] - _half_up_micro(ap_sum / n_pos)) <= 2
+    assert got["prevalence_micro"] == _half_up_micro(n_pos / len(rows))
+
+
+def test_mcc_replay(spark):
+    """Literal confusion cells + sklearn-definition MCC."""
+    import re
+
+    from ai_etl_studio_spark.operators import load_all
+
+    matthews_corrcoef_gates = load_all()[0]["matthews_corrcoef_gates"]
+
+    got = matthews_corrcoef_gates(spark, SF_DIR).collect()[0]
+    tp = fp = fn = tn = 0
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("text")
+        .collect()
+    ):
+        if r.text is None:
+            continue
+        ts = [t for t in re.split(r"\s+", r.text.lower()) if t]
+        if not ts:
+            continue
+        a = 1 if len(ts) >= 40 else 0
+        b = 1 if 100 * len(set(ts)) >= 55 * len(ts) else 0
+        tp += a and b
+        fp += a and not b
+        fn += (not a) and b
+        tn += (not a) and (not b)
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert abs(got["mcc_micro"] - _half_up_micro(mcc)) <= 2
+    prec, rec = tp / (tp + fp), tp / (tp + fn)
+    assert abs(got["f1_micro"] - _half_up_micro(2 * prec * rec / (prec + rec))) <= 2
+
+
+def test_page_l_replay(spark):
+    """Literal within-year ranks and Page's L over the raw orders."""
+    from ai_etl_studio_spark.operators.drift import (
+        _KW_GROUPS,
+        page_trend_test_priority,
+    )
+
+    got = page_trend_test_priority(spark, SF_DIR).collect()[0]
+    rev = defaultdict(int)
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderdate", "o_orderpriority", "o_totalprice")
+        .collect()
+    ):
+        yr = r.o_orderdate.year
+        rev[(yr, r.o_orderpriority)] += int(
+            math.floor(float(r.o_totalprice) * 100 + 0.5)
+        )
+    years = sorted({y for y, _ in rev})
+    assert got["b"] == len(years)
+    L = 0
+    for yr in years:
+        cells = sorted(
+            (rev[(yr, p)], p) for p in _KW_GROUPS if (yr, p) in rev
+        )
+        for rank, (_, p) in enumerate(cells, start=1):
+            L += (_KW_GROUPS.index(p) + 1) * rank
+    assert got["page_l"] == L
+    k, b = len(_KW_GROUPS), len(years)
+    z = (L - b * k * (k + 1) ** 2 / 4) / math.sqrt(
+        b * k * k * (k + 1) * (k * k - 1) / 144
+    )
+    assert abs(got["z_micro"] - _half_up_micro(z)) <= 2
