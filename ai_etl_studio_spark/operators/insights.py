@@ -4904,3 +4904,243 @@ def cumulative_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("users_ever"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Round 7: part co-purchase graph — triangle census + link prediction
+# ---------------------------------------------------------------------------
+
+#: Co-purchase edge = two parts in the SAME order at least MINSUP times;
+#: the support floor scales the graph sub-linearly (repeat co-occurrence
+#: is rare), and the degree cap hard-bounds the quadratic wedge stage —
+#: the graph twins of the dedup hot-bucket cap. Nodes whose support-
+#: filtered degree exceeds DCAP are dropped deterministically (and
+#: counted in the census output).
+_CP_MINSUP = 2
+_CP_DCAP = 48
+
+#: Shared oracle CTE: the capped co-purchase edge set + adjacency +
+#: post-cap degrees. Per-order pair fan-out is bounded by the order's
+#: line count (≤ C(7,2) = 21 in TPC-H-shaped data).
+_CP_GRAPH_CTE = f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    e0 AS (
+      SELECT a.p AS x, b.p AS y
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_CP_MINSUP}),
+    adj0 AS (SELECT x AS u, y AS v FROM e0
+             UNION ALL SELECT y, x FROM e0),
+    d0 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj0 GROUP BY u),
+    keep AS (SELECT u FROM d0 WHERE deg <= {_CP_DCAP}),
+    e AS (
+      SELECT e0.x, e0.y FROM e0
+      JOIN keep ka ON e0.x = ka.u JOIN keep kb ON e0.y = kb.u),
+    adj AS (SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e),
+    d AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY u)
+"""
+
+
+def _copurchase_graph(spark: SparkSession, sf_dir: str):
+    """Spark twin of ``_CP_GRAPH_CTE``: returns (edges, adj, deg) — the
+    capped co-purchase edge set (checkpointed), its symmetric adjacency,
+    and post-cap degrees. All three are broadcast-sized by construction
+    (the support floor + degree cap bound them at every SF)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # pairs born per order from the sorted distinct part list (the
+    # supplier_overlap_jaccard device) — ONE shuffle by orderkey, no
+    # fact self-join; fan-out ≤ C(order line count, 2)
+    ps = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = ps.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (a, i) ->"
+                " transform(slice(ps, i + 2, size(ps)),"
+                " b -> struct(a AS x, b AS y))))"
+            )
+        ).alias("pr")
+    ).select("pr.x", "pr.y")
+    e0 = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _CP_MINSUP)
+        .select("x", "y")
+        .localCheckpoint()  # support-filtered edges feed d0, keep AND e
+    )
+    adj0 = e0.select(F.col("x").alias("u"), F.col("y").alias("v")).unionAll(
+        e0.select(F.col("y").alias("u"), F.col("x").alias("v"))
+    )
+    d0 = (
+        adj0.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint()  # read by keep and the census hub count
+    )
+    keep = d0.filter(F.col("deg") <= _CP_DCAP).select("u")
+    e = (
+        e0.join(F.broadcast(keep.withColumnRenamed("u", "x")), "x")
+        .join(F.broadcast(keep.withColumnRenamed("u", "y")), "y")
+        .select("x", "y")
+        .localCheckpoint()  # tiny capped edge set; read by every stage
+    )
+    adj = e.select(F.col("x").alias("u"), F.col("y").alias("v")).unionAll(
+        e.select(F.col("y").alias("u"), F.col("x").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    return e, adj, deg, d0
+
+
+@register(
+    "copurchase_triangle_census",
+    oracle=_CP_GRAPH_CTE
+    + """
+    , w AS (
+      SELECT a.v AS x, b.v AS y
+      FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v),
+    closed AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m
+      FROM w JOIN e ON w.x = e.x AND w.y = e.y),
+    s AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_nodes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM d0
+              WHERE deg > {dcap}) AS n_dropped_hubs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS wedges,
+             (SELECT m FROM closed) AS closed_wedges)
+    SELECT n_nodes, n_edges, n_dropped_hubs, wedges,
+           CAST(closed_wedges // 3 AS BIGINT) AS triangles,
+           CAST(round(CAST(closed_wedges AS DOUBLE)
+             / CAST(wedges AS DOUBLE) * 1000000E0, 0) AS BIGINT)
+             AS global_cc_micro
+    FROM s
+    """.format(dcap=_CP_DCAP),
+)
+def copurchase_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the part
+    co-purchase graph (parts linked when bought together in ≥2 orders):
+    triangles = cliques of mutually co-bought parts — the bundle
+    signal one notch above basket_pairs' edge lift; the global CC
+    (closed/total wedges) says whether co-purchase is CLIQUEY (bundle
+    merchandising works) or HUB-LIKE (a few staples co-occur with
+    everything — recommend by popularity instead).
+
+    Scale: per-order pair fan-out is bounded by the order's line count
+    (≤21 pairs); the support floor shrinks the edge set sub-linearly
+    (measured: 2.3k→3.4k→3.6k edges across sf0.001→0.1); the degree cap
+    makes the wedge self-join quadratic-bounded at (DCAP)² per node —
+    the dedup hot-bucket device on a graph. Every triangle closes 3
+    wedges on the capped subgraph, so triangles = closed // 3 exactly.
+
+    Exactness: pure integer counting; the only double is the final CC
+    ratio, mirrored.
+    """
+    e, adj, deg, d0 = _copurchase_graph(spark, sf_dir)
+    a, b = adj.alias("a"), adj.alias("b")
+    w = a.join(
+        b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v"))
+    ).select(F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+    wedges = w.agg(F.count(F.lit(1)).cast("bigint").alias("wedges"))
+    closed = (
+        w.join(F.broadcast(e), ["x", "y"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("closed_wedges"))
+    )
+    stats = (
+        deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .crossJoin(e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+        .crossJoin(
+            d0.filter(F.col("deg") > _CP_DCAP).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_dropped_hubs")
+            )
+        )
+        .crossJoin(wedges)
+        .crossJoin(closed)
+    )
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_dropped_hubs",
+        "wedges",
+        F.expr("CAST(closed_wedges DIV 3 AS BIGINT)").alias("triangles"),
+        F.expr(
+            "CAST(round(CAST(closed_wedges AS DOUBLE)"
+            " / CAST(wedges AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+        ).alias("global_cc_micro"),
+    )
+
+
+@register(
+    "adamic_adar_link_topk",
+    oracle=_CP_GRAPH_CTE
+    + """
+    , w AS (
+      SELECT a.v AS x, b.v AS y, a.u AS m
+      FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v),
+    open_w AS (
+      SELECT w.x, w.y, w.m FROM w
+      LEFT JOIN e ON w.x = e.x AND w.y = e.y
+      WHERE e.x IS NULL),
+    sc AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(CAST(round(1000000E0 / ln(CAST(d.deg AS DOUBLE)), 0)
+               AS BIGINT)) AS BIGINT) AS aa_micro
+      FROM open_w JOIN d ON open_w.m = d.u
+      GROUP BY x, y)
+    SELECT x AS part_a, y AS part_b, n_common, aa_micro
+    FROM sc ORDER BY aa_micro DESC, x, y LIMIT 20
+    """,
+)
+def adamic_adar_link_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the co-purchase graph: the top-20
+    part pairs NOT yet co-bought (≥2×) whose common neighbors — rare
+    ones up-weighted by 1/ln(degree) — most strongly predict they will
+    be: the classic cold-start "customers who bought these also
+    bought…" candidate list, next to event_type_affinity's realized
+    lift (this op ranks the UNREALIZED edges).
+
+    Exactness: each common-neighbor contribution 1/ln(deg_w) quantizes
+    to micro PER TERM before the pair sum (the per-term tick device),
+    so the distributed sum is exact int64; top-20 selection orders by
+    (score, part_a, part_b) — fully deterministic under ties. Every
+    middle node of a wedge has post-cap degree ≥ 2, so ln(deg) > 0.
+
+    Scale: the same capped wedge generator as the triangle census —
+    (DCAP)²-bounded per node; candidate pairs materialize only at the
+    bounded wedge grain and the anti-join against the tiny edge set is
+    broadcast.
+    """
+    e, adj, deg, _ = _copurchase_graph(spark, sf_dir)
+    a, b = adj.alias("a"), adj.alias("b")
+    w = a.join(
+        b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v"))
+    ).select(
+        F.col("a.v").alias("x"), F.col("b.v").alias("y"), F.col("a.u").alias("m")
+    )
+    open_w = w.join(F.broadcast(e), ["x", "y"], "left_anti")
+    sc = (
+        open_w.join(
+            F.broadcast(deg.withColumnRenamed("u", "m")), "m"
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(
+                F.expr(
+                    "CAST(round(1000000E0 / ln(CAST(deg AS DOUBLE)), 0)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("aa_micro"),
+        )
+    )
+    return (
+        sc.orderBy(F.desc("aa_micro"), "x", "y")
+        .limit(20)
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            "n_common",
+            "aa_micro",
+        )
+    )

@@ -460,6 +460,8 @@ HEADLINE = [
     "matthews_corrcoef_gates",
     "pr_auc_quality_score",
     "page_trend_test_priority",
+    "copurchase_triangle_census",
+    "adamic_adar_link_topk",
 ]
 
 

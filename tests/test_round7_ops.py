@@ -7,7 +7,7 @@ cannot catch a wrong recursion mirrored twice)."""
 from __future__ import annotations
 
 import math
-from collections import defaultdict
+from collections import Counter, defaultdict
 
 from tests.conftest import SF_DIR
 
@@ -422,3 +422,76 @@ def test_page_l_replay(spark):
         b * k * k * (k + 1) * (k * k - 1) / 144
     )
     assert abs(got["z_micro"] - _half_up_micro(z)) <= 2
+
+
+def test_copurchase_graph_replay(spark):
+    """Literal triangle/wedge census + Adamic-Adar scores on the real
+    corpus: build the capped graph in pure python sets and compare."""
+    from itertools import combinations
+
+    from ai_etl_studio_spark.operators.insights import (
+        _CP_DCAP,
+        _CP_MINSUP,
+        adamic_adar_link_topk,
+        copurchase_triangle_census,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    per_order = defaultdict(set)
+    for r in rows:
+        per_order[r.l_orderkey].add(r.l_partkey)
+    sup = Counter()
+    for parts in per_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            sup[(a, b)] += 1
+    e0 = {p for p, s in sup.items() if s >= _CP_MINSUP}
+    deg0 = Counter()
+    for a, b in e0:
+        deg0[a] += 1
+        deg0[b] += 1
+    keep = {u for u, d in deg0.items() if d <= _CP_DCAP}
+    e = {(a, b) for a, b in e0 if a in keep and b in keep}
+    nbrs = defaultdict(set)
+    for a, b in e:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    wedges = sum(
+        len(v) * (len(v) - 1) // 2 for v in nbrs.values()
+    )
+    closed = sum(
+        1
+        for m, v in nbrs.items()
+        for a, b in combinations(sorted(v), 2)
+        if (a, b) in e
+    )
+    got = copurchase_triangle_census(spark, SF_DIR).collect()[0]
+    assert got["n_nodes"] == len(nbrs)
+    assert got["n_edges"] == len(e)
+    assert got["n_dropped_hubs"] == sum(
+        1 for d in deg0.values() if d > _CP_DCAP
+    )
+    assert got["wedges"] == wedges
+    assert got["triangles"] == closed // 3
+    assert closed % 3 == 0
+    assert got["global_cc_micro"] == _half_up_micro(closed / wedges)
+
+    # Adamic-Adar: literal scoring with the SAME per-term quantization
+    aa = Counter()
+    common = Counter()
+    for m, v in nbrs.items():
+        w = round(1_000_000 / math.log(len(v)))
+        for a, b in combinations(sorted(v), 2):
+            if (a, b) not in e:
+                aa[(a, b)] += w
+                common[(a, b)] += 1
+    top = sorted(aa.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got_rows = adamic_adar_link_topk(spark, SF_DIR).collect()
+    assert len(got_rows) == 20
+    for row, ((a, b), score) in zip(got_rows, top):
+        assert (row["part_a"], row["part_b"]) == (a, b)
+        assert abs(row["aa_micro"] - score) <= len(nbrs)  # ±1 per term
+        assert row["n_common"] == common[(a, b)]
