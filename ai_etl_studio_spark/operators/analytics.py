@@ -11024,3 +11024,366 @@ def mad_robust_z_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: inequality readout / superlative index / demand elasticity
+# ---------------------------------------------------------------------------
+
+@register(
+    "palma_ratio_by_nation",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey),
+    cnt AS (SELECT nk, v, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+    cum AS (
+      SELECT nk, v, c,
+             SUM(c) OVER (PARTITION BY nk ORDER BY v) AS cum,
+             SUM(c * v) OVER (PARTITION BY nk ORDER BY v) AS cumv,
+             SUM(c) OVER (PARTITION BY nk) AS n,
+             SUM(c * v) OVER (PARTITION BY nk) AS tot
+      FROM cnt),
+    th AS (
+      SELECT nk, CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(tot) AS BIGINT) AS tot,
+             MIN(CASE WHEN cum >= n - n // 10 THEN v END) AS v_hi,
+             MIN(CASE WHEN cum >= (4 * n) // 10 THEN v END) AS v_lo
+      FROM cum GROUP BY nk),
+    hi AS (
+      SELECT cum.nk, th.n, th.tot,
+             CAST(th.tot - cum.cumv
+               + (th.n // 10 - (th.n - cum.cum)) * th.v_hi AS BIGINT)
+               AS top10_cents
+      FROM cum JOIN th ON cum.nk = th.nk AND cum.v = th.v_hi),
+    lo AS (
+      SELECT cum.nk,
+             CAST(cum.cumv - cum.c * th.v_lo
+               + ((4 * th.n) // 10 - (cum.cum - cum.c))
+                 * th.v_lo AS BIGINT) AS bot40_cents
+      FROM cum JOIN th ON cum.nk = th.nk AND cum.v = th.v_lo)
+    SELECT hi.nk AS nationkey, hi.n AS n_customers,
+           hi.top10_cents, lo.bot40_cents,
+           CAST(round(CAST(hi.top10_cents AS DOUBLE)
+             / CAST(lo.bot40_cents AS DOUBLE) * 1000000E0, 0) AS BIGINT)
+             AS palma_micro
+    FROM hi JOIN lo ON hi.nk = lo.nk
+    ORDER BY nationkey
+    """,
+)
+def palma_ratio_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palma ratio of customer spend per nation — total spend of the
+    top 10% of customers over the bottom 40% — the policy-grade
+    inequality readout that tracks where real-world distributional
+    change happens (the middle 50% share is famously stable, so Gini's
+    sensitivity there is mostly noise); completes the inequality family
+    beside gini_by_nation (transfer-ranking) and
+    atkinson_index_by_nation (welfare-weighted).
+
+    Exactness: per-customer spend is exact cents; k₁₀ = n÷10 and
+    k₄₀ = 4n÷10 are integer head-counts; both group sums resolve tie
+    values EXACTLY — top10 = full mass above v* plus the deficit
+    count × v* at the threshold value (all integer arithmetic); the
+    ratio is the only double, mirrored.
+
+    Scale: the same (nation, value)-grain ECDF scaffold as
+    mad_robust_z_by_nation — orders reduce to per-customer spend before
+    the key-on-key customer join, windows partition by nation over the
+    value grain (the gini_by_nation bucketed scaffold is the documented
+    switch past ~sf100 where a nation's value grain stops fitting one
+    partition).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), "o_custkey")
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("v"))
+    )
+    cnt = j.groupBy("nk", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w_cum = (
+        Window.partitionBy("nk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("nk")
+    cum = cnt.select(
+        "nk", "v", "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum(F.col("c") * F.col("v")).over(w_cum).alias("cumv"),
+        F.sum("c").over(w_all).alias("n"),
+        F.sum(F.col("c") * F.col("v")).over(w_all).alias("tot"),
+    ).localCheckpoint()  # value-grain; read by th, hi AND lo
+    th = cum.groupBy("nk").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("tot").cast("bigint").alias("tot"),
+        F.min(
+            F.when(F.col("cum") >= F.col("n") - F.expr("n DIV 10"), F.col("v"))
+        ).alias("v_hi"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(4 * n) DIV 10"), F.col("v"))
+        ).alias("v_lo"),
+    )
+    slim = cum.select(
+        F.col("nk").alias("s_nk"), F.col("v").alias("s_v"), "c", "cum", "cumv"
+    )
+    hi = (
+        slim.join(
+            F.broadcast(th),
+            (F.col("s_nk") == F.col("nk")) & (F.col("s_v") == F.col("v_hi")),
+        )
+        .select("nk", "n", "tot", "v_hi", "cum", "cumv")
+        .select(
+            "nk",
+            "n",
+            (
+                F.col("tot")
+                - F.col("cumv")
+                + (
+                    F.expr("n DIV 10")
+                    - (F.col("n") - F.col("cum"))
+                )
+                * F.col("v_hi")
+            )
+            .cast("bigint")
+            .alias("top10_cents"),
+        )
+    )
+    lo = (
+        slim.join(
+            F.broadcast(th),
+            (F.col("s_nk") == F.col("nk")) & (F.col("s_v") == F.col("v_lo")),
+        )
+        .select("nk", "n", "v_lo", "c", "cum", "cumv")
+        .select(
+            "nk",
+            (
+                F.col("cumv")
+                - F.col("c") * F.col("v_lo")
+                + (
+                    F.expr("(4 * n) DIV 10")
+                    - (F.col("cum") - F.col("c"))
+                )
+                * F.col("v_lo")
+            )
+            .cast("bigint")
+            .alias("bot40_cents"),
+        )
+    )
+    return (
+        hi.join(lo, "nk")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.col("n").alias("n_customers"),
+            "top10_cents",
+            "bot40_cents",
+            F.expr(
+                "CAST(round(CAST(top10_cents AS DOUBLE)"
+                " / CAST(bot40_cents AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+            ).alias("palma_micro"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_WALSH_Y0, _WALSH_Y1 = 1995, 1996
+
+
+@register(
+    "walsh_price_index",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q0,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS r0
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = {_WALSH_Y0}
+      GROUP BY 1 HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+    cur AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q1,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS r1
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = {_WALSH_Y1}
+      GROUP BY 1 HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+    j AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_parts_matched,
+             CAST(SUM(CAST(round(
+               CAST(cur.r1 * 1000 // cur.q1 AS DOUBLE)
+               * sqrt(CAST(base.q0 AS DOUBLE) * CAST(cur.q1 AS DOUBLE)), 0)
+               AS BIGINT)) AS BIGINT) AS num,
+             CAST(SUM(CAST(round(
+               CAST(base.r0 * 1000 // base.q0 AS DOUBLE)
+               * sqrt(CAST(base.q0 AS DOUBLE) * CAST(cur.q1 AS DOUBLE)), 0)
+               AS BIGINT)) AS BIGINT) AS den
+      FROM cur JOIN base ON cur.l_partkey = base.l_partkey)
+    SELECT n_parts_matched,
+           CAST(num * 1000 // den AS BIGINT) AS walsh_index_milli
+    FROM j
+    """,
+)
+def walsh_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walsh price index {_WALSH_Y0}→{_WALSH_Y1}: realized unit prices
+    weighted by √(q₀·q₁) — the superlative index that treats both
+    periods symmetrically THROUGH the quantity weights (Törnqvist gets
+    symmetry through expenditure shares, Fisher by averaging the two
+    one-sided indexes); completes the engine's price-index family
+    (Laspeyres/Paasche/Fisher/Törnqvist/Walsh — the five every
+    national-statistics manual tabulates).
+
+    Exactness: quantities and unit milli-prices are exact integers off
+    the per-part year reductions; the only fraction per part — the
+    √(q₀q₁) geometric weight times the milli price — quantizes to an
+    integer PER PART before the sums (per-term device), and the index
+    is one exact integer milli floor division.
+
+    Scale: both legs reduce per part BEFORE the key-on-key join; the
+    join carries four ints per matched part, never lines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round("l_quantity").cast("bigint")
+
+    def leg(year: int, qn: str, rn: str) -> DataFrame:
+        return (
+            li.filter(F.year(F.col("l_shipdate").cast("date")) == year)
+            .groupBy("l_partkey")
+            .agg(
+                F.sum(q).cast("bigint").alias(qn),
+                F.sum(cents("l_extendedprice")).cast("bigint").alias(rn),
+            )
+            .filter(F.col(qn) > 0)
+        )
+
+    j = leg(_WALSH_Y0, "q0", "r0").join(leg(_WALSH_Y1, "q1", "r1"), "l_partkey")
+    g = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts_matched"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(r1 * 1000 DIV q1 AS DOUBLE)"
+                " * sqrt(CAST(q0 AS DOUBLE) * CAST(q1 AS DOUBLE)), 0)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("num"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(r0 * 1000 DIV q0 AS DOUBLE)"
+                " * sqrt(CAST(q0 AS DOUBLE) * CAST(q1 AS DOUBLE)), 0)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("den"),
+    )
+    return g.select(
+        "n_parts_matched",
+        F.expr("CAST(num * 1000 DIV den AS BIGINT)").alias(
+            "walsh_index_milli"
+        ),
+    )
+
+
+@register(
+    "price_elasticity_by_type",
+    oracle="""
+    WITH cell AS (
+      SELECT p.p_type AS ptype,
+             CAST(date_trunc('month', CAST(l.l_shipdate AS DATE)) AS DATE)
+               AS m,
+             CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS qt,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rt
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2 HAVING SUM(CAST(round(l.l_quantity) AS BIGINT)) > 0),
+    pt AS (
+      SELECT ptype,
+             CAST(round(ln(CAST(rt * 1000 // qt AS DOUBLE) / 1000E0)
+               * 1000000E0, 0) AS BIGINT) AS x,
+             CAST(round(ln(CAST(qt AS DOUBLE)) * 1000000E0, 0) AS BIGINT)
+               AS y
+      FROM cell),
+    g AS (
+      SELECT ptype, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pt GROUP BY ptype)
+    SELECT ptype AS p_type, n AS n_months,
+           CAST(round(
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * 1000000E0, 0) AS BIGINT) AS elasticity_micro
+    FROM g WHERE n >= 24 ORDER BY p_type
+    """,
+)
+def price_elasticity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price demand elasticity per part type: the log-log OLS slope
+    of monthly quantity on monthly realized unit price — ε < −1 reads
+    elastic (a discount pays for itself in volume), −1 < ε < 0
+    inelastic (discounting burns margin), the pricing-policy number
+    behind discount_demand_response's banded readout. Types with fewer
+    than 24 priced months are excluded (stated support floor).
+
+    Exactness: per-(type, month) quantities/revenue are exact integers;
+    the two logs quantize to MICRO per cell before the per-type sums
+    (per-term device: Σx·y of micro ints stays < 2^63 through the
+    ~84-month horizon at every SF because the cell GRAIN, not the row
+    count, bounds the sum); the slope is one mirrored fixed-order
+    expression over five exact integers.
+
+    Scale: the fact-dim join is key-on-key (hint-free — part is not
+    broadcastable at 100 TB); everything after lives at the
+    |types|×|months| cell grain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cell = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_type").alias("ptype"),
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias("m"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qt"),
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("rt"),
+        )
+        .filter(F.col("qt") > 0)
+    )
+    pt = cell.select(
+        "ptype",
+        F.expr(
+            "CAST(round(ln(CAST(rt * 1000 DIV qt AS DOUBLE) / 1000E0)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(round(ln(CAST(qt AS DOUBLE)) * 1000000E0, 0) AS BIGINT)"
+        ).alias("y"),
+    )
+    g = pt.groupBy("ptype").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return (
+        g.filter(F.col("n") >= 24)
+        .select(
+            F.col("ptype").alias("p_type"),
+            F.col("n").alias("n_months"),
+            F.expr(
+                "CAST(round("
+                "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+                " * 1000000E0, 0) AS BIGINT)"
+            ).alias("elasticity_micro"),
+        )
+        .orderBy("p_type")
+    )

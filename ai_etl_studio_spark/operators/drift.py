@@ -5293,3 +5293,279 @@ def page_trend_test_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / 144E0) * 1000000E0, 0) AS BIGINT)"
         ).alias("z_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: monitoring / forecasting-baseline / extreme-value tier
+# ---------------------------------------------------------------------------
+
+_EWMA_YEAR = "1996"
+
+
+@register(
+    "ewma_control_chart_daily",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, yc FROM (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS yc
+        FROM orders
+        WHERE o_orderdate >= DATE '{_EWMA_YEAR}-01-01'
+          AND o_orderdate < DATE '{int(_EWMA_YEAR) + 1}-01-01'
+        GROUP BY CAST(o_orderdate AS DATE)) t),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yc) AS BIGINT) AS s1,
+             CAST(SUM(CAST(yc AS HUGEINT) * yc) AS HUGEINT) AS s2
+      FROM daily),
+    lim AS (
+      SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             3E0 * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+               * sqrt(0.2E0 / 1.8E0) AS hw
+      FROM st),
+    ew(i, e, br) AS (
+      SELECT 1, (SELECT CAST(yc AS DOUBLE) FROM daily WHERE i = 1),
+             CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT ew.i + 1,
+             0.2E0 * CAST(d.yc AS DOUBLE) + 0.8E0 * ew.e,
+             ew.br + (CASE WHEN abs((0.2E0 * CAST(d.yc AS DOUBLE)
+                                     + 0.8E0 * ew.e) - lim.mu) > lim.hw
+                           THEN 1 ELSE 0 END)
+      FROM ew JOIN daily d ON d.i = ew.i + 1, lim)
+    SELECT lim.n AS n_days,
+           CAST(round(ew.e, 0) AS BIGINT) AS ewma_final_cents,
+           ew.br AS n_breaches,
+           CAST(round(lim.mu + lim.hw, 0) AS BIGINT) AS ucl_cents,
+           CAST(round(lim.mu - lim.hw, 0) AS BIGINT) AS lcl_cents
+    FROM ew, lim WHERE ew.i = lim.n
+    """,
+)
+def ewma_control_chart_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (λ = 0.2, ±3σ_EWMA) over one year of daily
+    revenue: the exponentially-weighted mean tracks small sustained
+    level shifts a Shewhart ±3σ chart misses (an 0.5σ drift breaches
+    the EWMA band ~5× sooner), and n_breaches is the alert count the
+    monitoring pipeline would have fired. The steady-state limit
+    halfwidth is 3σ·√(λ/(2−λ)); the chart centers on the year's own
+    mean (a retrospective phase-I chart, stated).
+
+    Exactness: mean and σ come from EXACT integer cents sums (Σy int64,
+    Σy² HUGEINT/decimal128 — order-free), so the limits are one
+    fixed-order expression; the inherently-sequential EWMA recursion is
+    the holt_level_trend reduce-then-fold shape — one JVM `aggregate`
+    over the sorted ~365-element array, mirrored operation-for-
+    operation by the oracle's recursive CTE so the IEEE doubles agree
+    bit-for-bit. Init e₀ = y₀ (untested, standard).
+
+    Scale: one year of days after a partial→final reduction; the fold
+    is a single-row array expression, never a shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= f"{_EWMA_YEAR}-01-01")
+        & (F.col("o_orderdate") < f"{int(_EWMA_YEAR) + 1}-01-01")
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("yc")
+    )
+    daily = daily.localCheckpoint()  # read by the stats agg AND the fold
+    st = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yc").cast("bigint").alias("s1"),
+        F.sum(F.col("yc").cast("decimal(19,0)") * F.col("yc").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    lim = st.select(
+        "n",
+        F.expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)").alias("mu"),
+        F.expr(
+            "3E0 * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+            " - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+            "   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))"
+            " * sqrt(0.2E0 / 1.8E0)"
+        ).alias("hw"),
+    )
+    row = (
+        daily.agg(
+            F.array_sort(F.collect_list(F.struct("d", "yc"))).alias("s")
+        )
+        .select(
+            F.transform("s", lambda x: x["yc"].cast("double")).alias("ys")
+        )
+        .crossJoin(F.broadcast(lim))
+    )
+    ys, mu, hw = F.col("ys"), F.col("mu"), F.col("hw")
+    init = F.struct(
+        F.element_at(ys, 1).alias("e"), F.lit(0).cast("bigint").alias("br")
+    )
+
+    def step(acc, y):
+        e_new = F.lit(0.2) * y + F.lit(0.8) * acc["e"]
+        br_new = acc["br"] + F.when(
+            F.abs((F.lit(0.2) * y + F.lit(0.8) * acc["e"]) - mu) > hw, 1
+        ).otherwise(0)
+        return F.struct(e_new.alias("e"), br_new.cast("bigint").alias("br"))
+
+    folded = F.aggregate(F.slice(ys, 2, F.size(ys) - 1), init, step)
+    return row.select(
+        F.col("n").alias("n_days"),
+        F.round(folded["e"], 0).cast("bigint").alias("ewma_final_cents"),
+        folded["br"].alias("n_breaches"),
+        F.round(mu + hw, 0).cast("bigint").alias("ucl_cents"),
+        F.round(mu - hw, 0).cast("bigint").alias("lcl_cents"),
+    )
+
+
+@register(
+    "theil_u2_daily_forecast",
+    oracle=_DAILY_1K_CTE
+    + """
+    , l AS (
+      SELECT x, lag(x, 1) OVER (ORDER BY t) AS x1,
+             lag(x, 7) OVER (ORDER BY t) AS x7
+      FROM t),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST((x - x7) AS HUGEINT) * (x - x7)) AS HUGEINT)
+               AS e_seasonal,
+             CAST(SUM(CAST((x - x1) AS HUGEINT) * (x - x1)) AS HUGEINT)
+               AS e_naive
+      FROM l WHERE x7 IS NOT NULL)
+    SELECT n AS n_terms,
+           CAST(round(sqrt(CAST(e_seasonal AS DOUBLE)
+             / CAST(e_naive AS DOUBLE)) * 1000000E0, 0) AS BIGINT)
+             AS u2_micro
+    FROM g
+    """,
+)
+def theil_u2_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U₂ of the week-ago seasonal-naive forecast against the
+    yesterday naive baseline on daily revenue: U₂ < 1 says x_{{t−7}}
+    beats x_{{t−1}} — weekly seasonality is REAL and worth a seasonal
+    model; U₂ ≥ 1 says don't bother (the honest skill score every
+    fancier forecaster must beat before shipping). Both error sums run
+    over the same t ≥ 7 support so the comparison is fair.
+
+    Exactness: integer $1k-tick differences, squared error sums on
+    HUGEINT/decimal128 (Σd² crosses int64 near sf1000), ONE mirrored
+    sqrt-ratio at the end.
+
+    Scale: day-grain reduction, one tiny two-lag window (the ACF-family
+    exception), one-row output.
+    """
+    t = _daily_1k(spark, sf_dir)
+    w = Window.orderBy("t")
+    l = t.select(
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    ).filter(F.col("x7").isNotNull())
+    d7 = (F.col("x") - F.col("x7")).cast("decimal(19,0)")
+    d1 = (F.col("x") - F.col("x1")).cast("decimal(19,0)")
+    g = l.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d7 * d7).cast("decimal(38,0)").alias("e_seasonal"),
+        F.sum(d1 * d1).cast("decimal(38,0)").alias("e_naive"),
+    )
+    return g.select(
+        F.col("n").alias("n_terms"),
+        F.expr(
+            "CAST(round(sqrt(CAST(e_seasonal AS DOUBLE)"
+            " / CAST(e_naive AS DOUBLE)) * 1000000E0, 0) AS BIGINT)"
+        ).alias("u2_micro"),
+    )
+
+
+@register(
+    "gumbel_block_maxima_fit",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS yc
+      FROM orders GROUP BY 1),
+    blocks AS (
+      SELECT CAST(date_trunc('month', d) AS DATE) AS m,
+             CAST(MAX(yc) AS BIGINT) AS mx
+      FROM daily GROUP BY 1),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(mx) AS BIGINT) AS s1,
+             CAST(SUM(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS s2
+      FROM blocks)
+    SELECT nb AS n_blocks,
+           CAST(round(sqrt(6E0 * (CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)
+             - (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)))) / pi(), 0)
+             AS BIGINT) AS beta_cents,
+           CAST(round(CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)
+             - 0.5772156649015329
+               * (sqrt(6E0 * (CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)))) / pi()),
+             0) AS BIGINT) AS mu_cents,
+           CAST(round((CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)
+             - 0.5772156649015329
+               * (sqrt(6E0 * (CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)))) / pi()))
+             - (sqrt(6E0 * (CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)))) / pi())
+               * ln(0E0 - ln(1E0 - 1E0 / 12E0)), 0) AS BIGINT)
+             AS return_level_12mo_cents
+    FROM st
+    """,
+)
+def gumbel_block_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EVT type-I) fit of MONTHLY MAXIMA of daily revenue by
+    the method of moments — β = σ√6/π, μ = m̄ − γβ — plus the 12-month
+    return level μ − β·ln(−ln(1−1/12)): "the single-day revenue spike
+    to expect about once a year", the capacity-planning number next to
+    hill_tail_index's tail-shape diagnostic (Hill says HOW heavy the
+    tail is; this prices a concrete horizon).
+
+    Exactness: block maxima are exact integer cents; Σm and Σm² are
+    int64/HUGEINT wide sums, so mean/σ of the maxima are exact inputs
+    to ONE mirrored fixed-order expression (Euler-Mascheroni and the
+    return-level ln-ln written as identical literals in both engines).
+
+    Scale: two nested reductions (day grain, then month grain — ≤ |months|
+    rows), one-row output; no window at all.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("yc")
+    )
+    blocks = daily.groupBy(F.trunc("d", "month").alias("m")).agg(
+        F.max("yc").cast("bigint").alias("mx")
+    )
+    st = blocks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("mx").cast("bigint").alias("s1"),
+        F.sum(F.col("mx").cast("decimal(19,0)") * F.col("mx").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    beta = (
+        "(sqrt(6E0 * (CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)"
+        " - (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))"
+        "   * (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)))) / pi())"
+    )
+    mu = (
+        "(CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)"
+        f" - 0.5772156649015329 * {beta})"
+    )
+    return st.select(
+        F.col("nb").alias("n_blocks"),
+        F.expr(f"CAST(round({beta}, 0) AS BIGINT)").alias("beta_cents"),
+        F.expr(f"CAST(round({mu}, 0) AS BIGINT)").alias("mu_cents"),
+        F.expr(
+            f"CAST(round({mu} - {beta} * ln(0E0 - ln(1E0 - 1E0 / 12E0)), 0)"
+            " AS BIGINT)"
+        ).alias("return_level_12mo_cents"),
+    )

@@ -462,6 +462,12 @@ HEADLINE = [
     "page_trend_test_priority",
     "copurchase_triangle_census",
     "adamic_adar_link_topk",
+    "ewma_control_chart_daily",
+    "theil_u2_daily_forecast",
+    "gumbel_block_maxima_fit",
+    "palma_ratio_by_nation",
+    "walsh_price_index",
+    "price_elasticity_by_type",
 ]
 
 

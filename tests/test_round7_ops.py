@@ -495,3 +495,170 @@ def test_copurchase_graph_replay(spark):
         assert (row["part_a"], row["part_b"]) == (a, b)
         assert abs(row["aa_micro"] - score) <= len(nbrs)  # ±1 per term
         assert row["n_common"] == common[(a, b)]
+
+
+def test_ewma_and_theil_u2_replay(spark):
+    """Literal EWMA fold + breach count and the U₂ ratio in python."""
+    from ai_etl_studio_spark.operators.drift import (
+        _EWMA_YEAR,
+        ewma_control_chart_daily,
+        theil_u2_daily_forecast,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    per_day = defaultdict(int)
+    for r in rows:
+        if str(r.o_orderdate).startswith(_EWMA_YEAR):
+            per_day[r.o_orderdate] += int(
+                math.floor(float(r.o_totalprice) * 100 + 0.5)
+            )
+    ys = [v for _, v in sorted(per_day.items())]
+    n = len(ys)
+    mu = sum(ys) / n
+    sigma = math.sqrt(sum(v * v for v in ys) / n - mu * mu)
+    hw = 3 * sigma * math.sqrt(0.2 / 1.8)
+    e, br = float(ys[0]), 0
+    for y in ys[1:]:
+        e = 0.2 * y + 0.8 * e
+        if abs(e - mu) > hw:
+            br += 1
+    got = ewma_control_chart_daily(spark, SF_DIR).collect()[0]
+    assert got["n_days"] == n
+    assert got["n_breaches"] == br
+    assert abs(got["ewma_final_cents"] - e) <= 1
+    assert abs(got["ucl_cents"] - (mu + hw)) <= 1
+    assert abs(got["lcl_cents"] - (mu - hw)) <= 1
+
+    x = _daily_1k_ticks(spark)
+    e7 = sum((x[t] - x[t - 7]) ** 2 for t in range(7, len(x)))
+    e1 = sum((x[t] - x[t - 1]) ** 2 for t in range(7, len(x)))
+    got = theil_u2_daily_forecast(spark, SF_DIR).collect()[0]
+    assert got["n_terms"] == len(x) - 7
+    assert abs(got["u2_micro"] - _half_up_micro(math.sqrt(e7 / e1))) <= 2
+
+
+def test_gumbel_fit_replay(spark):
+    """Literal monthly block maxima + method-of-moments Gumbel fit."""
+    from ai_etl_studio_spark.operators.drift import gumbel_block_maxima_fit
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    per_day = defaultdict(int)
+    for r in rows:
+        per_day[r.o_orderdate] += int(
+            math.floor(float(r.o_totalprice) * 100 + 0.5)
+        )
+    per_month = defaultdict(int)
+    for d, v in per_day.items():
+        per_month[(d.year, d.month)] = max(per_month[(d.year, d.month)], v)
+    mx = list(per_month.values())
+    nb = len(mx)
+    mean = sum(mx) / nb
+    var = sum(v * v for v in mx) / nb - mean * mean
+    beta = math.sqrt(6 * var) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    rl = mu - beta * math.log(-math.log(1 - 1 / 12))
+    got = gumbel_block_maxima_fit(spark, SF_DIR).collect()[0]
+    assert got["n_blocks"] == nb
+    assert abs(got["beta_cents"] - beta) <= 1
+    assert abs(got["mu_cents"] - mu) <= 1
+    assert abs(got["return_level_12mo_cents"] - rl) <= 1
+
+
+def test_palma_replay(spark):
+    """Literal Palma: sort each nation's customer spends, take exact
+    integer head-counts n//10 and 4n//10 off the top/bottom."""
+    from ai_etl_studio_spark.operators.analytics import palma_ratio_by_nation
+
+    o = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    cn = {
+        r.c_custkey: r.c_nationkey
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    }
+    spend = defaultdict(int)
+    for r in o:
+        spend[(cn[r.o_custkey], r.o_custkey)] += int(
+            math.floor(float(r.o_totalprice) * 100 + 0.5)
+        )
+    by_nk = defaultdict(list)
+    for (nk, _), v in spend.items():
+        by_nk[nk].append(v)
+    got = {
+        r["nationkey"]: r for r in palma_ratio_by_nation(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(by_nk)
+    for nk, vals in by_nk.items():
+        vals.sort()
+        n = len(vals)
+        k10, k40 = n // 10, (4 * n) // 10
+        top = sum(vals[n - k10 :])
+        bot = sum(vals[:k40])
+        r = got[nk]
+        assert r["n_customers"] == n
+        assert r["top10_cents"] == top
+        assert r["bot40_cents"] == bot
+        assert r["palma_micro"] == _half_up_micro(top / bot)
+
+
+def test_walsh_between_laspeyres_and_paasche(spark):
+    """A superlative index must land between the two one-sided indexes
+    on the same matched basket (the index-number squeeze)."""
+    from ai_etl_studio_spark.operators.analytics import (
+        _WALSH_Y0,
+        _WALSH_Y1,
+        walsh_price_index,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # q0, r0, q1, r1
+    for r in li:
+        y = r.l_shipdate.year
+        if y not in (_WALSH_Y0, _WALSH_Y1):
+            continue
+        a = agg[r.l_partkey]
+        q = round(float(r.l_quantity))
+        c = int(math.floor(float(r.l_extendedprice) * 100 + 0.5))
+        if y == _WALSH_Y0:
+            a[0] += q
+            a[1] += c
+        else:
+            a[2] += q
+            a[3] += c
+    num_l = den_l = num_p = den_p = num_w = den_w = 0.0
+    n_matched = 0
+    for q0, r0, q1, r1 in agg.values():
+        if q0 <= 0 or q1 <= 0:
+            continue
+        n_matched += 1
+        p0, p1 = r0 * 1000 // q0, r1 * 1000 // q1
+        w = math.sqrt(q0 * q1)
+        num_l += p1 * q0
+        den_l += p0 * q0
+        num_p += p1 * q1
+        den_p += p0 * q1
+        num_w += round(p1 * w)
+        den_w += round(p0 * w)
+    got = walsh_price_index(spark, SF_DIR).collect()[0]
+    assert got["n_parts_matched"] == n_matched
+    walsh = got["walsh_index_milli"] / 1000
+    assert abs(walsh - num_w / den_w) < 0.002
+    lasp, paasche = num_l / den_l, num_p / den_p
+    lo_b, hi_b = min(lasp, paasche), max(lasp, paasche)
+    assert lo_b - 0.01 <= walsh <= hi_b + 0.01
