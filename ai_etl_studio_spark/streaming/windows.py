@@ -1502,3 +1502,48 @@ def run_stream_daily_revenue(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_value_moments(
+    spark: SparkSession, sf_dir: str, query_name: str = "moments_out"
+) -> DataFrame:
+    """REAL streaming maintenance of the order-value moment state (the
+    tenth readStream twin): orders stream in and ONE un-grouped
+    streaming aggregation carries n, Σv, Σv², Σv³, Σv⁴ over integer
+    cents — the sufficient statistics every distributional monitor
+    (jarque_bera normality gate, skewness/kurtosis tiles, σ-fence
+    limits) reads live. Downstream tests derive skew/kurtosis from the
+    state exactly as the batch ops do.
+
+    Mergeable-summary shape: the state is FIVE numbers (the smallest
+    possible bounded state — independent of stream rate, calendar, and
+    key cardinality); the higher powers ride decimal(38,0) exactly as
+    in the batch jarque_bera op, and integer/decimal sums are
+    order-free, so the row is bit-identical to the batch aggregate in
+    ANY arrival order (asserted in tests/test_streaming.py). Complete
+    output mode. Returns (n, s1, s2, s3, s4)."""
+    o = read_orders_stream(spark, sf_dir)
+    v = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    v2 = (v * v).cast("bigint")
+    st = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).cast("decimal(38,0)").alias("s1"),
+        F.sum(v2.cast("decimal(38,0)")).cast("decimal(38,0)").alias("s2"),
+        F.sum(v2.cast("decimal(19,0)") * v.cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s3"),
+        F.sum(v2.cast("decimal(19,0)") * v2.cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )
+    q = (
+        st.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

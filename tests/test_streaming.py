@@ -677,3 +677,43 @@ def test_stream_daily_revenue_matches_batch(spark):
     )
     assert got == {r.day: r.r for r in batch}
     assert len(got) > 0
+
+
+def test_stream_value_moments_matches_batch(spark):
+    """The tenth readStream twin: the five-number moment state is
+    bit-identical to the batch aggregate (integer/decimal sums are
+    order-free), and the derived skewness is finite and equal when
+    computed from either side's state."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from ai_etl_studio_spark.streaming.windows import run_stream_value_moments
+
+    got = run_stream_value_moments(spark, SF_DIR, "t_moments").collect()
+    assert len(got) == 1
+    g = got[0]
+    v = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    v2 = (v * v).cast("bigint")
+    b = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(v).cast("decimal(38,0)").alias("s1"),
+            F.sum(v2.cast("decimal(38,0)")).cast("decimal(38,0)").alias("s2"),
+            F.sum(v2.cast("decimal(19,0)") * v.cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias("s3"),
+            F.sum(v2.cast("decimal(19,0)") * v2.cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias("s4"),
+        )
+        .collect()[0]
+    )
+    assert (g.n, g.s1, g.s2, g.s3, g.s4) == (b.n, b.s1, b.s2, b.s3, b.s4)
+    n, s1, s2, s3 = g.n, float(g.s1), float(g.s2), float(g.s3)
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu**3
+    skew = m3 / m2**1.5
+    assert math.isfinite(skew)
