@@ -5144,3 +5144,251 @@ def adamic_adar_link_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aa_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: scale-path estimation infrastructure
+# ---------------------------------------------------------------------------
+
+#: Poisson-bootstrap replicate count and the Poisson(1) CDF thresholds
+#: (e⁻¹·Σ 1/k!) written as identical literals in both engines; weights
+#: cap at 8 (P > 8 ≈ 1e-6 — stated truncation).
+_PB_B = 32
+_PB_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9999167589426136", "0.9999897508033253",
+)
+
+
+def _pb_weight_sql(u: str) -> str:
+    """CASE ladder mapping a uniform to a Poisson(1) multiplicity —
+    shared text for both engines."""
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_PB_CDF)
+    )
+    return f"(CASE {cases} ELSE 8 END)"
+
+
+@register(
+    "poisson_bootstrap_se_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS yc
+      FROM orders GROUP BY 1),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yc) AS BIGINT) AS s1,
+             CAST(SUM(CAST(yc AS HUGEINT) * yc) AS HUGEINT) AS s2
+      FROM daily),
+    rep AS (
+      SELECT d.day, d.yc, b.b,
+             {_pb_weight_sql(
+                 "(CAST(concat('0x', substr(md5('pb:' || CAST(d.day AS VARCHAR)"
+                 " || ':' || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT)"
+                 " / 4294967296E0)"
+             )} AS w
+      FROM daily d CROSS JOIN
+           (SELECT unnest(generate_series(0, {_PB_B - 1})) AS b) b),
+    bm AS (
+      SELECT b, CAST(SUM(w) AS BIGINT) AS nb,
+             CAST(SUM(CAST(w AS BIGINT) * yc) AS BIGINT) AS sb
+      FROM rep GROUP BY b HAVING SUM(w) > 0),
+    mm AS (
+      SELECT b, CAST(round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 0)
+               AS BIGINT) AS mb
+      FROM bm),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS beff,
+             CAST(SUM(mb) AS BIGINT) AS sm,
+             CAST(SUM(CAST(mb AS HUGEINT) * mb) AS HUGEINT) AS qm
+      FROM mm)
+    SELECT st.n AS n_days, agg.beff AS b_resamples,
+           CAST(round(sqrt((CAST(qm AS DOUBLE)
+             - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+               / CAST(beff AS DOUBLE)) / CAST(beff - 1 AS DOUBLE)), 0)
+             AS BIGINT) AS se_boot_cents,
+           CAST(round(sqrt((CAST(s2 AS DOUBLE) / CAST(st.n AS DOUBLE)
+             - (CAST(s1 AS DOUBLE) / CAST(st.n AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / CAST(st.n AS DOUBLE)))
+             / CAST(st.n AS DOUBLE)), 0) AS BIGINT) AS se_analytic_cents
+    FROM agg, st
+    """,
+)
+def poisson_bootstrap_se_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson(1) bootstrap standard error of mean daily revenue from
+    {_PB_B} DETERMINISTIC resamples — the bootstrap that actually works
+    on a cluster: multinomial resampling needs the global row count up
+    front and a shared random state, Poisson multiplicities are per-row
+    independent (each row draws its weight from a hash — one pass, no
+    coordination, restart-safe), which is why it's the standard
+    engine-side bootstrap at fleet scale. The analytic σ/√n rides along
+    so the test can assert the device calibrates.
+
+    Exactness: weights come from a CASE ladder over the md5-uniform
+    against Poisson(1) CDF literals (identical text both engines);
+    per-replicate sums are exact integers; each replicate mean
+    quantizes to whole cents before the across-replicate moment sums
+    (per-term device), and both SEs are one mirrored expression.
+
+    Scale: the replicate fan-out is |days|×{_PB_B} rows of integers —
+    state bounded by the calendar, not the fact table (facts reduce to
+    the day grain first).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from ai_etl_studio_spark.functions.exact import cents
+
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("yc"))
+        .localCheckpoint()  # day grain; read by stats AND the fan-out
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yc").cast("bigint").alias("s1"),
+        F.sum(F.col("yc").cast("decimal(19,0)") * F.col("yc").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    b = spark.createDataFrame([(i,) for i in range(_PB_B)], "b int")
+    u = (
+        "(CAST(conv(substring(md5(concat('pb:', CAST(day AS STRING), ':',"
+        " CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296E0)"
+    )
+    rep = daily.crossJoin(F.broadcast(b)).select(
+        "day", "yc", "b", F.expr(_pb_weight_sql(u)).alias("w")
+    )
+    bm = (
+        rep.groupBy("b")
+        .agg(
+            F.sum("w").cast("bigint").alias("nb"),
+            F.sum(F.col("w").cast("bigint") * F.col("yc"))
+            .cast("bigint")
+            .alias("sb"),
+        )
+        .filter(F.col("nb") > 0)
+    )
+    mm = bm.select(
+        F.expr(
+            "CAST(round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 0)"
+            " AS BIGINT)"
+        ).alias("mb")
+    )
+    agg = mm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("beff"),
+        F.sum("mb").cast("bigint").alias("sm"),
+        F.sum(F.col("mb").cast("decimal(19,0)") * F.col("mb").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("qm"),
+    )
+    return agg.crossJoin(F.broadcast(st)).select(
+        F.col("n").alias("n_days"),
+        F.col("beff").alias("b_resamples"),
+        F.expr(
+            "CAST(round(sqrt((CAST(qm AS DOUBLE)"
+            " - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)"
+            "   / CAST(beff AS DOUBLE)) / CAST(beff - 1 AS DOUBLE)), 0)"
+            " AS BIGINT)"
+        ).alias("se_boot_cents"),
+        F.expr(
+            "CAST(round(sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+            " - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+            "   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))"
+            " / CAST(n AS DOUBLE)), 0) AS BIGINT)"
+        ).alias("se_analytic_cents"),
+    )
+
+
+#: Horvitz-Thompson probability-proportional-to-size cap: orders at or
+#: above this value (cents) are taken with certainty.
+_HT_CAP_CENTS = 30_000_000
+
+
+@register(
+    "horvitz_thompson_total",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS vc
+      FROM orders),
+    p AS (
+      SELECT o_orderkey, vc,
+             LEAST(1E0, CAST(vc AS DOUBLE) / {_HT_CAP_CENTS}E0) AS pi,
+             (CAST(concat('0x', substr(md5('ht:'
+                || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+              / 4294967296E0) AS u
+      FROM v),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             CAST(SUM(CAST(round(CAST(vc AS DOUBLE) / pi, 0) AS BIGINT))
+               AS BIGINT) AS ht_total_cents
+      FROM p WHERE u < pi),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(vc) AS BIGINT) AS true_total_cents
+      FROM v)
+    SELECT n_sampled, n_total, ht_total_cents, true_total_cents,
+           CAST(round((CAST(ht_total_cents AS DOUBLE) - true_total_cents)
+             / CAST(true_total_cents AS DOUBLE) * 1000000E0, 0) AS BIGINT)
+             AS err_ppm
+    FROM s, t
+    """,
+)
+def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson total-revenue estimate from a DETERMINISTIC
+    probability-proportional-to-size Poisson sample: each order enters
+    with π ∝ its value (capped at 1), and the estimator up-weights by
+    1/π — the unequal-probability machinery behind every "sample 1% of
+    events but never miss a whale" pipeline; the emitted err_ppm is the
+    empirical bias readout (PPS makes sub-cap orders contribute exactly
+    the cap value when sampled, so most estimator variance lives at the
+    boundary — the classic PPS property, visible in the output).
+
+    Exactness: inclusion is the md5-uniform against π (one mirrored
+    double comparison per row); each sampled term v/π quantizes to
+    whole cents before the sum (per-term device), so the distributed
+    sums are exact int64.
+
+    Scale: one pass, no shuffle beyond the final one-row aggregates;
+    the sample never materializes.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from ai_etl_studio_spark.functions.exact import cents
+
+    v = o.select(
+        "o_orderkey", cents("o_totalprice").cast("bigint").alias("vc")
+    )
+    p = v.select(
+        "vc",
+        F.expr(
+            f"LEAST(1E0, CAST(vc AS DOUBLE) / {_HT_CAP_CENTS}E0)"
+        ).alias("pi"),
+        F.expr(
+            "(CAST(conv(substring(md5(concat('ht:',"
+            " CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " / 4294967296E0)"
+        ).alias("u"),
+    )
+    s = p.filter(F.col("u") < F.col("pi")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum(
+            F.expr("CAST(round(CAST(vc AS DOUBLE) / pi, 0) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("ht_total_cents"),
+    )
+    t = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("vc").cast("bigint").alias("true_total_cents"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "n_sampled",
+        "n_total",
+        "ht_total_cents",
+        "true_total_cents",
+        F.expr(
+            "CAST(round((CAST(ht_total_cents AS DOUBLE) - true_total_cents)"
+            " / CAST(true_total_cents AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+        ).alias("err_ppm"),
+    )

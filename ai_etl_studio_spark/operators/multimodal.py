@@ -718,3 +718,67 @@ def media_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+@register(
+    "media_format_sniff",
+    oracle=r"""
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             substr(text, 1, 4) AS head,
+             octet_length(encode(text)) AS payload_bytes
+      FROM documents WHERE text IS NOT NULL),
+    s AS (
+      SELECT media_type,
+             CASE WHEN head = '' THEN 'empty'
+                  WHEN substr(head, 1, 1) = '<' THEN 'markup'
+                  WHEN substr(head, 1, 1) IN ('{', '[') THEN 'json'
+                  WHEN substr(head, 1, 4) = '%PDF' THEN 'pdf'
+                  WHEN substr(head, 1, 1) IN ('&', '#') THEN 'escaped'
+                  ELSE 'text' END AS sniffed,
+             payload_bytes
+      FROM m)
+    SELECT media_type, sniffed,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(payload_bytes) AS BIGINT) AS total_bytes
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def media_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte format sniffing vs the DECLARED media type — the
+    governance matrix that catches mislabeled/corrupted payloads before
+    a decode pass wastes GPU time on them (every declared type here
+    sniffs as text because the synthetic payloads are document bytes —
+    the matrix SHOWS that, which is exactly the audit's job; on real
+    media the sniffer keys off PNG/JPEG/RIFF/ftyp magics — the '%PDF'
+    arm is live either way).
+
+    Scale: the sniff reads ONLY the payload head (a 4-byte projection —
+    columnar parquet never materializes the payload for it when the
+    head is derived at write time; here the prefix substring is
+    JVM-side codegen and payloads never shuffle — the output is the
+    |types|×|classes| matrix).
+    """
+    m = media_table(spark, sf_dir).filter(F.col("payload").isNotNull())
+    head = F.decode(F.expr("substring(payload, 1, 4)"), "UTF-8")
+    s = m.select(
+        "media_type",
+        F.when(head == "", "empty")
+        .when(F.substring(head, 1, 1) == "<", "markup")
+        .when(F.substring(head, 1, 1).isin("{", "["), "json")
+        .when(F.substring(head, 1, 4) == "%PDF", "pdf")
+        .when(F.substring(head, 1, 1).isin("&", "#"), "escaped")
+        .otherwise("text")
+        .alias("sniffed"),
+        F.octet_length("payload").alias("payload_bytes"),
+    )
+    return (
+        s.groupBy("media_type", "sniffed")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum("payload_bytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("media_type", "sniffed")
+    )

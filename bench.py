@@ -468,6 +468,9 @@ HEADLINE = [
     "palma_ratio_by_nation",
     "walsh_price_index",
     "price_elasticity_by_type",
+    "poisson_bootstrap_se_daily",
+    "horvitz_thompson_total",
+    "media_format_sniff",
 ]
 
 

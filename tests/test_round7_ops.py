@@ -662,3 +662,79 @@ def test_walsh_between_laspeyres_and_paasche(spark):
     lasp, paasche = num_l / den_l, num_p / den_p
     lo_b, hi_b = min(lasp, paasche), max(lasp, paasche)
     assert lo_b - 0.01 <= walsh <= hi_b + 0.01
+
+
+def test_poisson_bootstrap_and_ht_replay(spark):
+    """Literal hash-weight bootstrap + HT estimator replays, plus the
+    calibration claim: the bootstrap SE is within 3x of analytic (a
+    loose but wrong-by-construction-catching band at 32 resamples)."""
+    import hashlib
+
+    from ai_etl_studio_spark.operators.insights import (
+        _HT_CAP_CENTS,
+        _PB_B,
+        _PB_CDF,
+        horvitz_thompson_total,
+        poisson_bootstrap_se_daily,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    per_day = defaultdict(int)
+    for r in rows:
+        # o_orderdate is a midnight timestamp; the op casts to DATE and
+        # the hash input is the 'YYYY-MM-DD' string
+        per_day[r.o_orderdate.date()] += int(
+            math.floor(float(r.o_totalprice) * 100 + 0.5)
+        )
+
+    def u32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 2**32
+
+    thresholds = [float(t) for t in _PB_CDF]
+
+    def pweight(u):
+        for k, t in enumerate(thresholds):
+            if u < t:
+                return k
+        return 8
+
+    means = []
+    for b in range(_PB_B):
+        nb = sb = 0
+        for d, yc in per_day.items():
+            w = pweight(u32(f"pb:{d}:{b}"))
+            nb += w
+            sb += w * yc
+        if nb > 0:
+            means.append(round(sb / nb))
+    beff = len(means)
+    mbar = sum(means) / beff
+    se_boot = math.sqrt(
+        sum((m - mbar) ** 2 for m in means) / (beff - 1)
+    )
+    got = poisson_bootstrap_se_daily(spark, SF_DIR).collect()[0]
+    assert got["n_days"] == len(per_day)
+    assert got["b_resamples"] == beff
+    assert abs(got["se_boot_cents"] - se_boot) <= 2
+    assert 0 < got["se_boot_cents"] < 3 * got["se_analytic_cents"]
+    assert got["se_analytic_cents"] < 3 * got["se_boot_cents"]
+
+    ht = n_s = 0
+    true_total = 0
+    for r in rows:
+        vc = int(math.floor(float(r.o_totalprice) * 100 + 0.5))
+        true_total += vc
+        pi = min(1.0, vc / _HT_CAP_CENTS)
+        if u32(f"ht:{r.o_orderkey}") < pi:
+            n_s += 1
+            ht += round(vc / pi)
+    got = horvitz_thompson_total(spark, SF_DIR).collect()[0]
+    assert (got["n_sampled"], got["n_total"]) == (n_s, len(rows))
+    assert abs(got["ht_total_cents"] - ht) <= n_s
+    assert got["true_total_cents"] == true_total
+    # the estimator must be in the right ballpark (PPS keeps variance low)
+    assert abs(got["err_ppm"]) < 300_000
