@@ -3857,3 +3857,286 @@ def pq_codebook_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_codeword_n",
         F.expr("ent_nano DIV 1000").alias("entropy_micronats"),
     ).orderBy("subspace")
+
+
+# ---------------------------------------------------------------------------
+# Round 7: int8 clip calibration + random-projection distortion eval
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_clip_bounds_int8",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS xm,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    c AS (
+      SELECT dim, xm, CAST(COUNT(*) AS BIGINT) AS c
+      FROM e GROUP BY 1, 2),
+    cum AS (
+      SELECT dim, xm, c,
+             SUM(c) OVER (PARTITION BY dim ORDER BY xm) AS cum,
+             SUM(c) OVER (PARTITION BY dim) AS n
+      FROM c),
+    q AS (
+      SELECT CAST(dim AS BIGINT) AS dim, CAST(MAX(n) AS BIGINT) AS n_vecs,
+             MIN(CASE WHEN cum * 100 >= n THEN xm END) AS p01_micro,
+             MIN(CASE WHEN cum * 2 >= n THEN xm END) AS p50_micro,
+             MIN(CASE WHEN cum * 100 >= 99 * n THEN xm END) AS p99_micro
+      FROM cum GROUP BY dim)
+    SELECT dim, n_vecs, p01_micro, p50_micro, p99_micro,
+           CAST(GREATEST(ABS(p01_micro), ABS(p99_micro)) // 127 AS BIGINT)
+             AS int8_scale_micro
+    FROM q ORDER BY dim
+    """,
+)
+def embedding_clip_bounds_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-dimension p01/p50/p99 of the embedding values plus the
+    int8 scale max(|p01|,|p99|)/127 — the robust clip calibration the
+    int8 quantization path should use instead of min/max
+    (embedding_dim_stats' range): one outlier coordinate otherwise
+    stretches the int8 grid and costs the whole dimension its
+    resolution (the standard symmetric-percentile calibration from the
+    quantization literature).
+
+    Exactness: values quantize to integer micro-ticks at explode time;
+    the per-dim quantiles are the value-grain integer-ECDF device
+    (cum·100 ≥ k·n — no percentile_approx error bars) and the scale is
+    an integer floor division.
+
+    Scale: the explode is map-side; counts reduce to the
+    (dim, distinct-value) grain before any window, and windows
+    partition BY DIMENSION — per-partition work is one dimension's
+    value grain, so adding executors scales with dims × values, never
+    with a single global sort.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("pos", "x")).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000, 0)
+        .cast("bigint")
+        .alias("xm"),
+    )
+    c = e.groupBy("dim", "xm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("dim")
+        .orderBy("xm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = c.select(
+        "dim", "xm", "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("dim")).alias("n"),
+    )
+    q = cum.groupBy("dim").agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("n"), F.col("xm"))).alias(
+            "p01_micro"
+        ),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("xm"))).alias(
+            "p50_micro"
+        ),
+        F.min(
+            F.when(F.col("cum") * 100 >= 99 * F.col("n"), F.col("xm"))
+        ).alias("p99_micro"),
+    )
+    return q.select(
+        "dim",
+        "n_vecs",
+        "p01_micro",
+        "p50_micro",
+        "p99_micro",
+        F.expr(
+            "CAST(GREATEST(ABS(p01_micro), ABS(p99_micro)) DIV 127"
+            " AS BIGINT)"
+        ).alias("int8_scale_micro"),
+    ).orderBy("dim")
+
+
+#: JL eval sample modulus (coarser than the pair-histogram MOD: the
+#: distortion readout needs ~10³ pairs, not 10⁵) and target dimension.
+_JL_MOD = 23
+_JL_K = 16
+
+
+@register(
+    "jl_projection_distortion_eval",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {_JL_MOD} = 0 AND vec_id < {_ID_SAMPLE_CAP}),
+    e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS xm
+      FROM s),
+    dims AS (SELECT DISTINCT dim FROM e),
+    sgn AS (
+      SELECT dim, j,
+             (CAST(concat('0x', substr(md5('jl:' || CAST(dim AS VARCHAR)
+                || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 2) * 2 - 1
+               AS sg
+      FROM dims CROSS JOIN
+           (SELECT unnest(generate_series(1, {_JL_K})) AS j)),
+    z AS (
+      SELECT vec_id, j, CAST(SUM(sg * xm) AS BIGINT) AS zj
+      FROM e JOIN sgn USING (dim) GROUP BY 1, 2),
+    dz AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(SUM((a.zj - b.zj) * (a.zj - b.zj)) AS BIGINT) AS dz2
+      FROM z a JOIN z b ON a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    dx AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(SUM((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS dx2
+      FROM e a JOIN e b ON a.dim = b.dim AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    r AS (
+      SELECT CAST(round(CAST(dz2 AS DOUBLE)
+               / ({_JL_K}E0 * CAST(dx2 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+               AS ratio_micro
+      FROM dz JOIN dx ON dz.ia = dx.ia AND dz.ib = dx.ib
+      WHERE dx2 > 0)
+    SELECT CAST(ratio_micro // 100000 AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(round(CAST(SUM(ratio_micro) AS DOUBLE) / COUNT(*), 0)
+             AS BIGINT) AS mean_ratio_micro
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def jl_projection_distortion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED Johnson-Lindenstrauss distortion of a deterministic
+    ±1 random projection to k = {_JL_K} dimensions: the histogram of
+    ‖P(a−b)‖²/(k·‖a−b‖²) over sampled pairs — mass near 1.0 certifies
+    the projection preserves distances well enough to run the CHEAP
+    near-dup / clustering passes in 16 dims instead of 64 (a 4×
+    distance-compute saving); wide bands say k is too small for this
+    corpus. The dimensionality-reduction eval beside the quantization
+    evals (int8/PQ measure precision loss; this measures dimension
+    loss).
+
+    Exactness: coordinates quantize to micro at explode; the ±1 signs
+    come from the shared md5 device, so each projected coordinate is
+    an EXACT int64 dot product and both squared distances are exact
+    integers; the ratio is the only double, micro-quantized per pair
+    before the band histogram.
+
+    Scale: the quadratic pair stage is fenced by the house
+    MOD-and-hard-cap sample (vec_id % {_JL_MOD} = 0 AND vec_id <
+    {_ID_SAMPLE_CAP}) — pair count is capped regardless of corpus
+    size; the projection itself is linear and shuffle-light (the sign
+    table is |dims|×k and broadcast).
+    """
+    from ai_etl_studio_spark.functions.texthash import md5_hash32
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = (
+        emb.filter(
+            (F.col("vec_id") % _JL_MOD == 0)
+            & (F.col("vec_id") < _ID_SAMPLE_CAP)
+        )
+        .select("vec_id", "embedding")
+        .localCheckpoint()  # bounded sample; read by e (twice) and z
+    )
+    e = s.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000, 0)
+        .cast("bigint")
+        .alias("xm"),
+    )
+    js = spark.createDataFrame([(j,) for j in range(1, _JL_K + 1)], "j int")
+    sgn = (
+        e.select("dim")
+        .distinct()
+        .crossJoin(F.broadcast(js))
+        .select(
+            "dim",
+            "j",
+            (
+                (
+                    md5_hash32(
+                        F.concat(
+                            F.lit("jl:"),
+                            F.col("dim").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    )
+                    % 2
+                )
+                * 2
+                - 1
+            ).alias("sg"),
+        )
+    )
+    z = (
+        e.join(F.broadcast(sgn), "dim")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("sg") * F.col("xm")).cast("bigint").alias("zj"))
+    )
+    za, zb = z.alias("a"), z.alias("b")
+    dz = (
+        za.join(
+            zb,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.zj") - F.col("b.zj"))
+                * (F.col("a.zj") - F.col("b.zj"))
+            )
+            .cast("bigint")
+            .alias("dz2")
+        )
+    )
+    ea, eb = e.alias("a"), e.alias("b")
+    dx = (
+        ea.join(
+            eb,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.xm") - F.col("b.xm"))
+                * (F.col("a.xm") - F.col("b.xm"))
+            )
+            .cast("bigint")
+            .alias("dx2")
+        )
+    )
+    r = (
+        dz.join(dx, ["ia", "ib"])
+        .filter(F.col("dx2") > 0)
+        .select(
+            F.expr(
+                f"CAST(round(CAST(dz2 AS DOUBLE)"
+                f" / ({_JL_K}E0 * CAST(dx2 AS DOUBLE)) * 1000000, 0)"
+                " AS BIGINT)"
+            ).alias("ratio_micro")
+        )
+    )
+    return (
+        r.groupBy(F.expr("CAST(ratio_micro DIV 100000 AS BIGINT)").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr(
+                "CAST(round(CAST(SUM(ratio_micro) AS DOUBLE) / COUNT(*), 0)"
+                " AS BIGINT)"
+            ).alias("mean_ratio_micro"),
+        )
+        .orderBy("band")
+    )

@@ -471,6 +471,8 @@ HEADLINE = [
     "poisson_bootstrap_se_daily",
     "horvitz_thompson_total",
     "media_format_sniff",
+    "embedding_clip_bounds_int8",
+    "jl_projection_distortion_eval",
 ]
 
 

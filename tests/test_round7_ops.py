@@ -738,3 +738,92 @@ def test_poisson_bootstrap_and_ht_replay(spark):
     assert got["true_total_cents"] == true_total
     # the estimator must be in the right ballpark (PPS keeps variance low)
     assert abs(got["err_ppm"]) < 300_000
+
+
+def test_embedding_clip_and_jl_replay(spark):
+    """Literal numpy-free replays: per-dim percentile thresholds by
+    sorting, and the JL distortion on a couple of sampled pairs."""
+    import hashlib
+
+    from ai_etl_studio_spark.operators.similarity import (
+        _ID_SAMPLE_CAP,
+        _JL_K,
+        _JL_MOD,
+        embedding_clip_bounds_int8,
+        jl_projection_distortion_eval,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    dim_vals = defaultdict(list)
+    for r in rows:
+        for i, x in enumerate(r.embedding, start=1):
+            dim_vals[i].append(
+                int(math.floor(float(x) * 1_000_000 + 0.5))
+                if x >= 0
+                else -int(math.floor(-float(x) * 1_000_000 + 0.5))
+            )
+    got = {r["dim"]: r for r in embedding_clip_bounds_int8(spark, SF_DIR).collect()}
+    assert set(got) == set(dim_vals)
+    for d, vals in dim_vals.items():
+        vals.sort()
+        n = len(vals)
+        # min v with cum*100 >= k*n — cum of the sorted list is its index+1
+        def thresh(k):
+            import bisect
+            target = (k * n + 99) // 100  # first cum with cum*100 >= k*n
+            return vals[target - 1]
+        r = got[d]
+        assert r["n_vecs"] == n
+        assert r["p01_micro"] == thresh(1)
+        assert r["p99_micro"] == thresh(99)
+        assert r["int8_scale_micro"] == max(
+            abs(r["p01_micro"]), abs(r["p99_micro"])
+        ) // 127
+
+    # JL: replay the projection + ratio for the sampled ids
+    sample = {
+        r.vec_id: [
+            int(math.floor(float(x) * 1_000_000 + 0.5))
+            if x >= 0
+            else -int(math.floor(-float(x) * 1_000_000 + 0.5))
+            for x in r.embedding
+        ]
+        for r in rows
+        if r.vec_id % _JL_MOD == 0 and r.vec_id < _ID_SAMPLE_CAP
+    }
+
+    def sign(dim, j):
+        h = int(
+            hashlib.md5(f"jl:{dim}:{j}".encode()).hexdigest()[:8], 16
+        )
+        return (h % 2) * 2 - 1
+
+    def project(v):
+        return [
+            sum(sign(i + 1, j) * x for i, x in enumerate(v))
+            for j in range(1, _JL_K + 1)
+        ]
+
+    bands = Counter()
+    ids = sorted(sample)
+    for a_i in range(len(ids)):
+        for b_i in range(a_i + 1, len(ids)):
+            xa, xb = sample[ids[a_i]], sample[ids[b_i]]
+            dx2 = sum((p - q) ** 2 for p, q in zip(xa, xb))
+            if dx2 == 0:
+                continue
+            za, zb = project(xa), project(xb)
+            dz2 = sum((p - q) ** 2 for p, q in zip(za, zb))
+            bands[_half_up_micro(dz2 / (_JL_K * dx2) / 1.0) // 100_000] += 1
+    got_rows = {
+        r["band"]: r["n_pairs"]
+        for r in jl_projection_distortion_eval(spark, SF_DIR).collect()
+    }
+    assert got_rows == dict(bands)
+    # JL sanity: most mass concentrated near ratio 1 (bands 0.5..1.5)
+    near = sum(c for b, c in bands.items() if 5 <= b <= 14)
+    assert near >= 0.8 * sum(bands.values())
