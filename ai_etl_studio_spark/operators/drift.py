@@ -5569,3 +5569,305 @@ def gumbel_block_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("return_level_12mo_cents"),
     )
+
+
+_WSR_Y0, _WSR_Y1 = 1995, 1996
+
+
+@register(
+    "wilcoxon_signed_rank_types",
+    oracle=f"""
+    WITH cell AS (
+      SELECT p.p_type AS ptype,
+             CAST(SUM(CASE WHEN year(CAST(l.l_shipdate AS DATE)) = {_WSR_Y0}
+               THEN CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS r0,
+             CAST(SUM(CASE WHEN year(CAST(l.l_shipdate AS DATE)) = {_WSR_Y1}
+               THEN CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS r1
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(CAST(l.l_shipdate AS DATE)) IN ({_WSR_Y0}, {_WSR_Y1})
+      GROUP BY 1),
+    d AS (
+      SELECT ABS(r1 - r0) AS ad,
+             CASE WHEN r1 > r0 THEN 1 ELSE 0 END AS pos
+      FROM cell WHERE r1 <> r0),
+    c AS (SELECT ad, CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(pos) AS BIGINT) AS cp
+          FROM d GROUP BY ad),
+    mr AS (
+      SELECT ad, c, cp,
+             2 * (SUM(c) OVER (ORDER BY ad) - c) + c + 1 AS mr2
+      FROM c),
+    s AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(cp * mr2) AS BIGINT) AS wp2,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie3
+      FROM mr)
+    SELECT n AS n_pairs, CAST(wp2 AS BIGINT) AS w_plus_x2,
+           CAST(round(
+             (CAST(wp2 AS DOUBLE) / 2E0
+              - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1E0) / 4E0)
+             / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1E0)
+                    * (2E0 * CAST(n AS DOUBLE) + 1E0) / 24E0
+                    - CAST(tie3 AS DOUBLE) / 48E0)
+             * 1000000E0, 0) AS BIGINT) AS z_micro
+    FROM s
+    """,
+)
+def wilcoxon_signed_rank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of {_WSR_Y0}→{_WSR_Y1} revenue change
+    PAIRED BY PART TYPE — the nonparametric paired test the engine's
+    two-sample family lacked: Mann-Whitney compares two independent
+    populations, this asks whether the within-type year-over-year
+    change is systematically positive, immune to the between-type scale
+    differences an unpaired test drowns in. Zero differences drop per
+    the classical test; ties in |d| get midranks with the Σ(t³−t)/48
+    variance correction.
+
+    Exactness: per-type revenue is exact cents from ONE conditional-sum
+    pass (no year self-join); |d| is integer so the midrank device runs
+    on exact values (2·midranks integer, rank sums exact int64); z is
+    one mirrored expression.
+
+    Scale: the fact-dim join reduces straight to the |types|-row cell
+    table; all ranking happens on ≤|types| distinct |d| values.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    yr = F.year(F.col("l_shipdate").cast("date"))
+    cell = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(yr.isin(_WSR_Y0, _WSR_Y1))
+        .groupBy(F.col("p_type").alias("ptype"))
+        .agg(
+            F.sum(
+                F.when(yr == _WSR_Y0, cents("l_extendedprice")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("r0"),
+            F.sum(
+                F.when(yr == _WSR_Y1, cents("l_extendedprice")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("r1"),
+        )
+    )
+    d = cell.filter(F.col("r1") != F.col("r0")).select(
+        F.abs(F.col("r1") - F.col("r0")).alias("ad"),
+        F.when(F.col("r1") > F.col("r0"), 1).otherwise(0).alias("pos"),
+    )
+    c = d.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("pos").cast("bigint").alias("cp"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    mr = c.select(
+        "c",
+        "cp",
+        (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1).alias("mr2"),
+    )
+    s = mr.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("cp") * F.col("mr2")).cast("bigint").alias("wp2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        F.col("wp2").alias("w_plus_x2"),
+        F.expr(
+            "CAST(round("
+            "(CAST(wp2 AS DOUBLE) / 2E0"
+            " - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1E0) / 4E0)"
+            " / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1E0)"
+            "        * (2E0 * CAST(n AS DOUBLE) + 1E0) / 24E0"
+            "        - CAST(tie3 AS DOUBLE) / 48E0)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("z_micro"),
+    )
+
+
+@register(
+    "mood_median_test_delay",
+    oracle=_DELAY_GRAIN_CTE
+    + """
+    , cum AS (
+      SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+      FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM c GROUP BY v) t),
+    gm AS (SELECT MIN(CASE WHEN cum * 2 >= n THEN v END) AS med FROM cum),
+    cells AS (
+      SELECT pr, CAST(SUM(CASE WHEN v > gm.med THEN c ELSE 0 END) AS BIGINT)
+               AS above,
+             CAST(SUM(CASE WHEN v > gm.med THEN 0 ELSE c END) AS BIGINT)
+               AS at_below
+      FROM c, gm GROUP BY pr),
+    tot AS (
+      SELECT CAST(SUM(above) AS BIGINT) AS ta,
+             CAST(SUM(at_below) AS BIGINT) AS tb,
+             CAST(SUM(above + at_below) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM cells),
+    chi AS (
+      SELECT CAST(SUM(
+        CAST(round((CAST(above AS DOUBLE)
+          - CAST(above + at_below AS DOUBLE) * ta / n)
+          * (CAST(above AS DOUBLE)
+             - CAST(above + at_below AS DOUBLE) * ta / n)
+          / (CAST(above + at_below AS DOUBLE) * ta / n) * 1000000E0, 0)
+          AS BIGINT)
+        + CAST(round((CAST(at_below AS DOUBLE)
+          - CAST(above + at_below AS DOUBLE) * tb / n)
+          * (CAST(at_below AS DOUBLE)
+             - CAST(above + at_below AS DOUBLE) * tb / n)
+          / (CAST(above + at_below AS DOUBLE) * tb / n) * 1000000E0, 0)
+          AS BIGINT)) AS BIGINT) AS chi2_micro
+      FROM cells, tot)
+    SELECT tot.k, tot.n, gm.med AS grand_median, chi.chi2_micro
+    FROM chi, tot, gm
+    """,
+)
+def mood_median_test_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of ship delay across the five priorities:
+    classify every line above vs at-or-below the GRAND median and
+    chi-square the k×2 contingency — the bluntest but most
+    assumption-free of the k-sample location tests (Kruskal-Wallis
+    needs comparable shapes to read as a location test; the median
+    test only needs counts). Significant χ²(k−1) with an insignificant
+    KW reads as "the tails differ around a common center".
+
+    Exactness: the grand median is the integer lower-median off the
+    pooled value grain; the contingency cells are exact integer counts;
+    each cell's (O−E)²/E term quantizes to micro BEFORE the 2k-term
+    sum (per-term device), χ² mirrored.
+
+    Scale: rides the checkpointed (priority, delay) grain; the pooled
+    ECDF is one window over ≤~125 distinct values.
+    """
+    c = _delay_grain(spark, sf_dir)
+    pooled = c.groupBy("v").agg(F.sum("c").cast("bigint").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pooled.select(
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    gm = cum.agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("med")
+    )
+    cells = (
+        c.crossJoin(F.broadcast(gm))
+        .groupBy("pr")
+        .agg(
+            F.sum(F.when(F.col("v") > F.col("med"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("above"),
+            F.sum(F.when(F.col("v") > F.col("med"), 0).otherwise(F.col("c")))
+            .cast("bigint")
+            .alias("at_below"),
+        )
+        .localCheckpoint()  # 5-row cells; read by tot AND the chi sum
+    )
+    tot = cells.agg(
+        F.sum("above").cast("bigint").alias("ta"),
+        F.sum("at_below").cast("bigint").alias("tb"),
+        F.sum(F.col("above") + F.col("at_below")).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    chi = cells.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "CAST(round((CAST(above AS DOUBLE)"
+                " - CAST(above + at_below AS DOUBLE) * ta / n)"
+                " * (CAST(above AS DOUBLE)"
+                "    - CAST(above + at_below AS DOUBLE) * ta / n)"
+                " / (CAST(above + at_below AS DOUBLE) * ta / n)"
+                " * 1000000E0, 0) AS BIGINT)"
+                " + CAST(round((CAST(at_below AS DOUBLE)"
+                " - CAST(above + at_below AS DOUBLE) * tb / n)"
+                " * (CAST(at_below AS DOUBLE)"
+                "    - CAST(above + at_below AS DOUBLE) * tb / n)"
+                " / (CAST(above + at_below AS DOUBLE) * tb / n)"
+                " * 1000000E0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("chi2_micro")
+    )
+    return (
+        chi.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(gm))
+        .select(
+            "k", "n", F.col("med").alias("grand_median"), "chi2_micro"
+        )
+    )
+
+
+@register(
+    "poisson_dispersion_daily_orders",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM daily)
+    SELECT n AS n_days, s1 AS n_orders,
+           CAST(round(
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+             / (CAST(n AS DOUBLE) - 1E0)
+             / (CAST(s1 AS DOUBLE) / n) * 1000000E0, 0) AS BIGINT)
+             AS dispersion_micro,
+           CAST(round(
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+             / (CAST(s1 AS DOUBLE) / n), 0) AS BIGINT) AS chi2_stat
+    FROM s
+    """,
+)
+def poisson_dispersion_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion (variance-to-mean) test on DAILY ORDER COUNTS
+    — the arrival-process check the revenue ops can't do: a Poisson
+    order stream has dispersion 1; > 1 reads over-dispersed (bursty
+    arrivals, batching, campaign spikes — size queues with a negative-
+    binomial model), < 1 under-dispersed (rate-limited/scheduled flow).
+    χ² = Σ(c−c̄)²/c̄ ~ χ²(n−1) under H₀. The count-process companion of
+    burstiness_by_type (inter-event gaps) and exp_gof_interarrival.
+
+    Exactness: counts are integers, both sufficient statistics exact
+    int64 (Σc² ≈ 2400·(6e8)² only at absurd SF — past ~sf100 switch to
+    the wide-integer rule, noted); the two statistics are one mirrored
+    expression.
+
+    Scale: one day-grain count reduction, one-row output, no window.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.col("s1").alias("n_orders"),
+        F.expr(
+            "CAST(round("
+            "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)"
+            " / (CAST(n AS DOUBLE) - 1E0)"
+            " / (CAST(s1 AS DOUBLE) / n) * 1000000E0, 0) AS BIGINT)"
+        ).alias("dispersion_micro"),
+        F.expr(
+            "CAST(round("
+            "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)"
+            " / (CAST(s1 AS DOUBLE) / n), 0) AS BIGINT)"
+        ).alias("chi2_stat"),
+    )

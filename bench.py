@@ -473,6 +473,9 @@ HEADLINE = [
     "media_format_sniff",
     "embedding_clip_bounds_int8",
     "jl_projection_distortion_eval",
+    "wilcoxon_signed_rank_types",
+    "mood_median_test_delay",
+    "poisson_dispersion_daily_orders",
 ]
 
 

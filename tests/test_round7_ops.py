@@ -827,3 +827,112 @@ def test_embedding_clip_and_jl_replay(spark):
     # JL sanity: most mass concentrated near ratio 1 (bands 0.5..1.5)
     near = sum(c for b, c in bands.items() if 5 <= b <= 14)
     assert near >= 0.8 * sum(bands.values())
+
+
+def test_wilcoxon_mood_dispersion_replay(spark):
+    """Literal textbook replays for the three batch-8 tests."""
+    from ai_etl_studio_spark.operators.drift import (
+        _WSR_Y0,
+        _WSR_Y1,
+        mood_median_test_delay,
+        poisson_dispersion_daily_orders,
+        wilcoxon_signed_rank_types,
+    )
+
+    # --- Wilcoxon signed-rank over part types
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_partkey", "l_shipdate", "l_extendedprice")
+        .collect()
+    )
+    ptype = {
+        r.p_partkey: r.p_type
+        for r in spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .select("p_partkey", "p_type")
+        .collect()
+    }
+    rev = defaultdict(lambda: [0, 0])
+    for r in li:
+        y = r.l_shipdate.year
+        if y == _WSR_Y0:
+            rev[ptype[r.l_partkey]][0] += int(
+                math.floor(float(r.l_extendedprice) * 100 + 0.5)
+            )
+        elif y == _WSR_Y1:
+            rev[ptype[r.l_partkey]][1] += int(
+                math.floor(float(r.l_extendedprice) * 100 + 0.5)
+            )
+    ds = [(abs(r1 - r0), r1 > r0) for r0, r1 in rev.values() if r1 != r0]
+    ds.sort()
+    n = len(ds)
+    # midranks over |d| (exact values, so compute rank runs)
+    wp = 0.0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and ds[j][0] == ds[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2  # average of ranks i+1..j
+        wp += mid * sum(1 for k in range(i, j) if ds[k][1])
+        i = j
+    tie3 = 0
+    from itertools import groupby
+
+    for _, grp in groupby(ds, key=lambda t: t[0]):
+        t = len(list(grp))
+        tie3 += t**3 - t
+    z = (wp - n * (n + 1) / 4) / math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24 - tie3 / 48
+    )
+    got = wilcoxon_signed_rank_types(spark, SF_DIR).collect()[0]
+    assert got["n_pairs"] == n
+    assert got["w_plus_x2"] == round(2 * wp)
+    assert abs(got["z_micro"] - _half_up_micro(z)) <= 2
+
+    # --- Mood median test on delays
+    od = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate)
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .collect()
+    }
+    li2 = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    )
+    delays = []
+    for r in li2:
+        pr, odate = od[r.l_orderkey]
+        dd = (r.l_shipdate - odate).days
+        if dd >= 0:
+            delays.append((pr, dd))
+    vals = sorted(d for _, d in delays)
+    med = vals[(len(vals) - 1) // 2]
+    cells = defaultdict(lambda: [0, 0])
+    for pr, d in delays:
+        cells[pr][0 if d > med else 1] += 1
+    ta = sum(a for a, _ in cells.values())
+    tb = sum(b for _, b in cells.values())
+    N = ta + tb
+    chi = 0.0
+    for a, b in cells.values():
+        ra = a + b
+        ea, eb = ra * ta / N, ra * tb / N
+        chi += (a - ea) ** 2 / ea + (b - eb) ** 2 / eb
+    got = mood_median_test_delay(spark, SF_DIR).collect()[0]
+    assert (got["k"], got["n"], got["grand_median"]) == (len(cells), N, med)
+    assert abs(got["chi2_micro"] - _half_up_micro(chi)) <= 20
+
+    # --- Poisson dispersion on daily order counts
+    counts = Counter()
+    for _, (pr, odate) in od.items():
+        counts[odate] += 1
+    cs = list(counts.values())
+    nd = len(cs)
+    mean = sum(cs) / nd
+    s2 = sum((c - mean) ** 2 for c in cs) / (nd - 1)
+    got = poisson_dispersion_daily_orders(spark, SF_DIR).collect()[0]
+    assert (got["n_days"], got["n_orders"]) == (nd, sum(cs))
+    assert abs(got["dispersion_micro"] - _half_up_micro(s2 / mean)) <= 2
+    assert abs(got["chi2_stat"] - (nd - 1) * s2 / mean) <= 1
