@@ -42,7 +42,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #: skyline_pareto (all 50 recorded: 49 green + 1 rows-only). Round 7
 #: (this prefix, per the r6 verdict item 5): the seven r6
 #: post-snapshot ops first, then the next 43 of the r4 backlog pool
-#: below in order.
+#: below in order (consumed through supplier_share_shift). Round 8
+#: should lead with the 27 round-7 additions (jarque_bera_daily_revenue,
+#: cramer_von_mises_two_sample, levene_bf_delay_by_priority,
+#: bartlett_variance_by_priority, variance_ratio_daily_revenue,
+#: cox_stuart_trend_daily, turning_point_test_daily,
+#: brier_decomposition_quality, matthews_corrcoef_gates,
+#: pr_auc_quality_score, page_trend_test_priority,
+#: copurchase_triangle_census, adamic_adar_link_topk,
+#: ewma_control_chart_daily, theil_u2_daily_forecast,
+#: gumbel_block_maxima_fit, palma_ratio_by_nation, walsh_price_index,
+#: price_elasticity_by_type, poisson_bootstrap_se_daily,
+#: horvitz_thompson_total, media_format_sniff,
+#: embedding_clip_bounds_int8, jl_projection_distortion_eval,
+#: wilcoxon_signed_rank_types, mood_median_test_delay,
+#: poisson_dispersion_daily_orders — all already carried by
+#: CORRECTNESS_full_r07.json, so the prefix slot buys them DRIVER
+#: rows), then continue the r4 pool from shipping_delay_monthly.
 #: NOTE: the 50-slot rotation cannot converge on a registry growing
 #: ~48 names/round — the FULL-registry artifact
 #: CORRECTNESS_full_r{N}.json (tools/driver_sim.py over every oracle
