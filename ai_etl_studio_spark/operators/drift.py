@@ -5871,3 +5871,231 @@ def poisson_dispersion_daily_orders(spark: SparkSession, sf_dir: str) -> DataFra
             " / (CAST(s1 AS DOUBLE) / n), 0) AS BIGINT)"
         ).alias("chi2_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (cont.): frequency-domain seasonality + proportion effect size
+# ---------------------------------------------------------------------------
+
+#: Candidate periods for the periodogram. Phases are t mod P, so each
+#: period needs exactly P trig values — emitted as PARSED LITERALS in
+#: both engines (cross-engine cos()/sin() can differ in the last ulp,
+#: which a hash gate cannot tolerate; identical decimal literals parse
+#: to identical IEEE doubles everywhere).
+_PGRAM_PERIODS = (7, 14, 28)
+
+
+def _pgram_lut_rows() -> list[tuple[int, int, str, str]]:
+    import math as _m
+
+    return [
+        (p, i, repr(_m.cos(2 * _m.pi * i / p)), repr(_m.sin(2 * _m.pi * i / p)))
+        for p in _PGRAM_PERIODS
+        for i in range(p)
+    ]
+
+
+def _pgram_lut_sql() -> str:
+    # string→double CASTs, not bare literals: repr() sometimes emits
+    # scientific notation, and bare decimal literals take the DECIMAL
+    # type in both engines (the E0 lesson); parsing the repr string as
+    # DOUBLE is exact IEEE round-trip everywhere.
+    vals = ", ".join(
+        f"({p}, {i}, CAST('{c}' AS DOUBLE), CAST('{s}' AS DOUBLE))"
+        for p, i, c, s in _pgram_lut_rows()
+    )
+    return f"(VALUES {vals}) lut(p, ph, cosv, sinv)"
+
+
+@register(
+    "spectral_periodogram_weekly",
+    oracle=f"""
+    {_DAILY_1K_CTE},
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+      FROM t),
+    terms AS (
+      SELECT lut.p,
+             CAST(SUM(CAST(round((CAST(t.x AS DOUBLE)
+               - (SELECT CAST(s1 AS DOUBLE) / n FROM g)) * lut.cosv
+               * 1000E0, 0) AS BIGINT)) AS BIGINT) AS sc_milli,
+             CAST(SUM(CAST(round((CAST(t.x AS DOUBLE)
+               - (SELECT CAST(s1 AS DOUBLE) / n FROM g)) * lut.sinv
+               * 1000E0, 0) AS BIGINT)) AS BIGINT) AS ss_milli
+      FROM t JOIN {_pgram_lut_sql()}
+        ON t.t % lut.p = lut.ph
+      GROUP BY lut.p)
+    SELECT CAST(p AS BIGINT) AS period,
+           CAST(round(
+             2E0 * ((CAST(sc_milli AS DOUBLE) / 1000E0)
+                * (CAST(sc_milli AS DOUBLE) / 1000E0)
+              + (CAST(ss_milli AS DOUBLE) / 1000E0)
+                * (CAST(ss_milli AS DOUBLE) / 1000E0))
+             / (SELECT CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * (CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                FROM g)
+             * 1000000E0, 0) AS BIGINT) AS power_share_micro
+    FROM terms ORDER BY period
+    """,
+)
+def spectral_periodogram_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram power of daily revenue at the 7/14/28-day candidate
+    periods, normalized so a PURE cycle reads 1.0 (share =
+    2(S_c²+S_s²)/(n²σ²)) — the frequency-domain seasonality
+    detector that says WHICH cycle carries the energy (the ACF says
+    correlation at a lag, the power share says how much of the
+    variance the cycle explains; power_share near 2/n is noise,
+    ≫ 2/n is a real cycle worth a seasonal model — the Fisher g-test
+    reading).
+
+    Exactness: integer periods make the phase t mod P take exactly P
+    values, so the trig factors come from a PARSED-LITERAL lookup
+    table (identical decimal literals parse to identical IEEE doubles
+    in both engines — engine cos()/sin() differ in the last ulp and
+    would flip hash bits); each mean-centered product quantizes to
+    MILLI per term before the sums.
+
+    Scale: day-grain reduction, a broadcast join against the 49-row
+    LUT, one |periods|-row output; no window beyond the shared series
+    index.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    g = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    lut = spark.createDataFrame(
+        [(p, i, float(c), float(s)) for p, i, c, s in _pgram_lut_rows()],
+        "p int, ph int, cosv double, sinv double",
+    )
+    tm = (
+        t.crossJoin(F.broadcast(g))
+        .join(F.broadcast(lut), F.col("t") % F.col("p") == F.col("ph"))
+    )
+    centered = "(CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / n)"
+    terms = tm.groupBy("p").agg(
+        F.sum(
+            F.expr(
+                f"CAST(round({centered} * cosv * 1000E0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("sc_milli"),
+        F.sum(
+            F.expr(
+                f"CAST(round({centered} * sinv * 1000E0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("ss_milli"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(g))
+        .select(
+            F.col("p").cast("bigint").alias("period"),
+            F.expr(
+                "CAST(round("
+                "2E0 * ((CAST(sc_milli AS DOUBLE) / 1000E0)"
+                "   * (CAST(sc_milli AS DOUBLE) / 1000E0)"
+                " + (CAST(ss_milli AS DOUBLE) / 1000E0)"
+                "   * (CAST(ss_milli AS DOUBLE) / 1000E0))"
+                " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+                "    * (CAST(s2 AS DOUBLE) / n"
+                "       - (CAST(s1 AS DOUBLE) / n)"
+                "         * (CAST(s1 AS DOUBLE) / n)))"
+                " * 1000000E0, 0) AS BIGINT)"
+            ).alias("power_share_micro"),
+        )
+        .orderBy("period")
+    )
+
+
+@register(
+    "cohens_h_return_priorities",
+    oracle=f"""
+    WITH j AS (
+      SELECT o.o_orderpriority AS pr, l.l_returnflag
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority IN ('{_GRP_A}', '{_GRP_B}')),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN pr = '{_GRP_A}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN pr = '{_GRP_A}' AND l_returnflag = 'R'
+               THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+             CAST(SUM(CASE WHEN pr = '{_GRP_B}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN pr = '{_GRP_B}' AND l_returnflag = 'R'
+               THEN 1 ELSE 0 END) AS BIGINT) AS r2
+      FROM j)
+    SELECT n1, r1, n2, r2,
+           CAST(round((2E0 * asin(sqrt(CAST(r1 AS DOUBLE) / n1))
+             - 2E0 * asin(sqrt(CAST(r2 AS DOUBLE) / n2)))
+             * 1000000E0, 0) AS BIGINT) AS cohens_h_micro
+    FROM s
+    """,
+)
+def cohens_h_return_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's h effect size between the urgent and low-priority RETURN
+    rates — h = 2·asin√p₁ − 2·asin√p₂, the arcsine-stabilized
+    difference whose detectability does NOT depend on where the
+    baseline sits (a 1pp gap at p=0.5 and at p=0.02 are wildly
+    different detection problems; h prices both on one scale: 0.2
+    small / 0.5 medium / 0.8 large). The effect-size companion of the
+    two-proportion z machinery (ab_test_ztest says significant; h says
+    whether anyone should care).
+
+    Exactness: the four cells are exact integer counts from one pass;
+    h is ONE single-row mirrored expression (asin's potential
+    last-ulp engine difference is a one-term output quantized to
+    micro, not a summed term — safe by construction, unlike trig
+    inside a reduction, which is why the periodogram uses the literal
+    LUT instead).
+
+    Scale: the fact-fact join reduces inside one conditional-sum
+    aggregate; priority filter pushed to the orders scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderpriority").isin(_GRP_A, _GRP_B))
+        .select(F.col("o_orderpriority").alias("pr"), "l_returnflag")
+    )
+    s = j.agg(
+        F.sum(F.when(F.col("pr") == _GRP_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(
+            F.when(
+                (F.col("pr") == _GRP_A) & (F.col("l_returnflag") == "R"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r1"),
+        F.sum(F.when(F.col("pr") == _GRP_B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(
+            F.when(
+                (F.col("pr") == _GRP_B) & (F.col("l_returnflag") == "R"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    return s.select(
+        "n1",
+        "r1",
+        "n2",
+        "r2",
+        F.expr(
+            "CAST(round((2E0 * asin(sqrt(CAST(r1 AS DOUBLE) / n1))"
+            " - 2E0 * asin(sqrt(CAST(r2 AS DOUBLE) / n2)))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("cohens_h_micro"),
+    )

@@ -476,6 +476,8 @@ HEADLINE = [
     "wilcoxon_signed_rank_types",
     "mood_median_test_delay",
     "poisson_dispersion_daily_orders",
+    "spectral_periodogram_weekly",
+    "cohens_h_return_priorities",
 ]
 
 

@@ -936,3 +936,62 @@ def test_wilcoxon_mood_dispersion_replay(spark):
     assert (got["n_days"], got["n_orders"]) == (nd, sum(cs))
     assert abs(got["dispersion_micro"] - _half_up_micro(s2 / mean)) <= 2
     assert abs(got["chi2_stat"] - (nd - 1) * s2 / mean) <= 1
+
+
+def test_periodogram_and_cohens_h_replay(spark):
+    """Literal DFT power shares (python math.cos on the same phases)
+    and the arcsine effect size."""
+    from ai_etl_studio_spark.operators.drift import (
+        _GRP_A,
+        _GRP_B,
+        _PGRAM_PERIODS,
+        cohens_h_return_priorities,
+        spectral_periodogram_weekly,
+    )
+
+    x = _daily_1k_ticks(spark)
+    n = len(x)
+    mu = sum(x) / n
+    var = sum(v * v for v in x) / n - mu * mu
+    got = {
+        r["period"]: r["power_share_micro"]
+        for r in spectral_periodogram_weekly(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(_PGRAM_PERIODS)
+    for p in _PGRAM_PERIODS:
+        sc = sum(
+            (v - mu) * math.cos(2 * math.pi * (t % p) / p)
+            for t, v in enumerate(x)
+        )
+        ss = sum(
+            (v - mu) * math.sin(2 * math.pi * (t % p) / p)
+            for t, v in enumerate(x)
+        )
+        share = 2 * (sc * sc + ss * ss) / (n * n * var)
+        # milli per-term quantization drifts the sums by ≤ n·5e-4 each
+        assert abs(got[p] - _half_up_micro(share)) <= 50
+        assert 0 <= got[p] <= 1_000_000
+
+    od = {
+        r.o_orderkey: r.o_orderpriority
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+        .collect()
+    }
+    n1 = r1 = n2 = r2 = 0
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_returnflag")
+        .collect()
+    ):
+        pr = od[r.l_orderkey]
+        if pr == _GRP_A:
+            n1 += 1
+            r1 += r.l_returnflag == "R"
+        elif pr == _GRP_B:
+            n2 += 1
+            r2 += r.l_returnflag == "R"
+    h = 2 * math.asin(math.sqrt(r1 / n1)) - 2 * math.asin(math.sqrt(r2 / n2))
+    got = cohens_h_return_priorities(spark, SF_DIR).collect()[0]
+    assert (got["n1"], got["r1"], got["n2"], got["r2"]) == (n1, r1, n2, r2)
+    assert abs(got["cohens_h_micro"] - _half_up_micro(h)) <= 2
