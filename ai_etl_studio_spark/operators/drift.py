@@ -6099,3 +6099,325 @@ def cohens_h_return_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000E0, 0) AS BIGINT)"
         ).alias("cohens_h_micro"),
     )
+
+
+@register(
+    "durbin_watson_daily",
+    oracle=_DAILY_1K_CTE
+    + """
+    , g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(t * x) AS BIGINT) AS stx,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM t),
+    e AS (
+      SELECT t.t,
+             CAST(round((CAST(t.x AS DOUBLE)
+               - ((CAST(sx AS DOUBLE) - ((CAST(n AS DOUBLE) * stx
+                    - CAST(st AS DOUBLE) * sx)
+                   / (CAST(n AS DOUBLE) * stt
+                      - CAST(st AS DOUBLE) * st)) * st) / CAST(n AS DOUBLE)
+                  + ((CAST(n AS DOUBLE) * stx - CAST(st AS DOUBLE) * sx)
+                     / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st))
+                    * CAST(t.t AS DOUBLE)))
+               * 1000E0, 0) AS BIGINT) AS em
+      FROM t, g),
+    l AS (
+      SELECT em, lag(em) OVER (ORDER BY t) AS em1 FROM e),
+    s AS (
+      SELECT CAST(SUM(CAST((em - em1) AS HUGEINT) * (em - em1)) AS HUGEINT)
+               AS num,
+             CAST(SUM(CAST(em AS HUGEINT) * em) AS HUGEINT) AS den
+      FROM l)
+    SELECT (SELECT n FROM g) AS n_days,
+           CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+             * 1000000E0, 0) AS BIGINT) AS dw_micro,
+           CAST(round((1E0 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+             / 2E0) * 1000000E0, 0) AS BIGINT) AS rho_proxy_micro
+    FROM s
+    """,
+)
+def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic on the RESIDUALS of the daily-revenue
+    linear trend: DW = Σ(e_t−e_{t−1})²/Σe² ≈ 2(1−ρ̂) — the serial-
+    correlation test every trend-line forecast must pass before its
+    confidence intervals mean anything (the raw-series ACF family can't
+    answer this: a trending series is autocorrelated by construction;
+    DW asks whether the DETRENDED errors still are — DW ≪ 2 says the
+    OLS standard errors are optimistic and the changepoint/EWMA ops
+    should be consulted).
+
+    Exactness: the OLS line comes from exact int64 sufficient
+    statistics (one fixed-order closed form); each residual quantizes
+    to MILLI per row before the two quadratic sums (per-term device —
+    the sums are then exact HUGEINT/decimal128); DW is one mirrored
+    ratio.
+
+    Scale: day-grain reduction, a broadcast one-row stats join, one
+    tiny lag window (the ACF-family exception), one-row output.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    g = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("t") * F.col("x")).cast("bigint").alias("stx"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+    )
+    slope = (
+        "((CAST(n AS DOUBLE) * stx - CAST(st AS DOUBLE) * sx)"
+        " / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st))"
+    )
+    e = t.crossJoin(F.broadcast(g)).select(
+        "t",
+        F.expr(
+            f"CAST(round((CAST(x AS DOUBLE)"
+            f" - ((CAST(sx AS DOUBLE) - {slope} * st) / CAST(n AS DOUBLE)"
+            f"    + {slope} * CAST(t AS DOUBLE)))"
+            f" * 1000E0, 0) AS BIGINT)"
+        ).alias("em"),
+    )
+    w = Window.orderBy("t")
+    l = e.select("em", F.lag("em").over(w).alias("em1"))
+    em_d = (F.col("em") - F.col("em1")).cast("decimal(19,0)")
+    s = l.agg(
+        F.sum(em_d * em_d).cast("decimal(38,0)").alias("num"),
+        F.sum(
+            F.col("em").cast("decimal(19,0)") * F.col("em").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("den"),
+    )
+    return s.crossJoin(F.broadcast(g.select("n"))).select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("dw_micro"),
+        F.expr(
+            "CAST(round((1E0 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+            " / 2E0) * 1000000E0, 0) AS BIGINT)"
+        ).alias("rho_proxy_micro"),
+    )
+
+
+#: Log-rank comparison segments (customer market segments).
+_LR_SEG_A, _LR_SEG_B = "BUILDING", "MACHINERY"
+
+
+@register(
+    "log_rank_reorder_segments",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey,
+             CASE WHEN c_mktsegment = '{_LR_SEG_A}' THEN 1 ELSE 0 END AS g1
+      FROM customer WHERE c_mktsegment IN ('{_LR_SEG_A}', '{_LR_SEG_B}')),
+    od AS (
+      SELECT o.o_custkey, cust.g1, CAST(o.o_orderdate AS DATE) AS d
+      FROM orders o JOIN cust ON o.o_custkey = cust.c_custkey
+      GROUP BY 1, 2, 3),
+    anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+    per AS (
+      SELECT o_custkey, g1, MIN(d) AS d1,
+             MIN(CASE WHEN d > (SELECT MIN(d2.d) FROM od d2
+                                WHERE d2.o_custkey = od.o_custkey)
+                      THEN d END) AS d2
+      FROM od GROUP BY 1, 2),
+    su AS (
+      SELECT g1,
+             CASE WHEN d2 IS NOT NULL
+                  THEN date_diff('day', d1, d2)
+                  ELSE date_diff('day', d1, (SELECT mx FROM anchor)) END
+               AS tt,
+             CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per),
+    vg AS (
+      SELECT g1, tt, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(ev) AS BIGINT) AS c_ev
+      FROM su GROUP BY 1, 2),
+    nt AS (SELECT g1, CAST(SUM(c_all) AS BIGINT) AS ng FROM vg GROUP BY g1),
+    et AS (SELECT DISTINCT tt FROM vg WHERE c_ev > 0),
+    u AS (
+      SELECT g1, tt, c_all, 1 AS kind FROM vg
+      UNION ALL
+      SELECT nt.g1, et.tt, 0, 0 FROM et CROSS JOIN nt),
+    cu AS (
+      SELECT g1, tt, kind,
+             CAST(COALESCE(SUM(c_all) OVER (PARTITION BY g1
+               ORDER BY tt, kind
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before_t
+      FROM u),
+    risk AS (
+      SELECT cu.g1, cu.tt, nt.ng - cu.before_t AS n_at
+      FROM cu JOIN nt ON cu.g1 = nt.g1 WHERE cu.kind = 0),
+    cells AS (
+      SELECT risk.tt,
+             CAST(SUM(CASE WHEN risk.g1 = 1 THEN risk.n_at ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN risk.g1 = 0 THEN risk.n_at ELSE 0 END)
+               AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN risk.g1 = 1
+               THEN COALESCE(vg.c_ev, 0) ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN risk.g1 = 0
+               THEN COALESCE(vg.c_ev, 0) ELSE 0 END) AS BIGINT) AS d2
+      FROM risk LEFT JOIN vg ON risk.g1 = vg.g1 AND risk.tt = vg.tt
+      GROUP BY risk.tt),
+    terms AS (
+      SELECT CAST(SUM(CAST(round((CAST(d1 AS DOUBLE)
+               - CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2)) * 1000000E0, 0)
+               AS BIGINT)) AS BIGINT) AS oe_micro,
+             CAST(SUM(CAST(round(CAST(d1 + d2 AS DOUBLE)
+               * (CAST(n1 AS DOUBLE) / (n1 + n2))
+               * (CAST(n2 AS DOUBLE) / (n1 + n2))
+               * (CAST(n1 + n2 - d1 - d2 AS DOUBLE))
+               / (CAST(n1 + n2 AS DOUBLE) - 1E0) * 1000000E0, 0)
+               AS BIGINT)) AS BIGINT) AS var_micro,
+             CAST(SUM(d1 + d2) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_times
+      FROM cells WHERE n1 + n2 > 1)
+    SELECT n_times, n_events,
+           CAST(round(CAST(oe_micro AS DOUBLE) / 1000000E0
+             / sqrt(CAST(var_micro AS DOUBLE) / 1000000E0)
+             * 1000000E0, 0) AS BIGINT) AS z_micro
+    FROM terms
+    """,
+)
+def log_rank_reorder_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing TIME-TO-SECOND-ORDER between the
+    {_LR_SEG_A} and {_LR_SEG_B} customer segments, censoring
+    single-order customers at the data horizon — the survival TEST
+    beside the survival_km CURVE: KM shows the two reorder curves,
+    log-rank says whether their separation survives the censoring
+    structure (naive "mean gap" comparisons silently drop the
+    customers who never reordered — exactly the ones that matter).
+    Event time is the gap to the next DISTINCT order day.
+
+    Exactness: times are integer days; risk sets at each event time
+    come from the marker-row exclusive-cumulative device (markers sort
+    BEFORE same-day data rows, so censorings at t stay at risk at t —
+    the standard convention); per-time O−E and variance terms quantize
+    to MICRO before the sums; z is one mirrored expression.
+
+    Scale: orders reduce to (customer, distinct day) then to one
+    (group, time, event) row per customer; everything after lives on
+    the |times|-grain value table — windows partition by group, output
+    one row.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(_LR_SEG_A, _LR_SEG_B)
+    ).select(
+        "c_custkey",
+        (F.col("c_mktsegment") == _LR_SEG_A).cast("int").alias("g1"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    od = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_custkey", "g1", F.col("o_orderdate").cast("date").alias("d")
+        )
+        .distinct()
+    )
+    anchor = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("mx")
+    )
+    per = od.groupBy("o_custkey", "g1").agg(
+        F.sort_array(F.collect_set("d")).alias("ds")
+    )
+    su = per.crossJoin(F.broadcast(anchor)).select(
+        "g1",
+        F.when(
+            F.size("ds") >= 2,
+            F.datediff(F.element_at("ds", 2), F.element_at("ds", 1)),
+        )
+        .otherwise(F.datediff(F.col("mx"), F.element_at("ds", 1)))
+        .alias("tt"),
+        (F.size("ds") >= 2).cast("int").alias("ev"),
+    )
+    vg = su.groupBy("g1", "tt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum("ev").cast("bigint").alias("c_ev"),
+    ).localCheckpoint()  # value grain; read by nt, et, u AND cells
+    nt = vg.groupBy("g1").agg(F.sum("c_all").cast("bigint").alias("ng"))
+    et = vg.filter(F.col("c_ev") > 0).select("tt").distinct()
+    u = vg.select("g1", "tt", "c_all", F.lit(1).alias("kind")).unionAll(
+        et.crossJoin(F.broadcast(nt.select("g1"))).select(
+            "g1", "tt", F.lit(0).cast("bigint").alias("c_all"),
+            F.lit(0).alias("kind"),
+        )
+    )
+    w = (
+        Window.partitionBy("g1")
+        .orderBy("tt", "kind")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cu = u.select(
+        "g1", "tt", "kind",
+        F.coalesce(F.sum("c_all").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("before_t"),
+    )
+    risk = (
+        cu.filter(F.col("kind") == 0)
+        .join(F.broadcast(nt), "g1")
+        .select("g1", "tt", (F.col("ng") - F.col("before_t")).alias("n_at"))
+    )
+    cells = (
+        risk.join(vg, ["g1", "tt"], "left")
+        .groupBy("tt")
+        .agg(
+            F.sum(F.when(F.col("g1") == 1, F.col("n_at")).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("g1") == 0, F.col("n_at")).otherwise(0))
+            .cast("bigint")
+            .alias("n2"),
+            F.sum(
+                F.when(F.col("g1") == 1, F.coalesce(F.col("c_ev"), F.lit(0)))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("d1"),
+            F.sum(
+                F.when(F.col("g1") == 0, F.coalesce(F.col("c_ev"), F.lit(0)))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("d2"),
+        )
+    )
+    terms = cells.filter(F.col("n1") + F.col("n2") > 1).agg(
+        F.sum(
+            F.expr(
+                "CAST(round((CAST(d1 AS DOUBLE)"
+                " - CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2))"
+                " * 1000000E0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("oe_micro"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(d1 + d2 AS DOUBLE)"
+                " * (CAST(n1 AS DOUBLE) / (n1 + n2))"
+                " * (CAST(n2 AS DOUBLE) / (n1 + n2))"
+                " * (CAST(n1 + n2 - d1 - d2 AS DOUBLE))"
+                " / (CAST(n1 + n2 AS DOUBLE) - 1E0) * 1000000E0, 0)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("var_micro"),
+        F.sum(F.col("d1") + F.col("d2")).cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_times"),
+    )
+    return terms.select(
+        "n_times",
+        "n_events",
+        F.expr(
+            "CAST(round(CAST(oe_micro AS DOUBLE) / 1000000E0"
+            " / sqrt(CAST(var_micro AS DOUBLE) / 1000000E0)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("z_micro"),
+    )

@@ -478,6 +478,8 @@ HEADLINE = [
     "poisson_dispersion_daily_orders",
     "spectral_periodogram_weekly",
     "cohens_h_return_priorities",
+    "durbin_watson_daily",
+    "log_rank_reorder_segments",
 ]
 
 

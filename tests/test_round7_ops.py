@@ -995,3 +995,79 @@ def test_periodogram_and_cohens_h_replay(spark):
     got = cohens_h_return_priorities(spark, SF_DIR).collect()[0]
     assert (got["n1"], got["r1"], got["n2"], got["r2"]) == (n1, r1, n2, r2)
     assert abs(got["cohens_h_micro"] - _half_up_micro(h)) <= 2
+
+
+def test_durbin_watson_and_log_rank_replay(spark):
+    """Literal OLS-residual DW and a from-scratch log-rank replay
+    (lifelines-style event loop over sorted times)."""
+    from ai_etl_studio_spark.operators.drift import (
+        _LR_SEG_A,
+        _LR_SEG_B,
+        durbin_watson_daily,
+        log_rank_reorder_segments,
+    )
+
+    x = _daily_1k_ticks(spark)
+    n = len(x)
+    st = sum(range(n))
+    sx = sum(x)
+    stx = sum(t * v for t, v in enumerate(x))
+    stt = sum(t * t for t in range(n))
+    b = (n * stx - st * sx) / (n * stt - st * st)
+    a = (sx - b * st) / n
+    e = [round((v - (a + b * t)) * 1000) for t, v in enumerate(x)]
+    dw = sum((e[t] - e[t - 1]) ** 2 for t in range(1, n)) / sum(
+        v * v for v in e
+    )
+    got = durbin_watson_daily(spark, SF_DIR).collect()[0]
+    assert got["n_days"] == n
+    assert abs(got["dw_micro"] - _half_up_micro(dw)) <= 2
+    # detrended daily revenue should be near-memoryless: DW in (1.3, 2.7)
+    assert 1_300_000 < got["dw_micro"] < 2_700_000
+
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+        if r.c_mktsegment in (_LR_SEG_A, _LR_SEG_B)
+    }
+    days = defaultdict(set)
+    anchor = None
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_custkey", "o_orderdate")
+        .collect()
+    ):
+        d = r.o_orderdate.date()
+        anchor = d if anchor is None or d > anchor else anchor
+        if r.o_custkey in seg:
+            days[r.o_custkey].add(d)
+    subjects = []  # (group1?, time, event?)
+    for ck, ds in days.items():
+        ds = sorted(ds)
+        g1 = seg[ck] == _LR_SEG_A
+        if len(ds) >= 2:
+            subjects.append((g1, (ds[1] - ds[0]).days, 1))
+        else:
+            subjects.append((g1, (anchor - ds[0]).days, 0))
+    evt_times = sorted({t for _, t, ev in subjects if ev})
+    oe = var = 0.0
+    n_events = n_times = 0
+    for t in evt_times:
+        n1 = sum(1 for g, tt, _ in subjects if g and tt >= t)
+        n2 = sum(1 for g, tt, _ in subjects if not g and tt >= t)
+        if n1 + n2 <= 1:
+            continue
+        d1 = sum(1 for g, tt, ev in subjects if g and tt == t and ev)
+        d2 = sum(1 for g, tt, ev in subjects if not g and tt == t and ev)
+        d = d1 + d2
+        nn = n1 + n2
+        oe += d1 - d * n1 / nn
+        var += d * (n1 / nn) * (n2 / nn) * (nn - d) / (nn - 1)
+        n_events += d
+        n_times += 1
+    z = oe / math.sqrt(var)
+    got = log_rank_reorder_segments(spark, SF_DIR).collect()[0]
+    assert (got["n_times"], got["n_events"]) == (n_times, n_events)
+    assert abs(got["z_micro"] - _half_up_micro(z)) <= 20
