@@ -11387,3 +11387,90 @@ def price_elasticity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+@register(
+    "hoover_index_by_nation",
+    oracle="""
+    WITH cr AS (
+      SELECT c.c_nationkey AS nk, o.o_custkey,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    g AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS tot
+      FROM cr GROUP BY 1)
+    SELECT n.n_name AS nation, g.n AS n_customers,
+           CAST(round(CAST(SUM(abs(CAST(g.n AS HUGEINT) * cr.v - g.tot))
+               AS DOUBLE)
+             / (2E0 * CAST(g.n AS DOUBLE) * CAST(g.tot AS DOUBLE))
+             * 1000000E0, 0) AS BIGINT) AS hoover_micro
+    FROM cr JOIN g ON cr.nk = g.nk JOIN nation n ON n.n_nationkey = cr.nk
+    GROUP BY 1, 2, g.tot, g.n
+    ORDER BY 1
+    """,
+)
+def hoover_index_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoover (Robin Hood) index of CUSTOMER revenue within each
+    nation: H = ½·Σ|xᵢ − X/n| / X — the share of total revenue that
+    would have to move between customers to equalize the book. It
+    completes the inequality family (gini weighs all transfers,
+    atkinson weighs log-utility, palma reads the tails, hoover is the
+    literal "how much moves") and, unlike the others, is directly
+    actionable for account-coverage planning.
+
+    Exactness: per-customer revenue is an exact integer cents sum;
+    the deviation |n·xᵢ − X| is exact integer cross-multiplication on
+    HUGEINT/decimal128 (n·x ~ 2.4e16 at sf≈1e4 — int64 dies by
+    sf≈1e6), so Σ|·| is exact and only the final ratio is one
+    mirrored double expression per nation row.
+
+    Scale: fact scan reduces to customer grain once; the per-nation
+    totals ride an all-rows window over that reduction (no totals
+    re-join, no second scan — the class_balance device); the nation
+    name dim broadcasts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cr = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"), F.col("o_custkey")
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("v"))
+    )
+    wn = Window.partitionBy("nk").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cg = cr.select(
+        "nk",
+        "v",
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+        F.sum("v").over(wn).cast("decimal(38,0)").alias("tot"),
+    )
+    dev = F.abs(
+        F.col("n").cast("decimal(19,0)") * F.col("v").cast("decimal(19,0)")
+        - F.col("tot")
+    )
+    return (
+        cg.join(F.broadcast(n), cg.nk == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_customers"),
+            F.col("tot"),
+        )
+        .agg(F.sum(dev).cast("decimal(38,0)").alias("sdev"))
+        .select(
+            "nation",
+            "n_customers",
+            F.expr(
+                "CAST(round(CAST(sdev AS DOUBLE)"
+                " / (2E0 * CAST(n_customers AS DOUBLE)"
+                "    * CAST(tot AS DOUBLE)) * 1000000E0, 0) AS BIGINT)"
+            ).alias("hoover_micro"),
+        )
+        .orderBy("nation")
+    )

@@ -6421,3 +6421,446 @@ def log_rank_reorder_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000E0, 0) AS BIGINT)"
         ).alias("z_micro"),
     )
+
+
+#: Welch final expressions — ONE fixed token stream shared verbatim by
+#: Spark and DuckDB over the one-row pivoted sufficient statistics
+#: (n1,a1,q1,n2,a2,q2).  se_g = s²_g/n_g off exact integer power sums.
+_WELCH_SE1 = (
+    "((CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE)"
+    " / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1E0)"
+    " / CAST(n1 AS DOUBLE))"
+)
+_WELCH_SE2 = (
+    "((CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)"
+    " / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1E0)"
+    " / CAST(n2 AS DOUBLE))"
+)
+_WELCH_T = (
+    "((CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    f" / sqrt({_WELCH_SE1} + {_WELCH_SE2}))"
+)
+_WELCH_DF = (
+    f"(({_WELCH_SE1} + {_WELCH_SE2}) * ({_WELCH_SE1} + {_WELCH_SE2})"
+    f" / ({_WELCH_SE1} * {_WELCH_SE1} / (CAST(n1 AS DOUBLE) - 1E0)"
+    f"    + {_WELCH_SE2} * {_WELCH_SE2} / (CAST(n2 AS DOUBLE) - 1E0)))"
+)
+
+#: Welch comparison segments (customer market segments).
+_WT_SEG_A, _WT_SEG_B = "BUILDING", "MACHINERY"
+
+
+@register(
+    "welch_ttest_segments",
+    oracle=f"""
+    WITH s AS (
+      SELECT CASE WHEN c.c_mktsegment = '{_WT_SEG_A}' THEN 1 ELSE 0 END
+               AS g1,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('{_WT_SEG_A}', '{_WT_SEG_B}')),
+    g AS (
+      SELECT g1, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+      FROM s GROUP BY 1),
+    p AS (
+      SELECT MAX(CASE WHEN g1 = 1 THEN n END) AS n1,
+             MAX(CASE WHEN g1 = 1 THEN s1 END) AS a1,
+             MAX(CASE WHEN g1 = 1 THEN s2 END) AS q1,
+             MAX(CASE WHEN g1 = 0 THEN n END) AS n2,
+             MAX(CASE WHEN g1 = 0 THEN s1 END) AS a2,
+             MAX(CASE WHEN g1 = 0 THEN s2 END) AS q2
+      FROM g)
+    SELECT n1, n2,
+           CAST(round((CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE)) * 100E0, 0)
+             AS BIGINT) AS mean_diff_cents,
+           CAST(round({_WELCH_T} * 1000000E0, 0) AS BIGINT) AS t_micro,
+           CAST(round({_WELCH_DF} * 1000E0, 0) AS BIGINT) AS df_milli
+    FROM p
+    """,
+)
+def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of order value between the
+    BUILDING and MACHINERY market segments, with the Satterthwaite
+    degrees of freedom — the test ab_test_ztest should have been when
+    the two arms' variances differ (the pooled z silently assumes
+    they don't; Welch pays ~0 power for dropping that assumption).
+    df ≪ n1+n2−2 is itself a diagnostic: it says one segment's
+    variance dominates.
+
+    Exactness: per-group sufficient statistics (n, Σv, Σv²) are exact
+    integer sums (Σv² on HUGEINT/decimal128 — v is cents, v² ~ 2.5e15,
+    SF-linear count pushes the sum past int64 at sf≳0.1); the pivot
+    into ONE row is conditional aggregation (the dow-R² device), and
+    t / df are ONE fixed-order token stream shared verbatim by both
+    engines.
+
+    Scale: one fact scan → 2 sufficient-statistic rows → 1-row pivot;
+    the customer dim join is AQE's choice, no hint.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin(_WT_SEG_A, _WT_SEG_B))
+        .select(
+            F.when(F.col("c_mktsegment") == _WT_SEG_A, 1)
+            .otherwise(0)
+            .alias("g1"),
+            cents("o_totalprice").alias("v"),
+        )
+    )
+    vdec = F.col("v").cast("decimal(19,0)")
+    g = s.groupBy("g1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("decimal(38,0)").alias("s1"),
+        F.sum(vdec * vdec).cast("decimal(38,0)").alias("s2"),
+    )
+    p = g.agg(
+        F.max(F.when(F.col("g1") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g1") == 1, F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("g1") == 1, F.col("s2"))).alias("q1"),
+        F.max(F.when(F.col("g1") == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("g1") == 0, F.col("s1"))).alias("a2"),
+        F.max(F.when(F.col("g1") == 0, F.col("s2"))).alias("q2"),
+    )
+    return p.select(
+        "n1",
+        "n2",
+        F.expr(
+            "CAST(round((CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+            " - CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE)) * 100E0, 0)"
+            " AS BIGINT)"
+        ).alias("mean_diff_cents"),
+        F.expr(
+            f"CAST(round({_WELCH_T} * 1000000E0, 0) AS BIGINT)"
+        ).alias("t_micro"),
+        F.expr(
+            f"CAST(round({_WELCH_DF} * 1000E0, 0) AS BIGINT)"
+        ).alias("df_milli"),
+    )
+
+
+#: Hodges-Lehmann comparison priorities.
+_HL_PR_A, _HL_PR_B = "1-URGENT", "5-LOW"
+
+
+@register(
+    "hodges_lehmann_delay_shift",
+    oracle=_DELAY_GRAIN_CTE
+    + f"""
+    , a AS (SELECT v, c FROM c WHERE pr = '{_HL_PR_A}'),
+    b AS (SELECT v, c FROM c WHERE pr = '{_HL_PR_B}'),
+    pr AS (
+      SELECT a.v - b.v AS d,
+             CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS w
+      FROM a, b GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(w) AS HUGEINT) AS np,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM a) AS n1,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM b) AS n2
+      FROM pr),
+    cum AS (SELECT d, SUM(w) OVER (ORDER BY d) AS cw FROM pr)
+    SELECT tot.n1, tot.n2,
+           (SELECT MIN(d) FROM cum WHERE cw * 2 >= tot.np)
+             AS hl_shift_days
+    FROM tot
+    """,
+)
+def hodges_lehmann_delay_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift estimator between the URGENT and LOW
+    priorities' ship delays: the median of ALL n1·n2 pairwise
+    differences (x_i − y_j) — the effect-size companion to the
+    Mann-Whitney test already in the registry (U says "the shift is
+    nonzero", HL says "it is −6 days"), robust where the difference
+    of means is hostage to the delay tail.
+
+    Exactness: the pairwise-difference distribution is computed on the
+    (priority, delay) VALUE GRAIN — a bounded grain×grain product
+    (≤ ~2500² pairs regardless of SF, since delays live on the
+    calendar span) whose weights c1·c2 are exact integers on
+    HUGEINT/decimal128 (counts are SF-linear, the product crosses
+    int64 by sf≳1e3); the lower median is the integer ECDF threshold
+    cum·2 ≥ N — no doubles anywhere.
+
+    Scale: fact scans reduce to the checkpointed delay grain first;
+    the grain-pair product broadcasts the smaller side (bounded,
+    never SF-linear); one window over ≤ ~5000 distinct differences.
+    """
+    c = _delay_grain(spark, sf_dir)
+    a = c.filter(F.col("pr") == _HL_PR_A).select("v", "c")
+    b = c.filter(F.col("pr") == _HL_PR_B).select(
+        F.col("v").alias("bv"), F.col("c").alias("bc")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .groupBy((F.col("v") - F.col("bv")).alias("d"))
+        .agg(
+            F.sum(
+                F.col("c").cast("decimal(19,0)")
+                * F.col("bc").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("w")
+        )
+        .localCheckpoint()  # ≤~5000 rows; read by tot AND the cum scan
+    )
+    tot = pairs.agg(F.sum("w").cast("decimal(38,0)").alias("np")).crossJoin(
+        F.broadcast(
+            a.agg(F.sum("c").cast("bigint").alias("n1"))
+        )
+    ).crossJoin(
+        F.broadcast(
+            b.agg(F.sum("bc").cast("bigint").alias("n2"))
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pairs.select("d", F.sum("w").over(w).alias("cw"))
+    hl = cum.crossJoin(F.broadcast(tot.select("np"))).agg(
+        F.min(
+            F.when(F.col("cw") * 2 >= F.col("np"), F.col("d"))
+        ).alias("hl_shift_days")
+    )
+    return tot.select("n1", "n2").crossJoin(F.broadcast(hl))
+
+
+#: Breusch-Pagan R² — ONE fixed token stream over the one-row exact
+#: sums of the auxiliary regression of the squared residual on t.
+_BP_R2 = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"
+)
+
+#: Shared OLS slope/intercept token streams over (n, st, sx, stx, stt)
+#: — the durbin_watson closed form, reused by the BP residual stage.
+_OLS_SLOPE = (
+    "((CAST(n AS DOUBLE) * stx - CAST(st AS DOUBLE) * sx)"
+    " / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st))"
+)
+_BP_RESID = (
+    "CAST(round(CAST(x AS DOUBLE)"
+    f" - ((CAST(sx AS DOUBLE) - {_OLS_SLOPE} * st) / CAST(n AS DOUBLE)"
+    f"    + {_OLS_SLOPE} * CAST(t AS DOUBLE)), 0) AS BIGINT)"
+)
+
+
+@register(
+    "breusch_pagan_daily",
+    oracle=_DAILY_1K_CTE
+    + f"""
+    , g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(t * x) AS BIGINT) AS stx,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM t),
+    e AS (SELECT t.t, {_BP_RESID} AS eu FROM t, g),
+    y AS (SELECT t, CAST(eu AS HUGEINT) * eu AS y2 FROM e),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS HUGEINT) AS sx,
+             CAST(SUM(y2) AS HUGEINT) AS sy,
+             CAST(SUM(t * y2) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS sxx,
+             CAST(SUM(y2 * y2) AS HUGEINT) AS syy
+      FROM y)
+    SELECT n AS n_days,
+           CAST(round(CAST(n AS DOUBLE) * {_BP_R2} * 1000000E0, 0)
+             AS BIGINT) AS lm_micro,
+           CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1000000E0, 0) AS BIGINT) AS r_micro
+    FROM s
+    """,
+)
+def breusch_pagan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test on the daily-revenue OLS
+    trend: regress the SQUARED residual on time, LM = n·R² ~ χ²(1) —
+    the test that decides whether durbin_watson's standard errors (and
+    every σ-band control chart over the same series) can use ONE
+    variance or must model a changing one. r_micro gives the sign:
+    positive means the noise is widening with time.
+
+    Exactness: the OLS line comes from exact int64 sufficient
+    statistics; each residual quantizes to UNIT grain per row (BP's R²
+    is scale-invariant, and unit grain keeps Σ(e²)² inside
+    decimal128/HUGEINT to SF≈1e5 where milli grain dies at SF≈1e3);
+    the auxiliary regression's five sums are exact, and LM / r are
+    ONE shared fixed-order expression.
+
+    Scale: day-grain reduction, a broadcast one-row stats join,
+    one-row output; nothing SF-linear past the first reduction.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    g = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("t") * F.col("x")).cast("bigint").alias("stx"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+    )
+    e = t.crossJoin(F.broadcast(g)).select(
+        "t", F.expr(_BP_RESID).alias("eu")
+    )
+    eud = F.col("eu").cast("decimal(19,0)")
+    y = e.select("t", (eud * eud).cast("decimal(38,0)").alias("y2"))
+    s = y.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("decimal(38,0)").alias("sx"),
+        F.sum("y2").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("t").cast("decimal(19,0)") * F.col("y2"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("t").cast("decimal(19,0)") * F.col("t"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).cast("decimal(38,0)").alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            f"CAST(round(CAST(n AS DOUBLE) * {_BP_R2} * 1000000E0, 0)"
+            " AS BIGINT)"
+        ).alias("lm_micro"),
+        F.expr(
+            "CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            "     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            "   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            "      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("r_micro"),
+    )
+
+
+@register(
+    "newey_west_se_daily",
+    oracle=_DAILY_1K_CTE
+    + """
+    , g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS HUGEINT) AS s1
+      FROM t),
+    e AS (SELECT t.t, CAST(g.n AS HUGEINT) * t.x - g.s1 AS e FROM t, g),
+    l AS (
+      SELECT e,
+             lead(e, 1) OVER (ORDER BY t) AS e1,
+             lead(e, 2) OVER (ORDER BY t) AS e2,
+             lead(e, 3) OVER (ORDER BY t) AS e3,
+             lead(e, 4) OVER (ORDER BY t) AS e4,
+             lead(e, 5) OVER (ORDER BY t) AS e5,
+             lead(e, 6) OVER (ORDER BY t) AS e6,
+             lead(e, 7) OVER (ORDER BY t) AS e7
+      FROM e),
+    s AS (
+      SELECT CAST(SUM(e * e) AS HUGEINT) AS g0,
+             CAST(SUM(e * e1) AS HUGEINT) AS g1,
+             CAST(SUM(e * e2) AS HUGEINT) AS g2,
+             CAST(SUM(e * e3) AS HUGEINT) AS g3,
+             CAST(SUM(e * e4) AS HUGEINT) AS g4,
+             CAST(SUM(e * e5) AS HUGEINT) AS g5,
+             CAST(SUM(e * e6) AS HUGEINT) AS g6,
+             CAST(SUM(e * e7) AS HUGEINT) AS g7
+      FROM l),
+    nw AS (
+      SELECT 8 * g0 + 2 * (7 * g1 + 6 * g2 + 5 * g3 + 4 * g4 + 3 * g5
+               + 2 * g6 + 1 * g7) AS nw8, g0
+      FROM s)
+    SELECT g.n AS n_days,
+           CAST(round(sqrt(CAST(nw8 AS DOUBLE) / 8E0)
+             / CAST(g.n AS DOUBLE) / CAST(g.n AS DOUBLE)
+             * 1000000E0, 0) AS BIGINT) AS nw_se_micro,
+           CAST(round(sqrt(CAST(nw8 AS DOUBLE) / 8E0
+               / CAST(g0 AS DOUBLE)) * 1000000E0, 0) AS BIGINT)
+             AS hac_inflation_micro
+    FROM nw, g
+    """,
+)
+def newey_west_se_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West (HAC, Bartlett kernel, L = 7) standard error of the
+    mean daily revenue — the SE every weekly business review should
+    quote instead of s/√n when the dow/weekly cycle autocorrelates the
+    series (positive ρ makes the iid SE optimistic by exactly the
+    hac_inflation factor emitted beside it; 7 lags cover the weekly
+    cycle the periodogram op localizes).
+
+    Exactness: the n-scaled demeaning device (KPSS lesson) makes every
+    deviation e_t = n·x_t − Σx an exact integer (n is the DAY count,
+    bounded by the calendar, never SF-linear); all eight autocovariance
+    dot products are exact HUGEINT/decimal128 sums; the Bartlett
+    weights (8−k)/8 are cleared to the integer 8·γ₀ + 2Σ(8−k)·γ_k
+    before the single sqrt.
+
+    Scale: day-grain reduction, one tiny ordered window for the eight
+    leads (the documented ACF-family exception), one-row output.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    g = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s1"),
+    )
+    e = t.crossJoin(F.broadcast(g)).select(
+        "t",
+        (
+            F.col("n").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+            - F.col("s1")
+        )
+        .cast("decimal(19,0)")
+        .alias("e"),
+    )
+    w = Window.orderBy("t")
+    l = e.select(
+        "e",
+        *[F.lead("e", k).over(w).alias(f"e{k}") for k in range(1, 8)],
+    )
+    s = l.agg(
+        F.sum(F.col("e") * F.col("e")).cast("decimal(38,0)").alias("g0"),
+        *[
+            F.sum(F.col("e") * F.col(f"e{k}"))
+            .cast("decimal(38,0)")
+            .alias(f"g{k}")
+            for k in range(1, 8)
+        ],
+    )
+    nw = s.select(
+        (
+            F.lit(8).cast("decimal(19,0)") * F.col("g0")
+            + F.lit(2).cast("decimal(19,0)")
+            * (
+                F.lit(7).cast("decimal(19,0)") * F.col("g1")
+                + F.lit(6).cast("decimal(19,0)") * F.col("g2")
+                + F.lit(5).cast("decimal(19,0)") * F.col("g3")
+                + F.lit(4).cast("decimal(19,0)") * F.col("g4")
+                + F.lit(3).cast("decimal(19,0)") * F.col("g5")
+                + F.lit(2).cast("decimal(19,0)") * F.col("g6")
+                + F.lit(1).cast("decimal(19,0)") * F.col("g7")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("nw8"),
+        "g0",
+    )
+    return nw.crossJoin(F.broadcast(g.select("n"))).select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CAST(round(sqrt(CAST(nw8 AS DOUBLE) / 8E0)"
+            " / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("nw_se_micro"),
+        F.expr(
+            "CAST(round(sqrt(CAST(nw8 AS DOUBLE) / 8E0"
+            " / CAST(g0 AS DOUBLE)) * 1000000E0, 0) AS BIGINT)"
+        ).alias("hac_inflation_micro"),
+    )

@@ -4245,3 +4245,299 @@ def langid_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kappa_micro"),
         )
     )
+
+
+@register(
+    "wasserstein_length_by_source",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+               AS BIGINT) AS tl
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+    vg AS (
+      SELECT source, tl, CAST(COUNT(*) AS BIGINT) AS c
+      FROM d GROUP BY 1, 2),
+    n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM vg GROUP BY 1),
+    grid AS (
+      SELECT a.source AS s1, b.source AS s2, v.tl
+      FROM (SELECT DISTINCT source FROM vg) a
+      JOIN (SELECT DISTINCT source FROM vg) b ON a.source < b.source
+      CROSS JOIN (SELECT DISTINCT tl FROM vg) v),
+    cg AS (
+      SELECT g.s1, g.s2, g.tl,
+             CAST(SUM(COALESCE(v1.c, 0)) OVER (PARTITION BY g.s1, g.s2
+               ORDER BY g.tl) AS BIGINT) AS cum1,
+             CAST(SUM(COALESCE(v2.c, 0)) OVER (PARTITION BY g.s1, g.s2
+               ORDER BY g.tl) AS BIGINT) AS cum2,
+             LEAD(g.tl) OVER (PARTITION BY g.s1, g.s2 ORDER BY g.tl)
+               AS nxt
+      FROM grid g
+      LEFT JOIN vg v1 ON v1.source = g.s1 AND v1.tl = g.tl
+      LEFT JOIN vg v2 ON v2.source = g.s2 AND v2.tl = g.tl),
+    agg AS (
+      SELECT cg.s1 AS source_a, cg.s2 AS source_b,
+             CAST(SUM(abs(CAST(cum1 AS HUGEINT) * n2.n
+                 - CAST(cum2 AS HUGEINT) * n1.n) * (nxt - cg.tl))
+               AS HUGEINT) AS num,
+             CAST(n1.n AS HUGEINT) * n2.n AS den
+      FROM cg JOIN n n1 ON n1.source = cg.s1
+              JOIN n n2 ON n2.source = cg.s2
+      WHERE nxt IS NOT NULL
+      GROUP BY 1, 2, n1.n, n2.n)
+    SELECT source_a, source_b,
+           CAST(num * 1000000 // den AS BIGINT) AS w1_tokens_ppm
+    FROM agg ORDER BY w1_tokens_ppm DESC, source_a, source_b
+    """,
+)
+def wasserstein_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between the TOKEN-LENGTH
+    distributions of every source pair, in token units: on a 1-D
+    integer support W₁ = Σ|F₁(v) − F₂(v)|·Δv — the metric that says
+    "source A's docs run ~5.7 tokens longer in distribution" where a
+    KS/CvM p-value only says "different". The curation use: pick
+    mixing weights so the training batch's length profile stays put
+    when swapping sources (doc_length_deciles reads one source;
+    this reads every PAIR).
+
+    Exactness: the ECDF gap is the integer cross-multiplication
+    |cum₁·n₂ − cum₂·n₁| on HUGEINT/decimal128, weighted by the integer
+    support gap; the per-pair sum is exact integer and the final ppm
+    is floor division — no doubles anywhere.
+
+    Scale: one doc scan → (source, length) value grain (≤ |sources|
+    × ~90 rows at ANY SF); the completed pair×support grid (the
+    t_closeness lesson: a length absent from one source still carries
+    its cumulative mass) is |sources|²/2 × ~90 rows — bounded by the
+    SOURCE CATALOG, not the corpus; the op's contract is a bounded
+    source count, like every *_source_pairs entry.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    vg = (
+        d.select(
+            "source",
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            )
+            .cast("bigint")
+            .alias("tl"),
+        )
+        .groupBy("source", "tl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()  # bounded value grain, read by 4 branches
+    )
+    n = vg.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    srcs = vg.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("s1"))
+        .join(
+            F.broadcast(srcs.select(F.col("source").alias("s2"))),
+            F.col("s1") < F.col("s2"),
+        )
+    )
+    grid = pairs.join(
+        F.broadcast(vg.select("tl").distinct()), F.lit(True)
+    )
+    v1 = vg.select(
+        F.col("source").alias("s1"), F.col("tl"), F.col("c").alias("c1")
+    )
+    v2 = vg.select(
+        F.col("source").alias("s2"), F.col("tl"), F.col("c").alias("c2")
+    )
+    w = (
+        Window.partitionBy("s1", "s2")
+        .orderBy("tl")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wl = Window.partitionBy("s1", "s2").orderBy("tl")
+    cg = (
+        grid.join(F.broadcast(v1), ["s1", "tl"], "left")
+        .join(F.broadcast(v2), ["s2", "tl"], "left")
+        .select(
+            "s1",
+            "s2",
+            "tl",
+            F.sum(F.coalesce("c1", F.lit(0))).over(w).cast("bigint").alias("cum1"),
+            F.sum(F.coalesce("c2", F.lit(0))).over(w).cast("bigint").alias("cum2"),
+            F.lead("tl").over(wl).alias("nxt"),
+        )
+    )
+    n1 = n.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+    n2 = n.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
+    agg = (
+        cg.filter(F.col("nxt").isNotNull())
+        .join(F.broadcast(n1), "s1")
+        .join(F.broadcast(n2), "s2")
+        .groupBy(
+            F.col("s1").alias("source_a"),
+            F.col("s2").alias("source_b"),
+            "n1",
+            "n2",
+        )
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum1").cast("decimal(19,0)")
+                    * F.col("n2").cast("decimal(19,0)")
+                    - F.col("cum2").cast("decimal(19,0)")
+                    * F.col("n1").cast("decimal(19,0)")
+                )
+                * (F.col("nxt") - F.col("tl")).cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("num")
+        )
+    )
+    return (
+        agg.select(
+            "source_a",
+            "source_b",
+            F.expr(
+                "CAST(num * 1000000 DIV (CAST(n1 AS DECIMAL(19,0))"
+                " * CAST(n2 AS DECIMAL(19,0))) AS BIGINT)"
+            ).alias("w1_tokens_ppm"),
+        )
+        .orderBy(F.desc("w1_tokens_ppm"), "source_a", "source_b")
+    )
+
+
+#: JS per-side term: p·ln(2p/(p+q)) nano-quantized — ONE token stream
+#: shared by both engines (c1/c2/n1/n2 are exact integers).
+_JSD_T1 = (
+    "CASE WHEN c1 > 0 THEN CAST(round(CAST(c1 AS DOUBLE)"
+    " / CAST(n1 AS DOUBLE)"
+    " * ln(2E0 * (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    "      / (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    "         + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))"
+    " * 1000000000E0, 0) AS BIGINT) ELSE 0 END"
+)
+_JSD_T2 = (
+    "CASE WHEN c2 > 0 THEN CAST(round(CAST(c2 AS DOUBLE)"
+    " / CAST(n2 AS DOUBLE)"
+    " * ln(2E0 * (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    "      / (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    "         + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))"
+    " * 1000000000E0, 0) AS BIGINT) ELSE 0 END"
+)
+
+
+@register(
+    "js_divergence_source_pairs",
+    oracle=rf"""
+    WITH w AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '')) AS tok
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+    vg AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM w GROUP BY 1, 2),
+    n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM vg GROUP BY 1),
+    grid AS (
+      SELECT a.source AS s1, b.source AS s2, v.tok,
+             COALESCE(v1.c, 0) AS c1, COALESCE(v2.c, 0) AS c2,
+             na.n AS n1, nb.n AS n2
+      FROM n a JOIN n b ON a.source < b.source
+      CROSS JOIN (SELECT DISTINCT tok FROM vg) v
+      LEFT JOIN vg v1 ON v1.source = a.source AND v1.tok = v.tok
+      LEFT JOIN vg v2 ON v2.source = b.source AND v2.tok = v.tok
+      JOIN n na ON na.source = a.source
+      JOIN n nb ON nb.source = b.source
+      WHERE COALESCE(v1.c, 0) + COALESCE(v2.c, 0) > 0)
+    SELECT s1 AS source_a, s2 AS source_b,
+           CAST(round((CAST(SUM({_JSD_T1}) AS DOUBLE)
+               + CAST(SUM({_JSD_T2}) AS DOUBLE)) / 2E0 / 1000E0, 0)
+             AS BIGINT) AS jsd_micro_nats
+    FROM grid GROUP BY 1, 2
+    ORDER BY jsd_micro_nats DESC, source_a, source_b
+    """,
+)
+def js_divergence_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of
+    every source pair — the SYMMETRIC, always-finite companion of
+    kl_divergence_by_source (KL needs a smoothing floor the moment one
+    source misses a term; JS's mixture midpoint never divides by zero,
+    so pairs are comparable with NO Laplace constant to tune). √JSD is
+    a metric: these numbers can feed the dedup/mixing clustering
+    directly.
+
+    Exactness: both directed terms p·ln(2p/(p+q)) quantize to nano
+    per (pair, term) BEFORE the distributed sum (ln is the canonical
+    order-divergent reduction); counts and totals are exact integers,
+    and the final halving is one mirrored expression.
+
+    Scale: one tokenize pass → (source, term) counts; the completed
+    pair×vocab grid is |sources|²/2 × |vocab| — bounded by catalog
+    and vocabulary, not corpus size; the zero-zero grid rows are
+    dropped (they contribute no mass, unlike t_closeness's prior).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    vg = (
+        d.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()  # bounded source×vocab grain, read 4×
+    )
+    n = vg.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    na = n.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+    nb = n.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
+    pairs = na.join(F.broadcast(nb), F.col("s1") < F.col("s2"))
+    grid = (
+        pairs.join(F.broadcast(vg.select("tok").distinct()), F.lit(True))
+        .join(
+            F.broadcast(
+                vg.select(
+                    F.col("source").alias("s1"), "tok", F.col("c").alias("c1")
+                )
+            ),
+            ["s1", "tok"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                vg.select(
+                    F.col("source").alias("s2"), "tok", F.col("c").alias("c2")
+                )
+            ),
+            ["s2", "tok"],
+            "left",
+        )
+        .select(
+            "s1",
+            "s2",
+            "n1",
+            "n2",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+        .filter(F.col("c1") + F.col("c2") > 0)
+    )
+    return (
+        grid.groupBy(
+            F.col("s1").alias("source_a"), F.col("s2").alias("source_b")
+        )
+        .agg(
+            F.sum(F.expr(_JSD_T1)).cast("bigint").alias("t1"),
+            F.sum(F.expr(_JSD_T2)).cast("bigint").alias("t2"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(
+                "CAST(round((CAST(t1 AS DOUBLE) + CAST(t2 AS DOUBLE))"
+                " / 2E0 / 1000E0, 0) AS BIGINT)"
+            ).alias("jsd_micro_nats"),
+        )
+        .orderBy(F.desc("jsd_micro_nats"), "source_a", "source_b")
+    )

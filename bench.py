@@ -480,6 +480,13 @@ HEADLINE = [
     "cohens_h_return_priorities",
     "durbin_watson_daily",
     "log_rank_reorder_segments",
+    "welch_ttest_segments",
+    "hodges_lehmann_delay_shift",
+    "hoover_index_by_nation",
+    "breusch_pagan_daily",
+    "newey_west_se_daily",
+    "wasserstein_length_by_source",
+    "js_divergence_source_pairs",
 ]
 
 

@@ -1071,3 +1071,225 @@ def test_durbin_watson_and_log_rank_replay(spark):
     got = log_rank_reorder_segments(spark, SF_DIR).collect()[0]
     assert (got["n_times"], got["n_events"]) == (n_times, n_events)
     assert abs(got["z_micro"] - _half_up_micro(z)) <= 20
+
+
+def test_welch_hl_hoover_replay(spark):
+    """From-scratch replays: Welch t/df off literal per-segment moment
+    sums, the Hodges-Lehmann pairwise-difference median via a Counter
+    convolution, and the Hoover index for one nation."""
+    from ai_etl_studio_spark.operators.analytics import (
+        hoover_index_by_nation,
+    )
+    from ai_etl_studio_spark.operators.drift import (
+        _HL_PR_A,
+        _HL_PR_B,
+        _WT_SEG_A,
+        _WT_SEG_B,
+        hodges_lehmann_delay_shift,
+        welch_ttest_segments,
+    )
+
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+
+    # --- Welch ---
+    va = [
+        int(math.floor(r.o_totalprice * 100 + 0.5))
+        for r in orders
+        if seg.get(r.o_custkey) == _WT_SEG_A
+    ]
+    vb = [
+        int(math.floor(r.o_totalprice * 100 + 0.5))
+        for r in orders
+        if seg.get(r.o_custkey) == _WT_SEG_B
+    ]
+    n1, n2 = len(va), len(vb)
+    se1 = (sum(v * v for v in va) - sum(va) ** 2 / n1) / (n1 - 1) / n1
+    se2 = (sum(v * v for v in vb) - sum(vb) ** 2 / n2) / (n2 - 1) / n2
+    t = (sum(va) / n1 - sum(vb) / n2) / math.sqrt(se1 + se2)
+    df = (se1 + se2) ** 2 / (se1**2 / (n1 - 1) + se2**2 / (n2 - 1))
+    got = welch_ttest_segments(spark, SF_DIR).collect()[0]
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert abs(got["t_micro"] - _half_up_micro(t)) <= 2
+    assert abs(got["df_milli"] - _half_up_micro(df) / 1000) <= 2
+    # the synthetic segments are iid draws: |t| should be small
+    assert abs(got["t_micro"]) < 4_000_000
+
+    # --- Hodges-Lehmann ---
+    odate = {r.o_orderkey: (r.o_orderdate.date(), r.o_orderpriority)
+             for r in orders}
+    ca, cb = Counter(), Counter()
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        od, pr = odate[r.l_orderkey]
+        d = (r.l_shipdate.date() - od).days
+        if d < 0:
+            continue
+        if pr == _HL_PR_A:
+            ca[d] += 1
+        elif pr == _HL_PR_B:
+            cb[d] += 1
+    diffs = Counter()
+    for v1, c1 in ca.items():
+        for v2, c2 in cb.items():
+            diffs[v1 - v2] += c1 * c2
+    np_ = sum(diffs.values())
+    cum = 0
+    hl = None
+    for d in sorted(diffs):
+        cum += diffs[d]
+        if cum * 2 >= np_:
+            hl = d
+            break
+    got = hodges_lehmann_delay_shift(spark, SF_DIR).collect()[0]
+    assert (got["n1"], got["n2"]) == (
+        sum(ca.values()),
+        sum(cb.values()),
+    )
+    assert got["hl_shift_days"] == hl
+
+    # --- Hoover (one nation) ---
+    nk = {
+        r.c_custkey: r.c_nationkey
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    nname = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{SF_DIR}/nation.parquet").collect()
+    }
+    rev = defaultdict(int)
+    for r in orders:
+        rev[r.o_custkey] += int(math.floor(r.o_totalprice * 100 + 0.5))
+    target = nname[0]
+    xs = [v for ck, v in rev.items() if nk[ck] == 0]
+    n, tot = len(xs), sum(xs)
+    hoover = sum(abs(n * x - tot) for x in xs) / (2 * n * tot)
+    got = {
+        r["nation"]: r
+        for r in hoover_index_by_nation(spark, SF_DIR).collect()
+    }[target]
+    assert got["n_customers"] == n
+    assert abs(got["hoover_micro"] - _half_up_micro(hoover)) <= 2
+    # a Hoover index is a share: strictly inside (0, 1)
+    assert 0 < got["hoover_micro"] < 1_000_000
+
+
+def test_breusch_pagan_and_newey_west_replay(spark):
+    """From-scratch replays of the BP auxiliary regression (unit-grain
+    squared residuals) and the Bartlett-weighted HAC variance."""
+    from ai_etl_studio_spark.operators.drift import (
+        breusch_pagan_daily,
+        newey_west_se_daily,
+    )
+
+    x = _daily_1k_ticks(spark)
+    n = len(x)
+
+    # --- Breusch-Pagan ---
+    st = sum(range(n))
+    sx = sum(x)
+    stx = sum(t * v for t, v in enumerate(x))
+    stt = sum(t * t for t in range(n))
+    b = (n * stx - st * sx) / (n * stt - st * st)
+    a = (sx - b * st) / n
+    eu = [
+        int(math.floor(abs(v - (a + b * t)) + 0.5))
+        * (1 if v - (a + b * t) >= 0 else -1)
+        for t, v in enumerate(x)
+    ]
+    y2 = [e * e for e in eu]
+    sy = sum(y2)
+    sxy = sum(t * y for t, y in enumerate(y2))
+    syy = sum(y * y for y in y2)
+    num = n * sxy - st * sy
+    den = (n * stt - st * st) * (n * syy - sy * sy)
+    lm = n * num * num / den
+    r = num / math.sqrt(den)
+    got = breusch_pagan_daily(spark, SF_DIR).collect()[0]
+    assert got["n_days"] == n
+    assert abs(got["lm_micro"] - _half_up_micro(lm)) <= 2
+    assert abs(got["r_micro"] - _half_up_micro(r)) <= 2
+
+    # --- Newey-West ---
+    s1 = sum(x)
+    e = [n * v - s1 for v in x]
+    gam = [
+        sum(e[t] * e[t + k] for t in range(n - k)) for k in range(8)
+    ]
+    nw8 = 8 * gam[0] + 2 * sum((8 - k) * gam[k] for k in range(1, 8))
+    nw_se = math.sqrt(nw8 / 8) / n / n
+    infl = math.sqrt(nw8 / 8 / gam[0])
+    got = newey_west_se_daily(spark, SF_DIR).collect()[0]
+    assert got["n_days"] == n
+    assert abs(got["nw_se_micro"] - _half_up_micro(nw_se)) <= 2
+    assert abs(got["hac_inflation_micro"] - _half_up_micro(infl)) <= 2
+    # the HAC inflation factor is a positive ratio near 1 on this
+    # near-memoryless series; assert structure, not direction
+    assert 300_000 < got["hac_inflation_micro"] < 3_000_000
+
+
+def test_wasserstein_js_replay(spark):
+    """From-scratch W₁ (sorted-sample transport cost) and JSD (direct
+    probability-space formula) replays for one source pair each."""
+    from ai_etl_studio_spark.operators.text import (
+        js_divergence_source_pairs,
+        wasserstein_length_by_source,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    toks = defaultdict(list)
+    for r in docs:
+        if r.text is not None and r.source is not None:
+            toks[r.source].append(r.text.split())
+
+    # --- W1 via the dual (quantile) form on raw samples ---
+    a = sorted(len(t) for t in toks["src0"])
+    b = sorted(len(t) for t in toks["src1"])
+    # integer-support W1 = mean |F1^-1(u) - F2^-1(u)| on the lcm grid
+    na, nb = len(a), len(b)
+    lcm = na * nb // math.gcd(na, nb)
+    w1 = sum(
+        abs(a[i * na // lcm] - b[i * nb // lcm]) for i in range(lcm)
+    ) / lcm
+    got = {
+        (r["source_a"], r["source_b"]): r["w1_tokens_ppm"]
+        for r in wasserstein_length_by_source(spark, SF_DIR).collect()
+    }
+    assert abs(got[("src0", "src1")] - int(w1 * 1_000_000)) <= 2
+    # every pair distance is a nonnegative number of tokens < support
+    assert all(0 <= v < 90_000_000 for v in got.values())
+
+    # --- JSD ---
+    ca, cb = Counter(), Counter()
+    for t in toks["src0"]:
+        ca.update(w for w in t if w)
+    for t in toks["src1"]:
+        cb.update(w for w in t if w)
+    n1, n2 = sum(ca.values()), sum(cb.values())
+    jsd = 0.0
+    for w in set(ca) | set(cb):
+        p, q = ca[w] / n1, cb[w] / n2
+        m = (p + q) / 2
+        if p:
+            jsd += p * math.log(p / m) / 2
+        if q:
+            jsd += q * math.log(q / m) / 2
+    got = {
+        (r["source_a"], r["source_b"]): r["jsd_micro_nats"]
+        for r in js_divergence_source_pairs(spark, SF_DIR).collect()
+    }
+    assert abs(got[("src0", "src1")] - _half_up_micro(jsd)) <= 3
+    # JSD is bounded by ln 2 and strictly positive on distinct corpora
+    assert all(0 < v < 693_148 for v in got.values())
