@@ -6864,3 +6864,207 @@ def newey_west_se_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(g0 AS DOUBLE)) * 1000000E0, 0) AS BIGINT)"
         ).alias("hac_inflation_micro"),
     )
+
+
+@register(
+    "cochran_armitage_discount_trend",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS w,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+      FROM lineitem),
+    cg AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS r
+      FROM b GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS HUGEINT) AS nn, CAST(SUM(r) AS HUGEINT) AS rr,
+             CAST(SUM(w * r) AS HUGEINT) AS swr,
+             CAST(SUM(w * n) AS HUGEINT) AS swn,
+             CAST(SUM(w * w * n) AS HUGEINT) AS swwn
+      FROM cg)
+    SELECT k AS n_levels, CAST(nn AS BIGINT) AS n_lines,
+           CAST(round((CAST(nn AS DOUBLE) * CAST(swr AS DOUBLE)
+               - CAST(rr AS DOUBLE) * CAST(swn AS DOUBLE))
+             / sqrt(CAST(rr AS DOUBLE)
+                 * (CAST(nn AS DOUBLE) - CAST(rr AS DOUBLE))
+                 * (CAST(nn AS DOUBLE) * CAST(swwn AS DOUBLE)
+                    - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)))
+             * 1000000E0, 0) AS BIGINT) AS z_micro
+    FROM s
+    """,
+)
+def cochran_armitage_discount_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: is the RETURN rate monotone in the
+    discount level (scores w = 0..10 cents)? The ordered-alternative
+    companion of chi_square_independence on the same margin — the
+    omnibus χ² burns k−1 df looking for ANY pattern; CA spends ONE df
+    on the dose-response direction a pricing-integrity reviewer
+    actually expects, so it flags a drifting returns-by-discount
+    gradient long before the omnibus wakes up. (z ≈ 0 on this corpus
+    is the honest verdict: the synthetic flags are independent of
+    discount — the op is the monitor you install, not the alarm.)
+
+    Exactness: everything up to the final ratio is exact integer —
+    per-level (n, r) counts, the five sufficient sums on
+    HUGEINT/decimal128 (Σw²n ~ 100·N crosses int64 by sf≈1e3), and
+    the numerator/variance are integer cross-multiplications; z is
+    ONE mirrored fixed-order expression.
+
+    Scale: one fact scan → the 11-row discount grain → a 1-row
+    sufficient-statistic pivot. Nothing downstream is SF-linear.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cg = (
+        li.select(
+            cents("l_discount").alias("w"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("r"),
+        )
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("r").cast("bigint").alias("r"),
+        )
+    )
+    s = cg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("decimal(38,0)").alias("nn"),
+        F.sum("r").cast("decimal(38,0)").alias("rr"),
+        F.sum(F.col("w") * F.col("r")).cast("decimal(38,0)").alias("swr"),
+        F.sum(F.col("w") * F.col("n")).cast("decimal(38,0)").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n"))
+        .cast("decimal(38,0)")
+        .alias("swwn"),
+    )
+    return s.select(
+        F.col("k").alias("n_levels"),
+        F.col("nn").cast("bigint").alias("n_lines"),
+        F.expr(
+            "CAST(round((CAST(nn AS DOUBLE) * CAST(swr AS DOUBLE)"
+            " - CAST(rr AS DOUBLE) * CAST(swn AS DOUBLE))"
+            " / sqrt(CAST(rr AS DOUBLE)"
+            "     * (CAST(nn AS DOUBLE) - CAST(rr AS DOUBLE))"
+            "     * (CAST(nn AS DOUBLE) * CAST(swwn AS DOUBLE)"
+            "        - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("z_micro"),
+    )
+
+
+@register(
+    "mantel_haenszel_return_discount",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             CASE WHEN l.l_discount >= 0.06 THEN 1 ELSE 0 END AS ex,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS rr
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    cells AS (
+      SELECT yr,
+             CAST(SUM(ex * rr) AS BIGINT) AS a,
+             CAST(SUM(ex * (1 - rr)) AS BIGINT) AS bb,
+             CAST(SUM((1 - ex) * rr) AS BIGINT) AS c,
+             CAST(SUM((1 - ex) * (1 - rr)) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY 1),
+    terms AS (
+      SELECT yr, a,
+             CAST(round(CAST(a + bb AS DOUBLE) * CAST(a + c AS DOUBLE)
+               / CAST(n AS DOUBLE) * 1000000E0, 0) AS BIGINT) AS e_micro,
+             CAST(round(CAST(a + bb AS DOUBLE) * CAST(c + d AS DOUBLE)
+                 * CAST(a + c AS DOUBLE) * CAST(bb + d AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) - 1E0)) * 1000000E0, 0)
+               AS BIGINT) AS v_micro,
+             CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+               / CAST(n AS DOUBLE) * 1000000E0, 0) AS BIGINT) AS adn_micro,
+             CAST(round(CAST(bb AS DOUBLE) * CAST(c AS DOUBLE)
+               / CAST(n AS DOUBLE) * 1000000E0, 0) AS BIGINT) AS bcn_micro
+      FROM cells)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(round(CAST(SUM(adn_micro) AS DOUBLE)
+             / CAST(SUM(bcn_micro) AS DOUBLE) * 1000000E0, 0) AS BIGINT)
+             AS mh_or_micro,
+           CAST(round(CAST(SUM(a) * 1000000 - SUM(e_micro) AS DOUBLE)
+               * CAST(SUM(a) * 1000000 - SUM(e_micro) AS DOUBLE)
+             / (CAST(SUM(v_micro) AS DOUBLE) * 1000000E0)
+             * 1000000E0, 0) AS BIGINT) AS cmh_chi2_micro
+    FROM terms
+    """,
+)
+def mantel_haenszel_return_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio + Cochran-MH χ²(1) for
+    high-discount (≥ 6%) vs returned, stratified BY ORDER YEAR — the
+    confounding-proof version of the crude 2×2: if discount policy
+    and return behavior both drifted over the years, the crude OR
+    mixes cohorts (Simpson's trap) while MH pools the per-year
+    association at fixed year. Reading MH ≈ 1 against a crude OR ≠ 1
+    is the "it was the mix, not the mechanism" verdict.
+
+    Exactness: per-stratum cells are exact integer sums; each
+    fractional stratum term (a·d/n, b·c/n, E, V) is ONE single-term
+    expression off one row, micro-quantized BEFORE the ≤|years|-row
+    integer sums (the bounded-strata per-term device); OR and χ² are
+    mirrored fixed-order expressions. Σa·10⁶ stays inside int64 to
+    sf≈1e5.
+
+    Scale: one fact join → |years| stratum rows; everything after is
+    arithmetic on ≤ 7 rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    b = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.when(F.col("l_discount") >= 0.06, 1).otherwise(0).alias("ex"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("rr"),
+    )
+    cells = b.groupBy("yr").agg(
+        F.sum(F.col("ex") * F.col("rr")).cast("bigint").alias("a"),
+        F.sum(F.col("ex") * (1 - F.col("rr"))).cast("bigint").alias("bb"),
+        F.sum((1 - F.col("ex")) * F.col("rr")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("ex")) * (1 - F.col("rr")))
+        .cast("bigint")
+        .alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    terms = cells.select(
+        "a",
+        F.expr(
+            "CAST(round(CAST(a + bb AS DOUBLE) * CAST(a + c AS DOUBLE)"
+            " / CAST(n AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+        ).alias("e_micro"),
+        F.expr(
+            "CAST(round(CAST(a + bb AS DOUBLE) * CAST(c + d AS DOUBLE)"
+            " * CAST(a + c AS DOUBLE) * CAST(bb + d AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+            "    * (CAST(n AS DOUBLE) - 1E0)) * 1000000E0, 0) AS BIGINT)"
+        ).alias("v_micro"),
+        F.expr(
+            "CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+            " / CAST(n AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+        ).alias("adn_micro"),
+        F.expr(
+            "CAST(round(CAST(bb AS DOUBLE) * CAST(c AS DOUBLE)"
+            " / CAST(n AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+        ).alias("bcn_micro"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("e_micro").cast("bigint").alias("se"),
+        F.sum("v_micro").cast("bigint").alias("sv"),
+        F.sum("adn_micro").cast("bigint").alias("sad"),
+        F.sum("bcn_micro").cast("bigint").alias("sbc"),
+    ).select(
+        "n_strata",
+        F.expr(
+            "CAST(round(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("mh_or_micro"),
+        F.expr(
+            "CAST(round(CAST(sa * 1000000 - se AS DOUBLE)"
+            " * CAST(sa * 1000000 - se AS DOUBLE)"
+            " / (CAST(sv AS DOUBLE) * 1000000E0) * 1000000E0, 0)"
+            " AS BIGINT)"
+        ).alias("cmh_chi2_micro"),
+    )

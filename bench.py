@@ -487,6 +487,8 @@ HEADLINE = [
     "newey_west_se_daily",
     "wasserstein_length_by_source",
     "js_divergence_source_pairs",
+    "cochran_armitage_discount_trend",
+    "mantel_haenszel_return_discount",
 ]
 
 

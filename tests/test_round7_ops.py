@@ -1293,3 +1293,69 @@ def test_wasserstein_js_replay(spark):
     assert abs(got[("src0", "src1")] - _half_up_micro(jsd)) <= 3
     # JSD is bounded by ln 2 and strictly positive on distinct corpora
     assert all(0 < v < 693_148 for v in got.values())
+
+
+def test_cochran_armitage_and_mh_replay(spark):
+    """From-scratch CA trend z and MH OR / CMH chi2 replays."""
+    from ai_etl_studio_spark.operators.drift import (
+        cochran_armitage_discount_trend,
+        mantel_haenszel_return_discount,
+    )
+
+    oyr = {
+        r.o_orderkey: r.o_orderdate.year
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    lines = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_discount", "l_returnflag")
+        .collect()
+    )
+
+    # --- Cochran-Armitage ---
+    lv = defaultdict(lambda: [0, 0])
+    for r in lines:
+        w = int(math.floor(r.l_discount * 100 + 0.5))
+        lv[w][0] += 1
+        lv[w][1] += r.l_returnflag == "R"
+    nn = sum(v[0] for v in lv.values())
+    rr = sum(v[1] for v in lv.values())
+    swr = sum(w * v[1] for w, v in lv.items())
+    swn = sum(w * v[0] for w, v in lv.items())
+    swwn = sum(w * w * v[0] for w, v in lv.items())
+    z = (nn * swr - rr * swn) / math.sqrt(
+        rr * (nn - rr) * (nn * swwn - swn * swn)
+    )
+    got = cochran_armitage_discount_trend(spark, SF_DIR).collect()[0]
+    assert (got["n_levels"], got["n_lines"]) == (len(lv), nn)
+    assert abs(got["z_micro"] - _half_up_micro(z)) <= 2
+    # iid flags: the dose-response z stays well inside +-4 sigma
+    assert abs(got["z_micro"]) < 4_000_000
+
+    # --- Mantel-Haenszel ---
+    strata = defaultdict(lambda: [0, 0, 0, 0])
+    for r in lines:
+        yr = oyr[r.l_orderkey]
+        ex = r.l_discount >= 0.06
+        ret = r.l_returnflag == "R"
+        strata[yr][0 if ex and ret else 1 if ex else 2 if ret else 3] += 1
+    sad = sbc = se = sv = sa = 0
+    for a, b, c, d in strata.values():
+        n = a + b + c + d
+        sa += a
+        sad += _half_up_micro(a * d / n)
+        sbc += _half_up_micro(b * c / n)
+        se += _half_up_micro((a + b) * (a + c) / n)
+        sv += _half_up_micro(
+            (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        )
+    mh = sad / sbc
+    cmh = (sa * 1_000_000 - se) ** 2 / (sv * 1e6)
+    got = mantel_haenszel_return_discount(spark, SF_DIR).collect()[0]
+    assert got["n_strata"] == len(strata)
+    assert abs(got["mh_or_micro"] - _half_up_micro(mh)) <= 2
+    assert abs(got["cmh_chi2_micro"] - _half_up_micro(cmh)) <= 2
+    # iid exposure: MH OR should sit near 1 (within a generous band)
+    assert 500_000 < got["mh_or_micro"] < 2_000_000
