@@ -11474,3 +11474,114 @@ def hoover_index_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+#: KMV sketch parameters: k-th minimum of 48-bit hash prefixes.
+_KMV_K = 256
+_KMV_SPACE = 281474976710656  # 16^12: the 12-hex-char prefix universe
+#: DuckDB-side hex decode of the 12-char prefix (Spark uses conv()):
+#: per-digit strpos into the hex alphabet, fixed 12-term polynomial.
+_KMV_HEX_DECODE = " + ".join(
+    f"(CAST(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) AS BIGINT)"
+    f" - 1) * {16 ** (11 - i)}"
+    for i in range(12)
+)
+
+
+@register(
+    "kmv_distinct_eval",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT md5(CAST(o_orderkey AS VARCHAR)) AS h FROM orders),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndv FROM h),
+    thr AS (
+      SELECT lpad(lower(hex(LEAST(CAST({_KMV_SPACE - 1} AS BIGINT),
+          CAST(ceil({_KMV_K} * 8E0 * {_KMV_SPACE}E0
+            / CAST(ndv AS DOUBLE)) AS BIGINT)))), 12, '0') AS t12
+      FROM n),
+    surv AS (SELECT h FROM h, thr WHERE substr(h, 1, 12) <= t12),
+    kth AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM surv),
+    est AS (
+      SELECT CAST(({_KMV_HEX_DECODE}) AS BIGINT) AS kth_int
+      FROM kth WHERE rn = {_KMV_K})
+    SELECT n.ndv AS ndv_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_survivors,
+           CAST(round({_KMV_K - 1}E0 * {_KMV_SPACE}E0
+             / CAST(kth_int AS DOUBLE), 0) AS BIGINT) AS kmv_estimate,
+           CAST(round(({_KMV_K - 1}E0 * {_KMV_SPACE}E0
+               / CAST(kth_int AS DOUBLE) / CAST(n.ndv AS DOUBLE) - 1E0)
+             * 1000000E0, 0) AS BIGINT) AS err_ppm
+    FROM est, n
+    """,
+)
+def kmv_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (k = 256 over a 48-bit
+    md5 prefix) evaluated against the exact NDV of o_orderkey — unlike
+    approx_distinct/hll_error_eval (JVM HLL, only bound-checkable),
+    KMV's estimate (k−1)/U_(k) is a pure function of a cross-engine
+    hash, so the WHOLE eval is hash-green: both engines compute the
+    identical estimate, survivor count, and signed error. This is the
+    registry's reference mergeable-NDV sketch: the k smallest hashes
+    of a union are a subset of the union of the parts' k smallest.
+
+    Exactness: md5 hex is identical in both engines; fixed-width
+    lowercase hex compares lexicographically = numerically, so the
+    survivor filter is a string comparison against a threshold BUILT
+    from the exact NDV (expected survivors ≈ 8k at ANY SF); the k-th
+    smallest comes off the bounded survivor set; Spark decodes the
+    prefix with conv(, 16, 10), DuckDB with a fixed 12-term strpos
+    polynomial — same integer.
+
+    Scale: the fact scan reduces to distinct hashes (shuffle on the
+    hash — NDV-linear, unavoidable for an EXACT-comparison eval); the
+    threshold makes the sorted set ~2048 rows at ANY SF, so the
+    row_number window is bounded (documented tiny-sort exception).
+    Contract: needs NDV ≥ k·8 for the threshold regime (below that
+    every hash survives, which is still correct, just unsorted-bounded
+    by NDV itself).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    h = o.select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("h")
+    ).distinct().localCheckpoint()  # NDV-grain; read by n AND surv
+    n = h.agg(F.count(F.lit(1)).cast("bigint").alias("ndv"))
+    thr = n.select(
+        "ndv",
+        F.expr(
+            f"lpad(lower(hex(LEAST(CAST({_KMV_SPACE - 1} AS BIGINT),"
+            f" CAST(ceil({_KMV_K} * 8E0 * {_KMV_SPACE}E0"
+            f" / CAST(ndv AS DOUBLE)) AS BIGINT)))), 12, '0')"
+        ).alias("t12"),
+    )
+    surv = h.crossJoin(F.broadcast(thr)).filter(
+        F.substring("h", 1, 12) <= F.col("t12")
+    ).localCheckpoint()  # ~8k rows at any SF; read by count AND kth
+    kth = (
+        surv.select(
+            "h", F.row_number().over(Window.orderBy("h")).alias("rn")
+        )
+        .filter(F.col("rn") == _KMV_K)
+        .select(
+            F.expr("CAST(conv(substr(h, 1, 12), 16, 10) AS BIGINT)").alias(
+                "kth_int"
+            )
+        )
+    )
+    ns = surv.agg(F.count(F.lit(1)).cast("bigint").alias("n_survivors"))
+    return (
+        kth.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            F.col("ndv").alias("ndv_exact"),
+            "n_survivors",
+            F.expr(
+                f"CAST(round({_KMV_K - 1}E0 * {_KMV_SPACE}E0"
+                " / CAST(kth_int AS DOUBLE), 0) AS BIGINT)"
+            ).alias("kmv_estimate"),
+            F.expr(
+                f"CAST(round(({_KMV_K - 1}E0 * {_KMV_SPACE}E0"
+                " / CAST(kth_int AS DOUBLE) / CAST(ndv AS DOUBLE) - 1E0)"
+                " * 1000000E0, 0) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )

@@ -7068,3 +7068,131 @@ def mantel_haenszel_return_discount(spark: SparkSession, sf_dir: str) -> DataFra
             " AS BIGINT)"
         ).alias("cmh_chi2_micro"),
     )
+
+
+@register(
+    "nelson_aalen_reorder",
+    oracle="""
+    WITH od AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d
+      FROM orders GROUP BY 1, 2),
+    anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+    per AS (
+      SELECT o_custkey, MIN(d) AS d1,
+             MIN(CASE WHEN d > (SELECT MIN(d2.d) FROM od d2
+                                WHERE d2.o_custkey = od.o_custkey)
+                      THEN d END) AS d2
+      FROM od GROUP BY 1),
+    su AS (
+      SELECT CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+                  ELSE date_diff('day', d1, (SELECT mx FROM anchor)) END
+               AS tt,
+             CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per),
+    vg AS (
+      SELECT tt, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(ev) AS BIGINT) AS c_ev
+      FROM su GROUP BY 1),
+    cum AS (
+      SELECT tt, c_all, c_ev,
+             CAST(COALESCE(SUM(c_all) OVER (ORDER BY tt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before_t,
+             CAST(SUM(c_all) OVER () AS BIGINT) AS nn
+      FROM vg),
+    terms AS (
+      SELECT tt, c_ev, nn - before_t AS n_at,
+             CAST(round(CAST(c_ev AS DOUBLE)
+               / CAST(nn - before_t AS DOUBLE) * 1000000E0, 0)
+               AS BIGINT) AS h_micro,
+             CAST(round(CAST(c_ev AS DOUBLE)
+               / (CAST(nn - before_t AS DOUBLE)
+                  * CAST(nn - before_t AS DOUBLE)) * 1000000000E0, 0)
+               AS BIGINT) AS v_nano
+      FROM cum WHERE c_ev > 0)
+    SELECT tt AS t_days, n_at, c_ev AS d_events,
+           CAST(SUM(h_micro) OVER (ORDER BY tt) AS BIGINT)
+             AS na_cumhaz_micro,
+           CAST(SUM(v_nano) OVER (ORDER BY tt) AS BIGINT)
+             AS na_var_nano
+    FROM terms ORDER BY tt
+    """,
+)
+def nelson_aalen_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve of time-to-second-order
+    (pooled, single-order customers censored at the horizon) — the
+    HAZARD-scale companion of survival_km's probability curve and
+    log_rank's test: H(t) = Σ d_i/n_i is the additive estimator, so
+    differences/slopes of this curve ARE reorder intensities ("the
+    weekly reorder hazard doubles after day 60" is a statement KM
+    can't make additively), and its Poisson-style variance Σd/n² is
+    emitted beside it.
+
+    Exactness: event times are integer days on the bounded gap grain;
+    risk sets are exact integers from an exclusive-cumulative window
+    (no marker device needed — pooled means censorings and events at
+    the same t share one grain row); each per-time hazard and variance
+    term is ONE single-term micro/nano quantization before the
+    cumulative integer sums.
+
+    Scale: orders reduce to (customer, distinct day), then to one
+    (time, count, events) row per distinct gap — everything after
+    runs on the ≤~2500-row calendar-bounded grain.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    od = o.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("mx"))
+    per = od.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("d")).alias("ds")
+    )
+    su = per.crossJoin(F.broadcast(anchor)).select(
+        F.when(
+            F.size("ds") >= 2,
+            F.datediff(F.element_at("ds", 2), F.element_at("ds", 1)),
+        )
+        .otherwise(F.datediff(F.col("mx"), F.element_at("ds", 1)))
+        .alias("tt"),
+        (F.size("ds") >= 2).cast("int").alias("ev"),
+    )
+    vg = su.groupBy("tt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum("ev").cast("bigint").alias("c_ev"),
+    )
+    wprev = Window.orderBy("tt").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vg.select(
+        "tt",
+        "c_all",
+        "c_ev",
+        F.coalesce(F.sum("c_all").over(wprev), F.lit(0))
+        .cast("bigint")
+        .alias("before_t"),
+        F.sum("c_all").over(wall).cast("bigint").alias("nn"),
+    )
+    terms = cum.filter(F.col("c_ev") > 0).select(
+        "tt",
+        "c_ev",
+        (F.col("nn") - F.col("before_t")).alias("n_at"),
+        F.expr(
+            "CAST(round(CAST(c_ev AS DOUBLE)"
+            " / CAST(nn - before_t AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+        ).alias("h_micro"),
+        F.expr(
+            "CAST(round(CAST(c_ev AS DOUBLE)"
+            " / (CAST(nn - before_t AS DOUBLE)"
+            "    * CAST(nn - before_t AS DOUBLE)) * 1000000000E0, 0)"
+            " AS BIGINT)"
+        ).alias("v_nano"),
+    )
+    wc = Window.orderBy("tt").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        F.col("tt").alias("t_days"),
+        "n_at",
+        F.col("c_ev").alias("d_events"),
+        F.sum("h_micro").over(wc).cast("bigint").alias("na_cumhaz_micro"),
+        F.sum("v_nano").over(wc).cast("bigint").alias("na_var_nano"),
+    ).orderBy("t_days")

@@ -489,6 +489,8 @@ HEADLINE = [
     "js_divergence_source_pairs",
     "cochran_armitage_discount_trend",
     "mantel_haenszel_return_discount",
+    "kmv_distinct_eval",
+    "nelson_aalen_reorder",
 ]
 
 

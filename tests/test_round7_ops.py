@@ -1359,3 +1359,77 @@ def test_cochran_armitage_and_mh_replay(spark):
     assert abs(got["cmh_chi2_micro"] - _half_up_micro(cmh)) <= 2
     # iid exposure: MH OR should sit near 1 (within a generous band)
     assert 500_000 < got["mh_or_micro"] < 2_000_000
+
+
+def test_kmv_and_nelson_aalen_replay(spark):
+    """From-scratch KMV estimate off hashlib md5 and a literal
+    Nelson-Aalen event loop."""
+    import hashlib
+
+    from ai_etl_studio_spark.operators.analytics import (
+        _KMV_K,
+        _KMV_SPACE,
+        kmv_distinct_eval,
+    )
+    from ai_etl_studio_spark.operators.drift import nelson_aalen_reorder
+
+    orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .collect()
+    )
+
+    # --- KMV ---
+    hashes = sorted(
+        {
+            hashlib.md5(str(r.o_orderkey).encode()).hexdigest()
+            for r in orders
+        }
+    )
+    ndv = len(hashes)
+    kth_int = int(hashes[_KMV_K - 1][:12], 16)
+    est = (_KMV_K - 1) * _KMV_SPACE / kth_int
+    got = kmv_distinct_eval(spark, SF_DIR).collect()[0]
+    assert got["ndv_exact"] == ndv
+    assert abs(got["kmv_estimate"] - est) <= 1
+    # k=256 gives ~6% SE; 5 sigma guard
+    assert abs(got["err_ppm"]) < 320_000
+
+    # --- Nelson-Aalen ---
+    days = defaultdict(set)
+    anchor = None
+    for r in orders:
+        d = r.o_orderdate.date()
+        anchor = d if anchor is None or d > anchor else anchor
+        days[r.o_custkey].add(d)
+    subj = []
+    for ds in days.values():
+        ds = sorted(ds)
+        if len(ds) >= 2:
+            subj.append(((ds[1] - ds[0]).days, 1))
+        else:
+            subj.append(((anchor - ds[0]).days, 0))
+    n = len(subj)
+    rows = {}
+    cum_h = cum_v = 0
+    seen = 0
+    for t in sorted({t for t, _ in subj}):
+        n_at = n - seen
+        d = sum(1 for tt, ev in subj if tt == t and ev)
+        if d > 0:
+            cum_h += _half_up_micro(d / n_at)
+            cum_v += _half_up_micro(d / (n_at * n_at) * 1000)
+            rows[t] = (n_at, d, cum_h, cum_v)
+        seen += sum(1 for tt, _ in subj if tt == t)
+    got_rows = {
+        r["t_days"]: (
+            r["n_at"],
+            r["d_events"],
+            r["na_cumhaz_micro"],
+            r["na_var_nano"],
+        )
+        for r in nelson_aalen_reorder(spark, SF_DIR).collect()
+    }
+    assert got_rows == rows
+    # the cumulative hazard is nondecreasing and ends positive
+    assert max(v[2] for v in rows.values()) > 0
