@@ -7196,3 +7196,145 @@ def nelson_aalen_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h_micro").over(wc).cast("bigint").alias("na_cumhaz_micro"),
         F.sum("v_nano").over(wc).cast("bigint").alias("na_var_nano"),
     ).orderBy("t_days")
+
+
+#: Granger building blocks — centered cross-products as ONE shared
+#: token stream over the one-row integer sufficient statistics.
+_GC = {
+    "A11": "(CAST(n AS DOUBLE) * CAST(syl2 AS DOUBLE)"
+    " - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE))",
+    "A12": "(CAST(n AS DOUBLE) * CAST(sylcl AS DOUBLE)"
+    " - CAST(syl AS DOUBLE) * CAST(scl AS DOUBLE))",
+    "A22": "(CAST(n AS DOUBLE) * CAST(scl2 AS DOUBLE)"
+    " - CAST(scl AS DOUBLE) * CAST(scl AS DOUBLE))",
+    "B1": "(CAST(n AS DOUBLE) * CAST(syyl AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(syl AS DOUBLE))",
+    "B2": "(CAST(n AS DOUBLE) * CAST(sycl AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(scl AS DOUBLE))",
+    "SYYC": "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))",
+}
+_GC_DET = f"({_GC['A11']} * {_GC['A22']} - {_GC['A12']} * {_GC['A12']})"
+_GC_REGSS = (
+    f"(({_GC['B1']} * ({_GC['A22']} * {_GC['B1']}"
+    f" - {_GC['A12']} * {_GC['B2']})"
+    f" + {_GC['B2']} * ({_GC['A11']} * {_GC['B2']}"
+    f" - {_GC['A12']} * {_GC['B1']})) / {_GC_DET})"
+)
+_GC_RSSU = f"({_GC['SYYC']} - {_GC_REGSS})"
+_GC_RSSR = f"({_GC['SYYC']} - {_GC['B1']} * {_GC['B1']} / {_GC['A11']})"
+_GC_F = (
+    f"(({_GC_RSSR} - {_GC_RSSU}) * (CAST(n AS DOUBLE) - 3E0) / {_GC_RSSU})"
+)
+_GC_BETA2 = (
+    f"(({_GC['A11']} * {_GC['B2']} - {_GC['A12']} * {_GC['B1']}) / {_GC_DET})"
+)
+
+
+@register(
+    "granger_orders_to_revenue",
+    oracle=_DAILY_1K_CTE.replace(
+        "CAST(round(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))",
+        "CAST(COUNT(*) AS BIGINT) AS c,"
+        " CAST(round(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))",
+    ).replace(
+        "SELECT row_number() OVER (ORDER BY day) - 1 AS t, x FROM daily",
+        "SELECT row_number() OVER (ORDER BY day) - 1 AS t, x, c FROM daily",
+    )
+    + f"""
+    , l AS (
+      SELECT x AS y,
+             lag(x) OVER (ORDER BY t) AS yl,
+             lag(c) OVER (ORDER BY t) AS cl
+      FROM t),
+    lf AS (SELECT y, yl, cl FROM l WHERE yl IS NOT NULL),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(yl) AS HUGEINT) AS syl,
+             CAST(SUM(cl) AS HUGEINT) AS scl,
+             CAST(SUM(CAST(y AS HUGEINT) * yl) AS HUGEINT) AS syyl,
+             CAST(SUM(CAST(y AS HUGEINT) * cl) AS HUGEINT) AS sycl,
+             CAST(SUM(CAST(yl AS HUGEINT) * yl) AS HUGEINT) AS syl2,
+             CAST(SUM(CAST(cl AS HUGEINT) * cl) AS HUGEINT) AS scl2,
+             CAST(SUM(CAST(yl AS HUGEINT) * cl) AS HUGEINT) AS sylcl,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM lf)
+    SELECT n AS n_days_used,
+           CAST(round({_GC_F} * 1000000E0, 0) AS BIGINT) AS f_micro,
+           CAST(round({_GC_BETA2} * 1000000E0, 0) AS BIGINT)
+             AS beta_orders_micro
+    FROM s
+    """,
+)
+def granger_orders_to_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger non-causality test (one lag): does YESTERDAY'S ORDER
+    COUNT predict today's revenue beyond yesterday's revenue? F(1, n−3)
+    compares the restricted AR(1) against the model with the lagged
+    count added; beta_orders is the incremental $1k-per-order
+    coefficient. This is the volume-leads-value question behind
+    volume_value_divergence, asked with actual temporal inference —
+    F ≈ 0 here (iid synthetic days) is the honest verdict; the op is
+    the monitor a demand-forecast pipeline installs on every candidate
+    leading indicator.
+
+    Exactness: the day series carries BOTH the $1k revenue tick and
+    the order count; the ten sufficient sums over the lag-aligned rows
+    are exact HUGEINT/decimal128 integers; the 2-regressor normal
+    equations are solved in closed form — centered cross-products,
+    determinant, regression SS, both RSS, F, β — as ONE shared
+    fixed-order token stream (the Cramer's-rule device; no distributed
+    double arithmetic anywhere).
+
+    Scale: day-grain reduction, one ordered lag window (the ACF-family
+    exception), a 1-row sufficient-statistic output.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.round(
+                F.sum(cents("o_totalprice")).cast("double") / 100000, 0
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+        .localCheckpoint()
+    )
+    t = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+        "x",
+        "c",
+    )
+    w = Window.orderBy("t")
+    lf = (
+        t.select(
+            F.col("x").alias("y"),
+            F.lag("x").over(w).alias("yl"),
+            F.lag("c").over(w).alias("cl"),
+        )
+        .filter(F.col("yl").isNotNull())
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = lf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum("yl").cast("decimal(38,0)").alias("syl"),
+        F.sum("cl").cast("decimal(38,0)").alias("scl"),
+        F.sum(dec("y") * dec("yl")).cast("decimal(38,0)").alias("syyl"),
+        F.sum(dec("y") * dec("cl")).cast("decimal(38,0)").alias("sycl"),
+        F.sum(dec("yl") * dec("yl")).cast("decimal(38,0)").alias("syl2"),
+        F.sum(dec("cl") * dec("cl")).cast("decimal(38,0)").alias("scl2"),
+        F.sum(dec("yl") * dec("cl")).cast("decimal(38,0)").alias("sylcl"),
+        F.sum(dec("y") * dec("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_days_used"),
+        F.expr(
+            f"CAST(round({_GC_F} * 1000000E0, 0) AS BIGINT)"
+        ).alias("f_micro"),
+        F.expr(
+            f"CAST(round({_GC_BETA2} * 1000000E0, 0) AS BIGINT)"
+        ).alias("beta_orders_micro"),
+    )

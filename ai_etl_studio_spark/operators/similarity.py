@@ -4140,3 +4140,103 @@ def jl_projection_distortion_eval(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("band")
     )
+
+
+#: kNN-graph reciprocity neighborhood size.
+_RECIP_K = 10
+
+
+@register(
+    "knn_reciprocity_rate",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
+      FROM embeddings
+      WHERE vec_id % {_ID_SAMPLE_MOD} = 0 AND vec_id < {_ID_SAMPLE_CAP}),
+    d AS (
+      SELECT a.vec_id AS sid, b.vec_id AS nid,
+             CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+               i -> (a.qe[i] - b.qe[i]) * (a.qe[i] - b.qe[i])))
+               AS BIGINT) AS d2
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+    nn AS (
+      SELECT sid, nid FROM (
+        SELECT sid, nid,
+               ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d2, nid) AS rn
+        FROM d) t WHERE rn <= {_RECIP_K}),
+    mut AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_mutual
+      FROM nn a JOIN nn b ON a.sid = b.nid AND a.nid = b.sid),
+    s AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_sample,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM nn) AS n_edges,
+             (SELECT n_mutual FROM mut) AS n_mutual)
+    SELECT n_sample, n_edges, n_mutual,
+           CAST(n_mutual * 1000000 // n_edges AS BIGINT)
+             AS reciprocity_ppm
+    FROM s
+    """,
+)
+def knn_reciprocity_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the k-NN digraph (k = 10) over the fenced
+    embedding sample: the share of directed nearest-neighbor edges
+    whose REVERSE edge also exists. The diagnostic pairs with
+    hubness_k_occurrence — hubs are exactly the points that appear in
+    many lists while reciprocating few, so reciprocity dropping with
+    dimensionality is the same curse read as a rate: mutual-kNN graphs
+    (the robust clustering/dedup primitive) keep only reciprocal
+    edges, and this op says what fraction of the graph survives that
+    cut BEFORE you build it.
+
+    Exactness: exact int64 micro-tick distances, integer ranks with
+    the vec_id tiebreak, integer mutual-edge count via a self-join on
+    the reversed pair, floor-ppm rate.
+
+    Scale: sample↔sample distances under the same MOD+hard-cap fence
+    as the other audit evals (the Arrow kernel serves the pairs; the
+    kNN cut is a WindowGroupLimit on ≤CAP partitions); the mutual join
+    runs on the k·|sample| edge list.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("bigint"),
+        ).alias("qe"),
+    )
+    d = _sample_pair_d2(spark, emb)
+    in_sample = (F.col("nid") % _ID_SAMPLE_MOD == 0) & (
+        F.col("nid") < _ID_SAMPLE_CAP
+    )
+    dss = d.filter(in_sample)
+    w = Window.partitionBy("sid").orderBy("d2", "nid")
+    nn = (
+        dss.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECIP_K)
+        .select("sid", "nid")
+        .localCheckpoint()  # k·|sample| edges; read by count AND mut
+    )
+    a, b = nn.alias("a"), nn.alias("b")
+    mut = a.join(
+        b,
+        (F.col("a.sid") == F.col("b.nid")) & (F.col("a.nid") == F.col("b.sid")),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_mutual"))
+    ns = emb.filter(
+        (F.col("vec_id") % _ID_SAMPLE_MOD == 0)
+        & (F.col("vec_id") < _ID_SAMPLE_CAP)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_sample"))
+    ne = nn.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        ns.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(mut))
+        .select(
+            "n_sample",
+            "n_edges",
+            "n_mutual",
+            F.expr(
+                "CAST(n_mutual * 1000000 DIV n_edges AS BIGINT)"
+            ).alias("reciprocity_ppm"),
+        )
+    )

@@ -491,6 +491,8 @@ HEADLINE = [
     "mantel_haenszel_return_discount",
     "kmv_distinct_eval",
     "nelson_aalen_reorder",
+    "granger_orders_to_revenue",
+    "knn_reciprocity_rate",
 ]
 
 

@@ -1433,3 +1433,96 @@ def test_kmv_and_nelson_aalen_replay(spark):
     assert got_rows == rows
     # the cumulative hazard is nondecreasing and ends positive
     assert max(v[2] for v in rows.values()) > 0
+
+
+def test_granger_and_knn_reciprocity_replay(spark):
+    """From-scratch replays: Granger F via numpy lstsq-free normal
+    equations, and kNN reciprocity via a literal O(m²) loop."""
+    from ai_etl_studio_spark.operators.drift import (
+        granger_orders_to_revenue,
+    )
+    from ai_etl_studio_spark.operators.similarity import (
+        _ID_SAMPLE_CAP,
+        _ID_SAMPLE_MOD,
+        _RECIP_K,
+        knn_reciprocity_rate,
+    )
+
+    # --- Granger ---
+    daily = defaultdict(lambda: [0, 0])
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        d = r.o_orderdate.date()
+        daily[d][0] += int(math.floor(r.o_totalprice * 100 + 0.5))
+        daily[d][1] += 1
+    series = [daily[d] for d in sorted(daily)]
+    xs = [int(math.floor(abs(v[0]) / 100000 + 0.5)) for v in series]
+    cs = [v[1] for v in series]
+    y = xs[1:]
+    yl = xs[:-1]
+    cl = cs[:-1]
+    n = len(y)
+    sy, syl, scl = sum(y), sum(yl), sum(cl)
+    syyl = sum(a * b for a, b in zip(y, yl))
+    sycl = sum(a * b for a, b in zip(y, cl))
+    syl2 = sum(a * a for a in yl)
+    scl2 = sum(a * a for a in cl)
+    sylcl = sum(a * b for a, b in zip(yl, cl))
+    syy = sum(a * a for a in y)
+    a11 = n * syl2 - syl * syl
+    a12 = n * sylcl - syl * scl
+    a22 = n * scl2 - scl * scl
+    b1 = n * syyl - sy * syl
+    b2 = n * sycl - sy * scl
+    syyc = n * syy - sy * sy
+    det = a11 * a22 - a12 * a12
+    regss = (b1 * (a22 * b1 - a12 * b2) + b2 * (a11 * b2 - a12 * b1)) / det
+    rss_u = syyc - regss
+    rss_r = syyc - b1 * b1 / a11
+    f = (rss_r - rss_u) * (n - 3) / rss_u
+    beta2 = (a11 * b2 - a12 * b1) / det
+    got = granger_orders_to_revenue(spark, SF_DIR).collect()[0]
+    assert got["n_days_used"] == n
+    assert abs(got["f_micro"] - _half_up_micro(f)) <= 2
+    assert abs(got["beta_orders_micro"] - _half_up_micro(beta2)) <= 2
+    # F is nonnegative by construction
+    assert got["f_micro"] >= 0
+
+    # --- kNN reciprocity ---
+    vecs = {
+        r.vec_id: [
+            int(math.floor(abs(x) * 1_000_000 + 0.5))
+            * (1 if x >= 0 else -1)
+            for x in r.embedding
+        ]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+        if r.vec_id % _ID_SAMPLE_MOD == 0 and r.vec_id < _ID_SAMPLE_CAP
+    }
+    ids = sorted(vecs)
+    nnsets = {}
+    for i in ids:
+        ds = sorted(
+            (
+                sum((a - b) ** 2 for a, b in zip(vecs[i], vecs[j])),
+                j,
+            )
+            for j in ids
+            if j != i
+        )[:_RECIP_K]
+        nnsets[i] = {j for _, j in ds}
+    n_edges = sum(len(s) for s in nnsets.values())
+    n_mutual = sum(
+        1 for i in ids for j in nnsets[i] if i in nnsets[j]
+    )
+    got = knn_reciprocity_rate(spark, SF_DIR).collect()[0]
+    assert (got["n_sample"], got["n_edges"], got["n_mutual"]) == (
+        len(ids),
+        n_edges,
+        n_mutual,
+    )
+    assert got["reciprocity_ppm"] == n_mutual * 1_000_000 // n_edges
