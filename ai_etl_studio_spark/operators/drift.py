@@ -7338,3 +7338,106 @@ def granger_orders_to_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(round({_GC_BETA2} * 1000000E0, 0) AS BIGINT)"
         ).alias("beta_orders_micro"),
     )
+
+
+@register(
+    "cusumsq_variance_break_daily",
+    oracle=_DAILY_1K_CTE
+    + f"""
+    , g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(t * x) AS BIGINT) AS stx,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM t),
+    e AS (SELECT t.t, {{resid}} AS eu FROM t, g),
+    y AS (
+      SELECT t, CAST(row_number() OVER (ORDER BY t) AS HUGEINT) AS i,
+             CAST(CAST(eu AS HUGEINT) * eu AS HUGEINT) AS y2
+      FROM e),
+    c AS (
+      SELECT t, i, SUM(y2) OVER (ORDER BY t) AS s_t,
+             SUM(y2) OVER () AS tot,
+             CAST((SELECT n FROM g) AS HUGEINT) AS n
+      FROM y),
+    d AS (
+      SELECT t, i, abs(s_t * n - tot * i) AS dev, tot, n FROM c),
+    m AS (SELECT MAX(dev) AS mx FROM d)
+    SELECT (SELECT CAST(n AS BIGINT) FROM g) AS n_days,
+           (SELECT MIN(t) FROM d, m WHERE d.dev = m.mx) AS break_t,
+           CAST(round(CAST((SELECT mx FROM m) AS DOUBLE)
+             / (CAST((SELECT tot FROM c LIMIT 1) AS DOUBLE)
+                * CAST((SELECT n FROM g) AS DOUBLE))
+             * 1000000E0, 0) AS BIGINT) AS cusumsq_micro
+    """.format(resid=_BP_RESID),
+)
+def cusumsq_variance_break_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-of-squares variance-stability scan on the daily-revenue
+    OLS residuals: max_t |Σ_{≤t}e²/Σe² − t/n| — WHERE the noise level
+    breaks, completing the variance triptych (breusch_pagan asks "does
+    variance TREND with time", page_hinkley watches the MEAN, this
+    locates a variance REGIME SHIFT at a specific day index). The
+    Brown-Durbin-Evans 5% band is ~0.948/√n: compare cusumsq against
+    it before trusting one σ across the series.
+
+    Exactness: unit-grain residuals (the BP device, shared text);
+    squares and both cumulative/total sums are exact HUGEINT/
+    decimal128; the deviation |S_t·n − T·t| is an exact integer
+    cross-multiplication, so the max and its arg are integer
+    comparisons — only the final normalization is one mirrored double.
+
+    Scale: day-grain reduction; one ordered window (ACF-family
+    exception); integer max + one-row output.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    g = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("t") * F.col("x")).cast("bigint").alias("stx"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+    )
+    e = t.crossJoin(F.broadcast(g)).select(
+        "t", F.expr(_BP_RESID).alias("eu")
+    )
+    eud = F.col("eu").cast("decimal(19,0)")
+    wo = Window.orderBy("t")
+    y = e.select(
+        "t",
+        F.row_number().over(wo).cast("decimal(19,0)").alias("i"),
+        (eud * eud).cast("decimal(38,0)").alias("y2"),
+    )
+    wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = y.select(
+        "t",
+        "i",
+        F.sum("y2").over(wc).cast("decimal(38,0)").alias("s_t"),
+        F.sum("y2").over(wall).cast("decimal(38,0)").alias("tot"),
+    ).crossJoin(F.broadcast(g.select(F.col("n").cast("decimal(19,0)").alias("nd"))))
+    d = c.select(
+        "t",
+        F.abs(
+            F.col("s_t") * F.col("nd") - F.col("tot") * F.col("i")
+        ).alias("dev"),
+        "tot",
+        "nd",
+    ).localCheckpoint()  # day grain; read by max AND argmin legs
+    m = d.agg(F.max("dev").alias("mx"))
+    brk = d.join(F.broadcast(m), d.dev == m.mx).agg(
+        F.min("t").alias("break_t")
+    )
+    stat = d.limit(1).crossJoin(F.broadcast(m)).select(
+        F.expr(
+            "CAST(round(CAST(mx AS DOUBLE)"
+            " / (CAST(tot AS DOUBLE) * CAST(nd AS DOUBLE))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("cusumsq_micro")
+    )
+    return (
+        g.select(F.col("n").alias("n_days"))
+        .crossJoin(F.broadcast(brk))
+        .crossJoin(F.broadcast(stat))
+    )

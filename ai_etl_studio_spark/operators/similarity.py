@@ -4240,3 +4240,118 @@ def knn_reciprocity_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reciprocity_ppm"),
         )
     )
+
+
+@register(
+    "embedding_participation_ratio",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS xm
+      FROM embeddings),
+    nv AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn FROM embeddings),
+    gp AS (
+      SELECT a.d AS di, b.d AS dj,
+             CAST(SUM(CAST(a.xm AS HUGEINT) * b.xm) AS HUGEINT) AS sv
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
+      GROUP BY 1, 2),
+    gn AS (SELECT di, dj, CAST(sv // nn AS BIGINT) AS g FROM gp, nv),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN di = dj THEN g ELSE 0 END) AS HUGEINT)
+               AS tr,
+             CAST(SUM(CASE WHEN di = dj THEN CAST(g AS HUGEINT) * g
+                           ELSE 2 * CAST(g AS HUGEINT) * g END)
+               AS HUGEINT) AS trg2
+      FROM gn)
+    SELECT (SELECT CAST(nn AS BIGINT) FROM nv) AS n_vectors,
+           CAST(tr AS BIGINT) AS trace_g,
+           CAST(round(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)
+             / CAST(trg2 AS DOUBLE) * 1000000E0, 0) AS BIGINT)
+             AS pr_micro
+    FROM s
+    """,
+)
+def embedding_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation ratio (effective rank) of the embedding second-
+    moment matrix: PR = tr(G)²/tr(G²) = (Σλ)²/Σλ² — "how many
+    dimensions actually carry the energy", WITHOUT an
+    eigendecomposition (embedding_pca_power needs iteration and is
+    rows-only; PR is a closed form over the Gram matrix, so it gets a
+    full hash-green oracle). PR ≈ dim says isotropic; PR ≪ dim says
+    the space collapsed and ANN recall targets should be recalibrated
+    against jl_projection/intrinsic_dim readings.
+
+    Exactness: integer micro ticks; batch Gram via the partial-Gram
+    Arrow kernel (int64 matmul, exact); global entries on decimal128;
+    each entry FLOOR-divided by N (the subtract-pmod device mirrors
+    DuckDB's //) so the squared sums stay inside decimal128 at ANY SF
+    (raw ΣG² dies at sf≈10); tr and tr(G²) are exact integers, the
+    ratio one mirrored expression.
+
+    Scale: one corpus pass, dim(dim+1)/2 partial rows per Arrow batch;
+    everything after is arithmetic on ≤ 2 k rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("bigint"),
+        ).alias("qe")
+    )
+
+    def gram_batches(batches):
+        for pdf in batches:
+            m = np.stack(pdf["qe"].to_numpy()).astype(np.int64)
+            dim = m.shape[1]
+            g = m.T @ m
+            iu = np.triu_indices(dim)
+            out = pd.DataFrame(
+                {
+                    "di": (iu[0] + 1).astype(np.int64),
+                    "dj": (iu[1] + 1).astype(np.int64),
+                    "sv": g[iu],
+                }
+            )
+            cnt = pd.DataFrame({"di": [0], "dj": [0], "sv": [len(pdf)]})
+            yield pd.concat([out, cnt], ignore_index=True)
+
+    partial = emb.mapInPandas(gram_batches, "di int, dj int, sv bigint")
+    tot = partial.groupBy("di", "dj").agg(
+        F.sum(F.col("sv").cast("decimal(38,0)")).alias("sv")
+    ).localCheckpoint()  # ≤ dim²/2 + 1 rows; read by n AND both sums
+    n = tot.filter((F.col("di") == 0) & (F.col("dj") == 0)).select(
+        F.col("sv").cast("decimal(19,0)").alias("nn")
+    )
+    gn = (
+        tot.filter(F.col("di") > 0)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "di",
+            "dj",
+            F.expr("CAST((sv - pmod(sv, nn)) / nn AS BIGINT)").alias("g"),
+        )
+    )
+    gd = F.col("g").cast("decimal(19,0)")
+    s = gn.agg(
+        F.sum(F.when(F.col("di") == F.col("dj"), F.col("g")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("tr"),
+        F.sum(
+            F.when(F.col("di") == F.col("dj"), gd * gd).otherwise(
+                F.lit(2).cast("decimal(19,0)") * gd * gd
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("trg2"),
+    )
+    return s.crossJoin(F.broadcast(n)).select(
+        F.col("nn").cast("bigint").alias("n_vectors"),
+        F.col("tr").cast("bigint").alias("trace_g"),
+        F.expr(
+            "CAST(round(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)"
+            " / CAST(trg2 AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+        ).alias("pr_micro"),
+    )

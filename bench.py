@@ -493,6 +493,8 @@ HEADLINE = [
     "nelson_aalen_reorder",
     "granger_orders_to_revenue",
     "knn_reciprocity_rate",
+    "cusumsq_variance_break_daily",
+    "embedding_participation_ratio",
 ]
 
 

@@ -1526,3 +1526,81 @@ def test_granger_and_knn_reciprocity_replay(spark):
         n_mutual,
     )
     assert got["reciprocity_ppm"] == n_mutual * 1_000_000 // n_edges
+
+
+def test_cusumsq_and_participation_ratio_replay(spark):
+    """From-scratch CUSUM-of-squares scan and a numpy eigenvalue
+    cross-check of the participation ratio."""
+    import numpy as np
+
+    from ai_etl_studio_spark.operators.drift import (
+        cusumsq_variance_break_daily,
+    )
+    from ai_etl_studio_spark.operators.similarity import (
+        embedding_participation_ratio,
+    )
+
+    # --- CUSUMSQ ---
+    x = _daily_1k_ticks(spark)
+    n = len(x)
+    st = sum(range(n))
+    sx = sum(x)
+    stx = sum(t * v for t, v in enumerate(x))
+    stt = sum(t * t for t in range(n))
+    b = (n * stx - st * sx) / (n * stt - st * st)
+    a = (sx - b * st) / n
+    eu = [
+        int(math.floor(abs(v - (a + b * t)) + 0.5))
+        * (1 if v - (a + b * t) >= 0 else -1)
+        for t, v in enumerate(x)
+    ]
+    y2 = [e * e for e in eu]
+    tot = sum(y2)
+    best = (-1, None)
+    s_t = 0
+    for i, v in enumerate(y2, start=1):
+        s_t += v
+        dev = abs(s_t * n - tot * i)
+        if dev > best[0]:
+            best = (dev, i - 1)  # t is the 0-based day index
+    got = cusumsq_variance_break_daily(spark, SF_DIR).collect()[0]
+    assert got["n_days"] == n
+    assert got["break_t"] == best[1]
+    assert (
+        abs(got["cusumsq_micro"] - _half_up_micro(best[0] / (tot * n))) <= 2
+    )
+    # stationary synthetic noise: the stat stays under ~3x the 5% band
+    assert got["cusumsq_micro"] < int(3 * 0.948 / math.sqrt(n) * 1e6)
+
+    # --- participation ratio ---
+    m = np.array(
+        [
+            [
+                int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+                for v in r.embedding
+            ]
+            for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.int64,
+    )
+    nvec = m.shape[0]
+    g = (m.T @ m).astype(object)  # python ints: exact floor division
+    gn = np.vectorize(lambda v: int(v) // nvec, otypes=[object])(g)
+    tr = sum(int(gn[i, i]) for i in range(gn.shape[0]))
+    trg2 = sum(
+        int(gn[i, j]) * int(gn[i, j])
+        for i in range(gn.shape[0])
+        for j in range(gn.shape[1])
+    )
+    got = embedding_participation_ratio(spark, SF_DIR).collect()[0]
+    assert got["n_vectors"] == nvec
+    assert got["trace_g"] == tr
+    assert abs(got["pr_micro"] - _half_up_micro(tr * tr / trg2)) <= 2
+    # sanity vs the true eigen spectrum (float): PR within 0.1%
+    lam = np.linalg.eigvalsh((m.astype(float).T @ m.astype(float)) / nvec)
+    pr_eig = lam.sum() ** 2 / (lam**2).sum()
+    assert abs(got["pr_micro"] / 1e6 - pr_eig) < pr_eig * 1e-3
+    # effective rank is between 1 and dim
+    assert 1_000_000 <= got["pr_micro"] <= 64_000_000
