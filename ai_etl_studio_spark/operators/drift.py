@@ -7441,3 +7441,185 @@ def cusumsq_variance_break_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(brk))
         .crossJoin(F.broadcast(stat))
     )
+
+
+@register(
+    "anderson_darling_two_sample",
+    oracle=_TWO_SAMPLE_CTE
+    + """
+    , ad AS (
+      SELECT CAST(SUM(
+        CAST(round(CAST(ca + cb AS DOUBLE)
+          * CAST(CAST(cum_a AS HUGEINT) * (n1 + n2)
+                 - CAST(n1 AS HUGEINT) * (cum_a + cum_b) AS DOUBLE)
+          * CAST(CAST(cum_a AS HUGEINT) * (n1 + n2)
+                 - CAST(n1 AS HUGEINT) * (cum_a + cum_b) AS DOUBLE)
+          / (CAST(cum_a + cum_b AS DOUBLE)
+             * CAST((n1 + n2) - (cum_a + cum_b) AS DOUBLE))
+          * 1000E0, 0) AS BIGINT)) AS HUGEINT) AS s_milli
+      FROM c, t WHERE cum_a + cum_b < n1 + n2)
+    SELECT n1, n2,
+           CAST(round(CAST(s_milli AS DOUBLE) / 1000E0
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             * 1000000E0, 0) AS BIGINT) AS ad_a2_micro
+    FROM ad, t
+    """,
+)
+def anderson_darling_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling A² on the same urgent-vs-low order
+    values as ks/cramer_von_mises — the third lens of the ECDF-gap
+    family: KS takes the sup, CvM integrates the squared gap uniformly,
+    AD integrates it with weight 1/(F(1−F)), which blows up at the
+    TAILS — the test that fires when the distributions differ in the
+    extremes (exactly where revenue risk lives and where KS is at its
+    blindest). Tie-grouped right-continuous variant (the discrete
+    analogue: one term per distinct value, weighted by its pooled
+    count), which is the well-defined A² on integer cents.
+
+    Exactness: rides the shared bucketed ECDF scaffold; the gap
+    M·N − n₁·B is an exact integer cross-product on HUGEINT/decimal128;
+    each value's weighted term quantizes to MILLI before the
+    distributed sum (per-term device — the weight makes terms
+    fractional), and the normalization is one mirrored expression.
+
+    Scale: same no-global-sort scaffold as KS/CvM; one extra
+    aggregate column.
+    """
+    pv = _two_sample_per_value(spark, sf_dir)
+    gap = (
+        F.col("cum_a").cast("decimal(19,0)")
+        * (F.col("n1") + F.col("n2")).cast("decimal(19,0)")
+        - F.col("n1").cast("decimal(19,0)")
+        * (F.col("cum_a") + F.col("cum_b")).cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    term = F.expr(
+        "CAST(round(CAST(ca + cb AS DOUBLE)"
+        " * CAST(gap AS DOUBLE) * CAST(gap AS DOUBLE)"
+        " / (CAST(cum_a + cum_b AS DOUBLE)"
+        "    * CAST((n1 + n2) - (cum_a + cum_b) AS DOUBLE))"
+        " * 1000E0, 0) AS BIGINT)"
+    )
+    s = (
+        pv.withColumn("gap", gap)
+        .filter(F.col("cum_a") + F.col("cum_b") < F.col("n1") + F.col("n2"))
+        .groupBy("n1", "n2")
+        .agg(F.sum(term).cast("decimal(38,0)").alias("s_milli"))
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.expr(
+            "CAST(round(CAST(s_milli AS DOUBLE) / 1000E0"
+            " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("ad_a2_micro"),
+    )
+
+
+#: Partial-correlation Pearson blocks over the one-row sufficient sums
+#: — rxy etc. as ONE shared token stream.
+def _pc_r(a: str, b: str) -> str:
+    return (
+        f"((CAST(n AS DOUBLE) * CAST(s{a}{b} AS DOUBLE)"
+        f" - CAST(s{a} AS DOUBLE) * CAST(s{b} AS DOUBLE))"
+        f" / (sqrt(CAST(n AS DOUBLE) * CAST(s{a}{a} AS DOUBLE)"
+        f"      - CAST(s{a} AS DOUBLE) * CAST(s{a} AS DOUBLE))"
+        f"    * sqrt(CAST(n AS DOUBLE) * CAST(s{b}{b} AS DOUBLE)"
+        f"       - CAST(s{b} AS DOUBLE) * CAST(s{b} AS DOUBLE))))"
+    )
+
+
+_PC_RXY, _PC_RXZ, _PC_RYZ = _pc_r("x", "y"), _pc_r("x", "z"), _pc_r("y", "z")
+_PC_PARTIAL = (
+    f"(({_PC_RXY} - {_PC_RXZ} * {_PC_RYZ})"
+    f" / sqrt((1E0 - {_PC_RXZ} * {_PC_RXZ})"
+    f"        * (1E0 - {_PC_RYZ} * {_PC_RYZ})))"
+)
+
+
+@register(
+    "partial_corr_value_delay_lines",
+    oracle=f"""
+    WITH per AS (
+      SELECT l.l_orderkey,
+             CAST(round(MAX(o.o_totalprice) * 100, 0) AS BIGINT) AS x,
+             CAST(MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE))) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS z
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(z) AS HUGEINT) AS sz,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+             CAST(SUM(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+      FROM per)
+    SELECT n AS n_orders,
+           CAST(round({_PC_RXY} * 1000000E0, 0) AS BIGINT) AS r_xy_micro,
+           CAST(round({_PC_PARTIAL} * 1000000E0, 0) AS BIGINT)
+             AS r_xy_given_z_micro
+    FROM s
+    """,
+)
+def partial_corr_value_delay_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of order VALUE and worst SHIP DELAY
+    controlling for LINE COUNT: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)
+    (1−r_yz²)) — the "is big-order slowness just more-lines slowness?"
+    question. Raw r_xy conflates the mechanical path (more lines → more
+    value AND a higher max-delay order statistic) with a real
+    value-priority effect; the partial removes the line-count channel
+    and is emitted beside the raw r for the comparison.
+
+    Exactness: one order-grain reduction carries all three variables;
+    the ten sufficient sums are exact HUGEINT/decimal128 integers; all
+    three Pearsons and the partial are ONE shared fixed-order token
+    stream over the one-row sums.
+
+    Scale: fact join reduces to order grain in one pass, then to one
+    sufficient-statistic row. Nothing SF-linear after the reduction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(cents("o_totalprice")).cast("bigint").alias("x"),
+            F.max(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+            )
+            .cast("bigint")
+            .alias("y"),
+            F.count(F.lit(1)).cast("bigint").alias("z"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum("z").cast("decimal(38,0)").alias("sz"),
+        F.sum(dec("x") * dec("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("y") * dec("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(dec("z") * dec("z")).cast("decimal(38,0)").alias("szz"),
+        F.sum(dec("x") * dec("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("x") * dec("z")).cast("decimal(38,0)").alias("sxz"),
+        F.sum(dec("y") * dec("z")).cast("decimal(38,0)").alias("syz"),
+    )
+    return s.select(
+        F.col("n").alias("n_orders"),
+        F.expr(
+            f"CAST(round({_PC_RXY} * 1000000E0, 0) AS BIGINT)"
+        ).alias("r_xy_micro"),
+        F.expr(
+            f"CAST(round({_PC_PARTIAL} * 1000000E0, 0) AS BIGINT)"
+        ).alias("r_xy_given_z_micro"),
+    )

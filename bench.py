@@ -495,6 +495,8 @@ HEADLINE = [
     "knn_reciprocity_rate",
     "cusumsq_variance_break_daily",
     "embedding_participation_ratio",
+    "anderson_darling_two_sample",
+    "partial_corr_value_delay_lines",
 ]
 
 

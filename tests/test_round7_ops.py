@@ -1604,3 +1604,93 @@ def test_cusumsq_and_participation_ratio_replay(spark):
     assert abs(got["pr_micro"] / 1e6 - pr_eig) < pr_eig * 1e-3
     # effective rank is between 1 and dim
     assert 1_000_000 <= got["pr_micro"] <= 64_000_000
+
+
+def test_anderson_darling_and_partial_corr_replay(spark):
+    """From-scratch tie-grouped AD and textbook partial correlation."""
+    from ai_etl_studio_spark.operators.drift import (
+        _GRP_A,
+        _GRP_B,
+        anderson_darling_two_sample,
+        partial_corr_value_delay_lines,
+    )
+
+    orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+        .collect()
+    )
+
+    # --- AD ---
+    va, vb = Counter(), Counter()
+    for r in orders:
+        v = int(math.floor(r.o_totalprice * 100 + 0.5))
+        if r.o_orderpriority == _GRP_A:
+            va[v] += 1
+        elif r.o_orderpriority == _GRP_B:
+            vb[v] += 1
+    n1, n2 = sum(va.values()), sum(vb.values())
+    nn = n1 + n2
+    cum_a = cum_b = 0
+    s_milli = 0
+    for v in sorted(set(va) | set(vb)):
+        cum_a += va[v]
+        cum_b += vb[v]
+        b = cum_a + cum_b
+        if b >= nn:
+            continue
+        g = cum_a * nn - n1 * b
+        s_milli += _half_up_micro(
+            (va[v] + vb[v]) * float(g) * float(g) / (b * (nn - b)) / 1000
+        )
+    a2 = s_milli / 1000 / (n1 * n2)
+    got = anderson_darling_two_sample(spark, SF_DIR).collect()[0]
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert abs(got["ad_a2_micro"] - _half_up_micro(a2)) <= 2
+    # same-distribution synthetic samples: A2 stays small
+    assert got["ad_a2_micro"] < 6_000_000
+
+    # --- partial correlation ---
+    odata = {
+        r.o_orderkey: (
+            int(math.floor(r.o_totalprice * 100 + 0.5)),
+            r.o_orderdate.date(),
+        )
+        for r in orders
+    }
+    per = defaultdict(lambda: [0, None, 0])
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        x, od = odata[r.l_orderkey]
+        d = (r.l_shipdate.date() - od).days  # can be NEGATIVE here
+        e = per[r.l_orderkey]
+        e[0] = x
+        e[1] = d if e[1] is None else max(e[1], d)
+        e[2] += 1
+    xs = [v[0] for v in per.values()]
+    ys = [v[1] for v in per.values()]
+    zs = [v[2] for v in per.values()]
+    n = len(xs)
+
+    def pear(a, b):
+        sa, sb = sum(a), sum(b)
+        sab = sum(i * j for i, j in zip(a, b))
+        saa = sum(i * i for i in a)
+        sbb = sum(j * j for j in b)
+        return (n * sab - sa * sb) / (
+            math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb)
+        )
+
+    rxy, rxz, ryz = pear(xs, ys), pear(xs, zs), pear(ys, zs)
+    part = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    got = partial_corr_value_delay_lines(spark, SF_DIR).collect()[0]
+    assert got["n_orders"] == n
+    assert abs(got["r_xy_micro"] - _half_up_micro(rxy)) <= 2
+    assert abs(got["r_xy_given_z_micro"] - _half_up_micro(part)) <= 2
+    # structure only: the partial is a valid correlation (direction can
+    # AMPLIFY under suppression — it does on this corpus, where the
+    # line-count channel masks part of the value-delay relation)
+    assert -1_000_000 <= got["r_xy_given_z_micro"] <= 1_000_000
