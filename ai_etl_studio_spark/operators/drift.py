@@ -7623,3 +7623,93 @@ def partial_corr_value_delay_lines(spark: SparkSession, sf_dir: str) -> DataFram
             f"CAST(round({_PC_PARTIAL} * 1000000E0, 0) AS BIGINT)"
         ).alias("r_xy_given_z_micro"),
     )
+
+
+#: GPD method-of-moments blocks over (ne, se, se2) — m̄ = Σe/n,
+#: s² = Σe²/n − m̄² (population), ratio q = m̄²/s², then
+#: ξ = (1 − q)/2 and σ = m̄(q + 1)/2 — ONE shared token stream.
+_GPD_M = "(CAST(se AS DOUBLE) / CAST(ne AS DOUBLE))"
+_GPD_S2 = (
+    f"(CAST(se2 AS DOUBLE) / CAST(ne AS DOUBLE) - {_GPD_M} * {_GPD_M})"
+)
+_GPD_Q = f"({_GPD_M} * {_GPD_M} / {_GPD_S2})"
+_GPD_XI = f"((1E0 - {_GPD_Q}) / 2E0)"
+_GPD_SIGMA = f"({_GPD_M} * ({_GPD_Q} + 1E0) / 2E0)"
+
+
+@register(
+    "gpd_tail_fit_daily",
+    oracle=_DAILY_1K_CTE
+    + """
+    , vg AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+    cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+      FROM vg),
+    u AS (
+      SELECT MIN(v) AS u FROM cum
+      WHERE cum >= CAST(ceil(0.95E0 * n) AS BIGINT)),
+    exc AS (SELECT t.x - u.u AS e FROM t, u WHERE t.x > u.u),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ne,
+             CAST(SUM(e) AS HUGEINT) AS se,
+             CAST(SUM(CAST(e AS HUGEINT) * e) AS HUGEINT) AS se2
+      FROM exc)
+    SELECT (SELECT u FROM u) AS threshold_1k, ne AS n_exceedances,
+           CAST(round({xi} * 1000000E0, 0) AS BIGINT) AS gpd_xi_micro,
+           CAST(round({sigma} * 1000E0, 0) AS BIGINT) AS gpd_sigma_milli
+    FROM s
+    """.format(xi=_GPD_XI, sigma=_GPD_SIGMA),
+)
+def gpd_tail_fit_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold GPD fit (method of moments) to daily
+    revenue exceedances over the exact P95 — the SECOND extreme-value
+    lens beside gumbel_block_maxima: block maxima throw away all but
+    one point per block, POT keeps EVERY tail event, so its ξ (tail
+    index) stabilizes with ~5× fewer days of history. ξ < 0 bounds the
+    tail (capacity planning can use a hard ceiling); ξ > 0 is the
+    heavy-tail alarm under which mean-based provisioning fails.
+
+    Exactness: the threshold is the exact integer value-grain ECDF cut
+    (min v with cum ≥ ⌈0.95n⌉ — no percentile interpolation);
+    exceedances are exact integers; (n, Σe, Σe²) ride
+    HUGEINT/decimal128; ξ and σ are ONE shared fixed-order token
+    stream over the one-row sums.
+
+    Scale: day-grain reduction; the ECDF cut is a window over ≤
+    ~2500 distinct daily values; one-row output.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    vg = t.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vg.select(
+        "v",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    u = cum.filter(
+        F.col("cum") >= F.expr("CAST(ceil(0.95E0 * n) AS BIGINT)")
+    ).agg(F.min("v").alias("u"))
+    exc = t.crossJoin(F.broadcast(u)).filter(F.col("x") > F.col("u")).select(
+        (F.col("x") - F.col("u")).alias("e")
+    )
+    ed = F.col("e").cast("decimal(19,0)")
+    s = exc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ne"),
+        F.sum("e").cast("decimal(38,0)").alias("se"),
+        F.sum(ed * ed).cast("decimal(38,0)").alias("se2"),
+    )
+    return s.crossJoin(F.broadcast(u)).select(
+        F.col("u").alias("threshold_1k"),
+        F.col("ne").alias("n_exceedances"),
+        F.expr(
+            f"CAST(round({_GPD_XI} * 1000000E0, 0) AS BIGINT)"
+        ).alias("gpd_xi_micro"),
+        F.expr(
+            f"CAST(round({_GPD_SIGMA} * 1000E0, 0) AS BIGINT)"
+        ).alias("gpd_sigma_milli"),
+    )

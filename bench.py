@@ -497,6 +497,9 @@ HEADLINE = [
     "embedding_participation_ratio",
     "anderson_darling_two_sample",
     "partial_corr_value_delay_lines",
+    "cronbach_alpha_nation_months",
+    "kendalls_w_nation_rank_stability",
+    "gpd_tail_fit_daily",
 ]
 
 

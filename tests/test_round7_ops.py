@@ -1694,3 +1694,86 @@ def test_anderson_darling_and_partial_corr_replay(spark):
     # AMPLIFY under suppression — it does on this corpus, where the
     # line-count channel masks part of the value-delay relation)
     assert -1_000_000 <= got["r_xy_given_z_micro"] <= 1_000_000
+
+
+def test_cronbach_kendallw_gpd_replay(spark):
+    """From-scratch replays: Cronbach alpha on the completed grid,
+    Kendall's W rank sums, and the GPD moment fit."""
+    from ai_etl_studio_spark.operators.analytics import (
+        cronbach_alpha_nation_months,
+        kendalls_w_nation_rank_stability,
+    )
+    from ai_etl_studio_spark.operators.drift import gpd_tail_fit_daily
+
+    nk = {
+        r.c_custkey: r.c_nationkey
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+
+    # --- Cronbach ---
+    X = defaultdict(lambda: defaultdict(int))
+    for r in orders:
+        X[nk[r.o_custkey]][r.o_orderdate.month] += int(
+            math.floor(r.o_totalprice * 100 + 0.5)
+        )
+    nats = sorted(X)
+    n, k = len(nats), 12
+
+    def nvar(vals):
+        return len(vals) * sum(v * v for v in vals) - sum(vals) ** 2
+
+    svi = sum(
+        nvar([X[na].get(m, 0) for na in nats]) for m in range(1, 13)
+    )
+    vt = nvar([sum(X[na].get(m, 0) for m in range(1, 13)) for na in nats])
+    alpha = k / (k - 1) * (1 - svi / vt)
+    got = cronbach_alpha_nation_months(spark, SF_DIR).collect()[0]
+    assert (got["n_nations"], got["n_items"]) == (n, k)
+    assert abs(got["alpha_micro"] - _half_up_micro(alpha)) <= 2
+    assert 0 < got["alpha_micro"] <= 1_000_000
+
+    # --- Kendall's W ---
+    Y = defaultdict(lambda: defaultdict(int))
+    for r in orders:
+        Y[r.o_orderdate.year][nk[r.o_custkey]] += int(
+            math.floor(r.o_totalprice * 100 + 0.5)
+        )
+    years = sorted(Y)
+    m = len(years)
+    rsum = defaultdict(int)
+    for y in years:
+        vals = sorted(Y[y].items(), key=lambda kv: kv[1])
+        for i, (na, _) in enumerate(vals, 1):
+            rsum[na] += i
+    nn = len(rsum)
+    s4 = sum((2 * rsum[na] - m * (nn + 1)) ** 2 for na in rsum)
+    w = 3 * s4 / (m * m * (nn**3 - nn))
+    got = kendalls_w_nation_rank_stability(spark, SF_DIR).collect()[0]
+    assert (got["n_nations"], got["n_years"]) == (nn, m)
+    assert abs(got["w_micro"] - _half_up_micro(w)) <= 2
+    # rankings of differently-sized nations are strongly concordant
+    assert got["w_micro"] > 200_000
+
+    # --- GPD ---
+    x = sorted(_daily_1k_ticks(spark))
+    nd = len(x)
+    cut = math.ceil(0.95 * nd)
+    u = x[cut - 1]
+    exc = [v - u for v in x if v > u]
+    ne = len(exc)
+    mb = sum(exc) / ne
+    s2 = sum(e * e for e in exc) / ne - mb * mb
+    q = mb * mb / s2
+    xi = (1 - q) / 2
+    sig = mb * (q + 1) / 2
+    got = gpd_tail_fit_daily(spark, SF_DIR).collect()[0]
+    assert (got["threshold_1k"], got["n_exceedances"]) == (u, ne)
+    assert abs(got["gpd_xi_micro"] - _half_up_micro(xi)) <= 2
+    assert abs(got["gpd_sigma_milli"] - _half_up_micro(sig) / 1000) <= 2
+    # aggregate daily revenue is not heavy-tailed: xi well below 0.5
+    assert got["gpd_xi_micro"] < 500_000
