@@ -7713,3 +7713,185 @@ def gpd_tail_fit_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(round({_GPD_SIGMA} * 1000E0, 0) AS BIGINT)"
         ).alias("gpd_sigma_milli"),
     )
+
+
+#: Distance-correlation final expressions over the one-row exact sums
+#: (n, s1xy, s1xx, s1yy, sx, sy, s3xy, s3xx, s3yy) — V-statistic form
+#: dCov² = S1/n² + SxSy/n⁴ − 2S3/n³, shared token streams.
+def _dc_cov(s1: str, p1: str, p2: str, s3: str) -> str:
+    return (
+        f"(CAST({s1} AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" + CAST({p1} AS DOUBLE) * CAST({p2} AS DOUBLE)"
+        f"   / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)"
+        f"   / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" - 2E0 * CAST({s3} AS DOUBLE) / CAST(n AS DOUBLE)"
+        f"   / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+
+
+_DC_COV2 = _dc_cov("s1xy", "sx", "sy", "s3xy")
+_DC_VARX = _dc_cov("s1xx", "sx", "sx", "s3xx")
+_DC_VARY = _dc_cov("s1yy", "sy", "sy", "s3yy")
+_DC_DCOR = (
+    f"(sqrt(GREATEST({_DC_COV2}, 0E0))"
+    f" / sqrt(sqrt({_DC_VARX} * {_DC_VARY})))"
+)
+
+
+@register(
+    "distance_correlation_delay_value",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+               CAST(l.l_shipdate AS DATE)) // 14 AS BIGINT) AS dx,
+             CAST(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+               // 1000000 AS BIGINT) AS dy
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate),
+    g AS (SELECT dx, dy, CAST(COUNT(*) AS HUGEINT) AS w FROM d
+          GROUP BY 1, 2),
+    rowa AS (
+      SELECT a.dx, a.dy, a.w,
+             CAST(SUM(b.w * abs(a.dx - b.dx) * abs(a.dy - b.dy))
+               AS HUGEINT) AS axy,
+             CAST(SUM(b.w * abs(a.dx - b.dx)) AS HUGEINT) AS ax,
+             CAST(SUM(b.w * abs(a.dy - b.dy)) AS HUGEINT) AS ay,
+             CAST(SUM(b.w * abs(a.dx - b.dx) * abs(a.dx - b.dx))
+               AS HUGEINT) AS axx,
+             CAST(SUM(b.w * abs(a.dy - b.dy) * abs(a.dy - b.dy))
+               AS HUGEINT) AS ayy
+      FROM g a JOIN g b ON TRUE GROUP BY 1, 2, 3),
+    s AS (
+      SELECT CAST(SUM(w) AS HUGEINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS cells,
+             CAST(SUM(w * axy) AS HUGEINT) AS s1xy,
+             CAST(SUM(w * axx) AS HUGEINT) AS s1xx,
+             CAST(SUM(w * ayy) AS HUGEINT) AS s1yy,
+             CAST(SUM(w * ax) AS HUGEINT) AS sx,
+             CAST(SUM(w * ay) AS HUGEINT) AS sy,
+             CAST(SUM(w * ax * ay) AS HUGEINT) AS s3xy,
+             CAST(SUM(w * ax * ax) AS HUGEINT) AS s3xx,
+             CAST(SUM(w * ay * ay) AS HUGEINT) AS s3yy
+      FROM rowa)
+    SELECT CAST(n AS BIGINT) AS n_lines, cells AS n_cells,
+           CAST(round({_DC_DCOR} * 1000000E0, 0) AS BIGINT)
+             AS dcor_micro,
+           CAST(round({_DC_COV2} * 1000000E0, 0) AS BIGINT)
+             AS dcov2_micro
+    FROM s
+    """,
+)
+def distance_correlation_delay_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Székely distance correlation between ship delay (2-week
+    buckets) and order value ($10k bands): dCor = 0 iff the two are
+    INDEPENDENT — the test that catches U-shaped, threshold, and
+    heteroscedastic dependence that Pearson/Spearman/partial_corr all
+    read as ≈ 0. The pairing closes the dependence toolkit: linear
+    (corr), monotone (spearman), any-shape (this). V-statistic
+    (population) form.
+
+    Exactness: the joint distribution lives on a BOUNDED bucket grid
+    (≤ ~180×60 cells at ANY SF — delay spans the calendar, value is
+    banded); all nine sufficient sums — pair products w·w′·|Δx|ᵖ·|Δy|ᵠ
+    and the row-conditional a(x), b(y) moments — are exact integers on
+    HUGEINT/decimal128 (S3 ~ n³·|Δ|² crosses into decimal38 territory
+    around SF≈1e4; documented bound); dCov²/dVar/dCor are ONE shared
+    fixed-order token stream.
+
+    Scale: fact join reduces to the bucket grid in one pass; the
+    grid×grid product (≤ ~25M bounded pair rows, SF-independent)
+    broadcasts the grid against itself and reduces per a-side row —
+    one shuffle-free nested-loop stage, then a 1-row aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.expr(
+                "CAST(datediff(CAST(l_shipdate AS DATE),"
+                " CAST(o_orderdate AS DATE)) DIV 14 AS BIGINT)"
+            ).alias("dx"),
+            (cents("o_totalprice") / F.lit(1000000))
+            .cast("bigint")
+            .alias("dy"),
+        )
+    )
+    g = (
+        d.groupBy("dx", "dy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint()  # bounded grid; both sides of the pair pass
+        .repartition(32)  # spread the grid×grid pass over the cores
+    )
+    b = g.select(
+        F.col("dx").alias("bx"), F.col("dy").alias("by"),
+        F.col("w").alias("bw"),
+    )
+    # The pair stage stays in whole-stage-codegen int64: bw·|Δx|·|Δy| ≤
+    # w·(180·60) and the per-row sums ≤ n·10800 — inside int64 through
+    # SF ≈ 1e8, far past the decimal bound of the FINAL 1-row stage.
+    adx = F.abs(F.col("dx") - F.col("bx"))
+    ady = F.abs(F.col("dy") - F.col("by"))
+    rowa = (
+        g.crossJoin(F.broadcast(b))
+        .groupBy("dx", "dy", "w")
+        .agg(
+            F.sum(F.col("bw") * adx * ady).cast("bigint").alias("axy"),
+            F.sum(F.col("bw") * adx).cast("bigint").alias("ax"),
+            F.sum(F.col("bw") * ady).cast("bigint").alias("ay"),
+            F.sum(F.col("bw") * adx * adx).cast("bigint").alias("axx"),
+            F.sum(F.col("bw") * ady * ady).cast("bigint").alias("ayy"),
+        )
+    )
+    wd = F.col("w").cast("decimal(19,0)")
+    s = rowa.agg(
+        F.sum("w").cast("decimal(38,0)").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("cells"),
+        F.sum(wd * F.col("axy").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s1xy"),
+        F.sum(wd * F.col("axx").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s1xx"),
+        F.sum(wd * F.col("ayy").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s1yy"),
+        F.sum(wd * F.col("ax").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sx"),
+        F.sum(wd * F.col("ay").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sy"),
+        F.sum(
+            wd
+            * F.col("ax").cast("decimal(19,0)")
+            * F.col("ay").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s3xy"),
+        F.sum(
+            wd
+            * F.col("ax").cast("decimal(19,0)")
+            * F.col("ax").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s3xx"),
+        F.sum(
+            wd
+            * F.col("ay").cast("decimal(19,0)")
+            * F.col("ay").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s3yy"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.col("cells").alias("n_cells"),
+        F.expr(
+            f"CAST(round({_DC_DCOR} * 1000000E0, 0) AS BIGINT)"
+        ).alias("dcor_micro"),
+        F.expr(
+            f"CAST(round({_DC_COV2} * 1000000E0, 0) AS BIGINT)"
+        ).alias("dcov2_micro"),
+    )

@@ -500,6 +500,7 @@ HEADLINE = [
     "cronbach_alpha_nation_months",
     "kendalls_w_nation_rank_stability",
     "gpd_tail_fit_daily",
+    "distance_correlation_delay_value",
 ]
 
 

@@ -1777,3 +1777,66 @@ def test_cronbach_kendallw_gpd_replay(spark):
     assert abs(got["gpd_sigma_milli"] - _half_up_micro(sig) / 1000) <= 2
     # aggregate daily revenue is not heavy-tailed: xi well below 0.5
     assert got["gpd_xi_micro"] < 500_000
+
+
+def test_distance_correlation_replay(spark):
+    """From-scratch V-statistic dCor over the literal bucket grid,
+    plus a numpy double-centering cross-check of the same grid."""
+    import numpy as np
+
+    from ai_etl_studio_spark.operators.drift import (
+        distance_correlation_delay_value,
+    )
+
+    odata = {
+        r.o_orderkey: (
+            int(math.floor(r.o_totalprice * 100 + 0.5)) // 1_000_000,
+            r.o_orderdate.date(),
+        )
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .collect()
+    }
+    cells = Counter()
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        dy, od = odata[r.l_orderkey]
+        d = (r.l_shipdate.date() - od).days
+        if d < 0:
+            continue
+        cells[(d // 14, dy)] += 1
+    keys = sorted(cells)
+    w = np.array([cells[k] for k in keys], dtype=float)
+    dx = np.array([k[0] for k in keys], dtype=float)
+    dy = np.array([k[1] for k in keys], dtype=float)
+    n = w.sum()
+    ax_m = np.abs(dx[:, None] - dx[None, :])
+    ay_m = np.abs(dy[:, None] - dy[None, :])
+    s1xy = w @ (ax_m * ay_m) @ w
+    s1xx = w @ (ax_m * ax_m) @ w
+    s1yy = w @ (ay_m * ay_m) @ w
+    ax = ax_m @ w
+    ay = ay_m @ w
+    sx, sy = w @ ax, w @ ay
+    s3xy = (w * ax * ay).sum()
+    s3xx = (w * ax * ax).sum()
+    s3yy = (w * ay * ay).sum()
+    dcov2 = s1xy / n**2 + sx * sy / n**4 - 2 * s3xy / n**3
+    dvarx = s1xx / n**2 + sx * sx / n**4 - 2 * s3xx / n**3
+    dvary = s1yy / n**2 + sy * sy / n**4 - 2 * s3yy / n**3
+    dcor = math.sqrt(max(dcov2, 0)) / math.sqrt(math.sqrt(dvarx * dvary))
+    got = distance_correlation_delay_value(spark, SF_DIR).collect()[0]
+    assert (got["n_lines"], got["n_cells"]) == (int(n), len(keys))
+    assert abs(got["dcor_micro"] - _half_up_micro(dcor)) <= 5
+    assert abs(got["dcov2_micro"] - _half_up_micro(dcov2)) <= 5
+    # double-centering identity cross-check: dCov² from the centered
+    # distance matrices (weighted V-statistic) matches the 3-sum form
+    A = ax_m - (ax[:, None] / n) - (ax[None, :] / n) + sx / n**2
+    B = ay_m - (ay[:, None] / n) - (ay[None, :] / n) + sy / n**2
+    dcov2_c = (w @ (A * B) @ w) / n**2
+    assert abs(dcov2_c - dcov2) < 1e-9 * max(1.0, abs(dcov2))
+    # dCor is a correlation: in [0, 1]
+    assert 0 <= got["dcor_micro"] <= 1_000_000
