@@ -11788,3 +11788,228 @@ def kendalls_w_nation_rank_stability(spark: SparkSession, sf_dir: str) -> DataFr
             " * 1000000E0, 0) AS BIGINT)"
         ).alias("w_micro"),
     )
+
+
+@register(
+    "littles_law_monthly",
+    oracle="""
+    WITH per AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d1,
+             MAX(CAST(l.l_shipdate AS DATE)) AS d2
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+      HAVING MAX(CAST(l.l_shipdate AS DATE))
+               >= CAST(o.o_orderdate AS DATE)),
+    mo AS (
+      SELECT d1, d2,
+             CAST(unnest(generate_series(date_trunc('month', d1),
+               date_trunc('month', d2), INTERVAL 1 MONTH)) AS DATE) AS ms
+      FROM per),
+    ov AS (
+      SELECT ms AS month,
+             CAST(SUM(date_diff('day', GREATEST(d1, ms),
+               LEAST(d2, CAST(ms + INTERVAL 1 MONTH AS DATE) - 1)) + 1)
+               AS BIGINT) AS open_days
+      FROM mo GROUP BY 1),
+    arr AS (
+      SELECT CAST(date_trunc('month', d1) AS DATE) AS month,
+             CAST(COUNT(*) AS BIGINT) AS arrivals,
+             CAST(SUM(date_diff('day', d1, d2) + 1) AS BIGINT) AS tot_w
+      FROM per GROUP BY 1)
+    SELECT ov.month, ov.open_days, arr.arrivals, arr.tot_w,
+           CAST(ov.open_days * 1000000 // arr.tot_w AS BIGINT)
+             AS l_over_lw_ppm
+    FROM ov JOIN arr ON ov.month = arr.month
+    ORDER BY 1
+    """,
+)
+def littles_law_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's-law audit L = λ·W by ARRIVAL month: open_days is the
+    integral of work-in-process over the month (L·days), tot_w is the
+    arrivals' total residence (λ·days·W), so l_over_lw reads the
+    steady-state ratio directly — the ramp from 0.8% toward 100% IS
+    the finding (this corpus's orders stay open ~5 years, so monthly
+    WIP is still filling for most of the horizon; a mature queue reads
+    ≈ 1, and the identity Σopen_days = Σtot_w holds EXACTLY over the
+    full horizon, pinned in tests). The op order_backlog_monthly
+    counts orders open at month END; this one integrates orderdays —
+    the flow-vs-stock pair.
+
+    Exactness: spans are integer day counts; per-order month overlap
+    is exploded by sequence() (only the months each order touches —
+    never an orders×months nested loop), clipped with integer
+    GREATEST/LEAST; all sums exact int64; the ratio is floor-ppm.
+
+    Scale: order-grain reduction once; the month explosion adds ~2-60
+    rows per order (bounded by residence, not SF); two bounded
+    month-grain joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("d1"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("d2"))
+        .filter(F.col("d2") >= F.col("d1"))
+        .localCheckpoint()  # order grain; read by ov AND arr
+    )
+    mo = per.select(
+        "d1",
+        "d2",
+        F.explode(
+            F.expr(
+                "sequence(trunc(d1, 'month'), trunc(d2, 'month'),"
+                " interval 1 month)"
+            )
+        ).alias("ms"),
+    )
+    ov = mo.groupBy(F.col("ms").alias("month")).agg(
+        F.sum(
+            F.datediff(
+                F.least(F.col("d2"), F.expr("add_months(ms, 1) - 1")),
+                F.greatest(F.col("d1"), F.col("ms")),
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("open_days")
+    )
+    arr = per.groupBy(
+        F.trunc("d1", "month").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("arrivals"),
+        F.sum(F.datediff("d2", "d1") + 1).cast("bigint").alias("tot_w"),
+    )
+    return (
+        ov.join(arr, "month")
+        .select(
+            "month",
+            "open_days",
+            "arrivals",
+            "tot_w",
+            F.expr(
+                "CAST(open_days * 1000000 DIV tot_w AS BIGINT)"
+            ).alias("l_over_lw_ppm"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "chained_laspeyres_monthly",
+    oracle="""
+    WITH pm AS (
+      SELECT l_partkey AS pk,
+             CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+               AS m,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev,
+             CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+               AS qty
+      FROM lineitem GROUP BY 1, 2
+      HAVING SUM(CAST(round(l_quantity, 0) AS BIGINT)) >= 1),
+    lk AS (
+      SELECT cur.m,
+             CAST(SUM(CAST(round(CAST(cur.rev AS DOUBLE) * prev.qty
+               / CAST(cur.qty AS DOUBLE), 0) AS BIGINT)) AS HUGEINT)
+               AS num,
+             CAST(SUM(prev.rev) AS HUGEINT) AS den,
+             CAST(COUNT(*) AS BIGINT) AS common_parts
+      FROM pm cur JOIN pm prev ON cur.pk = prev.pk
+                  AND prev.m = CAST(cur.m - INTERVAL 1 MONTH AS DATE)
+      GROUP BY 1),
+    ln_ AS (
+      SELECT m, common_parts,
+             CAST(num * 1000000 // den AS BIGINT) AS link_ppm,
+             CAST(round(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+               * 1000000E0, 0) AS BIGINT) AS lnl_micro
+      FROM lk)
+    SELECT m AS month, common_parts, link_ppm,
+           CAST(SUM(lnl_micro) OVER (ORDER BY m) AS BIGINT)
+             AS chain_log_micro
+    FROM ln_ ORDER BY m
+    """,
+)
+def chained_laspeyres_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED monthly Laspeyres price index over unit prices at part
+    grain: each month-over-month link re-bases on last month's basket
+    (Σp_m·q_{m−1}/Σp_{m−1}·q_{m−1}, parts present in BOTH months), and
+    the chain multiplies the links — the index statistical agencies
+    actually publish, robust to the basket churn that breaks the
+    fixed-base laspeyres/paasche/fisher family when parts enter and
+    leave the catalog (brand_discovery_curve shows they do). Emitted
+    in LOG form (chain_log_micro = Σ ln link) beside each month's raw
+    link: on this corpus the chain DRIFTS (links reach 3.3× — the
+    synthetic unit prices are noisy), which is itself the classic
+    chain-drift finding the log scale keeps readable and exact where
+    the level index overflows.
+
+    Exactness: monthly (rev, qty) per part are exact integers; each
+    part's re-priced term rev_m·q_{m−1}/q_m quantizes to the UNIT cent
+    per (part, month) before the link sums (per-term device); the
+    link denominator Σrev_{m−1} is exact; ln(link) quantizes to micro
+    per month (84 single terms, the atkinson ln discipline), the chain
+    is an integer cumulative sum, and exp appears only in the per-row
+    output expression.
+
+    Scale: one fact scan → (part, month) grain; the self-join is an
+    equi-join on (part, adjacent month) at that grain; everything
+    after lives on ≤ |months| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = (
+        li.groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias("m"),
+        )
+        .agg(
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("rev"),
+            F.sum(F.round(F.col("l_quantity"), 0).cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+        .filter(F.col("qty") >= 1)
+        .localCheckpoint()  # (part, month) grain; both sides of the link
+    )
+    prev = pm.select(
+        F.col("pk"),
+        F.col("m").alias("pm_"),
+        F.col("rev").alias("prev_rev"),
+        F.col("qty").alias("prev_qty"),
+    )
+    lk = (
+        pm.join(
+            prev,
+            (pm.pk == prev.pk)
+            & (F.expr("add_months(m, -1)") == F.col("pm_")),
+        )
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(CAST(rev AS DOUBLE) * prev_qty"
+                    " / CAST(qty AS DOUBLE), 0) AS BIGINT)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("num"),
+            F.sum("prev_rev").cast("decimal(38,0)").alias("den"),
+            F.count(F.lit(1)).cast("bigint").alias("common_parts"),
+        )
+    )
+    ln_ = lk.select(
+        "m",
+        "common_parts",
+        F.expr("CAST(num * 1000000 DIV den AS BIGINT)").alias("link_ppm"),
+        F.expr(
+            "CAST(round(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("lnl_micro"),
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return ln_.select(
+        F.col("m").alias("month"),
+        "common_parts",
+        "link_ppm",
+        F.sum("lnl_micro").over(w).cast("bigint").alias("chain_log_micro"),
+    ).orderBy("month")

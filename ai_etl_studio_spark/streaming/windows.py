@@ -1547,3 +1547,55 @@ def run_stream_value_moments(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_discount_trend(
+    spark: SparkSession, sf_dir: str, query_name: str = "catrend_out"
+) -> DataFrame:
+    """REAL streaming maintenance of cochran_armitage_discount_trend's
+    dose-response state (the eleventh readStream twin): lineitem rows
+    stream in and ONE streaming aggregation keeps per-discount-level
+    (n, returned) counts — the five CA sufficient sums (N, R, Σwr,
+    Σwn, Σw²n) are linear in these 11 cells, so the trend z the batch
+    op computes is derivable from the live state at any moment: the
+    returns-by-discount gradient as an actual monitor, not a nightly
+    job.
+
+    Mergeable-summary shape: state is bounded by the |discount levels|
+    rate schedule (11 cells — never stream rate); both measures are
+    exact integer counts, so the cells are bit-identical to the batch
+    reduction in ANY arrival order (asserted in
+    tests/test_streaming.py, which also re-derives z from the state
+    and matches the batch op's output). Complete output mode. Returns
+    (w, n, r)."""
+    schema = (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber bigint, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp"
+    )
+    li = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "lineitem.parquet")
+        .load(sf_dir)
+    )
+    cells = li.groupBy(
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("w")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("r"),
+    )
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

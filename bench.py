@@ -501,6 +501,8 @@ HEADLINE = [
     "kendalls_w_nation_rank_stability",
     "gpd_tail_fit_daily",
     "distance_correlation_delay_value",
+    "littles_law_monthly",
+    "chained_laspeyres_monthly",
 ]
 
 

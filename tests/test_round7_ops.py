@@ -1840,3 +1840,102 @@ def test_distance_correlation_replay(spark):
     assert abs(dcov2_c - dcov2) < 1e-9 * max(1.0, abs(dcov2))
     # dCor is a correlation: in [0, 1]
     assert 0 <= got["dcor_micro"] <= 1_000_000
+
+
+def test_littles_law_and_chained_index_replay(spark):
+    """Little's law: the global identity sum(open_days) == sum(tot_w)
+    must hold EXACTLY; chained index: literal link replay for one
+    month plus monotone bookkeeping."""
+    from ai_etl_studio_spark.operators.analytics import (
+        chained_laspeyres_monthly,
+        littles_law_monthly,
+    )
+
+    import datetime as dt
+
+    odate = {
+        r.o_orderkey: r.o_orderdate.date()
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    last_ship = {}
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        d = r.l_shipdate.date()
+        if r.l_orderkey not in last_ship or d > last_ship[r.l_orderkey]:
+            last_ship[r.l_orderkey] = d
+    spans = [
+        (odate[k], d2)
+        for k, d2 in last_ship.items()
+        if d2 >= odate[k]
+    ]
+    open_days = defaultdict(int)
+    arr = defaultdict(lambda: [0, 0])
+    for d1, d2 in spans:
+        a = arr[d1.replace(day=1)]
+        a[0] += 1
+        a[1] += (d2 - d1).days + 1
+        m = d1.replace(day=1)
+        while m <= d2:
+            nxt = (m + dt.timedelta(days=32)).replace(day=1)
+            open_days[m] += (
+                min(d2, nxt - dt.timedelta(days=1)) - max(d1, m)
+            ).days + 1
+            m = nxt
+    # design identity: the WIP integral over ALL months equals the
+    # arrivals' total residence exactly (every span fully partitioned)
+    assert sum(open_days.values()) == sum(v[1] for v in arr.values())
+    rows = littles_law_monthly(spark, SF_DIR).collect()
+    # the op emits months having BOTH arrivals and WIP (inner join) —
+    # replay every emitted row exactly
+    for r in rows:
+        m = r["month"]
+        assert r["open_days"] == open_days[m]
+        assert (r["arrivals"], r["tot_w"]) == tuple(arr[m])
+        assert r["l_over_lw_ppm"] == open_days[m] * 1_000_000 // arr[m][1]
+    # structure: positive ratios that RAMP (late months carry WIP from
+    # years of older orders against thin fresh arrivals, so the ratio
+    # legitimately passes 1 near the horizon end)
+    assert all(r["l_over_lw_ppm"] >= 1 for r in rows)
+    assert rows[-1]["l_over_lw_ppm"] > rows[0]["l_over_lw_ppm"]
+
+    # --- chained Laspeyres: replay one month's link ---
+    odate = {}
+    pm = defaultdict(lambda: [0, 0])
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+        .collect()
+    ):
+        m = r.l_shipdate.date().replace(day=1)
+        e = pm[(r.l_partkey, m)]
+        e[0] += int(math.floor(r.l_extendedprice * 100 + 0.5))
+        e[1] += int(math.floor(r.l_quantity + 0.5))
+    got = chained_laspeyres_monthly(spark, SF_DIR).collect()
+    target = got[len(got) // 2]
+    m = target["month"]
+    prev_m = (m.replace(day=1) - __import__("datetime").timedelta(days=1)).replace(day=1)
+    num = den = cp = 0
+    for (pk, mm), (rev, qty) in pm.items():
+        if mm != m or qty < 1:
+            continue
+        pr = pm.get((pk, prev_m))
+        if not pr or pr[1] < 1:
+            continue
+        cp += 1
+        num += int(math.floor(rev * pr[1] / qty + 0.5))
+        den += pr[0]
+    assert target["common_parts"] == cp
+    assert target["link_ppm"] == num * 1_000_000 // den
+    lnl = _half_up_micro(math.log(num / den))
+    # the chain is the running sum of per-month quantized ln links
+    idx = [r for r in got]
+    i = next(j for j, r in enumerate(idx) if r["month"] == m)
+    assert (
+        idx[i]["chain_log_micro"] - (idx[i - 1]["chain_log_micro"] if i else 0)
+        == lnl
+    )

@@ -717,3 +717,53 @@ def test_stream_value_moments_matches_batch(spark):
     m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu**3
     skew = m3 / m2**1.5
     assert math.isfinite(skew)
+
+
+def test_stream_discount_trend_matches_batch(spark):
+    """Eleventh readStream twin: the streamed discount×returns cells
+    are bit-identical to the batch reduction, and the CA trend z
+    re-derived from the state matches the batch op."""
+    import math
+
+    from ai_etl_studio_spark.operators.drift import (
+        cochran_armitage_discount_trend,
+    )
+    from ai_etl_studio_spark.streaming.windows import (
+        run_stream_discount_trend,
+    )
+
+    got = {
+        r.w: (r.n, r.r)
+        for r in run_stream_discount_trend(
+            spark, SF_DIR, "t_catrend"
+        ).collect()
+    }
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    import pyspark.sql.functions as F
+
+    want = {
+        r.w: (r.n, r.r)
+        for r in li.groupBy(
+            F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+        .collect()
+    }
+    assert got == want
+    # re-derive the CA z from the streamed state == batch op output
+    nn = sum(n for n, _ in got.values())
+    rr = sum(r for _, r in got.values())
+    swr = sum(w * r for w, (_, r) in got.items())
+    swn = sum(w * n for w, (n, _) in got.items())
+    swwn = sum(w * w * n for w, (n, _) in got.items())
+    z = (nn * swr - rr * swn) / math.sqrt(
+        rr * (nn - rr) * (nn * swwn - swn * swn)
+    )
+    batch = cochran_armitage_discount_trend(spark, SF_DIR).collect()[0]
+    z_micro = int(math.floor(abs(z) * 1e6 + 0.5)) * (1 if z >= 0 else -1)
+    assert abs(batch["z_micro"] - z_micro) <= 2
