@@ -12013,3 +12013,93 @@ def chained_laspeyres_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "link_ppm",
         F.sum("lnl_micro").over(w).cast("bigint").alias("chain_log_micro"),
     ).orderBy("month")
+
+
+@register(
+    "lorenz_asymmetry_by_nation",
+    oracle="""
+    WITH cr AS (
+      SELECT c.c_nationkey AS nk, o.o_custkey,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    g AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS tot
+      FROM cr GROUP BY 1),
+    blw AS (
+      SELECT cr.nk,
+             CAST(SUM(CASE WHEN CAST(cr.v AS HUGEINT) * g.n < g.tot
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+             CAST(SUM(CASE WHEN CAST(cr.v AS HUGEINT) * g.n < g.tot
+                           THEN CAST(cr.v AS HUGEINT) ELSE 0 END)
+               AS HUGEINT) AS v_below
+      FROM cr JOIN g ON cr.nk = g.nk GROUP BY 1),
+    s AS (
+      SELECT n.n_name AS nation, g.n AS n_customers,
+             CAST(round((CAST(b.n_below AS DOUBLE) / CAST(g.n AS DOUBLE)
+               + CAST(b.v_below AS DOUBLE) / CAST(g.tot AS DOUBLE))
+               * 1000000E0, 0) AS BIGINT) AS lac_micro
+      FROM blw b JOIN g ON b.nk = g.nk
+      JOIN nation n ON n.n_nationkey = b.nk)
+    SELECT nation, n_customers, lac_micro FROM s ORDER BY nation
+    """,
+)
+def lorenz_asymmetry_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz asymmetry coefficient per nation: S = F(μ) + L(μ) — WHICH
+    side of the distribution drives the inequality gini_by_nation
+    measures. S < 1: inequality comes from a mass of SMALL customers;
+    S > 1: from a few GIANT accounts (same Gini, opposite retention
+    strategies — that's the decision this number makes). Discrete
+    right-limit form: F and L evaluated over customers strictly below
+    the mean.
+
+    Exactness: the below-mean test is the integer cross-multiplication
+    n·v < total (no mean division); counts and below-mean value mass
+    are exact integers on HUGEINT/decimal128; S is one mirrored
+    expression per nation.
+
+    Scale: the customer-grain reduction feeds a 25-row broadcast of
+    per-nation totals; one more pass over the reduction classifies
+    each customer — no sort, no window.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cr = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), F.col("o_custkey"))
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("v"))
+    )
+    wn = Window.partitionBy("nk").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cg = cr.select(
+        "nk",
+        "v",
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+        F.sum("v").over(wn).cast("decimal(38,0)").alias("tot"),
+    )
+    below = F.col("v").cast("decimal(19,0)") * F.col("n").cast(
+        "decimal(19,0)"
+    ) < F.col("tot")
+    blw = cg.groupBy("nk", "n", "tot").agg(
+        F.sum(F.when(below, 1).otherwise(0)).cast("bigint").alias("n_below"),
+        F.sum(F.when(below, F.col("v")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("v_below"),
+    )
+    return (
+        blw.join(F.broadcast(n), blw.nk == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_customers"),
+            F.expr(
+                "CAST(round((CAST(n_below AS DOUBLE) / CAST(n AS DOUBLE)"
+                " + CAST(v_below AS DOUBLE) / CAST(tot AS DOUBLE))"
+                " * 1000000E0, 0) AS BIGINT)"
+            ).alias("lac_micro"),
+        )
+        .orderBy("nation")
+    )

@@ -7895,3 +7895,158 @@ def distance_correlation_delay_value(spark: SparkSession, sf_dir: str) -> DataFr
             f"CAST(round({_DC_COV2} * 1000000E0, 0) AS BIGINT)"
         ).alias("dcov2_micro"),
     )
+
+
+@register(
+    "diebold_mariano_naive_vs_ols",
+    oracle=_DAILY_1K_CTE
+    + f"""
+    , g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(t * x) AS BIGINT) AS stx,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM t),
+    e AS (SELECT t.t, t.x, {{resid}} AS eu FROM t, g),
+    ld AS (
+      SELECT t, abs(x - lag(x, 7) OVER (ORDER BY t)) - abs(eu) AS d
+      FROM e),
+    df AS (SELECT t, d FROM ld WHERE d IS NOT NULL),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(d) AS HUGEINT) AS s1 FROM df),
+    ee AS (SELECT t, CAST(m.m AS HUGEINT) * df.d - m.s1 AS e
+           FROM df, m),
+    l AS (
+      SELECT e,
+             lead(e, 1) OVER (ORDER BY t) AS e1,
+             lead(e, 2) OVER (ORDER BY t) AS e2,
+             lead(e, 3) OVER (ORDER BY t) AS e3,
+             lead(e, 4) OVER (ORDER BY t) AS e4,
+             lead(e, 5) OVER (ORDER BY t) AS e5,
+             lead(e, 6) OVER (ORDER BY t) AS e6,
+             lead(e, 7) OVER (ORDER BY t) AS e7
+      FROM ee),
+    s AS (
+      SELECT CAST(SUM(e * e) AS HUGEINT) AS g0,
+             CAST(SUM(e * e1) AS HUGEINT) AS g1,
+             CAST(SUM(e * e2) AS HUGEINT) AS g2,
+             CAST(SUM(e * e3) AS HUGEINT) AS g3,
+             CAST(SUM(e * e4) AS HUGEINT) AS g4,
+             CAST(SUM(e * e5) AS HUGEINT) AS g5,
+             CAST(SUM(e * e6) AS HUGEINT) AS g6,
+             CAST(SUM(e * e7) AS HUGEINT) AS g7
+      FROM l),
+    nw AS (
+      SELECT 8 * g0 + 2 * (7 * g1 + 6 * g2 + 5 * g3 + 4 * g4 + 3 * g5
+               + 2 * g6 + 1 * g7) AS nw8
+      FROM s)
+    SELECT m.m AS n_days_used,
+           CAST(round(CAST(s1 AS DOUBLE) / CAST(m.m AS DOUBLE) * 1000E0, 0)
+             AS BIGINT) AS mean_loss_diff_milli,
+           CAST(round(CAST(s1 AS DOUBLE) / CAST(m.m AS DOUBLE)
+             / sqrt(CAST(nw8 AS DOUBLE) / 8E0 / CAST(m.m AS DOUBLE)
+                 / CAST(m.m AS DOUBLE) / CAST(m.m AS DOUBLE)
+                 / CAST(m.m AS DOUBLE))
+             * 1000000E0, 0) AS BIGINT) AS dm_micro
+    FROM nw, m
+    """.format(resid=_BP_RESID),
+)
+def diebold_mariano_naive_vs_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano forecast-comparison test between the two
+    forecasters already in the registry — seasonal-naive (x_{t−7}) vs
+    the OLS trend line — on ABSOLUTE-error loss with an L = 7 Bartlett
+    HAC variance: DM ≈ 18 says the trend line beats weekly persistence
+    decisively ON THIS SERIES, with autocorrelation-robust inference
+    (seasonal_naive_mape and trend_forecast_linreg each score
+    themselves; DM is the referee between them, the missing piece of
+    the forecasting suite). MAE loss keeps the loss differential
+    SF-LINEAR, so the HAC squares stay inside decimal128 to SF ≈ 1e8
+    (MSE loss would die at SF ≈ 170 — documented design choice).
+
+    Exactness: both error series are exact integers (the lag-7
+    difference directly; the OLS residual via the shared unit-grain
+    device); d is integer; the n-scaled demeaning + eight HUGEINT
+    autocovariances reuse the newey_west machinery verbatim; mean and
+    DM are ONE mirrored expression.
+
+    Scale: day-grain reduction, two ordered windows (ACF-family
+    exception), one-row output.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    g = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("t") * F.col("x")).cast("bigint").alias("stx"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+    )
+    e = t.crossJoin(F.broadcast(g)).select(
+        "t", "x", F.expr(_BP_RESID).alias("eu")
+    )
+    wo = Window.orderBy("t")
+    df = (
+        e.select(
+            "t",
+            (
+                F.abs(F.col("x") - F.lag("x", 7).over(wo)) - F.abs("eu")
+            ).alias("d"),
+        )
+        .filter(F.col("d").isNotNull())
+        .localCheckpoint()  # day grain; read by m AND the lag pass
+    )
+    m = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("d").cast("decimal(38,0)").alias("s1"),
+    )
+    ee = df.crossJoin(F.broadcast(m)).select(
+        "t",
+        (
+            F.col("m").cast("decimal(19,0)") * F.col("d").cast("decimal(19,0)")
+            - F.col("s1")
+        )
+        .cast("decimal(19,0)")
+        .alias("e"),
+    )
+    l = ee.select(
+        "e", *[F.lead("e", k).over(wo).alias(f"e{k}") for k in range(1, 8)]
+    )
+    s = l.agg(
+        F.sum(F.col("e") * F.col("e")).cast("decimal(38,0)").alias("g0"),
+        *[
+            F.sum(F.col("e") * F.col(f"e{k}"))
+            .cast("decimal(38,0)")
+            .alias(f"g{k}")
+            for k in range(1, 8)
+        ],
+    )
+    two = F.lit(2).cast("decimal(19,0)")
+    nw = s.select(
+        (
+            F.lit(8).cast("decimal(19,0)") * F.col("g0")
+            + two
+            * (
+                F.lit(7).cast("decimal(19,0)") * F.col("g1")
+                + F.lit(6).cast("decimal(19,0)") * F.col("g2")
+                + F.lit(5).cast("decimal(19,0)") * F.col("g3")
+                + F.lit(4).cast("decimal(19,0)") * F.col("g4")
+                + F.lit(3).cast("decimal(19,0)") * F.col("g5")
+                + two * F.col("g6")
+                + F.lit(1).cast("decimal(19,0)") * F.col("g7")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("nw8")
+    )
+    return nw.crossJoin(F.broadcast(m)).select(
+        F.col("m").alias("n_days_used"),
+        F.expr(
+            "CAST(round(CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)"
+            " * 1000E0, 0) AS BIGINT)"
+        ).alias("mean_loss_diff_milli"),
+        F.expr(
+            "CAST(round(CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)"
+            " / sqrt(CAST(nw8 AS DOUBLE) / 8E0 / CAST(m AS DOUBLE)"
+            "     / CAST(m AS DOUBLE) / CAST(m AS DOUBLE)"
+            "     / CAST(m AS DOUBLE)) * 1000000E0, 0) AS BIGINT)"
+        ).alias("dm_micro"),
+    )

@@ -503,6 +503,8 @@ HEADLINE = [
     "distance_correlation_delay_value",
     "littles_law_monthly",
     "chained_laspeyres_monthly",
+    "diebold_mariano_naive_vs_ols",
+    "lorenz_asymmetry_by_nation",
 ]
 
 

@@ -1939,3 +1939,72 @@ def test_littles_law_and_chained_index_replay(spark):
         idx[i]["chain_log_micro"] - (idx[i - 1]["chain_log_micro"] if i else 0)
         == lnl
     )
+
+
+def test_diebold_mariano_and_lorenz_asymmetry_replay(spark):
+    """From-scratch DM on MAE loss and the discrete LAC for one
+    nation."""
+    from ai_etl_studio_spark.operators.analytics import (
+        lorenz_asymmetry_by_nation,
+    )
+    from ai_etl_studio_spark.operators.drift import (
+        diebold_mariano_naive_vs_ols,
+    )
+
+    # --- DM ---
+    x = _daily_1k_ticks(spark)
+    n = len(x)
+    st = sum(range(n))
+    sx = sum(x)
+    stx = sum(t * v for t, v in enumerate(x))
+    stt = sum(t * t for t in range(n))
+    b = (n * stx - st * sx) / (n * stt - st * st)
+    a = (sx - b * st) / n
+    eu = [
+        int(math.floor(abs(v - (a + b * t)) + 0.5))
+        * (1 if v - (a + b * t) >= 0 else -1)
+        for t, v in enumerate(x)
+    ]
+    d = [abs(x[t] - x[t - 7]) - abs(eu[t]) for t in range(7, n)]
+    m = len(d)
+    s1 = sum(d)
+    e = [m * v - s1 for v in d]
+    gam = [sum(e[t] * e[t + k] for t in range(m - k)) for k in range(8)]
+    nw8 = 8 * gam[0] + 2 * sum((8 - k) * gam[k] for k in range(1, 8))
+    dm = (s1 / m) / math.sqrt(nw8 / 8 / m**3 / m)
+    got = diebold_mariano_naive_vs_ols(spark, SF_DIR).collect()[0]
+    assert got["n_days_used"] == m
+    assert abs(got["mean_loss_diff_milli"] - _half_up_micro(s1 / m) / 1000) <= 2
+    assert abs(got["dm_micro"] - _half_up_micro(dm)) <= 2
+    # the OLS trend should beat weekly persistence on this series
+    assert got["dm_micro"] > 2_000_000
+
+    # --- Lorenz asymmetry (one nation) ---
+    nk = {
+        r.c_custkey: r.c_nationkey
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    nname = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{SF_DIR}/nation.parquet").collect()
+    }
+    rev = defaultdict(int)
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        rev[r.o_custkey] += int(math.floor(r.o_totalprice * 100 + 0.5))
+    xs = [v for ck, v in rev.items() if nk[ck] == 0]
+    nn, tot = len(xs), sum(xs)
+    nb = sum(1 for v in xs if v * nn < tot)
+    vb = sum(v for v in xs if v * nn < tot)
+    lac = nb / nn + vb / tot
+    got = {
+        r["nation"]: r
+        for r in lorenz_asymmetry_by_nation(spark, SF_DIR).collect()
+    }[nname[0]]
+    assert got["n_customers"] == nn
+    assert abs(got["lac_micro"] - _half_up_micro(lac)) <= 2
+    # an LAC is two sub-unit shares: inside (0, 2)
+    assert 0 < got["lac_micro"] < 2_000_000
