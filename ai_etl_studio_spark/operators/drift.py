@@ -8050,3 +8050,203 @@ def diebold_mariano_naive_vs_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     / CAST(m AS DOUBLE)) * 1000000E0, 0) AS BIGINT)"
         ).alias("dm_micro"),
     )
+
+
+@register(
+    "pettitt_changepoint_daily",
+    oracle=_DAILY_1K_CTE
+    + """
+    , vg AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+    mr AS (
+      SELECT v, CAST(2 * SUM(c) OVER (ORDER BY v) - c + 1 AS BIGINT)
+               AS r2
+      FROM vg),
+    rt AS (
+      SELECT t.t, mr.r2 FROM t JOIN mr ON t.x = mr.v),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+    u AS (
+      SELECT rt.t,
+             CAST(SUM(r2) OVER (ORDER BY rt.t) - (rt.t + 1) * (n + 1)
+               AS BIGINT) AS ut
+      FROM rt, nn),
+    k AS (
+      SELECT MAX(abs(ut)) AS k FROM u, nn WHERE u.t < n - 1)
+    SELECT (SELECT n FROM nn) AS n_days,
+           (SELECT CAST(k AS BIGINT) FROM k) AS pettitt_k,
+           (SELECT MIN(t) FROM u, k WHERE abs(ut) = k.k) AS break_t,
+           CAST(round(2E0 * exp(-6E0 * CAST((SELECT k FROM k) AS DOUBLE)
+               * CAST((SELECT k FROM k) AS DOUBLE)
+             / (CAST((SELECT n FROM nn) AS DOUBLE)
+                * CAST((SELECT n FROM nn) AS DOUBLE)
+                * (CAST((SELECT n FROM nn) AS DOUBLE) + 1E0)))
+             * 1000000E0, 0) AS BIGINT) AS p_approx_micro
+    """,
+)
+def pettitt_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint test on daily revenue: K =
+    max_t |U_t| with U_t = 2Σ_{i≤t}R_i − t(n+1) — the nonparametric
+    sibling of cusum_level_shift (CUSUM trusts the values; Pettitt
+    only trusts their RANKS, so one crazy day can't fake or mask a
+    level shift) and the MEAN-shift companion of cusumsq's variance
+    scan. Emits the break location and the classic 2·exp(−6K²/(n³+n²))
+    significance approximation.
+
+    Exactness: midranks come off the value grain as the INTEGER
+    2·cum − c + 1 (the doubled-midrank device), so U_t is an exact
+    integer cumulative sum and K/argmax are integer comparisons; only
+    the p-value approximation is one mirrored double expression.
+
+    Scale: day-grain reduction; one value-grain window for midranks
+    and one ordered cumsum (ACF-family exception); one-row output.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    vg = t.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    mr = vg.select(
+        "v",
+        (2 * F.sum("c").over(wv) - F.col("c") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    nn = t.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    u = (
+        t.join(mr, t.x == mr.v)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "t",
+            "n",
+            (
+                F.sum("r2").over(wt) - (F.col("t") + 1) * (F.col("n") + 1)
+            )
+            .cast("bigint")
+            .alias("ut"),
+        )
+        .localCheckpoint()  # day grain; read by max AND argmax
+    )
+    k = u.filter(F.col("t") < F.col("n") - 1).agg(
+        F.max(F.abs("ut")).cast("bigint").alias("k")
+    )
+    brk = u.join(F.broadcast(k), F.abs(F.col("ut")) == F.col("k")).agg(
+        F.min("t").alias("break_t")
+    )
+    return (
+        nn.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(brk))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("k").alias("pettitt_k"),
+            "break_t",
+            F.expr(
+                "CAST(round(2E0 * exp(-6E0 * CAST(k AS DOUBLE)"
+                " * CAST(k AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+                "    * (CAST(n AS DOUBLE) + 1E0))) * 1000000E0, 0)"
+                " AS BIGINT)"
+            ).alias("p_approx_micro"),
+        )
+    )
+
+
+@register(
+    "seasonal_mann_kendall_dow",
+    oracle=_DAILY_1K_CTE.replace(
+        "SELECT row_number() OVER (ORDER BY day) - 1 AS t, x FROM daily",
+        "SELECT row_number() OVER (ORDER BY day) - 1 AS t, x,"
+        " CAST(dayofweek(day) + 1 AS BIGINT) AS g FROM daily",
+    )
+    + """
+    , p AS (
+      SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s
+      FROM t a JOIN t b ON a.g = b.g AND b.t > a.t),
+    gs AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng FROM t GROUP BY g),
+    v AS (
+      SELECT CAST(SUM(ng * (ng - 1) * (2 * ng + 5)) AS HUGEINT) AS v18
+      FROM gs)
+    SELECT (SELECT CAST(SUM(ng) AS BIGINT) FROM gs) AS n_days,
+           p.s AS smk_s,
+           CAST(round((CAST(p.s AS DOUBLE)
+               - CASE WHEN p.s > 0 THEN 1E0
+                      WHEN p.s < 0 THEN -1E0 ELSE 0E0 END)
+             / sqrt(CAST(v18 AS DOUBLE) / 18E0) * 1000000E0, 0)
+             AS BIGINT) AS smk_z_micro
+    FROM p, v
+    """,
+)
+def seasonal_mann_kendall_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL Mann-Kendall on daily revenue with day-of-week strata:
+    pairs are compared only WITHIN the same weekday, so the weekly
+    cycle (which the plain daily MK would read as pseudo-trend noise
+    and which forces mann_kendall_trend up to month grain) cancels
+    exactly — the trend test that works at DAY resolution on a
+    seasonal series. S = Σ_g S_g, Var = Σ_g n_g(n_g−1)(2n_g+5)/18.
+
+    Exactness: exact integer sign algebra over the seven bounded
+    within-stratum pair joins (≤ 7·(n/7)² pairs, calendar-bounded);
+    the variance sum is exact HUGEINT/decimal128; z is one mirrored
+    closed form. DuckDB dayofweek is 0-based — the oracle carries the
+    +1 mapping (the documented engine gotcha).
+
+    Scale: day-grain reduction, a bounded self-join partitioned by
+    stratum, one-row output.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum(cents("o_totalprice")).cast("double") / 100000, 0)
+            .cast("bigint")
+            .alias("x")
+        )
+        .localCheckpoint()
+    )
+    t = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+        "x",
+        F.dayofweek("day").cast("bigint").alias("g"),
+    ).localCheckpoint()  # day grain; both sides of the stratum pairs
+    a = t.select(
+        F.col("g"), F.col("t").alias("ta"), F.col("x").alias("xa")
+    )
+    b = t.select(
+        F.col("g"), F.col("t").alias("tb"), F.col("x").alias("xb")
+    )
+    p = (
+        a.join(b, ["g"])
+        .filter(F.col("tb") > F.col("ta"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    gs = t.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("ng"))
+    v = gs.agg(
+        F.sum(
+            F.col("ng").cast("decimal(19,0)")
+            * (F.col("ng") - 1).cast("decimal(19,0)")
+            * (2 * F.col("ng") + 5).cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("v18"),
+        F.sum("ng").cast("bigint").alias("n_days"),
+    )
+    return p.crossJoin(F.broadcast(v)).select(
+        "n_days",
+        F.col("s").alias("smk_s"),
+        F.expr(
+            "CAST(round((CAST(s AS DOUBLE)"
+            " - CASE WHEN s > 0 THEN 1E0"
+            "        WHEN s < 0 THEN -1E0 ELSE 0E0 END)"
+            " / sqrt(CAST(v18 AS DOUBLE) / 18E0) * 1000000E0, 0)"
+            " AS BIGINT)"
+        ).alias("smk_z_micro"),
+    )

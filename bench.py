@@ -505,6 +505,8 @@ HEADLINE = [
     "chained_laspeyres_monthly",
     "diebold_mariano_naive_vs_ols",
     "lorenz_asymmetry_by_nation",
+    "pettitt_changepoint_daily",
+    "seasonal_mann_kendall_dow",
 ]
 
 

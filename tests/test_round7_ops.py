@@ -2008,3 +2008,77 @@ def test_diebold_mariano_and_lorenz_asymmetry_replay(spark):
     assert abs(got["lac_micro"] - _half_up_micro(lac)) <= 2
     # an LAC is two sub-unit shares: inside (0, 2)
     assert 0 < got["lac_micro"] < 2_000_000
+
+
+def test_pettitt_and_seasonal_mk_replay(spark):
+    """From-scratch Pettitt (literal double loop over ranks) and
+    seasonal MK (literal within-stratum pair loop)."""
+    from ai_etl_studio_spark.operators.drift import (
+        pettitt_changepoint_daily,
+        seasonal_mann_kendall_dow,
+    )
+
+    daily = defaultdict(int)
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        daily[r.o_orderdate.date()] += int(
+            math.floor(r.o_totalprice * 100 + 0.5)
+        )
+    days = sorted(daily)
+    x = [int(math.floor(daily[d] / 100000 + 0.5)) for d in days]
+    n = len(x)
+
+    # --- Pettitt via doubled midranks ---
+    from collections import Counter as _C
+
+    cnt = _C(x)
+    cum = 0
+    r2v = {}
+    for v in sorted(cnt):
+        cum += cnt[v]
+        r2v[v] = 2 * cum - cnt[v] + 1
+    s = 0
+    best = (-1, None)
+    for t, v in enumerate(x):
+        s += r2v[v]
+        ut = s - (t + 1) * (n + 1)
+        if t < n - 2 + 1 and t < n - 1:
+            if abs(ut) > best[0]:
+                best = (abs(ut), t)
+    # cross-check U_t against the literal sign double-sum at one t
+    t0 = n // 3
+    u_lit = sum(
+        (x[i] > x[j]) - (x[i] < x[j])
+        for i in range(t0 + 1)
+        for j in range(t0 + 1, n)
+    )
+    s0 = sum(r2v[v] for v in x[: t0 + 1]) - (t0 + 1) * (n + 1)
+    assert s0 == u_lit
+    got = pettitt_changepoint_daily(spark, SF_DIR).collect()[0]
+    assert got["n_days"] == n
+    assert got["pettitt_k"] == best[0]
+    assert got["break_t"] == best[1]
+    p = 2 * math.exp(-6 * best[0] ** 2 / (n * n * (n + 1)))
+    assert abs(got["p_approx_micro"] - _half_up_micro(p)) <= 2
+
+    # --- seasonal MK ---
+    g = [d.isoweekday() for d in days]
+    sm = 0
+    var18 = 0
+    for wd in set(g):
+        idx = [i for i in range(n) if g[i] == wd]
+        ng = len(idx)
+        var18 += ng * (ng - 1) * (2 * ng + 5)
+        for a in range(len(idx)):
+            for b in range(a + 1, len(idx)):
+                sm += (x[idx[b]] > x[idx[a]]) - (x[idx[b]] < x[idx[a]])
+    z = (sm - (1 if sm > 0 else -1 if sm < 0 else 0)) / math.sqrt(
+        var18 / 18
+    )
+    got = seasonal_mann_kendall_dow(spark, SF_DIR).collect()[0]
+    assert got["n_days"] == n
+    assert got["smk_s"] == sm
+    assert abs(got["smk_z_micro"] - _half_up_micro(z)) <= 2
