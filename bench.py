@@ -507,6 +507,8 @@ HEADLINE = [
     "lorenz_asymmetry_by_nation",
     "pettitt_changepoint_daily",
     "seasonal_mann_kendall_dow",
+    "james_stein_nation_means",
+    "conformal_interval_naive_daily",
 ]
 
 

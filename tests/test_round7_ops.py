@@ -2082,3 +2082,63 @@ def test_pettitt_and_seasonal_mk_replay(spark):
     assert got["n_days"] == n
     assert got["smk_s"] == sm
     assert abs(got["smk_z_micro"] - _half_up_micro(z)) <= 2
+
+
+def test_james_stein_and_conformal_replay(spark):
+    """From-scratch JS shrink factor and the conformal split replay."""
+    from ai_etl_studio_spark.operators.analytics import (
+        james_stein_nation_means,
+    )
+    from ai_etl_studio_spark.operators.drift import (
+        conformal_interval_naive_daily,
+    )
+
+    nk = {
+        r.c_custkey: r.c_nationkey
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    g = defaultdict(lambda: [0, 0, 0])
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        v = int(math.floor(r.o_totalprice * 100 + 0.5))
+        e = g[nk[r.o_custkey]]
+        e[0] += 1
+        e[1] += v
+        e[2] += v * v
+    k = len(g)
+    ntot = sum(e[0] for e in g.values())
+    stot = sum(e[1] for e in g.values())
+    grand = stot / ntot
+    ssw = sum(
+        _half_up_micro((e[2] - e[1] ** 2 / e[0]) / 10000) / 1_000_000
+        for e in g.values()
+    )
+    ssb = sum(
+        _half_up_micro((e[1] / e[0] - grand) ** 2 / 10000) / 1_000_000
+        for e in g.values()
+    )
+    shrink = max(0.0, 1 - (k - 3) * (ssw / (ntot - k)) / (ntot / k) / ssb)
+    got = {r["nation"]: r for r in james_stein_nation_means(spark, SF_DIR).collect()}
+    row = next(iter(got.values()))
+    assert abs(row["shrink_micro"] - _half_up_micro(shrink)) <= 2
+    # shrunk means must lie between each raw mean and the grand mean
+    for r in got.values():
+        lo, hi = sorted((r["raw_mean_cents"], int(round(grand))))
+        assert lo - 2 <= r["js_mean_cents"] <= hi + 2
+
+    # --- conformal ---
+    x = _daily_1k_ticks(spark)
+    e = [(t, abs(x[t] - x[t - 7])) for t in range(7, len(x))]
+    cal = sorted(v for t, v in e if t % 2 == 0)
+    tst = [v for t, v in e if t % 2 == 1]
+    q = cal[math.ceil(0.9 * len(cal)) - 1]
+    covered = sum(1 for v in tst if v <= q)
+    got = conformal_interval_naive_daily(spark, SF_DIR).collect()[0]
+    assert (got["n_cal"], got["n_test"]) == (len(cal), len(tst))
+    assert got["q90_width_1k"] == q
+    assert got["coverage_ppm"] == covered * 1_000_000 // len(tst)
+    # the conformal guarantee: holdout coverage near the 90% target
+    assert 800_000 <= got["coverage_ppm"] <= 980_000
