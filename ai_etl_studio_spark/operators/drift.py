@@ -8337,3 +8337,133 @@ def conformal_interval_naive_daily(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("coverage_ppm"),
         )
     )
+
+
+@register(
+    "cluster_robust_se_nation",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS HUGEINT) AS s,
+             CAST(SUM(CAST(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                 AS HUGEINT)
+               * CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS HUGEINT) AS q
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS HUGEINT) AS nn,
+             CAST(SUM(s) AS HUGEINT) AS ss,
+             CAST(SUM(q) AS HUGEINT) AS qq
+      FROM g),
+    dev AS (
+      SELECT CAST(SUM(
+        CAST(round(CAST(nn * s - n * ss AS DOUBLE) / 1000000E0, 0)
+          AS HUGEINT)
+        * CAST(round(CAST(nn * s - n * ss AS DOUBLE) / 1000000E0, 0)
+          AS HUGEINT)) AS HUGEINT) AS num_m2
+      FROM g, tot)
+    SELECT tot.k AS n_clusters, CAST(tot.nn AS BIGINT) AS n_orders,
+           CAST(round(sqrt(CAST(tot.k AS DOUBLE)
+               / (CAST(tot.k AS DOUBLE) - 1E0)
+               * CAST(num_m2 AS DOUBLE)) * 1000000E0
+             / CAST(tot.nn AS DOUBLE) / CAST(tot.nn AS DOUBLE)
+             * 1000000E0, 0) AS BIGINT) AS se_cluster_cents_micro,
+           CAST(round(sqrt((CAST(qq AS DOUBLE)
+                 - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                   / CAST(nn AS DOUBLE))
+               / (CAST(nn AS DOUBLE) - 1E0) / CAST(nn AS DOUBLE))
+             * 1000000E0, 0) AS BIGINT) AS se_iid_cents_micro,
+           CAST(round(CAST(tot.k AS DOUBLE) / (CAST(tot.k AS DOUBLE) - 1E0)
+               * CAST(num_m2 AS DOUBLE) * 1000000E0 * 1000000E0
+               / CAST(tot.nn AS DOUBLE) / CAST(tot.nn AS DOUBLE)
+               / CAST(tot.nn AS DOUBLE) / CAST(tot.nn AS DOUBLE)
+             / ((CAST(qq AS DOUBLE)
+                 - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                   / CAST(nn AS DOUBLE))
+                / (CAST(nn AS DOUBLE) - 1E0) / CAST(nn AS DOUBLE))
+             * 1000000E0, 0) AS BIGINT) AS deff_micro
+    FROM dev, tot
+    """,
+)
+def cluster_robust_se_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-robust (CR1) standard error of the mean order value with
+    NATION clusters, beside the iid SE and their ratio² (the design
+    effect): if customers within a nation co-move, the iid SE is a
+    fiction — this is the cross-SECTION companion of newey_west's
+    time-axis HAC, closing the robust-inference pair. DEFF ≈ 1.0 here:
+    nations do NOT cluster order values, so per-order CIs may use the
+    cheap SE — that's a license the op grants, not an assumption.
+
+    Exactness: per-cluster (n, Σv, Σv²) exact; the cluster deviation
+    N·S_g − n_g·S is an exact integer cross-multiplication whose
+    square would pass decimal128 at planet scale, so each deviation is
+    quantized to the $10k tick (ONE single-term rounding per cluster,
+    25 terms) before the squared sum; SEs and DEFF are mirrored
+    fixed-order expressions.
+
+    Scale: one fact scan → 25 sufficient-statistic rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    v = cents("o_totalprice")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(v).cast("decimal(38,0)").alias("s"),
+            F.sum(v.cast("decimal(19,0)") * v.cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias("q"),
+        )
+        .localCheckpoint()  # 25 rows; read by tot AND dev
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("decimal(38,0)").alias("nn"),
+        F.sum("s").cast("decimal(38,0)").alias("ss"),
+        F.sum("q").cast("decimal(38,0)").alias("qq"),
+    )
+    dev = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(nn * s - n * ss AS DOUBLE)"
+                " / 1000000E0, 0) AS DECIMAL(19,0))"
+                " * CAST(round(CAST(nn * s - n * ss AS DOUBLE)"
+                " / 1000000E0, 0) AS DECIMAL(19,0))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("num_m2")
+    )
+    return dev.crossJoin(F.broadcast(tot)).select(
+        F.col("k").alias("n_clusters"),
+        F.col("nn").cast("bigint").alias("n_orders"),
+        F.expr(
+            "CAST(round(sqrt(CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1E0)"
+            " * CAST(num_m2 AS DOUBLE)) * 1000000E0"
+            " / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("se_cluster_cents_micro"),
+        F.expr(
+            "CAST(round(sqrt((CAST(qq AS DOUBLE)"
+            "   - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)"
+            "     / CAST(nn AS DOUBLE))"
+            " / (CAST(nn AS DOUBLE) - 1E0) / CAST(nn AS DOUBLE))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("se_iid_cents_micro"),
+        F.expr(
+            "CAST(round(CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1E0)"
+            " * CAST(num_m2 AS DOUBLE) * 1000000E0 * 1000000E0"
+            " / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)"
+            " / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)"
+            " / ((CAST(qq AS DOUBLE)"
+            "     - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)"
+            "       / CAST(nn AS DOUBLE))"
+            "    / (CAST(nn AS DOUBLE) - 1E0) / CAST(nn AS DOUBLE))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("deff_micro"),
+    )

@@ -509,6 +509,8 @@ HEADLINE = [
     "seasonal_mann_kendall_dow",
     "james_stein_nation_means",
     "conformal_interval_naive_daily",
+    "cluster_robust_se_nation",
+    "oaxaca_value_gap_segments",
 ]
 
 

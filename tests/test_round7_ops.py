@@ -2142,3 +2142,98 @@ def test_james_stein_and_conformal_replay(spark):
     assert got["coverage_ppm"] == covered * 1_000_000 // len(tst)
     # the conformal guarantee: holdout coverage near the 90% target
     assert 800_000 <= got["coverage_ppm"] <= 980_000
+
+
+def test_cluster_se_and_oaxaca_replay(spark):
+    """From-scratch CR1 cluster SE / DEFF and the two-group
+    Oaxaca-Blinder split."""
+    from ai_etl_studio_spark.operators.analytics import (
+        oaxaca_value_gap_segments,
+    )
+    from ai_etl_studio_spark.operators.drift import (
+        cluster_robust_se_nation,
+    )
+
+    cust = {
+        r.c_custkey: (r.c_nationkey, r.c_mktsegment)
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .collect()
+    )
+
+    # --- cluster-robust SE ---
+    g = defaultdict(lambda: [0, 0])
+    q = 0
+    for r in orders:
+        v = int(math.floor(r.o_totalprice * 100 + 0.5))
+        e = g[cust[r.o_custkey][0]]
+        e[0] += 1
+        e[1] += v
+        q += v * v
+    k = len(g)
+    N = sum(e[0] for e in g.values())
+    S = sum(e[1] for e in g.values())
+    def hup(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+
+    num_m2 = sum(
+        hup((N * e[1] - e[0] * S) / 1_000_000) ** 2 for e in g.values()
+    )
+    se_cl = math.sqrt(k / (k - 1) * num_m2) * 1_000_000 / N / N
+    s2 = (q - S * S / N) / (N - 1)
+    se_iid = math.sqrt(s2 / N)
+    got = cluster_robust_se_nation(spark, SF_DIR).collect()[0]
+    assert (got["n_clusters"], got["n_orders"]) == (k, N)
+    assert abs(got["se_cluster_cents_micro"] - _half_up_micro(se_cl)) <= 3
+    assert abs(got["se_iid_cents_micro"] - _half_up_micro(se_iid)) <= 3
+    # no engineered intra-nation clustering: DEFF close to 1
+    assert 500_000 < got["deff_micro"] < 2_000_000
+
+    # --- Oaxaca ---
+    lines = Counter()
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey")
+        .collect()
+    ):
+        lines[r.l_orderkey] += 1
+    st = {1: [0, 0, 0, 0, 0], 0: [0, 0, 0, 0, 0]}
+    for r in orders:
+        seg = cust[r.o_custkey][1]
+        if seg not in ("BUILDING", "MACHINERY") or r.o_orderkey not in lines:
+            continue
+        ga = 1 if seg == "BUILDING" else 0
+        y = int(math.floor(r.o_totalprice * 100 + 0.5))
+        z = lines[r.o_orderkey]
+        e = st[ga]
+        e[0] += 1
+        e[1] += y
+        e[2] += z
+        e[3] += y * z
+        e[4] += z * z
+    na, sya, sza, syza, szza = st[1]
+    nb, syb, szb, syzb, szzb = st[0]
+    bb = (nb * syzb - szb * syb) / (nb * szzb - szb * szb)
+    ba = (na * syza - sza * sya) / (na * szza - sza * sza)
+    gap = sya / na - syb / nb
+    expl = (sza / na - szb / nb) * bb
+    got = oaxaca_value_gap_segments(spark, SF_DIR).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert abs(got["gap_cents"] - round(gap)) <= 1
+    assert abs(got["explained_cents"] - round(expl)) <= 1
+    assert abs(got["unexplained_cents"] - round(gap - expl)) <= 2
+    assert abs(got["slope_b_milli"] - _half_up_micro(bb) / 1000) <= 2
+    # decomposition identity: explained + unexplained == gap (±1 tick)
+    assert (
+        abs(
+            got["explained_cents"]
+            + got["unexplained_cents"]
+            - got["gap_cents"]
+        )
+        <= 2
+    )
