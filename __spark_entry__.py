@@ -58,7 +58,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #: wilcoxon_signed_rank_types, mood_median_test_delay,
 #: poisson_dispersion_daily_orders — all already carried by
 #: CORRECTNESS_full_r07.json, so the prefix slot buys them DRIVER
-#: rows), then continue the r4 pool from shipping_delay_monthly.
+#: rows), then the round-7 SESSION-2 additions (durbin_watson_daily,
+#: log_rank_reorder_segments, spectral_periodogram_weekly,
+#: cohens_h_return_priorities, welch_ttest_segments,
+#: hodges_lehmann_delay_shift, hoover_index_by_nation,
+#: breusch_pagan_daily, newey_west_se_daily,
+#: wasserstein_length_by_source, js_divergence_source_pairs,
+#: cochran_armitage_discount_trend, mantel_haenszel_return_discount,
+#: kmv_distinct_eval, nelson_aalen_reorder, granger_orders_to_revenue,
+#: knn_reciprocity_rate, cusumsq_variance_break_daily,
+#: embedding_participation_ratio, anderson_darling_two_sample,
+#: partial_corr_value_delay_lines, cronbach_alpha_nation_months,
+#: kendalls_w_nation_rank_stability, gpd_tail_fit_daily,
+#: distance_correlation_delay_value, littles_law_monthly,
+#: chained_laspeyres_monthly, diebold_mariano_naive_vs_ols,
+#: lorenz_asymmetry_by_nation, pettitt_changepoint_daily,
+#: seasonal_mann_kendall_dow, james_stein_nation_means,
+#: conformal_interval_naive_daily, cluster_robust_se_nation,
+#: oaxaca_value_gap_segments — all carried by CORRECTNESS_full_r07),
+#: then continue the r4 pool from shipping_delay_monthly.
 #: NOTE: the 50-slot rotation cannot converge on a registry growing
 #: ~48 names/round — the FULL-registry artifact
 #: CORRECTNESS_full_r{N}.json (tools/driver_sim.py over every oracle
