@@ -12384,3 +12384,161 @@ def oaxaca_value_gap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(round({_ob_slope('b')} * 1000E0, 0) AS BIGINT)"
         ).alias("slope_b_milli"),
     )
+
+
+#: Raking: number of IPF double-sweeps (row step + column step each).
+_IPF_ITERS = 4
+
+
+def _ipf_oracle() -> str:
+    """Unrolled-CTE IPF oracle (the pagerank device): w0 = sample cell
+    counts in micro; each sweep rescales rows to the population nation
+    margin, then columns to the segment margin, re-quantizing to micro
+    integers at every step (half-up round, mirrored in Spark)."""
+    steps = []
+    prev = "w0"
+    for i in range(1, _IPF_ITERS + 1):
+        steps.append(
+            f"""
+    r{i} AS (
+      SELECT nk, seg, pr, pc,
+             CASE WHEN SUM(w) OVER (PARTITION BY nk) > 0
+                  THEN CAST(round(CAST(w AS DOUBLE)
+                    * CAST(pr AS DOUBLE) * 1000000E0
+                    / CAST(SUM(w) OVER (PARTITION BY nk) AS DOUBLE), 0)
+                    AS BIGINT)
+                  ELSE 0 END AS w
+      FROM {prev}),
+    c{i} AS (
+      SELECT nk, seg, pr, pc,
+             CASE WHEN SUM(w) OVER (PARTITION BY seg) > 0
+                  THEN CAST(round(CAST(w AS DOUBLE)
+                    * CAST(pc AS DOUBLE) * 1000000E0
+                    / CAST(SUM(w) OVER (PARTITION BY seg) AS DOUBLE), 0)
+                    AS BIGINT)
+                  ELSE 0 END AS w
+      FROM r{i})"""
+        )
+        prev = f"c{i}"
+    return (
+        """
+    WITH pop AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(COUNT(*) AS BIGINT) AS p
+      FROM customer GROUP BY 1, 2),
+    smp AS (
+      SELECT c.c_nationkey AS nk, c.c_mktsegment AS seg,
+             CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS s
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE year(CAST(o.o_orderdate AS DATE)) = 1998
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT pop.nk, pop.seg, pop.p, COALESCE(smp.s, 0) AS s
+      FROM pop LEFT JOIN smp ON pop.nk = smp.nk AND pop.seg = smp.seg),
+    marg AS (
+      SELECT g.nk, g.seg, g.p, g.s,
+             CAST(SUM(p) OVER (PARTITION BY nk) AS BIGINT) AS pr,
+             CAST(SUM(p) OVER (PARTITION BY seg) AS BIGINT) AS pc
+      FROM grid g),
+    w0 AS (SELECT nk, seg, pr, pc,
+                  CAST(s * 1000000 AS BIGINT) AS w FROM marg),"""
+        + ",".join(steps)
+        + f"""
+    , res AS (
+      SELECT nk, seg, w,
+             CAST(SUM(w) OVER (PARTITION BY nk) AS BIGINT) AS row_w,
+             pr
+      FROM c{_IPF_ITERS})
+    SELECT nk AS nationkey, seg AS segment,
+           CAST(w AS BIGINT) AS rake_weight_micro,
+           CAST(abs(row_w - pr * 1000000) AS BIGINT)
+             AS nation_margin_resid_micro
+    FROM res ORDER BY nk, seg
+    """
+    )
+
+
+@register("raking_ipf_nation_segment", oracle=_ipf_oracle())
+def raking_ipf_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking (iterative proportional fitting) of the
+    1998-active customer SAMPLE to the full customer population's
+    nation × segment margins — the estimator that turns "who showed up
+    this year" into population-representative weights, completing the
+    design-based family (horvitz_thompson takes KNOWN inclusion
+    probabilities; raking RECOVERS them from margins when they're
+    not). Four row+column sweeps; the emitted nation-margin residual
+    shows convergence (zero-able except where a sample cell is empty).
+
+    Exactness: population/sample cells are exact counts; every IPF
+    rescale re-quantizes the weight to an integer MICRO count with
+    ONE half-up round per (cell, step) — the unrolled-iteration device
+    (pagerank precedent): both engines run the identical 8-step text,
+    so the fixpoint trajectory is bit-identical.
+
+    Scale: two fact scans reduce to the bounded |nations|×|segments|
+    grid; the 8 window rescales run on ≤ 125 rows.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pop = c.groupBy(
+        F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("p"))
+    smp = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .filter(F.year(F.col("o_orderdate").cast("date")) == 1998)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.countDistinct("c_custkey").cast("bigint").alias("s"))
+    )
+    grid = (
+        pop.join(smp, ["nk", "seg"], "left")
+        .select(
+            "nk", "seg", "p", F.coalesce("s", F.lit(0)).alias("s")
+        )
+        .localCheckpoint()  # 125 cells; all sweeps run on this
+    )
+    wr = Window.partitionBy("nk").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wc = Window.partitionBy("seg").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cur = grid.select(
+        "nk",
+        "seg",
+        F.sum("p").over(wr).cast("bigint").alias("pr"),
+        F.sum("p").over(wc).cast("bigint").alias("pc"),
+        (F.col("s") * 1000000).cast("bigint").alias("w"),
+    )
+    for _ in range(_IPF_ITERS):
+        for tgt, w in (("pr", wr), ("pc", wc)):
+            cur = cur.select(
+                "nk",
+                "seg",
+                "pr",
+                "pc",
+                F.when(
+                    F.sum("w").over(w) > 0,
+                    F.round(
+                        F.col("w").cast("double")
+                        * F.col(tgt).cast("double")
+                        * 1000000
+                        / F.sum("w").over(w).cast("double"),
+                        0,
+                    ).cast("bigint"),
+                )
+                .otherwise(0)
+                .alias("w"),
+            )
+    return cur.select(
+        F.col("nk").alias("nationkey"),
+        F.col("seg").alias("segment"),
+        F.col("w").alias("rake_weight_micro"),
+        F.abs(
+            F.sum("w").over(wr) - F.col("pr") * 1000000
+        )
+        .cast("bigint")
+        .alias("nation_margin_resid_micro"),
+    ).orderBy("nationkey", "segment")

@@ -8467,3 +8467,112 @@ def cluster_robust_se_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000E0, 0) AS BIGINT)"
         ).alias("deff_micro"),
     )
+
+
+#: SPRT constants for urgent-rate monitoring: H0 p=0.20 vs H1 p=0.21,
+#: alpha = beta = 0.05. Per-event LLR increments and the Wald
+#: boundaries are INLINED micro literals (the benford device) — the
+#: engines never evaluate ln() at runtime.
+_SPRT_C1 = 48790  # round(ln(0.21/0.20) * 1e6)
+_SPRT_C0 = -12579  # round(ln(0.79/0.80) * 1e6)
+_SPRT_A = 2944439  # round(ln(0.95/0.05) * 1e6)
+_SPRT_B = -2944439  # round(ln(0.05/0.95) * 1e6)
+
+
+@register(
+    "sprt_urgent_rate_monitor",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS u
+      FROM orders GROUP BY 1),
+    t AS (SELECT row_number() OVER (ORDER BY day) - 1 AS t, n, u FROM d),
+    llr AS (
+      SELECT t,
+             CAST(SUM(u * {_SPRT_C1} + (n - u) * ({_SPRT_C0}))
+               OVER (ORDER BY t) AS BIGINT) AS llr_micro
+      FROM t),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             MIN(CASE WHEN llr_micro >= {_SPRT_A} THEN t END) AS t_h1,
+             MIN(CASE WHEN llr_micro <= {_SPRT_B} THEN t END) AS t_h0,
+             CAST(MAX(llr_micro) AS BIGINT) AS max_llr_micro,
+             CAST(MIN(llr_micro) AS BIGINT) AS min_llr_micro
+      FROM llr)
+    SELECT n_days, t_h1 AS t_accept_h1, t_h0 AS t_accept_h0,
+           max_llr_micro, min_llr_micro,
+           CASE WHEN t_h0 IS NOT NULL
+                     AND (t_h1 IS NULL OR t_h0 < t_h1) THEN 'accept_h0'
+                WHEN t_h1 IS NOT NULL THEN 'accept_h1'
+                ELSE 'continue' END AS decision
+    FROM s
+    """,
+)
+def sprt_urgent_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT trace monitoring the urgent-order rate: H₀ p = 0.20
+    vs H₁ p = 0.21 at α = β = 0.05, accumulated day by day — the
+    SEQUENTIAL companion of ab_test_ztest/ab_power_sample_size: a
+    fixed-n test waits for its full sample; the SPRT stops THE DAY the
+    evidence crosses a Wald boundary, with guaranteed error rates at
+    any stopping time. On this corpus it accepts H₀ (the rate is 20%,
+    not 21%) — and the crossing day ≈ 1779 is itself the honest lesson
+    about how long a 5% relative lift takes to rule out.
+
+    Exactness: the per-event LLR increments and Wald boundaries are
+    INLINED micro-integer literals (the benford device — no runtime
+    ln() anywhere), so the whole trace is an integer cumulative sum
+    and the crossing scan is integer comparisons.
+
+    Scale: day-grain reduction, one ordered cumsum (ACF-family
+    exception), one-row output.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("u"),
+    )
+    t = d.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+        "n",
+        "u",
+    )
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    llr = t.select(
+        "t",
+        F.sum(
+            F.col("u") * F.lit(_SPRT_C1) + (F.col("n") - F.col("u")) * F.lit(_SPRT_C0)
+        )
+        .over(wc)
+        .cast("bigint")
+        .alias("llr_micro"),
+    )
+    s = llr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.min(
+            F.when(F.col("llr_micro") >= _SPRT_A, F.col("t"))
+        ).alias("t_h1"),
+        F.min(
+            F.when(F.col("llr_micro") <= _SPRT_B, F.col("t"))
+        ).alias("t_h0"),
+        F.max("llr_micro").cast("bigint").alias("max_llr_micro"),
+        F.min("llr_micro").cast("bigint").alias("min_llr_micro"),
+    )
+    return s.select(
+        "n_days",
+        F.col("t_h1").alias("t_accept_h1"),
+        F.col("t_h0").alias("t_accept_h0"),
+        "max_llr_micro",
+        "min_llr_micro",
+        F.expr(
+            "CASE WHEN t_h0 IS NOT NULL"
+            "          AND (t_h1 IS NULL OR t_h0 < t_h1) THEN 'accept_h0'"
+            " WHEN t_h1 IS NOT NULL THEN 'accept_h1'"
+            " ELSE 'continue' END"
+        ).alias("decision"),
+    )

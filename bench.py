@@ -511,6 +511,8 @@ HEADLINE = [
     "conformal_interval_naive_daily",
     "cluster_robust_se_nation",
     "oaxaca_value_gap_segments",
+    "sprt_urgent_rate_monitor",
+    "raking_ipf_nation_segment",
 ]
 
 

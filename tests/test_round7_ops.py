@@ -2237,3 +2237,109 @@ def test_cluster_se_and_oaxaca_replay(spark):
         )
         <= 2
     )
+
+
+def test_sprt_and_raking_replay(spark):
+    """From-scratch SPRT trace and a literal IPF loop replay."""
+    from ai_etl_studio_spark.operators.analytics import (
+        _IPF_ITERS,
+        raking_ipf_nation_segment,
+    )
+    from ai_etl_studio_spark.operators.drift import (
+        _SPRT_A,
+        _SPRT_B,
+        _SPRT_C0,
+        _SPRT_C1,
+        sprt_urgent_rate_monitor,
+    )
+
+    orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_custkey", "o_orderdate", "o_orderpriority")
+        .collect()
+    )
+
+    # --- SPRT ---
+    daily = defaultdict(lambda: [0, 0])
+    for r in orders:
+        e = daily[r.o_orderdate.date()]
+        e[0] += 1
+        e[1] += r.o_orderpriority == "1-URGENT"
+    llr = 0
+    t_h1 = t_h0 = None
+    mx = mn = 0
+    for t, d in enumerate(sorted(daily)):
+        n, u = daily[d]
+        llr += u * _SPRT_C1 + (n - u) * _SPRT_C0
+        mx, mn = max(mx, llr), min(mn, llr)
+        if t_h1 is None and llr >= _SPRT_A:
+            t_h1 = t
+        if t_h0 is None and llr <= _SPRT_B:
+            t_h0 = t
+    got = sprt_urgent_rate_monitor(spark, SF_DIR).collect()[0]
+    assert got["n_days"] == len(daily)
+    assert (got["t_accept_h1"], got["t_accept_h0"]) == (t_h1, t_h0)
+    assert (got["max_llr_micro"], got["min_llr_micro"]) == (mx, mn)
+    # the corpus rate is ~20%, not 21%: H1 must never win; at sf0.001
+    # the trace legitimately ends still inside the Wald corridor
+    assert got["decision"] in ("accept_h0", "continue")
+    assert got["t_accept_h1"] is None
+
+    # --- raking ---
+    cust = {
+        r.c_custkey: (r.c_nationkey, r.c_mktsegment)
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    pop = Counter(cust.values())
+    smp_c = {
+        cust[r.o_custkey]: None
+        for r in orders
+        if r.o_orderdate.year == 1998
+    }
+    smp = Counter()
+    seen = set()
+    for r in orders:
+        if r.o_orderdate.year == 1998 and r.o_custkey not in seen:
+            seen.add(r.o_custkey)
+            smp[cust[r.o_custkey]] += 1
+    cells = sorted(pop)
+    pr = Counter()
+    pc = Counter()
+    for (nk, seg), p in pop.items():
+        pr[nk] += p
+        pc[seg] += p
+    w = {c: smp.get(c, 0) * 1_000_000 for c in cells}
+
+    def hup(x):
+        return int(math.floor(x + 0.5))
+
+    for _ in range(_IPF_ITERS):
+        for axis, marg in ((0, pr), (1, pc)):
+            tot = Counter()
+            for c_, v in w.items():
+                tot[c_[axis]] += v
+            w = {
+                c_: (
+                    hup(v * marg[c_[axis]] * 1_000_000 / tot[c_[axis]])
+                    if tot[c_[axis]] > 0
+                    else 0
+                )
+                for c_, v in w.items()
+            }
+    got = {
+        (r["nationkey"], r["segment"]): r
+        for r in raking_ipf_nation_segment(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(cells)
+    for c_, r in got.items():
+        assert r["rake_weight_micro"] == w[c_], c_
+    # margins: where every sample cell in a nation is nonzero the
+    # residual is tiny (quantization only)
+    full = [
+        nk
+        for nk in pr
+        if all(smp.get((nk, s), 0) > 0 for s in pc)
+    ]
+    for nk in full:
+        rows = [r for c_, r in got.items() if c_[0] == nk]
+        assert rows[0]["nation_margin_resid_micro"] <= len(rows) * 2_000_000
