@@ -8576,3 +8576,277 @@ def sprt_urgent_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'continue' END"
         ).alias("decision"),
     )
+
+
+#: VaR backtest LR pieces over the one-row integer counts — CASE-
+#: guarded so empty cells contribute their true 0 log-likelihood.
+_VB_LL = (
+    "(CASE WHEN {b} > 0 THEN CAST({b} AS DOUBLE)"
+    " * ln(CAST({b} AS DOUBLE) / (CAST({a} AS DOUBLE)"
+    "      + CAST({b} AS DOUBLE))) ELSE 0E0 END"
+    " + CASE WHEN {a} > 0 THEN CAST({a} AS DOUBLE)"
+    " * ln(CAST({a} AS DOUBLE) / (CAST({a} AS DOUBLE)"
+    "      + CAST({b} AS DOUBLE))) ELSE 0E0 END)"
+)
+
+
+@register(
+    "var_backtest_daily",
+    oracle=_DAILY_1K_CTE
+    + f"""
+    , nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+    cal AS (SELECT x FROM t, nn WHERE t.t < n / 2),
+    cg AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM cal
+           GROUP BY 1),
+    cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS nc
+      FROM cg),
+    var5 AS (
+      SELECT MIN(v) AS var5 FROM cum
+      WHERE cum >= CAST(ceil(0.05E0 * nc) AS BIGINT)),
+    tst AS (
+      SELECT t.t, CASE WHEN t.x < var5.var5 THEN 1 ELSE 0 END AS viol
+      FROM t, nn, var5 WHERE t.t >= n / 2),
+    tr AS (
+      SELECT viol, lead(viol) OVER (ORDER BY t) AS nxt FROM tst),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+             CAST(SUM(viol) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN viol = 0 AND nxt = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n00,
+             CAST(SUM(CASE WHEN viol = 0 AND nxt = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN viol = 1 AND nxt = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN viol = 1 AND nxt = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n11
+      FROM tr)
+    SELECT (SELECT var5 FROM var5) AS var5_1k, nt AS n_test,
+           n1 AS n_violations,
+           CAST(round(-2E0 * (CAST(nt - n1 AS DOUBLE) * ln(0.95E0)
+               + CAST(n1 AS DOUBLE) * ln(0.05E0)
+               - {_VB_LL.format(a='(nt - n1)', b='n1')})
+             * 1000000E0, 0) AS BIGINT) AS lr_pof_micro,
+           CAST(round(-2E0 * ({_VB_LL.format(a='(n00 + n10)',
+                                             b='(n01 + n11)')}
+               - ({_VB_LL.format(a='n00', b='n01')}
+                  + {_VB_LL.format(a='n10', b='n11')}))
+             * 1000000E0, 0) AS BIGINT) AS lr_ind_micro
+    FROM s
+    """,
+)
+def var_backtest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VaR backtest of the 5% lower daily-revenue threshold fitted on
+    the FIRST half and tested on the SECOND: Kupiec's
+    proportion-of-failures LR (right violation COUNT?) and
+    Christoffersen's independence LR (violations not CLUSTERED?) —
+    the two certifications revenue_cvar_daily's number needs before a
+    finance team can book against it. Both ≈ 0 here: the threshold
+    transfers across halves and violations arrive independently.
+
+    Exactness: the threshold is the integer value-grain ECDF cut on
+    the calibration half; violations and the four Markov transition
+    cells are exact integer counts; both LRs are ONE mirrored
+    CASE-guarded expression (ln of data ratios appears only in the
+    one-row output, with empty cells contributing their true zero
+    log-likelihood).
+
+    Scale: day-grain reduction; a value-grain ECDF window and one lag
+    window (ACF-family exception); one-row output.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    nn = t.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tn = t.crossJoin(F.broadcast(nn))
+    cal = tn.filter(F.col("t") < F.col("n") / 2)
+    cg = cal.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cg.select(
+        "v",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wall).alias("nc"),
+    )
+    var5 = cum.filter(
+        F.col("cum") >= F.expr("CAST(ceil(0.05E0 * nc) AS BIGINT)")
+    ).agg(F.min("v").alias("var5"))
+    tst = (
+        tn.filter(F.col("t") >= F.col("n") / 2)
+        .crossJoin(F.broadcast(var5))
+        .select(
+            "t",
+            F.when(F.col("x") < F.col("var5"), 1).otherwise(0).alias("viol"),
+        )
+    )
+    wo = Window.orderBy("t")
+    tr = tst.select("viol", F.lead("viol").over(wo).alias("nxt"))
+    s = tr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum("viol").cast("bigint").alias("n1"),
+        F.sum(
+            F.when((F.col("viol") == 0) & (F.col("nxt") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n00"),
+        F.sum(
+            F.when((F.col("viol") == 0) & (F.col("nxt") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(
+            F.when((F.col("viol") == 1) & (F.col("nxt") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(
+            F.when((F.col("viol") == 1) & (F.col("nxt") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n11"),
+    )
+    return s.crossJoin(F.broadcast(var5)).select(
+        F.col("var5").alias("var5_1k"),
+        F.col("nt").alias("n_test"),
+        F.col("n1").alias("n_violations"),
+        F.expr(
+            f"CAST(round(-2E0 * (CAST(nt - n1 AS DOUBLE) * ln(0.95E0)"
+            f" + CAST(n1 AS DOUBLE) * ln(0.05E0)"
+            f" - {_VB_LL.format(a='(nt - n1)', b='n1')})"
+            f" * 1000000E0, 0) AS BIGINT)"
+        ).alias("lr_pof_micro"),
+        F.expr(
+            f"CAST(round(-2E0 * ({_VB_LL.format(a='(n00 + n10)', b='(n01 + n11)')}"
+            f" - ({_VB_LL.format(a='n00', b='n01')}"
+            f"    + {_VB_LL.format(a='n10', b='n11')}))"
+            f" * 1000000E0, 0) AS BIGINT)"
+        ).alias("lr_ind_micro"),
+    )
+
+
+#: Studentized-range 5% critical value q(k=5, df=inf) — inlined
+#: literal (the benford device; df is ~degrees-of-millions here).
+_HSD_Q_MICRO = 3858000
+
+
+@register(
+    "tukey_hsd_delay_priorities",
+    oracle=_DELAY_GRAIN_CTE
+    + f"""
+    , g AS (
+      SELECT pr, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(v * c) AS HUGEINT) AS s,
+             CAST(SUM(CAST(v AS HUGEINT) * v * c) AS HUGEINT) AS q
+      FROM c GROUP BY pr),
+    pool AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(round((CAST(q AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE)) * 1000E0, 0) AS HUGEINT))
+               AS HUGEINT) AS ssw_milli
+      FROM g),
+    pairs AS (
+      SELECT a.pr AS pr_a, b.pr AS pr_b, a.n AS na, b.n AS nb,
+             CAST(round((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+               - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) * 1000E0, 0)
+               AS BIGINT) AS diff_milli
+      FROM g a JOIN g b ON a.pr < b.pr)
+    SELECT pr_a, pr_b, diff_milli,
+           CAST(round({_HSD_Q_MICRO}E0 / 1000000E0
+             * sqrt(CAST(ssw_milli AS DOUBLE) / 1000E0
+                 / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+               * (1E0 / CAST(na AS DOUBLE) + 1E0 / CAST(nb AS DOUBLE))
+               / 2E0) * 1000E0, 0) AS BIGINT) AS hsd_halfwidth_milli,
+           CASE WHEN abs(diff_milli) > CAST(round({_HSD_Q_MICRO}E0
+               / 1000000E0 * sqrt(CAST(ssw_milli AS DOUBLE) / 1000E0
+                 / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+               * (1E0 / CAST(na AS DOUBLE) + 1E0 / CAST(nb AS DOUBLE))
+               / 2E0) * 1000E0, 0) AS BIGINT)
+                THEN 1 ELSE 0 END AS significant
+    FROM pairs, pool ORDER BY pr_a, pr_b
+    """,
+)
+def tukey_hsd_delay_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc on mean ship delay across the five
+    priorities: all 10 pairwise differences against the studentized-
+    range honest-significant-difference half-width (q₅,∞ = 3.858
+    inlined) — the step AFTER the omnibus tests in the registry
+    (kruskal_wallis/mood say "somewhere different"; HSD says WHICH
+    pairs, with the familywise error held at 5% where 10 raw t-tests
+    would inflate it to ~40%).
+
+    Exactness: per-priority (n, Σv, Σv²) come off the checkpointed
+    value grain exactly; each group's within-SS quantizes to milli as
+    ONE single term (5 terms); pair means and the half-width are
+    mirrored fixed-order expressions; the significance flag compares
+    the SAME two quantized integers in both engines.
+
+    Scale: rides the (priority, delay) grain; 5 sufficient rows → 10
+    pair rows.
+    """
+    c = _delay_grain(spark, sf_dir)
+    g = c.groupBy("pr").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("decimal(38,0)").alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(19,0)")
+            * F.col("v").cast("decimal(19,0)")
+            * F.col("c").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("q"),
+    ).localCheckpoint()  # 5 rows; read by pool AND pairs
+    pool = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.expr(
+                "CAST(round((CAST(q AS DOUBLE)"
+                " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+                "   / CAST(n AS DOUBLE)) * 1000E0, 0) AS DECIMAL(38,0))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("ssw_milli"),
+    )
+    a = g.select(
+        F.col("pr").alias("pr_a"), F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = g.select(
+        F.col("pr").alias("pr_b"), F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("pr_a") < F.col("pr_b")).select(
+        "pr_a",
+        "pr_b",
+        "na",
+        "nb",
+        F.expr(
+            "CAST(round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+            " - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) * 1000E0, 0)"
+            " AS BIGINT)"
+        ).alias("diff_milli"),
+    )
+    hsd = (
+        f"CAST(round({_HSD_Q_MICRO}E0 / 1000000E0"
+        " * sqrt(CAST(ssw_milli AS DOUBLE) / 1000E0"
+        "     / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))"
+        "   * (1E0 / CAST(na AS DOUBLE) + 1E0 / CAST(nb AS DOUBLE))"
+        "   / 2E0) * 1000E0, 0) AS BIGINT)"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(pool))
+        .select(
+            "pr_a",
+            "pr_b",
+            "diff_milli",
+            F.expr(hsd).alias("hsd_halfwidth_milli"),
+            F.expr(
+                f"CASE WHEN abs(diff_milli) > {hsd} THEN 1 ELSE 0 END"
+            ).alias("significant"),
+        )
+        .orderBy("pr_a", "pr_b")
+    )

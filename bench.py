@@ -513,6 +513,8 @@ HEADLINE = [
     "oaxaca_value_gap_segments",
     "sprt_urgent_rate_monitor",
     "raking_ipf_nation_segment",
+    "var_backtest_daily",
+    "tukey_hsd_delay_priorities",
 ]
 
 

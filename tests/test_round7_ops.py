@@ -2343,3 +2343,107 @@ def test_sprt_and_raking_replay(spark):
     for nk in full:
         rows = [r for c_, r in got.items() if c_[0] == nk]
         assert rows[0]["nation_margin_resid_micro"] <= len(rows) * 2_000_000
+
+
+def test_var_backtest_and_tukey_hsd_replay(spark):
+    """From-scratch Kupiec/Christoffersen LRs and the HSD half-width."""
+    from ai_etl_studio_spark.operators.drift import (
+        _HSD_Q_MICRO,
+        tukey_hsd_delay_priorities,
+        var_backtest_daily,
+    )
+
+    # --- VaR backtest ---
+    x = _daily_1k_ticks(spark)
+    n = len(x)
+    cal = sorted(x[: n // 2])
+    var5 = cal[math.ceil(0.05 * len(cal)) - 1]
+    viol = [1 if v < var5 else 0 for v in x[n // 2:]]
+    nt, n1 = len(viol), sum(viol)
+
+    def ll(a, b):
+        out = 0.0
+        if b > 0:
+            out += b * math.log(b / (a + b))
+        if a > 0:
+            out += a * math.log(a / (a + b))
+        return out
+
+    lr_pof = -2 * (
+        (nt - n1) * math.log(0.95) + n1 * math.log(0.05) - ll(nt - n1, n1)
+    )
+    n00 = n01 = n10 = n11 = 0
+    for a, b in zip(viol, viol[1:]):
+        if a == 0 and b == 0:
+            n00 += 1
+        elif a == 0:
+            n01 += 1
+        elif b == 0:
+            n10 += 1
+        else:
+            n11 += 1
+    lr_ind = -2 * (
+        ll(n00 + n10, n01 + n11) - (ll(n00, n01) + ll(n10, n11))
+    )
+    got = var_backtest_daily(spark, SF_DIR).collect()[0]
+    assert (got["var5_1k"], got["n_test"], got["n_violations"]) == (
+        var5,
+        nt,
+        n1,
+    )
+    assert abs(got["lr_pof_micro"] - _half_up_micro(lr_pof)) <= 2
+    assert abs(got["lr_ind_micro"] - _half_up_micro(lr_ind)) <= 2
+    # a threshold fitted on one half should transfer: LR_pof < 6.0
+    assert got["lr_pof_micro"] < 6_000_000
+
+    # --- Tukey HSD ---
+    odata = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate.date())
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .collect()
+    }
+    g = defaultdict(lambda: [0, 0, 0])
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        pr, od = odata[r.l_orderkey]
+        d = (r.l_shipdate.date() - od).days
+        if d < 0:
+            continue
+        e = g[pr]
+        e[0] += 1
+        e[1] += d
+        e[2] += d * d
+    nn = sum(e[0] for e in g.values())
+    k = len(g)
+    ssw = sum(
+        int(math.floor((e[2] - e[1] ** 2 / e[0]) * 1000 + 0.5)) / 1000
+        for e in g.values()
+    )
+    prios = sorted(g)
+    got = {
+        (r["pr_a"], r["pr_b"]): r
+        for r in tukey_hsd_delay_priorities(spark, SF_DIR).collect()
+    }
+    assert len(got) == k * (k - 1) // 2
+    pa, pb = prios[0], prios[1]
+    diff = g[pa][1] / g[pa][0] - g[pb][1] / g[pb][0]
+    hw = (
+        _HSD_Q_MICRO
+        / 1e6
+        * math.sqrt(
+            ssw
+            / (nn - k)
+            * (1 / g[pa][0] + 1 / g[pb][0])
+            / 2
+        )
+    )
+    r = got[(pa, pb)]
+    assert abs(r["diff_milli"] - _half_up_micro(diff) / 1000) <= 2
+    assert abs(r["hsd_halfwidth_milli"] - _half_up_micro(hw) / 1000) <= 2
+    assert r["significant"] == (
+        1 if abs(r["diff_milli"]) > r["hsd_halfwidth_milli"] else 0
+    )
