@@ -1614,3 +1614,107 @@ def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recommended_partitions"),
     ).orderBy("tbl")
+
+
+@register(
+    "functional_dependency_audit",
+    oracle="""
+    WITH fd1 AS (
+      SELECT 'l_orderkey->l_shipdate' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_lhs,
+             CAST(SUM(d - 1) AS BIGINT) AS violations
+      FROM (SELECT l_orderkey, COUNT(DISTINCT l_shipdate) AS d
+            FROM lineitem GROUP BY 1) t),
+    fd2 AS (
+      SELECT 'l_partkey->unit_price' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_lhs,
+             CAST(SUM(d - 1) AS BIGINT) AS violations
+      FROM (SELECT l_partkey,
+              COUNT(DISTINCT CAST(round(l_extendedprice * 100, 0)
+                AS BIGINT) * 100
+                // CAST(round(l_quantity, 0) AS BIGINT)) AS d
+            FROM lineitem
+            WHERE CAST(round(l_quantity, 0) AS BIGINT) >= 1
+            GROUP BY 1) t),
+    fd3 AS (
+      SELECT 'p_partkey->p_brand' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_lhs,
+             CAST(SUM(d - 1) AS BIGINT) AS violations
+      FROM (SELECT p_partkey, COUNT(DISTINCT p_brand) AS d
+            FROM part GROUP BY 1) t),
+    fd4 AS (
+      SELECT 'o_custkey->o_orderpriority' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_lhs,
+             CAST(SUM(d - 1) AS BIGINT) AS violations
+      FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS d
+            FROM orders GROUP BY 1) t),
+    u AS (
+      SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+      UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4)
+    SELECT fd, n_lhs, violations,
+           CASE WHEN violations = 0 THEN 1 ELSE 0 END AS holds
+    FROM u ORDER BY fd
+    """,
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over four candidate FDs the schema
+    documentation IMPLIES but only the data can confirm: orders
+    shipping on one date (violated — lines ship separately, by
+    design), parts having one unit price (violated ~29× per part — the
+    noisy-pricing finding behind the chain-drift and price-dispersion
+    ops, here as a countable DQ fact), partkey→brand (holds exactly —
+    safe to denormalize), and customers having a fixed priority
+    (violated — priority is per-order). Violations = Σ(|distinct RHS|
+    − 1) over LHS groups: 0 iff the FD holds, and the magnitude prices
+    the denormalization risk.
+
+    Exactness: pure integer distinct-counting; unit price is the
+    floor-divided integer cents-per-unit (both engines integer-//).
+
+    Scale: each FD is one exact groupBy-countDistinct reduction at its
+    LHS grain — no joins, no windows; the four candidates scan three
+    tables once each.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+
+    def fd(name: str, df: DataFrame, lhs, rhs) -> DataFrame:
+        g = df.groupBy(lhs.alias("lhs")).agg(
+            F.countDistinct(rhs).cast("bigint").alias("d")
+        )
+        return g.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+            F.sum(F.col("d") - 1).cast("bigint").alias("violations"),
+        )
+
+    unit_price = F.expr(
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 100"
+        " DIV CAST(round(l_quantity, 0) AS BIGINT)"
+    )
+    parts = [
+        fd("l_orderkey->l_shipdate", li, F.col("l_orderkey"), F.col("l_shipdate")),
+        fd(
+            "l_partkey->unit_price",
+            li.filter(F.expr("CAST(round(l_quantity, 0) AS BIGINT) >= 1")),
+            F.col("l_partkey"),
+            unit_price,
+        ),
+        fd("p_partkey->p_brand", p, F.col("p_partkey"), F.col("p_brand")),
+        fd(
+            "o_custkey->o_orderpriority",
+            o,
+            F.col("o_custkey"),
+            F.col("o_orderpriority"),
+        ),
+    ]
+    u = parts[0]
+    for more in parts[1:]:
+        u = u.unionAll(more)
+    return u.select(
+        "fd",
+        "n_lhs",
+        "violations",
+        F.when(F.col("violations") == 0, 1).otherwise(0).alias("holds"),
+    ).orderBy("fd")

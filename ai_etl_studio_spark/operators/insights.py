@@ -5392,3 +5392,4 @@ def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(true_total_cents AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
         ).alias("err_ppm"),
     )
+

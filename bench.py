@@ -515,6 +515,7 @@ HEADLINE = [
     "raking_ipf_nation_segment",
     "var_backtest_daily",
     "tukey_hsd_delay_priorities",
+    "functional_dependency_audit",
 ]
 
 

@@ -2447,3 +2447,50 @@ def test_var_backtest_and_tukey_hsd_replay(spark):
     assert r["significant"] == (
         1 if abs(r["diff_milli"]) > r["hsd_halfwidth_milli"] else 0
     )
+
+
+def test_functional_dependency_audit_replay(spark):
+    """Literal distinct-count replay of all four candidate FDs."""
+    from ai_etl_studio_spark.operators.audit import (
+        functional_dependency_audit,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_shipdate",
+                "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    fd1 = defaultdict(set)
+    fd2 = defaultdict(set)
+    for r in li:
+        fd1[r.l_orderkey].add(r.l_shipdate)
+        q = int(math.floor(r.l_quantity + 0.5))
+        if q >= 1:
+            fd2[r.l_partkey].add(
+                int(math.floor(r.l_extendedprice * 100 + 0.5)) * 100 // q
+            )
+    fd4 = defaultdict(set)
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_custkey", "o_orderpriority")
+        .collect()
+    ):
+        fd4[r.o_custkey].add(r.o_orderpriority)
+    got = {
+        r["fd"]: r
+        for r in functional_dependency_audit(spark, SF_DIR).collect()
+    }
+    for name, m in (
+        ("l_orderkey->l_shipdate", fd1),
+        ("l_partkey->unit_price", fd2),
+        ("o_custkey->o_orderpriority", fd4),
+    ):
+        r = got[name]
+        assert r["n_lhs"] == len(m)
+        assert r["violations"] == sum(len(v) - 1 for v in m.values())
+        assert r["holds"] == (1 if r["violations"] == 0 else 0)
+    # the brand FD is the one that must hold exactly
+    assert got["p_partkey->p_brand"]["holds"] == 1
+    # and the unit-price FD must be violated (the noisy-pricing fact)
+    assert got["l_partkey->unit_price"]["violations"] > 0
