@@ -75,7 +75,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: lorenz_asymmetry_by_nation, pettitt_changepoint_daily,
 #: seasonal_mann_kendall_dow, james_stein_nation_means,
 #: conformal_interval_naive_daily, cluster_robust_se_nation,
-#: oaxaca_value_gap_segments — all carried by CORRECTNESS_full_r07),
+#: oaxaca_value_gap_segments, sprt_urgent_rate_monitor,
+#: raking_ipf_nation_segment, var_backtest_daily,
+#: tukey_hsd_delay_priorities, functional_dependency_audit,
+#: median_ci_delay_by_priority — all carried by CORRECTNESS_full_r07),
 #: then continue the r4 pool from shipping_delay_monthly.
 #: NOTE: the 50-slot rotation cannot converge on a registry growing
 #: ~48 names/round — the FULL-registry artifact
