@@ -8944,3 +8944,160 @@ def median_ci_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+#: Ansari-Bradley from-both-ends rank-run sum over pooled positions
+#: [lo, hi] of one tie group: Σ min(i, N+1−i) — piecewise-triangular
+#: integer closed form, ONE shared token stream. Expects columns
+#: lo, hi, nn (pooled N); mid = floor((N+1)/2).
+#: {d} is the engine's integer-floor-divide spelling (Spark DIV,
+#: DuckDB //) — every operand is a nonnegative integer, so the two
+#: operators agree value-for-value.
+_AB_RUNSUM_T = (
+    "(CASE WHEN lo <= LEAST(hi, (nn + 1) {d} 2)"
+    " THEN (lo + LEAST(hi, (nn + 1) {d} 2))"
+    "      * (LEAST(hi, (nn + 1) {d} 2) - lo + 1) {d} 2 ELSE 0 END"
+    " + CASE WHEN GREATEST(lo, (nn + 1) {d} 2 + 1) <= hi"
+    " THEN (nn + 1) * (hi - GREATEST(lo, (nn + 1) {d} 2 + 1) + 1)"
+    "      - (GREATEST(lo, (nn + 1) {d} 2 + 1) + hi)"
+    "        * (hi - GREATEST(lo, (nn + 1) {d} 2 + 1) + 1) {d} 2"
+    " ELSE 0 END)"
+)
+_AB_RUNSUM = _AB_RUNSUM_T.format(d="DIV")
+_AB_RUNSUM_DDB = _AB_RUNSUM_T.format(d="//")
+
+
+@register(
+    "ansari_bradley_delay_scale",
+    oracle=_DELAY_GRAIN_CTE.replace("WHERE l.l_shipdate >= o.o_orderdate",
+        "WHERE l.l_shipdate >= o.o_orderdate"
+        " AND o.o_orderpriority IN ('1-URGENT', '5-LOW')")
+    + f"""
+    , vg AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN pr = '1-URGENT' THEN c ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(SUM(c) AS BIGINT) AS c
+      FROM c GROUP BY v),
+    cum AS (
+      SELECT v, ca, c,
+             CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS hi,
+             CAST(SUM(c) OVER (ORDER BY v) - c + 1 AS BIGINT) AS lo,
+             CAST(SUM(c) OVER () AS BIGINT) AS nn,
+             CAST(SUM(ca) OVER () AS BIGINT) AS m
+      FROM vg),
+    terms AS (
+      SELECT m, nn,
+             CAST({_AB_RUNSUM_DDB} AS BIGINT) AS rs, ca, c
+      FROM cum),
+    s AS (
+      SELECT MAX(m) AS m, MAX(nn) AS nn,
+             CAST(SUM(CAST(round(CAST(ca AS DOUBLE) * CAST(rs AS DOUBLE)
+               / CAST(c AS DOUBLE) * 1000000E0, 0) AS BIGINT)) AS BIGINT)
+               AS ab_micro,
+             CAST(SUM(rs) AS BIGINT) AS s1,
+             CAST(SUM(CAST(round(CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE)
+               / CAST(c AS DOUBLE) * 1000E0, 0) AS HUGEINT)) AS HUGEINT)
+               AS s2_milli
+      FROM terms)
+    SELECT m AS n_urgent, nn - m AS n_low,
+           ab_micro AS ab_stat_micro,
+           CAST(round((CAST(ab_micro AS DOUBLE) / 1000000E0
+               - CAST(m AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(nn AS DOUBLE))
+             / sqrt(CAST(m AS DOUBLE) * CAST(nn - m AS DOUBLE)
+                 / (CAST(nn AS DOUBLE) - 1E0)
+               * (CAST(s2_milli AS DOUBLE) / 1000E0 / CAST(nn AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)))
+             * 1000000E0, 0) AS BIGINT) AS ab_z_micro
+    FROM s
+    """,
+)
+def ansari_bradley_delay_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley SCALE test between URGENT and LOW ship delays:
+    ranks assigned from BOTH ends of the pooled sample (extremes rank
+    low), so a small rank sum for one group means its values crowd the
+    TAILS — more dispersed at the same center. Completes the
+    two-sample family: location (mannwhitney/HL), shape (KS/CvM/AD),
+    variance-parametric (levene/bartlett are k-sample), scale-
+    nonparametric (this). Inference is EXACT finite-population
+    sampling theory over the tie-grouped score multiset — no no-ties
+    approximation.
+
+    Exactness: the from-both-ends rank-run sum per tie group is a
+    piecewise-triangular INTEGER closed form (validated against a
+    literal midrank implementation over 200 random tie-heavy trials in
+    tests); the group's AB contribution and squared-score term
+    quantize per value (bounded grain, per-term device); mean and
+    variance of the score multiset come from exact sums; z is one
+    mirrored expression.
+
+    Scale: rides the (priority, delay) value grain; one value-grain
+    window; one-row output.
+    """
+    c = _delay_grain(spark, sf_dir).filter(
+        F.col("pr").isin("1-URGENT", "5-LOW")
+    )
+    vg = c.groupBy("v").agg(
+        F.sum(F.when(F.col("pr") == "1-URGENT", F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum("c").cast("bigint").alias("c"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vg.select(
+        "ca",
+        "c",
+        F.sum("c").over(wv).cast("bigint").alias("hi"),
+        (F.sum("c").over(wv) - F.col("c") + 1).cast("bigint").alias("lo"),
+        F.sum("c").over(wall).cast("bigint").alias("nn"),
+        F.sum("ca").over(wall).cast("bigint").alias("m"),
+    )
+    terms = cum.select(
+        "m",
+        "nn",
+        "ca",
+        "c",
+        F.expr(f"CAST({_AB_RUNSUM} AS BIGINT)").alias("rs"),
+    )
+    s = terms.agg(
+        F.max("m").alias("m"),
+        F.max("nn").alias("nn"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(ca AS DOUBLE) * CAST(rs AS DOUBLE)"
+                " / CAST(c AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("ab_micro"),
+        F.sum("rs").cast("bigint").alias("s1"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE)"
+                " / CAST(c AS DOUBLE) * 1000E0, 0) AS DECIMAL(38,0))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s2_milli"),
+    )
+    return s.select(
+        F.col("m").alias("n_urgent"),
+        (F.col("nn") - F.col("m")).alias("n_low"),
+        F.col("ab_micro").alias("ab_stat_micro"),
+        F.expr(
+            "CAST(round((CAST(ab_micro AS DOUBLE) / 1000000E0"
+            " - CAST(m AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            "   / CAST(nn AS DOUBLE))"
+            " / sqrt(CAST(m AS DOUBLE) * CAST(nn - m AS DOUBLE)"
+            "     / (CAST(nn AS DOUBLE) - 1E0)"
+            "   * (CAST(s2_milli AS DOUBLE) / 1000E0 / CAST(nn AS DOUBLE)"
+            "      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            "        / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("ab_z_micro"),
+    )

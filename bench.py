@@ -517,6 +517,7 @@ HEADLINE = [
     "tukey_hsd_delay_priorities",
     "functional_dependency_audit",
     "median_ci_delay_by_priority",
+    "ansari_bradley_delay_scale",
 ]
 
 

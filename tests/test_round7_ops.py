@@ -2547,3 +2547,67 @@ def test_median_ci_replay(spark):
         assert (r["n_lines"], r["median_days"]) == (n, med)
         assert (r["ci_lo_days"], r["ci_hi_days"]) == (lo, hi)
         assert r["ci_lo_days"] <= r["median_days"] <= r["ci_hi_days"]
+
+
+def test_ansari_bradley_replay(spark):
+    """Literal midrank Ansari-Bradley (positions sorted, ranks from
+    both ends, tie-averaged) against the value-grain closed form, plus
+    the finite-population z."""
+    from ai_etl_studio_spark.operators.drift import (
+        ansari_bradley_delay_scale,
+    )
+
+    odata = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate.date())
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .collect()
+    }
+    a, b = [], []
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        pr, od = odata[r.l_orderkey]
+        d = (r.l_shipdate.date() - od).days
+        if d < 0:
+            continue
+        if pr == "1-URGENT":
+            a.append(d)
+        elif pr == "5-LOW":
+            b.append(d)
+    pooled = sorted([(v, 0) for v in a] + [(v, 1) for v in b])
+    n = len(pooled)
+    ranks = [min(i, n + 1 - i) for i in range(1, n + 1)]
+    vals = [v for v, _ in pooled]
+    ab = 0.0
+    scores = []
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        avg = sum(ranks[i:j]) / (j - i)
+        # mirror the op: the group's AB contribution and squared-score
+        # term are micro/milli-quantized per tie group
+        ca = sum(1 for k in range(i, j) if pooled[k][1] == 0)
+        rs = sum(ranks[i:j])
+        ab += _half_up_micro(ca * rs / (j - i)) / 1_000_000
+        scores.append((rs, j - i))
+        i = j
+    m = len(a)
+    s1 = sum(rs for rs, _ in scores)
+    s2 = sum(
+        int(math.floor(rs * rs / c * 1000 + 0.5)) / 1000
+        for rs, c in scores
+    )
+    mu = m * s1 / n
+    var = m * (n - m) / (n - 1) * (s2 / n - (s1 / n) ** 2)
+    z = (ab - mu) / math.sqrt(var)
+    got = ansari_bradley_delay_scale(spark, SF_DIR).collect()[0]
+    assert (got["n_urgent"], got["n_low"]) == (m, len(b))
+    assert abs(got["ab_stat_micro"] - _half_up_micro(ab)) <= 3
+    assert abs(got["ab_z_micro"] - _half_up_micro(z)) <= 3
+    # same generating process for both priorities: |z| modest
+    assert abs(got["ab_z_micro"]) < 5_000_000
