@@ -2611,3 +2611,49 @@ def test_ansari_bradley_replay(spark):
     assert abs(got["ab_z_micro"] - _half_up_micro(z)) <= 3
     # same generating process for both priorities: |z| modest
     assert abs(got["ab_z_micro"]) < 5_000_000
+
+
+def test_ab_runsum_closed_form_property():
+    """Property test (no Spark): the piecewise-triangular closed form
+    for the from-both-ends rank-run sum equals the literal midrank
+    Ansari-Bradley over 200 random tie-heavy two-sample draws."""
+    import random
+
+    def run_sum(lo, hi, n):
+        mid = (n + 1) // 2
+        s = 0
+        h1 = min(hi, mid)
+        if lo <= h1:
+            s += (lo + h1) * (h1 - lo + 1) // 2
+        l2 = max(lo, mid + 1)
+        if l2 <= hi:
+            s += (n + 1) * (hi - l2 + 1) - (l2 + hi) * (hi - l2 + 1) // 2
+        return s
+
+    rng = random.Random(7)
+    for _ in range(200):
+        a = [rng.randint(0, 8) for _ in range(rng.randint(3, 30))]
+        b = [rng.randint(0, 8) for _ in range(rng.randint(3, 30))]
+        pooled = sorted([(v, 0) for v in a] + [(v, 1) for v in b])
+        n = len(pooled)
+        ranks = [min(i, n + 1 - i) for i in range(1, n + 1)]
+        vals = [v for v, _ in pooled]
+        lit = 0.0
+        i = 0
+        while i < n:
+            j = i
+            while j < n and vals[j] == vals[i]:
+                j += 1
+            avg = sum(ranks[i:j]) / (j - i)
+            lit += avg * sum(1 for k in range(i, j) if pooled[k][1] == 0)
+            i = j
+        ca = Counter(a)
+        call = Counter(a) + Counter(b)
+        cum = 0
+        got = 0.0
+        for v in sorted(call):
+            c = call[v]
+            lo, hi = cum + 1, cum + c
+            cum += c
+            got += ca.get(v, 0) * run_sum(lo, hi, n) / c
+        assert abs(got - lit) < 1e-9
