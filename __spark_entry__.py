@@ -40,10 +40,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the driver canonicalizer — fixed and re-slotted below). Round 6:
 #: percentile_approx_sketch first, then the 48 round-5 additions, then
 #: skyline_pareto (all 50 recorded: 49 green + 1 rows-only). Round 7
-#: (this prefix, per the r6 verdict item 5): the seven r6
+#: (per the r6 verdict item 5): the seven r6
 #: post-snapshot ops first, then the next 43 of the r4 backlog pool
 #: below in order (consumed through supplier_share_shift). Round 8
-#: should lead with the 27 round-7 additions (jarque_bera_daily_revenue,
+#: (this prefix, per the r7 verdict item 3) leads with the 27 round-7
+#: session-1 additions, then the first 23 session-2 names. Round 9
+#: should lead with the REMAINING 18 session-2 names
+#: (gpd_tail_fit_daily through median_ci_delay_by_priority in the list
+#: below) plus ansari_bradley_delay_scale (landed post-seal in r7, no
+#: driver row), then the round-8 additions, then continue the r4 pool
+#: from shipping_delay_monthly.
+#: The original round-8 note for the record — the 27 session-1
+#: additions were (jarque_bera_daily_revenue,
 #: cramer_von_mises_two_sample, levene_bf_delay_by_priority,
 #: bartlett_variance_by_priority, variance_ratio_daily_revenue,
 #: cox_stuart_trend_daily, turning_point_test_daily,
@@ -227,62 +235,60 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ivf_nprobe_recall_curve, pq_codebook_utilization (+ the ninth
 #: streaming twin run_stream_daily_revenue).
 PRIORITY: tuple[str, ...] = (
-    # r7 prefix (r6 verdict item 5): the SEVEN round-6 post-snapshot
-    # operators FIRST — implemented + judge-spot-verified in r6 but
-    # carrying no driver-recorded row anywhere (the r6 "What's wrong"
-    # item 1); this gives them their CORRECTNESS_r07 rows.
-    "atkinson_index_by_nation",
-    "price_volume_bridge_yoy",
-    "winsorized_mean_delay_by_priority",
-    "mad_robust_z_by_nation",
-    "grubbs_daily_revenue",
-    "pacf_daily_revenue",
-    "hurst_rs_daily_revenue",
-    # then the round-4 backlog pool in its documented order
-    # (skyline_pareto already got its row in the r6 prefix)
-    "weighted_sample_topk",
-    "table_profile",
-    "basket_pairs",
-    "chi_square_independence",
-    "ann_pq_append_topk",
-    "time_weighted_avg",
-    "attribution_last_touch",
-    "survival_km",
-    "freshness_audit",
-    "sequence_gaps",
-    "benford_audit",
-    "groupwise_linreg",
-    "revenue_changepoints",
-    "holt_level_trend",
-    "json_props_profile",
-    "table_checksums",
-    "media_chunk_dedup",
-    "gini_concentration",
-    "psi_drift",
-    "ks_two_sample",
-    "mannwhitney_utest",
-    "correlation_matrix",
-    "seasonal_anomaly_dow",
-    "entropy_by_source",
-    "hhi_concentration",
-    "mutual_information",
-    "autocorrelation_lags",
-    "vocab_growth_curve",
-    "source_token_jaccard",
-    "power_law_alpha",
-    "quantile_drift",
-    "hourly_seasonality_profile",
-    "degree_distribution",
-    "langid_confusion",
-    "lorenz_curve",
-    "k_anonymity_audit",
-    "dau_wau_stickiness",
-    "embedding_norm_audit",
-    "interevent_gap_histogram",
-    "growth_accounting_daily",
-    "reorder_interval_stats",
-    "dup_rate_by_source",
-    "supplier_share_shift",
+    # r8 prefix (r7 verdict item 3): the 27 round-7 session-1 additions
+    # first, then the first 23 round-7 session-2 names — all 50 carry
+    # green CORRECTNESS_full_r07 rows but no driver-recorded row yet.
+    "jarque_bera_daily_revenue",
+    "cramer_von_mises_two_sample",
+    "levene_bf_delay_by_priority",
+    "bartlett_variance_by_priority",
+    "variance_ratio_daily_revenue",
+    "cox_stuart_trend_daily",
+    "turning_point_test_daily",
+    "brier_decomposition_quality",
+    "matthews_corrcoef_gates",
+    "pr_auc_quality_score",
+    "page_trend_test_priority",
+    "copurchase_triangle_census",
+    "adamic_adar_link_topk",
+    "ewma_control_chart_daily",
+    "theil_u2_daily_forecast",
+    "gumbel_block_maxima_fit",
+    "palma_ratio_by_nation",
+    "walsh_price_index",
+    "price_elasticity_by_type",
+    "poisson_bootstrap_se_daily",
+    "horvitz_thompson_total",
+    "media_format_sniff",
+    "embedding_clip_bounds_int8",
+    "jl_projection_distortion_eval",
+    "wilcoxon_signed_rank_types",
+    "mood_median_test_delay",
+    "poisson_dispersion_daily_orders",
+    # round-7 session-2 additions, in their documented order
+    "durbin_watson_daily",
+    "log_rank_reorder_segments",
+    "spectral_periodogram_weekly",
+    "cohens_h_return_priorities",
+    "welch_ttest_segments",
+    "hodges_lehmann_delay_shift",
+    "hoover_index_by_nation",
+    "breusch_pagan_daily",
+    "newey_west_se_daily",
+    "wasserstein_length_by_source",
+    "js_divergence_source_pairs",
+    "cochran_armitage_discount_trend",
+    "mantel_haenszel_return_discount",
+    "kmv_distinct_eval",
+    "nelson_aalen_reorder",
+    "granger_orders_to_revenue",
+    "knn_reciprocity_rate",
+    "cusumsq_variance_break_daily",
+    "embedding_participation_ratio",
+    "anderson_darling_two_sample",
+    "partial_corr_value_delay_lines",
+    "cronbach_alpha_nation_months",
+    "kendalls_w_nation_rank_stability",
 )
 
 

@@ -8967,11 +8967,22 @@ _AB_RUNSUM = _AB_RUNSUM_T.format(d="DIV")
 _AB_RUNSUM_DDB = _AB_RUNSUM_T.format(d="//")
 
 
+# import-time guard (r7 ADVICE): if the CTE's WHERE text ever drifts,
+# str.replace would silently no-op and the oracle would pool all five
+# priorities while the Spark side filters to two — fail at import, not
+# at driver-sweep time
+_AB_FILTER_MARKER = "WHERE l.l_shipdate >= o.o_orderdate"
+assert _AB_FILTER_MARKER in _DELAY_GRAIN_CTE, (
+    "_DELAY_GRAIN_CTE filter text drifted; update the ansari_bradley "
+    "oracle's priority-restriction replace"
+)
+
+
 @register(
     "ansari_bradley_delay_scale",
-    oracle=_DELAY_GRAIN_CTE.replace("WHERE l.l_shipdate >= o.o_orderdate",
-        "WHERE l.l_shipdate >= o.o_orderdate"
-        " AND o.o_orderpriority IN ('1-URGENT', '5-LOW')")
+    oracle=_DELAY_GRAIN_CTE.replace(_AB_FILTER_MARKER,
+        _AB_FILTER_MARKER
+        + " AND o.o_orderpriority IN ('1-URGENT', '5-LOW')")
     + f"""
     , vg AS (
       SELECT v,

@@ -130,24 +130,155 @@ def _leaf_fact_table(node) -> str | None:
 
 
 _ATTR_NAME = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+_ATTR_NAME_ID = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#(\d+)")
+#: an expression string that DEFINES a new attribute: `<head> AS name#id`
+#: (the Alias prints last, so the tail anchor finds the outermost one)
+_ALIAS_TAIL = re.compile(r"^(.*)\sAS\s[A-Za-z_][A-Za-z0-9_]*#(\d+)L?$")
+
+#: rdd-id -> (fact tables, fact-grain-tainted output POSITIONS), for
+#: localCheckpoint() results whose PRE-checkpoint plan was
+#: fact-grain-derived and unbounded. A checkpoint replaces the subtree
+#: with a LogicalRDD leaf whose renamed output no longer matches
+#: FACT_KEY_COLUMNS — the r7 verdict's "checkpoint laundering" hole.
+#: ``checkpoint_audit`` classifies every checkpointed frame here; later
+#: broadcast hints over an unbounded one then read as hints over its
+#: original fact leaves. Taint is per-POSITION, not all-columns: a
+#: checkpointed per-customer frame's c_nationkey column is still a
+#: bounded domain, so a groupBy over it must keep excusing (the
+#: hhi/dau/affinity shapes). Keyed by the underlying RDD id because
+#: plan-dedup (self-joins) re-instances the LogicalRDD with fresh
+#: exprIds but the same RDD — positions survive, ids don't.
+_CHECKPOINT_FACT_TAINT: dict[int, tuple[tuple[str, ...], tuple[int, ...]]] = {}
+
+
+def _checkpoint_record(node):
+    if _cls(node) != "LogicalRDD":
+        return None
+    try:
+        return _CHECKPOINT_FACT_TAINT.get(node.rdd().id())
+    except Exception:
+        return None
+
+
+def _strip_windowspec(s: str) -> str:
+    """Remove every balanced ``windowspecdefinition(...)`` span."""
+    marker = "windowspecdefinition("
+    while True:
+        start = s.find(marker)
+        if start < 0:
+            return s
+        depth = 0
+        for j in range(start + len(marker) - 1, len(s)):
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    s = s[:start] + s[j + 1:]
+                    break
+        else:
+            return s[:start]
+
+
+def _output_ids(node) -> list[tuple[str, int]]:
+    out = node.output()
+    return [
+        (out.apply(i).name(), out.apply(i).exprId().id())
+        for i in range(out.length())
+    ]
+
+
+def _tainted_ids(node) -> set[int]:
+    """ExprIds in ``node.output()``'s lineage that transitively derive
+    from a fact-grain column. Closes the r7 verdict's "alias
+    laundering" hole: ``select(l_partkey AS u)`` below an aggregate
+    made ``groupBy("u")`` look bounded to the name-only check. Taint is
+    seeded at leaves (fact-grain column names; every column of an
+    unbounded checkpointed LogicalRDD) and propagated through Alias
+    definitions by parsing each node's named expressions — an alias
+    whose head references a tainted id (or a fact-grain name) is
+    tainted. Pass-through attributes keep their exprId, so their taint
+    carries for free."""
+    kids = _children(node)
+    if not kids:
+        rec = _checkpoint_record(node)
+        if rec:
+            out = _output_ids(node)
+            return {out[p][1] for p in rec[1] if p < len(out)}
+        return {
+            i for n, i in _output_ids(node) if n in FACT_GRAIN_COLUMNS
+        }
+    tainted: set[int] = set()
+    for k in kids:
+        tainted |= _tainted_ids(k)
+    cls = _cls(node)
+    if cls == "Union":
+        # union output adopts the FIRST child's exprIds; re-map taint
+        # from every child positionally so a tainted second branch
+        # taints the union column too
+        out = _output_ids(node)
+        for k in kids:
+            ko = _output_ids(k)
+            for pos, (_, kid_id) in enumerate(ko):
+                if kid_id in tainted and pos < len(out):
+                    tainted.add(out[pos][1])
+        return tainted
+    if cls == "Generate":
+        # explode/posexplode/inline output attrs are new ids defined by
+        # the generator expression, not printed as `... AS name#id`
+        refs = _ATTR_NAME_ID.findall(str(node.generator()))
+        if any(int(i) in tainted or n in FACT_GRAIN_COLUMNS for n, i in refs):
+            gout = node.generatorOutput()
+            for i in range(gout.length()):
+                tainted.add(gout.apply(i).exprId().id())
+        return tainted
+    exprs = node.expressions()
+    for i in range(exprs.length()):
+        m = _ALIAS_TAIL.match(str(exprs.apply(i)))
+        if not m:
+            continue
+        # window PARTITION/ORDER specs reference keys without injecting
+        # key identity into the VALUE (lead(term) over (partition by
+        # doc_id) yields a term, not a doc id) — strip the spec so a
+        # per-doc window doesn't taint every windowed value
+        refs = _ATTR_NAME_ID.findall(_strip_windowspec(m.group(1)))
+        if any(int(i2) in tainted or n in FACT_GRAIN_COLUMNS for n, i2 in refs):
+            tainted.add(int(m.group(2)))
+    return tainted
 
 
 def _grouping_is_bounded(node) -> bool:
     """True when an Aggregate's grouping expressions reference no
-    fact-grain column — its output cardinality is a bounded domain."""
+    fact-grain column — by NAME or by alias lineage (``_tainted_ids``)
+    — so its output cardinality is a bounded domain."""
     exprs = node.groupingExpressions()
-    refs: set[str] = set()
+    names: set[str] = set()
+    ids: set[int] = set()
     for i in range(exprs.length()):
-        refs.update(_ATTR_NAME.findall(str(exprs.apply(i))))
-    return not (refs & FACT_GRAIN_COLUMNS)
+        for n, i2 in _ATTR_NAME_ID.findall(str(exprs.apply(i))):
+            names.add(n)
+            ids.add(int(i2))
+    if names & FACT_GRAIN_COLUMNS:
+        return False
+    if not ids:
+        return True
+    tainted: set[int] = set()
+    for k in _children(node):
+        tainted |= _tainted_ids(k)
+    return not (ids & tainted)
 
 
 def _distinct_is_bounded(node) -> bool:
     """Distinct/Deduplicate reduce to the distinct-value count of their
-    output columns — bounded only if none of those is fact-grain."""
-    out = node.output()
-    names = {out.apply(i).name() for i in range(out.length())}
-    return not (names & FACT_GRAIN_COLUMNS)
+    output columns — bounded only if none of those is fact-grain by
+    name or by alias lineage."""
+    out = _output_ids(node)
+    if {n for n, _ in out} & FACT_GRAIN_COLUMNS:
+        return False
+    tainted: set[int] = set()
+    for k in _children(node):
+        tainted |= _tainted_ids(k)
+    return not ({i for _, i in out} & tainted)
 
 
 def _unexcused_fact_leaves(node) -> list[str]:
@@ -155,6 +286,9 @@ def _unexcused_fact_leaves(node) -> list[str]:
     cls = _cls(node)
     kids = _children(node)
     if not kids:
+        rec = _checkpoint_record(node)
+        if rec:
+            return list(rec[0])
         table = _leaf_fact_table(node)
         return [table] if table else []
     if cls in ("GlobalLimit", "LocalLimit", "Sample"):
@@ -186,7 +320,16 @@ class checkpoint_audit:
     audits the pre-checkpoint plan and accumulates its violations in
     ``self.violations`` — the sweep test wraps query construction in
     this, so checkpointed subplans are held to the same policy as the
-    final plan."""
+    final plan.
+
+    It also classifies each checkpointed frame (r7 verdict hole (b)):
+    when the PRE-checkpoint plan is fact-grain-derived and unbounded
+    (``_unexcused_fact_leaves`` non-empty from its root), the resulting
+    LogicalRDD's rdd-id is recorded in ``_CHECKPOINT_FACT_TAINT`` so a
+    LATER broadcast hint over the checkpointed frame — invisible to the
+    leaf check because its renamed output no longer carries a fact key
+    column — still trips the wire. Classification chains: a frame built
+    on an unbounded checkpointed leaf is itself unbounded."""
 
     def __enter__(self):
         # patch the CONCRETE class: Spark 4 instances are
@@ -194,19 +337,35 @@ class checkpoint_audit:
         # abstract pyspark.sql.DataFrame method — patching the parent
         # would never intercept
         try:
-            from pyspark.sql.classic.dataframe import DataFrame as _cls
+            from pyspark.sql.classic.dataframe import DataFrame as df_cls
         except ImportError:  # older PySpark: one concrete class
-            _cls = DataFrame
-        self._cls = _cls
+            df_cls = DataFrame
+        self._cls = df_cls
         self.violations: list[str] = []
-        self._orig = _cls.localCheckpoint
+        self._orig = df_cls.localCheckpoint
         audit = self
 
         def _wrapped(df_self, *a, **kw):
             audit.violations.extend(broadcast_violations(df_self))
-            return audit._orig(df_self, *a, **kw)
+            pre = df_self._jdf.queryExecution().analyzed()
+            tables = tuple(sorted(set(_unexcused_fact_leaves(pre))))
+            ret = audit._orig(df_self, *a, **kw)
+            if tables:
+                leaf = ret._jdf.queryExecution().analyzed()
+                if _cls(leaf) == "LogicalRDD":
+                    pre_taint = _tainted_ids(pre)
+                    positions = tuple(
+                        p
+                        for p, (_, i) in enumerate(_output_ids(pre))
+                        if i in pre_taint
+                    )
+                    _CHECKPOINT_FACT_TAINT[leaf.rdd().id()] = (
+                        tables,
+                        positions,
+                    )
+            return ret
 
-        _cls.localCheckpoint = _wrapped
+        df_cls.localCheckpoint = _wrapped
         return self
 
     def __exit__(self, *exc):

@@ -791,6 +791,79 @@ class TestBroadcastTripwire:
         # ...but the audit caught the hint before it vanished
         assert audit.violations == ["orders"]
 
+    def test_alias_laundering_fires(self, spark):
+        # r7 verdict hole (a): a Project rename BELOW the aggregate
+        # (select(l_partkey AS u) then groupBy("u")) laundered the
+        # fact-grain name past the name-only grouping check
+        import pyspark.sql.functions as F
+
+        from ai_etl_studio_spark.operators.relational import load_table
+        from ai_etl_studio_spark.plans.tripwire import broadcast_violations
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders")
+        renamed = li.select(F.col("l_partkey").alias("u"), "l_quantity")
+        per_part = renamed.groupBy("u").agg(F.sum("l_quantity").alias("q"))
+        bad = o.join(F.broadcast(per_part), o.o_custkey == per_part.u)
+        assert broadcast_violations(bad) == ["lineitem"]
+        # a second rename hop launders no better
+        twice = renamed.select(F.col("u").alias("w"))
+        per2 = twice.groupBy("w").count()
+        bad2 = o.join(F.broadcast(per2), o.o_custkey == per2.w)
+        assert broadcast_violations(bad2) == ["lineitem"]
+        # distinct over a renamed key is the same hole
+        bad3 = o.join(
+            F.broadcast(renamed.select("u").distinct()),
+            o.o_custkey == F.col("u"),
+        )
+        assert broadcast_violations(bad3) == ["lineitem"]
+        # but a non-key-derived grouping still excuses (no false
+        # positive from the lineage check)
+        by_month = li.groupBy(F.month("l_shipdate").alias("m")).count()
+        assert broadcast_violations(o.crossJoin(F.broadcast(by_month))) == []
+
+    def test_checkpoint_laundering_fires(self, spark):
+        # r7 verdict hole (b): localCheckpoint replaces the subtree
+        # with a LogicalRDD leaf whose renamed output carries no fact
+        # key name, so a LATER broadcast OF the checkpointed frame was
+        # invisible (checkpoint_audit only saw hints INSIDE it)
+        import pyspark.sql.functions as F
+
+        from ai_etl_studio_spark.operators.relational import load_table
+        from ai_etl_studio_spark.plans.tripwire import (
+            broadcast_violations,
+            checkpoint_audit,
+        )
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders")
+        with checkpoint_audit() as audit:
+            cp = (
+                li.select(F.col("l_partkey").alias("u"))
+                .distinct()
+                .localCheckpoint()
+            )
+            assert audit.violations == []  # no hint inside the subtree
+            bad = o.join(F.broadcast(cp), o.o_custkey == cp.u)
+            assert broadcast_violations(bad) == ["lineitem"]
+            # a frame BUILT ON the unbounded checkpointed leaf chains
+            # the classification through a second checkpoint
+            cp2 = (
+                cp.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()
+            )
+            bad2 = o.join(F.broadcast(cp2), o.o_custkey == cp2.u)
+            assert broadcast_violations(bad2) == ["lineitem"]
+            # bounded checkpoints stay exempt
+            okcp = o.groupBy("o_orderpriority").count().localCheckpoint()
+            assert broadcast_violations(li.crossJoin(F.broadcast(okcp))) == []
+        # the registry outlives the context: the sweep's later
+        # broadcast_violations calls still see the classification
+        assert broadcast_violations(
+            o.join(F.broadcast(cp), o.o_custkey == cp.u)
+        ) == ["lineitem"]
+
     def test_all_registered_queries_are_broadcast_safe(self, spark):
         from ai_etl_studio_spark.plans.tripwire import (
             broadcast_violations,

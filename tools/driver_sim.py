@@ -109,11 +109,18 @@ def main() -> int:
     if out:
         # restricted sweeps MERGE into an existing artifact (incremental
         # freshness: new registrations get rows without re-running all
-        # ~500 oracles); unrestricted sweeps overwrite — and by
-        # construction cover set(queries()) exactly, so the committed
-        # artifact can only go stale by REGISTERING after generation,
-        # which tests/test_registry.py::test_correctness_full_artifact_is_fresh
-        # now catches (r6 ADVICE).
+        # ~500 oracles); unrestricted sweeps overwrite and by
+        # construction cover set(queries()) exactly.
+        # tests/test_registry.py::test_correctness_full_artifact_is_fresh
+        # (r6 ADVICE) catches NAME staleness — registering after
+        # generation. It cannot catch CONTENT staleness: editing an
+        # already-recorded operator leaves its old hash-green row in
+        # place (r7 ADVICE). Edit-time rule: any session that edits a
+        # registered operator's Spark code or oracle must re-run its
+        # restricted sweep (python tools/driver_sim.py <sf_dir> <names>
+        # with SPARK_GRAFT_CORRECTNESS_OUT=CORRECTNESS_full_latest.json)
+        # in that session, and each round's seal re-runs the
+        # UNRESTRICTED sweep, rewriting every row from scratch.
         if only and os.path.exists(out):
             with open(out) as fh:
                 merged = json.load(fh)
