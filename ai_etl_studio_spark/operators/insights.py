@@ -5162,6 +5162,669 @@ def adamic_adar_link_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 8: co-purchase graph structure — components, cores, local metrics
+# ---------------------------------------------------------------------------
+
+# The oracles below need transitive closure / iterative peeling, so the
+# shared graph CTE gains the RECURSIVE keyword. Marker-asserted (the
+# ansari lesson): a silent no-op replace would leave plain WITH and the
+# recursive members would fail to parse, not silently diverge — but
+# assert anyway so drift is an import error, not a sweep error.
+_CP_CTE_MARKER = "WITH op AS"
+assert _CP_CTE_MARKER in _CP_GRAPH_CTE, "co-purchase CTE head drifted"
+_CP_GRAPH_CTE_REC = _CP_GRAPH_CTE.replace(
+    _CP_CTE_MARKER, "WITH RECURSIVE op AS", 1
+)
+
+#: min-label fixpoint via transitive closure: each node's component id
+#: is the MIN reachable node — the same fixpoint the distributed
+#: pointer-jumping loop converges to (the dedup_clusters device, on the
+#: co-purchase graph). Closure rows = Σ|component|² over a capped graph
+#: — fine for an oracle at sf0.01, which is exactly why the Spark side
+#: propagates labels instead of materializing reachability.
+_CP_CC_CTE = (
+    _CP_GRAPH_CTE_REC
+    + """
+    , reach(u, r) AS (
+      SELECT u, u FROM d
+      UNION
+      SELECT a.u, reach.r FROM adj a JOIN reach ON a.v = reach.u),
+    lab AS (SELECT u, MIN(r) AS c FROM reach GROUP BY u)
+"""
+)
+
+
+def _cp_cc_labels(spark: SparkSession, sf_dir: str):
+    """Connected-component labels (u, label) of the capped co-purchase
+    graph via iterative min-label propagation with pointer jumping —
+    the dedup `_cc_labels` loop re-hosted on the part graph. Returns
+    (labels, e, adj, deg).
+
+    Scale: each round is ONE shuffle keyed by node (join + groupBy-min)
+    plus a self-lookup jump; pointer jumping collapses label chains
+    geometrically so rounds ~ log2(diameter). Per-round localCheckpoint
+    truncates lineage (round k must not replay rounds 1..k-1); the
+    convergence probe reads the `old` column carried inside the
+    checkpointed frame — a bounded limit(1).count(), not a collect."""
+    e, adj, deg, _ = _copurchase_graph(spark, sf_dir)
+    labels = deg.select("u").withColumn("label", F.col("u")).localCheckpoint()
+    edges = adj.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).localCheckpoint()
+    for _ in range(12):
+        neigh = (
+            edges.join(labels, edges.dst == labels.u)
+            .groupBy(F.col("src").alias("nu"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        relaxed = (
+            labels.join(neigh, labels.u == neigh.nu, "left")
+            .select(
+                "u",
+                F.col("label").alias("old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("mid"),
+            )
+            .localCheckpoint()  # feeds BOTH jump sides: compute once
+        )
+        rep = relaxed.select(
+            F.col("u").alias("rnode"), F.col("mid").alias("rlabel")
+        )
+        labels = (
+            relaxed.join(rep, relaxed.mid == rep.rnode, "left")
+            .select(
+                "u",
+                "old",
+                F.least(
+                    F.col("mid"), F.coalesce(F.col("rlabel"), F.col("mid"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        if labels.filter(F.col("label") != F.col("old")).limit(1).count() == 0:
+            break
+    return labels.select("u", "label"), e, adj, deg
+
+
+@register(
+    "copurchase_connected_components",
+    oracle=_CP_CC_CTE
+    + """
+    , sizes AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS sz FROM lab GROUP BY c)
+    SELECT sz AS component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_nodes
+    FROM sizes GROUP BY sz ORDER BY component_size
+    """,
+)
+def copurchase_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph as a size
+    histogram — the market-structure census: one giant component means
+    the catalog cross-sells as a single ecosystem (recommendations can
+    walk anywhere); many small components mean isolated bundles (walk
+    within, advertise across).
+
+    Algorithm: min-label propagation with pointer jumping (rounds ~
+    log2(diameter), one shuffle each) — the dedup_clusters CC device on
+    the part graph. Oracle: DuckDB recursive-CTE transitive closure
+    taking MIN over the reachable set — a different algorithm arriving
+    at the same fixpoint, so the hash match proves CONVERGENCE, not
+    just shape.
+
+    Scale: labels/edges are the capped co-purchase frames (support
+    floor + degree cap); no broadcast hints anywhere — AQE picks the
+    strategy per round. Cites reference scope: graph structure is an
+    extension axis (prompts.py has no graph surface).
+    """
+    labels, _, _, _ = _cp_cc_labels(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        sizes.groupBy(F.col("sz").alias("component_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
+        .select(
+            "component_size",
+            "n_components",
+            (F.col("component_size") * F.col("n_components"))
+            .cast("bigint")
+            .alias("n_nodes"),
+        )
+        .orderBy("component_size")
+    )
+
+
+@register(
+    "copurchase_component_profile",
+    oracle=_CP_CC_CTE
+    + """
+    , cn AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             FROM lab GROUP BY c),
+    ce AS (
+      SELECT l.c, CAST(COUNT(*) AS BIGINT) AS n_edges
+      FROM e JOIN lab l ON e.x = l.u GROUP BY l.c)
+    SELECT cn.c AS component_id, cn.n_nodes, ce.n_edges,
+           CAST(round(2000000E0 * CAST(ce.n_edges AS DOUBLE)
+             / (CAST(cn.n_nodes AS DOUBLE)
+                * CAST(cn.n_nodes - 1 AS DOUBLE)), 0) AS BIGINT)
+             AS density_micro
+    FROM cn JOIN ce ON cn.c = ce.c
+    ORDER BY cn.n_nodes DESC, ce.n_edges DESC, component_id LIMIT 10
+    """,
+)
+def copurchase_component_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 co-purchase components by size with edge count and
+    density — WHICH cross-sell ecosystems exist and how tightly each is
+    wired (a dense small component is a true bundle; the sparse giant
+    component is a browsing graph).
+
+    Edges attach to components via their x endpoint (both endpoints
+    share a component by construction). Density = 2m/(n(n-1)) in micro
+    ticks, mirrored as one double expression over integer counts.
+    Deterministic under ties: ORDER BY (n_nodes, n_edges, id).
+
+    Scale: same capped frames + label propagation as
+    copurchase_connected_components; the per-component rollup is
+    bounded by the component count.
+    """
+    labels, e, _, _ = _cp_cc_labels(spark, sf_dir)
+    cn = labels.groupBy(F.col("label").alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    ce = (
+        e.join(labels.withColumnRenamed("u", "x"), "x")
+        .groupBy(F.col("label").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    dens = F.round(
+        F.lit(2_000_000.0)
+        * F.col("n_edges").cast("double")
+        / (
+            F.col("n_nodes").cast("double")
+            * (F.col("n_nodes") - 1).cast("double")
+        ),
+        0,
+    ).cast("bigint")
+    return (
+        cn.join(ce, "c")
+        .select(
+            F.col("c").alias("component_id"),
+            "n_nodes",
+            "n_edges",
+            dens.alias("density_micro"),
+        )
+        .orderBy(F.desc("n_nodes"), F.desc("n_edges"), "component_id")
+        .limit(10)
+    )
+
+
+@register(
+    "copurchase_kcore_summary",
+    oracle=_CP_GRAPH_CTE_REC
+    + """
+    , core2(i, u) AS (
+      SELECT 0, u FROM d
+      UNION
+      SELECT c.i + 1, c.u FROM core2 c
+      WHERE c.i < 12
+        AND (SELECT COUNT(*) FROM adj a JOIN core2 c2
+               ON a.v = c2.u AND c2.i = c.i
+             WHERE a.u = c.u) >= 2),
+    core3(i, u) AS (
+      SELECT 0, u FROM d
+      UNION
+      SELECT c.i + 1, c.u FROM core3 c
+      WHERE c.i < 12
+        AND (SELECT COUNT(*) FROM adj a JOIN core3 c2
+               ON a.v = c2.u AND c2.i = c.i
+             WHERE a.u = c.u) >= 3),
+    k2 AS (SELECT u FROM core2 WHERE i = 12),
+    k3 AS (SELECT u FROM core3 WHERE i = 12),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM d),
+    s AS (
+      SELECT 2 AS k,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM k2) AS n_core_nodes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+              JOIN k2 a ON e.x = a.u JOIN k2 b ON e.y = b.u) AS n_core_edges
+      UNION ALL
+      SELECT 3,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM k3),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+              JOIN k3 a ON e.x = a.u JOIN k3 b ON e.y = b.u))
+    SELECT s.k, s.n_core_nodes, s.n_core_edges,
+           CAST(round(1000000E0 * CAST(s.n_core_nodes AS DOUBLE)
+             / CAST(t.n_all AS DOUBLE), 0) AS BIGINT) AS node_share_micro
+    FROM s CROSS JOIN tot t ORDER BY s.k
+    """,
+)
+def copurchase_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core and 3-core of the co-purchase graph: nodes/edges
+    surviving iterative peeling (drop nodes with induced degree < k
+    until stable) and the surviving node share — the dense-backbone
+    size. The 2-core strips dangling pendant parts (kill the tree
+    fringe and what remains cycles); the 3-core is where bundle
+    merchandising actually has material.
+
+    Algorithm: monotone peeling — survivors(i+1) = nodes with ≥ k
+    neighbors among survivors(i); converged when the survivor count
+    stops falling (survivors only shrink, so count equality is set
+    equality). The oracle peels exactly 12 bounded rounds in a
+    recursive CTE; the Spark loop stops at convergence — identical
+    results whenever convergence happens within 12 rounds, which the
+    replay test pins by asserting a 13th round changes nothing.
+
+    Scale: each round is two joins against the (capped) alive set +
+    one degree aggregate, all hint-free; rounds are ≤ peel depth,
+    observed ≤ 4 on this corpus at every SF.
+    """
+    e, adj, deg, _ = _copurchase_graph(spark, sf_dir)
+    n_all = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    rows = []
+    for k in (2, 3):
+        alive = deg.select("u").localCheckpoint()
+        prev = alive.count()
+        for _ in range(12):
+            ind = (
+                e.join(alive.withColumnRenamed("u", "x"), "x")
+                .join(alive.withColumnRenamed("u", "y"), "y")
+            )
+            dg = (
+                ind.select(F.col("x").alias("u"))
+                .unionAll(ind.select(F.col("y").alias("u")))
+                .groupBy("u")
+                .agg(F.count(F.lit(1)).alias("dg"))
+            )
+            nxt = dg.filter(F.col("dg") >= k).select("u").localCheckpoint()
+            cur = nxt.count()
+            alive = nxt
+            if cur == prev:
+                break
+            prev = cur
+        core_edges = (
+            e.join(alive.withColumnRenamed("u", "x"), "x")
+            .join(alive.withColumnRenamed("u", "y"), "y")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_core_edges"))
+        )
+        rows.append(
+            alive.agg(F.count(F.lit(1)).cast("bigint").alias("n_core_nodes"))
+            .withColumn("k", F.lit(k))
+            .crossJoin(core_edges)
+        )
+    out = rows[0].unionByName(rows[1])
+    return (
+        out.crossJoin(n_all)
+        .select(
+            "k",
+            "n_core_nodes",
+            "n_core_edges",
+            F.round(
+                F.lit(1_000_000.0)
+                * F.col("n_core_nodes").cast("double")
+                / F.col("n_all").cast("double"),
+                0,
+            )
+            .cast("bigint")
+            .alias("node_share_micro"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "copurchase_jaccard_topk",
+    oracle=_CP_GRAPH_CTE
+    + """
+    , w AS (
+      SELECT a.v AS x, b.v AS y, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+      GROUP BY 1, 2),
+    sc AS (
+      SELECT w.x, w.y, w.n_common,
+             dx.deg + dy.deg - w.n_common AS n_union,
+             CASE WHEN ex.x IS NULL THEN 0 ELSE 1 END AS is_edge
+      FROM w JOIN d dx ON w.x = dx.u JOIN d dy ON w.y = dy.u
+      LEFT JOIN e ex ON w.x = ex.x AND w.y = ex.y)
+    SELECT x AS part_a, y AS part_b, n_common,
+           CAST(n_union AS BIGINT) AS n_union,
+           CAST(is_edge AS BIGINT) AS is_edge,
+           CAST(round(1000000E0 * CAST(n_common AS DOUBLE)
+             / CAST(n_union AS DOUBLE), 0) AS BIGINT) AS jaccard_micro
+    FROM sc
+    ORDER BY jaccard_micro DESC, part_a, part_b LIMIT 20
+    """,
+)
+def copurchase_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs by neighborhood Jaccard |N(x)∩N(y)| /
+    |N(x)∪N(y)| on the co-purchase graph — the SUBSTITUTE detector:
+    two parts bought with the same things but rarely together are
+    interchangeable (is_edge says which). Complements adamic_adar
+    (which up-weights rare common neighbors and only ranks non-edges).
+
+    Exactness: numerator and denominator are exact integers off the
+    wedge grain and the degree table; one mirrored double division
+    quantized to micro. Deterministic: ORDER BY (jaccard, a, b).
+
+    Scale: candidates materialize only at the (DCAP)²-bounded wedge
+    grain; degree/edge joins are hint-free over the capped frames.
+    """
+    e, adj, deg, _ = _copurchase_graph(spark, sf_dir)
+    a, b = adj.alias("a"), adj.alias("b")
+    w = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")))
+        .groupBy(F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sc = (
+        w.join(deg.select(F.col("u").alias("x"), F.col("deg").alias("dx")), "x")
+        .join(deg.select(F.col("u").alias("y"), F.col("deg").alias("dy")), "y")
+        .join(e.withColumn("is_e", F.lit(1)), ["x", "y"], "left")
+        .select(
+            "x",
+            "y",
+            "n_common",
+            (F.col("dx") + F.col("dy") - F.col("n_common"))
+            .cast("bigint")
+            .alias("n_union"),
+            F.coalesce(F.col("is_e"), F.lit(0)).cast("bigint").alias("is_edge"),
+        )
+    )
+    return (
+        sc.select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            "n_common",
+            "n_union",
+            "is_edge",
+            F.round(
+                F.lit(1_000_000.0)
+                * F.col("n_common").cast("double")
+                / F.col("n_union").cast("double"),
+                0,
+            )
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+        .orderBy(F.desc("jaccard_micro"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "copurchase_local_clustering_topk",
+    oracle=_CP_GRAPH_CTE
+    + """
+    , w AS (
+      SELECT a.u AS m, a.v AS x, b.v AS y
+      FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v),
+    cw AS (
+      SELECT w.m, CAST(COUNT(*) AS BIGINT) AS closed
+      FROM w JOIN e ON w.x = e.x AND w.y = e.y GROUP BY w.m)
+    SELECT d.u AS part_key, d.deg,
+           CAST(COALESCE(cw.closed, 0) AS BIGINT) AS closed_wedges,
+           CAST(round(2000000E0 * CAST(COALESCE(cw.closed, 0) AS DOUBLE)
+             / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE)), 0)
+             AS BIGINT) AS local_cc_micro
+    FROM d LEFT JOIN cw ON d.u = cw.m
+    WHERE d.deg >= 2
+    ORDER BY local_cc_micro DESC, d.deg DESC, part_key LIMIT 20
+    """,
+)
+def copurchase_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by LOCAL clustering coefficient (closed wedges at
+    the node over C(deg,2)) — the per-part version of the census's
+    global CC: a part whose neighborhood is fully wired anchors a true
+    bundle; a hub with cc≈0 is a staple that co-occurs with everything
+    and predicts nothing. Deterministic: (cc, deg, part).
+
+    Exactness: closed counts and degrees are integers; one mirrored
+    micro-quantized double per node.
+
+    Scale: the wedge generator is the census's (DCAP)²-bounded
+    midpoint self-join; the per-node rollup is |nodes|-bounded,
+    hint-free throughout.
+    """
+    e, adj, deg, _ = _copurchase_graph(spark, sf_dir)
+    a, b = adj.alias("a"), adj.alias("b")
+    w = a.join(
+        b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v"))
+    ).select(
+        F.col("a.u").alias("m"), F.col("a.v").alias("x"), F.col("b.v").alias("y")
+    )
+    cw = (
+        w.join(e, ["x", "y"])
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("closed"))
+    )
+    cc = F.round(
+        F.lit(2_000_000.0)
+        * F.coalesce(F.col("closed"), F.lit(0)).cast("double")
+        / (F.col("deg").cast("double") * (F.col("deg") - 1).cast("double")),
+        0,
+    ).cast("bigint")
+    return (
+        deg.join(cw, deg.u == cw.m, "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            F.col("u").alias("part_key"),
+            "deg",
+            F.coalesce(F.col("closed"), F.lit(0))
+            .cast("bigint")
+            .alias("closed_wedges"),
+            cc.alias("local_cc_micro"),
+        )
+        .orderBy(F.desc("local_cc_micro"), F.desc("deg"), "part_key")
+        .limit(20)
+    )
+
+
+@register(
+    "copurchase_local_bridges",
+    oracle=_CP_GRAPH_CTE
+    + """
+    , w AS (
+      SELECT a.v AS x, b.v AS y
+      FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v),
+    closed AS (SELECT DISTINCT w.x, w.y FROM w
+               JOIN e ON w.x = e.x AND w.y = e.y),
+    s AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+              ANTI JOIN closed ON e.x = closed.x AND e.y = closed.y)
+               AS n_local_bridges)
+    SELECT n_edges, n_local_bridges,
+           CAST(round(1000000E0 * CAST(n_local_bridges AS DOUBLE)
+             / CAST(n_edges AS DOUBLE), 0) AS BIGINT) AS bridge_share_micro
+    FROM s
+    """,
+)
+def copurchase_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of co-purchase edges that are LOCAL BRIDGES (no common
+    neighbor — the edge sits in no triangle): high share means the
+    graph is held together by weak ties (Granovetter's structure —
+    cross-sell paths are fragile and each link is novel information);
+    low share means redundant clique wiring.
+
+    Exactness: pure integer counting (edges anti-joined against the
+    distinct closed wedge-pair set) + one mirrored micro ratio.
+
+    Scale: same capped wedge generator; the anti join runs over the
+    capped edge set, hint-free.
+    """
+    e, adj, _, _ = _copurchase_graph(spark, sf_dir)
+    a, b = adj.alias("a"), adj.alias("b")
+    w = a.join(
+        b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v"))
+    ).select(F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+    closed = w.join(e, ["x", "y"]).select("x", "y").distinct()
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_bridge = (
+        e.join(closed, ["x", "y"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_local_bridges"))
+    )
+    return n_edges.crossJoin(n_bridge).select(
+        "n_edges",
+        "n_local_bridges",
+        F.round(
+            F.lit(1_000_000.0)
+            * F.col("n_local_bridges").cast("double")
+            / F.col("n_edges").cast("double"),
+            0,
+        )
+        .cast("bigint")
+        .alias("bridge_share_micro"),
+    )
+
+
+@register(
+    "copurchase_eigenvector_topk",
+    oracle=_CP_GRAPH_CTE_REC
+    + """
+    , ev(i, u, s) AS (
+      SELECT 0, u, CAST(1000000 AS BIGINT) FROM d
+      UNION
+      SELECT c.i + 1, c.u,
+             CAST(round(1000000E0 * CAST(
+               (SELECT SUM(r2.s) FROM adj a JOIN ev r2
+                  ON a.v = r2.u AND r2.i = c.i WHERE a.u = c.u)
+               AS DOUBLE) / CAST(
+               (SELECT MAX(m.ns) FROM (
+                  SELECT SUM(r3.s) AS ns FROM adj a2 JOIN ev r3
+                    ON a2.v = r3.u AND r3.i = c.i
+                  GROUP BY a2.u) m)
+               AS DOUBLE), 0) AS BIGINT)
+      FROM ev c WHERE c.i < 10)
+    SELECT u AS part_key, s AS centrality_micro
+    FROM ev WHERE i = 10
+    ORDER BY centrality_micro DESC, part_key LIMIT 20
+    """,
+)
+def copurchase_eigenvector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by eigenvector centrality on the co-purchase graph
+    — influence weighted by the influence of your co-purchases, the
+    prestige metric PageRank approximates with damping; a part scoring
+    high here sits at the center of the densest cross-sell mass (the
+    flagship-product detector), distinct from raw degree (a hub wired
+    to leaves scores low).
+
+    Algorithm: 10 fixed power-iteration steps x_{k+1} = A·x_k / max,
+    with the per-step quantization to integer micro BEFORE the next
+    multiply — both engines walk a bit-identical integer trajectory
+    (the raking/EWMA fixpoint device), so the oracle (a recursive CTE
+    re-running the same 10 steps) proves the recursion, not just the
+    final shape. The step count is the op's spec, not a convergence
+    knob: quantized renormalized iterates are deterministic at ANY
+    step, and 10 steps separate the leaders on this corpus.
+
+    Scale: each step is one shuffle keyed by node over the capped
+    adjacency + a 1-row max; hint-free throughout.
+    """
+    e, adj, deg, _ = _copurchase_graph(spark, sf_dir)
+    edges = adj.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).localCheckpoint()
+    x = (
+        deg.select("u")
+        .withColumn("s", F.lit(1_000_000).cast("bigint"))
+        .localCheckpoint()
+    )
+    for _ in range(10):
+        ns = (
+            edges.join(x, edges.dst == x.u)
+            .groupBy(F.col("src").alias("nu"))
+            .agg(F.sum("s").alias("ns"))
+        )
+        mx = ns.agg(F.max("ns").alias("mx"))
+        x = (
+            ns.crossJoin(mx)
+            .select(
+                F.col("nu").alias("u"),
+                F.round(
+                    F.lit(1_000_000.0)
+                    * F.col("ns").cast("double")
+                    / F.col("mx").cast("double"),
+                    0,
+                )
+                .cast("bigint")
+                .alias("s"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        x.select(F.col("u").alias("part_key"), F.col("s").alias("centrality_micro"))
+        .orderBy(F.desc("centrality_micro"), "part_key")
+        .limit(20)
+    )
+
+
+@register(
+    "copurchase_avg_neighbor_degree",
+    oracle=_CP_GRAPH_CTE
+    + """
+    , pernode AS (
+      SELECT a.u, d1.deg,
+             CAST(round(1000000E0 * CAST(SUM(d2.deg) AS DOUBLE)
+               / CAST(d1.deg AS DOUBLE), 0) AS BIGINT) AS mnd_micro
+      FROM adj a JOIN d d1 ON a.u = d1.u JOIN d d2 ON a.v = d2.u
+      GROUP BY a.u, d1.deg)
+    SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(round(CAST(SUM(mnd_micro) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)
+             AS avg_neighbor_degree_micro
+    FROM pernode GROUP BY deg ORDER BY degree
+    """,
+)
+def copurchase_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-neighbor-degree curve k_nn(k): for each degree k, the
+    mean over degree-k parts of their neighbors' mean degree — the
+    assortativity CURVE behind degree_assortativity_graph's single r
+    (a falling curve = hubs attach to leaves = disassortative retail
+    wiring; the curve shows WHERE the mixing turns over, which r
+    cannot).
+
+    Exactness: per-node mean neighbor degree quantized to integer
+    micro (Σdeg is exact, ONE division), then the per-k mean is an
+    integer sum over nodes with ONE final mirrored division — no
+    cross-node double accumulation.
+
+    Scale: one adjacency-degree join + two bounded rollups (|nodes|,
+    then ≤ DCAP degree values), hint-free.
+    """
+    e, adj, deg, _ = _copurchase_graph(spark, sf_dir)
+    pernode = (
+        adj.join(deg.select(F.col("u"), F.col("deg").alias("du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v"
+        )
+        .groupBy("u", "du")
+        .agg(
+            F.round(
+                F.lit(1_000_000.0)
+                * F.sum("dv").cast("double")
+                / F.col("du").cast("double"),
+                0,
+            )
+            .cast("bigint")
+            .alias("mnd_micro")
+        )
+    )
+    return (
+        pernode.groupBy(F.col("du").alias("degree"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.round(
+                F.sum("mnd_micro").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                0,
+            )
+            .cast("bigint")
+            .alias("avg_neighbor_degree_micro"),
+        )
+        .orderBy("degree")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Round 7: scale-path estimation infrastructure
 # ---------------------------------------------------------------------------
 

@@ -506,6 +506,109 @@ def run_stream_stream_join(
     return spark.table(query_name)
 
 
+def click_conversion_outcomes(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT-OUTER companion of ``click_purchase_pairs``: EVERY click,
+    with its same-user purchases within 30 min — or NULLs if none (the
+    funnel's denominator rows the inner join drops). Works on batch or
+    streaming inputs; in streaming, unmatched clicks are emitted with
+    NULLs only once the watermark passes click_ts + 30 min (state
+    eviction proves no match can still arrive) — the defining
+    stream-stream OUTER join semantics."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)")
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+        F.col("purchase_id").isNotNull().cast("bigint").alias("converted"),
+    )
+
+
+@register(
+    "interval_left_join_conversions",
+    oracle="""
+    SELECT c.user_id AS user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) // 1000000
+             AS gap_s,
+           CAST(CASE WHEN p.event_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS converted
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def interval_left_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream LEFT-OUTER interval join: every
+    click with its 30-min conversions or NULLs — the row set a
+    conversion-rate funnel actually needs (interval_join_events only
+    keeps the converted paths; the denominator is here).
+
+    Scale: same SMJ-keyed-on-user plan as the inner twin; in streaming
+    mode the left side's state holds each click until the watermark
+    passes click_ts + 30 min, then emits the NULL row — bounded state
+    (watermark delay + join window), never full-history. Never run a
+    stream-stream OUTER join without watermarks on BOTH sides: nulls
+    would never emit AND state would never evict."""
+    e = load_table(spark, sf_dir, "events")
+    return click_conversion_outcomes(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    ).orderBy("user_id", "click_id", "purchase_id")
+
+
+def run_stream_stream_left_join(
+    spark: SparkSession, sf_dir: str, query_name: str = "ssljoin_out"
+) -> DataFrame:
+    """Run the conversion-outcome join as a real stream-stream
+    LEFT-OUTER join: both sides watermarked, append mode, memory sink,
+    drained synchronously. NULL (unconverted) rows for the newest
+    clicks — those whose 30-min match window the final watermark has
+    not yet closed — are correctly still absent when the source drains;
+    the bit-identity test compares the matched rows exactly and the
+    NULL rows on the watermark-closed prefix."""
+    s1 = read_event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).withWatermark("ts", "1 hour")
+    s2 = read_event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).withWatermark("ts", "1 hour")
+    out = click_conversion_outcomes(s1, s2)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 def run_stream_to_parquet(
     spark: SparkSession, sf_dir: str, out_path: str, checkpoint_path: str
 ) -> int:

@@ -118,6 +118,63 @@ def test_stream_stream_join_matches_batch_twin(spark):
     assert len(s) > 0
 
 
+def test_stream_stream_left_join_matches_batch_twin(spark):
+    """The LEFT-OUTER stream-stream join: matched rows must be
+    bit-identical to the batch twin; NULL (unconverted) rows must be
+    exactly the batch twin's unconverted clicks on the watermark-CLOSED
+    prefix (a click's NULL row emits only once the final watermark
+    passes click_ts + 30 min — trailing clicks are legitimately still
+    pending when a finite source drains)."""
+    import pyspark.sql.functions as F
+
+    from ai_etl_studio_spark.streaming.windows import (
+        interval_left_join_conversions,
+        run_stream_stream_left_join,
+    )
+
+    out = run_stream_stream_left_join(spark, SF_DIR, "t_ssljoin")
+    batch = interval_left_join_conversions(spark, SF_DIR)
+    cols = ["user_id", "click_id", "purchase_id", "gap_s", "converted"]
+    s_matched = sorted(
+        map(str, out.filter("converted = 1").select(*cols).collect())
+    )
+    b_matched = sorted(map(str, batch.filter("converted = 1").collect()))
+    assert s_matched == b_matched
+    assert len(s_matched) > 0
+    # NULL-row prefix check: every unconverted click older than
+    # (max_ts - watermark - window - safety) must have been emitted
+    # with NULLs, and every emitted NULL row must be in the batch set
+    e = load_table(spark, SF_DIR, "events")
+    # the query's watermark is the MIN across both sides, each computed
+    # from the max event time THAT side has seen (clicks / purchases
+    # are watermarked after their filters)
+    max_c = e.filter("event_type = 'click'").agg(F.max("ts")).collect()[0][0]
+    max_p = e.filter("event_type = 'purchase'").agg(F.max("ts")).collect()[0][0]
+    clicks_ts = {
+        r["event_id"]: r["ts"]
+        for r in e.filter("event_type = 'click'")
+        .select("event_id", "ts")
+        .collect()
+    }
+    import datetime
+
+    closed_before = min(max_c, max_p) - datetime.timedelta(
+        hours=1, minutes=31
+    )
+    b_null = {
+        r["click_id"]
+        for r in batch.filter("converted = 0").collect()
+    }
+    s_null = {r["click_id"] for r in out.filter("converted = 0").collect()}
+    assert s_null <= b_null  # stream never invents an unconverted click
+    overdue = {
+        cid for cid in b_null if clicks_ts[cid] < closed_before
+    }
+    missing = overdue - s_null
+    assert not missing, f"watermark-closed NULL rows not emitted: {missing}"
+    assert len(s_null) > 0
+
+
 def test_foreach_batch_parquet_sink(spark, tmp_path):
     from ai_etl_studio_spark.streaming.windows import run_stream_to_parquet
 
