@@ -48,7 +48,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: should lead with the REMAINING 18 session-2 names
 #: (gpd_tail_fit_daily through median_ci_delay_by_priority in the list
 #: below) plus ansari_bradley_delay_scale (landed post-seal in r7, no
-#: driver row), then the round-8 additions, then continue the r4 pool
+#: driver row), then the round-8 additions
+#: (copurchase_connected_components, copurchase_component_profile,
+#: copurchase_kcore_summary, copurchase_jaccard_topk,
+#: copurchase_local_clustering_topk, copurchase_local_bridges,
+#: copurchase_eigenvector_topk, copurchase_avg_neighbor_degree,
+#: interval_left_join_conversions), then continue the r4 pool
 #: from shipping_delay_monthly.
 #: The original round-8 note for the record — the 27 session-1
 #: additions were (jarque_bera_daily_revenue,

@@ -518,7 +518,155 @@ HEADLINE = [
     "functional_dependency_audit",
     "median_ci_delay_by_priority",
     "ansari_bradley_delay_scale",
+    # round-8: close the registry<->HEADLINE gap (r7 verdict item 2) —
+    # every registered query is benched unless it carries an explicit,
+    # tested EXCLUDED reason below. These 99 were previously un-benched
+    # prose-era omissions; all run sub-11 s at sf0.1 (measured r8).
+    "projection_alias",
+    "filter_conjunctive",
+    "filter_disjunctive",
+    "join_2way",
+    "join_semi",
+    "join_anti",
+    "agg_count_distinct",
+    "orderby_multi_mixed",
+    "union_distinct",
+    "intersect_distinct",
+    "except_distinct",
+    "derived_table_agg",
+    "cte_form",
+    "scalar_conditional",
+    "error_relation",
+    "dup_col_rename",
+    "nl2sql_end_to_end",
+    "except_intersect_all",
+    "lateral_join",
+    "correlated_avg_subquery",
+    "window_rank",
+    "rollup_agg",
+    "json_extract",
+    "window_offsets",
+    "stats_agg",
+    "histogram_bins",
+    "median_mode",
+    "incremental_rollup",
+    "scd2_dim_build",
+    "funnel_conversion",
+    "retention_cohorts",
+    "cdc_latest_compaction",
+    "percent_rank_cume",
+    "window_range_rolling",
+    "percentile_approx_sketch",
+    "datetime_functions",
+    "string_agg_ordered",
+    "boolean_linreg_agg",
+    "window_fill_forward",
+    "pct_of_total",
+    "histogram_equidepth",
+    "cohort_retention",
+    "conversion_funnel",
+    "ivm_agg_delta",
+    "window_rank_suite",
+    "winsorized_mean",
+    "array_functions",
+    "higher_order_functions",
+    "regex_functions",
+    "null_handling",
+    "posexplode_ordinal",
+    "map_struct_functions",
+    "er_blocked_pairs",
+    "stream_dedup_vs_corpus",
+    "join_left_outer",
+    "join_full_outer",
+    "join_cross",
+    "in_subquery",
+    "scalar_subquery",
+    "having_filter",
+    "distinct_projection",
+    "pivot_wide",
+    "unpivot_long",
+    "cube_agg",
+    "string_functions",
+    "math_functions",
+    "argmax_minby",
+    "asof_join",
+    "range_join",
+    "approx_distinct",
+    "not_in_subquery",
+    "merge_upsert",
+    "exists_correlated",
+    "bitwise_agg",
+    "hash_functions",
+    "python_datasource_scan",
+    "cdc_latest_snapshot",
+    "multimodal_metadata",
+    "text_tokens",
+    "text_fingerprint",
+    "dataset_split",
+    "stratified_sample",
+    "levenshtein_nearest",
+    "udtf_trigrams",
+    "heavy_hitters_twopass",
+    "dedup_clusters",
+    "decontaminate_bloom",
+    "dedup_keep_best",
+    "curation_funnel",
+    "skew_profile",
+    "embedding_centroids",
+    "embedding_pca_power",
+    "cosine_pandas_udf_topk",
+    "dedup_embedding_lsh_pairs_capped",
+    "dedup_embedding_lsh_multiprobe",
+    "reservoir_sample_per_group",
+    "export_shards",
+    "window_sliding",
+    "stream_dedup_batch_twin",
+    # round-8 additions: co-purchase graph tier + streaming outer join
+    "copurchase_connected_components",
+    "copurchase_component_profile",
+    "copurchase_kcore_summary",
+    "copurchase_jaccard_topk",
+    "copurchase_local_clustering_topk",
+    "copurchase_local_bridges",
+    "copurchase_eigenvector_topk",
+    "copurchase_avg_neighbor_degree",
+    "interval_left_join_conversions",
+    "bucketed_colocated_join",
+    "partition_pruned_rollup",
 ]
+
+#: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
+#: verdict item 2). tests/test_registry.py asserts HEADLINE and
+#: EXCLUDED partition the registry exactly AND that the committed
+#: BENCH_full_latest.json keys equal HEADLINE, so a registered query
+#: can no longer silently skip the bench and the sealed artifact can no
+#: longer lag a HEADLINE edit (the r7 ansari_bradley staleness).
+EXCLUDED: dict[str, str] = {
+    "dedup_embedding_cosine": (
+        "exact all-pairs cosine ORACLE BASELINE (49 s at sf0.1, "
+        "quadratic by design); dedup_embedding_lsh_pairs_capped / "
+        "_multiprobe are the benched production shapes it validates"
+    ),
+    "dedup_ngram_jaccard": (
+        "all-pairs n-gram Jaccard ORACLE BASELINE; "
+        "dedup_minhash_lsh_pairs_capped + dedup_lsh_verified_pairs are "
+        "the benched production shapes"
+    ),
+    "dedup_minhash_lsh_pairs": (
+        "uncapped LSH pair enumeration kept as the oracle baseline for "
+        "the hot-bucket cap; dedup_minhash_lsh_pairs_capped is the "
+        "benched production shape"
+    ),
+    "ntile_rfm": (
+        "reference-pinned GLOBAL NTILE is a deliberate single-partition "
+        "plan (prompts.py parity); ntile_rfm_scalable / "
+        "rfm_quantile_scores are the benched scalable twins"
+    ),
+    "tpch_q1": "registry alias of agg_pricing_summary (same callable, benched)",
+    "tpch_q2": "registry alias of min_cost_per_part (same callable, benched)",
+    "tpch_q21": "registry alias of pending_returns_q21 (same callable, benched)",
+    "tpch_q22": "registry alias of lapsed_customers_q22 (same callable, benched)",
+}
 
 
 def main() -> None:
@@ -547,10 +695,17 @@ def main() -> None:
     )
     from ai_etl_studio_spark.operators.similarity import ensure_pq_code_index
 
+    from ai_etl_studio_spark.operators.extended import (
+        ensure_bucketed_orderkey_tables,
+        ensure_month_partitioned_orders,
+    )
+
     ensure_pagerank_edge_index(spark, sf_dir)
     ensure_boilerplate_index(spark, sf_dir)
     ensure_substring_index(spark, sf_dir)
     ensure_pq_code_index(spark, sf_dir)
+    ensure_bucketed_orderkey_tables(spark, sf_dir)
+    ensure_month_partitioned_orders(spark, sf_dir)
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(
         sf_dir

@@ -2779,3 +2779,49 @@ class TestDriftPlans:
         assert "Scan parquet" not in t and "Scan ExistingRDD" in t
         df = QUERIES["horizon_edge_audit"](spark, SF_DIR)
         assert broadcast_violations(df) == []
+
+
+class TestRound8Plans:
+    """Plan contracts for the round-8 storage-layout and graph ops."""
+
+    def test_bucketed_join_has_no_join_shuffle(self, spark):
+        # both sides bucketed by orderkey: SMJ with ZERO join-side
+        # exchange — the only hash exchange is the final rollup's
+        t = full(spark, "bucketed_colocated_join")
+        assert "SortMergeJoin" in t
+        # exactly ONE hash exchange (the rollup's); the join reads
+        # co-located buckets on both sides (the trailing ORDER BY's
+        # rangepartitioning exchange is not a hash shuffle)
+        assert t.count("Arguments: hashpartitioning") == 1
+        assert t.count("Bucketed: true") == 2
+        assert "SelectedBucketsCount" in t
+
+    def test_partition_pruned_scan(self, spark):
+        # the month filter must prune at PLANNING time (directory
+        # listing), not as a parquet row-group pushdown
+        t = full(spark, "partition_pruned_rollup")
+        assert "PartitionFilters" in t
+        assert "o_month" in t.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+    def test_graph_tier_is_broadcast_safe(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import (
+            broadcast_violations,
+            checkpoint_audit,
+        )
+
+        for name in (
+            "copurchase_connected_components",
+            "copurchase_component_profile",
+            "copurchase_kcore_summary",
+            "copurchase_jaccard_topk",
+            "copurchase_local_clustering_topk",
+            "copurchase_local_bridges",
+            "copurchase_eigenvector_topk",
+            "copurchase_avg_neighbor_degree",
+            "bucketed_colocated_join",
+            "partition_pruned_rollup",
+            "interval_left_join_conversions",
+        ):
+            with checkpoint_audit() as audit:
+                v = broadcast_violations(QUERIES[name](spark, SF_DIR))
+            assert list(v) + audit.violations == [], name

@@ -51,6 +51,38 @@ def test_priority_prefix_is_50_and_registered():
     assert list(q)[:50] == list(entry.PRIORITY)
 
 
+def test_bench_headline_covers_registry():
+    """Bench freshness, gated like correctness freshness (r7 verdict
+    item 2 + ADVICE): every registered query is either in
+    ``bench.HEADLINE`` or carries an explicit reason in
+    ``bench.EXCLUDED`` — exclusions are data, not prose — and the
+    committed BENCH_full_latest.json keys equal HEADLINE exactly, so a
+    HEADLINE edit without a regenerated artifact (the r7
+    ansari_bradley staleness) is a red test."""
+    import json
+
+    import bench
+
+    q = set(entry.queries())
+    h = set(bench.HEADLINE)
+    ex = set(bench.EXCLUDED)
+    assert len(bench.HEADLINE) == len(h), "duplicate HEADLINE entries"
+    assert not (h & ex), f"names both benched and excluded: {h & ex}"
+    unknown = (h | ex) - q
+    assert not unknown, f"bench names not in registry: {sorted(unknown)}"
+    gap = q - h - ex
+    assert not gap, (
+        f"registered ops neither benched nor excluded: {sorted(gap)} — "
+        "add to bench.HEADLINE or to bench.EXCLUDED with a reason"
+    )
+    art = json.loads((REPO / "BENCH_full_latest.json").read_text())
+    bench_keys = set(art["queries"])
+    assert bench_keys == h, (
+        f"BENCH_full_latest.json is stale: missing {sorted(h - bench_keys)}"
+        f", extra {sorted(bench_keys - h)} — regenerate with bench.py"
+    )
+
+
 def test_correctness_full_artifact_is_fresh():
     """The committed full-registry correctness artifact must cover the
     registry EXACTLY (r6 ADVICE: the r6 artifact was generated before 7
