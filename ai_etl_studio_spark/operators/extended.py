@@ -1269,3 +1269,126 @@ def partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_Z_FILES = 32
+
+
+def ensure_zorder_orders(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> str:
+    """Build-once orders re-written Z-ORDER clustered on
+    (o_custkey, o_orderdate): both coordinates min-max scale to 16
+    bits, their bits interleave into one 32-bit Morton code, and the
+    rows are range-partitioned + sorted by it into {_Z_FILES} files.
+    Equal Z-prefixes are 2-D neighbors, so every file's parquet
+    min/max footer covers a LOCALIZED rectangle in BOTH dimensions —
+    a 2-D box predicate prunes most files where a 1-D sort layout
+    prunes only its own dimension. This is the hand-rolled core of
+    Delta/Iceberg OPTIMIZE ZORDER, on plain parquet.
+
+    The scaling constants come from the data at write time; they shape
+    only the LAYOUT — query results are layout-independent, which is
+    why the oracle mirrors the box query, not the Morton math."""
+    import os
+
+    prefix, root = _layout_ident("zorder_cd", sf_dir, base_dir)
+    path = os.path.join(root, "orders_zorder")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        b = o.agg(
+            F.min("o_custkey").alias("c0"),
+            F.max("o_custkey").alias("c1"),
+            F.min(F.unix_date(F.col("o_orderdate").cast("date"))).alias("d0"),
+            F.max(F.unix_date(F.col("o_orderdate").cast("date"))).alias("d1"),
+        )
+        w = o.crossJoin(F.broadcast(b))
+        cs = (
+            (F.col("o_custkey") - F.col("c0"))
+            * 65535
+            / F.greatest(F.col("c1") - F.col("c0"), F.lit(1))
+        ).cast("bigint")
+        ds = (
+            (F.unix_date(F.col("o_orderdate").cast("date")) - F.col("d0"))
+            * 65535
+            / F.greatest(F.col("d1") - F.col("d0"), F.lit(1))
+        ).cast("bigint")
+        # Morton interleave of two 16-bit coords, unrolled in ONE JVM
+        # expression (no UDF): odd bits carry custkey, even bits date
+        zx, zy = cs, ds
+        zval = F.lit(0).cast("bigint")
+        for i in range(16):
+            zval = (
+                zval
+                + F.shiftleft(
+                    F.shiftrightunsigned(zx, i).bitwiseAND(F.lit(1)),
+                    2 * i + 1,
+                )
+                + F.shiftleft(
+                    F.shiftrightunsigned(zy, i).bitwiseAND(F.lit(1)), 2 * i
+                )
+            )
+        (
+            w.withColumn("zval", zval)
+            .repartitionByRange(_Z_FILES, "zval")
+            .sortWithinPartitions("zval")
+            .drop("zval", "c0", "c1", "d0", "d1")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+@register(
+    "zorder_boxed_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 199
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def zorder_boxed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 2-D box query (customer range × one year) over the Z-ORDER
+    clustered orders layout. Both predicates push down to the scan and
+    — because Morton clustering localizes files in BOTH dimensions —
+    most files' footer min/max miss the box entirely: row-group
+    skipping prunes on customer AND date where a single-column sort
+    layout prunes only its own column. test_plans pins the pushdown;
+    tests/test_round8_ops.py measures the file-level skip rate from
+    the parquet footers directly (each dimension proven to exclude
+    files on its own).
+
+    Scale: clustering cost is one range-partitioned write, paid once;
+    every 2-D slice afterwards reads O(box area + Z-curve fringe) of
+    the table instead of min(dim slices). The rollup mirrors the
+    partition_pruned_rollup exactness pattern (integer cents).
+    """
+    path = ensure_zorder_orders(spark, sf_dir)
+    df = spark.read.parquet(path).filter(
+        (F.col("o_custkey") >= 100)
+        & (F.col("o_custkey") <= 199)
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -633,6 +633,7 @@ HEADLINE = [
     "interval_left_join_conversions",
     "bucketed_colocated_join",
     "partition_pruned_rollup",
+    "zorder_boxed_rollup",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
@@ -698,6 +699,7 @@ def main() -> None:
     from ai_etl_studio_spark.operators.extended import (
         ensure_bucketed_orderkey_tables,
         ensure_month_partitioned_orders,
+        ensure_zorder_orders,
     )
 
     ensure_pagerank_edge_index(spark, sf_dir)
@@ -706,6 +708,7 @@ def main() -> None:
     ensure_pq_code_index(spark, sf_dir)
     ensure_bucketed_orderkey_tables(spark, sf_dir)
     ensure_month_partitioned_orders(spark, sf_dir)
+    ensure_zorder_orders(spark, sf_dir)
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(
         sf_dir

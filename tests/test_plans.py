@@ -2803,6 +2803,14 @@ class TestRound8Plans:
         assert "PartitionFilters" in t
         assert "o_month" in t.split("PartitionFilters", 1)[1].split("]", 1)[0]
 
+    def test_zorder_scan_pushes_both_predicates(self, spark):
+        # both box predicates must reach the clustered scan so footer
+        # min/max skipping can act on the 2-D locality; the measured
+        # file-level skip rate lives in test_round8_ops
+        t = full(spark, "zorder_boxed_rollup")
+        pushed = t.split("PushedFilters", 1)[1].split("]", 1)[0]
+        assert "o_custkey" in pushed and "o_orderdate" in pushed
+
     def test_graph_tier_is_broadcast_safe(self, spark):
         from ai_etl_studio_spark.plans.tripwire import (
             broadcast_violations,
@@ -2820,6 +2828,7 @@ class TestRound8Plans:
             "copurchase_avg_neighbor_degree",
             "bucketed_colocated_join",
             "partition_pruned_rollup",
+            "zorder_boxed_rollup",
             "interval_left_join_conversions",
         ):
             with checkpoint_audit() as audit:

@@ -220,3 +220,60 @@ def test_local_clustering_triangle_identity(spark):
         len(adj[m]) * (len(adj[m]) - 1) // 2 for m in adj
     )
     assert census["wedges"] == wedges_total
+
+
+def test_zorder_layout_skips_files_in_both_dimensions(spark):
+    """Measure the Z-ORDER claim from the parquet footers directly:
+    the 2-D box (custkey 100-199 x year 1996) must miss most files'
+    min/max rectangles, and EACH dimension alone must exclude at least
+    one file — proving two-dimensional locality, which no single-column
+    sort can give."""
+    import datetime
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ai_etl_studio_spark.operators.extended import ensure_zorder_orders
+
+    path = ensure_zorder_orders(spark, SF_DIR)
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 8
+    lo_d = datetime.datetime(1996, 1, 1)
+    hi_d = datetime.datetime(1997, 1, 1)
+    n_hit = n_miss_cust = n_miss_date = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cmin = cmax = dmin = dmax = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None:
+                    continue
+                if name == "o_custkey":
+                    cmin = st.min if cmin is None else min(cmin, st.min)
+                    cmax = st.max if cmax is None else max(cmax, st.max)
+                elif name == "o_orderdate":
+                    dmin = st.min if dmin is None else min(dmin, st.min)
+                    dmax = st.max if dmax is None else max(dmax, st.max)
+        cust_hits = cmin is not None and not (cmax < 100 or cmin > 199)
+        date_hits = dmin is not None and not (
+            dmax < lo_d or dmin >= hi_d
+        )
+        if not cust_hits:
+            n_miss_cust += 1
+        if not date_hits:
+            n_miss_date += 1
+        if cust_hits and date_hits:
+            n_hit += 1
+    # 2-D locality: the box touches a minority of files, and BOTH
+    # dimensions individually exclude files on their own
+    assert n_hit / len(files) <= 0.5, (n_hit, len(files))
+    assert n_miss_cust > 0
+    assert n_miss_date > 0
+    # and the query over the layout still returns rows (sanity)
+    from ai_etl_studio_spark.operators.extended import zorder_boxed_rollup
+
+    assert zorder_boxed_rollup(spark, SF_DIR).count() > 0
