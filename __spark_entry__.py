@@ -43,18 +43,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (per the r6 verdict item 5): the seven r6
 #: post-snapshot ops first, then the next 43 of the r4 backlog pool
 #: below in order (consumed through supplier_share_shift). Round 8
-#: (this prefix, per the r7 verdict item 3) leads with the 27 round-7
+#: led with the 27 round-7
 #: session-1 additions, then the first 23 session-2 names. Round 9
-#: should lead with the REMAINING 18 session-2 names
-#: (gpd_tail_fit_daily through median_ci_delay_by_priority in the list
-#: below) plus ansari_bradley_delay_scale (landed post-seal in r7, no
-#: driver row), then the round-8 additions
-#: (copurchase_connected_components, copurchase_component_profile,
-#: copurchase_kcore_summary, copurchase_jaccard_topk,
-#: copurchase_local_clustering_topk, copurchase_local_bridges,
-#: copurchase_eigenvector_topk, copurchase_avg_neighbor_degree,
-#: interval_left_join_conversions), then continue the r4 pool
-#: from shipping_delay_monthly.
+#: (this prefix, per the r8 verdict item 2) leads with the REMAINING 18
+#: session-2 names (gpd_tail_fit_daily through
+#: median_ci_delay_by_priority) plus ansari_bradley_delay_scale (landed
+#: post-seal in r7, no driver row), then the 12 round-8 additions
+#: without driver rows (the 8 copurchase_* ops, the 3 storage-layout
+#: ops bucketed_colocated_join / partition_pruned_rollup /
+#: zorder_boxed_rollup, and interval_left_join_conversions), then the
+#: r4 pool continued from shipping_delay_monthly through
+#: dataset_card_summary (run_stream_hourly_profile is a streaming PATH,
+#: not a registry name — its batch twin is hourly_seasonality_profile,
+#: already pooled). Round 10 should lead with the round-9 additions,
+#: then continue the r4 pool from split_leakage_audit.
 #: The original round-8 note for the record — the 27 session-1
 #: additions were (jarque_bera_daily_revenue,
 #: cramer_von_mises_two_sample, levene_bf_delay_by_priority,
@@ -240,60 +242,65 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ivf_nprobe_recall_curve, pq_codebook_utilization (+ the ninth
 #: streaming twin run_stream_daily_revenue).
 PRIORITY: tuple[str, ...] = (
-    # r8 prefix (r7 verdict item 3): the 27 round-7 session-1 additions
-    # first, then the first 23 round-7 session-2 names — all 50 carry
-    # green CORRECTNESS_full_r07 rows but no driver-recorded row yet.
-    "jarque_bera_daily_revenue",
-    "cramer_von_mises_two_sample",
-    "levene_bf_delay_by_priority",
-    "bartlett_variance_by_priority",
-    "variance_ratio_daily_revenue",
-    "cox_stuart_trend_daily",
-    "turning_point_test_daily",
-    "brier_decomposition_quality",
-    "matthews_corrcoef_gates",
-    "pr_auc_quality_score",
-    "page_trend_test_priority",
-    "copurchase_triangle_census",
-    "adamic_adar_link_topk",
-    "ewma_control_chart_daily",
-    "theil_u2_daily_forecast",
-    "gumbel_block_maxima_fit",
-    "palma_ratio_by_nation",
-    "walsh_price_index",
-    "price_elasticity_by_type",
-    "poisson_bootstrap_se_daily",
-    "horvitz_thompson_total",
-    "media_format_sniff",
-    "embedding_clip_bounds_int8",
-    "jl_projection_distortion_eval",
-    "wilcoxon_signed_rank_types",
-    "mood_median_test_delay",
-    "poisson_dispersion_daily_orders",
-    # round-7 session-2 additions, in their documented order
-    "durbin_watson_daily",
-    "log_rank_reorder_segments",
-    "spectral_periodogram_weekly",
-    "cohens_h_return_priorities",
-    "welch_ttest_segments",
-    "hodges_lehmann_delay_shift",
-    "hoover_index_by_nation",
-    "breusch_pagan_daily",
-    "newey_west_se_daily",
-    "wasserstein_length_by_source",
-    "js_divergence_source_pairs",
-    "cochran_armitage_discount_trend",
-    "mantel_haenszel_return_discount",
-    "kmv_distinct_eval",
-    "nelson_aalen_reorder",
-    "granger_orders_to_revenue",
-    "knn_reciprocity_rate",
-    "cusumsq_variance_break_daily",
-    "embedding_participation_ratio",
-    "anderson_darling_two_sample",
-    "partial_corr_value_delay_lines",
-    "cronbach_alpha_nation_months",
-    "kendalls_w_nation_rank_stability",
+    # r9 prefix (r8 verdict item 2): the 18 remaining round-7 session-2
+    # names, then ansari_bradley_delay_scale (landed post-seal in r7, no
+    # driver row), then the 12 round-8 additions without driver rows
+    # (8 copurchase_* ops, the 3 storage-layout ops,
+    # interval_left_join_conversions), then the r4 backlog pool
+    # continued from shipping_delay_monthly (19 names, consumed through
+    # dataset_card_summary — round 10 continues from split_leakage_audit).
+    "gpd_tail_fit_daily",
+    "distance_correlation_delay_value",
+    "littles_law_monthly",
+    "chained_laspeyres_monthly",
+    "diebold_mariano_naive_vs_ols",
+    "lorenz_asymmetry_by_nation",
+    "pettitt_changepoint_daily",
+    "seasonal_mann_kendall_dow",
+    "james_stein_nation_means",
+    "conformal_interval_naive_daily",
+    "cluster_robust_se_nation",
+    "oaxaca_value_gap_segments",
+    "sprt_urgent_rate_monitor",
+    "raking_ipf_nation_segment",
+    "var_backtest_daily",
+    "tukey_hsd_delay_priorities",
+    "functional_dependency_audit",
+    "median_ci_delay_by_priority",
+    "ansari_bradley_delay_scale",
+    # round-8 additions without driver rows
+    "copurchase_connected_components",
+    "copurchase_component_profile",
+    "copurchase_kcore_summary",
+    "copurchase_jaccard_topk",
+    "copurchase_local_clustering_topk",
+    "copurchase_local_bridges",
+    "copurchase_eigenvector_topk",
+    "copurchase_avg_neighbor_degree",
+    "bucketed_colocated_join",
+    "partition_pruned_rollup",
+    "zorder_boxed_rollup",
+    "interval_left_join_conversions",
+    # r4 backlog pool, continued in documented order
+    "shipping_delay_monthly",
+    "partition_skew_advisor",
+    "watermark_lateness_advisor",
+    "open_order_aging",
+    "spend_tier_migration",
+    "discount_by_quantity_band",
+    "char_class_profile",
+    "event_type_affinity",
+    "event_value_deciles_by_type",
+    "revenue_bridge_monthly",
+    "priority_sla_rate",
+    "session_funnel",
+    "dedup_containment_pairs",
+    "priority_mix_shift_monthly",
+    "weighted_median_price",
+    "tokenizer_fertility",
+    "context_window_fit",
+    "pii_rate_by_source",
+    "dataset_card_summary",
 )
 
 

@@ -1084,11 +1084,19 @@ def null_ordering_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LAYOUT_BUCKETS = 16
 
 
-def _layout_ident(kind: str, sf_dir: str, base_dir: str | None = None):
+def _layout_ident(
+    kind: str,
+    sf_dir: str,
+    base_dir: str | None = None,
+    tables: tuple[str, ...] = ("orders",),
+):
     """(name_prefix, path_root) for a persisted storage layout of
-    ``sf_dir``, fingerprinted on the source data (orders size+mtime)
-    and on base_dir (same corpus, two locations -> two names — the r3
-    ADVICE rule the pagerank/IVF indexes follow)."""
+    ``sf_dir``, fingerprinted on the source data (size+mtime of EVERY
+    table the layout projects — r8 ADVICE: fingerprinting only orders
+    let a regenerated lineitem.parquet silently reuse the stale
+    bucketed lineitem projection) and on base_dir (same corpus, two
+    locations -> two names — the r3 ADVICE rule the pagerank/IVF
+    indexes follow)."""
     import hashlib
     import os
     import pathlib
@@ -1097,10 +1105,12 @@ def _layout_ident(kind: str, sf_dir: str, base_dir: str | None = None):
         base_dir = str(
             pathlib.Path(__file__).resolve().parents[2] / ".cache" / kind
         )
-    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
-    fp = hashlib.sha1(
-        f"{base_dir}|{sf_dir}|{st.st_size}|{int(st.st_mtime)}".encode()
-    ).hexdigest()[:12]
+    stats = "|".join(
+        f"{t}:{(st := os.stat(os.path.join(sf_dir, f'{t}.parquet'))).st_size}"
+        f":{int(st.st_mtime)}"
+        for t in tables
+    )
+    fp = hashlib.sha1(f"{base_dir}|{sf_dir}|{stats}".encode()).hexdigest()[:12]
     return f"{kind}_{fp}", os.path.join(base_dir, fp)
 
 
@@ -1117,7 +1127,9 @@ def ensure_bucketed_orderkey_tables(
 
     from ai_etl_studio_spark.functions.exact import net_cents
 
-    prefix, root = _layout_ident("bucketed_ok", sf_dir, base_dir)
+    prefix, root = _layout_ident(
+        "bucketed_ok", sf_dir, base_dir, tables=("lineitem", "orders")
+    )
     specs = {
         "li": (
             lambda: load_table(spark, sf_dir, "lineitem").select(

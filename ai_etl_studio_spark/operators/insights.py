@@ -280,9 +280,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on oriented edges then does O(m^1.5) work — the provable
     optimum for exact triangle listing (Schank & Wagner 2005) — instead
     of the naive join's Σd² blow-up on hub nodes. The degree table is
-    |nodes| rows and is |nodes| rows (hint-free — AQE broadcasts it when it fits); the wedge join shuffles oriented edges
-    by wedge midpoint, then the closing-edge check is a semi-join on
-    (s, t) pairs.
+    |nodes| rows (hint-free — AQE broadcasts it when it fits); the
+    wedge join shuffles oriented edges by wedge midpoint, then the
+    closing-edge check is a semi-join on (s, t) pairs.
     """
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -5279,6 +5279,14 @@ def _cp_cc_labels(spark: SparkSession, sf_dir: str):
         )
         if labels.filter(F.col("label") != F.col("old")).limit(1).count() == 0:
             break
+    else:  # r8 ADVICE: never fall through unconverged silently — an
+        # unconverged label frame at an unswept SF would be wrong with
+        # no signal. Pointer-jumping doubles reach per round, so 12
+        # rounds cover components of diameter 2^12; exhaustion means
+        # the cap assumption broke, not a slow corpus.
+        raise RuntimeError(
+            "copurchase CC label propagation did not converge in 12 rounds"
+        )
     out = labels.select("u", "label").localCheckpoint()
     _CP_GRAPH_CACHE[key] = out
     return out, e, adj, deg
@@ -5478,6 +5486,11 @@ def copurchase_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             if cur == prev:
                 break
             prev = cur
+        else:  # r8 ADVICE: surface non-convergence instead of silently
+            # returning a partially-peeled core.
+            raise RuntimeError(
+                f"k-core peeling (k={k}) did not converge in 12 rounds"
+            )
         core_edges = (
             e.join(alive.withColumnRenamed("u", "x"), "x")
             .join(alive.withColumnRenamed("u", "y"), "y")

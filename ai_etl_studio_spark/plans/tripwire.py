@@ -147,15 +147,22 @@ _ALIAS_TAIL = re.compile(r"^(.*)\sAS\s[A-Za-z_][A-Za-z0-9_]*#(\d+)L?$")
 #: bounded domain, so a groupBy over it must keep excusing (the
 #: hhi/dau/affinity shapes). Keyed by the underlying RDD id because
 #: plan-dedup (self-joins) re-instances the LogicalRDD with fresh
-#: exprIds but the same RDD — positions survive, ids don't.
-_CHECKPOINT_FACT_TAINT: dict[int, tuple[tuple[str, ...], tuple[int, ...]]] = {}
+#: exprIds but the same RDD — positions survive, ids don't. Keyed by
+#: (applicationId, rdd_id) like _CP_GRAPH_CACHE (r8 ADVICE): bare RDD
+#: ids restart per SparkContext, so a recycled id in a restarted
+#: process would otherwise inherit a stale taint record.
+_CHECKPOINT_FACT_TAINT: dict[
+    tuple[str, int], tuple[tuple[str, ...], tuple[int, ...]]
+] = {}
 
 
 def _checkpoint_record(node):
     if _cls(node) != "LogicalRDD":
         return None
     try:
-        return _CHECKPOINT_FACT_TAINT.get(node.rdd().id())
+        rdd = node.rdd()
+        key = (rdd.context().applicationId(), rdd.id())
+        return _CHECKPOINT_FACT_TAINT.get(key)
     except Exception:
         return None
 
@@ -359,7 +366,8 @@ class checkpoint_audit:
                         for p, (_, i) in enumerate(_output_ids(pre))
                         if i in pre_taint
                     )
-                    _CHECKPOINT_FACT_TAINT[leaf.rdd().id()] = (
+                    app_id = df_self.sparkSession.sparkContext.applicationId
+                    _CHECKPOINT_FACT_TAINT[(app_id, leaf.rdd().id())] = (
                         tables,
                         positions,
                     )

@@ -670,10 +670,37 @@ EXCLUDED: dict[str, str] = {
 }
 
 
+def _round_number(repo: str) -> int:
+    """Current round: explicit SPARK_GRAFT_ROUND wins (the r5 ADVICE
+    fix); otherwise max(BENCH_r*)+1 — the driver writes BENCH_r{N}.json
+    at round END, so the max existing stamp is the last COMPLETED round."""
+    env_round = os.environ.get("SPARK_GRAFT_ROUND")
+    if env_round and env_round.isdigit():
+        return int(env_round)
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return max(rounds, default=0) + 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    # Restricted merge mode (r8 verdict item 1): `python bench.py --only
+    # name ...` times ONLY the named HEADLINE queries and MERGES their
+    # rows into the committed artifacts, so registering a new operator
+    # mid-round doesn't force a full-suite rerun (which, at N=1, would
+    # clobber the sealed N=3 medians — the exact r8 incident).
+    only: list[str] = []
+    if len(sys.argv) > 1 and sys.argv[1] == "--only":
+        only = sys.argv[2:]
+        unknown = [n for n in only if n not in HEADLINE]
+        if unknown:
+            raise SystemExit(f"--only names not in HEADLINE: {unknown}")
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from ai_etl_studio_spark.session import get_spark
@@ -710,10 +737,11 @@ def main() -> None:
     ensure_month_partitioned_orders(spark, sf_dir)
     ensure_zorder_orders(spark, sf_dir)
     warm_dir = "/root/testdata/sf0.001"
+    bench_names = only if only else list(HEADLINE)
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(
         sf_dir
     ):
-        for name in HEADLINE:
+        for name in bench_names:
             try:
                 queries[name](spark, warm_dir).write.format("noop").mode(
                     "overwrite"
@@ -729,9 +757,9 @@ def main() -> None:
     # full passes over the suite, not back-to-back per query, so cache
     # warmth is comparable across repeats.
     bench_n = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "1")))
-    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    runs: dict[str, list[float]] = {name: [] for name in bench_names}
     for _ in range(bench_n):
-        for name in HEADLINE:
+        for name in bench_names:
             fn = queries[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -739,53 +767,80 @@ def main() -> None:
     timings: dict[str, float] = {
         name: round(statistics.median(ts), 3) for name, ts in runs.items()
     }
+    repo = os.path.dirname(os.path.abspath(__file__))
 
+    if only:
+        # Merge the restricted rows into the committed artifact, keeping
+        # every other query's sealed median untouched. bench_n records
+        # the WEAKEST repeat count among surviving rows, so a sealed N=3
+        # artifact merged with an N=1 restricted row honestly reads
+        # bench_n=1 until the next full seal re-runs everything.
+        latest_path = os.path.join(repo, "BENCH_full_latest.json")
+        with open(latest_path) as fh:
+            payload = json.load(fh)
+        payload["queries"].update(timings)
+        payload["bench_n"] = min(int(payload.get("bench_n", 1)), bench_n)
+        payload["value"] = round(sum(payload["queries"].values()), 3)
+    else:
+        payload = None  # built below from the full run
     total = round(sum(timings.values()), 3)
     # TPC-H tracked as ONE number so round-over-round movement of the
     # 22-query suite (18 tpch_q* + the 4 r1 originals that tpch_q1/q2/
     # q21/q22 alias) is a single comparison in BENCH_r{N}.json
-    tpch_names = [n for n in timings if n.startswith("tpch_q")] + [
+    all_timings = payload["queries"] if payload else timings
+    tpch_names = [n for n in all_timings if n.startswith("tpch_q")] + [
         "agg_pricing_summary",      # tpch_q1
         "min_cost_per_part",        # tpch_q2
         "pending_returns_q21",      # tpch_q21
         "lapsed_customers_q22",     # tpch_q22
     ]
-    tpch_total = round(sum(timings[n] for n in tpch_names if n in timings), 3)
-    payload = {
-        "metric": "headline_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "tpch_total": tpch_total,
-        "bench_n": bench_n,
-        "sf": sf,
-    }
+    tpch_total = round(
+        sum(all_timings[n] for n in tpch_names if n in all_timings), 3
+    )
+    if payload is None:
+        payload = {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "tpch_total": tpch_total,
+            "bench_n": bench_n,
+            "sf": sf,
+        }
+    else:
+        payload["tpch_total"] = tpch_total
     print(json.dumps(payload))
     # The driver's BENCH_r{N}.json keeps only a 4 KB stdout tail, which
     # truncates the per-query map past ~80 queries (r4 verdict item 4).
     # Persist the FULL map to a round-stamped artifact so per-query
     # round-over-round comparison works from files alone.
-    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        # Round number: explicit SPARK_GRAFT_ROUND wins (the r5 ADVICE
-        # fix — a re-run AFTER the driver wrote this round's BENCH_r
-        # file would otherwise stamp the NEXT round's name); fall back
-        # to max(BENCH_r*)+1 inference only when unset.
-        env_round = os.environ.get("SPARK_GRAFT_ROUND")
-        if env_round and env_round.isdigit():
-            n = int(env_round)
-        else:
-            rounds = [
-                int(m.group(1))
-                for f in os.listdir(repo)
-                if (m := re.match(r"BENCH_r(\d+)\.json$", f))
-            ]
-            n = max(rounds, default=0) + 1
+        n = _round_number(repo)
         full = json.dumps(payload, indent=1, sort_keys=True)
-        with open(os.path.join(repo, f"BENCH_full_r{n:02d}.json"), "w") as fh:
-            fh.write(full + "\n")
-        with open(os.path.join(repo, "BENCH_full_latest.json"), "w") as fh:
-            fh.write(full + "\n")
+        # Seal guard (r8 verdict item 1): a full N=1 sweep must never
+        # silently replace a committed N=3 seal with noisier medians —
+        # the r8 driver rerun did exactly that. A lower-bench_n full
+        # run is diverted to a scratch name; restricted --only merges
+        # are exempt (they preserve the sealed rows and downgrade the
+        # recorded bench_n honestly).
+        targets = [
+            os.path.join(repo, f"BENCH_full_r{n:02d}.json"),
+            os.path.join(repo, "BENCH_full_latest.json"),
+        ]
+        for path in targets:
+            if only and not os.path.exists(path):
+                continue  # merges never CREATE a round seal, only update
+            if not only and os.path.exists(path):
+                with open(path) as fh:
+                    existing_n = int(json.load(fh).get("bench_n", 1))
+                if existing_n > int(payload["bench_n"]):
+                    path = os.path.join(repo, "BENCH_full_scratch.json")
+                    sys.stderr.write(
+                        f"bench.py: refusing to overwrite N={existing_n} seal "
+                        f"with N={payload['bench_n']} run; wrote scratch\n"
+                    )
+            with open(path, "w") as fh:
+                fh.write(full + "\n")
     except OSError:
         pass  # artifact write must never fail the bench
 

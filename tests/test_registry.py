@@ -83,6 +83,37 @@ def test_bench_headline_covers_registry():
     )
 
 
+def test_round_seal_equals_latest():
+    """The CURRENT round's versioned seal, once written, must equal the
+    rolling `latest` artifact byte-for-byte (r8 verdict item 1: the r8
+    correctness seal lagged latest by one op, and the bench seal was
+    clobbered by a lower-N rerun). bench.py and tools/driver_sim.py now
+    write/mirror both names together; this gate makes a divergence a
+    red test for the rest of the round. Historical seals (completed
+    rounds) are snapshots and legitimately diverge — only the current
+    round, inferred as max(BENCH_r*)+1, is compared."""
+    import json
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for f in REPO.iterdir()
+        if (m := _re.match(r"BENCH_r(\d+)\.json$", f.name))
+    ]
+    n = max(rounds, default=0) + 1
+    for stem in ("CORRECTNESS_full", "BENCH_full"):
+        seal = REPO / f"{stem}_r{n:02d}.json"
+        if not seal.exists():
+            continue  # round not sealed yet
+        latest = json.loads((REPO / f"{stem}_latest.json").read_text())
+        sealed = json.loads(seal.read_text())
+        assert sealed == latest, (
+            f"{seal.name} diverged from {stem}_latest.json — re-run the "
+            "unrestricted sweep (correctness) or full bench (N>=seal) so "
+            "both regenerate together"
+        )
+
+
 def test_correctness_full_artifact_is_fresh():
     """The committed full-registry correctness artifact must cover the
     registry EXACTLY (r6 ADVICE: the r6 artifact was generated before 7
