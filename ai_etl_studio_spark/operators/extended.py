@@ -1404,3 +1404,87 @@ def zorder_boxed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def ensure_month_dim(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> str:
+    """Build-once tiny month dimension (m_month 'yyyy-MM', m_year,
+    m_quarter — ~84 rows) persisted next to the month-partitioned
+    orders layout, sharing its fingerprint. The star-schema prop for
+    dynamic partition pruning: the FACT carries no month literal, the
+    DIM carries the human predicate (year/quarter), and the join key is
+    the fact's partition column."""
+    import os
+
+    prefix, root = _layout_ident("opart_month", sf_dir, base_dir)
+    path = os.path.join(root, "month_dim")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(F.date_format("o_orderdate", "yyyy-MM").alias("m_month"))
+            .distinct()
+            .withColumn("m_year", F.substring("m_month", 1, 4).cast("int"))
+            .withColumn(
+                "m_quarter",
+                ((F.substring("m_month", 6, 2).cast("int") - 1) / 3).cast(
+                    "int"
+                )
+                + F.lit(1),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+@register(
+    "dpp_quarter_star_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y') = '1995'
+      AND (CAST(strftime(o_orderdate, '%m') AS INT) - 1) // 3 + 1 = 2
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def dpp_quarter_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup where the month predicate lives ONLY on the
+    tiny dim (m_year=1995, m_quarter=2) and reaches the fact scan at
+    RUNTIME as a DynamicPruningExpression — the device that completes
+    the storage-layout tier: bucketing removed the join shuffle,
+    hive partitioning proved the planning-time prune with a literal,
+    and this is the 100 TB star-join shape where no literal exists at
+    planning time. Spark broadcasts the filtered dim, collects its
+    distinct m_month values, and injects them into the fact's
+    PartitionFilters before listing directories — the fact reads 3 of
+    ~84 month partitions with zero month literal anywhere in the query.
+
+    Scale: the dim is bounded (~84 rows — one per month; AQE broadcasts
+    it), the fact-side exchange is the rollup's only shuffle, and the
+    runtime prune is exactly how Delta/Iceberg star joins avoid reading
+    the fact table: planning-time pruning can't help because the
+    predicate is on the DIM's attributes, not the partition column.
+    Plan invariant pinned in test_plans: the fact scan's
+    PartitionFilters carries dynamicpruningexpression(o_month ...).
+    """
+    fact = spark.read.parquet(ensure_month_partitioned_orders(spark, sf_dir))
+    dim = (
+        spark.read.parquet(ensure_month_dim(spark, sf_dir))
+        .filter((F.col("m_year") == 1995) & (F.col("m_quarter") == 2))
+    )
+    return (
+        fact.join(dim, fact.o_month == dim.m_month)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

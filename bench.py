@@ -634,6 +634,8 @@ HEADLINE = [
     "bucketed_colocated_join",
     "partition_pruned_rollup",
     "zorder_boxed_rollup",
+    # round-9 additions
+    "dpp_quarter_star_join",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

@@ -2811,6 +2811,16 @@ class TestRound8Plans:
         pushed = t.split("PushedFilters", 1)[1].split("]", 1)[0]
         assert "o_custkey" in pushed and "o_orderdate" in pushed
 
+    def test_dpp_star_join_prunes_at_runtime(self, spark):
+        # r9 (r8 verdict item 3): the month predicate lives only on the
+        # dim; the fact scan must receive it at RUNTIME as a
+        # DynamicPruningExpression in PartitionFilters — no month
+        # literal anywhere in the plan's fact side.
+        t = full(spark, "dpp_quarter_star_join")
+        pf = t.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        assert "dynamicpruningexpression" in pf
+        assert "o_month" in pf
+
     def test_graph_tier_is_broadcast_safe(self, spark):
         from ai_etl_studio_spark.plans.tripwire import (
             broadcast_violations,
@@ -2830,6 +2840,7 @@ class TestRound8Plans:
             "partition_pruned_rollup",
             "zorder_boxed_rollup",
             "interval_left_join_conversions",
+            "dpp_quarter_star_join",
         ):
             with checkpoint_audit() as audit:
                 v = broadcast_violations(QUERIES[name](spark, SF_DIR))
