@@ -6121,3 +6121,263 @@ def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("err_ppm"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# round-9: WEIGHTED co-purchase graph tier (r8 verdict item 5). Same
+# topology and fence as the unweighted tier — the weighted edge set is
+# the CAPPED edge set annotated with exact-cents strength — so every
+# scale argument (support floor, degree cap, hint-free joins,
+# checkpointed small frames) carries over unchanged; the only new work
+# is one revenue rollup over lineitem and one join onto the capped
+# edges.
+# ---------------------------------------------------------------------------
+
+#: weighted edges: pair weight = Σ over shared orders of (revenue of
+#: x's lines + revenue of y's lines in that order), exact cents. Built
+#: ON TOP of the unweighted CTE so the fence (sup >= MINSUP, deg <=
+#: DCAP) is literally the same text in both engines.
+_CP_WGRAPH_CTE = (
+    _CP_GRAPH_CTE
+    + """
+    , opr AS (
+      SELECT l_orderkey AS o, l_partkey AS p,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS r
+      FROM lineitem GROUP BY 1, 2),
+    pw AS (
+      SELECT a.p AS x, b.p AS y, CAST(SUM(a.r + b.r) AS BIGINT) AS w
+      FROM opr a JOIN opr b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2),
+    ew AS (
+      SELECT e.x, e.y, pw.w FROM e
+      JOIN pw ON e.x = pw.x AND e.y = pw.y),
+    adjw AS (SELECT x AS u, y AS v, w FROM ew
+             UNION ALL SELECT y, x, w FROM ew),
+    st AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS deg,
+             CAST(SUM(w) AS BIGINT) AS s
+      FROM adjw GROUP BY u)
+"""
+)
+
+_CP_WGRAPH_CTE_REC = _CP_WGRAPH_CTE.replace(
+    _CP_CTE_MARKER, "WITH RECURSIVE op AS", 1
+)
+
+
+def _copurchase_wgraph(spark: SparkSession, sf_dir: str):
+    """Spark twin of ``_CP_WGRAPH_CTE``: (ew, adjw, strength) — the
+    capped edge set annotated with exact-cents co-purchase strength,
+    its symmetric weighted adjacency, and per-node (degree, strength).
+    Topology is IDENTICAL to ``_copurchase_graph`` (the weight join
+    cannot add or drop edges: every capped edge has a weight by
+    construction), so the unweighted fence bounds this tier too.
+
+    Scale: one extra (orderkey, partkey) revenue rollup over lineitem
+    (same shuffle key as the pair fan-out), one pair-weight rollup, one
+    join onto the checkpointed capped edges. Hint-free — AQE broadcasts
+    the small side where it fits."""
+    import os as _os
+
+    key = (
+        spark.sparkContext.applicationId,
+        "wgraph",
+        _os.path.realpath(sf_dir),
+    )
+    hit = _CP_GRAPH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    e, adj, deg, _ = _copurchase_graph(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    opr = li.groupBy(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("r")
+    )
+    # per-order sorted (part, revenue) list -> pair fan-out with the
+    # SAME one-shuffle device as the unweighted builder (no self-join)
+    ps = opr.groupBy("o").agg(
+        F.sort_array(F.collect_list(F.struct("p", "r"))).alias("ps")
+    )
+    pw = (
+        ps.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (a, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " b -> struct(a.p AS x, b.p AS y,"
+                    " a.r + b.r AS w))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.x", "pr.y", "pr.w")
+        .groupBy("x", "y")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    ew = e.join(pw, ["x", "y"]).localCheckpoint()
+    adjw = ew.select(
+        F.col("x").alias("u"), F.col("y").alias("v"), "w"
+    ).unionAll(ew.select(F.col("y").alias("u"), F.col("x").alias("v"), "w"))
+    strength = adjw.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg"),
+        F.sum("w").cast("bigint").alias("s"),
+    )
+    _CP_GRAPH_CACHE[key] = (ew, adjw, strength)
+    return _CP_GRAPH_CACHE[key]
+
+
+@register(
+    "copurchase_strength_topk",
+    oracle=_CP_WGRAPH_CTE
+    + """
+    SELECT u AS part_key, deg AS degree, s AS strength_cents
+    FROM st ORDER BY strength_cents DESC, part_key LIMIT 20
+    """,
+)
+def copurchase_strength_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by co-purchase STRENGTH (weighted degree: the exact
+    cents of revenue flowing over a part's co-purchase edges) beside
+    the raw degree — the revenue-anchored complement of the degree
+    ranking: a part with few but expensive co-purchases outranks a hub
+    of trinkets, which is the ranking a merchandiser actually acts on.
+
+    Exactness: integer cents end-to-end (per-(order,part) revenue is
+    rounded once at the source, then only integer sums).
+
+    Scale: the strength table is |nodes| rows off the capped adjacency;
+    one rollup + top-k."""
+    _, _, strength = _copurchase_wgraph(spark, sf_dir)
+    return (
+        strength.select(
+            F.col("u").alias("part_key"),
+            F.col("deg").alias("degree"),
+            F.col("s").alias("strength_cents"),
+        )
+        .orderBy(F.desc("strength_cents"), "part_key")
+        .limit(20)
+    )
+
+
+@register(
+    "copurchase_strength_profile",
+    oracle=_CP_WGRAPH_CTE
+    + """
+    SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(s) AS BIGINT) AS strength_cents,
+           CAST(round(CAST(SUM(s) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)
+             AS avg_strength_cents
+    FROM st GROUP BY deg ORDER BY degree
+    """,
+)
+def copurchase_strength_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strength-by-degree profile: for each co-purchase degree k, how
+    many parts sit there and how much exact-cents strength they carry
+    (total + per-node mean). Read against copurchase_avg_neighbor_degree
+    it answers whether WEIGHT concentrates where DEGREE does — flat
+    avg_strength over k means revenue rides the long tail, rising means
+    the hubs are also the money (the weighted-assortativity question).
+
+    Exactness: integer cents summed exactly; ONE mirrored final
+    division for the mean.
+
+    Scale: |nodes|-row input, ≤ DCAP output rows."""
+    _, _, strength = _copurchase_wgraph(spark, sf_dir)
+    return (
+        strength.groupBy(F.col("deg").alias("degree"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("s").cast("bigint").alias("strength_cents"),
+            F.round(
+                F.sum("s").cast("double") / F.count(F.lit(1)).cast("double"),
+                0,
+            )
+            .cast("bigint")
+            .alias("avg_strength_cents"),
+        )
+        .orderBy("degree")
+    )
+
+
+@register(
+    "copurchase_weighted_eigenvector_topk",
+    oracle=_CP_WGRAPH_CTE_REC
+    + """
+    , ev(i, u, s) AS (
+      SELECT 0, u, CAST(1000000 AS BIGINT) FROM st
+      UNION
+      SELECT c.i + 1, c.u,
+             CAST(round(1000000E0 * CAST(
+               (SELECT SUM(a.w * r2.s) FROM adjw a JOIN ev r2
+                  ON a.v = r2.u AND r2.i = c.i WHERE a.u = c.u)
+               AS DOUBLE) / CAST(
+               (SELECT MAX(m.ns) FROM (
+                  SELECT SUM(a2.w * r3.s) AS ns FROM adjw a2 JOIN ev r3
+                    ON a2.v = r3.u AND r3.i = c.i
+                  GROUP BY a2.u) m)
+               AS DOUBLE), 0) AS BIGINT)
+      FROM ev c WHERE c.i < 10)
+    SELECT u AS part_key, s AS centrality_micro
+    FROM ev WHERE i = 10
+    ORDER BY centrality_micro DESC, part_key LIMIT 20
+    """,
+)
+def copurchase_weighted_eigenvector_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 parts by WEIGHTED eigenvector centrality: influence
+    weighted by the revenue strength of each co-purchase tie — the
+    flagship detector where an edge worth $10k pulls 100x an edge worth
+    $100, i.e. prestige in dollars rather than in link count. Diverges
+    from the unweighted ranking exactly where cheap-hub / expensive-
+    niche structure exists.
+
+    Algorithm: the SAME 10-step integer-micro quantized power iteration
+    as copurchase_eigenvector_topk with A's entries being exact cents
+    (x_{k+1} = round(1e6 · A_w·x_k / max)); both engines and the pytest
+    replay walk a bit-identical integer trajectory. Products stay well
+    inside bigint: w ≤ ~1e9 cents, s ≤ 1e6, ≤ DCAP neighbors.
+
+    Scale: each step is one shuffle keyed by node over the capped
+    weighted adjacency + a 1-row max; hint-free throughout."""
+    _, adjw, strength = _copurchase_wgraph(spark, sf_dir)
+    edges = adjw.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).localCheckpoint()
+    x = (
+        strength.select("u")
+        .withColumn("s", F.lit(1_000_000).cast("bigint"))
+        .localCheckpoint()
+    )
+    for _ in range(10):
+        ns = (
+            edges.join(x, edges.dst == x.u)
+            .groupBy(F.col("src").alias("nu"))
+            .agg(F.sum(F.col("w") * F.col("s")).alias("ns"))
+        )
+        mx = ns.agg(F.max("ns").alias("mx"))
+        x = (
+            ns.crossJoin(mx)
+            .select(
+                F.col("nu").alias("u"),
+                F.round(
+                    F.lit(1_000_000.0)
+                    * F.col("ns").cast("double")
+                    / F.col("mx").cast("double"),
+                    0,
+                )
+                .cast("bigint")
+                .alias("s"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        x.select(
+            F.col("u").alias("part_key"), F.col("s").alias("centrality_micro")
+        )
+        .orderBy(F.desc("centrality_micro"), "part_key")
+        .limit(20)
+    )

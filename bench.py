@@ -636,6 +636,9 @@ HEADLINE = [
     "zorder_boxed_rollup",
     # round-9 additions
     "dpp_quarter_star_join",
+    "copurchase_strength_topk",
+    "copurchase_strength_profile",
+    "copurchase_weighted_eigenvector_topk",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

@@ -2841,6 +2841,9 @@ class TestRound8Plans:
             "zorder_boxed_rollup",
             "interval_left_join_conversions",
             "dpp_quarter_star_join",
+            "copurchase_strength_topk",
+            "copurchase_strength_profile",
+            "copurchase_weighted_eigenvector_topk",
         ):
             with checkpoint_audit() as audit:
                 v = broadcast_violations(QUERIES[name](spark, SF_DIR))
