@@ -1802,7 +1802,11 @@ def _pagerank_index_ident(sf_dir: str, base_dir: str | None = None) -> tuple[str
         f"|{os.path.abspath(base_dir)}".encode()
     ).hexdigest()[:12]
     tbl = f"pr_edges_{fp}"
-    return tbl, os.path.join(base_dir, tbl)
+    path = os.path.join(base_dir, tbl)
+    from ai_etl_studio_spark.layout_cache import manifest_and_gc
+
+    manifest_and_gc(path, [os.path.join(sf_dir, "lineitem.parquet")])
+    return tbl, path
 
 
 def ensure_pagerank_edge_index(

@@ -813,7 +813,11 @@ def _line_index_ident(sf_dir: str, base_dir: str | None = None) -> tuple[str, st
         f"|{LINE_W}|{LINE_DROP_DF}|{os.path.abspath(base_dir)}".encode()
     ).hexdigest()[:12]
     tbl = f"bp_lines_{fp}"
-    return tbl, os.path.join(base_dir, tbl)
+    path = os.path.join(base_dir, tbl)
+    from ai_etl_studio_spark.layout_cache import manifest_and_gc
+
+    manifest_and_gc(path, [os.path.join(sf_dir, "documents.parquet")])
+    return tbl, path
 
 
 def _doc_lines(d: DataFrame) -> DataFrame:
@@ -1644,7 +1648,11 @@ def _substr_index_ident(sf_dir: str, base_dir: str | None = None) -> tuple[str, 
         f"|{SUBSTR_W}|{SUBSTR_DF}|{os.path.abspath(base_dir)}".encode()
     ).hexdigest()[:12]
     tbl = f"substr_win_{fp}"
-    return tbl, os.path.join(base_dir, tbl)
+    path = os.path.join(base_dir, tbl)
+    from ai_etl_studio_spark.layout_cache import manifest_and_gc
+
+    manifest_and_gc(path, [os.path.join(sf_dir, "documents.parquet")])
+    return tbl, path
 
 
 def ensure_substring_index(

@@ -1111,7 +1111,15 @@ def _layout_ident(
         for t in tables
     )
     fp = hashlib.sha1(f"{base_dir}|{sf_dir}|{stats}".encode()).hexdigest()[:12]
-    return f"{kind}_{fp}", os.path.join(base_dir, fp)
+    root = os.path.join(base_dir, fp)
+    # cache hygiene (r8 verdict item 6): record this layout's sources,
+    # drop stranded sibling fingerprints whose sources changed/vanished
+    from ai_etl_studio_spark.layout_cache import manifest_and_gc
+
+    manifest_and_gc(
+        root, [os.path.join(sf_dir, f"{t}.parquet") for t in tables]
+    )
+    return f"{kind}_{fp}", root
 
 
 def ensure_bucketed_orderkey_tables(

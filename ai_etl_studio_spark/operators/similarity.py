@@ -1316,7 +1316,11 @@ def _pq_index_ident(sf_dir: str, base_dir: str | None = None) -> tuple[str, str]
         f"|{PQ_M}|{PQ_SUBDIM}|{PQ_K}|{_PQ_SCALE}|{os.path.abspath(base_dir)}".encode()
     ).hexdigest()[:12]
     tbl = f"pq_codes_{fp}"
-    return tbl, os.path.join(base_dir, tbl)
+    path = os.path.join(base_dir, tbl)
+    from ai_etl_studio_spark.layout_cache import manifest_and_gc
+
+    manifest_and_gc(path, [os.path.join(sf_dir, "embeddings.parquet")])
+    return tbl, path
 
 
 def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
