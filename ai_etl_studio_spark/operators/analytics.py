@@ -12546,3 +12546,249 @@ def raking_ipf_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("nation_margin_resid_micro"),
     ).orderBy("nationkey", "segment")
+
+
+# ---------------------------------------------------------------------------
+# round-9: the remaining classical price-index family members —
+# Marshall-Edgeworth (symmetric additive weights) and Sato-Vartia (the
+# exact log-change ideal index) — same matched-basket, reduce-before-
+# join, exact-integer discipline as laspeyres/fisher/walsh/tornqvist.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "marshall_edgeworth_price_index",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q0,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS r0
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = {_LASPEYRES_BASE_YEAR}
+      GROUP BY 1 HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+    cur AS (
+      SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+               AS m,
+             l_partkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qt,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rt
+      FROM lineitem GROUP BY 1, 2
+      HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+    j AS (
+      SELECT cur.m,
+             CAST(SUM(CAST(CAST(cur.rt * 1000 // cur.qt AS BIGINT)
+               AS HUGEINT) * (base.q0 + cur.qt)) AS BIGINT) AS num,
+             CAST(SUM(CAST(CAST(base.r0 * 1000 // base.q0 AS BIGINT)
+               AS HUGEINT) * (base.q0 + cur.qt)) AS BIGINT) AS den,
+             CAST(COUNT(*) AS BIGINT) AS n_matched
+      FROM cur JOIN base ON cur.l_partkey = base.l_partkey
+      GROUP BY 1)
+    SELECT m AS month, n_matched,
+           CAST(num * 1000 // den AS BIGINT) AS me_index_milli
+    FROM j ORDER BY m
+    """,
+)
+def marshall_edgeworth_price_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Marshall-Edgeworth price index per month: unit prices weighted
+    by the SUM of base and current quantities (q0 + qt) — the additive
+    symmetric compromise between Laspeyres (q0, overstates) and
+    Paasche (qt, understates), sitting between them by construction
+    without Fisher's geometric mean. The CPI-manual member the triad
+    op omits.
+
+    Scale: identical reduce-before-join shape to laspeyres — both legs
+    collapse to per-(part[, month]) exact integers first; weighted
+    sums ride decimal128, the index is exact integer milli.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round("l_quantity").cast("bigint")
+    base = (
+        li.filter(
+            F.year(F.col("l_shipdate").cast("date")) == _LASPEYRES_BASE_YEAR
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(q).cast("bigint").alias("q0"),
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("r0"),
+        )
+        .filter(F.col("q0") > 0)
+    )
+    cur = (
+        li.groupBy(
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias("m"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(q).cast("bigint").alias("qt"),
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("rt"),
+        )
+        .filter(F.col("qt") > 0)
+    )
+    pt = F.expr("CAST(rt * 1000 DIV qt AS BIGINT)").cast("decimal(38,0)")
+    p0 = F.expr("CAST(r0 * 1000 DIV q0 AS BIGINT)").cast("decimal(38,0)")
+    w = (F.col("q0") + F.col("qt")).cast("decimal(38,0)")
+    j = (
+        cur.join(base, "l_partkey")
+        .groupBy("m")
+        .agg(
+            F.sum(pt * w).cast("bigint").alias("num"),
+            F.sum(p0 * w).cast("bigint").alias("den"),
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        )
+    )
+    return j.select(
+        F.col("m").alias("month"),
+        "n_matched",
+        F.expr("CAST(num * 1000 DIV den AS BIGINT)").alias("me_index_milli"),
+    ).orderBy("month")
+
+
+@register(
+    "sato_vartia_price_index",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q0,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS r0
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = {_LASPEYRES_BASE_YEAR}
+      GROUP BY 1 HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+    cur AS (
+      SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+               AS m,
+             l_partkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qt,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rt
+      FROM lineitem GROUP BY 1, 2
+      HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+    mj AS (
+      SELECT cur.m, cur.l_partkey, cur.qt, cur.rt, base.q0, base.r0,
+             CAST(SUM(cur.rt) OVER (PARTITION BY cur.m) AS BIGINT) AS rtot,
+             CAST(SUM(base.r0) OVER (PARTITION BY cur.m) AS BIGINT) AS r0tot
+      FROM cur JOIN base ON cur.l_partkey = base.l_partkey),
+    terms AS (
+      SELECT m,
+             CASE WHEN CAST(rt AS HUGEINT) * r0tot
+                       = CAST(r0 AS HUGEINT) * rtot
+                  THEN CAST(round(CAST(rt AS DOUBLE) / CAST(rtot AS DOUBLE)
+                       * 1000000000000E0, 0) AS BIGINT)
+                  ELSE CAST(round(
+                    (CAST(rt AS DOUBLE) / CAST(rtot AS DOUBLE)
+                     - CAST(r0 AS DOUBLE) / CAST(r0tot AS DOUBLE))
+                    / (ln(CAST(rt AS DOUBLE) / CAST(rtot AS DOUBLE))
+                       - ln(CAST(r0 AS DOUBLE) / CAST(r0tot AS DOUBLE)))
+                    * 1000000000000E0, 0) AS BIGINT)
+             END AS lq,
+             CAST(round(
+               (CASE WHEN CAST(rt AS HUGEINT) * r0tot
+                          = CAST(r0 AS HUGEINT) * rtot
+                     THEN CAST(rt AS DOUBLE) / CAST(rtot AS DOUBLE)
+                     ELSE (CAST(rt AS DOUBLE) / CAST(rtot AS DOUBLE)
+                           - CAST(r0 AS DOUBLE) / CAST(r0tot AS DOUBLE))
+                          / (ln(CAST(rt AS DOUBLE) / CAST(rtot AS DOUBLE))
+                             - ln(CAST(r0 AS DOUBLE)
+                                  / CAST(r0tot AS DOUBLE)))
+                END)
+               * ln(CAST(rt * 1000 // qt AS DOUBLE)
+                    / CAST(r0 * 1000 // q0 AS DOUBLE))
+               * 1000000000000E0, 0) AS BIGINT) AS tq
+      FROM mj),
+    s AS (
+      SELECT m, CAST(SUM(CAST(lq AS HUGEINT)) AS HUGEINT) AS lsum,
+             CAST(SUM(CAST(tq AS HUGEINT)) AS HUGEINT) AS tsum,
+             CAST(COUNT(*) AS BIGINT) AS n_matched
+      FROM terms GROUP BY m)
+    SELECT m AS month, n_matched,
+           CAST(round(exp(CAST(tsum AS DOUBLE) / CAST(lsum AS DOUBLE))
+             * 1000, 0) AS BIGINT) AS sv_index_milli
+    FROM s ORDER BY m
+    """,
+)
+def sato_vartia_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sato-Vartia price index per month: the exact log-change IDEAL
+    index — per-part log price relatives weighted by the LOGARITHMIC
+    MEAN of base and current expenditure shares, the unique index that
+    is exact for CES preferences and passes both the factor- and
+    time-reversal tests (the property Tornqvist only approximates).
+
+    Exactness: expenditure shares come from exact integer cents (the
+    equal-share branch is decided by exact integer cross-products, not
+    double equality); each part's log-mean weight and weighted
+    log-relative are quantized to integer 1e-12 ticks BEFORE the
+    monthly sum, so the reduction is order-independent in both engines
+    (the tick-quantized-sum device); one mirrored exp at the end.
+
+    Scale: reduce-before-join; two window sums per month over the
+    matched basket; term magnitudes ≤ ~1e13 ride decimal128 sums.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round("l_quantity").cast("bigint")
+    base = (
+        li.filter(
+            F.year(F.col("l_shipdate").cast("date")) == _LASPEYRES_BASE_YEAR
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(q).cast("bigint").alias("q0"),
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("r0"),
+        )
+        .filter(F.col("q0") > 0)
+    )
+    cur = (
+        li.groupBy(
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias("m"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(q).cast("bigint").alias("qt"),
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("rt"),
+        )
+        .filter(F.col("qt") > 0)
+    )
+    wm = Window.partitionBy("m")
+    mj = cur.join(base, "l_partkey").select(
+        "m",
+        "qt",
+        "rt",
+        "q0",
+        "r0",
+        F.sum("rt").over(wm).cast("bigint").alias("rtot"),
+        F.sum("r0").over(wm).cast("bigint").alias("r0tot"),
+    )
+    eq = F.expr(
+        "CAST(rt AS DECIMAL(38,0)) * r0tot = CAST(r0 AS DECIMAL(38,0)) * rtot"
+    )
+    s1 = F.col("rt").cast("double") / F.col("rtot").cast("double")
+    s0 = F.col("r0").cast("double") / F.col("r0tot").cast("double")
+    lmean = F.when(eq, s1).otherwise((s1 - s0) / (F.log(s1) - F.log(s0)))
+    lnrel = F.log(
+        F.expr("CAST(rt * 1000 DIV qt AS DOUBLE)")
+        / F.expr("CAST(r0 * 1000 DIV q0 AS DOUBLE)")
+    )
+    terms = mj.select(
+        "m",
+        F.round(lmean * 1e12, 0).cast("bigint").alias("lq"),
+        F.round(lmean * lnrel * 1e12, 0).cast("bigint").alias("tq"),
+    )
+    s = terms.groupBy("m").agg(
+        F.sum(F.col("lq").cast("decimal(38,0)")).alias("lsum"),
+        F.sum(F.col("tq").cast("decimal(38,0)")).alias("tsum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+    )
+    return s.select(
+        F.col("m").alias("month"),
+        "n_matched",
+        F.round(
+            F.exp(F.col("tsum").cast("double") / F.col("lsum").cast("double"))
+            * 1000,
+            0,
+        )
+        .cast("bigint")
+        .alias("sv_index_milli"),
+    ).orderBy("month")

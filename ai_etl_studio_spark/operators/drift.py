@@ -9112,3 +9112,244 @@ def ansari_bradley_delay_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000E0, 0) AS BIGINT)"
         ).alias("ab_z_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-9: diversity / concentration family completion — Hill numbers
+# (the unified diversity spectrum), Pielou evenness + Berger-Parker
+# dominance, and the CR4 concentration ratio beside the existing HHI.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hill_numbers_by_nation",
+    oracle="""
+    WITH c AS (
+      SELECT n.n_name AS nation, p.p_type AS ty,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    t AS (
+      SELECT nation, ty, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY nation) AS BIGINT) AS tot
+      FROM c)
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(round(exp(CAST(-SUM(CAST(round(
+               (CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+               * ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+               * 1000000000E0, 0) AS BIGINT)) AS DOUBLE) / 1000000000E0)
+             * 1000000E0, 0) AS BIGINT) AS hill1_micro,
+           CAST(round(CAST(MAX(tot) AS DOUBLE) * CAST(MAX(tot) AS DOUBLE)
+             / CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS DOUBLE)
+             * 1000000E0, 0) AS BIGINT) AS hill2_micro
+    FROM t GROUP BY nation ORDER BY nation
+    """,
+)
+def hill_numbers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill-number diversity spectrum of each nation's part-type mix:
+    q=0 (richness: types present), q=1 (exp of Shannon entropy:
+    types weighted by share), q=2 (inverse Simpson: dominance-weighted
+    effective types). Read together the three say whether a market is
+    broad (q0 high), balanced (q1 close to q0) or hit-driven (q2 far
+    below q1) — the unified frame the separate entropy/Simpson ops
+    sample at single points.
+
+    Exactness: counts are exact; q1's entropy terms are quantized to
+    integer 1e-9 ticks before the per-nation sum (order-independent in
+    both engines); q2 is exact integer Σn² under one mirrored double
+    division; one mirrored exp/round each.
+
+    Scale: reduces to the (nation, type) grain (≤ 25x150 rows) before
+    any double math; the star join is Catalyst's to broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    c = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(n, cu.c_nationkey == n.n_nationkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_type").alias("ty"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    t = c.select(
+        "nation",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("nation")).cast("bigint").alias("tot"),
+    )
+    share = F.col("cnt").cast("double") / F.col("tot").cast("double")
+    tick = F.round(share * F.log(share) * 1e9, 0).cast("bigint")
+    return (
+        t.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(
+                F.exp((-F.sum(tick)).cast("double") / 1e9) * 1e6, 0
+            )
+            .cast("bigint")
+            .alias("hill1_micro"),
+            F.round(
+                F.max("tot").cast("double")
+                * F.max("tot").cast("double")
+                / F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt"))
+                .cast("double")
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("hill2_micro"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "lang_evenness_by_source",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE lang IS NOT NULL GROUP BY source, lang),
+    t AS (
+      SELECT source, lang, n,
+             CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS tot
+      FROM c)
+    SELECT source,
+           CAST(MAX(tot) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CASE WHEN COUNT(*) > 1 THEN
+             CAST(round(CAST(-SUM(CAST(round(
+                 (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                 * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                 * 1000000000E0, 0) AS BIGINT)) AS DOUBLE) / 1000000000E0
+               / ln(CAST(COUNT(*) AS DOUBLE)) * 1000000E0, 0) AS BIGINT)
+           END AS pielou_micro,
+           CAST(MAX(n) * 1000000 // MAX(tot) AS BIGINT)
+             AS berger_parker_micro
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def lang_evenness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pielou evenness (H / ln S — entropy as a share of its maximum)
+    and Berger-Parker dominance (largest single-language share) of each
+    source's language mix: the two normalized companions to
+    entropy_by_source's raw H. Evenness is comparable ACROSS sources
+    with different language counts (raw entropy is not); dominance is
+    the single-number monoculture alarm. Single-language sources get
+    NULL evenness (undefined, not 0 — mirrored CASE in both engines).
+
+    Exactness: entropy ticks quantized at 1e-9 before the sum (the
+    entropy_by_source device); dominance is an exact integer micro
+    floor-division.
+
+    Scale: (source, lang) grain — dozens of rows."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    c = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.select(
+        "source",
+        "n",
+        F.sum("n").over(Window.partitionBy("source")).cast("bigint").alias("tot"),
+    )
+    share = F.col("n").cast("double") / F.col("tot").cast("double")
+    tick = F.round(share * F.log(share) * 1e9, 0).cast("bigint")
+    return (
+        t.groupBy("source")
+        .agg(
+            F.max("tot").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.when(
+                F.count(F.lit(1)) > 1,
+                F.round(
+                    (-F.sum(tick)).cast("double")
+                    / 1e9
+                    / F.log(F.count(F.lit(1)).cast("double"))
+                    * 1e6,
+                    0,
+                ).cast("bigint"),
+            ).alias("pielou_micro"),
+            F.expr("CAST(MAX(n) * 1000000 DIV MAX(tot) AS BIGINT)").alias(
+                "berger_parker_micro"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "cr4_revenue_by_nation",
+    oracle="""
+    WITH cr AS (
+      SELECT n.n_name AS nation, o.o_custkey AS ck,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    r AS (
+      SELECT nation, cents,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY cents DESC, ck) AS rn,
+             CAST(SUM(cents) OVER (PARTITION BY nation) AS BIGINT) AS tot,
+             CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT) AS n_cust
+      FROM cr)
+    SELECT nation, CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN rn <= 4 THEN cents ELSE 0 END)
+             * 1000000 // MAX(tot) AS BIGINT) AS cr4_micro
+    FROM r GROUP BY nation ORDER BY nation
+    """,
+)
+def cr4_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CR4 concentration ratio per nation: the revenue share of the 4
+    largest customers — the antitrust screen that reads differently
+    from HHI (CR4 sees only the head; HHI squares the whole
+    distribution), so the pair separates 'four whales' from 'one whale
+    plus a spread'. Deterministic top-4 via (cents DESC, custkey) tie
+    break, mirrored in both engines.
+
+    Exactness: integer cents end-to-end; the share is one exact integer
+    micro floor-division per nation.
+
+    Scale: reduces to (nation, customer) grain before the windows; the
+    per-nation windows shuffle once on the low-cardinality key."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cr = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(n, cu.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_custkey").alias("ck"))
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("cents"))
+    )
+    wn = Window.partitionBy("nation")
+    r = cr.select(
+        "nation",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("nation").orderBy(F.desc("cents"), "ck"))
+        .alias("rn"),
+        F.sum("cents").over(wn).cast("bigint").alias("tot"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n_cust"),
+    )
+    return (
+        r.groupBy("nation")
+        .agg(
+            F.max("n_cust").cast("bigint").alias("n_customers"),
+            F.expr(
+                "CAST(SUM(CASE WHEN rn <= 4 THEN cents ELSE 0 END)"
+                " * 1000000 DIV MAX(tot) AS BIGINT)"
+            ).alias("cr4_micro"),
+        )
+        .orderBy("nation")
+    )

@@ -639,6 +639,11 @@ HEADLINE = [
     "copurchase_strength_topk",
     "copurchase_strength_profile",
     "copurchase_weighted_eigenvector_topk",
+    "marshall_edgeworth_price_index",
+    "sato_vartia_price_index",
+    "hill_numbers_by_nation",
+    "lang_evenness_by_source",
+    "cr4_revenue_by_nation",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
