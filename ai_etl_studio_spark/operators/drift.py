@@ -9353,3 +9353,772 @@ def cr4_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-9: Siegel-Tukey — the alternating-rank scale test beside
+# Ansari-Bradley. Scores are a PERMUTATION of 1..N assigned from both
+# ends inward (1; N, N-1; 2, 3; N-2, N-3; ...), so the Wilcoxon
+# machinery applies unchanged; only the per-tie-group score-run sum
+# differs. Closed form validated against the literal alternating
+# assignment over 5000 random intervals in tests/test_round9_stats.py.
+# The bottom/top split lands at m = 2*(N DIV 4) + (0 if N%4==0 else 1),
+# NOT at (N+1)/2 — the alternation consumes ranks in blocks of
+# 1,2,2,2,... so the boundary depends on N mod 4.
+# ---------------------------------------------------------------------------
+
+_ST_MID_T = "(2 * (nn {d} 4) + CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END)"
+_ST_RUNSUM_T = (
+    "(CASE WHEN lo <= LEAST(hi, " + _ST_MID_T + ")"
+    " THEN (lo + LEAST(hi, " + _ST_MID_T + "))"
+    "      * (LEAST(hi, " + _ST_MID_T + ") - lo + 1)"
+    "      - ((LEAST(hi, " + _ST_MID_T + ") + 1) {d} 2 - lo {d} 2)"
+    " ELSE 0 END"
+    " + CASE WHEN GREATEST(lo, " + _ST_MID_T + " + 1) <= hi"
+    " THEN ((nn + 1 - hi) + (nn + 1 - GREATEST(lo, " + _ST_MID_T + " + 1)))"
+    "      * (hi - GREATEST(lo, " + _ST_MID_T + " + 1) + 1)"
+    "      - ((nn + 1 - GREATEST(lo, " + _ST_MID_T + " + 1)) {d} 2"
+    "         - (nn - hi) {d} 2)"
+    " ELSE 0 END)"
+)
+_ST_RUNSUM = _ST_RUNSUM_T.format(d="DIV")
+_ST_RUNSUM_DDB = _ST_RUNSUM_T.format(d="//")
+
+
+@register(
+    "siegel_tukey_delay_scale",
+    oracle=_DELAY_GRAIN_CTE.replace(_AB_FILTER_MARKER,
+        _AB_FILTER_MARKER
+        + " AND o.o_orderpriority IN ('1-URGENT', '5-LOW')")
+    + f"""
+    , vg AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN pr = '1-URGENT' THEN c ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(SUM(c) AS BIGINT) AS c
+      FROM c GROUP BY v),
+    cum AS (
+      SELECT v, ca, c,
+             CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS hi,
+             CAST(SUM(c) OVER (ORDER BY v) - c + 1 AS BIGINT) AS lo,
+             CAST(SUM(c) OVER () AS BIGINT) AS nn,
+             CAST(SUM(ca) OVER () AS BIGINT) AS m
+      FROM vg),
+    terms AS (
+      SELECT m, nn,
+             CAST({_ST_RUNSUM_DDB} AS BIGINT) AS rs, ca, c
+      FROM cum),
+    s AS (
+      SELECT MAX(m) AS m, MAX(nn) AS nn,
+             CAST(SUM(CAST(round(CAST(ca AS DOUBLE) * CAST(rs AS DOUBLE)
+               / CAST(c AS DOUBLE) * 1000000E0, 0) AS BIGINT)) AS BIGINT)
+               AS st_micro,
+             CAST(SUM(rs) AS BIGINT) AS s1,
+             CAST(SUM(CAST(round(CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE)
+               / CAST(c AS DOUBLE) * 1000E0, 0) AS HUGEINT)) AS HUGEINT)
+               AS s2_milli
+      FROM terms)
+    SELECT m AS n_urgent, nn - m AS n_low,
+           st_micro AS st_stat_micro,
+           CAST(round((CAST(st_micro AS DOUBLE) / 1000000E0
+               - CAST(m AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(nn AS DOUBLE))
+             / sqrt(CAST(m AS DOUBLE) * CAST(nn - m AS DOUBLE)
+                 / (CAST(nn AS DOUBLE) - 1E0)
+               * (CAST(s2_milli AS DOUBLE) / 1000E0 / CAST(nn AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)))
+             * 1000000E0, 0) AS BIGINT) AS st_z_micro
+    FROM s
+    """,
+)
+def siegel_tukey_delay_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel-Tukey SCALE test between URGENT and LOW ship delays:
+    ranks 1..N assigned alternating from both ends inward (extremes
+    rank LOW), so a small rank sum for one group means its values crowd
+    the tails — the permutation-score sibling of Ansari-Bradley (whose
+    scores duplicate min(i, N+1-i)); because ST scores are a
+    permutation of 1..N, its null moments coincide with Wilcoxon's,
+    which is what made it the pre-computer favorite. Running both ST
+    and AB on the same pair is the classic robustness check: they
+    agree unless tie handling is doing the work.
+
+    Exactness: the per-tie-group ST score-run sum is an integer closed
+    form split at m = 2*(N DIV 4) + [N%4 != 0] (validated against the
+    literal alternating assignment over 5000 random intervals in
+    tests); midrank contributions and squared-score terms quantize per
+    value group; mean/variance come from the exact score multiset
+    (finite-population sampling theory, no no-ties approximation).
+
+    Scale: rides the (priority, delay) value grain — one value-grain
+    window, one-row output."""
+    c = _delay_grain(spark, sf_dir).filter(
+        F.col("pr").isin("1-URGENT", "5-LOW")
+    )
+    vg = c.groupBy("v").agg(
+        F.sum(F.when(F.col("pr") == "1-URGENT", F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum("c").cast("bigint").alias("c"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vg.select(
+        "ca",
+        "c",
+        F.sum("c").over(wv).cast("bigint").alias("hi"),
+        (F.sum("c").over(wv) - F.col("c") + 1).cast("bigint").alias("lo"),
+        F.sum("c").over(wall).cast("bigint").alias("nn"),
+        F.sum("ca").over(wall).cast("bigint").alias("m"),
+    )
+    terms = cum.select(
+        "m",
+        "nn",
+        "ca",
+        "c",
+        F.expr(f"CAST({_ST_RUNSUM} AS BIGINT)").alias("rs"),
+    )
+    s = terms.agg(
+        F.max("m").alias("m"),
+        F.max("nn").alias("nn"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(ca AS DOUBLE) * CAST(rs AS DOUBLE)"
+                " / CAST(c AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("st_micro"),
+        F.sum("rs").cast("bigint").alias("s1"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE)"
+                " / CAST(c AS DOUBLE) * 1000E0, 0) AS DECIMAL(38,0))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s2_milli"),
+    )
+    return s.select(
+        F.col("m").alias("n_urgent"),
+        (F.col("nn") - F.col("m")).alias("n_low"),
+        F.col("st_micro").alias("st_stat_micro"),
+        F.expr(
+            "CAST(round((CAST(st_micro AS DOUBLE) / 1000000E0"
+            " - CAST(m AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            "   / CAST(nn AS DOUBLE))"
+            " / sqrt(CAST(m AS DOUBLE) * CAST(nn - m AS DOUBLE)"
+            "     / (CAST(nn AS DOUBLE) - 1E0)"
+            "   * (CAST(s2_milli AS DOUBLE) / 1000E0 / CAST(nn AS DOUBLE)"
+            "      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            "        / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("st_z_micro"),
+    )
+
+
+@register(
+    "jonckheere_terpstra_priority_trend",
+    oracle=_DELAY_GRAIN_CTE
+    + """
+    , vg5 AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN pr = '1-URGENT' THEN c ELSE 0 END)
+               AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN pr = '2-HIGH' THEN c ELSE 0 END)
+               AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN pr = '3-MEDIUM' THEN c ELSE 0 END)
+               AS BIGINT) AS c3,
+             CAST(SUM(CASE WHEN pr = '4-NOT SPECIFIED' THEN c ELSE 0 END)
+               AS BIGINT) AS c4,
+             CAST(SUM(CASE WHEN pr = '5-LOW' THEN c ELSE 0 END)
+               AS BIGINT) AS c5
+      FROM c GROUP BY v),
+    cumv AS (
+      SELECT v, c1, c2, c3, c4, c5,
+             CAST(SUM(c1) OVER (ORDER BY v) - c1 AS BIGINT) AS b1,
+             CAST(SUM(c2) OVER (ORDER BY v) - c2 AS BIGINT) AS b2,
+             CAST(SUM(c3) OVER (ORDER BY v) - c3 AS BIGINT) AS b3,
+             CAST(SUM(c4) OVER (ORDER BY v) - c4 AS BIGINT) AS b4
+      FROM vg5),
+    jt AS (
+      SELECT CAST(SUM(
+          CAST(c2 AS HUGEINT) * (2 * b1 + c1)
+        + CAST(c3 AS HUGEINT) * (2 * (b1 + b2) + c1 + c2)
+        + CAST(c4 AS HUGEINT) * (2 * (b1 + b2 + b3) + c1 + c2 + c3)
+        + CAST(c5 AS HUGEINT)
+          * (2 * (b1 + b2 + b3 + b4) + c1 + c2 + c3 + c4))
+        AS BIGINT) AS jt2
+      FROM cumv),
+    g AS (SELECT pr, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY pr),
+    tt AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY v),
+    gm AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(CAST(n AS HUGEINT) * n) AS BIGINT) AS sn2,
+             CAST(SUM(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5))
+               AS BIGINT) AS sn25,
+             CAST(SUM(CAST(n AS HUGEINT) * (n - 1) * (n - 2))
+               AS BIGINT) AS sn3,
+             CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS sn2m
+      FROM g),
+    tm AS (
+      SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+               AS BIGINT) AS st25,
+             CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2))
+               AS BIGINT) AS st3,
+             CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS BIGINT) AS st2m
+      FROM tt)
+    SELECT nn AS n_total, jt2 AS jt_stat_x2,
+           CAST(round((CAST(jt2 AS DOUBLE) / 2E0
+               - (CAST(nn AS DOUBLE) * nn - sn2) / 4E0)
+             / sqrt(
+               (CAST(nn AS DOUBLE) * (nn - 1) * (2 * nn + 5)
+                - CAST(sn25 AS DOUBLE) - CAST(st25 AS DOUBLE)) / 72E0
+               + CAST(sn3 AS DOUBLE) * CAST(st3 AS DOUBLE)
+                 / (36E0 * nn * (nn - 1E0) * (nn - 2E0))
+               + CAST(sn2m AS DOUBLE) * CAST(st2m AS DOUBLE)
+                 / (8E0 * nn * (nn - 1E0)))
+             * 1000000E0, 0) AS BIGINT) AS jt_z_micro
+    FROM jt CROSS JOIN gm CROSS JOIN tm
+    """,
+)
+def jonckheere_terpstra_priority_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test: does ship
+    delay shift MONOTONICALLY across the five ordered priorities
+    (URGENT → LOW)? Kruskal-Wallis asks 'any difference'; JT asks the
+    sharper ordered question (delay grows as priority drops) and earns
+    the power KW forfeits when the alternative really is ordered. The
+    statistic is the sum of pairwise Mann-Whitney counts over ordered
+    group pairs; ties contribute 1/2 (kept as integer 2·JT).
+
+    Exactness: the pairwise counts collapse to cumulative
+    below-counts at the (delay value) grain — 2·U_ij summed over
+    ordered pairs equals one fixed-text expansion over the 5 pivoted
+    priority columns and their running sums (no pair join at all; the
+    naive value-grain self-join was 30M pairs at sf0.1); 2·JT, the
+    group/tie cubic sums, and E's numerator are exact integers
+    (wide-integer rule); the tie-corrected null variance
+    (Hollander-Wolfe three-term form, validated against exact
+    permutation enumeration in tests) and z are one mirrored double
+    expression.
+
+    Scale: one value-grain window pass over |distinct delays| rows;
+    group count is FIXED (5 priorities) so the expansion text is
+    bounded — the dow-R² fixed-order device."""
+    c = _delay_grain(spark, sf_dir)
+    prios = [
+        "1-URGENT",
+        "2-HIGH",
+        "3-MEDIUM",
+        "4-NOT SPECIFIED",
+        "5-LOW",
+    ]
+    vg5 = c.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("pr") == p, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i + 1}")
+            for i, p in enumerate(prios)
+        ]
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cumv = vg5.select(
+        "c1",
+        "c2",
+        "c3",
+        "c4",
+        "c5",
+        *[
+            (F.sum(f"c{i}").over(wv) - F.col(f"c{i}"))
+            .cast("bigint")
+            .alias(f"b{i}")
+            for i in range(1, 5)
+        ],
+    )
+    jt = cumv.agg(
+        F.sum(
+            F.expr(
+                "CAST(c2 AS DECIMAL(38,0)) * (2 * b1 + c1)"
+                " + CAST(c3 AS DECIMAL(38,0)) * (2 * (b1 + b2) + c1 + c2)"
+                " + CAST(c4 AS DECIMAL(38,0))"
+                "   * (2 * (b1 + b2 + b3) + c1 + c2 + c3)"
+                " + CAST(c5 AS DECIMAL(38,0))"
+                "   * (2 * (b1 + b2 + b3 + b4) + c1 + c2 + c3 + c4)"
+            )
+        )
+        .cast("bigint")
+        .alias("jt2")
+    )
+    g = c.groupBy("pr").agg(F.sum("c").cast("bigint").alias("n"))
+    tt = c.groupBy("v").agg(F.sum("c").cast("bigint").alias("t"))
+    nd = F.col("n").cast("decimal(38,0)")
+    gm = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(nd * F.col("n")).cast("bigint").alias("sn2"),
+        F.sum(nd * (F.col("n") - 1) * (2 * F.col("n") + 5))
+        .cast("bigint")
+        .alias("sn25"),
+        F.sum(nd * (F.col("n") - 1) * (F.col("n") - 2))
+        .cast("bigint")
+        .alias("sn3"),
+        F.sum(nd * (F.col("n") - 1)).cast("bigint").alias("sn2m"),
+    )
+    td = F.col("t").cast("decimal(38,0)")
+    tm = tt.agg(
+        F.sum(td * (F.col("t") - 1) * (2 * F.col("t") + 5))
+        .cast("bigint")
+        .alias("st25"),
+        F.sum(td * (F.col("t") - 1) * (F.col("t") - 2))
+        .cast("bigint")
+        .alias("st3"),
+        F.sum(td * (F.col("t") - 1)).cast("bigint").alias("st2m"),
+    )
+    return (
+        jt.crossJoin(F.broadcast(gm))
+        .crossJoin(F.broadcast(tm))
+        .select(
+            F.col("nn").alias("n_total"),
+            F.col("jt2").alias("jt_stat_x2"),
+            F.expr(
+                "CAST(round((CAST(jt2 AS DOUBLE) / 2E0"
+                "   - (CAST(nn AS DOUBLE) * nn - sn2) / 4E0)"
+                " / sqrt("
+                "   (CAST(nn AS DOUBLE) * (nn - 1) * (2 * nn + 5)"
+                "    - CAST(sn25 AS DOUBLE) - CAST(st25 AS DOUBLE)) / 72E0"
+                "   + CAST(sn3 AS DOUBLE) * CAST(st3 AS DOUBLE)"
+                "     / (36E0 * nn * (nn - 1E0) * (nn - 2E0))"
+                "   + CAST(sn2m AS DOUBLE) * CAST(st2m AS DOUBLE)"
+                "     / (8E0 * nn * (nn - 1E0)))"
+                " * 1000000E0, 0) AS BIGINT)"
+            ).alias("jt_z_micro"),
+        )
+    )
+
+
+@register(
+    "brunner_munzel_delay",
+    oracle=_DELAY_GRAIN_CTE.replace(_AB_FILTER_MARKER,
+        _AB_FILTER_MARKER
+        + " AND o.o_orderpriority IN ('1-URGENT', '5-LOW')")
+    + """
+    , vg AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN pr = '1-URGENT' THEN c ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN pr = '5-LOW' THEN c ELSE 0 END)
+               AS BIGINT) AS cb
+      FROM c GROUP BY v),
+    r AS (
+      SELECT ca, cb,
+             2 * (CAST(SUM(ca + cb) OVER (ORDER BY v) AS BIGINT)
+                  - (ca + cb)) + (ca + cb) + 1 AS r2,
+             2 * (CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) - ca)
+                  + ca + 1 AS r2x,
+             2 * (CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) - cb)
+                  + cb + 1 AS r2y
+      FROM vg),
+    nsum AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS nx, CAST(SUM(cb) AS BIGINT) AS ny,
+             CAST(SUM(CAST(ca AS HUGEINT) * r2) AS BIGINT) AS numx,
+             CAST(SUM(CAST(cb AS HUGEINT) * r2) AS BIGINT) AS numy
+      FROM r),
+    q AS (
+      SELECT nsum.nx, nsum.ny, nsum.numx, nsum.numy,
+             CAST(SUM(CAST(ca AS HUGEINT)
+               * (CAST(nx AS HUGEINT) * (r2 - r2x)
+                  - (numx - CAST(nx AS HUGEINT) * (nx + 1)))
+               * (CAST(nx AS HUGEINT) * (r2 - r2x)
+                  - (numx - CAST(nx AS HUGEINT) * (nx + 1))))
+               AS HUGEINT) AS qx,
+             CAST(SUM(CAST(cb AS HUGEINT)
+               * (CAST(ny AS HUGEINT) * (r2 - r2y)
+                  - (numy - CAST(ny AS HUGEINT) * (ny + 1)))
+               * (CAST(ny AS HUGEINT) * (r2 - r2y)
+                  - (numy - CAST(ny AS HUGEINT) * (ny + 1))))
+               AS HUGEINT) AS qy
+      FROM r CROSS JOIN nsum
+      GROUP BY 1, 2, 3, 4)
+    SELECT nx AS n_urgent, ny AS n_low,
+           CAST(round((CAST(numy AS DOUBLE) / (2E0 * ny)
+               - (ny + 1E0) / 2E0) / CAST(nx AS DOUBLE)
+             * 1000000E0, 0) AS BIGINT) AS p_hat_micro,
+           CAST(round(CAST(nx AS DOUBLE) * ny
+               * (CAST(numy AS DOUBLE) / (2E0 * ny)
+                  - CAST(numx AS DOUBLE) / (2E0 * nx))
+             / ((nx + CAST(ny AS DOUBLE))
+                * sqrt(nx * (CAST(qx AS DOUBLE)
+                             / (4E0 * nx * nx * (nx - 1E0)))
+                       + ny * (CAST(qy AS DOUBLE)
+                               / (4E0 * ny * ny * (ny - 1E0)))))
+             * 1000000E0, 0) AS BIGINT) AS bm_stat_micro
+    FROM q
+    """,
+)
+def brunner_munzel_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel generalized Wilcoxon between URGENT and LOW ship
+    delays: tests P(X < Y) + P(X = Y)/2 = 1/2 WITHOUT Mann-Whitney's
+    equal-variance (exchangeability) assumption — the modern
+    recommendation when the two groups may differ in scale as well as
+    location (and this pair demonstrably does; see the AB/ST scale
+    tests). Reports the relative effect p̂ = P(urgent < low) + ½P(=)
+    — directly interpretable as 'probability a LOW order ships later' —
+    plus the studentized statistic.
+
+    Exactness: pooled and within-group midranks are kept as exact
+    integer doubled-ranks (2R) at the value grain; the rank-variance
+    numerators Qx/Qy are exact integers by the algebraic rearrangement
+    (n·(2R−2R_g) − (num − n(n+1)))² — validated against a literal
+    midrank implementation over 500 random tie-heavy trials in tests;
+    one mirrored double expression at the end. Q terms ride int128 /
+    decimal128 (magnitude ~1e33 at sf0.1; recheck the width before
+    running at sf≥1).
+
+    Scale: value-grain windows only; one-row output."""
+    c = _delay_grain(spark, sf_dir).filter(
+        F.col("pr").isin("1-URGENT", "5-LOW")
+    )
+    vg = c.groupBy("v").agg(
+        F.sum(F.when(F.col("pr") == "1-URGENT", F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("pr") == "5-LOW", F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = F.col("ca") + F.col("cb")
+    r = vg.select(
+        "ca",
+        "cb",
+        (2 * (F.sum(t).over(wv).cast("bigint") - t) + t + 1).alias("r2"),
+        (
+            2 * (F.sum("ca").over(wv).cast("bigint") - F.col("ca"))
+            + F.col("ca")
+            + 1
+        ).alias("r2x"),
+        (
+            2 * (F.sum("cb").over(wv).cast("bigint") - F.col("cb"))
+            + F.col("cb")
+            + 1
+        ).alias("r2y"),
+    )
+    nsum = r.agg(
+        F.sum("ca").cast("bigint").alias("nx"),
+        F.sum("cb").cast("bigint").alias("ny"),
+        F.sum(F.col("ca").cast("decimal(38,0)") * F.col("r2"))
+        .cast("bigint")
+        .alias("numx"),
+        F.sum(F.col("cb").cast("decimal(38,0)") * F.col("r2"))
+        .cast("bigint")
+        .alias("numy"),
+    )
+    qx_core = F.col("nx").cast("decimal(38,0)") * (
+        F.col("r2") - F.col("r2x")
+    ) - (
+        F.col("numx") - F.col("nx").cast("decimal(38,0)") * (F.col("nx") + 1)
+    )
+    qy_core = F.col("ny").cast("decimal(38,0)") * (
+        F.col("r2") - F.col("r2y")
+    ) - (
+        F.col("numy") - F.col("ny").cast("decimal(38,0)") * (F.col("ny") + 1)
+    )
+    q = (
+        r.crossJoin(F.broadcast(nsum))
+        .groupBy("nx", "ny", "numx", "numy")
+        .agg(
+            F.sum(
+                F.col("ca").cast("decimal(38,6)")
+                * qx_core.cast("double")
+                * qx_core.cast("double")
+            )
+            .cast("decimal(38,0)")
+            .alias("qx"),
+            F.sum(
+                F.col("cb").cast("decimal(38,6)")
+                * qy_core.cast("double")
+                * qy_core.cast("double")
+            )
+            .cast("decimal(38,0)")
+            .alias("qy"),
+        )
+    )
+    return q.select(
+        F.col("nx").alias("n_urgent"),
+        F.col("ny").alias("n_low"),
+        F.expr(
+            "CAST(round((CAST(numy AS DOUBLE) / (2E0 * ny)"
+            "   - (ny + 1E0) / 2E0) / CAST(nx AS DOUBLE)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("p_hat_micro"),
+        F.expr(
+            "CAST(round(CAST(nx AS DOUBLE) * ny"
+            "   * (CAST(numy AS DOUBLE) / (2E0 * ny)"
+            "      - CAST(numx AS DOUBLE) / (2E0 * nx))"
+            " / ((nx + CAST(ny AS DOUBLE))"
+            "    * sqrt(nx * (CAST(qx AS DOUBLE)"
+            "                 / (4E0 * nx * nx * (nx - 1E0)))"
+            "           + ny * (CAST(qy AS DOUBLE)"
+            "                   / (4E0 * ny * ny * (ny - 1E0)))))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("bm_stat_micro"),
+    )
+
+
+@register(
+    "goldfeld_quandt_monthly",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+        + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mi,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    rk AS (
+      SELECT mi, rev,
+             ROW_NUMBER() OVER (ORDER BY mi) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS t
+      FROM monthly),
+    seg AS (
+      SELECT mi, rev, t, t * 2 // 5 AS k,
+             CASE WHEN rn <= t * 2 // 5 THEN 0
+                  WHEN rn > t - t * 2 // 5 THEN 1 END AS h
+      FROM rk),
+    s AS (
+      SELECT h, MAX(t) AS t, MAX(k) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(mi) AS BIGINT) AS sx,
+             CAST(SUM(rev) AS BIGINT) AS sy,
+             CAST(SUM(CAST(mi AS HUGEINT) * rev) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(mi AS HUGEINT) * mi) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE) AS syy
+      FROM seg WHERE h IS NOT NULL GROUP BY h),
+    rss AS (
+      SELECT MAX(t) AS n_months, MAX(k) AS k,
+             CAST(SUM(CASE WHEN h = 0 THEN {_RSS_EXPR} END) AS DOUBLE)
+               AS rss1,
+             CAST(SUM(CASE WHEN h = 1 THEN {_RSS_EXPR} END) AS DOUBLE)
+               AS rss2
+      FROM s)
+    SELECT n_months, k AS n_per_segment,
+           CAST(round(rss1 / 1e12, 0) AS BIGINT) AS rss_early_tera,
+           CAST(round(rss2 / 1e12, 0) AS BIGINT) AS rss_late_tera,
+           CAST(round(rss2 / rss1 * 1000000E0, 0) AS BIGINT) AS gq_f_micro
+    FROM rss
+    """,
+)
+def goldfeld_quandt_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goldfeld-Quandt heteroscedasticity test on the monthly revenue
+    trend: fit the SAME time-trend line to the first 40% and last 40%
+    of months (the middle fifth dropped, per the classic design, to
+    sharpen separation) and compare residual variances — F = RSS_late /
+    RSS_early with equal df. F >> 1 says dispersion GROWS with the
+    level (the usual growth pattern, and the reason breusch_pagan's
+    regression-based test exists beside it); F << 1 says early chaos
+    settled. Completes the variance-diagnostics shelf: BP (regression
+    on fitted values), GQ (split-sample), chow (mean-structure break).
+
+    Exactness: sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are exact
+    wide integers per segment; the two RSS values evaluate the SAME
+    shared expression text as chow_test_break; the F ratio is one
+    mirrored division (equal df cancels).
+
+    Scale: orders reduce to |month| rows, then to two sufficient-
+    statistic rows; one-row output."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    monthly = o.groupBy(
+        (F.year(d) * 12 + F.month(d)).cast("bigint").alias("mi")
+    ).agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rk = monthly.select(
+        "mi",
+        "rev",
+        F.row_number().over(Window.orderBy("mi")).alias("rn"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("t"),
+    )
+    k = F.expr("t * 2 DIV 5")
+    seg = rk.select(
+        "mi",
+        "rev",
+        "t",
+        k.alias("k"),
+        F.when(F.col("rn") <= k, 0)
+        .when(F.col("rn") > F.col("t") - k, 1)
+        .alias("h"),
+    ).filter(F.col("h").isNotNull())
+    mid = F.col("mi").cast("decimal(38,0)")
+    rvd = F.col("rev").cast("decimal(38,0)")
+    s = seg.groupBy("h").agg(
+        F.max("t").alias("t"),
+        F.max("k").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("mi").cast("bigint").alias("sx"),
+        F.sum("rev").cast("bigint").alias("sy"),
+        F.sum(mid * rvd).cast("double").alias("sxy"),
+        F.sum(mid * mid).cast("double").alias("sxx"),
+        F.sum(rvd * rvd).cast("double").alias("syy"),
+    )
+    rss = s.agg(
+        F.max("t").alias("n_months"),
+        F.max("k").alias("k"),
+        F.sum(F.when(F.col("h") == 0, F.expr(_RSS_EXPR)))
+        .cast("double")
+        .alias("rss1"),
+        F.sum(F.when(F.col("h") == 1, F.expr(_RSS_EXPR)))
+        .cast("double")
+        .alias("rss2"),
+    )
+    return rss.select(
+        F.col("n_months"),
+        F.col("k").alias("n_per_segment"),
+        F.round(F.col("rss1") / 1e12, 0).cast("bigint").alias("rss_early_tera"),
+        F.round(F.col("rss2") / 1e12, 0).cast("bigint").alias("rss_late_tera"),
+        F.round(F.col("rss2") / F.col("rss1") * 1e6, 0)
+        .cast("bigint")
+        .alias("gq_f_micro"),
+    )
+
+
+#: D'Agostino K² final expressions over (nd, g1, b2) — nd the sample
+#: size as double, g1/b2 the nano-quantized skewness and (raw)
+#: kurtosis. ONE fixed token stream shared verbatim by both engines
+#: (the _JB_STAT device); the nano quantization makes the inputs
+#: bit-identical before the transcendental chain.
+_DK_Y = (
+    "(g1 * sqrt((nd + 1E0) * (nd + 3E0) / (6E0 * (nd - 2E0))))"
+)
+_DK_B2 = (
+    "(3E0 * (nd * nd + 27E0 * nd - 70E0) * (nd + 1E0) * (nd + 3E0)"
+    " / ((nd - 2E0) * (nd + 5E0) * (nd + 7E0) * (nd + 9E0)))"
+)
+_DK_W2 = f"(sqrt(2E0 * ({_DK_B2} - 1E0)) - 1E0)"
+_DK_DELTA = f"(1E0 / sqrt(ln(sqrt({_DK_W2}))))"
+_DK_ALPHA = f"(sqrt(2E0 / ({_DK_W2} - 1E0)))"
+_DK_Z1 = (
+    f"({_DK_DELTA} * ln({_DK_Y} / {_DK_ALPHA}"
+    f" + sqrt(({_DK_Y} / {_DK_ALPHA}) * ({_DK_Y} / {_DK_ALPHA}) + 1E0)))"
+)
+_DK_EB2 = "(3E0 * (nd - 1E0) / (nd + 1E0))"
+_DK_VB2 = (
+    "(24E0 * nd * (nd - 2E0) * (nd - 3E0)"
+    " / ((nd + 1E0) * (nd + 1E0) * (nd + 3E0) * (nd + 5E0)))"
+)
+_DK_XQ = f"((b2 - {_DK_EB2}) / sqrt({_DK_VB2}))"
+_DK_BETA1 = (
+    "(6E0 * (nd * nd - 5E0 * nd + 2E0) / ((nd + 7E0) * (nd + 9E0))"
+    " * sqrt(6E0 * (nd + 3E0) * (nd + 5E0)"
+    "        / (nd * (nd - 2E0) * (nd - 3E0))))"
+)
+_DK_A = (
+    f"(6E0 + 8E0 / {_DK_BETA1} * (2E0 / {_DK_BETA1}"
+    f" + sqrt(1E0 + 4E0 / ({_DK_BETA1} * {_DK_BETA1}))))"
+)
+_DK_Z2 = (
+    f"(((1E0 - 2E0 / (9E0 * {_DK_A}))"
+    f" - cbrt((1E0 - 2E0 / {_DK_A})"
+    f"        / (1E0 + {_DK_XQ} * sqrt(2E0 / ({_DK_A} - 4E0)))))"
+    f" / sqrt(2E0 / (9E0 * {_DK_A})))"
+)
+
+
+@register(
+    "dagostino_k2_daily_revenue",
+    oracle=f"""
+    {_DAILY_1K_CTE},
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS s1,
+             CAST(SUM(x * x) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(x * x AS HUGEINT) * x) AS HUGEINT) AS s3,
+             CAST(SUM(CAST(x * x AS HUGEINT) * (x * x)) AS HUGEINT) AS s4
+      FROM t),
+    qm AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(round({_JB_SKEW} * 1000000000E0, 0) AS BIGINT)
+               AS DOUBLE) / 1000000000E0 AS g1,
+             CAST(CAST(round(({_JB_EXK} + 3E0) * 1000000000E0, 0) AS BIGINT)
+               AS DOUBLE) / 1000000000E0 AS b2
+      FROM g)
+    SELECT n AS n_days,
+           CAST(round(g1 * 1000000E0, 0) AS BIGINT) AS g1_micro,
+           CAST(round(b2 * 1000000E0, 0) AS BIGINT) AS b2_micro,
+           CAST(round({_DK_Z1} * 1000000E0, 0) AS BIGINT) AS z1_micro,
+           CAST(round({_DK_Z2} * 1000000E0, 0) AS BIGINT) AS z2_micro,
+           CAST(round(({_DK_Z1} * {_DK_Z1} + {_DK_Z2} * {_DK_Z2})
+             * 1000000E0, 0) AS BIGINT) AS k2_micro
+    FROM qm
+    """,
+)
+def dagostino_k2_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino-Pearson K² omnibus normality test of daily revenue:
+    the skewness and kurtosis are each transformed to approximate
+    normal deviates (D'Agostino's Z₁ via the Johnson-SU fit, Anscombe-
+    Glynn's Z₂ via the Wilson-Hilferty cube root) and K² = Z₁² + Z₂² —
+    the finite-n-calibrated refinement of Jarque-Bera, whose χ²
+    approximation is honest only asymptotically: for n in the hundreds
+    of days JB over-rejects on kurtosis while K² holds size, and the
+    Z₁/Z₂ split names WHICH moment broke normality.
+
+    Exactness: power sums are the exact wide integers of the shared
+    $1k-tick day series (_daily_1k); skewness and raw kurtosis are
+    quantized to integer nano before the transcendental chain, so both
+    engines feed bit-identical inputs through ONE shared token stream
+    (ln/sqrt/cbrt are correctly-rounded-enough libm calls on equal
+    inputs; the cube root uses cbrt, never pow, so the negative branch
+    is exact in both engines).
+
+    Scale: one day-grain reduction, one single-row aggregate."""
+    t = _daily_1k(spark, sf_dir)
+    x = F.col("x")
+    x2 = (x * x).cast("bigint")
+    g = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("s1"),
+        F.sum(x2.cast("decimal(38,0)")).cast("decimal(38,0)").alias("s2"),
+        F.sum(x2.cast("decimal(19,0)") * x.cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s3"),
+        F.sum(x2.cast("decimal(19,0)") * x2.cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )
+    qm = g.select(
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        (
+            F.expr(
+                f"CAST(round({_JB_SKEW} * 1000000000E0, 0) AS BIGINT)"
+            ).cast("double")
+            / 1e9
+        ).alias("g1"),
+        (
+            F.expr(
+                f"CAST(round(({_JB_EXK} + 3E0) * 1000000000E0, 0) AS BIGINT)"
+            ).cast("double")
+            / 1e9
+        ).alias("b2"),
+    )
+    return qm.select(
+        F.col("n").alias("n_days"),
+        F.expr("CAST(round(g1 * 1000000E0, 0) AS BIGINT)").alias("g1_micro"),
+        F.expr("CAST(round(b2 * 1000000E0, 0) AS BIGINT)").alias("b2_micro"),
+        F.expr(f"CAST(round({_DK_Z1} * 1000000E0, 0) AS BIGINT)").alias(
+            "z1_micro"
+        ),
+        F.expr(f"CAST(round({_DK_Z2} * 1000000E0, 0) AS BIGINT)").alias(
+            "z2_micro"
+        ),
+        F.expr(
+            f"CAST(round(({_DK_Z1} * {_DK_Z1} + {_DK_Z2} * {_DK_Z2})"
+            f" * 1000000E0, 0) AS BIGINT)"
+        ).alias("k2_micro"),
+    )

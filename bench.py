@@ -644,6 +644,11 @@ HEADLINE = [
     "hill_numbers_by_nation",
     "lang_evenness_by_source",
     "cr4_revenue_by_nation",
+    "siegel_tukey_delay_scale",
+    "jonckheere_terpstra_priority_trend",
+    "brunner_munzel_delay",
+    "goldfeld_quandt_monthly",
+    "dagostino_k2_daily_revenue",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
