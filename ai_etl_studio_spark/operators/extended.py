@@ -1496,3 +1496,85 @@ def dpp_quarter_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_BLOOM_CONFS = {
+    # the application side must LOOK big enough (threshold is a minimum
+    # scan size) and the creation side small enough (a maximum) for
+    # InjectRuntimeFilter to fire; at sf0.1 we shrink the floor instead
+    # of inflating the data. Forcing the shuffle join models the 100 TB
+    # regime this device exists for: a dim too big to broadcast.
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy join shape the bloom runtime filter injects into —
+    shared by the operator (which materializes it under the forced
+    confs) and the plan test (which pins bloomfilter_might_contain on
+    the fact side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "bloom_runtime_filter_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim shuffle join where Spark injects a RUNTIME BLOOM
+    FILTER: the selective dim predicate (URGENT orders) is aggregated
+    into a bloom filter during planning of the creation side, and the
+    fact side's scan gains a `bloomfilter_might_contain(l_orderkey)`
+    filter — ~80% of lineitem rows drop BEFORE the shuffle instead of
+    after the join. This is the third member of the runtime-prune
+    family: DPP prunes PARTITIONS via the partition column
+    (dpp_quarter_star_join), Z-ORDER/min-max prune FILES via sort
+    layout, and the bloom filter prunes ROWS on an arbitrary join key —
+    the only one of the three that works with no layout preparation at
+    all.
+
+    The op pins the regime the device exists for — a dim too big to
+    broadcast — by disabling auto-broadcast and widening the bloom
+    thresholds for ITS OWN execution only (confs are saved/restored;
+    the result materializes eagerly under the forced plan, so the
+    returned frame never re-optimizes under restored confs). At 100 TB
+    the thresholds are met naturally and none of this forcing exists.
+
+    Scale: the bloom build is one pass over the filtered dim keys
+    (~20% of orders); the fact shuffle shrinks by the filter's
+    selectivity; false positives only cost shuffled rows, never
+    correctness (the exact join still runs)."""
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            conf.set(k, v)
+        out = _bloom_join_frame(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    return out

@@ -649,6 +649,7 @@ HEADLINE = [
     "brunner_munzel_delay",
     "goldfeld_quandt_monthly",
     "dagostino_k2_daily_revenue",
+    "bloom_runtime_filter_join",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

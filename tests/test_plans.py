@@ -2821,6 +2821,28 @@ class TestRound8Plans:
         assert "dynamicpruningexpression" in pf
         assert "o_month" in pf
 
+    def test_bloom_runtime_filter_reaches_fact_side(self, spark):
+        # r9: under the op's forced regime (dim not broadcastable,
+        # thresholds met) the fact side must carry a
+        # bloomfilter_might_contain(l_orderkey) runtime filter — the
+        # row-grain member of the runtime-prune family beside DPP.
+        from ai_etl_studio_spark.operators.extended import (
+            _BLOOM_CONFS,
+            _bloom_join_frame,
+        )
+        from ai_etl_studio_spark.plans.guard import explain_str
+
+        saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+        try:
+            for k, v in _BLOOM_CONFS.items():
+                spark.conf.set(k, v)
+            t = explain_str(_bloom_join_frame(spark, SF_DIR), "formatted")
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+        assert "might_contain" in t
+        assert "l_orderkey" in t.split("might_contain", 1)[1].split(")", 2)[0]
+
     def test_graph_tier_is_broadcast_safe(self, spark):
         from ai_etl_studio_spark.plans.tripwire import (
             broadcast_violations,
@@ -2844,6 +2866,7 @@ class TestRound8Plans:
             "copurchase_strength_topk",
             "copurchase_strength_profile",
             "copurchase_weighted_eigenvector_topk",
+            "bloom_runtime_filter_join",
         ):
             with checkpoint_audit() as audit:
                 v = broadcast_violations(QUERIES[name](spark, SF_DIR))
