@@ -12792,3 +12792,140 @@ def sato_vartia_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sv_index_milli"),
     ).orderBy("month")
+
+
+#: Holt-Winters step expressions — the quantized level expression is
+#: repeated VERBATIM inside the trend/seasonal updates (SQL lambdas
+#: have no let-binding); because each is rounded to integer cents, the
+#: repeated evaluation is exactly equal, and the oracle's recursive CTE
+#: repeats the same text, so both engines walk one integer trajectory.
+_HWS_L = (
+    "CAST(round(0.3E0 * ({x} - {s1}) + 0.7E0 * ({l} + {b}), 0) AS BIGINT)"
+)
+
+
+def _hws_step(x: str, l: str, b: str, s1: str) -> tuple[str, str, str]:
+    lnew = _HWS_L.format(x=x, l=l, b=b, s1=s1)
+    bnew = (
+        f"CAST(round(0.1E0 * ({lnew} - {l}) + 0.9E0 * {b}, 0) AS BIGINT)"
+    )
+    snew = (
+        f"CAST(round(0.2E0 * ({x} - {lnew}) + 0.8E0 * {s1}, 0) AS BIGINT)"
+    )
+    return lnew, bnew, snew
+
+
+def _hws_oracle() -> str:
+    lnew, bnew, snew = _hws_step("t.x", "hw.l", "hw.b", "hw.s0")
+    s_init = ",\n             ".join(
+        f"(SELECT x FROM t WHERE t = {i}) - init.l0 AS s{i}"
+        for i in range(7)
+    )
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    t AS (SELECT row_number() OVER (ORDER BY day) - 1 AS t, x FROM daily),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn FROM t),
+    init AS (
+      SELECT CAST((SELECT SUM(x) FROM t WHERE t < 7) AS BIGINT) // 7 AS l0,
+             CAST(round((CAST((SELECT SUM(x) FROM t
+                               WHERE t >= 7 AND t < 14) AS DOUBLE)
+               - (SELECT SUM(x) FROM t WHERE t < 7)) / 49E0, 0)
+               AS BIGINT) AS b0),
+    hw(i, l, b, s0, s1, s2, s3, s4, s5, s6) AS (
+      SELECT CAST(7 AS BIGINT), init.l0, init.b0,
+             {s_init}
+      FROM init
+      UNION ALL
+      SELECT hw.i + 1,
+             {lnew},
+             {bnew},
+             hw.s1, hw.s2, hw.s3, hw.s4, hw.s5, hw.s6,
+             {snew}
+      FROM hw JOIN t ON t.t = hw.i
+      WHERE hw.i < (SELECT tn FROM nn))
+    SELECT (SELECT tn FROM nn) AS n_days,
+           l AS level_cents, b AS trend_cents,
+           CAST(l + b + s0 AS BIGINT) AS forecast_1_cents,
+           CAST(l + 7 * b + s6 AS BIGINT) AS forecast_7_cents
+    FROM hw WHERE i = (SELECT tn FROM nn)
+    """
+
+
+@register("holt_winters_additive_daily", oracle=_hws_oracle())
+def holt_winters_additive_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing over the full
+    daily revenue series with a weekly (period-7) seasonal component
+    (α=0.3, β=0.1, γ=0.2) — the seasonality-aware upgrade of
+    holt_level_trend: level and trend adapt while the seven day-of-week
+    indices absorb the weekly rhythm, and the 1-day / 7-day forecasts
+    carry the right day's seasonal. Init: level = first week's mean
+    (floor), trend = (week2 mean − week1 mean)/7, seasonals = week-1
+    deviations — the standard two-week bootstrap.
+
+    Exactness: every level/trend/seasonal update is quantized to
+    integer CENTS before the next step (the EWMA/raking integer-
+    trajectory device extended to a 9-component state), so both engines
+    and the oracle's 2,400-iteration recursive CTE walk one bit-
+    identical path; the quantized level expression is repeated verbatim
+    where a let-binding is unavailable, which is exact because it is
+    integer-valued.
+
+    Scale: reduce-then-fold — the corpus collapses to one exact-cents
+    row per day, then a single JVM `aggregate` folds the sorted array
+    with an (l, b, s[7]) struct state; no Python, no driver loop, no
+    per-step shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("x")
+    )
+    row = (
+        daily.agg(
+            F.array_sort(F.collect_list(F.struct("d", "x"))).alias("s")
+        )
+        .select(F.transform("s", lambda r: r["x"]).alias("ys"))
+        .select(
+            "ys",
+            F.expr(
+                "CAST(aggregate(slice(ys, 1, 7), CAST(0 AS BIGINT),"
+                " (a, v) -> a + v) DIV 7 AS BIGINT)"
+            ).alias("l0"),
+            F.expr(
+                "CAST(round((CAST(aggregate(slice(ys, 8, 7),"
+                " CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE)"
+                " - aggregate(slice(ys, 1, 7), CAST(0 AS BIGINT),"
+                " (a, v) -> a + v)) / 49E0, 0) AS BIGINT)"
+            ).alias("b0"),
+        )
+        .select(
+            "ys",
+            "l0",
+            "b0",
+            F.expr(
+                "transform(slice(ys, 1, 7), v -> CAST(v - l0 AS BIGINT))"
+            ).alias("s_init"),
+        )
+    )
+    lnew, bnew, snew = _hws_step(
+        "x", "st.l", "st.b", "element_at(st.s, 1)"
+    )
+    folded = F.expr(
+        "aggregate(slice(ys, 8, size(ys) - 7),"
+        " named_struct('l', l0, 'b', b0, 's', s_init),"
+        f" (st, x) -> named_struct('l', {lnew}, 'b', {bnew},"
+        f" 's', concat(slice(st.s, 2, 6), array({snew}))))"
+    )
+    return row.select(
+        F.expr("CAST(size(ys) AS BIGINT)").alias("n_days"),
+        folded["l"].alias("level_cents"),
+        folded["b"].alias("trend_cents"),
+        (folded["l"] + folded["b"] + F.element_at(folded["s"], 1))
+        .cast("bigint")
+        .alias("forecast_1_cents"),
+        (folded["l"] + 7 * folded["b"] + F.element_at(folded["s"], 7))
+        .cast("bigint")
+        .alias("forecast_7_cents"),
+    )

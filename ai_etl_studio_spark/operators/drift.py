@@ -10122,3 +10122,99 @@ def dagostino_k2_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * 1000000E0, 0) AS BIGINT)"
         ).alias("k2_micro"),
     )
+
+
+@register(
+    "ge_indices_by_nation",
+    oracle="""
+    WITH spend AS (
+      SELECT n.n_name AS nation, o.o_custkey AS ck,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2)
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(round((ln(CAST(SUM(cents) AS DOUBLE) / COUNT(*))
+             - CAST(SUM(CAST(round(ln(CAST(cents AS DOUBLE))
+                 * 1000000000E0, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000000E0 / COUNT(*))
+             * 1000000E0, 0) AS BIGINT) AS mld_micro,
+           CAST(round((CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+               / COUNT(*)
+               / (CAST(SUM(cents) AS DOUBLE) / COUNT(*))
+               / (CAST(SUM(cents) AS DOUBLE) / COUNT(*))
+               - 1E0) / 2E0
+             * 1000000E0, 0) AS BIGINT) AS ge2_micro
+    FROM spend GROUP BY nation ORDER BY nation
+    """,
+)
+def ge_indices_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-entropy inequality indices of customer spend per
+    nation: GE(0) = mean log deviation (bottom-sensitive — driven by
+    how far small accounts sit below the mean) and GE(2) = half the
+    squared coefficient of variation (top-sensitive — driven by the
+    whales). Gini (gini_by_nation) compresses the whole distribution to
+    one rank-weighted number; the GE pair brackets it from both tails,
+    and GE is the family that decomposes additively across subgroups
+    (the theil_decomposition device — Theil itself is GE(1)).
+
+    Exactness: spend is exact integer cents (all positive by
+    construction: a customer appears only with ≥1 order); Σln(x) is
+    tick-quantized per customer at 1e-9 so the per-nation reduction is
+    order-independent; Σx² rides int128/decimal128; one mirrored final
+    expression per index.
+
+    Scale: reduces to (nation, customer) grain; bounded output."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    spend = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(n, cu.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("o_custkey").alias("ck")
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("cents"))
+    )
+    lntick = F.round(F.log(F.col("cents").cast("double")) * 1e9, 0).cast(
+        "bigint"
+    )
+    return (
+        spend.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                (
+                    F.log(
+                        F.sum("cents").cast("double") / F.count(F.lit(1))
+                    )
+                    - F.sum(lntick).cast("double")
+                    / 1e9
+                    / F.count(F.lit(1))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("mld_micro"),
+            F.round(
+                (
+                    F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    / (F.sum("cents").cast("double") / F.count(F.lit(1)))
+                    / (F.sum("cents").cast("double") / F.count(F.lit(1)))
+                    - 1.0
+                )
+                / 2.0
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("ge2_micro"),
+        )
+        .orderBy("nation")
+    )

@@ -650,6 +650,8 @@ HEADLINE = [
     "goldfeld_quandt_monthly",
     "dagostino_k2_daily_revenue",
     "bloom_runtime_filter_join",
+    "holt_winters_additive_daily",
+    "ge_indices_by_nation",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
