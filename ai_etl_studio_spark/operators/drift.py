@@ -10218,3 +10218,178 @@ def ge_indices_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "nb_dispersion_by_segment",
+    oracle="""
+    WITH oc AS (
+      SELECT cu.c_mktsegment AS segment, o.o_custkey AS ck,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+      GROUP BY 1, 2)
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(round(CAST(SUM(k) AS DOUBLE) / COUNT(*) * 1000000E0, 0)
+             AS BIGINT) AS mean_micro,
+           CAST(round((CAST(SUM(CAST(k AS HUGEINT) * k) AS DOUBLE)
+               / COUNT(*)
+               - (CAST(SUM(k) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(k) AS DOUBLE) / COUNT(*)))
+             * 1000000E0, 0) AS BIGINT) AS var_micro,
+           CASE WHEN CAST(SUM(CAST(k AS HUGEINT) * k) AS DOUBLE) / COUNT(*)
+                     - (CAST(SUM(k) AS DOUBLE) / COUNT(*))
+                       * (CAST(SUM(k) AS DOUBLE) / COUNT(*))
+                     > CAST(SUM(k) AS DOUBLE) / COUNT(*)
+             THEN CAST(round(
+               (CAST(SUM(k) AS DOUBLE) / COUNT(*))
+               * (CAST(SUM(k) AS DOUBLE) / COUNT(*))
+               / (CAST(SUM(CAST(k AS HUGEINT) * k) AS DOUBLE) / COUNT(*)
+                  - (CAST(SUM(k) AS DOUBLE) / COUNT(*))
+                    * (CAST(SUM(k) AS DOUBLE) / COUNT(*))
+                  - CAST(SUM(k) AS DOUBLE) / COUNT(*))
+               * 1000000E0, 0) AS BIGINT)
+           END AS nb_r_micro
+    FROM oc GROUP BY segment ORDER BY segment
+    """,
+)
+def nb_dispersion_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial dispersion fit of per-customer order counts by
+    market segment (method of moments, NB2 parameterization:
+    r̂ = μ²/(σ²−μ)): a FINITE r̂ says purchase
+    counts are overdispersed — bursty repeat buyers — so Poisson-based
+    demand models (poisson_dispersion_daily_orders is the time-axis
+    twin) understate the tail; r̂ is the size parameter a simulation or
+    staffing model would plug in. NULL when σ² ≤ μ (no overdispersion:
+    NB degenerates to Poisson, mirrored CASE in both engines).
+
+    Exactness: count sums and Σk² are exact wide integers; every
+    moment and r̂ is one mirrored double expression (the per-moment
+    sub-expressions repeat verbatim — integer inputs make repeats
+    exact).
+
+    Scale: reduces to (segment, customer) grain then to 5 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    oc = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    g = oc.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("k").cast("bigint").alias("s1"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("k"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    mu = "(CAST(s1 AS DOUBLE) / n_customers)"
+    var = f"(CAST(s2 AS DOUBLE) / n_customers - {mu} * {mu})"
+    return g.select(
+        "segment",
+        "n_customers",
+        F.expr(f"CAST(round({mu} * 1000000E0, 0) AS BIGINT)").alias(
+            "mean_micro"
+        ),
+        F.expr(f"CAST(round({var} * 1000000E0, 0) AS BIGINT)").alias(
+            "var_micro"
+        ),
+        F.expr(
+            f"CASE WHEN {var} > {mu} THEN"
+            f" CAST(round({mu} * {mu} / ({var} - {mu})"
+            f" * 1000000E0, 0) AS BIGINT) END"
+        ).alias("nb_r_micro"),
+    ).orderBy("segment")
+
+
+@register(
+    "quartile_shape_by_priority",
+    oracle="""
+    WITH d AS (
+      SELECT o.o_orderpriority AS pr,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate),
+    q AS (
+      SELECT pr, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(round(quantile_cont(v, 0.25) * 1000000E0, 0) AS BIGINT)
+               AS q1_micro,
+             CAST(round(quantile_cont(v, 0.5) * 1000000E0, 0) AS BIGINT)
+               AS q2_micro,
+             CAST(round(quantile_cont(v, 0.75) * 1000000E0, 0) AS BIGINT)
+               AS q3_micro
+      FROM d GROUP BY pr)
+    SELECT pr AS o_orderpriority, n, q1_micro, q2_micro, q3_micro,
+           CAST(round(CAST(q1_micro + q3_micro - 2 * q2_micro AS DOUBLE)
+             / CAST(q3_micro - q1_micro AS DOUBLE)
+             * 1000000E0, 0) AS BIGINT) AS bowley_skew_micro,
+           CAST(round(CAST(q3_micro - q1_micro AS DOUBLE)
+             / CAST(q3_micro + q1_micro AS DOUBLE)
+             * 1000000E0, 0) AS BIGINT) AS qcd_micro
+    FROM q ORDER BY o_orderpriority
+    """,
+)
+def quartile_shape_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust quartile-based shape profile of ship delay per priority:
+    Bowley skewness (Q1+Q3−2·Q2)/(Q3−Q1) and the quartile coefficient
+    of dispersion (Q3−Q1)/(Q3+Q1) — the outlier-immune counterparts of
+    moment skewness (value_skewness_by_nation) and CV: a whale delay
+    moves the third moment arbitrarily but cannot move a quartile. Read
+    with the moment versions, disagreement localizes tail
+    contamination.
+
+    Exactness: exact interpolated quartiles (Spark `percentile` ↔
+    DuckDB `quantile_cont`, the percentile_exact pairing) quantized to
+    integer micro FIRST; both ratios are then mirrored expressions over
+    those integers, so the engines can't diverge in the ratio's last
+    ulp.
+
+    Scale: exact percentiles materialize each priority group (the
+    documented percentile_exact tradeoff) — at 100 TB swap in
+    percentile_approx and keep the same downstream integer math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("pr"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("v"),
+        )
+    )
+    q = d.groupBy("pr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.expr("percentile(v, 0.25)") * 1e6, 0)
+        .cast("bigint")
+        .alias("q1_micro"),
+        F.round(F.expr("percentile(v, 0.5)") * 1e6, 0)
+        .cast("bigint")
+        .alias("q2_micro"),
+        F.round(F.expr("percentile(v, 0.75)") * 1e6, 0)
+        .cast("bigint")
+        .alias("q3_micro"),
+    )
+    return q.select(
+        F.col("pr").alias("o_orderpriority"),
+        "n",
+        "q1_micro",
+        "q2_micro",
+        "q3_micro",
+        F.expr(
+            "CAST(round(CAST(q1_micro + q3_micro - 2 * q2_micro AS DOUBLE)"
+            " / CAST(q3_micro - q1_micro AS DOUBLE)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("bowley_skew_micro"),
+        F.expr(
+            "CAST(round(CAST(q3_micro - q1_micro AS DOUBLE)"
+            " / CAST(q3_micro + q1_micro AS DOUBLE)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("qcd_micro"),
+    ).orderBy("o_orderpriority")

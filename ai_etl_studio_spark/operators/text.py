@@ -4541,3 +4541,101 @@ def js_divergence_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jsd_micro_nats"), "source_a", "source_b")
     )
+
+
+@register(
+    "kneser_ney_bigram_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, CAST(i.i - 1 AS INT) AS pos, t[i.i] AS term
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+            FROM documents) d,
+           LATERAL unnest(generate_series(1, len(t))) AS i(i)
+      WHERE t[i.i] <> ''),
+    bg AS (
+      SELECT term, lead(term) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS next_term
+      FROM toks),
+    bic AS (
+      SELECT term, next_term, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM bg WHERE next_term IS NOT NULL GROUP BY 1, 2),
+    fw AS (
+      SELECT term, CAST(SUM(cb) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1p_fw
+      FROM bic GROUP BY term),
+    bw AS (
+      SELECT next_term, CAST(COUNT(*) AS BIGINT) AS n1p_bw
+      FROM bic GROUP BY next_term),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1p_all FROM bic)
+    SELECT bic.term, bic.next_term, bic.cb,
+           CAST(round(((CAST(bic.cb AS DOUBLE) - 0.75E0) / fw.c1
+             + 0.75E0 * fw.n1p_fw / fw.c1
+               * (CAST(bw.n1p_bw AS DOUBLE) / tot.n1p_all))
+             * 1000000E0, 0) AS BIGINT) AS pkn_micro
+    FROM bic JOIN fw USING (term)
+    JOIN bw USING (next_term) CROSS JOIN tot
+    ORDER BY pkn_micro DESC, bic.term, bic.next_term
+    LIMIT 20
+    """,
+)
+def kneser_ney_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram probabilities (absolute discount
+    D = 0.75, the standard value), top-20 by P_KN(next|term): the
+    interpolation backs off not to raw unigram frequency but to
+    CONTINUATION probability — how many distinct left-contexts a word
+    completes — the insight that makes KN the strongest classical
+    n-gram smoother ('francisco' is frequent but completes only 'san',
+    so it gets almost no backoff mass). The LM-quality companion to
+    the MLE surprisal ops: this is the model you'd actually ship.
+
+    Exactness: all four count tables (bigram, forward marginal +
+    distinct-continuation, backward distinct-context, total distinct
+    bigrams) are exact integers; P_KN is one mirrored double
+    expression micro-rounded before the deterministic (pkn, term,
+    next) ordering.
+
+    Scale: the token explode is one pass; everything after lives at
+    the bigram-type grain (pre-aggregated counts join counts); no
+    model table ever re-touches the token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+            "pos", "term"
+        ),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("next_term", F.lead("term").over(w))
+        .filter(F.col("next_term").isNotNull())
+        .select("term", "next_term")
+    )
+    bic = bg.groupBy("term", "next_term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    fw = bic.groupBy("term").agg(
+        F.sum("cb").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_fw"),
+    )
+    bw = bic.groupBy("next_term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_bw")
+    )
+    tot = bic.agg(F.count(F.lit(1)).cast("bigint").alias("n1p_all"))
+    return (
+        bic.join(fw, "term")
+        .join(bw, "next_term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "next_term",
+            "cb",
+            F.expr(
+                "CAST(round(((CAST(cb AS DOUBLE) - 0.75E0) / c1"
+                " + 0.75E0 * n1p_fw / c1"
+                "   * (CAST(n1p_bw AS DOUBLE) / n1p_all))"
+                " * 1000000E0, 0) AS BIGINT)"
+            ).alias("pkn_micro"),
+        )
+        .orderBy(F.desc("pkn_micro"), "term", "next_term")
+        .limit(20)
+    )

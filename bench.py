@@ -652,6 +652,9 @@ HEADLINE = [
     "bloom_runtime_filter_join",
     "holt_winters_additive_daily",
     "ge_indices_by_nation",
+    "kneser_ney_bigram_topk",
+    "nb_dispersion_by_segment",
+    "quartile_shape_by_priority",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
