@@ -10393,3 +10393,341 @@ def quartile_shape_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000E0, 0) AS BIGINT)"
         ).alias("qcd_micro"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "mase_weekly_naive_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    t AS (SELECT row_number() OVER (ORDER BY day) - 1 AS t, x FROM daily),
+    e AS (
+      SELECT t, x,
+             x - lag(x, 1) OVER (ORDER BY t) AS d1,
+             x - lag(x, 7) OVER (ORDER BY t) AS d7
+      FROM t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN t >= 7 THEN abs(d1) END)
+             * 1000000 // SUM(CASE WHEN t >= 7 THEN 1 END) AS BIGINT)
+             AS mae_naive1_micro,
+           CAST(SUM(CASE WHEN t >= 7 THEN abs(d7) END)
+             * 1000000 // SUM(CASE WHEN t >= 7 THEN 1 END) AS BIGINT)
+             AS mae_seasonal7_micro,
+           CAST(round(CAST(SUM(CASE WHEN t >= 7 THEN abs(d1) END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN t >= 7 THEN abs(d7) END) AS DOUBLE)
+             * 1000000E0, 0) AS BIGINT) AS mase_naive1_micro
+    FROM e
+    """,
+)
+def mase_weekly_naive_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (mean absolute scaled error) of the naive-1 forecast on
+    daily revenue, scaled by the seasonal-naive-7 in-sample MAE — the
+    scale-free forecast metric Hyndman proposed to replace MAPE's
+    divide-by-small-actuals pathology: MASE < 1 means yesterday's value
+    beats last-week's-same-day, i.e. day-to-day persistence dominates
+    the weekly rhythm; > 1 means the weekly pattern is the stronger
+    predictor (and holt_winters' seasonal component is earning its
+    keep). Both errors are measured over the SAME t ≥ 7 window so the
+    ratio is a fair comparison.
+
+    Exactness: absolute-error sums are exact integer cents; the two
+    MAEs are exact integer micro floor-divisions; MASE is one mirrored
+    double division.
+
+    Scale: day-grain reduction then one ordered window over ~2.4k rows
+    (the documented tiny unpartitioned-window exception)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("x")
+    )
+    t = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"), "x"
+    )
+    wt = Window.orderBy("t")
+    e = t.select(
+        "t",
+        (F.col("x") - F.lag("x", 1).over(wt)).alias("d1"),
+        (F.col("x") - F.lag("x", 7).over(wt)).alias("d7"),
+    )
+    g = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("t") >= 7, F.abs(F.col("d1"))))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("t") >= 7, F.abs(F.col("d7"))))
+        .cast("bigint")
+        .alias("s7"),
+        F.sum(F.when(F.col("t") >= 7, F.lit(1))).cast("bigint").alias("m"),
+    )
+    return g.select(
+        "n_days",
+        F.expr("CAST(s1 * 1000000 DIV m AS BIGINT)").alias(
+            "mae_naive1_micro"
+        ),
+        F.expr("CAST(s7 * 1000000 DIV m AS BIGINT)").alias(
+            "mae_seasonal7_micro"
+        ),
+        F.expr(
+            "CAST(round(CAST(s1 AS DOUBLE) / CAST(s7 AS DOUBLE)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("mase_naive1_micro"),
+    )
+
+
+@register(
+    "pinball_loss_daily_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    t AS (SELECT row_number() OVER (ORDER BY day) AS rn, x,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS tn
+          FROM daily),
+    train AS (SELECT x FROM t WHERE rn <= tn * 4 // 5),
+    f AS (
+      SELECT CAST(round(quantile_cont(x, 0.1) * 1000000E0, 0) AS BIGINT)
+               AS f10,
+             CAST(round(quantile_cont(x, 0.5) * 1000000E0, 0) AS BIGINT)
+               AS f50,
+             CAST(round(quantile_cont(x, 0.9) * 1000000E0, 0) AS BIGINT)
+               AS f90
+      FROM train),
+    test AS (SELECT x * 1000000 AS xm FROM t WHERE rn > tn * 4 // 5)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN xm >= f10 THEN xm - f10
+                         ELSE 9 * (f10 - xm) END) // (10 * COUNT(*))
+             AS BIGINT) AS pinball10_micro,
+           CAST(SUM(CASE WHEN xm >= f50 THEN 5 * (xm - f50)
+                         ELSE 5 * (f50 - xm) END) // (10 * COUNT(*))
+             AS BIGINT) AS pinball50_micro,
+           CAST(SUM(CASE WHEN xm >= f90 THEN 9 * (xm - f90)
+                         ELSE f90 - xm END) // (10 * COUNT(*))
+             AS BIGINT) AS pinball90_micro
+    FROM test CROSS JOIN f
+    """,
+)
+def pinball_loss_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of a train/test quantile forecast on
+    daily revenue: the first 80% of days trains constant q10/q50/q90
+    forecasts (the climatological baseline every probabilistic model
+    must beat), the held-out 20% scores them — the strictly proper
+    scoring rule for quantiles: over-forecasting q90 costs 0.1 per unit,
+    under-forecasting costs 0.9, so each forecast minimizes loss
+    exactly at its own quantile. The quantile-forecast complement of
+    the point-metric ops (MASE/MAPE/Theil U2).
+
+    Exactness: train quantiles quantize to integer micro-cents; test
+    losses are computed in integer micro-cents scaled by 10 so the
+    0.1/0.5/0.9 weights stay integral (CASE arms ×1/×9, ×5/×5, ×9/×1),
+    then one exact floor-division by 10n.
+
+    Scale: day-grain reduction; one exact train quantile (the
+    percentile_exact tradeoff, sketchable at 100 TB); test scoring is
+    a bounded cross-join with a 1-row forecast table."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("x")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        "x",
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("tn"),
+    )
+    train = t.filter(F.col("rn") <= F.expr("tn * 4 DIV 5")).select("x")
+    f = train.agg(
+        F.round(F.expr("percentile(x, 0.1)") * 1e6, 0)
+        .cast("bigint")
+        .alias("f10"),
+        F.round(F.expr("percentile(x, 0.5)") * 1e6, 0)
+        .cast("bigint")
+        .alias("f50"),
+        F.round(F.expr("percentile(x, 0.9)") * 1e6, 0)
+        .cast("bigint")
+        .alias("f90"),
+    )
+    test = t.filter(F.col("rn") > F.expr("tn * 4 DIV 5")).select(
+        (F.col("x") * 1000000).cast("bigint").alias("xm")
+    )
+    return (
+        test.crossJoin(F.broadcast(f))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN xm >= f10 THEN xm - f10"
+                    " ELSE 9 * (f10 - xm) END"
+                )
+            )
+            .cast("bigint")
+            .alias("l10"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN xm >= f50 THEN 5 * (xm - f50)"
+                    " ELSE 5 * (f50 - xm) END"
+                )
+            )
+            .cast("bigint")
+            .alias("l50"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN xm >= f90 THEN 9 * (xm - f90)"
+                    " ELSE f90 - xm END"
+                )
+            )
+            .cast("bigint")
+            .alias("l90"),
+        )
+        .select(
+            "n_test",
+            F.expr("CAST(l10 DIV (10 * n_test) AS BIGINT)").alias(
+                "pinball10_micro"
+            ),
+            F.expr("CAST(l50 DIV (10 * n_test) AS BIGINT)").alias(
+                "pinball50_micro"
+            ),
+            F.expr("CAST(l90 DIV (10 * n_test) AS BIGINT)").alias(
+                "pinball90_micro"
+            ),
+        )
+    )
+
+
+@register(
+    "bartels_von_neumann_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    t AS (SELECT row_number() OVER (ORDER BY day) AS rn, x FROM daily),
+    vr AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY x),
+    vc AS (
+      SELECT x, 2 * (CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) - c)
+               + c + 1 AS r2
+      FROM vr),
+    s AS (
+      SELECT t.rn, t.x, vc.r2,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM t JOIN vc ON t.x = vc.x),
+    d AS (
+      SELECT n, x, r2,
+             r2 - lead(r2) OVER (ORDER BY rn) AS dr,
+             x - lead(x) OVER (ORDER BY rn) AS dx
+      FROM s),
+    agg AS (
+      SELECT MAX(n) AS n,
+             CAST(SUM(CAST(dr AS HUGEINT) * dr) AS HUGEINT) AS num_r,
+             CAST(SUM(CAST(r2 - (n + 1) AS HUGEINT) * (r2 - (n + 1)))
+               AS HUGEINT) AS den_r,
+             CAST(SUM(CAST(dx AS HUGEINT) * dx) AS DOUBLE) AS num_x,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+      FROM d)
+    SELECT n AS n_days,
+           CAST(round(CAST(num_r AS DOUBLE) / CAST(den_r AS DOUBLE)
+             * 1000000E0, 0) AS BIGINT) AS bartels_rvn_micro,
+           CAST(round((CAST(num_r AS DOUBLE) / CAST(den_r AS DOUBLE) - 2E0)
+             / sqrt(4E0 * (n - 2E0) * (5E0 * n * n - 2E0 * n - 9E0)
+                    / (5E0 * n * (n + 1E0) * (n - 1E0) * (n - 1E0)))
+             * 1000000E0, 0) AS BIGINT) AS bartels_z_micro,
+           CAST(round(num_x / (sxx - CAST(sx AS DOUBLE) * sx / n)
+             * 1000000E0, 0) AS BIGINT) AS von_neumann_micro
+    FROM agg
+    """,
+)
+def bartels_von_neumann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels rank ratio and von Neumann ratio of daily revenue — the
+    successive-difference randomness tests: RVN = Σ(r_i − r_{i+1})² /
+    Σ(r_i − r̄)² on midranks (Bartels) and the same on raw values (von
+    Neumann). Near 2 = serially independent; << 2 = positive
+    persistence (trends/level shifts); >> 2 = alternation. Bartels is
+    the rank-robust upgrade of runs_test_daily_revenue (runs discard
+    magnitude entirely; RVN keeps ordinal magnitude) and reads beside
+    durbin_watson (whose statistic is von Neumann on OLS residuals).
+
+    Exactness: doubled midranks (2R) keep ties integral and cancel in
+    the ratio; the rank mean of 2R is exactly n+1, so numerator and
+    denominator are exact wide integers; Bartels' exact null variance
+    is one mirrored expression; the raw-value ratio runs over exact
+    cents power sums.
+
+    Scale: day-grain reduction, one value-grain rank join, one ordered
+    window over ~2.4k rows (documented tiny-window exception)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("x")
+    )
+    t = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("rn"), "x"
+    )
+    vr = t.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    vc = vr.select(
+        "x",
+        (
+            2 * (F.sum("c").over(wv).cast("bigint") - F.col("c"))
+            + F.col("c")
+            + 1
+        ).alias("r2"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = t.join(vc, "x").select(
+        "rn", "x", "r2", F.count(F.lit(1)).over(wall).cast("bigint").alias("n")
+    )
+    wrn = Window.orderBy("rn")
+    d = s.select(
+        "n",
+        "x",
+        "r2",
+        (F.col("r2") - F.lead("r2").over(wrn)).alias("dr"),
+        (F.col("x") - F.lead("x").over(wrn)).alias("dx"),
+    )
+    agg = d.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("dr").cast("decimal(38,0)") * F.col("dr"))
+        .cast("decimal(38,0)")
+        .alias("num_r"),
+        F.sum(
+            (F.col("r2") - (F.col("n") + 1)).cast("decimal(38,0)")
+            * (F.col("r2") - (F.col("n") + 1))
+        )
+        .cast("decimal(38,0)")
+        .alias("den_r"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx"))
+        .cast("double")
+        .alias("num_x"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CAST(round(CAST(num_r AS DOUBLE) / CAST(den_r AS DOUBLE)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("bartels_rvn_micro"),
+        F.expr(
+            "CAST(round((CAST(num_r AS DOUBLE) / CAST(den_r AS DOUBLE)"
+            " - 2E0)"
+            " / sqrt(4E0 * (n - 2E0) * (5E0 * n * n - 2E0 * n - 9E0)"
+            "        / (5E0 * n * (n + 1E0) * (n - 1E0) * (n - 1E0)))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("bartels_z_micro"),
+        F.expr(
+            "CAST(round(num_x / (sxx - CAST(sx AS DOUBLE) * sx / n)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("von_neumann_micro"),
+    )

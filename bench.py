@@ -655,6 +655,9 @@ HEADLINE = [
     "kneser_ney_bigram_topk",
     "nb_dispersion_by_segment",
     "quartile_shape_by_priority",
+    "mase_weekly_naive_daily",
+    "pinball_loss_daily_forecast",
+    "bartels_von_neumann_daily",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
