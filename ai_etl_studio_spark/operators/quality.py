@@ -2374,3 +2374,222 @@ def pr_auc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000E0, 0) AS BIGINT)"
         ).alias("prevalence_micro"),
     )
+
+
+@register(
+    "dp_sensitivity_by_nation",
+    oracle="""
+    WITH spend AS (
+      SELECT n.n_name AS nation, o.o_custkey AS ck,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2)
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MAX(n_orders) AS BIGINT) AS count_sensitivity,
+           CAST(MAX(cents) AS BIGINT) AS sum_sensitivity_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(round(CAST(MAX(cents) AS DOUBLE)
+             / CAST(SUM(cents) AS DOUBLE) * 1000000E0, 0) AS BIGINT)
+             AS laplace_noise_ratio_micro
+    FROM spend GROUP BY nation ORDER BY nation
+    """,
+)
+def dp_sensitivity_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy sensitivity audit for per-nation release of
+    order counts and revenue sums under USER-level adjacency (one
+    customer added/removed): count sensitivity = the largest single
+    customer's order count, sum sensitivity = their revenue cents —
+    the Δ that calibrates Laplace noise b = Δ/ε. The ratio column is
+    b/total at ε = 1: the relative noise a DP release of this exact
+    rollup would carry, i.e. 'is this aggregate publishable?'. The
+    deterministic HALF of a DP pipeline (the noise draw itself is
+    runtime randomness and out of scope by design); pairs with the
+    k-anonymity / l-diversity / t-closeness audits as the formal-
+    privacy shelf.
+
+    Exactness: integer cents throughout; one mirrored double ratio.
+
+    Scale: reduces to (nation, customer) grain; bounded output. At
+    100 TB the max-contribution scan is the same rollup every DP system
+    (e.g. contribution bounding / clamping) runs before releasing."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    spend = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(n, cu.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("o_custkey").alias("ck")
+        )
+        .agg(
+            F.sum(cents("o_totalprice")).cast("bigint").alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    return (
+        spend.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.max("n_orders").cast("bigint").alias("count_sensitivity"),
+            F.max("cents").cast("bigint").alias("sum_sensitivity_cents"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.round(
+                F.max("cents").cast("double")
+                / F.sum("cents").cast("double")
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("laplace_noise_ratio_micro"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "last_digit_uniformity_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) % 10 AS digit
+      FROM orders),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+    SELECT c.digit, c.n,
+           CAST(round((CAST(c.n AS DOUBLE) - CAST(t.tot AS DOUBLE) / 10)
+             * (CAST(c.n AS DOUBLE) - CAST(t.tot AS DOUBLE) / 10)
+             / (CAST(t.tot AS DOUBLE) / 10)
+             * 1000000E0, 0) AS BIGINT) AS chi2_term_micro
+    FROM c CROSS JOIN t ORDER BY c.digit
+    """,
+)
+def last_digit_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digit uniformity audit of order totals (cents): unlike
+    LEADING digits (Benford — benford_audit / second-digit), trailing
+    digits of genuine transaction amounts are very nearly UNIFORM, so
+    any spike (round-number anchoring at 0/5, fabricated values
+    favoring 7) is a fraud/data-entry flag the Benford pair cannot see.
+    Emits the per-digit χ² contribution so the offending digit is named,
+    not just the omnibus number (Σ of the column ~ χ²₉ under
+    uniformity).
+
+    Exactness: digit counts exact; each χ² term is one mirrored double
+    expression over (n, tot).
+
+    Scale: one 10-row reduction off the fact scan."""
+    o = load_table(spark, sf_dir, "orders")
+    c = (
+        o.select((cents("o_totalprice") % 10).alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    t = c.agg(F.sum("n").cast("bigint").alias("tot"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.expr(
+                "CAST(round((CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) / 10)"
+                " * (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) / 10)"
+                " / (CAST(tot AS DOUBLE) / 10)"
+                " * 1000000E0, 0) AS BIGINT)"
+            ).alias("chi2_term_micro"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+             AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation.n_regionkey -> region',
+           (SELECT COUNT(*) FROM nation),
+           (SELECT COUNT(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey))
+    ORDER BY fk
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep of every foreign key in the star
+    schema: orphan counts (child rows whose FK matches no parent) for
+    all seven FK edges, as LEFT-ANTI joins — the ingest gate every
+    warehouse load should run before analytics trust the joins (an
+    inner join silently DROPS orphans; this op counts what would
+    vanish). Zero everywhere on this corpus by construction; a nonzero
+    row names the broken edge.
+
+    Scale: each check is one anti-join that broadcasts the parent's
+    key column where it fits (nation/region/supplier) and shuffle-
+    anti-joins the fact keys otherwise; the seven checks are
+    independent and union into a 7-row report."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for child, fk, parent, pk in edges:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        orphans = c.join(p, c[fk] == p[pk], "left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+        )
+        rows = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        piece = (
+            rows.crossJoin(orphans)
+            .select(
+                F.lit(f"{child}.{fk} -> {parent}").alias("fk"),
+                "n_rows",
+                "n_orphans",
+            )
+        )
+        out = piece if out is None else out.unionAll(piece)
+    return out.orderBy("fk")

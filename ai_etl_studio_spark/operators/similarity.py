@@ -4359,3 +4359,105 @@ def embedding_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame
             " / CAST(trg2 AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
         ).alias("pr_micro"),
     )
+
+
+#: hard-negative cosine band: above random noise, below the near-dup
+#: threshold — the pairs a contrastive loss learns the most from
+HN_COS_LO = 0.1
+HN_TOPK = 3
+
+
+def _hard_negative_oracle() -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    {_sql_capped_cte("capped", _lsh_planes(), EMB_LSH_BUCKET_CAP)},
+    cand AS (
+      SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+      FROM capped a JOIN capped b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    verified AS (
+      SELECT c.vec_id_1, c.vec_id_2,
+             CAST(round({_SQL_COS} * 1000000E0, 0) AS BIGINT) AS cos_micro
+      FROM cand c JOIN v a ON a.vec_id = c.vec_id_1
+      JOIN v b ON b.vec_id = c.vec_id_2
+      WHERE {_SQL_COS} >= {HN_COS_LO} AND {_SQL_COS} < {COSINE_DEDUP_THRESHOLD}),
+    bidir AS (
+      SELECT vec_id_1 AS anchor_id, vec_id_2 AS neg_id, cos_micro
+      FROM verified
+      UNION ALL
+      SELECT vec_id_2, vec_id_1, cos_micro FROM verified),
+    ranked AS (
+      SELECT anchor_id, neg_id, cos_micro,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cos_micro DESC, neg_id) AS rk
+      FROM bidir)
+    SELECT anchor_id, neg_id, cos_micro, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {HN_TOPK}
+    ORDER BY anchor_id, rk
+    """
+
+
+@register("hard_negative_mining_topk", oracle=_hard_negative_oracle())
+def hard_negative_mining_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for every anchor
+    embedding, the top-{HN_TOPK} most-similar vectors in the
+    [{HN_COS_LO}, {COSINE_DEDUP_THRESHOLD}) cosine band — similar
+    enough to be informative, below the near-dup threshold so they are
+    genuinely NEGATIVE. Random negatives teach an embedding model
+    nothing once it separates topics; these boundary pairs are where
+    the loss gradient lives — the standard mining step in front of any
+    contrastive/triplet fine-tune, fed by the same capped-LSH candidate
+    generator as the dedup ladder (one infrastructure, two curriculum
+    outputs: pairs above the threshold get DEDUPED, pairs just below
+    get MINED).
+
+    Exactness: candidates are the deterministic capped buckets (lowest
+    vec_id per bucket survives the cap); cosine quantizes to integer
+    micro before the per-anchor ranking with a (cos, neg_id) tie-break,
+    so the top-k is deterministic in both engines.
+
+    Scale: the capped-LSH candidate stage is O(buckets·CAP²) regardless
+    of skew (the dedup_embedding_lsh_pairs_capped argument); vectors
+    ride only the verify join; the per-anchor rank partitions on
+    anchor_id."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    capped = _capped_bucket_ids(emb, _lsh_planes(), EMB_LSH_BUCKET_CAP)
+    cand = _bucket_pairs(capped)
+    e1 = emb.select(F.col("vec_id").alias("vec_id_1"), F.col("emb").alias("emb_1"))
+    e2 = emb.select(F.col("vec_id").alias("vec_id_2"), F.col("emb").alias("emb_2"))
+    sim = cosine(F.col("emb_1"), F.col("emb_2"))
+    verified = (
+        cand.join(e1, "vec_id_1")
+        .join(e2, "vec_id_2")
+        .select("vec_id_1", "vec_id_2", sim.alias("cos_raw"))
+        .filter(
+            (F.col("cos_raw") >= HN_COS_LO)
+            & (F.col("cos_raw") < COSINE_DEDUP_THRESHOLD)
+        )
+        .select(
+            "vec_id_1",
+            "vec_id_2",
+            F.round(F.col("cos_raw") * 1e6, 0).cast("bigint").alias("cos_micro"),
+        )
+    )
+    both = verified.select(
+        F.col("vec_id_1").alias("anchor_id"),
+        F.col("vec_id_2").alias("neg_id"),
+        "cos_micro",
+    ).unionAll(
+        verified.select(
+            F.col("vec_id_2").alias("anchor_id"),
+            F.col("vec_id_1").alias("neg_id"),
+            "cos_micro",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_micro"), "neg_id"
+    )
+    return (
+        both.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= HN_TOPK)
+        .orderBy("anchor_id", "rk")
+    )

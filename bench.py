@@ -658,6 +658,10 @@ HEADLINE = [
     "mase_weekly_naive_daily",
     "pinball_loss_daily_forecast",
     "bartels_von_neumann_daily",
+    "hard_negative_mining_topk",
+    "dp_sensitivity_by_nation",
+    "last_digit_uniformity_audit",
+    "referential_integrity_audit",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
