@@ -10731,3 +10731,260 @@ def bartels_von_neumann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000E0, 0) AS BIGINT)"
         ).alias("von_neumann_micro"),
     )
+
+
+@register(
+    "percentile_disc_delay_by_priority",
+    oracle=_DELAY_GRAIN_CTE
+    + """
+    , n AS (
+      SELECT pr, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY pr),
+    cum AS (
+      SELECT c.pr, c.v, n.n,
+             CAST(SUM(c.c) OVER (PARTITION BY c.pr ORDER BY c.v)
+               AS BIGINT) AS cum
+      FROM c JOIN n ON c.pr = n.pr)
+    SELECT pr AS o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= (n * 1 + 3) // 4 THEN v END)
+             AS BIGINT) AS q25,
+           CAST(MIN(CASE WHEN cum >= (n * 1 + 1) // 2 THEN v END)
+             AS BIGINT) AS q50,
+           CAST(MIN(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END)
+             AS BIGINT) AS q75,
+           CAST(MIN(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END)
+             AS BIGINT) AS q90
+    FROM cum GROUP BY pr ORDER BY o_orderpriority
+    """,
+)
+def percentile_disc_delay_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DISCRETE percentiles (exact order statistics, quantile_disc
+    semantics: the ceil(p·n)-th smallest value — always an OBSERVED
+    delay, never an interpolated fraction of a day) of ship delay per
+    priority. The integer-exact sibling of percentile_exact's
+    interpolated quantiles: for reporting 'the p90 delay was 55 days'
+    an interpolated 54.3 is a value no order ever had, and the disc
+    form needs no 6-dp rounding truce between engines — every output
+    is an exact integer.
+
+    Exactness: pure integer arithmetic end-to-end — cumulative counts
+    at the value grain, rank thresholds ceil(p·n) as integer ceiling
+    divisions, min-over-qualifying-values. Nothing to round.
+
+    Scale: rides the (priority, delay) value grain (the _delay_grain
+    device); one per-priority window."""
+    c = _delay_grain(spark, sf_dir)
+    n = c.groupBy("pr").agg(F.sum("c").cast("bigint").alias("n"))
+    wv = (
+        Window.partitionBy("pr")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = c.join(n, "pr").select(
+        "pr", "v", "n", F.sum("c").over(wv).cast("bigint").alias("cum")
+    )
+
+    def disc(num: int, den: int, alias: str):
+        return (
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"(n * {num} + {den - 1}) DIV {den}"),
+                    F.col("v"),
+                )
+            )
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    return (
+        cum.groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            disc(1, 4, "q25"),
+            disc(1, 2, "q50"),
+            disc(3, 4, "q75"),
+            disc(9, 10, "q90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "pythagorean_means_by_type",
+    oracle="""
+    WITH px AS (
+      SELECT p.p_type AS ty,
+             CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT ty AS p_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) * 1000000 // COUNT(*) AS BIGINT) AS am_micro,
+           CAST(round(exp(CAST(SUM(CAST(round(ln(CAST(cents AS DOUBLE))
+               * 1000000000E0, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000000E0 / COUNT(*)) * 1000000E0, 0) AS BIGINT)
+             AS gm_micro,
+           CAST(round(CAST(COUNT(*) AS DOUBLE)
+             / (CAST(SUM(CAST(round(1000000000000E0
+                 / CAST(cents AS DOUBLE), 0) AS BIGINT)) AS DOUBLE)
+                / 1000000000000E0) * 1000000E0, 0) AS BIGINT) AS hm_micro
+    FROM px GROUP BY ty ORDER BY p_type
+    """,
+)
+def pythagorean_means_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three Pythagorean means of line price per part type —
+    arithmetic (what finance reports), geometric (what compounding and
+    index numbers need), harmonic (what per-unit rates average
+    correctly). AM ≥ GM ≥ HM always; the SPREAD between them is itself
+    a dispersion diagnostic (AM/GM − 1 ≈ half the squared CV for tight
+    distributions), so three means read as a distribution summary,
+    not redundancy.
+
+    Exactness: AM is an exact integer micro floor-division of cents;
+    GM's Σln and HM's Σ(1/x) are tick-quantized per line (1e-9 and
+    1e-12 respectively) so the per-type reductions are order-
+    independent; one mirrored exp / division each.
+
+    Scale: one (type) rollup off the fact join; ~150 output rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    px = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.col("p_type").alias("ty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    lntick = F.round(F.log(F.col("cents").cast("double")) * 1e9, 0).cast(
+        "bigint"
+    )
+    invtick = F.round(F.lit(1e12) / F.col("cents").cast("double"), 0).cast(
+        "bigint"
+    )
+    return (
+        px.groupBy(F.col("ty").alias("p_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(SUM(cents) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("am_micro"),
+            F.round(
+                F.exp(
+                    F.sum(lntick).cast("double") / 1e9 / F.count(F.lit(1))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("gm_micro"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                / (F.sum(invtick).cast("double") / 1e12)
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("hm_micro"),
+        )
+        .orderBy("p_type")
+    )
+
+
+#: debounce refractory window (seconds) — events of the same
+#: (user, type) within this span of the last KEPT event are dropped
+_DEBOUNCE_SEC = 600
+#: integer-encoded fold state: last_kept_second * 100000 + kept_count.
+#: Both engines' list folds take ONE scalar accumulator of the element
+#: type, so the (last, count) pair packs into a single BIGINT — epoch
+#: seconds (~1.7e9) x 1e5 stays far inside int64, and per-key event
+#: counts stay below the 1e5 radix by orders of magnitude.
+_DEBOUNCE_STEP_T = (
+    "CASE WHEN ({x} {d} 100000) >= (acc {d} 100000) + "
+    + str(_DEBOUNCE_SEC)
+    + " THEN ({x} {d} 100000) * 100000 + (acc % 100000) + 1 ELSE acc END"
+)
+
+
+@register(
+    "debounce_events_by_type",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+      FROM events),
+    k AS (
+      SELECT user_id, event_type,
+             list_sort(list(sec * 100000 + 1)) AS encs,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ev GROUP BY 1, 2),
+    folded AS (
+      SELECT event_type, n_events,
+             CASE WHEN len(encs) = 1 THEN encs[1]
+                  ELSE list_reduce(encs, (acc, x) ->
+                    {_DEBOUNCE_STEP_T.format(x="x", d="//")})
+             END % 100000 AS n_kept
+      FROM k)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(n_kept) AS BIGINT) AS n_kept,
+           CAST(SUM(n_kept) * 1000000 // SUM(n_events) AS BIGINT)
+             AS kept_rate_micro
+    FROM folded GROUP BY event_type ORDER BY event_type
+    """,
+)
+def debounce_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce the event stream: within each (user, event_type), an
+    event is KEPT only if it falls ≥ {_DEBOUNCE_SEC}s after the last
+    KEPT event — the refractory-window semantics of UI debouncing /
+    alert suppression / sensor dedup. This is NOT expressible with a
+    lag() window (the anchor is the last KEPT event, which depends on
+    every prior decision), so it is the per-key sequential-fold shape:
+    the same reduce-then-fold device as EWMA/Holt-Winters but
+    partitioned — thousands of independent key folds run in parallel,
+    one sorted array each.
+
+    Exactness: the fold state packs (last-kept second, kept count) into
+    one integer (seconds × 1e5 + count — both engines' list folds take
+    a single scalar accumulator of the element type); encoded inputs
+    sort identically to timestamps; DuckDB's list_reduce seeds with the
+    first ELEMENT, so Spark's aggregate folds slice(2..) from arr[1] —
+    same trajectory.
+
+    Scale: one shuffle by key, per-key arrays bounded by per-user-type
+    event counts; output is |event_type| rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000 AS BIGINT)"
+        ).alias("sec"),
+    )
+    k = ev.groupBy("user_id", "event_type").agg(
+        F.array_sort(F.collect_list(F.col("sec") * 100000 + 1)).alias(
+            "encs"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    step = _DEBOUNCE_STEP_T.format(x="x", d="DIV")
+    folded = k.select(
+        "event_type",
+        "n_events",
+        F.expr(
+            "CASE WHEN size(encs) = 1 THEN element_at(encs, 1)"
+            " ELSE aggregate(slice(encs, 2, size(encs) - 1),"
+            f" element_at(encs, 1), (acc, x) -> {step})"
+            " END % 100000"
+        )
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+    return (
+        folded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("n_kept").cast("bigint").alias("n_kept"),
+            F.expr(
+                "CAST(SUM(n_kept) * 1000000 DIV SUM(n_events) AS BIGINT)"
+            ).alias("kept_rate_micro"),
+        )
+        .orderBy("event_type")
+    )

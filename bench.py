@@ -662,6 +662,9 @@ HEADLINE = [
     "dp_sensitivity_by_nation",
     "last_digit_uniformity_audit",
     "referential_integrity_audit",
+    "percentile_disc_delay_by_priority",
+    "pythagorean_means_by_type",
+    "debounce_events_by_type",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
