@@ -10988,3 +10988,153 @@ def debounce_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: SES step over the theta-2 line, quantized to integer cents per step
+#: — shared text for Spark's fold and the oracle's recursive CTE
+_THETA_SES = "CAST(round(0.3E0 * {z} + 0.7E0 * {s}, 0) AS BIGINT)"
+
+
+@register(
+    "theta_method_forecast_daily",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    t AS (SELECT row_number() OVER (ORDER BY day) - 1 AS t, x FROM daily),
+    ols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(round((CAST(SUM(CAST(x AS HUGEINT) * t) AS DOUBLE)
+                 - CAST(SUM(t) AS DOUBLE) * SUM(x) / COUNT(*))
+               / (CAST(SUM(CAST(t AS HUGEINT) * t) AS DOUBLE)
+                 - CAST(SUM(t) AS DOUBLE) * SUM(t) / COUNT(*))
+               * 1000000E0, 0) AS BIGINT) AS b_micro,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(t) AS BIGINT) AS st
+      FROM t),
+    ab AS (
+      SELECT n, b_micro,
+             CAST(round(CAST(sx AS DOUBLE) / n
+               - CAST(b_micro AS DOUBLE) / 1000000E0
+                 * CAST(st AS DOUBLE) / n, 0) AS BIGINT) AS a_cents
+      FROM ols),
+    z AS (
+      SELECT t.t,
+             CAST(2 * t.x - ab.a_cents
+               - CAST(round(CAST(ab.b_micro AS DOUBLE) * t.t
+                   / 1000000E0, 0) AS BIGINT) AS BIGINT) AS z
+      FROM t CROSS JOIN ab),
+    ses(i, s) AS (
+      SELECT CAST(0 AS BIGINT), (SELECT z FROM z WHERE t = 0)
+      UNION ALL
+      SELECT ses.i + 1, {_THETA_SES.format(z="z.z", s="ses.s")}
+      FROM ses JOIN z ON z.t = ses.i + 1
+      WHERE ses.i + 1 < (SELECT n FROM ab))
+    SELECT ab.n AS n_days, ab.a_cents, ab.b_micro,
+           fin.s AS ses_theta2_cents,
+           CAST(round((CAST(ab.a_cents AS DOUBLE)
+               + CAST(ab.b_micro AS DOUBLE) / 1000000E0 * ab.n
+               + fin.s) / 2E0, 0) AS BIGINT) AS forecast_1_cents,
+           CAST(round((CAST(ab.a_cents AS DOUBLE)
+               + CAST(ab.b_micro AS DOUBLE) / 1000000E0 * (ab.n + 6)
+               + fin.s) / 2E0, 0) AS BIGINT) AS forecast_7_cents
+    FROM ab CROSS JOIN (SELECT s FROM ses WHERE i = (SELECT n - 1 FROM ab))
+      AS fin(s)
+    """,
+)
+def theta_method_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THETA method (Assimakopoulos & Nikolopoulos — winner of the
+    M3 forecasting competition) on daily revenue: decompose the series
+    into the θ=0 line (the OLS trend, pure long-run signal) and the
+    θ=2 line (2Y − trend, curvature doubled), SES-smooth the θ=2 line
+    (α=0.3), and forecast as the equal-weight average of the
+    extrapolated trend and the flat SES level. Beats Holt and
+    seasonal-naive on most M3 series with two moving parts — the
+    strong-classical-baseline every fancier model must clear, beside
+    holt_level_trend / holt_winters / MASE on the forecasting shelf.
+
+    Exactness: OLS slope/intercept come from exact wide-integer
+    sufficient statistics quantized once (b to micro, a to cents); the
+    θ=2 line is integer cents per point by construction; the SES fold
+    quantizes each step to integer cents, so Spark's JVM `aggregate`
+    and the oracle's recursive CTE walk one integer trajectory; the
+    final averages are mirrored expressions.
+
+    Scale: day-grain reduce-then-fold — one sorted-array fold, no
+    per-step shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("x")
+    )
+    t = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"), "x"
+    )
+    ols = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "CAST(round((CAST(SUM(CAST(x AS DECIMAL(38,0)) * t) AS DOUBLE)"
+            "   - CAST(SUM(t) AS DOUBLE) * SUM(x) / COUNT(*))"
+            " / (CAST(SUM(CAST(t AS DECIMAL(38,0)) * t) AS DOUBLE)"
+            "   - CAST(SUM(t) AS DOUBLE) * SUM(t) / COUNT(*))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("b_micro"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("t").cast("bigint").alias("st"),
+    )
+    ab = ols.select(
+        "n",
+        "b_micro",
+        F.expr(
+            "CAST(round(CAST(sx AS DOUBLE) / n"
+            " - CAST(b_micro AS DOUBLE) / 1000000E0"
+            "   * CAST(st AS DOUBLE) / n, 0) AS BIGINT)"
+        ).alias("a_cents"),
+    )
+    z = t.crossJoin(F.broadcast(ab)).select(
+        "t",
+        "n",
+        "a_cents",
+        "b_micro",
+        F.expr(
+            "CAST(2 * x - a_cents"
+            " - CAST(round(CAST(b_micro AS DOUBLE) * t"
+            "     / 1000000E0, 0) AS BIGINT) AS BIGINT)"
+        ).alias("z"),
+    )
+    step = _THETA_SES.format(z="zz", s="acc")
+    row = z.groupBy("n", "a_cents", "b_micro").agg(
+        F.array_sort(F.collect_list(F.struct("t", "z"))).alias("zs")
+    )
+    folded = F.expr(
+        "aggregate(slice(transform(zs, r -> r.z), 2, size(zs) - 1),"
+        f" element_at(zs, 1).z, (acc, zz) -> {step})"
+    )
+    return row.select(
+        F.col("n").alias("n_days"),
+        "a_cents",
+        "b_micro",
+        folded.alias("ses_theta2_cents"),
+        F.round(
+            (
+                F.col("a_cents").cast("double")
+                + F.col("b_micro").cast("double") / 1e6 * F.col("n")
+                + folded
+            )
+            / 2.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("forecast_1_cents"),
+        F.round(
+            (
+                F.col("a_cents").cast("double")
+                + F.col("b_micro").cast("double") / 1e6 * (F.col("n") + 6)
+                + folded
+            )
+            / 2.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("forecast_7_cents"),
+    )

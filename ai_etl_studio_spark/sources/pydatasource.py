@@ -162,3 +162,65 @@ def register_csv_lines(spark) -> None:
         spark.dataSource.register(CsvLinesDataSource)
     except Exception:
         pass  # already registered on this session
+
+
+# ---------------------------------------------------------------------------
+# Streaming seam: the same deterministic synthetic sequence as a
+# STRUCTURED STREAMING source (SimpleDataSourceStreamReader, Spark 4) —
+# a pure-Python source that participates in the offset/commit protocol:
+# initialOffset -> read(start) -> (rows, nextOffset), with
+# readBetweenOffsets for failure replay. The Spark-native generalization
+# of "tail any Python-reachable system" (message bus, REST poll, bespoke
+# WAL) without a JVM connector.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class SyntheticTickStreamReader(SimpleDataSourceStreamReader):
+    """Deterministic bounded tick stream: row i = (i, knuth_hash(i)),
+    `batchSize` rows per microbatch, stops advancing at `limit` (so
+    availableNow/processAllAvailable drains and terminates). The rows
+    between two offsets are a pure function of the offsets — exactly
+    the replayability contract Spark's checkpoint recovery requires."""
+
+    def __init__(self, options: dict):
+        self.batch = int(options.get("batchSize", 100))
+        self.limit = int(options.get("limit", 1000))
+
+    def initialOffset(self):
+        return {"off": 0}
+
+    def read(self, start: dict):
+        s = int(start["off"])
+        e = min(s + self.batch, self.limit)
+        return (self._rows(s, e), {"off": e})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["off"]), int(end["off"]))
+
+    @staticmethod
+    def _rows(s: int, e: int):
+        return iter([(i, (i * KNUTH) % MOD) for i in range(s, e)])
+
+
+class SyntheticTickStreamSource(DataSource):
+    """`spark.readStream.format("synthetic_ticks")...load()`"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_ticks"
+
+    def schema(self) -> str:
+        return "id bigint, val bigint"
+
+    def simpleStreamReader(self, schema) -> SyntheticTickStreamReader:
+        return SyntheticTickStreamReader(self.options)
+
+
+def register_synthetic_ticks(spark) -> None:
+    """Idempotent registration of the streaming source on a session."""
+    try:
+        spark.dataSource.register(SyntheticTickStreamSource)
+    except Exception:
+        pass  # already registered on this session

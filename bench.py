@@ -665,6 +665,7 @@ HEADLINE = [
     "percentile_disc_delay_by_priority",
     "pythagorean_means_by_type",
     "debounce_events_by_type",
+    "theta_method_forecast_daily",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

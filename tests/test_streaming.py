@@ -247,6 +247,45 @@ def test_foreach_batch_jdbc_sink_exactly_once(spark, tmp_path):
     assert read_sink().count() == want
 
 
+def test_python_streaming_datasource_deterministic(spark, tmp_path):
+    """A pure-Python STREAMING source (SimpleDataSourceStreamReader)
+    participating in the offset protocol: the bounded synthetic tick
+    stream drains under processAllAvailable, emits exactly `limit`
+    deterministic rows across `limit/batchSize` microbatches, and a
+    checkpointed restart adds nothing (offsets persist)."""
+    from ai_etl_studio_spark.sources.pydatasource import (
+        KNUTH,
+        MOD,
+        register_synthetic_ticks,
+    )
+
+    register_synthetic_ticks(spark)
+    out = str(tmp_path / "ticks_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("synthetic_ticks")
+            .option("batchSize", "128")
+            .option("limit", "1000")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    rows = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert rows == [(i, (i * KNUTH) % MOD) for i in range(1000)]
+    # restart on the same checkpoint: source is exhausted -> no dupes
+    run()
+    assert spark.read.parquet(out).count() == 1000
+
+
 def test_stream_user_totals_matches_batch(spark):
     """Per-user stateful totals — count, distinct event-type count —
     match the batch aggregation. The always-running
