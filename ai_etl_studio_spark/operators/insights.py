@@ -6381,3 +6381,457 @@ def copurchase_weighted_eigenvector_topk(
         .orderBy(F.desc("centrality_micro"), "part_key")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-9: causal-inference / experimentation shelf — CUPED variance
+# reduction, difference-in-differences, regression discontinuity, and
+# covariate balance, beside the existing ab_* ops. All exact-sufficient-
+# statistic closed forms; no resampling, no randomness.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cuped_variance_reduction",
+    oracle="""
+    WITH per AS (
+      SELECT c.c_custkey AS ck,
+             CAST(COALESCE(SUM(CASE WHEN year(CAST(o.o_orderdate AS DATE))
+               = 1995 THEN CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+               END), 0) AS BIGINT) AS pre,
+             CAST(COALESCE(SUM(CASE WHEN year(CAST(o.o_orderdate AS DATE))
+               = 1996 THEN CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+               END), 0) AS BIGINT) AS post
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pre) AS BIGINT) AS sx,
+             CAST(SUM(post) AS BIGINT) AS sy,
+             CAST(SUM(CAST(pre AS HUGEINT) * pre) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(post AS HUGEINT) * post) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(pre AS HUGEINT) * post) AS DOUBLE) AS sxy
+      FROM per)
+    SELECT n AS n_customers,
+           CAST(round((sxy - CAST(sx AS DOUBLE) * sy / n)
+             / (sxx - CAST(sx AS DOUBLE) * sx / n)
+             * 1000000E0, 0) AS BIGINT) AS theta_micro,
+           CAST(round((sxy - CAST(sx AS DOUBLE) * sy / n)
+             / sqrt((sxx - CAST(sx AS DOUBLE) * sx / n)
+                    * (syy - CAST(sy AS DOUBLE) * sy / n))
+             * 1000000E0, 0) AS BIGINT) AS rho_micro,
+           CAST(round((sxy - CAST(sx AS DOUBLE) * sy / n)
+             * (sxy - CAST(sx AS DOUBLE) * sy / n)
+             / (sxx - CAST(sx AS DOUBLE) * sx / n)
+             / (syy - CAST(sy AS DOUBLE) * sy / n)
+             * 1000000E0, 0) AS BIGINT) AS var_reduction_micro
+    FROM s
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data): how
+    much variance a 1996 revenue experiment metric loses when adjusted
+    by each customer's 1995 spend — θ = cov(pre, post)/var(pre) is the
+    adjustment coefficient, and the variance shrinks by ρ² (the
+    var_reduction column): ρ² = 0.3 means every A/B test on this metric
+    needs 30% less traffic at the same power. The deterministic
+    pre-computation every experimentation platform runs before assigning
+    units; pairs with ab_power_sample_size (which this column directly
+    discounts) and ab_test_ztest.
+
+    Exactness: per-customer pre/post are exact cents over the FULL
+    customer universe (left join, zero-filled — dropping no-order
+    customers would bias θ); the five sufficient statistics ride
+    int128/decimal128; θ/ρ/ρ² are mirrored expressions.
+
+    Scale: one customer-grain rollup, one single-row aggregate."""
+    from ai_etl_studio_spark.functions.exact import cents
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("ck"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(yr == 1995, cents("o_totalprice"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("pre"),
+            F.coalesce(
+                F.sum(F.when(yr == 1996, cents("o_totalprice"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("post"),
+        )
+    )
+    s = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pre").cast("bigint").alias("sx"),
+        F.sum("post").cast("bigint").alias("sy"),
+        F.sum(F.col("pre").cast("decimal(19,0)") * F.col("pre").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("post").cast("decimal(19,0)") * F.col("post").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("pre").cast("decimal(19,0)") * F.col("post").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    cov = "(sxy - CAST(sx AS DOUBLE) * sy / n)"
+    vx = "(sxx - CAST(sx AS DOUBLE) * sx / n)"
+    vy = "(syy - CAST(sy AS DOUBLE) * sy / n)"
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.expr(
+            f"CAST(round({cov} / {vx} * 1000000E0, 0) AS BIGINT)"
+        ).alias("theta_micro"),
+        F.expr(
+            f"CAST(round({cov} / sqrt({vx} * {vy}) * 1000000E0, 0)"
+            " AS BIGINT)"
+        ).alias("rho_micro"),
+        F.expr(
+            f"CAST(round({cov} * {cov} / {vx} / {vy} * 1000000E0, 0)"
+            " AS BIGINT)"
+        ).alias("var_reduction_micro"),
+    )
+
+
+@register(
+    "did_segment_policy_estimate",
+    oracle="""
+    WITH cells AS (
+      SELECT CASE WHEN cu.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS treat,
+             CASE WHEN o.o_orderdate >= '1996-01-01' THEN 1 ELSE 0 END
+               AS post,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+      GROUP BY 1, 2),
+    m AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_orders,
+             SUM(CASE WHEN treat = 1 AND post = 0
+               THEN CAST(cents AS DOUBLE) / n END) AS t0,
+             SUM(CASE WHEN treat = 1 AND post = 1
+               THEN CAST(cents AS DOUBLE) / n END) AS t1,
+             SUM(CASE WHEN treat = 0 AND post = 0
+               THEN CAST(cents AS DOUBLE) / n END) AS c0,
+             SUM(CASE WHEN treat = 0 AND post = 1
+               THEN CAST(cents AS DOUBLE) / n END) AS c1
+      FROM cells)
+    SELECT n_orders,
+           CAST(round(t0 * 1000, 0) AS BIGINT) AS treat_pre_milli,
+           CAST(round(t1 * 1000, 0) AS BIGINT) AS treat_post_milli,
+           CAST(round(c0 * 1000, 0) AS BIGINT) AS ctrl_pre_milli,
+           CAST(round(c1 * 1000, 0) AS BIGINT) AS ctrl_post_milli,
+           CAST(round(((t1 - t0) - (c1 - c0)) * 1000, 0) AS BIGINT)
+             AS did_milli
+    FROM m
+    """,
+)
+def did_segment_policy_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences 2x2: the change in BUILDING-segment
+    average order value from pre-1996 to 1996+, NET of the change every
+    other segment experienced — the parallel-trends causal estimate of
+    a segment-targeted 'policy' (price change, campaign) that a naive
+    before/after would confound with the market-wide drift the control
+    cells absorb. The four cell means are reported so the
+    parallel-trends story is inspectable, not hidden inside one number.
+
+    Exactness: four exact (cents, count) cells; each mean is one
+    division; DiD is one mirrored expression (milli-cents).
+
+    Scale: the entire estimator is a 4-row aggregate off one fact
+    join."""
+    from ai_etl_studio_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .groupBy(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("treat"),
+            F.when(F.col("o_orderdate") >= "1996-01-01", 1)
+            .otherwise(0)
+            .alias("post"),
+        )
+        .agg(
+            F.sum(cents("o_totalprice")).cast("bigint").alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    m = cells.agg(
+        F.sum("n").cast("bigint").alias("n_orders"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col("treat") == tr) & (F.col("post") == po),
+                    F.col("cents").cast("double") / F.col("n"),
+                )
+            ).alias(name)
+            for tr, po, name in (
+                (1, 0, "t0"),
+                (1, 1, "t1"),
+                (0, 0, "c0"),
+                (0, 1, "c1"),
+            )
+        ],
+    )
+    return m.select(
+        "n_orders",
+        F.round(F.col("t0") * 1000, 0).cast("bigint").alias("treat_pre_milli"),
+        F.round(F.col("t1") * 1000, 0).cast("bigint").alias("treat_post_milli"),
+        F.round(F.col("c0") * 1000, 0).cast("bigint").alias("ctrl_pre_milli"),
+        F.round(F.col("c1") * 1000, 0).cast("bigint").alias("ctrl_post_milli"),
+        F.round(
+            ((F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")))
+            * 1000,
+            0,
+        )
+        .cast("bigint")
+        .alias("did_milli"),
+    )
+
+
+@register(
+    "rdd_acctbal_cutoff",
+    oracle="""
+    WITH base AS (
+      SELECT cu.c_custkey AS ck,
+             CAST(round(cu.c_acctbal * 100, 0) AS BIGINT) AS x,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS y
+      FROM customer cu LEFT JOIN orders o ON o.o_custkey = cu.c_custkey
+      WHERE cu.c_acctbal >= -500 AND cu.c_acctbal < 500
+      GROUP BY 1, 2),
+    s AS (
+      SELECT CASE WHEN x >= 0 THEN 1 ELSE 0 END AS side,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+      FROM base GROUP BY 1),
+    fit AS (
+      SELECT side, n,
+             CAST(SUM(sy) AS DOUBLE) / n
+               - (sxy - CAST(sx AS DOUBLE) * sy / n)
+                 / (sxx - CAST(sx AS DOUBLE) * sx / n)
+                 * CAST(sx AS DOUBLE) / n AS a
+      FROM s GROUP BY side, n, sx, sy, sxy, sxx)
+    SELECT CAST(SUM(CASE WHEN side = 0 THEN n END) AS BIGINT) AS n_left,
+           CAST(SUM(CASE WHEN side = 1 THEN n END) AS BIGINT) AS n_right,
+           CAST(round(SUM(CASE WHEN side = 0 THEN a END) * 1000000E0, 0)
+             AS BIGINT) AS intercept_left_micro,
+           CAST(round(SUM(CASE WHEN side = 1 THEN a END) * 1000000E0, 0)
+             AS BIGINT) AS intercept_right_micro,
+           CAST(round((SUM(CASE WHEN side = 1 THEN a END)
+             - SUM(CASE WHEN side = 0 THEN a END)) * 1000000E0, 0)
+             AS BIGINT) AS rdd_jump_micro
+    FROM fit
+    """,
+)
+def rdd_acctbal_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate at the account-balance
+    zero cutoff: local linear fits of per-customer order count on
+    balance, separately within (−$500, 0) and [0, $500), and the jump
+    between the two intercepts AT the cutoff — the causal reading of
+    'does crossing into positive balance change purchasing?' under the
+    standard RD assumption (everything else varies smoothly through the
+    threshold, so only a genuine discontinuity moves the jump). Local
+    linear rather than difference-of-means because RD's known failure
+    mode is slope bias at the boundary.
+
+    Exactness: running variable in exact cents, outcome an exact count;
+    both side fits are closed-form OLS over exact wide-integer
+    sufficient statistics; intercepts and jump are mirrored
+    expressions.
+
+    Scale: bandwidth filter pushes to the customer scan; one
+    customer-grain rollup; two sufficient-statistic rows."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    base = (
+        cu.filter((F.col("c_acctbal") >= -500) & (F.col("c_acctbal") < 500))
+        .join(o, o.o_custkey == cu.c_custkey, "left")
+        .groupBy(
+            F.col("c_custkey").alias("ck"),
+            F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("x"),
+        )
+        .agg(F.count(F.col("o_orderkey")).cast("bigint").alias("y"))
+    )
+    s = base.groupBy(
+        F.when(F.col("x") >= 0, 1).otherwise(0).alias("side")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    a = (
+        "(CAST(sy AS DOUBLE) / n"
+        " - (sxy - CAST(sx AS DOUBLE) * sy / n)"
+        "   / (sxx - CAST(sx AS DOUBLE) * sx / n)"
+        "   * CAST(sx AS DOUBLE) / n)"
+    )
+    fit = s.select("side", "n", F.expr(a).alias("a"))
+    return fit.agg(
+        F.sum(F.when(F.col("side") == 0, F.col("n")))
+        .cast("bigint")
+        .alias("n_left"),
+        F.sum(F.when(F.col("side") == 1, F.col("n")))
+        .cast("bigint")
+        .alias("n_right"),
+        F.round(
+            F.sum(F.when(F.col("side") == 0, F.col("a"))) * 1e6, 0
+        )
+        .cast("bigint")
+        .alias("intercept_left_micro"),
+        F.round(
+            F.sum(F.when(F.col("side") == 1, F.col("a"))) * 1e6, 0
+        )
+        .cast("bigint")
+        .alias("intercept_right_micro"),
+        F.round(
+            (
+                F.sum(F.when(F.col("side") == 1, F.col("a")))
+                - F.sum(F.when(F.col("side") == 0, F.col("a")))
+            )
+            * 1e6,
+            0,
+        )
+        .cast("bigint")
+        .alias("rdd_jump_micro"),
+    )
+
+
+@register(
+    "smd_covariate_balance",
+    oracle="""
+    WITH per AS (
+      SELECT cu.c_custkey AS ck,
+             CASE WHEN cu.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS treat,
+             CAST(round(cu.c_acctbal * 100, 0) AS BIGINT) AS acctbal,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+             CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100, 0)
+               AS BIGINT)), 0) AS BIGINT) AS spend
+      FROM customer cu LEFT JOIN orders o ON o.o_custkey = cu.c_custkey
+      GROUP BY 1, 2, 3),
+    lng AS (
+      SELECT treat, 'acctbal_cents' AS covariate, acctbal AS v FROM per
+      UNION ALL
+      SELECT treat, 'n_orders', n_orders FROM per
+      UNION ALL
+      SELECT treat, 'spend_cents', spend FROM per),
+    s AS (
+      SELECT covariate, treat,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE) AS svv
+      FROM lng GROUP BY 1, 2),
+    w AS (
+      SELECT covariate,
+             SUM(CASE WHEN treat = 1 THEN n END) AS n1,
+             SUM(CASE WHEN treat = 0 THEN n END) AS n0,
+             SUM(CASE WHEN treat = 1
+               THEN CAST(sv AS DOUBLE) / n END) AS m1,
+             SUM(CASE WHEN treat = 0
+               THEN CAST(sv AS DOUBLE) / n END) AS m0,
+             SUM(CASE WHEN treat = 1 THEN
+               (svv - CAST(sv AS DOUBLE) * sv / n) / (n - 1) END) AS v1,
+             SUM(CASE WHEN treat = 0 THEN
+               (svv - CAST(sv AS DOUBLE) * sv / n) / (n - 1) END) AS v0
+      FROM s GROUP BY covariate)
+    SELECT covariate, CAST(n1 AS BIGINT) AS n_treat,
+           CAST(n0 AS BIGINT) AS n_ctrl,
+           CAST(round((m1 - m0) / sqrt((v1 + v0) / 2E0) * 1000000E0, 0)
+             AS BIGINT) AS smd_micro
+    FROM w ORDER BY covariate
+    """,
+)
+def smd_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized mean differences between the BUILDING segment and
+    the rest across three pre-treatment covariates (account balance,
+    order count, total spend) — THE balance table every observational
+    study prints before trusting a segment comparison: |SMD| < 0.1 is
+    the conventional 'balanced' bar, and a large SMD names exactly
+    which covariate confounds a naive BUILDING-vs-rest contrast (e.g.
+    the DiD op's parallel-trends assumption). Pooled-SD denominator
+    sqrt((s₁²+s₀²)/2), the Cohen convention.
+
+    Exactness: per-customer covariates are exact integers over the full
+    customer universe (left join, zero-filled); per-group sufficient
+    statistics ride int128/decimal128; each SMD is one mirrored
+    expression.
+
+    Scale: one customer-grain rollup, a 3-covariate unpivot, a 6-row
+    sufficient-statistic table."""
+    from ai_etl_studio_spark.functions.exact import cents
+
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        cu.join(o, o.o_custkey == cu.c_custkey, "left")
+        .groupBy(
+            F.col("c_custkey").alias("ck"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("treat"),
+            F.round(F.col("c_acctbal") * 100, 0)
+            .cast("bigint")
+            .alias("acctbal"),
+        )
+        .agg(
+            F.count(F.col("o_orderkey")).cast("bigint").alias("n_orders"),
+            F.coalesce(F.sum(cents("o_totalprice")), F.lit(0))
+            .cast("bigint")
+            .alias("spend"),
+        )
+    )
+    lng = per.select(
+        "treat",
+        F.expr(
+            "stack(3, 'acctbal_cents', acctbal, 'n_orders', n_orders,"
+            " 'spend_cents', spend)"
+        ).alias("covariate", "v"),
+    )
+    s = lng.groupBy("covariate", "treat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("svv"),
+    )
+    var = "(svv - CAST(sv AS DOUBLE) * sv / n) / (n - 1)"
+    w = s.groupBy("covariate").agg(
+        F.sum(F.when(F.col("treat") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("treat") == 0, F.col("n"))).alias("n0"),
+        F.sum(
+            F.when(F.col("treat") == 1, F.col("sv").cast("double") / F.col("n"))
+        ).alias("m1"),
+        F.sum(
+            F.when(F.col("treat") == 0, F.col("sv").cast("double") / F.col("n"))
+        ).alias("m0"),
+        F.sum(F.when(F.col("treat") == 1, F.expr(var))).alias("v1"),
+        F.sum(F.when(F.col("treat") == 0, F.expr(var))).alias("v0"),
+    )
+    return w.select(
+        "covariate",
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("n0").cast("bigint").alias("n_ctrl"),
+        F.expr(
+            "CAST(round((m1 - m0) / sqrt((v1 + v0) / 2E0) * 1000000E0, 0)"
+            " AS BIGINT)"
+        ).alias("smd_micro"),
+    ).orderBy("covariate")

@@ -666,6 +666,10 @@ HEADLINE = [
     "pythagorean_means_by_type",
     "debounce_events_by_type",
     "theta_method_forecast_daily",
+    "cuped_variance_reduction",
+    "did_segment_policy_estimate",
+    "rdd_acctbal_cutoff",
+    "smd_covariate_balance",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
