@@ -11138,3 +11138,133 @@ def theta_method_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("forecast_7_cents"),
     )
+
+
+@register(
+    "energy_distance_delay",
+    oracle=_DELAY_GRAIN_CTE.replace(_AB_FILTER_MARKER,
+        _AB_FILTER_MARKER
+        + " AND o.o_orderpriority IN ('1-URGENT', '5-LOW')")
+    + """
+    , vg AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN pr = '1-URGENT' THEN c ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN pr = '5-LOW' THEN c ELSE 0 END)
+               AS BIGINT) AS cb
+      FROM c GROUP BY v),
+    cum AS (
+      SELECT v, ca, cb,
+             CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cca,
+             CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS ccb,
+             CAST(SUM(ca * v) OVER (ORDER BY v) AS BIGINT) AS csa,
+             CAST(SUM(cb * v) OVER (ORDER BY v) AS BIGINT) AS csb,
+             CAST(SUM(ca) OVER () AS BIGINT) AS m,
+             CAST(SUM(cb) OVER () AS BIGINT) AS n,
+             CAST(SUM(ca * v) OVER () AS BIGINT) AS ta,
+             CAST(SUM(cb * v) OVER () AS BIGINT) AS tb
+      FROM vg),
+    s AS (
+      SELECT MAX(m) AS m, MAX(n) AS n,
+             CAST(SUM(CAST(cb AS HUGEINT)
+               * (v * cca - csa + (ta - csa) - v * (m - cca)))
+               AS HUGEINT) AS sab,
+             CAST(SUM(CAST(ca AS HUGEINT)
+               * (v * cca - csa + (ta - csa) - v * (m - cca)))
+               AS HUGEINT) AS saa,
+             CAST(SUM(CAST(cb AS HUGEINT)
+               * (v * ccb - csb + (tb - csb) - v * (n - ccb)))
+               AS HUGEINT) AS sbb
+      FROM cum)
+    SELECT m AS n_urgent, n AS n_low,
+           CAST(round((2E0 * CAST(sab AS DOUBLE) / m / n
+               - CAST(saa AS DOUBLE) / m / m
+               - CAST(sbb AS DOUBLE) / n / n) * 1000000E0, 0) AS BIGINT)
+             AS energy_dist_micro,
+           CAST(round(CAST(m AS DOUBLE) * n / (m + n)
+             * (2E0 * CAST(sab AS DOUBLE) / m / n
+               - CAST(saa AS DOUBLE) / m / m
+               - CAST(sbb AS DOUBLE) / n / n) * 1000000E0, 0) AS BIGINT)
+             AS energy_t_micro
+    FROM s
+    """,
+)
+def energy_distance_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between URGENT and LOW ship-delay distributions:
+    E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — Székely's metric two-sample
+    statistic, zero iff the distributions are IDENTICAL, sensitive to
+    location, scale and shape at once where KS sees only the max CDF
+    gap and Wasserstein integrates it linearly; the T = mn/(m+n)·E form
+    is the permutation-test statistic. Completes the two-sample shelf:
+    KS / CvM / AD (CDF functionals), Wasserstein (transport), energy
+    (pairwise-distance kernel).
+
+    Exactness: every pairwise-|difference| sum collapses to prefix-sum
+    closed forms on the value grain — Σᵢⱼ cᵢcⱼ|vᵢ−vⱼ| is an exact wide
+    integer via cumulative counts and cumulative value-sums (no pair
+    join, no doubles until the final mirrored expression).
+
+    Scale: one value-grain window pass; one-row output."""
+    c = _delay_grain(spark, sf_dir).filter(
+        F.col("pr").isin("1-URGENT", "5-LOW")
+    )
+    vg = c.groupBy("v").agg(
+        F.sum(F.when(F.col("pr") == "1-URGENT", F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("pr") == "5-LOW", F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vg.select(
+        "v",
+        "ca",
+        "cb",
+        F.sum("ca").over(wv).cast("bigint").alias("cca"),
+        F.sum("cb").over(wv).cast("bigint").alias("ccb"),
+        F.sum(F.col("ca") * F.col("v")).over(wv).cast("bigint").alias("csa"),
+        F.sum(F.col("cb") * F.col("v")).over(wv).cast("bigint").alias("csb"),
+        F.sum("ca").over(wall).cast("bigint").alias("m"),
+        F.sum("cb").over(wall).cast("bigint").alias("n"),
+        F.sum(F.col("ca") * F.col("v")).over(wall).cast("bigint").alias("ta"),
+        F.sum(F.col("cb") * F.col("v")).over(wall).cast("bigint").alias("tb"),
+    )
+    inner_a = (
+        "(v * cca - csa + (ta - csa) - v * (m - cca))"
+    )
+    inner_b = (
+        "(v * ccb - csb + (tb - csb) - v * (n - ccb))"
+    )
+    s = cum.agg(
+        F.max("m").alias("m"),
+        F.max("n").alias("n"),
+        F.sum(F.expr(f"CAST(cb AS DECIMAL(38,0)) * {inner_a}"))
+        .cast("decimal(38,0)")
+        .alias("sab"),
+        F.sum(F.expr(f"CAST(ca AS DECIMAL(38,0)) * {inner_a}"))
+        .cast("decimal(38,0)")
+        .alias("saa"),
+        F.sum(F.expr(f"CAST(cb AS DECIMAL(38,0)) * {inner_b}"))
+        .cast("decimal(38,0)")
+        .alias("sbb"),
+    )
+    e_expr = (
+        "(2E0 * CAST(sab AS DOUBLE) / m / n"
+        " - CAST(saa AS DOUBLE) / m / m"
+        " - CAST(sbb AS DOUBLE) / n / n)"
+    )
+    return s.select(
+        F.col("m").alias("n_urgent"),
+        F.col("n").alias("n_low"),
+        F.expr(
+            f"CAST(round({e_expr} * 1000000E0, 0) AS BIGINT)"
+        ).alias("energy_dist_micro"),
+        F.expr(
+            f"CAST(round(CAST(m AS DOUBLE) * n / (m + n) * {e_expr}"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("energy_t_micro"),
+    )

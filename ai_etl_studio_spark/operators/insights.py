@@ -6835,3 +6835,98 @@ def smd_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("smd_micro"),
     ).orderBy("covariate")
+
+
+@register(
+    "copurchase_brand_modularity",
+    oracle=_CP_GRAPH_CTE
+    + """
+    , eb AS (
+      SELECT pa.p_brand AS ba, pb.p_brand AS bb
+      FROM e JOIN part pa ON e.x = pa.p_partkey
+      JOIN part pb ON e.y = pb.p_partkey),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM eb),
+    within AS (
+      SELECT ba AS brand, CAST(COUNT(*) AS BIGINT) AS m_c
+      FROM eb WHERE ba = bb GROUP BY 1),
+    degs AS (
+      SELECT brand, CAST(SUM(cnt) AS BIGINT) AS d_c FROM (
+        SELECT ba AS brand, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM eb GROUP BY 1
+        UNION ALL
+        SELECT bb, COUNT(*) FROM eb GROUP BY 1) u
+      GROUP BY brand),
+    terms AS (
+      SELECT d.brand,
+             COALESCE(w.m_c, 0) AS m_c, d.d_c,
+             CAST(round((CAST(COALESCE(w.m_c, 0) AS DOUBLE) / m.m
+               - (CAST(d.d_c AS DOUBLE) / (2 * m.m))
+                 * (CAST(d.d_c AS DOUBLE) / (2 * m.m)))
+               * 1000000000E0, 0) AS BIGINT) AS q_nano
+      FROM degs d LEFT JOIN within w ON d.brand = w.brand
+      CROSS JOIN m)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+           CAST(MAX(m.m) AS BIGINT) AS n_edges,
+           CAST(SUM(m_c) AS BIGINT) AS n_within_edges,
+           CAST(SUM(q_nano) AS BIGINT) AS modularity_nano
+    FROM terms CROSS JOIN m
+    """,
+)
+def copurchase_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the BRAND partition on the co-purchase
+    graph: Q = Σ_c [m_c/m − (d_c/2m)²] — do co-purchase ties
+    concentrate WITHIN brands beyond what brand degree alone predicts?
+    Q near 0 says brands are not purchase communities (cross-sell flows
+    freely); Q >> 0 says brand-loyal baskets. The community-STRUCTURE
+    question the component/k-core ops (pure connectivity) and the
+    weighted tier (revenue mass) don't ask: this scores a given
+    labeling against the degree-preserving null.
+
+    Exactness: within-edge and degree counts are exact integers off the
+    capped edge set; each brand's Q term quantizes to 1e-9 before the
+    sum (order-independent); one bounded output row.
+
+    Scale: two broadcastable part-brand joins onto the checkpointed
+    capped edges; brand-grain rollups."""
+    e, _, _, _ = _copurchase_graph(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    eb = (
+        e.join(p.withColumnRenamed("p_partkey", "x").withColumnRenamed(
+            "p_brand", "ba"), "x")
+        .join(p.withColumnRenamed("p_partkey", "y").withColumnRenamed(
+            "p_brand", "bb"), "y")
+        .select("ba", "bb")
+        .localCheckpoint()
+    )
+    m = eb.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    within = (
+        eb.filter(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m_c"))
+    )
+    degs = (
+        eb.select(F.col("ba").alias("brand"))
+        .unionAll(eb.select(F.col("bb").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_c"))
+    )
+    terms = (
+        degs.join(within, "brand", "left")
+        .na.fill({"m_c": 0})
+        .crossJoin(F.broadcast(m))
+        .select(
+            "m_c",
+            F.expr(
+                "CAST(round((CAST(m_c AS DOUBLE) / m"
+                " - (CAST(d_c AS DOUBLE) / (2 * m))"
+                "   * (CAST(d_c AS DOUBLE) / (2 * m)))"
+                " * 1000000000E0, 0) AS BIGINT)"
+            ).alias("q_nano"),
+        )
+    )
+    return terms.crossJoin(F.broadcast(m)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+        F.max("m").cast("bigint").alias("n_edges"),
+        F.sum("m_c").cast("bigint").alias("n_within_edges"),
+        F.sum("q_nano").cast("bigint").alias("modularity_nano"),
+    )

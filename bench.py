@@ -670,6 +670,8 @@ HEADLINE = [
     "did_segment_policy_estimate",
     "rdd_acctbal_cutoff",
     "smd_covariate_balance",
+    "copurchase_brand_modularity",
+    "energy_distance_delay",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

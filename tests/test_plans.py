@@ -2867,6 +2867,7 @@ class TestRound8Plans:
             "copurchase_strength_profile",
             "copurchase_weighted_eigenvector_topk",
             "bloom_runtime_filter_join",
+            "copurchase_brand_modularity",
         ):
             with checkpoint_audit() as audit:
                 v = broadcast_violations(QUERIES[name](spark, SF_DIR))
