@@ -11268,3 +11268,134 @@ def energy_distance_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000E0, 0) AS BIGINT)"
         ).alias("energy_t_micro"),
     )
+
+
+@register(
+    "fdr_by_screening",
+    oracle=f"""
+    WITH pn AS (
+      SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+               THEN 1 ELSE 0 END) AS BIGINT) AS u
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    t AS (
+      SELECT pn.*, CAST(SUM(n) OVER () AS BIGINT) AS tn,
+             CAST(SUM(u) OVER () AS BIGINT) AS tu
+      FROM pn),
+    z AS (
+      SELECT nk, n, u,
+             abs((CAST(u AS DOUBLE) / n - CAST(tu AS DOUBLE) / tn)
+               / sqrt((CAST(tu AS DOUBLE) / tn)
+                 * (1 - CAST(tu AS DOUBLE) / tn) / n)) AS az
+      FROM z0),
+    p AS (
+      SELECT nk, n, u,
+             CAST(round(2 * ({_PHI_TAIL}) * 1000000000, 0) AS BIGINT)
+               AS p_nano
+      FROM z),
+    r AS (
+      SELECT p.*, ROW_NUMBER() OVER (ORDER BY p_nano, nk) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM p),
+    cm AS (
+      SELECT CAST(SUM(1000000000 // rk) AS BIGINT) AS cm_nano FROM r),
+    f AS (
+      SELECT r.*, cm.cm_nano,
+             CASE WHEN CAST(p_nano AS HUGEINT) * m * cm.cm_nano
+               <= CAST(rk AS HUGEINT) * {_FDR_ALPHA_NANO} * 1000000000
+               THEN rk ELSE 0 END AS hit
+      FROM r CROSS JOIN cm),
+    g AS (SELECT f.*, CAST(MAX(hit) OVER () AS BIGINT) AS cutoff FROM f)
+    SELECT nk AS nationkey, n AS n_orders, u AS n_urgent, p_nano,
+           rk AS p_rank,
+           CAST(CASE WHEN rk <= cutoff THEN 1 ELSE 0 END AS BIGINT)
+             AS significant
+    FROM g ORDER BY p_rank
+    """.replace("FROM z0", "FROM t"),
+)
+def fdr_by_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli FDR screening of per-nation URGENT-share
+    deviations — the same p-value ladder as fdr_bh_screening but with
+    the harmonic correction c(m) = Σ 1/i that keeps the false-discovery
+    guarantee under ARBITRARY dependence between tests (the 25 nation
+    shares share the global denominator, so they are not independent —
+    BY is the honest threshold here; BH's threshold is ~c(m)≈3.8x more
+    generous at m=25 and valid only under positive dependence). Running
+    both names exactly which discoveries survive the conservative
+    correction.
+
+    Exactness: identical exact p-value ladder as BH (normal-tail nano
+    p-values); c(m) accumulates as integer nano ticks of 1e9//i, and
+    the BY inequality compares exact wide-integer products — no double
+    crosses the threshold decision.
+
+    Scale: nation-grain (25 rows) end-to-end after one fact rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pn = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("u"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = pn.select(
+        "*",
+        F.sum("n").over(w_all).cast("bigint").alias("tn"),
+        F.sum("u").over(w_all).cast("bigint").alias("tu"),
+    )
+    z = t.select(
+        "nk",
+        "n",
+        "u",
+        F.expr(
+            "abs((CAST(u AS DOUBLE) / n - CAST(tu AS DOUBLE) / tn)"
+            " / sqrt((CAST(tu AS DOUBLE) / tn)"
+            " * (1 - CAST(tu AS DOUBLE) / tn) / n))"
+        ).alias("az"),
+    )
+    p = z.select(
+        "nk",
+        "n",
+        "u",
+        F.expr(
+            f"CAST(round(2 * ({_PHI_TAIL}) * 1000000000, 0) AS BIGINT)"
+        ).alias("p_nano"),
+    )
+    r = p.select(
+        "*",
+        F.row_number().over(Window.orderBy("p_nano", "nk")).alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("m"),
+    )
+    cm = r.agg(
+        F.sum(F.expr("1000000000 DIV rk")).cast("bigint").alias("cm_nano")
+    )
+    f = r.crossJoin(F.broadcast(cm)).withColumn(
+        "hit",
+        F.expr(
+            "CASE WHEN CAST(p_nano AS DECIMAL(38,0)) * m * cm_nano"
+            f" <= CAST(rk AS DECIMAL(38,0)) * {_FDR_ALPHA_NANO}"
+            " * 1000000000 THEN rk ELSE 0 END"
+        ),
+    )
+    g = f.withColumn("cutoff", F.max("hit").over(w_all).cast("bigint"))
+    return g.select(
+        F.col("nk").alias("nationkey"),
+        F.col("n").alias("n_orders"),
+        F.col("u").alias("n_urgent"),
+        "p_nano",
+        F.col("rk").alias("p_rank"),
+        F.when(F.col("rk") <= F.col("cutoff"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("significant"),
+    ).orderBy("p_rank")

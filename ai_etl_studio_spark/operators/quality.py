@@ -2593,3 +2593,108 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = piece if out is None else out.unionAll(piece)
     return out.orderBy("fk")
+
+
+@register(
+    "best_split_information_gain",
+    oracle="""
+    WITH d AS (
+      SELECT n_chars AS x,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents WHERE lang IS NOT NULL),
+    vg AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(y) AS BIGINT) AS cp
+      FROM d GROUP BY x),
+    cum AS (
+      SELECT x,
+             CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) AS nl,
+             CAST(SUM(cp) OVER (ORDER BY x) AS BIGINT) AS pl,
+             CAST(SUM(c) OVER () AS BIGINT) AS n,
+             CAST(SUM(cp) OVER () AS BIGINT) AS p
+      FROM vg),
+    ig AS (
+      SELECT x AS threshold, nl AS n_left, n - nl AS n_right,
+             CAST(round((
+               (CASE WHEN p > 0 AND p < n THEN
+                 -(CAST(p AS DOUBLE) / n) * ln(CAST(p AS DOUBLE) / n)
+                 - (1 - CAST(p AS DOUBLE) / n)
+                   * ln(1 - CAST(p AS DOUBLE) / n) ELSE 0 END)
+               - CAST(nl AS DOUBLE) / n
+                 * (CASE WHEN pl > 0 AND pl < nl THEN
+                   -(CAST(pl AS DOUBLE) / nl) * ln(CAST(pl AS DOUBLE) / nl)
+                   - (1 - CAST(pl AS DOUBLE) / nl)
+                     * ln(1 - CAST(pl AS DOUBLE) / nl) ELSE 0 END)
+               - (CAST(n - nl AS DOUBLE)) / n
+                 * (CASE WHEN p - pl > 0 AND p - pl < n - nl THEN
+                   -(CAST(p - pl AS DOUBLE) / (n - nl))
+                     * ln(CAST(p - pl AS DOUBLE) / (n - nl))
+                   - (1 - CAST(p - pl AS DOUBLE) / (n - nl))
+                     * ln(1 - CAST(p - pl AS DOUBLE) / (n - nl))
+                   ELSE 0 END))
+               * 1000000000E0, 0) AS BIGINT) AS ig_nano
+      FROM cum WHERE nl < n)
+    SELECT threshold, n_left, n_right, ig_nano
+    FROM ig ORDER BY ig_nano DESC, threshold LIMIT 5
+    """,
+)
+def best_split_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search: the five document-length thresholds
+    with the highest information gain for predicting lang = 'en'
+    (split ≤ t vs > t) — the inner loop of every tree learner
+    (CART/XGBoost evaluate exactly this at every node), exposed as a
+    single declarative pass: ONE cumulative scan over the sorted value
+    grain evaluates EVERY candidate threshold simultaneously, which is
+    the reason histogram-based tree learners scale — no per-threshold
+    re-aggregation.
+
+    Exactness: class counts are exact cumulative integers; parent and
+    child entropies are one mirrored guarded expression (pure-node
+    branches pinned to 0 by integer CASE conditions, not by 0·ln(0)
+    luck); gain quantized to nano before the deterministic
+    (gain, threshold) top-5.
+
+    Scale: |distinct lengths| grain after one rollup; the full
+    candidate sweep is a single window pass."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    vg = d.select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("cp"),
+    )
+    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vg.select(
+        "x",
+        F.sum("c").over(wv).cast("bigint").alias("nl"),
+        F.sum("cp").over(wv).cast("bigint").alias("pl"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+        F.sum("cp").over(wall).cast("bigint").alias("p"),
+    )
+
+    def ent(num: str, den: str) -> str:
+        q = f"(CAST({num} AS DOUBLE) / ({den}))"
+        return (
+            f"(CASE WHEN {num} > 0 AND {num} < {den} THEN"
+            f" -{q} * ln({q}) - (1 - {q}) * ln(1 - {q}) ELSE 0 END)"
+        )
+
+    ig_expr = (
+        f"CAST(round(({ent('p', 'n')}"
+        f" - CAST(nl AS DOUBLE) / n * {ent('pl', 'nl')}"
+        f" - (CAST(n - nl AS DOUBLE)) / n * {ent('p - pl', 'n - nl')})"
+        " * 1000000000E0, 0) AS BIGINT)"
+    )
+    ig = cum.filter(F.col("nl") < F.col("n")).select(
+        F.col("x").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        (F.col("n") - F.col("nl")).alias("n_right"),
+        F.expr(ig_expr).alias("ig_nano"),
+    )
+    return ig.orderBy(F.desc("ig_nano"), "threshold").limit(5)

@@ -672,6 +672,8 @@ HEADLINE = [
     "smd_covariate_balance",
     "copurchase_brand_modularity",
     "energy_distance_delay",
+    "fdr_by_screening",
+    "best_split_information_gain",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
