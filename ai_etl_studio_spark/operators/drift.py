@@ -11399,3 +11399,156 @@ def fdr_by_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("significant"),
     ).orderBy("p_rank")
+
+
+def _esd_oracle() -> str:
+    """Rosner recursion in layered-subquery form: each recursive step
+    binds mean/sd/maxdev/val once (SQL lets the CTE nest SELECTs where
+    the Spark fold lambda must inline — equal because every bound value
+    is a deterministic function of the same sorted integer array)."""
+    return """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    arr0 AS (SELECT list_sort(list(x)) AS arr FROM daily),
+    esd(i, arr, rs, vs) AS (
+      SELECT 0, arr, CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+      FROM arr0
+      UNION ALL
+      SELECT i + 1,
+             list_concat(arr[1 : pos - 1], arr[pos + 1 :]),
+             list_append(rs, CAST(round(maxdev / sd * 1000000E0, 0)
+               AS BIGINT)),
+             list_append(vs, val)
+      FROM (
+        SELECT i, arr, rs, vs, m, sd, maxdev,
+               CAST(list_max(list_filter(arr,
+                 x -> abs(CAST(x AS DOUBLE) - m) = maxdev)) AS BIGINT)
+                 AS val,
+               list_position(arr, CAST(list_max(list_filter(arr,
+                 x -> abs(CAST(x AS DOUBLE) - m) = maxdev)) AS BIGINT))
+                 AS pos
+        FROM (
+          SELECT i, arr, rs, vs, m,
+                 sqrt((s2 - len(arr) * m * m) / (len(arr) - 1)) AS sd,
+                 list_max(list_transform(arr,
+                   x -> abs(CAST(x AS DOUBLE) - m))) AS maxdev
+          FROM (
+            SELECT i, arr, rs, vs,
+                   CAST(list_sum(arr) AS DOUBLE) / len(arr) AS m,
+                   list_sum(list_transform(arr,
+                     x -> CAST(x AS DOUBLE) * x)) AS s2
+            FROM esd WHERE i < 5))))
+    SELECT u.i AS iteration, vs[u.i] AS removed_cents,
+           rs[u.i] AS r_stat_micro
+    FROM (SELECT rs, vs FROM esd WHERE i = 5) f,
+         LATERAL unnest(generate_series(1, 5)) AS u(i)
+    ORDER BY iteration
+    """
+
+
+@register("rosner_esd_extremes_daily", oracle=_esd_oracle())
+def rosner_esd_extremes_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rosner's generalized ESD sequence on daily revenue: five rounds
+    of (studentize, remove the most extreme day, recompute mean and sd
+    WITHOUT it) — the multi-outlier procedure that fixes Grubbs'
+    masking failure (one huge day inflates sd enough to hide the
+    second; removing it first unmasks the rest, which is why each R_i
+    is computed AFTER the previous removals). Emits the removal order,
+    the removed values, and each round's R statistic — the top-5
+    anomaly ranking a monitoring pipeline acts on.
+
+    Exactness: the state is the SORTED integer-cents array, so both
+    engines' folds see identical element order; per-round mean/Σx² are
+    sequential left-to-right double folds over that shared order (IEEE-
+    identical), the arg-max element resolves by (deviation, value) with
+    double equality of identically-computed expressions, and removal
+    splices exactly ONE occurrence by first position. The oracle binds
+    each round's scalars in layered subqueries where the Spark lambda
+    inlines them — equal by determinism.
+
+    Scale: reduce-then-fold (the EWMA/Holt-Winters device with element
+    REMOVAL): one day-grain rollup, one single-row 5-step fold."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("x")
+    )
+    row = daily.agg(F.array_sort(F.collect_list("x")).alias("arr"))
+    # k=5 fixed iterations UNROLLED into bound-column stages: inlining
+    # the mean/maxdev scalars inside one fold lambda re-evaluates them
+    # per element (O(n^3) per step at n≈2400 days — observed hang);
+    # binding each round's scalars as columns keeps every stage O(n),
+    # exactly how the oracle binds them in layered subqueries.
+    df = row.select(
+        "arr",
+        F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("rs"),
+        F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("vs"),
+    )
+    for _ in range(5):
+        df = df.select(
+            "arr",
+            "rs",
+            "vs",
+            F.expr(
+                "CAST(aggregate(arr, CAST(0 AS BIGINT), (a, x) -> a + x)"
+                " AS DOUBLE) / size(arr)"
+            ).alias("m"),
+            F.expr(
+                "aggregate(arr, CAST(0 AS DOUBLE),"
+                " (a, x) -> a + CAST(x AS DOUBLE) * x)"
+            ).alias("s2"),
+        )
+        df = df.select(
+            "arr",
+            "rs",
+            "vs",
+            "m",
+            F.expr(
+                "sqrt((s2 - size(arr) * m * m) / (size(arr) - 1))"
+            ).alias("sd"),
+            F.expr(
+                "array_max(transform(arr,"
+                " x -> abs(CAST(x AS DOUBLE) - m)))"
+            ).alias("maxdev"),
+        )
+        df = df.select(
+            "arr",
+            "rs",
+            "vs",
+            "sd",
+            "maxdev",
+            F.expr(
+                "CAST(array_max(filter(arr,"
+                " x -> abs(CAST(x AS DOUBLE) - m) = maxdev)) AS BIGINT)"
+            ).alias("val"),
+        )
+        df = df.select(
+            "arr",
+            "rs",
+            "vs",
+            "sd",
+            "maxdev",
+            "val",
+            F.expr("CAST(array_position(arr, val) AS INT)").alias("pos"),
+        )
+        df = df.select(
+            F.expr(
+                "concat(slice(arr, 1, pos - 1),"
+                " slice(arr, pos + 1, size(arr) - pos))"
+            ).alias("arr"),
+            F.expr(
+                "concat(rs, array(CAST(round(maxdev / sd * 1000000E0, 0)"
+                " AS BIGINT)))"
+            ).alias("rs"),
+            F.expr("concat(vs, array(val))").alias("vs"),
+        )
+    out = df.select(
+        F.posexplode(F.arrays_zip("rs", "vs")).alias("idx", "z")
+    )
+    return out.select(
+        (F.col("idx") + 1).cast("bigint").alias("iteration"),
+        F.col("z.vs").cast("bigint").alias("removed_cents"),
+        F.col("z.rs").cast("bigint").alias("r_stat_micro"),
+    ).orderBy("iteration")

@@ -674,6 +674,7 @@ HEADLINE = [
     "energy_distance_delay",
     "fdr_by_screening",
     "best_split_information_gain",
+    "rosner_esd_extremes_daily",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
