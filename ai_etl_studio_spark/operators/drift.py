@@ -11552,3 +11552,134 @@ def rosner_esd_extremes_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.vs").cast("bigint").alias("removed_cents"),
         F.col("z.rs").cast("bigint").alias("r_stat_micro"),
     ).orderBy("iteration")
+
+
+@register(
+    "tail_dependence_value_delay",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS x,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS y
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    qx AS (
+      SELECT x AS q, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM d),
+    qy AS (
+      SELECT y AS q, ROW_NUMBER() OVER (ORDER BY y) AS rn FROM d),
+    th AS (
+      SELECT (SELECT q FROM qx WHERE rn = (SELECT (n * 9 + 9) // 10
+                FROM n)) AS x90,
+             (SELECT q FROM qy WHERE rn = (SELECT (n * 9 + 9) // 10
+                FROM n)) AS y90,
+             (SELECT q FROM qx WHERE rn = (SELECT (n + 9) // 10
+                FROM n)) AS x10,
+             (SELECT q FROM qy WHERE rn = (SELECT (n + 9) // 10
+                FROM n)) AS y10),
+    cnt AS (
+      SELECT CAST(SUM(CASE WHEN x > x90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nx_hi,
+             CAST(SUM(CASE WHEN x > x90 AND y > y90 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nxy_hi,
+             CAST(SUM(CASE WHEN x <= x10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nx_lo,
+             CAST(SUM(CASE WHEN x <= x10 AND y <= y10 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nxy_lo
+      FROM d CROSS JOIN th)
+    SELECT n.n AS n_lines, cnt.nx_hi, cnt.nxy_hi,
+           CAST(cnt.nxy_hi * 1000000 // cnt.nx_hi AS BIGINT)
+             AS upper_tail_dep_micro,
+           cnt.nx_lo, cnt.nxy_lo,
+           CAST(cnt.nxy_lo * 1000000 // cnt.nx_lo AS BIGINT)
+             AS lower_tail_dep_micro
+    FROM cnt CROSS JOIN n
+    """,
+)
+def tail_dependence_value_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical tail-dependence coefficients between order value and
+    ship delay: λ_U = P(delay > its q90 | value > its q90) and the
+    mirrored lower-tail λ_L — the copula-level question correlation
+    cannot answer (two variables can be uncorrelated overall yet move
+    TOGETHER in the tails, which is exactly where ops/finance risk
+    lives: do the biggest orders also ship latest?). Values near the
+    marginal 10% mean tail independence; well above it means joint
+    extremes cluster.
+
+    Exactness: thresholds are exact discrete order statistics (the
+    ceil(p·n) convention pinned for percentile_disc); exceedance counts
+    and both coefficients are exact integers (micro floor-division) —
+    nothing to round.
+
+    Scale: one fact join, one global order statistic each margin (the
+    documented exact-quantile tradeoff — sketchable at 100 TB), one
+    counting pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            cents("o_totalprice").cast("bigint").alias("x"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("y"),
+        )
+        .localCheckpoint()
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def disc(col: str, num: int, den: int, alias: str):
+        vg = d.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        wv = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = vg.select(
+            F.col(col).alias("q"),
+            F.sum("c").over(wv).cast("bigint").alias("cum"),
+        ).crossJoin(F.broadcast(n))
+        return cum.filter(
+            F.col("cum") >= F.expr(f"(n * {num} + {den - 1}) DIV {den}")
+        ).agg(F.min("q").cast("bigint").alias(alias))
+
+    th = (
+        disc("x", 9, 10, "x90")
+        .crossJoin(disc("y", 9, 10, "y90"))
+        .crossJoin(disc("x", 1, 10, "x10"))
+        .crossJoin(disc("y", 1, 10, "y10"))
+    )
+    cnt = d.crossJoin(F.broadcast(th)).agg(
+        F.sum(F.when(F.col("x") > F.col("x90"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nx_hi"),
+        F.sum(
+            F.when(
+                (F.col("x") > F.col("x90")) & (F.col("y") > F.col("y90")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("nxy_hi"),
+        F.sum(F.when(F.col("x") <= F.col("x10"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nx_lo"),
+        F.sum(
+            F.when(
+                (F.col("x") <= F.col("x10")) & (F.col("y") <= F.col("y10")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("nxy_lo"),
+    )
+    return cnt.crossJoin(F.broadcast(n)).select(
+        F.col("n").alias("n_lines"),
+        "nx_hi",
+        "nxy_hi",
+        F.expr("CAST(nxy_hi * 1000000 DIV nx_hi AS BIGINT)").alias(
+            "upper_tail_dep_micro"
+        ),
+        "nx_lo",
+        "nxy_lo",
+        F.expr("CAST(nxy_lo * 1000000 DIV nx_lo AS BIGINT)").alias(
+            "lower_tail_dep_micro"
+        ),
+    )

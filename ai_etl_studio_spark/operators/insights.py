@@ -6930,3 +6930,128 @@ def copurchase_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m_c").cast("bigint").alias("n_within_edges"),
         F.sum("q_nano").cast("bigint").alias("modularity_nano"),
     )
+
+
+@register(
+    "association_rules_topk",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    pair AS (
+      SELECT a.pk AS x, b.pk AS y, CAST(COUNT(*) AS BIGINT) AS sup
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    rules AS (
+      SELECT x AS antecedent, y AS consequent, sup FROM pair
+      UNION ALL
+      SELECT y, x, sup FROM pair),
+    pc AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM items GROUP BY pk),
+    tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM items),
+    scored AS (
+      SELECT r.antecedent, r.consequent, r.sup,
+             CAST(r.sup * 1000000 // ca.cnt AS BIGINT) AS conf_micro,
+             CAST(CAST(r.sup AS HUGEINT) * tot.n * 1000000
+               // (CAST(ca.cnt AS HUGEINT) * cc.cnt) AS BIGINT)
+               AS lift_micro,
+             CASE WHEN r.sup < ca.cnt THEN
+               CAST(round((1E0 - CAST(cc.cnt AS DOUBLE) / tot.n)
+                 / (1E0 - CAST(r.sup AS DOUBLE) / ca.cnt)
+                 * 1000000E0, 0) AS BIGINT)
+             END AS conviction_micro
+      FROM rules r
+      JOIN pc ca ON r.antecedent = ca.pk
+      JOIN pc cc ON r.consequent = cc.pk
+      CROSS JOIN tot)
+    SELECT antecedent, consequent, sup, conf_micro, lift_micro,
+           conviction_micro
+    FROM scored
+    ORDER BY conf_micro DESC, antecedent, consequent
+    LIMIT 20
+    """,
+)
+def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules x → y from order baskets, top-20
+    by CONFIDENCE with lift and conviction: confidence is the rule's
+    hit rate (P(y|x)), lift removes y's base-rate flattery, and
+    conviction (1−P(y))/(1−conf) reads like an odds multiplier of the
+    rule FAILING less often than chance — infinite (NULL here, mirrored
+    CASE) for exceptionless rules. basket_pairs ranks symmetric PAIRS
+    by support; this op emits what a recommender actually deploys —
+    directed rules, because conf(x→y) and conf(y→x) differ exactly when
+    the base rates do.
+
+    Exactness: support/item counts exact; confidence and lift are exact
+    integer micro floor-divisions (lift through int128); conviction is
+    one mirrored double expression; ordering is on the quantized
+    integers with full tie-breaks.
+
+    Scale: the pair fan-out is the basket_pairs shape (one shuffle by
+    order, per-order C(k,2) pairs); the support >= 2 floor prunes the
+    singleton tail before the rule join; rule scoring joins count
+    tables only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("x"), F.col("b.pk").alias("y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        .filter(F.col("sup") >= 2)
+    )
+    rules = pair.select(
+        F.col("x").alias("antecedent"),
+        F.col("y").alias("consequent"),
+        "sup",
+    ).unionAll(
+        pair.select(
+            F.col("y").alias("antecedent"),
+            F.col("x").alias("consequent"),
+            "sup",
+        )
+    )
+    pc = items.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = items.agg(
+        F.countDistinct("ok").cast("bigint").alias("n")
+    )
+    scored = (
+        rules.join(
+            pc.select(F.col("pk").alias("antecedent"), F.col("cnt").alias("ca")),
+            "antecedent",
+        )
+        .join(
+            pc.select(F.col("pk").alias("consequent"), F.col("cnt").alias("cc")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "sup",
+            F.expr("CAST(sup * 1000000 DIV ca AS BIGINT)").alias(
+                "conf_micro"
+            ),
+            F.expr(
+                "CAST(CAST(sup AS DECIMAL(38,0)) * n * 1000000"
+                " DIV (CAST(ca AS DECIMAL(38,0)) * cc) AS BIGINT)"
+            ).alias("lift_micro"),
+            F.expr(
+                "CASE WHEN sup < ca THEN"
+                " CAST(round((1E0 - CAST(cc AS DOUBLE) / n)"
+                "   / (1E0 - CAST(sup AS DOUBLE) / ca)"
+                "   * 1000000E0, 0) AS BIGINT) END"
+            ).alias("conviction_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("conf_micro"), "antecedent", "consequent"
+    ).limit(20)

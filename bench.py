@@ -675,6 +675,8 @@ HEADLINE = [
     "fdr_by_screening",
     "best_split_information_gain",
     "rosner_esd_extremes_daily",
+    "tail_dependence_value_delay",
+    "association_rules_topk",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
