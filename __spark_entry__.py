@@ -55,8 +55,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #: r4 pool continued from shipping_delay_monthly through
 #: dataset_card_summary (run_stream_hourly_profile is a streaming PATH,
 #: not a registry name — its batch twin is hourly_seasonality_profile,
-#: already pooled). Round 10 should lead with the round-9 additions,
-#: then continue the r4 pool from split_leakage_audit.
+#: already pooled). Round 10 should lead with the 42 round-9 additions
+#: (marshall_edgeworth_price_index, sato_vartia_price_index,
+#: holt_winters_additive_daily, hill_numbers_by_nation,
+#: lang_evenness_by_source, cr4_revenue_by_nation,
+#: siegel_tukey_delay_scale, jonckheere_terpstra_priority_trend,
+#: brunner_munzel_delay, goldfeld_quandt_monthly,
+#: dagostino_k2_daily_revenue, ge_indices_by_nation,
+#: nb_dispersion_by_segment, quartile_shape_by_priority,
+#: mase_weekly_naive_daily, pinball_loss_daily_forecast,
+#: bartels_von_neumann_daily, percentile_disc_delay_by_priority,
+#: pythagorean_means_by_type, debounce_events_by_type,
+#: theta_method_forecast_daily, energy_distance_delay,
+#: fdr_by_screening, rosner_esd_extremes_daily,
+#: tail_dependence_value_delay, dpp_quarter_star_join,
+#: bloom_runtime_filter_join, copurchase_strength_topk,
+#: copurchase_strength_profile, copurchase_weighted_eigenvector_topk,
+#: cuped_variance_reduction, did_segment_policy_estimate,
+#: rdd_acctbal_cutoff, smd_covariate_balance,
+#: copurchase_brand_modularity, association_rules_topk,
+#: kneser_ney_bigram_topk, dp_sensitivity_by_nation,
+#: last_digit_uniformity_audit, referential_integrity_audit,
+#: best_split_information_gain, hard_negative_mining_topk — all green
+#: in CORRECTNESS_full_r09.json, no driver rows yet), then continue
+#: the r4 pool from split_leakage_audit (8 more slots).
 #: The original round-8 note for the record — the 27 session-1
 #: additions were (jarque_bera_daily_revenue,
 #: cramer_von_mises_two_sample, levene_bf_delay_by_priority,
