@@ -55,7 +55,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: r4 pool continued from shipping_delay_monthly through
 #: dataset_card_summary (run_stream_hourly_profile is a streaming PATH,
 #: not a registry name — its batch twin is hourly_seasonality_profile,
-#: already pooled). Round 10 should lead with the 42 round-9 additions
+#: already pooled). Round 10 (this prefix, per the r9 verdict item 1)
+#: leads with the 42 round-9 additions
 #: (marshall_edgeworth_price_index, sato_vartia_price_index,
 #: holt_winters_additive_daily, hill_numbers_by_nation,
 #: lang_evenness_by_source, cr4_revenue_by_nation,
@@ -264,65 +265,62 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ivf_nprobe_recall_curve, pq_codebook_utilization (+ the ninth
 #: streaming twin run_stream_daily_revenue).
 PRIORITY: tuple[str, ...] = (
-    # r9 prefix (r8 verdict item 2): the 18 remaining round-7 session-2
-    # names, then ansari_bradley_delay_scale (landed post-seal in r7, no
-    # driver row), then the 12 round-8 additions without driver rows
-    # (8 copurchase_* ops, the 3 storage-layout ops,
-    # interval_left_join_conversions), then the r4 backlog pool
-    # continued from shipping_delay_monthly (19 names, consumed through
-    # dataset_card_summary — round 10 continues from split_leakage_audit).
-    "gpd_tail_fit_daily",
-    "distance_correlation_delay_value",
-    "littles_law_monthly",
-    "chained_laspeyres_monthly",
-    "diebold_mariano_naive_vs_ols",
-    "lorenz_asymmetry_by_nation",
-    "pettitt_changepoint_daily",
-    "seasonal_mann_kendall_dow",
-    "james_stein_nation_means",
-    "conformal_interval_naive_daily",
-    "cluster_robust_se_nation",
-    "oaxaca_value_gap_segments",
-    "sprt_urgent_rate_monitor",
-    "raking_ipf_nation_segment",
-    "var_backtest_daily",
-    "tukey_hsd_delay_priorities",
-    "functional_dependency_audit",
-    "median_ci_delay_by_priority",
-    "ansari_bradley_delay_scale",
-    # round-8 additions without driver rows
-    "copurchase_connected_components",
-    "copurchase_component_profile",
-    "copurchase_kcore_summary",
-    "copurchase_jaccard_topk",
-    "copurchase_local_clustering_topk",
-    "copurchase_local_bridges",
-    "copurchase_eigenvector_topk",
-    "copurchase_avg_neighbor_degree",
-    "bucketed_colocated_join",
-    "partition_pruned_rollup",
-    "zorder_boxed_rollup",
-    "interval_left_join_conversions",
+    # r10 prefix (r9 verdict item 1): the 42 round-9 additions (all
+    # green in CORRECTNESS_full_r09.json, no driver rows yet), then the
+    # r4 backlog pool continued from split_leakage_audit (8 names,
+    # consumed through perplexity_by_source — round 11 continues from
+    # kl_divergence_by_source).
+    "marshall_edgeworth_price_index",
+    "sato_vartia_price_index",
+    "holt_winters_additive_daily",
+    "hill_numbers_by_nation",
+    "lang_evenness_by_source",
+    "cr4_revenue_by_nation",
+    "siegel_tukey_delay_scale",
+    "jonckheere_terpstra_priority_trend",
+    "brunner_munzel_delay",
+    "goldfeld_quandt_monthly",
+    "dagostino_k2_daily_revenue",
+    "ge_indices_by_nation",
+    "nb_dispersion_by_segment",
+    "quartile_shape_by_priority",
+    "mase_weekly_naive_daily",
+    "pinball_loss_daily_forecast",
+    "bartels_von_neumann_daily",
+    "percentile_disc_delay_by_priority",
+    "pythagorean_means_by_type",
+    "debounce_events_by_type",
+    "theta_method_forecast_daily",
+    "energy_distance_delay",
+    "fdr_by_screening",
+    "rosner_esd_extremes_daily",
+    "tail_dependence_value_delay",
+    "dpp_quarter_star_join",
+    "bloom_runtime_filter_join",
+    "copurchase_strength_topk",
+    "copurchase_strength_profile",
+    "copurchase_weighted_eigenvector_topk",
+    "cuped_variance_reduction",
+    "did_segment_policy_estimate",
+    "rdd_acctbal_cutoff",
+    "smd_covariate_balance",
+    "copurchase_brand_modularity",
+    "association_rules_topk",
+    "kneser_ney_bigram_topk",
+    "dp_sensitivity_by_nation",
+    "last_digit_uniformity_audit",
+    "referential_integrity_audit",
+    "best_split_information_gain",
+    "hard_negative_mining_topk",
     # r4 backlog pool, continued in documented order
-    "shipping_delay_monthly",
-    "partition_skew_advisor",
-    "watermark_lateness_advisor",
-    "open_order_aging",
-    "spend_tier_migration",
-    "discount_by_quantity_band",
-    "char_class_profile",
-    "event_type_affinity",
-    "event_value_deciles_by_type",
-    "revenue_bridge_monthly",
-    "priority_sla_rate",
-    "session_funnel",
-    "dedup_containment_pairs",
-    "priority_mix_shift_monthly",
-    "weighted_median_price",
-    "tokenizer_fertility",
-    "context_window_fit",
-    "pii_rate_by_source",
-    "dataset_card_summary",
+    "split_leakage_audit",
+    "class_balance_weights",
+    "embedding_centroid_drift",
+    "lsh_tuning_curve",
+    "session_timeout_sensitivity",
+    "ab_srm_check",
+    "order_fill_rate",
+    "perplexity_by_source",
 )
 
 
