@@ -28,7 +28,9 @@ def test_manifest_written_and_live_sibling_kept(tmp_path):
     base = tmp_path / "kind"
     removed = manifest_and_gc(str(base / "fp_a"), [src_a])
     assert removed == []
-    assert json.load(open(base / "fp_a" / "_manifest.json"))["sources"]
+    # manifest lives BESIDE the dir (r9 ADVICE: an in-dir manifest was
+    # deleted by the layout's own overwrite build)
+    assert json.load(open(base / "fp_a.manifest.json"))["sources"]
     # a sibling whose source still matches is another live corpus: kept
     manifest_and_gc(str(base / "fp_b"), [src_b])
     removed = manifest_and_gc(str(base / "fp_a"), [src_a])
@@ -101,8 +103,64 @@ def test_gc_missing_base_dir_is_noop(tmp_path):
 def test_write_manifest_is_idempotent(tmp_path):
     src = _mk_source(tmp_path, "a.parquet")
     d = str(tmp_path / "kind" / "fp")
+    mpath = str(tmp_path / "kind" / "fp.manifest.json")
     write_manifest(d, [src])
-    m1 = json.load(open(os.path.join(d, "_manifest.json")))
+    m1 = json.load(open(mpath))
     write_manifest(d, [src])
-    m2 = json.load(open(os.path.join(d, "_manifest.json")))
+    m2 = json.load(open(mpath))
     assert m1 == m2
+
+
+def test_overwrite_build_cannot_strand_live_layout(tmp_path):
+    """The r9 ADVICE medium: ensure_* builds write the layout with
+    mode('overwrite').saveAsTable rooted at the fingerprint dir, which
+    deletes everything INSIDE it. With the manifest beside the dir, a
+    sibling ident must still see the freshly built layout as live."""
+    import shutil
+
+    src_a = _mk_source(tmp_path, "a.parquet")
+    src_b = _mk_source(tmp_path, "b.parquet")
+    base = tmp_path / "kind"
+    manifest_and_gc(str(base / "fp_a"), [src_a])
+    # simulate the overwrite build: dir contents (including any in-dir
+    # file) are wiped and replaced by parquet output + _SUCCESS
+    shutil.rmtree(base / "fp_a")
+    (base / "fp_a").mkdir()
+    (base / "fp_a" / "_SUCCESS").write_bytes(b"")
+    (base / "fp_a" / "part-0.parquet").write_bytes(b"data")
+    # sibling corpus ident (the bench warms sf0.001 then times sf0.1)
+    removed = manifest_and_gc(str(base / "fp_b"), [src_b])
+    assert removed == []
+    assert (base / "fp_a" / "part-0.parquet").exists()
+
+
+def test_manifestless_success_dir_is_kept(tmp_path):
+    """A completed build with no manifest (concurrent session mid-ident
+    or pre-manifest era) is live, never swept; only manifest-less
+    partials without _SUCCESS are removed."""
+    src = _mk_source(tmp_path, "a.parquet")
+    base = tmp_path / "kind"
+    done = base / "fp_done"
+    done.mkdir(parents=True)
+    (done / "_SUCCESS").write_bytes(b"")
+    partial = base / "fp_partial"
+    partial.mkdir()
+    removed = manifest_and_gc(str(base / "fp_live"), [src])
+    assert removed == ["fp_partial"]
+    assert done.exists()
+
+
+def test_legacy_in_dir_manifest_still_honored(tmp_path):
+    """Pre-r10 layouts carry _manifest.json inside the dir: still read
+    for staleness (source changed -> swept; source live -> kept)."""
+    src = _mk_source(tmp_path, "a.parquet", b"v1")
+    base = tmp_path / "kind"
+    legacy = base / "fp_legacy"
+    legacy.mkdir(parents=True)
+    (legacy / "_manifest.json").write_text(
+        json.dumps(
+            {"sources": {os.path.abspath(src): [2, 0]}}
+        )  # stat mismatch -> stale
+    )
+    removed = manifest_and_gc(str(base / "fp_live"), [src])
+    assert removed == ["fp_legacy"]
