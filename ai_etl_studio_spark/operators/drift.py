@@ -9773,9 +9773,12 @@ def brunner_munzel_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerators Qx/Qy are exact integers by the algebraic rearrangement
     (n·(2R−2R_g) − (num − n(n+1)))² — validated against a literal
     midrank implementation over 500 random tie-heavy trials in tests;
-    one mirrored double expression at the end. Q terms ride int128 /
-    decimal128 (magnitude ~1e33 at sf0.1; recheck the width before
-    running at sf≥1).
+    one mirrored double expression at the end. Q terms ride int128
+    (oracle HUGEINT) / decimal(38,0) (Spark) end to end — the square
+    itself is decimal, never double, so both engines are bit-exact up
+    to 1e38 (magnitude ~1e33 at sf0.1; recheck the width before
+    running at sf≥1, where decimal(38,0) overflow raises under ANSI
+    rather than silently rounding).
 
     Scale: value-grain windows only; one-row output."""
     c = _delay_grain(spark, sf_dir).filter(
@@ -9833,17 +9836,17 @@ def brunner_munzel_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.crossJoin(F.broadcast(nsum))
         .groupBy("nx", "ny", "numx", "numy")
         .agg(
+            # exact decimal(38,0) square (r9 ADVICE: squaring the ~1e11
+            # core in double exceeded 2^53 and could diverge from the
+            # oracle's exact HUGEINT on a knife-edge rounding tie);
+            # decimal·decimal stays scale-0/precision-38, exact to 1e38
             F.sum(
-                F.col("ca").cast("decimal(38,6)")
-                * qx_core.cast("double")
-                * qx_core.cast("double")
+                F.col("ca").cast("decimal(38,0)") * qx_core * qx_core
             )
             .cast("decimal(38,0)")
             .alias("qx"),
             F.sum(
-                F.col("cb").cast("decimal(38,6)")
-                * qy_core.cast("double")
-                * qy_core.cast("double")
+                F.col("cb").cast("decimal(38,0)") * qy_core * qy_core
             )
             .cast("decimal(38,0)")
             .alias("qy"),

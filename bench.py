@@ -819,8 +819,24 @@ def main() -> None:
         # artifact merged with an N=1 restricted row honestly reads
         # bench_n=1 until the next full seal re-runs everything.
         latest_path = os.path.join(repo, "BENCH_full_latest.json")
+        # r9 ADVICE: guard the unconditional open (fresh checkout has
+        # no artifact) and refuse to mix rows timed at a different
+        # scale factor into a sealed artifact whose 'sf' field would
+        # silently misdescribe them.
+        if not os.path.exists(latest_path):
+            sys.exit(
+                "bench.py --only needs an existing BENCH_full_latest.json "
+                "to merge into; run a full (un-restricted) bench first"
+            )
         with open(latest_path) as fh:
             payload = json.load(fh)
+        sealed_sf = payload.get("sf")
+        if sealed_sf is not None and float(sealed_sf) != sf:
+            sys.exit(
+                f"bench.py --only: restricted run at sf={sf} cannot merge "
+                f"into an artifact sealed at sf={sealed_sf}; rerun with "
+                f"SPARK_GRAFT_SF_DIR matching the seal"
+            )
         payload["queries"].update(timings)
         payload["bench_n"] = min(int(payload.get("bench_n", 1)), bench_n)
         payload["value"] = round(sum(payload["queries"].values()), 3)

@@ -147,6 +147,22 @@ def main() -> int:
             seal = os.path.join(repo, f"CORRECTNESS_full_r{n:02d}.json")
             if os.path.exists(seal):
                 outputs.append(seal)
+            elif not env_round and os.path.exists(
+                os.path.join(repo, f"CORRECTNESS_full_r{n - 1:02d}.json")
+            ):
+                # r9 ADVICE: a POST-seal sweep (driver already wrote
+                # BENCH_r{N}) infers N+1 and would silently skip
+                # mirroring, diverging latest from the round-N seal.
+                # Guessing N here would be worse — an early-next-round
+                # sweep looks identical on disk and must NOT rewrite
+                # the historical seal — so fail loud instead: the
+                # operator states which round this sweep belongs to.
+                sys.stderr.write(
+                    f"driver_sim: no CORRECTNESS_full_r{n:02d}.json; if "
+                    f"this sweep belongs to the just-sealed round "
+                    f"{n - 1}, rerun with SPARK_GRAFT_ROUND={n - 1} to "
+                    "mirror into its seal (writing only latest now)\n"
+                )
         for path in outputs:
             with open(path, "w") as fh:
                 json.dump(records, fh, indent=1, sort_keys=True)
