@@ -1578,3 +1578,151 @@ def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in saved.items():
             conf.set(k, v)
     return out
+
+
+# ---------------------------------------------------------------------------
+# CBO column-statistics tier (r9 verdict item 2). The storage-layout
+# tier decides WHERE bytes live (buckets, partitions, Z-ORDER); this
+# tier decides what the OPTIMIZER knows about them. At 100 TB,
+# stats-driven join ordering and stats-backed broadcast decisions are
+# the difference between the right star-join tree and a wrong one AQE
+# can only partially rescue — AQE re-plans per stage from observed
+# shuffle sizes, but the initial join ORDER is fixed at logical
+# optimization, and only CBO (cost-based join reorder over ANALYZE
+# column statistics) can pick it.
+# ---------------------------------------------------------------------------
+
+_CBO_CONFS = {
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+}
+
+#: columns worth ANALYZE-ing per table: join keys (cardinality for the
+#: reorder DP), filter columns (NDV-based selectivity), agg inputs.
+#: Collecting stats for every column of a 100 TB table is itself a
+#: full-scan job — restrict to the columns the optimizer can act on.
+_CBO_STATS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_partkey", "l_suppkey", "l_extendedprice"),
+    "supplier": ("s_suppkey", "s_nationkey"),
+    "part": ("p_partkey", "p_type"),
+}
+
+#: (applicationId, fingerprint) pairs already ANALYZE-d this app —
+#: stats live in the session catalog, so one collection per app+corpus
+#: amortizes across every CBO query (the 100 TB discipline: ANALYZE is
+#: a nightly maintenance job, not a per-query cost).
+_STATS_READY: set[tuple[str, str]] = set()
+
+
+def ensure_column_stats(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Register the corpus tables as external catalog tables (no data
+    copy — ``CREATE TABLE … USING parquet LOCATION``) and run
+    ``ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`` once per
+    (application, corpus). Returns {logical_name: catalog_name}.
+
+    Catalog tables are fingerprinted on the source stats (size+mtime,
+    the layout-tier rule) so a regenerated corpus gets fresh tables and
+    fresh statistics rather than silently reusing stale NDVs — stale
+    stats are WORSE than no stats, because the reorder confidently
+    picks a wrong tree instead of keeping the written one."""
+    import hashlib
+    import os
+
+    stats = "|".join(
+        f"{t}:{(st := os.stat(os.path.join(sf_dir, f'{t}.parquet'))).st_size}"
+        f":{int(st.st_mtime)}"
+        for t in sorted(_CBO_STATS_COLUMNS)
+    )
+    fp = hashlib.sha1(f"{sf_dir}|{stats}".encode()).hexdigest()[:12]
+    names = {t: f"cbo_{fp}_{t}" for t in _CBO_STATS_COLUMNS}
+    key = (spark.sparkContext.applicationId, fp)
+    if key in _STATS_READY:
+        return names
+    for t, cols in _CBO_STATS_COLUMNS.items():
+        loc = os.path.join(sf_dir, f"{t}.parquet")
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {names[t]} "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        spark.sql(
+            f"ANALYZE TABLE {names[t]} COMPUTE STATISTICS "
+            f"FOR COLUMNS {', '.join(cols)}"
+        )
+    _STATS_READY.add(key)
+    return names
+
+
+def _cbo_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-relation join written in a DELIBERATELY suboptimal order —
+    supplier (unselective, every line matches) before the filtered part
+    dim (p_type keeps ~1/6 of lines). Rule-based optimization preserves
+    the written order; CBO's join-reorder DP, fed the ANALYZE column
+    stats (p_type NDV=6 → 1/6 filter selectivity, join-key NDVs →
+    output cardinalities), flips it so the selective part join runs
+    first and the supplier join sees ~1/6 of the rows. Shared by the
+    operator (which materializes under the CBO confs) and the plan test
+    (which pins BOTH trees: written order without stats/CBO, reordered
+    tree with them)."""
+    n = ensure_column_stats(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT s_nationkey,
+               CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS rev_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM {n["lineitem"]}
+        JOIN {n["supplier"]} ON l_suppkey = s_suppkey
+        JOIN {n["part"]} ON l_partkey = p_partkey
+        WHERE p_type = 'PROMO'
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey
+    """)
+
+
+@register(
+    "cbo_join_reorder_rollup",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             AS BIGINT) AS rev_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+    GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def cbo_join_reorder_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by supplier nation for PROMO parts, written with the
+    unselective supplier join FIRST — and executed under
+    ``spark.sql.cbo.enabled`` + ``joinReorder.enabled`` over ANALYZE
+    column statistics, which provably reorders the join tree so the
+    filtered part dim joins the fact before supplier does (plan
+    invariant pinned in test_plans both with and without stats; result
+    oracle-identical either way, as reordering must be).
+
+    Why this matters at 100 TB: a 5-way star join has 120 possible
+    orders; the written order is whatever the query author (or the
+    NL→SQL generator — reference app.py's LLM emits joins in prompt
+    order, not cost order) happened to produce. Column stats give the
+    optimizer real cardinalities (NDV, null count, min/max per column)
+    at plan time; AQE sees sizes only AFTER each shuffle materializes,
+    when the wrong early join has already paid its full cost.
+
+    Confs are saved/restored around an eager localCheckpoint, the
+    bloom-op discipline: the materialized result never re-optimizes
+    under restored confs.
+
+    Scale: ANALYZE is one column-pruned scan per table, amortized per
+    (application, corpus) — the nightly-maintenance discipline; the
+    reordered tree itself shrinks the intermediate by ~6x."""
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in _CBO_CONFS}
+    try:
+        for k, v in _CBO_CONFS.items():
+            conf.set(k, v)
+        out = _cbo_join_frame(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    return out

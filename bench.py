@@ -677,6 +677,8 @@ HEADLINE = [
     "rosner_esd_extremes_daily",
     "tail_dependence_value_delay",
     "association_rules_topk",
+    # round-10 additions
+    "cbo_join_reorder_rollup",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
@@ -768,6 +770,7 @@ def main() -> None:
 
     from ai_etl_studio_spark.operators.extended import (
         ensure_bucketed_orderkey_tables,
+        ensure_column_stats,
         ensure_month_partitioned_orders,
         ensure_zorder_orders,
     )
@@ -779,6 +782,7 @@ def main() -> None:
     ensure_bucketed_orderkey_tables(spark, sf_dir)
     ensure_month_partitioned_orders(spark, sf_dir)
     ensure_zorder_orders(spark, sf_dir)
+    ensure_column_stats(spark, sf_dir)
     warm_dir = "/root/testdata/sf0.001"
     bench_names = only if only else list(HEADLINE)
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(

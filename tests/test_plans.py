@@ -2872,3 +2872,62 @@ class TestRound8Plans:
             with checkpoint_audit() as audit:
                 v = broadcast_violations(QUERIES[name](spark, SF_DIR))
             assert list(v) + audit.violations == [], name
+
+
+class TestRound10Plans:
+    """Plan contracts for the round-10 CBO tier (r9 verdict item 2)."""
+
+    def test_cbo_join_reorder_flips_join_order(self, spark):
+        """The join is WRITTEN supplier-first; with CBO off the
+        optimizer preserves that order, and with CBO on (over ANALYZE
+        column stats) the reorder DP moves the filtered part dim
+        innermost — both trees pinned, result identity is the oracle
+        row in CORRECTNESS (cbo_join_reorder_rollup)."""
+        import re
+
+        from ai_etl_studio_spark.operators.extended import (
+            _CBO_CONFS,
+            _cbo_join_frame,
+        )
+
+        def leaf_order(df):
+            s = df._jdf.queryExecution().optimizedPlan().toString()
+            return [
+                m.rsplit("_", 1)[1]
+                for m in re.findall(r"default\.(cbo_[0-9a-f]{12}_\w+)", s)
+            ]
+
+        saved = {k: spark.conf.get(k) for k in _CBO_CONFS}
+        try:
+            for k in _CBO_CONFS:
+                spark.conf.set(k, "false")
+            off = leaf_order(_cbo_join_frame(spark, SF_DIR))
+            for k, v in _CBO_CONFS.items():
+                spark.conf.set(k, v)
+            on = leaf_order(_cbo_join_frame(spark, SF_DIR))
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+        # rule-based: written order (unselective supplier joins first)
+        assert off == ["lineitem", "supplier", "part"]
+        # cost-based: filtered part joins the fact first (~1/6 rows
+        # survive before supplier ever joins)
+        assert on == ["lineitem", "part", "supplier"]
+
+    def test_cbo_column_stats_are_collected(self, spark):
+        """ensure_column_stats records real NDVs in the catalog — the
+        signal the reorder DP runs on (p_type has exactly 6 distinct
+        values in the driver testdata at every SF)."""
+        from ai_etl_studio_spark.operators.extended import (
+            ensure_column_stats,
+        )
+
+        names = ensure_column_stats(spark, SF_DIR)
+        rows = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                f"DESC EXTENDED {names['part']} p_type"
+            ).collect()
+        }
+        assert rows["distinct_count"] == "6"
+        assert rows["num_nulls"] == "0"
