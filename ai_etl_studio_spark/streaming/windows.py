@@ -969,6 +969,42 @@ def run_stream_ewma(
 
 DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
+#: Spark 4's in-box RocksDB state store — the 100 TB state backend.
+#: The default HDFSBackedStateStoreProvider keeps every partition's
+#: state map in executor HEAP (bounded by executor memory, the known
+#: killer for large streaming keyspaces); RocksDB spills state to
+#:  local SSD with incremental checkpointing, so state scales with
+#: disk, not heap. Results must be BIT-IDENTICAL across providers —
+#: the store is an implementation detail of stateful exec, never
+#: semantics — pinned in tests/test_streaming.py for both heavy twins.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+class _state_provider_conf:
+    """Scoped state-store-provider override: stateful streaming confs
+    are captured at query START, so setting the session conf around
+    .start() (and restoring after the query stops) pins the provider
+    for exactly one query without leaking into the session."""
+
+    def __init__(self, spark: SparkSession, provider: str | None):
+        self.spark, self.provider = spark, provider
+
+    def __enter__(self):
+        if self.provider is not None:
+            self.saved = self.spark.conf.get(_PROVIDER_CONF)
+            self.spark.conf.set(_PROVIDER_CONF, self.provider)
+        return self
+
+    def __exit__(self, *exc):
+        if self.provider is not None:
+            self.spark.conf.set(_PROVIDER_CONF, self.saved)
+        return False
+
 
 def read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet (the 'new batch
@@ -982,7 +1018,10 @@ def read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_dedup_vs_corpus(
-    spark: SparkSession, sf_dir: str, query_name: str = "dedup_corpus_out"
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "dedup_corpus_out",
+    state_provider: str | None = None,
 ) -> DataFrame:
     """REAL streaming twin of operators.dedup.stream_dedup_vs_corpus:
     incoming documents stream in, their minhash bands (the same pure
@@ -995,6 +1034,9 @@ def run_stream_dedup_vs_corpus(
     batch table, NOT in streaming state; the streaming agg keys on
     doc_id of the CURRENT batch only, so state is bounded by batch
     size. Complete output mode because the sink is the monitor table.
+    ``state_provider`` pins the state-store backend for THIS query
+    (ROCKSDB_PROVIDER = disk-backed state for 100 TB keyspaces);
+    results are provider-independent by contract, pinned in tests.
     Returns (doc_id, source, is_dup)."""
     from ai_etl_studio_spark.operators.dedup import bands_from
 
@@ -1013,16 +1055,17 @@ def run_stream_dedup_vs_corpus(
         .groupBy("doc_id")
         .agg(F.max(F.coalesce("hit", F.lit(0))).alias("is_dup"))
     )
-    q = (
-        verdicts.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_provider_conf(spark, state_provider):
+        q = (
+            verdicts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(query_name)
 
 
@@ -1235,7 +1278,10 @@ def run_stream_freshness(
 
 
 def run_stream_psi(
-    spark: SparkSession, sf_dir: str, query_name: str = "psi_out"
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "psi_out",
+    state_provider: str | None = None,
 ) -> DataFrame:
     """REAL streaming build of psi_drift's drift histogram: documents
     stream in and a streaming aggregation maintains the per-bin
@@ -1248,8 +1294,10 @@ def run_stream_psi(
     operators.drift.psi_drift over the same data (asserted in
     tests/test_streaming.py); the PSI expression itself is a tiny-table
     projection either side can apply. Complete output mode because the
-    sink is the constant-size monitor table. Returns
-    (bin, cnt_expected, cnt_actual)."""
+    sink is the constant-size monitor table. ``state_provider`` pins
+    the state-store backend for THIS query (ROCKSDB_PROVIDER =
+    disk-backed state); results are provider-independent by contract,
+    pinned in tests. Returns (bin, cnt_expected, cnt_actual)."""
     from ai_etl_studio_spark.operators.drift import _PSI_BIN
 
     b = (
@@ -1265,16 +1313,17 @@ def run_stream_psi(
             ),
         )
     )
-    q = (
-        b.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_provider_conf(spark, state_provider):
+        q = (
+            b.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(query_name)
 
 

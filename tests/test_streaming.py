@@ -919,3 +919,123 @@ def test_stream_discount_trend_matches_batch(spark):
     batch = cochran_armitage_discount_trend(spark, SF_DIR).collect()[0]
     z_micro = int(math.floor(abs(z) * 1e6 + 0.5)) * (1 if z >= 0 else -1)
     assert abs(batch["z_micro"] - z_micro) <= 2
+
+
+class TestRocksDBStateStore:
+    """r10 (r9 verdict item 3): the RocksDB state store is the 100 TB
+    state backend — disk-backed, incrementally checkpointed — and must
+    be a pure implementation detail: bit-identical results vs the
+    default HDFS-backed (heap-bounded) store, checkpoint-restart
+    survival included, with the session conf restored afterwards."""
+
+    def _provider(self, spark):
+        return spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+
+    def test_dedup_twin_identical_across_providers(self, spark):
+        from ai_etl_studio_spark.streaming.windows import (
+            ROCKSDB_PROVIDER,
+            run_stream_dedup_vs_corpus,
+        )
+
+        before = self._provider(spark)
+        hdfs = sorted(
+            tuple(r)
+            for r in run_stream_dedup_vs_corpus(
+                spark, SF_DIR, "sdc_hdfs"
+            ).collect()
+        )
+        rocks = sorted(
+            tuple(r)
+            for r in run_stream_dedup_vs_corpus(
+                spark, SF_DIR, "sdc_rocks", state_provider=ROCKSDB_PROVIDER
+            ).collect()
+        )
+        assert rocks == hdfs and len(rocks) > 0
+        assert self._provider(spark) == before  # scoped, not leaked
+
+    def test_psi_twin_identical_across_providers(self, spark):
+        from ai_etl_studio_spark.streaming.windows import (
+            ROCKSDB_PROVIDER,
+            run_stream_psi,
+        )
+
+        before = self._provider(spark)
+        hdfs = sorted(
+            tuple(r)
+            for r in run_stream_psi(spark, SF_DIR, "psi_hdfs").collect()
+        )
+        rocks = sorted(
+            tuple(r)
+            for r in run_stream_psi(
+                spark, SF_DIR, "psi_rocks", state_provider=ROCKSDB_PROVIDER
+            ).collect()
+        )
+        assert rocks == hdfs and len(rocks) > 0
+        assert self._provider(spark) == before
+
+    def test_rocksdb_state_survives_checkpoint_restart(self, spark, tmp_path):
+        """Stateful agg over RocksDB state + explicit checkpoint: run 2
+        reads ONLY the new file (file-log exactly-once) yet must emit
+        totals that include run 1's contribution — i.e. the counters
+        were restored from the RocksDB checkpoint, not recomputed."""
+        import os
+
+        from ai_etl_studio_spark.streaming.windows import ROCKSDB_PROVIDER
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+
+        def stage(name, rows):
+            scratch = str(tmp_path / f"scratch_{name}")
+            df = spark.createDataFrame(rows, "k string, v long")
+            df.coalesce(1).write.mode("overwrite").parquet(scratch)
+            part = next(
+                f for f in os.listdir(scratch) if f.endswith(".parquet")
+            )
+            os.replace(os.path.join(scratch, part), os.path.join(src, name))
+
+        def run_once(qname):
+            agg = (
+                spark.readStream.schema("k string, v long")
+                .format("parquet")
+                .load(src)
+                .groupBy("k")
+                .agg(F.sum("v").alias("total"))
+            )
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return {
+                r.k: r.total for r in spark.table(qname).collect()
+            }
+
+        before = self._provider(spark)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            ROCKSDB_PROVIDER,
+        )
+        try:
+            stage("f1.parquet", [("a", 1), ("b", 10)])
+            assert run_once("rocks_r1") == {"a": 1, "b": 10}
+            stage("f2.parquet", [("a", 2), ("c", 100)])
+            # run 2 processes only f2; totals must still include f1
+            assert run_once("rocks_r2") == {"a": 3, "b": 10, "c": 100}
+            # a restart with NO new data runs zero batches (nothing
+            # re-emitted, nothing double-counted)
+            assert run_once("rocks_r3") == {}
+            # and a third restart proves state survived both restarts
+            stage("f3.parquet", [("b", 5)])
+            assert run_once("rocks_r4") == {"a": 3, "b": 15, "c": 100}
+        finally:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", before
+            )
