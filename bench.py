@@ -679,6 +679,7 @@ HEADLINE = [
     "association_rules_topk",
     # round-10 additions
     "cbo_join_reorder_rollup",
+    "props_variant_profile",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
