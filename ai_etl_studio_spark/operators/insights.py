@@ -6838,6 +6838,285 @@ def smd_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "copurchase_weighted_score_summary",
+    oracle=_CP_WGRAPH_CTE_REC
+    + """
+    , rk AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM st),
+    t25 AS (SELECT CAST(s AS BIGINT) AS t FROM rk WHERE rn = (n + 3) // 4),
+    t50 AS (SELECT CAST(s AS BIGINT) AS t FROM rk WHERE rn = (n + 1) // 2),
+    sc25(i, u) AS (
+      SELECT 0, u FROM st
+      UNION
+      SELECT c.i + 1, c.u FROM sc25 c
+      WHERE c.i < 12
+        AND (SELECT SUM(a.w) FROM adjw a JOIN sc25 c2
+               ON a.v = c2.u AND c2.i = c.i
+             WHERE a.u = c.u) >= (SELECT t FROM t25)),
+    sc50(i, u) AS (
+      SELECT 0, u FROM st
+      UNION
+      SELECT c.i + 1, c.u FROM sc50 c
+      WHERE c.i < 12
+        AND (SELECT SUM(a.w) FROM adjw a JOIN sc50 c2
+               ON a.v = c2.u AND c2.i = c.i
+             WHERE a.u = c.u) >= (SELECT t FROM t50)),
+    k25 AS (SELECT u FROM sc25 WHERE i = 12),
+    k50 AS (SELECT u FROM sc50 WHERE i = 12),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM st),
+    s AS (
+      SELECT 25 AS q, (SELECT t FROM t25) AS threshold_cents,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM k25) AS n_core_nodes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ew
+              JOIN k25 a ON ew.x = a.u JOIN k25 b ON ew.y = b.u)
+               AS n_core_edges,
+             (SELECT CAST(COALESCE(SUM(ew.w), 0) AS BIGINT) FROM ew
+              JOIN k25 a ON ew.x = a.u JOIN k25 b ON ew.y = b.u)
+               AS core_strength_cents
+      UNION ALL
+      SELECT 50, (SELECT t FROM t50),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM k50),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ew
+              JOIN k50 a ON ew.x = a.u JOIN k50 b ON ew.y = b.u),
+             (SELECT CAST(COALESCE(SUM(ew.w), 0) AS BIGINT) FROM ew
+              JOIN k50 a ON ew.x = a.u JOIN k50 b ON ew.y = b.u))
+    SELECT s.q, s.threshold_cents, s.n_core_nodes, s.n_core_edges,
+           s.core_strength_cents,
+           CAST(round(1000000E0 * CAST(s.n_core_nodes AS DOUBLE)
+             / CAST(t.n_all AS DOUBLE), 0) AS BIGINT) AS node_share_micro
+    FROM s CROSS JOIN tot t ORDER BY s.q
+    """,
+)
+def copurchase_weighted_score_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STRENGTH-weighted core decomposition (s-core) of the co-purchase
+    graph — the weighted completion of copurchase_kcore_summary: peel
+    nodes whose INDUCED STRENGTH (exact cents over edges to survivors)
+    falls below a threshold until stable. Two tiers, thresholded at the
+    exact P25/P50 node strengths of the initial graph (percentile_disc
+    semantics — the ceil(p·n)-th smallest, integer row indexing, so the
+    thresholds are observed values both engines agree on bit-exactly).
+    The k-core asks "is this part structurally embedded?"; the s-core
+    asks "is it embedded in REVENUE?" — a part with 3 cheap ties
+    survives the 3-core but not the P50 s-core, which is the backbone
+    a merchandiser budgets against.
+
+    Algorithm: monotone peeling — survivors(i+1) = nodes whose induced
+    strength ≥ t; convergence when the survivor count stops falling
+    (survivors only shrink). The oracle peels exactly 12 bounded
+    recursive-CTE rounds; the Spark loop stops at convergence and
+    RAISES if 12 rounds don't converge — identical whenever
+    convergence happens within the cap, which the replay test pins by
+    peeling to the true fixpoint with no cap.
+
+    Exactness: thresholds and induced strengths are integer cents end
+    to end; an empty induced neighborhood yields NULL ≥ t (oracle) and
+    a missing rollup row (Spark) — both peel the node.
+
+    Scale: the same fence as the k-core — each round is two joins
+    against the capped alive set + one strength rollup, hint-free,
+    per-round localCheckpoint; ≤ 12 rounds."""
+    ew, adjw, strength = _copurchase_wgraph(spark, sf_dir)
+    n_all = strength.count()
+    # exact percentile_disc thresholds: the ceil(p·n)-th smallest
+    # strength, each a 1-row bounded collect (the same budget class as
+    # the kcore loop's per-round count())
+    t_of = {
+        q: int(
+            strength.orderBy("s")
+            .select("s")
+            .offset((n_all + add) // div - 1)
+            .limit(1)
+            .collect()[0]["s"]
+        )
+        for q, add, div in ((25, 3, 4), (50, 1, 2))
+    }
+    # BOTH tiers peel in ONE keyed loop (alive carries q): peeling is
+    # idempotent at its fixpoint, so the earlier-converged tier rides
+    # the remaining rounds unchanged and the total row count is stable
+    # iff both tiers are — halves the per-round job overhead vs two
+    # sequential loops (measured 12.8 s at sf0.1 for the 2-loop form).
+    thr = F.when(F.col("q") == 25, F.lit(t_of[25])).otherwise(
+        F.lit(t_of[50])
+    )
+    alive = (
+        strength.select("u")
+        .crossJoin(spark.createDataFrame([(25,), (50,)], "q int"))
+        .localCheckpoint()
+    )
+    prev = alive.count()
+    for _ in range(12):
+        ind = ew.join(
+            alive.select("q", F.col("u").alias("x")), "x"
+        ).join(alive.select("q", F.col("u").alias("y")), ["q", "y"])
+        sg = (
+            ind.select("q", F.col("x").alias("u"), "w")
+            .unionAll(ind.select("q", F.col("y").alias("u"), "w"))
+            .groupBy("q", "u")
+            .agg(F.sum("w").cast("bigint").alias("sw"))
+        )
+        nxt = (
+            sg.filter(F.col("sw") >= thr)
+            .select("q", "u")
+            .localCheckpoint()
+        )
+        cur = nxt.count()
+        alive = nxt
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError("s-core peeling did not converge in 12 rounds")
+    core = ew.join(alive.select("q", F.col("u").alias("x")), "x").join(
+        alive.select("q", F.col("u").alias("y")), ["q", "y"]
+    )
+    # anchor on the static tier frame: a tier whose core peeled to
+    # EMPTY (the P50 cascade collapse observed at sf0.01 — itself the
+    # finding "no revenue backbone at this threshold") must still emit
+    # its zero row; groupBy alone would drop it.
+    tiers = spark.createDataFrame(
+        [(25, t_of[25]), (50, t_of[50])], "q int, threshold_cents bigint"
+    )
+    cn = alive.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_core_nodes")
+    )
+    cs = core.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_core_edges"),
+        F.sum("w").cast("bigint").alias("core_strength_cents"),
+    )
+    return (
+        tiers.join(cn, "q", "left")
+        .join(cs, "q", "left")
+        .select(
+            "q",
+            "threshold_cents",
+            F.coalesce("n_core_nodes", F.lit(0))
+            .cast("bigint")
+            .alias("n_core_nodes"),
+            F.coalesce("n_core_edges", F.lit(0))
+            .cast("bigint")
+            .alias("n_core_edges"),
+            F.coalesce("core_strength_cents", F.lit(0))
+            .cast("bigint")
+            .alias("core_strength_cents"),
+            F.round(
+                F.lit(1_000_000.0)
+                * F.coalesce("n_core_nodes", F.lit(0)).cast("double")
+                / F.lit(float(n_all)),
+                0,
+            )
+            .cast("bigint")
+            .alias("node_share_micro"),
+        )
+        .orderBy("q")
+    )
+
+
+@register(
+    "copurchase_community_labels_topk",
+    oracle=_CP_WGRAPH_CTE_REC
+    + """
+    , lp(i, u, l) AS (
+      SELECT 0, u, u FROM st
+      UNION
+      SELECT c.i + 1, c.u,
+             (SELECT l FROM (
+                SELECT r.l AS l, CAST(SUM(a.w) AS BIGINT) AS tw
+                FROM adjw a JOIN lp r ON a.v = r.u AND r.i = c.i
+                WHERE a.u = c.u GROUP BY r.l)
+              ORDER BY tw DESC, l LIMIT 1)
+      FROM lp c WHERE c.i < 4),
+    fin AS (SELECT u, l FROM lp WHERE i = 4),
+    cn AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM fin GROUP BY l),
+    ce AS (
+      SELECT fa.l, CAST(COUNT(*) AS BIGINT) AS n_internal_edges,
+             CAST(SUM(ew.w) AS BIGINT) AS internal_strength_cents
+      FROM ew JOIN fin fa ON ew.x = fa.u
+      JOIN fin fb ON ew.y = fb.u AND fa.l = fb.l
+      GROUP BY fa.l)
+    SELECT cn.l AS community_id, cn.n_nodes,
+           CAST(COALESCE(ce.n_internal_edges, 0) AS BIGINT)
+             AS n_internal_edges,
+           CAST(COALESCE(ce.internal_strength_cents, 0) AS BIGINT)
+             AS internal_strength_cents
+    FROM cn LEFT JOIN ce ON cn.l = ce.l
+    ORDER BY n_nodes DESC, community_id LIMIT 10
+    """,
+)
+def copurchase_community_labels_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Propagated COMMUNITY assignment on the weighted co-purchase
+    graph — the labeling op the tier lacked: components score
+    connectivity, modularity scores a GIVEN partition, and this one
+    PRODUCES a partition. Synchronous strength-weighted label
+    propagation, exactly 4 rounds: every node starts as its own label;
+    each round it adopts the label carrying the largest total edge
+    strength among its neighbors (exact-cents SUM, ties broken by
+    smallest label — fully deterministic, no convergence ambiguity:
+    both engines walk the identical 4-round trajectory, which the
+    replay test re-walks in pure Python). Communities differ from
+    components exactly where a component contains multiple revenue
+    basins — the cross-sell territories a merchandiser staffs.
+
+    Output: top-10 communities by size with internal edge count and
+    internal exact-cents strength.
+
+    Scale: each round is one adjacency-vs-labels join + one (u, label)
+    strength rollup + one argmax window over ≤ DCAP candidate labels
+    per node — all hint-free on the capped graph, per-round
+    localCheckpoint keeps lineage flat."""
+    ew, adjw, strength = _copurchase_wgraph(spark, sf_dir)
+    labels = strength.select("u", F.col("u").alias("l")).localCheckpoint()
+    wpick = Window.partitionBy("u").orderBy(F.desc("tw"), F.asc("l"))
+    for _ in range(4):
+        labels = (
+            adjw.join(
+                labels.select(F.col("u").alias("v"), "l"), "v"
+            )
+            .groupBy("u", "l")
+            .agg(F.sum("w").cast("bigint").alias("tw"))
+            .withColumn("rn", F.row_number().over(wpick))
+            .filter(F.col("rn") == 1)
+            .select("u", "l")
+            .localCheckpoint()
+        )
+    cn = labels.groupBy("l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    fa = labels.select(F.col("u").alias("x"), F.col("l").alias("la"))
+    fb = labels.select(F.col("u").alias("y"), F.col("l").alias("lb"))
+    ce = (
+        ew.join(fa, "x")
+        .join(fb, "y")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("l"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_internal_edges"),
+            F.sum("w").cast("bigint").alias("internal_strength_cents"),
+        )
+    )
+    return (
+        cn.join(ce, "l", "left")
+        .select(
+            F.col("l").alias("community_id"),
+            "n_nodes",
+            F.coalesce("n_internal_edges", F.lit(0))
+            .cast("bigint")
+            .alias("n_internal_edges"),
+            F.coalesce("internal_strength_cents", F.lit(0))
+            .cast("bigint")
+            .alias("internal_strength_cents"),
+        )
+        .orderBy(F.desc("n_nodes"), "community_id")
+        .limit(10)
+    )
+
+
+@register(
     "copurchase_brand_modularity",
     oracle=_CP_GRAPH_CTE
     + """

@@ -680,6 +680,8 @@ HEADLINE = [
     # round-10 additions
     "cbo_join_reorder_rollup",
     "props_variant_profile",
+    "copurchase_weighted_score_summary",
+    "copurchase_community_labels_topk",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

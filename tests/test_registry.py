@@ -101,7 +101,7 @@ def test_round_seal_equals_latest():
         if (m := _re.match(r"BENCH_r(\d+)\.json$", f.name))
     ]
     n = max(rounds, default=0) + 1
-    for stem in ("CORRECTNESS_full", "BENCH_full"):
+    for stem in ("CORRECTNESS_full", "BENCH_full", "PLANSNAP"):
         seal = REPO / f"{stem}_r{n:02d}.json"
         if not seal.exists():
             continue  # round not sealed yet

@@ -52,3 +52,149 @@ class TestVariantProps:
             ).collect()
         ]
         assert vals == [None, None]
+
+
+from collections import Counter, defaultdict
+from itertools import combinations
+
+MINSUP = 2
+DCAP = 48
+
+
+def _capped_wgraph(spark):
+    """Pure-Python capped WEIGHTED co-purchase graph (the round-9
+    replay device, duplicated here so round-10's tests stand alone):
+    per (order, part) revenue cents, per-order pair fan-out with weight
+    r_x + r_y, support >= MINSUP, unweighted degree cap."""
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+        .collect()
+    )
+    opr: dict = defaultdict(int)
+    for r in rows:
+        opr[(r.l_orderkey, r.l_partkey)] += int(r.l_extendedprice * 100 + 0.5)
+    per_order: dict = defaultdict(dict)
+    for (o, p), cents in opr.items():
+        per_order[o][p] = cents
+    sup: Counter = Counter()
+    w: Counter = Counter()
+    for parts in per_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            sup[(a, b)] += 1
+            w[(a, b)] += parts[a] + parts[b]
+    e0 = {p for p, c in sup.items() if c >= MINSUP}
+    deg0: Counter = Counter()
+    for a, b in e0:
+        deg0[a] += 1
+        deg0[b] += 1
+    keep = {u for u, d in deg0.items() if d <= DCAP}
+    ew = {(a, b): w[(a, b)] for a, b in e0 if a in keep and b in keep}
+    adjw: dict = defaultdict(dict)
+    for (a, b), wt in ew.items():
+        adjw[a][b] = wt
+        adjw[b][a] = wt
+    return ew, adjw
+
+
+class TestWeightedGraphCompletion:
+    def test_score_core_peeling_replay_and_convergence(self, spark):
+        """Python s-core peeling to the TRUE fixpoint (no round cap)
+        must equal the operator — which proves the 12-round oracle cap
+        is past convergence at this SF — and the exact percentile_disc
+        thresholds must match."""
+        ew, adjw = _capped_wgraph(spark)
+        st = {u: sum(nb.values()) for u, nb in adjw.items()}
+        n = len(st)
+        svals = sorted(st.values())
+        t_of = {25: svals[(n + 3) // 4 - 1], 50: svals[(n + 1) // 2 - 1]}
+        got = {
+            r["q"]: (
+                r["threshold_cents"],
+                r["n_core_nodes"],
+                r["n_core_edges"],
+                r["core_strength_cents"],
+            )
+            for r in QUERIES["copurchase_weighted_score_summary"](
+                spark, SF_DIR
+            ).collect()
+        }
+        for q, t in t_of.items():
+            alive = set(adjw)
+            rounds = 0
+            while True:
+                rounds += 1
+                nxt = {
+                    u
+                    for u in alive
+                    if sum(
+                        wt for v, wt in adjw[u].items() if v in alive
+                    )
+                    >= t
+                }
+                if nxt == alive:
+                    break
+                alive = nxt
+            assert rounds <= 12, "oracle round cap too low for this corpus"
+            core = {
+                (a, b): wt
+                for (a, b), wt in ew.items()
+                if a in alive and b in alive
+            }
+            assert got[q] == (t, len(alive), len(core), sum(core.values())), q
+
+    def test_community_label_propagation_replay(self, spark):
+        """Re-walk the exact 4-round synchronous strength-weighted
+        label propagation (argmax by total edge strength, ties to the
+        smallest label) and compare the community summary."""
+        ew, adjw = _capped_wgraph(spark)
+        lab = {u: u for u in adjw}
+        for _ in range(4):
+            nxt = {}
+            for u, nb in adjw.items():
+                tw: Counter = Counter()
+                for v, wt in nb.items():
+                    tw[lab[v]] += wt
+                nxt[u] = min(
+                    (l for l in tw), key=lambda l: (-tw[l], l)
+                )
+            lab = nxt
+        n_nodes: Counter = Counter(lab.values())
+        n_edges: Counter = Counter()
+        strength: Counter = Counter()
+        for (a, b), wt in ew.items():
+            if lab[a] == lab[b]:
+                n_edges[lab[a]] += 1
+                strength[lab[a]] += wt
+        want = sorted(
+            (
+                (-n, l, n_edges.get(l, 0), strength.get(l, 0))
+                for l, n in n_nodes.items()
+            )
+        )[:10]
+        got = [
+            (
+                -r["n_nodes"],
+                r["community_id"],
+                r["n_internal_edges"],
+                r["internal_strength_cents"],
+            )
+            for r in QUERIES["copurchase_community_labels_topk"](
+                spark, SF_DIR
+            ).collect()
+        ]
+        assert got == want
+
+    def test_weighted_graph_ops_are_broadcast_safe(self, spark):
+        from ai_etl_studio_spark.plans.tripwire import (
+            broadcast_violations,
+            checkpoint_audit,
+        )
+
+        for name in (
+            "copurchase_weighted_score_summary",
+            "copurchase_community_labels_topk",
+        ):
+            with checkpoint_audit() as audit:
+                v = broadcast_violations(QUERIES[name](spark, SF_DIR))
+            assert list(v) + audit.violations == [], name
