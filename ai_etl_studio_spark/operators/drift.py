@@ -11686,3 +11686,241 @@ def tail_dependence_value_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lower_tail_dep_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: post-hoc + robust-filter shelf.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dunns_posthoc_delay_priorities",
+    oracle=_DELAY_GRAIN_CTE
+    + """
+    , tv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY v),
+    r AS (
+      SELECT v, t,
+             2 * (CAST(SUM(t) OVER (ORDER BY v) AS BIGINT) - t) + t + 1
+               AS r2
+      FROM tv),
+    nt AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS tie
+      FROM tv),
+    gp AS (
+      SELECT c.pr, CAST(SUM(c.c) AS BIGINT) AS n_i,
+             CAST(SUM(CAST(c.c AS HUGEINT) * r.r2) AS BIGINT) AS num_i
+      FROM c JOIN r ON c.v = r.v GROUP BY c.pr),
+    pz AS (
+      SELECT a.pr AS pr_a, b.pr AS pr_b,
+             a.n_i AS n_a, b.n_i AS n_b,
+             CAST(round((CAST(a.num_i AS DOUBLE) / (2E0 * a.n_i)
+                 - CAST(b.num_i AS DOUBLE) / (2E0 * b.n_i))
+               / sqrt(((CAST(n.n AS DOUBLE) * (n.n + 1)
+                        - CAST(n.tie AS DOUBLE) / (n.n - 1E0)) / 12E0)
+                      * (1E0 / a.n_i + 1E0 / b.n_i))
+               * 1000000E0, 0) AS BIGINT) AS z_micro
+      FROM gp a JOIN gp b ON a.pr < b.pr CROSS JOIN nt n)
+    SELECT pr_a, pr_b, n_a, n_b, z_micro,
+           CAST(CASE WHEN abs(z_micro) > 2807034 THEN 1 ELSE 0 END
+             AS BIGINT) AS significant
+    FROM pz ORDER BY pr_a, pr_b
+    """,
+)
+def dunns_posthoc_delay_priorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dunn's post-hoc test over all 10 priority pairs — the question
+    an analyst actually asks AFTER kruskal_wallis_delay_by_priority
+    rejects: WHICH priorities differ? Each pair's z uses the POOLED
+    mean ranks (not a fresh pairwise ranking — that's the difference
+    between Dunn and 10 Mann-Whitneys, and why the family shares one
+    tie-corrected variance (N(N+1) − ΣT/(N−1))/12). Significance at the
+    Bonferroni-adjusted two-sided 5% level for m=10 comparisons
+    (|z| > z_{0.9975} = 2.807034, a shared literal in both engines,
+    compared on the quantized micro value so the flag is
+    deterministic).
+
+    Exactness: pooled doubled midranks (2R) at the value grain; rank
+    sums ride HUGEINT / decimal(38,0); ONE mirrored double expression
+    per pair.
+
+    Scale: value-grain windows only; 10 output rows from a 5-row
+    aggregate self-join."""
+    c = _delay_grain(spark, sf_dir)
+    tv = c.groupBy("v").agg(F.sum("c").cast("bigint").alias("t"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    r = tv.select(
+        "v",
+        "t",
+        (
+            2 * (F.sum("t").over(wv).cast("bigint") - F.col("t"))
+            + F.col("t")
+            + 1
+        ).alias("r2"),
+    )
+    nt = tv.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        )
+        .cast("bigint")
+        .alias("tie"),
+    )
+    gp = (
+        c.join(r, "v")
+        .groupBy("pr")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_i"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("r2"))
+            .cast("bigint")
+            .alias("num_i"),
+        )
+    )
+    a = gp.select(
+        F.col("pr").alias("pr_a"),
+        F.col("n_i").alias("n_a"),
+        F.col("num_i").alias("num_a"),
+    )
+    b = gp.select(
+        F.col("pr").alias("pr_b"),
+        F.col("n_i").alias("n_b"),
+        F.col("num_i").alias("num_b"),
+    )
+    pz = (
+        a.join(b, F.col("pr_a") < F.col("pr_b"))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "pr_a",
+            "pr_b",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(round((CAST(num_a AS DOUBLE) / (2E0 * n_a)"
+                "   - CAST(num_b AS DOUBLE) / (2E0 * n_b))"
+                " / sqrt(((CAST(n AS DOUBLE) * (n + 1)"
+                "          - CAST(tie AS DOUBLE) / (n - 1E0)) / 12E0)"
+                "        * (1E0 / n_a + 1E0 / n_b))"
+                " * 1000000E0, 0) AS BIGINT)"
+            ).alias("z_micro"),
+        )
+    )
+    return pz.select(
+        "pr_a",
+        "pr_b",
+        "n_a",
+        "n_b",
+        "z_micro",
+        F.expr(
+            "CAST(CASE WHEN abs(z_micro) > 2807034 THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("significant"),
+    ).orderBy("pr_a", "pr_b")
+
+
+@register(
+    "hampel_outlier_days",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    w AS (
+      SELECT d, rev,
+             list_sort(list(rev) OVER
+               (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING))
+               AS arr
+      FROM daily),
+    m AS (
+      SELECT d, rev, arr, len(arr) AS k,
+             arr[(len(arr) + 1) // 2] + arr[(len(arr) + 2) // 2] AS med2
+      FROM w),
+    h AS (
+      SELECT d, rev, k, med2,
+             list_sort(list_transform(arr, a -> abs(2 * a - med2)))
+               AS darr
+      FROM m),
+    f AS (
+      SELECT d, rev, med2,
+             darr[(k + 1) // 2] + darr[(k + 2) // 2] AS ddm
+      FROM h)
+    SELECT d, rev AS revenue_cents,
+           CAST(med2 AS BIGINT) AS med2_cents,
+           CAST(ddm AS BIGINT) AS ddm_cents
+    FROM f WHERE 2 * abs(2 * rev - med2) > 3 * ddm
+    ORDER BY d
+    """,
+)
+def hampel_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over the daily-revenue series: a day is an outlier
+    when it sits more than 3 robust sigmas — 3×MAD — from the MEDIAN of
+    its ±7-day window. The rolling-window counterpart of the global
+    robust detectors (mad_outliers, rosner_esd): a holiday spike that
+    would poison a rolling MEAN control chart (ewma_control_chart)
+    cannot drag the rolling median, so the filter flags it without
+    masking its neighbors.
+
+    Exactness: FULLY integer — the window median rides as a doubled
+    value (arr[⌈k/2⌉]+arr[⌈(k+1)/2⌉] = 2·median for odd AND even k),
+    deviations as doubled |2x−med2|, their median as ddm = 4·MAD, and
+    the 3-sigma test |x−med| > 3·MAD becomes the integer comparison
+    2·|2x−med2| > 3·ddm. No float exists anywhere in the operator.
+
+    Scale: the one global-order window is over the |days| grain
+    (~2,400 rows — the same single-partition concession every daily
+    series op makes AFTER the fact-table reduction); each row carries a
+    15-element array."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    w15 = Window.orderBy("d").rowsBetween(-7, 7)
+    arr = daily.select(
+        "d", "rev", F.sort_array(F.collect_list("rev").over(w15)).alias("arr")
+    )
+    m = arr.select(
+        "d",
+        "rev",
+        "arr",
+        F.size("arr").alias("k"),
+        F.expr(
+            "element_at(arr, CAST((size(arr) + 1) / 2 AS INT))"
+            " + element_at(arr, CAST((size(arr) + 2) / 2 AS INT))"
+        ).alias("med2"),
+    )
+    h = m.select(
+        "d",
+        "rev",
+        "k",
+        "med2",
+        F.expr(
+            "sort_array(transform(arr, a -> abs(2 * a - med2)))"
+        ).alias("darr"),
+    )
+    f = h.select(
+        "d",
+        "rev",
+        "med2",
+        F.expr(
+            "element_at(darr, CAST((k + 1) / 2 AS INT))"
+            " + element_at(darr, CAST((k + 2) / 2 AS INT))"
+        ).alias("ddm"),
+    )
+    return (
+        f.filter(
+            2 * F.abs(2 * F.col("rev") - F.col("med2")) > 3 * F.col("ddm")
+        )
+        .select(
+            "d",
+            F.col("rev").alias("revenue_cents"),
+            F.col("med2").cast("bigint").alias("med2_cents"),
+            F.col("ddm").cast("bigint").alias("ddm_cents"),
+        )
+        .orderBy("d")
+    )

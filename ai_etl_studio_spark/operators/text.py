@@ -4639,3 +4639,268 @@ def kneser_ney_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pkn_micro"), "term", "next_term")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: vocabulary-estimation shelf — the corpus questions a 100 TB
+# crawl actually poses ("how much of the language have we NOT seen?",
+# "how big is the true vocabulary?") answered from the same one-pass
+# (source, term) count reduction every other lexical op rides.
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               w -> w <> '')) AS term
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+    tc AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2),
+    fr AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM tc GROUP BY source)
+"""
+
+
+def _source_freq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_TOKS_CTE``'s ``fr``: per-source (n_tokens,
+    vocab, n1, n2) — the frequency-of-frequencies head that both
+    Good-Turing and Chao1 consume. One tokenize pass, reduction keyed
+    on source x vocabulary (map-side combine), never on raw tokens."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    tc = (
+        d.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+            ).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+
+
+@register(
+    "good_turing_unseen_mass",
+    oracle=_TOKS_CTE
+    + """
+    SELECT source, n_tokens, vocab, n1, n2,
+           CAST(n1 * 1000000 // n_tokens AS BIGINT) AS unseen_mass_ppm,
+           CASE WHEN n1 > 0
+                THEN CAST(2 * n2 * 1000000 // n1 AS BIGINT) END
+             AS r1_star_micro
+    FROM fr ORDER BY source
+    """,
+)
+def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-probability mass per source: p₀ = N₁/N — the
+    total probability a NEW document from this source contains a token
+    never seen in it, estimated from the singleton count alone (Good
+    1953). Beside it, the GT-adjusted count for singletons r₁* = 2N₂/N₁
+    (how much a count-of-1 should really 'weigh'; NULL when the source
+    has no singletons). The pretraining question this answers at 100 TB:
+    a source whose unseen mass stays high after ingesting millions of
+    documents is still yielding novel text — keep crawling it; one near
+    zero is exhausted. Kneser-Ney's discounting (kneser_ney_bigram_topk)
+    is the same idea applied per-ngram; this is the corpus-level budget.
+
+    Exactness: pure integer arithmetic — ppm/micro values via integer
+    floor division, mirrored in both engines.
+
+    Scale: rides the (source, term) count reduction; output |sources|
+    rows."""
+    fr = _source_freq_frame(spark, sf_dir)
+    return fr.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "n1",
+        "n2",
+        F.expr("CAST(n1 * 1000000 DIV n_tokens AS BIGINT)").alias(
+            "unseen_mass_ppm"
+        ),
+        F.expr(
+            "CASE WHEN n1 > 0 THEN"
+            " CAST(2 * n2 * 1000000 DIV n1 AS BIGINT) END"
+        ).alias("r1_star_micro"),
+    ).orderBy("source")
+
+
+@register(
+    "chao1_vocab_richness",
+    oracle=_TOKS_CTE
+    + """
+    SELECT source, vocab, n1, n2,
+           CAST(n1 * (n1 - 1) * 1000000 // (2 * (n2 + 1)) AS BIGINT)
+             AS chao1_extra_micro,
+           CAST(vocab * 1000000
+             + n1 * (n1 - 1) * 1000000 // (2 * (n2 + 1)) AS BIGINT)
+             AS chao1_micro,
+           CAST(1000000 - n1 * 1000000 // n_tokens AS BIGINT)
+             AS coverage_ppm
+    FROM fr ORDER BY source
+    """,
+)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 richness estimator per source: the TRUE vocabulary size
+    the observed sample implies — V̂ = V + N₁(N₁−1)/(2(N₂+1)), the
+    bias-corrected form of Chao's lower bound built from singletons and
+    doubletons (species-richness estimation applied to types). Beside
+    it, Turing's sample coverage Ĉ = 1 − N₁/N. Read with
+    vocab_growth_curve (Heaps trajectory): Heaps says how fast vocab
+    grows with more data, Chao1 says where it's headed — the gap
+    between V and V̂ is the vocabulary a tokenizer trained on this
+    source hasn't met yet.
+
+    Exactness: integer micro/ppm via floor division, exact in both
+    engines (N₁(N₁−1)·10⁶ stays well under 2⁶³ at any realistic
+    per-source vocabulary).
+
+    Scale: same (source, term) reduction, |sources| output rows."""
+    fr = _source_freq_frame(spark, sf_dir)
+    return fr.select(
+        "source",
+        "vocab",
+        "n1",
+        "n2",
+        F.expr(
+            "CAST(n1 * (n1 - 1) * 1000000 DIV (2 * (n2 + 1)) AS BIGINT)"
+        ).alias("chao1_extra_micro"),
+        F.expr(
+            "CAST(vocab * 1000000 + n1 * (n1 - 1) * 1000000"
+            " DIV (2 * (n2 + 1)) AS BIGINT)"
+        ).alias("chao1_micro"),
+        F.expr(
+            "CAST(1000000 - n1 * 1000000 DIV n_tokens AS BIGINT)"
+        ).alias("coverage_ppm"),
+    ).orderBy("source")
+
+
+@register(
+    "hellinger_lang_divergence_by_source",
+    oracle="""
+    WITH sl AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sl GROUP BY 1),
+    g AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS gc FROM sl GROUP BY 1),
+    ng AS (SELECT CAST(SUM(gc) AS BIGINT) AS m FROM g),
+    terms AS (
+      SELECT sl.source,
+             CAST(round(sqrt(CAST(sl.c * g.gc AS DOUBLE)) * 1000000, 0)
+               AS BIGINT) AS t_micro
+      FROM sl JOIN g ON sl.lang = g.lang),
+    bc AS (
+      SELECT t.source, ns.n,
+             CAST(round(CAST(SUM(t.t_micro) AS DOUBLE)
+               / sqrt(CAST(ns.n AS DOUBLE) * m.m), 0) AS BIGINT)
+               AS bc_micro
+      FROM terms t JOIN ns ON t.source = ns.source CROSS JOIN ng m
+      GROUP BY t.source, ns.n, m.m)
+    SELECT source, n AS n_docs, bc_micro,
+           CAST(round(1000000E0 * sqrt(
+             CASE WHEN bc_micro >= 1000000 THEN 0E0
+                  ELSE 1E0 - bc_micro / 1000000E0 END), 0) AS BIGINT)
+             AS hellinger_micro,
+           CAST(round(-1000000E0 * ln(bc_micro / 1000000E0), 0) AS BIGINT)
+             AS bhattacharyya_micro
+    FROM bc ORDER BY source
+    """,
+)
+def hellinger_lang_divergence_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How far each source's LANGUAGE MIX sits from the corpus-wide
+    mix, in three equivalent currencies: the Bhattacharyya coefficient
+    BC = Σ√(pᵢqᵢ) (1 = identical mixes), the Hellinger distance
+    √(1−BC) (a proper bounded metric — the right thing to threshold in
+    a data-mix monitor), and the Bhattacharyya distance −ln BC
+    (additive over independent partitions). Complements
+    js_divergence_source_pairs (pairwise, KL-family) with a
+    source-vs-corpus view in the √-family, which is less dominated by
+    rare-language tails than KL.
+
+    Exactness: counts are exact integers; each per-language √(c·g)
+    term is quantized to integer micro BEFORE the sum (the tick-
+    quantization rule — integer sums are order-independent where a
+    float Σ√ would be reduction-order-dependent), then ONE mirrored
+    double expression per output column.
+
+    Scale: |sources × langs| grain end-to-end; the global lang mix is
+    a tiny broadcast."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    sl = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ns = sl.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    g = sl.groupBy("lang").agg(F.sum("c").cast("bigint").alias("gc"))
+    ng = g.agg(F.sum("gc").cast("bigint").alias("m"))
+    terms = sl.join(F.broadcast(g), "lang").select(
+        "source",
+        F.round(
+            F.sqrt((F.col("c") * F.col("gc")).cast("double")) * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("t_micro"),
+    )
+    bc = (
+        terms.groupBy("source")
+        .agg(F.sum("t_micro").cast("bigint").alias("ts"))
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round(
+                F.col("ts").cast("double")
+                / F.sqrt(F.col("n").cast("double") * F.col("m")),
+                0,
+            )
+            .cast("bigint")
+            .alias("bc_micro"),
+        )
+    )
+    return bc.select(
+        "source",
+        "n_docs",
+        "bc_micro",
+        F.round(
+            F.lit(1_000_000.0)
+            * F.sqrt(
+                F.when(F.col("bc_micro") >= 1_000_000, F.lit(0.0)).otherwise(
+                    F.lit(1.0) - F.col("bc_micro") / F.lit(1_000_000.0)
+                )
+            ),
+            0,
+        )
+        .cast("bigint")
+        .alias("hellinger_micro"),
+        F.round(
+            F.lit(-1_000_000.0)
+            * F.log(F.col("bc_micro") / F.lit(1_000_000.0)),
+            0,
+        )
+        .cast("bigint")
+        .alias("bhattacharyya_micro"),
+    ).orderBy("source")

@@ -682,6 +682,11 @@ HEADLINE = [
     "props_variant_profile",
     "copurchase_weighted_score_summary",
     "copurchase_community_labels_topk",
+    "good_turing_unseen_mass",
+    "chao1_vocab_richness",
+    "hellinger_lang_divergence_by_source",
+    "dunns_posthoc_delay_priorities",
+    "hampel_outlier_days",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
