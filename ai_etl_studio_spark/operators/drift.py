@@ -11924,3 +11924,302 @@ def hampel_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "wape_smape_daily_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    t AS (SELECT row_number() OVER (ORDER BY day) - 1 AS t, x FROM daily),
+    e AS (
+      SELECT t, x, lag(x, 7) OVER (ORDER BY t) AS f
+      FROM t),
+    terms AS (
+      SELECT t, x, f, abs(x - f) AS ae,
+             CAST(round(2000000000E0 * abs(x - f)
+               / (CAST(x AS DOUBLE) + f), 0) AS BIGINT) AS smape_nano
+      FROM e WHERE t >= 7)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(ae) AS BIGINT) AS abs_err_cents,
+           CAST(SUM(x) AS BIGINT) AS actual_cents,
+           CAST(SUM(ae) * 1000000 // SUM(x) AS BIGINT) AS wape_ppm,
+           CAST(SUM(smape_nano) // COUNT(*) AS BIGINT) AS smape_nano
+    FROM terms
+    """,
+)
+def wape_smape_daily_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAPE and sMAPE of the seasonal-naive-7 forecast on daily revenue
+    — the two percentage-error KPIs operations teams actually report
+    beside the statistician's MASE: WAPE (Σ|e|/Σ|y|, volume-weighted,
+    immune to MAPE's divide-by-small-days blowup) and symmetric MAPE
+    (mean of 2|e|/(y+ŷ), bounded at 200%). Same t ≥ 7 scoring window as
+    mase_weekly_naive_daily so the three metrics grade one forecast.
+
+    Exactness: error/actual sums exact integer cents; WAPE is integer
+    ppm floor division; each sMAPE term is quantized to integer nano
+    BEFORE the mean (order-independent reduction), then one integer
+    floor division. Revenue is strictly positive so y+ŷ never divides
+    by zero.
+
+    Scale: day-grain reduction, one ~2.4k-row ordered window (the
+    documented tiny-window exception)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("x")
+    )
+    t = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"), "x"
+    )
+    e = t.select(
+        "t", "x", F.lag("x", 7).over(Window.orderBy("t")).alias("f")
+    ).filter(F.col("t") >= 7)
+    terms = e.select(
+        "x",
+        F.abs(F.col("x") - F.col("f")).alias("ae"),
+        F.round(
+            F.lit(2_000_000_000.0)
+            * F.abs(F.col("x") - F.col("f"))
+            / (F.col("x").cast("double") + F.col("f")),
+            0,
+        )
+        .cast("bigint")
+        .alias("smape_nano"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum("ae").cast("bigint").alias("abs_err_cents"),
+        F.sum("x").cast("bigint").alias("actual_cents"),
+        F.expr("CAST(SUM(ae) * 1000000 DIV SUM(x) AS BIGINT)").alias(
+            "wape_ppm"
+        ),
+        F.expr("CAST(SUM(smape_nano) DIV COUNT(*) AS BIGINT)").alias(
+            "smape_nano"
+        ),
+    )
+
+
+@register(
+    "tracking_signal_daily_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    t AS (SELECT row_number() OVER (ORDER BY day) - 1 AS t, x FROM daily),
+    e AS (
+      SELECT t, x - lag(x, 7) OVER (ORDER BY t) AS err
+      FROM t),
+    s AS (SELECT t - 7 AS i, err FROM e WHERE t >= 7),
+    cum AS (
+      SELECT i, err,
+             CAST(SUM(err) OVER (ORDER BY i) AS BIGINT) AS ce,
+             CAST(SUM(abs(err)) OVER (ORDER BY i) AS BIGINT) AS cae
+      FROM s),
+    ts AS (
+      SELECT i,
+             CAST(round(CAST(ce AS DOUBLE) * (i + 1)
+               / CAST(cae AS DOUBLE) * 1000000E0, 0) AS BIGINT)
+               AS ts_micro
+      FROM cum WHERE cae > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST((SELECT ts_micro FROM ts ORDER BY i DESC LIMIT 1)
+             AS BIGINT) AS final_ts_micro,
+           CAST(MAX(abs(ts_micro)) AS BIGINT) AS max_abs_ts_micro,
+           CAST(SUM(CASE WHEN abs(ts_micro) > 4000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_beyond_4
+    FROM ts
+    """,
+)
+def tracking_signal_daily_naive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trigg's tracking signal of the seasonal-naive-7 forecast:
+    TS_t = (cumulative error) / (cumulative MAD) — the classic
+    inventory-control monitor for forecast BIAS, which the symmetric
+    error metrics (MASE/WAPE/sMAPE) are blind to by construction: a
+    forecast that's 10% low every single day can have a fine WAPE while
+    its TS marches past the ±4 action limit. Reports the final TS, the
+    worst excursion, and the number of days beyond ±4 (the standard
+    'investigate the forecast' rule).
+
+    Exactness: cumulative error and cumulative |error| are exact
+    integer window sums; each day's TS = ce·t/cae is ONE mirrored
+    double division quantized to micro before the max/threshold
+    reductions, so excursion counts are deterministic in both engines.
+
+    Scale: day-grain reduction, ~2.4k-row ordered window (documented
+    exception)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("x")
+    )
+    t = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"), "x"
+    )
+    s = (
+        t.select(
+            "t",
+            (F.col("x") - F.lag("x", 7).over(Window.orderBy("t"))).alias(
+                "err"
+            ),
+        )
+        .filter(F.col("t") >= 7)
+        .select((F.col("t") - 7).alias("i"), "err")
+    )
+    wi = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    cum = s.select(
+        "i",
+        F.sum("err").over(wi).cast("bigint").alias("ce"),
+        F.sum(F.abs("err")).over(wi).cast("bigint").alias("cae"),
+    )
+    ts = cum.filter(F.col("cae") > 0).select(
+        "i",
+        F.round(
+            F.col("ce").cast("double")
+            * (F.col("i") + 1)
+            / F.col("cae").cast("double")
+            * 1_000_000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("ts_micro"),
+    )
+    last = (
+        ts.orderBy(F.desc("i"))
+        .limit(1)
+        .select(F.col("ts_micro").alias("final_ts_micro"))
+    )
+    return (
+        ts.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.max(F.abs("ts_micro")).cast("bigint").alias("max_abs_ts_micro"),
+            F.sum(F.when(F.abs(F.col("ts_micro")) > 4_000_000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_beyond_4"),
+        )
+        .crossJoin(F.broadcast(last))
+        .select("n_scored", "final_ts_micro", "max_abs_ts_micro", "n_beyond_4")
+    )
+
+
+@register(
+    "croston_intermittent_topk",
+    oracle="""
+    WITH ev AS (
+      SELECT l_partkey AS p, CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(l_quantity) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2),
+    arrs AS (
+      SELECT p,
+             list_sort(list(
+               date_diff('day', DATE '1990-01-01', d) * 100000 + q)) AS a
+      FROM ev GROUP BY p HAVING COUNT(*) >= 8),
+    parts AS (
+      SELECT p, len(a) AS n_events,
+             list_transform(a, e -> e % 100000) AS qs,
+             list_transform(a[2:], (e, ix) ->
+               e // 100000 - a[ix] // 100000) AS ivs
+      FROM arrs),
+    folds AS (
+      SELECT p, n_events,
+             list_reduce(
+               list_prepend(qs[1] * 1000000, qs[2:]),
+               (acc, q) -> (2 * (4 * acc + q * 1000000) + 5) // 10)
+               AS z_micro,
+             list_reduce(
+               list_prepend(ivs[1] * 1000000, ivs[2:]),
+               (acc, i) -> (2 * (4 * acc + i * 1000000) + 5) // 10)
+               AS p_micro
+      FROM parts)
+    SELECT p AS part_key, n_events,
+           CAST(z_micro AS BIGINT) AS z_micro,
+           CAST(p_micro AS BIGINT) AS p_micro,
+           CAST((2 * z_micro * 1000000 + p_micro) // (2 * p_micro)
+             AS BIGINT) AS rate_micro
+    FROM folds
+    ORDER BY rate_micro DESC, part_key LIMIT 20
+    """,
+)
+def croston_intermittent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method over every part's intermittent demand series —
+    THE standard forecast for sparse spare-parts-style demand, where
+    ordinary SES is biased low by the zero days: smooth the nonzero
+    demand SIZES and the inter-demand INTERVALS separately (α = 1/5)
+    and forecast the per-day rate ẑ/p̂. Ranks the top-20 parts by
+    forecasted daily demand rate — the reorder-priority list that
+    completes the supply-chain shelf (newsvendor quantile, EOQ, safety
+    stock all consume exactly this rate).
+
+    Exactness: INTEGER end to end. The two SES folds are independent
+    single-scalar recurrences, so no state packing: each step is the
+    exact half-up rational z' = (4z + q·10⁶)/5 computed as
+    (2(4z+q·10⁶)+5)//10 in int64; initialization is the textbook
+    z₁ = first size, p₁ = first interval (DuckDB's list_reduce seeds
+    from the first list element; Spark's aggregate takes it as the
+    explicit init — the same device debounce_events_by_type pinned).
+    The final rate is the exact half-up integer (2z·10⁶+p)//(2p).
+
+    Scale: one (part, day) rollup, one per-part sorted array (≤ a few
+    hundred events each), two O(n) folds per part — embarrassingly
+    parallel by part, no window, no shuffle beyond the two rollups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = li.groupBy(
+        F.col("l_partkey").alias("p"),
+        F.col("l_shipdate").cast("date").alias("d"),
+    ).agg(F.sum("l_quantity").cast("bigint").alias("q"))
+    arrs = (
+        ev.select(
+            "p",
+            (
+                F.datediff(F.col("d"), F.lit("1990-01-01").cast("date"))
+                .cast("bigint")
+                * 100000
+                + F.col("q")
+            ).alias("e"),
+        )
+        .groupBy("p")
+        .agg(F.sort_array(F.collect_list("e")).alias("a"))
+        .filter(F.size("a") >= 8)
+    )
+    parts = arrs.select(
+        "p",
+        F.size("a").cast("bigint").alias("n_events"),
+        F.expr("transform(a, e -> e % 100000)").alias("qs"),
+        F.expr(
+            "transform(slice(a, 2, size(a) - 1), (e, ix) ->"
+            " e DIV 100000 - element_at(a, ix + 1) DIV 100000)"
+        ).alias("ivs"),
+    )
+    folds = parts.select(
+        "p",
+        "n_events",
+        F.expr(
+            "aggregate(slice(qs, 2, size(qs) - 1),"
+            " element_at(qs, 1) * CAST(1000000 AS BIGINT),"
+            " (acc, q) -> (2 * (4 * acc + q * 1000000) + 5) DIV 10)"
+        ).alias("z_micro"),
+        F.expr(
+            "aggregate(slice(ivs, 2, size(ivs) - 1),"
+            " element_at(ivs, 1) * CAST(1000000 AS BIGINT),"
+            " (acc, i) -> (2 * (4 * acc + i * 1000000) + 5) DIV 10)"
+        ).alias("p_micro"),
+    )
+    return (
+        folds.select(
+            F.col("p").alias("part_key"),
+            "n_events",
+            F.col("z_micro").cast("bigint").alias("z_micro"),
+            F.col("p_micro").cast("bigint").alias("p_micro"),
+            F.expr(
+                "CAST((2 * z_micro * 1000000 + p_micro)"
+                " DIV (2 * p_micro) AS BIGINT)"
+            ).alias("rate_micro"),
+        )
+        .orderBy(F.desc("rate_micro"), "part_key")
+        .limit(20)
+    )

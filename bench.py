@@ -687,6 +687,9 @@ HEADLINE = [
     "hellinger_lang_divergence_by_source",
     "dunns_posthoc_delay_priorities",
     "hampel_outlier_days",
+    "wape_smape_daily_naive",
+    "tracking_signal_daily_naive",
+    "croston_intermittent_topk",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
