@@ -12223,3 +12223,234 @@ def croston_intermittent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rate_micro"), "part_key")
         .limit(20)
     )
+
+
+@register(
+    "qq_shift_function_delay",
+    oracle=_DELAY_GRAIN_CTE.replace(_AB_FILTER_MARKER,
+        _AB_FILTER_MARKER
+        + " AND o.o_orderpriority IN ('1-URGENT', '5-LOW')")
+    + """
+    , n AS (SELECT pr, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY pr),
+    cum AS (
+      SELECT c.pr, c.v, n.n,
+             CAST(SUM(c.c) OVER (PARTITION BY c.pr ORDER BY c.v)
+               AS BIGINT) AS cum
+      FROM c JOIN n ON c.pr = n.pr),
+    ps AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS p),
+    qs AS (
+      SELECT ps.p, cum.pr,
+             CAST(MIN(CASE WHEN cum >= (n * p + 99) // 100 THEN v END)
+               AS BIGINT) AS q
+      FROM cum CROSS JOIN ps GROUP BY ps.p, cum.pr)
+    SELECT a.p,
+           a.q AS q_urgent, b.q AS q_low,
+           CAST(b.q - a.q AS BIGINT) AS shift_days
+    FROM qs a JOIN qs b ON a.p = b.p
+    WHERE a.pr = '1-URGENT' AND b.pr = '5-LOW'
+    ORDER BY a.p
+    """,
+)
+def qq_shift_function_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doksum's quantile shift function between URGENT and LOW ship
+    delays: Δ(p) = q_LOW(p) − q_URGENT(p) at each decile — the WHOLE
+    story a single location test compresses to one number. A constant
+    Δ(p) is a pure location shift (Hodges-Lehmann's world); Δ growing
+    with p says the gap lives in the tail (slow orders get slower,
+    matching the tail-dependence and scale-test findings); Δ crossing
+    zero says neither group dominates. The nine rows ARE the QQ-plot
+    against the diagonal, as data instead of a picture.
+
+    Exactness: pure integer order statistics (quantile_disc semantics,
+    ceil(p·n) integer ceiling divisions over value-grain cumulative
+    counts). Nothing to round.
+
+    Scale: value-grain windows; 9 output rows."""
+    c = _delay_grain(spark, sf_dir).filter(
+        F.col("pr").isin("1-URGENT", "5-LOW")
+    )
+    n = c.groupBy("pr").agg(F.sum("c").cast("bigint").alias("n"))
+    wv = Window.partitionBy("pr").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = c.join(F.broadcast(n), "pr").select(
+        "pr", "v", "n", F.sum("c").over(wv).cast("bigint").alias("cum")
+    )
+    ps = spark.range(1, 10).select((F.col("id") * 10).cast("int").alias("p"))
+    qs = (
+        cum.crossJoin(F.broadcast(ps))
+        .groupBy("p", "pr")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr("(n * p + 99) DIV 100"),
+                    F.col("v"),
+                )
+            )
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    a = qs.filter(F.col("pr") == "1-URGENT").select(
+        "p", F.col("q").alias("q_urgent")
+    )
+    b = qs.filter(F.col("pr") == "5-LOW").select(
+        "p", F.col("q").alias("q_low")
+    )
+    return (
+        a.join(b, "p")
+        .select(
+            "p",
+            "q_urgent",
+            "q_low",
+            (F.col("q_low") - F.col("q_urgent"))
+            .cast("bigint")
+            .alias("shift_days"),
+        )
+        .orderBy("p")
+    )
+
+
+@register(
+    "yuen_trimmed_ttest_delay",
+    oracle=_DELAY_GRAIN_CTE.replace(_AB_FILTER_MARKER,
+        _AB_FILTER_MARKER
+        + " AND o.o_orderpriority IN ('1-URGENT', '5-LOW')")
+    + """
+    , n AS (
+      SELECT pr, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) // 5 AS g
+      FROM c GROUP BY pr),
+    cum AS (
+      SELECT c.pr, c.v, c.c, n.n, n.g,
+             CAST(SUM(c.c) OVER (PARTITION BY c.pr ORDER BY c.v)
+               AS BIGINT) AS cum
+      FROM c JOIN n ON c.pr = n.pr),
+    bounds AS (
+      SELECT pr, MAX(n) AS n, MAX(g) AS g,
+             CAST(MIN(CASE WHEN cum >= g + 1 THEN v END) AS BIGINT) AS lo,
+             CAST(MIN(CASE WHEN cum >= n - g THEN v END) AS BIGINT) AS hi
+      FROM cum GROUP BY pr),
+    s AS (
+      SELECT cum.pr, b.n, b.g, b.n - 2 * b.g AS h,
+             CAST(SUM(cum.c * least(greatest(cum.v, b.lo), b.hi))
+               AS BIGINT) AS sw,
+             CAST(SUM(CAST(cum.c AS HUGEINT)
+               * least(greatest(cum.v, b.lo), b.hi)
+               * least(greatest(cum.v, b.lo), b.hi)) AS BIGINT) AS ssq,
+             CAST(SUM(cum.v * greatest(0,
+               least(cum.cum, b.n - b.g)
+               - greatest(cum.cum - cum.c + 1, b.g + 1) + 1))
+               AS BIGINT) AS ts
+      FROM cum JOIN bounds b ON cum.pr = b.pr
+      GROUP BY cum.pr, b.n, b.g)
+    SELECT a.n AS n_urgent, b.n AS n_low,
+           CAST(a.h AS BIGINT) AS h_urgent, CAST(b.h AS BIGINT) AS h_low,
+           CAST((2 * a.ts * 1000000 + a.h) // (2 * a.h) AS BIGINT)
+             AS tmean_urgent_micro,
+           CAST((2 * b.ts * 1000000 + b.h) // (2 * b.h) AS BIGINT)
+             AS tmean_low_micro,
+           CAST(round((CAST(a.ts AS DOUBLE) / a.h
+               - CAST(b.ts AS DOUBLE) / b.h)
+             / sqrt((CAST(a.ssq AS DOUBLE)
+                     - CAST(a.sw AS DOUBLE) * a.sw / a.n)
+                    / (CAST(a.h AS DOUBLE) * (a.h - 1))
+                  + (CAST(b.ssq AS DOUBLE)
+                     - CAST(b.sw AS DOUBLE) * b.sw / b.n)
+                    / (CAST(b.h AS DOUBLE) * (b.h - 1)))
+             * 1000000E0, 0) AS BIGINT) AS yuen_t_micro
+    FROM s a CROSS JOIN s b
+    WHERE a.pr = '1-URGENT' AND b.pr = '5-LOW'
+    """,
+)
+def yuen_trimmed_ttest_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's 20%-trimmed t between URGENT and LOW ship delays — the
+    robust location test practitioners reach for when Welch's t is
+    wrecked by heavy tails: compare TRIMMED means (middle 60% by rank)
+    with WINSORIZED variances (clamp, don't drop, the tails in the
+    spread estimate — Yuen 1974's pairing). Read beside
+    welch_ttest_segments (moment world) and brunner_munzel_delay (rank
+    world): Yuen is the bridge — still a mean difference in days, but
+    one the top 20% slowest orders cannot drag.
+
+    Exactness: trim bounds are exact order statistics; winsorized sums
+    Σx* and Σx*² are exact integers via clamp-at-the-value-grain;
+    trimmed sums count each value's rank-range overlap in pure integer
+    arithmetic; trimmed means are exact half-up integer micro; ONE
+    mirrored double expression for the statistic.
+
+    Scale: value-grain windows only; one-row output."""
+    c = _delay_grain(spark, sf_dir).filter(
+        F.col("pr").isin("1-URGENT", "5-LOW")
+    )
+    n = c.groupBy("pr").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        (F.sum("c").cast("bigint") / 5).cast("bigint").alias("g"),
+    )
+    wv = Window.partitionBy("pr").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = c.join(F.broadcast(n), "pr").select(
+        "pr", "v", "c", "n", "g",
+        F.sum("c").over(wv).cast("bigint").alias("cum"),
+    )
+    bounds = cum.groupBy("pr").agg(
+        F.max("n").alias("n"),
+        F.max("g").alias("g"),
+        F.min(F.when(F.col("cum") >= F.col("g") + 1, F.col("v")))
+        .cast("bigint")
+        .alias("lo"),
+        F.min(F.when(F.col("cum") >= F.col("n") - F.col("g"), F.col("v")))
+        .cast("bigint")
+        .alias("hi"),
+    )
+    star = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    trim_cnt = F.greatest(
+        F.lit(0),
+        F.least(F.col("cum"), F.col("n") - F.col("g"))
+        - F.greatest(F.col("cum") - F.col("c") + 1, F.col("g") + 1)
+        + 1,
+    )
+    s = (
+        cum.drop("n", "g")
+        .join(F.broadcast(bounds), "pr")
+        .groupBy("pr", "n", "g")
+        .agg(
+            F.sum(F.col("c") * star).cast("bigint").alias("sw"),
+            F.sum(F.col("c").cast("decimal(38,0)") * star * star)
+            .cast("bigint")
+            .alias("ssq"),
+            F.sum(F.col("v") * trim_cnt).cast("bigint").alias("ts"),
+        )
+        .withColumn("h", (F.col("n") - 2 * F.col("g")).cast("bigint"))
+    )
+    a = s.filter(F.col("pr") == "1-URGENT").select(
+        *[F.col(x).alias(f"{x}_a") for x in ("n", "h", "sw", "ssq", "ts")]
+    )
+    b = s.filter(F.col("pr") == "5-LOW").select(
+        *[F.col(x).alias(f"{x}_b") for x in ("n", "h", "sw", "ssq", "ts")]
+    )
+    return a.crossJoin(b).select(
+        F.col("n_a").alias("n_urgent"),
+        F.col("n_b").alias("n_low"),
+        F.col("h_a").alias("h_urgent"),
+        F.col("h_b").alias("h_low"),
+        F.expr(
+            "CAST((2 * ts_a * 1000000 + h_a) DIV (2 * h_a) AS BIGINT)"
+        ).alias("tmean_urgent_micro"),
+        F.expr(
+            "CAST((2 * ts_b * 1000000 + h_b) DIV (2 * h_b) AS BIGINT)"
+        ).alias("tmean_low_micro"),
+        F.expr(
+            "CAST(round((CAST(ts_a AS DOUBLE) / h_a"
+            "   - CAST(ts_b AS DOUBLE) / h_b)"
+            " / sqrt((CAST(ssq_a AS DOUBLE)"
+            "         - CAST(sw_a AS DOUBLE) * sw_a / n_a)"
+            "        / (CAST(h_a AS DOUBLE) * (h_a - 1))"
+            "      + (CAST(ssq_b AS DOUBLE)"
+            "         - CAST(sw_b AS DOUBLE) * sw_b / n_b)"
+            "        / (CAST(h_b AS DOUBLE) * (h_b - 1)))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("yuen_t_micro"),
+    )

@@ -7334,3 +7334,208 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("conf_micro"), "antecedent", "consequent"
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Round-10: paired-comparison ranking.
+# ---------------------------------------------------------------------------
+
+_BT_D_SUBQ = """
+                 SELECT m.i AS b2,
+                        CAST(SUM((2 * m.n * 1000000000 + (r1.pi + r2.pi))
+                          // (2 * (r1.pi + r2.pi))) AS HUGEINT) AS d
+                 FROM mat m JOIN bt r1 ON m.i = r1.b AND r1.r = c.r
+                            JOIN bt r2 ON m.j = r2.b AND r2.r = c.r
+                 GROUP BY m.i
+"""
+
+
+@register(
+    "bradley_terry_brand_ranks",
+    oracle=f"""
+    WITH RECURSIVE ob AS (
+      SELECT l.l_orderkey AS o, p.p_brand AS b,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    comp AS (
+      SELECT a.b AS i, x.b AS j, CAST(COUNT(*) AS BIGINT) AS w
+      FROM ob a JOIN ob x ON a.o = x.o AND a.b <> x.b AND a.r > x.r
+      GROUP BY 1, 2),
+    mat0 AS (
+      SELECT i, j, CAST(SUM(w) AS BIGINT) AS w, CAST(SUM(n) AS BIGINT) AS n
+      FROM (SELECT i, j, w, w AS n FROM comp
+            UNION ALL SELECT j, i, 0, w FROM comp) u
+      GROUP BY 1, 2),
+    wt AS (
+      SELECT i, CAST(SUM(w) AS BIGINT) AS wtot,
+             CAST(SUM(n) AS BIGINT) AS ntot
+      FROM mat0 GROUP BY i),
+    bs AS (SELECT i FROM wt WHERE wtot > 0 AND ntot > wtot),
+    mat AS (
+      SELECT m.* FROM mat0 m
+      JOIN bs ba ON m.i = ba.i JOIN bs bb ON m.j = bb.i),
+    kk AS (SELECT CAST(COUNT(*) AS BIGINT) * 1000000 AS k FROM bs),
+    bt(r, b, pi) AS (
+      SELECT 0, i, CAST(1000000 AS BIGINT) FROM bs
+      UNION
+      SELECT c.r + 1, c.b,
+        CAST((2 * (SELECT (2 * CAST(w1.wtot AS HUGEINT)
+                     * 1000000000000000 + d1.d) // (2 * d1.d)
+                   FROM (SELECT d FROM ({_BT_D_SUBQ}) q1
+                         WHERE q1.b2 = c.b) d1
+                   CROSS JOIN (SELECT wtot FROM wt
+                               WHERE wt.i = c.b) w1)
+              * (SELECT k FROM kk)
+            + (SELECT SUM((2 * CAST(w2.wtot AS HUGEINT)
+                   * 1000000000000000 + d2.d) // (2 * d2.d))
+               FROM ({_BT_D_SUBQ}) d2 JOIN wt w2 ON w2.i = d2.b2))
+          // (2 * (SELECT SUM((2 * CAST(w3.wtot AS HUGEINT)
+                     * 1000000000000000 + d3.d) // (2 * d3.d))
+                   FROM ({_BT_D_SUBQ}) d3 JOIN wt w3 ON w3.i = d3.b2))
+          AS BIGINT)
+      FROM bt c WHERE c.r < 10)
+    SELECT bt.b AS brand, wt.wtot AS wins, wt.ntot AS comparisons,
+           bt.pi AS bt_score_micro
+    FROM bt JOIN wt ON bt.b = wt.i
+    WHERE bt.r = 10
+    ORDER BY bt_score_micro DESC, brand LIMIT 10
+    """,
+)
+def bradley_terry_brand_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength ranking of brands from PAIRED
+    COMPARISONS: every order carrying two brands is a head-to-head
+    match (winner = the brand with the larger exact-cents line revenue
+    in that order; ties are no-contests), and the MM algorithm (Hunter
+    2004) turns the 25x25 win matrix into latent strengths π where
+    P(i beats j) = πᵢ/(πᵢ+πⱼ). This is the model behind chess Elo and
+    LLM-arena leaderboards — here it ranks brands by their probability
+    of out-earning any rival INSIDE shared baskets, which no marginal
+    revenue ranking can see (a brand that only appears in cheap baskets
+    can still beat everything it meets).
+
+    Algorithm: 10 MM rounds π'ᵢ = Wᵢ / Σⱼ nᵢⱼ/(πᵢ+πⱼ), renormalized to
+    mean 10⁶ each round. Every step is INTEGER: per-pair terms quantize
+    to nano ticks via half-up integer division (order-independent
+    sums), the update and the renormalization are exact half-up
+    integer divisions riding HUGEINT / decimal(38,0) numerators with
+    int64 quotients — the recursive-CTE oracle and the Spark loop walk
+    one bit-identical trajectory (plus a pure-Python replay in tests).
+    Brands that never win or never lose are excluded up front (their
+    MLE is ±∞; none exist on this corpus, the guard is structural).
+
+    Scale: the comparison matrix is |brands|² ≤ 625 rows built from
+    ONE (order, brand) rollup + bounded self-join per order; each MM
+    round is arithmetic on that tiny checkpointed frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    a = ob.select("o", F.col("b").alias("i"), F.col("r").alias("ra"))
+    x = ob.select("o", F.col("b").alias("j"), F.col("r").alias("rb"))
+    comp = (
+        a.join(x, "o")
+        .filter((F.col("i") != F.col("j")) & (F.col("ra") > F.col("rb")))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    mat0 = (
+        comp.select("i", "j", "w", F.col("w").alias("n"))
+        .unionAll(
+            comp.select(
+                F.col("j").alias("i"),
+                F.col("i").alias("j"),
+                F.lit(0).cast("bigint").alias("w"),
+                F.col("w").alias("n"),
+            )
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("w").cast("bigint").alias("w"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+    )
+    wt = (
+        mat0.groupBy("i")
+        .agg(
+            F.sum("w").cast("bigint").alias("wtot"),
+            F.sum("n").cast("bigint").alias("ntot"),
+        )
+        .localCheckpoint()
+    )
+    bs = wt.filter(
+        (F.col("wtot") > 0) & (F.col("ntot") > F.col("wtot"))
+    ).select("i")
+    mat = (
+        mat0.join(bs, "i")
+        .join(bs.withColumnRenamed("i", "j"), "j")
+        .select("i", "j", "w", "n")
+        .localCheckpoint()
+    )
+    k_lit = bs.count() * 1_000_000
+    pi = bs.select(
+        F.col("i").alias("b"), F.lit(1_000_000).cast("bigint").alias("pi")
+    ).localCheckpoint()
+    for _ in range(10):
+        t = (
+            mat.join(
+                pi.select(F.col("b").alias("i"), F.col("pi").alias("pi_i")),
+                "i",
+            )
+            .join(
+                pi.select(F.col("b").alias("j"), F.col("pi").alias("pi_j")),
+                "j",
+            )
+            .select(
+                "i",
+                F.expr(
+                    "(2 * n * 1000000000 + (pi_i + pi_j))"
+                    " DIV (2 * (pi_i + pi_j))"
+                ).alias("t_nano"),
+            )
+        )
+        pre = (
+            t.groupBy("i")
+            .agg(F.sum("t_nano").cast("bigint").alias("d"))
+            .join(F.broadcast(wt.select("i", "wtot")), "i")
+            .select(
+                "i",
+                F.expr(
+                    "(2 * CAST(wtot AS DECIMAL(38,0)) * 1000000000000000"
+                    " + d) DIV (2 * d)"
+                ).alias("pre"),
+            )
+        )
+        s = pre.agg(F.sum("pre").cast("bigint").alias("s"))
+        pi = (
+            pre.crossJoin(F.broadcast(s))
+            .select(
+                F.col("i").alias("b"),
+                F.expr(
+                    f"CAST((2 * CAST(pre AS DECIMAL(38,0)) * {k_lit} + s)"
+                    " DIV (2 * s) AS BIGINT)"
+                ).alias("pi"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        pi.join(
+            F.broadcast(wt.withColumnRenamed("i", "b")), "b"
+        )
+        .select(
+            F.col("b").alias("brand"),
+            F.col("wtot").alias("wins"),
+            F.col("ntot").alias("comparisons"),
+            F.col("pi").alias("bt_score_micro"),
+        )
+        .orderBy(F.desc("bt_score_micro"), "brand")
+        .limit(10)
+    )

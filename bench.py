@@ -690,6 +690,9 @@ HEADLINE = [
     "wape_smape_daily_naive",
     "tracking_signal_daily_naive",
     "croston_intermittent_topk",
+    "qq_shift_function_delay",
+    "yuen_trimmed_ttest_delay",
+    "bradley_terry_brand_ranks",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

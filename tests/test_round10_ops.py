@@ -198,3 +198,74 @@ class TestWeightedGraphCompletion:
             with checkpoint_audit() as audit:
                 v = broadcast_violations(QUERIES[name](spark, SF_DIR))
             assert list(v) + audit.violations == [], name
+
+
+class TestBradleyTerry:
+    def test_mm_integer_trajectory_replay(self, spark):
+        """Re-walk the 10-round integer-quantized MM update in pure
+        Python: wins from exact-cents head-to-heads, nano-tick pair
+        terms, half-up integer divisions, mean-1e6 renormalization."""
+        rows = (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .select("l_orderkey", "l_partkey", "l_extendedprice")
+            .collect()
+        )
+        brand = {
+            r.p_partkey: r.p_brand
+            for r in spark.read.parquet(f"{SF_DIR}/part.parquet")
+            .select("p_partkey", "p_brand")
+            .collect()
+        }
+        ob: dict = defaultdict(int)
+        for r in rows:
+            ob[(r.l_orderkey, brand[r.l_partkey])] += int(
+                r.l_extendedprice * 100 + 0.5
+            )
+        per_order: dict = defaultdict(dict)
+        for (o, b), cents in ob.items():
+            per_order[o][b] = cents
+        w: Counter = Counter()
+        for bs_ in per_order.values():
+            items = list(bs_.items())
+            for ai in range(len(items)):
+                for bi in range(len(items)):
+                    if ai != bi and items[ai][1] > items[bi][1]:
+                        w[(items[ai][0], items[bi][0])] += 1
+        n: Counter = Counter()
+        for (i, j), wij in w.items():
+            n[(i, j)] += wij
+            n[(j, i)] += wij
+        wtot: Counter = Counter()
+        ntot: Counter = Counter()
+        for (i, j), v in n.items():
+            ntot[i] += v
+        for (i, j), v in w.items():
+            wtot[i] += v
+        bs = sorted(
+            b for b in ntot if wtot[b] > 0 and ntot[b] > wtot[b]
+        )
+        K = len(bs) * 1_000_000
+        pi = {b: 1_000_000 for b in bs}
+
+        def hdiv(a, b):
+            return (2 * a + b) // (2 * b)
+
+        for _ in range(10):
+            pre = {}
+            for i in bs:
+                d = sum(
+                    hdiv(n[(i, j)] * 1_000_000_000, pi[i] + pi[j])
+                    for j in bs
+                    if n[(i, j)] > 0
+                )
+                pre[i] = hdiv(wtot[i] * 10**15, d)
+            s = sum(pre.values())
+            pi = {i: hdiv(pre[i] * K, s) for i in bs}
+        want = sorted(((-p, b) for b, p in pi.items()))[:10]
+        got = [
+            (-r["bt_score_micro"], r["brand"])
+            for r in QUERIES["bradley_terry_brand_ranks"](
+                spark, SF_DIR
+            ).collect()
+        ]
+        assert got == want
