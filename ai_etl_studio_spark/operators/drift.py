@@ -11789,7 +11789,7 @@ def dunns_posthoc_delay_priorities(
         F.col("num_i").alias("num_b"),
     )
     pz = (
-        a.join(b, F.col("pr_a") < F.col("pr_b"))
+        a.join(F.broadcast(b), F.col("pr_a") < F.col("pr_b"))
         .crossJoin(F.broadcast(nt))
         .select(
             "pr_a",
@@ -12431,7 +12431,7 @@ def yuen_trimmed_ttest_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = s.filter(F.col("pr") == "5-LOW").select(
         *[F.col(x).alias(f"{x}_b") for x in ("n", "h", "sw", "ssq", "ts")]
     )
-    return a.crossJoin(b).select(
+    return a.crossJoin(F.broadcast(b)).select(
         F.col("n_a").alias("n_urgent"),
         F.col("n_b").alias("n_low"),
         F.col("h_a").alias("h_urgent"),
