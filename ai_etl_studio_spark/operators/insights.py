@@ -7513,3 +7513,137 @@ def bradley_terry_brand_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "brand string, wins bigint, comparisons bigint,"
         " bt_score_micro bigint",
     )
+
+
+@register(
+    "hits_brand_authority_topk",
+    oracle="""
+    WITH RECURSIVE ed AS (
+      SELECT DISTINCT o.o_custkey AS c, p.p_brand AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey),
+    ref AS (
+      SELECT b FROM ed GROUP BY b
+      ORDER BY COUNT(*) DESC, b LIMIT 1),
+    hits(r, b, a) AS (
+      SELECT 0, b, CAST(1000000 AS BIGINT)
+      FROM (SELECT DISTINCT b FROM ed)
+      UNION
+      SELECT cur.r + 1, cur.b,
+        CAST((2 * (SELECT CAST(SUM(h.hv) AS HUGEINT)
+                   FROM (SELECT e1.c AS cc,
+                                CAST(SUM(r2.a) AS HUGEINT) AS hv
+                         FROM ed e1 JOIN hits r2
+                           ON e1.b = r2.b AND r2.r = cur.r
+                         GROUP BY e1.c) h
+                   JOIN ed e0 ON e0.c = h.cc
+                   WHERE e0.b = cur.b) * 1000000
+            + (SELECT CAST(SUM(h.hv) AS HUGEINT)
+               FROM (SELECT e1.c AS cc,
+                            CAST(SUM(r2.a) AS HUGEINT) AS hv
+                     FROM ed e1 JOIN hits r2
+                       ON e1.b = r2.b AND r2.r = cur.r
+                     GROUP BY e1.c) h
+               JOIN ed e0 ON e0.c = h.cc
+               WHERE e0.b = (SELECT b FROM ref)))
+          // (2 * (SELECT CAST(SUM(h.hv) AS HUGEINT)
+                   FROM (SELECT e1.c AS cc,
+                                CAST(SUM(r2.a) AS HUGEINT) AS hv
+                         FROM ed e1 JOIN hits r2
+                           ON e1.b = r2.b AND r2.r = cur.r
+                         GROUP BY e1.c) h
+                   JOIN ed e0 ON e0.c = h.cc
+                   WHERE e0.b = (SELECT b FROM ref)))
+          AS BIGINT)
+      FROM hits cur WHERE cur.r < 10)
+    SELECT b AS brand, a AS authority_micro
+    FROM hits WHERE r = 10
+    ORDER BY authority_micro DESC, brand LIMIT 10
+    """,
+)
+def hits_brand_authority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authority scores of BRANDS on the customer-brand bipartite
+    purchase graph (Kleinberg 1999): an authoritative brand is one
+    bought by strong HUBS (broad, well-connected customers), and a hub
+    is a customer who buys authoritative brands — the mutually
+    recursive pair neither degree counting nor pagerank_bipartite
+    captures (PageRank mixes both roles into one score; HITS keeps the
+    asymmetry, so this reads as 'what the serious buyers converge on'
+    rather than 'what is popular'). Read against
+    bradley_terry_brand_ranks: BT ranks brands by WITHIN-basket
+    head-to-head revenue wins, HITS by global co-engagement structure;
+    brands high on one and low on the other are niche-but-premium or
+    ubiquitous-but-cheap.
+
+    Algorithm: 10 double-steps of a ← (MᵀM a) / (MᵀM a)[ref], the
+    power iteration on the brand co-engagement Gram operator with ONE
+    half-up integer-micro REFERENCE normalization per double-step:
+    dividing by the raw score of a fixed reference node (the
+    max-degree brand, smallest-key tie-break) is scale-invariant
+    exactly like max-normalization but costs one filtered aggregate
+    instead of a global max — the standard inverse-iteration trick.
+    Raw sums stay exact integers (HUGEINT / Spark bigint within proven
+    bounds); the recursive-CTE oracle and a pure-Python replay walk
+    the identical integer trajectory.
+
+    Scale: the distributed work is the fact-grain reduction to
+    distinct (customer, brand) edges and, per round, two hint-free
+    shuffles over that edge set — hub scores live at the SF-linear
+    customer grain and never collect; the authority vector is
+    |brands|-bounded. Per-round localCheckpoint keeps lineage flat."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    ed = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("c"), F.col("p_brand").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a = (
+        ed.select("b")
+        .distinct()
+        .select("b", F.lit(1_000_000).cast("bigint").alias("a"))
+        .localCheckpoint()
+    )
+    ref = (
+        ed.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .orderBy(F.desc("dg"), "b")
+        .limit(1)
+        .select("b")
+        .localCheckpoint()
+    )
+    for _ in range(10):
+        h = (
+            ed.join(a, "b")
+            .groupBy("c")
+            .agg(F.sum("a").cast("bigint").alias("hv"))
+        )
+        raw = (
+            ed.join(h, "c")
+            .groupBy("b")
+            .agg(F.sum("hv").cast("bigint").alias("v"))
+            .localCheckpoint()
+        )
+        rv = raw.join(F.broadcast(ref), "b").select(
+            F.col("v").alias("rv")
+        )
+        a = (
+            raw.crossJoin(F.broadcast(rv))
+            .select(
+                "b",
+                F.expr(
+                    "CAST((2 * CAST(v AS DECIMAL(38,0)) * 1000000 + rv)"
+                    " DIV (2 * rv) AS BIGINT)"
+                ).alias("a"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        a.select(F.col("b").alias("brand"), F.col("a").alias("authority_micro"))
+        .orderBy(F.desc("authority_micro"), "brand")
+        .limit(10)
+    )

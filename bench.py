@@ -693,6 +693,7 @@ HEADLINE = [
     "qq_shift_function_delay",
     "yuen_trimmed_ttest_delay",
     "bradley_terry_brand_ranks",
+    "hits_brand_authority_topk",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

@@ -269,3 +269,47 @@ class TestBradleyTerry:
             ).collect()
         ]
         assert got == want
+
+
+class TestHitsBrandAuthority:
+    def test_hits_integer_trajectory_replay(self, spark):
+        """Re-walk the 10 double-steps of the reference-normalized
+        integer power iteration on the customer-brand Gram operator."""
+        li = (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .select("l_orderkey", "l_partkey")
+            .collect()
+        )
+        cust = {
+            r.o_orderkey: r.o_custkey
+            for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .select("o_orderkey", "o_custkey")
+            .collect()
+        }
+        brand = {
+            r.p_partkey: r.p_brand
+            for r in spark.read.parquet(f"{SF_DIR}/part.parquet")
+            .select("p_partkey", "p_brand")
+            .collect()
+        }
+        ed = {(cust[r.l_orderkey], brand[r.l_partkey]) for r in li}
+        by_c: dict = defaultdict(set)
+        by_b: dict = defaultdict(set)
+        for c, b in ed:
+            by_c[c].add(b)
+            by_b[b].add(c)
+        ref = min(sorted(by_b), key=lambda b: (-len(by_b[b]), b))
+        a = {b: 1_000_000 for b in by_b}
+        for _ in range(10):
+            h = {c: sum(a[b] for b in bs_) for c, bs_ in by_c.items()}
+            raw = {b: sum(h[c] for c in cs) for b, cs in by_b.items()}
+            rv = raw[ref]
+            a = {b: (2 * v * 1_000_000 + rv) // (2 * rv) for b, v in raw.items()}
+        want = sorted(((-v, b) for b, v in a.items()))[:10]
+        got = [
+            (-r["authority_micro"], r["brand"])
+            for r in QUERIES["hits_brand_authority_topk"](
+                spark, SF_DIR
+            ).collect()
+        ]
+        assert got == want
