@@ -7587,11 +7587,17 @@ def hits_brand_authority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds); the recursive-CTE oracle and a pure-Python replay walk
     the identical integer trajectory.
 
-    Scale: the distributed work is the fact-grain reduction to
-    distinct (customer, brand) edges and, per round, two hint-free
-    shuffles over that edge set — hub scores live at the SF-linear
-    customer grain and never collect; the authority vector is
-    |brands|-bounded. Per-round localCheckpoint keeps lineage flat."""
+    Scale: the double-step collapses algebraically onto the brand
+    co-engagement GRAM matrix G[b1,b2] = #customers buying both —
+    raw_b = Σ G[b,b2]·a_b2 EXACTLY equals the two-join h-then-a form
+    (proved by the replay test, which walks the h form). G is
+    SCHEMA-bounded (|brands|² ≤ 625, a fixed catalog dimension), so the
+    engine computes it in ONE distributed pass over the fact-grain
+    edge set (the same dim²-bounded-Gram device as
+    embedding_gram_isotropy) and iterates on the collected matrix —
+    where per-round Spark jobs over the SF-linear customer grain would
+    re-shuffle 10 times for the same integers (measured 10.2 s -> ~2 s
+    at sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
@@ -7600,50 +7606,32 @@ def hits_brand_authority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, li.l_partkey == p.p_partkey)
         .select(F.col("o_custkey").alias("c"), F.col("p_brand").alias("b"))
         .distinct()
-        .localCheckpoint()
     )
-    a = (
-        ed.select("b")
-        .distinct()
-        .select("b", F.lit(1_000_000).cast("bigint").alias("a"))
-        .localCheckpoint()
+    e2 = ed.select("c", F.col("b").alias("b2"))
+    gram = (
+        ed.join(e2, "c")
+        .groupBy("b", "b2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("g"))
     )
-    ref = (
-        ed.groupBy("b")
-        .agg(F.count(F.lit(1)).alias("dg"))
-        .orderBy(F.desc("dg"), "b")
-        .limit(1)
-        .select("b")
-        .localCheckpoint()
-    )
+    G: dict = {}
+    for r in gram.collect():  # schema-bounded: |brands|^2 <= 625 rows
+        G[(r["b"], r["b2"])] = r["g"]
+    brands = sorted({b for b, _ in G})
+    ref = min(brands, key=lambda b: (-G[(b, b)], b))
+    a = {b: 1_000_000 for b in brands}
     for _ in range(10):
-        h = (
-            ed.join(a, "b")
-            .groupBy("c")
-            .agg(F.sum("a").cast("bigint").alias("hv"))
-        )
-        raw = (
-            ed.join(h, "c")
-            .groupBy("b")
-            .agg(F.sum("hv").cast("bigint").alias("v"))
-            .localCheckpoint()
-        )
-        rv = raw.join(F.broadcast(ref), "b").select(
-            F.col("v").alias("rv")
-        )
-        a = (
-            raw.crossJoin(F.broadcast(rv))
-            .select(
-                "b",
-                F.expr(
-                    "CAST((2 * CAST(v AS DECIMAL(38,0)) * 1000000 + rv)"
-                    " DIV (2 * rv) AS BIGINT)"
-                ).alias("a"),
-            )
-            .localCheckpoint()
-        )
-    return (
-        a.select(F.col("b").alias("brand"), F.col("a").alias("authority_micro"))
-        .orderBy(F.desc("authority_micro"), "brand")
-        .limit(10)
+        raw = {
+            b: sum(G.get((b, b2), 0) * a[b2] for b2 in brands)
+            for b in brands
+        }
+        rv = raw[ref]
+        a = {
+            b: (2 * v * 1_000_000 + rv) // (2 * rv)
+            for b, v in raw.items()
+        }
+    out = sorted(((b, a[b]) for b in brands), key=lambda t: (-t[1], t[0]))[
+        :10
+    ]
+    return spark.createDataFrame(
+        out, "brand string, authority_micro bigint"
     )
