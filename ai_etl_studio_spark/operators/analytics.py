@@ -12929,3 +12929,240 @@ def holt_winters_additive_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("forecast_7_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: ranking-agreement / retrieval-evaluation shelf.
+# ---------------------------------------------------------------------------
+
+
+#: exact 9^(d-1) / 10^d power literals for the RBO terms — BOTH
+#: engines' power()/** operators are double-valued and 9^24 > 2^53,
+#: so the rationals ride in as decimal/HUGEINT string literals.
+_RBO_DEPTHS_VALUES = ", ".join(
+    f"({d}, '{9 ** (d - 1)}', '{10 ** d}')" for d in range(1, 26)
+)
+_RBO_TAIL_NANO = (2 * 9**25 * 10**9 + 10**25) // (2 * 10**25)
+
+
+@register(
+    "rbo_brand_rank_agreement",
+    oracle=f"""
+    WITH br AS (
+      SELECT p.p_brand AS b,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev,
+             CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1),
+    rk AS (
+      SELECT b,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, b) AS ra,
+             ROW_NUMBER() OVER (ORDER BY n_orders DESC, b) AS rb,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM br),
+    depths AS (
+      SELECT d, CAST(p9 AS HUGEINT) AS p9, CAST(p10 AS HUGEINT) AS p10
+      FROM (VALUES {_RBO_DEPTHS_VALUES}) t(d, p9, p10)),
+    ovl AS (
+      SELECT d.d, d.p9, d.p10,
+             CAST(SUM(CASE WHEN rk.ra <= d.d AND rk.rb <= d.d
+               THEN 1 ELSE 0 END) AS BIGINT) AS o
+      FROM depths d CROSS JOIN rk GROUP BY d.d, d.p9, d.p10),
+    terms AS (
+      SELECT d, o,
+             CAST((2 * p9 * o * 1000000000 + p10 * d)
+               // (2 * p10 * d) AS BIGINT) AS term_nano
+      FROM ovl)
+    SELECT CAST(MAX(rk.n) AS BIGINT) AS n_items,
+           CAST((SELECT o FROM ovl WHERE d = 5) AS BIGINT) AS overlap_at_5,
+           CAST((SELECT o FROM ovl WHERE d = 10) AS BIGINT) AS overlap_at_10,
+           CAST((SELECT SUM(term_nano) FROM terms)
+             + {_RBO_TAIL_NANO} AS BIGINT) AS rbo_nano
+    FROM rk
+    """,
+)
+def rbo_brand_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber 2010, p = 0.9) between two brand
+    rankings — by exact-cents revenue vs by distinct-order popularity:
+    the top-weighted agreement measure IR evaluation uses where
+    Kendall's τ (kendall_tau_brand_ranks) weights every pair equally.
+    RBO answers 'do the lists agree WHERE IT MATTERS (at the top)?' —
+    a swap at ranks 1-2 moves it far more than a swap at 24-25. Both
+    rankings cover the same finite item set, so the infinite tail has
+    overlap 1 and RBO closes EXACTLY: (1−p)Σ_{d≤n} p^{d−1}·o_d/d + pⁿ.
+
+    Exactness: FULLY integer — p = 9/10 makes every term the rational
+    9^{d−1}·o_d/(10^d·d), quantized to nano by exact half-up division
+    on HUGEINT/decimal(38,0) powers (9^24 ≈ 8·10²², well inside 38
+    digits); the pⁿ tail is the same rational. No float anywhere.
+
+    Scale: |brands|-grain ranking windows; the depth×brand overlap
+    grid is ≤ 625 cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    br = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("b"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("rev"),
+            F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rk = br.select(
+        "b",
+        F.row_number().over(Window.orderBy(F.desc("rev"), "b")).alias("ra"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_orders"), "b"))
+        .alias("rb"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    # exact integer powers as decimal literals — Spark's power() is a
+    # DOUBLE function and 9^24 exceeds 2^53 (observed off-by-ulp terms)
+    depths = spark.createDataFrame(
+        [(d, str(9 ** (d - 1)), str(10**d)) for d in range(1, 26)],
+        "d int, p9 string, p10 string",
+    ).select(
+        "d",
+        F.col("p9").cast("decimal(38,0)").alias("p9"),
+        F.col("p10").cast("decimal(38,0)").alias("p10"),
+    )
+    ovl = (
+        rk.crossJoin(F.broadcast(depths))
+        .groupBy("d", "p9", "p10")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("o")
+        )
+        .localCheckpoint()
+    )
+    terms = ovl.select(
+        "d",
+        "o",
+        F.expr(
+            "CAST((2 * p9 * o * 1000000000 + p10 * d)"
+            " DIV (2 * p10 * d) AS BIGINT)"
+        ).alias("term_nano"),
+    )
+    o5 = ovl.filter(F.col("d") == 5).select(F.col("o").alias("overlap_at_5"))
+    o10 = ovl.filter(F.col("d") == 10).select(
+        F.col("o").alias("overlap_at_10")
+    )
+    tail = (2 * 9**25 * 10**9 + 10**25) // (2 * 10**25)
+    return (
+        rk.agg(F.max("n").cast("bigint").alias("n_items"))
+        .crossJoin(F.broadcast(o5))
+        .crossJoin(F.broadcast(o10))
+        .crossJoin(
+            F.broadcast(
+                terms.agg(
+                    (F.sum("term_nano") + F.lit(tail))
+                    .cast("bigint")
+                    .alias("rbo_nano")
+                )
+            )
+        )
+        .select("n_items", "overlap_at_5", "overlap_at_10", "rbo_nano")
+    )
+
+
+@register(
+    "ndcg_popularity_vs_revenue",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey AS p,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rel,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS pop
+      FROM lineitem GROUP BY 1),
+    rk AS (
+      SELECT p, rel,
+             ROW_NUMBER() OVER (ORDER BY pop DESC, p) AS pred_rank,
+             ROW_NUMBER() OVER (ORDER BY rel DESC, p) AS ideal_rank
+      FROM pr),
+    g AS (
+      SELECT
+        CAST(SUM(CASE WHEN pred_rank <= 20 THEN CAST(round(
+          CAST(rel AS DOUBLE) / log2(pred_rank + 1) * 1000, 0)
+          AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_milli,
+        CAST(SUM(CASE WHEN ideal_rank <= 20 THEN CAST(round(
+          CAST(rel AS DOUBLE) / log2(ideal_rank + 1) * 1000, 0)
+          AS BIGINT) ELSE 0 END) AS BIGINT) AS idcg_milli
+      FROM rk)
+    SELECT 20 AS k, dcg_milli, idcg_milli,
+           CAST(round(1000000E0 * CAST(dcg_milli AS DOUBLE)
+             / CAST(idcg_milli AS DOUBLE), 0) AS BIGINT) AS ndcg_micro
+    FROM g
+    """,
+)
+def ndcg_popularity_vs_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@20 of the POPULARITY ranking (distinct-order count) scored
+    against exact-cents REVENUE relevance — the standard
+    recommender-evaluation metric applied to the simplest possible
+    recommender: 'rank by popularity'. NDCG = 1 would mean the most-
+    ordered parts are exactly the highest-revenue parts; the gap is the
+    headroom a revenue-aware ranker has over popularity, with the log2
+    position discount concentrating the score where users actually
+    look. Completes the ranking-eval shelf: RBO compares two RANKINGS,
+    NDCG scores one ranking against graded RELEVANCE.
+
+    Exactness: relevance is exact integer cents; each positional gain
+    rel/log2(rank+1) is ONE mirrored double quantized to milli-cents
+    BEFORE the sums (order-independent reduction, the tick rule); the
+    final normalization is one mirrored double division.
+
+    Scale: part-grain ranking windows; two 20-term sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rel"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("pop"),
+    )
+    rk = pr.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.desc("pop"), "p"))
+        .alias("pred_rank"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("rel"), "p"))
+        .alias("ideal_rank"),
+    )
+    gain = lambda rank_col: F.round(  # noqa: E731 — mirrored expression
+        F.col("rel").cast("double") / F.log2(F.col(rank_col) + 1) * 1000,
+        0,
+    ).cast("bigint")
+    g = rk.agg(
+        F.sum(F.when(F.col("pred_rank") <= 20, gain("pred_rank")).otherwise(0))
+        .cast("bigint")
+        .alias("dcg_milli"),
+        F.sum(
+            F.when(F.col("ideal_rank") <= 20, gain("ideal_rank")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("idcg_milli"),
+    )
+    return g.select(
+        F.lit(20).cast("int").alias("k"),
+        "dcg_milli",
+        "idcg_milli",
+        F.round(
+            F.lit(1_000_000.0)
+            * F.col("dcg_milli").cast("double")
+            / F.col("idcg_milli").cast("double"),
+            0,
+        )
+        .cast("bigint")
+        .alias("ndcg_micro"),
+    )

@@ -694,6 +694,8 @@ HEADLINE = [
     "yuen_trimmed_ttest_delay",
     "bradley_terry_brand_ranks",
     "hits_brand_authority_topk",
+    "rbo_brand_rank_agreement",
+    "ndcg_popularity_vs_revenue",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
