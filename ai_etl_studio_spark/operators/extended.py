@@ -1726,3 +1726,76 @@ def cbo_join_reorder_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in saved.items():
             conf.set(k, v)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-10: single-pass observed-metrics audit (CollectMetrics).
+# ---------------------------------------------------------------------------
+
+
+def _observed_rollup_frame(spark: SparkSession, sf_dir: str):
+    """The observed rollup shape shared by the operator (which returns
+    only the result frame) and the reconciliation test (which also
+    needs the Observation handle to read the scan-side metrics after
+    the action completes)."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("scan_audit")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("rows_scanned"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("scanned_total_cents"),
+        F.min("o_orderdate").alias("min_orderdate"),
+        F.max("o_orderdate").alias("max_orderdate"),
+    )
+    result = (
+        observed.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    return result, obs
+
+
+@register(
+    "observed_single_pass_audit",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def observed_single_pass_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority rollup whose input scan carries a ``CollectMetrics``
+    node (``df.observe``): row count, exact-cents total, and date
+    bounds of the SCANNED relation are collected DURING the same pass
+    that feeds the aggregate — the production audit discipline for
+    reconciliation ("did the sink total match what the scan saw?")
+    without a second read.
+
+    Why observe() and not accumulators or a second query: at 100 TB a
+    second COUNT(*)/SUM pass costs a full re-read, and SparkContext
+    accumulators double-count on task retries/speculation;
+    CollectMetrics is tied to the query's completed tasks exactly once
+    per action, so the numbers are audit-grade. The reconciliation
+    invariant (metrics == the rollup's own grand totals, and == the
+    DuckDB oracle's) is pinned in test_plans alongside the
+    CollectMetrics plan-node invariant.
+
+    Scale: the metric aggregates are commutative/associative partials
+    merged on the driver — O(1) state per task, zero extra shuffle;
+    the observed frame plans exactly like the unobserved one (same
+    single exchange for the rollup).
+    """
+    result, _obs = _observed_rollup_frame(spark, sf_dir)
+    return result

@@ -2931,3 +2931,33 @@ class TestRound10Plans:
         }
         assert rows["distinct_count"] == "6"
         assert rows["num_nulls"] == "0"
+
+    def test_observed_audit_single_pass_reconciles(self, spark):
+        """r10: the CollectMetrics node must be in the plan, and the
+        scan-side observed metrics must reconcile EXACTLY with the
+        rollup's own grand totals after one action — no second scan."""
+        from ai_etl_studio_spark.operators.extended import (
+            _observed_rollup_frame,
+        )
+
+        result, obs = _observed_rollup_frame(spark, SF_DIR)
+        t = explain_str(result, "formatted")
+        assert "CollectMetrics" in t
+        rows = result.collect()
+        metrics = obs.get
+        assert metrics["rows_scanned"] == sum(r["n_orders"] for r in rows)
+        assert metrics["scanned_total_cents"] == sum(
+            r["total_cents"] for r in rows
+        )
+        assert metrics["min_orderdate"] is not None
+        # the observed frame plans like the unobserved one: the rollup's
+        # single hash exchange is still the only wide shuffle
+        assert t.count("Arguments: hashpartitioning") == 1
+
+    def test_parameterized_bindings_reach_pushed_filters(self, spark):
+        """r10: values bound via spark.sql(args=...) must push down to
+        the parquet scan exactly like literals — binding is free."""
+        t = full(spark, "parameterized_segment_topk")
+        pushed = t.split("PushedFilters", 1)[1].split("]", 1)[0]
+        assert "EqualTo(c_mktsegment,BUILDING)" in pushed
+        assert "GreaterThan(c_acctbal,5000" in pushed
