@@ -96,6 +96,50 @@ def run_query(
     return QueryResult(dedupe_column_names(df), sql, True, None)
 
 
+def run_parameterized(
+    spark: SparkSession,
+    sql: str,
+    args: dict[str, object],
+    default_limit: int = DEFAULT_LIMIT,
+) -> QueryResult:
+    """Execute a NAMED-PARAMETER SELECT template (``:name`` markers)
+    with values bound through Spark's parameterized-SQL surface —
+    ``spark.sql(sql, args=...)`` — instead of string interpolation.
+
+    Why this exists beside ``run_query``: the reference interpolates
+    every user-supplied value into the SQL string (db_utils.py:160 —
+    the LLM output IS the statement), so its only injection defense is
+    the GRANT wall. Parameter binding is the stronger contract: the
+    template is parsed FIRST and values enter the analyzed plan as
+    typed literals, so a value can never alter statement structure —
+    ``{"seg": "BUILDING' OR '1'='1"}`` compares against that exact
+    19-character string and matches nothing (pinned in test_engine).
+
+    At 100 TB this is also the repeated-dashboard discipline: one
+    audited template + per-run bindings, rather than N textually
+    distinct statements to re-vet. The read-only plan guard runs on the
+    TEMPLATE (parameter markers parse without values), so a DDL/DML
+    template is rejected before any binding happens.
+
+    Errors surface as the error relation, never raise — the
+    ``run_query`` contract.
+    """
+    try:
+        # guard the RAW template first (a DDL template must be rejected
+        # as such, not as a parse error on the appended LIMIT), then
+        # bound the vetted SELECT
+        if not is_read_only_plan(spark, sql):
+            return QueryResult(None, sql, False, "only SELECT queries are allowed")
+        if not has_limit(sql):
+            sql = f"{sql.rstrip()} LIMIT {int(default_limit)}"
+        df = spark.sql(sql, args=args)
+        # force analysis so binding/type errors surface here, not at the action
+        df.schema
+    except Exception as exc:  # Parse/AnalysisException -> error relation
+        return QueryResult(None, sql, False, f"{type(exc).__name__}: {exc}")
+    return QueryResult(dedupe_column_names(df), sql, True, None)
+
+
 def observed_result(
     df: DataFrame, name: str = "qa", max_columns: int = 12
 ):

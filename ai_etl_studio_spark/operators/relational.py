@@ -2132,6 +2132,52 @@ def _alias_tpch(alias: str, target: str) -> None:
     ORACLES[alias] = ORACLES[target]
 
 
+@register(
+    "parameterized_segment_topk",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 25
+    """,
+)
+def parameterized_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-balance customers for one market segment, executed through
+    the engine's NAMED-PARAMETER path (``engine.run_parameterized`` ->
+    ``spark.sql(sql, args=...)``): the template carries ``:seg`` /
+    ``:min_bal`` markers and the values bind AFTER parsing, as typed
+    literals in the analyzed plan — never by string interpolation.
+
+    This is the repeated-dashboard shape at 100 TB: ONE audited,
+    read-only-vetted template serves every (segment, threshold)
+    binding, and a hostile binding cannot change statement structure
+    (test_engine pins that ``"BUILDING' OR '1'='1"`` matches nothing
+    and that a DDL template is rejected before binding). The reference
+    has no equivalent — its values ride inside the LLM-emitted SQL
+    string (db_utils.py:160), defended only by server-side GRANTs.
+
+    Scale: binding produces the same pushed-down plan as the literal
+    query — the segment and balance predicates both reach the parquet
+    scan's PushedFilters (pinned in test_plans)."""
+    from ai_etl_studio_spark.catalog import register_tables
+    from ai_etl_studio_spark.engine import run_parameterized
+
+    register_tables(spark, sf_dir)
+    result = run_parameterized(
+        spark,
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_mktsegment = :seg AND c_acctbal > :min_bal
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 25
+        """,
+        {"seg": "BUILDING", "min_bal": 5000},
+    )
+    return result.presentation(spark)
+
+
 _alias_tpch("tpch_q1", "agg_pricing_summary")
 _alias_tpch("tpch_q2", "min_cost_per_part")
 _alias_tpch("tpch_q21", "pending_returns_q21")

@@ -696,6 +696,8 @@ HEADLINE = [
     "hits_brand_authority_topk",
     "rbo_brand_rank_agreement",
     "ndcg_popularity_vs_revenue",
+    "observed_single_pass_audit",
+    "parameterized_segment_topk",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

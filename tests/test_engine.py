@@ -266,3 +266,60 @@ def test_templates_reach_curation_surface(spark):
     tr = generate_and_run(spark, g, "show event transitions")
     assert tr.ok and tr.df.columns == ["src", "dst", "n"]
     assert tr.df.count() > 0
+
+
+class TestRunParameterized:
+    """r10: named-parameter binding (spark.sql args) — values can never
+    alter statement structure, and the guard vets the TEMPLATE."""
+
+    def test_binds_and_matches_literal_query(self, spark):
+        from ai_etl_studio_spark.engine import run_parameterized
+
+        register_tables(spark, "/root/testdata/sf0.001")
+        r = run_parameterized(
+            spark,
+            "SELECT count(*) AS n FROM customer WHERE c_mktsegment = :seg",
+            {"seg": "BUILDING"},
+        )
+        assert r.ok
+        lit = spark.sql(
+            "SELECT count(*) AS n FROM customer"
+            " WHERE c_mktsegment = 'BUILDING'"
+        ).collect()[0]["n"]
+        assert r.df.collect()[0]["n"] == lit > 0
+
+    def test_hostile_binding_stays_a_literal(self, spark):
+        from ai_etl_studio_spark.engine import run_parameterized
+
+        register_tables(spark, "/root/testdata/sf0.001")
+        r = run_parameterized(
+            spark,
+            "SELECT count(*) AS n FROM customer WHERE c_mktsegment = :seg",
+            {"seg": "BUILDING' OR '1'='1"},
+        )
+        # the whole injection string is one 19-char literal: no row has
+        # that segment, and the statement structure is untouched
+        assert r.ok and r.df.collect()[0]["n"] == 0
+
+    def test_ddl_template_rejected_before_binding(self, spark):
+        from ai_etl_studio_spark.engine import run_parameterized
+
+        register_tables(spark, "/root/testdata/sf0.001")
+        r = run_parameterized(
+            spark, "DROP TABLE customer", {"seg": "x"}
+        )
+        assert not r.ok and "only SELECT" in r.error
+        assert spark.sql("SELECT count(*) FROM customer").collect()[0][0] > 0
+
+    def test_missing_binding_surfaces_as_error_relation(self, spark):
+        from ai_etl_studio_spark.engine import run_parameterized
+
+        register_tables(spark, "/root/testdata/sf0.001")
+        r = run_parameterized(
+            spark,
+            "SELECT count(*) AS n FROM customer WHERE c_mktsegment = :seg",
+            {},
+        )
+        assert not r.ok and r.df is None
+        pres = r.presentation(spark)
+        assert pres.columns == ["error_message"]
