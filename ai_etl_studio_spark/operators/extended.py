@@ -1799,3 +1799,75 @@ def observed_single_pass_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     result, _obs = _observed_rollup_frame(spark, sf_dir)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Round-10: collation-aware comparison (Spark 4 COLLATE).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "collation_ci_campaign_rollup",
+    oracle="""
+    WITH camp(campaign, seg_label) AS (VALUES
+      ('spring', 'Building'), ('summer', 'AUTOMOBILE'),
+      ('fall', 'machinery'), ('winter', 'HouseHold'),
+      ('outlet', 'furniture'))
+    SELECT campaign, seg_label,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM camp JOIN customer
+      ON lower(seg_label) = lower(c_mktsegment)
+    GROUP BY campaign, seg_label ORDER BY campaign
+    """,
+)
+def collation_ci_campaign_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Campaign-to-segment rollup joined CASE-INSENSITIVELY via Spark 4
+    collations: the campaign dim carries human-entered casing
+    ('Building', 'HouseHold' — the reference-data reality wherever
+    labels are typed, reconciled, or imported from a second system)
+    while the warehouse column is uppercase, and the equality runs on
+    ``F.collate(col, 'UTF8_LCASE')`` so the COMPARISON SEMANTICS live
+    in the type, not in per-site ``lower()`` wrappers.
+
+    Why this beats lower()-wrapping at 100 TB: with collation the rule
+    is declared once and EVERY downstream comparison — joins, GROUP BY,
+    DISTINCT, ORDER BY — is consistently case-insensitive (a missed
+    ``lower()`` at one of fifty call sites is the classic silently-
+    wrong-join bug); the ICU/UTF8_LCASE comparator runs JVM-side inside
+    the join without materializing a second lowercased copy of the
+    column. The oracle twins the semantics with DuckDB's lower()=lower()
+    form — same matches, bit-identical rollup.
+
+    Scale: the 5-row dim broadcasts; one exchange for the rollup. The
+    collated key itself never leaves the join (outputs are plain
+    UTF8_BINARY columns), so downstream consumers see ordinary strings.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    camp = spark.createDataFrame(
+        [
+            ("spring", "Building"),
+            ("summer", "AUTOMOBILE"),
+            ("fall", "machinery"),
+            ("winter", "HouseHold"),
+            ("outlet", "furniture"),
+        ],
+        "campaign string, seg_label string",
+    )
+    return (
+        F.broadcast(camp)
+        .join(
+            c,
+            F.collate(F.col("seg_label"), "UTF8_LCASE")
+            == F.collate(F.col("c_mktsegment"), "UTF8_LCASE"),
+        )
+        .groupBy("campaign", "seg_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("acctbal_cents"),
+        )
+        .orderBy("campaign")
+    )

@@ -698,6 +698,7 @@ HEADLINE = [
     "ndcg_popularity_vs_revenue",
     "observed_single_pass_audit",
     "parameterized_segment_topk",
+    "collation_ci_campaign_rollup",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
