@@ -12454,3 +12454,446 @@ def yuen_trimmed_ttest_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000E0, 0) AS BIGINT)"
         ).alias("yuen_t_micro"),
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Round-10: two-sample effect-size / joint location-scale shelf.
+# ---------------------------------------------------------------------------
+
+#: shared standardized-statistic expressions for the Lepage components —
+#: ONE string injected into both engines so the double math is
+#: token-identical (the ab_z_micro discipline).
+_ZW_EXPR = '(CAST(wa2 AS DOUBLE) - CAST(m AS DOUBLE) * (nn + 1)) / (2E0 * sqrt(CAST(m AS DOUBLE) * (nn - m) * (nn + 1) / 12E0   - CAST(m AS DOUBLE) * (nn - m) * CAST(ties3 AS DOUBLE)     / (12E0 * nn * (nn - 1))))'
+_ZAB_EXPR = '(CAST(ab_micro AS DOUBLE) / 1000000E0 - CAST(m AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)) / sqrt(CAST(m AS DOUBLE) * CAST(nn - m AS DOUBLE)   / (CAST(nn AS DOUBLE) - 1E0)   * (CAST(s2_milli AS DOUBLE) / 1000E0 / CAST(nn AS DOUBLE)      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)        / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)))'
+
+
+@register(
+    "cliffs_delta_delay",
+    oracle=_DELAY_GRAIN_CTE.replace(_AB_FILTER_MARKER,
+        _AB_FILTER_MARKER
+        + " AND o.o_orderpriority IN ('1-URGENT', '5-LOW')")
+    + """
+    , vg AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN pr = '1-URGENT' THEN c ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN pr = '5-LOW' THEN c ELSE 0 END)
+               AS BIGINT) AS cb
+      FROM c GROUP BY v),
+    cum AS (
+      SELECT v, ca, cb,
+             CAST(SUM(cb) OVER (ORDER BY v) - cb AS BIGINT) AS cb_lt,
+             CAST(SUM(cb) OVER () - SUM(cb) OVER (ORDER BY v) AS BIGINT)
+               AS cb_gt
+      FROM vg),
+    s AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS m, CAST(SUM(cb) AS BIGINT) AS n,
+             CAST(SUM(ca * cb_lt) AS BIGINT) AS gt_pairs,
+             CAST(SUM(ca * cb_gt) AS BIGINT) AS lt_pairs,
+             CAST(SUM(ca * cb) AS BIGINT) AS tie_pairs
+      FROM cum)
+    SELECT m AS n_urgent, n AS n_low, gt_pairs, lt_pairs, tie_pairs,
+           CAST(round((CAST(gt_pairs AS DOUBLE) - CAST(lt_pairs AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(n AS DOUBLE)) * 1000000E0, 0)
+             AS BIGINT) AS cliffs_delta_micro
+    FROM s
+    """,
+)
+def cliffs_delta_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between URGENT and LOW ship delays — the ordinal
+    effect size the two-sample shelf was missing: P(X>Y) - P(X<Y),
+    the quantity Mann-Whitney TESTS but does not report (a significant
+    U at n=600k can be a trivial effect; delta says HOW MUCH the
+    distributions separate, on a [-1, 1] scale that ignores variance).
+
+    Exactness: the three pair counts (greater / less / tied) are EXACT
+    integers from the tie-grouped value grain — for each value v,
+    urgent mass ca(v) dominates exactly the LOW mass strictly below v
+    (one cumulative window, no pair enumeration); delta quantizes to
+    micro from integer-exact doubles (pair counts ≤ 2^53 at any
+    realistic SF since they are ratios' components bounded by m*n).
+
+    Scale: value-grain (≤ ~250 rows); the m*n "pairwise comparison"
+    never materializes — the grain windows replace a 1e11-row
+    cross join.
+    """
+    c = _delay_grain(spark, sf_dir).filter(
+        F.col("pr").isin("1-URGENT", "5-LOW")
+    )
+    vg = c.groupBy("v").agg(
+        F.sum(F.when(F.col("pr") == "1-URGENT", F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("pr") == "5-LOW", F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vg.select(
+        "ca",
+        "cb",
+        (F.sum("cb").over(wv) - F.col("cb")).cast("bigint").alias("cb_lt"),
+        (F.sum("cb").over(wall) - F.sum("cb").over(wv))
+        .cast("bigint")
+        .alias("cb_gt"),
+    )
+    s = cum.agg(
+        F.sum("ca").cast("bigint").alias("m"),
+        F.sum("cb").cast("bigint").alias("n"),
+        F.sum(F.col("ca") * F.col("cb_lt")).cast("bigint").alias("gt_pairs"),
+        F.sum(F.col("ca") * F.col("cb_gt")).cast("bigint").alias("lt_pairs"),
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("tie_pairs"),
+    )
+    return s.select(
+        F.col("m").alias("n_urgent"),
+        F.col("n").alias("n_low"),
+        "gt_pairs",
+        "lt_pairs",
+        "tie_pairs",
+        F.expr(
+            "CAST(round((CAST(gt_pairs AS DOUBLE) - CAST(lt_pairs AS DOUBLE))"
+            " / (CAST(m AS DOUBLE) * CAST(n AS DOUBLE)) * 1000000E0, 0)"
+            " AS BIGINT)"
+        ).alias("cliffs_delta_micro"),
+    )
+
+
+@register(
+    "lepage_delay_location_scale",
+    oracle=_DELAY_GRAIN_CTE.replace(_AB_FILTER_MARKER,
+        _AB_FILTER_MARKER
+        + " AND o.o_orderpriority IN ('1-URGENT', '5-LOW')")
+    + f"""
+    , vg AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN pr = '1-URGENT' THEN c ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(SUM(c) AS BIGINT) AS c
+      FROM c GROUP BY v),
+    cum AS (
+      SELECT v, ca, c,
+             CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS hi,
+             CAST(SUM(c) OVER (ORDER BY v) - c + 1 AS BIGINT) AS lo,
+             CAST(SUM(c) OVER () AS BIGINT) AS nn,
+             CAST(SUM(ca) OVER () AS BIGINT) AS m
+      FROM vg),
+    terms AS (
+      SELECT m, nn, ca, c, lo, hi,
+             CAST({_AB_RUNSUM_DDB} AS BIGINT) AS rs
+      FROM cum),
+    s AS (
+      SELECT MAX(m) AS m, MAX(nn) AS nn,
+             CAST(SUM(ca * (lo + hi)) AS BIGINT) AS wa2,
+             CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS ties3,
+             CAST(SUM(CAST(round(CAST(ca AS DOUBLE) * CAST(rs AS DOUBLE)
+               / CAST(c AS DOUBLE) * 1000000E0, 0) AS BIGINT)) AS BIGINT)
+               AS ab_micro,
+             CAST(SUM(rs) AS BIGINT) AS s1,
+             CAST(SUM(CAST(round(CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE)
+               / CAST(c AS DOUBLE) * 1000E0, 0) AS HUGEINT)) AS HUGEINT)
+               AS s2_milli
+      FROM terms),
+    z AS (
+      SELECT m, nn,
+             {_ZW_EXPR} AS zw,
+             {_ZAB_EXPR} AS zab
+      FROM s)
+    SELECT m AS n_urgent, nn - m AS n_low,
+           CAST(round(zw * 1000000E0, 0) AS BIGINT) AS zw_micro,
+           CAST(round(zab * 1000000E0, 0) AS BIGINT) AS zab_micro,
+           CAST(round((zw * zw + zab * zab) * 1000E0, 0) AS BIGINT)
+             AS lepage_milli
+    FROM z
+    """,
+)
+def lepage_delay_location_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lepage omnibus test between URGENT and LOW ship delays — the
+    JOINT location-scale alternative: L = Zw**2 + Zab**2, the squared
+    standardized Wilcoxon rank-sum (location) plus the squared
+    standardized Ansari-Bradley (scale). The practical monitoring
+    question is rarely "did the center move" XOR "did the spread move"
+    — Lepage fires on either, with chi-square(2) calibration, where
+    running the two tests separately needs a multiplicity correction.
+
+    Exactness: both components ride the SAME tie-grouped value grain —
+    the Wilcoxon side is the exact midrank sum (lo+hi doubles the
+    midrank, keeping integers) with the EXACT tie-corrected variance
+    (Sum(t**3 - t) in HUGEINT/decimal(38,0)); the Ansari side reuses the
+    piecewise-triangular integer rank-run device verbatim. The two
+    z-expressions are single shared strings injected into BOTH engines
+    (_ZW_EXPR/_ZAB_EXPR), so the double math is token-identical.
+
+    Scale: one value-grain window pass, one-row output — identical
+    budget to either component alone.
+    """
+    c = _delay_grain(spark, sf_dir).filter(
+        F.col("pr").isin("1-URGENT", "5-LOW")
+    )
+    vg = c.groupBy("v").agg(
+        F.sum(F.when(F.col("pr") == "1-URGENT", F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum("c").cast("bigint").alias("c"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vg.select(
+        "ca",
+        "c",
+        F.sum("c").over(wv).cast("bigint").alias("hi"),
+        (F.sum("c").over(wv) - F.col("c") + 1).cast("bigint").alias("lo"),
+        F.sum("c").over(wall).cast("bigint").alias("nn"),
+        F.sum("ca").over(wall).cast("bigint").alias("m"),
+    )
+    terms = cum.select(
+        "m",
+        "nn",
+        "ca",
+        "c",
+        "lo",
+        "hi",
+        F.expr(f"CAST({_AB_RUNSUM} AS BIGINT)").alias("rs"),
+    )
+    s = terms.agg(
+        F.max("m").alias("m"),
+        F.max("nn").alias("nn"),
+        F.sum(F.col("ca") * (F.col("lo") + F.col("hi")))
+        .cast("bigint")
+        .alias("wa2"),
+        F.sum(
+            F.expr("CAST(c AS DECIMAL(38,0)) * c * c - c")
+        ).alias("ties3"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(ca AS DOUBLE) * CAST(rs AS DOUBLE)"
+                " / CAST(c AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("ab_micro"),
+        F.sum("rs").cast("bigint").alias("s1"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE)"
+                " / CAST(c AS DOUBLE) * 1000E0, 0) AS DECIMAL(38,0))"
+            )
+        ).alias("s2_milli"),
+    )
+    z = s.select(
+        "m",
+        "nn",
+        F.expr(_ZW_EXPR).alias("zw"),
+        F.expr(_ZAB_EXPR).alias("zab"),
+    )
+    return z.select(
+        F.col("m").alias("n_urgent"),
+        (F.col("nn") - F.col("m")).alias("n_low"),
+        F.expr("CAST(round(zw * 1000000E0, 0) AS BIGINT)").alias("zw_micro"),
+        F.expr("CAST(round(zab * 1000000E0, 0) AS BIGINT)").alias(
+            "zab_micro"
+        ),
+        F.expr(
+            "CAST(round((zw * zw + zab * zab) * 1000E0, 0) AS BIGINT)"
+        ).alias("lepage_milli"),
+    )
+
+
+
+@register(
+    "ordinal_association_priority_delay",
+    oracle=_DELAY_GRAIN_CTE
+    + """
+    , tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+    vq AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM c GROUP BY v),
+    cumv AS (
+      SELECT v, CAST(SUM(cv) OVER (ORDER BY v) AS BIGINT) AS cum,
+             (SELECT n FROM tot) AS n
+      FROM vq),
+    thr AS (
+      SELECT MIN(CASE WHEN cum * 4 >= n THEN v END) AS t1,
+             MIN(CASE WHEN cum * 2 >= n THEN v END) AS t2,
+             MIN(CASE WHEN cum * 4 >= 3 * n THEN v END) AS t3
+      FROM cumv),
+    grid AS (
+      SELECT pr,
+             1 + CASE WHEN v > t1 THEN 1 ELSE 0 END
+               + CASE WHEN v > t2 THEN 1 ELSE 0 END
+               + CASE WHEN v > t3 THEN 1 ELSE 0 END AS band,
+             CAST(SUM(c) AS BIGINT) AS nij
+      FROM c CROSS JOIN thr GROUP BY 1, 2),
+    pairs AS (
+      SELECT
+        CAST(SUM(a.nij * b.nij * (CASE WHEN (a.pr < b.pr AND a.band < b.band)
+          OR (a.pr > b.pr AND a.band > b.band) THEN 1 ELSE 0 END))
+          AS BIGINT) AS c2,
+        CAST(SUM(a.nij * b.nij * (CASE WHEN (a.pr < b.pr AND a.band > b.band)
+          OR (a.pr > b.pr AND a.band < b.band) THEN 1 ELSE 0 END))
+          AS BIGINT) AS d2
+      FROM grid a CROSS JOIN grid b),
+    rm AS (SELECT CAST(SUM(r * (r - 1)) AS BIGINT) AS r2 FROM
+           (SELECT pr, SUM(nij) AS r FROM grid GROUP BY pr)),
+    cm AS (SELECT CAST(SUM(cc * (cc - 1)) AS BIGINT) AS c2m FROM
+           (SELECT band, SUM(nij) AS cc FROM grid GROUP BY band)),
+    s AS (
+      SELECT (SELECT n FROM tot) AS n, c2, d2,
+             (SELECT r2 FROM rm) AS r2, (SELECT c2m FROM cm) AS c2m
+      FROM pairs)
+    SELECT n, c2 / 2 AS concordant_pairs, d2 / 2 AS discordant_pairs,
+           CAST(round((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))
+             / (CAST(c2 AS DOUBLE) + CAST(d2 AS DOUBLE)) * 1000000E0, 0)
+             AS BIGINT) AS gamma_micro,
+           CAST(round((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * (n - 1) - CAST(r2 AS DOUBLE))
+               * (CAST(n AS DOUBLE) * (n - 1) - CAST(c2m AS DOUBLE)))
+             * 1000000E0, 0) AS BIGINT) AS tau_b_micro,
+           CAST(round(4E0 * (CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 3E0)
+             * 1000000E0, 0) AS BIGINT) AS tau_c_micro,
+           CAST(round((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (n - 1) - CAST(r2 AS DOUBLE))
+             * 1000000E0, 0) AS BIGINT) AS somers_d_micro
+    FROM s
+    """,
+)
+def ordinal_association_priority_delay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ordinal-association suite — Goodman-Kruskal gamma, Kendall
+    tau-b, Stuart tau-c, and Somers' D (delay | priority) — computed
+    from ONE 5x4 contingency grid: order priority (ordinal by its
+    '1-URGENT'..'5-LOW' encoding) against the delay QUARTILE band
+    (exact percentile_disc quartiles of the pooled delay). Four
+    normalizations of the same concordant/discordant mass answer four
+    questions: gamma ignores ties entirely (monotonicity among
+    comparable pairs), tau-b symmetrically discounts both margins,
+    tau-c corrects for the non-square table, and Somers' D is the
+    directed regression-like form (does delay rise with priority?).
+
+    Exactness: concordant/discordant pair masses are EXACT integers —
+    the 400-cell grid self-join replaces the N**2/2 pair enumeration
+    (nij * n_i'j' per ordered cell pair, halved); quartile thresholds
+    are observed values via integer-cumulative comparisons; the four
+    ratios quantize to micro from integer-exact doubles.
+
+    Scale: value grain -> 20-cell grid -> 400-row broadcast self-join;
+    nothing downstream of the first rollup exceeds kilobytes. tau_c's
+    m=min(rows,cols)=4 is fixed by the schema (5 priorities x 4
+    quartile bands).
+    """
+    c = _delay_grain(spark, sf_dir)
+    tot = c.agg(F.sum("c").cast("bigint").alias("n"))
+    vq = c.groupBy("v").agg(F.sum("c").cast("bigint").alias("cv"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cumv = vq.select(
+        "v", F.sum("cv").over(wv).cast("bigint").alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    thr = cumv.agg(
+        F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("v"))).alias(
+            "t1"
+        ),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias(
+            "t2"
+        ),
+        F.min(
+            F.when(F.col("cum") * 4 >= 3 * F.col("n"), F.col("v"))
+        ).alias("t3"),
+    )
+    grid = (
+        c.crossJoin(F.broadcast(thr))
+        .select(
+            "pr",
+            (
+                F.lit(1)
+                + (F.col("v") > F.col("t1")).cast("int")
+                + (F.col("v") > F.col("t2")).cast("int")
+                + (F.col("v") > F.col("t3")).cast("int")
+            ).alias("band"),
+            "c",
+        )
+        .groupBy("pr", "band")
+        .agg(F.sum("c").cast("bigint").alias("nij"))
+        .localCheckpoint()
+    )
+    a = grid.select(
+        F.col("pr").alias("pra"),
+        F.col("band").alias("banda"),
+        F.col("nij").alias("nija"),
+    )
+    b = grid.select(
+        F.col("pr").alias("prb"),
+        F.col("band").alias("bandb"),
+        F.col("nij").alias("nijb"),
+    )
+    conc = (
+        (F.col("pra") < F.col("prb")) & (F.col("banda") < F.col("bandb"))
+    ) | ((F.col("pra") > F.col("prb")) & (F.col("banda") > F.col("bandb")))
+    disc = (
+        (F.col("pra") < F.col("prb")) & (F.col("banda") > F.col("bandb"))
+    ) | ((F.col("pra") > F.col("prb")) & (F.col("banda") < F.col("bandb")))
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.col("nija") * F.col("nijb") * conc.cast("bigint")
+        )
+        .cast("bigint")
+        .alias("c2"),
+        F.sum(
+            F.col("nija") * F.col("nijb") * disc.cast("bigint")
+        )
+        .cast("bigint")
+        .alias("d2"),
+    )
+    rm = (
+        grid.groupBy("pr")
+        .agg(F.sum("nij").alias("r"))
+        .agg(
+            F.sum(F.col("r") * (F.col("r") - 1))
+            .cast("bigint")
+            .alias("r2")
+        )
+    )
+    cm = (
+        grid.groupBy("band")
+        .agg(F.sum("nij").alias("cc"))
+        .agg(
+            F.sum(F.col("cc") * (F.col("cc") - 1))
+            .cast("bigint")
+            .alias("c2m")
+        )
+    )
+    s = (
+        pairs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(rm))
+        .crossJoin(F.broadcast(cm))
+    )
+    return s.select(
+        "n",
+        (F.col("c2") / 2).cast("bigint").alias("concordant_pairs"),
+        (F.col("d2") / 2).cast("bigint").alias("discordant_pairs"),
+        F.expr(
+            "CAST(round((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))"
+            " / (CAST(c2 AS DOUBLE) + CAST(d2 AS DOUBLE)) * 1000000E0, 0)"
+            " AS BIGINT)"
+        ).alias("gamma_micro"),
+        F.expr(
+            "CAST(round((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))"
+            " / sqrt((CAST(n AS DOUBLE) * (n - 1) - CAST(r2 AS DOUBLE))"
+            "   * (CAST(n AS DOUBLE) * (n - 1) - CAST(c2m AS DOUBLE)))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("tau_b_micro"),
+        F.expr(
+            "CAST(round(4E0 * (CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 3E0)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("tau_c_micro"),
+        F.expr(
+            "CAST(round((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * (n - 1) - CAST(r2 AS DOUBLE))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("somers_d_micro"),
+    )

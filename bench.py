@@ -699,6 +699,9 @@ HEADLINE = [
     "observed_single_pass_audit",
     "parameterized_segment_topk",
     "collation_ci_campaign_rollup",
+    "cliffs_delta_delay",
+    "lepage_delay_location_scale",
+    "ordinal_association_priority_delay",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

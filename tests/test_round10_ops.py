@@ -313,3 +313,134 @@ class TestHitsBrandAuthority:
             ).collect()
         ]
         assert got == want
+
+
+class TestTwoSampleShelf:
+    """r10: Cliff's delta / Lepage / ordinal-association — third-
+    algorithm replays over the raw rows (no value-grain grouping, no
+    SQL), pinning both engines from outside."""
+
+    def _delays(self, spark):
+        from ai_etl_studio_spark.operators.drift import _delay_grain
+
+        rows = _delay_grain(spark, SF_DIR).collect()
+        by_pr = defaultdict(list)
+        for r in rows:
+            by_pr[r.pr].extend([r.v] * r.c)
+        return by_pr
+
+    def test_cliffs_delta_brute_force_replay(self, spark):
+        import bisect
+
+        by_pr = self._delays(spark)
+        x = sorted(by_pr["1-URGENT"])
+        y = sorted(by_pr["5-LOW"])
+        gt = sum(bisect.bisect_left(y, xi) for xi in x)
+        lt = sum(len(y) - bisect.bisect_right(y, xi) for xi in x)
+        tie = sum(
+            bisect.bisect_right(y, xi) - bisect.bisect_left(y, xi)
+            for xi in x
+        )
+        got = QUERIES["cliffs_delta_delay"](spark, SF_DIR).collect()[0]
+        assert (got.gt_pairs, got.lt_pairs, got.tie_pairs) == (gt, lt, tie)
+        assert got.n_urgent == len(x) and got.n_low == len(y)
+        assert got.cliffs_delta_micro == round(
+            (gt - lt) / (len(x) * len(y)) * 1e6
+        )
+
+    def test_lepage_components_replay_midranks(self, spark):
+        """Literal midrank Wilcoxon + literal from-both-ends Ansari
+        scores over the pooled sorted sample must reproduce both
+        z-components (to the micro quantum)."""
+        by_pr = self._delays(spark)
+        x, y = by_pr["1-URGENT"], by_pr["5-LOW"]
+        pooled = sorted([(v, 0) for v in x] + [(v, 1) for v in y])
+        n = len(pooled)
+        # midranks (1-based) per tie group; AB scores from both ends
+        i = 0
+        w2 = 0  # 2 * wilcoxon rank sum of group x
+        ab = 0.0  # per-tie-group quantized AB sum for x (micro)
+        s1 = 0
+        s2_milli = 0
+        ties3 = 0
+        while i < n:
+            j = i
+            while j < n and pooled[j][0] == pooled[i][0]:
+                j += 1
+            lo, hi, c = i + 1, j, j - i
+            ca = sum(1 for k in range(i, j) if pooled[k][1] == 0)
+            w2 += ca * (lo + hi)
+            rs = sum(min(r, n + 1 - r) for r in range(lo, hi + 1))
+            ab += round(ca * rs / c * 1e6)
+            s1 += rs
+            s2_milli += round(rs * rs / c * 1e3)
+            ties3 += c**3 - c
+            i = j
+        m = len(x)
+        import math
+
+        ew2 = m * (n + 1)
+        var_w = m * (n - m) * (n + 1) / 12 - m * (n - m) * ties3 / (
+            12 * n * (n - 1)
+        )
+        zw = (w2 - ew2) / (2 * math.sqrt(var_w))
+        ab_f = ab / 1e6
+        zab = (ab_f - m * s1 / n) / math.sqrt(
+            m * (n - m) / (n - 1) * (s2_milli / 1e3 / n - s1 * s1 / n / n)
+        )
+        got = QUERIES["lepage_delay_location_scale"](spark, SF_DIR).collect()[
+            0
+        ]
+        assert abs(got.zw_micro - round(zw * 1e6)) <= 1
+        assert abs(got.zab_micro - round(zab * 1e6)) <= 1
+        assert abs(got.lepage_milli - round((zw**2 + zab**2) * 1e3)) <= 1
+
+    def test_ordinal_association_brute_force_replay(self, spark):
+        """Enumerate concordant/discordant pairs from the literal 5x4
+        grid (priority x exact pooled-delay quartile band)."""
+        by_pr = self._delays(spark)
+        pooled = sorted(v for vs in by_pr.values() for v in vs)
+        n = len(pooled)
+        import math
+
+        def disc_quart(p):
+            return pooled[math.ceil(p * n) - 1]
+
+        t1, t2, t3 = disc_quart(0.25), disc_quart(0.5), disc_quart(0.75)
+        grid = Counter()
+        for pr, vs in by_pr.items():
+            for v in vs:
+                band = 1 + (v > t1) + (v > t2) + (v > t3)
+                grid[(pr, band)] += 1
+        cells = list(grid.items())
+        C = D = 0
+        for (pa, ba), na in cells:
+            for (pb, bb), nb in cells:
+                if pa < pb and ba < bb:
+                    C += na * nb
+                elif pa < pb and ba > bb:
+                    D += na * nb
+        got = QUERIES["ordinal_association_priority_delay"](
+            spark, SF_DIR
+        ).collect()[0]
+        assert (got.concordant_pairs, got.discordant_pairs) == (C, D)
+        r2 = sum(
+            r * (r - 1)
+            for r in Counter(
+                {pr: len(vs) for pr, vs in by_pr.items()}
+            ).values()
+        )
+        c2m_vals = Counter()
+        for (pr, band), cnt in grid.items():
+            c2m_vals[band] += cnt
+        c2m = sum(cc * (cc - 1) for cc in c2m_vals.values())
+        assert got.gamma_micro == round((C - D) / (C + D) * 1e6)
+        assert got.tau_b_micro == round(
+            2 * (C - D) / math.sqrt((n * (n - 1) - r2) * (n * (n - 1) - c2m)) * 1e6
+        )
+        assert got.tau_c_micro == round(
+            2 * 4 * (C - D) / (n * n * 3) * 1e6
+        )
+        assert got.somers_d_micro == round(
+            2 * (C - D) / (n * (n - 1) - r2) * 1e6
+        )
