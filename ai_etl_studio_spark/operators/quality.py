@@ -2698,3 +2698,274 @@ def best_split_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(ig_expr).alias("ig_nano"),
     )
     return ig.orderBy(F.desc("ig_nano"), "threshold").limit(5)
+
+
+# ---------------------------------------------------------------------------
+# Round-10: calibration / operating-point shelf over the score-gate pair.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hosmer_lemeshow_quality_score",
+    oracle=_SCORE_GATE_CTE
+    + """
+    , vc AS (
+      SELECT score_ppm AS s, CAST(SUM(y) AS BIGINT) AS cy,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM sc GROUP BY 1),
+    cum AS (
+      SELECT s, cy, c,
+             CAST(SUM(c) OVER (ORDER BY s) AS BIGINT) AS cumc,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM vc),
+    binned AS (
+      SELECT LEAST((cumc - 1) * 10 // n, 9) AS g, cy, c, c * s AS e_ppm
+      FROM cum),
+    grp AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+             CAST(SUM(cy) AS BIGINT) AS og,
+             CAST(SUM(e_ppm) AS BIGINT) AS e_ppm
+      FROM binned GROUP BY g),
+    terms AS (
+      SELECT g, ng, og, e_ppm,
+             CASE WHEN e_ppm = 0 OR e_ppm = ng * 1000000 THEN NULL
+             ELSE CAST(round((CAST(og AS DOUBLE) - CAST(e_ppm AS DOUBLE)
+                 / 1000000E0)
+               * (CAST(og AS DOUBLE) - CAST(e_ppm AS DOUBLE) / 1000000E0)
+               / (CAST(e_ppm AS DOUBLE) / 1000000E0
+                  * (1E0 - CAST(e_ppm AS DOUBLE) / 1000000E0
+                     / CAST(ng AS DOUBLE)))
+               * 1000E0, 0) AS BIGINT) END AS t_milli
+      FROM grp)
+    SELECT CAST(SUM(ng) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(t_milli) AS BIGINT) AS hl_milli
+    FROM terms
+    """,
+)
+def hosmer_lemeshow_quality_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hosmer-Lemeshow calibration chi-square of the stopword-density
+    score read AS a probability of passing the lexical-diversity gate:
+    equal-count deciles of the score, observed gate passes vs the sum
+    of the scores themselves, Sum (O-E)^2 / (E(1-E/n)) — the grouped
+    goodness-of-fit companion to brier_decomposition_quality's
+    reliability term (HL is the TESTABLE form: ~chi-square(bins-2)
+    under calibration, so it yields a p-value where reliability yields
+    a magnitude).
+
+    Exactness: deciles assign each DISTINCT score's whole tie group by
+    its inclusive cumulative position ((cum-1)*10 div n — documented
+    one-sided tie convention, identical windows in both engines);
+    O is an integer count, E is an exact integer ppm sum; each bin's
+    chi-square term quantizes to milli before the <=10-term sum. A
+    degenerate bin (E=0 or E=n, undefined chi-square mass) yields a
+    NULL term skipped identically by both engines' SUM.
+
+    Scale: one corpus pass to the score grain; everything after is a
+    <=10-row table.
+    """
+    vc = _score_gate(spark, sf_dir).groupBy(
+        F.col("score_ppm").alias("s")
+    ).agg(
+        F.sum("y").cast("bigint").alias("cy"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    wv = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vc.select(
+        "s",
+        "cy",
+        "c",
+        F.sum("c").over(wv).cast("bigint").alias("cumc"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+    binned = cum.select(
+        F.least(
+            F.expr("(cumc - 1) * 10 DIV n"), F.lit(9)
+        ).alias("g"),
+        "cy",
+        "c",
+        (F.col("c") * F.col("s")).alias("e_ppm"),
+    )
+    grp = binned.groupBy("g").agg(
+        F.sum("c").cast("bigint").alias("ng"),
+        F.sum("cy").cast("bigint").alias("og"),
+        F.sum("e_ppm").cast("bigint").alias("e_ppm"),
+    )
+    terms = grp.select(
+        F.expr(
+            "CASE WHEN e_ppm = 0 OR e_ppm = ng * 1000000 THEN NULL"
+            " ELSE CAST(round((CAST(og AS DOUBLE) - CAST(e_ppm AS DOUBLE)"
+            "     / 1000000E0)"
+            "   * (CAST(og AS DOUBLE) - CAST(e_ppm AS DOUBLE) / 1000000E0)"
+            "   / (CAST(e_ppm AS DOUBLE) / 1000000E0"
+            "      * (1E0 - CAST(e_ppm AS DOUBLE) / 1000000E0"
+            "         / CAST(ng AS DOUBLE)))"
+            "   * 1000E0, 0) AS BIGINT) END"
+        ).alias("t_milli"),
+        "ng",
+    )
+    return terms.agg(
+        F.sum("ng").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("t_milli").cast("bigint").alias("hl_milli"),
+    )
+
+
+@register(
+    "spiegelhalter_z_quality_score",
+    oracle=_SCORE_GATE_CTE
+    + """
+    , vc AS (
+      SELECT score_ppm AS s, CAST(y AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM sc GROUP BY 1, 2),
+    s AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * (y * 1000000 - s) * (1000000 - 2 * s))
+               AS HUGEINT) AS num_t12,
+             CAST(SUM(CAST(c AS HUGEINT) * (1000000 - 2 * s)
+               * (1000000 - 2 * s) * s * (1000000 - s)) AS HUGEINT)
+               AS den_t24
+      FROM vc)
+    SELECT n AS n_docs,
+           CAST(round(CAST(num_t12 AS DOUBLE) / 1000000000000E0
+             / sqrt(CAST(den_t24 AS DOUBLE) / 1E24) * 1000000E0, 0)
+             AS BIGINT) AS spiegelhalter_z_micro
+    FROM s
+    """,
+)
+def spiegelhalter_z_quality_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spiegelhalter's z — the UNGROUPED calibration test: standardizes
+    Sum (y - p)(1 - 2p) under the hypothesis that each doc's gate bit
+    really is Bernoulli(score). Complements Hosmer-Lemeshow by using
+    every doc individually (no binning convention to defend) and by
+    isolating calibration from discrimination: a score can have
+    perfect AUC and still fail this badly (systematic over-confidence)
+    or vice versa.
+
+    Exactness: with p in integer ppm, every product is exact —
+    (y*1e6 - s)(1e6 - 2s) in units of 1e12 summed as HUGEINT/
+    decimal(38,0); the variance term (1-2p)^2 p(1-p) in units of 1e24
+    likewise; z is ONE mirrored double expression over two exact sums.
+
+    Scale: one corpus pass to the (score, y) grain, one-row output —
+    the whole test is two integer dot products.
+    """
+    vc = _score_gate(spark, sf_dir).groupBy(
+        F.col("score_ppm").alias("s"), F.col("y").cast("bigint").alias("y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    s = vc.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(
+            F.col("c")
+            * (F.col("y") * 1000000 - F.col("s"))
+            * (1000000 - 2 * F.col("s"))
+        )
+        .cast("decimal(38,0)")
+        .alias("num_t12"),
+        F.sum(
+            F.expr(
+                "CAST(c AS DECIMAL(38,0)) * (1000000 - 2 * s)"
+                " * (1000000 - 2 * s) * s * (1000000 - s)"
+            )
+        ).alias("den_t24"),
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.expr(
+            "CAST(round(CAST(num_t12 AS DOUBLE) / 1000000000000E0"
+            " / sqrt(CAST(den_t24 AS DOUBLE) / 1E24) * 1000000E0, 0)"
+            " AS BIGINT)"
+        ).alias("spiegelhalter_z_micro"),
+    )
+
+
+@register(
+    "youden_threshold_quality_score",
+    oracle=_SCORE_GATE_CTE
+    + """
+    , vc AS (
+      SELECT score_ppm AS s, CAST(SUM(y) AS BIGINT) AS cy,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM sc GROUP BY 1),
+    cum AS (
+      SELECT s,
+             CAST(SUM(cy) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+             CAST(SUM(c - cy) OVER (ORDER BY s DESC) AS BIGINT) AS fp,
+             CAST(SUM(cy) OVER () AS BIGINT) AS p,
+             CAST(SUM(c - cy) OVER () AS BIGINT) AS neg
+      FROM vc),
+    j AS (
+      SELECT s, tp, fp, p, neg, tp * neg - fp * p AS j_num
+      FROM cum)
+    SELECT s AS threshold_ppm, tp, fp, p - tp AS fn, neg - fp AS tn,
+           CAST(round(CAST(j_num AS DOUBLE) / (CAST(p AS DOUBLE) * neg)
+             * 1000000E0, 0) AS BIGINT) AS youden_j_micro
+    FROM j ORDER BY j_num DESC, s LIMIT 1
+    """,
+)
+def youden_threshold_quality_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The optimal operating point of the stopword-density score as a
+    gate classifier (predict pass when score >= t): the threshold
+    maximizing Youden's J = TPR - FPR, with the full confusion matrix
+    at that point. gains/PR-AUC grade the whole ranking; THIS is the
+    number a pipeline actually deploys — the single cut that best
+    separates, chosen without reference to class priors or costs.
+
+    Exactness: the argmax runs on the INTEGER cross-multiplied form
+    J_num = TP*N - FP*P (never on the double ratio — the ulp-tie
+    lesson), with the deterministic lowest-threshold tie-break; only
+    the reported J quantizes to micro.
+
+    Scale: one descending cumulative window over the score grain;
+    TOP-1 by (j_num, s) is a TakeOrderedAndProject, not a sort.
+    """
+    vc = _score_gate(spark, sf_dir).groupBy(
+        F.col("score_ppm").alias("s")
+    ).agg(
+        F.sum("y").cast("bigint").alias("cy"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    wd = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vc.select(
+        "s",
+        F.sum("cy").over(wd).cast("bigint").alias("tp"),
+        F.sum(F.col("c") - F.col("cy")).over(wd).cast("bigint").alias("fp"),
+        F.sum("cy").over(wall).cast("bigint").alias("p"),
+        F.sum(F.col("c") - F.col("cy"))
+        .over(wall)
+        .cast("bigint")
+        .alias("neg"),
+    )
+    j = cum.withColumn(
+        "j_num", F.col("tp") * F.col("neg") - F.col("fp") * F.col("p")
+    )
+    return (
+        j.orderBy(F.desc("j_num"), "s")
+        .limit(1)
+        .select(
+            F.col("s").alias("threshold_ppm"),
+            "tp",
+            "fp",
+            (F.col("p") - F.col("tp")).alias("fn"),
+            (F.col("neg") - F.col("fp")).alias("tn"),
+            F.expr(
+                "CAST(round(CAST(j_num AS DOUBLE)"
+                " / (CAST(p AS DOUBLE) * neg) * 1000000E0, 0) AS BIGINT)"
+            ).alias("youden_j_micro"),
+        )
+    )

@@ -702,6 +702,9 @@ HEADLINE = [
     "cliffs_delta_delay",
     "lepage_delay_location_scale",
     "ordinal_association_priority_delay",
+    "hosmer_lemeshow_quality_score",
+    "spiegelhalter_z_quality_score",
+    "youden_threshold_quality_score",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

@@ -444,3 +444,84 @@ class TestTwoSampleShelf:
         assert got.somers_d_micro == round(
             2 * (C - D) / (n * (n - 1) - r2) * 1e6
         )
+
+
+class TestCalibrationShelf:
+    """r10: HL / Spiegelhalter / Youden — brute-force replays from the
+    raw (score_ppm, y) pairs."""
+
+    def _pairs(self, spark):
+        from ai_etl_studio_spark.operators.quality import _score_gate
+
+        return [
+            (r.score_ppm, r.y)
+            for r in _score_gate(spark, SF_DIR).collect()
+        ]
+
+    def test_hosmer_lemeshow_replay(self, spark):
+        pairs = sorted(self._pairs(spark))
+        n = len(pairs)
+        # same one-sided tie convention: a distinct score's whole group
+        # goes to the bin of its inclusive cumulative position
+        from collections import Counter
+
+        vc = Counter(s for s, _ in pairs)
+        cum, bin_of = 0, {}
+        for s in sorted(vc):
+            cum += vc[s]
+            bin_of[s] = min((cum - 1) * 10 // n, 9)
+        agg = defaultdict(lambda: [0, 0, 0])  # ng, og, e_ppm
+        for s, y in pairs:
+            g = agg[bin_of[s]]
+            g[0] += 1
+            g[1] += y
+            g[2] += s
+        hl = 0
+        for ng, og, e_ppm in agg.values():
+            if e_ppm in (0, ng * 1000000):
+                continue
+            e = e_ppm / 1e6
+            hl += round((og - e) ** 2 / (e * (1 - e / ng)) * 1e3)
+        got = QUERIES["hosmer_lemeshow_quality_score"](
+            spark, SF_DIR
+        ).collect()[0]
+        assert got.n_docs == n and got.n_bins == len(agg)
+        assert got.hl_milli == hl
+
+    def test_spiegelhalter_z_replay(self, spark):
+        import math
+
+        pairs = self._pairs(spark)
+        num = sum(
+            (y * 10**6 - s) * (10**6 - 2 * s) for s, y in pairs
+        )
+        den = sum(
+            (10**6 - 2 * s) ** 2 * s * (10**6 - s) for s, _ in pairs
+        )
+        z = (num / 1e12) / math.sqrt(den / 1e24)
+        got = QUERIES["spiegelhalter_z_quality_score"](
+            spark, SF_DIR
+        ).collect()[0]
+        assert got.n_docs == len(pairs)
+        assert abs(got.spiegelhalter_z_micro - round(z * 1e6)) <= 1
+
+    def test_youden_argmax_is_integer_exact(self, spark):
+        pairs = self._pairs(spark)
+        p = sum(y for _, y in pairs)
+        neg = len(pairs) - p
+        best = None
+        for t in sorted({s for s, _ in pairs}):
+            tp = sum(1 for s, y in pairs if s >= t and y == 1)
+            fp = sum(1 for s, y in pairs if s >= t and y == 0)
+            key = (tp * neg - fp * p, -t)
+            if best is None or key > best[0]:
+                best = (key, t, tp, fp)
+        got = QUERIES["youden_threshold_quality_score"](
+            spark, SF_DIR
+        ).collect()[0]
+        assert (got.threshold_ppm, got.tp, got.fp) == (
+            best[1],
+            best[2],
+            best[3],
+        )
+        assert got.fn == p - best[2] and got.tn == neg - best[3]
