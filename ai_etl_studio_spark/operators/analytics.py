@@ -13166,3 +13166,373 @@ def ndcg_popularity_vs_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ndcg_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: elementary price indices / demand classification / Taylor law.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "elementary_price_indices",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q0,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS r0
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = {_WALSH_Y0}
+      GROUP BY 1 HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+    cur AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q1,
+             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS r1
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = {_WALSH_Y1}
+      GROUP BY 1 HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+    j AS (
+      SELECT CAST(cur.r1 * 1000 // cur.q1 AS BIGINT) AS p1,
+             CAST(base.r0 * 1000 // base.q0 AS BIGINT) AS p0
+      FROM cur JOIN base ON cur.l_partkey = base.l_partkey),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((2 * 1000000 * p1 + p0) // (2 * p0)) AS BIGINT)
+               AS sum_rel_micro,
+             CAST(SUM(p1) AS BIGINT) AS sp1,
+             CAST(SUM(p0) AS BIGINT) AS sp0,
+             CAST(SUM(CAST(round(ln(CAST(p1 AS DOUBLE) / p0)
+               * 1000000000, 0) AS BIGINT)) AS BIGINT) AS sum_ln_nano
+      FROM j)
+    SELECT n AS n_parts_matched,
+           CAST((2 * sum_rel_micro + n) // (2 * n) AS BIGINT)
+             AS carli_index_micro,
+           CAST((2 * 1000000 * CAST(sp1 AS HUGEINT) + sp0) // (2 * CAST(sp0 AS HUGEINT)) AS BIGINT)
+             AS dutot_index_micro,
+           CAST(round(exp(CAST(sum_ln_nano AS DOUBLE) / 1000000000
+             / CAST(n AS DOUBLE)) * 1000000E0, 0) AS BIGINT)
+             AS jevons_index_micro
+    FROM t
+    """,
+)
+def elementary_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three ELEMENTARY price indices ({_WALSH_Y0}->{_WALSH_Y1},
+    matched parts, unweighted) — Carli (arithmetic mean of price
+    relatives), Dutot (ratio of mean prices), Jevons (geometric mean
+    of relatives). These are what a statistics office computes BELOW
+    the weighted level, where no expenditure weights exist; the spread
+    between them is itself diagnostic (Carli >= Jevons always, by
+    AM-GM — pinned in the replay test — and a large gap flags
+    heterogeneous relatives; Carli famously fails the time-reversal
+    test, which is why CPI manuals moved to Jevons).
+
+    Exactness: unit milli-prices are integer floor divisions off exact
+    (cents, quantity) reductions; each Carli relative quantizes
+    half-up to an exact integer micro BEFORE the sum; Dutot is one
+    exact integer division of milli-price sums; Jevons rides the
+    nanonat ln-tick device shared with tornqvist_price_index.
+
+    Scale: both year legs reduce per part before the key-on-key join —
+    the join carries two ints per matched part.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round("l_quantity").cast("bigint")
+
+    def leg(year: int, qn: str, rn: str) -> DataFrame:
+        return (
+            li.filter(F.year(F.col("l_shipdate").cast("date")) == year)
+            .groupBy("l_partkey")
+            .agg(
+                F.sum(q).cast("bigint").alias(qn),
+                F.sum(cents("l_extendedprice")).cast("bigint").alias(rn),
+            )
+            .filter(F.col(qn) > 0)
+        )
+
+    base = leg(_WALSH_Y0, "q0", "r0")
+    cur = leg(_WALSH_Y1, "q1", "r1")
+    j = cur.join(base, "l_partkey").select(
+        F.expr("r1 * 1000 DIV q1").alias("p1"),
+        F.expr("r0 * 1000 DIV q0").alias("p0"),
+    )
+    t = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("(2 * 1000000 * p1 + p0) DIV (2 * p0)"))
+        .cast("bigint")
+        .alias("sum_rel_micro"),
+        F.sum("p1").cast("bigint").alias("sp1"),
+        F.sum("p0").cast("bigint").alias("sp0"),
+        F.sum(
+            F.expr(
+                "CAST(round(ln(CAST(p1 AS DOUBLE) / p0)"
+                " * 1000000000, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("sum_ln_nano"),
+    )
+    return t.select(
+        F.col("n").alias("n_parts_matched"),
+        F.expr("CAST((2 * sum_rel_micro + n) DIV (2 * n) AS BIGINT)").alias(
+            "carli_index_micro"
+        ),
+        F.expr(
+            "CAST((2 * 1000000 * CAST(sp1 AS DECIMAL(38,0)) + sp0)"
+            " DIV (2 * CAST(sp0 AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("dutot_index_micro"),
+        F.expr(
+            "CAST(round(exp(CAST(sum_ln_nano AS DOUBLE) / 1000000000"
+            " / CAST(n AS DOUBLE)) * 1000000E0, 0) AS BIGINT)"
+        ).alias("jevons_index_micro"),
+    )
+
+
+@register(
+    "demand_classification_adi_cv2",
+    oracle="""
+    WITH cal AS (
+      SELECT CAST(COUNT(DISTINCT strftime(CAST(l_shipdate AS DATE),
+        '%Y-%m')) AS BIGINT) AS n_months FROM lineitem),
+    dm AS (
+      SELECT p.p_type AS t, strftime(CAST(l.l_shipdate AS DATE), '%Y-%m')
+               AS m,
+             CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS d
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    g AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(d) AS BIGINT) AS s,
+             CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS s2
+      FROM dm WHERE d > 0 GROUP BY t)
+    SELECT t AS part_type, nd AS n_demand_months, s AS total_qty,
+           CAST((2 * 1000000 * (SELECT n_months FROM cal) + nd)
+             // (2 * nd) AS BIGINT) AS adi_micro,
+           CAST((2 * 1000000 * (nd * s2 - CAST(s AS HUGEINT) * s)
+             + CAST(s AS HUGEINT) * s)
+             // (2 * CAST(s AS HUGEINT) * s) AS BIGINT) AS cv2_micro,
+           CASE
+             WHEN 100 * (SELECT n_months FROM cal) >= 132 * nd
+              AND 100 * nd * s2 >= 149 * CAST(s AS HUGEINT) * s
+               THEN 'lumpy'
+             WHEN 100 * (SELECT n_months FROM cal) >= 132 * nd
+               THEN 'intermittent'
+             WHEN 100 * nd * s2 >= 149 * CAST(s AS HUGEINT) * s
+               THEN 'erratic'
+             ELSE 'smooth'
+           END AS demand_class
+    FROM g ORDER BY t
+    """,
+)
+def demand_classification_adi_cv2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Syntetos-Boylan demand classification per part type: ADI
+    (average inter-demand interval = calendar months / months with
+    demand) x CV^2 of the nonzero monthly demand sizes, cut at the
+    published (1.32, 0.49) boundaries into smooth / intermittent /
+    erratic / lumpy. This is the dispatcher in front of the
+    forecasting shelf: smooth -> holt/ETS, intermittent -> croston,
+    lumpy -> croston-SBA or quantile stock policies
+    (newsvendor_quantile_by_type) — the classification IS the routing
+    decision, which is why it must be knife-edge deterministic.
+
+    Exactness: both classification comparisons run on INTEGER
+    cross-multiplied forms (100*cal >= 132*nd; 100*nd*S2 >= 149*S^2 in
+    HUGEINT/decimal(38,0)) — a type sitting exactly on a boundary
+    classifies identically in both engines, no double ever enters the
+    decision; the reported adi/cv2 micros are exact half-up integer
+    divisions.
+
+    Scale: one (type, month) rollup — the classification table is
+    |types| rows; quantity sums stay integer at any SF in the 38-digit
+    headroom.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cal = li.agg(
+        F.countDistinct(
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM")
+        )
+        .cast("bigint")
+        .alias("n_months")
+    )
+    dm = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_type").alias("t"),
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM").alias(
+                "m"
+            ),
+        )
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("d"))
+    )
+    g = (
+        dm.filter(F.col("d") > 0)
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nd"),
+            F.sum("d").cast("bigint").alias("s"),
+            F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("s2"),
+        )
+        .crossJoin(F.broadcast(cal))
+    )
+    return g.select(
+        F.col("t").alias("part_type"),
+        F.col("nd").alias("n_demand_months"),
+        F.col("s").alias("total_qty"),
+        F.expr(
+            "CAST((2 * 1000000 * n_months + nd) DIV (2 * nd) AS BIGINT)"
+        ).alias("adi_micro"),
+        F.expr(
+            "CAST((2 * 1000000 * (nd * s2 - CAST(s AS DECIMAL(38,0)) * s)"
+            " + CAST(s AS DECIMAL(38,0)) * s)"
+            " DIV (2 * CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)"
+        ).alias("cv2_micro"),
+        F.expr(
+            "CASE"
+            " WHEN 100 * n_months >= 132 * nd"
+            "  AND 100 * nd * s2 >= 149 * CAST(s AS DECIMAL(38,0)) * s"
+            "   THEN 'lumpy'"
+            " WHEN 100 * n_months >= 132 * nd THEN 'intermittent'"
+            " WHEN 100 * nd * s2 >= 149 * CAST(s AS DECIMAL(38,0)) * s"
+            "   THEN 'erratic'"
+            " ELSE 'smooth' END"
+        ).alias("demand_class"),
+    ).orderBy("part_type")
+
+
+@register(
+    "taylors_power_law_nations",
+    oracle="""
+    WITH dm AS (
+      SELECT c.c_nationkey AS nk,
+             strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS m,
+             CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    g AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS nm,
+             CAST(SUM(d) AS BIGINT) AS s,
+             CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS s2
+      FROM dm GROUP BY nk
+      HAVING COUNT(*) > 1
+         AND CAST(COUNT(*) AS HUGEINT) * SUM(CAST(d AS HUGEINT) * d)
+             > CAST(SUM(d) AS HUGEINT) * SUM(d)),
+    pts AS (
+      SELECT CAST(round(ln(CAST(s AS DOUBLE) / nm) * 1000000, 0)
+               AS BIGINT) AS x,
+             CAST(round(ln((CAST(nm AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(nm AS DOUBLE) * nm)) * 1000000, 0) AS BIGINT) AS y
+      FROM g),
+    ols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx
+      FROM pts)
+    SELECT n AS n_nations,
+           CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * 1000000E0, 0) AS BIGINT) AS slope_micro,
+           CAST(round((CAST(sy AS DOUBLE)
+               - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1000000E0 * 1000000E0, 0) AS BIGINT)
+             AS intercept_micro
+    FROM ols
+    """,
+)
+def taylors_power_law_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taylor's power law (variance ~ a * mean^b) fit across nations:
+    each nation contributes one point (ln mean, ln variance) of its
+    monthly demand series, and OLS over the ~25 points estimates the
+    fluctuation-scaling exponent b. b~1 is Poisson-like (independent
+    orders), b~2 is burst/cluster-dominated — the exponent tells a
+    capacity planner whether aggregating regions cancels variance
+    (b<2: pooling helps superlinearly) or not, and any scheduled
+    pipeline can watch b drift as demand regimes change.
+
+    Exactness: per-nation (count, sum, sum-of-squares) are exact
+    integers (HUGEINT/decimal(38,0) squares); each point's ln mean /
+    ln population-variance quantizes to integer micro (the tick
+    device), so the OLS normal equations run on exact integer sums;
+    slope and intercept are mirrored single-row doubles. Zero-variance
+    nations drop via an INTEGER comparison (n*S2 > S^2), never a
+    double test.
+
+    Scale: fact rows reduce to |nations|x|months| cells in one
+    shuffle; the regression runs on a 25-row frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    dm = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias(
+                "m"
+            ),
+        )
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("d"))
+    )
+    g = (
+        dm.groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nm"),
+            F.sum("d").cast("bigint").alias("s"),
+            F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("s2"),
+        )
+        .filter(
+            (F.col("nm") > 1)
+            & (
+                F.expr("CAST(nm AS DECIMAL(38,0)) * s2")
+                > F.expr("CAST(s AS DECIMAL(38,0)) * s")
+            )
+        )
+    )
+    pts = g.select(
+        F.expr(
+            "CAST(round(ln(CAST(s AS DOUBLE) / nm) * 1000000, 0) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(round(ln((CAST(nm AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            "   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+            " / (CAST(nm AS DOUBLE) * nm)) * 1000000, 0) AS BIGINT)"
+        ).alias("y"),
+    )
+    ols = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    return ols.select(
+        F.col("n").alias("n_nations"),
+        F.expr(
+            "CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            "   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            "   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CAST(round((CAST(sy AS DOUBLE)"
+            "   - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            "      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            "     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            "        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            "     * CAST(sx AS DOUBLE))"
+            " / CAST(n AS DOUBLE) / 1000000E0 * 1000000E0, 0) AS BIGINT)"
+        ).alias("intercept_micro"),
+    )

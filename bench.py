@@ -705,6 +705,9 @@ HEADLINE = [
     "hosmer_lemeshow_quality_score",
     "spiegelhalter_z_quality_score",
     "youden_threshold_quality_score",
+    "elementary_price_indices",
+    "demand_classification_adi_cv2",
+    "taylors_power_law_nations",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

@@ -525,3 +525,134 @@ class TestCalibrationShelf:
             best[3],
         )
         assert got.fn == p - best[2] and got.tn == neg - best[3]
+
+
+class TestEconOpsShelf:
+    """r10: elementary indices / Syntetos-Boylan / Taylor law."""
+
+    def test_elementary_index_inequalities_and_replay(self, spark):
+        """Carli >= Jevons (AM-GM over the same relatives), and all
+        three match a brute-force replay from per-part unit prices."""
+        import math
+
+        from ai_etl_studio_spark.catalog import load_table
+        from ai_etl_studio_spark.operators.analytics import (
+            _WALSH_Y0,
+            _WALSH_Y1,
+        )
+
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            F.year(F.col("l_shipdate").cast("date")).alias("y"),
+            "l_partkey",
+            F.round("l_quantity").cast("bigint").alias("q"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("r"),
+        ).collect()
+        agg = defaultdict(lambda: [0, 0])
+        for row in li:
+            if row.y in (_WALSH_Y0, _WALSH_Y1):
+                a = agg[(row.y, row.l_partkey)]
+                a[0] += row.q
+                a[1] += row.r
+        p0 = {
+            k[1]: a[1] * 1000 // a[0]
+            for k, a in agg.items()
+            if k[0] == _WALSH_Y0 and a[0] > 0
+        }
+        p1 = {
+            k[1]: a[1] * 1000 // a[0]
+            for k, a in agg.items()
+            if k[0] == _WALSH_Y1 and a[0] > 0
+        }
+        matched = sorted(set(p0) & set(p1))
+        rels = [(2 * 10**6 * p1[k] + p0[k]) // (2 * p0[k]) for k in matched]
+        n = len(matched)
+        carli = (2 * sum(rels) + n) // (2 * n)
+        sp1, sp0 = sum(p1[k] for k in matched), sum(p0[k] for k in matched)
+        dutot = (2 * 10**6 * sp1 + sp0) // (2 * sp0)
+        ln_sum = sum(
+            round(math.log(p1[k] / p0[k]) * 1e9) for k in matched
+        )
+        jevons = round(math.exp(ln_sum / 1e9 / n) * 1e6)
+        got = QUERIES["elementary_price_indices"](spark, SF_DIR).collect()[0]
+        assert got.n_parts_matched == n
+        assert got.carli_index_micro == carli
+        assert got.dutot_index_micro == dutot
+        assert abs(got.jevons_index_micro - jevons) <= 1
+        assert got.carli_index_micro >= got.jevons_index_micro - 1
+
+    def test_demand_classification_boundaries_are_integer(self, spark):
+        """Every type's class must agree with a float recomputation
+        AND with the integer cross-multiplied boundary forms."""
+        rows = QUERIES["demand_classification_adi_cv2"](
+            spark, SF_DIR
+        ).collect()
+        assert len(rows) >= 4  # the 6 part types, minus any no-demand
+        for r in rows:
+            adi = r.adi_micro / 1e6
+            cv2 = r.cv2_micro / 1e6
+            want = (
+                "lumpy"
+                if adi >= 1.32 and cv2 >= 0.49
+                else "intermittent"
+                if adi >= 1.32
+                else "erratic"
+                if cv2 >= 0.49
+                else "smooth"
+            )
+            # micro-rounded floats can only disagree AT a knife edge;
+            # away from one they must match the integer decision
+            if abs(adi - 1.32) > 1e-5 and abs(cv2 - 0.49) > 1e-5:
+                assert r.demand_class == want, r
+
+    def test_taylor_law_slope_replay(self, spark):
+        import math
+
+        from ai_etl_studio_spark.catalog import load_table
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders")
+        c = load_table(spark, SF_DIR, "customer")
+        rows = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy(
+                "c_nationkey",
+                F.date_format(
+                    F.col("o_orderdate").cast("date"), "yyyy-MM"
+                ).alias("m"),
+            )
+            .agg(
+                F.sum(F.round("l_quantity").cast("bigint")).alias("d")
+            )
+            .collect()
+        )
+        series = defaultdict(list)
+        for r in rows:
+            series[r.c_nationkey].append(r.d)
+        pts = []
+        for ds in series.values():
+            nm, s, s2 = len(ds), sum(ds), sum(d * d for d in ds)
+            if nm > 1 and nm * s2 > s * s:
+                pts.append(
+                    (
+                        round(math.log(s / nm) * 1e6),
+                        round(
+                            math.log((nm * s2 - s * s) / (nm * nm)) * 1e6
+                        ),
+                    )
+                )
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        got = QUERIES["taylors_power_law_nations"](spark, SF_DIR).collect()[
+            0
+        ]
+        assert got.n_nations == n
+        assert abs(got.slope_micro - round(slope * 1e6)) <= 1
+        # demand aggregation is bursty, not Poisson: b should exceed 1
+        assert got.slope_micro > 1_000_000
