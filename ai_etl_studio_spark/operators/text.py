@@ -4904,3 +4904,253 @@ def hellinger_lang_divergence_by_source(
         .cast("bigint")
         .alias("bhattacharyya_micro"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Round-10: corpus-linguistics keyness shelf (short vs long documents).
+# ---------------------------------------------------------------------------
+
+#: shared oracle CTE: docs split at the exact median n_chars into
+#: 'short'/'long' halves, tokenized — the two-corpus frame the keyness
+#: family compares.
+_SHORTLONG_CTE = r"""
+    WITH d0 AS (
+      SELECT doc_id, n_chars, lower(text) AS text
+      FROM documents WHERE text IS NOT NULL),
+    vc AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM d0 GROUP BY 1),
+    cum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+                   CAST(SUM(c) OVER () AS BIGINT) AS n FROM vc),
+    med AS (SELECT MIN(CASE WHEN cum * 2 >= n THEN v END) AS t FROM cum),
+    d AS (
+      SELECT doc_id,
+             CASE WHEN n_chars <= (SELECT t FROM med)
+               THEN 'short' ELSE 'long' END AS g,
+             list_filter(string_split_regex(text, '\s+'), w -> w <> '')
+               AS ts
+      FROM d0)
+"""
+
+_KEYNESS_TOPK = 15
+
+
+def _shortlong_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_SHORTLONG_CTE``: (doc_id, g, ts) with g the
+    exact-median n_chars split — percentile_disc semantics via the
+    integer cumulative window, so a tie AT the median lands 'short' in
+    both engines."""
+    d0 = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    vc = d0.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        vc.select(
+            "v",
+            F.sum("c").over(wv).alias("cum"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))
+            ).alias("t")
+        )
+    )
+    return d0.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        F.when(F.col("n_chars") <= F.col("t"), F.lit("short"))
+        .otherwise(F.lit("long"))
+        .alias("g"),
+        F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda w: w != ""
+        ).alias("ts"),
+    )
+
+
+@register(
+    "keyness_g2_short_vs_long",
+    oracle=_SHORTLONG_CTE
+    + f"""
+    , toks AS (SELECT g, unnest(ts) AS w FROM d),
+    c AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN g = 'short' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(SUM(CASE WHEN g = 'long' THEN 1 ELSE 0 END) AS BIGINT)
+               AS b
+      FROM toks GROUP BY w),
+    tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      FROM c),
+    z AS (
+      SELECT c.w, c.a, c.b,
+             CASE WHEN c.a * t.nb > c.b * t.na THEN 1 ELSE -1 END AS sgn,
+             CAST(round(2E0 * (
+               CASE WHEN c.a > 0 THEN CAST(c.a AS DOUBLE)
+                 * ln(CAST(c.a AS DOUBLE) / ((CAST(c.a AS DOUBLE) + c.b)
+                     * t.na / (CAST(t.na AS DOUBLE) + t.nb)))
+                 ELSE 0E0 END
+               + CASE WHEN c.b > 0 THEN CAST(c.b AS DOUBLE)
+                 * ln(CAST(c.b AS DOUBLE) / ((CAST(c.a AS DOUBLE) + c.b)
+                     * t.nb / (CAST(t.na AS DOUBLE) + t.nb)))
+                 ELSE 0E0 END) * 1000000E0, 0) AS BIGINT) AS g2_micro
+      FROM c, tot t)
+    SELECT w AS term, a AS short_count, b AS long_count, sgn AS direction,
+           g2_micro
+    FROM z ORDER BY g2_micro DESC, w LIMIT {_KEYNESS_TOPK}
+    """,
+)
+def keyness_g2_short_vs_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood (G²) keyness of every term between the
+    SHORT and LONG halves of the corpus (exact-median n_chars split):
+    the corpus-linguistics standard for "which words characterize this
+    subcorpus", preferred over chi-square exactly where curation needs
+    it — rare words and skewed subcorpus sizes. Direction (+1 = marks
+    short docs) comes from the integer cross-multiplied rate
+    comparison, never a double. The log-odds shelf
+    (log_odds_terms_by_lang) answers the same question with a
+    Bayesian prior; G² is the frequentist twin reviewers expect, and
+    disagreement between the two rankings flags prior-sensitive terms.
+
+    Exactness: all four cell counts exact int64; each term's G² is ONE
+    mirrored double expression quantized to micro before the
+    deterministic (g2, term) top-k; zero cells contribute their exact
+    limit (0) via the same CASE in both engines.
+
+    Scale: one tokenize pass to the vocabulary grain; the two totals
+    broadcast; top-k is a TakeOrderedAndProject.
+    """
+    toks = _shortlong_docs(spark, sf_dir).select(
+        "g", F.explode("ts").alias("w")
+    )
+    c = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("g") == "short", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("g") == "long", 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+    )
+    tot = c.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    z = c.crossJoin(F.broadcast(tot)).select(
+        "w",
+        "a",
+        "b",
+        F.when(
+            F.col("a") * F.col("nb") > F.col("b") * F.col("na"), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+        F.expr(
+            "CAST(round(2E0 * ("
+            " CASE WHEN a > 0 THEN CAST(a AS DOUBLE)"
+            "   * ln(CAST(a AS DOUBLE) / ((CAST(a AS DOUBLE) + b)"
+            "       * na / (CAST(na AS DOUBLE) + nb)))"
+            "   ELSE 0E0 END"
+            " + CASE WHEN b > 0 THEN CAST(b AS DOUBLE)"
+            "   * ln(CAST(b AS DOUBLE) / ((CAST(a AS DOUBLE) + b)"
+            "       * nb / (CAST(na AS DOUBLE) + nb)))"
+            "   ELSE 0E0 END) * 1000000E0, 0) AS BIGINT)"
+        ).alias("g2_micro"),
+    )
+    return (
+        z.orderBy(F.desc("g2_micro"), "w")
+        .limit(_KEYNESS_TOPK)
+        .select(
+            F.col("w").alias("term"),
+            F.col("a").alias("short_count"),
+            F.col("b").alias("long_count"),
+            F.col("sgn").alias("direction"),
+            "g2_micro",
+        )
+    )
+
+
+@register(
+    "craigs_zeta_short_vs_long",
+    oracle=_SHORTLONG_CTE
+    + """
+    , df AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN g = 'short' THEN 1 ELSE 0 END) AS BIGINT)
+               AS dfa,
+             CAST(SUM(CASE WHEN g = 'long' THEN 1 ELSE 0 END) AS BIGINT)
+               AS dfb
+      FROM (SELECT DISTINCT doc_id, g, unnest(ts) AS w FROM d)
+      GROUP BY w),
+    nd AS (
+      SELECT CAST(SUM(CASE WHEN g = 'short' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN g = 'long' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM d)
+    SELECT w AS term, dfa AS short_doc_freq, dfb AS long_doc_freq,
+           CAST(round((CAST(dfa AS DOUBLE) / na - CAST(dfb AS DOUBLE) / nb)
+             * 1000000E0, 0) AS BIGINT) AS zeta_micro
+    FROM df, nd
+    ORDER BY dfa * nb - dfb * na DESC, w LIMIT 10
+    """,
+)
+def craigs_zeta_short_vs_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Craig's Zeta marker words for the SHORT half of the corpus:
+    zeta(w) = docfreq_short(w)/|short| - docfreq_long(w)/|long| — the
+    stylometry workhorse for "consistently present here, consistently
+    absent there". Unlike G² (token counts — one obsessive document
+    can crown a term), Zeta counts DOCUMENTS, so a marker must recur
+    across the subcorpus; the two rankings disagreeing is itself the
+    burstiness signal (term_burstiness_topk quantifies it).
+
+    Exactness: document frequencies and corpus sizes are exact int64;
+    the top-k ORDERS on the integer cross-multiplied form
+    dfa*nb - dfb*na (never the double ratio) with the term tiebreak;
+    only the reported zeta quantizes to micro.
+
+    Scale: per-doc DISTINCT terms then a vocabulary-grain rollup — the
+    same one-shuffle shape as every df-based op; top-10 is a
+    TakeOrderedAndProject.
+    """
+    d = _shortlong_docs(spark, sf_dir)
+    docterms = d.select(
+        "doc_id", "g", F.explode(F.array_distinct("ts")).alias("w")
+    )
+    df = docterms.groupBy("w").agg(
+        F.sum(F.when(F.col("g") == "short", 1).otherwise(0))
+        .cast("bigint")
+        .alias("dfa"),
+        F.sum(F.when(F.col("g") == "long", 1).otherwise(0))
+        .cast("bigint")
+        .alias("dfb"),
+    )
+    nd = d.agg(
+        F.sum(F.when(F.col("g") == "short", 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("g") == "long", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    j = df.crossJoin(F.broadcast(nd))
+    return (
+        j.orderBy(
+            F.desc(F.col("dfa") * F.col("nb") - F.col("dfb") * F.col("na")),
+            "w",
+        )
+        .limit(10)
+        .select(
+            F.col("w").alias("term"),
+            F.col("dfa").alias("short_doc_freq"),
+            F.col("dfb").alias("long_doc_freq"),
+            F.expr(
+                "CAST(round((CAST(dfa AS DOUBLE) / na"
+                " - CAST(dfb AS DOUBLE) / nb) * 1000000E0, 0) AS BIGINT)"
+            ).alias("zeta_micro"),
+        )
+    )

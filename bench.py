@@ -708,6 +708,8 @@ HEADLINE = [
     "elementary_price_indices",
     "demand_classification_adi_cv2",
     "taylors_power_law_nations",
+    "keyness_g2_short_vs_long",
+    "craigs_zeta_short_vs_long",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
