@@ -13536,3 +13536,70 @@ def taylors_power_law_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(n AS DOUBLE) / 1000000E0 * 1000000E0, 0) AS BIGINT)"
         ).alias("intercept_micro"),
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Round-10: SQL-scripting-orchestrated distributed MLE (Spark 4 scripting).
+# ---------------------------------------------------------------------------
+
+#: shared Newton-step / tick-sum expression strings — injected into BOTH
+#: the Spark scripting body and the DuckDB unrolled-step oracle so the
+#: double math is token-identical (the _ZW_EXPR discipline), with only
+#: the 128-bit integer type name differing (DECIMAL(38,0) vs HUGEINT).
+_WMLE_SCRIPT = '\n    BEGIN\n      DECLARE n BIGINT; DECLARE sln BIGINT;\n      DECLARE k_micro BIGINT DEFAULT 1000000;\n      DECLARE k DOUBLE;\n      DECLARE t1 DECIMAL(38,0); DECLARE t2 DECIMAL(38,0); DECLARE t3 DECIMAL(38,0);\n      DECLARE i INT DEFAULT 0;\n      SET (n, sln) = (SELECT CAST(SUM(c) AS BIGINT),\n        CAST(SUM(CAST(round(c * ln(CAST(v AS DOUBLE)) * 1000000E0, 0)\n          AS BIGINT)) AS BIGINT) FROM wmle_vg);\n      WHILE i < 8 DO\n        SET k = CAST(k_micro AS DOUBLE) / 1000000E0;\n        SET (t1, t2, t3) = (SELECT SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * 1000000E0, 0) AS DECIMAL(38,0))),\n          SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS DECIMAL(38,0))), SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS DECIMAL(38,0))) FROM wmle_vg);\n        SET k_micro = CAST(round((k - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE) - 1E0 / k - CAST(sln AS DOUBLE) / 1000000E0 / CAST(n AS DOUBLE)) / ((CAST(t3 AS DOUBLE) / CAST(t1 AS DOUBLE) - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE)) * (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE))) + 1E0 / (k * k))) * 1000000E0, 0) AS BIGINT);\n        SET i = i + 1;\n      END WHILE;\n      SET k = CAST(k_micro AS DOUBLE) / 1000000E0;\n      SET t1 = (SELECT SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * 1000000E0, 0) AS DECIMAL(38,0))) FROM wmle_vg);\n      SELECT n AS n_gaps, k_micro AS shape_mle_micro,\n             CAST(round(pow(CAST(t1 AS DOUBLE) / 1000000E0 / CAST(n AS DOUBLE), 1E0 / k) * 1000E0, 0) AS BIGINT) AS scale_days_milli;\n    END\n'
+
+_WMLE_ORACLE = "\n    WITH g AS (\n      SELECT date_diff('day',\n               lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey\n                 ORDER BY o_orderdate, o_orderkey),\n               CAST(o_orderdate AS DATE)) AS gap\n      FROM orders),\n    vv AS MATERIALIZED (SELECT CAST(gap AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c\n           FROM g WHERE gap IS NOT NULL AND gap > 0 GROUP BY 1),\n    c0 AS (SELECT CAST(SUM(c) AS BIGINT) AS n,\n                  CAST(SUM(CAST(round(c * ln(CAST(v AS DOUBLE))\n                    * 1000000E0, 0) AS BIGINT)) AS BIGINT) AS sln\n           FROM vv),\n    k0 AS (SELECT CAST(1000000 AS BIGINT) AS k_micro),\n    s1 AS (\n      SELECT SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * 1000000E0, 0) AS HUGEINT)) AS t1, SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t2,\n             SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t3\n      FROM vv, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                FROM k0) kk),\n    k1 AS (\n      SELECT CAST(round((k - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE) - 1E0 / k - CAST(sln AS DOUBLE) / 1000000E0 / CAST(n AS DOUBLE)) / ((CAST(t3 AS DOUBLE) / CAST(t1 AS DOUBLE) - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE)) * (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE))) + 1E0 / (k * k))) * 1000000E0, 0) AS BIGINT) AS k_micro\n      FROM s1, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                  FROM k0) kk, c0),\n    s2 AS (\n      SELECT SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * 1000000E0, 0) AS HUGEINT)) AS t1, SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t2,\n             SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t3\n      FROM vv, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                FROM k1) kk),\n    k2 AS (\n      SELECT CAST(round((k - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE) - 1E0 / k - CAST(sln AS DOUBLE) / 1000000E0 / CAST(n AS DOUBLE)) / ((CAST(t3 AS DOUBLE) / CAST(t1 AS DOUBLE) - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE)) * (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE))) + 1E0 / (k * k))) * 1000000E0, 0) AS BIGINT) AS k_micro\n      FROM s2, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                  FROM k1) kk, c0),\n    s3 AS (\n      SELECT SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * 1000000E0, 0) AS HUGEINT)) AS t1, SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t2,\n             SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t3\n      FROM vv, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                FROM k2) kk),\n    k3 AS (\n      SELECT CAST(round((k - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE) - 1E0 / k - CAST(sln AS DOUBLE) / 1000000E0 / CAST(n AS DOUBLE)) / ((CAST(t3 AS DOUBLE) / CAST(t1 AS DOUBLE) - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE)) * (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE))) + 1E0 / (k * k))) * 1000000E0, 0) AS BIGINT) AS k_micro\n      FROM s3, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                  FROM k2) kk, c0),\n    s4 AS (\n      SELECT SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * 1000000E0, 0) AS HUGEINT)) AS t1, SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t2,\n             SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t3\n      FROM vv, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                FROM k3) kk),\n    k4 AS (\n      SELECT CAST(round((k - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE) - 1E0 / k - CAST(sln AS DOUBLE) / 1000000E0 / CAST(n AS DOUBLE)) / ((CAST(t3 AS DOUBLE) / CAST(t1 AS DOUBLE) - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE)) * (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE))) + 1E0 / (k * k))) * 1000000E0, 0) AS BIGINT) AS k_micro\n      FROM s4, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                  FROM k3) kk, c0),\n    s5 AS (\n      SELECT SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * 1000000E0, 0) AS HUGEINT)) AS t1, SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t2,\n             SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t3\n      FROM vv, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                FROM k4) kk),\n    k5 AS (\n      SELECT CAST(round((k - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE) - 1E0 / k - CAST(sln AS DOUBLE) / 1000000E0 / CAST(n AS DOUBLE)) / ((CAST(t3 AS DOUBLE) / CAST(t1 AS DOUBLE) - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE)) * (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE))) + 1E0 / (k * k))) * 1000000E0, 0) AS BIGINT) AS k_micro\n      FROM s5, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                  FROM k4) kk, c0),\n    s6 AS (\n      SELECT SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * 1000000E0, 0) AS HUGEINT)) AS t1, SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t2,\n             SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t3\n      FROM vv, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                FROM k5) kk),\n    k6 AS (\n      SELECT CAST(round((k - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE) - 1E0 / k - CAST(sln AS DOUBLE) / 1000000E0 / CAST(n AS DOUBLE)) / ((CAST(t3 AS DOUBLE) / CAST(t1 AS DOUBLE) - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE)) * (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE))) + 1E0 / (k * k))) * 1000000E0, 0) AS BIGINT) AS k_micro\n      FROM s6, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                  FROM k5) kk, c0),\n    s7 AS (\n      SELECT SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * 1000000E0, 0) AS HUGEINT)) AS t1, SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t2,\n             SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t3\n      FROM vv, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                FROM k6) kk),\n    k7 AS (\n      SELECT CAST(round((k - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE) - 1E0 / k - CAST(sln AS DOUBLE) / 1000000E0 / CAST(n AS DOUBLE)) / ((CAST(t3 AS DOUBLE) / CAST(t1 AS DOUBLE) - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE)) * (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE))) + 1E0 / (k * k))) * 1000000E0, 0) AS BIGINT) AS k_micro\n      FROM s7, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                  FROM k6) kk, c0),\n    s8 AS (\n      SELECT SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * 1000000E0, 0) AS HUGEINT)) AS t1, SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t2,\n             SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * ln(CAST(v AS DOUBLE)) * ln(CAST(v AS DOUBLE)) * 1000000E0, 0) AS HUGEINT)) AS t3\n      FROM vv, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                FROM k7) kk),\n    k8 AS (\n      SELECT CAST(round((k - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE) - 1E0 / k - CAST(sln AS DOUBLE) / 1000000E0 / CAST(n AS DOUBLE)) / ((CAST(t3 AS DOUBLE) / CAST(t1 AS DOUBLE) - (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE)) * (CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE))) + 1E0 / (k * k))) * 1000000E0, 0) AS BIGINT) AS k_micro\n      FROM s8, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                  FROM k7) kk, c0),\n    sf AS (\n      SELECT SUM(CAST(round(c * pow(CAST(v AS DOUBLE), k) * 1000000E0, 0) AS HUGEINT)) AS t1\n      FROM vv, (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k\n                FROM k8) kk)\n    SELECT c0.n AS n_gaps, k8.k_micro AS shape_mle_micro,\n           CAST(round(pow(CAST(t1 AS DOUBLE) / 1000000E0 / CAST(n AS DOUBLE), 1E0 / k) * 1000E0, 0) AS BIGINT) AS scale_days_milli\n    FROM c0, k8, sf,\n         (SELECT CAST(k_micro AS DOUBLE) / 1000000E0 AS k FROM k8) kk\n"
+
+
+@register("weibull_mle_scripting", oracle=_WMLE_ORACLE)
+def weibull_mle_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull MAXIMUM-LIKELIHOOD shape/scale for customer reorder
+    intervals, with the Newton iteration orchestrated by Spark 4 SQL
+    SCRIPTING (BEGIN ... WHILE ... END): each of the 8 steps issues one
+    Catalyst aggregate over the interval value grain with the current
+    k bound as a script variable, and the script IS the driver loop —
+    no Python between steps. Complements weibull_shape_reorder (the
+    ln(-ln) regression estimator): MLE is the efficient estimator the
+    regression approximates, and the pair disagreeing beyond a few
+    percent flags censoring/rounding artifacts in the gaps.
+
+    Determinism for a distributed iteration: the per-step sufficient
+    statistics Sum c*v^k, Sum c*v^k ln v, Sum c*v^k ln^2 v quantize
+    PER TERM to integer micro-ticks on the (gap value, count) grain —
+    so the sums are exact integers in any partition order — and k
+    itself re-quantizes to integer micro after every Newton step (the
+    raking-IPF trajectory device), making the whole 8-step path
+    bit-identical across Spark, the unrolled-CTE DuckDB oracle (k0..k8
+    as sequential CTEs — recursion flattened at authoring time), and
+    the pure-Python replay in tests.
+
+    Scale: the fact table reduces ONCE to the bounded gap-value grain
+    (~hundreds of rows); each scripted step scans only that grain, so
+    8 steps cost 8 tiny jobs, not 8 corpus passes. Scripting is
+    enabled only around the script (saved/restored, the CBO-op
+    discipline) and the result is checkpointed before restore.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    vg = gaps.groupBy(F.col("gap").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vg.localCheckpoint().createOrReplaceTempView("wmle_vg")
+    conf = spark.conf
+    saved = conf.get("spark.sql.scripting.enabled", None)
+    try:
+        conf.set("spark.sql.scripting.enabled", "true")
+        out = spark.sql(_WMLE_SCRIPT).localCheckpoint()
+    finally:
+        if saved is None:
+            conf.unset("spark.sql.scripting.enabled")
+        else:
+            conf.set("spark.sql.scripting.enabled", saved)
+    return out

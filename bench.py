@@ -710,6 +710,7 @@ HEADLINE = [
     "taylors_power_law_nations",
     "keyness_g2_short_vs_long",
     "craigs_zeta_short_vs_long",
+    "weibull_mle_scripting",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

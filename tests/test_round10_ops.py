@@ -656,3 +656,56 @@ class TestEconOpsShelf:
         assert abs(got.slope_micro - round(slope * 1e6)) <= 1
         # demand aggregation is bursty, not Poisson: b should exceed 1
         assert got.slope_micro > 1_000_000
+
+
+class TestWeibullMleScripting:
+    def test_newton_trajectory_replay(self, spark):
+        """Pure-Python replay of the 8 quantized Newton steps over the
+        same (gap, count) grain — pins Spark scripting AND the
+        unrolled-CTE oracle from outside SQL."""
+        import math
+
+        from ai_etl_studio_spark.catalog import load_table
+        from pyspark.sql import Window
+
+        o = load_table(spark, SF_DIR, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            "o_orderdate", "o_orderkey"
+        )
+        rows = (
+            o.select(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lag(F.col("o_orderdate").cast("date")).over(w),
+                ).alias("gap")
+            )
+            .filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+            .groupBy("gap")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        vg = [(r.gap, r.c) for r in rows]
+        n = sum(c for _, c in vg)
+        sln = sum(round(c * math.log(v) * 1e6) for v, c in vg)
+        k_micro = 1_000_000
+        for _ in range(8):
+            k = k_micro / 1e6
+            t1 = sum(round(c * v**k * 1e6) for v, c in vg)
+            t2 = sum(round(c * v**k * math.log(v) * 1e6) for v, c in vg)
+            t3 = sum(
+                round(c * v**k * math.log(v) ** 2 * 1e6) for v, c in vg
+            )
+            g = t2 / t1 - 1 / k - sln / 1e6 / n
+            gp = (t3 / t1 - (t2 / t1) ** 2) + 1 / (k * k)
+            k_micro = round((k - g / gp) * 1e6)
+        k = k_micro / 1e6
+        t1 = sum(round(c * v**k * 1e6) for v, c in vg)
+        lam_milli = round((t1 / 1e6 / n) ** (1 / k) * 1e3)
+        got = QUERIES["weibull_mle_scripting"](spark, SF_DIR).collect()[0]
+        assert got.n_gaps == n
+        assert got.shape_mle_micro == k_micro
+        assert abs(got.scale_days_milli - lam_milli) <= 1
+        # the MLE and the regression estimator must be in the same
+        # ballpark (they estimate the same shape)
+        reg = QUERIES["weibull_shape_reorder"](spark, SF_DIR).collect()[0]
+        assert abs(reg.shape_micro - got.shape_mle_micro) < 500_000
