@@ -6206,6 +6206,96 @@ def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LR_SEG_A, _LR_SEG_B = "BUILDING", "MACHINERY"
 
 
+def _reorder_surv_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared survival cells for the reorder-time tests: one row per
+    event time with at-risk counts (n1, n2) and event counts (d1, d2)
+    per segment group — the marker-row exclusive-cumulative risk-set
+    device documented in log_rank_reorder_segments."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(_LR_SEG_A, _LR_SEG_B)
+    ).select(
+        "c_custkey",
+        (F.col("c_mktsegment") == _LR_SEG_A).cast("int").alias("g1"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    od = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_custkey", "g1", F.col("o_orderdate").cast("date").alias("d")
+        )
+        .distinct()
+    )
+    anchor = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("mx")
+    )
+    per = od.groupBy("o_custkey", "g1").agg(
+        F.sort_array(F.collect_set("d")).alias("ds")
+    )
+    su = per.crossJoin(F.broadcast(anchor)).select(
+        "g1",
+        F.when(
+            F.size("ds") >= 2,
+            F.datediff(F.element_at("ds", 2), F.element_at("ds", 1)),
+        )
+        .otherwise(F.datediff(F.col("mx"), F.element_at("ds", 1)))
+        .alias("tt"),
+        (F.size("ds") >= 2).cast("int").alias("ev"),
+    )
+    vg = su.groupBy("g1", "tt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum("ev").cast("bigint").alias("c_ev"),
+    ).localCheckpoint()  # value grain; read by nt, et, u AND cells
+    nt = vg.groupBy("g1").agg(F.sum("c_all").cast("bigint").alias("ng"))
+    et = vg.filter(F.col("c_ev") > 0).select("tt").distinct()
+    u = vg.select("g1", "tt", "c_all", F.lit(1).alias("kind")).unionAll(
+        et.crossJoin(F.broadcast(nt.select("g1"))).select(
+            "g1", "tt", F.lit(0).cast("bigint").alias("c_all"),
+            F.lit(0).alias("kind"),
+        )
+    )
+    w = (
+        Window.partitionBy("g1")
+        .orderBy("tt", "kind")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cu = u.select(
+        "g1", "tt", "kind",
+        F.coalesce(F.sum("c_all").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("before_t"),
+    )
+    risk = (
+        cu.filter(F.col("kind") == 0)
+        .join(F.broadcast(nt), "g1")
+        .select("g1", "tt", (F.col("ng") - F.col("before_t")).alias("n_at"))
+    )
+    cells = (
+        risk.join(vg, ["g1", "tt"], "left")
+        .groupBy("tt")
+        .agg(
+            F.sum(F.when(F.col("g1") == 1, F.col("n_at")).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("g1") == 0, F.col("n_at")).otherwise(0))
+            .cast("bigint")
+            .alias("n2"),
+            F.sum(
+                F.when(F.col("g1") == 1, F.coalesce(F.col("c_ev"), F.lit(0)))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("d1"),
+            F.sum(
+                F.when(F.col("g1") == 0, F.coalesce(F.col("c_ev"), F.lit(0)))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("d2"),
+        )
+    )
+    return cells
+
+
 @register(
     "log_rank_reorder_segments",
     oracle=f"""
@@ -6305,88 +6395,7 @@ def log_rank_reorder_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |times|-grain value table — windows partition by group, output
     one row.
     """
-    c = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment").isin(_LR_SEG_A, _LR_SEG_B)
-    ).select(
-        "c_custkey",
-        (F.col("c_mktsegment") == _LR_SEG_A).cast("int").alias("g1"),
-    )
-    o = load_table(spark, sf_dir, "orders")
-    od = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .select(
-            "o_custkey", "g1", F.col("o_orderdate").cast("date").alias("d")
-        )
-        .distinct()
-    )
-    anchor = o.agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("mx")
-    )
-    per = od.groupBy("o_custkey", "g1").agg(
-        F.sort_array(F.collect_set("d")).alias("ds")
-    )
-    su = per.crossJoin(F.broadcast(anchor)).select(
-        "g1",
-        F.when(
-            F.size("ds") >= 2,
-            F.datediff(F.element_at("ds", 2), F.element_at("ds", 1)),
-        )
-        .otherwise(F.datediff(F.col("mx"), F.element_at("ds", 1)))
-        .alias("tt"),
-        (F.size("ds") >= 2).cast("int").alias("ev"),
-    )
-    vg = su.groupBy("g1", "tt").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_all"),
-        F.sum("ev").cast("bigint").alias("c_ev"),
-    ).localCheckpoint()  # value grain; read by nt, et, u AND cells
-    nt = vg.groupBy("g1").agg(F.sum("c_all").cast("bigint").alias("ng"))
-    et = vg.filter(F.col("c_ev") > 0).select("tt").distinct()
-    u = vg.select("g1", "tt", "c_all", F.lit(1).alias("kind")).unionAll(
-        et.crossJoin(F.broadcast(nt.select("g1"))).select(
-            "g1", "tt", F.lit(0).cast("bigint").alias("c_all"),
-            F.lit(0).alias("kind"),
-        )
-    )
-    w = (
-        Window.partitionBy("g1")
-        .orderBy("tt", "kind")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cu = u.select(
-        "g1", "tt", "kind",
-        F.coalesce(F.sum("c_all").over(w), F.lit(0))
-        .cast("bigint")
-        .alias("before_t"),
-    )
-    risk = (
-        cu.filter(F.col("kind") == 0)
-        .join(F.broadcast(nt), "g1")
-        .select("g1", "tt", (F.col("ng") - F.col("before_t")).alias("n_at"))
-    )
-    cells = (
-        risk.join(vg, ["g1", "tt"], "left")
-        .groupBy("tt")
-        .agg(
-            F.sum(F.when(F.col("g1") == 1, F.col("n_at")).otherwise(0))
-            .cast("bigint")
-            .alias("n1"),
-            F.sum(F.when(F.col("g1") == 0, F.col("n_at")).otherwise(0))
-            .cast("bigint")
-            .alias("n2"),
-            F.sum(
-                F.when(F.col("g1") == 1, F.coalesce(F.col("c_ev"), F.lit(0)))
-                .otherwise(0)
-            )
-            .cast("bigint")
-            .alias("d1"),
-            F.sum(
-                F.when(F.col("g1") == 0, F.coalesce(F.col("c_ev"), F.lit(0)))
-                .otherwise(0)
-            )
-            .cast("bigint")
-            .alias("d2"),
-        )
-    )
+    cells = _reorder_surv_cells(spark, sf_dir)
     terms = cells.filter(F.col("n1") + F.col("n2") > 1).agg(
         F.sum(
             F.expr(
@@ -12896,4 +12905,269 @@ def ordinal_association_priority_delay(
             " / (CAST(n AS DOUBLE) * (n - 1) - CAST(r2 AS DOUBLE))"
             " * 1000000E0, 0) AS BIGINT)"
         ).alias("somers_d_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Gehan-Wilcoxon early-difference survival test.
+# ---------------------------------------------------------------------------
+
+#: the survival-cells oracle prefix shared with log_rank_reorder_segments
+#: (import-time-asserted below against that op's registered oracle, the
+#: _AB_FILTER_MARKER discipline — if the log-rank CTE text drifts, fail
+#: at import, not at sweep time).
+_LR_CELLS_CTE = f"""
+    WITH cust AS (
+      SELECT c_custkey,
+             CASE WHEN c_mktsegment = '{_LR_SEG_A}' THEN 1 ELSE 0 END AS g1
+      FROM customer WHERE c_mktsegment IN ('{_LR_SEG_A}', '{_LR_SEG_B}')),
+    od AS (
+      SELECT o.o_custkey, cust.g1, CAST(o.o_orderdate AS DATE) AS d
+      FROM orders o JOIN cust ON o.o_custkey = cust.c_custkey
+      GROUP BY 1, 2, 3),
+    anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+    per AS (
+      SELECT o_custkey, g1, MIN(d) AS d1,
+             MIN(CASE WHEN d > (SELECT MIN(d2.d) FROM od d2
+                                WHERE d2.o_custkey = od.o_custkey)
+                      THEN d END) AS d2
+      FROM od GROUP BY 1, 2),
+    su AS (
+      SELECT g1,
+             CASE WHEN d2 IS NOT NULL
+                  THEN date_diff('day', d1, d2)
+                  ELSE date_diff('day', d1, (SELECT mx FROM anchor)) END
+               AS tt,
+             CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per),
+    vg AS (
+      SELECT g1, tt, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(ev) AS BIGINT) AS c_ev
+      FROM su GROUP BY 1, 2),
+    nt AS (SELECT g1, CAST(SUM(c_all) AS BIGINT) AS ng FROM vg GROUP BY g1),
+    et AS (SELECT DISTINCT tt FROM vg WHERE c_ev > 0),
+    u AS (
+      SELECT g1, tt, c_all, 1 AS kind FROM vg
+      UNION ALL
+      SELECT nt.g1, et.tt, 0, 0 FROM et CROSS JOIN nt),
+    cu AS (
+      SELECT g1, tt, kind,
+             CAST(COALESCE(SUM(c_all) OVER (PARTITION BY g1
+               ORDER BY tt, kind
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before_t
+      FROM u),
+    risk AS (
+      SELECT cu.g1, cu.tt, nt.ng - cu.before_t AS n_at
+      FROM cu JOIN nt ON cu.g1 = nt.g1 WHERE cu.kind = 0),
+    cells AS (
+      SELECT risk.tt,
+             CAST(SUM(CASE WHEN risk.g1 = 1 THEN risk.n_at ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN risk.g1 = 0 THEN risk.n_at ELSE 0 END)
+               AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN risk.g1 = 1
+               THEN COALESCE(vg.c_ev, 0) ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN risk.g1 = 0
+               THEN COALESCE(vg.c_ev, 0) ELSE 0 END) AS BIGINT) AS d2
+      FROM risk LEFT JOIN vg ON risk.g1 = vg.g1 AND risk.tt = vg.tt
+      GROUP BY risk.tt)
+"""
+
+from ai_etl_studio_spark.operators import ORACLES as _ORACLES_VIEW
+
+assert " ".join(_LR_CELLS_CTE.split()) in _ORACLES_VIEW[
+    "log_rank_reorder_segments"
+], (
+    "log-rank cells CTE drifted from _LR_CELLS_CTE; update the gehan "
+    "oracle prefix"
+)
+
+
+@register(
+    "gehan_wilcoxon_reorder",
+    oracle=_LR_CELLS_CTE
+    + """
+    , terms AS (
+      SELECT CAST(SUM((n1 + n2) * d1 - (d1 + d2) * n1) AS BIGINT)
+               AS oe_exact,
+             CAST(SUM(CAST(round(CAST(d1 + d2 AS DOUBLE)
+               * CAST(n1 AS DOUBLE) * n2
+               * (CAST(n1 + n2 - d1 - d2 AS DOUBLE))
+               / (CAST(n1 + n2 AS DOUBLE) - 1E0) * 1000E0, 0)
+               AS HUGEINT)) AS HUGEINT) AS var_milli,
+             CAST(SUM(d1 + d2) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_times
+      FROM cells WHERE n1 + n2 > 1)
+    SELECT n_times, n_events, oe_exact,
+           CAST(round(CAST(oe_exact AS DOUBLE)
+             / sqrt(CAST(var_milli AS DOUBLE) / 1000E0)
+             * 1000000E0, 0) AS BIGINT) AS z_micro
+    FROM terms
+    """,
+)
+def gehan_wilcoxon_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gehan-Wilcoxon (Breslow) test on the same censored
+    time-to-second-order data as log_rank_reorder_segments: each event
+    time's O-E contribution is weighted by the TOTAL number still at
+    risk, so EARLY separation dominates — the complement of log-rank
+    (equal weights, late-difference-sensitive under proportional
+    hazards). Running both is the survival-analysis standard: log-rank
+    significant but Gehan not (or vice versa) localizes WHEN the two
+    segments' reorder behavior diverges.
+
+    Exactness: the Gehan weight CANCELS the risk-set denominator —
+    w_t*(O-E) = (n1+n2)*d1 - (d1+d2)*n1 is an EXACT INTEGER per event
+    time (log-rank's same term needs a micro quantum), so the
+    numerator is exact int64; the weighted variance
+    (d1+d2)*n1*n2*(n-d)/(n-1) quantizes per term to milli in 128-bit;
+    z is one mirrored double.
+
+    Scale: identical budget to log-rank — the shared
+    ``_reorder_surv_cells`` value-grain risk-set device, one row out.
+    """
+    cells = _reorder_surv_cells(spark, sf_dir)
+    terms = cells.filter(F.col("n1") + F.col("n2") > 1).agg(
+        F.sum(
+            (F.col("n1") + F.col("n2")) * F.col("d1")
+            - (F.col("d1") + F.col("d2")) * F.col("n1")
+        )
+        .cast("bigint")
+        .alias("oe_exact"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(d1 + d2 AS DOUBLE)"
+                " * CAST(n1 AS DOUBLE) * n2"
+                " * (CAST(n1 + n2 - d1 - d2 AS DOUBLE))"
+                " / (CAST(n1 + n2 AS DOUBLE) - 1E0) * 1000E0, 0)"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("var_milli"),
+        F.sum(F.col("d1") + F.col("d2")).cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_times"),
+    )
+    return terms.select(
+        "n_times",
+        "n_events",
+        "oe_exact",
+        F.expr(
+            "CAST(round(CAST(oe_exact AS DOUBLE)"
+            " / sqrt(CAST(var_milli AS DOUBLE) / 1000E0)"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("z_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Quade test — range-weighted blocked rank ANOVA.
+# ---------------------------------------------------------------------------
+
+
+def _quade_oracle() -> str:
+    k = len(_KW_GROUPS)
+    # odd k makes (k+1)/2 integral, keeping S_ij integer end to end
+    assert k % 2 == 1, "quade S_ij integrality assumes odd k"
+    piv = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN p = '{g}' THEN sij ELSE 0 END) AS BIGINT)"
+        f" AS s_{i}"
+        for i, g in enumerate(_KW_GROUPS)
+    )
+    bnum = " + ".join(f"s_{i} * s_{i}" for i in range(k))
+    return f"""
+    WITH c AS (
+      SELECT year(o_orderdate) AS yr, o_orderpriority AS p,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2),
+    rk AS (
+      SELECT yr, p,
+             CAST(ROW_NUMBER() OVER (PARTITION BY yr ORDER BY rev, p)
+               AS BIGINT) AS rk
+      FROM c),
+    rg AS (SELECT yr, MAX(rev) - MIN(rev) AS rng FROM c GROUP BY yr),
+    qq AS (
+      SELECT yr, CAST(ROW_NUMBER() OVER (ORDER BY rng, yr) AS BIGINT) AS q
+      FROM rg),
+    s AS (
+      SELECT rk.yr, rk.p, qq.q * (rk.rk - {(k + 1) // 2}) AS sij
+      FROM rk JOIN qq ON rk.yr = qq.yr),
+    piv AS (
+      SELECT CAST(COUNT(DISTINCT yr) AS BIGINT) AS b,
+             CAST(SUM(sij * sij) AS BIGINT) AS a2, {piv}
+      FROM s)
+    SELECT b, {", ".join(f"s_{i}" for i in range(k))},
+           CAST((2 * (b - 1) * ({bnum}) * 1000000
+                 + (b * a2 - ({bnum})))
+             // (2 * (b * a2 - ({bnum}))) AS BIGINT) AS quade_f_micro
+    FROM piv
+    """
+
+
+@register("quade_test_priority_by_year", oracle=_quade_oracle())
+def quade_test_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test — Friedman's range-weighted refinement: within-year
+    priority ranks are weighted by the rank of each YEAR's revenue
+    RANGE, so years where the priorities actually differ count more
+    (Friedman gives a noise year the same vote as a decisive one; for
+    small k the Quade test is the more powerful of the pair —
+    Conover's recommendation for k <= 5, which is exactly this k=5
+    design). Reported F ~ F(k-1, (b-1)(k-1)) under exchangeability.
+
+    Exactness: FULLY integer to the last step — within-block ranks and
+    block-range ranks are deterministic ROW_NUMBERs over exact cents
+    (tiebreaks by priority / year mirror in both engines); with k=5,
+    S_ij = Q_j*(r_ij - 3) is integer; the F statistic
+    (b-1)*B/(b*A2 - B) with B = Sum S_i^2 is ONE exact half-up integer
+    division — no double anywhere.
+
+    Scale: the |years| x |priorities| cell table (<=40 rows) does all
+    the work; one scan over orders.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    c = c.localCheckpoint()  # read by rk AND rg
+    w = Window.partitionBy("yr").orderBy("rev", "p")
+    rk = c.select(
+        "yr", "p", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    rg = c.groupBy("yr").agg(
+        (F.max("rev") - F.min("rev")).alias("rng")
+    )
+    qq = rg.select(
+        "yr",
+        F.row_number()
+        .over(Window.orderBy("rng", "yr"))
+        .cast("bigint")
+        .alias("q"),
+    )
+    k = len(_KW_GROUPS)
+    mid = (k + 1) // 2
+    s = rk.join(F.broadcast(qq), "yr").select(
+        "p", (F.col("q") * (F.col("rk") - mid)).alias("sij")
+    )
+    piv = s.groupBy().agg(
+        F.sum(F.col("sij") * F.col("sij")).cast("bigint").alias("a2"),
+        *[
+            F.sum(F.when(F.col("p") == g, F.col("sij")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s_{i}")
+            for i, g in enumerate(_KW_GROUPS)
+        ],
+    ).crossJoin(
+        F.broadcast(
+            c.agg(F.countDistinct("yr").cast("bigint").alias("b"))
+        )
+    )
+    bnum = " + ".join(f"s_{i} * s_{i}" for i in range(k))
+    return piv.select(
+        "b",
+        *[f"s_{i}" for i in range(k)],
+        F.expr(
+            f"CAST((2 * (b - 1) * ({bnum}) * 1000000"
+            f" + (b * a2 - ({bnum})))"
+            f" DIV (2 * (b * a2 - ({bnum}))) AS BIGINT)"
+        ).alias("quade_f_micro"),
     )

@@ -711,6 +711,8 @@ HEADLINE = [
     "keyness_g2_short_vs_long",
     "craigs_zeta_short_vs_long",
     "weibull_mle_scripting",
+    "gehan_wilcoxon_reorder",
+    "quade_test_priority_by_year",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

@@ -709,3 +709,77 @@ class TestWeibullMleScripting:
         # ballpark (they estimate the same shape)
         reg = QUERIES["weibull_shape_reorder"](spark, SF_DIR).collect()[0]
         assert abs(reg.shape_micro - got.shape_mle_micro) < 500_000
+
+
+class TestSurvivalAndBlockedRanks:
+    def test_gehan_numerator_is_exact_and_early_weighted(self, spark):
+        """The Gehan O-E numerator must equal the cells-level integer
+        identity Sum((n1+n2)*d1 - (d1+d2)*n1), and weighting by risk-set
+        size must differ from log-rank's unweighted z."""
+        from ai_etl_studio_spark.operators.drift import _reorder_surv_cells
+
+        cells = [
+            r
+            for r in _reorder_surv_cells(spark, SF_DIR).collect()
+            if r.n1 + r.n2 > 1
+        ]
+        oe = sum((r.n1 + r.n2) * r.d1 - (r.d1 + r.d2) * r.n1 for r in cells)
+        got = QUERIES["gehan_wilcoxon_reorder"](spark, SF_DIR).collect()[0]
+        assert got.oe_exact == oe
+        assert got.n_times == len(cells)
+        lr = QUERIES["log_rank_reorder_segments"](spark, SF_DIR).collect()[0]
+        assert got.z_micro != lr.z_micro  # different weightings
+
+    def test_quade_replay(self, spark):
+        """Brute-force Quade from the (year, priority, exact-cents)
+        cells: within-year ranks, range-rank block weights, integer F."""
+        from ai_etl_studio_spark.catalog import load_table
+
+        rows = (
+            load_table(spark, SF_DIR, "orders")
+            .groupBy(
+                F.year("o_orderdate").alias("yr"),
+                F.col("o_orderpriority").alias("p"),
+            )
+            .agg(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                ).alias("rev")
+            )
+            .collect()
+        )
+        by_yr = defaultdict(dict)
+        for r in rows:
+            by_yr[r.yr][r.p] = r.rev
+        qs = {
+            yr: i + 1
+            for i, (yr, _) in enumerate(
+                sorted(
+                    by_yr.items(),
+                    key=lambda kv: (max(kv[1].values()) - min(kv[1].values()), kv[0]),
+                )
+            )
+        }
+        prios = sorted(next(iter(by_yr.values())))
+        sij = {}
+        for yr, cells in by_yr.items():
+            ranked = sorted(cells.items(), key=lambda kv: (kv[1], kv[0]))
+            for rk, (p, _) in enumerate(ranked, 1):
+                sij[(yr, p)] = qs[yr] * (rk - 3)
+        a2 = sum(v * v for v in sij.values())
+        s_i = {
+            p: sum(v for (yr, pp), v in sij.items() if pp == p)
+            for p in prios
+        }
+        bnum = sum(v * v for v in s_i.values())
+        b = len(by_yr)
+        f_micro = (2 * (b - 1) * bnum * 10**6 + (b * a2 - bnum)) // (
+            2 * (b * a2 - bnum)
+        )
+        got = QUERIES["quade_test_priority_by_year"](spark, SF_DIR).collect()[
+            0
+        ]
+        assert got.b == b
+        assert got.quade_f_micro == f_micro
+        for i, p in enumerate(sorted(s_i)):
+            assert got[f"s_{i}"] == s_i[p]
