@@ -13603,3 +13603,64 @@ def weibull_mle_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             conf.set("spark.sql.scripting.enabled", saved)
     return out
+
+
+
+# ---------------------------------------------------------------------------
+# Round-10: damped-trend exponential smoothing (Gardner-McKenzie).
+# ---------------------------------------------------------------------------
+
+
+@register("damped_trend_forecast_daily", oracle='\n    WITH RECURSIVE daily AS (\n      SELECT CAST(o_orderdate AS DATE) AS day,\n             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))\n               AS BIGINT) AS x\n      FROM orders GROUP BY 1),\n    t AS (SELECT row_number() OVER (ORDER BY day) - 1 AS t, x FROM daily),\n    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn FROM t),\n    dt(i, l, b) AS (\n      SELECT CAST(2 AS BIGINT),\n             (SELECT x FROM t WHERE t = 0),\n             (SELECT x FROM t WHERE t = 1) - (SELECT x FROM t WHERE t = 0)\n      UNION ALL\n      SELECT dt.i + 1, CAST(round(0.3E0 * t.x + 0.7E0 * (dt.l + CAST(round(0.9E0 * dt.b, 0) AS BIGINT)), 0) AS BIGINT), CAST(round(0.1E0 * (CAST(round(0.3E0 * t.x + 0.7E0 * (dt.l + CAST(round(0.9E0 * dt.b, 0) AS BIGINT)), 0) AS BIGINT) - dt.l) + 0.9E0 * CAST(round(0.9E0 * dt.b, 0) AS BIGINT), 0) AS BIGINT)\n      FROM dt JOIN t ON t.t = dt.i\n      WHERE dt.i < (SELECT tn FROM nn))\n    SELECT (SELECT tn FROM nn) AS n_days, l AS level_cents,\n           b AS trend_cents,\n           l + CAST(round(0.9E0 * b, 0) AS BIGINT) AS forecast_1_cents,\n           l + CAST(round((0.9E0 + 0.81E0 + 0.729E0 + 0.6561E0 + 0.59049E0 + 0.531441E0 + 0.4782969E0) * b, 0) AS BIGINT) AS forecast_7_cents\n    FROM dt WHERE i = (SELECT tn FROM nn)\n')
+def damped_trend_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gardner-McKenzie DAMPED-trend exponential smoothing over daily
+    revenue (alpha=0.3, beta=0.1, phi=0.9): Holt's linear trend is
+    multiplied by phi each step, so the h-ahead forecast flattens
+    toward the damped horizon instead of extrapolating a straight line
+    forever — the M3-competition result (damping beats plain Holt on
+    most real series) and the missing member between holt_level_trend
+    (phi=1) and theta/Holt-Winters in the forecasting shelf. A
+    pipeline promotes whichever member wins the refereeing ops
+    (MASE / Theil-U2 / Diebold-Mariano) on ITS series.
+
+    Exactness: phi*b quantizes to integer cents, then level and trend
+    each re-quantize per step (the HW 9-component device at 2
+    components); the quantized level expression repeats verbatim
+    inside the trend update, exact because integer-valued. Init
+    l0 = x0, b0 = x1 - x0 (the holt_level_trend bootstrap); the
+    oracle's recursive CTE walks the same ~2,400 integer steps.
+
+    Scale: reduce-then-fold — one exact-cents row per day, a single
+    JVM aggregate fold; no Python, no driver loop, no per-step
+    shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("x")
+    )
+    row = (
+        daily.agg(
+            F.array_sort(F.collect_list(F.struct("d", "x"))).alias("s")
+        )
+        .select(F.transform("s", lambda r: r["x"]).alias("ys"))
+    )
+    st = row.select(
+        F.expr("CAST(size(ys) AS BIGINT)").alias("n_days"),
+        F.expr(
+            "aggregate(slice(ys, 3, size(ys) - 2),"
+            " named_struct('l', element_at(ys, 1),"
+            " 'b', element_at(ys, 2) - element_at(ys, 1)),"
+            " (st, x) -> named_struct('l', CAST(round(0.3E0 * x + 0.7E0 * (st.l + CAST(round(0.9E0 * st.b, 0) AS BIGINT)), 0) AS BIGINT),"
+            " 'b', CAST(round(0.1E0 * (CAST(round(0.3E0 * x + 0.7E0 * (st.l + CAST(round(0.9E0 * st.b, 0) AS BIGINT)), 0) AS BIGINT) - st.l) + 0.9E0 * CAST(round(0.9E0 * st.b, 0) AS BIGINT), 0) AS BIGINT)))"
+        ).alias("st"),
+    )
+    return st.select(
+        "n_days",
+        F.col("st.l").alias("level_cents"),
+        F.col("st.b").alias("trend_cents"),
+        F.expr(
+            "st.l + CAST(round(0.9E0 * st.b, 0) AS BIGINT)"
+        ).alias("forecast_1_cents"),
+        F.expr(
+            "st.l + CAST(round((0.9E0 + 0.81E0 + 0.729E0 + 0.6561E0 + 0.59049E0 + 0.531441E0 + 0.4782969E0) * st.b, 0) AS BIGINT)"
+        ).alias("forecast_7_cents"),
+    )

@@ -176,3 +176,56 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score_ticks").cast("double") / TICKS, 6).alias("bm25"),
         )
     )
+
+
+
+@register("dirichlet_lm_search", oracle="\n    WITH profile AS (\n      SELECT doc_id,\n             len(string_split_regex(lower(text), '\\s+')) AS dl,\n             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x = 'spark')) AS tf_0,\n             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x = 'hash')) AS tf_1,\n             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x = 'join')) AS tf_2,\n             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x = 'stream')) AS tf_3\n      FROM documents),\n    stats AS (\n      SELECT CAST(SUM(dl) AS BIGINT) AS total_tokens, CAST(SUM(tf_0) AS BIGINT) AS ctf_0,\n             CAST(SUM(tf_1) AS BIGINT) AS ctf_1,\n             CAST(SUM(tf_2) AS BIGINT) AS ctf_2,\n             CAST(SUM(tf_3) AS BIGINT) AS ctf_3\n      FROM profile),\n    scored AS (\n      SELECT doc_id, dl,\n             CAST(round(ln((CAST(tf_0 AS DOUBLE) + 2000E0 * ctf_0 / total_tokens) / (CAST(dl AS DOUBLE) + 2000E0)) * 1000000000E0, 0) AS BIGINT)\n           + CAST(round(ln((CAST(tf_1 AS DOUBLE) + 2000E0 * ctf_1 / total_tokens) / (CAST(dl AS DOUBLE) + 2000E0)) * 1000000000E0, 0) AS BIGINT)\n           + CAST(round(ln((CAST(tf_2 AS DOUBLE) + 2000E0 * ctf_2 / total_tokens) / (CAST(dl AS DOUBLE) + 2000E0)) * 1000000000E0, 0) AS BIGINT)\n           + CAST(round(ln((CAST(tf_3 AS DOUBLE) + 2000E0 * ctf_3 / total_tokens) / (CAST(dl AS DOUBLE) + 2000E0)) * 1000000000E0, 0) AS BIGINT) AS score_ticks\n      FROM profile, stats)\n    SELECT doc_id, dl, score_ticks\n    FROM scored ORDER BY score_ticks DESC, doc_id LIMIT 20\n")
+def dirichlet_lm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet-prior smoothing
+    (mu=2000, the Zhai-Lafferty standard) for the same fixed query as
+    bm25_search: score(d) = Sum_t ln((tf + mu*p(t|C)) / (dl + mu)).
+    The language-modeling family is BM25's main rival in IR — it has
+    an explicit length normalization (the mu denominator) and a
+    principled back-off to collection statistics, and it scores EVERY
+    document (smoothing means zero-match docs still rank, by length) —
+    so running both and comparing top-k disagreement (rbo-style) is
+    the standard ranker-sanity check before a targeted corpus pull.
+
+    Shape: identical to bm25_search — narrow no-explode per-doc
+    profile, one broadcast stats row (total tokens + per-term
+    COLLECTION frequencies, where BM25 needs document frequencies),
+    scalar scoring, TakeOrderedAndProject. Two corpus scans, zero
+    shuffles of document rows.
+
+    Exactness: each (doc, term) log-likelihood contribution quantizes
+    to integer nano-ticks and sums in written term order; the
+    expression template is ONE string shared between both engines;
+    top-k is total-ordered by (score, doc_id).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+
+    def eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    profile = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(QUERY_TERMS)
+        ],
+    )
+    stats = profile.agg(
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+        *[
+            F.sum(f"tf_{i}").cast("bigint").alias(f"ctf_{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+    scored = profile.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "dl",
+        F.expr('CAST(round(ln((CAST(tf_0 AS DOUBLE) + 2000E0 * ctf_0 / total_tokens) / (CAST(dl AS DOUBLE) + 2000E0)) * 1000000000E0, 0) AS BIGINT)\n           + CAST(round(ln((CAST(tf_1 AS DOUBLE) + 2000E0 * ctf_1 / total_tokens) / (CAST(dl AS DOUBLE) + 2000E0)) * 1000000000E0, 0) AS BIGINT)\n           + CAST(round(ln((CAST(tf_2 AS DOUBLE) + 2000E0 * ctf_2 / total_tokens) / (CAST(dl AS DOUBLE) + 2000E0)) * 1000000000E0, 0) AS BIGINT)\n           + CAST(round(ln((CAST(tf_3 AS DOUBLE) + 2000E0 * ctf_3 / total_tokens) / (CAST(dl AS DOUBLE) + 2000E0)) * 1000000000E0, 0) AS BIGINT)').alias("score_ticks"),
+    )
+    return scored.orderBy(F.desc("score_ticks"), "doc_id").limit(20)

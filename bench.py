@@ -713,6 +713,8 @@ HEADLINE = [
     "weibull_mle_scripting",
     "gehan_wilcoxon_reorder",
     "quade_test_priority_by_year",
+    "damped_trend_forecast_daily",
+    "dirichlet_lm_search",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

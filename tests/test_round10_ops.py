@@ -783,3 +783,82 @@ class TestSurvivalAndBlockedRanks:
         assert got.quade_f_micro == f_micro
         for i, p in enumerate(sorted(s_i)):
             assert got[f"s_{i}"] == s_i[p]
+
+
+class TestForecastAndRetrieval:
+    def test_damped_trend_trajectory_replay(self, spark):
+        """Pure-Python walk of the quantized damped-trend recursion."""
+        from ai_etl_studio_spark.catalog import load_table
+
+        rows = (
+            load_table(spark, SF_DIR, "orders")
+            .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+            .agg(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                ).alias("x")
+            )
+            .orderBy("d")
+            .collect()
+        )
+        ys = [r.x for r in rows]
+
+        def rnd(v):  # HALF_UP like both engines' round(x, 0)
+            import math
+
+            return int(math.floor(v + 0.5)) if v >= 0 else int(
+                math.ceil(v - 0.5)
+            )
+
+        l, b = ys[0], ys[1] - ys[0]
+        for x in ys[2:]:
+            pb = rnd(0.9 * b)
+            lnew = rnd(0.3 * x + 0.7 * (l + pb))
+            b = rnd(0.1 * (lnew - l) + 0.9 * pb)
+            l = lnew
+        got = QUERIES["damped_trend_forecast_daily"](spark, SF_DIR).collect()[
+            0
+        ]
+        assert got.n_days == len(ys)
+        assert (got.level_cents, got.trend_cents) == (l, b)
+        assert got.forecast_1_cents == l + rnd(0.9 * b)
+        phi7 = sum(0.9**i for i in range(1, 8))
+        assert got.forecast_7_cents == l + rnd(phi7 * b)
+        # damping: the 7-day extrapolation is strictly inside plain
+        # Holt's l + 7b whenever b != 0
+        if b != 0:
+            assert abs(got.forecast_7_cents - l) < abs(7 * b)
+
+    def test_dirichlet_lm_scores_every_doc_and_ranks_matches_first(
+        self, spark
+    ):
+        """Smoothing scores zero-match docs too (by length); docs
+        actually containing query terms must outrank same-length docs
+        without them."""
+        from ai_etl_studio_spark.operators.search import QUERY_TERMS
+
+        top = QUERIES["dirichlet_lm_search"](spark, SF_DIR).collect()
+        assert len(top) == 20
+        assert all(
+            top[i].score_ticks >= top[i + 1].score_ticks
+            for i in range(len(top) - 1)
+        )
+        from ai_etl_studio_spark.catalog import load_table
+
+        d = load_table(spark, SF_DIR, "documents")
+        toks = F.split(F.lower("text"), r"\s+")
+        hits = {
+            r.doc_id
+            for r in d.select(
+                "doc_id",
+                F.size(
+                    F.filter(
+                        toks, lambda x: x.isin(*QUERY_TERMS)
+                    )
+                ).alias("m"),
+            )
+            .filter(F.col("m") > 0)
+            .collect()
+        }
+        # every top-5 doc contains at least one query term
+        assert all(r.doc_id in hits for r in top[:5])
