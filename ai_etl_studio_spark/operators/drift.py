@@ -13171,3 +13171,109 @@ def quade_test_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV (2 * (b * a2 - ({bnum}))) AS BIGINT)"
         ).alias("quade_f_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: ANOVA effect sizes for the delay-by-priority design.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "variance_explained_priority_delay",
+    oracle=_DELAY_GRAIN_CTE
+    + """
+    , g AS (
+      SELECT pr, CAST(SUM(c) AS BIGINT) AS ng,
+             CAST(SUM(c * v) AS BIGINT) AS sg,
+             CAST(SUM(CAST(c AS HUGEINT) * v * v) AS HUGEINT) AS qg
+      FROM c GROUP BY pr),
+    t AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(sg) AS BIGINT) AS s, CAST(SUM(qg) AS HUGEINT) AS q,
+             CAST(SUM(CAST(round(CAST(sg AS DOUBLE) * sg / ng
+               * 1000E0, 0) AS HUGEINT)) AS HUGEINT) AS ssb_part_milli
+      FROM g),
+    ss AS (
+      SELECT n, k,
+             CAST(ssb_part_milli AS DOUBLE) / 1000E0
+               - CAST(s AS DOUBLE) * s / n AS ssb,
+             CAST(q AS DOUBLE) - CAST(ssb_part_milli AS DOUBLE) / 1000E0
+               AS ssw,
+             CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n AS sst
+      FROM t)
+    SELECT n, k,
+           CAST(round(ssb / sst * 1000000E0, 0) AS BIGINT) AS eta2_micro,
+           CAST(round((ssb - (CAST(k AS DOUBLE) - 1) * (ssw / (n - k)))
+             / sst * 1000000E0, 0) AS BIGINT) AS epsilon2_micro,
+           CAST(round((ssb - (CAST(k AS DOUBLE) - 1) * (ssw / (n - k)))
+             / (sst + ssw / (n - k)) * 1000000E0, 0) AS BIGINT)
+             AS omega2_micro
+    FROM ss
+    """,
+)
+def variance_explained_priority_delay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANOVA effect sizes for priority -> ship delay: eta² (the naive
+    SSB/SST, upward-biased), epsilon² and omega² (the two standard
+    bias corrections — what fraction of delay variance priority
+    explains IN THE POPULATION). The significance tests
+    (kruskal_wallis / welch / tukey_hsd) answer "is there an effect";
+    this answers the planning question "is the effect big enough to
+    matter", which no p-value at n=600k can (everything is significant
+    there).
+
+    Exactness: per-group (count, sum, sum-of-squares) are exact
+    integers off the shared value grain (128-bit squares); the
+    between-group sum of per-group S²/n fractions quantizes per group
+    to milli; the three ratios are single-row mirrored doubles.
+
+    Scale: rides ``_delay_grain``; everything after is a 5-row table.
+    """
+    c = _delay_grain(spark, sf_dir)
+    g = c.groupBy("pr").agg(
+        F.sum("c").cast("bigint").alias("ng"),
+        F.sum(F.col("c") * F.col("v")).cast("bigint").alias("sg"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * v * v")).alias("qg"),
+    )
+    t = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("sg").cast("bigint").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(sg AS DOUBLE) * sg / ng * 1000E0, 0)"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("ssb_part_milli"),
+    )
+    ss = t.select(
+        "n",
+        "k",
+        F.expr(
+            "CAST(ssb_part_milli AS DOUBLE) / 1000E0"
+            " - CAST(s AS DOUBLE) * s / n"
+        ).alias("ssb"),
+        F.expr(
+            "CAST(q AS DOUBLE) - CAST(ssb_part_milli AS DOUBLE) / 1000E0"
+        ).alias("ssw"),
+        F.expr(
+            "CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n"
+        ).alias("sst"),
+    )
+    return ss.select(
+        "n",
+        "k",
+        F.expr(
+            "CAST(round(ssb / sst * 1000000E0, 0) AS BIGINT)"
+        ).alias("eta2_micro"),
+        F.expr(
+            "CAST(round((ssb - (CAST(k AS DOUBLE) - 1) * (ssw / (n - k)))"
+            " / sst * 1000000E0, 0) AS BIGINT)"
+        ).alias("epsilon2_micro"),
+        F.expr(
+            "CAST(round((ssb - (CAST(k AS DOUBLE) - 1) * (ssw / (n - k)))"
+            " / (sst + ssw / (n - k)) * 1000000E0, 0) AS BIGINT)"
+        ).alias("omega2_micro"),
+    )

@@ -7635,3 +7635,206 @@ def hits_brand_authority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "brand string, authority_micro bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: categorical-association suite over the lang x source grid.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "categorical_association_lang_source",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source),
+    rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY lang),
+    ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c
+           FROM obs GROUP BY source),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    dims AS (
+      SELECT CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS rr,
+             CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS cc),
+    cells AS (
+      SELECT l.lang, c2.source, COALESCE(o.o, 0) AS o, l.r, c2.c, t.n
+      FROM rt l CROSS JOIN ct c2 CROSS JOIN tot t
+      LEFT JOIN obs o ON o.lang = l.lang AND o.source = c2.source),
+    sums AS (
+      SELECT
+        CAST(SUM(CAST(round(
+          pow(CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c, 2)
+          / (CAST(n AS DOUBLE) * r * c) * 1000000E0, 0) AS BIGINT))
+          AS BIGINT) AS chi2_micro,
+        CAST(SUM(CASE WHEN o > 0 THEN CAST(round(2E0 * o
+          * ln(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c))
+          * 1000000E0, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS g2_micro,
+        CAST(SUM(CASE WHEN o > 0 THEN CAST(round(
+          -(CAST(o AS DOUBLE) / n) * ln(CAST(o AS DOUBLE) / n)
+          * 1000000000E0, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS hj_nano
+      FROM cells),
+    hr AS (
+      SELECT CAST(SUM(CAST(round(-(CAST(r AS DOUBLE) / t.n)
+        * ln(CAST(r AS DOUBLE) / t.n) * 1000000000E0, 0) AS BIGINT))
+        AS BIGINT) AS hr_nano
+      FROM rt, tot t),
+    hc AS (
+      SELECT CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / t.n)
+        * ln(CAST(c AS DOUBLE) / t.n) * 1000000000E0, 0) AS BIGINT))
+        AS BIGINT) AS hc_nano
+      FROM ct, tot t)
+    SELECT t.n, d.rr AS n_langs, d.cc AS n_sources,
+           s.chi2_micro, s.g2_micro,
+           CAST(round(sqrt(CAST(s.chi2_micro AS DOUBLE) / 1000000E0
+             / (CAST(t.n AS DOUBLE)
+                * (LEAST(d.rr, d.cc) - 1))) * 1000000E0, 0) AS BIGINT)
+             AS cramers_v_micro,
+           CAST(round(sqrt(GREATEST(0E0,
+               CAST(s.chi2_micro AS DOUBLE) / 1000000E0 / t.n
+               - (CAST(d.rr AS DOUBLE) - 1) * (d.cc - 1)
+                 / (CAST(t.n AS DOUBLE) - 1))
+             / (LEAST(CAST(d.rr AS DOUBLE)
+                  - (CAST(d.rr AS DOUBLE) - 1) * (d.rr - 1)
+                    / (CAST(t.n AS DOUBLE) - 1),
+                CAST(d.cc AS DOUBLE)
+                  - (CAST(d.cc AS DOUBLE) - 1) * (d.cc - 1)
+                    / (CAST(t.n AS DOUBLE) - 1)) - 1E0))
+             * 1000000E0, 0) AS BIGINT) AS cramers_v_corrected_micro,
+           CAST(round((CAST(hr.hr_nano AS DOUBLE) + hc.hc_nano
+               - s.hj_nano)
+             / CAST(hr.hr_nano AS DOUBLE) * 1000000E0, 0) AS BIGINT)
+             AS theil_u_lang_micro,
+           CAST(round((CAST(hr.hr_nano AS DOUBLE) + hc.hc_nano
+               - s.hj_nano)
+             / CAST(hc.hc_nano AS DOUBLE) * 1000000E0, 0) AS BIGINT)
+             AS theil_u_source_micro
+    FROM sums s, tot t, dims d, hr, hc
+    """,
+)
+def categorical_association_lang_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The categorical-association suite over the lang x source grid —
+    G² (likelihood-ratio independence test, the better-calibrated twin
+    of chi_square_independence for sparse cells), Cramér's V (the
+    [0,1] effect size chi-square lacks), Bergsma's bias-corrected V
+    (plain V inflates on large sparse tables — at 20 sources the
+    correction is material), and Theil's uncertainty coefficients in
+    BOTH directions (U(lang|source) != U(source|lang): "how much does
+    knowing the source tell you about language" is the curation
+    question, and its asymmetry is invisible to every symmetric
+    measure above).
+
+    Exactness: one corpus pass to the contingency grid; every per-cell
+    chi²/G²/entropy term quantizes to micro/nano ticks on exact integer
+    counts before the bounded sums; the five reported statistics are
+    single-row mirrored doubles.
+
+    Scale: everything after the first rollup runs on a <=|langs|x
+    |sources| frame.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    obs = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint()
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    dims = rt.agg(F.count(F.lit(1)).cast("bigint").alias("rr")).crossJoin(
+        ct.agg(F.count(F.lit(1)).cast("bigint").alias("cc"))
+    )
+    cells = (
+        rt.crossJoin(ct)
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["lang", "source"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    sums = cells.agg(
+        F.sum(
+            F.expr(
+                "CAST(round(pow(CAST(o AS DOUBLE) * n"
+                " - CAST(r AS DOUBLE) * c, 2)"
+                " / (CAST(n AS DOUBLE) * r * c) * 1000000E0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("chi2_micro"),
+        F.sum(
+            F.expr(
+                "CASE WHEN o > 0 THEN CAST(round(2E0 * o"
+                " * ln(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c))"
+                " * 1000000E0, 0) AS BIGINT) ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("g2_micro"),
+        F.sum(
+            F.expr(
+                "CASE WHEN o > 0 THEN CAST(round("
+                "-(CAST(o AS DOUBLE) / n) * ln(CAST(o AS DOUBLE) / n)"
+                " * 1000000000E0, 0) AS BIGINT) ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("hj_nano"),
+    )
+    hr = rt.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "CAST(round(-(CAST(r AS DOUBLE) / n)"
+                " * ln(CAST(r AS DOUBLE) / n) * 1000000000E0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("hr_nano")
+    )
+    hc = ct.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "CAST(round(-(CAST(c AS DOUBLE) / n)"
+                " * ln(CAST(c AS DOUBLE) / n) * 1000000000E0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("hc_nano")
+    )
+    j = (
+        sums.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(hr))
+        .crossJoin(F.broadcast(hc))
+    )
+    return j.select(
+        "n",
+        F.col("rr").alias("n_langs"),
+        F.col("cc").alias("n_sources"),
+        "chi2_micro",
+        "g2_micro",
+        F.expr(
+            "CAST(round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000E0"
+            " / (CAST(n AS DOUBLE) * (LEAST(rr, cc) - 1))) * 1000000E0, 0)"
+            " AS BIGINT)"
+        ).alias("cramers_v_micro"),
+        F.expr(
+            "CAST(round(sqrt(GREATEST(0E0,"
+            " CAST(chi2_micro AS DOUBLE) / 1000000E0 / n"
+            " - (CAST(rr AS DOUBLE) - 1) * (cc - 1)"
+            "   / (CAST(n AS DOUBLE) - 1))"
+            " / (LEAST(CAST(rr AS DOUBLE)"
+            "     - (CAST(rr AS DOUBLE) - 1) * (rr - 1)"
+            "       / (CAST(n AS DOUBLE) - 1),"
+            "   CAST(cc AS DOUBLE)"
+            "     - (CAST(cc AS DOUBLE) - 1) * (cc - 1)"
+            "       / (CAST(n AS DOUBLE) - 1)) - 1E0))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("cramers_v_corrected_micro"),
+        F.expr(
+            "CAST(round((CAST(hr_nano AS DOUBLE) + hc_nano - hj_nano)"
+            " / CAST(hr_nano AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+        ).alias("theil_u_lang_micro"),
+        F.expr(
+            "CAST(round((CAST(hr_nano AS DOUBLE) + hc_nano - hj_nano)"
+            " / CAST(hc_nano AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+        ).alias("theil_u_source_micro"),
+    )

@@ -715,6 +715,8 @@ HEADLINE = [
     "quade_test_priority_by_year",
     "damped_trend_forecast_daily",
     "dirichlet_lm_search",
+    "categorical_association_lang_source",
+    "variance_explained_priority_delay",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
