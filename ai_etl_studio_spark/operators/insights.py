@@ -7838,3 +7838,108 @@ def categorical_association_lang_source(
             " / CAST(hc_nano AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
         ).alias("theil_u_source_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Fano factor across window scales (variance-time curve).
+# ---------------------------------------------------------------------------
+
+#: window widths for the Fano curve, in seconds (1h, 6h, 1d).
+_FANO_WIDTHS_S = (3600, 21600, 86400)
+
+
+@register(
+    "fano_factor_event_windows",
+    oracle=f"""
+    WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS t_us FROM events),
+    mn AS (SELECT CAST(MIN(t_us) AS BIGINT) AS t0,
+                  CAST(MAX(t_us) AS BIGINT) AS t1,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM e),
+    widths AS (SELECT * FROM (VALUES
+      {", ".join(f"(CAST({w} AS BIGINT))" for w in (3600, 21600, 86400))}) t(w_s)),
+    binned AS (
+      SELECT widths.w_s,
+             (e.t_us - mn.t0) // (widths.w_s * 1000000) AS b
+      FROM e CROSS JOIN mn CROSS JOIN widths),
+    nonzero AS (
+      SELECT w_s, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM binned GROUP BY 1, 2),
+    s AS (
+      SELECT w_s,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+      FROM nonzero GROUP BY w_s),
+    wtot AS (
+      SELECT s.w_s, s.q, mn.n,
+             (mn.t1 - mn.t0) // (s.w_s * 1000000) + 1 AS nw
+      FROM s CROSS JOIN mn)
+    SELECT w_s AS window_seconds, CAST(nw AS BIGINT) AS n_windows, n
+             AS n_events,
+           CAST(round((CAST(q AS DOUBLE)
+               - CAST(n AS DOUBLE) * n / nw)
+             / CAST(n AS DOUBLE) * 1000000E0, 0) AS BIGINT)
+             AS fano_micro
+    FROM wtot ORDER BY w_s
+    """,
+)
+def fano_factor_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of window COUNTS) of the
+    event stream at three window scales (1h / 6h / 1d) — the
+    variance-time curve: a Poisson stream holds F=1 at every scale;
+    F growing with the window is the signature of long-range burst
+    correlation (and tells a capacity planner WHICH aggregation
+    window smooths the load and which doesn't). The per-type
+    burstiness_by_type op is the per-key companion; this is the
+    whole-stream multi-scale readout.
+
+    Exactness: windows are integer floor-divisions of exact epoch
+    micros anchored at the observed minimum; empty windows enter
+    through the closed-form count (span//width + 1), never by
+    materializing them: Var = (Sum c^2 - N^2/W)/W over ALL W windows
+    reduces to exact integers (128-bit Sum c^2) because the zero
+    windows contribute nothing to Sum c^2. F = Var/mean = that over
+    N/W — one mirrored double per width.
+
+    Scale: one events pass per width (3 widths ride a tiny
+    cross-joined width dim in the same pass); the per-(width, window)
+    rollup is the only shuffle; output is 3 rows.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us")
+    )
+    mn = e.agg(
+        F.min("t_us").cast("bigint").alias("t0"),
+        F.max("t_us").cast("bigint").alias("t1"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    widths = spark.createDataFrame(
+        [(w,) for w in _FANO_WIDTHS_S], "w_s bigint"
+    )
+    binned = e.crossJoin(F.broadcast(mn)).crossJoin(
+        F.broadcast(widths)
+    ).select(
+        "w_s",
+        F.expr("(t_us - t0) DIV (w_s * 1000000)").alias("b"),
+    )
+    nonzero = binned.groupBy("w_s", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    s = nonzero.groupBy("w_s").agg(
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("q")
+    )
+    wtot = s.crossJoin(F.broadcast(mn)).select(
+        "w_s",
+        "q",
+        "n",
+        F.expr("(t1 - t0) DIV (w_s * 1000000) + 1").alias("nw"),
+    )
+    return wtot.select(
+        F.col("w_s").alias("window_seconds"),
+        F.col("nw").cast("bigint").alias("n_windows"),
+        F.col("n").alias("n_events"),
+        F.expr(
+            "CAST(round((CAST(q AS DOUBLE)"
+            " - CAST(n AS DOUBLE) * n / nw)"
+            " / CAST(n AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
+        ).alias("fano_micro"),
+    ).orderBy("window_seconds")

@@ -717,6 +717,7 @@ HEADLINE = [
     "dirichlet_lm_search",
     "categorical_association_lang_source",
     "variance_explained_priority_delay",
+    "fano_factor_event_windows",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
