@@ -205,6 +205,46 @@ class TemplateGenerator:
                 f" ORDER BY n DESC, src, dst LIMIT {lim}"
             ),
         ),
+        (
+            r"classif(?:y|ication)\s+(?:of\s+)?demand|demand\s+class",
+            lambda m, lim: (
+                "WITH cal AS (SELECT COUNT(DISTINCT date_format(l_shipdate,"
+                " 'yyyy-MM')) AS n_months FROM lineitem),"
+                " dm AS (SELECT p_type AS t, date_format(l_shipdate,"
+                " 'yyyy-MM') AS mo, SUM(CAST(round(l_quantity) AS BIGINT))"
+                " AS d FROM lineitem JOIN part ON l_partkey = p_partkey"
+                " GROUP BY 1, 2),"
+                " g AS (SELECT t, COUNT(*) AS nd, SUM(d) AS s,"
+                " SUM(CAST(d AS DECIMAL(38,0)) * d) AS s2 FROM dm"
+                " WHERE d > 0 GROUP BY t)"
+                " SELECT t AS part_type,"
+                " CASE WHEN 100 * n_months >= 132 * nd AND 100 * nd * s2"
+                " >= 149 * CAST(s AS DECIMAL(38,0)) * s THEN 'lumpy'"
+                " WHEN 100 * n_months >= 132 * nd THEN 'intermittent'"
+                " WHEN 100 * nd * s2 >= 149 * CAST(s AS DECIMAL(38,0)) * s"
+                " THEN 'erratic' ELSE 'smooth' END AS demand_class"
+                f" FROM g CROSS JOIN cal ORDER BY t LIMIT {lim}"
+            ),
+        ),
+        (
+            r"burst\w*\b.*\bevents?|fano",
+            lambda m, lim: (
+                "WITH e AS (SELECT unix_micros(CAST(ts AS TIMESTAMP))"
+                " AS t_us FROM events),"
+                " mn AS (SELECT MIN(t_us) AS t0, MAX(t_us) AS t1,"
+                " COUNT(*) AS n FROM e),"
+                " nz AS (SELECT (t_us - t0) DIV 3600000000 AS b,"
+                " COUNT(*) AS c FROM e CROSS JOIN mn GROUP BY 1),"
+                " s AS (SELECT SUM(CAST(c AS DECIMAL(38,0)) * c) AS q"
+                " FROM nz)"
+                " SELECT CAST((t1 - t0) DIV 3600000000 + 1 AS BIGINT)"
+                " AS n_windows, n AS n_events,"
+                " CAST(round((CAST(q AS DOUBLE) - CAST(n AS DOUBLE) * n"
+                " / ((t1 - t0) DIV 3600000000 + 1)) / CAST(n AS DOUBLE)"
+                " * 1000000, 0) AS BIGINT) AS fano_micro"
+                f" FROM s CROSS JOIN mn LIMIT {lim}"
+            ),
+        ),
     ]
 
     def generate(self, question: str) -> str:

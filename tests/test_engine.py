@@ -323,3 +323,42 @@ class TestRunParameterized:
         assert not r.ok and r.df is None
         pres = r.presentation(spark)
         assert pres.columns == ["error_message"]
+
+
+def test_templates_reach_round10_surface(spark):
+    """r10: the NL path reaches the demand-classification and
+    burstiness surfaces, and agrees with the registered operators."""
+    from ai_etl_studio_spark.operators import load_all
+    from ai_etl_studio_spark.sqlgen.generator import (
+        TemplateGenerator,
+        generate_and_run,
+    )
+
+    QUERIES, _ = load_all()
+    register_tables(spark, "/root/testdata/sf0.001")
+    g = TemplateGenerator()
+
+    dc = generate_and_run(spark, g, "classify demand by part type")
+    assert dc.ok and dc.df.columns == ["part_type", "demand_class"]
+    want = {
+        r.part_type: r.demand_class
+        for r in QUERIES["demand_classification_adi_cv2"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    got = {r.part_type: r.demand_class for r in dc.df.collect()}
+    assert got == want
+
+    fano = generate_and_run(spark, g, "how bursty are the events?")
+    assert fano.ok and fano.df.columns == [
+        "n_windows",
+        "n_events",
+        "fano_micro",
+    ]
+    op = {
+        r.window_seconds: r.fano_micro
+        for r in QUERIES["fano_factor_event_windows"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert fano.df.collect()[0]["fano_micro"] == op[3600]
