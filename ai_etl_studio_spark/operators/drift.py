@@ -13277,3 +13277,315 @@ def variance_explained_priority_delay(
             " / (sst + ssw / (n - k)) * 1000000E0, 0) AS BIGINT)"
         ).alias("omega2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: restricted mean survival time on the reorder design.
+# ---------------------------------------------------------------------------
+
+#: RMST truncation horizon (days) and the KM ln-tick quantum.
+_RMST_TAU = 365
+_RMST_TICK = 1_000_000_000
+
+
+@register(
+    "rmst_reorder_segments",
+    oracle=_LR_CELLS_CTE
+    + f"""
+    , grp AS (
+      SELECT 1 AS g1, tt, n1 AS n_at, d1 AS d FROM cells WHERE d1 > 0
+      UNION ALL
+      SELECT 0, tt, n2, d2 FROM cells WHERE d2 > 0),
+    nt2 AS (
+      SELECT 1 AS g1, MAX(n1) AS n0 FROM cells
+      UNION ALL SELECT 0, MAX(n2) FROM cells),
+    ev AS (
+      SELECT g1, CAST(SUM(d) AS BIGINT) AS n_events FROM grp GROUP BY g1),
+    steps AS (
+      SELECT g1, tt, d,
+             CASE WHEN d < n_at THEN
+               CAST(round(ln(1E0 - CAST(d AS DOUBLE) / n_at)
+                 * {_RMST_TICK}, 0) AS BIGINT)
+             ELSE {-90 * _RMST_TICK} END AS step_ticks
+      FROM grp),
+    surv AS (
+      SELECT g1, tt,
+             CAST(round(exp(CAST(SUM(step_ticks) OVER (
+               PARTITION BY g1 ORDER BY tt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / {_RMST_TICK}) * 1000000E0, 0) AS BIGINT)
+               AS s_micro,
+             LEAD(tt, 1, {_RMST_TAU}) OVER (PARTITION BY g1 ORDER BY tt)
+               AS t_next,
+             MIN(tt) OVER (PARTITION BY g1) AS t_first
+      FROM steps),
+    seg AS (
+      SELECT g1,
+             CAST(SUM(s_micro * (LEAST(t_next, {_RMST_TAU})
+               - LEAST(tt, {_RMST_TAU}))) AS BIGINT) AS tail_micro,
+             CAST(MIN(t_first) AS BIGINT) AS t_first
+      FROM surv GROUP BY g1)
+    SELECT seg.g1 AS segment_group, n.n0 AS n_subjects, ev.n_events,
+           CAST(1000000 * LEAST(seg.t_first, {_RMST_TAU})
+             + seg.tail_micro AS BIGINT) AS rmst{_RMST_TAU}_day_micro
+    FROM seg JOIN nt2 n ON seg.g1 = n.g1 JOIN ev ON seg.g1 = ev.g1
+    ORDER BY seg.g1
+    """,
+)
+def rmst_reorder_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at tau=365 days for the two
+    customer segments' time-to-second-order: the AREA under each
+    Kaplan-Meier curve up to one year — "expected reorder-free days in
+    the first year", the estimand clinicians moved to when
+    proportional hazards fails, and the ACTIONABLE summary of the
+    log-rank/Gehan pair (those say WHETHER the curves differ; RMST
+    says how many DAYS of delay that difference is worth).
+
+    Exactness: the KM curve rides survival_km's per-step ln-tick
+    device (exact integer cumulative ln ticks per group, the d=n full-
+    drop sentinel included); each piecewise-constant segment's area is
+    the INTEGER product s_micro x clamped-days; the first segment
+    ([0, t_first) at S=1) enters as an exact closed form. The at-risk
+    sets reuse ``_reorder_surv_cells`` — the union-time frame restricts
+    to each group's OWN event times, which leaves risk sets unchanged.
+
+    Scale: everything after the shared cells frame is |event-times|
+    windows; two rows out.
+    """
+    cells = _reorder_surv_cells(spark, sf_dir)
+    grp = (
+        cells.filter(F.col("d1") > 0)
+        .select(
+            F.lit(1).alias("g1"),
+            "tt",
+            F.col("n1").alias("n_at"),
+            F.col("d1").alias("d"),
+        )
+        .unionAll(
+            cells.filter(F.col("d2") > 0).select(
+                F.lit(0).alias("g1"),
+                "tt",
+                F.col("n2").alias("n_at"),
+                F.col("d2").alias("d"),
+            )
+        )
+    )
+    nt2 = (
+        cells.agg(F.max("n1").alias("n0"))
+        .select(F.lit(1).alias("g1"), "n0")
+        .unionAll(
+            cells.agg(F.max("n2").alias("n0")).select(
+                F.lit(0).alias("g1"), "n0"
+            )
+        )
+    )
+    ev = grp.groupBy("g1").agg(
+        F.sum("d").cast("bigint").alias("n_events")
+    )
+    steps = grp.select(
+        "g1",
+        "tt",
+        F.expr(
+            f"CASE WHEN d < n_at THEN"
+            f" CAST(round(ln(1E0 - CAST(d AS DOUBLE) / n_at)"
+            f" * {_RMST_TICK}, 0) AS BIGINT)"
+            f" ELSE {-90 * _RMST_TICK} END"
+        ).alias("step_ticks"),
+    )
+    wcum = (
+        Window.partitionBy("g1")
+        .orderBy("tt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy("g1").orderBy("tt")
+    surv = (
+        steps.withColumn(
+            "cum_ticks", F.sum("step_ticks").over(wcum).cast("bigint")
+        )
+        .withColumn(
+            "s_micro",
+            F.expr(
+                f"CAST(round(exp(CAST(cum_ticks AS DOUBLE)"
+                f" / {_RMST_TICK}) * 1000000E0, 0) AS BIGINT)"
+            ),
+        )
+        .withColumn("t_next", F.lead("tt", 1, _RMST_TAU).over(wg))
+        .withColumn(
+            "t_first", F.min("tt").over(Window.partitionBy("g1"))
+        )
+    )
+    seg = surv.groupBy("g1").agg(
+        F.sum(
+            F.col("s_micro")
+            * (
+                F.least(F.col("t_next"), F.lit(_RMST_TAU))
+                - F.least(F.col("tt"), F.lit(_RMST_TAU))
+            )
+        )
+        .cast("bigint")
+        .alias("tail_micro"),
+        F.min("t_first").cast("bigint").alias("t_first"),
+    )
+    return (
+        seg.join(nt2, "g1")
+        .join(ev, "g1")
+        .select(
+            F.col("g1").alias("segment_group"),
+            F.col("n0").alias("n_subjects"),
+            "n_events",
+            (
+                F.lit(1000000)
+                * F.least(F.col("t_first"), F.lit(_RMST_TAU))
+                + F.col("tail_micro")
+            )
+            .cast("bigint")
+            .alias(f"rmst{_RMST_TAU}_day_micro"),
+        )
+        .orderBy("segment_group")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: binary-segmentation changepoints (two-level).
+# ---------------------------------------------------------------------------
+
+#: shared argmax objective: the between-segment SSE reduction of a
+#: mean-shift split at k inside (lo, hi], written once for both engines.
+_BSEG_T = (
+    "CAST(round((pow(CAST(sk AS DOUBLE) - slo, 2) / (CAST(k AS DOUBLE) - lo)"
+    " + pow(CAST(shi AS DOUBLE) - sk, 2) / (CAST(hi AS DOUBLE) - k)"
+    " - pow(CAST(shi AS DOUBLE) - slo, 2) / (CAST(hi AS DOUBLE) - lo))"
+    " / 1000000E0, 0) AS BIGINT)"
+)
+
+
+@register(
+    "binary_segmentation_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS i, day, x,
+             CAST(SUM(x) OVER (ORDER BY day) AS BIGINT) AS ps
+      FROM daily),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS stot FROM idx),
+    t0 AS (
+      SELECT i, day, {_BSEG_T.replace("sk", "idx.ps")
+                              .replace("slo", "0E0")
+                              .replace("shi", "nn.stot")
+                              .replace("CAST(k AS DOUBLE) - lo", "CAST(i AS DOUBLE)")
+                              .replace("CAST(hi AS DOUBLE) - k", "CAST(nn.n AS DOUBLE) - i")
+                              .replace("CAST(hi AS DOUBLE) - lo", "CAST(nn.n AS DOUBLE)")}
+               AS t_milli
+      FROM idx, nn WHERE i < nn.n),
+    k0 AS (SELECT i, day, t_milli FROM t0
+           ORDER BY t_milli DESC, i LIMIT 1),
+    tl AS (
+      SELECT idx.i, idx.day, {_BSEG_T.replace("sk", "idx.ps")
+                              .replace("slo", "0E0")
+                              .replace("shi", "CAST((SELECT ps FROM idx WHERE i = (SELECT i FROM k0)) AS DOUBLE)")
+                              .replace("CAST(k AS DOUBLE) - lo", "CAST(idx.i AS DOUBLE)")
+                              .replace("CAST(hi AS DOUBLE) - k", "CAST((SELECT i FROM k0) AS DOUBLE) - idx.i")
+                              .replace("CAST(hi AS DOUBLE) - lo", "CAST((SELECT i FROM k0) AS DOUBLE)")}
+               AS t_milli
+      FROM idx WHERE idx.i < (SELECT i FROM k0)),
+    k1 AS (SELECT i, day, t_milli FROM tl
+           ORDER BY t_milli DESC, i LIMIT 1),
+    tr AS (
+      SELECT idx.i, idx.day, {_BSEG_T.replace("sk", "idx.ps")
+                              .replace("slo", "CAST((SELECT ps FROM idx WHERE i = (SELECT i FROM k0)) AS DOUBLE)")
+                              .replace("shi", "CAST((SELECT stot FROM nn) AS DOUBLE)")
+                              .replace("CAST(k AS DOUBLE) - lo", "CAST(idx.i AS DOUBLE) - (SELECT i FROM k0)")
+                              .replace("CAST(hi AS DOUBLE) - k", "CAST((SELECT n FROM nn) AS DOUBLE) - idx.i")
+                              .replace("CAST(hi AS DOUBLE) - lo", "CAST((SELECT n FROM nn) AS DOUBLE) - (SELECT i FROM k0)")}
+               AS t_milli
+      FROM idx
+      WHERE idx.i > (SELECT i FROM k0) AND idx.i < (SELECT n FROM nn)),
+    k2 AS (SELECT i, day, t_milli FROM tr
+           ORDER BY t_milli DESC, i LIMIT 1)
+    SELECT 'root' AS segment, i AS split_index, day AS split_day, t_milli
+    FROM k0
+    UNION ALL SELECT 'left', i, day, t_milli FROM k1
+    UNION ALL SELECT 'right', i, day, t_milli FROM k2
+    ORDER BY segment
+    """,
+)
+def binary_segmentation_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-level binary segmentation of the daily-revenue series: the
+    mean-shift split maximizing the SSE reduction over the whole
+    series (root), then the best split of each resulting half — the
+    classical changepoint DETECTION tree where pettitt/chow test ONE
+    hypothesized break. Three points sketch the series' regime
+    structure; the t_milli objective values say how decisive each
+    split is (a near-zero child split = that half is homogeneous).
+
+    Exactness: prefix sums are exact integer cents (< 2^53 at the
+    tested SFs, noted for larger); the objective T(k) — the standard
+    between-SSE identity (S_L²/w_L + S_R²/w_R − S²/w) — is ONE shared
+    expression string instantiated per level in both engines, and the
+    ARGMAX orders on (quantized t_milli, k) so knife-edge plateaus
+    break deterministically.
+
+    Scale: the series reduces to the |days| grain; each level is one
+    window pass + a TakeOrderedAndProject(1); levels are data-
+    dependent scalars, so the oracle chains them as scalar subqueries
+    and Spark as three 1-row bounded lookups (the kcore count budget
+    class).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("x")
+    )
+    w = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(w).cast("bigint").alias("i"),
+        "day",
+        F.sum("x")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("ps"),
+    ).localCheckpoint()  # |days| grain; read once per level
+    nn = idx.agg(
+        F.max("i").cast("bigint").alias("n"),
+        F.max("ps").cast("bigint").alias("stot"),
+    )
+    n, stot = nn.collect()[0]
+
+    def argmax(lo_i: int, lo_s: int, hi_i: int, hi_s: int):
+        t = _BSEG_T.replace("sk", "ps").replace("slo", f"{lo_s}E0")
+        t = t.replace("shi", f"{hi_s}E0")
+        t = t.replace(
+            "CAST(k AS DOUBLE) - lo", f"CAST(i AS DOUBLE) - {lo_i}"
+        )
+        t = t.replace(
+            "CAST(hi AS DOUBLE) - k", f"CAST({hi_i} AS DOUBLE) - i"
+        )
+        t = t.replace(
+            "CAST(hi AS DOUBLE) - lo", f"CAST({hi_i} AS DOUBLE) - {lo_i}"
+        )
+        return (
+            idx.filter((F.col("i") > lo_i) & (F.col("i") < hi_i))
+            .select("i", "day", "ps", F.expr(t).alias("t_milli"))
+            .orderBy(F.desc("t_milli"), "i")
+            .limit(1)
+            .collect()[0]
+        )
+
+    k0 = argmax(0, 0, n, stot)
+    k1 = argmax(0, 0, k0.i, k0.ps)
+    k2 = argmax(k0.i, k0.ps, n, stot)
+    return spark.createDataFrame(
+        [
+            ("root", k0.i, k0.day, k0.t_milli),
+            ("left", k1.i, k1.day, k1.t_milli),
+            ("right", k2.i, k2.day, k2.t_milli),
+        ],
+        "segment string, split_index bigint, split_day date,"
+        " t_milli bigint",
+    ).orderBy("segment")

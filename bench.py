@@ -718,6 +718,8 @@ HEADLINE = [
     "categorical_association_lang_source",
     "variance_explained_priority_delay",
     "fano_factor_event_windows",
+    "rmst_reorder_segments",
+    "binary_segmentation_daily_revenue",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

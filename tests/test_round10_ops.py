@@ -947,3 +947,104 @@ class TestFanoFactor:
         # burst correlation grows with scale on this synthetic stream
         # (weaker claim: all three are positive and finite)
         assert all(r.fano_micro > 0 for r in got.values())
+
+
+class TestSurvivalAreaAndChangepoints:
+    def test_rmst_replay(self, spark):
+        """Brute-force KM integral per group from the cells frame."""
+        import math
+
+        from ai_etl_studio_spark.operators.drift import (
+            _RMST_TAU,
+            _RMST_TICK,
+            _reorder_surv_cells,
+        )
+
+        cells = sorted(
+            _reorder_surv_cells(spark, SF_DIR).collect(),
+            key=lambda r: r.tt,
+        )
+        got = {
+            r.segment_group: r
+            for r in QUERIES["rmst_reorder_segments"](
+                spark, SF_DIR
+            ).collect()
+        }
+        for g, nk, dk in ((1, "n1", "d1"), (0, "n2", "d2")):
+            steps = [
+                (r.tt, r[nk], r[dk]) for r in cells if r[dk] > 0
+            ]
+            cum = 0
+            area = 10**6 * min(steps[0][0], _RMST_TAU)
+            for j, (tt, n_at, d) in enumerate(steps):
+                cum += (
+                    round(math.log(1 - d / n_at) * _RMST_TICK)
+                    if d < n_at
+                    else -90 * _RMST_TICK
+                )
+                s_micro = round(math.exp(cum / _RMST_TICK) * 1e6)
+                t_next = (
+                    steps[j + 1][0] if j + 1 < len(steps) else _RMST_TAU
+                )
+                area += s_micro * (
+                    min(t_next, _RMST_TAU) - min(tt, _RMST_TAU)
+                )
+            r = got[g]
+            assert r[f"rmst{_RMST_TAU}_day_micro"] == area
+            assert r.n_events == sum(d for _, _, d in steps)
+        # both RMSTs are within (0, tau) days
+        for r in got.values():
+            assert 0 < r[f"rmst{_RMST_TAU}_day_micro"] < _RMST_TAU * 10**6
+
+    def test_binary_segmentation_replay(self, spark):
+        from ai_etl_studio_spark.catalog import load_table
+
+        rows = (
+            load_table(spark, SF_DIR, "orders")
+            .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+            .agg(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                ).alias("x")
+            )
+            .orderBy("day")
+            .collect()
+        )
+        xs = [r.x for r in rows]
+        ps = [0]
+        for x in xs:
+            ps.append(ps[-1] + x)
+        n = len(xs)
+
+        def argmax(lo, hi):
+            best = None
+            slo, shi = ps[lo], ps[hi]
+            for k in range(lo + 1, hi):
+                t = round(
+                    (
+                        (ps[k] - slo) ** 2 / (k - lo)
+                        + (shi - ps[k]) ** 2 / (hi - k)
+                        - (shi - slo) ** 2 / (hi - lo)
+                    )
+                    / 1e6
+                )
+                key = (t, -k)
+                if best is None or key > best[0]:
+                    best = (key, k)
+            return best[1], best[0][0]
+
+        k0, t0 = argmax(0, n)
+        k1, t1 = argmax(0, k0)
+        k2, t2 = argmax(k0, n)
+        got = {
+            r.segment: r
+            for r in QUERIES["binary_segmentation_daily_revenue"](
+                spark, SF_DIR
+            ).collect()
+        }
+        assert (got["root"].split_index, got["root"].t_milli) == (k0, t0)
+        assert (got["left"].split_index, got["left"].t_milli) == (k1, t1)
+        assert (got["right"].split_index, got["right"].t_milli) == (k2, t2)
+        # greedy, not optimal: a child's within-half gain may exceed
+        # the root's whole-series gain, so no cross-level bound holds —
+        # the exact-argmax equalities above are the invariant.
