@@ -625,3 +625,139 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "priority_ticks",
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Round-10: exact shard apportionment (Hamilton vs D'Hondt).
+# ---------------------------------------------------------------------------
+
+#: fixed shard budget to apportion across sources.
+_APPORTION_SHARDS = 64
+
+#: lcm(1..64) — multiplying a quotient n/k by this makes EVERY D'Hondt
+#: quotient an exact integer (k | LCM), so the cross-source quotient
+#: ranking is a pure integer sort. 28 digits; n*LCM stays inside the
+#: 38-digit HUGEINT/DECIMAL headroom for any realistic per-source count.
+_LCM_1_64 = 1182266884102822267511361600
+
+
+@register(
+    "shard_apportionment_sources",
+    oracle=f"""
+    WITH inv AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM inv),
+    ham0 AS (
+      SELECT source, n,
+             CAST({_APPORTION_SHARDS} * n // t.nn AS BIGINT) AS base,
+             CAST({_APPORTION_SHARDS} * n
+               - ({_APPORTION_SHARDS} * n // t.nn) * t.nn AS BIGINT) AS rem
+      FROM inv, tot t),
+    hleft AS (
+      SELECT CAST({_APPORTION_SHARDS} - SUM(base) AS BIGINT) AS l
+      FROM ham0),
+    ham AS (
+      SELECT source, n,
+             base + CASE WHEN ROW_NUMBER() OVER
+               (ORDER BY rem DESC, source) <= (SELECT l FROM hleft)
+               THEN 1 ELSE 0 END AS hamilton_shards
+      FROM ham0),
+    quo AS (
+      SELECT inv.source,
+             CAST(inv.n AS HUGEINT) * ({_LCM_1_64} // t.k2) AS q
+      FROM inv CROSS JOIN (SELECT unnest(range(1, {_APPORTION_SHARDS
+        + 1})) AS k2) t),
+    dh AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS dhondt_shards
+      FROM (SELECT source, ROW_NUMBER() OVER (ORDER BY q DESC, source)
+              AS rk FROM quo) r
+      WHERE rk <= {_APPORTION_SHARDS} GROUP BY source)
+    SELECT ham.source, ham.n AS n_docs, ham.hamilton_shards,
+           CAST(COALESCE(dh.dhondt_shards, 0) AS BIGINT) AS dhondt_shards
+    FROM ham LEFT JOIN dh ON ham.source = dh.source
+    ORDER BY ham.source
+    """,
+)
+def shard_apportionment_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Apportion a fixed {_APPORTION_SHARDS}-shard training budget
+    across sources by BOTH classical methods — Hamilton largest
+    remainder (exactly proportional bases + remainder-ranked top-ups)
+    and D'Hondt highest averages (the divisor method that slightly
+    favors large sources and is immune to the Alabama paradox). The
+    two columns disagreeing on a source is the apportionment-theory
+    fact every quota-based sampler eventually trips over; surfacing
+    both makes the choice explicit instead of accidental.
+
+    Exactness: FULLY integer — Hamilton remainders are exact modular
+    arithmetic with a (remainder, source) ROW_NUMBER top-up; D'Hondt
+    quotients n/k become n * (lcm(1..{_APPORTION_SHARDS}) DIV k) — k
+    divides the lcm, so every quotient is an exact 128-bit integer and the global quotient
+    ranking is a pure integer sort (no double ever compares).
+
+    Scale: one corpus pass to the |sources| inventory; the quotient
+    grid is |sources| x {_APPORTION_SHARDS} rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    inv = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).localCheckpoint()  # read by both methods
+    tot = inv.agg(F.sum("n").cast("bigint").alias("nn"))
+    s = _APPORTION_SHARDS
+    ham0 = inv.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr(f"CAST({s} * n DIV nn AS BIGINT)").alias("base"),
+        F.expr(
+            f"CAST({s} * n - ({s} * n DIV nn) * nn AS BIGINT)"
+        ).alias("rem"),
+    )
+    hleft = ham0.agg(
+        (F.lit(s) - F.sum("base")).cast("bigint").alias("l")
+    )
+    wrem = Window.orderBy(F.desc("rem"), "source")
+    ham = ham0.crossJoin(F.broadcast(hleft)).select(
+        "source",
+        "n",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(wrem) <= F.col("l"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("hamilton_shards"),
+    )
+    # Spark's DIV returns LONG and the 28-digit lcm wraps it — the
+    # per-k exact divisors are precomputed in Python and shipped as
+    # decimal literals (k | lcm, so each is exact)
+    ks = spark.createDataFrame(
+        [(k, str(_LCM_1_64 // k)) for k in range(1, s + 1)],
+        "k2 int, lcm_div_k string",
+    ).select("k2", F.col("lcm_div_k").cast("decimal(38,0)").alias("w"))
+    quo = inv.crossJoin(F.broadcast(ks)).select(
+        "source",
+        F.expr("CAST(n AS DECIMAL(38,0)) * w").alias("q"),
+    )
+    wq = Window.orderBy(F.desc("q"), "source")
+    dh = (
+        quo.select("source", F.row_number().over(wq).alias("rk"))
+        .filter(F.col("rk") <= s)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dhondt_shards"))
+    )
+    return (
+        ham.join(dh, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "hamilton_shards",
+            F.coalesce("dhondt_shards", F.lit(0))
+            .cast("bigint")
+            .alias("dhondt_shards"),
+        )
+        .orderBy("source")
+    )

@@ -720,6 +720,7 @@ HEADLINE = [
     "fano_factor_event_windows",
     "rmst_reorder_segments",
     "binary_segmentation_daily_revenue",
+    "shard_apportionment_sources",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

@@ -1048,3 +1048,49 @@ class TestSurvivalAreaAndChangepoints:
         # greedy, not optimal: a child's within-half gain may exceed
         # the root's whole-series gain, so no cross-level bound holds —
         # the exact-argmax equalities above are the invariant.
+
+
+class TestApportionment:
+    def test_hamilton_and_dhondt_replay(self, spark):
+        from fractions import Fraction
+
+        from ai_etl_studio_spark.catalog import load_table
+        from ai_etl_studio_spark.operators.training import (
+            _APPORTION_SHARDS as S,
+        )
+
+        inv = {
+            r.source: r.n
+            for r in load_table(spark, SF_DIR, "documents")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        nn = sum(inv.values())
+        base = {src: S * n // nn for src, n in inv.items()}
+        rem = {src: S * n - base[src] * nn for src, n in inv.items()}
+        left = S - sum(base.values())
+        ham = dict(base)
+        for src in sorted(inv, key=lambda s: (-rem[s], s))[:left]:
+            ham[src] += 1
+        quots = sorted(
+            (
+                (Fraction(n, k), src)
+                for src, n in inv.items()
+                for k in range(1, S + 1)
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:S]
+        dh = Counter(src for _, src in quots)
+        got = {
+            r.source: r
+            for r in QUERIES["shard_apportionment_sources"](
+                spark, SF_DIR
+            ).collect()
+        }
+        assert sum(r.hamilton_shards for r in got.values()) == S
+        assert sum(r.dhondt_shards for r in got.values()) == S
+        for src, n in inv.items():
+            assert got[src].n_docs == n
+            assert got[src].hamilton_shards == ham[src], src
+            assert got[src].dhondt_shards == dh.get(src, 0), src
