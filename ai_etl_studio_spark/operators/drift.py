@@ -13589,3 +13589,161 @@ def binary_segmentation_daily_revenue(
         "segment string, split_index bigint, split_day date,"
         " t_milli bigint",
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Holm step-down / Hochberg step-up — the FWER companions of
+# the BH/BY false-discovery shelf, on the same nation-screening grain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "holm_hochberg_screening",
+    oracle=f"""
+    WITH pn AS (
+      SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+               THEN 1 ELSE 0 END) AS BIGINT) AS u
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    t AS (
+      SELECT pn.*, CAST(SUM(n) OVER () AS BIGINT) AS tn,
+             CAST(SUM(u) OVER () AS BIGINT) AS tu
+      FROM pn),
+    z AS (
+      SELECT nk, n, u,
+             abs((CAST(u AS DOUBLE) / n - CAST(tu AS DOUBLE) / tn)
+               / sqrt((CAST(tu AS DOUBLE) / tn)
+                 * (1 - CAST(tu AS DOUBLE) / tn) / n)) AS az
+      FROM t),
+    p AS (
+      SELECT nk, n, u,
+             CAST(round(2 * ({_PHI_TAIL}) * 1000000000, 0) AS BIGINT)
+               AS p_nano
+      FROM z),
+    r AS (
+      SELECT p.*, ROW_NUMBER() OVER (ORDER BY p_nano, nk) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM p),
+    f AS (
+      SELECT r.*,
+             CASE WHEN p_nano * (m - rk + 1) > {_FDR_ALPHA_NANO}
+               THEN rk ELSE NULL END AS fail_rk,
+             CASE WHEN p_nano * (m - rk + 1) <= {_FDR_ALPHA_NANO}
+               THEN rk ELSE 0 END AS ok_rk
+      FROM r),
+    g AS (
+      SELECT f.*,
+             CAST(COALESCE(MIN(fail_rk) OVER (), m + 1) AS BIGINT)
+               AS first_fail,
+             CAST(MAX(ok_rk) OVER () AS BIGINT) AS last_ok
+      FROM f)
+    SELECT nk AS nationkey, n AS n_orders, u AS n_urgent, p_nano,
+           rk AS p_rank,
+           CAST(CASE WHEN rk < first_fail THEN 1 ELSE 0 END AS BIGINT)
+             AS holm_significant,
+           CAST(CASE WHEN rk <= last_ok THEN 1 ELSE 0 END AS BIGINT)
+             AS hochberg_significant
+    FROM g ORDER BY p_rank
+    """,
+)
+def holm_hochberg_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down and Hochberg step-up on the same 25-nation
+    URGENT-share screen as fdr_bh_screening — the FAMILY-WISE error
+    companions: BH bounds the expected FRACTION of false discoveries
+    (dashboard triage), Holm bounds the probability of ANY false
+    discovery with no assumptions (the referee's standard), and
+    Hochberg is the uniformly-more-powerful step-up valid under
+    non-negative dependence. Running all three columns side by side
+    shows exactly which segments survive which severity of correction
+    — Holm ⊆ Hochberg ⊆ BH by construction (pinned in tests).
+
+    Exactness: shares the A&S normal-tail text and nano-quantized
+    p-values with the BH op; BOTH decisions are exact integer
+    comparisons p*(m-rank+1) vs alpha — step-down takes everything
+    before the FIRST failure, step-up everything up to the LAST
+    success; no float decides.
+
+    Scale: one fact reduction to |nations| rows; windows on the
+    bounded table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pn = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("u"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = pn.select(
+        "*",
+        F.sum("n").over(wall).cast("bigint").alias("tn"),
+        F.sum("u").over(wall).cast("bigint").alias("tu"),
+    )
+    z = t.select(
+        "nk",
+        "n",
+        "u",
+        F.expr(
+            "abs((CAST(u AS DOUBLE) / n - CAST(tu AS DOUBLE) / tn)"
+            " / sqrt((CAST(tu AS DOUBLE) / tn)"
+            "   * (1 - CAST(tu AS DOUBLE) / tn) / n))"
+        ).alias("az"),
+    )
+    p = z.select(
+        "nk",
+        "n",
+        "u",
+        F.expr(
+            f"CAST(round(2 * ({_PHI_TAIL}) * 1000000000, 0) AS BIGINT)"
+        ).alias("p_nano"),
+    )
+    r = p.select(
+        "*",
+        F.row_number().over(Window.orderBy("p_nano", "nk")).alias("rk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("m"),
+    )
+    f = r.select(
+        "*",
+        F.expr(
+            f"CASE WHEN p_nano * (m - rk + 1) > {_FDR_ALPHA_NANO}"
+            " THEN rk ELSE NULL END"
+        ).alias("fail_rk"),
+        F.expr(
+            f"CASE WHEN p_nano * (m - rk + 1) <= {_FDR_ALPHA_NANO}"
+            " THEN rk ELSE 0 END"
+        ).alias("ok_rk"),
+    )
+    g = f.select(
+        "*",
+        F.coalesce(F.min("fail_rk").over(wall), F.col("m") + 1)
+        .cast("bigint")
+        .alias("first_fail"),
+        F.max("ok_rk").over(wall).cast("bigint").alias("last_ok"),
+    )
+    return g.select(
+        F.col("nk").alias("nationkey"),
+        F.col("n").alias("n_orders"),
+        F.col("u").alias("n_urgent"),
+        "p_nano",
+        F.col("rk").alias("p_rank"),
+        F.when(F.col("rk") < F.col("first_fail"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("holm_significant"),
+        F.when(F.col("rk") <= F.col("last_ok"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("hochberg_significant"),
+    ).orderBy("p_rank")

@@ -721,6 +721,7 @@ HEADLINE = [
     "rmst_reorder_segments",
     "binary_segmentation_daily_revenue",
     "shard_apportionment_sources",
+    "holm_hochberg_screening",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

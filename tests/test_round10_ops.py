@@ -1094,3 +1094,46 @@ class TestApportionment:
             assert got[src].n_docs == n
             assert got[src].hamilton_shards == ham[src], src
             assert got[src].dhondt_shards == dh.get(src, 0), src
+
+
+class TestMultiplicityLadder:
+    def test_holm_subset_hochberg_subset_bh(self, spark):
+        """Severity nesting: Holm rejections ⊆ Hochberg ⊆ BH, and the
+        Holm/Hochberg decisions replay exactly from the p-values."""
+        hh = {
+            r.nationkey: r
+            for r in QUERIES["holm_hochberg_screening"](
+                spark, SF_DIR
+            ).collect()
+        }
+        bh = {
+            r.nationkey: r.significant
+            for r in QUERIES["fdr_bh_screening"](spark, SF_DIR).collect()
+        }
+        holm = {k for k, r in hh.items() if r.holm_significant}
+        hoch = {k for k, r in hh.items() if r.hochberg_significant}
+        bhs = {k for k, s in bh.items() if s}
+        assert holm <= hoch <= bhs
+        # exact replay of both step rules from (p_nano, rank)
+        rows = sorted(hh.values(), key=lambda r: r.p_rank)
+        m = len(rows)
+        alpha = 50_000_000
+        first_fail = next(
+            (
+                r.p_rank
+                for r in rows
+                if r.p_nano * (m - r.p_rank + 1) > alpha
+            ),
+            m + 1,
+        )
+        last_ok = max(
+            (
+                r.p_rank
+                for r in rows
+                if r.p_nano * (m - r.p_rank + 1) <= alpha
+            ),
+            default=0,
+        )
+        for r in rows:
+            assert r.holm_significant == int(r.p_rank < first_fail)
+            assert r.hochberg_significant == int(r.p_rank <= last_ok)
