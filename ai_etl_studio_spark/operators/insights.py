@@ -7943,3 +7943,106 @@ def fano_factor_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(n AS DOUBLE) * 1000000E0, 0) AS BIGINT)"
         ).alias("fano_micro"),
     ).orderBy("window_seconds")
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Goodman-Kruskal lambda — proportional-reduction-in-error.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "goodman_kruskal_lambda_lang_source",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    rmax AS (SELECT CAST(MAX(r) AS BIGINT) AS mr FROM
+             (SELECT lang, SUM(o) AS r FROM obs GROUP BY lang)),
+    cmax AS (SELECT CAST(MAX(c) AS BIGINT) AS mc FROM
+             (SELECT source, SUM(o) AS c FROM obs GROUP BY source)),
+    colbest AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS sum_col_max FROM
+      (SELECT source, MAX(o) AS m FROM obs GROUP BY source)),
+    rowbest AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS sum_row_max FROM
+      (SELECT lang, MAX(o) AS m FROM obs GROUP BY lang))
+    SELECT t.n, cb.sum_col_max, rm.mr AS modal_lang_count,
+           rb.sum_row_max, cm.mc AS modal_source_count,
+           CAST((2 * 1000000 * (cb.sum_col_max - rm.mr)
+             + (t.n - rm.mr)) // (2 * (t.n - rm.mr)) AS BIGINT)
+             AS lambda_lang_micro,
+           CAST((2 * 1000000 * (rb.sum_row_max - cm.mc)
+             + (t.n - cm.mc)) // (2 * (t.n - cm.mc)) AS BIGINT)
+             AS lambda_source_micro
+    FROM tot t, rmax rm, cmax cm, colbest cb, rowbest rb
+    """,
+)
+def goodman_kruskal_lambda_lang_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Goodman-Kruskal lambda in both directions on the lang x source
+    grid — the proportional-reduction-in-error measure: "guessing a
+    doc's language, how much does knowing its source cut the error
+    rate vs always guessing the modal language?" Lambda complements
+    Theil's U (categorical_association_lang_source): U is
+    entropy-weighted and never exactly 0 under any dependence, while
+    lambda is MODAL — it reads exactly 0 whenever every source shares
+    the same modal language even if the full distributions differ,
+    which is itself the finding (dominant-class data makes modal
+    prediction unimprovable).
+
+    Exactness: FULLY integer — modal masses are MAX/SUM over the exact
+    contingency grid, and each lambda is one exact half-up integer
+    division. No double anywhere.
+
+    Scale: one corpus pass to the grid; five scalar rollups on it.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    obs = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint()
+    )
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    rmax = (
+        obs.groupBy("lang")
+        .agg(F.sum("o").alias("r"))
+        .agg(F.max("r").cast("bigint").alias("mr"))
+    )
+    cmax = (
+        obs.groupBy("source")
+        .agg(F.sum("o").alias("c"))
+        .agg(F.max("c").cast("bigint").alias("mc"))
+    )
+    colbest = (
+        obs.groupBy("source")
+        .agg(F.max("o").alias("m"))
+        .agg(F.sum("m").cast("bigint").alias("sum_col_max"))
+    )
+    rowbest = (
+        obs.groupBy("lang")
+        .agg(F.max("o").alias("m"))
+        .agg(F.sum("m").cast("bigint").alias("sum_row_max"))
+    )
+    j = (
+        tot.crossJoin(F.broadcast(rmax))
+        .crossJoin(F.broadcast(cmax))
+        .crossJoin(F.broadcast(colbest))
+        .crossJoin(F.broadcast(rowbest))
+    )
+    return j.select(
+        "n",
+        "sum_col_max",
+        F.col("mr").alias("modal_lang_count"),
+        "sum_row_max",
+        F.col("mc").alias("modal_source_count"),
+        F.expr(
+            "CAST((2 * 1000000 * (sum_col_max - mr) + (n - mr))"
+            " DIV (2 * (n - mr)) AS BIGINT)"
+        ).alias("lambda_lang_micro"),
+        F.expr(
+            "CAST((2 * 1000000 * (sum_row_max - mc) + (n - mc))"
+            " DIV (2 * (n - mc)) AS BIGINT)"
+        ).alias("lambda_source_micro"),
+    )

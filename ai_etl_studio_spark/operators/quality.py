@@ -2969,3 +2969,132 @@ def youden_threshold_quality_score(
             ).alias("youden_j_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Weight-of-Evidence / Information Value for the gate by source.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "woe_iv_gate_by_source",
+    oracle=_SCORE_GATE_CTE.replace(
+        """    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS ts
+      FROM documents WHERE text IS NOT NULL),""",
+        """    WITH t AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS ts
+      FROM documents WHERE text IS NOT NULL),""",
+    ).replace(
+        """      SELECT CAST(len(ts) AS BIGINT) AS n_tok,""",
+        """      SELECT source, CAST(len(ts) AS BIGINT) AS n_tok,""",
+    ).replace(
+        """      SELECT n_stop * 1000000 // n_tok AS score_ppm,""",
+        """      SELECT source, n_stop * 1000000 // n_tok AS score_ppm,""",
+    )
+    + """
+    , g AS (
+      SELECT source,
+             CAST(SUM(y) AS BIGINT) AS good,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS bad
+      FROM sc GROUP BY source),
+    tt AS (SELECT CAST(SUM(good) AS BIGINT) AS tg,
+                  CAST(SUM(bad) AS BIGINT) AS tb FROM g),
+    w AS (
+      SELECT g.source, g.good, g.bad,
+             CASE WHEN g.good > 0 AND g.bad > 0 THEN
+               CAST(round(ln((CAST(g.good AS DOUBLE) / t.tg)
+                 / (CAST(g.bad AS DOUBLE) / t.tb)) * 1000000E0, 0)
+                 AS BIGINT)
+             END AS woe_micro,
+             CASE WHEN g.good > 0 AND g.bad > 0 THEN
+               CAST(round((CAST(g.good AS DOUBLE) / t.tg
+                   - CAST(g.bad AS DOUBLE) / t.tb)
+                 * ln((CAST(g.good AS DOUBLE) / t.tg)
+                   / (CAST(g.bad AS DOUBLE) / t.tb)) * 1000000000E0, 0)
+                 AS BIGINT)
+             END AS iv_nano
+      FROM g, tt t)
+    SELECT source, good AS n_pass, bad AS n_fail, woe_micro, iv_nano,
+           CAST(SUM(iv_nano) OVER () AS BIGINT) AS total_iv_nano
+    FROM w ORDER BY source
+    """,
+)
+def woe_iv_gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence and Information Value of SOURCE as a
+    predictor of the lexical-diversity gate — the credit-scoring
+    standard for grading a categorical feature before it enters a
+    model: WoE per source is the log-odds lift vs the corpus, IV sums
+    the WoE weighted by the probability gap (the folk thresholds:
+    IV < 0.02 useless, > 0.3 strong). The calibration shelf grades the
+    stopword SCORE; this grades the source LABEL, which is the
+    "should we even stratify by source" decision.
+
+    Exactness: per-source pass/fail counts are exact integers off one
+    corpus pass; WoE/IV are per-source mirrored doubles quantized to
+    micro/nano; degenerate sources (zero pass or zero fail — infinite
+    WoE) yield NULL in both engines and drop out of the total IV via
+    SUM's NULL skip, the textbook treatment short of binning.
+
+    Scale: |sources|-grain after one pass; the total IV is a window
+    over ~20 rows.
+    """
+    from ai_etl_studio_spark.operators.text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    m = d.select("source", ts.alias("ts")).filter(F.size("ts") > 0).select(
+        "source",
+        F.size("ts").cast("bigint").alias("n_tok"),
+        F.size(F.filter(F.col("ts"), lambda w: w.isin(*STOPWORDS)))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(F.array_distinct("ts")).cast("bigint").alias("nd"),
+    )
+    sc = m.select(
+        "source",
+        (100 * F.col("nd") >= 55 * F.col("n_tok")).cast("int").alias("y"),
+    )
+    g = sc.groupBy("source").agg(
+        F.sum("y").cast("bigint").alias("good"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("bad"),
+    )
+    tt = g.agg(
+        F.sum("good").cast("bigint").alias("tg"),
+        F.sum("bad").cast("bigint").alias("tb"),
+    )
+    w = g.crossJoin(F.broadcast(tt)).select(
+        "source",
+        "good",
+        "bad",
+        F.expr(
+            "CASE WHEN good > 0 AND bad > 0 THEN"
+            " CAST(round(ln((CAST(good AS DOUBLE) / tg)"
+            " / (CAST(bad AS DOUBLE) / tb)) * 1000000E0, 0) AS BIGINT)"
+            " END"
+        ).alias("woe_micro"),
+        F.expr(
+            "CASE WHEN good > 0 AND bad > 0 THEN"
+            " CAST(round((CAST(good AS DOUBLE) / tg"
+            "   - CAST(bad AS DOUBLE) / tb)"
+            " * ln((CAST(good AS DOUBLE) / tg)"
+            "   / (CAST(bad AS DOUBLE) / tb)) * 1000000000E0, 0)"
+            " AS BIGINT) END"
+        ).alias("iv_nano"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return w.select(
+        "source",
+        F.col("good").alias("n_pass"),
+        F.col("bad").alias("n_fail"),
+        "woe_micro",
+        "iv_nano",
+        F.sum("iv_nano").over(wall).cast("bigint").alias("total_iv_nano"),
+    ).orderBy("source")

@@ -722,6 +722,8 @@ HEADLINE = [
     "binary_segmentation_daily_revenue",
     "shard_apportionment_sources",
     "holm_hochberg_screening",
+    "goodman_kruskal_lambda_lang_source",
+    "woe_iv_gate_by_source",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

@@ -1137,3 +1137,64 @@ class TestMultiplicityLadder:
         for r in rows:
             assert r.holm_significant == int(r.p_rank < first_fail)
             assert r.hochberg_significant == int(r.p_rank <= last_ok)
+
+
+class TestPreMeasures:
+    def test_lambda_replay(self, spark):
+        from ai_etl_studio_spark.catalog import load_table
+
+        rows = (
+            load_table(spark, SF_DIR, "documents")
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("o"))
+            .collect()
+        )
+        grid = {(r.lang, r.source): r.o for r in rows}
+        n = sum(grid.values())
+        rowsum = Counter()
+        colsum = Counter()
+        for (l, s), o in grid.items():
+            rowsum[l] += o
+            colsum[s] += o
+        mr, mc = max(rowsum.values()), max(colsum.values())
+        sum_col_max = sum(
+            max(o for (l, s2), o in grid.items() if s2 == s)
+            for s in colsum
+        )
+        sum_row_max = sum(
+            max(o for (l2, s), o in grid.items() if l2 == l)
+            for l in rowsum
+        )
+        got = QUERIES["goodman_kruskal_lambda_lang_source"](
+            spark, SF_DIR
+        ).collect()[0]
+        assert got.n == n
+        lam_l = (2 * 10**6 * (sum_col_max - mr) + (n - mr)) // (
+            2 * (n - mr)
+        )
+        lam_s = (2 * 10**6 * (sum_row_max - mc) + (n - mc)) // (
+            2 * (n - mc)
+        )
+        assert got.lambda_lang_micro == lam_l
+        assert got.lambda_source_micro == lam_s
+
+    def test_woe_iv_identities(self, spark):
+        rows = QUERIES["woe_iv_gate_by_source"](spark, SF_DIR).collect()
+        import math
+
+        tg = sum(r.n_pass for r in rows)
+        tb = sum(r.n_fail for r in rows)
+        total = rows[0].total_iv_nano
+        acc = 0
+        for r in rows:
+            if r.n_pass > 0 and r.n_fail > 0:
+                woe = math.log((r.n_pass / tg) / (r.n_fail / tb))
+                assert abs(r.woe_micro - round(woe * 1e6)) <= 1
+                iv = (r.n_pass / tg - r.n_fail / tb) * woe
+                assert abs(r.iv_nano - round(iv * 1e9)) <= 1
+                acc += r.iv_nano
+                # IV terms are individually nonnegative
+                assert r.iv_nano >= 0
+            else:
+                assert r.woe_micro is None and r.iv_nano is None
+        assert acc == total
