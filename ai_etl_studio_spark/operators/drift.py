@@ -13747,3 +13747,96 @@ def holm_hochberg_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hochberg_significant"),
     ).orderBy("p_rank")
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Kuiper circular-uniformity test on order day-of-week.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kuiper_dow_uniformity",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow
+      FROM orders),
+    c AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY dow),
+    cum AS (
+      SELECT dow, c,
+             CAST(SUM(c) OVER (ORDER BY dow) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER () AS BIGINT) AS n,
+             CAST(ROW_NUMBER() OVER (ORDER BY dow) AS BIGINT) AS i
+      FROM c),
+    s AS (
+      SELECT MAX(n) AS n,
+             CAST(MAX(7 * cum - i * n) AS BIGINT) AS dplus7n,
+             CAST(MAX(i * n - 7 * (cum - c)) AS BIGINT) AS dminus7n
+      FROM cum)
+    SELECT n AS n_orders,
+           CAST((2 * 1000000 * (dplus7n + dminus7n) + 7 * n)
+             // (2 * 7 * n) AS BIGINT) AS kuiper_v_micro,
+           CAST(round((CAST(dplus7n AS DOUBLE) + dminus7n)
+             / (7E0 * n) * (sqrt(CAST(n AS DOUBLE)) + 0.155E0
+               + 0.24E0 / sqrt(CAST(n AS DOUBLE))) * 1000000E0, 0)
+             AS BIGINT) AS kuiper_vstar_micro
+    FROM s
+    """,
+)
+def kuiper_dow_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper's V test of day-of-week uniformity for order placement —
+    the CIRCULAR Kolmogorov-Smirnov: V = D+ + D- is invariant to where
+    the week is cut (a Monday-anchored KS can miss a weekend bump that
+    straddles the Sunday/Monday origin; V sees it identically from any
+    rotation), which is why Kuiper is the standard for periodic data
+    (times of day, days of week, phases). Complements
+    dow_consistency_histogram (descriptive) and
+    rayleigh_uniformity_by_type (first-harmonic only: Rayleigh misses
+    bimodal midweek+weekend patterns that V catches).
+
+    Exactness: with 7 support points, D+ and D- are exact integer
+    maxima of cross-multiplied forms (7*cum - i*n over the stepped
+    ECDF); V quantizes by exact half-up integer division; only the
+    Stephens-standardized V* (the tabulated form) is a mirrored
+    double.
+
+    Scale: one scan to 7 cells; everything else is arithmetic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.dayofweek(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("dow")
+    )
+    c = d.groupBy("dow").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wv = Window.orderBy("dow").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = c.select(
+        "c",
+        F.sum("c").over(wv).cast("bigint").alias("cum"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+        F.row_number().over(Window.orderBy("dow")).cast("bigint").alias("i"),
+    )
+    s = cum.agg(
+        F.max("n").alias("n"),
+        F.max(7 * F.col("cum") - F.col("i") * F.col("n"))
+        .cast("bigint")
+        .alias("dplus7n"),
+        F.max(F.col("i") * F.col("n") - 7 * (F.col("cum") - F.col("c")))
+        .cast("bigint")
+        .alias("dminus7n"),
+    )
+    return s.select(
+        F.col("n").alias("n_orders"),
+        F.expr(
+            "CAST((2 * 1000000 * (dplus7n + dminus7n) + 7 * n)"
+            " DIV (2 * 7 * n) AS BIGINT)"
+        ).alias("kuiper_v_micro"),
+        F.expr(
+            "CAST(round((CAST(dplus7n AS DOUBLE) + dminus7n)"
+            " / (7E0 * n) * (sqrt(CAST(n AS DOUBLE)) + 0.155E0"
+            "   + 0.24E0 / sqrt(CAST(n AS DOUBLE))) * 1000000E0, 0)"
+            " AS BIGINT)"
+        ).alias("kuiper_vstar_micro"),
+    )

@@ -8046,3 +8046,145 @@ def goodman_kruskal_lambda_lang_source(
             " DIV (2 * (n - mc)) AS BIGINT)"
         ).alias("lambda_source_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Allan variance of event-window counts (multi-tau).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "allan_variance_event_counts",
+    oracle=f"""
+    WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS t_us FROM events),
+    mn AS (SELECT CAST(MIN(t_us) AS BIGINT) AS t0,
+                  CAST(MAX(t_us) AS BIGINT) AS t1,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM e),
+    widths AS (SELECT * FROM (VALUES
+      {", ".join(f"(CAST({w} AS BIGINT))" for w in (3600, 21600, 86400))})
+      t(w_s)),
+    spanw AS (
+      SELECT w.w_s, mn.t0, mn.n,
+             (mn.t1 - mn.t0) // (w.w_s * 1000000) + 1 AS nw
+      FROM widths w CROSS JOIN mn),
+    allwin AS (
+      SELECT s.w_s, s.nw, s.n, unnest(range(s.nw)) AS b
+      FROM spanw s),
+    nz AS (
+      SELECT w.w_s, (e.t_us - m.t0) // (w.w_s * 1000000) AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM e CROSS JOIN mn m CROSS JOIN widths w GROUP BY 1, 2),
+    filled AS (
+      SELECT a.w_s, a.nw, a.n, a.b, COALESCE(nz.c, 0) AS c
+      FROM allwin a LEFT JOIN nz ON a.w_s = nz.w_s AND a.b = nz.b),
+    diffs AS (
+      SELECT w_s, nw, n, c,
+             LEAD(c) OVER (PARTITION BY w_s ORDER BY b) AS c_next
+      FROM filled),
+    s AS (
+      SELECT w_s, MAX(nw) AS nw, MAX(n) AS n,
+             CAST(SUM(CAST(c_next - c AS HUGEINT) * (c_next - c))
+               AS HUGEINT) AS q,
+             CAST(COUNT(c_next) AS BIGINT) AS npairs
+      FROM diffs GROUP BY w_s)
+    SELECT w_s AS window_seconds, CAST(nw AS BIGINT) AS n_windows,
+           n AS n_events,
+           CAST(round(CAST(q AS DOUBLE) / 2E0 / npairs * 1000E0, 0)
+             AS BIGINT) AS allan_var_milli,
+           CAST(round(CAST(q AS DOUBLE) / 2E0 / npairs
+             / (CAST(n AS DOUBLE) / nw) * 1000000E0, 0) AS BIGINT)
+             AS allan_factor_micro
+    FROM s ORDER BY w_s
+    """,
+)
+def allan_variance_event_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Allan variance of event-window counts at 1h/6h/1d — the
+    ADJACENT-difference companion of fano_factor_event_windows: Fano
+    compares every window against the global mean (so a slow trend
+    inflates it), Allan differences NEIGHBORS (trend-immune by
+    construction, the reason clock metrology uses it). The normalized
+    allan_factor (AVAR/mean) reads like Fano: 1 for Poisson, above for
+    bursts, and Fano >> Allan factor at the same tau localizes the
+    excess variance to SLOW drift rather than fast bursts.
+
+    Exactness: empty windows DO enter adjacent differences, so the
+    window range materializes explicitly (bounded: span/tau rows per
+    tau — ~18k at 1h on the test corpora) via range/sequence in both
+    engines; squared adjacent differences are exact 128-bit integers;
+    the two reported ratios are single-row mirrored doubles.
+
+    Scale: one events pass to nonzero windows; the filled frame is
+    calendar-bounded (span/tau), not data-bounded — at any SF the
+    1h-grain frame stays ~|hours in span| rows.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us")
+    )
+    mn = e.agg(
+        F.min("t_us").cast("bigint").alias("t0"),
+        F.max("t_us").cast("bigint").alias("t1"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    widths = spark.createDataFrame(
+        [(w,) for w in (3600, 21600, 86400)], "w_s bigint"
+    )
+    spanw = widths.crossJoin(F.broadcast(mn)).select(
+        "w_s",
+        "t0",
+        "n",
+        F.expr("(t1 - t0) DIV (w_s * 1000000) + 1").alias("nw"),
+    )
+    allwin = spanw.select(
+        "w_s",
+        "nw",
+        "n",
+        F.explode(F.expr("sequence(CAST(0 AS BIGINT), nw - 1)")).alias("b"),
+    )
+    nz = (
+        e.crossJoin(F.broadcast(mn))
+        .crossJoin(F.broadcast(widths))
+        .select(
+            "w_s", F.expr("(t_us - t0) DIV (w_s * 1000000)").alias("b")
+        )
+        .groupBy("w_s", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    filled = allwin.join(nz, ["w_s", "b"], "left").select(
+        "w_s",
+        "nw",
+        "n",
+        "b",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+    )
+    wlead = Window.partitionBy("w_s").orderBy("b")
+    diffs = filled.select(
+        "w_s",
+        "nw",
+        "n",
+        "c",
+        F.lead("c").over(wlead).alias("c_next"),
+    )
+    s = diffs.groupBy("w_s").agg(
+        F.max("nw").alias("nw"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.expr("CAST(c_next - c AS DECIMAL(38,0)) * (c_next - c)")
+        ).alias("q"),
+        F.count("c_next").cast("bigint").alias("npairs"),
+    )
+    return s.select(
+        F.col("w_s").alias("window_seconds"),
+        F.col("nw").cast("bigint").alias("n_windows"),
+        F.col("n").alias("n_events"),
+        F.expr(
+            "CAST(round(CAST(q AS DOUBLE) / 2E0 / npairs * 1000E0, 0)"
+            " AS BIGINT)"
+        ).alias("allan_var_milli"),
+        F.expr(
+            "CAST(round(CAST(q AS DOUBLE) / 2E0 / npairs"
+            " / (CAST(n AS DOUBLE) / nw) * 1000000E0, 0) AS BIGINT)"
+        ).alias("allan_factor_micro"),
+    ).orderBy("window_seconds")

@@ -724,6 +724,8 @@ HEADLINE = [
     "holm_hochberg_screening",
     "goodman_kruskal_lambda_lang_source",
     "woe_iv_gate_by_source",
+    "kuiper_dow_uniformity",
+    "allan_variance_event_counts",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7

@@ -1198,3 +1198,68 @@ class TestPreMeasures:
             else:
                 assert r.woe_micro is None and r.iv_nano is None
         assert acc == total
+
+
+class TestCircularAndAllan:
+    def test_kuiper_replay(self, spark):
+        from ai_etl_studio_spark.catalog import load_table
+
+        rows = (
+            load_table(spark, SF_DIR, "orders")
+            .select(
+                F.dayofweek(F.col("o_orderdate").cast("date")).alias("dow")
+            )
+            .groupBy("dow")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy("dow")
+            .collect()
+        )
+        n = sum(r.c for r in rows)
+        cum = 0
+        dplus7n = dminus7n = -(10**18)
+        for i, r in enumerate(rows, 1):
+            prev = cum
+            cum += r.c
+            dplus7n = max(dplus7n, 7 * cum - i * n)
+            dminus7n = max(dminus7n, i * n - 7 * prev)
+        got = QUERIES["kuiper_dow_uniformity"](spark, SF_DIR).collect()[0]
+        assert got.n_orders == n
+        v = (2 * 10**6 * (dplus7n + dminus7n) + 7 * n) // (2 * 7 * n)
+        assert got.kuiper_v_micro == v
+        # V >= KS's max(D+, D-) by construction
+        assert dplus7n + dminus7n >= max(dplus7n, dminus7n)
+
+    def test_allan_replay_and_fano_contrast(self, spark):
+        from ai_etl_studio_spark.catalog import load_table
+
+        ts = [
+            r.t
+            for r in load_table(spark, SF_DIR, "events")
+            .select(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+            )
+            .collect()
+        ]
+        t0, t1, n = min(ts), max(ts), len(ts)
+        got = {
+            r.window_seconds: r
+            for r in QUERIES["allan_variance_event_counts"](
+                spark, SF_DIR
+            ).collect()
+        }
+        for w in (3600, 21600, 86400):
+            width = w * 1_000_000
+            nw = (t1 - t0) // width + 1
+            counts = Counter((t - t0) // width for t in ts)
+            series = [counts.get(b, 0) for b in range(nw)]
+            q = sum(
+                (series[i + 1] - series[i]) ** 2
+                for i in range(len(series) - 1)
+            )
+            avar = q / 2 / (nw - 1)
+            r = got[w]
+            assert r.n_windows == nw and r.n_events == n
+            assert abs(r.allan_var_milli - round(avar * 1e3)) <= 1
+            assert abs(
+                r.allan_factor_micro - round(avar / (n / nw) * 1e6)
+            ) <= 1
