@@ -264,6 +264,35 @@ def entry(spark: SparkSession) -> DataFrame:
 #: gk_sketch_error_eval, hll_error_eval, revenue_cvar_daily,
 #: ivf_nprobe_recall_curve, pq_codebook_utilization (+ the ninth
 #: streaming twin run_stream_daily_revenue).
+#: ROUND-11 QUEUE (pre-enumerated, the r9/r10 discipline): rotate this
+#: PRIORITY to lead with the 48 round-10 additions, none of which has a
+#: driver row yet — session 1: cbo_join_reorder_rollup,
+#: props_variant_profile, copurchase_weighted_score_summary,
+#: copurchase_community_labels_topk, good_turing_unseen_mass,
+#: chao1_vocab_richness, hellinger_lang_divergence_by_source,
+#: dunns_posthoc_delay_priorities, hampel_outlier_days,
+#: wape_smape_daily_naive, tracking_signal_daily_naive,
+#: croston_intermittent_topk, qq_shift_function_delay,
+#: yuen_trimmed_ttest_delay, bradley_terry_brand_ranks,
+#: hits_brand_authority_topk, rbo_brand_rank_agreement,
+#: ndcg_popularity_vs_revenue; session 2: observed_single_pass_audit,
+#: parameterized_segment_topk, collation_ci_campaign_rollup,
+#: cliffs_delta_delay, lepage_delay_location_scale,
+#: ordinal_association_priority_delay, hosmer_lemeshow_quality_score,
+#: spiegelhalter_z_quality_score, youden_threshold_quality_score,
+#: elementary_price_indices, demand_classification_adi_cv2,
+#: taylors_power_law_nations, keyness_g2_short_vs_long,
+#: craigs_zeta_short_vs_long, weibull_mle_scripting,
+#: gehan_wilcoxon_reorder, quade_test_priority_by_year,
+#: damped_trend_forecast_daily, dirichlet_lm_search,
+#: categorical_association_lang_source,
+#: variance_explained_priority_delay, fano_factor_event_windows,
+#: rmst_reorder_segments, binary_segmentation_daily_revenue,
+#: shard_apportionment_sources, holm_hochberg_screening,
+#: goodman_kruskal_lambda_lang_source, woe_iv_gate_by_source,
+#: kuiper_dow_uniformity, allan_variance_event_counts — then 2 more
+#: from the r4 pool (continue at cusum_level_shift) to fill the 50.
+#: All 48 are hash-green in CORRECTNESS_full_r10.json.
 PRIORITY: tuple[str, ...] = (
     # r10 prefix (r9 verdict item 1): the 42 round-9 additions (all
     # green in CORRECTNESS_full_r09.json, no driver rows yet), then the
