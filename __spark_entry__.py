@@ -264,9 +264,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: gk_sketch_error_eval, hll_error_eval, revenue_cvar_daily,
 #: ivf_nprobe_recall_curve, pq_codebook_utilization (+ the ninth
 #: streaming twin run_stream_daily_revenue).
-#: ROUND-11 QUEUE (pre-enumerated, the r9/r10 discipline): rotate this
-#: PRIORITY to lead with the 48 round-10 additions, none of which has a
-#: driver row yet — session 1: cbo_join_reorder_rollup,
+#: ROUND-11 QUEUE (pre-enumerated round 10, CONSUMED round 11 — the
+#: tuple below now carries it verbatim) — the 48 round-10 additions,
+#: none of which had a driver row yet — session 1: cbo_join_reorder_rollup,
 #: props_variant_profile, copurchase_weighted_score_summary,
 #: copurchase_community_labels_topk, good_turing_unseen_mass,
 #: chao1_vocab_richness, hellinger_lang_divergence_by_source,
@@ -294,62 +294,62 @@ def entry(spark: SparkSession) -> DataFrame:
 #: from the r4 pool (continue at cusum_level_shift) to fill the 50.
 #: All 48 are hash-green in CORRECTNESS_full_r10.json.
 PRIORITY: tuple[str, ...] = (
-    # r10 prefix (r9 verdict item 1): the 42 round-9 additions (all
-    # green in CORRECTNESS_full_r09.json, no driver rows yet), then the
-    # r4 backlog pool continued from split_leakage_audit (8 names,
-    # consumed through perplexity_by_source — round 11 continues from
-    # kl_divergence_by_source).
-    "marshall_edgeworth_price_index",
-    "sato_vartia_price_index",
-    "holt_winters_additive_daily",
-    "hill_numbers_by_nation",
-    "lang_evenness_by_source",
-    "cr4_revenue_by_nation",
-    "siegel_tukey_delay_scale",
-    "jonckheere_terpstra_priority_trend",
-    "brunner_munzel_delay",
-    "goldfeld_quandt_monthly",
-    "dagostino_k2_daily_revenue",
-    "ge_indices_by_nation",
-    "nb_dispersion_by_segment",
-    "quartile_shape_by_priority",
-    "mase_weekly_naive_daily",
-    "pinball_loss_daily_forecast",
-    "bartels_von_neumann_daily",
-    "percentile_disc_delay_by_priority",
-    "pythagorean_means_by_type",
-    "debounce_events_by_type",
-    "theta_method_forecast_daily",
-    "energy_distance_delay",
-    "fdr_by_screening",
-    "rosner_esd_extremes_daily",
-    "tail_dependence_value_delay",
-    "dpp_quarter_star_join",
-    "bloom_runtime_filter_join",
-    "copurchase_strength_topk",
-    "copurchase_strength_profile",
-    "copurchase_weighted_eigenvector_topk",
-    "cuped_variance_reduction",
-    "did_segment_policy_estimate",
-    "rdd_acctbal_cutoff",
-    "smd_covariate_balance",
-    "copurchase_brand_modularity",
-    "association_rules_topk",
-    "kneser_ney_bigram_topk",
-    "dp_sensitivity_by_nation",
-    "last_digit_uniformity_audit",
-    "referential_integrity_audit",
-    "best_split_information_gain",
-    "hard_negative_mining_topk",
+    # r11 prefix (r10 verdict item 1): exactly the pre-enumerated
+    # round-11 queue — the 48 round-10 additions (all hash-green in
+    # CORRECTNESS_full_r10.json, no driver rows yet), then 2 from the
+    # r4 backlog pool continuing at cusum_level_shift (round 12
+    # continues from supplier_overlap_jaccard).
+    "cbo_join_reorder_rollup",
+    "props_variant_profile",
+    "copurchase_weighted_score_summary",
+    "copurchase_community_labels_topk",
+    "good_turing_unseen_mass",
+    "chao1_vocab_richness",
+    "hellinger_lang_divergence_by_source",
+    "dunns_posthoc_delay_priorities",
+    "hampel_outlier_days",
+    "wape_smape_daily_naive",
+    "tracking_signal_daily_naive",
+    "croston_intermittent_topk",
+    "qq_shift_function_delay",
+    "yuen_trimmed_ttest_delay",
+    "bradley_terry_brand_ranks",
+    "hits_brand_authority_topk",
+    "rbo_brand_rank_agreement",
+    "ndcg_popularity_vs_revenue",
+    "observed_single_pass_audit",
+    "parameterized_segment_topk",
+    "collation_ci_campaign_rollup",
+    "cliffs_delta_delay",
+    "lepage_delay_location_scale",
+    "ordinal_association_priority_delay",
+    "hosmer_lemeshow_quality_score",
+    "spiegelhalter_z_quality_score",
+    "youden_threshold_quality_score",
+    "elementary_price_indices",
+    "demand_classification_adi_cv2",
+    "taylors_power_law_nations",
+    "keyness_g2_short_vs_long",
+    "craigs_zeta_short_vs_long",
+    "weibull_mle_scripting",
+    "gehan_wilcoxon_reorder",
+    "quade_test_priority_by_year",
+    "damped_trend_forecast_daily",
+    "dirichlet_lm_search",
+    "categorical_association_lang_source",
+    "variance_explained_priority_delay",
+    "fano_factor_event_windows",
+    "rmst_reorder_segments",
+    "binary_segmentation_daily_revenue",
+    "shard_apportionment_sources",
+    "holm_hochberg_screening",
+    "goodman_kruskal_lambda_lang_source",
+    "woe_iv_gate_by_source",
+    "kuiper_dow_uniformity",
+    "allan_variance_event_counts",
     # r4 backlog pool, continued in documented order
-    "split_leakage_audit",
-    "class_balance_weights",
-    "embedding_centroid_drift",
-    "lsh_tuning_curve",
-    "session_timeout_sensitivity",
-    "ab_srm_check",
-    "order_fill_rate",
-    "perplexity_by_source",
+    "cusum_level_shift",
+    "stl_decompose_weekly",
 )
 
 

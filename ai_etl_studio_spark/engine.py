@@ -22,7 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ai_etl_studio_spark.plans.guard import is_read_only_plan
-from ai_etl_studio_spark.sqlgen.sanitize import has_limit, sanitize
+from ai_etl_studio_spark.sqlgen.sanitize import has_limit, is_read_only, sanitize
 
 DEFAULT_LIMIT = 100  # prompts.py:131 / app.py:265
 
@@ -127,7 +127,12 @@ def run_parameterized(
     try:
         # guard the RAW template first (a DDL template must be rejected
         # as such, not as a parse error on the appended LIMIT), then
-        # bound the vetted SELECT
+        # bound the vetted SELECT. The textual gate must run HERE: the
+        # plan guard's fail-open fallback documents the assumption that
+        # the textual check already ran, and this path (unlike
+        # run_query's sanitize()) would otherwise skip it.
+        if not is_read_only(sql):
+            return QueryResult(None, sql, False, "only SELECT queries are allowed")
         if not is_read_only_plan(spark, sql):
             return QueryResult(None, sql, False, "only SELECT queries are allowed")
         if not has_limit(sql):

@@ -15,6 +15,7 @@ non-negotiable at 100 TB where partition order is arbitrary.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+from ai_etl_studio_spark.plans.snapshot import capture_stage
 from pyspark.sql import functions as F
 
 from ai_etl_studio_spark.catalog import load_table
@@ -1725,7 +1726,9 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     list is persisted bucketed by src and reused across iterations AND
     sessions — see ``pagerank_from_index`` / ``ensure_pagerank_edge_index``.
     """
-    return _pagerank_iterate(_pagerank_raw_edges(spark, sf_dir).localCheckpoint())
+    return _pagerank_iterate(
+        capture_stage(_pagerank_raw_edges(spark, sf_dir)).localCheckpoint()
+    )
 
 
 def _pagerank_iterate(edges: DataFrame) -> DataFrame:
@@ -1735,8 +1738,9 @@ def _pagerank_iterate(edges: DataFrame) -> DataFrame:
     # it ONCE (it is |nodes| rows) instead of re-running the distinct per
     # iteration; the count() doubles as its materialization.
     nodes = (
-        edges.select("src").distinct().withColumnRenamed("src", "node")
-        .localCheckpoint()
+        capture_stage(
+            edges.select("src").distinct().withColumnRenamed("src", "node")
+        ).localCheckpoint()
     )
     n_nodes = nodes.count()  # one scalar on the driver, like K centroids
     base_tick = (PR_SCALE * 15 // 100) // n_nodes
@@ -1753,7 +1757,7 @@ def _pagerank_iterate(edges: DataFrame) -> DataFrame:
             "dst", F.expr("tick DIV d").alias("c")
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inf"))
-        ranks = (
+        ranks = capture_stage(
             nodes.join(inflow, nodes.node == inflow.dst, "left")
             .select(
                 "node",
@@ -1762,8 +1766,7 @@ def _pagerank_iterate(edges: DataFrame) -> DataFrame:
                     + F.expr("coalesce(inf, 0L) * 85 DIV 100")
                 ).alias("tick"),
             )
-            .localCheckpoint()
-        )
+        ).localCheckpoint()
     label = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("c"), F.expr("node DIV 2").cast("string")),
@@ -2662,7 +2665,7 @@ _CHG_TOPK = 10
     """,
 )
 def revenue_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Largest day-over-day revenue swings: the top-{_CHG_TOPK} absolute
+    """Largest day-over-day revenue swings: the top-10 (_CHG_TOPK) absolute
     deltas in the daily revenue series with their before/after values —
     the "what happened on this date" starting point of every incident
     review and anomaly triage.
@@ -4566,10 +4569,11 @@ def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tick = 0 are pruned from each contribution join, so early
     iterations touch only the seeds' neighborhoods.
     """
-    edges = _pagerank_raw_edges(spark, sf_dir).localCheckpoint()
+    edges = capture_stage(_pagerank_raw_edges(spark, sf_dir)).localCheckpoint()
     nodes = (
-        edges.select("src").distinct().withColumnRenamed("src", "node")
-        .localCheckpoint()
+        capture_stage(
+            edges.select("src").distinct().withColumnRenamed("src", "node")
+        ).localCheckpoint()
     )
     is_seed = (F.col("node") % 2 == 0) & (
         (F.col("node") / 2).cast("bigint") % _PPR_SEED_MOD == 0
@@ -4590,7 +4594,7 @@ def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst", F.expr("tick DIV d").alias("c")
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inf"))
-        ranks = (
+        ranks = capture_stage(
             nodes.join(inflow, nodes.node == inflow.dst, "left")
             .select(
                 "node",
@@ -4599,8 +4603,7 @@ def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("coalesce(inf, 0L) * 85 DIV 100")
                 ).cast("bigint").alias("tick"),
             )
-            .localCheckpoint()
-        )
+        ).localCheckpoint()
     label = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("c"), F.expr("node DIV 2").cast("string")),
@@ -5808,7 +5811,7 @@ _CONSIST_TOPK = 20
     """,
 )
 def supplier_delivery_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The {_CONSIST_TOPK} least-consistent suppliers by order-to-ship
+    """The 20 (_CONSIST_TOPK) least-consistent suppliers by order-to-ship
     delay spread (min {_CONSIST_MIN_LINES} lines) — the vendor
     scorecard where the VARIANCE, not the mean, is the liability: a
     supplier averaging 40 days ±2 is plannable; one averaging 30 ±25
@@ -11231,7 +11234,7 @@ _WALSH_Y0, _WALSH_Y1 = 1995, 1996
     """,
 )
 def walsh_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Walsh price index {_WALSH_Y0}→{_WALSH_Y1}: realized unit prices
+    """Walsh price index 1995→1996 (_WALSH_Y0→_WALSH_Y1): realized unit prices
     weighted by √(q₀·q₁) — the superlative index that treats both
     periods symmetrically THROUGH the quantity weights (Törnqvist gets
     symmetry through expenditure shares, Fisher by averaging the two
@@ -13217,7 +13220,8 @@ def ndcg_popularity_vs_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def elementary_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three ELEMENTARY price indices ({_WALSH_Y0}->{_WALSH_Y1},
+    """The three ELEMENTARY price indices (1995->1996, the
+    _WALSH_Y0/_WALSH_Y1 window,
     matched parts, unweighted) — Carli (arithmetic mean of price
     relatives), Dutot (ratio of mean prices), Jevons (geometric mean
     of relatives). These are what a statistics office computes BELOW
@@ -13591,12 +13595,12 @@ def weibull_mle_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     vg = gaps.groupBy(F.col("gap").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    vg.localCheckpoint().createOrReplaceTempView("wmle_vg")
+    capture_stage(vg).localCheckpoint().createOrReplaceTempView("wmle_vg")
     conf = spark.conf
     saved = conf.get("spark.sql.scripting.enabled", None)
     try:
         conf.set("spark.sql.scripting.enabled", "true")
-        out = spark.sql(_WMLE_SCRIPT).localCheckpoint()
+        out = capture_stage(spark.sql(_WMLE_SCRIPT)).localCheckpoint()
     finally:
         if saved is None:
             conf.unset("spark.sql.scripting.enabled")

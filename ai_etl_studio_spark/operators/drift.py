@@ -5616,7 +5616,7 @@ _WSR_Y0, _WSR_Y1 = 1995, 1996
     """,
 )
 def wilcoxon_signed_rank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wilcoxon signed-rank test of {_WSR_Y0}→{_WSR_Y1} revenue change
+    """Wilcoxon signed-rank test of 1995→1996 (_WSR_Y0→_WSR_Y1) revenue change
     PAIRED BY PART TYPE — the nonparametric paired test the engine's
     two-sample family lacked: Mann-Whitney compares two independent
     populations, this asks whether the within-type year-over-year
@@ -13558,6 +13558,11 @@ def binary_segmentation_daily_revenue(
     n, stot = nn.collect()[0]
 
     def argmax(lo_i: int, lo_s: int, hi_i: int, hi_s: int):
+        # Degenerate child (root split at the series edge): the
+        # candidate set lo < i < hi is empty. Mirror the oracle, whose
+        # empty k1/k2 CTE simply drops that segment's UNION ALL row.
+        if hi_i - lo_i <= 1:
+            return None
         t = _BSEG_T.replace("sk", "ps").replace("slo", f"{lo_s}E0")
         t = t.replace("shi", f"{hi_s}E0")
         t = t.replace(
@@ -13569,22 +13574,23 @@ def binary_segmentation_daily_revenue(
         t = t.replace(
             "CAST(hi AS DOUBLE) - lo", f"CAST({hi_i} AS DOUBLE) - {lo_i}"
         )
-        return (
+        rows = (
             idx.filter((F.col("i") > lo_i) & (F.col("i") < hi_i))
             .select("i", "day", "ps", F.expr(t).alias("t_milli"))
             .orderBy(F.desc("t_milli"), "i")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        return rows[0] if rows else None
 
     k0 = argmax(0, 0, n, stot)
-    k1 = argmax(0, 0, k0.i, k0.ps)
-    k2 = argmax(k0.i, k0.ps, n, stot)
+    k1 = argmax(0, 0, k0.i, k0.ps) if k0 is not None else None
+    k2 = argmax(k0.i, k0.ps, n, stot) if k0 is not None else None
     return spark.createDataFrame(
         [
-            ("root", k0.i, k0.day, k0.t_milli),
-            ("left", k1.i, k1.day, k1.t_milli),
-            ("right", k2.i, k2.day, k2.t_milli),
+            (name, k.i, k.day, k.t_milli)
+            for name, k in (("root", k0), ("left", k1), ("right", k2))
+            if k is not None
         ],
         "segment string, split_index bigint, split_day date,"
         " t_milli bigint",

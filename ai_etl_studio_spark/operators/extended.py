@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ai_etl_studio_spark.catalog import load_table
 from ai_etl_studio_spark.functions.exact import sql_dsum, dsum
 from ai_etl_studio_spark.operators import register
+from ai_etl_studio_spark.plans.snapshot import capture_stage
 
 
 @register(
@@ -1573,7 +1574,7 @@ def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for k, v in _BLOOM_CONFS.items():
             conf.set(k, v)
-        out = _bloom_join_frame(spark, sf_dir).localCheckpoint()
+        out = capture_stage(_bloom_join_frame(spark, sf_dir)).localCheckpoint()
     finally:
         for k, v in saved.items():
             conf.set(k, v)
@@ -1721,7 +1722,7 @@ def cbo_join_reorder_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for k, v in _CBO_CONFS.items():
             conf.set(k, v)
-        out = _cbo_join_frame(spark, sf_dir).localCheckpoint()
+        out = capture_stage(_cbo_join_frame(spark, sf_dir)).localCheckpoint()
     finally:
         for k, v in saved.items():
             conf.set(k, v)

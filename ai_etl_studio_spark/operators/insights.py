@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ai_etl_studio_spark.catalog import load_table
 from ai_etl_studio_spark.operators import register
+from ai_etl_studio_spark.plans.snapshot import capture_stage
 
 
 # ---------------------------------------------------------------------------
@@ -5770,12 +5771,14 @@ def copurchase_eigenvector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency + a 1-row max; hint-free throughout.
     """
     e, adj, deg, _ = _copurchase_graph(spark, sf_dir)
-    edges = adj.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
+    edges = capture_stage(
+        adj.select(F.col("u").alias("src"), F.col("v").alias("dst"))
     ).localCheckpoint()
     x = (
-        deg.select("u")
-        .withColumn("s", F.lit(1_000_000).cast("bigint"))
+        capture_stage(
+            deg.select("u")
+            .withColumn("s", F.lit(1_000_000).cast("bigint"))
+        )
         .localCheckpoint()
     )
     for _ in range(10):
@@ -5785,7 +5788,7 @@ def copurchase_eigenvector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("s").alias("ns"))
         )
         mx = ns.agg(F.max("ns").alias("mx"))
-        x = (
+        x = capture_stage(
             ns.crossJoin(mx)
             .select(
                 F.col("nu").alias("u"),
@@ -5798,8 +5801,7 @@ def copurchase_eigenvector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("s"),
             )
-            .localCheckpoint()
-        )
+        ).localCheckpoint()
     return (
         x.select(F.col("u").alias("part_key"), F.col("s").alias("centrality_micro"))
         .orderBy(F.desc("centrality_micro"), "part_key")
@@ -6344,12 +6346,14 @@ def copurchase_weighted_eigenvector_topk(
     Scale: each step is one shuffle keyed by node over the capped
     weighted adjacency + a 1-row max; hint-free throughout."""
     _, adjw, strength = _copurchase_wgraph(spark, sf_dir)
-    edges = adjw.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    edges = capture_stage(
+        adjw.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
     ).localCheckpoint()
     x = (
-        strength.select("u")
-        .withColumn("s", F.lit(1_000_000).cast("bigint"))
+        capture_stage(
+            strength.select("u")
+            .withColumn("s", F.lit(1_000_000).cast("bigint"))
+        )
         .localCheckpoint()
     )
     for _ in range(10):
@@ -6359,7 +6363,7 @@ def copurchase_weighted_eigenvector_topk(
             .agg(F.sum(F.col("w") * F.col("s")).alias("ns"))
         )
         mx = ns.agg(F.max("ns").alias("mx"))
-        x = (
+        x = capture_stage(
             ns.crossJoin(mx)
             .select(
                 F.col("nu").alias("u"),
@@ -6372,8 +6376,7 @@ def copurchase_weighted_eigenvector_topk(
                 .cast("bigint")
                 .alias("s"),
             )
-            .localCheckpoint()
-        )
+        ).localCheckpoint()
     return (
         x.select(
             F.col("u").alias("part_key"), F.col("s").alias("centrality_micro")
@@ -7478,8 +7481,11 @@ def bradley_terry_brand_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matrix through Spark jobs would be pure scheduler overhead
     # (measured 10.4 s vs ~2 s at sf0.1), so the rounds run as exact
     # Python integer arithmetic on the collected matrix.
-    mrows = mat0.collect()
-    wrows = {r["i"]: (r["wtot"], r["ntot"]) for r in wt.collect()}
+    mrows = capture_stage(mat0).collect()
+    wrows = {
+        r["i"]: (r["wtot"], r["ntot"])
+        for r in capture_stage(wt).collect()
+    }
     bs = sorted(b for b, (w_, n_) in wrows.items() if 0 < w_ < n_)
     keep = set(bs)
     nmat = {
@@ -7614,7 +7620,7 @@ def hits_brand_authority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("g"))
     )
     G: dict = {}
-    for r in gram.collect():  # schema-bounded: |brands|^2 <= 625 rows
+    for r in capture_stage(gram).collect():  # schema-bounded: <= 625 rows
         G[(r["b"], r["b2"])] = r["g"]
     brands = sorted({b for b, _ in G})
     ref = min(brands, key=lambda b: (-G[(b, b)], b))

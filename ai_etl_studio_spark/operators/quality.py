@@ -2864,12 +2864,11 @@ def spiegelhalter_z_quality_score(
     s = vc.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.sum(
-            F.col("c")
-            * (F.col("y") * 1000000 - F.col("s"))
-            * (1000000 - 2 * F.col("s"))
-        )
-        .cast("decimal(38,0)")
-        .alias("num_t12"),
+            F.expr(
+                "CAST(c AS DECIMAL(38,0)) * (y * 1000000 - s)"
+                " * (1000000 - 2 * s)"
+            )
+        ).alias("num_t12"),
         F.sum(
             F.expr(
                 "CAST(c AS DECIMAL(38,0)) * (1000000 - 2 * s)"

@@ -3559,7 +3559,8 @@ _HUB_K = 10
     """,
 )
 def hubness_k_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hubness audit: the k-occurrence distribution N_{_HUB_K}(x) — how
+    """Hubness audit: the k-occurrence distribution N_k(x) at k=10
+    (_HUB_K) — how
     many sample queries list each corpus point among their {_HUB_K}
     nearest neighbors. In healthy low-dimensional data the histogram
     is tight around k·|sample|/|corpus|; a long right tail (hub points

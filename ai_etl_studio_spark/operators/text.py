@@ -2991,7 +2991,7 @@ _BURST_TOPK = 50
     """,
 )
 def term_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Church-Gale burstiness for the top-{_BURST_TOPK} terms: mean
+    """Church-Gale burstiness for the top-50 (_BURST_TOPK) terms: mean
     occurrences per CONTAINING document (cf/df) next to the document
     frequency a Poisson scatter of the same mass would predict — bursty
     terms (cf/df ≫ 1, df ≪ poisson_df) are topical/templated content;

@@ -683,7 +683,7 @@ _LCM_1_64 = 1182266884102822267511361600
 def shard_apportionment_sources(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Apportion a fixed {_APPORTION_SHARDS}-shard training budget
+    """Apportion a fixed 64-shard (_APPORTION_SHARDS) training budget
     across sources by BOTH classical methods — Hamilton largest
     remainder (exactly proportional bases + remainder-ranked top-ups)
     and D'Hondt highest averages (the divisor method that slightly
@@ -694,12 +694,13 @@ def shard_apportionment_sources(
 
     Exactness: FULLY integer — Hamilton remainders are exact modular
     arithmetic with a (remainder, source) ROW_NUMBER top-up; D'Hondt
-    quotients n/k become n * (lcm(1..{_APPORTION_SHARDS}) DIV k) — k
+    quotients n/k become n * (lcm(1..64) DIV k) (64 = _APPORTION_SHARDS)
+    — k
     divides the lcm, so every quotient is an exact 128-bit integer and the global quotient
     ranking is a pure integer sort (no double ever compares).
 
     Scale: one corpus pass to the |sources| inventory; the quotient
-    grid is |sources| x {_APPORTION_SHARDS} rows.
+    grid is |sources| x 64 (_APPORTION_SHARDS) rows.
     """
     d = load_table(spark, sf_dir, "documents")
     inv = d.groupBy("source").agg(

@@ -15,7 +15,12 @@ from pathlib import Path
 
 import bench
 from ai_etl_studio_spark.operators import load_all
-from ai_etl_studio_spark.plans.snapshot import PROFILE_KEYS, plan_profile
+from ai_etl_studio_spark.plans.snapshot import (
+    PROFILE_KEYS,
+    STAGE_SOURCED,
+    plan_profile,
+    stage_profile,
+)
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -58,7 +63,43 @@ def test_plansnap_covers_headline_exactly():
     errors = sorted(k for k, v in prof.items() if "error" in v)
     assert not errors, f"PLANSNAP rows errored: {errors}"
     for name, p in prof.items():
-        assert tuple(sorted(p)) == tuple(sorted(PROFILE_KEYS)), name
+        want = set(PROFILE_KEYS)
+        if name in STAGE_SOURCED:
+            want = want | {"stage_frames"}
+        assert set(p) == want, name
+
+
+def test_no_silent_all_zero_profiles():
+    """r10 verdict item 2: every HEADLINE op costing > 1 s in the bench
+    seal must have a non-zero plan profile (its heavy work is visible
+    to the drift-attribution gate) or be an explicitly stage-sourced
+    row. An all-zero row on an expensive op means its plan regressions
+    would read as ambient — exactly the blind spot this closes."""
+    art = _artifact()
+    times = json.loads((REPO / "BENCH_full_latest.json").read_text())[
+        "queries"
+    ]
+    offenders = []
+    for name, p in art["profiles"].items():
+        if times.get(name, 0.0) <= 1.0:
+            continue
+        visible = any(p[k] for k in PROFILE_KEYS) or name in STAGE_SOURCED
+        if not visible:
+            offenders.append(name)
+    assert not offenders, (
+        f"HEADLINE ops > 1 s with all-zero, non-stage-sourced profiles: "
+        f"{sorted(offenders)} — wrap their materialization boundaries in "
+        "plans.snapshot.capture_stage and regenerate the snapshot"
+    )
+    # every declared stage-sourced row is either genuinely staged or the
+    # declared-zero degenerate (error_relation)
+    for name in STAGE_SOURCED & set(art["profiles"]):
+        p = art["profiles"][name]
+        assert "stage_frames" in p, name
+        if name != "error_relation":
+            assert p["stage_frames"] > 0 and any(
+                p[k] for k in PROFILE_KEYS
+            ), name
 
 
 def test_sentinel_profiles_match_artifact(spark):
@@ -80,6 +121,36 @@ def test_sentinel_profiles_match_artifact(spark):
             }
     assert not diffs, (
         f"plan profiles drifted from PLANSNAP (want, got): {diffs} — "
+        "if intentional, regenerate: python tools/plan_snapshot.py "
+        f"--only {' '.join(diffs)}"
+    )
+
+
+#: stage-sourced sentinels recomputed live (these EXECUTE their heavy
+#: stages during construction, so keep the list to the cheap members —
+#: the Gram-collect op pins the capture seam, error_relation the
+#: declared-zero degenerate).
+STAGE_SENTINELS = ("hits_brand_authority_topk", "error_relation")
+
+
+def test_stage_sentinel_profiles_match_artifact(spark):
+    """Live recompute of the stage-sourced sentinel subset: pins both
+    the capture_stage plumbing (a dropped wrapper shows up as a
+    stage_frames decrement) and profile determinism across sessions."""
+    art = _artifact()
+    queries, _ = load_all()
+    diffs = {}
+    for name in STAGE_SENTINELS:
+        got = stage_profile(queries[name], spark, art["sf_dir"])
+        want = art["profiles"][name]
+        if got != want:
+            diffs[name] = {
+                k: (want.get(k), got[k])
+                for k in got
+                if got[k] != want.get(k)
+            }
+    assert not diffs, (
+        f"stage profiles drifted from PLANSNAP (want, got): {diffs} — "
         "if intentional, regenerate: python tools/plan_snapshot.py "
         f"--only {' '.join(diffs)}"
     )

@@ -38,7 +38,11 @@ def main() -> int:
 
     import bench
     from ai_etl_studio_spark.operators import load_all
-    from ai_etl_studio_spark.plans.snapshot import plan_profile
+    from ai_etl_studio_spark.plans.snapshot import (
+        STAGE_SOURCED,
+        plan_profile,
+        stage_profile,
+    )
     from ai_etl_studio_spark.session import get_spark
 
     if only:
@@ -54,7 +58,12 @@ def main() -> int:
     profiles: dict[str, dict] = {}
     for name in names:
         try:
-            profiles[name] = plan_profile(queries[name](spark, sf_dir))
+            if name in STAGE_SOURCED:
+                # heavy stages materialize during construction — sum
+                # the captured stage profiles (r10 verdict item 2)
+                profiles[name] = stage_profile(queries[name], spark, sf_dir)
+            else:
+                profiles[name] = plan_profile(queries[name](spark, sf_dir))
         except Exception as exc:  # noqa: BLE001 — sweep must finish
             profiles[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
             print(f"{name}: ERROR {exc}", file=sys.stderr)
