@@ -10,42 +10,10 @@ in the builder would mirror into every oracle."""
 from __future__ import annotations
 
 from collections import Counter, defaultdict
+
 from itertools import combinations
 
-from tests.conftest import SF_DIR
-
-MINSUP = 2
-DCAP = 48
-
-
-def _capped_graph(spark):
-    """The capped co-purchase graph in pure Python, straight off the
-    parquet rows: distinct (order, part), per-order sorted pair
-    fan-out, support >= MINSUP, then drop nodes with degree > DCAP."""
-    rows = (
-        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-        .select("l_orderkey", "l_partkey")
-        .collect()
-    )
-    per_order: dict = defaultdict(set)
-    for r in rows:
-        per_order[r.l_orderkey].add(r.l_partkey)
-    sup: Counter = Counter()
-    for parts in per_order.values():
-        for a, b in combinations(sorted(parts), 2):
-            sup[(a, b)] += 1
-    e0 = {p for p, c in sup.items() if c >= MINSUP}
-    deg0: Counter = Counter()
-    for a, b in e0:
-        deg0[a] += 1
-        deg0[b] += 1
-    keep = {u for u, d in deg0.items() if d <= DCAP}
-    edges = {(a, b) for a, b in e0 if a in keep and b in keep}
-    adj: dict = defaultdict(set)
-    for a, b in edges:
-        adj[a].add(b)
-        adj[b].add(a)
-    return edges, adj
+from tests._roundlib import DCAP, MINSUP, SF_DIR, capped_graph as _capped_graph
 
 
 def test_graph_constants_match_operator_module():

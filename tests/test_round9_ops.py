@@ -10,48 +10,7 @@ from __future__ import annotations
 from collections import Counter, defaultdict
 from itertools import combinations
 
-from tests.conftest import SF_DIR
-
-MINSUP = 2
-DCAP = 48
-
-
-def _capped_wgraph(spark):
-    """The capped WEIGHTED co-purchase graph in pure Python: per
-    (order, part) revenue cents, per-order pair fan-out with weight
-    r_x + r_y, support >= MINSUP on pair count, then the UNWEIGHTED
-    degree cap (same fence as the unweighted tier)."""
-    rows = (
-        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-        .select("l_orderkey", "l_partkey", "l_extendedprice")
-        .collect()
-    )
-    opr: dict = defaultdict(int)
-    for r in rows:
-        opr[(r.l_orderkey, r.l_partkey)] += int(
-            r.l_extendedprice * 100 + 0.5
-        )
-    per_order: dict = defaultdict(dict)
-    for (o, p), cents in opr.items():
-        per_order[o][p] = cents
-    sup: Counter = Counter()
-    w: Counter = Counter()
-    for parts in per_order.values():
-        for a, b in combinations(sorted(parts), 2):
-            sup[(a, b)] += 1
-            w[(a, b)] += parts[a] + parts[b]
-    e0 = {p for p, c in sup.items() if c >= MINSUP}
-    deg0: Counter = Counter()
-    for a, b in e0:
-        deg0[a] += 1
-        deg0[b] += 1
-    keep = {u for u, d in deg0.items() if d <= DCAP}
-    ew = {(a, b): w[(a, b)] for a, b in e0 if a in keep and b in keep}
-    adjw: dict = defaultdict(dict)
-    for (a, b), wt in ew.items():
-        adjw[a][b] = wt
-        adjw[b][a] = wt
-    return ew, adjw
+from tests._roundlib import DCAP, MINSUP, SF_DIR, capped_wgraph as _capped_wgraph  # noqa: E501 — shared round scaffolding
 
 
 def test_strength_topk_replay(spark):
