@@ -1872,3 +1872,203 @@ def collation_ci_campaign_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("campaign")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: catalog SQL UDFs (CREATE FUNCTION — Spark 4 SQL scalar +
+# table functions). The reference's prompt spec (prompts.py:66-68)
+# forces aggregate-precompute rewrites the LLM must re-derive per
+# query; a catalog function expresses the shared device ONCE and every
+# query reuses it. Unlike Python UDFs, SQL UDFs are INLINED by the
+# analyzer into the caller's plan — the A&S tail below compiles into
+# the same WholeStageCodegen projection the hand-planted expression
+# text did (pinned in test_round11_ops: the plan shows the expanded
+# arithmetic, no black-box eval node). The DuckDB twin is a MACRO /
+# TABLE MACRO, so both engines resolve the same named abstraction to
+# the same fixed-order expression.
+# ---------------------------------------------------------------------------
+
+#: Abramowitz-Stegun 7.1.26 two-sided normal tail in integer nano,
+#: as a catalog scalar function (shared with drift.py's hand-inlined
+#: _PHI_TAIL text — same constants, same order).
+_PHI_FN_BODY = (
+    "CAST(round(2 * (exp(-az * az / 2) / sqrt(2 * pi())"
+    " * (0.319381530e0 * (1 / (1 + 0.2316419e0 * az))"
+    "  - 0.356563782e0 * pow(1 / (1 + 0.2316419e0 * az), 2)"
+    "  + 1.781477937e0 * pow(1 / (1 + 0.2316419e0 * az), 3)"
+    "  - 1.821255978e0 * pow(1 / (1 + 0.2316419e0 * az), 4)"
+    "  + 1.330274429e0 * pow(1 / (1 + 0.2316419e0 * az), 5)))"
+    " * 1000000000, 0) AS BIGINT)"
+)
+
+#: shared query text (identical in Spark and DuckDB): per-nation
+#: URGENT-share two-sided z p-value through the catalog function, with
+#: the Bonferroni family-wise adjustment.
+_PHI_UDF_QUERY = """
+    WITH pn AS (
+      SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+               THEN 1 ELSE 0 END) AS BIGINT) AS u
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    t AS (
+      SELECT pn.*, CAST(SUM(n) OVER () AS BIGINT) AS tn,
+             CAST(SUM(u) OVER () AS BIGINT) AS tu
+      FROM pn),
+    z AS (
+      SELECT nk, n, u,
+             abs((CAST(u AS DOUBLE) / n - CAST(tu AS DOUBLE) / tn)
+               / sqrt((CAST(tu AS DOUBLE) / tn)
+                 * (1 - CAST(tu AS DOUBLE) / tn) / n)) AS az
+      FROM t),
+    p AS (
+      SELECT nk, n, u, phi2_tail_nano(az) AS p_nano,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM z)
+    SELECT nk AS nationkey, n AS n_orders, u AS n_urgent, p_nano,
+           CAST(LEAST(p_nano * m, 1000000000) AS BIGINT) AS p_bonf_nano,
+           CAST(CASE WHEN p_nano * m <= 50000000 THEN 1 ELSE 0 END
+             AS BIGINT) AS significant
+    FROM p ORDER BY nationkey
+"""
+
+
+@register(
+    "sql_udf_phi_screening",
+    oracle=f"""
+    CREATE OR REPLACE MACRO phi2_tail_nano(az) AS {_PHI_FN_BODY};
+    {_PHI_UDF_QUERY}
+    """,
+)
+def sql_udf_phi_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation URGENT-share z-test with Bonferroni FWER control,
+    computed through a CATALOG SCALAR SQL FUNCTION: ``CREATE FUNCTION
+    phi2_tail_nano(az) RETURNS BIGINT RETURN <A&S 7.1.26>`` registered
+    once per session, then invoked by name — the reusable-abstraction
+    twin of the fdr/holm ops' hand-interpolated ``_PHI_TAIL`` string
+    (reference contrast: prompts.py:66-68 forces the LLM to re-derive
+    precomputed aggregates per query because the app has no place to
+    PUT a shared definition; a session catalog does). The DuckDB twin
+    registers the same body as a MACRO, so both engines execute one
+    named fixed-order expression — values bit-identical.
+
+    Scale: SQL UDFs inline at analysis time — the plan is byte-for-
+    byte the plan of the textual version (WholeStageCodegen through
+    the tail polynomial, zero serialization seam; pinned in
+    test_round11_ops), so the abstraction is free at 100 TB, unlike a
+    Python UDF whose batch boundary would cost Arrow transfer per row
+    batch.
+    """
+    from ai_etl_studio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("orders", "customer"))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION phi2_tail_nano(az DOUBLE) "
+        f"RETURNS BIGINT RETURN {_PHI_FN_BODY}"
+    )
+    return spark.sql(_PHI_UDF_QUERY)
+
+
+#: Cramer's-rule quadratic least-squares solve as a catalog TABLE
+#: function over the sufficient sums (same determinant texts as
+#: insights.py's bass_diffusion_fit device).
+_QUAD_D = (
+    "(n*(sx2*sx4 - sx3*sx3) - sx1*(sx1*sx4 - sx3*sx2)"
+    " + sx2*(sx1*sx3 - sx2*sx2))"
+)
+_QUAD_DA = (
+    "(sy*(sx2*sx4 - sx3*sx3) - sx1*(sxy*sx4 - sx3*sx2y)"
+    " + sx2*(sxy*sx3 - sx2*sx2y))"
+)
+_QUAD_DB = (
+    "(n*(sxy*sx4 - sx3*sx2y) - sy*(sx1*sx4 - sx3*sx2)"
+    " + sx2*(sx1*sx2y - sxy*sx2))"
+)
+_QUAD_DC = (
+    "(n*(sx2*sx2y - sxy*sx3) - sx1*(sx1*sx2y - sxy*sx2)"
+    " + sy*(sx1*sx3 - sx2*sx2))"
+)
+
+_QUAD_FN_COLS = (
+    f"CAST(round(({_QUAD_DA}) / ({_QUAD_D}) * 1000000, 0) AS BIGINT)"
+    " AS a_micro, "
+    f"CAST(round(({_QUAD_DB}) / ({_QUAD_D}) * 1000000, 0) AS BIGINT)"
+    " AS b_micro, "
+    f"CAST(round(({_QUAD_DC}) / ({_QUAD_D}) * 1000000, 0) AS BIGINT)"
+    " AS c_micro"
+)
+
+#: shared query text: monthly revenue (exact cents) vs 0-based month
+#: index, sufficient sums reduced exactly (DECIMAL(38,0) per-term for
+#: the y-weighted powers), then ONE correlated-lateral call into the
+#: table function.
+_QUAD_UDF_QUERY = """
+    WITH m AS (
+      SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+               + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mi,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    xy AS (
+      SELECT CAST(mi - MIN(mi) OVER () AS BIGINT) AS x, y FROM m),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx1,
+             CAST(SUM(x * x) AS DOUBLE) AS sx2,
+             CAST(SUM(x * x * x) AS DOUBLE) AS sx3,
+             CAST(SUM(x * x * x * x) AS DOUBLE) AS sx4,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0)) * y) AS DOUBLE)
+               AS sx2y,
+             CAST(COUNT(*) AS BIGINT) AS n_months
+      FROM xy)
+    SELECT s.n_months, f.a_micro, f.b_micro, f.c_micro
+    FROM s, LATERAL quad_fit_micro(s.n, s.sx1, s.sx2, s.sx3, s.sx4,
+                                   s.sy, s.sxy, s.sx2y) f
+"""
+
+
+@register(
+    "sql_udf_quad_trend_fit",
+    oracle=f"""
+    CREATE OR REPLACE MACRO quad_fit_micro(n, sx1, sx2, sx3, sx4, sy,
+      sxy, sx2y) AS TABLE SELECT {_QUAD_FN_COLS};
+    {_QUAD_UDF_QUERY}
+    """,
+)
+def sql_udf_quad_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic least-squares trend of monthly revenue (micro-quantized
+    a + b·x + c·x² coefficients over the 0-based month index), solved
+    by Cramer's rule inside a CATALOG SQL TABLE FUNCTION — ``CREATE
+    FUNCTION quad_fit_micro(...) RETURNS TABLE (a_micro, b_micro,
+    c_micro)`` — invoked once via correlated LATERAL over the 1-row
+    sufficient-statistics aggregate. The table-function shape is the
+    second half of the Spark-4 SQL-UDF axis (the scalar half is
+    sql_udf_phi_screening): a multi-column derivation with one shared
+    definition, where the scalar form would need three near-identical
+    functions re-evaluating the common determinant. DuckDB twin: the
+    same body as a TABLE MACRO.
+
+    Exactness: x ≤ |months| so the x-power sums are exact BIGINTs; the
+    y-weighted sums reduce per-term in DECIMAL(38,0); every sum is
+    CAST to DOUBLE once and the determinant texts evaluate in the same
+    fixed order in both engines (the bass_diffusion_fit device, now
+    catalog-resident).
+
+    Scale: one pass to the |months| grain, a 1-row sufficient-stats
+    reduce, and a driver-free lateral join against a 1-row function
+    result — the fit costs O(|orders|) scan regardless of coefficient
+    count; the function inlines, so no per-row evaluation seam exists.
+    """
+    from ai_etl_studio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("orders",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION quad_fit_micro("
+        "n DOUBLE, sx1 DOUBLE, sx2 DOUBLE, sx3 DOUBLE, sx4 DOUBLE, "
+        "sy DOUBLE, sxy DOUBLE, sx2y DOUBLE) "
+        "RETURNS TABLE (a_micro BIGINT, b_micro BIGINT, c_micro BIGINT) "
+        f"RETURN SELECT {_QUAD_FN_COLS}"
+    )
+    return spark.sql(_QUAD_UDF_QUERY)

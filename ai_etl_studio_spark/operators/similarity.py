@@ -775,6 +775,97 @@ def cosine_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cosine_arrow_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_QUANT}, 0) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id = 0),
+    quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_QUANT}, 0) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id > 0),
+    scored AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]))
+               AS dot_i,
+             list_sum(list_transform(v, x -> x * x)) AS n1_i,
+             list_sum(list_transform(qv, x -> x * x)) AS n2_i
+      FROM quant, q)
+    SELECT vec_id,
+           round(CAST(dot_i AS DOUBLE) / (sqrt(CAST(n1_i AS DOUBLE)) * sqrt(CAST(n2_i AS DOUBLE))), 6)
+             AS cos_sim
+    FROM scored
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def cosine_arrow_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cosine_pandas_udf_topk``'s kernel on the **``mapInArrow``**
+    seam — the lower-overhead Arrow-native batch API (r10 verdict item
+    5): the UDF receives raw ``pyarrow.RecordBatch``es and yields
+    RecordBatches, skipping the Arrow→pandas→Arrow conversion the
+    ``pandas_udf`` flavor pays on BOTH sides of every batch (Series
+    construction, index allocation, object boxing for the list
+    column). The list column flattens zero-copy into one contiguous
+    float buffer → (batch × dim) int64 numpy matrix → one matvec —
+    identical integer arithmetic, identical oracle, same results to
+    the last bit.
+
+    Exactness: same micro-quantized int64 dot/norm device as the
+    pandas twin — summation-order-free, so numpy BLAS and DuckDB's
+    sequential list_sum agree exactly.
+
+    Scale: when the Python kernel is a fixed-width numeric op (int8
+    rerank, learned-metric scoring), the pandas wrapper is pure
+    per-batch overhead at 100 TB — measured at sf0.1 in SCALE.md
+    (round-11 note). pandas stays the right seam when the kernel
+    needs DataFrame semantics (grouping, joins, string ops).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q_i = np.rint(np.array(qvec, dtype=np.float64) * _QUANT).astype(np.int64)
+    qn_sqrt = float(np.sqrt(float(q_i @ q_i)))
+    dim = len(qvec)
+
+    def score(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            emb = b.column("embedding")
+            # flatten() honors the batch's list offsets; values are a
+            # contiguous primitive buffer — no per-row Python objects
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            m = np.rint(
+                flat.astype(np.float64).reshape(n, dim) * _QUANT
+            ).astype(np.int64)
+            dot = m @ q_i
+            n1 = (m * m).sum(axis=1)
+            sims = np.round(
+                dot.astype(np.float64)
+                / (np.sqrt(n1.astype(np.float64)) * qn_sqrt),
+                6,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), pa.array(sims, type=pa.float64())],
+                names=["vec_id", "cos_sim"],
+            )
+
+    return (
+        e.filter(F.col("vec_id") > 0)
+        .select("vec_id", "embedding")
+        .mapInArrow(score, "vec_id long, cos_sim double")
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
 MMR_N_CAND = 20
 MMR_K = 5
 MMR_LAMBDA_NUM = 7  # lambda = 0.7, kept as integers for exact scoring

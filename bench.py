@@ -726,6 +726,10 @@ HEADLINE = [
     "woe_iv_gate_by_source",
     "kuiper_dow_uniformity",
     "allan_variance_event_counts",
+    # round-11: catalog SQL UDF axis + the mapInArrow seam twin
+    "sql_udf_phi_screening",
+    "sql_udf_quad_trend_fit",
+    "cosine_arrow_topk",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
