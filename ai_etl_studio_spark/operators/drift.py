@@ -9785,8 +9785,9 @@ def brunner_munzel_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     one mirrored double expression at the end. Q terms ride int128
     (oracle HUGEINT) / decimal(38,0) (Spark) end to end — the square
     itself is decimal, never double, so both engines are bit-exact up
-    to 1e38 (magnitude ~1e33 at sf0.1; recheck the width before
-    running at sf≥1, where decimal(38,0) overflow raises under ANSI
+    to 1e38. Width certified at sf1 (SCALE.md round-11: cross-engine
+    MATCH, measured log10(Q)=29.92, ~n**3 scaling puts the ceiling
+    near sf~500, where decimal(38,0) overflow raises under ANSI
     rather than silently rounding).
 
     Scale: value-grain windows only; one-row output."""
