@@ -13847,3 +13847,664 @@ def kuiper_dow_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("kuiper_vstar_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: the remaining classical two-sample / scale shelf — Cucconi
+# (joint location-scale via squared ranks), Rousseeuw-Croux Sn/Qn
+# (robust scale as pairwise-difference order statistics on the bounded
+# value grain), and Fligner-Killeen (normal-scores scale test, consuming
+# the probit catalog SQL UDF).
+# ---------------------------------------------------------------------------
+
+#: Cucconi's shared double tail: U, V from exact wide-integer numerators,
+#: rho from N alone, C the quadratic form — one token-identical text per
+#: expression in both engines.
+_CUC_SIG = (
+    "sqrt(CAST(m AS DOUBLE) * (nn - m) * (nn + 1E0)"
+    " * (2E0 * nn + 1) * (8E0 * nn + 11) / 5E0)"
+)
+_CUC_RHO = (
+    "(2E0 * (CAST(nn AS DOUBLE) * nn - 4)"
+    " / ((2E0 * nn + 1) * (8E0 * nn + 11)) - 1)"
+)
+
+
+@register(
+    "cucconi_delay_location_scale",
+    oracle=_DELAY_GRAIN_CTE.replace(_AB_FILTER_MARKER,
+        _AB_FILTER_MARKER
+        + " AND o.o_orderpriority IN ('1-URGENT', '5-LOW')")
+    + f"""
+    , vg AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN pr = '1-URGENT' THEN c ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(SUM(c) AS BIGINT) AS c
+      FROM c GROUP BY v),
+    cum AS (
+      SELECT v, ca, c,
+             CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS hi,
+             CAST(SUM(c) OVER (ORDER BY v) - c + 1 AS BIGINT) AS lo,
+             CAST(SUM(c) OVER () AS BIGINT) AS nn,
+             CAST(SUM(ca) OVER () AS BIGINT) AS m
+      FROM vg),
+    s AS (
+      SELECT MAX(m) AS m, MAX(nn) AS nn,
+             CAST(SUM(CAST(ca AS HUGEINT) * (lo + hi)) AS HUGEINT) AS a2,
+             CAST(SUM(CAST(ca AS HUGEINT) * (lo + hi) * (lo + hi))
+               AS HUGEINT) AS a4
+      FROM cum),
+    w AS (
+      SELECT m, nn,
+             3 * a4 - 2 * CAST(m AS HUGEINT) * (nn + 1) * (2 * nn + 1)
+               AS nu,
+             12 * CAST(m AS HUGEINT) * (nn + 1) * (nn + 1)
+               - 12 * CAST(nn + 1 AS HUGEINT) * a2 + 3 * a4
+               - 2 * CAST(m AS HUGEINT) * (nn + 1) * (2 * nn + 1) AS nv
+      FROM s),
+    z AS (
+      SELECT m, nn,
+             CAST(nu AS DOUBLE) / (2E0 * ({_CUC_SIG})) AS u,
+             CAST(nv AS DOUBLE) / (2E0 * ({_CUC_SIG})) AS v,
+             {_CUC_RHO} AS rho
+      FROM w)
+    SELECT m AS n_urgent, nn - m AS n_low,
+           CAST(round(u * 1000000E0, 0) AS BIGINT) AS u_micro,
+           CAST(round(v * 1000000E0, 0) AS BIGINT) AS v_micro,
+           CAST(round((u * u + v * v - 2 * rho * u * v)
+             / (2E0 * (1 - rho * rho)) * 1000E0, 0) AS BIGINT)
+             AS cucconi_milli
+    FROM z
+    """,
+)
+def cucconi_delay_location_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cucconi's joint location-scale test between URGENT and LOW ship
+    delays — the OTHER omnibus beside Lepage, and the older one (1968):
+    where Lepage ADDS a location z and a scale z, Cucconi builds U from
+    the squared ranks and V from the squared CONTRARY ranks of the
+    URGENT sample and combines them through their exact correlation
+    rho(N) in a bivariate quadratic form with chi-square(2)
+    calibration. Squared ranks weight the extremes harder than
+    Wilcoxon+Ansari do, so Cucconi and Lepage disagreeing flags a
+    tail-shape (not center/spread) difference — worth both.
+
+    Exactness: with midranks, Sum r^2 over a tie group is
+    Sum ca*(lo+hi)^2 / 4 — so A2 = Sum ca*(lo+hi) and
+    A4 = Sum ca*(lo+hi)^2 are EXACT integers (HUGEINT / decimal(38,0);
+    A4 <= 4N^3, inside 1e38 until N ~ 2.9e12), and the U/V numerators
+    NU = 3*A4 - 2m(N+1)(2N+1), NV = 12m(N+1)^2 - 12(N+1)*A2 + 3*A4
+    - 2m(N+1)(2N+1) are exact by construction (both equal
+    2*(6*Sum r^2 - m(N+1)(2N+1)) in the untied case). U, V, rho, C are
+    single shared double texts over those integers.
+
+    Scale: one value-grain window pass (<= ~125 rows after the
+    (priority, delay, count) reduction), one-row output — the
+    ansari/lepage budget exactly.
+    """
+    c = _delay_grain(spark, sf_dir).filter(
+        F.col("pr").isin("1-URGENT", "5-LOW")
+    )
+    vg = c.groupBy("v").agg(
+        F.sum(F.when(F.col("pr") == "1-URGENT", F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum("c").cast("bigint").alias("c"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vg.select(
+        "ca",
+        "c",
+        F.sum("c").over(wv).cast("bigint").alias("hi"),
+        (F.sum("c").over(wv) - F.col("c") + 1).cast("bigint").alias("lo"),
+        F.sum("c").over(wall).cast("bigint").alias("nn"),
+        F.sum("ca").over(wall).cast("bigint").alias("m"),
+    )
+    s = cum.agg(
+        F.max("m").alias("m"),
+        F.max("nn").alias("nn"),
+        F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * (lo + hi)")).alias("a2"),
+        F.sum(
+            F.expr("CAST(ca AS DECIMAL(38,0)) * (lo + hi) * (lo + hi)")
+        ).alias("a4"),
+    )
+    w = s.select(
+        "m",
+        "nn",
+        F.expr(
+            "3 * a4 - 2 * CAST(m AS DECIMAL(38,0)) * (nn + 1)"
+            " * (2 * nn + 1)"
+        ).alias("nu"),
+        F.expr(
+            "12 * CAST(m AS DECIMAL(38,0)) * (nn + 1) * (nn + 1)"
+            " - 12 * CAST(nn + 1 AS DECIMAL(38,0)) * a2 + 3 * a4"
+            " - 2 * CAST(m AS DECIMAL(38,0)) * (nn + 1) * (2 * nn + 1)"
+        ).alias("nv"),
+    )
+    z = w.select(
+        "m",
+        "nn",
+        F.expr(f"CAST(nu AS DOUBLE) / (2E0 * ({_CUC_SIG}))").alias("u"),
+        F.expr(f"CAST(nv AS DOUBLE) / (2E0 * ({_CUC_SIG}))").alias("v"),
+        F.expr(_CUC_RHO).alias("rho"),
+    )
+    return z.select(
+        F.col("m").alias("n_urgent"),
+        (F.col("nn") - F.col("m")).alias("n_low"),
+        F.expr("CAST(round(u * 1000000E0, 0) AS BIGINT)").alias("u_micro"),
+        F.expr("CAST(round(v * 1000000E0, 0) AS BIGINT)").alias("v_micro"),
+        F.expr(
+            "CAST(round((u * u + v * v - 2 * rho * u * v)"
+            " / (2E0 * (1 - rho * rho)) * 1000E0, 0) AS BIGINT)"
+        ).alias("cucconi_milli"),
+    )
+
+
+@register(
+    "sn_scale_delay_by_priority",
+    oracle=_DELAY_GRAIN_CTE
+    + """
+    , mx AS (SELECT CAST(MAX(v) AS BIGINT) AS maxv FROM c),
+    n AS (SELECT pr, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY pr),
+    dense AS (
+      SELECT n.pr, t.t, CAST(COALESCE(c2.c, 0) AS BIGINT) AS ct
+      FROM n CROSS JOIN (
+        SELECT unnest(range(0, (SELECT maxv + 1 FROM mx))) AS t) t
+      LEFT JOIN c c2 ON c2.pr = n.pr AND c2.v = t.t),
+    cumday AS (
+      SELECT pr, t,
+             CAST(SUM(ct) OVER (PARTITION BY pr ORDER BY t) AS BIGINT)
+               AS cum
+      FROM dense),
+    arr AS (SELECT pr, list(cum ORDER BY t) AS cums FROM cumday GROUP BY pr),
+    inner_med AS (
+      SELECT g.pr, g.v AS av, g.c AS ca,
+             CAST(list_reduce(
+               list_prepend(CAST(mx.maxv AS BIGINT), range(1, 14)),
+               (acc, i) -> CASE
+                 WHEN acc // 65536 >= acc % 65536 THEN acc
+                 WHEN a.cums[CAST(least(g.v + ((acc // 65536 + acc % 65536) // 2), mx.maxv) + 1 AS BIGINT)] - CASE WHEN g.v - ((acc // 65536 + acc % 65536) // 2) > 0 THEN a.cums[CAST(g.v - ((acc // 65536 + acc % 65536) // 2) AS BIGINT)] ELSE 0 END >= n.n // 2 + 2
+                 THEN (acc // 65536) * 65536 + ((acc // 65536 + acc % 65536) // 2)
+                 ELSE (((acc // 65536 + acc % 65536) // 2) + 1) * 65536 + acc % 65536 END)
+               % 65536 AS BIGINT) AS him
+      FROM c g
+      JOIN arr a ON a.pr = g.pr
+      JOIN n ON n.pr = g.pr
+      CROSS JOIN mx),
+    outer_cum AS (
+      SELECT i.pr, i.him,
+             CAST(SUM(i.ca) OVER (PARTITION BY i.pr ORDER BY i.him, i.av)
+               AS BIGINT) AS cc,
+             n.n
+      FROM inner_med i JOIN n ON n.pr = i.pr)
+    SELECT pr AS priority, CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(MIN(him) AS BIGINT) AS sn_days,
+           CAST(round(1.1926E0 * MIN(him) * 1000000E0, 0) AS BIGINT)
+             AS sn_micro
+    FROM outer_cum WHERE cc >= (n + 1) // 2
+    GROUP BY pr ORDER BY pr
+    """,
+)
+def sn_scale_delay_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rousseeuw-Croux Sn robust scale of the ship delay, per priority:
+    Sn = 1.1926 * lomed_i himed_{j!=i} |x_i - x_j| — the 58%-breakdown
+    scale estimator that, unlike MAD, needs NO location estimate and
+    stays efficient under asymmetry (MAD implicitly assumes symmetry
+    around the median; delays are right-skewed, exactly MAD's bad
+    case). himed = the (floor(n/2)+1)-th order statistic over the n-1
+    pairwise distances from each point, lomed = the floor((n+1)/2)-th
+    over points; 1.1926 is the asymptotic Gaussian consistency factor
+    (finite-sample c_n corrections documented out).
+
+    Exactness: FULLY integer until the one constant multiply — the
+    inner himed for value a is min{d : ECDF-weight of [a-d, a+d]
+    >= floor(n/2)+2} (the +2 excludes the point's own copy), a pure
+    cumulative-count selection; the outer lomed is a weighted order
+    statistic. No float ever ranks.
+
+    Scale: the naive estimator is O(n^2) per group. The DENSE-DOMAIN
+    ECDF device bounds it instead by the day DOMAIN: one per-priority
+    cumulative array over calendar days (|days| entries), then each
+    distinct value scans d = 0..|days| with O(1) array-index weight
+    lookups inside a single JVM higher-order-function projection —
+    |values| x |days| lambda steps, ZERO pairwise shuffle, independent
+    of row count. (A first draft materialized the (value, distance)
+    pair histogram and window-scanned it: 15M rows and ~100 s at
+    sf0.01; this form is ~2 s. The pair grid is bounded by the value
+    domain, not n, but the dense array turns quadratic rows into
+    quadratic REGISTER work, which is the right side of the memory
+    wall at 100 TB.)
+    """
+    c = _delay_grain(spark, sf_dir)
+    mx = c.agg(F.max("v").cast("bigint").alias("maxv"))
+    n = c.groupBy("pr").agg(F.sum("c").cast("bigint").alias("n"))
+    dense = (
+        n.crossJoin(F.broadcast(mx))
+        .select("pr", F.explode(F.expr("sequence(0L, maxv)")).alias("t"))
+        .join(
+            c.select("pr", F.col("v").alias("t"), "c"), ["pr", "t"], "left"
+        )
+        .select("pr", "t", F.coalesce("c", F.lit(0)).alias("ct"))
+    )
+    wt = Window.partitionBy("pr").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    arr = (
+        dense.select(
+            "pr", "t", F.sum("ct").over(wt).cast("bigint").alias("cum")
+        )
+        .groupBy("pr")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("t", "cum"))),
+                lambda x: x["cum"],
+            ).alias("cums")
+        )
+    )
+    inner = (
+        c.join(F.broadcast(arr), "pr")
+        .join(F.broadcast(n), "pr")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "pr",
+            F.col("v").alias("av"),
+            F.col("c").alias("ca"),
+            # 13-step binary search on d (2^13 > any day domain): the
+            # invariant keeps hi feasible and lo-1 infeasible; (lo, hi)
+            # pack into ONE bigint (lo*65536 + hi) so the fold
+            # accumulator is a primitive in both engines. O(log days)
+            # per value vs the linear scan's O(days) — the tail values
+            # whose windows must stretch to the far side no longer pay
+            # a full-domain scan (16 s -> ~1 s at sf0.1).
+            F.expr(
+                "CAST(aggregate(sequence(1, 13), CAST(maxv AS BIGINT),"
+                " (acc, i) -> CASE"
+                " WHEN acc DIV 65536 >= acc % 65536 THEN acc"
+                " WHEN element_at(cums, CAST(least(v + ((acc DIV 65536 + acc % 65536) DIV 2), maxv) + 1 AS INT)) - CASE WHEN v - ((acc DIV 65536 + acc % 65536) DIV 2) > 0 THEN element_at(cums, CAST(v - ((acc DIV 65536 + acc % 65536) DIV 2) AS INT)) ELSE 0L END >= n DIV 2 + 2"
+                " THEN (acc DIV 65536) * 65536 + ((acc DIV 65536 + acc % 65536) DIV 2)"
+                " ELSE (((acc DIV 65536 + acc % 65536) DIV 2) + 1) * 65536 + acc % 65536 END)"
+                " % 65536 AS BIGINT)"
+            ).alias("him"),
+        )
+    )
+    wo = Window.partitionBy("pr").orderBy("him", "av").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    oc = inner.join(F.broadcast(n), "pr").select(
+        "pr", "him", "n",
+        F.sum("ca").over(wo).cast("bigint").alias("cc"),
+    )
+    return (
+        oc.filter(F.col("cc") >= F.expr("(n + 1) DIV 2"))
+        .groupBy(F.col("pr").alias("priority"))
+        .agg(
+            F.max("n").cast("bigint").alias("n_lines"),
+            F.min("him").cast("bigint").alias("sn_days"),
+            F.expr(
+                "CAST(round(1.1926E0 * MIN(him) * 1000000E0, 0) AS BIGINT)"
+            ).alias("sn_micro"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "qn_scale_delay_by_priority",
+    oracle=_DELAY_GRAIN_CTE
+    + """
+    , n AS (SELECT pr, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY pr),
+    pd AS (
+      SELECT a.pr, abs(a.v - b.v) AS d,
+             CAST(SUM(CASE WHEN a.v = b.v THEN a.c * (a.c - 1) // 2
+                           WHEN a.v < b.v THEN a.c * b.c
+                           ELSE 0 END) AS BIGINT) AS w
+      FROM c a JOIN c b ON a.pr = b.pr AND a.v <= b.v
+      GROUP BY 1, 2),
+    cumd AS (
+      SELECT pd.pr, d,
+             CAST(SUM(w) OVER (PARTITION BY pd.pr ORDER BY d) AS BIGINT)
+               AS cw,
+             n.n
+      FROM pd JOIN n ON n.pr = pd.pr)
+    SELECT pr AS priority, CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(MIN(d) AS BIGINT) AS qn_days,
+           CAST(round(2.2219E0 * MIN(d) * 1000000E0, 0) AS BIGINT)
+             AS qn_micro
+    FROM cumd
+    WHERE cw >= ((n // 2 + 1) * (n // 2)) // 2
+    GROUP BY pr ORDER BY pr
+    """,
+)
+def qn_scale_delay_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rousseeuw-Croux Qn robust scale of the ship delay, per priority:
+    Qn = 2.2219 * {|x_i - x_j|; i < j}_(k) with k = C(h,2),
+    h = floor(n/2)+1 — the 50%-breakdown, 82%-efficient companion of
+    Sn (Sn trades efficiency for the nested-median structure; Qn is a
+    single order statistic over all C(n,2) pairwise distances and is
+    the better default when efficiency matters). Reading Sn, Qn, MAD
+    side by side on the same grain separates skew effects (MAD low)
+    from tail effects (Qn high).
+
+    Exactness: FULLY integer until the consistency constant. The
+    number of pairs at distance <= d is
+    T0 + Sum_a ca * (cum(a + d) - cum(a)) over the dense day ECDF
+    (T0 = Sum C(ca, 2) same-value pairs) — exact counts; the k-th
+    order statistic is the minimal feasible d found by a 13-step
+    binary search (2^13 > day domain) whose (lo, hi) state packs into
+    one bigint. The DuckDB oracle deliberately takes a DIFFERENT
+    route (the explicit difference histogram + cumulative selection —
+    DuckDB lambdas cannot close over an outer lambda's accumulator),
+    so the hash match is a two-algorithm agreement, stronger than a
+    mirrored-text check; exactness is unaffected because every
+    quantity on both routes is an integer count. Pair counts stay
+    inside int64 for n < ~3e9 rows per group (documented bound).
+
+    Scale: the naive Qn is O(n^2); a first draft materialized the
+    |values|^2/2 difference histogram (~14M rows, 4.9 s at sf0.1).
+    This form is ONE row per priority — binary search x O(|values|)
+    register work inside a single projection, no pair table, no
+    shuffle beyond the value-grain reduction (~2 s, n-independent).
+    """
+    c = _delay_grain(spark, sf_dir)
+    mx = c.agg(F.max("v").cast("bigint").alias("maxv"))
+    n = c.groupBy("pr").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.expr("c * (c - 1) DIV 2")).cast("bigint").alias("t0"),
+    )
+    dense = (
+        n.crossJoin(F.broadcast(mx))
+        .select("pr", F.explode(F.expr("sequence(0L, maxv)")).alias("t"))
+        .join(
+            c.select("pr", F.col("v").alias("t"), "c"), ["pr", "t"], "left"
+        )
+        .select("pr", "t", F.coalesce("c", F.lit(0)).alias("ct"))
+    )
+    wt = Window.partitionBy("pr").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    arr = (
+        dense.select(
+            "pr", "t", F.sum("ct").over(wt).cast("bigint").alias("cum")
+        )
+        .groupBy("pr")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("t", "cum"))),
+                lambda x: x["cum"],
+            ).alias("cums")
+        )
+    )
+    vals = c.groupBy("pr").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("v", "c"))),
+            lambda x: x["v"].cast("bigint"),
+        ).alias("vs"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("v", "c"))),
+            lambda x: x["c"].cast("bigint"),
+        ).alias("cs"),
+    )
+    t = n.join(arr, "pr").join(vals, "pr").crossJoin(F.broadcast(mx))
+    return t.select(
+        F.col("pr").alias("priority"),
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.expr("CAST(aggregate(sequence(1, 13), CAST(maxv AS BIGINT), (acc, i) -> CASE WHEN acc DIV 65536 >= acc % 65536 THEN acc WHEN t0 + aggregate(sequence(1, CAST(size(vs) AS INT)), 0L, (sa, j) -> sa + cs[j - 1] * (element_at(cums, CAST(least(vs[j - 1] + ((acc DIV 65536 + acc % 65536) DIV 2), maxv) + 1 AS INT)) - element_at(cums, CAST(vs[j - 1] + 1 AS INT)))) >= ((n DIV 2 + 1) * (n DIV 2)) DIV 2 THEN (acc DIV 65536) * 65536 + ((acc DIV 65536 + acc % 65536) DIV 2) ELSE (((acc DIV 65536 + acc % 65536) DIV 2) + 1) * 65536 + acc % 65536 END) % 65536 AS BIGINT)").alias("qn_days"),
+        F.expr(
+            "CAST(round(2.2219E0 * (aggregate(sequence(1, 13), CAST(maxv AS BIGINT), (acc, i) -> CASE WHEN acc DIV 65536 >= acc % 65536 THEN acc WHEN t0 + aggregate(sequence(1, CAST(size(vs) AS INT)), 0L, (sa, j) -> sa + cs[j - 1] * (element_at(cums, CAST(least(vs[j - 1] + ((acc DIV 65536 + acc % 65536) DIV 2), maxv) + 1 AS INT)) - element_at(cums, CAST(vs[j - 1] + 1 AS INT)))) >= ((n DIV 2 + 1) * (n DIV 2)) DIV 2 THEN (acc DIV 65536) * 65536 + ((acc DIV 65536 + acc % 65536) DIV 2) ELSE (((acc DIV 65536 + acc % 65536) DIV 2) + 1) * 65536 + acc % 65536 END) % 65536) * 1000000E0, 0)"
+            " AS BIGINT)"
+        ).alias("qn_micro"),
+    ).orderBy("priority")
+
+
+#: Acklam's rational approximation of the inverse normal CDF — ONE
+#: fixed-order expression text, registered as a catalog SQL function in
+#: Spark and a MACRO in DuckDB (the round-11 SQL-UDF axis), so both
+#: engines evaluate the identical polynomial. Relative error < 1.15e-9
+#: over (0,1); the engine consumes it only through nano quantization.
+_PROBIT_BODY = (
+    "CASE WHEN p < 0.02425E0 THEN"
+    " (((((-7.784894002430293E-03 * sqrt(-2 * ln(p))"
+    "  - 3.223964580411365E-01) * sqrt(-2 * ln(p))"
+    "  - 2.400758277161838E0) * sqrt(-2 * ln(p))"
+    "  - 2.549732539343734E0) * sqrt(-2 * ln(p))"
+    "  + 4.374664141464968E0) * sqrt(-2 * ln(p))"
+    "  + 2.938163982698783E0)"
+    " / ((((7.784695709041462E-03 * sqrt(-2 * ln(p))"
+    "  + 3.224671290700398E-01) * sqrt(-2 * ln(p))"
+    "  + 2.445134137142996E0) * sqrt(-2 * ln(p))"
+    "  + 3.754408661907416E0) * sqrt(-2 * ln(p)) + 1)"
+    " WHEN p > 0.97575E0 THEN"
+    " -((((( -7.784894002430293E-03 * sqrt(-2 * ln(1 - p))"
+    "  - 3.223964580411365E-01) * sqrt(-2 * ln(1 - p))"
+    "  - 2.400758277161838E0) * sqrt(-2 * ln(1 - p))"
+    "  - 2.549732539343734E0) * sqrt(-2 * ln(1 - p))"
+    "  + 4.374664141464968E0) * sqrt(-2 * ln(1 - p))"
+    "  + 2.938163982698783E0)"
+    " / ((((7.784695709041462E-03 * sqrt(-2 * ln(1 - p))"
+    "  + 3.224671290700398E-01) * sqrt(-2 * ln(1 - p))"
+    "  + 2.445134137142996E0) * sqrt(-2 * ln(1 - p))"
+    "  + 3.754408661907416E0) * sqrt(-2 * ln(1 - p)) + 1)"
+    " ELSE"
+    " (((((-3.969683028665376E+01 * ((p - 0.5E0) * (p - 0.5E0))"
+    "  + 2.209460984245205E+02) * ((p - 0.5E0) * (p - 0.5E0))"
+    "  - 2.759285104469687E+02) * ((p - 0.5E0) * (p - 0.5E0))"
+    "  + 1.383577518672690E+02) * ((p - 0.5E0) * (p - 0.5E0))"
+    "  - 3.066479806614716E+01) * ((p - 0.5E0) * (p - 0.5E0))"
+    "  + 2.506628277459239E0) * (p - 0.5E0)"
+    " / (((((-5.447609879822406E+01 * ((p - 0.5E0) * (p - 0.5E0))"
+    "  + 1.615858368580409E+02) * ((p - 0.5E0) * (p - 0.5E0))"
+    "  - 1.556989798598866E+02) * ((p - 0.5E0) * (p - 0.5E0))"
+    "  + 6.680131188771972E+01) * ((p - 0.5E0) * (p - 0.5E0))"
+    "  - 1.328068155288572E+01) * ((p - 0.5E0) * (p - 0.5E0)) + 1)"
+    " END"
+)
+
+
+@register(
+    "fligner_killeen_delay_scale",
+    oracle="CREATE OR REPLACE MACRO probit(p) AS (" + _PROBIT_BODY + "); "
+    + _DELAY_GRAIN_CTE
+    + """
+    , n AS (SELECT pr, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY pr),
+    cumv AS (
+      SELECT c.pr, c.v, c.c, n.n,
+             CAST(SUM(c.c) OVER (PARTITION BY c.pr ORDER BY c.v)
+               AS BIGINT) AS cum
+      FROM c JOIN n ON n.pr = c.pr),
+    med AS (
+      SELECT pr,
+             CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+               AS BIGINT) AS vlo,
+             CAST(MIN(CASE WHEN cum >= n // 2 + 1 THEN v END)
+               AS BIGINT) AS vhi
+      FROM cumv GROUP BY pr),
+    u AS (
+      SELECT c.pr, abs(2 * c.v - (m.vlo + m.vhi)) AS u,
+             CAST(SUM(c.c) AS BIGINT) AS c
+      FROM c JOIN med m ON m.pr = c.pr GROUP BY 1, 2),
+    ug AS (SELECT u.u, CAST(SUM(c) AS BIGINT) AS ct FROM u GROUP BY 1),
+    rk AS (
+      SELECT u,
+             CAST(SUM(ct) OVER (ORDER BY u) AS BIGINT) AS hi,
+             CAST(SUM(ct) OVER (ORDER BY u) - ct + 1 AS BIGINT) AS lo,
+             CAST(SUM(ct) OVER () AS BIGINT) AS nn
+      FROM ug),
+    an AS (
+      SELECT u,
+             CAST(round(probit(0.5E0 + (CAST(lo + hi AS DOUBLE) / 4)
+               / (nn + 1)) * 1000000000, 0) AS BIGINT) AS a_nano,
+             nn
+      FROM rk),
+    gs AS (
+      SELECT u.pr,
+             CAST(SUM(u.c) AS BIGINT) AS ng,
+             CAST(SUM(u.c * an.a_nano) AS BIGINT) AS sg,
+             CAST(SUM(CAST(u.c AS HUGEINT) * an.a_nano * an.a_nano)
+               AS HUGEINT) AS ssg,
+             MAX(an.nn) AS nn
+      FROM u JOIN an ON an.u = u.u
+      GROUP BY u.pr),
+    fold AS (
+      SELECT CAST(SUM(sg) AS BIGINT) AS s,
+             CAST(SUM(ssg) AS HUGEINT) AS ss,
+             MAX(nn) AS nn,
+             list(CAST(sg AS DOUBLE) ORDER BY pr) AS sgs,
+             list(CAST(ng AS DOUBLE) ORDER BY pr) AS ngs,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM gs),
+    num AS (
+      SELECT nn, k,
+             list_reduce(
+               list_transform(range(1, k + 1),
+                 i -> (sgs[i] - ngs[i] * (CAST(s AS DOUBLE) / nn))
+                      * (sgs[i] - ngs[i] * (CAST(s AS DOUBLE) / nn))
+                      / ngs[i]),
+               (acc, x) -> acc + x) AS numer,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nn)
+               / (nn - 1) AS vv
+      FROM fold)
+    SELECT nn AS n_lines, k AS n_groups,
+           CAST(round(numer / vv * 1000E0, 0) AS BIGINT) AS fk_chi2_milli
+    FROM num
+    """,
+)
+def fligner_killeen_delay_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fligner-Killeen test of scale homogeneity across ALL FIVE order
+    priorities — the robust k-sample spread test (the one R's
+    ``fligner.test`` ships as the default): absolute deviations from
+    each group's MEDIAN, pooled-midranked, transformed through normal
+    scores a_i = probit(1/2 + r_i/(2(N+1))), then the between-group
+    chi-square over those scores. Levene/Bartlett (present upstream)
+    lose badly under heavy tails; FK keeps its level — reading the
+    three side by side separates variance drift from tail drift.
+
+    The probit rides the round-11 CATALOG SQL UDF axis: Acklam's
+    rational approximation registered once per session as ``probit(p)``
+    (DuckDB twin: the same body as a MACRO), analyzer-inlined — the
+    third catalog-function consumer beside the A&S tail and the Cramer
+    solve.
+
+    Exactness: group medians are exact doubled-integers 2*med
+    (lo/hi order statistics summed, so even-n averaging stays
+    integer); |2v - m2| is integer, comparable across groups; pooled
+    midranks keep (lo+hi) integer; every normal score is quantized to
+    integer NANO before any sum (the langid-kappa device), so the
+    group sums S_g, SS_g are exact — the chi-square assembles from a
+    k-element ORDERED list fold (both engines fold in priority order,
+    bit-identical doubles).
+
+    Scale: one fact-grain reduction to the (priority, delay) grain,
+    one pooled rank pass on the |deviation| grain, a 5-row fold — the
+    levene budget plus one broadcast join.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION probit(p DOUBLE) "
+        f"RETURNS DOUBLE RETURN {_PROBIT_BODY}"
+    )
+    c = _delay_grain(spark, sf_dir)
+    n = c.groupBy("pr").agg(F.sum("c").cast("bigint").alias("n"))
+    wv = Window.partitionBy("pr").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cumv = c.join(F.broadcast(n), "pr").select(
+        "pr", "v", "c", "n",
+        F.sum("c").over(wv).cast("bigint").alias("cum"),
+    )
+    med = (
+        cumv.groupBy("pr")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("v")
+                )
+            ).cast("bigint").alias("vlo"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("n DIV 2 + 1"), F.col("v"))
+            ).cast("bigint").alias("vhi"),
+        )
+    )
+    u = (
+        c.join(F.broadcast(med), "pr")
+        .groupBy(
+            "pr",
+            F.abs(2 * F.col("v") - (F.col("vlo") + F.col("vhi"))).alias("u"),
+        )
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    ug = u.groupBy("u").agg(F.sum("c").cast("bigint").alias("ct"))
+    wu = Window.orderBy("u").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rk = ug.select(
+        "u",
+        F.sum("ct").over(wu).cast("bigint").alias("hi"),
+        (F.sum("ct").over(wu) - F.col("ct") + 1).cast("bigint").alias("lo"),
+        F.sum("ct").over(wall).cast("bigint").alias("nn"),
+    )
+    an = rk.select(
+        "u",
+        F.expr(
+            "CAST(round(probit(0.5E0 + (CAST(lo + hi AS DOUBLE) / 4)"
+            " / (nn + 1)) * 1000000000, 0) AS BIGINT)"
+        ).alias("a_nano"),
+        "nn",
+    )
+    gs = (
+        u.join(an, "u")
+        .groupBy("pr")
+        .agg(
+            F.sum("c").cast("bigint").alias("ng"),
+            F.sum(F.col("c") * F.col("a_nano")).cast("bigint").alias("sg"),
+            F.sum(
+                F.expr("CAST(c AS DECIMAL(38,0)) * a_nano * a_nano")
+            ).alias("ssg"),
+            F.max("nn").alias("nn"),
+        )
+    )
+    fold = gs.agg(
+        F.sum("sg").cast("bigint").alias("s"),
+        F.sum("ssg").alias("ss"),
+        F.max("nn").alias("nn"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pr", "sg"))),
+            lambda x: x["sg"].cast("double"),
+        ).alias("sgs"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pr", "ng"))),
+            lambda x: x["ng"].cast("double"),
+        ).alias("ngs"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    num = fold.select(
+        "nn",
+        "k",
+        F.expr(
+            "aggregate(transform(sequence(1, CAST(k AS INT)),"
+            " i -> (sgs[i - 1] - ngs[i - 1] * (CAST(s AS DOUBLE) / nn))"
+            "      * (sgs[i - 1] - ngs[i - 1] * (CAST(s AS DOUBLE) / nn))"
+            "      / ngs[i - 1]),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("numer"),
+        F.expr(
+            "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nn) / (nn - 1)"
+        ).alias("vv"),
+    )
+    return num.select(
+        F.col("nn").alias("n_lines"),
+        F.col("k").alias("n_groups"),
+        F.expr(
+            "CAST(round(numer / vv * 1000E0, 0) AS BIGINT)"
+        ).alias("fk_chi2_milli"),
+    )

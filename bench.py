@@ -730,6 +730,11 @@ HEADLINE = [
     "sql_udf_phi_screening",
     "sql_udf_quad_trend_fit",
     "cosine_arrow_topk",
+    # round-11: the remaining classical two-sample / robust-scale shelf
+    "cucconi_delay_location_scale",
+    "sn_scale_delay_by_priority",
+    "qn_scale_delay_by_priority",
+    "fligner_killeen_delay_scale",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
