@@ -14508,3 +14508,750 @@ def fligner_killeen_delay_scale(
             "CAST(round(numer / vv * 1000E0, 0) AS BIGINT)"
         ).alias("fk_chi2_milli"),
     )
+
+
+@register(
+    "weighted_kappa_priority_delay",
+    oracle=_DELAY_GRAIN_CTE
+    + """
+    , n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+    vg AS (
+      SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM c GROUP BY v),
+    cum AS (
+      SELECT v,
+             CAST(SUM(cv) OVER (ORDER BY v) AS BIGINT) AS hi,
+             CAST(SUM(cv) OVER (ORDER BY v) - cv AS BIGINT) AS lo0
+      FROM vg),
+    split AS (
+      SELECT c.pr, cum.v, j.j, c.c, n.n,
+             CAST(least(cum.hi, (j.j * n.n) // 5)
+               - greatest(cum.lo0, ((j.j - 1) * n.n) // 5) AS BIGINT)
+               AS span,
+             CAST(cum.hi - cum.lo0 AS BIGINT) AS width
+      FROM c
+      JOIN cum ON cum.v = c.v
+      CROSS JOIN n
+      CROSS JOIN (SELECT unnest(range(1, 6)) AS j) j),
+    cells AS (
+      SELECT CAST(substr(pr, 1, 1) AS BIGINT) AS i, j,
+             CAST(SUM((c * greatest(span, 0)) // width) AS BIGINT) AS o
+      FROM split
+      GROUP BY 1, 2),
+    rc AS (
+      SELECT i, j, o,
+             CAST(SUM(o) OVER (PARTITION BY i) AS BIGINT) AS ri,
+             CAST(SUM(o) OVER (PARTITION BY j) AS BIGINT) AS cj,
+             CAST(SUM(o) OVER () AS BIGINT) AS m
+      FROM cells),
+    agg AS (
+      SELECT MAX(m) AS m,
+             CAST(SUM(abs(i - j) * o) AS BIGINT) AS dol,
+             CAST(SUM((i - j) * (i - j) * o) AS BIGINT) AS doq,
+             CAST(SUM(abs(i - j) * CAST(ri AS HUGEINT) * cj) AS HUGEINT)
+               AS del,
+             CAST(SUM((i - j) * (i - j) * CAST(ri AS HUGEINT) * cj)
+               AS HUGEINT) AS deq
+      FROM rc)
+    SELECT m AS n_lines,
+           CAST(round((1 - CAST(m AS DOUBLE) * dol / CAST(del AS DOUBLE))
+             * 1000000, 0) AS BIGINT) AS kappa_linear_micro,
+           CAST(round((1 - CAST(m AS DOUBLE) * doq / CAST(deq AS DOUBLE))
+             * 1000000, 0) AS BIGINT) AS kappa_quadratic_micro
+    FROM agg
+    """,
+)
+def weighted_kappa_priority_delay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted Cohen's kappa between the ORDINAL order priority (1-5)
+    and the ship-delay QUINTILE (1-5) — "does stated urgency agree
+    with realized speed", scored as an ordinal-ordinal agreement where
+    plain kappa would treat priority 1 vs 2 the same as 1 vs 5. Both
+    classic kernels: linear |i-j| and quadratic (i-j)^2 (quadratic
+    weighted kappa equals the ICC asymptotically — the bridge between
+    agreement and correlation views).
+
+    Exactness: quintile boundaries are the exact integer rank cuts
+    floor(j*n/5); a delay value whose rank span [lo, hi) crosses a cut
+    splits its per-priority count PROPORTIONALLY by integer floor
+    division ((c * span) DIV width) — deterministic in both engines,
+    no row-level ntile needed; disagreement sums D_o (int64) and
+    D_e = Sum w * row_i * col_j (HUGEINT / decimal(38,0)) are exact,
+    kappa_w = 1 - m*D_o/D_e is one mirrored double per kernel.
+
+    Scale: the fact table reduces to the (priority, delay) grain; the
+    quintile split is a 5-way broadcast fan-out of that grain; the
+    contingency is 25 cells. No global sort — ranks come from the
+    value-grain cumulative.
+    """
+    c = _delay_grain(spark, sf_dir)
+    n = c.agg(F.sum("c").cast("bigint").alias("n"))
+    vg = c.groupBy("v").agg(F.sum("c").cast("bigint").alias("cv"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vg.select(
+        "v",
+        F.sum("cv").over(wv).cast("bigint").alias("hi"),
+        (F.sum("cv").over(wv) - F.col("cv")).cast("bigint").alias("lo0"),
+    )
+    j = spark.range(1, 6).select(F.col("id").alias("j"))
+    split = (
+        c.join(cum, "v")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(j))
+        .select(
+            "pr",
+            "c",
+            F.expr(
+                "CAST(least(hi, (j * n) DIV 5)"
+                " - greatest(lo0, ((j - 1) * n) DIV 5) AS BIGINT)"
+            ).alias("span"),
+            (F.col("hi") - F.col("lo0")).cast("bigint").alias("width"),
+            "j",
+        )
+    )
+    cells = split.groupBy(
+        F.expr("CAST(substr(pr, 1, 1) AS BIGINT)").alias("i"), "j"
+    ).agg(
+        F.sum(F.expr("(c * greatest(span, 0)) DIV width"))
+        .cast("bigint")
+        .alias("o")
+    )
+    wi = Window.partitionBy("i")
+    wj = Window.partitionBy("j")
+    wall = Window.partitionBy()
+    rc = cells.select(
+        "i", "j", "o",
+        F.sum("o").over(wi).cast("bigint").alias("ri"),
+        F.sum("o").over(wj).cast("bigint").alias("cj"),
+        F.sum("o").over(wall).cast("bigint").alias("m"),
+    )
+    agg = rc.agg(
+        F.max("m").alias("m"),
+        F.sum(F.expr("abs(i - j) * o")).cast("bigint").alias("dol"),
+        F.sum(F.expr("(i - j) * (i - j) * o")).cast("bigint").alias("doq"),
+        F.sum(
+            F.expr("abs(i - j) * CAST(ri AS DECIMAL(38,0)) * cj")
+        ).alias("del"),
+        F.sum(
+            F.expr("(i - j) * (i - j) * CAST(ri AS DECIMAL(38,0)) * cj")
+        ).alias("deq"),
+    )
+    return agg.select(
+        F.col("m").alias("n_lines"),
+        F.expr(
+            "CAST(round((1 - CAST(m AS DOUBLE) * dol / CAST(del AS DOUBLE))"
+            " * 1000000, 0) AS BIGINT)"
+        ).alias("kappa_linear_micro"),
+        F.expr(
+            "CAST(round((1 - CAST(m AS DOUBLE) * doq / CAST(deq AS DOUBLE))"
+            " * 1000000, 0) AS BIGINT)"
+        ).alias("kappa_quadratic_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: the residual-diagnostics completion of the daily-trend
+# econometrics shelf — ARCH LM (volatility clustering), White's test
+# (general heteroscedasticity), Ramsey RESET (functional form), and
+# Prais-Winsten (AR(1)-corrected trend), all on the exact unit-grain
+# residual device breusch_pagan/durbin_watson established.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "arch_lm_daily",
+    oracle=_DAILY_1K_CTE
+    + f"""
+    , g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(t * x) AS BIGINT) AS stx,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM t),
+    e AS (SELECT t.t, {_BP_RESID} AS eu FROM t, g),
+    y AS (
+      SELECT t, CAST(eu AS HUGEINT) * eu AS y2,
+             LAG(CAST(eu AS HUGEINT) * eu) OVER (ORDER BY t) AS y2l
+      FROM e),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y2l) AS HUGEINT) AS sx,
+             CAST(SUM(y2) AS HUGEINT) AS sy,
+             CAST(SUM(y2l * y2) AS HUGEINT) AS sxy,
+             CAST(SUM(y2l * y2l) AS HUGEINT) AS sxx,
+             CAST(SUM(y2 * y2) AS HUGEINT) AS syy
+      FROM y WHERE y2l IS NOT NULL)
+    SELECT n AS n_pairs,
+           CAST(round(CAST(n AS DOUBLE)
+             * pow((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)), 2)
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1000000E0, 0) AS BIGINT) AS lm_micro,
+           CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1000000E0, 0) AS BIGINT) AS rho1_micro
+    FROM s
+    """,
+)
+def arch_lm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH LM test (one lag) on the daily-revenue trend
+    residuals: regress e_t^2 on e_{t-1}^2, LM = n*R^2 ~ chi2(1) —
+    detects VOLATILITY CLUSTERING, the serial dependence of the
+    variance that breusch_pagan (variance vs TIME) and durbin_watson
+    (level vs level) both miss. A significant LM here says the EWMA
+    control chart's fixed sigma understates risk right after a shock —
+    the practical trigger for switching to a GARCH-style adaptive
+    band. rho1 gives the sign/strength of the clustering.
+
+    Exactness: residuals are the shared exact unit-grain device
+    (_BP_RESID); squared-residual sums and their lag cross-products
+    ride HUGEINT/decimal(38,0) (fourth powers of unit-grain residuals,
+    same width budget breusch_pagan certified at sf1); LM and rho are
+    mirrored single-row doubles.
+
+    Scale: day-grain series; one window lag; one-row output.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    g = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("t") * F.col("x")).cast("bigint").alias("stx"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+    )
+    e = t.crossJoin(F.broadcast(g)).select(
+        "t", F.expr(_BP_RESID).alias("eu")
+    )
+    wl = Window.orderBy("t")
+    y = e.select(
+        "t",
+        F.expr("CAST(eu AS DECIMAL(38,0)) * eu").alias("y2"),
+    ).select("t", "y2", F.lag("y2").over(wl).alias("y2l"))
+    s = y.filter(F.col("y2l").isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y2l").alias("sx"),
+        F.sum("y2").alias("sy"),
+        F.sum(F.expr("y2l * y2")).alias("sxy"),
+        F.sum(F.expr("y2l * y2l")).alias("sxx"),
+        F.sum(F.expr("y2 * y2")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        F.expr(
+            "CAST(round(CAST(n AS DOUBLE)"
+            " * pow((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            "     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)), 2)"
+            " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            "     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            "    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            "       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("lm_micro"),
+        F.expr(
+            "CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            "   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            "     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            "   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            "      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("rho1_micro"),
+    )
+
+
+from ai_etl_studio_spark.operators.extended import (  # noqa: E402
+    _QUAD_D,
+    _QUAD_DA,
+    _QUAD_DB,
+    _QUAD_DC,
+)
+
+#: White-test auxiliary R^2: SSE of the quadratic fit of y on (t, t^2)
+#: via the normal-equations identity SSE = syy - (a*sy + b*sxy + c*sx2y)
+#: with (a,b,c) from the shared Cramer texts — one fixed-order double.
+_WHITE_R2 = (
+    f"(1 - (CAST(syy AS DOUBLE) - (({_QUAD_DA}) * sy + ({_QUAD_DB}) * sxy"
+    f" + ({_QUAD_DC}) * sx2y) / ({_QUAD_D}))"
+    " / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n))"
+)
+
+
+@register(
+    "white_het_test_daily",
+    oracle=_DAILY_1K_CTE
+    + f"""
+    , g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(t * x) AS BIGINT) AS stx,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM t),
+    e AS (SELECT t.t, {_BP_RESID} AS eu FROM t, g),
+    y AS (SELECT t, CAST(eu AS HUGEINT) * eu AS y2 FROM e),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(t) AS DOUBLE) AS sx1,
+             CAST(SUM(CAST(t AS HUGEINT) * t) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(t AS HUGEINT) * t * t) AS DOUBLE) AS sx3,
+             CAST(SUM(CAST(t AS HUGEINT) * t * t * t) AS DOUBLE) AS sx4,
+             CAST(SUM(y2) AS DOUBLE) AS sy,
+             CAST(SUM(t * y2) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(t AS HUGEINT) * t * y2) AS DOUBLE) AS sx2y,
+             CAST(SUM(y2 * y2) AS DOUBLE) AS syy,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM y)
+    SELECT n_days,
+           CAST(round(n * ({_WHITE_R2}) * 1000000E0, 0) AS BIGINT)
+             AS lm_micro,
+           CAST(round(({_WHITE_R2}) * 1000000E0, 0) AS BIGINT)
+             AS r2_micro
+    FROM s
+    """,
+)
+def white_het_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """White's general heteroscedasticity test on the daily-revenue
+    trend residuals: regress e^2 on (t, t^2), LM = n*R^2 ~ chi2(2) —
+    the specification-free companion of breusch_pagan (BP tests a
+    LINEAR variance drift and misses U-shaped / saturating patterns;
+    White's quadratic auxiliary catches any smooth form in t). BP
+    significant + White not = linear variance growth; White
+    significant + BP not = curvature, e.g. variance that rose and
+    plateaued.
+
+    Exactness: the shared exact unit-grain residual device feeds
+    integer power sums (t-powers in int64/int128, y-weighted sums and
+    Sum y^2 in HUGEINT/decimal(38,0)); the auxiliary R^2 assembles
+    through the SAME Cramer determinant texts as the quad-fit catalog
+    function (_QUAD_*), SSE via the normal-equations identity — one
+    fixed-order double, no second data pass.
+
+    Scale: day-grain reduction, one-row sufficient statistics, one-row
+    output.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    g = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("t") * F.col("x")).cast("bigint").alias("stx"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+    )
+    e = t.crossJoin(F.broadcast(g)).select(
+        "t", F.expr(_BP_RESID).alias("eu")
+    )
+    y = e.select("t", F.expr("CAST(eu AS DECIMAL(38,0)) * eu").alias("y2"))
+    s = y.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").cast("double").alias("sx1"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t")).cast("double").alias("sx2"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t * t")).cast("double").alias("sx3"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t * t * t")).cast("double").alias("sx4"),
+        F.sum("y2").cast("double").alias("sy"),
+        F.sum(F.expr("t * y2")).cast("double").alias("sxy"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t * y2")).cast("double").alias("sx2y"),
+        F.sum(F.expr("y2 * y2")).cast("double").alias("syy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return s.select(
+        "n_days",
+        F.expr(
+            f"CAST(round(n * ({_WHITE_R2}) * 1000000E0, 0) AS BIGINT)"
+        ).alias("lm_micro"),
+        F.expr(
+            f"CAST(round(({_WHITE_R2}) * 1000000E0, 0) AS BIGINT)"
+        ).alias("r2_micro"),
+    )
+
+
+#: General symmetric 3x3 Cramer texts for regressors (1, r1, r2) —
+#: matrix [n s1 s2; s1 s11 s12; s2 s12 s22], RHS (sy, s1y, s2y). The
+#: _QUAD_* texts are the Hankel special case r2 = r1^2; RESET needs the
+#: general form because its second regressor is the squared fit.
+_SYM3_D = (
+    "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+_SYM3_DA = (
+    "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y))"
+)
+_SYM3_DB = (
+    "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2))"
+)
+_SYM3_DC = (
+    "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2))"
+)
+
+#: RESET F: restricted SSE from the exact residual squares; unrestricted
+#: SSE via the normal-equations identity on the (t, fit^2) regression.
+_RESET_F = (
+    f"(((sser - (syy - (({_SYM3_DA}) * sy + ({_SYM3_DB}) * s1y"
+    f" + ({_SYM3_DC}) * s2y) / ({_SYM3_D}))))"
+    f" / ((syy - (({_SYM3_DA}) * sy + ({_SYM3_DB}) * s1y"
+    f" + ({_SYM3_DC}) * s2y) / ({_SYM3_D})) / (n - 3)))"
+)
+
+
+@register(
+    "reset_test_daily",
+    oracle=_DAILY_1K_CTE
+    + f"""
+    , g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(t * x) AS BIGINT) AS stx,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM t),
+    f AS (
+      SELECT t.t, t.x, {_BP_RESID} AS eu,
+             CAST(t.x - {_BP_RESID} AS BIGINT) AS h
+      FROM t, g),
+    q AS (SELECT t, x, eu, CAST(h AS HUGEINT) * h AS h2 FROM f),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(t) AS DOUBLE) AS s1,
+             CAST(SUM(h2) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(t AS HUGEINT) * t) AS DOUBLE) AS s11,
+             CAST(SUM(t * h2) AS DOUBLE) AS s12,
+             CAST(SUM(h2 * h2) AS DOUBLE) AS s22,
+             CAST(SUM(x) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(t AS HUGEINT) * x) AS DOUBLE) AS s1y,
+             CAST(SUM(h2 * x) AS DOUBLE) AS s2y,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(eu AS HUGEINT) * eu) AS DOUBLE) AS sser,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM q)
+    SELECT n_days,
+           CAST(round(({_RESET_F}) * 1000E0, 0) AS BIGINT)
+             AS reset_f_milli
+    FROM s
+    """,
+)
+def reset_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ramsey's RESET test (power 2) on the daily-revenue trend: does
+    adding the SQUARED FITTED VALUE to the linear trend regression
+    significantly cut the residual sum of squares? F(1, n-3) — the
+    functional-form misspecification test: a significant RESET says
+    the "linear trend + noise" model every downstream residual
+    diagnostic (BP/White/ARCH/DW) conditions on is itself wrong —
+    run it FIRST; the others assume it passed.
+
+    Exactness: the fitted value h = x - e is an exact integer because
+    the residual device quantizes to unit grain; h^2 and all nine
+    normal-equation sums are exact HUGEINT/decimal(38,0); the
+    unrestricted SSE comes from the normal-equations identity via the
+    general symmetric 3x3 Cramer texts (_SYM3_*), the restricted SSE
+    from the exact residual squares — the F assembles as ONE mirrored
+    fixed-order double.
+
+    Scale: day-grain reduction, one-row sufficient statistics.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    g = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("t") * F.col("x")).cast("bigint").alias("stx"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+    )
+    f = t.crossJoin(F.broadcast(g)).select(
+        "t", "x",
+        F.expr(_BP_RESID).alias("eu"),
+        F.expr(f"CAST(x - {_BP_RESID} AS BIGINT)").alias("h"),
+    )
+    q = f.select(
+        "t", "x", "eu", F.expr("CAST(h AS DECIMAL(38,0)) * h").alias("h2")
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").cast("double").alias("s1"),
+        F.sum("h2").cast("double").alias("s2"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t")).cast("double").alias("s11"),
+        F.sum(F.expr("t * h2")).cast("double").alias("s12"),
+        F.sum(F.expr("h2 * h2")).cast("double").alias("s22"),
+        F.sum("x").cast("double").alias("sy"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * x")).cast("double").alias("s1y"),
+        F.sum(F.expr("h2 * x")).cast("double").alias("s2y"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("double").alias("syy"),
+        F.sum(F.expr("CAST(eu AS DECIMAL(38,0)) * eu")).cast("double").alias("sser"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return s.select(
+        "n_days",
+        F.expr(
+            f"CAST(round(({_RESET_F}) * 1000E0, 0) AS BIGINT)"
+        ).alias("reset_f_milli"),
+    )
+
+
+@register(
+    "prais_winsten_daily",
+    oracle=_DAILY_1K_CTE
+    + f"""
+    , g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(t * x) AS BIGINT) AS stx,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM t),
+    e AS (SELECT t.t, t.x, {_BP_RESID} AS eu FROM t, g),
+    l AS (
+      SELECT t, x, eu,
+             LAG(eu) OVER (ORDER BY t) AS eul,
+             LAG(x) OVER (ORDER BY t) AS xl
+      FROM e),
+    r AS (
+      SELECT CAST(SUM(CAST(eu AS HUGEINT) * eul) AS DOUBLE)
+               / CAST(SUM(CAST(eul AS HUGEINT) * eul) AS DOUBLE) AS rho
+      FROM l WHERE eul IS NOT NULL),
+    tr AS (
+      SELECT l.t,
+             CASE WHEN l.xl IS NULL THEN
+               CAST(round(l.x * sqrt(1 - r.rho * r.rho) * 1000, 0)
+                 AS BIGINT)
+             ELSE CAST(round((l.x - r.rho * l.xl) * 1000, 0) AS BIGINT)
+             END AS xq,
+             CASE WHEN l.xl IS NULL THEN 0
+             ELSE CAST(round((l.t - r.rho * (l.t - 1)) * 1000, 0)
+               AS BIGINT) END AS tq,
+             CASE WHEN l.xl IS NULL THEN
+               CAST(round(sqrt(1 - r.rho * r.rho) * 1000, 0) AS BIGINT)
+             ELSE CAST(round((1 - r.rho) * 1000, 0) AS BIGINT)
+             END AS cq
+      FROM l, r),
+    s AS (
+      SELECT CAST(SUM(CAST(cq AS HUGEINT) * cq) AS DOUBLE) AS scc,
+             CAST(SUM(CAST(cq AS HUGEINT) * tq) AS DOUBLE) AS sct,
+             CAST(SUM(CAST(tq AS HUGEINT) * tq) AS DOUBLE) AS stt2,
+             CAST(SUM(CAST(cq AS HUGEINT) * xq) AS DOUBLE) AS scx,
+             CAST(SUM(CAST(tq AS HUGEINT) * xq) AS DOUBLE) AS stx2,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM tr),
+    o AS (SELECT CAST(round(({_OLS_SLOPE}) * 1000000E0, 0) AS BIGINT)
+            AS slope_ols_micro FROM g)
+    SELECT s.n_days,
+           CAST(round((SELECT rho FROM r) * 1000000E0, 0) AS BIGINT)
+             AS rho_micro,
+           o.slope_ols_micro,
+           CAST(round((s.scc * s.stx2 - s.sct * s.scx)
+             / (s.scc * s.stt2 - s.sct * s.sct) * 1000000E0, 0)
+             AS BIGINT) AS slope_pw_micro
+    FROM s, o
+    """,
+)
+def prais_winsten_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prais-Winsten AR(1)-corrected trend of daily revenue: estimate
+    rho from the OLS residual lag-1 autocorrelation, quasi-difference
+    the data (x_t - rho*x_{t-1}, keeping the first observation scaled
+    by sqrt(1-rho^2) — the step Cochrane-Orcutt throws away), and
+    re-fit the trend by the transformed two-column regression. When
+    durbin_watson flags serial correlation, the OLS slope is still
+    unbiased but its placement is inefficient and its SE is a lie;
+    the PW slope is the feasible-GLS repair. slope_pw vs slope_ols is
+    the size of that repair in revenue-per-day terms.
+
+    Exactness: rho is one double from exact integer residual products;
+    every TRANSFORMED row is quantized to integer milli-units BEFORE
+    the second regression (the langid-kappa quantize-then-sum device),
+    so both engines sum identical integers in any order; both slopes
+    are mirrored fixed-order doubles.
+
+    Scale: day-grain series, one window lag, two one-row reductions.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    g = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("t") * F.col("x")).cast("bigint").alias("stx"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+    )
+    e = t.crossJoin(F.broadcast(g)).select(
+        "t", "x", F.expr(_BP_RESID).alias("eu")
+    )
+    wl = Window.orderBy("t")
+    lagged = e.select(
+        "t", "x", "eu",
+        F.lag("eu").over(wl).alias("eul"),
+        F.lag("x").over(wl).alias("xl"),
+    )
+    r = lagged.filter(F.col("eul").isNotNull()).agg(
+        (
+            F.sum(F.expr("CAST(eu AS DECIMAL(38,0)) * eul")).cast("double")
+            / F.sum(F.expr("CAST(eul AS DECIMAL(38,0)) * eul")).cast(
+                "double"
+            )
+        ).alias("rho")
+    )
+    tr = lagged.crossJoin(F.broadcast(r)).select(
+        "t",
+        F.expr(
+            "CASE WHEN xl IS NULL THEN"
+            " CAST(round(x * sqrt(1 - rho * rho) * 1000, 0) AS BIGINT)"
+            " ELSE CAST(round((x - rho * xl) * 1000, 0) AS BIGINT) END"
+        ).alias("xq"),
+        F.expr(
+            "CASE WHEN xl IS NULL THEN 0"
+            " ELSE CAST(round((t - rho * (t - 1)) * 1000, 0) AS BIGINT)"
+            " END"
+        ).alias("tq"),
+        F.expr(
+            "CASE WHEN xl IS NULL THEN"
+            " CAST(round(sqrt(1 - rho * rho) * 1000, 0) AS BIGINT)"
+            " ELSE CAST(round((1 - rho) * 1000, 0) AS BIGINT) END"
+        ).alias("cq"),
+    )
+    s = tr.agg(
+        F.sum(F.expr("CAST(cq AS DECIMAL(38,0)) * cq")).cast("double").alias("scc"),
+        F.sum(F.expr("CAST(cq AS DECIMAL(38,0)) * tq")).cast("double").alias("sct"),
+        F.sum(F.expr("CAST(tq AS DECIMAL(38,0)) * tq")).cast("double").alias("stt2"),
+        F.sum(F.expr("CAST(cq AS DECIMAL(38,0)) * xq")).cast("double").alias("scx"),
+        F.sum(F.expr("CAST(tq AS DECIMAL(38,0)) * xq")).cast("double").alias("stx2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    o = g.select(
+        F.expr(
+            f"CAST(round(({_OLS_SLOPE}) * 1000000E0, 0) AS BIGINT)"
+        ).alias("slope_ols_micro")
+    )
+    return (
+        s.crossJoin(F.broadcast(r))
+        .crossJoin(F.broadcast(o))
+        .select(
+            "n_days",
+            F.expr(
+                "CAST(round(rho * 1000000E0, 0) AS BIGINT)"
+            ).alias("rho_micro"),
+            "slope_ols_micro",
+            F.expr(
+                "CAST(round((scc * stx2 - sct * scx)"
+                " / (scc * stt2 - sct * sct) * 1000000E0, 0) AS BIGINT)"
+            ).alias("slope_pw_micro"),
+        )
+    )
+
+
+@register(
+    "deming_ccc_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+               + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mi,
+             CAST(round(CAST(SUM(CAST(round(o_totalprice * 100, 0)
+               AS BIGINT)) AS DOUBLE) / 100000, 0) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT LAG(x) OVER (ORDER BY mi) AS xp, x AS yc FROM m),
+    p AS (SELECT xp, yc FROM pairs WHERE xp IS NOT NULL),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xp) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+             CAST(SUM(CAST(xp AS HUGEINT) * xp) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(yc AS HUGEINT) * yc) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(xp AS HUGEINT) * yc) AS HUGEINT) AS sxy
+      FROM p),
+    c AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * sx AS cxx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * sy AS cyy,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * sy AS cxy,
+             CAST(sx - sy AS DOUBLE) AS dxy
+      FROM s)
+    SELECT n AS n_pairs,
+           CAST(round(((cyy - cxx) + sqrt((cyy - cxx) * (cyy - cxx)
+               + 4 * cxy * cxy)) / (2 * cxy) * 1000000E0, 0) AS BIGINT)
+             AS deming_slope_micro,
+           CAST(round(2 * cxy / (cxx + cyy + dxy * dxy) * 1000000E0, 0)
+             AS BIGINT) AS ccc_micro,
+           CAST(round(cxy / sqrt(cxx * cyy) * 1000000E0, 0) AS BIGINT)
+             AS pearson_micro
+    FROM c
+    """,
+)
+def deming_ccc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming regression + Lin's concordance correlation between
+    consecutive months' revenue (x = last month, y = this month, same
+    units): the errors-in-variables view of month-over-month
+    persistence. OLS of y on x is attenuated toward zero because the
+    REGRESSOR is itself a noisy measurement of the latent level;
+    Deming (delta = 1, equal error variances — justified here because
+    both coordinates are draws of the same quantity) is the fit that
+    treats both axes symmetrically, and Lin's CCC scores agreement
+    with the 45-degree line (precision x accuracy), which Pearson
+    alone cannot: r measures linearity, CCC additionally penalizes
+    location/scale shift — CCC < r is a drifting level.
+
+    Exactness: 1k-unit monthly revenue keeps all five sufficient sums
+    exact (HUGEINT/decimal(38,0)); the n-scaled central moments feed
+    three mirrored fixed-order doubles (Deming's quadratic root, CCC,
+    Pearson).
+
+    Scale: month-grain reduction (~80 rows), one lag, one-row output.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.expr(
+            "CAST(year(CAST(o_orderdate AS DATE)) * 12"
+            " + month(CAST(o_orderdate AS DATE)) AS BIGINT)"
+        ).alias("mi")
+    ).agg(
+        F.expr(
+            "CAST(round(CAST(SUM(CAST(round(o_totalprice * 100, 0)"
+            " AS BIGINT)) AS DOUBLE) / 100000, 0) AS BIGINT)"
+        ).alias("x")
+    )
+    wl = Window.orderBy("mi")
+    p = (
+        m.select(F.lag("x").over(wl).alias("xp"), F.col("x").alias("yc"))
+        .filter(F.col("xp").isNotNull())
+    )
+    s = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xp").cast("bigint").alias("sx"),
+        F.sum("yc").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(xp AS DECIMAL(38,0)) * xp")).alias("sxx"),
+        F.sum(F.expr("CAST(yc AS DECIMAL(38,0)) * yc")).alias("syy"),
+        F.sum(F.expr("CAST(xp AS DECIMAL(38,0)) * yc")).alias("sxy"),
+    )
+    c = s.select(
+        "n",
+        F.expr(
+            "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * sx"
+        ).alias("cxx"),
+        F.expr(
+            "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * sy"
+        ).alias("cyy"),
+        F.expr(
+            "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * sy"
+        ).alias("cxy"),
+        F.expr("CAST(sx - sy AS DOUBLE)").alias("dxy"),
+    )
+    return c.select(
+        F.col("n").alias("n_pairs"),
+        F.expr(
+            "CAST(round(((cyy - cxx) + sqrt((cyy - cxx) * (cyy - cxx)"
+            " + 4 * cxy * cxy)) / (2 * cxy) * 1000000E0, 0) AS BIGINT)"
+        ).alias("deming_slope_micro"),
+        F.expr(
+            "CAST(round(2 * cxy / (cxx + cyy + dxy * dxy) * 1000000E0, 0)"
+            " AS BIGINT)"
+        ).alias("ccc_micro"),
+        F.expr(
+            "CAST(round(cxy / sqrt(cxx * cyy) * 1000000E0, 0) AS BIGINT)"
+        ).alias("pearson_micro"),
+    )

@@ -5154,3 +5154,227 @@ def craigs_zeta_short_vs_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zeta_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: the inter-rater agreement shelf beyond Cohen's kappa —
+# Scott's pi, Gwet's AC1, Krippendorff's alpha — on the same
+# (gold language, predicted language) confusion grain, sharing the
+# registered langid scoring. Kappa is marginal-sensitive (the "kappa
+# paradox": skewed marginals crush it even at high raw agreement);
+# pi assumes a COMMON chance distribution, AC1 models chance as
+# classification of the genuinely-uncertain fraction only, and alpha
+# generalizes to the reliability-theory coincidence form — reading all
+# four tells you whether a low kappa is disagreement or distribution.
+# ---------------------------------------------------------------------------
+
+
+def _agree_cte() -> str:
+    """Shared confusion-marginal CTE head for the agreement family."""
+    return f"""
+    WITH p AS ({_langid_sql()}),
+    cm AS (
+      SELECT labeled_lang AS gold, predicted_lang AS pred,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM p GROUP BY 1, 2),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cm),
+    agree AS (SELECT CAST(SUM(CASE WHEN gold = pred THEN c ELSE 0 END)
+                AS BIGINT) AS a FROM cm),
+    marg AS (
+      SELECT COALESCE(g.gold, pr.pred) AS lab,
+             COALESCE(g.cg, 0) AS cg, COALESCE(pr.cp, 0) AS cp
+      FROM (SELECT gold, SUM(c) AS cg FROM cm GROUP BY gold) g
+      FULL JOIN (SELECT pred, SUM(c) AS cp FROM cm GROUP BY pred) pr
+        ON pr.pred = g.gold),
+    s AS (SELECT CAST(SUM((cg + cp) * (cg + cp)) AS BIGINT) AS s2,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM marg)
+    """
+
+
+def _agree_frames(spark: SparkSession, sf_dir: str):
+    """(n, agree, s) 1-row frames shared by the Spark twins."""
+    p = _langid_predictions(spark, sf_dir)
+    cm = (
+        p.groupBy(
+            F.col("labeled_lang").alias("gold"),
+            F.col("predicted_lang").alias("pred"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    n = cm.agg(F.sum("c").cast("bigint").alias("n"))
+    agree = cm.agg(
+        F.sum(F.when(F.col("gold") == F.col("pred"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("a")
+    )
+    g = cm.groupBy("gold").agg(F.sum("c").alias("cg"))
+    pr = cm.groupBy("pred").agg(F.sum("c").alias("cp"))
+    marg = g.join(pr, g.gold == pr.pred, "full").select(
+        F.coalesce(F.col("cg"), F.lit(0)).alias("cg"),
+        F.coalesce(F.col("cp"), F.lit(0)).alias("cp"),
+    )
+    s = marg.agg(
+        F.sum(F.expr("(cg + cp) * (cg + cp)")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return n, agree, s
+
+
+@register(
+    "langid_scott_pi",
+    oracle=_agree_cte()
+    + """
+    SELECT n.n, agree.a AS n_agree,
+           CAST(round((CAST(agree.a AS DOUBLE) / n.n
+                - CAST(s.s2 AS DOUBLE) / (4E0 * n.n * n.n))
+              / (1 - CAST(s.s2 AS DOUBLE) / (4E0 * n.n * n.n))
+              * 1000000, 0) AS BIGINT) AS pi_micro
+    FROM n, agree, s
+    """,
+)
+def langid_scott_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scott's pi for the langid heuristic vs gold labels: chance
+    agreement from the POOLED marginal ((cg+cp)/2n)^2 per category
+    rather than kappa's product of per-rater marginals — the right
+    correction when both "raters" are assumed to draw from one common
+    category distribution, and the 2-rater base case of Fleiss' kappa.
+    pi < kappa on this grid exactly when the heuristic's marginal
+    drifts from the gold marginal — the size of that gap is itself the
+    marginal-bias diagnostic.
+
+    Exactness: S2 = Sum (cg+cp)^2 is an exact int64; pi is one
+    mirrored single-row double, quantized to microticks.
+
+    Scale: the shared scoring pass reduces to <= |langs|^2 cells;
+    everything downstream is arithmetic on 1-row frames.
+    """
+    n, agree, s = _agree_frames(spark, sf_dir)
+    return (
+        n.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "n",
+            F.col("a").alias("n_agree"),
+            F.expr(
+                "CAST(round((CAST(a AS DOUBLE) / n"
+                " - CAST(s2 AS DOUBLE) / (4E0 * n * n))"
+                " / (1 - CAST(s2 AS DOUBLE) / (4E0 * n * n))"
+                " * 1000000, 0) AS BIGINT)"
+            ).alias("pi_micro"),
+        )
+    )
+
+
+@register(
+    "langid_gwet_ac1",
+    oracle=_agree_cte()
+    + """
+    , pe AS (
+      SELECT CAST(SUM(CAST(cg + cp AS HUGEINT)
+               * (2 * n.n - cg - cp)) AS HUGEINT) AS num,
+             MAX(s.k) AS k, MAX(n.n) AS n
+      FROM marg, n, s)
+    SELECT n AS n_docs, k AS n_labels,
+           CAST(round((CAST((SELECT a FROM agree) AS DOUBLE) / n
+                - CAST(num AS DOUBLE) / (4E0 * n * n * (k - 1)))
+              / (1 - CAST(num AS DOUBLE) / (4E0 * n * n * (k - 1)))
+              * 1000000, 0) AS BIGINT) AS ac1_micro
+    FROM pe
+    """,
+)
+def langid_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 for the langid heuristic vs gold labels — the
+    paradox-resistant agreement coefficient: chance agreement is
+    modeled as random classification of only the genuinely-ambiguous
+    units, pe = (1/(K-1)) * Sum pi_k (1 - pi_k) with pooled marginals
+    pi_k — so AC1 stays calibrated where kappa/pi collapse under
+    prevalence skew (one dominant language, exactly this corpus).
+    AC1 >> kappa here reads "high agreement, skewed base rates", not
+    "paradoxically unreliable rater".
+
+    Exactness: the pe numerator Sum (cg+cp)(2n-cg-cp) rides HUGEINT /
+    decimal(38,0) (products reach 4n^2 per category); one mirrored
+    double division at the end.
+
+    Scale: |langs|-row arithmetic after the shared scoring pass.
+    """
+    n, agree, s = _agree_frames(spark, sf_dir)
+    p = _langid_predictions(spark, sf_dir)
+    cm = p.groupBy(
+        F.col("labeled_lang").alias("gold"),
+        F.col("predicted_lang").alias("pred"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    g = cm.groupBy("gold").agg(F.sum("c").alias("cg"))
+    pr = cm.groupBy("pred").agg(F.sum("c").alias("cp"))
+    marg = g.join(pr, g.gold == pr.pred, "full").select(
+        F.coalesce(F.col("cg"), F.lit(0)).alias("cg"),
+        F.coalesce(F.col("cp"), F.lit(0)).alias("cp"),
+    )
+    pe = marg.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            F.expr("CAST(cg + cp AS DECIMAL(38,0)) * (2 * n - cg - cp)")
+        ).alias("num"),
+        F.max("n").alias("n"),
+    )
+    return (
+        pe.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(s.select("k")))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("k").alias("n_labels"),
+            F.expr(
+                "CAST(round((CAST(a AS DOUBLE) / n"
+                " - CAST(num AS DOUBLE) / (4E0 * n * n * (k - 1)))"
+                " / (1 - CAST(num AS DOUBLE) / (4E0 * n * n * (k - 1)))"
+                " * 1000000, 0) AS BIGINT)"
+            ).alias("ac1_micro"),
+        )
+    )
+
+
+@register(
+    "langid_krippendorff_alpha",
+    oracle=_agree_cte()
+    + """
+    SELECT n.n, agree.a AS n_agree,
+           CAST(round((1 - (CAST(n.n - agree.a AS DOUBLE) / n.n)
+                / ((4E0 * n.n * n.n - s.s2)
+                   / (2E0 * n.n * (2 * n.n - 1))))
+              * 1000000, 0) AS BIGINT) AS alpha_micro
+    FROM n, agree, s
+    """,
+)
+def langid_krippendorff_alpha(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric, 2 raters, complete data)
+    for the langid heuristic vs gold labels — the reliability-theory
+    member of the family: alpha = 1 - Do/De over the COINCIDENCE
+    matrix (each document contributes both orderings), with expected
+    disagreement De drawn WITHOUT replacement from the pooled values
+    ((2n)(2n-1) pairs). The finite-sample correction is what separates
+    alpha from pi: alpha -> pi as n -> infinity, and the gap reads as
+    small-sample uncertainty. Nominal here; the interval/ordinal
+    generalizations change only the distance kernel.
+
+    Exactness: Do = (n - a)/n and De = (4n^2 - S2)/(2n(2n-1)) assemble
+    from the SAME exact integers as pi (a, S2, n); one mirrored double.
+
+    Scale: |langs|-row arithmetic after the shared scoring pass.
+    """
+    n, agree, s = _agree_frames(spark, sf_dir)
+    return (
+        n.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "n",
+            F.col("a").alias("n_agree"),
+            F.expr(
+                "CAST(round((1 - (CAST(n - a AS DOUBLE) / n)"
+                " / ((4E0 * n * n - s2) / (2E0 * n * (2 * n - 1))))"
+                " * 1000000, 0) AS BIGINT)"
+            ).alias("alpha_micro"),
+        )
+    )

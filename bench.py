@@ -735,6 +735,16 @@ HEADLINE = [
     "sn_scale_delay_by_priority",
     "qn_scale_delay_by_priority",
     "fligner_killeen_delay_scale",
+    # round-11: agreement coefficients + residual-diagnostics completion
+    "langid_scott_pi",
+    "langid_gwet_ac1",
+    "langid_krippendorff_alpha",
+    "weighted_kappa_priority_delay",
+    "arch_lm_daily",
+    "white_het_test_daily",
+    "reset_test_daily",
+    "prais_winsten_daily",
+    "deming_ccc_monthly",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
