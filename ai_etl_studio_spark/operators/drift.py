@@ -15255,3 +15255,483 @@ def deming_ccc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(round(cxy / sqrt(cxx * cyy) * 1000000E0, 0) AS BIGINT)"
         ).alias("pearson_micro"),
     )
+
+
+#: shared (nation, customer, cents) revenue grain for the
+#: concentration family — CR4's CTE verbatim.
+_NATION_CUST_CTE = """
+    WITH cr AS (
+      SELECT n.n_name AS nation, o.o_custkey AS ck,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2)
+"""
+
+
+def _nation_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_NATION_CUST_CTE``."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(n, cu.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("o_custkey").alias("ck")
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("cents"))
+    )
+
+
+@register(
+    "rosenbluth_kwoka_by_nation",
+    oracle=_NATION_CUST_CTE
+    + """
+    , r AS (
+      SELECT nation, cents,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY cents DESC, ck) AS rn,
+             LEAD(cents) OVER (PARTITION BY nation
+                               ORDER BY cents DESC, ck) AS nxt,
+             CAST(SUM(cents) OVER (PARTITION BY nation) AS BIGINT) AS tot,
+             CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT) AS n_cust
+      FROM cr),
+    s AS (
+      SELECT nation, MAX(n_cust) AS n_customers, MAX(tot) AS tot,
+             CAST(SUM(CAST(rn AS HUGEINT) * cents) AS HUGEINT) AS sic,
+             CAST(SUM(CAST(cents - COALESCE(nxt, 0) AS HUGEINT)
+               * (cents - COALESCE(nxt, 0))) AS HUGEINT) AS sd2
+      FROM r GROUP BY nation)
+    SELECT nation, CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(CAST(tot AS HUGEINT) * 1000000
+             // (2 * sic - tot) AS BIGINT) AS rosenbluth_micro,
+           CAST(CAST(sd2 AS HUGEINT) * 1000000
+             // (CAST(tot AS HUGEINT) * tot) AS BIGINT) AS kwoka_micro
+    FROM s ORDER BY nation
+    """,
+)
+def rosenbluth_kwoka_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rosenbluth (Hall-Tideman) and Kwoka dominance indices of
+    customer revenue concentration per nation — the two
+    rank-structure-sensitive members the CR4/HHI pair misses:
+    Rosenbluth HT = 1/(2*Sum i*s_i - 1) weights firms by RANK (a long
+    tail of minnows lowers it where HHI barely moves), and Kwoka
+    D = Sum (s_i - s_{i+1})^2 reads the GAPS between adjacent ranked
+    shares (dominance = a big step down after the leaders). HHI high +
+    Kwoka low = several comparable whales; HHI high + Kwoka high =
+    one dominant firm — different antitrust stories.
+
+    Exactness: integer cents; Sum i*cents and the squared adjacent
+    gaps ride HUGEINT/decimal(38,0); both indices emerge as exact
+    integer-micro floor divisions (the CR4 device) — no doubles at
+    all.
+
+    Scale: reduces to the (nation, customer) grain; two windows on the
+    low-cardinality nation key; 25-row output.
+    """
+    cr = _nation_cust(spark, sf_dir)
+    wn = Window.partitionBy("nation")
+    wr = Window.partitionBy("nation").orderBy(F.desc("cents"), "ck")
+    r = cr.select(
+        "nation",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.lead("cents").over(wr).alias("nxt"),
+        F.sum("cents").over(wn).cast("bigint").alias("tot"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n_cust"),
+    )
+    s = r.groupBy("nation").agg(
+        F.max("n_cust").alias("n_customers"),
+        F.max("tot").alias("tot"),
+        F.sum(F.expr("CAST(rn AS DECIMAL(38,0)) * cents")).alias("sic"),
+        F.sum(
+            F.expr(
+                "CAST(cents - COALESCE(nxt, 0) AS DECIMAL(38,0))"
+                " * (cents - COALESCE(nxt, 0))"
+            )
+        ).alias("sd2"),
+    )
+    return s.select(
+        "nation",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.expr(
+            "CAST(CAST(tot AS DECIMAL(38,0)) * 1000000"
+            " DIV (2 * sic - tot) AS BIGINT)"
+        ).alias("rosenbluth_micro"),
+        F.expr(
+            "CAST(CAST(sd2 AS DECIMAL(38,0)) * 1000000"
+            " DIV (CAST(tot AS DECIMAL(38,0)) * tot) AS BIGINT)"
+        ).alias("kwoka_micro"),
+    ).orderBy("nation")
+
+
+@register(
+    "bonferroni_zenga_by_nation",
+    oracle=_NATION_CUST_CTE
+    + """
+    , r AS (
+      SELECT nation, cents,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY cents, ck) AS i,
+             CAST(SUM(cents) OVER (PARTITION BY nation
+                                   ORDER BY cents, ck) AS BIGINT) AS cum,
+             CAST(SUM(cents) OVER (PARTITION BY nation) AS BIGINT) AS tot,
+             CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT) AS n
+      FROM cr),
+    terms AS (
+      SELECT nation, n, tot,
+             CASE WHEN i < n THEN
+               CAST(CAST(cum AS HUGEINT) * n * 1000000
+                 // (CAST(i AS HUGEINT) * tot) AS BIGINT)
+             ELSE NULL END AS lp_micro,
+             CASE WHEN i < n THEN
+               CAST(1000000 - CAST(CAST(cum AS HUGEINT) * (n - i)
+                 * 1000000 // (CAST(i AS HUGEINT) * (tot - cum))
+                 AS BIGINT) AS BIGINT)
+             ELSE NULL END AS z_micro
+      FROM r),
+    s AS (
+      SELECT nation, MAX(n) AS n_customers,
+             CAST(SUM(lp_micro) AS BIGINT) AS slp,
+             CAST(SUM(z_micro) AS BIGINT) AS sz
+      FROM terms WHERE lp_micro IS NOT NULL GROUP BY nation)
+    SELECT nation, CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(1000000 - slp // (n_customers - 1) AS BIGINT)
+             AS bonferroni_micro,
+           CAST(sz // (n_customers - 1) AS BIGINT) AS zenga_micro
+    FROM s ORDER BY nation
+    """,
+)
+def bonferroni_zenga_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bonferroni and Zenga inequality indices of customer revenue per
+    nation — the two Lorenz relatives that weight the POOR tail where
+    Gini is most insensitive: Bonferroni B = 1 - mean_i(L_i/p_i)
+    averages the lower-mean-to-overall-mean ratio across the whole
+    distribution (each i compares the bottom i customers' mean to the
+    global mean), and Zenga's point measure Z_i = 1 - (lower mean /
+    UPPER mean) contrasts the bottom i against the top n-i directly —
+    Z reacts to polarization (hollowed middle) that leaves Gini flat.
+    Reported as the curve means over i = 1..n-1.
+
+    Exactness: each curve point is a ratio of exact integer cents
+    partial sums, quantized to integer micro PER TERM by floor
+    division (identical in both engines) before the integer sum —
+    the per-term-quantize device, no float accumulates.
+
+    Scale: one (nation, customer) reduction, one ordered window per
+    nation, 25-row output. The i < n guard also keeps the Zenga
+    denominator tot - cum nonzero.
+    """
+    cr = _nation_cust(spark, sf_dir)
+    wn = Window.partitionBy("nation")
+    wa = Window.partitionBy("nation").orderBy("cents", "ck")
+    r = cr.select(
+        "nation",
+        F.row_number().over(wa).alias("i"),
+        F.sum("cents")
+        .over(wa.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+        F.sum("cents").over(wn).cast("bigint").alias("tot"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    terms = r.select(
+        "nation",
+        "n",
+        F.expr(
+            "CASE WHEN i < n THEN"
+            " CAST(CAST(cum AS DECIMAL(38,0)) * n * 1000000"
+            " DIV (CAST(i AS DECIMAL(38,0)) * tot) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("lp_micro"),
+        F.expr(
+            "CASE WHEN i < n THEN"
+            " CAST(1000000 - CAST(CAST(cum AS DECIMAL(38,0)) * (n - i)"
+            " * 1000000 DIV (CAST(i AS DECIMAL(38,0)) * (tot - cum))"
+            " AS BIGINT) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("z_micro"),
+    )
+    s = (
+        terms.filter(F.col("lp_micro").isNotNull())
+        .groupBy("nation")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.sum("lp_micro").cast("bigint").alias("slp"),
+            F.sum("z_micro").cast("bigint").alias("sz"),
+        )
+    )
+    return s.select(
+        "nation",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.expr(
+            "CAST(1000000 - slp DIV (n_customers - 1) AS BIGINT)"
+        ).alias("bonferroni_micro"),
+        F.expr("CAST(sz DIV (n_customers - 1) AS BIGINT)").alias(
+            "zenga_micro"
+        ),
+    ).orderBy("nation")
+
+
+#: Nelson-rules flag predicates over the micro-z series zq and the
+#: step-sign d — shared text fragments; each rule guards on having a
+#: full window (rn >= length).
+_NELSON_RULES = (
+    ("r1_beyond_3s", "abs(zq) > 3000000"),
+    ("r2_nine_one_side",
+     "rn >= 9 AND (s_pos9 = 9 OR s_neg9 = 9)"),
+    ("r3_six_trending",
+     "rn >= 6 AND (s_up5 = 5 OR s_dn5 = 5)"),
+    ("r4_fourteen_alternating",
+     "rn >= 14 AND s_alt12 = 12"),
+    ("r5_two_of_three_beyond_2s",
+     "rn >= 3 AND (s_p2 >= 2 OR s_n2 >= 2)"),
+    ("r6_four_of_five_beyond_1s",
+     "rn >= 5 AND (s_p1 >= 4 OR s_n1 >= 4)"),
+    ("r7_fifteen_within_1s",
+     "rn >= 15 AND s_in15 = 15"),
+    ("r8_eight_beyond_1s",
+     "rn >= 8 AND s_out8 = 8"),
+)
+
+
+@register(
+    "nelson_rules_daily",
+    oracle=_DAILY_1K_CTE
+    + f"""
+    , g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+      FROM t),
+    z AS (
+      SELECT t.t,
+             CAST(round((CAST(t.x AS DOUBLE) - CAST(g.s1 AS DOUBLE) / g.n)
+               / sqrt((CAST(g.s2 AS DOUBLE)
+                       - CAST(g.s1 AS DOUBLE) * g.s1 / g.n) / (g.n - 1))
+               * 1000000E0, 0) AS BIGINT) AS zq
+      FROM t, g),
+    d AS (
+      SELECT t, zq,
+             ROW_NUMBER() OVER (ORDER BY t) AS rn,
+             CASE WHEN zq > LAG(zq) OVER (ORDER BY t) THEN 1
+                  WHEN zq < LAG(zq) OVER (ORDER BY t) THEN -1
+                  ELSE 0 END AS stp
+      FROM z),
+    e AS (
+      SELECT d.*, stp * LAG(stp) OVER (ORDER BY t) AS alt FROM d),
+    w AS (
+      SELECT rn, zq,
+             SUM(CASE WHEN zq > 0 THEN 1 ELSE 0 END) OVER
+               (ORDER BY t ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+               AS s_pos9,
+             SUM(CASE WHEN zq < 0 THEN 1 ELSE 0 END) OVER
+               (ORDER BY t ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+               AS s_neg9,
+             SUM(CASE WHEN stp = 1 THEN 1 ELSE 0 END) OVER
+               (ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS s_up5,
+             SUM(CASE WHEN stp = -1 THEN 1 ELSE 0 END) OVER
+               (ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS s_dn5,
+             SUM(CASE WHEN alt = -1 THEN 1 ELSE 0 END) OVER
+               (ORDER BY t ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+               AS s_alt12,
+             SUM(CASE WHEN zq > 2000000 THEN 1 ELSE 0 END) OVER
+               (ORDER BY t ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS s_p2,
+             SUM(CASE WHEN zq < -2000000 THEN 1 ELSE 0 END) OVER
+               (ORDER BY t ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS s_n2,
+             SUM(CASE WHEN zq > 1000000 THEN 1 ELSE 0 END) OVER
+               (ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS s_p1,
+             SUM(CASE WHEN zq < -1000000 THEN 1 ELSE 0 END) OVER
+               (ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS s_n1,
+             SUM(CASE WHEN abs(zq) < 1000000 THEN 1 ELSE 0 END) OVER
+               (ORDER BY t ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+               AS s_in15,
+             SUM(CASE WHEN abs(zq) > 1000000 THEN 1 ELSE 0 END) OVER
+               (ORDER BY t ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+               AS s_out8
+      FROM e),
+    agg AS (
+      SELECT
+        {", ".join(
+            f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {name}"
+            for name, pred in _NELSON_RULES
+        )}
+      FROM w)
+    {" UNION ALL ".join(
+        f"SELECT '{name}' AS rule, {name} AS n_flagged FROM agg"
+        for name, _ in _NELSON_RULES
+    )}
+    ORDER BY rule
+    """,
+)
+def nelson_rules_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All eight Nelson SPC rules over the daily-revenue control chart
+    (flagged-day count per rule): beyond-3-sigma spikes (R1), nine on
+    one side (R2, sustained shift), six trending (R3, drift), fourteen
+    alternating (R4, systematic oscillation — two interleaved
+    processes), 2-of-3 beyond 2-sigma (R5) and 4-of-5 beyond 1-sigma
+    (R6, early shift warnings), fifteen inside 1-sigma (R7,
+    stratification/variance collapse — the rule people forget exists),
+    and eight beyond 1-sigma (R8, mixture). The single-rule ops
+    upstream (ewma/cusum/grubbs) each chase one alternative; the
+    Nelson panel is the standard all-causes screen, and WHICH rule
+    fires is the diagnosis.
+
+    Exactness: each day's z-score quantizes to integer MICRO through
+    one mirrored double (exact integer sufficient statistics for mean
+    and the n-1 sigma); every rule is then pure integer window
+    counting on zq and the step sign — knife-edge days sit at exact
+    integer comparisons, identical in both engines.
+
+    Scale: day-grain series; one ordered window pass computes all
+    eight rule counters simultaneously; 8-row output.
+    """
+    t = _daily_1k(spark, sf_dir).localCheckpoint()
+    g = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("s2"),
+    )
+    z = t.crossJoin(F.broadcast(g)).select(
+        "t",
+        F.expr(
+            "CAST(round((CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / n)"
+            " / sqrt((CAST(s2 AS DOUBLE)"
+            "         - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("zq"),
+    )
+    wo = Window.orderBy("t")
+    d = z.select(
+        "t", "zq",
+        F.row_number().over(wo).alias("rn"),
+        F.expr(
+            "CASE WHEN zq > LAG(zq) OVER (ORDER BY t) THEN 1"
+            " WHEN zq < LAG(zq) OVER (ORDER BY t) THEN -1 ELSE 0 END"
+        ).alias("stp"),
+    )
+    e = d.select("*", (F.col("stp") * F.lag("stp").over(wo)).alias("alt"))
+
+    def trail(pred: str, k: int, name: str):
+        w = wo.rowsBetween(-(k - 1), 0)
+        return F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")).over(
+            w
+        ).alias(name)
+
+    w = e.select(
+        "rn", "zq",
+        trail("zq > 0", 9, "s_pos9"),
+        trail("zq < 0", 9, "s_neg9"),
+        trail("stp = 1", 5, "s_up5"),
+        trail("stp = -1", 5, "s_dn5"),
+        trail("alt = -1", 12, "s_alt12"),
+        trail("zq > 2000000", 3, "s_p2"),
+        trail("zq < -2000000", 3, "s_n2"),
+        trail("zq > 1000000", 5, "s_p1"),
+        trail("zq < -1000000", 5, "s_n1"),
+        trail("abs(zq) < 1000000", 15, "s_in15"),
+        trail("abs(zq) > 1000000", 8, "s_out8"),
+    )
+    agg = w.agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias(name)
+            for name, pred in _NELSON_RULES
+        ]
+    )
+    stack = ", ".join(
+        f"'{name}', {name}" for name, _ in _NELSON_RULES
+    )
+    return (
+        agg.selectExpr(
+            f"stack({len(_NELSON_RULES)}, {stack}) AS (rule, n_flagged)"
+        )
+        .orderBy("rule")
+    )
+
+
+@register(
+    "capability_cpk_delay",
+    oracle=_DELAY_GRAIN_CTE
+    + """
+    , s AS (
+      SELECT pr, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * v) AS BIGINT) AS s1,
+             CAST(SUM(CAST(c AS HUGEINT) * v * v) AS HUGEINT) AS s2,
+             CAST(SUM(CASE WHEN v > 60 THEN c ELSE 0 END) AS BIGINT)
+               AS n_over
+      FROM c GROUP BY pr)
+    SELECT pr AS priority, n AS n_lines,
+           CAST(round(60E0 / (6 * sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))) * 1000000E0, 0)
+             AS BIGINT) AS cp_micro,
+           CAST(round(least(60E0 - CAST(s1 AS DOUBLE) / n,
+               CAST(s1 AS DOUBLE) / n)
+             / (3 * sqrt((CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)))
+             * 1000000E0, 0) AS BIGINT) AS cpk_micro,
+           CAST(n_over * 1000000 // n AS BIGINT) AS observed_over_ppm
+    FROM s ORDER BY pr
+    """,
+)
+def capability_cpk_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-capability indices Cp / Cpk of the ship delay per
+    priority against the spec window [0, 60] days — the SPC summary
+    that converts 'how variable' into 'does the process FIT the
+    promise': Cp compares spread to the spec width assuming perfect
+    centering; Cpk penalizes off-center location (Cpk << Cp = the
+    process could fit but sits near a limit). The exact observed
+    over-spec ppm sits beside them as the model-free check — a large
+    gap between Cpk-implied and observed ppm flags non-normal tails
+    (which the delay's right skew guarantees; that tension is the
+    point of showing both).
+
+    Exactness: mean and n-1 sigma assemble from exact value-grain
+    sums (HUGEINT/decimal(38,0) squares); Cp/Cpk are mirrored
+    fixed-order doubles; the observed ppm is an exact integer floor
+    division.
+
+    Scale: the (priority, delay, count) grain; 5-row output.
+    """
+    c = _delay_grain(spark, sf_dir)
+    s = c.groupBy("pr").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.expr("c * v")).cast("bigint").alias("s1"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * v * v")).alias("s2"),
+        F.sum(F.when(F.col("v") > 60, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_over"),
+    )
+    return s.select(
+        F.col("pr").alias("priority"),
+        F.col("n").alias("n_lines"),
+        F.expr(
+            "CAST(round(60E0 / (6 * sqrt((CAST(s2 AS DOUBLE)"
+            " - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))) * 1000000E0, 0)"
+            " AS BIGINT)"
+        ).alias("cp_micro"),
+        F.expr(
+            "CAST(round(least(60E0 - CAST(s1 AS DOUBLE) / n,"
+            " CAST(s1 AS DOUBLE) / n)"
+            " / (3 * sqrt((CAST(s2 AS DOUBLE)"
+            "     - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)))"
+            " * 1000000E0, 0) AS BIGINT)"
+        ).alias("cpk_micro"),
+        F.expr("CAST(n_over * 1000000 DIV n AS BIGINT)").alias(
+            "observed_over_ppm"
+        ),
+    ).orderBy("priority")

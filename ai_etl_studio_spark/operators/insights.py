@@ -8194,3 +8194,168 @@ def allan_variance_event_counts(
             " / (CAST(n AS DOUBLE) / nw) * 1000000E0, 0) AS BIGINT)"
         ).alias("allan_factor_micro"),
     ).orderBy("window_seconds")
+
+
+# ---------------------------------------------------------------------------
+# Round-11: Katz centrality + rich-club coefficient — the two remaining
+# classical centrality/topology reads on the capped co-purchase graph.
+# ---------------------------------------------------------------------------
+
+#: Katz attenuation as an integer divisor: alpha = 1/64 < 1/DCAP, so
+#: alpha * lambda_max < 1 and the series converges (the fixed 10-round
+#: quantized iterate is deterministic regardless).
+_KATZ_DIV = 64
+
+
+@register(
+    "copurchase_katz_topk",
+    oracle=_CP_GRAPH_CTE_REC
+    + f"""
+    , kz(i, u, s) AS (
+      SELECT 0, u, CAST(1000000 AS BIGINT) FROM d
+      UNION
+      SELECT c.i + 1, c.u,
+             CAST(1000000 + COALESCE(
+               (SELECT SUM(r2.s) FROM adj a JOIN kz r2
+                  ON a.v = r2.u AND r2.i = c.i WHERE a.u = c.u), 0)
+               // {_KATZ_DIV} AS BIGINT)
+      FROM kz c WHERE c.i < 10)
+    SELECT u AS part_key, s AS katz_micro
+    FROM kz WHERE i = 10
+    ORDER BY katz_micro DESC, part_key LIMIT 20
+    """,
+)
+def copurchase_katz_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by Katz centrality on the co-purchase graph —
+    influence as the attenuated count of ALL walks arriving at a node
+    (x = 1 + alpha*A*x, alpha = 1/64): the centrality that, unlike
+    eigenvector, gives every node a baseline and so stays informative
+    on the graph's many small components (eigenvector mass collapses
+    onto the dominant component; Katz ranks WITHIN the periphery too).
+    alpha < 1/DCAP guarantees convergence since lambda_max <= max
+    degree; the Katz-vs-eigenvector rank disagreement localizes which
+    parts matter only through the giant component.
+
+    Algorithm: 10 fixed rounds of x' = 1e6 + (Sum_nb x) DIV 64, every
+    iterate an exact integer — both engines (and the oracle's
+    recursive CTE) walk a bit-identical trajectory; no normalization
+    step is needed because the attenuated series is absolutely
+    bounded (x <= 1e6 / (1 - 48/64) = 4e6).
+
+    Scale: each round is one shuffle keyed by node over the capped
+    adjacency; hint-free; same Pregel budget as the eigenvector op.
+    """
+    e, adj, deg, _ = _copurchase_graph(spark, sf_dir)
+    edges = capture_stage(
+        adj.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    ).localCheckpoint()
+    x = (
+        capture_stage(
+            deg.select("u").withColumn(
+                "s", F.lit(1_000_000).cast("bigint")
+            )
+        )
+        .localCheckpoint()
+    )
+    nodes = deg.select("u").localCheckpoint()
+    for _ in range(10):
+        ns = (
+            edges.join(x, edges.dst == x.u)
+            .groupBy(F.col("src").alias("nu"))
+            .agg(F.sum("s").alias("ns"))
+        )
+        x = capture_stage(
+            nodes.join(ns, nodes.u == ns.nu, "left")
+            .select(
+                "u",
+                F.expr(
+                    f"CAST(1000000 + COALESCE(ns, 0) DIV {_KATZ_DIV}"
+                    " AS BIGINT)"
+                ).alias("s"),
+            )
+        ).localCheckpoint()
+    return (
+        x.select(F.col("u").alias("part_key"), F.col("s").alias("katz_micro"))
+        .orderBy(F.desc("katz_micro"), "part_key")
+        .limit(20)
+    )
+
+
+@register(
+    "copurchase_rich_club",
+    oracle=_CP_GRAPH_CTE
+    + """
+    , em AS (
+      SELECT least(da.deg, db.deg) AS m
+      FROM e JOIN d da ON da.u = e.x JOIN d db ON db.u = e.y),
+    ks AS (SELECT unnest(range(1, 13)) AS k),
+    phi AS (
+      SELECT ks.k,
+             CAST((SELECT COUNT(*) FROM d WHERE deg > ks.k) AS BIGINT)
+               AS n_nodes,
+             CAST((SELECT COUNT(*) FROM em WHERE m > ks.k) AS BIGINT)
+               AS n_edges
+      FROM ks)
+    SELECT k, n_nodes, n_edges,
+           CAST(2 * n_edges * 1000000 // (n_nodes * (n_nodes - 1))
+             AS BIGINT) AS phi_micro
+    FROM phi WHERE n_nodes >= 2
+    ORDER BY k
+    """,
+)
+def copurchase_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) of the co-purchase graph for
+    degree thresholds k = 1..12: the edge density among nodes of
+    degree > k — "do the hubs trade with each other" (phi rising in k
+    = an elite of mutually-connected bestsellers; flat/falling = hubs
+    are hubs of DISJOINT neighborhoods). Complements assortativity
+    (one global correlation) by showing WHERE in the degree spectrum
+    the clubbing happens.
+
+    Exactness: FULLY integer — E_k counts edges by min-endpoint-degree
+    (each edge classified once), N_k nodes by degree, phi an exact
+    integer-micro floor division.
+
+    Scale: one degrees join over the capped edge set, then 12
+    threshold rows computed from two tiny histograms; no per-k scan of
+    the graph.
+    """
+    e, adj, deg, _ = _copurchase_graph(spark, sf_dir)
+    em = (
+        e.join(deg.withColumnRenamed("u", "x").withColumnRenamed("deg", "dx"), "x")
+        .join(deg.withColumnRenamed("u", "y").withColumnRenamed("deg", "dy"), "y")
+        .select(F.least("dx", "dy").alias("m"))
+    )
+    ks = spark.range(1, 13).select(F.col("id").alias("k"))
+    nk = (
+        ks.crossJoin(deg.select("deg"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("deg") > F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nodes")
+        )
+    )
+    ek = (
+        ks.crossJoin(em)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("m") > F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_edges")
+        )
+    )
+    return (
+        nk.join(ek, "k")
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            F.expr(
+                "CAST(2 * n_edges * 1000000 DIV (n_nodes * (n_nodes - 1))"
+                " AS BIGINT)"
+            ).alias("phi_micro"),
+        )
+        .orderBy("k")
+    )

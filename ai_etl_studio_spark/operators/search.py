@@ -21,11 +21,11 @@ driver-directed extension surface, designed Spark-first.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_etl_studio_spark.catalog import load_table
-from ai_etl_studio_spark.operators import register
+from ai_etl_studio_spark.operators import ORACLES, register
 
 #: BM25 hyperparameters (the standard Robertson/Okapi defaults).
 BM25_K1 = 1.2
@@ -229,3 +229,151 @@ def dirichlet_lm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr('CAST(round(ln((CAST(tf_0 AS DOUBLE) + 2000E0 * ctf_0 / total_tokens) / (CAST(dl AS DOUBLE) + 2000E0)) * 1000000000E0, 0) AS BIGINT)\n           + CAST(round(ln((CAST(tf_1 AS DOUBLE) + 2000E0 * ctf_1 / total_tokens) / (CAST(dl AS DOUBLE) + 2000E0)) * 1000000000E0, 0) AS BIGINT)\n           + CAST(round(ln((CAST(tf_2 AS DOUBLE) + 2000E0 * ctf_2 / total_tokens) / (CAST(dl AS DOUBLE) + 2000E0)) * 1000000000E0, 0) AS BIGINT)\n           + CAST(round(ln((CAST(tf_3 AS DOUBLE) + 2000E0 * ctf_3 / total_tokens) / (CAST(dl AS DOUBLE) + 2000E0)) * 1000000000E0, 0) AS BIGINT)').alias("score_ticks"),
     )
     return scored.orderBy(F.desc("score_ticks"), "doc_id").limit(20)
+
+
+#: RRF constant (Cormack et al.'s k = 60) and fused-list size.
+RRF_K = 60
+RRF_TOPK = 15
+#: integer RRF contribution: floor(1e9 / (k + rank)) — exact in both
+#: engines, so fused scores sum as integers.
+RRF_TICKS = 1_000_000_000
+
+
+@register(
+    "rrf_hybrid_search",
+    oracle=f"""
+    WITH lex AS ({ORACLES["bm25_search"]}),
+    lrank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM lex),
+    quant AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS v
+      FROM embeddings),
+    q AS (SELECT v AS qv FROM quant WHERE vec_id = 0),
+    sc AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, len(v) + 1),
+               i -> v[i] * qv[i])) AS dot_i,
+             list_sum(list_transform(v, x -> x * x)) AS n1_i,
+             list_sum(list_transform(qv, x -> x * x)) AS n2_i
+      FROM quant, q WHERE vec_id > 0),
+    srank AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY round(CAST(dot_i AS DOUBLE)
+               / (sqrt(CAST(n1_i AS DOUBLE)) * sqrt(CAST(n2_i AS DOUBLE))),
+               6) DESC, vec_id) AS r
+      FROM sc
+      ORDER BY r LIMIT 20),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             CAST(CASE WHEN l.r IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS in_lexical,
+             CAST(CASE WHEN s.r IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS in_semantic,
+             CAST(COALESCE({RRF_TICKS} // ({RRF_K} + l.r), 0)
+               + COALESCE({RRF_TICKS} // ({RRF_K} + s.r), 0) AS BIGINT)
+               AS rrf_ticks
+      FROM lrank l FULL JOIN srank s ON s.doc_id = l.doc_id)
+    SELECT doc_id, in_lexical, in_semantic, rrf_ticks
+    FROM fused
+    ORDER BY rrf_ticks DESC, doc_id
+    LIMIT {RRF_TOPK}
+    """,
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the LEXICAL (BM25 top-20) and
+    SEMANTIC (exact int-quantized cosine top-20 vs query vector 0)
+    rankings — the standard hybrid-retrieval combiner (Cormack et al.,
+    k = 60): rrf(d) = Sum_lists 1/(k + rank_d). RRF needs no score
+    calibration between the legs (BM25 ticks and cosine live on
+    incomparable scales — rank is the only shared currency), which is
+    exactly why it is the default fuser in every hybrid-search stack;
+    the in_lexical/in_semantic flags show which leg carried each hit.
+
+    Exactness: each leg's ranking is the REGISTERED device (BM25's
+    quantized ticks; the cosine oracle's exact integer dot/norm with
+    6dp rounding + id tie-break), and each RRF contribution is the
+    exact integer floor(1e9/(k + r)) — fused scores are integer sums,
+    no float ever compares.
+
+    Scale: both legs are top-k lists (broadcast-sized) regardless of
+    corpus size; the fusion is a 20x20 full outer join. The legs
+    themselves scan the corpus once each — at 100 TB they ride their
+    own ops' scale designs (BM25's no-explode profile, the IVF index
+    for the semantic leg).
+    """
+    lex = bm25_search(spark, sf_dir)
+    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    lrank = lex.select("doc_id", F.row_number().over(wl).alias("rl"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast(
+                "bigint"
+            ),
+        ).alias("v"),
+    )
+    q = quant.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sc = quant.filter(F.col("vec_id") > 0).crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("qv"), lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dot_i"),
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n1_i"),
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n2_i"),
+    )
+    ws = Window.orderBy(
+        F.desc(
+            F.round(
+                F.col("dot_i").cast("double")
+                / (
+                    F.sqrt(F.col("n1_i").cast("double"))
+                    * F.sqrt(F.col("n2_i").cast("double"))
+                ),
+                6,
+            )
+        ),
+        "vec_id",
+    )
+    srank = (
+        sc.select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(ws).alias("rs"),
+        )
+        .filter(F.col("rs") <= 20)
+    )
+    fused = lrank.join(srank, "doc_id", "full").select(
+        "doc_id",
+        F.when(F.col("rl").isNotNull(), 1).otherwise(0)
+        .cast("bigint")
+        .alias("in_lexical"),
+        F.when(F.col("rs").isNotNull(), 1).otherwise(0)
+        .cast("bigint")
+        .alias("in_semantic"),
+        (
+            F.coalesce(
+                F.expr(f"{RRF_TICKS} DIV ({RRF_K} + rl)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{RRF_TICKS} DIV ({RRF_K} + rs)"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("rrf_ticks"),
+    )
+    return fused.orderBy(F.desc("rrf_ticks"), "doc_id").limit(RRF_TOPK)

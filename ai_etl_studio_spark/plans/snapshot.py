@@ -107,6 +107,7 @@ STAGE_SOURCED = frozenset(
         "pagerank_from_index",
         "personalized_pagerank_seeded",
         "copurchase_eigenvector_topk",
+        "copurchase_katz_topk",
         "copurchase_weighted_eigenvector_topk",
         "bradley_terry_brand_ranks",
         "hits_brand_authority_topk",

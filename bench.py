@@ -745,6 +745,15 @@ HEADLINE = [
     "reset_test_daily",
     "prais_winsten_daily",
     "deming_ccc_monthly",
+    # round-11: concentration/inequality, SPC panel, hybrid retrieval,
+    # and the centrality/topology completions
+    "rosenbluth_kwoka_by_nation",
+    "bonferroni_zenga_by_nation",
+    "nelson_rules_daily",
+    "capability_cpk_delay",
+    "rrf_hybrid_search",
+    "copurchase_katz_topk",
+    "copurchase_rich_club",
 ]
 
 #: Registry entries deliberately NOT in HEADLINE — data, not prose (r7
