@@ -154,3 +154,169 @@ class TestArrowSeamTwin:
         plan = explain_str(df, "formatted")
         assert "MapInArrow" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestScaleShelfReplays:
+    """Engine-independent replays for the round-11 scale tests: the
+    Sn/Qn order statistics get a LINEAR-SCAN reference off the raw
+    rows (the operators use a binary search; agreement proves the
+    search), and Cucconi gets a literal midrank replay."""
+
+    def _delay_counts(self, spark):
+        from collections import Counter, defaultdict
+
+        rows = (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .select("l_orderkey", "l_shipdate")
+            .collect()
+        )
+        od = {
+            r.o_orderkey: (r.o_orderdate.date(), r.o_orderpriority)
+            for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .select("o_orderkey", "o_orderdate", "o_orderpriority")
+            .collect()
+        }
+        per = defaultdict(Counter)
+        for r in rows:
+            d0, pr = od[r.l_orderkey]
+            dv = (r.l_shipdate.date() - d0).days
+            if dv >= 0:
+                per[pr][dv] += 1
+        return per
+
+    def test_sn_qn_linear_scan_replay(self, spark):
+        per = self._delay_counts(spark)
+        sn = {
+            r.priority: (r.n_lines, r.sn_days)
+            for r in QUERIES["sn_scale_delay_by_priority"](
+                spark, SF_DIR
+            ).collect()
+        }
+        qn = {
+            r.priority: (r.n_lines, r.qn_days)
+            for r in QUERIES["qn_scale_delay_by_priority"](
+                spark, SF_DIR
+            ).collect()
+        }
+        assert set(sn) == set(per) == set(qn)
+        for pr, cnt in per.items():
+            n = sum(cnt.values())
+            vals = sorted(cnt)
+            # Sn reference: linear scan over d for each value's inner
+            # himed, then the weighted lomed over values
+            k_in = n // 2 + 2  # inclusive-window weight threshold
+            inner = {}
+            for a in vals:
+                w = 0
+                d = 0
+                while True:
+                    w = sum(
+                        c for v, c in cnt.items() if abs(v - a) <= d
+                    )
+                    if w >= k_in:
+                        break
+                    d += 1
+                inner[a] = d
+            k_out = (n + 1) // 2
+            acc = 0
+            sn_ref = None
+            for a in sorted(vals, key=lambda a: (inner[a], a)):
+                acc += cnt[a]
+                if acc >= k_out:
+                    sn_ref = inner[a]
+                    break
+            assert sn[pr] == (n, sn_ref), pr
+            # Qn reference: cumulative pair counts over distances
+            h = n // 2 + 1
+            k = h * (h - 1) // 2
+            from collections import Counter as C2
+
+            dist = C2()
+            for i, a in enumerate(vals):
+                dist[0] += cnt[a] * (cnt[a] - 1) // 2
+                for b in vals[i + 1:]:
+                    dist[b - a] += cnt[a] * cnt[b]
+            acc = 0
+            qn_ref = None
+            for d in sorted(dist):
+                acc += dist[d]
+                if acc >= k:
+                    qn_ref = d
+                    break
+            assert qn[pr] == (n, qn_ref), pr
+
+    def test_cucconi_midrank_replay(self, spark):
+        import math
+
+        per = self._delay_counts(spark)
+        xs = per["1-URGENT"]
+        ys = per["5-LOW"]
+        pooled = sorted(set(xs) | set(ys))
+        lo = {}
+        hi = {}
+        run = 0
+        for v in pooled:
+            c = xs.get(v, 0) + ys.get(v, 0)
+            lo[v], hi[v] = run + 1, run + c
+            run += c
+        nn = run
+        m = sum(xs.values())
+        sr2 = sum(
+            c * ((lo[v] + hi[v]) / 2) ** 2 for v, c in xs.items()
+        )
+        ss2 = sum(
+            c * (nn + 1 - (lo[v] + hi[v]) / 2) ** 2
+            for v, c in xs.items()
+        )
+        sig = math.sqrt(
+            m * (nn - m) * (nn + 1) * (2 * nn + 1) * (8 * nn + 11) / 5
+        )
+        u = (6 * sr2 - m * (nn + 1) * (2 * nn + 1)) / sig
+        v_ = (6 * ss2 - m * (nn + 1) * (2 * nn + 1)) / sig
+        rho = 2 * (nn * nn - 4) / ((2 * nn + 1) * (8 * nn + 11)) - 1
+        c_ref = (u * u + v_ * v_ - 2 * rho * u * v_) / (
+            2 * (1 - rho * rho)
+        )
+        got = QUERIES["cucconi_delay_location_scale"](
+            spark, SF_DIR
+        ).collect()[0]
+        assert got.n_urgent == m and got.n_low == nn - m
+        assert abs(got.u_micro / 1e6 - u) < 2e-6
+        assert abs(got.v_micro / 1e6 - v_) < 2e-6
+        assert abs(got.cucconi_milli / 1e3 - c_ref) < 2e-3
+
+
+class TestKatzReplay:
+    def test_katz_integer_trajectory_replay(self, spark):
+        """Pure-Python walk of the same 10-round integer Katz iterate
+        on the independently-built capped graph (the house rule for
+        iterative ops: the hash gate cannot catch a wrong fixpoint
+        mirrored into both engines)."""
+        from tests._roundlib import capped_graph
+
+        _, adj = capped_graph(spark)
+        x = {u: 1_000_000 for u in adj}
+        for _ in range(10):
+            x = {
+                u: 1_000_000 + sum(x[v] for v in adj[u]) // 64
+                for u in adj
+            }
+        want = sorted(
+            ((u, s) for u, s in x.items()), key=lambda t: (-t[1], t[0])
+        )[:20]
+        got = [
+            (r.part_key, r.katz_micro)
+            for r in QUERIES["copurchase_katz_topk"](
+                spark, SF_DIR
+            ).collect()
+        ]
+        assert got == want
+
+    def test_rich_club_monotone_inputs(self, spark):
+        """phi(k)'s numerator and denominator must both be
+        non-increasing in k (cumulative-from-above histograms)."""
+        rows = QUERIES["copurchase_rich_club"](spark, SF_DIR).collect()
+        assert rows, "rich club returned no thresholds"
+        for a, b in zip(rows, rows[1:]):
+            assert b.n_nodes <= a.n_nodes
+            assert b.n_edges <= a.n_edges
