@@ -25,15 +25,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         import functools
 
         @functools.wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(
+            spark: SparkSession, sf_dir: str, *args, **kwargs
+        ) -> DataFrame:
             # The caller (verify driver, notebook user) may hand us a
             # default-config session; apply the runtime-settable engine
             # defaults (UTC timezone, nanos-as-long parquet reads, AQE)
-            # before planning the query.
+            # before planning the query. Extra keyword-only knobs (e.g.
+            # a composite op handing its member models a shared
+            # checkpointed base) pass through untouched.
             from ai_etl_studio_spark.session import configure_existing
 
             configure_existing(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, *args, **kwargs)
 
         QUERIES[name] = wrapped
         if oracle is not None:

@@ -1693,15 +1693,28 @@ def _pagerank_raw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
+        # read twice below (degree build + degree-fold join); column
+        # pruning gives each consumer a different exchange subtree, so
+        # ReusedExchange never fires and without this checkpoint the
+        # orders ⋈ lineitem distinct ran twice (r11, runtime-plan
+        # verified: 4 parquet scans -> 2)
+        .localCheckpoint()
     )
     # integer node ids (customer: 2k, supplier: 2k+1) — joins and
     # shuffles on bigints, the human-readable label is rendered only in
-    # the final projection
+    # the final projection. Both edge directions come from ONE explode
+    # over the distinct pair frame, not a two-leg union that re-ran the
+    # orders ⋈ lineitem distinct once per leg (r11, plan-verified).
     c_node = (F.col("o_custkey") * 2).cast("bigint")
     s_node = (F.col("l_suppkey") * 2 + 1).cast("bigint")
-    raw_edges = e0.select(c_node.alias("src"), s_node.alias("dst")).union(
-        e0.select(s_node.alias("src"), c_node.alias("dst"))
-    )
+    raw_edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(c_node.alias("src"), s_node.alias("dst")),
+                F.struct(s_node.alias("src"), c_node.alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     deg = raw_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # degree rides the edge list (materialized once) so each iteration
     # is ONE join + one agg instead of two joins
@@ -1753,11 +1766,18 @@ def _pagerank_iterate(edges: DataFrame) -> DataFrame:
         # one map-side join + one groupBy, same plan the hint forced);
         # past that the bucketed-src edge layout takes over and ranks
         # shuffle on src while the edge side stays unshuffled.
+        # The recursion is LINEAR (each iterate references the previous
+        # one exactly once — no max/crossJoin re-reading the same
+        # subtree twice), so the {PR_ITERS} iterations chain lazily
+        # into ONE job over the checkpointed edge/node frames instead
+        # of paying a materialization job per round (r11; the per-round
+        # localCheckpoint is only required where duplication compounds,
+        # e.g. the eigenvector tier's per-step max normalization).
         contrib = edges.join(ranks, edges.src == ranks.node).select(
             "dst", F.expr("tick DIV d").alias("c")
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inf"))
-        ranks = capture_stage(
+        ranks = (
             nodes.join(inflow, nodes.node == inflow.dst, "left")
             .select(
                 "node",
@@ -1766,7 +1786,7 @@ def _pagerank_iterate(edges: DataFrame) -> DataFrame:
                     + F.expr("coalesce(inf, 0L) * 85 DIV 100")
                 ).alias("tick"),
             )
-        ).localCheckpoint()
+        )
     label = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("c"), F.expr("node DIV 2").cast("string")),
@@ -4594,7 +4614,10 @@ def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst", F.expr("tick DIV d").alias("c")
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inf"))
-        ranks = capture_stage(
+        # linear recursion — the {PR_ITERS} rounds chain lazily into
+        # one job over the checkpointed edges/nodes (r11; see
+        # _pagerank_iterate for the duplication argument)
+        ranks = (
             nodes.join(inflow, nodes.node == inflow.dst, "left")
             .select(
                 "node",
@@ -4603,7 +4626,7 @@ def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("coalesce(inf, 0L) * 85 DIV 100")
                 ).cast("bigint").alias("tick"),
             )
-        ).localCheckpoint()
+        )
     label = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("c"), F.expr("node DIV 2").cast("string")),

@@ -1209,9 +1209,15 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_id_1", "doc_id_2")
     )
+    # one explode instead of a two-leg union: the union form re-ran the
+    # whole candidate/verify pipeline once PER COLUMN (r11,
+    # plan-verified — no exchange reuse across the legs); exploding
+    # both endpoints from the single verified-pair frame is
+    # value-identical and computes it once.
     dup_docs = (
-        ver.select(F.col("doc_id_1").alias("doc_id"))
-        .unionByName(ver.select(F.col("doc_id_2").alias("doc_id")))
+        ver.select(
+            F.explode(F.array("doc_id_1", "doc_id_2")).alias("doc_id")
+        )
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
@@ -1415,9 +1421,20 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sig = signature_from(d).localCheckpoint()
     sh = _shingle_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    cand = _lsh_candidate_pairs(spark, sf_dir, cap=LSH_BUCKET_CAP).select(
-        F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2")
+    # |shingle set| = size of the DISTINCT shingle array — a narrow
+    # per-doc expression on the un-exploded grain, identical to the
+    # former explode + groupBy count but with zero exchange (r11).
+    sizes = _shingle_array_df(spark, sf_dir).select(
+        "doc_id", F.size("shingles").alias("n_sh")
+    )
+    # the banded-LSH candidate pipeline feeds BOTH the signature-score
+    # leg and the exact-Jaccard leg; without the checkpoint each leg
+    # re-ran the whole band self-join (no exchange reuse fires across
+    # the differing downstream joins — r11, plan-verified).
+    cand = (
+        _lsh_candidate_pairs(spark, sf_dir, cap=LSH_BUCKET_CAP)
+        .select(F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2"))
+        .localCheckpoint()
     )
     sa = sig.select(
         F.col("doc_id").alias("d1"),
@@ -1781,7 +1798,14 @@ def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions.
     """
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    cand = er_blocked_pairs(spark, sf_dir).select("key_a", "key_b")
+    # both ratio legs read the candidate set (volume + semi-join hits)
+    # and both truth legs read the sampled quadratic truth set; without
+    # the checkpoints each leg re-ran its full producer — the capped
+    # blocking pipeline twice and the levenshtein nested-loop twice
+    # (r11, plan-verified: zero exchange reuse across the legs).
+    cand = er_blocked_pairs(spark, sf_dir).select(
+        "key_a", "key_b"
+    ).localCheckpoint()
     n_parts = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
     n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
     s = p.filter(
@@ -1791,7 +1815,7 @@ def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = s.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("nb"))
     truth = a.join(b, F.col("key_a") < F.col("key_b")).filter(
         F.levenshtein(F.col("na"), F.col("nb")) <= ER_DIST
-    ).select("key_a", "key_b")
+    ).select("key_a", "key_b").localCheckpoint()
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     n_hit = truth.join(cand, ["key_a", "key_b"], "left_semi").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hit")

@@ -1114,6 +1114,24 @@ _ATTR_LOOKBACK_US = 72 * 3600 * 1_000_000
 _ATTR_TOUCHES = ("click", "view")
 
 
+def _attr_bases(spark: SparkSession, sf_dir: str):
+    """The two pruned event projections every attribution model derives
+    its frames from: (touches: user_id/ts/event_id/event_type for
+    click+view rows, purchases: user_id/ts/event_id/value). Standalone
+    models inline these (identical plan to building them in place —
+    Catalyst collapses the adjacent projections); the model-comparison
+    op localCheckpoints them ONCE so its three pipelines share two
+    pushed-filter scans instead of re-reading events 12 times (r11)."""
+    e = load_table(spark, sf_dir, "events")
+    t = e.filter(F.col("event_type").isin(*_ATTR_TOUCHES)).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return t, p
+
+
 @register(
     "attribution_last_touch",
     oracle=f"""
@@ -1139,7 +1157,9 @@ _ATTR_TOUCHES = ("click", "view")
     ORDER BY channel
     """,
 )
-def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def attribution_last_touch(
+    spark: SparkSession, sf_dir: str, _bases=None
+) -> DataFrame:
     """Last-touch marketing attribution: every purchase credits the
     user's most recent click/view within a 72 h lookback (none →
     'direct'), rolled up to conversions + exact revenue per channel —
@@ -1154,8 +1174,8 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie at equal timestamps breaks to the larger event_id in both.
     Revenue stays integer cents end to end.
     """
-    e = load_table(spark, sf_dir, "events")
-    touches = e.filter(F.col("event_type").isin(*_ATTR_TOUCHES)).select(
+    tbase, pbase = _bases or _attr_bases(spark, sf_dir)
+    touches = tbase.select(
         "user_id",
         "ts",
         "event_id",
@@ -1167,7 +1187,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("touch"),
         F.lit(None).cast("bigint").alias("cents"),
     )
-    purch = e.filter(F.col("event_type") == "purchase").select(
+    purch = pbase.select(
         "user_id",
         "ts",
         "event_id",
@@ -2391,7 +2411,9 @@ def _ushape_oracle() -> str:
 
 
 @register("attribution_u_shaped", oracle=_ushape_oracle())
-def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def attribution_u_shaped(
+    spark: SparkSession, sf_dir: str, _bases=None
+) -> DataFrame:
     """Position-based (U-shaped) multi-touch attribution: each purchase
     splits credit 40/20/40 across first touch / middles / last touch in
     the 72 h lookback (1 touch → 100%, 2 → 50/50, none → 'direct') —
@@ -2409,15 +2431,15 @@ def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel rollup. The oracle is the independent correlated-subquery
     formulation.
     """
-    e = load_table(spark, sf_dir, "events")
+    tbase, pbase = _bases or _attr_bases(spark, sf_dir)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    p = e.filter(F.col("event_type") == "purchase").select(
+    p = pbase.select(
         "user_id",
         us.alias("p_us"),
         F.col("event_id").alias("pid"),
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
     )
-    t = e.filter(F.col("event_type").isin("click", "view")).select(
+    t = tbase.select(
         "user_id",
         us.alias("t_us"),
         F.col("event_id").alias("tid"),
@@ -2807,7 +2829,9 @@ _TDECAY_HALF_US = 24 * 3600 * 1_000_000
     SELECT * FROM chan UNION ALL SELECT * FROM direct ORDER BY channel
     """,
 )
-def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+def attribution_time_decay(
+    spark: SparkSession, sf_dir: str, _bases=None
+) -> DataFrame:
     """Time-decay multi-touch attribution: every click/view in the 72 h
     lookback gets credit ∝ 2^(-age/24 h), normalized per purchase —
     the third classic model beside attribution_last_touch (winner-take-
@@ -2822,15 +2846,15 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, and the only doubles are the final normalize-and-round
     expressions mirrored token-for-token in the oracle.
     """
-    e = load_table(spark, sf_dir, "events")
+    tbase, pbase = _bases or _attr_bases(spark, sf_dir)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    p = e.filter(F.col("event_type") == "purchase").select(
+    p = pbase.select(
         "user_id",
         us.alias("p_us"),
         F.col("event_id").alias("pid"),
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
     )
-    t = e.filter(F.col("event_type").isin("click", "view")).select(
+    t = tbase.select(
         "user_id",
         us.alias("t_us"),
         F.col("event_type").alias("ch"),
@@ -3152,17 +3176,26 @@ def attribution_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     what each model actually computes — the ann_ivf_recall_eval
     device); each produces a ≤3-row frame, and the pivot is a
     conditional aggregate over their union.
+
+    Scale: the three pipelines share the two pruned event projections
+    (touches, purchases) via ONE localCheckpoint each — metadata-only
+    rows (ids, timestamps, type, value), never payloads — so the
+    comparison reads events twice with pushed filters instead of 12
+    times (r11, plan-verified: 12 parquet scans -> 2; each standalone
+    model is unchanged).
     """
-    lt = attribution_last_touch(spark, sf_dir).select(
+    tbase, pbase = _attr_bases(spark, sf_dir)
+    bases = (tbase.localCheckpoint(), pbase.localCheckpoint())
+    lt = attribution_last_touch(spark, sf_dir, _bases=bases).select(
         F.lit("lt").alias("model"),
         "channel",
         (F.col("n_conversions") * 1_000_000).cast("bigint").alias("micro"),
         "revenue_cents",
     )
-    us_ = attribution_u_shaped(spark, sf_dir).select(
+    us_ = attribution_u_shaped(spark, sf_dir, _bases=bases).select(
         F.lit("us").alias("model"), "channel", F.col("credit_micro").alias("micro"), "revenue_cents"
     )
-    td = attribution_time_decay(spark, sf_dir).select(
+    td = attribution_time_decay(spark, sf_dir, _bases=bases).select(
         F.lit("td").alias("model"), "channel", F.col("credit_micro").alias("micro"), "revenue_cents"
     )
     all_m = lt.unionAll(us_).unionAll(td)
@@ -4286,42 +4319,35 @@ def markov_absorption_k_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("t").isNotNull())
         .groupBy("s", "t")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint()  # ≤|types|² rows; every step re-reads it
     )
-    deg = m.groupBy("s").agg(F.sum("c").cast("bigint").alias("n"))
-    h = deg.select(
-        F.col("s").alias("state"),
-        F.when(F.col("s") == "purchase", F.lit(_ABS_PT))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("h"),
-    )
-    reports = []
+    # The transition matrix is SCHEMA-bounded (≤|types|² rows, a fixed
+    # event vocabulary at every SF) — the bounded-collect class (the
+    # bradley_terry/HITS device). The distributed work is the one
+    # user-partitioned lead window + the rollup above; the {_ABS_STEPS}
+    # recursion steps are exact integer arithmetic where Spark joins
+    # over a ≤25-row frame were pure scheduler overhead (r11: was 25
+    # tiny exchanges per run). h and num are nonnegative, so Python //
+    # replicates Spark's DIV exactly.
+    from ai_etl_studio_spark.plans.snapshot import capture_stage
+
+    mrows = capture_stage(m).collect()
+    c = {(r["s"], r["t"]): r["c"] for r in mrows}
+    states = sorted({s for s, _ in c})
+    n = {s: sum(v for (ss, _), v in c.items() if ss == s) for s in states}
+    h = {s: _ABS_PT if s == "purchase" else 0 for s in states}
+    out_rows = []
     for k in range(1, _ABS_STEPS + 1):
-        h = (
-            m.join(h, m.t == h.state)
-            .groupBy(m.s)
-            .agg(F.sum(F.col("c") * F.col("h")).cast("bigint").alias("num"))
-            .join(deg, "s")
-            .select(
-                F.col("s").alias("state"),
-                F.when(F.col("s") == "purchase", F.lit(_ABS_PT))
-                .otherwise(F.expr("num DIV n"))
-                .cast("bigint")
-                .alias("h"),
-            )
-        )
-        reports.append(
-            h.select(
-                F.lit(k).cast("int").alias("k_steps"),
-                "state",
-                F.col("h").alias("p_ticks"),
-            )
-        )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("k_steps", "state")
+        h = {
+            s: _ABS_PT
+            if s == "purchase"
+            else sum(c.get((s, t), 0) * h.get(t, 0) for t in states) // n[s]
+            for s in states
+        }
+        out_rows += [(k, s, h[s]) for s in states]
+    out_rows.sort(key=lambda r: (r[0], r[1]))
+    return spark.createDataFrame(
+        out_rows, "k_steps int, state string, p_ticks bigint"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4430,65 +4456,60 @@ def markov_removal_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("t").isNotNull())
         .groupBy("s", "t")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint()
     )
-    deg = m.groupBy("s").agg(F.sum("c").cast("bigint").alias("n"))
     ent = (
         seq.filter(F.col("rn") == 1)
         .groupBy("s")
         .agg(F.count(F.lit(1)).cast("bigint").alias("ec"))
-        .localCheckpoint()
     )
-    ent_tot = ent.agg(F.sum("ec").cast("bigint").alias("te"))
+    # The transition matrix and entry distribution are SCHEMA-bounded
+    # (≤|types|² and ≤|types| rows, a fixed event vocabulary at every
+    # SF) — the bounded-collect class (the bradley_terry/HITS device).
+    # All 1 + |removals| four-step recursions run as exact Python
+    # integer arithmetic on the collected matrix; the Spark-join form
+    # spent ~88 tiny exchanges per run on ≤25-row frames (r11). Every
+    # division below has a nonnegative numerator (pinning a state to 0
+    # only lowers the dominated h vector, so full ≥ removed), so
+    # Python // replicates Spark's DIV bit-for-bit.
+    from ai_etl_studio_spark.plans.snapshot import capture_stage
 
-    def k_step_conv(removed: str | None):
-        pin = F.when(F.col("s") == "purchase", F.lit(_ABS_PT))
-        if removed is not None:
-            pin = pin.when(F.col("s") == removed, F.lit(0))
-        h = deg.select(
-            F.col("s").alias("state"),
-            F.when(F.col("s") == "purchase", F.lit(_ABS_PT))
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("h"),
-        )
+    c = {(r["s"], r["t"]): r["c"] for r in capture_stage(m).collect()}
+    states = sorted({s for s, _ in c})
+    n = {s: sum(v for (ss, _), v in c.items() if ss == s) for s in states}
+    ec = {r["s"]: r["ec"] for r in capture_stage(ent).collect()}
+    te = sum(ec.values())
+
+    def k_step_conv(removed: str | None) -> int:
+        def pin(s: str, val: int) -> int:
+            if s == "purchase":
+                return _ABS_PT
+            if removed is not None and s == removed:
+                return 0
+            return val
+
+        h = {s: _ABS_PT if s == "purchase" else 0 for s in states}
         for _ in range(_ABS_STEPS):
-            h = (
-                m.join(h, m.t == h.state)
-                .groupBy(m.s)
-                .agg(F.sum(F.col("c") * F.col("h")).cast("bigint").alias("num"))
-                .join(deg, "s")
-                .select(
-                    F.col("s").alias("state"),
-                    pin.otherwise(F.expr("num DIV n")).cast("bigint").alias("h"),
+            h = {
+                s: pin(
+                    s,
+                    sum(c.get((s, t), 0) * h.get(t, 0) for t in states)
+                    // n[s],
                 )
-            )
-        return (
-            ent.join(h, ent.s == h.state)
-            .agg(F.sum(F.col("ec") * F.col("h")).cast("bigint").alias("num"))
-            .crossJoin(F.broadcast(ent_tot))
-            .select(F.expr("num DIV te").alias("conv"))
-        )
+                for s in states
+            }
+        return sum(ec[s] * h.get(s, 0) for s in ec) // te
 
-    full = k_step_conv(None).select(F.col("conv").alias("conv_full_ticks"))
-    rows = None
-    for s in _REMOVAL_STATES:
-        r = (
-            k_step_conv(s)
-            .select(F.col("conv").alias("conv_removed_ticks"))
-            .crossJoin(F.broadcast(full))
-            .select(
-                F.lit(s).alias("removed_state"),
-                "conv_full_ticks",
-                "conv_removed_ticks",
-                F.expr(
-                    "(conv_full_ticks - conv_removed_ticks) * 1000000"
-                    " DIV conv_full_ticks"
-                ).alias("removal_effect_ppm"),
-            )
-        )
-        rows = r if rows is None else rows.unionAll(r)
-    return rows.orderBy("removed_state")
+    full = k_step_conv(None)
+    rows = [
+        (s, full, rem, (full - rem) * 1_000_000 // full)
+        for s in sorted(_REMOVAL_STATES)
+        for rem in (k_step_conv(s),)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "removed_state string, conv_full_ticks bigint,"
+        " conv_removed_ticks bigint, removal_effect_ppm bigint",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5782,26 +5803,28 @@ def copurchase_eigenvector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(10):
-        ns = (
+        # materialize ns ONCE per step — the nonlinear max step reads
+        # ns twice (as the crossJoin left and under the 1-row max), and
+        # with the checkpoint formerly on x both reads re-ran the
+        # edges ⋈ x aggregation (r11: 2 join+agg jobs per step -> 1;
+        # the max agg over the checkpointed ns is a cheap second read).
+        ns = capture_stage(
             edges.join(x, edges.dst == x.u)
             .groupBy(F.col("src").alias("nu"))
             .agg(F.sum("s").alias("ns"))
-        )
-        mx = ns.agg(F.max("ns").alias("mx"))
-        x = capture_stage(
-            ns.crossJoin(mx)
-            .select(
-                F.col("nu").alias("u"),
-                F.round(
-                    F.lit(1_000_000.0)
-                    * F.col("ns").cast("double")
-                    / F.col("mx").cast("double"),
-                    0,
-                )
-                .cast("bigint")
-                .alias("s"),
-            )
         ).localCheckpoint()
+        mx = ns.agg(F.max("ns").alias("mx"))
+        x = ns.crossJoin(mx).select(
+            F.col("nu").alias("u"),
+            F.round(
+                F.lit(1_000_000.0)
+                * F.col("ns").cast("double")
+                / F.col("mx").cast("double"),
+                0,
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
     return (
         x.select(F.col("u").alias("part_key"), F.col("s").alias("centrality_micro"))
         .orderBy(F.desc("centrality_micro"), "part_key")
@@ -6357,26 +6380,26 @@ def copurchase_weighted_eigenvector_topk(
         .localCheckpoint()
     )
     for _ in range(10):
-        ns = (
+        # materialize ns ONCE per step (see copurchase_eigenvector_topk:
+        # the nonlinear max step reads ns twice, and checkpointing x
+        # instead ran the weighted edges ⋈ x aggregation twice — r11)
+        ns = capture_stage(
             edges.join(x, edges.dst == x.u)
             .groupBy(F.col("src").alias("nu"))
             .agg(F.sum(F.col("w") * F.col("s")).alias("ns"))
-        )
-        mx = ns.agg(F.max("ns").alias("mx"))
-        x = capture_stage(
-            ns.crossJoin(mx)
-            .select(
-                F.col("nu").alias("u"),
-                F.round(
-                    F.lit(1_000_000.0)
-                    * F.col("ns").cast("double")
-                    / F.col("mx").cast("double"),
-                    0,
-                )
-                .cast("bigint")
-                .alias("s"),
-            )
         ).localCheckpoint()
+        mx = ns.agg(F.max("ns").alias("mx"))
+        x = ns.crossJoin(mx).select(
+            F.col("nu").alias("u"),
+            F.round(
+                F.lit(1_000_000.0)
+                * F.col("ns").cast("double")
+                / F.col("mx").cast("double"),
+                0,
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
     return (
         x.select(
             F.col("u").alias("part_key"), F.col("s").alias("centrality_micro")
@@ -7444,6 +7467,10 @@ def bradley_terry_brand_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("r")
         )
+        # both sides of the head-to-head self-join; without the
+        # checkpoint the lineitem ⋈ part rollup ran once per side
+        # (r11 — ReusedExchange does not fire across renamed legs)
+        .localCheckpoint()
     )
     a = ob.select("o", F.col("b").alias("i"), F.col("r").alias("ra"))
     x = ob.select("o", F.col("b").alias("j"), F.col("r").alias("rb"))
@@ -7469,10 +7496,6 @@ def bradley_terry_brand_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("bigint").alias("n"),
         )
     )
-    wt = mat0.groupBy("i").agg(
-        F.sum("w").cast("bigint").alias("wtot"),
-        F.sum("n").cast("bigint").alias("ntot"),
-    )
     # The win matrix is SCHEMA-bounded: |brands| is a fixed catalog
     # dimension (25 in the TPC-H generator at every SF), so mat is
     # <= 625 rows regardless of data volume — the bounded-collect
@@ -7480,12 +7503,16 @@ def bradley_terry_brand_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # head-to-heads above; iterating the 10 MM rounds on a 625-row
     # matrix through Spark jobs would be pure scheduler overhead
     # (measured 10.4 s vs ~2 s at sf0.1), so the rounds run as exact
-    # Python integer arithmetic on the collected matrix.
+    # Python integer arithmetic on the collected matrix. The per-brand
+    # totals (wtot, ntot) are row sums of that same matrix — summed
+    # here in exact Python ints instead of a SECOND Spark aggregation,
+    # which re-ran the whole fact-grain pipeline (r11: 2 collects ->
+    # 1; the values are identical integer sums).
     mrows = capture_stage(mat0).collect()
-    wrows = {
-        r["i"]: (r["wtot"], r["ntot"])
-        for r in capture_stage(wt).collect()
-    }
+    wrows: dict = {}
+    for r in mrows:
+        w_, n_ = wrows.get(r["i"], (0, 0))
+        wrows[r["i"]] = (w_ + r["w"], n_ + r["n"])
     bs = sorted(b for b, (w_, n_) in wrows.items() if 0 < w_ < n_)
     keep = set(bs)
     nmat = {
@@ -7612,6 +7639,10 @@ def hits_brand_authority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, li.l_partkey == p.p_partkey)
         .select(F.col("o_custkey").alias("c"), F.col("p_brand").alias("b"))
         .distinct()
+        # both sides of the Gram self-join below; without the
+        # checkpoint the 3-table distinct ran once per side (r11 —
+        # ReusedExchange does not fire across the renamed legs)
+        .localCheckpoint()
     )
     e2 = ed.select("c", F.col("b").alias("b2"))
     gram = (
@@ -8264,6 +8295,12 @@ def copurchase_katz_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("nu"))
             .agg(F.sum("s").alias("ns"))
         )
+        # linear recursion (x referenced exactly once per round, no
+        # max/crossJoin duplication), so the 10 rounds chain lazily
+        # over the checkpointed edges/nodes into ONE job instead of
+        # paying a materialization job per round (r11; same argument
+        # as _pagerank_iterate — the eigenvector tier keeps its
+        # per-step checkpoint because its max step compounds).
         x = capture_stage(
             nodes.join(ns, nodes.u == ns.nu, "left")
             .select(
@@ -8273,7 +8310,7 @@ def copurchase_katz_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " AS BIGINT)"
                 ).alias("s"),
             )
-        ).localCheckpoint()
+        )
     return (
         x.select(F.col("u").alias("part_key"), F.col("s").alias("katz_micro"))
         .orderBy(F.desc("katz_micro"), "part_key")

@@ -267,13 +267,23 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
         )
     )
-    # Undirected edges both ways; localCheckpoint materializes and
-    # TRUNCATES LINEAGE — without it round k replays rounds 1..k-1
+    # Undirected edges both ways — via ONE explode of both directions,
+    # not a two-leg union (which re-ran the whole LSH pair pipeline
+    # once per leg; r11, plan-verified). localCheckpoint materializes
+    # and TRUNCATES LINEAGE — without it round k replays rounds 1..k-1
     # (O(k²) work) and the convergence check replays the whole chain.
     edges = (
-        pairs.union(
-            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint()
     )
@@ -819,21 +829,21 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = labels.join(
         d.select(F.col("doc_id").alias("node"), q.alias("q")), "node"
     )
-    best = scored.groupBy("label").agg(
-        F.max("q").cast("bigint").alias("keep_quality"),
+    # ONE aggregation: the (max quality, min doc_id) argmax is the max
+    # of the orderable struct (q, -node) — lexicographic max picks the
+    # highest q, then the most-negative -node = the LOWEST doc_id, so
+    # the kept row is identical to the former two-pass join-back form
+    # (r11: the scored join — including the document scan and the
+    # quality tokenization — previously ran twice).
+    best = scored.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.max("q").cast("bigint").alias("keep_quality"),
+        (-F.max(F.struct(F.col("q"), (-F.col("node")).alias("mn"))).getField("mn"))
+        .cast("bigint")
+        .alias("keep_doc_id"),
     )
     return (
-        scored.join(best, "label")
-        .groupBy(
-            F.col("label").alias("cluster_id"), "n_docs", "keep_quality"
-        )
-        .agg(
-            F.min(F.when(F.col("q") == F.col("keep_quality"), F.col("node"))).alias(
-                "keep_doc_id"
-            )
-        )
-        .filter(F.col("n_docs") > 1)
+        best.filter(F.col("n_docs") > 1)
         .select("cluster_id", "n_docs", "keep_quality", "keep_doc_id")
         .orderBy("cluster_id")
     )

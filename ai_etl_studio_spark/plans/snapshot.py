@@ -115,6 +115,12 @@ STAGE_SOURCED = frozenset(
         "bloom_runtime_filter_join",
         "cbo_join_reorder_rollup",
         "error_relation",
+        # r11: the Markov recursion pair moved to the bounded-collect
+        # class (≤|types|² matrix iterated in exact Python ints), so
+        # their returned frames are LocalTableScan tails and the heavy
+        # stages are capture_stage-sourced like bradley_terry's.
+        "markov_absorption_k_step",
+        "markov_removal_effects",
     }
 )
 
