@@ -7294,20 +7294,39 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pair fan-out is the basket_pairs shape (one shuffle by
     order, per-order C(k,2) pairs); the support >= 2 floor prunes the
     singleton tail before the rule join; rule scoring joins count
-    tables only."""
+    tables only.
+
+    r11, plan-verified: the distinct (order, part) edge list is
+    checkpointed once for its three consumers (pairs, per-item counts,
+    basket total) instead of re-running the lineitem scan + distinct
+    per leg, and ordered pairs are born MAP-SIDE from each order's
+    sorted item list (the supplier_overlap_jaccard device — exact,
+    uncapped: TPC-H baskets are ≤7 items) instead of a two-sided
+    shuffle self-join on the order key. Plan: 4 lineitem scans → 1;
+    the a⋈b SortMergeJoin and its two exchanges are gone."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.pk") < F.col("b.pk")),
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
-        .groupBy(F.col("a.pk").alias("x"), F.col("b.pk").alias("y"))
+        .distinct()
+        .localCheckpoint()
+    )
+    pl = items.groupBy("ok").agg(
+        F.array_sort(F.collect_list("pk")).alias("pks")
+    )
+    combos = F.flatten(
+        F.transform(
+            "pks",
+            lambda x, i: F.transform(
+                F.slice(F.col("pks"), i + 2, F.size("pks")),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    pair = (
+        pl.select(F.explode(combos).alias("pr"))
+        .groupBy(F.col("pr.x").alias("x"), F.col("pr.y").alias("y"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
         .filter(F.col("sup") >= 2)
     )

@@ -4511,7 +4511,13 @@ def hard_negative_mining_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the capped-LSH candidate stage is O(buckets·CAP²) regardless
     of skew (the dedup_embedding_lsh_pairs_capped argument); vectors
     ride only the verify join; the per-anchor rank partitions on
-    anchor_id."""
+    anchor_id.
+
+    r11, plan-verified: both anchor directions explode from ONE pass
+    over the verified band pairs instead of a unionAll whose two legs
+    each re-ran the whole candidate+verify pipeline (exchange reuse
+    never fires across the renamed legs). Plan: 16 parquet scans → 8,
+    one candidate/verify subtree instead of two."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("emb")
     )
@@ -4535,16 +4541,21 @@ def hard_negative_mining_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     both = verified.select(
-        F.col("vec_id_1").alias("anchor_id"),
-        F.col("vec_id_2").alias("neg_id"),
-        "cos_micro",
-    ).unionAll(
-        verified.select(
-            F.col("vec_id_2").alias("anchor_id"),
-            F.col("vec_id_1").alias("neg_id"),
-            "cos_micro",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_id_1").alias("anchor_id"),
+                    F.col("vec_id_2").alias("neg_id"),
+                    F.col("cos_micro"),
+                ),
+                F.struct(
+                    F.col("vec_id_2").alias("anchor_id"),
+                    F.col("vec_id_1").alias("neg_id"),
+                    F.col("cos_micro"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.anchor_id", "p.neg_id", "p.cos_micro")
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cos_micro"), "neg_id"
     )
