@@ -672,11 +672,17 @@ def media_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed reading like text is mislabeled, and text reading like noise
     is binary contamination.
 
-    Scale: payload bytes expand to (type, byte) pairs MAP-SIDE (the
-    hex ride-along never shuffles — only the ≤256-value byte column
-    does, pre-aggregated by the partial combine); the per-byte
-    surprisal terms quantize to nanoticks before the final ≤256-row
-    sum per type, per the engine's entropy discipline.
+    Scale: per-partition byte HISTOGRAMS are built inside one
+    ``mapInArrow`` pass (numpy bincount over the Arrow string buffer —
+    the payload bytes are already contiguous utf-8 in the batch, so no
+    per-byte row ever exists in the JVM and the payload never shuffles);
+    only ≤ |types|×256 partial-count rows per partition cross the
+    exchange. Counts are exact integers, so the result is bit-identical
+    to the former explode-per-byte plan (r11, guide §4.2). The byte key
+    is the integer byte value (the former hex-pair string, 1:1 — only
+    distinctness and counts feed the output). The per-byte surprisal
+    terms quantize to nanoticks before the final ≤256-row sum per type,
+    per the engine's entropy discipline.
     """
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     m = d.select(
@@ -684,20 +690,62 @@ def media_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, "audio/wav")
         .otherwise("video/mp4")
         .alias("media_type"),
-        F.hex(F.encode("text", "UTF-8")).alias("h"),
+        "text",
     )
-    b = m.select(
-        "media_type",
-        F.explode(
-            F.sequence(F.lit(1), (F.length("h") / 2).cast("bigint"))
-        ).alias("i"),
-        "h",
-    ).select(
-        "media_type",
-        F.expr("substring(h, i * 2 - 1, 2)").alias("byte"),
+
+    def _byte_hist(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        types = ("audio/wav", "image/png", "video/mp4")
+        for batch in batches:
+            mt = batch.column("media_type")
+            txt = batch.column("text")
+            out_t: list[str] = []
+            out_b: list[int] = []
+            out_c: list[int] = []
+            for val in types:
+                sub = pc.filter(txt, pc.equal(mt, val))
+                if isinstance(sub, pa.ChunkedArray):
+                    sub = sub.combine_chunks()
+                if len(sub) == 0:
+                    continue
+                # StringArray buffers: [validity, offsets, utf-8 data].
+                # The filtered array starts at offset 0, so the value
+                # region is offsets[0]..offsets[-1] of the data buffer.
+                if sub.buffers()[2] is None:
+                    continue
+                off_dt = (
+                    np.int64
+                    if pa.types.is_large_string(sub.type)
+                    else np.int32
+                )
+                offs = np.frombuffer(sub.buffers()[1], dtype=off_dt)[
+                    sub.offset : sub.offset + len(sub) + 1
+                ]
+                data = np.frombuffer(sub.buffers()[2], dtype=np.uint8)[
+                    offs[0] : offs[-1]
+                ]
+                counts = np.bincount(data, minlength=256)
+                nz = np.nonzero(counts)[0]
+                out_t.extend([val] * len(nz))
+                out_b.extend(int(x) for x in nz)
+                out_c.extend(int(x) for x in counts[nz])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_t, pa.string()),
+                    pa.array(out_b, pa.int32()),
+                    pa.array(out_c, pa.int64()),
+                ],
+                names=["media_type", "byte", "c"],
+            )
+
+    partials = m.mapInArrow(
+        _byte_hist, "media_type string, byte int, c bigint"
     )
-    c = b.groupBy("media_type", "byte").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    c = partials.groupBy("media_type", "byte").agg(
+        F.sum("c").cast("bigint").alias("c")
     )
     from pyspark.sql import Window as _W
 
