@@ -200,11 +200,12 @@ def _shingle_array_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_array_from(load_table(spark, sf_dir, "documents"))
 
 
-def signature_from(docs: DataFrame) -> DataFrame:
-    """MinHash signatures from any (doc_id, text, ...) frame — the
-    zero-shuffle array-transform form (see _signature_df)."""
-    sh = shingle_array_from(docs)
-    hashed = sh.select(
+def signature_from_arrays(sh_arr: DataFrame) -> DataFrame:
+    """MinHash signatures from a (doc_id, shingles ARRAY) frame — lets a
+    caller that also needs the shingle arrays for OTHER legs (exact
+    Jaccard, set sizes) compute the expensive tokenize→shingle pass ONCE
+    and derive signatures from the shared (checkpointed) frame (r11)."""
+    hashed = sh_arr.select(
         "doc_id", F.transform("shingles", lambda s: md5_hash32(s)).alias("hs")
     )
     return hashed.select(
@@ -216,6 +217,12 @@ def signature_from(docs: DataFrame) -> DataFrame:
             for i, (a, b) in enumerate(_MH_PARAMS)
         ],
     )
+
+
+def signature_from(docs: DataFrame) -> DataFrame:
+    """MinHash signatures from any (doc_id, text, ...) frame — the
+    zero-shuffle array-transform form (see _signature_df)."""
+    return signature_from_arrays(shingle_array_from(docs))
 
 
 def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,10 +293,10 @@ def _lsh_pairs_oracle() -> str:
     """
 
 
-def bands_from(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key) from any (doc_id, text, ...) frame —
-    batch or streaming (pure column expressions end-to-end)."""
-    sig = signature_from(docs)
+def bands_from_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from a signature frame (r11 split so a
+    caller holding a shared/checkpointed signature frame can band it
+    without re-running the shingle→signature pipeline)."""
     # One band-key array + posexplode — NOT a union of per-band frames,
     # which would recompute the whole shingle->signature pipeline once per
     # band per join side (measured 25s vs ~4s at sf0.1).
@@ -306,6 +313,12 @@ def bands_from(docs: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
 
 
+def bands_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from any (doc_id, text, ...) frame —
+    batch or streaming (pure column expressions end-to-end)."""
+    return bands_from_sig(signature_from(docs))
+
+
 def _band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_key) — one row per doc per band. Narrow all
     the way from the scan (signatures are shuffle-free), so the LSH band
@@ -314,13 +327,28 @@ def _band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_candidate_pairs(
-    spark: SparkSession, sf_dir: str, cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate (doc_id_1 < doc_id_2) pairs from the band
-    self-join; ``cap`` bounds per-bucket participation (hot-bucket guard)."""
+    self-join; ``cap`` bounds per-bucket participation (hot-bucket guard).
+
+    ``bands`` lets a caller inject a pre-built (possibly shared)
+    (doc_id, band, band_key) frame; by default the band table is built
+    here. Either way it is MATERIALIZED once (localCheckpoint) before
+    the self-join: without that, each join side re-ran the whole
+    md5-per-shingle signature pipeline (exchange reuse never fired —
+    plan-verified 2× `Scan parquet` + 2× Project chains, r11). At
+    cluster scale this is a persist() of |docs|×{LSH_BANDS} skinny rows
+    — far cheaper than a second corpus-wide hash pass. The capped
+    window's (band, band_key) hash partitioning survives the
+    checkpoint, so the self-join still adds no extra exchange."""
     from pyspark.sql import Window
 
-    bands = _band_df(spark, sf_dir)
+    if bands is None:
+        bands = _band_df(spark, sf_dir)
     if cap is not None:
         w = Window.partitionBy("band", "band_key").orderBy("doc_id")
         bands = (
@@ -328,6 +356,7 @@ def _lsh_candidate_pairs(
             .filter(F.col("rn") <= cap)
             .drop("rn")
         )
+    bands = bands.localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -419,9 +448,18 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id — two shuffles of (doc_id, shingle-array), each array bounded
     by doc length; intersection is a JVM-side array_intersect, no
     explode, no Python.
+
+    The tokenize→shingle pass runs ONCE (checkpointed) and feeds the
+    candidate pipeline AND both verify legs — previously each of the
+    three consumers re-ran it from the scan (r11, plan-verified).
     """
-    sh_arr = _shingle_array_df(spark, sf_dir)
-    cand = _lsh_candidate_pairs(spark, sf_dir, cap=LSH_BUCKET_CAP)
+    sh_arr = _shingle_array_df(spark, sf_dir).localCheckpoint()
+    cand = _lsh_candidate_pairs(
+        spark,
+        sf_dir,
+        cap=LSH_BUCKET_CAP,
+        bands=bands_from_sig(signature_from_arrays(sh_arr)),
+    )
     s1 = sh_arr.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh_1"))
     s2 = sh_arr.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh_2"))
     n_inter = F.size(F.array_intersect("sh_1", "sh_2"))
@@ -1418,21 +1456,24 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set (the verified-pairs discipline), and the error term
     quantizes per pair before summing.
     """
-    d = load_table(spark, sf_dir, "documents")
-    sig = signature_from(d).localCheckpoint()
-    sh = _shingle_df(spark, sf_dir)
+    # ONE tokenize→shingle corpus pass (checkpointed) feeds everything:
+    # signatures, the banded candidate pipeline, the exploded exact-
+    # Jaccard legs, and the set sizes. Previously sig / cand / each sh
+    # leg / sizes each re-ran the pass from the scan (~5 corpus scans,
+    # plan-verified; r11).
+    arr = _shingle_array_df(spark, sf_dir).localCheckpoint()
+    sig = signature_from_arrays(arr).localCheckpoint()
+    sh = arr.select("doc_id", F.explode("shingles").alias("shingle"))
     # |shingle set| = size of the DISTINCT shingle array — a narrow
     # per-doc expression on the un-exploded grain, identical to the
     # former explode + groupBy count but with zero exchange (r11).
-    sizes = _shingle_array_df(spark, sf_dir).select(
-        "doc_id", F.size("shingles").alias("n_sh")
-    )
+    sizes = arr.select("doc_id", F.size("shingles").alias("n_sh"))
     # the banded-LSH candidate pipeline feeds BOTH the signature-score
     # leg and the exact-Jaccard leg; without the checkpoint each leg
     # re-ran the whole band self-join (no exchange reuse fires across
     # the differing downstream joins — r11, plan-verified).
     cand = (
-        _lsh_candidate_pairs(spark, sf_dir, cap=LSH_BUCKET_CAP)
+        _lsh_candidate_pairs(spark, sf_dir, cap=LSH_BUCKET_CAP, bands=bands_from_sig(sig))
         .select(F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2"))
         .localCheckpoint()
     )

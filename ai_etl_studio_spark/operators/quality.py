@@ -259,13 +259,13 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pair graph via iterative min-label propagation — shared by
     dedup_clusters (cluster summary) and dedup_kept_corpus (the actual
     keep/drop set)."""
-    from ai_etl_studio_spark.operators import QUERIES
+    from ai_etl_studio_spark.operators.dedup import _lsh_candidate_pairs
 
-    pairs = (
-        QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir)
-        .select(
-            F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
-        )
+    # the pair DEVICE, not the registered query: the query's trailing
+    # ORDER BY is presentation-only and the CC edge set is order-free,
+    # so routing through it paid a global sort for nothing (r11).
+    pairs = _lsh_candidate_pairs(spark, sf_dir).select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
     )
     # Undirected edges both ways — via ONE explode of both directions,
     # not a two-leg union (which re-ran the whole LSH pair pipeline
