@@ -1852,7 +1852,16 @@ def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = p.filter(
         (F.col("p_partkey") % _BQ_MOD == 0) & (F.col("p_partkey") < _BQ_CAP)
     )
-    a = s.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("na"))
+    # The truth stage is a BroadcastNestedLoopJoin: parallelism = the
+    # STREAM side's partition count, and the filtered sample collapses
+    # to 1-2 scan partitions — one task was doing all (CAP/MOD)²/2
+    # levenshteins (~3M at sf0.1, measured as the query's dominant
+    # stage). Spreading the bounded sample over the session's shuffle
+    # partitions parallelizes the quadratic stage without changing the
+    # pair set (r11, guide §2.6 idle-capacity).
+    a = s.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("na")
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     b = s.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("nb"))
     truth = a.join(b, F.col("key_a") < F.col("key_b")).filter(
         F.levenshtein(F.col("na"), F.col("nb")) <= ER_DIST

@@ -3989,21 +3989,87 @@ def lang_trigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") >= 3)
     )
-    tl = F.lower(F.col("text"))
-    grams = d.select(
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(tl) - 2),
-                lambda i: tl.substr(i, F.lit(3)),
+    # Trigram counting runs as a mapInArrow histogram pass (r11, guide
+    # §4.2 — same device as media_byte_entropy): each partition's
+    # lowercased text arrives as one contiguous Arrow buffer; trigram
+    # CODES are three shifted uint8 views combined vectorized, windows
+    # crossing row boundaries masked via a row-index compare, and only
+    # (lang, code, count) partials leave the task. The corpus is pure
+    # ASCII at every SF (TESTDATA.md), so byte-trigram codes are 1:1
+    # with the former `substr(i, 3)` string grams — `g` is only ever a
+    # join/distinct key, never output. The former plan bore one JVM row
+    # PER CHARACTER (explode + substr), measured 4.5-7 s at sf0.1 for a
+    # 1,885-row count table.
+    m = d.select("lang", F.lower(F.col("text")).alias("tl"))
+
+    def _tri_hist(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            lang = batch.column("lang")
+            txt = batch.column("tl")
+            out_l: list[str] = []
+            out_g: list[int] = []
+            out_c: list[int] = []
+            for val in pc.unique(lang).to_pylist():
+                sub = pc.filter(txt, pc.equal(lang, val))
+                if isinstance(sub, pa.ChunkedArray):
+                    sub = sub.combine_chunks()
+                if len(sub) == 0 or sub.buffers()[2] is None:
+                    continue
+                off_dt = (
+                    np.int64
+                    if pa.types.is_large_string(sub.type)
+                    else np.int32
+                )
+                offs = np.frombuffer(sub.buffers()[1], dtype=off_dt)[
+                    sub.offset : sub.offset + len(sub) + 1
+                ]
+                data = np.frombuffer(sub.buffers()[2], dtype=np.uint8)[
+                    offs[0] : offs[-1]
+                ]
+                if data.size < 3:
+                    continue
+                lens = np.diff(offs)
+                rowidx = np.repeat(np.arange(len(lens)), lens)
+                valid = rowidx[:-2] == rowidx[2:]
+                codes = (
+                    data[:-2].astype(np.int32) * 65536
+                    + data[1:-1].astype(np.int32) * 256
+                    + data[2:].astype(np.int32)
+                )[valid]
+                if codes.size == 0:
+                    continue
+                uniq, cnt = np.unique(codes, return_counts=True)
+                out_l.extend([val] * len(uniq))
+                out_g.extend(int(x) for x in uniq)
+                out_c.extend(int(x) for x in cnt)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_l, pa.string()),
+                    pa.array(out_g, pa.int32()),
+                    pa.array(out_c, pa.int64()),
+                ],
+                names=["lang", "g", "c"],
             )
-        ).alias("g"),
-    )
-    c = grams.groupBy("lang", "g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+
+    partials = m.mapInArrow(_tri_hist, "lang string, g int, c bigint")
+    c = partials.groupBy("lang", "g").agg(
+        F.sum("c").cast("bigint").alias("c")
     ).localCheckpoint()  # vocabulary-bounded; read by 4 legs below
     n = c.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
-    vocab = c.select("g").distinct()
+    # The |langs|²/2 pair frame and the distinct-gram vocab both
+    # AQE-coalesce to one partition, so the |pairs|×|vocab| grid — and
+    # the two count joins over it — ran as a SINGLE task (~6M rows at
+    # sf0.1, measured as the dominant stage). Re-spreading the VOCAB
+    # side before the cartesian keeps the grid cheap to build (the
+    # 6M-row grid itself never shuffles; only ~|vocab| rows move) while
+    # giving the grid full parallelism; the vocabulary-bounded count
+    # table broadcasts to the probes (r11, guide §2.6/§3.1).
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    vocab = c.select("g").distinct().repartition(par)
     pairs = (
         n.select(F.col("lang").alias("la"), F.col("n").alias("na"))
         .join(
@@ -4015,8 +4081,8 @@ def lang_trigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = c.select(F.col("lang").alias("la"), "g", F.col("c").alias("ca"))
     cb = c.select(F.col("lang").alias("lb"), "g", F.col("c").alias("cb"))
     j = (
-        grid.join(ca, ["la", "g"], "left")
-        .join(cb, ["lb", "g"], "left")
+        grid.join(F.broadcast(ca), ["la", "g"], "left")
+        .join(F.broadcast(cb), ["lb", "g"], "left")
         .select(
             "la",
             "lb",
