@@ -1520,12 +1520,15 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _global_ntile(df: DataFrame, metric: str, ascending: bool, k: int, out_name: str) -> DataFrame:
+def _global_ntile_scores(
+    df: DataFrame, specs: list[tuple[str, bool, str]], k: int
+) -> DataFrame:
     """EXACT NTILE(k) over a global (metric, o_custkey) order WITHOUT a
-    single-partition sort: rows are bucketed by VALUE against broadcast
-    approx-percentile boundaries (any boundary set yields correct ranks
-    — correctness needs only that buckets partition the value range in
-    order), counted per bucket for offsets (≤ NB+1 driver rows), and
+    single-partition sort, for SEVERAL metrics in one pass-set: rows are
+    bucketed by VALUE against broadcast approx-percentile boundaries
+    (any boundary set yields correct ranks — correctness needs only
+    that buckets partition the value range in order), counted per
+    bucket for offsets (≤ NB+1 driver rows per metric), and
     row_number'd within buckets in parallel. Global rank = bucket
     offset + local row number.
 
@@ -1533,55 +1536,87 @@ def _global_ntile(df: DataFrame, metric: str, ascending: bool, k: int, out_name:
     physical partitions, which broke the earlier spark_partition_id()
     scheme at sf0.1 (fragments of one range interleave key ranges).
 
-    Returns (o_custkey, <out_name>).
+    r11 job-count pass: the former per-metric device cost two driver
+    collects and one join-back EACH; all metrics now share ONE bounds
+    aggregation and ONE explode-united bucket-count pass, offsets apply
+    as ≤33-branch CASE expressions instead of broadcast joins, and the
+    per-metric rank windows chain on one frame — for 3 metrics this is
+    6→2 collect jobs and 3→0 join-backs, identical ranks.
+
+    Returns ``df``'s columns plus one <out_name> int column per spec.
     """
     nb = 32
     probs = ", ".join(f"{(i + 1) / (nb + 1):.6f}" for i in range(nb))
     [bounds_row] = df.agg(
-        F.expr(
-            f"approx_percentile(cast({metric} as double), array({probs}), 10000)"
-        ).alias("bs")
+        *[
+            F.expr(
+                f"approx_percentile(cast({m} as double), array({probs}), 10000)"
+            ).alias(f"bs_{i}")
+            for i, (m, _, _) in enumerate(specs)
+        ]
     ).collect()
-    bounds = sorted(set(bounds_row.bs or []))
-    if ascending:
-        bucket_expr = sum(
-            (F.col(metric).cast("double") > F.lit(b)).cast("int") for b in bounds
-        ) if bounds else F.lit(0)
-        order = [F.asc(metric), F.asc("o_custkey")]
-    else:
-        bucket_expr = sum(
-            (F.col(metric).cast("double") < F.lit(b)).cast("int")
-            for b in reversed(bounds)
-        ) if bounds else F.lit(0)
-        order = [F.desc(metric), F.asc("o_custkey")]
-    tmp = df.select("o_custkey", metric).withColumn("_b", bucket_expr)
-    counts = {
-        r["_b"]: r["cnt"]
-        for r in tmp.groupBy("_b").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    total = sum(counts.values())
-    offsets, acc = [], 0
-    for b in sorted(counts):
-        offsets.append((b, acc))
-        acc += counts[b]
-    off_df = df.sparkSession.createDataFrame(offsets, "_b int, _off bigint")
-    w_local = Window.partitionBy("_b").orderBy(*order)
-    tmp = tmp.withColumn("_lrn", F.row_number().over(w_local))
-    grn = F.col("_off") + F.col("_lrn")
+    tmp = df
+    orders = []
+    for i, (metric, ascending, _) in enumerate(specs):
+        bounds = sorted(set(bounds_row[f"bs_{i}"] or []))
+        if ascending:
+            bucket_expr = sum(
+                (F.col(metric).cast("double") > F.lit(b)).cast("int")
+                for b in bounds
+            ) if bounds else F.lit(0)
+            orders.append([F.asc(metric), F.asc("o_custkey")])
+        else:
+            bucket_expr = sum(
+                (F.col(metric).cast("double") < F.lit(b)).cast("int")
+                for b in reversed(bounds)
+            ) if bounds else F.lit(0)
+            orders.append([F.desc(metric), F.asc("o_custkey")])
+        tmp = tmp.withColumn(f"_b{i}", bucket_expr)
+    lab = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("mi"), F.col(f"_b{i}").alias("b")
+                )
+                for i in range(len(specs))
+            ]
+        )
+    ).alias("x")
+    counts: dict[int, dict[int, int]] = {i: {} for i in range(len(specs))}
+    for r in (
+        tmp.select(lab)
+        .select("x.mi", "x.b")
+        .groupBy("mi", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ):
+        counts[r["mi"]][r["b"]] = r["cnt"]
+    total = sum(counts[0].values())
     q, rem = divmod(total, k)
     boundary = rem * (q + 1)
-    if q == 0:  # fewer rows than buckets: bucket = global row number
-        bucket = grn
-    else:
-        bucket = (
-            F.when(grn <= boundary, (grn - 1) / (q + 1) + 1)
-            .otherwise(rem + (grn - 1 - boundary) / q + 1)
-            .cast("int")
-        )
-    return (
-        tmp.join(F.broadcast(off_df), "_b")
-        .select("o_custkey", bucket.alias(out_name))
-    )
+    out_cols = list(df.columns)
+    for i, (_, _, out_name) in enumerate(specs):
+        acc = 0
+        off_expr = F.lit(0).cast("bigint")
+        for b in sorted(counts[i]):
+            off_expr = F.when(F.col(f"_b{i}") == b, F.lit(acc)).otherwise(
+                off_expr
+            )
+            acc += counts[i][b]
+        w_local = Window.partitionBy(f"_b{i}").orderBy(*orders[i])
+        tmp = tmp.withColumn(f"_lrn{i}", F.row_number().over(w_local))
+        grn = off_expr + F.col(f"_lrn{i}")
+        if q == 0:  # fewer rows than buckets: bucket = global row number
+            bucket = grn.cast("int")
+        else:
+            bucket = (
+                F.when(grn <= boundary, (grn - 1) / (q + 1) + 1)
+                .otherwise(rem + (grn - 1 - boundary) / q + 1)
+                .cast("int")
+            )
+        tmp = tmp.withColumn(out_name, bucket)
+        out_cols.append(out_name)
+    return tmp.select(*out_cols)
 
 
 @register(
@@ -1628,17 +1663,19 @@ def ntile_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # three rank passes + final join read this once
     )
-    r = _global_ntile(rfm, "recency_days", True, 5, "r_score")
-    f = _global_ntile(rfm, "frequency", False, 5, "f_score")
-    m = _global_ntile(rfm, "monetary", False, 5, "m_score")
-    return (
-        rfm.join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
-        .select(
-            "o_custkey", "recency_days", "frequency", "monetary",
-            "r_score", "f_score", "m_score",
-        )
-        .orderBy("o_custkey")
+    scored = _global_ntile_scores(
+        rfm,
+        [
+            ("recency_days", True, "r_score"),
+            ("frequency", False, "f_score"),
+            ("monetary", False, "m_score"),
+        ],
+        5,
     )
+    return scored.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+    ).orderBy("o_custkey")
 
 
 PR_SCALE = 1_000_000_000_000  # rank picoticks: integer PageRank arithmetic
