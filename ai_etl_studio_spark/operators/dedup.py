@@ -326,6 +326,22 @@ def _band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bands_from(load_table(spark, sf_dir, "documents"))
 
 
+def _capped_bands(bands: DataFrame, cap: int) -> DataFrame:
+    """Hot-bucket guard: at most ``cap`` docs per (band, band_key)
+    bucket survive (deterministic row_number over doc_id). Named so
+    plan tests can assert the cap window on the PRODUCER — after the
+    r11 materialization below, the window no longer appears in a
+    consumer's own plan (it scans the checkpointed table instead)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+    return (
+        bands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+
+
 def _lsh_candidate_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -345,17 +361,10 @@ def _lsh_candidate_pairs(
     — far cheaper than a second corpus-wide hash pass. The capped
     window's (band, band_key) hash partitioning survives the
     checkpoint, so the self-join still adds no extra exchange."""
-    from pyspark.sql import Window
-
     if bands is None:
         bands = _band_df(spark, sf_dir)
     if cap is not None:
-        w = Window.partitionBy("band", "band_key").orderBy("doc_id")
-        bands = (
-            bands.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= cap)
-            .drop("rn")
-        )
+        bands = _capped_bands(bands, cap)
     bands = bands.localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")

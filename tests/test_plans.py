@@ -1212,8 +1212,19 @@ class TestDriftPlans:
     def test_containment_uses_capped_candidates(self, spark):
         t = tree(spark, "dedup_containment_pairs")
         assert "CartesianProduct" not in t
-        # the cap's row_number window appears before the self-join
-        assert "Window" in t
+        # r11: the capped band table is materialized once before the
+        # self-join, so the final plan reads the checkpointed table
+        # and the cap's row_number window lives in the PRODUCER plan
+        assert "Scan ExistingRDD" in t
+        from ai_etl_studio_spark.operators.dedup import (
+            LSH_BUCKET_CAP,
+            _band_df,
+            _capped_bands,
+        )
+
+        producer = _capped_bands(_band_df(spark, SF_DIR), LSH_BUCKET_CAP)
+        pt = explain_str(producer, "formatted").split("\n\n")[0]
+        assert "Window" in pt
 
     def test_mix_shift_single_scan(self, spark):
         t = tree(spark, "priority_mix_shift_monthly")
