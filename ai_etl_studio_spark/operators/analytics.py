@@ -1811,16 +1811,25 @@ def _pagerank_iterate(edges: DataFrame) -> DataFrame:
         # localCheckpoint is only required where duplication compounds,
         # e.g. the eigenvector tier's per-step max normalization).
         contrib = edges.join(ranks, edges.src == ranks.node).select(
-            "dst", F.expr("tick DIV d").alias("c")
+            F.col("dst").alias("node"), F.expr("tick DIV d").alias("c")
         )
-        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inf"))
+        # dangling-mass handling FUSED into the inflow aggregation: a
+        # zero row per node unioned below the groupBy replaces the
+        # former `nodes LEFT JOIN inflow` (one broadcast build + one
+        # join per iteration gone — r11, guide §2.4). Value-identical:
+        # every contribution dst is also a src (edges carry both
+        # directions), so dst ⊆ nodes, and summing an extra 0 equals
+        # coalesce(inf, 0).
         ranks = (
-            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            contrib.unionAll(
+                nodes.select("node", F.lit(0).cast("bigint").alias("c"))
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inf"))
             .select(
                 "node",
                 (
-                    F.lit(base_tick)
-                    + F.expr("coalesce(inf, 0L) * 85 DIV 100")
+                    F.lit(base_tick) + F.expr("inf * 85 DIV 100")
                 ).alias("tick"),
             )
         )
@@ -4648,19 +4657,25 @@ def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcasts; at rank-vector scale it degrades to a src-key
         # shuffle instead of an OOM
         contrib = edges.join(live, edges.src == live.node).select(
-            "dst", F.expr("tick DIV d").alias("c")
+            F.col("dst").alias("node"), F.expr("tick DIV d").alias("c")
         )
-        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inf"))
         # linear recursion — the {PR_ITERS} rounds chain lazily into
         # one job over the checkpointed edges/nodes (r11; see
-        # _pagerank_iterate for the duplication argument)
+        # _pagerank_iterate for the duplication argument). The restart
+        # mass is fused into the inflow aggregation via a zero row per
+        # node (replaces the per-iteration nodes LEFT JOIN — r11,
+        # guide §2.4; dst ⊆ nodes since edges carry both directions).
         ranks = (
-            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            contrib.unionAll(
+                nodes.select("node", F.lit(0).cast("bigint").alias("c"))
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inf"))
             .select(
                 "node",
                 (
                     F.when(is_seed, F.lit(restart)).otherwise(0)
-                    + F.expr("coalesce(inf, 0L) * 85 DIV 100")
+                    + F.expr("inf * 85 DIV 100")
                 ).cast("bigint").alias("tick"),
             )
         )
@@ -9850,17 +9865,45 @@ def histogram_bin_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     m = branches[0].unionAll(branches[1]).unionAll(branches[2])
     g = m.groupBy("measure", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    w_cum = (
-        Window.partitionBy("measure")
+    # Two-level distributed prefix sum (r11, guide §2.5/§2.6): the
+    # former Window.partitionBy("measure") ECDF moved ALL of a
+    # measure's value-grain rows to ONE task — and this grain is
+    # SF-LINEAR (583k distinct l_extendedprice values at sf0.1), so
+    # that window was a single-task scale-killer, not a bounded scan.
+    # Instead: range-partition the grain, cumsum WITHIN partitions
+    # (parallel), and add each partition's broadcast offset — the cum
+    # is the identical integer for every row under ANY range split.
+    nparts = spark.sparkContext.defaultParallelism
+    rp = g.repartitionByRange(nparts, "measure", "v").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_loc = (
+        Window.partitionBy("measure", "pid")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy("measure")
-    cum = g.select(
+    # materialized ONCE: both the per-partition totals and the offset
+    # join read this frame, and exchange reuse does not fire across
+    # them (plan-verified: 6 scans without the checkpoint, 3 with)
+    loc = rp.withColumn("lcum", F.sum("c").over(w_loc)).localCheckpoint()
+    # within-partition running sum's max IS the partition total
+    ptot = loc.groupBy("measure", "pid").agg(F.max("lcum").alias("pc"))
+    w_off = (
+        Window.partitionBy("measure")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = ptot.select(
+        "measure",
+        "pid",
+        F.coalesce(F.sum("pc").over(w_off), F.lit(0)).alias("off"),
+        F.sum("pc").over(Window.partitionBy("measure")).alias("n"),
+    )
+    cum = loc.join(F.broadcast(off), ["measure", "pid"]).select(
         "measure",
         "v",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_all).alias("n"),
+        (F.col("lcum") + F.col("off")).alias("cum"),
+        "n",
     )
     qs = cum.groupBy("measure").agg(
         F.max("n").cast("bigint").alias("n"),

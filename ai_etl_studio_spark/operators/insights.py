@@ -5864,6 +5864,10 @@ def copurchase_eigenvector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("nu"))
             .agg(F.sum("s").alias("ns"))
         ).localCheckpoint()
+        # the 1-row max rides a crossJoin (lazy BNLJ) rather than a
+        # per-step driver collect — measured: the synchronous collect
+        # round-trip per step is SLOWER locally (2.22 -> 2.69 s) than
+        # letting the max agg chain into the next step's job (r11 A/B)
         mx = ns.agg(F.max("ns").alias("mx"))
         x = ns.crossJoin(mx).select(
             F.col("nu").alias("u"),
@@ -7029,6 +7033,11 @@ def copurchase_weighted_score_summary(
         ind = ew.join(
             alive.select("q", F.col("u").alias("x")), "x"
         ).join(alive.select("q", F.col("u").alias("y")), ["q", "y"])
+        # two-leg union, NOT an explode: the legs re-run the two alive
+        # joins once each, but those duplicated subtrees schedule in
+        # PARALLEL inside the round's job while an explode serializes
+        # them into one chain — measured 3.03 s (union) vs 4.51 s
+        # (explode) per run at sf0.1 (r11 A/B; kept the faster form)
         sg = (
             ind.select("q", F.col("x").alias("u"), "w")
             .unionAll(ind.select("q", F.col("y").alias("u"), "w"))
@@ -8360,25 +8369,27 @@ def copurchase_katz_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = deg.select("u").localCheckpoint()
     for _ in range(10):
-        ns = (
-            edges.join(x, edges.dst == x.u)
-            .groupBy(F.col("src").alias("nu"))
-            .agg(F.sum("s").alias("ns"))
-        )
         # linear recursion (x referenced exactly once per round, no
         # max/crossJoin duplication), so the 10 rounds chain lazily
         # over the checkpointed edges/nodes into ONE job instead of
         # paying a materialization job per round (r11; same argument
         # as _pagerank_iterate — the eigenvector tier keeps its
-        # per-step checkpoint because its max step compounds).
+        # per-step checkpoint because its max step compounds). The
+        # baseline term is FUSED into the neighbor aggregation via a
+        # zero row per node (replaces the per-round nodes LEFT JOIN —
+        # r11, guide §2.4; every dst is a src on the symmetric
+        # adjacency, so summing an extra 0 equals COALESCE(ns, 0)).
         x = capture_stage(
-            nodes.join(ns, nodes.u == ns.nu, "left")
-            .select(
-                "u",
+            edges.join(x, edges.dst == x.u)
+            .select(F.col("src").alias("u"), "s")
+            .unionAll(
+                nodes.select("u", F.lit(0).cast("bigint").alias("s"))
+            )
+            .groupBy("u")
+            .agg(
                 F.expr(
-                    f"CAST(1000000 + COALESCE(ns, 0) DIV {_KATZ_DIV}"
-                    " AS BIGINT)"
-                ).alias("s"),
+                    f"CAST(1000000 + SUM(s) DIV {_KATZ_DIV} AS BIGINT)"
+                ).alias("s")
             )
         )
     return (

@@ -3815,6 +3815,11 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crn",
             F.col("emb").alias("q_emb"),
         )
+        # |Q|·max-probe rows; read by the candidate join's broadcast
+        # side once per grid leg — without the checkpoint each read
+        # re-ran the query-side scoring + probe-rank window (r11,
+        # plan-verified: 12 -> fewer scans, 3 -> 2 Window groups)
+        .localCheckpoint()
     )
     grid = spark.createDataFrame(
         [(np,) for np in _NPROBE_GRID], "nprobe int"
