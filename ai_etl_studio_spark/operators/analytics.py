@@ -1981,7 +1981,6 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
     )
 
-
 @register(
     "histogram_equidepth",
     oracle="""
@@ -2017,6 +2016,12 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("value")
     )
+    # measured r11: a grained prefix-sum percentile twin (bit-exact,
+    # oracle-verified) was NOT faster here — the built-in aggregate's
+    # one-pass value map beat the device's extra shuffle/window/join
+    # stages at every N tried (see OPTIMIZATION_r11.md negative
+    # results), so the documented swap-to-approx remains the 100 TB
+    # path and the built-in stays.
     probs = "array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D)"
     bounds = li.agg(
         F.expr(f"transform(percentile(value, {probs}), x -> round(x, 6))").alias("bs")
@@ -2346,6 +2351,10 @@ def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap the exact quantile for percentile_approx and keep the shape.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    # measured r11: the grained prefix-sum percentile device is SLOWER
+    # here (2.60 -> 3.23 s paired) — with only 3 groups the built-in
+    # aggregate's value-map merge is cheaper than the device's extra
+    # stages; kept as the documented 100 TB swap-to-approx site
     b = li.groupBy("l_returnflag").agg(
         F.expr(f"percentile(l_extendedprice, {WINSOR_LO})").alias("lo"),
         F.expr(f"percentile(l_extendedprice, {WINSOR_HI})").alias("hi"),

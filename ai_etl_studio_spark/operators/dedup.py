@@ -67,6 +67,22 @@ _SQL_SHINGLES = rf"""
 """
 
 
+def _spread_corpus(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Input-parallelism guard for the CPU-heavy corpus chains (guide
+    §2.5, input skew): locally the corpus is ONE small parquet file, so
+    its scan yields 1-2 partitions and the tokenize → shingle →
+    md5-per-shingle → {MINHASH_K}-minhash expression chain runs nearly
+    serial while the other cores idle (measured: the signature op ran
+    in 5 tasks, ~3.3 s). When the scan has fewer splits than cores,
+    spread the skinny (doc_id, text) rows first — one tiny shuffle buys
+    a ~cores-wide compute stage. At production scale the scan already
+    has ≥ cores splits and this is a NO-OP (no shuffle added) — the
+    guard is on the split count, not a constant."""
+    from ai_etl_studio_spark.catalog import spread_small_scan
+
+    return spread_small_scan(spark, docs)
+
+
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) exploded distinct shingles; the shared front of
     the Jaccard/MinHash pipelines.
@@ -76,7 +92,7 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order transform makes Spark re-evaluate the split per
     element_at call (~150× per doc — measured 9s vs 0.6s at sf0.1).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread_corpus(spark, load_table(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", tokens("text").alias("toks"))
         .filter(F.size("toks") >= SHINGLE_N)
@@ -196,8 +212,11 @@ def shingle_array_from(docs: DataFrame) -> DataFrame:
 
 def _shingle_array_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles ARRAY) — the un-exploded twin of _shingle_df;
-    front of the zero-shuffle signature path and the Jaccard verifier."""
-    return shingle_array_from(load_table(spark, sf_dir, "documents"))
+    front of the zero-shuffle signature path and the Jaccard verifier.
+    Corpus spread first when the scan is under-split (r11, guide §2.5)."""
+    return shingle_array_from(
+        _spread_corpus(spark, load_table(spark, sf_dir, "documents"))
+    )
 
 
 def signature_from_arrays(sh_arr: DataFrame) -> DataFrame:
@@ -234,8 +253,11 @@ def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the exploded form shuffles (doc_id, k partial mins) and forces
     a stage barrier. Measured at sf0.1: 1.78 s vs 1.97 s local, but the
     structural win is the removed shuffle, not the local delta.
+    Corpus spread first when the scan is under-split (r11, guide §2.5).
     """
-    return signature_from(load_table(spark, sf_dir, "documents"))
+    return signature_from(
+        _spread_corpus(spark, load_table(spark, sf_dir, "documents"))
+    )
 
 
 @register("dedup_minhash_signatures", oracle=_minhash_oracle())
@@ -322,8 +344,11 @@ def bands_from(docs: DataFrame) -> DataFrame:
 def _band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_key) — one row per doc per band. Narrow all
     the way from the scan (signatures are shuffle-free), so the LSH band
-    self-join is the ONLY exchange in the candidate-pair pipeline."""
-    return bands_from(load_table(spark, sf_dir, "documents"))
+    self-join is the ONLY exchange in the candidate-pair pipeline.
+    Corpus spread first when the scan is under-split (r11, guide §2.5)."""
+    return bands_from(
+        _spread_corpus(spark, load_table(spark, sf_dir, "documents"))
+    )
 
 
 def _capped_bands(bands: DataFrame, cap: int) -> DataFrame:

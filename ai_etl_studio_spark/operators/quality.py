@@ -498,7 +498,11 @@ def _decon_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, h): md5-hashed {DECON_N}-gram shingle stream."""
     from ai_etl_studio_spark.functions.texthash import tokens, word_shingles
 
-    d = load_table(spark, sf_dir, "documents")
+    from ai_etl_studio_spark.catalog import spread_small_scan
+
+    # corpus spread when the scan is under-split (r11, guide §2.5): the
+    # tokenize -> 8-gram -> md5 chain otherwise runs in one scan task
+    d = spread_small_scan(spark, load_table(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", "source", tokens("text").alias("toks"))
         .filter(F.size("toks") >= DECON_N)

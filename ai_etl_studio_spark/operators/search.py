@@ -308,7 +308,10 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = bm25_search(spark, sf_dir)
     wl = Window.orderBy(F.desc("bm25"), "doc_id")
     lrank = lex.select("doc_id", F.row_number().over(wl).alias("rl"))
-    emb = load_table(spark, sf_dir, "embeddings")
+    from ai_etl_studio_spark.catalog import spread_small_scan
+
+    # corpus spread when the scan is under-split (r11, guide §2.5)
+    emb = spread_small_scan(spark, load_table(spark, sf_dir, "embeddings"))
     quant = emb.select(
         "vec_id",
         F.transform(

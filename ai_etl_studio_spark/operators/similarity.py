@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ai_etl_studio_spark.catalog import load_table
+from ai_etl_studio_spark.catalog import load_table, spread_small_scan
 from ai_etl_studio_spark.operators import register
 
 TOPK = 10
@@ -88,10 +88,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no shuffle; per-query top-k via window. At large |Q| switch to
     the bucketed variant below.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb0 = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("emb")
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    # corpus side spread when the scan is under-split (r11, guide §2.5):
+    # the per-pair cosine lambdas otherwise run in the single scan task
+    emb = spread_small_scan(spark, emb0)
+    q = emb0.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -331,10 +334,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~{NPROBE}/{N_CENTROIDS} here) instead of a full scan; the probe
     side is tiny and broadcasts.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb0 = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("emb")
     )
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+    # corpus spread when the scan is under-split (r11, guide §2.5): the
+    # corpus × centroid cosine lambdas otherwise run in one scan task
+    emb = spread_small_scan(spark, emb0)
+    cent = emb0.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
     )
     scored = emb.crossJoin(F.broadcast(cent)).withColumn(
@@ -430,10 +436,12 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles |Q|x{KNN_K} rows (tiny). For corpus-scale labeling (|Q| =
     |N|) switch the pair source to the IVF/LSH bucketed variants.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb0 = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("emb")
     )
-    q = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+    # corpus spread when the scan is under-split (r11, guide §2.5)
+    emb = spread_small_scan(spark, emb0)
+    q = emb0.filter(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("emb").alias("q_emb"),
@@ -567,6 +575,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the driver loop triggers KMEANS_ITERS+1 actions
     # over this relation — materialize the (small) projected scan once
     # instead of re-reading parquet every round.
+    # (r11 A/B: spreading this scan to cores REGRESSED 2.57 -> 2.96 s —
+    # per-iteration task overhead over 60-row partitions beats the
+    # serial compute it removes; the 1-partition checkpoint stays)
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
@@ -1206,6 +1217,9 @@ def dedup_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
     2-bigint rows; verification fetches vectors once per surviving
     candidate. Cost is ~2× the single-seed path for squared miss rate.
     """
+    # (r11 A/B: spreading this scan REGRESSED 3.07 -> 3.63 s — the
+    # 16-plane projection is too light per row to amortize 32-way
+    # task overhead, unlike the md5-heavy MinHash chains)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("emb")
     )
@@ -2385,7 +2399,9 @@ def centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. Dot products ride the wide-integer rule; the argmax
     compares identical IEEE doubles with a label tiebreak.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread when the scan is under-split (r11, guide §2.5): the
+    # dim fan-out and dot rollup otherwise originate in one scan task
+    emb = spread_small_scan(spark, load_table(spark, sf_dir, "embeddings"))
     e = emb.select(
         "vec_id",
         F.col("label").alias("true_label"),
@@ -2642,10 +2658,13 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 micro-units — bit-identical across engines in any summation
     order.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb0 = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("emb")
     )
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+    # corpus spread when the scan is under-split (r11, guide §2.5): the
+    # corpus × centroid cosine lambdas otherwise run in one scan task
+    emb = spread_small_scan(spark, emb0)
+    cent = emb0.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
     )
     scored = emb.crossJoin(F.broadcast(cent)).withColumn(
@@ -3779,10 +3798,13 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), candidates stay nprobe/K of the corpus per grid point; the
     exact-truth leg composes the registered cosine oracle.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb0 = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("emb")
     )
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+    # corpus spread when the scan is under-split (r11, guide §2.5): the
+    # corpus × centroid cosine lambdas otherwise run in one scan task
+    emb = spread_small_scan(spark, emb0)
+    cent = emb0.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
     )
     scored = emb.crossJoin(F.broadcast(cent)).withColumn(
