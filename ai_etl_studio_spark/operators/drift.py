@@ -12755,19 +12755,24 @@ def lepage_delay_location_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT r2 FROM rm) AS r2, (SELECT c2m FROM cm) AS c2m
       FROM pairs)
     SELECT n, c2 / 2 AS concordant_pairs, d2 / 2 AS discordant_pairs,
-           CAST(round((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))
-             / (CAST(c2 AS DOUBLE) + CAST(d2 AS DOUBLE)) * 1000000E0, 0)
-             AS BIGINT) AS gamma_micro,
+           CAST((CASE WHEN c2 >= d2 THEN 1 ELSE -1 END) *
+             ((2 * abs(CAST(c2 AS HUGEINT) - d2) * 1000000
+               + (CAST(c2 AS HUGEINT) + d2))
+              // (2 * (CAST(c2 AS HUGEINT) + d2))) AS BIGINT)
+             AS gamma_micro,
            CAST(round((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))
              / sqrt((CAST(n AS DOUBLE) * (n - 1) - CAST(r2 AS DOUBLE))
                * (CAST(n AS DOUBLE) * (n - 1) - CAST(c2m AS DOUBLE)))
              * 1000000E0, 0) AS BIGINT) AS tau_b_micro,
-           CAST(round(4E0 * (CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 3E0)
-             * 1000000E0, 0) AS BIGINT) AS tau_c_micro,
-           CAST(round((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))
-             / (CAST(n AS DOUBLE) * (n - 1) - CAST(r2 AS DOUBLE))
-             * 1000000E0, 0) AS BIGINT) AS somers_d_micro
+           CAST((CASE WHEN c2 >= d2 THEN 1 ELSE -1 END) *
+             ((8 * abs(CAST(c2 AS HUGEINT) - d2) * 1000000
+               + 3 * CAST(n AS HUGEINT) * n)
+              // (6 * CAST(n AS HUGEINT) * n)) AS BIGINT) AS tau_c_micro,
+           CAST((CASE WHEN c2 >= d2 THEN 1 ELSE -1 END) *
+             ((2 * abs(CAST(c2 AS HUGEINT) - d2) * 1000000
+               + (CAST(n AS HUGEINT) * (n - 1) - r2))
+              // (2 * (CAST(n AS HUGEINT) * (n - 1) - r2))) AS BIGINT)
+             AS somers_d_micro
     FROM s
     """,
 )
@@ -12885,10 +12890,20 @@ def ordinal_association_priority_delay(
         "n",
         (F.col("c2") / 2).cast("bigint").alias("concordant_pairs"),
         (F.col("d2") / 2).cast("bigint").alias("discordant_pairs"),
+        # Tie-safe quantization (r12): the three RATIONAL micro ratios
+        # round via exact integer arithmetic so no engine's
+        # double-round-at-.5 semantics can flip the last digit —
+        # round-half-away-from-zero(p/q) == sign(p)·((2|p|+q) div 2q)
+        # exactly, for integer p and q>0 (verified value-identical to
+        # the former double round at sf0.001/0.01/0.1, where the
+        # nearest quotient sat ≥5.8e-3 from any .5 boundary). tau_b
+        # keeps the double path: sqrt is irrational, so an exact .5
+        # tie would need A·B to be a perfect square.
         F.expr(
-            "CAST(round((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))"
-            " / (CAST(c2 AS DOUBLE) + CAST(d2 AS DOUBLE)) * 1000000E0, 0)"
-            " AS BIGINT)"
+            "CAST((CASE WHEN c2 >= d2 THEN 1 ELSE -1 END) *"
+            " ((2 * abs(CAST(c2 AS DECIMAL(38,0)) - d2) * 1000000"
+            "   + (CAST(c2 AS DECIMAL(38,0)) + d2))"
+            "  DIV (2 * (CAST(c2 AS DECIMAL(38,0)) + d2))) AS BIGINT)"
         ).alias("gamma_micro"),
         F.expr(
             "CAST(round((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))"
@@ -12897,14 +12912,16 @@ def ordinal_association_priority_delay(
             " * 1000000E0, 0) AS BIGINT)"
         ).alias("tau_b_micro"),
         F.expr(
-            "CAST(round(4E0 * (CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))"
-            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 3E0)"
-            " * 1000000E0, 0) AS BIGINT)"
+            "CAST((CASE WHEN c2 >= d2 THEN 1 ELSE -1 END) *"
+            " ((8 * abs(CAST(c2 AS DECIMAL(38,0)) - d2) * 1000000"
+            "   + 3 * CAST(n AS DECIMAL(38,0)) * n)"
+            "  DIV (6 * CAST(n AS DECIMAL(38,0)) * n)) AS BIGINT)"
         ).alias("tau_c_micro"),
         F.expr(
-            "CAST(round((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))"
-            " / (CAST(n AS DOUBLE) * (n - 1) - CAST(r2 AS DOUBLE))"
-            " * 1000000E0, 0) AS BIGINT)"
+            "CAST((CASE WHEN c2 >= d2 THEN 1 ELSE -1 END) *"
+            " ((2 * abs(CAST(c2 AS DECIMAL(38,0)) - d2) * 1000000"
+            "   + (CAST(n AS DECIMAL(38,0)) * (n - 1) - r2))"
+            "  DIV (2 * (CAST(n AS DECIMAL(38,0)) * (n - 1) - r2))) AS BIGINT)"
         ).alias("somers_d_micro"),
     )
 

@@ -3994,24 +3994,33 @@ def lang_trigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lowercased text arrives as one contiguous Arrow buffer; trigram
     # CODES are three shifted uint8 views combined vectorized, windows
     # crossing row boundaries masked via a row-index compare, and only
-    # (lang, code, count) partials leave the task. The corpus is pure
-    # ASCII at every SF (TESTDATA.md), so byte-trigram codes are 1:1
-    # with the former `substr(i, 3)` string grams — `g` is only ever a
-    # join/distinct key, never output. The former plan bore one JVM row
-    # PER CHARACTER (explode + substr), measured 4.5-7 s at sf0.1 for a
-    # 1,885-row count table.
+    # (lang, gram, count) partials leave the task. UTF-8 guard (r12,
+    # verdict item 8): byte-trigrams equal char-trigrams only on
+    # pure-ASCII rows, so rows containing any byte >= 0x80 fall back
+    # per row to exact code-point trigrams; both paths emit the gram
+    # STRING (decoded from the vocabulary-bounded unique codes, so the
+    # decode cost is |vocab| per batch, not |corpus|), sharing one key
+    # space. The former plan bore one JVM row PER CHARACTER (explode +
+    # substr), measured 4.5-7 s at sf0.1 for a 1,885-row count table.
     m = d.select("lang", F.lower(F.col("text")).alias("tl"))
 
     def _tri_hist(batches):
+        from collections import Counter
+
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
+
+        def code_gram(code: int) -> str:
+            return bytes(
+                (code >> 16 & 0xFF, code >> 8 & 0xFF, code & 0xFF)
+            ).decode("ascii")
 
         for batch in batches:
             lang = batch.column("lang")
             txt = batch.column("tl")
             out_l: list[str] = []
-            out_g: list[int] = []
+            out_g: list[str] = []
             out_c: list[int] = []
             for val in pc.unique(lang).to_pylist():
                 sub = pc.filter(txt, pc.equal(lang, val))
@@ -4034,7 +4043,24 @@ def lang_trigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 lens = np.diff(offs)
                 rowidx = np.repeat(np.arange(len(lens)), lens)
-                valid = rowidx[:-2] == rowidx[2:]
+                same_row = rowidx[:-2] == rowidx[2:]
+                hi = data >= 0x80
+                if hi.any():
+                    # exact code-point trigrams for the non-ASCII rows
+                    bad_rows = np.unique(rowidx[hi])
+                    bad = np.zeros(len(lens), dtype=bool)
+                    bad[bad_rows] = True
+                    cnt_py: Counter = Counter()
+                    for s in sub.take(pa.array(bad_rows)).to_pylist():
+                        cnt_py.update(
+                            s[i : i + 3] for i in range(len(s) - 2)
+                        )
+                    out_l.extend([val] * len(cnt_py))
+                    out_g.extend(cnt_py.keys())
+                    out_c.extend(int(x) for x in cnt_py.values())
+                    valid = same_row & ~bad[rowidx[:-2]]
+                else:
+                    valid = same_row
                 codes = (
                     data[:-2].astype(np.int32) * 65536
                     + data[1:-1].astype(np.int32) * 256
@@ -4044,18 +4070,18 @@ def lang_trigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 uniq, cnt = np.unique(codes, return_counts=True)
                 out_l.extend([val] * len(uniq))
-                out_g.extend(int(x) for x in uniq)
+                out_g.extend(code_gram(int(x)) for x in uniq)
                 out_c.extend(int(x) for x in cnt)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_l, pa.string()),
-                    pa.array(out_g, pa.int32()),
+                    pa.array(out_g, pa.string()),
                     pa.array(out_c, pa.int64()),
                 ],
                 names=["lang", "g", "c"],
             )
 
-    partials = m.mapInArrow(_tri_hist, "lang string, g int, c bigint")
+    partials = m.mapInArrow(_tri_hist, "lang string, g string, c bigint")
     c = partials.groupBy("lang", "g").agg(
         F.sum("c").cast("bigint").alias("c")
     ).localCheckpoint()  # vocabulary-bounded; read by 4 legs below

@@ -879,10 +879,21 @@ def main() -> None:
     # full passes over the suite, not back-to-back per query, so cache
     # warmth is comparable across repeats.
     bench_n = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "1")))
+    # Measurement integrity (r11 verdict, gaming item 3): the
+    # copurchase graph memo (_CP_GRAPH_CACHE) legitimately shares one
+    # checkpointed graph across the ~15 copurchase_* ops inside a real
+    # session, but inside the bench it turned per-query rows into
+    # cache-hit times (0.17 s sealed vs 3.9 s cold for
+    # copurchase_strength_topk). Clear it before EVERY timed run so
+    # each row pays its own full build; the memo stays for
+    # non-benchmark composition.
+    from ai_etl_studio_spark.operators.insights import _CP_GRAPH_CACHE
+
     runs: dict[str, list[float]] = {name: [] for name in bench_names}
     for _ in range(bench_n):
         for name in bench_names:
             fn = queries[name]
+            _CP_GRAPH_CACHE.clear()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs[name].append(time.perf_counter() - t0)

@@ -376,11 +376,17 @@ class TestShuffleFreeSignatures:
     dropped in a pipeline composition)."""
 
     def test_minhash_signatures_no_shuffle(self, spark):
-        t = tree(spark, "dedup_minhash_signatures")
-        # exactly one Exchange: the orderBy's range partitioning
-        assert t.count("Exchange") == 1
+        p = full(spark, "dedup_minhash_signatures")
+        t = p.split("\n\n")[0]
         assert "HashAggregate" not in t  # no groupBy in the array path
         assert "Generate" not in t  # no explode
+        # exactly one Exchange beyond the conditional corpus-spread
+        # round-robin (catalog.spread_small_scan fires only on
+        # under-split local input; structurally a no-op at scale):
+        # the orderBy's range partitioning
+        n_spread = p.count("RoundRobinPartitioning")
+        assert n_spread <= 1
+        assert t.count("Exchange") - n_spread == 1
 
     def test_simhash_no_shuffle(self, spark):
         t = tree(spark, "dedup_simhash")
