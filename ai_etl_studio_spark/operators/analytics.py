@@ -2023,7 +2023,14 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # results), so the documented swap-to-approx remains the 100 TB
     # path and the built-in stays.
     probs = "array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D)"
-    bounds = li.agg(
+    # spread the under-split scan before the exact-percentile partials
+    # (r12, §2.5): percentile() builds a value->count map per input
+    # partition, so a 3-split local scan ran the build nearly serial —
+    # guarded spread (no-op at production split counts); measured
+    # 4.63 -> 3.69 s at sf0.1.
+    from ai_etl_studio_spark.catalog import spread_small_scan
+
+    bounds = spread_small_scan(spark, li).agg(
         F.expr(f"transform(percentile(value, {probs}), x -> round(x, 6))").alias("bs")
     )
     bucket = F.size(F.filter(F.col("bs"), lambda b: F.col("value") > b))
@@ -11081,20 +11088,31 @@ def mad_robust_z_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = j.groupBy("nk", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     cnt = cnt.localCheckpoint()  # value-grain; read by both median passes
-    w_cum = (
-        Window.partitionBy("nk")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("nk")
-    cum = cnt.select(
-        "nk", "v", "c",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_all).alias("n"),
-    )
-    med = cum.groupBy("nk").agg(
-        F.max("n").cast("bigint").alias("n"),
-        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("med"),
+    # r12: both grouped ECDF medians fold over the per-nation sorted
+    # (value, count) array in ONE aggregation each instead of the
+    # window + cum-frame + groupBy chain — value-identical (first v
+    # with cum·2 ≥ n == MIN(v | cum·2 ≥ n) since cum is monotone) and
+    # two window stages cheaper (paired N=3: 2.43 -> 2.17 s). The
+    # arrays are value-grain per nation (bounded by the distinct-price
+    # span per nation), the same budget class the windows sorted.
+
+    def fold_median(arr: str, n: str):
+        return F.expr(
+            f"aggregate({arr},"
+            " struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS ans),"
+            " (acc, x) -> struct(acc.cum + x.c,"
+            f"   CASE WHEN acc.ans IS NULL AND (acc.cum + x.c) * 2 >= {n}"
+            "         THEN x.v ELSE acc.ans END),"
+            " acc -> acc.ans)"
+        )
+
+    med = (
+        cnt.groupBy("nk")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sort_array(F.collect_list(F.struct("v", "c"))).alias("arr"),
+        )
+        .select("nk", "n", fold_median("arr", "n").alias("med"))
     )
     dc = (
         cnt.join(med.select("nk", "med"), "nk")
@@ -11103,18 +11121,15 @@ def mad_robust_z_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("bigint").alias("c"))
     )
     dc = dc.localCheckpoint()  # read by the MAD ECDF AND the fence count
-    w_dcum = (
-        Window.partitionBy("nk")
-        .orderBy("av")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    dcum = dc.select(
-        "nk", "av", "c",
-        F.sum("c").over(w_dcum).alias("cum"),
-        F.sum("c").over(w_all).alias("n"),
-    )
-    madt = dcum.groupBy("nk").agg(
-        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("av"))).alias("mad")
+    madt = (
+        dc.groupBy("nk")
+        .agg(
+            F.sum("c").cast("bigint").alias("n2"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("av").alias("v"), "c"))
+            ).alias("arr"),
+        )
+        .select("nk", fold_median("arr", "n2").alias("mad"))
     )
     outl = (
         dc.join(madt, "nk")
@@ -13136,7 +13151,8 @@ def rbo_brand_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("n_orders"), "b"))
         .alias("rb"),
         F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
-    )
+    ).localCheckpoint()  # |brands| rows; read by ovl AND n_items — the
+    # lineitem⋈part rollup formerly ran twice (r12, §2.4; 4→2 scans)
     # exact integer powers as decimal literals — Spark's power() is a
     # DOUBLE function and 9^24 exceeds 2^53 (observed off-by-ulp terms)
     depths = spark.createDataFrame(

@@ -1712,7 +1712,16 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests within each engine, so the df counts agree.
     """
     d = load_table(spark, sf_dir, "documents")
-    win = _doc_windows(d)
+    # ONE pinned digest exchange feeds BOTH consumers (r12, §2.4): the
+    # frequency aggregation and the tag join each need win clustered by
+    # h, but their differing column pruning built two distinct
+    # exchanges — i.e. the whole tokenize→hash window chain ran TWICE.
+    # An explicit repartition(h) makes both downstream ops exchange-
+    # free readers of one shuffle (paired N=3: 3.5 -> 2.4 s, values
+    # identical; same two-consumer shape at any scale).
+    win = _doc_windows(d).repartition(
+        spark.sparkContext.defaultParallelism, "h"
+    )
     freq = win.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
     tagged = win.join(freq, "h").select(
         "doc_id", "pos", (F.col("df") >= SUBSTR_DF).alias("dup")
@@ -1983,7 +1992,11 @@ def substring_dup_share_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     excluded in both engines (documented in substring_dup_spans).
     """
     d = load_table(spark, sf_dir, "documents")
-    win = _doc_windows(d)
+    # one pinned digest exchange for both consumers — see
+    # substring_dup_spans (r12, §2.4)
+    win = _doc_windows(d).repartition(
+        spark.sparkContext.defaultParallelism, "h"
+    )
     freq = win.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
     # per-doc sorted duplicated positions -> UNION coverage via a fold:
     # each position's window [p, p+W-1] adds min(W, p - prev) NEW

@@ -4718,13 +4718,20 @@ _DELAY_GRAIN_CTE = """
 """
 
 
-def _delay_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _delay_grain(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Spark twin of ``_DELAY_GRAIN_CTE``: the (priority, delay, count)
     table, checkpointed — every downstream window/median/variance runs
-    on ≤ |priorities|·~125 rows, never on fact grain."""
+    on ≤ |priorities|·~125 rows, never on fact grain.
+
+    ``checkpoint=False`` (r12) lets a SINGLE-consumer query skip the
+    materialization job and fuse the grain into its one aggregation —
+    Catalyst then also pushes the query's priority filter below the
+    grain groupBy into the scan."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    return (
+    g = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
         .select(
@@ -4736,8 +4743,8 @@ def _delay_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("pr", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint()
     )
+    return g.localCheckpoint() if checkpoint else g
 
 
 @register(
@@ -6597,10 +6604,24 @@ def hodges_lehmann_delay_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: fact scans reduce to the checkpointed delay grain first;
     the grain-pair product broadcasts the smaller side (bounded,
-    never SF-linear); one window over ≤ ~5000 distinct differences.
+    never SF-linear) and collapses by difference d to the ≤ ~5000-row
+    span table; the weighted lower median is then ONE running-sum
+    fold over that bounded sorted array instead of the former window +
+    two extra one-row broadcast legs — r12: the old shape spent 22
+    jobs / 35 tasks of scheduling overhead on kilobyte frames
+    (4.69 s median measured); this one runs in ~1/3 the jobs.
     """
     c = _delay_grain(spark, sf_dir)
-    a = c.filter(F.col("pr") == _HL_PR_A).select("v", "c")
+    # spread the bounded (~2500-row) probe side before the pair
+    # product: the AQE-coalesced grain leaves it in ONE partition, so
+    # the ~2500×~2500 nested-loop stage ran serial (8c/32c ratio 1.01
+    # in the r11 scaling block) — a kilobyte shuffle buys a cores-wide
+    # product stage (§2.6, the blocking_quality_eval device)
+    a = (
+        c.filter(F.col("pr") == _HL_PR_A)
+        .select("v", "c")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     b = c.filter(F.col("pr") == _HL_PR_B).select(
         F.col("v").alias("bv"), F.col("c").alias("bc")
     )
@@ -6615,25 +6636,34 @@ def hodges_lehmann_delay_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(38,0)")
             .alias("w")
         )
-        .localCheckpoint()  # ≤~5000 rows; read by tot AND the cum scan
     )
-    tot = pairs.agg(F.sum("w").cast("decimal(38,0)").alias("np")).crossJoin(
-        F.broadcast(
-            a.agg(F.sum("c").cast("bigint").alias("n1"))
-        )
-    ).crossJoin(
-        F.broadcast(
-            b.agg(F.sum("bc").cast("bigint").alias("n2"))
-        )
+    # one row holding the whole (d, w) span table (bounded by the
+    # calendar span, ≤ ~5000 entries regardless of SF) plus its total
+    # mass; the lower median is a running-sum fold until cum·2 ≥ n1·n2
+    # — value-identical to the former grouped-ECDF window scan.
+    arr = pairs.agg(
+        F.sort_array(F.collect_list(F.struct("d", "w"))).alias("dw"),
+        F.sum("w").cast("decimal(38,0)").alias("np"),
     )
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    cum = pairs.select("d", F.sum("w").over(w).alias("cw"))
-    hl = cum.crossJoin(F.broadcast(tot.select("np"))).agg(
-        F.min(
-            F.when(F.col("cw") * 2 >= F.col("np"), F.col("d"))
-        ).alias("hl_shift_days")
+    nn = c.filter(F.col("pr").isin(_HL_PR_A, _HL_PR_B)).agg(
+        F.sum(F.when(F.col("pr") == _HL_PR_A, F.col("c")))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("pr") == _HL_PR_B, F.col("c")))
+        .cast("bigint")
+        .alias("n2"),
     )
-    return tot.select("n1", "n2").crossJoin(F.broadcast(hl))
+    hl = F.expr(
+        "aggregate(dw,"
+        "  struct(CAST(0 AS DECIMAL(38,0)) AS cum, CAST(NULL AS INT) AS ans),"
+        "  (acc, x) -> struct(CAST(acc.cum + x.w AS DECIMAL(38,0)),"
+        "    CASE WHEN acc.ans IS NULL AND (acc.cum + x.w) * 2 >= np"
+        "         THEN x.d ELSE acc.ans END),"
+        "  acc -> acc.ans)"
+    )
+    return nn.crossJoin(F.broadcast(arr)).select(
+        "n1", "n2", hl.alias("hl_shift_days")
+    )
 
 
 #: Breusch-Pagan R² — ONE fixed token stream over the one-row exact

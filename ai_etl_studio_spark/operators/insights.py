@@ -5050,6 +5050,16 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
     # pairs born per order from the sorted distinct part list (the
     # supplier_overlap_jaccard device) — ONE shuffle by orderkey, no
     # fact self-join; fan-out ≤ C(order line count, 2)
+    # ONE pinned-width exchange (r12, §2.4/§2.6): hash-partition the
+    # projected fact by orderkey up front — the groupBy below then
+    # shuffles nothing, and the explicit REPARTITION_BY_NUM pins the
+    # pair fan-out stage's width against AQE's byte-sized coalescing
+    # (the fan-out is CPU-bound per input byte: C(lines,2) structs per
+    # order). Paired N=3 for the e0 build at sf0.1: 2.2 s (AQE-
+    # coalesced) / 1.5 s (post-hoc spread) / 1.0 s (this shape).
+    li = li.select("l_orderkey", "l_partkey").repartition(
+        spark.sparkContext.defaultParallelism, "l_orderkey"
+    )
     ps = li.groupBy(F.col("l_orderkey").alias("o")).agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -5319,22 +5329,23 @@ def _cp_cc_labels(spark: SparkSession, sf_dir: str):
     edges = adj.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).localCheckpoint()
-    for _ in range(12):
+    for i in range(12):
         neigh = (
             edges.join(labels, edges.dst == labels.u)
             .groupBy(F.col("src").alias("nu"))
             .agg(F.min("label").alias("nlabel"))
         )
-        relaxed = (
-            labels.join(neigh, labels.u == neigh.nu, "left")
-            .select(
-                "u",
-                F.col("label").alias("old"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("mid"),
-            )
-            .localCheckpoint()  # feeds BOTH jump sides: compute once
+        # r12: relaxed is NOT checkpointed — recomputing the tiny
+        # neigh join for the second jump side is cheaper than the
+        # per-round materialization job (paired: the 7-round loop fell
+        # 3.8-5.3 -> ~3.5 s at sf0.1); the per-round labels checkpoint
+        # below still truncates lineage every round.
+        relaxed = labels.join(neigh, labels.u == neigh.nu, "left").select(
+            "u",
+            F.col("label").alias("old"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("mid"),
         )
         rep = relaxed.select(
             F.col("u").alias("rnode"), F.col("mid").alias("rlabel")
@@ -5350,7 +5361,13 @@ def _cp_cc_labels(spark: SparkSession, sf_dir: str):
             )
             .localCheckpoint()
         )
-        if labels.filter(F.col("label") != F.col("old")).limit(1).count() == 0:
+        # probe from round 3 (r12): earlier convergence is impossible on
+        # any graph with an edge, and a skipped probe merely runs an
+        # idempotent extra round — saves 2 probe jobs per query
+        if i >= 2 and (
+            labels.filter(F.col("label") != F.col("old")).limit(1).count()
+            == 0
+        ):
             break
     else:  # r8 ADVICE: never fall through unconverged silently — an
         # unconverged label frame at an unswept SF would be wrong with
@@ -5536,6 +5553,11 @@ def copurchase_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     one degree aggregate, all hint-free; rounds are ≤ peel depth,
     observed ≤ 4 on this corpus at every SF.
     """
+    # r12 negative result: a keyed single loop (alive carrying k, the
+    # s-core device) measured WORSE here — 5.50 -> 6.59 s paired N=3,
+    # tasks 250 -> 669 — because both tiers then ride max(rounds) over
+    # a doubled frame while the 2-loop form's k=2 leg converges in
+    # fewer rounds; kept the per-k loops.
     e, adj, deg, _ = _copurchase_graph(spark, sf_dir)
     n_all = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
     rows = []
@@ -6270,6 +6292,16 @@ def _copurchase_wgraph(spark: SparkSession, sf_dir: str):
         return hit
     e, adj, deg, _ = _copurchase_graph(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE exchange feeds BOTH rollups (r12, §2.4): hash-partitioning
+    # the projected fact by orderkey satisfies the (o, p) grain AND the
+    # per-order list grain (o ⊆ (o, p) clusters both), so neither
+    # groupBy below shuffles again — and the explicit REPARTITION_BY_NUM
+    # also pins the fan-out stage's width against AQE's byte-sized
+    # coalescing (the former shape paid 2 exchanges + a spread; paired
+    # N=3 wgraph build 4.7 -> 3.8 s at sf0.1, values identical).
+    li = li.select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    ).repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     opr = li.groupBy(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).agg(
